@@ -1,0 +1,113 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline configuration. `clock` is injectable so tests and oracle
+  * queries stay deterministic — the reference hardwires
+  * `int(time.time()*1000)` (reference: pipeline_architecture.py:154, 271)
+  * and nondeterministic `uuid()` keys (py:209), which breaks its own
+  * idempotency claim (README.md:81-83); we mint deterministic record keys
+  * instead (sha2 over the business columns).
+  */
+case class PipelineConfig(
+    name: String,
+    sourcePath: String,
+    targetPath: String,
+    logPath: String,
+    clock: () => Long = () => System.currentTimeMillis())
+
+case class RunResult(
+    status: String, recordsProcessed: Long, mode: String, watermark: Option[Long])
+
+/** The incremental ETL kernel: watermark read → incremental extract →
+  * metadata stamp → keyed upsert → audit log. Re-expresses the
+  * reference's `run_pipeline` (pipeline_architecture.py:262-335) on pure
+  * Spark; see §3 of SURVEY.md for the lifecycle trace.
+  */
+object Pipeline {
+
+  /** Incremental extraction (py:201-231): project the source event
+    * columns, require a non-null event timestamp (py:218), and — when a
+    * watermark exists — keep only rows ingested after it (py:221-224; the
+    * filter is on ingestion time, so late *event* times still land).
+    * The record key is deterministic: sha2 over the identifying columns
+    * (F1 fix, SURVEY.md §2.8). The reference's trailing global ORDER BY
+    * (py:226) is dropped: sort order is not a semantic property of a
+    * table write, and the range-partitioned exchange it forces is pure
+    * cost at scale (SURVEY.md §6).
+    */
+  def extract(spark: SparkSession, sourcePath: String, watermarkMs: Option[Long]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(sourcePath) // events schema: ts = epoch nanos (long)
+    val base = src
+      .filter(col("ts").isNotNull)
+      .select(
+        sha2(concat_ws("|", col("event_id"), col("user_id"), col("ts")), 256)
+          .as("record_id"),
+        col("event_id"), col("user_id").as("entity_id"),
+        timestamp_micros(expr("ts div 1000")).as("event_timestamp"),
+        // integer div: epoch nanos ~1.7e18 exceeds double's 2^53 mantissa,
+        // so floating division would corrupt the low millis
+        expr("ts div 1000000").as("event_time_ms"),
+        col("event_type"), col("value"), col("props"))
+    watermarkMs match {
+      case Some(wm) => base.filter(col("event_time_ms") > lit(wm))
+      case None     => base
+    }
+  }
+
+  /** Metadata stamping (py:233-236): processing date + load timestamp,
+    * driven by the injectable clock.
+    */
+  def transform(df: DataFrame, nowMs: Long): DataFrame = df
+    .withColumn("processing_date", to_date(timestamp_millis(lit(nowMs))))
+    .withColumn("load_timestamp", timestamp_millis(lit(nowMs)))
+
+  /** One full run. Returns the outcome that also lands in the audit log.
+    * Differences from the reference, both deliberate:
+    *   - the extract is cached before the count gate so the plan executes
+    *     once, not twice (the reference re-runs the extract for the write,
+    *     py:283 vs py:297 — §3 step 5 note);
+    *   - failure logging (py:318-330) wraps the load, then rethrows.
+    */
+  def run(spark: SparkSession, conf: PipelineConfig): RunResult = {
+    val startMs = conf.clock()
+    val wm = Watermark.lastSuccessfulRun(spark, conf.logPath, conf.name)
+    val mode = if (wm.isDefined) "incremental" else "full"
+    try {
+      val extracted = extract(spark, conf.sourcePath, wm).cache()
+      val n = extracted.count()
+      if (n == 0) { // empty-batch short-circuit (py:285-293)
+        log(spark, conf, wm, startMs, "SUCCESS", 0)
+        extracted.unpersist()
+        return RunResult("SUCCESS", 0, mode, wm)
+      }
+      val stamped = transform(extracted, startMs)
+      HudiLike.upsertInto(spark, conf.targetPath, stamped,
+        keys = Seq("record_id"), precombine = "load_timestamp",
+        tieBreak = Seq("event_id"))
+      extracted.unpersist()
+      log(spark, conf, wm, startMs, "SUCCESS", n)
+      RunResult("SUCCESS", n, mode, wm)
+    } catch {
+      case e: Exception =>
+        log(spark, conf, wm, startMs, "FAILED", 0, Some(e.getMessage))
+        throw e
+    }
+  }
+
+  private def log(spark: SparkSession, conf: PipelineConfig, wm: Option[Long],
+      startMs: Long, status: String, n: Long, err: Option[String] = None): Unit = {
+    val endMs = conf.clock()
+    Watermark.writeEntry(spark, conf.logPath, LogEntry(
+      pipeline_name = conf.name,
+      last_run_timestamp = wm,
+      current_run_timestamp = startMs,
+      status = status,
+      records_processed = n.toInt,
+      processing_time_seconds = (endMs - startMs) / 1000.0,
+      error_message = err,
+      created_at = endMs))
+  }
+}

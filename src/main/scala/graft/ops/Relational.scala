@@ -1,0 +1,386 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish star schema (SURVEY.md §7
+  * step 4). The reference's own relational surface is thin (single-table
+  * scans with predicates — pipeline_architecture.py:207-227 — and its
+  * README's declared-but-unimplemented "optimal joins", README.md:324);
+  * this module provides the full operator set a user of such a pipeline
+  * queries with, all on built-in Catalyst operators.
+  *
+  * Determinism rules for the DuckDB oracle (SURVEY.md §5.1): aggregates
+  * of doubles are `round`ed (2dp for sums ~1e7, 4dp for avgs), every
+  * computed column is aliased identically on both sides, ties in top-k /
+  * window ranks are broken by a unique key.
+  *
+  * Scale notes: dimension joins (`region`, `nation`, `customer`, `part`,
+  * `supplier`) take explicit `broadcast()` hints — at 100 TB the fact
+  * tables shuffle on join keys, the dims must not. Aggregations are
+  * plain `groupBy` → partial (map-side) + final hash aggregation.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: scan-filter-aggregate; Catalyst
+    * pushes the shipdate predicate and 7-column pruning into the parquet
+    * scan, AQE coalesces the tiny post-shuffle partitions.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: two fact joins + one broadcast dim join, top-10 by
+    * revenue with key tie-break.
+    */
+  def topOrdersBySegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue per nation for one region; the three dims
+    * broadcast, the two facts shuffle once on their join keys.
+    */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    val dims = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Fact ⋈ broadcast(dim) aggregation by brand. */
+  def brandVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+  }
+
+  /** EXISTS as a left-semi join (no row duplication, build side only
+    * emits keys).
+    */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** NOT EXISTS as a left-anti join — "new keys only", the membership
+    * test behind dedup-against-existing.
+    */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** LEFT OUTER against a pre-aggregated build side (null-producing). */
+  def customerOrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_spent"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("n_orders"), col("total_spent"))
+  }
+
+  /** Top-3 orders per priority class: rank window, deterministic via key
+    * tie-break.
+    */
+  def rankByPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  }
+
+  /** Per-customer order history with lag (previous order's price). */
+  def orderPriceLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+  }
+
+  /** Running total per customer: rows-frame cumulative sum. */
+  def runningSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** Set ops: customers that never ordered, via EXCEPT (distinct). */
+  def exceptKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey").as("k"))
+      .except(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("k")))
+
+  /** Set ops: customer keys present in orders, via INTERSECT. */
+  def intersectKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir).select(col("c_custkey").as("k"))
+      .intersect(Tables.orders(spark, sfDir).select(col("o_custkey").as("k")))
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals. */
+  def rollupQuantities(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Exact distinct cardinalities per group (expands to two shuffles
+    * under Catalyst's distinct-agg rewrite).
+    */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  def topOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def bigCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n") >= 3)
+
+  /** CASE bucketing + aggregation. */
+  def priceBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "medium")
+          .otherwise("large"))
+      .groupBy(col("bucket"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** Scalar string functions (projection-only; stays in one codegen
+    * stage over the scan).
+    */
+  def customerNameOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("tag"),
+        length(col("c_name")).as("len"))
+
+  /** Calendar aggregation: orders per year/month. */
+  def ordersByMonth(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** Correlated-subquery shape: customers above their nation's average
+    * balance — decorrelated as avg-aggregate + broadcast join.
+    */
+  def aboveNationAverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val nat = c.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
+    c.join(broadcast(nat), c("c_nationkey") === nat("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_acctbal"), round(col("nation_avg"), 4).as("nation_avg"))
+  }
+
+  /** Tumbling-window aggregation in batch form: events per (hour, type).
+    * The streaming twin lives in graft.streaming (windowed agg +
+    * watermark); here the hour bucket is a string for exact oracle
+    * parity across engines.
+    */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (pricingSummary(_, _)),
+    "q3_top_orders_segment" -> (topOrdersBySegment(_, _)),
+    "q5_region_revenue" -> (regionRevenue(_, _)),
+    "q_brand_volume" -> (brandVolume(_, _)),
+    "q_semi_join" -> (customersWithOrders(_, _)),
+    "q_anti_join" -> (customersWithoutOrders(_, _)),
+    "q_left_join_agg" -> (customerOrderCounts(_, _)),
+    "q_window_rank" -> (rankByPriority(_, _)),
+    "q_window_lag" -> (orderPriceLag(_, _)),
+    "q_running_sum" -> (runningSpend(_, _)),
+    "q_set_except" -> (exceptKeys(_, _)),
+    "q_set_intersect" -> (intersectKeys(_, _)),
+    "q_rollup" -> (rollupQuantities(_, _)),
+    "q_count_distinct" -> (distinctCounts(_, _)),
+    "q_topk_orders" -> (topOrders(_, _)),
+    "q_having" -> (bigCustomers(_, _)),
+    "q_case_buckets" -> (priceBuckets(_, _)),
+    "q_string_funcs" -> (customerNameOps(_, _)),
+    "q_orders_by_month" -> (ordersByMonth(_, _)),
+    "q_above_nation_avg" -> (aboveNationAverage(_, _)),
+    "q_events_hourly" -> (eventsHourly(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders_segment" ->
+      """SELECT o_orderkey, o_orderdate,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(avg(p_retailprice),4) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_left_join_agg" ->
+      """SELECT c_custkey, n_orders, total_spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         round(sum(o_totalprice),2) AS total_spent
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01'""".stripMargin,
+    "q_set_intersect" ->
+      "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin,
+    "q_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+        |            WHEN o_totalprice < 300000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |       o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        | substr(c_name, 1, 8) AS prefix,
+        | concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS tag,
+        | CAST(length(c_name) AS INT) AS len
+        |FROM customer""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(month(o_orderdate) AS INT) AS m,
+        |       count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_above_nation_avg" ->
+      """SELECT c_custkey, c_acctbal, round(nation_avg, 4) AS nation_avg
+        |FROM customer JOIN (
+        |  SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+        |  FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
+        |WHERE c_acctbal > nation_avg""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        | count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}
