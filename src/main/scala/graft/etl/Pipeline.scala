@@ -40,15 +40,18 @@ object Pipeline {
   def extract(spark: SparkSession, sourcePath: String, watermarkMs: Option[Long]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.read.parquet(sourcePath) // events schema: ts = epoch nanos (long)
+    // Event time is keyed at MICROsecond precision (`ts div 1000`): the
+    // parquet column is nanos, but DuckDB truncates nanos to micros on
+    // read, so micros is the finest unit both engines agree on exactly.
+    // Integer div throughout — epoch nanos ~1.7e18 exceeds double's 2^53
+    // mantissa, so floating division would corrupt the low digits.
     val base = src
       .filter(col("ts").isNotNull)
       .select(
-        sha2(concat_ws("|", col("event_id"), col("user_id"), col("ts")), 256)
-          .as("record_id"),
+        sha2(concat_ws("|", col("event_id"), col("user_id"),
+          expr("ts div 1000")), 256).as("record_id"),
         col("event_id"), col("user_id").as("entity_id"),
         timestamp_micros(expr("ts div 1000")).as("event_timestamp"),
-        // integer div: epoch nanos ~1.7e18 exceeds double's 2^53 mantissa,
-        // so floating division would corrupt the low millis
         expr("ts div 1000000").as("event_time_ms"),
         col("event_type"), col("value"), col("props"))
     watermarkMs match {

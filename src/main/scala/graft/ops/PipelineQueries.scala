@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.Tables
+import graft.etl.{HudiLike, Pipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's pipeline semantics as oracle-checkable queries over
+  * the `events` table (which plays the role of
+  * `your_source_database.source_table`, reference:
+  * pipeline_architecture.py:217; FIXTURES.md maps the columns).
+  *
+  * Event time is handled as epoch integers end-to-end: Spark reads the
+  * TIMESTAMP(NANOS) column as an epoch-nanos long and derives micros
+  * (`ts_us = ts div 1000`); DuckDB truncates the same column to
+  * microsecond TIMESTAMP on read, exposed via `epoch_us(ts)` — so
+  * watermark predicates and record keys compare exactly across engines
+  * with no float or timezone hazards.
+  */
+object PipelineQueries {
+
+  /** 2024-01-15T00:00:00Z in epoch millis — the pinned watermark for the
+    * incremental-extract queries (the reference splices the recovered
+    * watermark into its SQL the same way, py:221-224). Events span
+    * 2024-01-01..2024-01-30 at every scale factor.
+    */
+  val WatermarkMs: Long = 1705276800000L
+
+  /** 2024-01-20T00:00:00Z in epoch MICROS — the upsert-merge split point.
+    * Micros, not nanos: DuckDB truncates parquet nano-timestamps to
+    * microseconds on read, so micros is the finest unit with exact
+    * cross-engine parity.
+    */
+  val SplitUs: Long = 1705708800000000L
+
+  /** Far-future watermark (2030) — drives the empty-batch short-circuit. */
+  val FutureMs: Long = 1893456000000L
+
+  /** Incremental extraction (py:201-231): deterministic record key,
+    * non-null timestamp guard, watermark range predicate.
+    */
+  def incrementalExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Pipeline.extract(spark, s"$sfDir/events.parquet", Some(WatermarkMs))
+      .select(col("record_id"), col("event_id"), col("entity_id"),
+        col("event_time_ms"), col("event_type"), col("value"), col("props"))
+
+  /** First-run full load: no watermark → no range predicate (T2). */
+  def fullExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Pipeline.extract(spark, s"$sfDir/events.parquet", None)
+      .select(col("record_id"), col("event_id"), col("entity_id"),
+        col("event_time_ms"), col("event_type"), col("value"), col("props"))
+
+  /** Empty-batch short-circuit input (T3): watermark past all data. */
+  def emptyBatch(spark: SparkSession, sfDir: String): DataFrame =
+    Pipeline.extract(spark, s"$sfDir/events.parquet", Some(FutureMs))
+      .select(col("record_id"), col("event_id"), col("entity_id"),
+        col("event_time_ms"), col("event_type"), col("value"), col("props"))
+
+  /** Watermark recovery semantics (py:128-148) per pipeline: the latest
+    * run timestamp — `max()` instead of the reference's global-sort
+    * ORDER BY ... DESC LIMIT 1 (same answer, one agg, no sort exchange).
+    */
+  def watermarkLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        max(expr("ts_us div 1000")).as("wm_ms"),
+        count(lit(1)).as("n_runs"))
+
+  /** Precombine resolution (py:95/116/247): latest row per key. */
+  def upsertPrecombine(spark: SparkSession, sfDir: String): DataFrame =
+    HudiLike.precombineLatest(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us")),
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+
+  /** The full keyed-upsert merge (S4): state as of the split point,
+    * upserted with everything after it. Composite key exercises the
+    * reference's `pipeline_name,created_at`-style keys (py:114).
+    */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("ts_us"))
+    val existing = HudiLike.precombineLatest(
+      ev.filter(col("ts_us") <= SplitUs),
+      keys = Seq("user_id", "event_type"), precombine = "ts_us",
+      tieBreak = Seq("event_id"))
+    val incoming = ev.filter(col("ts_us") > SplitUs)
+    HudiLike.upsert(existing, incoming,
+      keys = Seq("user_id", "event_type"), precombine = "ts_us",
+      tieBreak = Seq("event_id"))
+  }
+
+  /** The monitoring/status query (py:337-369): a derived per-(type,hour)
+    * run log filtered by status + time cutoff, newest first — the
+    * reference's equality-conjunction (P4) and arithmetic (P5)
+    * predicates over an aggregated log.
+    */
+  def statusReport(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH").as("run_hour"),
+        col("event_type").as("pipeline_name"))
+      .agg(
+        max(expr("ts_us div 1000")).as("run_ms"),
+        count(lit(1)).as("records_processed"),
+        round(sum(col("value")), 2).as("metric"))
+      .withColumn("status",
+        when(col("records_processed") >= 5, "SUCCESS").otherwise("FAILED"))
+      .filter(col("status") === "SUCCESS" && col("run_ms") >= WatermarkMs)
+      .select(col("pipeline_name"), col("run_hour"), col("run_ms"),
+        col("records_processed"), col("metric"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_incremental_extract" -> (incrementalExtract(_, _)),
+    "p_full_extract" -> (fullExtract(_, _)),
+    "p_empty_batch" -> (emptyBatch(_, _)),
+    "p_watermark_latest" -> (watermarkLatest(_, _)),
+    "p_upsert_precombine" -> (upsertPrecombine(_, _)),
+    "p_upsert_merge" -> (upsertMerge(_, _)),
+    "p_status_report" -> (statusReport(_, _)))
+
+  private val extractSelect =
+    """SELECT sha256(concat_ws('|', event_id, user_id, epoch_us(ts))) AS record_id,
+      | event_id, user_id AS entity_id,
+      | epoch_us(ts) // 1000 AS event_time_ms,
+      | event_type, value, props
+      |FROM events WHERE ts IS NOT NULL""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p_incremental_extract" ->
+      (extractSelect + s" AND epoch_us(ts) // 1000 > $WatermarkMs"),
+    "p_full_extract" -> extractSelect,
+    "p_empty_batch" ->
+      (extractSelect + s" AND epoch_us(ts) // 1000 > $FutureMs"),
+    "p_watermark_latest" ->
+      """SELECT event_type, max(epoch_us(ts) // 1000) AS wm_ms,
+        | count(*) AS n_runs
+        |FROM events GROUP BY event_type""".stripMargin,
+    "p_upsert_precombine" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+    "p_upsert_merge" ->
+      """SELECT user_id, event_type, event_id, value, ts_us FROM (
+        | SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
+    "p_status_report" ->
+      s"""SELECT pipeline_name, run_hour, run_ms, records_processed, metric
+         |FROM (
+         | SELECT strftime(ts, '%Y-%m-%d %H') AS run_hour,
+         |  event_type AS pipeline_name,
+         |  max(epoch_us(ts) // 1000) AS run_ms,
+         |  count(*) AS records_processed,
+         |  round(sum(value),2) AS metric
+         | FROM events GROUP BY 1, 2) t
+         |WHERE records_processed >= 5 AND run_ms >= $WatermarkMs""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class HudiLikeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (String, Long, Double)*) =
+    t.toSeq.toDF("k", "pc", "v")
+
+  test("precombineLatest keeps max precombine per key") {
+    val got = HudiLike.precombineLatest(
+      rows(("a", 1L, 1.0), ("a", 3L, 3.0), ("a", 2L, 2.0), ("b", 5L, 5.0)),
+      Seq("k"), "pc")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 3L, 3.0), ("b", 5L, 5.0)))
+  }
+
+  test("precombineLatest breaks ties by tieBreak desc") {
+    val df = Seq(("a", 1L, 10L), ("a", 1L, 20L)).toDF("k", "pc", "id")
+    val got = HudiLike.precombineLatest(df, Seq("k"), "pc", Seq("id"))
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a", 1L, 20L)))
+  }
+
+  test("upsert replaces matched keys, keeps unmatched, inserts new") {
+    val existing = rows(("a", 1L, 1.0), ("b", 1L, 2.0))
+    val incoming = rows(("b", 2L, 20.0), ("c", 1L, 30.0))
+    val got = HudiLike.upsert(existing, incoming, Seq("k"), "pc")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 30.0)))
+  }
+
+  test("upsert: stale incoming loses to newer existing (precombine wins)") {
+    val existing = rows(("a", 5L, 50.0))
+    val incoming = rows(("a", 3L, 30.0))
+    val got = HudiLike.upsert(existing, incoming, Seq("k"), "pc")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("a", 5L, 50.0)))
+  }
+
+  test("upsert: incoming wins an exact precombine tie (Hudi payload rule)") {
+    val existing = rows(("a", 5L, 1.0))
+    val incoming = rows(("a", 5L, 2.0))
+    val got = HudiLike.upsert(existing, incoming, Seq("k"), "pc")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("a", 5L, 2.0)))
+  }
+
+  test("upsert supports composite keys (pipeline_name,created_at style)") {
+    val existing = Seq(("p1", 10L, 1L, "old"), ("p1", 20L, 1L, "keep"))
+      .toDF("name", "at", "pc", "v")
+    val incoming = Seq(("p1", 10L, 2L, "new"), ("p2", 10L, 1L, "ins"))
+      .toDF("name", "at", "pc", "v")
+    val got = HudiLike.upsert(existing, incoming, Seq("name", "at"), "pc")
+      .as[(String, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("p1", 10L, 2L, "new"), ("p1", 20L, 1L, "keep"), ("p2", 10L, 1L, "ins")))
+  }
+
+  test("upsert is idempotent and conserves the key union (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val existing = rows(Seq.fill(30)(
+        (s"k${rnd.nextInt(15)}", rnd.nextInt(100).toLong, rnd.nextDouble())): _*)
+      val existingDeduped =
+        HudiLike.precombineLatest(existing, Seq("k"), "pc", Seq("v"))
+      val incoming = rows(Seq.fill(20)(
+        (s"k${rnd.nextInt(20)}", rnd.nextInt(100).toLong, rnd.nextDouble())): _*)
+      val once = HudiLike.upsert(existingDeduped, incoming, Seq("k"), "pc", Seq("v"))
+      val twice = HudiLike.upsert(once, incoming, Seq("k"), "pc", Seq("v"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+        "upsert must be idempotent")
+      val keyUnion = existingDeduped.select("k").union(incoming.select("k"))
+        .distinct().count()
+      assert(once.count() == keyUnion, "one row per distinct key")
+    }
+  }
+
+  test("upsertInto commits atomically and merges on re-upsert") {
+    val dir = Files.createTempDirectory("hudilike").toString + "/table"
+    HudiLike.upsertInto(spark, dir, rows(("a", 1L, 1.0), ("b", 1L, 2.0)), Seq("k"), "pc")
+    assert(spark.read.parquet(dir).count() == 2)
+    HudiLike.upsertInto(spark, dir, rows(("b", 2L, 20.0), ("c", 1L, 3.0)), Seq("k"), "pc")
+    val got = spark.read.parquet(dir).as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 3.0)))
+  }
+}
