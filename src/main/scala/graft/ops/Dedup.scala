@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-scale data pipelines (north-star
+  * extension, SURVEY.md §2.10/§7 step 5): exact, n-gram Jaccard, and
+  * MinHash-LSH near-dup detection over the `documents` table.
+  *
+  * Scale design (the sf tables are small; the shapes are not):
+  *   - exact dedup is one hash-shuffle on the content digest;
+  *   - n-gram Jaccard joins on 5-word shingles — the candidate set is
+  *     *pairs sharing ≥1 shingle*, which at 100 TB is kept tractable by
+  *     `MaxShingleFreq` (drop shingles appearing in more than N docs:
+  *     they carry no dedup signal but quadratic join cost — the classic
+  *     stop-shingle cap);
+  *   - MinHash-LSH replaces the quadratic shingle join with a
+  *     64-permutation signature (one map-side pass, 64 `min` partial
+  *     aggs) banded 16×4, so only banded collisions are joined. That is
+  *     the path that survives a 1000-executor corpus; the exact-Jaccard
+  *     query is its verification oracle at test scale.
+  */
+object Dedup {
+
+  /** Stop-shingle cap for the exact-Jaccard join (see class doc). At the
+    * test SFs no shingle comes close, so the cap is semantically inert
+    * there — but it is part of both the Spark plan and the oracle SQL,
+    * so it stays honest if the data changes.
+    */
+  val MaxShingleFreq = 1000
+
+  val ShingleSize = 5
+
+  /** Minimum Jaccard similarity for a near-dup verdict. */
+  val JaccardThreshold = 0.5
+
+  // ---- exact dedup -------------------------------------------------------
+
+  /** Exact dedup groups: content digest → surviving doc (min id) + copy
+    * count. One shuffle on the digest.
+    */
+  def exactGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated survivor set (doc_id = min per digest). */
+  def exactSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val keep = d.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    d.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  // ---- word-shingle machinery -------------------------------------------
+
+  /** Distinct word k-shingles per doc: (doc_id, s). Tokenization is a
+    * plain single-space split, identical to the oracle's
+    * `string_split(text, ' ')`.
+    */
+  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val idx = sequence(lit(0), size(t) - ShingleSize) // inclusive bounds
+    val shingleArr = transform(idx, i =>
+      concat_ws(" ", (0 until ShingleSize).map(j => element_at(t, i + j + 1)): _*))
+    Tables.documents(spark, sfDir)
+      .filter(size(t) >= ShingleSize)
+      .select(col("doc_id"), explode(array_distinct(shingleArr)).as("s"))
+  }
+
+  /** Shingles with the stop-shingle cap applied (window-free: one
+    * aggregation to count, broadcast-joined back as an anti-filter).
+    */
+  private def cappedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleFreq)
+      .select(col("s"))
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  // ---- exact n-gram Jaccard ---------------------------------------------
+
+  /** Near-duplicate pairs by exact 5-gram Jaccard ≥ 0.5. Candidate pairs
+    * come from the shingle equi-join (exact recall for any pair with a
+    * shared shingle), sizes from one aggregation; all arithmetic integer
+    * until the final division.
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = cappedShingles(spark, sfDir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val shared = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jacc",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6))
+      .filter(col("jacc") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jacc"))
+  }
+
+  // ---- MinHash + LSH (the at-scale path; no SQL oracle) -----------------
+
+  val NumPerms = 64
+  val NumBands = 16
+  val RowsPerBand: Int = NumPerms / NumBands
+
+  /** 64-permutation MinHash signature per doc as `array<long>`: one pass
+    * over (doc, shingle) with 64 partial `min` aggregates — no shuffle
+    * beyond the doc_id hash agg. Permutation j is `xxhash64(j, s)`.
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir)
+    val aggs: Seq[Column] =
+      (0 until NumPerms).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: band the signature 16×4, join on band hash,
+    * then estimate similarity as the fraction of agreeing signature
+    * components. Downstream a caller verifies candidates with exact
+    * Jaccard (`ngramJaccardPairs` is the test-scale oracle for that).
+    */
+  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir).cache()
+    val bandCols = (0 until NumBands).map { bIdx =>
+      val parts = (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), bIdx * RowsPerBand + r + 1))
+      struct(lit(bIdx).as("band"), xxhash64(parts: _*).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)) / lit(NumPerms.toDouble), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .filter(col("est_jaccard") >= JaccardThreshold)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact_groups" -> (exactGroups(_, _)),
+    "dd_exact_survivors" -> (exactSurvivors(_, _)),
+    "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
+    "dd_minhash_lsh" -> (minhashCandidates(_, _)))
+
+  /** `dd_minhash_lsh` has no SQL oracle (xxhash64 is Spark-specific);
+    * the driver records its rows-only check, and `DedupSpec` verifies
+    * its recall against `dd_ngram_jaccard`.
+    */
+  val oracles: Map[String, String] = Map(
+    "dd_exact_groups" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dd_exact_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "dd_ngram_jaccard" -> s"""
+      |WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
+      |    i -> concat_ws(' ', ${(1 to ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+      |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleSize),
+      |capped AS (
+      |  SELECT doc_id, s FROM sh
+      |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > $MaxShingleFreq)),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |       round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jacc
+      |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+      |            JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= $JaccardThreshold
+      |""".stripMargin)
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Dedup-suite invariants that the SQL oracle can't express:
+  * MinHash-LSH (Spark-native hashes) is validated against the exact
+  * n-gram Jaccard pairs it approximates.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val exact: Set[(Long, Long, Double)] =
+    Dedup.ngramJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)]
+      .collect().toSet
+
+  lazy val lsh: Map[(Long, Long), Double] =
+    Dedup.minhashCandidates(spark, sf0001)
+      .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+
+  test("planted near-duplicates exist at sf0.001") {
+    assert(exact.nonEmpty, "test data should contain near-dup pairs")
+  }
+
+  test("MinHash-LSH recalls every high-similarity pair (jacc >= 0.7)") {
+    val truth = exact.filter(_._3 >= 0.7).map(p => (p._1, p._2))
+    assert(truth.nonEmpty)
+    val missed = truth -- lsh.keySet
+    assert(missed.isEmpty, s"LSH missed: $missed")
+  }
+
+  test("MinHash estimate tracks exact Jaccard within 0.25") {
+    val joined = exact.flatMap(p => lsh.get((p._1, p._2)).map(e => (p._3, e)))
+    assert(joined.nonEmpty)
+    joined.foreach { case (ex, est) =>
+      assert(math.abs(ex - est) < 0.25, s"exact=$ex est=$est")
+    }
+  }
+
+  test("simhash fingerprints are 64-bit strings and near-dups are symmetric-free") {
+    val fp = SimHash.fingerprints(spark, sf0001)
+    assert(fp.filter("length(simhash) != 64").count() == 0)
+    val pairs = SimHash.nearDupPairs(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.forall(p => p._1 < p._2), "canonical a<b ordering only")
+  }
+
+  test("exact dedup survivors preserve distinct content count") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val distinctTexts = d.select("text").distinct().count()
+    assert(Dedup.exactSurvivors(spark, sf0001).count() == distinctTexts)
+    assert(Dedup.exactGroups(spark, sf0001).count() == distinctTexts)
+  }
+}
