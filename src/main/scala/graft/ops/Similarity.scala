@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star extension):
+  * brute-force cosine scoring/top-k as the exactness baseline, and a
+  * random-hyperplane LSH bucketed path as the 100 TB shape.
+  *
+  * Exactness contract with the oracle: cosine is computed float→double
+  * in index order on both engines (the `cosine_sim` Catalyst expression
+  * here; an explicit `CAST AS DOUBLE` list comprehension in DuckDB), so
+  * the doubles agree bit-for-bit; results are rounded to 4dp and every
+  * ordering ties back to `vec_id`.
+  *
+  * Scale notes: the query side of every search is a tiny broadcast
+  * (`q` vectors), the corpus side streams through whole-stage codegen —
+  * no shuffle at all for scoring, one top-k (TakeOrdered) for ranking.
+  * The LSH path buckets the corpus once (16 signed projections, one
+  * aggregation) and joins queries to buckets only.
+  */
+object Similarity {
+
+  val Dim = 64
+  /** 6 planes → 64 buckets: sized so buckets hold tens of vectors at the
+    * test SFs (synthetic embeddings are near-orthogonal; more planes
+    * would isolate every vector and the probe would return nothing —
+    * production tuning is planes ≈ log2(corpus/target_bucket_size)).
+    */
+  val NumPlanes = 6
+  val QuerySetSize = 5
+
+  private def cos(a: String, b: String) = expr(s"cosine_sim($a, $b)")
+
+  /** All-pairs scores against the pinned query vector (vec_id 0). */
+  def cosineScores(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cos("embedding", "qv"), 4).as("cos_sim"))
+  }
+
+  /** Global top-10 nearest to the pinned query: brute-force KNN. */
+  def knnTop10(spark: SparkSession, sfDir: String): DataFrame =
+    cosineScores(spark, sfDir)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+
+  /** Per-query top-5 for the query set (vec_id < 5): the batcheable
+    * many-query KNN shape — corpus × broadcast(queries), ranked within
+    * each query.
+    */
+  def knnPerQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cos("embedding", "qv"), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** Random-hyperplane LSH bucket code per vector: 16 signed
+    * projections; plane p's weight on dimension d is ±1 from
+    * `xxhash64(p, d)` — deterministic, no stored model. One posexplode +
+    * one aggregation; this is the corpus-side indexing pass of the ANN
+    * path (no oracle: xxhash64 is Spark-specific).
+    */
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val exploded = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    val projAggs: Seq[org.apache.spark.sql.Column] = (0 until NumPlanes).map { p =>
+      sum(col("x") *
+        when(pmod(xxhash64(lit(p), col("d")), lit(2)) === 0, 1.0).otherwise(-1.0))
+        .as(s"proj$p")
+    }
+    val codeExpr = (0 until NumPlanes).map(p =>
+      when(col(s"proj$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    exploded.groupBy(col("vec_id"))
+      .agg(projAggs.head, projAggs.tail: _*)
+      .select(col("vec_id"), codeExpr.as("bucket"))
+  }
+
+  /** ANN search: queries probe only their own bucket, then exact cosine
+    * re-rank inside it. Output is (q_id, vec_id, cos_sim, rnk ≤ 3) —
+    * rows-only check (bucketing uses Spark-native hashing).
+    */
+  def annSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val buckets = lshBuckets(spark, sfDir)
+    val corpus = e.join(buckets, "vec_id")
+    val queries = corpus.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cos("embedding", "qv"), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** Bucket histogram — occupancy of the LSH index (rows-only). */
+  def lshBucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    lshBuckets(spark, sfDir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+
+  /** Embedding near-dup pairs: all pairs ≥ 0.4 cosine (brute force —
+    * exactness baseline for `Dedup`'s embedding-space variant; the LSH
+    * bucket path above is the scale route).
+    */
+  def embedNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_scores" -> (cosineScores(_, _)),
+    "sim_knn_top10" -> (knnTop10(_, _)),
+    "sim_knn_per_query" -> (knnPerQuery(_, _)),
+    "sim_ann_lsh" -> (annSearch(_, _)),
+    "sim_lsh_buckets" -> (lshBucketStats(_, _)),
+    "dd_embed_neardup" -> (embedNearDupPairs(_, _)))
+
+  /** DuckDB cosine identical to `CosineSimilarity`: float→double per
+    * element, index-order accumulation.
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_scores" ->
+      s"""SELECT vec_id, round(${sqlCos("embedding", "qv")}, 4) AS cos_sim
+         |FROM embeddings,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE vec_id <> 0""".stripMargin,
+    "sim_knn_top10" ->
+      s"""SELECT vec_id, round(${sqlCos("embedding", "qv")}, 4) AS cos_sim
+         |FROM embeddings,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_knn_per_query" ->
+      s"""SELECT q_id, vec_id, cos_sim, rnk FROM (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk
+         |  FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |      round(${sqlCos("e.embedding", "q.embedding")}, 4) AS cos_sim
+         |    FROM embeddings e JOIN embeddings q
+         |      ON q.vec_id < $QuerySetSize AND e.vec_id <> q.vec_id) s) r
+         |WHERE rnk <= 5""".stripMargin,
+    "dd_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.4""".stripMargin)
+}

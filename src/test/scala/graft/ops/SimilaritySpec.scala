@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Invariants for the similarity/ANN path that the SQL oracle can't
+  * cover (LSH bucketing uses Spark-native hashing).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim is 1.0 on itself and symmetric") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sf0001).limit(50)
+    val self = e.selectExpr("round(cosine_sim(embedding, embedding), 9) AS c")
+      .as[Double].collect()
+    assert(self.forall(_ == 1.0))
+    val a = e.selectExpr("vec_id AS ia", "embedding AS va")
+    val b = e.selectExpr("vec_id AS ib", "embedding AS vb")
+    val asym = a.join(b, $"ia" < $"ib")
+      .selectExpr("cosine_sim(va, vb) AS ab", "cosine_sim(vb, va) AS ba")
+      .filter("ab != ba").count()
+    assert(asym == 0)
+  }
+
+  test("LSH buckets partition the corpus") {
+    val total = Similarity.lshBucketStats(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_vectors")).as[Long].head()
+    assert(total == graft.Tables.embeddings(spark, sf0001).count())
+  }
+
+  test("ANN search returns ranked neighbors from the query's bucket") {
+    val ann = Similarity.annSearch(spark, sf0001)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(ann.nonEmpty, "buckets must be populated enough to probe")
+    assert(ann.forall(r => r._4 >= 1 && r._4 <= 3))
+    assert(ann.forall(r => r._1 != r._2), "self-matches excluded")
+    // per query, ranks are dense from 1 and scores non-increasing
+    ann.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3
+        case _ => true
+      })
+    }
+  }
+
+  test("brute-force KNN and scores agree") {
+    val scores = Similarity.cosineScores(spark, sf0001)
+      .as[(Long, Double)].collect().toMap
+    val top = Similarity.knnTop10(spark, sf0001).as[(Long, Double)].collect()
+    assert(top.length == 10)
+    val bestByScores = scores.toSeq.sortBy(r => (-r._2, r._1)).take(10)
+    assert(top.toSeq == bestByScores)
+  }
+}
