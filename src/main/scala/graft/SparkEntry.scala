@@ -16,11 +16,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++
-      ops.Dedup.queries ++ ops.SimHash.queries ++ ops.Similarity.queries
+      ops.Dedup.queries ++ ops.SimHash.queries ++ ops.Similarity.queries ++
+      ops.TextOps.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.PipelineQueries.oracles ++
-      ops.Dedup.oracles ++ ops.SimHash.oracles ++ ops.Similarity.oracles
+      ops.Dedup.oracles ++ ops.SimHash.oracles ++ ops.Similarity.oracles ++
+      ops.TextOps.oracles ++ ops.Multimodal.oracles
 }

@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One decoded "frame"/feature record produced by the stub decoder. */
+case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    n_frames: Int,
+    mean_byte: Double,
+    byte_histogram: Array[Long])
+
+/** Multimodal-column plumbing (north-star extension): media payloads as
+  * opaque `binary` columns with typed metadata, and a batch
+  * decode/feature-extract pass over them.
+  *
+  * No image/audio codecs exist in this container, so the *decode* step
+  * is a clearly-marked deterministic STUB (byte statistics stand in for
+  * pixels/samples); everything around it — the binary+struct schema, the
+  * partition-parallel `mapPartitions` batch shape, the explode-to-frames
+  * layout — is the real Spark plumbing a codec UDF would drop into.
+  *
+  * Payloads are synthesized from `documents.text` (utf-8 bytes) so the
+  * pipeline is reproducible against the driver's tables; at production
+  * scale the payload column comes from the lake and everything below is
+  * unchanged.
+  */
+object Multimodal {
+
+  val FrameStride = 256
+
+  /** The media table: binary payload + struct metadata. This is the
+    * storage schema: payload stays opaque, metadata is columnar and
+    * prunable (a reader that needs only `meta.n_bytes` never touches
+    * payload bytes).
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("source").as("origin")).as("meta"))
+
+  /** Metadata-only scan — must not read payload bytes (column pruning
+    * through the struct). Oracle-checked.
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.media_type").as("media_type"),
+      col("meta.origin").as("origin"))
+
+  /** Batch decode/feature-extract via typed mapPartitions: one decoder
+    * instantiation per partition (the real-codec pattern — open the
+    * decoder once, stream records through it).
+    */
+  def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"), col("meta.media_type").as("media_type"))
+      .as[(Long, Array[Byte], String)]
+    val decoded: Dataset[MediaFeatures] = media.mapPartitions { it =>
+      // STUB DECODER: a real implementation opens the image/audio codec
+      // here (per partition) and replaces the byte statistics below with
+      // pixel/sample features. Deterministic byte stats keep the
+      // pipeline testable without codecs in the container.
+      it.map { case (id, payload, mtype) =>
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < payload.length) {
+          val b = payload(i) & 0xff
+          hist(b >> 4) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(
+          doc_id = id,
+          media_type = mtype,
+          n_bytes = payload.length.toLong,
+          n_frames = (payload.length + FrameStride - 1) / FrameStride,
+          mean_byte = if (payload.length == 0) 0.0
+            else math.rint(sum.toDouble / payload.length * 10000) / 10000,
+          byte_histogram = hist)
+      }
+    }
+    decoded.toDF()
+  }
+
+  /** Frame sampling: one row per FrameStride-byte "frame" with its
+    * leading byte — the explode layout a video frame-sampler produces
+    * (frame index + decoded frame payload).
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(col("doc_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), ((col("n_bytes") - 1) / FrameStride).cast("int"))))
+      .select(
+        col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * FrameStride).cast("long").as("byte_offset"),
+        // STUB frame content: first byte of the frame window
+        ascii(col("payload").cast("string")
+          .substr(col("frame_idx") * FrameStride + 1, lit(1))).cast("long").as("head_byte"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> (mediaMeta(_, _)),
+    "mm_decode_features" -> (decodeFeatures(_, _)),
+    "mm_frame_sample" -> (frameSample(_, _)))
+
+  /** Only the metadata scan is oracle-checked (the decode stub and frame
+    * layout are Spark-side plumbing with no SQL analog; `MultimodalSpec`
+    * pins their behavior).
+    */
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        | source AS origin
+        |FROM documents""".stripMargin)
+}

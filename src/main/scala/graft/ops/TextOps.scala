@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (north-star extension):
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * content fingerprinting over `documents`.
+  *
+  * Every computation here is a projection or single aggregation over the
+  * scan — embarrassingly parallel, no shuffle except the final group-bys
+  * — and is written with expressions shared verbatim between Spark SQL
+  * and the DuckDB oracle (regex character classes restricted to the
+  * ASCII subset both dialects treat identically).
+  */
+object TextOps {
+
+  /** BPE-ish token pattern: alnum runs or single non-space symbols.
+    * Deliberately backslash-free: Spark SQL string literals treat `\` as
+    * an escape while DuckDB's don't, so `\s` would silently become `s`
+    * on the Spark side only.
+    */
+  val TokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Tiny stopword profiles for the language-ID heuristic. The corpus
+    * text is synthetic English-ish word salad, so `en` dominates — the
+    * point is the operator shape: N profile scores + deterministic
+    * argmax, the standard cheap lang-ID used before model-based ID in
+    * data pipelines.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "une", "et", "est"),
+    "zh" -> Seq("的", "了", "是"))
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val wsSplitSpark = "split(text, ' ')"
+  private val wsSplitDuck = "string_split(text, ' ')"
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      s"CAST(size($wsSplitSpark) AS BIGINT) AS n_ws_tokens",
+      s"CAST(size(regexp_extract_all(text, '$TokenPattern', 0)) AS BIGINT) AS n_re_tokens",
+      "CAST(length(text) AS BIGINT) AS n_chars_obs")
+
+  /** Quality scoring: length, mean word length, stopword ratio, and a
+    * composite score — the usual pre-training heuristics (length filters
+    * + stopword-density filters).
+    */
+  def qualityScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = inList(Profiles.head._2)
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars_obs",
+      s"CAST(size($wsSplitSpark) AS BIGINT) AS n_tokens",
+      s"round((length(text) - size($wsSplitSpark) + 1) / CAST(size($wsSplitSpark) AS DOUBLE), 4) AS avg_word_len",
+      s"round(size(filter($wsSplitSpark, w -> w IN $stop)) / CAST(size($wsSplitSpark) AS DOUBLE), 4) AS stopword_ratio",
+      s"""round(ln(1 + size($wsSplitSpark)) *
+         | (1.0 - size(filter($wsSplitSpark, w -> w IN $stop)) / CAST(size($wsSplitSpark) AS DOUBLE)), 4) AS quality_score""".stripMargin)
+  }
+
+  /** Language ID: per-profile stopword hit counts + deterministic argmax
+    * (first profile in declaration order wins ties).
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val scoreCols = Profiles.map { case (l, ws) =>
+      s"CAST(size(filter($wsSplitSpark, w -> w IN ${inList(ws)})) AS BIGINT) AS s_$l"
+    }
+    val langs = Profiles.map(_._1)
+    val pred = langs.map { l =>
+      val others = langs.filterNot(_ == l).map(o => s"s_$o")
+      s"WHEN s_$l >= greatest(${others.mkString(", ")}) THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    val outCols = Seq("doc_id", "declared_lang") ++
+      Profiles.map(p => s"s_${p._1}") :+ s"$pred AS pred_lang"
+    Tables.documents(spark, sfDir)
+      .selectExpr(Seq("doc_id", "lang AS declared_lang") ++ scoreCols: _*)
+      .selectExpr(outCols: _*)
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercase, strip
+    * non-alnum, collapse runs of spaces) — the canonicalization step of
+    * exact-dedup-after-cleanup.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      """md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), '  +', ' '))) AS fp""")
+
+  /** Rolling-hash winnowing fingerprint: min/max xxhash64 over all
+    * 8-char windows of the text (rows-only: xxhash64 is Spark-native).
+    * The min-hash of character shingles is the sketch behind
+    * plagiarism-style containment detection.
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 8)
+      .selectExpr("doc_id",
+        "transform(sequence(1, length(text) - 7), i -> xxhash64(substr(text, i, 8))) AS hs")
+      .selectExpr("doc_id",
+        "array_min(hs) AS win_min", "array_max(hs) AS win_max",
+        "CAST(size(hs) AS BIGINT) AS n_windows")
+
+  /** Corpus stats rollup per (lang, source): the curation dashboard
+    * aggregation.
+    */
+  def corpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        expr(s"CAST(sum(size($wsSplitSpark)) AS BIGINT) AS total_tokens"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_token_counts" -> (tokenCounts(_, _)),
+    "tx_quality" -> (qualityScores(_, _)),
+    "tx_langid" -> (langId(_, _)),
+    "tx_fingerprint" -> (fingerprints(_, _)),
+    "tx_winnow" -> (winnowFingerprints(_, _)),
+    "tx_corpus_stats" -> (corpusStats(_, _)))
+
+  val oracles: Map[String, String] = {
+    val stop = inList(Profiles.head._2)
+    Map(
+      "tx_token_counts" ->
+        s"""SELECT doc_id,
+           | len($wsSplitDuck) AS n_ws_tokens,
+           | len(regexp_extract_all(text, '$TokenPattern')) AS n_re_tokens,
+           | length(text) AS n_chars_obs
+           |FROM documents""".stripMargin,
+      "tx_quality" ->
+        s"""SELECT doc_id,
+           | length(text) AS n_chars_obs,
+           | len($wsSplitDuck) AS n_tokens,
+           | round((length(text) - len($wsSplitDuck) + 1) / CAST(len($wsSplitDuck) AS DOUBLE), 4) AS avg_word_len,
+           | round(len(list_filter($wsSplitDuck, w -> w IN $stop)) / CAST(len($wsSplitDuck) AS DOUBLE), 4) AS stopword_ratio,
+           | round(ln(1 + len($wsSplitDuck)) *
+           |   (1.0 - len(list_filter($wsSplitDuck, w -> w IN $stop)) / CAST(len($wsSplitDuck) AS DOUBLE)), 4) AS quality_score
+           |FROM documents""".stripMargin,
+      "tx_langid" -> {
+        val scoreCols = Profiles.map { case (l, ws) =>
+          s"len(list_filter($wsSplitDuck, w -> w IN ${inList(ws)})) AS s_$l"
+        }
+        val langs = Profiles.map(_._1)
+        val pred = langs.map { l =>
+          val others = langs.filterNot(_ == l).map(o => s"s_$o")
+          s"WHEN s_$l >= greatest(${others.mkString(", ")}) THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE 'und' END")
+        s"""SELECT doc_id, declared_lang, ${langs.map(l => s"s_$l").mkString(", ")},
+           | $pred AS pred_lang
+           |FROM (SELECT doc_id, lang AS declared_lang, ${scoreCols.mkString(", ")}
+           |      FROM documents) t""".stripMargin
+      },
+      "tx_fingerprint" ->
+        """SELECT doc_id,
+          | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS fp
+          |FROM documents""".stripMargin,
+      "tx_corpus_stats" ->
+        s"""SELECT lang, source, count(*) AS n_docs,
+           | CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           | round(avg(length(text)), 4) AS avg_chars,
+           | CAST(sum(len($wsSplitDuck)) AS BIGINT) AS total_tokens
+           |FROM documents GROUP BY lang, source""".stripMargin)
+  }
+}
