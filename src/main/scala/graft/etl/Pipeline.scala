@@ -45,7 +45,17 @@ object Pipeline {
     // read, so micros is the finest unit both engines agree on exactly.
     // Integer div throughout — epoch nanos ~1.7e18 exceeds double's 2^53
     // mantissa, so floating division would corrupt the low digits.
-    val base = src
+    // The watermark predicate is applied to the RAW nanos column before
+    // projection: `ts div 1e6 > wm ⟺ ts >= (wm+1)·1e6`. The derived-
+    // column form (`event_time_ms > wm`) is an arithmetic expression
+    // parquet can't evaluate; this form reaches PushedFilters and prunes
+    // row groups by ingestion time — the property that makes incremental
+    // extracts cheap at scale.
+    val gated = watermarkMs match {
+      case Some(wm) => src.filter(col("ts") >= lit((wm + 1) * 1000000L))
+      case None     => src
+    }
+    gated
       .filter(col("ts").isNotNull)
       .select(
         sha2(concat_ws("|", col("event_id"), col("user_id"),
@@ -54,10 +64,6 @@ object Pipeline {
         timestamp_micros(expr("ts div 1000")).as("event_timestamp"),
         expr("ts div 1000000").as("event_time_ms"),
         col("event_type"), col("value"), col("props"))
-    watermarkMs match {
-      case Some(wm) => base.filter(col("event_time_ms") > lit(wm))
-      case None     => base
-    }
   }
 
   /** Metadata stamping (py:233-236): processing date + load timestamp,

