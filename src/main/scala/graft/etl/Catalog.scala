@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** DDL surface (SURVEY.md §2.1 S5): the reference's
+  * `create_database_and_table` (pipeline_architecture.py:69-122) issues
+  * `CREATE DATABASE IF NOT EXISTS` ×2 and `CREATE TABLE ... USING HUDI
+  * TBLPROPERTIES(type='cow', primaryKey=..., preCombineField=...)`.
+  *
+  * This environment has no Hive metastore and no Hudi, so the same
+  * statements run against Spark's in-memory session catalog with
+  * parquet tables at explicit locations; the Hudi table properties are
+  * carried as plain TBLPROPERTIES so downstream code (HudiLike) can
+  * read key/precombine metadata from the catalog instead of hardcoding
+  * it.
+  */
+object Catalog {
+
+  /** Idempotently create the pipeline database + both tables (target
+    * fact table and audit log), mirroring py:78-97 and py:100-117.
+    */
+  def ensurePipelineTables(spark: SparkSession, baseDir: String): Unit = {
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS pipeline_layer LOCATION '$baseDir/pipeline_layer.db'")
+
+    // target fact table (py:78-97), Hudi options → table properties
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS pipeline_layer.target_table (
+         |  record_id STRING,
+         |  entity_id STRING,
+         |  event_timestamp TIMESTAMP,
+         |  event_type STRING,
+         |  data_field_1 STRING,
+         |  data_field_2 STRING,
+         |  numeric_field_1 DOUBLE,
+         |  numeric_field_2 INT,
+         |  processing_date DATE,
+         |  load_timestamp TIMESTAMP
+         |) USING PARQUET
+         |LOCATION '$baseDir/pipeline_layer.db/target_table'
+         |TBLPROPERTIES (
+         |  'graft.table.type' = 'cow',
+         |  'graft.table.primaryKey' = 'record_id',
+         |  'graft.table.preCombineField' = 'load_timestamp')""".stripMargin)
+
+    // audit log (py:100-117): composite primary key, BIGINT epoch millis
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS pipeline_layer.pipeline_log (
+         |  pipeline_name STRING,
+         |  last_run_timestamp BIGINT,
+         |  current_run_timestamp BIGINT,
+         |  status STRING,
+         |  records_processed INT,
+         |  processing_time_seconds DOUBLE,
+         |  error_message STRING,
+         |  created_at BIGINT
+         |) USING PARQUET
+         |LOCATION '$baseDir/pipeline_layer.db/pipeline_log'
+         |TBLPROPERTIES (
+         |  'graft.table.type' = 'cow',
+         |  'graft.table.primaryKey' = 'pipeline_name,created_at',
+         |  'graft.table.preCombineField' = 'created_at')""".stripMargin)
+  }
+
+  /** Read the upsert key/precombine config back from table properties
+    * (comma-split composite keys, as Hudi does — py:114).
+    */
+  def upsertConfig(spark: SparkSession, table: String): (Seq[String], String) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (props("graft.table.primaryKey").split(",").map(_.trim).toSeq,
+      props("graft.table.preCombineField"))
+  }
+}

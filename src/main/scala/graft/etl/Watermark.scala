@@ -91,4 +91,10 @@ object Watermark {
         col("processing_time_seconds"), col("error_message"))
       .orderBy(col("run_time").desc)
   }
+
+  /** Console sink (SURVEY.md §2.1 S6): the reference ends its monitoring
+    * path with `result.show(truncate=False)` (py:362).
+    */
+  def printStatus(spark: SparkSession, logPath: String, days: Int = 7): Unit =
+    status(spark, logPath, days).show(truncate = false)
 }

@@ -113,7 +113,21 @@ object PipelineQueries {
       .select(col("pipeline_name"), col("run_hour"), col("run_ms"),
         col("records_processed"), col("metric"))
 
+  /** F2 — `convert_ts_to_timestamp` (py:124-126): the reference's
+    * `to_timestamp(col, 'yyyyMMddHHmmss')` compact-string conversion,
+    * exercised as a round-trip so the parse direction is actually
+    * checked (the compact format is second-granular, so the round-trip
+    * truncates sub-second precision identically on both engines).
+    */
+  def tsFormatRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).selectExpr(
+      "event_id",
+      "date_format(ts, 'yyyyMMddHHmmss') AS ts_compact",
+      """date_format(to_timestamp(date_format(ts, 'yyyyMMddHHmmss'), 'yyyyMMddHHmmss'),
+        |'yyyy-MM-dd HH:mm:ss') AS ts_roundtrip""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_ts_roundtrip" -> (tsFormatRoundtrip(_, _)),
     "p_incremental_extract" -> (incrementalExtract(_, _)),
     "p_full_extract" -> (fullExtract(_, _)),
     "p_empty_batch" -> (emptyBatch(_, _)),
@@ -130,6 +144,12 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_ts_roundtrip" ->
+      """SELECT event_id,
+        | strftime(ts, '%Y%m%d%H%M%S') AS ts_compact,
+        | strftime(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'),
+        |   '%Y-%m-%d %H:%M:%S') AS ts_roundtrip
+        |FROM events""".stripMargin,
     "p_incremental_extract" ->
       (extractSelect + s" AND epoch_us(ts) // 1000 > $WatermarkMs"),
     "p_full_extract" -> extractSelect,

@@ -246,7 +246,22 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
+  /** The SQL-string surface (SURVEY.md §2.1 S1): the reference issues
+    * every query as `spark.sql(...)` text over catalog tables
+    * (pipeline_architecture.py:207-227); here the same works against
+    * temp views registered by `Tables.views`.
+    */
+  def sqlSurface(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.views(spark, sfDir)
+    spark.sql(
+      """SELECT n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sql_surface" -> (sqlSurface(_, _)),
     "q1_pricing_summary" -> (pricingSummary(_, _)),
     "q3_top_orders_segment" -> (topOrdersBySegment(_, _)),
     "q5_region_revenue" -> (regionRevenue(_, _)),
@@ -270,6 +285,11 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_surface" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
