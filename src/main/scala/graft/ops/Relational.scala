@@ -246,6 +246,58 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
 
+  /** CUBE over (returnflag, linestatus): all grouping-set combinations. */
+  def cubeQuantities(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** PIVOT: quantity by linestatus × returnflag (fixed pivot values, so
+    * the schema is static and the oracle expresses it as CASE sums).
+    */
+  def pivotQuantities(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+
+  /** UNION ALL with a provenance tag (bag semantics, unlike EXCEPT /
+    * INTERSECT above).
+    */
+  def unionAllKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("k"), lit("order").as("src"))
+      .unionByName(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("k"), lit("customer").as("src")))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("src")).as("n_srcs"))
+
+  /** FULL OUTER join with nulls possible on both sides. */
+  def fullOuterActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val building = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_recent"))
+    building.join(recent, building("c_custkey") === recent("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+        col("c_acctbal"), col("n_recent"))
+  }
+
+  /** HLL cardinality sketch (approx_count_distinct) next to the exact
+    * count — no SQL oracle (sketch estimates differ across engines);
+    * `RelationalSpec` pins the ≤5% error bound instead.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   /** The SQL-string surface (SURVEY.md §2.1 S1): the reference issues
     * every query as `spark.sql(...)` text over catalog tables
     * (pipeline_architecture.py:207-227); here the same works against
@@ -262,6 +314,11 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "q_sql_surface" -> (sqlSurface(_, _)),
+    "q_cube" -> (cubeQuantities(_, _)),
+    "q_pivot" -> (pivotQuantities(_, _)),
+    "q_union_all" -> (unionAllKeys(_, _)),
+    "q_full_outer" -> (fullOuterActivity(_, _)),
+    "q_approx_distinct" -> (approxDistinct(_, _)),
     "q1_pricing_summary" -> (pricingSummary(_, _)),
     "q3_top_orders_segment" -> (topOrdersBySegment(_, _)),
     "q5_region_revenue" -> (regionRevenue(_, _)),
@@ -285,6 +342,30 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END),2) AS "A",
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS "N",
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_union_all" ->
+      """SELECT k, count(*) AS n_rows, count(DISTINCT src) AS n_srcs FROM (
+        |  SELECT o_custkey AS k, 'order' AS src FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey AS k, 'customer' AS src FROM customer) t
+        |GROUP BY k""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k, c_acctbal, n_recent
+        |FROM (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') b
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_recent FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |  GROUP BY o_custkey) r ON c_custkey = o_custkey""".stripMargin,
     "q_sql_surface" ->
       """SELECT n_name, count(*) AS n_customers,
         |       round(sum(c_acctbal), 2) AS total_bal
