@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics that don't change query semantics but decide whether
+  * a plan survives 100 TB: key-salting for skewed shuffles and bucketed
+  * table layout for shuffle-free co-located joins.
+  *
+  * AQE's skew-join splitting (on by default) is the first line of
+  * defense; `saltedJoin` is the deterministic manual fallback for the
+  * pathological keys AQE can't split (e.g. one key = 30% of a fact
+  * table). Bucketing is the standing answer for repeated fact⋈fact
+  * equi-joins: both sides pre-hashed into the same bucket count on the
+  * join key, so the join plans with zero Exchange nodes.
+  */
+object Scale {
+
+  /** Inner equi-join with the fact side salted: each fact row gets a
+    * deterministic salt (hash of the whole row), the build side is
+    * replicated across all `saltFactor` salt values, and the join key
+    * becomes (key, salt) — splitting one hot key's rows over
+    * `saltFactor` reducers. Result set is identical to the plain join.
+    */
+  def saltedJoin(
+      fact: DataFrame, build: DataFrame, factKey: String, buildKey: String,
+      saltFactor: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val repl = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    saltedFact.join(repl,
+        saltedFact(factKey) === repl(buildKey) &&
+          saltedFact("__salt") === repl("__salt"))
+      .drop("__salt")
+  }
+
+  /** Write `df` as a bucketed+sorted catalog table: pre-shuffled into
+    * `numBuckets` by `bucketCol`, the layout that lets later equi-joins
+    * and aggregations on that key plan without an Exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, location: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .option("path", location)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val p = graft.Tables.part(spark, sf0001).select("p_partkey", "p_brand")
+    val plain = li.join(p, li("l_partkey") === p("p_partkey"))
+      .select("l_orderkey", "l_partkey", "l_quantity", "p_brand")
+    val salted = Scale.saltedJoin(li, p, "l_partkey", "p_partkey", 8)
+      .select("l_orderkey", "l_partkey", "l_quantity", "p_brand")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join spreads a hot key across salt partitions") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val saltedFact = li.withColumn("__salt",
+      pmod(xxhash64(li.columns.map(col).toIndexedSeq: _*), lit(8)))
+    val hotKey = li.groupBy("l_partkey").count()
+      .orderBy(desc("count"), asc("l_partkey")).head().getLong(0)
+    val spread = saltedFact.filter(col("l_partkey") === hotKey)
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot key $hotKey should land in multiple salt groups")
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val base = Files.createTempDirectory("buckets").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt LOCATION '" + base + "/bkt.db'")
+    val o = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val l = graft.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("n_items"))
+    Scale.writeBucketed(o, "bkt.orders_b", s"$base/orders_b", "k", 8)
+    Scale.writeBucketed(l, "bkt.lineitem_b", s"$base/lineitem_b", "k", 8)
+
+    // disable auto-broadcast so the planner exercises the bucketed
+    // sort-merge path (the 100 TB shape — at that scale neither side
+    // broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Scale.bucketedJoin(spark, "bkt.orders_b", "bkt.lineitem_b", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets; plan:\n$plan")
+      assert(joined.count() == o.join(l, "k").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP DATABASE bkt CASCADE")
+    }
+  }
+}
