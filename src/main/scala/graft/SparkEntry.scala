@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++
       ops.Dedup.queries ++ ops.SimHash.queries ++ ops.Similarity.queries ++
-      ops.TextOps.queries ++ ops.Multimodal.queries
+      ops.IvfIndex.queries ++ ops.TextOps.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
