@@ -33,16 +33,17 @@ object IvfIndex {
   /** Cluster assignment for every vector: nearest centroid by cosine
     * (ties broken by centroid id — deterministic).
     */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
+  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    // argmax as a single max_by aggregation (tie → lower centroid_id via
+    // the negated id in the ordering struct): one partial+final agg, no
+    // window sort — this runs once per Lloyd iteration
     vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         cos("embedding", "centroid").as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        expr("max_by(centroid_id, struct(sim, -centroid_id))").as("centroid_id"))
 
   /** Recompute centroids as the per-dimension mean of their members. */
   private def recompute(assigned: DataFrame): DataFrame =
