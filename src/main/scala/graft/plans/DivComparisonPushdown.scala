@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Optimizer rule: rewrite truncating-division comparisons into raw-
+  * column comparisons so they reach parquet as pushable filters.
+  *
+  *   `a div k >  c`  ⟹  `a >= (c+1)·k`
+  *   `a div k >= c`  ⟹  `a >= c·k`        (k > 0, c ≥ 0)
+  *
+  * Motivation: watermark predicates over integer event time are
+  * naturally written against a derived unit (`ts div 1000000 > wmMillis`
+  * with `ts` in nanos — the reference splices its watermark into SQL the
+  * same way, pipeline_architecture.py:221-224). The derived form is an
+  * arithmetic expression the parquet source can't evaluate, so the scan
+  * reads everything; the rewritten form lands in `PushedFilters` and
+  * prunes row groups by ingestion time. `graft.etl.Pipeline.extract`
+  * hand-applies this rewrite; the rule makes any ad-hoc query get it
+  * for free.
+  *
+  * Soundness (`div` truncates toward zero, both operands long):
+  * for k > 0 and c ≥ 0, trunc(a/k) > c ⟺ a ≥ (c+1)·k holds for all a
+  * (negative a included, since (c+1)·k > 0); similarly trunc(a/k) ≥ c ⟺
+  * a ≥ c·k. Negative c is left untouched (truncation flips direction),
+  * as is any (c+1)·k that would overflow Long.
+  */
+object DivComparisonPushdown extends Rule[LogicalPlan] {
+
+  private def prod(c: Long, k: Long): Option[Long] = {
+    val r = c * k
+    // overflow check: Math.multiplyHigh-free version valid for k > 0
+    if (c != 0 && r / c != k) None else Some(r)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case GreaterThan(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(c: Long, LongType)) if k > 0 && c >= 0 =>
+      prod(c + 1, k) match {
+        case Some(bound) => GreaterThanOrEqual(a, Literal(bound, LongType))
+        case None => GreaterThan(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
+      }
+    case GreaterThanOrEqual(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(c: Long, LongType)) if k > 0 && c >= 0 =>
+      prod(c, k) match {
+        case Some(bound) => GreaterThanOrEqual(a, Literal(bound, LongType))
+        case None => GreaterThanOrEqual(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
+      }
+  }
+}
+
+/** Session extensions for the engine: inject the pushdown rule (and
+  * any future rules/strategies) via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions=graft.plans.GraftExtensions` config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => DivComparisonPushdown)
+}
