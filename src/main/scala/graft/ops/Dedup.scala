@@ -131,13 +131,33 @@ object Dedup {
         array((0 until NumPerms).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Alternative signature pass via the typed `MinHashAggregator`
+    * (custom-aggregate surface, §2.10): one udaf over the shingle base
+    * hash instead of 64 expression aggregates. Same banding downstream;
+    * `DedupSpec` checks it recalls the same high-similarity pairs.
+    */
+  def minhashSignaturesAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigUdaf = udaf(graft.functions.MinHashAggregator)
+    shingles(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigUdaf(col("h")).as("sig"))
+  }
+
   /** LSH candidate pairs: band the signature 16×4, join on band hash,
     * then estimate similarity as the fraction of agreeing signature
     * components. Downstream a caller verifies candidates with exact
     * Jaccard (`ngramJaccardPairs` is the test-scale oracle for that).
     */
-  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir).cache()
+  def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    candidatesFromSignatures(minhashSignatures(spark, sfDir))
+
+  /** Banding over the typed-Aggregator signatures (same LSH geometry). */
+  def minhashCandidatesAgg(spark: SparkSession, sfDir: String): DataFrame =
+    candidatesFromSignatures(minhashSignaturesAgg(spark, sfDir))
+
+  private def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
+    val sig = signatures.cache()
     val bandCols = (0 until NumBands).map { bIdx =>
       val parts = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), bIdx * RowsPerBand + r + 1))
@@ -163,7 +183,8 @@ object Dedup {
     "dd_exact_groups" -> (exactGroups(_, _)),
     "dd_exact_survivors" -> (exactSurvivors(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
-    "dd_minhash_lsh" -> (minhashCandidates(_, _)))
+    "dd_minhash_lsh" -> (minhashCandidates(_, _)),
+    "dd_minhash_agg" -> (minhashCandidatesAgg(_, _)))
 
   /** `dd_minhash_lsh` has no SQL oracle (xxhash64 is Spark-specific);
     * the driver records its rows-only check, and `DedupSpec` verifies

@@ -30,6 +30,15 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed: $missed")
   }
 
+  test("typed-Aggregator MinHash recalls the same high-similarity pairs") {
+    val truth = exact.filter(_._3 >= 0.7).map(p => (p._1, p._2))
+    assert(truth.nonEmpty)
+    val aggPairs = Dedup.minhashCandidatesAgg(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = truth -- aggPairs
+    assert(missed.isEmpty, s"aggregator-LSH missed: $missed")
+  }
+
   test("MinHash estimate tracks exact Jaccard within 0.25") {
     val joined = exact.flatMap(p => lsh.get((p._1, p._2)).map(e => (p._3, e)))
     assert(joined.nonEmpty)
