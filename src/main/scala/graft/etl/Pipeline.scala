@@ -106,6 +106,23 @@ object Pipeline {
     }
   }
 
+  /** E1 — the scheduled/automated entry point (`daily_pipeline_run`,
+    * py:371-379): no caller-provided session, so the kernel acquires one
+    * and stops it afterwards (the reference's `cleanup_spark=True` path,
+    * py:332-335). `run` itself is E2, the caller-managed-session form.
+    */
+  def dailyRun(conf: PipelineConfig, master: String = "local[*]"): RunResult = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-pipeline-${conf.name}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try run(spark, conf)
+    finally spark.stop()
+  }
+
   private def log(spark: SparkSession, conf: PipelineConfig, wm: Option[Long],
       startMs: Long, status: String, n: Long, err: Option[String] = None): Unit = {
     val endMs = conf.clock()
