@@ -1,0 +1,161 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal + statistical analytics beyond the reference's surface:
+  * as-of join, sessionization, exact percentiles, histograms, and
+  * bivariate statistics — the event-analytics toolkit an incremental
+  * event pipeline feeds.
+  *
+  * The as-of join is deliberately built by *composition* (union +
+  * last-non-null running window) rather than a custom SparkPlan —
+  * preference (a) of the custom-operator ladder: one shuffle on the
+  * key, one in-partition sort, no N×M range explosion, and it inherits
+  * AQE/codegen for free. DuckDB's native `ASOF JOIN` provides the
+  * oracle.
+  */
+object Analytics {
+
+  /** Generic as-of join: for each left row, the greatest `rightTs` ≤
+    * `leftTs` within the same `key` (nullable when no prior right row).
+    * Both inputs need integer timestamp columns (epoch micros here).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, asofCol: String): DataFrame = {
+    val l = left.withColumn("__sig", lit(null).cast("long")).withColumn("__src", lit(0))
+    val r = right.select(col(key), col(rightTs).as(leftTs))
+      .withColumn("__sig", col(leftTs)).withColumn("__src", lit(1))
+    val cols = l.columns.toSeq
+    val unioned = l.unionByName(r.select(
+      cols.map(c => if (r.columns.contains(c)) col(c) else lit(null).as(c)): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(leftTs).asc, col("__src").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn(asofCol, last(col("__sig"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 0)
+      .drop("__sig", "__src")
+  }
+
+  /** Each event joined to the user's most recent signup at-or-before
+    * the event (self-as-of: signup events match themselves).
+    */
+  def asofSignup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us").as("signup_us"))
+    asofJoin(ev, signups, "user_id", "ts_us", "signup_us", "last_signup_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_signup_us"))
+  }
+
+  /** 30-minute inactivity gap. */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Sessionization: gap-based session ids per user, then per-session
+    * rollup — lag to detect boundaries, running sum to number sessions.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("value"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > SessionGapUs, 1)
+          .when(lag(col("ts_us"), 1).over(wOrd).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+
+  /** Exact percentiles per group (Spark `percentile` ≙ DuckDB
+    * `quantile_cont`: linear interpolation on the sorted values).
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+
+  /** Fixed-width histogram of order totals (25k buckets). */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(expr("CAST(floor(o_totalprice / 25000) AS INT) AS bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+
+  /** Bivariate statistics per group: correlation, spread, covariance. */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        round(var_samp(col("l_quantity")), 4).as("qty_var"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_signup" -> (asofSignup(_, _)),
+    "q_sessionize" -> (sessionize(_, _)),
+    "q_percentiles" -> (percentiles(_, _)),
+    "q_histogram" -> (histogram(_, _)),
+    "q_stats" -> (stats(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_signup" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        | epoch_us(s.ts) AS last_signup_us
+        |FROM events e ASOF LEFT JOIN
+        | (SELECT user_id AS su, ts FROM events WHERE event_type = 'signup') s
+        | ON e.user_id = s.su AND e.ts >= s.ts""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         |numbered AS (
+         |  SELECT user_id, ts_us, value,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |  round(sum(value), 2) AS session_value
+         |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bucket,
+        | count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        | round(var_samp(l_quantity), 4) AS qty_var,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+}
