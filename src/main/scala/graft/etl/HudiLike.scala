@@ -73,6 +73,29 @@ object HudiLike {
       .select(cols.map(col): _*)
   }
 
+  /** Change-data-capture diff between two keyed states: every key in
+    * either side, tagged `insert` (new only), `delete` (old only),
+    * `update` (both, any non-key column changed), or `unchanged`. This
+    * is the change feed a CoW upsert implies — what Hudi surfaces as an
+    * incremental query on the commit timeline. One full-outer shuffle
+    * on the key.
+    */
+  def changeSet(oldState: DataFrame, newState: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = oldState.columns.toSeq
+    val payload = cols.filterNot(keys.contains)
+    val o = oldState.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("__old"): _*)
+    val n = newState.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("__new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, "insert")
+          .when(col("__new").isNull, "delete")
+          .when(col("__old") === col("__new"), "unchanged")
+          .otherwise("update"))
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** Atomic CoW commit: write the new snapshot beside the table dir, then
     * swap via rename. Readers see either the old or the new snapshot,
     * never a partial write (Hudi's commit timeline, emulated; cleaning —

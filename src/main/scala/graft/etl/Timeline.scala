@@ -1,0 +1,105 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** Versioned copy-on-write table with a commit timeline — the part of
+  * Hudi the plain `HudiLike.commit` swap doesn't cover: snapshot
+  * isolation across commits, time-travel reads, and retention cleaning
+  * (reference: Hudi's commit timeline; cleaning config at
+  * pipeline_architecture.py:58-59 `hoodie.clean.automatic=true`,
+  * `hoodie.cleaner.commits.retained`).
+  *
+  * Layout: `table/v=N/` snapshot directories plus a `_latest` pointer
+  * file whose write is an atomic rename — readers resolve the pointer
+  * then read an immutable directory, so a reader never observes a
+  * half-written snapshot and writers never mutate a directory a reader
+  * may hold. Cleaning deletes only versions older than the retention
+  * window, mirroring Hudi's retained-commits model (a long-running
+  * reader of a cleaned version fails exactly as it does in Hudi).
+  */
+object Timeline {
+
+  private def pointer(tablePath: String): Path = Paths.get(tablePath, "_latest")
+
+  /** Current committed version, or None for an uninitialized table. */
+  def latestVersion(tablePath: String): Option[Long] = {
+    val p = pointer(tablePath)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** All versions present on disk (ascending). */
+  def versions(tablePath: String): Seq[Long] = {
+    val dir = Paths.get(tablePath)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .toSeq.sorted
+  }
+
+  /** Commit `df` as the next version: write the snapshot dir, then
+    * atomically swing the `_latest` pointer.
+    */
+  def commit(df: DataFrame, tablePath: String): Long = {
+    val next = latestVersion(tablePath).getOrElse(-1L) + 1
+    val snapDir = Paths.get(tablePath, s"v=$next")
+    df.write.mode("overwrite").parquet(snapDir.toString)
+    val tmp = Paths.get(tablePath, s"_latest.tmp${System.nanoTime()}")
+    Files.writeString(tmp, next.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointer(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read the latest snapshot. */
+  def read(spark: SparkSession, tablePath: String): DataFrame =
+    readVersion(spark, tablePath,
+      latestVersion(tablePath).getOrElse(
+        throw new IllegalStateException(s"no commits at $tablePath")))
+
+  /** Time-travel read of a specific version. */
+  def readVersion(spark: SparkSession, tablePath: String, version: Long): DataFrame =
+    spark.read.parquet(s"$tablePath/v=$version")
+
+  /** Keyed upsert as a new commit (CoW: merge against latest, write a
+    * fresh immutable snapshot).
+    */
+  def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame,
+      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil): Long = {
+    val merged = latestVersion(tablePath) match {
+      case Some(v) =>
+        HudiLike.upsert(readVersion(spark, tablePath, v), incoming,
+          keys, precombine, tieBreak).localCheckpoint()
+      case None =>
+        HudiLike.precombineLatest(incoming, keys, precombine, tieBreak)
+    }
+    commit(merged, tablePath)
+  }
+
+  /** Retention cleaning: drop all but the newest `retain` versions
+    * (never the latest). Returns the versions removed.
+    */
+  def clean(tablePath: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, "must retain at least the latest version")
+    val vs = versions(tablePath)
+    val drop = vs.dropRight(retain)
+    drop.foreach { v =>
+      val dir = Paths.get(tablePath, s"v=$v")
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    drop
+  }
+
+  /** Small-file compaction: rewrite the latest snapshot into
+    * `numFiles` parquet files as a new commit. At scale, CoW upserts
+    * over skewed batches accrete small files; compaction restores scan
+    * efficiency without changing table contents.
+    */
+  def compact(spark: SparkSession, tablePath: String, numFiles: Int): Long =
+    commit(read(spark, tablePath).repartition(numFiles), tablePath)
+}

@@ -126,7 +126,22 @@ object PipelineQueries {
       """date_format(to_timestamp(date_format(ts, 'yyyyMMddHHmmss'), 'yyyyMMddHHmmss'),
         |'yyyy-MM-dd HH:mm:ss') AS ts_roundtrip""".stripMargin)
 
+  /** CDC change feed across the split point: per-user latest state
+    * before vs after, tagged insert/update/unchanged (no deletes —
+    * upserts never remove keys; `HudiLikeSpec` covers the delete tag).
+    */
+  def cdcDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val before = HudiLike.precombineLatest(
+      ev.filter(col("ts_us") <= SplitUs), Seq("user_id"), "ts_us", Seq("event_id"))
+    val after = HudiLike.upsert(before, ev.filter(col("ts_us") > SplitUs),
+      Seq("user_id"), "ts_us", Seq("event_id"))
+    HudiLike.changeSet(before, after, Seq("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_cdc_diff" -> (cdcDiff(_, _)),
     "p_ts_roundtrip" -> (tsFormatRoundtrip(_, _)),
     "p_incremental_extract" -> (incrementalExtract(_, _)),
     "p_full_extract" -> (fullExtract(_, _)),
@@ -144,6 +159,25 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_cdc_diff" ->
+      s"""WITH before AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE epoch_us(ts) <= $SplitUs) t WHERE rn = 1),
+         |after AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events) t WHERE rn = 1)
+         |SELECT coalesce(b.user_id, a.user_id) AS user_id,
+         |  CASE WHEN b.user_id IS NULL THEN 'insert'
+         |       WHEN a.user_id IS NULL THEN 'delete'
+         |       WHEN a.event_id = b.event_id AND a.ts_us = b.ts_us THEN 'unchanged'
+         |       ELSE 'update' END AS change_type
+         |FROM before b FULL OUTER JOIN after a ON b.user_id = a.user_id""".stripMargin,
     "p_ts_roundtrip" ->
       """SELECT event_id,
         | strftime(ts, '%Y%m%d%H%M%S') AS ts_compact,

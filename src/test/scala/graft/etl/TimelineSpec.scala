@@ -1,0 +1,64 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class TimelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (String, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+
+  test("upserts create a commit timeline with time travel") {
+    val dir = Files.createTempDirectory("timeline").toString + "/t"
+    val v0 = Timeline.upsertInto(spark, dir, rows(("a", 1L, 1.0), ("b", 1L, 2.0)), Seq("k"), "pc")
+    val v1 = Timeline.upsertInto(spark, dir, rows(("b", 2L, 20.0), ("c", 1L, 3.0)), Seq("k"), "pc")
+    assert(v0 == 0 && v1 == 1)
+    assert(Timeline.latestVersion(dir).contains(1L))
+
+    val latest = Timeline.read(spark, dir).as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(latest.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 3.0)))
+
+    // time travel: v0 still shows the pre-upsert state
+    val old = Timeline.readVersion(spark, dir, 0).as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(old.toSeq == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+  }
+
+  test("cleaning retains the newest versions only") {
+    val dir = Files.createTempDirectory("clean").toString + "/t"
+    (1 to 4).foreach(i =>
+      Timeline.upsertInto(spark, dir, rows(("a", i.toLong, i.toDouble)), Seq("k"), "pc"))
+    assert(Timeline.versions(dir) == Seq(0L, 1L, 2L, 3L))
+    val dropped = Timeline.clean(dir, retain = 2)
+    assert(dropped == Seq(0L, 1L))
+    assert(Timeline.versions(dir) == Seq(2L, 3L))
+    assert(Timeline.read(spark, dir).count() == 1)
+  }
+
+  test("compaction rewrites files without changing contents") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    // many small commits → latest snapshot written from 8 partitions
+    Timeline.commit(rows((1 to 50).map(i => (s"k$i", 1L, i.toDouble)): _*)
+      .repartition(8), dir)
+    val beforeFiles = Files.list(java.nio.file.Paths.get(s"$dir/v=0"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(beforeFiles == 8)
+    Timeline.compact(spark, dir, numFiles = 1)
+    val afterFiles = Files.list(java.nio.file.Paths.get(s"$dir/v=1"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(afterFiles == 1)
+    val a = Timeline.readVersion(spark, dir, 0)
+    val b = Timeline.readVersion(spark, dir, 1)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("changeSet tags insert/update/delete/unchanged") {
+    val before = rows(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0))
+    val after = rows(("b", 2L, 20.0), ("c", 1L, 3.0), ("d", 1L, 4.0))
+    val got = HudiLike.changeSet(before, after, Seq("k"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "delete", "b" -> "update",
+      "c" -> "unchanged", "d" -> "insert"))
+  }
+}
