@@ -312,8 +312,18 @@ object Relational {
         |GROUP BY n_name""".stripMargin)
   }
 
+  /** Morton (z-order) values over (partkey, suppkey) — the clustering
+    * key `Scale.writeZOrdered` lays data out by; exposed as a query so
+    * the interleaving arithmetic is oracle-checked.
+    */
+  def zorderValues(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).selectExpr(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      s"${Scale.zValueSql("l_partkey", "l_suppkey", "div")} AS zval")
+
   val queries: Map[String, Q] = Map(
     "q_sql_surface" -> (sqlSurface(_, _)),
+    "q_zorder" -> (zorderValues(_, _)),
     "q_cube" -> (cubeQuantities(_, _)),
     "q_pivot" -> (pivotQuantities(_, _)),
     "q_union_all" -> (unionAllKeys(_, _)),
@@ -342,6 +352,10 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | ${Scale.zValueSql("l_partkey", "l_suppkey", "//")} AS zval
+         |FROM lineitem""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty, count(*) AS n

@@ -53,4 +53,37 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Bits interleaved per dimension for the z-order curve. */
+  val ZBits = 16
+
+  /** SQL text computing the 2-D Morton (z-order) value of two integer
+    * columns (low `ZBits` bits each, interleaved x→even positions,
+    * y→odd). Spelled with div/mod arithmetic that evaluates identically
+    * in Spark SQL (`div`) and DuckDB (`//`) — the caller swaps the
+    * operator token, everything else is shared.
+    */
+  def zValueSql(x: String, y: String, divOp: String): String = {
+    val terms = (0 until ZBits).flatMap { b =>
+      val pow = 1L << b
+      Seq(
+        s"((($x % 65536) $divOp $pow) % 2) * ${1L << (2 * b)}",
+        s"((($y % 65536) $divOp $pow) % 2) * ${1L << (2 * b + 1)}")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Z-order layout: cluster rows along the Morton curve of two
+    * columns, so parquet row-group min/max stats stay tight on BOTH
+    * dimensions and a filter on either prunes — the standard
+    * multi-dimensional data-skipping layout (range partition by the
+    * z-value, sort within partitions).
+    */
+  def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
+      partitions: Int): Unit =
+    df.withColumn("__z", expr(zValueSql(x, y, "div")))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

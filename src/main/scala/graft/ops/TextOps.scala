@@ -108,6 +108,21 @@ object TextOps {
         "array_min(hs) AS win_min", "array_max(hs) AS win_max",
         "CAST(size(hs) AS BIGINT) AS n_windows")
 
+  /** Top-20 word bigrams across the corpus (n-gram frequency table —
+    * the vocabulary/statistics pass of corpus analysis). Deterministic
+    * top-k via (count desc, bigram asc).
+    */
+  def topBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -126,6 +141,7 @@ object TextOps {
     "tx_langid" -> (langId(_, _)),
     "tx_fingerprint" -> (fingerprints(_, _)),
     "tx_winnow" -> (winnowFingerprints(_, _)),
+    "tx_top_bigrams" -> (topBigrams(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   val oracles: Map[String, String] = {
@@ -164,6 +180,13 @@ object TextOps {
         """SELECT doc_id,
           | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS fp
           |FROM documents""".stripMargin,
+      "tx_top_bigrams" ->
+        """SELECT bigram, count(*) AS n FROM (
+          |  SELECT unnest(list_transform(
+          |    range(len(string_split(text, ' ')) - 1),
+          |    i -> concat_ws(' ', string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS bigram
+          |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
+          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
       "tx_corpus_stats" ->
         s"""SELECT lang, source, count(*) AS n_docs,
            | CAST(sum(length(text)) AS BIGINT) AS total_chars,

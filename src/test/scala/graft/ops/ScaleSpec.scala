@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 class ScaleSpec extends SparkSpec {
+  import spark.implicits._
 
   test("salted join returns exactly the plain join's rows") {
     val li = graft.Tables.lineitem(spark, sf0001)
@@ -28,6 +29,45 @@ class ScaleSpec extends SparkSpec {
     val spread = saltedFact.filter(col("l_partkey") === hotKey)
       .select("__salt").distinct().count()
     assert(spread > 1, s"hot key $hotKey should land in multiple salt groups")
+  }
+
+  test("z-value expression matches a reference bit-interleave") {
+    def zRef(x: Long, y: Long): Long = {
+      var z = 0L
+      for (b <- 0 until Scale.ZBits) {
+        z |= ((x & 0xffff) >> b & 1) << (2 * b)
+        z |= ((y & 0xffff) >> b & 1) << (2 * b + 1)
+      }
+      z
+    }
+    val df = spark.range(200).selectExpr(
+      "id * 37 % 65536 AS x", "id * 101 % 65536 AS y")
+      .selectExpr("x", "y", s"${Scale.zValueSql("x", "y", "div")} AS z")
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == zRef(r.getLong(0), r.getLong(1)),
+        s"x=${r.getLong(0)} y=${r.getLong(1)}")
+    }
+  }
+
+  test("z-ordered layout keeps both dimensions' file ranges tight") {
+    val dir = Files.createTempDirectory("zorder").toString + "/t"
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    Scale.writeZOrdered(li, dir, "l_partkey", "l_suppkey", partitions = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    // each output file should cover a narrow slice of partkey space
+    import org.apache.spark.sql.functions._
+    val spans = back
+      .select(input_file_name().as("f"), col("l_partkey"))
+      .groupBy("f")
+      .agg((max("l_partkey") - min("l_partkey")).as("span"))
+      .select("span").as[Long].collect()
+    val fullSpan = 200 // partkeys at sf0.001
+    assert(spans.length >= 4)
+    assert(spans.count(_ < fullSpan) >= spans.length / 2,
+      s"z-order should narrow most files' key ranges: ${spans.toSeq}")
   }
 
   test("bucketed tables join without a shuffle exchange") {
