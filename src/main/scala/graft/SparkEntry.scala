@@ -16,7 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++
-      ops.ScalarOps.queries ++ ops.Analytics.queries ++
+      ops.ScalarOps.queries ++ ops.Analytics.queries ++ ops.Sampling.queries ++
       ops.Dedup.queries ++ ops.SimHash.queries ++ ops.Similarity.queries ++
       ops.IvfIndex.queries ++ ops.TextOps.queries ++ ops.Multimodal.queries
 
@@ -24,7 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.PipelineQueries.oracles ++
-      ops.ScalarOps.oracles ++ ops.Analytics.oracles ++
+      ops.ScalarOps.oracles ++ ops.Analytics.oracles ++ ops.Sampling.oracles ++
       ops.Dedup.oracles ++ ops.SimHash.oracles ++ ops.Similarity.oracles ++
       ops.TextOps.oracles ++ ops.Multimodal.oracles
 }

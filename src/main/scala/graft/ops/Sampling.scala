@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sampling for training-data curation. Two shapes:
+  *
+  *   - **Hash-threshold sampling** — keep a row iff a content hash
+  *     falls under a threshold. Deterministic, stable across runs,
+  *     partitionings, and cluster sizes (the property `rand()` lacks),
+  *     and composable: a 10% sample is a superset of a 5% sample. The
+  *     hash here is the first 4 md5 nibbles, decoded with the same
+  *     ascii arithmetic as `SimHash`, so the oracle reproduces it
+  *     exactly.
+  *   - **Stratified sampling** — per-stratum fractions via
+  *     `DataFrame.stat.sampleBy` (seeded Bernoulli per stratum);
+  *     checked by spec since seeded RNG streams are engine-specific.
+  */
+object Sampling {
+
+  /** 16-bit value of the first 4 hex nibbles of md5(col), as shared
+    * SQL (same text on both engines).
+    */
+  def md5Bucket16Sql(column: String): String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substr(md5($column), $i, 1)) <= 57 " +
+        s"THEN ascii(substr(md5($column), $i, 1)) - 48 " +
+        s"ELSE ascii(substr(md5($column), $i, 1)) - 87 END)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+  }
+
+  /** ~`permille`/1000 deterministic sample of documents by content
+    * hash. Output carries the bucket so the threshold is auditable.
+    */
+  def hashSample(spark: SparkSession, sfDir: String, permille: Int = 100): DataFrame = {
+    val bucket = md5Bucket16Sql("text")
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang", "n_chars", s"$bucket AS bucket16")
+      .filter(expr(s"bucket16 < ${65536L * permille / 1000}"))
+  }
+
+  /** Per-language stratified sample (downsample dominant strata — the
+    * rebalancing step of corpus curation).
+    */
+  def stratifiedByLang(spark: SparkSession, sfDir: String, seed: Long = 42L): DataFrame = {
+    val fractions = Map("en" -> 0.2, "es" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
+    Tables.documents(spark, sfDir)
+      .stat.sampleBy("lang", fractions, seed)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "samp_hash" -> (hashSample(_, _)),
+    "samp_stratified" -> (stratifiedByLang(_, _)))
+
+  /** `samp_stratified` is rows-only (seeded RNG streams differ across
+    * engines); `SamplingSpec` pins its per-stratum proportions.
+    */
+  val oracles: Map[String, String] = Map(
+    "samp_hash" ->
+      s"""SELECT doc_id, lang, n_chars,
+         | ${md5Bucket16Sql("text")} AS bucket16
+         |FROM documents
+         |WHERE ${md5Bucket16Sql("text")} < ${65536L * 100 / 1000}""".stripMargin)
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sample is deterministic and composable (5% subset of 10%)") {
+    val s10a = Sampling.hashSample(spark, sf0001, 100).select("doc_id").as[Long].collect().toSet
+    val s10b = Sampling.hashSample(spark, sf0001, 100).select("doc_id").as[Long].collect().toSet
+    assert(s10a == s10b, "identical across runs")
+    val s5 = Sampling.hashSample(spark, sf0001, 50).select("doc_id").as[Long].collect().toSet
+    assert(s5.subsetOf(s10a), "smaller threshold nests inside larger")
+    val n = graft.Tables.documents(spark, sf0001).count().toDouble
+    assert(math.abs(s10a.size / n - 0.1) < 0.06, s"~10%, got ${s10a.size / n}")
+  }
+
+  test("stratified sample respects per-language fractions") {
+    val base = graft.Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = Sampling.stratifiedByLang(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val fractions = Map("en" -> 0.2, "es" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
+    fractions.foreach { case (lang, f) =>
+      val expected = base(lang) * f
+      val actual = got.getOrElse(lang, 0L).toDouble
+      assert(math.abs(actual - expected) <= math.max(8.0, expected * 0.45),
+        s"$lang: expected ≈$expected got $actual")
+    }
+    // full-fraction strata must be complete
+    assert(got("fr") == base("fr") && got("zh") == base("zh"))
+  }
+}
