@@ -107,7 +107,21 @@ object Analytics {
         round(var_samp(col("l_quantity")), 4).as("qty_var"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"))
 
+  /** Sliding-window aggregation (1h windows every 30min): each event
+    * lands in exactly two overlapping windows. The streaming twin is
+    * `window()` under a watermark; this batch form pins the window
+    * assignment semantics (epoch-aligned starts), with the oracle
+    * deriving both candidate windows per event arithmetically.
+    */
+  def eventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_sliding" -> (eventsSliding(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
@@ -115,6 +129,14 @@ object Analytics {
     "q_stats" -> (stats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_events_sliding" ->
+      """SELECT window_start_us, event_type, count(*) AS n,
+        | round(sum(value), 2) AS total
+        |FROM (
+        |  SELECT ((epoch_us(ts) // 1800000000) - k) * 1800000000 AS window_start_us,
+        |         event_type, value
+        |  FROM events, (SELECT unnest(range(2)) AS k) ks) t
+        |GROUP BY window_start_us, event_type""".stripMargin,
     "q_asof_signup" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         | epoch_us(s.ts) AS last_signup_us

@@ -34,6 +34,17 @@ class RelationalSpec extends SparkSpec {
     assert(orc.select(cols: _*).exceptAll(src).isEmpty)
   }
 
+  test("join strategy hints steer the planner (merge / shuffle_hash / broadcast)") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val o = graft.Tables.orders(spark, sf0001)
+    def planOf(hint: String): String =
+      li.join(o.hint(hint), li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+  }
+
   test("pivot columns match the fixed returnflag domain") {
     val df = Relational.pivotQuantities(spark, sf0001)
     assert(df.columns.toSeq == Seq("l_linestatus", "A", "N", "R"))
