@@ -298,6 +298,37 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** ROLLUP with grouping indicators: distinguishes subtotal rows from
+    * genuine NULL group keys.
+    */
+  def groupingIndicators(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(grouping(l_returnflag) AS INT)").as("g_flag"),
+        expr("CAST(grouping(l_linestatus) AS INT)").as("g_status"),
+        count(lit(1)).as("n"))
+
+  /** Window navigation family: first/last/nth value over an explicit
+    * full-partition rows frame (both engines default `last_value` to a
+    * running frame, so the frame is always spelled out), plus ntile and
+    * the relative-rank functions.
+    */
+  def windowNavigation(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        ntile(4).over(ord).cast("long").as("quartile"),
+        round(percent_rank().over(ord), 6).as("pct_rank"),
+        round(cume_dist().over(ord), 6).as("cume"))
+  }
+
   /** The SQL-string surface (SURVEY.md §2.1 S1): the reference issues
     * every query as `spark.sql(...)` text over catalog tables
     * (pipeline_architecture.py:207-227); here the same works against
@@ -324,6 +355,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q_sql_surface" -> (sqlSurface(_, _)),
     "q_zorder" -> (zorderValues(_, _)),
+    "q_grouping_id" -> (groupingIndicators(_, _)),
+    "q_window_nav" -> (windowNavigation(_, _)),
     "q_cube" -> (cubeQuantities(_, _)),
     "q_pivot" -> (pivotQuantities(_, _)),
     "q_union_all" -> (unionAllKeys(_, _)),
@@ -352,6 +385,25 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INT) AS g_status,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_totalprice) OVER wf AS first_price,
+        | last_value(o_totalprice) OVER wf AS last_price,
+        | nth_value(o_totalprice, 2) OVER wf AS second_price,
+        | CAST(ntile(4) OVER wo AS BIGINT) AS quartile,
+        | round(percent_rank() OVER wo, 6) AS pct_rank,
+        | round(cume_dist() OVER wo, 6) AS cume
+        |FROM orders
+        |WINDOW
+        | wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          | ${Scale.zValueSql("l_partkey", "l_suppkey", "//")} AS zval
