@@ -67,6 +67,29 @@ object StreamingPipeline {
       }
   }
 
+  /** Stream-static join: enrich a stream against a static dimension
+    * (broadcast per micro-batch — no streaming state).
+    */
+  def enrichAgainstStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Stream-stream inner join with event-time bounds: match each click
+    * to a signup by the same user within the preceding hour. Both sides
+    * carry watermarks so the join state is evicted once the interval
+    * can no longer match.
+    */
+  def streamStreamJoin(clicks: DataFrame, signups: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val s = signups.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+    c.join(s,
+      c("user_id") === s("user_id") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), c("user_id").as("user_id"), col("click_ts"), col("signup_ts"))
+  }
+
   /** Source schema for streaming reads of the events parquet (ts is
     * epoch nanos — see graft.Tables.events).
     */

@@ -59,6 +59,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static join enriches events against a dimension") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = StreamingPipeline.enrichAgainstStatic(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    input.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 3, "view", 2.0))
+    q.processAllAvailable()
+    val got = spark.table("enriched").select("event_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("gold"))
+    assert(got(2L).isEmpty, "unknown user keeps null tier (left join)")
+    q.stop()
+  }
+
+  test("stream-stream join matches clicks to signups within the hour") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val signups = MemoryStream[EventRow]
+    val q = StreamingPipeline.streamStreamJoin(clicks.toDF(), signups.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append).start()
+    signups.addData(ev(100, 0, 7, "signup", 0.0))
+    clicks.addData(
+      ev(1, 30, 7, "click", 1.0),  // 30 min after signup → match
+      ev(2, 10, 8, "click", 1.0))  // different user → no match
+    q.processAllAvailable()
+    val got = spark.table("attributed").select("click_id", "user_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L)))
+    q.stop()
+  }
+
   test("streaming ingest upserts into the HudiLike target (batch parity)") {
     val base = Files.createTempDirectory("stream").toString
     // FileStreamSource wants a directory; stage the single-file table
