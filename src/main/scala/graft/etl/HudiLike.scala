@@ -61,9 +61,15 @@ object HudiLike {
       keys: Seq[String],
       precombine: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
-    val cols = existing.columns.toSeq
-    val tagged = existing.select(cols.map(col): _*).withColumn("__src", lit(0))
-      .unionByName(incoming.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    // schema evolution (the reference enables
+    // `hoodie.schema.on.read.enable=true`, py:54): columns added by the
+    // incoming batch are appended to the table schema with nulls for
+    // unmatched existing rows; columns the batch omits stay, null on
+    // replaced rows — Hudi's schema-on-read semantics.
+    val cols = existing.columns.toSeq ++
+      incoming.columns.toSeq.filterNot(existing.columns.contains)
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
     val ordering =
       (Seq(col(precombine).desc, col("__src").desc) ++ tieBreak.map(col(_).desc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)

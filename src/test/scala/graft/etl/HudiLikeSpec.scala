@@ -78,6 +78,23 @@ class HudiLikeSpec extends SparkSpec {
     }
   }
 
+  test("upsert evolves the schema: new incoming columns appear, nulls backfill") {
+    val existing = Seq(("a", 1L, 1.0)).toDF("k", "pc", "v")
+    val incoming = Seq(("b", 1L, 2.0, "extra")).toDF("k", "pc", "v", "note")
+    val got = HudiLike.upsert(existing, incoming, Seq("k"), "pc")
+    assert(got.columns.toSeq == Seq("k", "pc", "v", "note"))
+    val rows = got.as[(String, Long, Double, Option[String])]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("a", 1L, 1.0, None), ("b", 1L, 2.0, Some("extra"))))
+    // a batch missing a column nulls it on replaced rows only
+    val narrow = Seq(("a", 2L)).toDF("k", "pc")
+    val got2 = HudiLike.upsert(got, narrow, Seq("k"), "pc")
+      .as[(String, Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(got2.toSeq == Seq(
+      ("a", 2L, None, None), ("b", 1L, Some(2.0), Some("extra"))))
+  }
+
   test("upsertInto commits atomically and merges on re-upsert") {
     val dir = Files.createTempDirectory("hudilike").toString + "/table"
     HudiLike.upsertInto(spark, dir, rows(("a", 1L, 1.0), ("b", 1L, 2.0)), Seq("k"), "pc")
