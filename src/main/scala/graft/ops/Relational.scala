@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,31 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact money-sum: TPC-H prices/discounts have ≤`scale` true decimal
+    * digits, so each row's product is converted to an exact integer (at
+    * 10^scale) — per-row rounding error ~1e-11 against a 0.5 margin —
+    * and summed as integers, which is bit-exact in every engine. A
+    * plain `round(sum(double), 2)` is NOT engine-stable here: the true
+    * sum can land exactly on a .005 boundary (≈1% of groups) and the
+    * engines' different accumulation orders then round it differently.
+    * (At 10^12-row scale the integer sum needs DECIMAL(38) instead of
+    * BIGINT; the fixture scales fit comfortably.)
+    */
+  private def exactMoneySum(e: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    round(sum(round(e * f, 0).cast("long")) / f, scale)
+  }
+
+  private def exactMoneySumSql(e: String, scale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"round(sum(CAST(round(($e) * $f, 0) AS BIGINT)) / $f.0, $scale)"
+  }
+
+  private val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val discPriceSql = "l_extendedprice * (1 - l_discount)"
+  private val charge = discPrice * (lit(1) + col("l_tax"))
+  private val chargeSql = s"$discPriceSql * (1 + l_tax)"
+
   /** TPC-H Q1-style pricing summary: scan-filter-aggregate; Catalyst
     * pushes the shipdate predicate and 7-column pruning into the parquet
     * scan, AQE coalesces the tiny post-shuffle partitions.
@@ -37,8 +62,8 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        exactMoneySum(discPrice, 4).as("sum_disc_price"),
+        exactMoneySum(charge, 6).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -54,7 +79,7 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(exactMoneySum(discPrice, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
@@ -73,7 +98,46 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(exactMoneySum(discPrice, 4).as("revenue"))
+  }
+
+  /** TPC-H Q7-style: revenue matrix between supplier nation and
+    * customer nation — the same dimension joined twice under different
+    * roles (both broadcast).
+    */
+  def nationPairVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === n1("snk"))
+      .join(broadcast(n2), c("c_nationkey") === n2("cnk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(exactMoneySum(discPrice, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10-style: revenue lost to returned items per customer,
+    * top 20.
+    */
+  def returnedItemRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(exactMoneySum(discPrice, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
   }
 
   /** Fact ⋈ broadcast(dim) aggregation by brand. */
@@ -357,6 +421,8 @@ object Relational {
     "q_zorder" -> (zorderValues(_, _)),
     "q_grouping_id" -> (groupingIndicators(_, _)),
     "q_window_nav" -> (windowNavigation(_, _)),
+    "q7_nation_pairs" -> (nationPairVolume(_, _)),
+    "q10_returned_items" -> (returnedItemRevenue(_, _)),
     "q_cube" -> (cubeQuantities(_, _)),
     "q_pivot" -> (pivotQuantities(_, _)),
     "q_union_all" -> (unionAllKeys(_, _)),
@@ -385,6 +451,27 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q7_nation_pairs" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | ${exactMoneySumSql(discPriceSql, 4)} AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+        | ${exactMoneySumSql(discPriceSql, 4)} AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS INT) AS g_flag,
@@ -438,11 +525,11 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | ${exactMoneySumSql(discPriceSql, 4)} AS sum_disc_price,
+        | ${exactMoneySumSql(chargeSql, 6)} AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),4) AS avg_disc,
@@ -450,15 +537,15 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders_segment" ->
-      """SELECT o_orderkey, o_orderdate,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      s"""SELECT o_orderkey, o_orderdate,
+        | ${exactMoneySumSql(discPriceSql, 4)} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_region_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      s"""SELECT n_name, ${exactMoneySumSql(discPriceSql, 4)} AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
