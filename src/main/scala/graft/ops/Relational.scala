@@ -51,6 +51,21 @@ object Relational {
   private val charge = discPrice * (lit(1) + col("l_tax"))
   private val chargeSql = s"$discPriceSql * (1 + l_tax)"
 
+  /** Exact money-average (same rationale as `exactMoneySum`, for avg
+    * columns of ≤`scale`-decimal inputs): integer numerator, one shared
+    * double division, then round — stable even if an engine's parallel
+    * aggregation order varies between runs.
+    */
+  private def exactMoneyAvg(e: Column, scale: Int, outScale: Int): Column = {
+    val f = math.pow(10, scale)
+    round(sum(round(e * f, 0).cast("long")) / (lit(f) * count(lit(1))), outScale)
+  }
+
+  private def exactMoneyAvgSql(e: String, scale: Int, outScale: Int): String = {
+    val f = math.pow(10, scale).toLong
+    s"round(sum(CAST(round(($e) * $f, 0) AS BIGINT)) / ($f.0 * count(*)), $outScale)"
+  }
+
   /** TPC-H Q1-style pricing summary: scan-filter-aggregate; Catalyst
     * pushes the shipdate predicate and 7-column pruning into the parquet
     * scan, AQE coalesces the tiny post-shuffle partitions.
@@ -64,9 +79,9 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         exactMoneySum(discPrice, 4).as("sum_disc_price"),
         exactMoneySum(charge, 6).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"), // integer-valued: exact in any order
+        exactMoneyAvg(col("l_extendedprice"), 2, 4).as("avg_price"),
+        exactMoneyAvg(col("l_discount"), 2, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: two fact joins + one broadcast dim join, top-10 by
@@ -149,7 +164,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_items"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(avg(col("p_retailprice")), 4).as("avg_price"))
+        exactMoneyAvg(col("p_retailprice"), 2, 4).as("avg_price"))
   }
 
   /** EXISTS as a left-semi join (no row duplication, build side only
@@ -291,8 +306,11 @@ object Relational {
     */
   def aboveNationAverage(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
+    // exact-integer numerator: the avg both feeds the output AND gates
+    // the filter, so it must be bit-identical across engines
     val nat = c.groupBy(col("c_nationkey").as("nk"))
-      .agg(avg(col("c_acctbal")).as("nation_avg"))
+      .agg((sum(round(col("c_acctbal") * 100, 0).cast("long")) /
+        (lit(100.0) * count(lit(1)))).as("nation_avg"))
     c.join(broadcast(nat), c("c_nationkey") === nat("nk"))
       .filter(col("c_acctbal") > col("nation_avg"))
       .select(col("c_custkey"), col("c_acctbal"), round(col("nation_avg"), 4).as("nation_avg"))
@@ -531,8 +549,8 @@ object Relational {
         | ${exactMoneySumSql(discPriceSql, 4)} AS sum_disc_price,
         | ${exactMoneySumSql(chargeSql, 6)} AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | ${exactMoneyAvgSql("l_extendedprice", 2, 4)} AS avg_price,
+        | ${exactMoneyAvgSql("l_discount", 2, 4)} AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -553,9 +571,9 @@ object Relational {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
     "q_brand_volume" ->
-      """SELECT p_brand, count(*) AS n_items,
+      s"""SELECT p_brand, count(*) AS n_items,
         | round(sum(l_quantity),2) AS sum_qty,
-        | round(avg(p_retailprice),4) AS avg_price
+        | ${exactMoneyAvgSql("p_retailprice", 2, 4)} AS avg_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "q_semi_join" ->
@@ -628,9 +646,10 @@ object Relational {
         |       count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY 1, 2""".stripMargin,
     "q_above_nation_avg" ->
-      """SELECT c_custkey, c_acctbal, round(nation_avg, 4) AS nation_avg
+      s"""SELECT c_custkey, c_acctbal, round(nation_avg, 4) AS nation_avg
         |FROM customer JOIN (
-        |  SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+        |  SELECT c_nationkey AS nk,
+        |    sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / (100.0 * count(*)) AS nation_avg
         |  FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
         |WHERE c_acctbal > nation_avg""".stripMargin,
     "q_events_hourly" ->
