@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * this module provides the full operator set a user of such a pipeline
   * queries with, all on built-in Catalyst operators.
   *
-  * Determinism rules for the DuckDB oracle (SURVEY.md §5.1): aggregates
-  * of doubles are `round`ed (2dp for sums ~1e7, 4dp for avgs), every
-  * computed column is aliased identically on both sides, ties in top-k /
-  * window ranks are broken by a unique key.
+  * Determinism rules for the DuckDB oracle (SURVEY.md §5.1): money
+  * aggregates accumulate as exact integers (`exactMoneySum`/`Avg` below
+  * — see their docs for the rounding-boundary hazard that plain
+  * `round(sum(double))` carries); other double aggregates are rounded
+  * where the true value's decimal lattice makes that stable; every
+  * computed column is aliased identically on both sides; ties in top-k
+  * / window ranks are broken by a unique key.
   *
   * Scale notes: dimension joins (`region`, `nation`, `customer`, `part`,
   * `supplier`) take explicit `broadcast()` hints — at 100 TB the fact
