@@ -66,6 +66,9 @@ object IvfIndex {
     for (_ <- 1 to Iterations) {
       val assigned = assign(e, centroids)
       centroids = recompute(assigned).cache()
+      // materialize each iteration: keeps the plan one job deep instead
+      // of stacking three lazy assign+recompute rounds into one lineage
+      centroids.count()
     }
     (assign(e, centroids).cache(), centroids)
   }
