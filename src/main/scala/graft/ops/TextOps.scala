@@ -123,6 +123,32 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
 
+  /** TF-IDF: top-3 most characteristic terms per document. Term
+    * frequency and document frequency are integers, so the weight
+    * `tf · ln(N/df)` is one deterministic float op per row; ranking uses
+    * the 6dp-rounded weight with the term as tie-break (libm vs JVM
+    * `ln` can differ in the last ulp, which rounding absorbs).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val tok = d.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = d.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("w").asc)
+    tok.join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("w"), col("tf"), col("df"), col("tfidf"), col("rnk"))
+  }
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -142,6 +168,7 @@ object TextOps {
     "tx_fingerprint" -> (fingerprints(_, _)),
     "tx_winnow" -> (winnowFingerprints(_, _)),
     "tx_top_bigrams" -> (topBigrams(_, _)),
+    "tx_tfidf" -> (tfidfTopTerms(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   val oracles: Map[String, String] = {
@@ -187,6 +214,20 @@ object TextOps {
           |    i -> concat_ws(' ', string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS bigram
           |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      "tx_tfidf" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, w, count(*) AS tf FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+           |  GROUP BY doc_id, w),
+           |dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT doc_id, w, tf, df, tfidf, rnk FROM (
+           |  SELECT tok.doc_id, tok.w, tf, df,
+           |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+           |    row_number() OVER (PARTITION BY tok.doc_id
+           |      ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok.w) AS rnk
+           |  FROM tok JOIN dfreq ON tok.w = dfreq.w CROSS JOIN n) r
+           |WHERE rnk <= 3""".stripMargin,
       "tx_corpus_stats" ->
         s"""SELECT lang, source, count(*) AS n_docs,
            | CAST(sum(length(text)) AS BIGINT) AS total_chars,
