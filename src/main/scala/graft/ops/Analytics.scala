@@ -76,6 +76,23 @@ object Analytics {
         round(sum(col("value")), 2).as("session_value"))
   }
 
+  /** Interval (range) self-join: pairs of events by the same user
+    * within 5 minutes of each other. Equi-join on the user key bounds
+    * the pair space, the range predicate filters inside each key group
+    * — the scalable shape for bounded-interval joins (a pure range join
+    * would need range partitioning).
+    */
+  def closeEventPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("event_id"), col("ts_us"))
+    val a = ev.as("a"); val b = ev.as("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          abs(col("a.ts_us") - col("b.ts_us")) <= 300000000L)
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_close_pairs"))
+  }
+
   /** Exact percentiles per group (Spark `percentile` ≙ DuckDB
     * `quantile_cont`: linear interpolation on the sorted values).
     */
@@ -122,6 +139,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_sliding" -> (eventsSliding(_, _)),
+    "q_interval_join" -> (closeEventPairs(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
@@ -137,6 +155,12 @@ object Analytics {
         |         event_type, value
         |  FROM events, (SELECT unnest(range(2)) AS k) ks) t
         |GROUP BY window_start_us, event_type""".stripMargin,
+    "q_interval_join" ->
+      """SELECT a.user_id, count(*) AS n_close_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |GROUP BY a.user_id""".stripMargin,
     "q_asof_signup" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         | epoch_us(s.ts) AS last_signup_us

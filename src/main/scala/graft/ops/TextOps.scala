@@ -149,6 +149,26 @@ object TextOps {
       .select(col("doc_id"), col("w"), col("tf"), col("df"), col("tfidf"), col("rnk"))
   }
 
+  /** Repetition-based quality filters (the duplicated-n-gram family of
+    * pretraining curation rules): fraction of repeated bigrams and the
+    * share of the single most frequent token. Integer counts + one
+    * division per row — engine-exact at 6dp.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .filter(expr("size(t) >= 2"))
+      .selectExpr("doc_id", "t",
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])) AS bg")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(bg) AS BIGINT) AS n_bigrams",
+        "CAST(size(array_distinct(bg)) AS BIGINT) AS distinct_bigrams",
+        "round(1.0 - size(array_distinct(bg)) / CAST(size(bg) AS DOUBLE), 6) AS dup_bigram_frac",
+        """round(aggregate(array_distinct(t),
+          |  0L, (acc, w) -> greatest(acc, CAST(size(filter(t, x -> x = w)) AS BIGINT)))
+          |  / CAST(size(t) AS DOUBLE), 6) AS top_token_share""".stripMargin)
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -169,6 +189,7 @@ object TextOps {
     "tx_winnow" -> (winnowFingerprints(_, _)),
     "tx_top_bigrams" -> (topBigrams(_, _)),
     "tx_tfidf" -> (tfidfTopTerms(_, _)),
+    "tx_repetition" -> (repetitionStats(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   val oracles: Map[String, String] = {
@@ -214,6 +235,18 @@ object TextOps {
           |    i -> concat_ws(' ', string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS bigram
           |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      "tx_repetition" ->
+        """SELECT doc_id,
+          | len(bg) AS n_bigrams,
+          | len(list_distinct(bg)) AS distinct_bigrams,
+          | round(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6) AS dup_bigram_frac,
+          | round(list_max(list_transform(list_distinct(t),
+          |   w -> len(list_filter(t, x -> x = w)))) / CAST(len(t) AS DOUBLE), 6) AS top_token_share
+          |FROM (
+          |  SELECT doc_id, t, list_transform(range(len(t) - 1),
+          |    i -> concat_ws(' ', t[i+1], t[i+2])) AS bg
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s
+          |  WHERE len(t) >= 2) u""".stripMargin,
       "tx_tfidf" ->
         s"""WITH tok AS (
            |  SELECT doc_id, w, count(*) AS tf FROM (
