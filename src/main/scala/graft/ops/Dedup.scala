@@ -54,6 +54,17 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Dedup after canonicalization (lowercase, strip punctuation,
+    * collapse whitespace) — catches trivially-reformatted copies exact
+    * hashing misses; the normalization is `TextOps.fingerprints`'.
+    */
+  def normalizedGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), '  +', ' '))) AS fp")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   // ---- word-shingle machinery -------------------------------------------
 
   /** Distinct word k-shingles per doc: (doc_id, s). Tokenization is a
@@ -182,6 +193,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact_groups" -> (exactGroups(_, _)),
     "dd_exact_survivors" -> (exactSurvivors(_, _)),
+    "dd_normalized" -> (normalizedGroups(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
     "dd_minhash_lsh" -> (minhashCandidates(_, _)),
     "dd_minhash_agg" -> (minhashCandidatesAgg(_, _)))
@@ -197,6 +209,10 @@ object Dedup {
     "dd_exact_survivors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
+    "dd_normalized" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> s"""
       |WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -169,6 +169,26 @@ object TextOps {
           |  0L, (acc, w) -> greatest(acc, CAST(size(filter(t, x -> x = w)) AS BIGINT)))
           |  / CAST(size(t) AS DOUBLE), 6) AS top_token_share""".stripMargin)
 
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Fixed-size token chunking with overlap (stride < chunk size) —
+    * the document→training-window explosion. Chunk text is emitted as a
+    * content hash so the oracle compares exact chunk boundaries without
+    * megabytes of repeated text.
+    */
+  def chunking(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", "t",
+        s"posexplode(sequence(0, size(t) - 1, $ChunkStride)) AS (chunk_idx, start)")
+      .selectExpr(
+        "doc_id",
+        "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+        "CAST(start AS BIGINT) AS chunk_start",
+        s"CAST(size(slice(t, start + 1, $ChunkTokens)) AS BIGINT) AS n_chunk_tokens",
+        s"md5(array_join(slice(t, start + 1, $ChunkTokens), ' ')) AS chunk_hash")
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -190,6 +210,7 @@ object TextOps {
     "tx_top_bigrams" -> (topBigrams(_, _)),
     "tx_tfidf" -> (tfidfTopTerms(_, _)),
     "tx_repetition" -> (repetitionStats(_, _)),
+    "tx_chunking" -> (chunking(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   val oracles: Map[String, String] = {
@@ -235,6 +256,15 @@ object TextOps {
           |    i -> concat_ws(' ', string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS bigram
           |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      "tx_chunking" ->
+        s"""SELECT doc_id,
+           | CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+           | CAST(start AS BIGINT) AS chunk_start,
+           | len(t[start + 1 : least(start + $ChunkTokens, len(t))]) AS n_chunk_tokens,
+           | md5(array_to_string(t[start + 1 : least(start + $ChunkTokens, len(t))], ' ')) AS chunk_hash
+           |FROM (
+           |  SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride)) AS start
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s) u""".stripMargin,
       "tx_repetition" ->
         """SELECT doc_id,
           | len(bg) AS n_bigrams,
