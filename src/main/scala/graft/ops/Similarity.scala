@@ -130,7 +130,19 @@ object Similarity {
       .filter(col("cos_sim") >= 0.4)
   }
 
+  /** Per-label centroid coordinates: elementwise mean over each label's
+    * vectors (the class-prototype computation; also the IVF recompute
+    * step exposed as a query). Output is (label, dim, mean) long form —
+    * avg of continuous floats has no decimal-lattice rounding hazard.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d").cast("long").as("d"))
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n_vecs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> (labelCentroids(_, _)),
     "sim_cosine_scores" -> (cosineScores(_, _)),
     "sim_knn_top10" -> (knnTop10(_, _)),
     "sim_knn_per_query" -> (knnPerQuery(_, _)),
@@ -147,6 +159,12 @@ object Similarity {
        |  * sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      s"""SELECT label, CAST(d AS BIGINT) AS d,
+         | round(avg(CAST(embedding[d + 1] AS DOUBLE)), 6) AS m,
+         | count(*) AS n_vecs
+         |FROM embeddings, (SELECT unnest(range($Dim)) AS d) dims
+         |GROUP BY label, d""".stripMargin,
     "sim_cosine_scores" ->
       s"""SELECT vec_id, round(${sqlCos("embedding", "qv")}, 4) AS cos_sim
          |FROM embeddings,
