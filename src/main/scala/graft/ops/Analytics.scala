@@ -76,6 +76,27 @@ object Analytics {
         round(sum(col("value")), 2).as("session_value"))
   }
 
+  /** Conversion funnel: users who signed up, then clicked after the
+    * signup, then purchased after that click — ordered-sequence
+    * analytics via conditional min-timestamps and two constrained
+    * re-aggregations. One summary row.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_signup_click")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   /** Interval (range) self-join: pairs of events by the same user
     * within 5 minutes of each other. Equi-join on the user key bounds
     * the pair space, the range predicate filters inside each key group
@@ -140,6 +161,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_sliding" -> (eventsSliding(_, _)),
     "q_interval_join" -> (closeEventPairs(_, _)),
+    "q_funnel" -> (funnel(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
@@ -155,6 +177,23 @@ object Analytics {
         |         event_type, value
         |  FROM events, (SELECT unnest(range(2)) AS k) ks) t
         |GROUP BY window_start_us, event_type""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_us(ts) > t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_signup,
+        |       (SELECT count(*) FROM s2) AS n_signup_click,
+        |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
     "q_interval_join" ->
       """SELECT a.user_id, count(*) AS n_close_pairs
         |FROM events a JOIN events b

@@ -141,7 +141,22 @@ object Similarity {
       .groupBy(col("label"), col("d").cast("long").as("d"))
       .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n_vecs"))
 
+  /** L2-nearest neighbors of the pinned query vector (metric-space twin
+    * of the cosine KNN; exercises the `l2_dist` codegen expression).
+    */
+  def l2Top10(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(expr("l2_dist(embedding, qv)"), 4).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_l2_top10" -> (l2Top10(_, _)),
     "sim_label_centroids" -> (labelCentroids(_, _)),
     "sim_cosine_scores" -> (cosineScores(_, _)),
     "sim_knn_top10" -> (knnTop10(_, _)),
@@ -158,7 +173,16 @@ object Similarity {
        | / (sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
 
+  private def sqlL2(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+
   val oracles: Map[String, String] = Map(
+    "sim_l2_top10" ->
+      s"""SELECT vec_id, round(${sqlL2("embedding", "qv")}, 4) AS dist
+         |FROM embeddings,
+         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |WHERE vec_id <> 0
+         |ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin,
     "sim_label_centroids" ->
       s"""SELECT label, CAST(d AS BIGINT) AS d,
          | round(avg(CAST(embedding[d + 1] AS DOUBLE)), 6) AS m,
