@@ -52,6 +52,23 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("last_signup_us"))
   }
 
+  /** Epoch micros per week (cohort bucketing unit). */
+  val WeekUs: Long = 7L * 24 * 3600 * 1000000
+
+  /** Cohort retention matrix: users grouped by first-activity week,
+    * counted in each subsequent week they were active — integer epoch
+    * arithmetic end-to-end.
+    */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_us div $WeekUs").as("week"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** 30-minute inactivity gap. */
   val SessionGapUs: Long = 30L * 60 * 1000000
 
@@ -162,6 +179,7 @@ object Analytics {
     "q_events_sliding" -> (eventsSliding(_, _)),
     "q_interval_join" -> (closeEventPairs(_, _)),
     "q_funnel" -> (funnel(_, _)),
+    "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
@@ -177,6 +195,15 @@ object Analytics {
         |         event_type, value
         |  FROM events, (SELECT unnest(range(2)) AS k) ks) t
         |GROUP BY window_start_us, event_type""".stripMargin,
+    "q_cohort_retention" ->
+      s"""WITH weekly AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),
+         |cohorts AS (
+         |  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id)
+         |SELECT cohort_week, week - cohort_week AS weeks_since,
+         |       count(DISTINCT w.user_id) AS n_users
+         |FROM weekly w JOIN cohorts USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events

@@ -74,7 +74,18 @@ object ScalarOps {
         expr("CAST(min(day(o_orderdate)) AS INT) AS first_dom"),
         expr("CAST(max(day(last_day(o_orderdate))) AS INT) AS max_month_len"))
 
+  /** Boolean / conditional aggregates per customer. */
+  def boolAggs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        expr("bool_and(o_totalprice > 10000)").as("all_over_10k"),
+        expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+        expr("count_if(o_orderstatus = 'F')").as("n_finished"),
+        count(lit(1)).as("n_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bool_aggs" -> (boolAggs(_, _)),
     "q_math_funcs" -> (mathFuncs(_, _)),
     "q_string_funcs2" -> (stringFuncs(_, _)),
     "q_null_handling" -> (nullHandling(_, _)),
@@ -82,6 +93,13 @@ object ScalarOps {
     "q_date_funcs2" -> (dateFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_bool_aggs" ->
+      """SELECT o_custkey,
+        | bool_and(o_totalprice > 10000) AS all_over_10k,
+        | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        | CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | round(abs(l_discount - 0.05), 4) AS abs_disc_delta,
