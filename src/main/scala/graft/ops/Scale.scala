@@ -54,6 +54,15 @@ object Scale {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Hive-style partitioned layout: directory-per-value on the named
+    * columns, so reads filtered on them prune whole directories before
+    * any file IO (`PartitionFilters` in the scan, vs `PushedFilters`
+    * which still opens footers). The standard lake layout for
+    * low-cardinality scan keys (date, type, tenant).
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
   /** Bits interleaved per dimension for the z-order curve. */
   val ZBits = 16
 

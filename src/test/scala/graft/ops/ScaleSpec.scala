@@ -70,6 +70,27 @@ class ScaleSpec extends SparkSpec {
       s"z-order should narrow most files' key ranges: ${spans.toSeq}")
   }
 
+  test("partitioned layout prunes directories on the partition key") {
+    val dir = Files.createTempDirectory("part").toString + "/t"
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+    Scale.writePartitioned(ev, dir, Seq("event_type"))
+    // hive layout on disk
+    val subdirs = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(subdirs)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("event_type=")).toSeq
+    assert(names.size >= 4, s"expected hive dirs, got $names")
+    // filter on the partition key becomes a PartitionFilter, not a data filter
+    val q = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"partition filter missing:\n$plan")
+    val expected = ev.filter(col("event_type") === "purchase").count()
+    assert(q.count() == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val base = Files.createTempDirectory("buckets").toString
     spark.sql("CREATE DATABASE IF NOT EXISTS bkt LOCATION '" + base + "/bkt.db'")
