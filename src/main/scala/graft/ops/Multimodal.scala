@@ -116,11 +116,21 @@ object Multimodal {
     "mm_decode_features" -> (decodeFeatures(_, _)),
     "mm_frame_sample" -> (frameSample(_, _)))
 
-  /** Only the metadata scan is oracle-checked (the decode stub and frame
-    * layout are Spark-side plumbing with no SQL analog; `MultimodalSpec`
-    * pins their behavior).
+  /** The decode stub has no SQL analog (`MultimodalSpec` pins it); the
+    * metadata scan and frame layout are oracle-checked — frame content
+    * parity works because the synthesized payload is utf-8 of ASCII
+    * text, so char positions equal byte offsets.
     */
   val oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      s"""SELECT doc_id,
+         | CAST(frame_idx AS BIGINT) AS frame_idx,
+         | CAST(frame_idx * $FrameStride AS BIGINT) AS byte_offset,
+         | CAST(ascii(substr(text, frame_idx * $FrameStride + 1, 1)) AS BIGINT) AS head_byte
+         |FROM (
+         |  SELECT doc_id, text,
+         |    unnest(range((octet_length(encode(text)) + ${FrameStride - 1}) // $FrameStride)) AS frame_idx
+         |  FROM documents) t""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,

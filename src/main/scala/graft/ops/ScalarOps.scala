@@ -84,7 +84,20 @@ object ScalarOps {
         expr("count_if(o_orderstatus = 'F')").as("n_finished"),
         count(lit(1)).as("n_orders"))
 
+  /** Quantity-weighted average price per flag: ratio of two sums whose
+    * true values sit on coarse decimal lattices (safe at these
+    * roundings), the standard weighted-mean shape.
+    */
+  def weightedAvg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_quantity")) /
+          sum(col("l_quantity")), 4).as("wavg_price"),
+        round(sum(col("l_quantity")), 2).as("total_qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_avg" -> (weightedAvg(_, _)),
     "q_bool_aggs" -> (boolAggs(_, _)),
     "q_math_funcs" -> (mathFuncs(_, _)),
     "q_string_funcs2" -> (stringFuncs(_, _)),
@@ -93,6 +106,11 @@ object ScalarOps {
     "q_date_funcs2" -> (dateFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+        | round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_bool_aggs" ->
       """SELECT o_custkey,
         | bool_and(o_totalprice > 10000) AS all_over_10k,
