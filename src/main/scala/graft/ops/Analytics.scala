@@ -152,6 +152,23 @@ object Analytics {
         round(min(col("o_totalprice")), 2).as("lo"),
         round(max(col("o_totalprice")), 2).as("hi"))
 
+  /** Z-score outlier counts per event type: |v − mean| > 3σ against the
+    * type's own distribution (mean/σ via a broadcast-joined aggregate —
+    * the two-pass z-score shape; at stream scale the same test runs
+    * against rolling state).
+    */
+  def valueOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), ev("event_type") === stats("et"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(abs(col("value") - col("mu")) > lit(3) * col("sigma"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Bivariate statistics per group: correlation, spread, covariance. */
   def stats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -180,6 +197,7 @@ object Analytics {
     "q_interval_join" -> (closeEventPairs(_, _)),
     "q_funnel" -> (funnel(_, _)),
     "q_cohort_retention" -> (cohortRetention(_, _)),
+    "q_outliers" -> (valueOutliers(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
@@ -195,6 +213,16 @@ object Analytics {
         |         event_type, value
         |  FROM events, (SELECT unnest(range(2)) AS k) ks) t
         |GROUP BY window_start_us, event_type""".stripMargin,
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type AS et, avg(value) AS mu,
+        |         stddev_samp(value) AS sigma
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN abs(value - mu) > 3 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM events JOIN stats ON event_type = et
+        |GROUP BY event_type""".stripMargin,
     "q_cohort_retention" ->
       s"""WITH weekly AS (
          |  SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS week FROM events),

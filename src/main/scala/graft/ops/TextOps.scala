@@ -169,6 +169,27 @@ object TextOps {
           |  0L, (acc, w) -> greatest(acc, CAST(size(filter(t, x -> x = w)) AS BIGINT)))
           |  / CAST(size(t) AS DOUBLE), 6) AS top_token_share""".stripMargin)
 
+  /** Oracle-checkable winnowing: min/max 16-bit md5 bucket over all
+    * 8-char windows (the xxhash64 variant in `winnowFingerprints` is
+    * faster but Spark-only; this one shares its hash construction with
+    * `Sampling.md5Bucket16Sql` so DuckDB reproduces it exactly).
+    */
+  def winnowMd5(spark: SparkSession, sfDir: String): DataFrame = {
+    val nib = (i: String, n: Int) =>
+      s"(CASE WHEN ascii(substr(md5(substr(text, $i, 8)), $n, 1)) <= 57 " +
+        s"THEN ascii(substr(md5(substr(text, $i, 8)), $n, 1)) - 48 " +
+        s"ELSE ascii(substr(md5(substr(text, $i, 8)), $n, 1)) - 87 END)"
+    val bucket = s"(${nib("i", 1)} * 4096 + ${nib("i", 2)} * 256 + ${nib("i", 3)} * 16 + ${nib("i", 4)})"
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 8)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, length(text) - 7), i -> $bucket) AS hs")
+      .selectExpr("doc_id",
+        "CAST(array_min(hs) AS BIGINT) AS win_min",
+        "CAST(array_max(hs) AS BIGINT) AS win_max",
+        "CAST(size(hs) AS BIGINT) AS n_windows")
+  }
+
   val ChunkTokens = 64
   val ChunkStride = 48
 
@@ -207,6 +228,7 @@ object TextOps {
     "tx_langid" -> (langId(_, _)),
     "tx_fingerprint" -> (fingerprints(_, _)),
     "tx_winnow" -> (winnowFingerprints(_, _)),
+    "tx_winnow_md5" -> (winnowMd5(_, _)),
     "tx_top_bigrams" -> (topBigrams(_, _)),
     "tx_tfidf" -> (tfidfTopTerms(_, _)),
     "tx_repetition" -> (repetitionStats(_, _)),
@@ -256,6 +278,21 @@ object TextOps {
           |    i -> concat_ws(' ', string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS bigram
           |  FROM documents WHERE len(string_split(text, ' ')) >= 2) t
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      "tx_winnow_md5" -> {
+        val nib = (n: Int) =>
+          s"(CASE WHEN ascii(substr(md5(substr(text, i + 1, 8)), $n, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(substr(text, i + 1, 8)), $n, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(substr(text, i + 1, 8)), $n, 1)) - 87 END)"
+        val bucket = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+        s"""SELECT doc_id,
+           | CAST(list_min(hs) AS BIGINT) AS win_min,
+           | CAST(list_max(hs) AS BIGINT) AS win_max,
+           | CAST(len(hs) AS BIGINT) AS n_windows
+           |FROM (
+           |  SELECT doc_id,
+           |    list_transform(range(length(text) - 7), i -> $bucket) AS hs
+           |  FROM documents WHERE length(text) >= 8) t""".stripMargin
+      },
       "tx_chunking" ->
         s"""SELECT doc_id,
            | CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
