@@ -158,6 +158,19 @@ object Relational {
       .limit(20)
   }
 
+  /** Relational division ("for all" membership): customers with at
+    * least one order in EVERY calendar year the table spans — distinct
+    * year count per customer equal to the global year count.
+    */
+  def everyYearCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val totalYears = o.select(year(col("o_orderdate")).as("y")).distinct().count()
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("n_years") === totalYears)
+  }
+
   /** Fact ⋈ broadcast(dim) aggregation by brand. */
   def brandVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir)
@@ -443,6 +456,7 @@ object Relational {
     "q_grouping_id" -> (groupingIndicators(_, _)),
     "q_window_nav" -> (windowNavigation(_, _)),
     "q7_nation_pairs" -> (nationPairVolume(_, _)),
+    "q_all_years" -> (everyYearCustomers(_, _)),
     "q10_returned_items" -> (returnedItemRevenue(_, _)),
     "q_cube" -> (cubeQuantities(_, _)),
     "q_pivot" -> (pivotQuantities(_, _)),
@@ -472,6 +486,13 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_all_years" ->
+      """SELECT o_custkey,
+        | count(DISTINCT year(o_orderdate)) AS n_years,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(DISTINCT year(o_orderdate)) =
+        |  (SELECT count(DISTINCT year(o_orderdate)) FROM orders)""".stripMargin,
     "q7_nation_pairs" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | ${exactMoneySumSql(discPriceSql, 4)} AS revenue,

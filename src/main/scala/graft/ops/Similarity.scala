@@ -155,7 +155,21 @@ object Similarity {
       .limit(10)
   }
 
+  /** Array-function surface over the vector column: size, element
+    * access, order-independent extrema — the building blocks every
+    * embedding pipeline touches before any math.
+    */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).selectExpr(
+      "vec_id",
+      "CAST(size(embedding) AS BIGINT) AS dim",
+      "round(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_dim",
+      "round(CAST(element_at(embedding, -1) AS DOUBLE), 6) AS last_dim",
+      "round(CAST(array_max(embedding) AS DOUBLE), 6) AS max_dim",
+      "round(CAST(array_min(embedding) AS DOUBLE), 6) AS min_dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_array_funcs" -> (arrayFuncs(_, _)),
     "sim_l2_top10" -> (l2Top10(_, _)),
     "sim_label_centroids" -> (labelCentroids(_, _)),
     "sim_cosine_scores" -> (cosineScores(_, _)),
@@ -177,6 +191,14 @@ object Similarity {
     s"sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
 
   val oracles: Map[String, String] = Map(
+    "sim_array_funcs" ->
+      s"""SELECT vec_id,
+         | CAST(len(embedding) AS BIGINT) AS dim,
+         | round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+         | round(CAST(embedding[-1] AS DOUBLE), 6) AS last_dim,
+         | round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+         | round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_dim
+         |FROM embeddings""".stripMargin,
     "sim_l2_top10" ->
       s"""SELECT vec_id, round(${sqlL2("embedding", "qv")}, 4) AS dist
          |FROM embeddings,
