@@ -164,11 +164,15 @@ object Relational {
     */
   def everyYearCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
-    val totalYears = o.select(year(col("o_orderdate")).as("y")).distinct().count()
+    // the year-universe count joins in as a broadcast scalar, keeping
+    // the whole query one lazy plan (no driver-side action)
+    val universe = o.agg(countDistinct(year(col("o_orderdate"))).as("total_years"))
     o.groupBy(col("o_custkey"))
       .agg(countDistinct(year(col("o_orderdate"))).as("n_years"),
         count(lit(1)).as("n_orders"))
-      .filter(col("n_years") === totalYears)
+      .crossJoin(broadcast(universe))
+      .filter(col("n_years") === col("total_years"))
+      .select(col("o_custkey"), col("n_years"), col("n_orders"))
   }
 
   /** Fact ⋈ broadcast(dim) aggregation by brand. */
