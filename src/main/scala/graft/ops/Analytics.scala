@@ -143,6 +143,18 @@ object Analytics {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
 
+  /** Sketch-based quantiles (approx_percentile): the constant-memory
+    * path for percentiles at corpus scale, next to the exact sorted
+    * form above. No SQL oracle (sketch internals are engine-specific);
+    * `AnalyticsSpec` bounds the error against the exact values.
+    */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("price_p50_approx"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("price_p99_approx"))
+
   /** Fixed-width histogram of order totals (25k buckets). */
   def histogram(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
@@ -198,6 +210,7 @@ object Analytics {
     "q_funnel" -> (funnel(_, _)),
     "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_outliers" -> (valueOutliers(_, _)),
+    "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),

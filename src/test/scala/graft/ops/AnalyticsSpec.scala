@@ -25,6 +25,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.contains(100L))
   }
 
+  test("approx percentiles land within 2% of the exact values") {
+    val exact = Analytics.percentiles(spark, sf0001)
+      .select("l_returnflag", "price_p50", "price_p99")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Analytics.approxPercentiles(spark, sf0001)
+      .as[(String, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, p50, p99) =>
+      val (e50, e99) = exact(flag)
+      assert(math.abs(p50 - e50) / e50 < 0.02, s"$flag p50 approx=$p50 exact=$e50")
+      assert(math.abs(p99 - e99) / e99 < 0.02, s"$flag p99 approx=$p99 exact=$e99")
+    }
+  }
+
   test("sessions are disjoint, ordered, and cover all events") {
     val sess = Analytics.sessionize(spark, sf0001)
       .select("user_id", "session_id", "n_events", "start_us", "end_us")
