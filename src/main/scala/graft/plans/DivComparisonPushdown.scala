@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.LongType
   *
   * Soundness (`div` truncates toward zero, both operands long):
   * for k > 0 and c ≥ 0, trunc(a/k) > c ⟺ a ≥ (c+1)·k holds for all a
-  * (negative a included, since (c+1)·k > 0); similarly trunc(a/k) ≥ c ⟺
-  * a ≥ c·k. Negative c is left untouched (truncation flips direction),
-  * as is any (c+1)·k that would overflow Long.
+  * (negative a included, since (c+1)·k > 0). For ≥: trunc(a/k) ≥ c ⟺
+  * a ≥ c·k holds only for c ≥ 1 — at c = 0 truncation-toward-zero means
+  * every a in (-k, 0) also satisfies trunc(a/k) ≥ 0, so the correct
+  * rewrite there is a > -k. Negative c is left untouched (truncation
+  * flips direction), as is any (c+1)·k that would overflow Long.
   */
 object DivComparisonPushdown extends Rule[LogicalPlan] {
 
@@ -46,7 +48,12 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
       }
     case GreaterThanOrEqual(
         IntegralDivide(a, Literal(k: Long, LongType), _),
-        Literal(c: Long, LongType)) if k > 0 && c >= 0 =>
+        Literal(0L, LongType)) if k > 0 =>
+      // trunc(a/k) >= 0 ⟺ a > -k (a in (-k, 0) truncates to 0 too)
+      GreaterThan(a, Literal(-k, LongType))
+    case GreaterThanOrEqual(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(c: Long, LongType)) if k > 0 && c >= 1 =>
       prod(c, k) match {
         case Some(bound) => GreaterThanOrEqual(a, Literal(bound, LongType))
         case None => GreaterThanOrEqual(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))

@@ -6,13 +6,40 @@ import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 class DivPushdownSpec extends SparkSpec {
 
   test("rewrite is semantically exact (trunc-div vs bound, incl. negatives)") {
+    // geBound mirrors the rule: c >= 1 → a >= c·k; c == 0 → a > -k
+    def geHolds(a: Long, k: Long, c: Long): Boolean =
+      if (c == 0) a > -k else a >= c * k
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 2000) {
       val a = rnd.nextLong() % 1000000
       val k = rnd.nextInt(999) + 1L
       val c = rnd.nextInt(1000).toLong
       assert((a / k > c) == (a >= (c + 1) * k), s"a=$a k=$k c=$c (>)")
-      assert((a / k >= c) == (a >= c * k), s"a=$a k=$k c=$c (>=)")
+      assert((a / k >= c) == geHolds(a, k, c), s"a=$a k=$k c=$c (>=)")
+    }
+    // directed: the truncation-toward-zero region that randomized draws
+    // almost never hit — a in (-k, 0) with c = 0 must satisfy >=
+    for (k <- Seq(2L, 10L, 1000L); a <- Seq(-1L, -k + 1, -k / 2)) {
+      assert(a / k >= 0L, s"a=$a k=$k: trunc is 0, satisfies >= 0")
+      assert(geHolds(a, k, 0L), s"rewrite must keep a=$a k=$k c=0")
+      assert((-k / k >= 0L) == geHolds(-k, k, 0L), s"boundary a=-k k=$k")
+    }
+  }
+
+  test("injected rule keeps negative rows under `div ... >= 0`") {
+    import spark.implicits._
+    val df = Seq(-11L, -10L, -9L, -5L, -1L, 0L, 3L, 10L).toDF("a")
+    val naive = df.filter("a div 10 >= 0").collect().map(_.getLong(0)).sorted
+    assert(naive.toSeq == Seq(-9L, -5L, -1L, 0L, 3L, 10L))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DivComparisonPushdown
+    try {
+      val rewritten = Seq(-11L, -10L, -9L, -5L, -1L, 0L, 3L, 10L).toDF("a")
+        .filter("a div 10 >= 0").collect().map(_.getLong(0)).sorted
+      assert(rewritten.toSeq == naive.toSeq, "rule must not drop (-k,0) rows")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DivComparisonPushdown)
     }
   }
 
