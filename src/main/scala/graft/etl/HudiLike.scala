@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, LinkOption, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 
 /** Copy-on-write keyed-upsert semantics, re-expressed in pure Spark.
@@ -102,21 +102,43 @@ object HudiLike {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
-  /** Atomic CoW commit: write the new snapshot beside the table dir, then
-    * swap via rename. Readers see either the old or the new snapshot,
-    * never a partial write (Hudi's commit timeline, emulated; cleaning —
-    * py:58-59 `hoodie.clean.automatic=true` — is the removal of the old
-    * snapshot after the swap).
+  /** Atomic CoW commit. The snapshot is written to an immutable sibling
+    * dir (`table.snap-<n>`) and `tablePath` itself is a symlink swung
+    * onto it with a single atomic rename — a reader resolving the path
+    * sees either the whole old snapshot or the whole new one, never an
+    * absent or half-written table, and a crash at any point leaves the
+    * previous commit live (Hudi's commit-timeline guarantee; the old
+    * snapshot's removal after the swap is py:58-59
+    * `hoodie.clean.automatic=true`, with the same caveat as Hudi
+    * cleaning: a reader still holding the cleaned snapshot fails).
+    * Plain `spark.read.parquet(tablePath)` / DuckDB reads work
+    * unchanged through the symlink. This is the POSIX-local equivalent
+    * of [[Timeline.commit]]'s pointer file — on an object store (no
+    * atomic rename-over) use `Timeline`, which is the scale path.
     */
   def commit(df: DataFrame, tablePath: String): Unit = {
     val target = Paths.get(tablePath)
-    val tmp = Paths.get(tablePath + ".tmp-" + System.nanoTime())
-    val old = Paths.get(tablePath + ".old-" + System.nanoTime())
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val existed = Files.exists(target)
-    if (existed) Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    if (existed) deleteRecursively(old)
+    val snap = Paths.get(tablePath + ".snap-" + System.nanoTime())
+    df.write.mode("overwrite").parquet(snap.toString)
+    val prev =
+      if (Files.isSymbolicLink(target)) Some(Files.readSymbolicLink(target))
+      else None
+    val linkTmp = Paths.get(tablePath + ".ptr-" + System.nanoTime())
+    Files.createSymbolicLink(linkTmp, snap.getFileName)
+    if (Files.exists(target, LinkOption.NOFOLLOW_LINKS) &&
+        !Files.isSymbolicLink(target)) {
+      // legacy plain-directory table: rename(2) cannot atomically replace
+      // a non-empty dir, so migration to the symlink layout crosses the
+      // old two-step swap exactly once; every later commit is atomic.
+      val old = Paths.get(tablePath + ".old-" + System.nanoTime())
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(linkTmp, target, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(old)
+    } else {
+      Files.move(linkTmp, target, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      prev.foreach(p => deleteRecursively(target.resolveSibling(p)))
+    }
   }
 
   /** Upsert `incoming` into the parquet table at `tablePath` (created if

@@ -104,4 +104,34 @@ class HudiLikeSpec extends SparkSpec {
       .collect().sortBy(_._1)
     assert(got.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 3.0)))
   }
+
+  test("commit swaps a symlink pointer: table path always resolves, old snapshots cleaned") {
+    import java.nio.file.{Files => F, Paths}
+    val parent = F.createTempDirectory("hudiptr")
+    val dir = parent.toString + "/table"
+    HudiLike.commit(rows(("a", 1L, 1.0)), dir)
+    val target = Paths.get(dir)
+    assert(F.isSymbolicLink(target), "table path must be an atomic pointer")
+    val firstSnap = F.readSymbolicLink(target)
+    HudiLike.commit(rows(("a", 2L, 9.0), ("b", 1L, 2.0)), dir)
+    assert(F.isSymbolicLink(target) && F.readSymbolicLink(target) != firstSnap)
+    assert(spark.read.parquet(dir).count() == 2)
+    // cleaning: exactly one snapshot dir remains alongside the pointer
+    val siblings = F.list(parent).iterator()
+    var snaps = 0
+    while (siblings.hasNext) {
+      val n = siblings.next().getFileName.toString
+      if (n.contains(".snap-")) snaps += 1
+    }
+    assert(snaps == 1, "previous snapshot must be cleaned after the swap")
+  }
+
+  test("commit migrates a legacy plain-dir table to the pointer layout") {
+    val dir = Files.createTempDirectory("hudimig").toString + "/table"
+    rows(("a", 1L, 1.0)).write.parquet(dir) // legacy: real directory
+    HudiLike.commit(rows(("a", 2L, 5.0)), dir)
+    assert(java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(dir)))
+    val got = spark.read.parquet(dir).as[(String, Long, Double)].collect()
+    assert(got.toSeq == Seq(("a", 2L, 5.0)))
+  }
 }
