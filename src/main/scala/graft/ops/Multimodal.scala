@@ -87,13 +87,25 @@ object Multimodal {
           media_type = mtype,
           n_bytes = payload.length.toLong,
           n_frames = (payload.length + FrameStride - 1) / FrameStride,
+          // exact 4dp truncation via integer math — bit-reproducible in
+          // any engine (no float accumulation, no rounding-mode delta)
           mean_byte = if (payload.length == 0) 0.0
-            else math.rint(sum.toDouble / payload.length * 10000) / 10000,
+            else (sum * 10000 / payload.length).toDouble / 10000,
           byte_histogram = hist)
       }
     }
     decoded.toDF()
   }
+
+  /** Driver-facing projection of [[decodeFeatures]]: the histogram array
+    * serialized to CSV so every column is a hashable scalar (the
+    * correctness harness canonicalizes rows by sorting — array cells
+    * aren't comparable there).
+    */
+  def decodeFeaturesFlat(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFeatures(spark, sfDir).withColumn(
+      "byte_histogram",
+      concat_ws(",", col("byte_histogram").cast("array<string>")))
 
   /** Frame sampling: one row per FrameStride-byte "frame" with its
     * leading byte — the explode layout a video frame-sampler produces
@@ -113,15 +125,47 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> (mediaMeta(_, _)),
-    "mm_decode_features" -> (decodeFeatures(_, _)),
+    "mm_decode_features" -> (decodeFeaturesFlat(_, _)),
     "mm_frame_sample" -> (frameSample(_, _)))
 
-  /** The decode stub has no SQL analog (`MultimodalSpec` pins it); the
-    * metadata scan and frame layout are oracle-checked — frame content
-    * parity works because the synthesized payload is utf-8 of ASCII
-    * text, so char positions equal byte offsets.
+  /** All three are oracle-checked. The decode stub's byte statistics are
+    * SQL-expressible because the synthesized payload is utf-8 of ASCII
+    * text, so char positions equal byte offsets and `ascii(substr(...))`
+    * equals the raw byte value.
     */
   val oracles: Map[String, String] = Map(
+    "mm_decode_features" ->
+      s"""WITH bytes AS (
+         |  SELECT doc_id, ascii(substr(text, i + 1, 1)) AS code
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(octet_length(encode(text)))) AS i
+         |        FROM documents)
+         |), stats AS (
+         |  SELECT doc_id, count(*) AS n, sum(code) AS s
+         |  FROM bytes GROUP BY doc_id
+         |), hist AS (
+         |  SELECT d.doc_id,
+         |    string_agg(CAST(coalesce(c.cnt, 0) AS VARCHAR), ',' ORDER BY b.bucket)
+         |      AS byte_histogram
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+         |  LEFT JOIN (SELECT doc_id, code // 16 AS bucket, count(*) AS cnt
+         |             FROM bytes GROUP BY 1, 2) c
+         |    ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+         |       WHEN d.doc_id % 3 = 1 THEN 'audio'
+         |       ELSE 'video' END AS media_type,
+         |  octet_length(encode(d.text)) AS n_bytes,
+         |  CAST((octet_length(encode(d.text)) + ${FrameStride - 1}) // $FrameStride AS INT) AS n_frames,
+         |  CASE WHEN coalesce(st.n, 0) = 0 THEN 0.0
+         |       ELSE CAST((st.s * 10000) // st.n AS DOUBLE) / 10000 END AS mean_byte,
+         |  h.byte_histogram
+         |FROM documents d
+         |LEFT JOIN stats st ON st.doc_id = d.doc_id
+         |JOIN hist h ON h.doc_id = d.doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT doc_id,
          | CAST(frame_idx AS BIGINT) AS frame_idx,

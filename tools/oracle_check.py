@@ -19,6 +19,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/array-typed cells are unhashable and break sort_values — render
+    # them to strings before canonicalizing (comparison stays exact)
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(
+            lambda v: not isinstance(v, (str, bytes, type(None)))
+        ).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if hasattr(v, "__len__") and not isinstance(v, (str, bytes)) else v)
     if len(df) and len(df.columns):
         df = df.sort_values(by=list(df.columns), na_position="first", kind="mergesort")
     return df.reset_index(drop=True)
