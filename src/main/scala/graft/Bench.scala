@@ -19,10 +19,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the tail of stdout (~2 KB): a per-query map
+    // over all ~100 queries overflows it and the JSON line never parses
+    // (round-1 lesson). Emit the 15 slowest queries only, rounded, and keep
+    // the line well under 1 KB; the total still sums EVERY query.
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+    val qs = slowest.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
