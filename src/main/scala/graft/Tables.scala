@@ -16,8 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoize per (session, path): a fresh `spark.read.parquet` re-lists
+  // the directory and re-reads footers for schema inference on every
+  // call, which across a ~100-query run is pure fixed overhead. The
+  // testdata tables are immutable, and a cached DataFrame is just a
+  // reusable logical plan. Keyed on the session too so tests with their
+  // own sessions don't cross-wire.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")

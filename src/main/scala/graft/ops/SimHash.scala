@@ -32,31 +32,42 @@ object SimHash {
     s"CASE WHEN ascii(substr($m, $nib, 1)) <= 57 THEN ascii(substr($m, $nib, 1)) - 48 " +
       s"ELSE ascii(substr($m, $nib, 1)) - 87 END"
 
-  /** Spark-side ±1 weighted sum for bit b (over rows (doc_id, m, c)). */
-  private def bitSum(b: Int): Column = {
-    val nib = b / 4 + 1
-    val p = 1 << (3 - b % 4)
-    expr(s"sum(c * (2 * ((${hexVal("m", nib)} div $p) % 2) - 1))").as(s"b$b")
-  }
-
-  /** Per-doc (token md5, term frequency) rows. */
+  /** Per-doc (token md5, term frequency) rows, with the 16 md5 nibbles
+    * pre-extracted once per row — the per-bit aggregates below index into
+    * them, instead of re-running ascii(substr(...)) 64× per row (4× less
+    * string work and small enough expressions to stay in whole-stage
+    * codegen; the 64-CASE form fell back to interpreted eval and its
+    * Janino compile time dominated the query).
+    */
   private def tokenHashes(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), md5(col("w")).as("m"), col("c"))
+      .select(Seq(col("doc_id"), md5(col("w")).as("m"), col("c")): _*)
+      .select(Seq(col("doc_id"), col("c")) ++
+        (0 until 16).map(i => expr(hexVal("m", i + 1)).cast("long").as(s"n$i")): _*)
 
   /** Fingerprints: doc_id + 64-char '0'/'1' string (oracle-checkable)
     * + two internal 32-bit words for cheap XOR hamming.
+    *
+    * Per-bit aggregate: with bit_b ∈ {0,1}, the signed sum
+    * `sum(c·(2·bit_b − 1))` equals `2·sum(c·bit_b) − sum(c)`, so each of
+    * the 64 aggregates is a plain conditional sum over a pre-extracted
+    * nibble and `sum(c)` is shared.
     */
   def fingerprintsFull(spark: SparkSession, sfDir: String): DataFrame = {
+    def bitAgg(b: Int): Column =
+      sum(col("c") * shiftright(col(s"n${b / 4}"), 3 - b % 4).bitwiseAND(lit(1L)))
+        .as(s"b$b")
     val sums = tokenHashes(spark, sfDir)
       .groupBy(col("doc_id"))
-      .agg(bitSum(0), (1 until Bits).map(bitSum): _*)
-    val bitChars = (0 until Bits).map(b => when(col(s"b$b") > 0, "1").otherwise("0"))
+      .agg(sum(col("c")).as("tot"), (0 until Bits).map(bitAgg): _*)
+    // bit is 1 iff 2·sum(c·bit) − sum(c) > 0
+    val bitChars = (0 until Bits).map(b =>
+      when(col(s"b$b") * 2 > col("tot"), "1").otherwise("0"))
     val word = (range: Range) => range.map(b =>
-      when(col(s"b$b") > 0, lit(1L << (31 - (b % 32)))).otherwise(lit(0L)))
+      when(col(s"b$b") * 2 > col("tot"), lit(1L << (31 - (b % 32)))).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(
       col("doc_id"),
