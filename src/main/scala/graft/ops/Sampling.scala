@@ -13,9 +13,8 @@ import org.apache.spark.sql.functions._
   *     hash here is the first 4 md5 nibbles, decoded with the same
   *     ascii arithmetic as `SimHash`, so the oracle reproduces it
   *     exactly.
-  *   - **Stratified sampling** — per-stratum fractions via
-  *     `DataFrame.stat.sampleBy` (seeded Bernoulli per stratum);
-  *     checked by spec since seeded RNG streams are engine-specific.
+  *   - **Stratified sampling** — per-stratum fractions via per-stratum
+  *     hash thresholds (same determinism properties; oracle-checked).
   */
 object Sampling {
 
@@ -40,13 +39,30 @@ object Sampling {
       .filter(expr(s"bucket16 < ${65536L * permille / 1000}"))
   }
 
-  /** Per-language stratified sample (downsample dominant strata — the
-    * rebalancing step of corpus curation).
+  /** Per-stratum sampling fractions (downsample dominant languages —
+    * the rebalancing step of corpus curation), as 16-bit thresholds.
     */
-  def stratifiedByLang(spark: SparkSession, sfDir: String, seed: Long = 42L): DataFrame = {
-    val fractions = Map("en" -> 0.2, "es" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
+  val StratThresholds: Seq[(String, Long)] =
+    Seq("en" -> 0.2, "es" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "zh" -> 1.0)
+      .map { case (l, f) => l -> (f * 65536).toLong }
+
+  private def stratCaseSql: String =
+    StratThresholds.map { case (l, t) => s"WHEN '$l' THEN $t" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+
+  /** Per-language stratified sample by hash threshold: a row survives
+    * iff its content hash falls under its stratum's threshold. Same
+    * determinism/composability properties as [[hashSample]] (a raised
+    * fraction strictly grows the sample), and — unlike the earlier
+    * seeded `sampleBy` Bernoulli draw, whose RNG stream no other engine
+    * can replay — exactly reproducible in the DuckDB oracle. The hash
+    * input is salted ('st|') so the stratified draw is independent of
+    * `samp_hash`'s.
+    */
+  def stratifiedByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = md5Bucket16Sql("concat('st|', text)")
     Tables.documents(spark, sfDir)
-      .stat.sampleBy("lang", fractions, seed)
+      .filter(expr(s"$bucket < ($stratCaseSql)"))
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
@@ -54,13 +70,13 @@ object Sampling {
     "samp_hash" -> (hashSample(_, _)),
     "samp_stratified" -> (stratifiedByLang(_, _)))
 
-  /** `samp_stratified` is rows-only (seeded RNG streams differ across
-    * engines); `SamplingSpec` pins its per-stratum proportions.
-    */
   val oracles: Map[String, String] = Map(
     "samp_hash" ->
       s"""SELECT doc_id, lang, n_chars,
          | ${md5Bucket16Sql("text")} AS bucket16
          |FROM documents
-         |WHERE ${md5Bucket16Sql("text")} < ${65536L * 100 / 1000}""".stripMargin)
+         |WHERE ${md5Bucket16Sql("text")} < ${65536L * 100 / 1000}""".stripMargin,
+    "samp_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${md5Bucket16Sql("concat('st|', text)")} < ($stratCaseSql)""".stripMargin)
 }

@@ -69,36 +69,41 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
-  /** Random-hyperplane LSH bucket code per vector: 16 signed
-    * projections; plane p's weight on dimension d is ±1 from
-    * `xxhash64(p, d)` — deterministic, no stored model. One posexplode +
-    * one aggregation; this is the corpus-side indexing pass of the ANN
-    * path (no oracle: xxhash64 is Spark-specific).
+  /** Random-hyperplane LSH bucket code per vector. Plane p's weight on
+    * dimension d is ±1 from the parity of the first hex char of
+    * `md5("p_d")` — a deterministic, engine-neutral sign matrix (no
+    * stored model, and exactly reproducible in the DuckDB oracle, unlike
+    * the earlier xxhash64 variant). Each projection is an index-order
+    * fold over the array (`aggregate`), so (a) the double accumulation
+    * is bit-identical to DuckDB's `list_sum(list_transform(...))`, and
+    * (b) there is NO shuffle at all — the old posexplode+groupBy shape
+    * shuffled |corpus|·dim rows; this streams the corpus through one
+    * codegen stage, the shape that matters at 10^9 vectors.
     */
-  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val exploded = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-    val projAggs: Seq[org.apache.spark.sql.Column] = (0 until NumPlanes).map { p =>
-      sum(col("x") *
-        when(pmod(xxhash64(lit(p), col("d")), lit(2)) === 0, 1.0).otherwise(-1.0))
-        .as(s"proj$p")
-    }
-    val codeExpr = (0 until NumPlanes).map(p =>
-      when(col(s"proj$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
-    exploded.groupBy(col("vec_id"))
-      .agg(projAggs.head, projAggs.tail: _*)
-      .select(col("vec_id"), codeExpr.as("bucket"))
-  }
+  private def signCase(p: Int, dExpr: String): String =
+    s"(CASE WHEN ascii(substr(md5(concat('$p', '_', CAST($dExpr AS STRING))), 1, 1)) % 2 = 0" +
+      s" THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+
+  private def projExpr(p: Int): String =
+    s"aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
+      s"(acc, d) -> acc + CAST(element_at(embedding, d + 1) AS DOUBLE) * ${signCase(p, "d")})"
+
+  private def bucketCol: org.apache.spark.sql.Column =
+    (0 until NumPlanes).map(p =>
+      when(expr(projExpr(p)) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), bucketCol.as("bucket"))
 
   /** ANN search: queries probe only their own bucket, then exact cosine
-    * re-rank inside it. Output is (q_id, vec_id, cos_sim, rnk ≤ 3) —
-    * rows-only check (bucketing uses Spark-native hashing).
+    * re-rank inside it. Output is (q_id, vec_id, cos_sim, rnk ≤ 3);
+    * oracle-checked (the sign matrix is md5-derived on both engines).
     */
   def annSearch(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-    val buckets = lshBuckets(spark, sfDir)
-    val corpus = e.join(buckets, "vec_id")
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
     val queries = corpus.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket"))
     val w = Window.partitionBy(col("q_id"))
@@ -110,7 +115,7 @@ object Similarity {
       .filter(col("rnk") <= 3)
   }
 
-  /** Bucket histogram — occupancy of the LSH index (rows-only). */
+  /** Bucket histogram — occupancy of the LSH index (oracle-checked). */
   def lshBucketStats(spark: SparkSession, sfDir: String): DataFrame =
     lshBuckets(spark, sfDir)
       .groupBy(col("bucket"))
@@ -190,6 +195,20 @@ object Similarity {
   private def sqlL2(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
 
+  /** DuckDB twin of [[projExpr]]/[[bucketCol]]: same md5-parity sign
+    * matrix, same index-order double accumulation.
+    */
+  private def sqlProj(p: Int, emb: String): String =
+    s"""list_sum(list_transform(range(1, $Dim + 1), i ->
+       |  CAST($emb[i] AS DOUBLE) *
+       |  (CASE WHEN ascii(substr(md5(concat('$p', '_', CAST(i - 1 AS VARCHAR))), 1, 1)) % 2 = 0
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)))""".stripMargin
+
+  private def sqlBucket(emb: String): String =
+    (0 until NumPlanes).map(p =>
+      s"(CASE WHEN ${sqlProj(p, emb)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+
   val oracles: Map[String, String] = Map(
     "sim_array_funcs" ->
       s"""SELECT vec_id,
@@ -236,5 +255,22 @@ object Similarity {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.4""".stripMargin)
+         |WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.4""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""SELECT bucket, count(*) AS n_vectors
+         |FROM (SELECT ${sqlBucket("embedding")} AS bucket FROM embeddings) b
+         |GROUP BY bucket""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT q_id, vec_id, cos_sim, rnk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    round(${sqlCos("e.embedding", "q.embedding")}, 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${sqlCos("e.embedding", "q.embedding")}, 4) DESC, e.vec_id) AS rnk
+         |  FROM b e JOIN b q
+         |    ON q.vec_id < $QuerySetSize AND e.bucket = q.bucket
+         |      AND e.vec_id <> q.vec_id) s
+         |WHERE rnk <= 3""".stripMargin)
 }

@@ -2,8 +2,8 @@ package graft.ops
 
 import graft.SparkSpec
 
-/** Invariants for the similarity/ANN path that the SQL oracle can't
-  * cover (LSH bucketing uses Spark-native hashing).
+/** Invariants for the similarity/ANN path beyond the SQL oracle's
+  * row-for-row checks (recall vs brute force, bucket coverage).
   */
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
