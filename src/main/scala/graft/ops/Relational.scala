@@ -400,6 +400,30 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** KMV sketch size. */
+  val KmvK = 256
+
+  /** Approximate distinct count via a k-minimum-values sketch
+    * (Bar-Yossef et al.): hash every key to a uniform 60-bit value,
+    * keep the K smallest distinct hashes, and estimate
+    * `(K-1) / kth_min_normalized`. Unlike HLL (`approxDistinct`), the
+    * whole construction is deterministic, engine-neutral md5 arithmetic
+    * — so the *estimate itself* is oracle-checked, not just pinned by a
+    * spec. The distinct+top-K here runs as one hash shuffle plus a
+    * TakeOrdered; a 100 TB deployment replaces that with a bounded
+    * per-partition min-heap Aggregator merged map-side, same estimator.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .selectExpr(
+        "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(KmvK)
+      .agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
+      .selectExpr("k", "kth_min",
+        "CAST(round((k - 1) * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est_distinct")
+
   /** ROLLUP with grouping indicators: distinguishes subtotal rows from
     * genuine NULL group keys.
     */
@@ -467,6 +491,7 @@ object Relational {
     "q_union_all" -> (unionAllKeys(_, _)),
     "q_full_outer" -> (fullOuterActivity(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
+    "q_kmv_distinct" -> (kmvDistinct(_, _)),
     "q1_pricing_summary" -> (pricingSummary(_, _)),
     "q3_top_orders_segment" -> (topOrdersBySegment(_, _)),
     "q5_region_revenue" -> (regionRevenue(_, _)),
@@ -490,6 +515,13 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" ->
+      s"""SELECT k, kth_min,
+         | CAST(round((k - 1) * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est_distinct
+         |FROM (
+         |  SELECT count(*) AS k, max(h) AS kth_min FROM (
+         |    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |    FROM lineitem ORDER BY h LIMIT $KmvK) t) s""".stripMargin,
     "q_all_years" ->
       """SELECT o_custkey,
         | count(DISTINCT year(o_orderdate)) AS n_years,

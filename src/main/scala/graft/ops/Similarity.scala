@@ -115,6 +115,32 @@ object Similarity {
       .filter(col("rnk") <= 3)
   }
 
+  /** Multi-probe ANN: each query probes its own bucket plus every
+    * Hamming-1 neighbor (one plane bit flipped) — 1 + NumPlanes buckets.
+    * The standard recall repair for sign LSH: a near neighbor that
+    * straddles one hyperplane lands one bit away, and probing
+    * adjacent buckets recovers it without densifying the index. Each
+    * corpus vector lives in exactly one bucket, so the probed sets are
+    * disjoint and no dedup is needed. Oracle-checked end to end.
+    */
+  def annMultiProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), bucketCol.as("bucket"))
+    val masks = lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))
+    val queries = corpus.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("bucket").as("qb"))
+      .withColumn("mask", explode(array(masks: _*)))
+      .select(col("q_id"), col("qv"), expr("qb ^ mask").as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), round(cos("embedding", "qv"), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
   /** Bucket histogram — occupancy of the LSH index (oracle-checked). */
   def lshBucketStats(spark: SparkSession, sfDir: String): DataFrame =
     lshBuckets(spark, sfDir)
@@ -181,6 +207,7 @@ object Similarity {
     "sim_knn_top10" -> (knnTop10(_, _)),
     "sim_knn_per_query" -> (knnPerQuery(_, _)),
     "sim_ann_lsh" -> (annSearch(_, _)),
+    "sim_ann_multiprobe" -> (annMultiProbe(_, _)),
     "sim_lsh_buckets" -> (lshBucketStats(_, _)),
     "dd_embed_neardup" -> (embedNearDupPairs(_, _)))
 
@@ -272,5 +299,22 @@ object Similarity {
          |  FROM b e JOIN b q
          |    ON q.vec_id < $QuerySetSize AND e.bucket = q.bucket
          |      AND e.vec_id <> q.vec_id) s
-         |WHERE rnk <= 3""".stripMargin)
+         |WHERE rnk <= 3""".stripMargin,
+    "sim_ann_multiprobe" -> {
+      val masks = (0L +: (0 until NumPlanes).map(p => 1L << p)).mkString(", ")
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv, xor(bucket, m) AS bucket
+         |  FROM b, (SELECT unnest([$masks]) AS m) masks
+         |  WHERE vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, cos_sim, rnk FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(${sqlCos("e.embedding", "q.qv")}, 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(${sqlCos("e.embedding", "q.qv")}, 4) DESC, e.vec_id) AS rnk
+         |  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id) s
+         |WHERE rnk <= 3""".stripMargin
+    })
 }

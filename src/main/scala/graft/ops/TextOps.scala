@@ -190,6 +190,45 @@ object TextOps {
         "CAST(size(hs) AS BIGINT) AS n_windows")
   }
 
+  /** Winnowing window: one fingerprint is selected from every run of
+    * `WinnowW` consecutive k-gram hashes.
+    */
+  val WinnowW = 8
+
+  /** Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): slide a
+    * w-hash window over the k-gram hash sequence and keep each window's
+    * minimum (leftmost on ties — a deterministic variant of the paper's
+    * rightmost rule; the guarantee that any shared run of w+k-1 chars
+    * yields a shared fingerprint is unchanged). Output is the distinct
+    * fingerprint set (doc_id, pos, h) — the sketch behind MOSS-style
+    * containment detection, with expected density 2/(w+1) vs the global
+    * min/max of `winnowMd5`.
+    *
+    * Expression shape is O(n·w) slices per doc, which keeps the whole
+    * computation inside whole-stage codegen and bit-identical to the
+    * DuckDB oracle; at corpus scale the same selection runs as a
+    * monotonic-deque rolling minimum in a mapPartitions pass.
+    */
+  def winnowRobust(spark: SparkSession, sfDir: String): DataFrame = {
+    val nib = (i: String, n: Int) =>
+      s"(CASE WHEN ascii(substr(md5(substr(text, $i, 8)), $n, 1)) <= 57 " +
+        s"THEN ascii(substr(md5(substr(text, $i, 8)), $n, 1)) - 48 " +
+        s"ELSE ascii(substr(md5(substr(text, $i, 8)), $n, 1)) - 87 END)"
+    val bucket = s"(${nib("i", 1)} * 4096 + ${nib("i", 2)} * 256 + ${nib("i", 3)} * 16 + ${nib("i", 4)})"
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 8 + WinnowW - 1)
+      .selectExpr("doc_id",
+        s"transform(sequence(1, length(text) - 7), i -> $bucket) AS hs")
+      .selectExpr("doc_id", "hs",
+        s"""explode(array_distinct(transform(
+           |  sequence(1, size(hs) - ${WinnowW - 1}),
+           |  j -> j - 1 + array_position(slice(hs, j, $WinnowW),
+           |                              array_min(slice(hs, j, $WinnowW)))))) AS pos""".stripMargin)
+      .selectExpr("doc_id",
+        "CAST(pos AS BIGINT) AS pos",
+        "CAST(element_at(hs, CAST(pos AS INT)) AS BIGINT) AS h")
+  }
+
   val ChunkTokens = 64
   val ChunkStride = 48
 
@@ -229,6 +268,7 @@ object TextOps {
     "tx_fingerprint" -> (fingerprints(_, _)),
     "tx_winnow" -> (winnowFingerprints(_, _)),
     "tx_winnow_md5" -> (winnowMd5(_, _)),
+    "tx_winnow_robust" -> (winnowRobust(_, _)),
     "tx_top_bigrams" -> (topBigrams(_, _)),
     "tx_tfidf" -> (tfidfTopTerms(_, _)),
     "tx_repetition" -> (repetitionStats(_, _)),
@@ -292,6 +332,25 @@ object TextOps {
            |  SELECT doc_id,
            |    list_transform(range(length(text) - 7), i -> $bucket) AS hs
            |  FROM documents WHERE length(text) >= 8) t""".stripMargin
+      },
+      "tx_winnow_robust" -> {
+        val nib = (n: Int) =>
+          s"(CASE WHEN ascii(substr(md5(substr(text, i + 1, 8)), $n, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(substr(text, i + 1, 8)), $n, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(substr(text, i + 1, 8)), $n, 1)) - 87 END)"
+        val bucket = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+        s"""SELECT doc_id,
+           | CAST(pos AS BIGINT) AS pos,
+           | CAST(hs[CAST(pos AS INT)] AS BIGINT) AS h
+           |FROM (
+           |  SELECT doc_id, hs, unnest(list_distinct(list_transform(
+           |    range(1, len(hs) - ${WinnowW - 2}),
+           |    j -> j - 1 + list_position(list_slice(hs, j, j + ${WinnowW - 1}),
+           |                               list_min(list_slice(hs, j, j + ${WinnowW - 1})))))) AS pos
+           |  FROM (
+           |    SELECT doc_id,
+           |      list_transform(range(length(text) - 7), i -> $bucket) AS hs
+           |    FROM documents WHERE length(text) >= ${8 + WinnowW - 1}) t) u""".stripMargin
       },
       "tx_chunking" ->
         s"""SELECT doc_id,

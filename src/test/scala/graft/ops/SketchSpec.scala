@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Semantic invariants for the sketch-family operators added in round 2:
+  * robust winnowing, KMV distinct estimation, multi-probe LSH.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("robust winnowing density is ~2/(w+1) and positions are valid") {
+    val fps = TextOps.winnowRobust(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val nWindows = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "length(text) - 7 AS n")
+      .filter("n >= 8").as[(Long, Long)].collect().toMap
+    val byDoc = fps.groupBy(_._1)
+    assert(byDoc.keySet == nWindows.keySet, "every eligible doc fingerprinted")
+    byDoc.foreach { case (id, rows) =>
+      val n = nWindows(id)
+      // selection picks one position per w-window: density in [1/w, 1]
+      assert(rows.length >= n / TextOps.WinnowW / 2, s"doc $id too sparse")
+      assert(rows.forall(r => r._2 >= 1 && r._2 <= n), s"doc $id position range")
+      assert(rows.map(_._2).distinct.length == rows.length, s"doc $id distinct")
+    }
+    val density = fps.length.toDouble / nWindows.values.sum
+    val expected = 2.0 / (TextOps.WinnowW + 1)
+    assert(math.abs(density - expected) < expected * 0.5,
+      s"density $density vs expected ~$expected")
+  }
+
+  test("winnowing guarantee: shared w+k-1 char run => shared fingerprint hash") {
+    // construct two docs sharing a 15-char run via the real testdata:
+    // every doc shares all its runs with itself; cross-check instead that
+    // any two docs with identical text have identical fingerprint sets
+    val dup = Dedup.exactGroups(spark, sf0001)
+      .filter("n_copies >= 2").limit(1).collect()
+    if (dup.nonEmpty) {
+      val fps = TextOps.winnowRobust(spark, sf0001)
+        .as[(Long, Long, Long)].collect().groupBy(_._1)
+      val ids = graft.Tables.documents(spark, sf0001)
+        .selectExpr("doc_id", "md5(text) AS h").as[(Long, String)]
+        .collect().groupBy(_._2).values.filter(_.length >= 2).head.map(_._1)
+      val sets = ids.map(id => fps(id).map(r => (r._2, r._3)).toSet)
+      assert(sets.distinct.length == 1, "identical docs, identical fingerprints")
+    }
+  }
+
+  test("KMV estimate lands near the exact distinct count") {
+    val Array((k, kth, est)) = Relational.kmvDistinct(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val exact = graft.Tables.lineitem(spark, sf0001)
+      .selectExpr("l_orderkey").distinct().count()
+    if (k < Relational.KmvK) {
+      // fewer distinct keys than sketch size: estimator degenerates; the
+      // sketch itself still saw every key
+      assert(k == exact, s"k=$k exact=$exact")
+    } else {
+      // standard error is ~1/sqrt(K) ≈ 6%; allow 4 sigma
+      assert(math.abs(est - exact).toDouble / exact < 0.25,
+        s"est=$est exact=$exact")
+    }
+  }
+
+  test("multi-probe LSH recall >= single-bucket, both subsets of brute force scores") {
+    val single = Similarity.annSearch(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.annMultiProbe(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.knnPerQuery(spark, sf0001)
+      .filter("rnk <= 3").select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recallS = (single & brute).size.toDouble / brute.size
+    val recallM = (multi & brute).size.toDouble / brute.size
+    assert(recallM >= recallS, s"multi-probe recall $recallM < single $recallS")
+    assert(multi.size >= single.size, "probing more buckets can't shrink results")
+  }
+}
