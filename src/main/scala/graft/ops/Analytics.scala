@@ -52,6 +52,22 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("ts_us"), col("last_signup_us"))
   }
 
+  /** Same query as [[asofSignup]] through the NATIVE as-of operator
+    * (`graft.plans.AsOfJoinExec`): custom logical node planned by the
+    * injected strategy into a co-partitioned streaming merge — no union
+    * widening, no window buffering. Shares `q_asof_signup`'s oracle, so
+    * the custom exec is hash-checked row-for-row against DuckDB's
+    * native ASOF JOIN.
+    */
+  def asofSignupNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us").as("signup_us"))
+    graft.plans.AsOfJoin.asof(ev, signups, "user_id", "ts_us", "signup_us", "last_signup_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_signup_us"))
+  }
+
   /** Epoch micros per week (cohort bucketing unit). */
   val WeekUs: Long = 7L * 24 * 3600 * 1000000
 
@@ -212,6 +228,7 @@ object Analytics {
     "q_outliers" -> (valueOutliers(_, _)),
     "q_approx_percentiles" -> (approxPercentiles(_, _)),
     "q_asof_signup" -> (asofSignup(_, _)),
+    "q_asof_native" -> (asofSignupNative(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_histogram" -> (histogram(_, _)),
@@ -269,6 +286,12 @@ object Analytics {
         |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
         |GROUP BY a.user_id""".stripMargin,
     "q_asof_signup" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        | epoch_us(s.ts) AS last_signup_us
+        |FROM events e ASOF LEFT JOIN
+        | (SELECT user_id AS su, ts FROM events WHERE event_type = 'signup') s
+        | ON e.user_id = s.su AND e.ts >= s.ts""".stripMargin,
+    "q_asof_native" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         | epoch_us(s.ts) AS last_signup_us
         |FROM events e ASOF LEFT JOIN

@@ -67,6 +67,8 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DivComparisonPushdown)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+
+/** Bridge into `private[sql]` plan-construction API: turning a custom
+  * logical node (graft.plans.AsOfJoinNode) into a DataFrame needs
+  * `Dataset.ofRows`, whose companion is sql-private. This lives in an
+  * `org.apache.spark.sql` subpackage solely to re-export that one
+  * constructor — the standard extension-library pattern.
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark, plan)
+}
