@@ -147,6 +147,50 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
 
+  /** Scalar quantization (SQ8) search — the compressed-domain scoring
+    * path: per-dimension corpus (min, max) define 256 uniform levels,
+    * each vector stores one byte per dimension, and queries score
+    * against bin-center reconstructions with their exact vector
+    * (asymmetric distance computation). 4× memory cut at float32 with
+    * near-exact ranking; the model (two 64-float arrays) broadcasts.
+    * Everything is deterministic double arithmetic in index order, so
+    * the reconstructed scores — not just the ranking — are
+    * oracle-checked against DuckDB.
+    */
+  def sq8Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val stats = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy().agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("dmm"))
+      .select(
+        expr("transform(dmm, s -> CAST(s.mn AS DOUBLE))").as("mn"),
+        expr("transform(dmm, s -> CAST(s.mx AS DOUBLE))").as("mx"))
+    val recon =
+      s"""transform(sequence(1, $Dim), d ->
+         |  CASE WHEN element_at(mx, d) = element_at(mn, d) THEN element_at(mn, d)
+         |  ELSE element_at(mn, d) +
+         |    (floor((CAST(element_at(embedding, d) AS DOUBLE) - element_at(mn, d)) * 255.0
+         |           / (element_at(mx, d) - element_at(mn, d))) + 0.5)
+         |    * (element_at(mx, d) - element_at(mn, d)) / 255.0 END)""".stripMargin
+    val corpus = e.crossJoin(broadcast(stats))
+      .selectExpr("vec_id", s"$recon AS rec")
+    val queries = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def fold(term: String) =
+      s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
+    val qcos =
+      s"""round(${fold("element_at(rec, d) * CAST(element_at(qv, d) AS DOUBLE)")}
+         | / (sqrt(${fold("element_at(rec, d) * element_at(rec, d)")})
+         |  * sqrt(${fold("CAST(element_at(qv, d) AS DOUBLE) * CAST(element_at(qv, d) AS DOUBLE)")})), 4)""".stripMargin
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", s"$qcos AS qcos")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   /** Embedding near-dup pairs: all pairs ≥ 0.4 cosine (brute force —
     * exactness baseline for `Dedup`'s embedding-space variant; the LSH
     * bucket path above is the scale route).
@@ -208,6 +252,7 @@ object Similarity {
     "sim_knn_per_query" -> (knnPerQuery(_, _)),
     "sim_ann_lsh" -> (annSearch(_, _)),
     "sim_ann_multiprobe" -> (annMultiProbe(_, _)),
+    "sim_sq8_search" -> (sq8Search(_, _)),
     "sim_lsh_buckets" -> (lshBucketStats(_, _)),
     "dd_embed_neardup" -> (embedNearDupPairs(_, _)))
 
@@ -300,6 +345,37 @@ object Similarity {
          |    ON q.vec_id < $QuerySetSize AND e.bucket = q.bucket
          |      AND e.vec_id <> q.vec_id) s
          |WHERE rnk <= 3""".stripMargin,
+    "sim_sq8_search" -> {
+      def fold(term: String) =
+        s"list_sum(list_transform(range(1, $Dim + 1), d -> $term))"
+      val recon =
+        s"""list_transform(range(1, $Dim + 1), d ->
+           |  CASE WHEN s.mx[d] = s.mn[d] THEN s.mn[d]
+           |  ELSE s.mn[d] +
+           |    (floor((CAST(e.embedding[d] AS DOUBLE) - s.mn[d]) * 255.0
+           |           / (s.mx[d] - s.mn[d])) + 0.5)
+           |    * (s.mx[d] - s.mn[d]) / 255.0 END)""".stripMargin
+      val qcos =
+        s"""round(${fold("rec[d] * CAST(qv[d] AS DOUBLE)")}
+           | / (sqrt(${fold("rec[d] * rec[d]")})
+           |  * sqrt(${fold("CAST(qv[d] AS DOUBLE) * CAST(qv[d] AS DOUBLE)")})), 4)""".stripMargin
+      s"""WITH st AS (
+         |  SELECT d, min(CAST(embedding[d] AS DOUBLE)) AS mn,
+         |         max(CAST(embedding[d] AS DOUBLE)) AS mx
+         |  FROM embeddings, (SELECT unnest(range(1, $Dim + 1)) AS d) dims
+         |  GROUP BY d),
+         |s AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM st),
+         |corpus AS (
+         |  SELECT e.vec_id, $recon AS rec FROM embeddings e, s),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, qcos, rnk FROM (
+         |  SELECT q.q_id, c.vec_id, $qcos AS qcos,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY $qcos DESC, c.vec_id) AS rnk
+         |  FROM corpus c, q WHERE c.vec_id <> q.q_id) r
+         |WHERE rnk <= 5""".stripMargin
+    },
     "sim_ann_multiprobe" -> {
       val masks = (0L +: (0 until NumPlanes).map(p => 1L << p)).mkString(", ")
       s"""WITH b AS (

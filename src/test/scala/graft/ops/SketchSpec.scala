@@ -62,6 +62,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 quantized ranking tracks exact cosine top-5 closely") {
+    val exact = Similarity.knnPerQuery(spark, sf0001)
+      .select("q_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect()
+    val quant = Similarity.sq8Search(spark, sf0001)
+      .select("q_id", "vec_id", "qcos").as[(Long, Long, Double)].collect()
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quantSets = quant.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quantSets.keySet == exactSets.keySet)
+    val overlaps = exactSets.map { case (q, s) => (quantSets(q) & s).size }
+    assert(overlaps.sum >= exactSets.size * 3,
+      s"avg top-5 overlap too low: $overlaps")
+    // reconstruction error: quantized score within 8-bit tolerance of exact
+    val exactMap = exact.map(r => (r._1, r._2) -> r._3).toMap
+    quant.foreach { case (q, v, qc) =>
+      exactMap.get((q, v)).foreach { ec =>
+        assert(math.abs(qc - ec) < 0.02, s"($q,$v): qcos=$qc exact=$ec")
+      }
+    }
+  }
+
   test("multi-probe LSH recall >= single-bucket, both subsets of brute force scores") {
     val single = Similarity.annSearch(spark, sf0001)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
