@@ -400,6 +400,114 @@ object Relational {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  // ---- classic TPC-H adaptations (schemas here are trimmed: no
+  // commitdate/shipmode/container/partsupp, so q4 uses an equivalent
+  // EXISTS shape and q12/q2/q9 have no faithful analog) ----------------
+
+  /** TPC-H Q6: one tight scan-and-sum — the predicate (shipdate year,
+    * discount band, quantity cap) pushes to parquet, the 4dp money
+    * product accumulates as exact integers.
+    */
+  def q6Revenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(exactMoneySum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+
+  /** TPC-H Q4 reshaped for the trimmed schema: orders in a quarter that
+    * had at least one line item shipped after the order date (EXISTS →
+    * left-semi join with a non-equi conjunct), counted per priority.
+    */
+  def q4PriorityExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") && l("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q14: promo revenue share for one month. Both the CASE'd
+    * numerator and the denominator accumulate as exact 4dp integers, so
+    * the final ratio is one deterministic double division.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        expr("sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000, 0) AS BIGINT))").as("num"),
+        expr("sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))").as("den"))
+      .selectExpr("round(100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS promo_revenue")
+
+  /** TPC-H Q15: the quarter's top supplier(s) by revenue — revenue kept
+    * as an exact integer for the max comparison, scaled back only in
+    * the projection.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(expr("sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))").as("rev_i"))
+    val best = rev.agg(max(col("rev_i")).as("mx"))
+    rev.crossJoin(broadcast(best)).filter(col("rev_i") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      .selectExpr("s_suppkey", "s_name",
+        "round(CAST(rev_i AS DOUBLE) / 10000.0, 4) AS total_revenue")
+  }
+
+  /** TPC-H Q17: revenue that would vanish if sub-20%-of-average-
+    * quantity orders for one brand were dropped. The per-part average
+    * is a broadcast model join; quantities are integral doubles so the
+    * 0.2·avg threshold is deterministic.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val avgs = li.groupBy(col("l_partkey").as("ak"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    li.join(broadcast(avgs), col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(expr("sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))").as("s_i"))
+      .selectExpr("round(CAST(s_i AS DOUBLE) / 700.0, 2) AS avg_yearly")
+  }
+
+  /** TPC-H Q18: large-volume orders (line-quantity sum over 300) with
+    * their customers — the IN-subquery-with-HAVING shape, as one
+    * aggregation plus two key joins.
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sq"))
+      .filter(col("sq") > 300)
+    Tables.orders(spark, sfDir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "CAST(sq AS BIGINT) AS sum_qty")
+  }
+
+  /** TPC-H Q19: disjunction of brand/quantity/size conjunctions — the
+    * OR-of-ANDs predicate a row-group pruner can't help with; one
+    * broadcast join + filtered exact-money sum.
+    */
+  def q19Discounted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(exactMoneySum(discPrice, 4).as("revenue"))
+
   /** KMV sketch size. */
   val KmvK = 256
 
@@ -492,6 +600,13 @@ object Relational {
     "q_full_outer" -> (fullOuterActivity(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_kmv_distinct" -> (kmvDistinct(_, _)),
+    "q4_priority_exists" -> (q4PriorityExists(_, _)),
+    "q6_revenue" -> (q6Revenue(_, _)),
+    "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
+    "q15_top_supplier" -> (q15TopSupplier(_, _)),
+    "q17_small_quantity" -> (q17SmallQuantity(_, _)),
+    "q18_large_orders" -> (q18LargeOrders(_, _)),
+    "q19_discounted" -> (q19Discounted(_, _)),
     "q1_pricing_summary" -> (pricingSummary(_, _)),
     "q3_top_orders_segment" -> (topOrdersBySegment(_, _)),
     "q5_region_revenue" -> (regionRevenue(_, _)),
@@ -515,6 +630,57 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q6_revenue" ->
+      s"""SELECT ${exactMoneySumSql("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS promo_revenue
+        |FROM (
+        |  SELECT
+        |    sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000, 0) AS BIGINT)) AS num,
+        |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS den
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01') t""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS rev_i
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(CAST(rev_i AS DOUBLE) / 10000.0, 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_i = (SELECT max(rev_i) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(CAST(s_i AS DOUBLE) / 700.0, 2) AS avg_yearly FROM (
+        |  SELECT sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS s_i
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#23'
+        |    AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                              WHERE l2.l_partkey = l.l_partkey)) t""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(sq AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sq FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q19_discounted" ->
+      s"""SELECT ${exactMoneySumSql(discPriceSql, 4)} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
     "q_kmv_distinct" ->
       s"""SELECT k, kth_min,
          | CAST(round((k - 1) * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est_distinct
