@@ -46,6 +46,29 @@ object StreamingPipeline {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Native session windows (`session_window`, 30-minute gap): the
+    * streaming twin of the batch `Analytics.sessionize` — state merges
+    * adjacent windows per key, watermark closes and emits sessions.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total"))
+
+  /** Watermark-bounded dedup via `dropDuplicatesWithinWatermark`:
+    * unlike `dropDuplicates`, the per-key state is guaranteed evicted
+    * once the key is older than the watermark — the right primitive
+    * when duplicates only arrive within a bounded interval (at-least-
+    * once upstream), keeping state finite at stream scale.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * totals, emitted on every update.
     */

@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("session_window groups events by 30-minute gaps per user") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = StreamingPipeline.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Complete).start()
+    // user 1: 10:01, 10:10 (same session), 10:55 (new session: 45' gap)
+    input.addData(ev(1, 1, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0), ev(3, 55, 1, "a", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_win")
+      .select("user_id", "n_events", "total").as[(Long, Long, Double)]
+      .collect().sortBy(_._3)
+    assert(rows.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0)))
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replays inside the interval") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = StreamingPipeline.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    input.addData(ev(1, 1, 1, "a", 1.0), ev(2, 2, 1, "b", 2.0))
+    q.processAllAvailable()
+    input.addData(ev(1, 1, 1, "a", 1.0), ev(4, 4, 2, "d", 4.0)) // replay id 1
+    q.processAllAvailable()
+    val ids = spark.table("dedup_wm").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L))
+    q.stop()
+  }
+
   test("stateful user sessions accumulate across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventRow]
