@@ -17,6 +17,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.01"
     def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      // execute THIS df's plan (count() builds a separate QueryExecution)
+      // so the adaptive plan finalizes and codegen span ids are visible
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       val schemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).take(4).toSeq
@@ -38,6 +41,16 @@ object PlanAudit {
     audit("dd_ngram_jaccard", Dedup.ngramJaccardPairs(spark, sf))
     audit("sim_cosine_scores", Similarity.cosineScores(spark, sf))
     audit("mm_media_meta", Multimodal.mediaMeta(spark, sf))
+    audit("q6_revenue", Relational.q6Revenue(spark, sf))
+    audit("q4_priority_exists", Relational.q4PriorityExists(spark, sf))
+    audit("q14_promo_revenue", Relational.q14PromoRevenue(spark, sf))
+    audit("q15_top_supplier", Relational.q15TopSupplier(spark, sf))
+    audit("q17_small_quantity", Relational.q17SmallQuantity(spark, sf))
+    audit("q18_large_orders", Relational.q18LargeOrders(spark, sf))
+    audit("q19_discounted", Relational.q19Discounted(spark, sf))
+    audit("q_kmv_distinct", Relational.kmvDistinct(spark, sf))
+    audit("sim_sq8_search", Similarity.sq8Search(spark, sf))
+    audit("sim_ann_multiprobe", Similarity.annMultiProbe(spark, sf))
     spark.stop()
   }
 }
