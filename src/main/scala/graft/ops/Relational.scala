@@ -563,6 +563,38 @@ object Relational {
         round(cume_dist().over(ord), 6).as("cume"))
   }
 
+  /** Value-based (RANGE) window frame over event time: trailing-30-day
+    * revenue per priority. RANGE frames are tie-insensitive (every row
+    * with the same order date shares a frame), and the money sum inside
+    * the frame accumulates as exact integers so incremental frame
+    * maintenance order can't shift the rounding.
+    */
+  def rangeFrameRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).selectExpr(
+      "o_orderkey", "o_orderpriority", "o_orderdate",
+      // CAST ... AS DOUBLE before dividing: Spark parses the 100.0
+      // literal as DECIMAL(4,1) and long/decimal would stay decimal
+      """round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        | OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |       RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        | AS DOUBLE) / 100.0, 2) AS r30_total""".stripMargin)
+
+  /** Explicit GROUPING SETS (the general form behind rollup/cube):
+    * flag×status detail, per-flag subtotal, and grand total in one
+    * aggregation pass.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.views(spark, sfDir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INT) AS g_status,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
   /** The SQL-string surface (SURVEY.md §2.1 S1): the reference issues
     * every query as `spark.sql(...)` text over catalog tables
     * (pipeline_architecture.py:207-227); here the same works against
@@ -600,6 +632,8 @@ object Relational {
     "q_full_outer" -> (fullOuterActivity(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_kmv_distinct" -> (kmvDistinct(_, _)),
+    "q_range_frame" -> (rangeFrameRevenue(_, _)),
+    "q_grouping_sets" -> (groupingSets(_, _)),
     "q4_priority_exists" -> (q4PriorityExists(_, _)),
     "q6_revenue" -> (q6Revenue(_, _)),
     "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
@@ -630,6 +664,21 @@ object Relational {
     "q_events_hourly" -> (eventsHourly(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderdate,
+        | round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |  OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |        RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) / 100.0, 2) AS r30_total
+        |FROM orders""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS INT) AS g_status,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
     "q6_revenue" ->
       s"""SELECT ${exactMoneySumSql("l_extendedprice * l_discount", 4)} AS revenue
          |FROM lineitem

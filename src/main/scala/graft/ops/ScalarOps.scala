@@ -96,7 +96,23 @@ object ScalarOps {
           sum(col("l_quantity")), 4).as("wavg_price"),
         round(sum(col("l_quantity")), 2).as("total_qty"))
 
+  /** Bitwise-operator surface over the keys (Spark `^` is xor while
+    * DuckDB's is exponent — the oracle spells `xor(a,b)`; everything
+    * else is common syntax).
+    */
+  def bitwiseFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).selectExpr(
+      "l_orderkey", "l_linenumber",
+      "l_orderkey & 255 AS key_and",
+      "l_orderkey | 4096 AS key_or",
+      "l_orderkey ^ l_partkey AS key_xor",
+      "shiftleft(l_linenumber, 3) AS ln_shl",
+      "shiftright(l_orderkey, 4) AS key_shr",
+      "CAST(bit_count(l_orderkey) AS INT) AS key_bits",
+      "~l_linenumber AS ln_not")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bitwise_funcs" -> (bitwiseFuncs(_, _)),
     "q_weighted_avg" -> (weightedAvg(_, _)),
     "q_bool_aggs" -> (boolAggs(_, _)),
     "q_math_funcs" -> (mathFuncs(_, _)),
@@ -106,6 +122,16 @@ object ScalarOps {
     "q_date_funcs2" -> (dateFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_bitwise_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_orderkey & 255 AS key_and,
+        | l_orderkey | 4096 AS key_or,
+        | xor(l_orderkey, l_partkey) AS key_xor,
+        | l_linenumber << 3 AS ln_shl,
+        | l_orderkey >> 4 AS key_shr,
+        | CAST(bit_count(l_orderkey) AS INT) AS key_bits,
+        | ~l_linenumber AS ln_not
+        |FROM lineitem""".stripMargin,
     "q_weighted_avg" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
