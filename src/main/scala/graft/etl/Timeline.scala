@@ -102,4 +102,26 @@ object Timeline {
     */
   def compact(spark: SparkSession, tablePath: String, numFiles: Int): Long =
     commit(read(spark, tablePath).repartition(numFiles), tablePath)
+
+  /** Incremental query between two commits (Hudi's incremental read —
+    * the feature that lets a downstream pipeline consume only what
+    * changed since the commit it last saw): every key inserted,
+    * updated, or deleted going from `fromVersion` to `toVersion`,
+    * tagged with its change type. One full-outer shuffle on the key —
+    * identical cost shape to a CDC diff of the two snapshots.
+    */
+  def incrementalRead(spark: SparkSession, tablePath: String, keys: Seq[String],
+      fromVersion: Long, toVersion: Long): DataFrame =
+    HudiLike.changeSet(
+      readVersion(spark, tablePath, fromVersion),
+      readVersion(spark, tablePath, toVersion), keys)
+      .filter(org.apache.spark.sql.functions.col("change_type") =!= "unchanged")
+
+  /** Restore (rollback): make `version`'s contents the newest commit.
+    * Implemented as a new commit carrying the old snapshot — history
+    * stays append-only (Hudi's savepoint/restore semantics), so the
+    * botched commits remain readable until `clean` retires them.
+    */
+  def restore(spark: SparkSession, tablePath: String, version: Long): Long =
+    commit(readVersion(spark, tablePath, version).localCheckpoint(), tablePath)
 }

@@ -53,6 +53,25 @@ class TimelineSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("incremental read surfaces only what changed between commits") {
+    val dir = Files.createTempDirectory("incr").toString + "/t"
+    Timeline.upsertInto(spark, dir, rows(("a", 1L, 1.0), ("b", 1L, 2.0), ("d", 1L, 9.0)), Seq("k"), "pc")
+    Timeline.commit(rows(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 3.0)), dir) // d deleted
+    val changes = Timeline.incrementalRead(spark, dir, Seq("k"), 0L, 1L)
+      .as[(String, String)].collect().sortBy(_._1)
+    assert(changes.toSeq == Seq(("b", "update"), ("c", "insert"), ("d", "delete")))
+  }
+
+  test("restore makes an old version the newest commit, keeping history") {
+    val dir = Files.createTempDirectory("restore").toString + "/t"
+    Timeline.upsertInto(spark, dir, rows(("a", 1L, 1.0)), Seq("k"), "pc")
+    Timeline.upsertInto(spark, dir, rows(("a", 2L, 99.0)), Seq("k"), "pc") // botched
+    val v = Timeline.restore(spark, dir, 0L)
+    assert(v == 2L && Timeline.versions(dir) == Seq(0L, 1L, 2L))
+    val latest = Timeline.read(spark, dir).as[(String, Long, Double)].collect()
+    assert(latest.toSeq == Seq(("a", 1L, 1.0)))
+  }
+
   test("changeSet tags insert/update/delete/unchanged") {
     val before = rows(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0))
     val after = rows(("b", 2L, 20.0), ("c", 1L, 3.0), ("d", 1L, 4.0))
