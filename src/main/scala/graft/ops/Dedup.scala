@@ -122,6 +122,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jacc"))
   }
 
+  /** Near-duplicate clusters: connected components over the Jaccard
+    * pair graph — the decision step that turns pairwise matches into
+    * keep/drop groups (cluster id = smallest doc_id in the component,
+    * i.e. the survivor). Distributed min-label propagation: each round
+    * joins the edge list to current labels, takes the per-node min over
+    * neighbors, and re-checkpoints — O(diameter) rounds, every round a
+    * key-partitioned join+agg, lineage truncated per round so the plan
+    * stays one-iteration deep (the same driver-controls/executors-work
+    * loop shape as the IVF k-means build). The driver-side loop only
+    * reads a convergence COUNT, never row data.
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   // ---- MinHash + LSH (the at-scale path; no SQL oracle) -----------------
 
   val NumPerms = 64
@@ -195,6 +230,7 @@ object Dedup {
     "dd_exact_survivors" -> (exactSurvivors(_, _)),
     "dd_normalized" -> (normalizedGroups(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
+    "dd_clusters" -> (nearDupClusters(_, _)),
     "dd_minhash_lsh" -> (minhashCandidates(_, _)),
     "dd_minhash_agg" -> (minhashCandidatesAgg(_, _)))
 
@@ -213,7 +249,21 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "dd_ngram_jaccard" -> s"""
+    "dd_ngram_jaccard" -> ngramJaccardSql,
+    "dd_clusters" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ($ngramJaccardSql) p
+         |  UNION
+         |  SELECT doc_b, doc_a FROM ($ngramJaccardSql) p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin)
+
+  private lazy val ngramJaccardSql: String = s"""
       |WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
@@ -232,5 +282,5 @@ object Dedup {
       |FROM shared JOIN sizes sa ON doc_a = sa.doc_id
       |            JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) >= $JaccardThreshold
-      |""".stripMargin)
+      |""".stripMargin
 }

@@ -55,6 +55,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2), "canonical a<b ordering only")
   }
 
+  test("near-dup clusters are consistent with the pair graph") {
+    val clusters = Dedup.nearDupClusters(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    // every paired doc is labeled, both ends share a cluster, and the
+    // cluster id is a member of the cluster (the min, by construction)
+    exact.foreach { case (a, b, _) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid, s"cluster $cid id must be its min member")
+    }
+  }
+
   test("exact dedup survivors preserve distinct content count") {
     val d = graft.Tables.documents(spark, sf0001)
     val distinctTexts = d.select("text").distinct().count()
