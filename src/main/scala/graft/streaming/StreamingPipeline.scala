@@ -3,7 +3,7 @@ package graft.streaming
 import graft.etl.HudiLike
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
 import org.apache.spark.sql.types._
 
 /** A typed event as consumed by the streaming path. */
@@ -88,6 +88,42 @@ object StreamingPipeline {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** Per-user running totals on the arbitrary-state v2 API
+    * (`transformWithState`, Spark 4): typed `ValueState` obtained from
+    * the processor handle, declarative TTL available per state item,
+    * timers for event/processing-time callbacks. Functionally the twin
+    * of [[userSessions]]; requires the RocksDB state store provider
+    * (`StreamingSpec` sets it for the query).
+    */
+  class RunningTotalsProcessor extends StatefulProcessor[Long, EventRow, UserSession] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[UserSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSession]("totals",
+        org.apache.spark.sql.Encoders.product[UserSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[UserSession] = {
+      val evs = rows.toSeq
+      val prev = if (state.exists()) state.get() else UserSession(key, 0L, 0.0, -1L)
+      val next = UserSession(
+        user_id = key,
+        n_events = prev.n_events + evs.size,
+        total_value = math.rint((prev.total_value + evs.map(_.value).sum) * 100) / 100,
+        last_event_id = (prev.last_event_id +: evs.map(_.event_id)).max)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[userSessions]] re-expressed on `transformWithState`. */
+  def userSessionsTws(events: Dataset[EventRow]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-static join: enrich a stream against a static dimension

@@ -90,6 +90,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("transformWithState running totals match the flatMapGroupsWithState twin") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventRow]
+      val q = StreamingPipeline.userSessionsTws(input.toDS())
+        .writeStream.format("memory").queryName("sessions_tws")
+        .outputMode(OutputMode.Update).start()
+      input.addData(ev(1, 1, 7, "a", 1.5), ev(2, 2, 7, "b", 2.5))
+      q.processAllAvailable()
+      input.addData(ev(3, 3, 7, "c", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("sessions_tws").as[UserSession].collect()
+        .filter(_.user_id == 7).maxBy(_.n_events)
+      assert(last == UserSession(7L, 3L, 5.0, 3L))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join enriches events against a dimension") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[EventRow]
