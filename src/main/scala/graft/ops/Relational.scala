@@ -595,6 +595,22 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with its own ORDER BY + LIMIT: top-2
+    * orders per market segment, the "top-k per outer row" shape that a
+    * lateral join expresses directly (and Catalyst decorrelates into a
+    * ranked window underneath). Same SQL text runs on both engines.
+    */
+  def lateralTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.views(spark, sfDir)
+    spark.sql(
+      """SELECT s.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders JOIN customer ON o_custkey = c_custkey
+        |         WHERE c_mktsegment = s.c_mktsegment
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin)
+  }
+
   /** The SQL-string surface (SURVEY.md §2.1 S1): the reference issues
     * every query as `spark.sql(...)` text over catalog tables
     * (pipeline_architecture.py:207-227); here the same works against
@@ -634,6 +650,7 @@ object Relational {
     "q_kmv_distinct" -> (kmvDistinct(_, _)),
     "q_range_frame" -> (rangeFrameRevenue(_, _)),
     "q_grouping_sets" -> (groupingSets(_, _)),
+    "q_lateral_topk" -> (lateralTopK(_, _)),
     "q4_priority_exists" -> (q4PriorityExists(_, _)),
     "q6_revenue" -> (q6Revenue(_, _)),
     "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
@@ -671,6 +688,13 @@ object Relational {
         |        RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) / 100.0, 2) AS r30_total
         |FROM orders""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT s.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        |LATERAL (SELECT o_orderkey, o_totalprice
+        |         FROM orders JOIN customer ON o_custkey = c_custkey
+        |         WHERE c_mktsegment = s.c_mktsegment
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS INT) AS g_flag,
