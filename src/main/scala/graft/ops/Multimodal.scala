@@ -123,7 +123,24 @@ object Multimodal {
         ascii(col("payload").cast("string")
           .substr(col("frame_idx") * FrameStride + 1, lit(1))).cast("long").as("head_byte"))
 
+  val ResizeStride = 4
+
+  /** Resize/downsample stub: nearest-neighbor stride sampling of the
+    * payload (every `ResizeStride`-th byte) — the 1-D stand-in for an
+    * image thumbnailer. Emits the resampled payload's digest + sizes,
+    * never the bytes, so the result stays compact and hashable; a real
+    * codec drops into the same per-row transform.
+    */
+  def resize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS orig_bytes",
+      s"CAST(size(sequence(1, length(text), $ResizeStride)) AS BIGINT) AS thumb_bytes",
+      s"""md5(concat_ws('', transform(sequence(1, length(text), $ResizeStride),
+         |  i -> substr(text, i, 1)))) AS thumb_hash""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resize" -> (resize(_, _)),
     "mm_media_meta" -> (mediaMeta(_, _)),
     "mm_decode_features" -> (decodeFeaturesFlat(_, _)),
     "mm_frame_sample" -> (frameSample(_, _)))
@@ -134,6 +151,13 @@ object Multimodal {
     * equals the raw byte value.
     */
   val oracles: Map[String, String] = Map(
+    "mm_resize" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS BIGINT) AS orig_bytes,
+         | CAST(len(range(1, length(text) + 1, $ResizeStride)) AS BIGINT) AS thumb_bytes,
+         | md5(array_to_string(list_transform(range(1, length(text) + 1, $ResizeStride),
+         |   i -> substr(text, i, 1)), '')) AS thumb_hash
+         |FROM documents""".stripMargin,
     "mm_decode_features" ->
       s"""WITH bytes AS (
          |  SELECT doc_id, ascii(substr(text, i + 1, 1)) AS code
