@@ -595,6 +595,35 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
   }
 
+  /** File-format surface (SURVEY.md §2.1 S7) inside the correctness
+    * gate: round-trip a lineitem slice through CSV, JSON, and ORC and
+    * aggregate each readback. Lossless round-trips make the three rows
+    * hash-match an oracle computed straight from the parquet — so
+    * text-format type fidelity (double↔text, header handling, schema-on
+    * -read) is verified, not just spec-asserted.
+    */
+  def formatsRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .filter(col("l_orderkey") % 97 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    base.write.mode("overwrite").json(s"$tmp/json")
+    base.write.mode("overwrite").orc(s"$tmp/orc")
+    val readbacks = Seq(
+      "csv" -> spark.read.option("header", "true").schema(base.schema).csv(s"$tmp/csv"),
+      "json" -> spark.read.schema(base.schema).json(s"$tmp/json"),
+      "orc" -> spark.read.orc(s"$tmp/orc"))
+    readbacks.map { case (fmt, df) =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        countDistinct(col("l_returnflag")).as("n_flags"))
+        .withColumn("format", lit(fmt))
+    }.reduce(_ unionByName _)
+      .select(col("format"), col("n_rows"), col("sum_qty"), col("n_flags"))
+  }
+
   /** Correlated LATERAL subquery with its own ORDER BY + LIMIT: top-2
     * orders per market segment, the "top-k per outer row" shape that a
     * lateral join expresses directly (and Catalyst decorrelates into a
@@ -651,6 +680,7 @@ object Relational {
     "q_range_frame" -> (rangeFrameRevenue(_, _)),
     "q_grouping_sets" -> (groupingSets(_, _)),
     "q_lateral_topk" -> (lateralTopK(_, _)),
+    "p_formats_roundtrip" -> (formatsRoundtrip(_, _)),
     "q4_priority_exists" -> (q4PriorityExists(_, _)),
     "q6_revenue" -> (q6Revenue(_, _)),
     "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
@@ -688,6 +718,13 @@ object Relational {
         |        RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |  AS DOUBLE) / 100.0, 2) AS r30_total
         |FROM orders""".stripMargin,
+    "p_formats_roundtrip" ->
+      """SELECT f.format, a.n_rows, a.sum_qty, a.n_flags
+        |FROM (SELECT count(*) AS n_rows,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |             count(DISTINCT l_returnflag) AS n_flags
+        |      FROM lineitem WHERE l_orderkey % 97 = 0) a
+        |CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS format) f""".stripMargin,
     "q_lateral_topk" ->
       """SELECT s.c_mktsegment, o.o_orderkey, o.o_totalprice
         |FROM (SELECT DISTINCT c_mktsegment FROM customer) s,

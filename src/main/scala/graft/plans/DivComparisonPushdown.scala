@@ -70,5 +70,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DivComparisonPushdown)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // session-wide SQL registration of the custom codegen expressions
+    // (graft.functions.VectorFunctions.register remains for sessions
+    // built without extensions)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("l2_dist"),
+      new ExpressionInfo(classOf[graft.functions.L2Distance].getName, "l2_dist"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.L2Distance(exprs.head, exprs(1))))
   }
 }
