@@ -34,17 +34,21 @@ object Bench {
     // over all ~100 queries overflows it and the JSON line never parses
     // (round-1 lesson). Emit the 15 slowest queries only, rounded, and keep
     // the line well under 1 KB; the total still sums EVERY query.
+    // locale-independent 3dp formatting — the f-interpolator honors the
+    // default JVM locale, and a comma decimal separator would corrupt
+    // the driver-parsed JSON line
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // full per-query timings on demand (dev profiling; not driver-parsed)
     sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
       val lines = results.toSeq.sortBy(-_._2)
-        .map { case (k, v) => f"$v%9.3f  $k" }.mkString("", "\n", "\n")
+        .map { case (k, v) => s"${fmt(v)}  $k" }.mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), lines)
     }
     val slowest = results.toSeq.sortBy(-_._2).take(15)
-    val qs = slowest.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

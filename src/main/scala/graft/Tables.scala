@@ -20,14 +20,20 @@ object Tables {
   // the directory and re-reads footers for schema inference on every
   // call, which across a ~100-query run is pure fixed overhead. The
   // testdata tables are immutable, and a cached DataFrame is just a
-  // reusable logical plan. Keyed on the session too so tests with their
-  // own sessions don't cross-wire.
+  // reusable logical plan. The outer map holds the session WEAKLY so a
+  // stopped, dereferenced session (and every DataFrame made from it)
+  // can be collected instead of leaking for the JVM lifetime.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet", p => spark.read.parquet(p))
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")

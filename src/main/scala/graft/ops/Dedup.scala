@@ -142,7 +142,12 @@ object Dedup {
       .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    // min-label propagation advances one hop per round, so rounds ≤
+    // component diameter; 64 is far beyond any near-dup graph's
+    // diameter, and running past it must fail loudly — a silent cap
+    // would emit split (wrong) clusters
+    val maxRounds = 64
+    while (changed > 0 && iter < maxRounds) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
       val next = labels.join(prop, labels("id") === prop("src"), "left")
@@ -154,6 +159,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 

@@ -132,7 +132,10 @@ object Multimodal {
     * codec drops into the same per-row transform.
     */
   def resize(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).selectExpr(
+    // empty payloads are skipped on both engines: Spark's sequence(1, 0)
+    // throws where DuckDB's range(1, 1) yields an empty list
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1).selectExpr(
       "doc_id",
       "CAST(length(text) AS BIGINT) AS orig_bytes",
       s"CAST(size(sequence(1, length(text), $ResizeStride)) AS BIGINT) AS thumb_bytes",
@@ -157,7 +160,7 @@ object Multimodal {
          | CAST(len(range(1, length(text) + 1, $ResizeStride)) AS BIGINT) AS thumb_bytes,
          | md5(array_to_string(list_transform(range(1, length(text) + 1, $ResizeStride),
          |   i -> substr(text, i, 1)), '')) AS thumb_hash
-         |FROM documents""".stripMargin,
+         |FROM documents WHERE length(text) >= 1""".stripMargin,
     "mm_decode_features" ->
       s"""WITH bytes AS (
          |  SELECT doc_id, ascii(substr(text, i + 1, 1)) AS code

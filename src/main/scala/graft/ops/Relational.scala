@@ -606,7 +606,7 @@ object Relational {
     val base = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
       .filter(col("l_orderkey") % 97 === 0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val tmp = formatsDir
     base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     base.write.mode("overwrite").json(s"$tmp/json")
     base.write.mode("overwrite").orc(s"$tmp/orc")
@@ -622,6 +622,21 @@ object Relational {
         .withColumn("format", lit(fmt))
     }.reduce(_ unionByName _)
       .select(col("format"), col("n_rows"), col("sum_qty"), col("n_flags"))
+  }
+
+  // one scratch dir per JVM, overwritten per invocation and removed on
+  // exit — repeated bench/verify runs must not accrete /tmp copies
+  private lazy val formatsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }))
+    dir.toString
   }
 
   /** Correlated LATERAL subquery with its own ORDER BY + LIMIT: top-2

@@ -214,10 +214,19 @@ object TextOps {
     */
   def winnowRobust(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    winnowRobustOf(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)])
+  }
+
+  /** The winnowing kernel over any (doc_id, text) dataset — separated
+    * so the SIGMOD guarantee is testable on constructed documents.
+    */
+  def winnowRobustOf(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
     val k = 8
     val w = WinnowW
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs
       .mapPartitions { it =>
         // one digest instance per partition (the open-once pattern)
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -71,6 +71,10 @@ case class AsOfJoinExec(
 
   require(leftTs.dataType == LongType && rightTs.dataType == LongType,
     "as-of timestamps must be long (epoch micros)")
+  // equal keys must hash to the same partition on both sides — an
+  // Int-vs-Long key pair would co-partition WRONG, not fail
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
 
   override def output: Seq[Attribute] = left.output :+ asofOut
   override def producedAttributes: AttributeSet = AttributeSet(asofOut)

@@ -30,20 +30,23 @@ class SketchSpec extends SparkSpec {
   }
 
   test("winnowing guarantee: shared w+k-1 char run => shared fingerprint hash") {
-    // construct two docs sharing a 15-char run via the real testdata:
-    // every doc shares all its runs with itself; cross-check instead that
-    // any two docs with identical text have identical fingerprint sets
-    val dup = Dedup.exactGroups(spark, sf0001)
-      .filter("n_copies >= 2").limit(1).collect()
-    if (dup.nonEmpty) {
-      val fps = TextOps.winnowRobust(spark, sf0001)
-        .as[(Long, Long, Long)].collect().groupBy(_._1)
-      val ids = graft.Tables.documents(spark, sf0001)
-        .selectExpr("doc_id", "md5(text) AS h").as[(Long, String)]
-        .collect().groupBy(_._2).values.filter(_.length >= 2).head.map(_._1)
-      val sets = ids.map(id => fps(id).map(r => (r._2, r._3)).toSet)
-      assert(sets.distinct.length == 1, "identical docs, identical fingerprints")
-    }
+    // two constructed docs share a run of exactly w+k-1 = 15 chars
+    // embedded in different surroundings; SIGMOD'03 guarantees at least
+    // one selected fingerprint falls inside any such shared run
+    val shared = "abcdefghijklmno" // 15 chars
+    val doc1 = "xxxx quick brown " + shared + " lazy dog jumps over"
+    val doc2 = "totally different prefix text " + shared + " and another suffix"
+    val docs = Seq((1L, doc1), (2L, doc2)).toDS()
+    val fps = TextOps.winnowRobustOf(docs)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val h1 = fps(1L).map(_._3).toSet
+    val h2 = fps(2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty,
+      s"docs sharing a ${shared.length}-char run must share a fingerprint hash")
+    // and identical docs get identical fingerprint sets
+    val same = TextOps.winnowRobustOf(Seq((1L, doc1), (2L, doc1)).toDS())
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(same(1L).map(r => (r._2, r._3)).toSet == same(2L).map(r => (r._2, r._3)).toSet)
   }
 
   test("KMV estimate lands near the exact distinct count") {
