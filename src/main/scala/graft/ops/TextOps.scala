@@ -264,6 +264,48 @@ object TextOps {
       .toDF("doc_id", "pos", "h")
   }
 
+  /** Benchmark doc_ids for the decontamination check (stand-in for an
+    * eval set's documents).
+    */
+  val BenchmarkMaxId = 5L
+
+  /** Eval-set decontamination: flag every corpus document sharing at
+    * least one 5-word shingle with the "benchmark" documents (ids <
+    * `BenchmarkMaxId`) — the overlap scan run before training to keep
+    * eval data out of the corpus. Shape: the benchmark shingle set is
+    * tiny by construction → broadcast semi-ish join against it; the
+    * corpus side is the one shingle explosion.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, sfDir)
+    val benchSh = sh.filter(col("doc_id") < BenchmarkMaxId)
+      .select(col("s")).distinct()
+    sh.filter(col("doc_id") >= BenchmarkMaxId)
+      .join(broadcast(benchSh), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+  }
+
+  /** Curation policy verdict: fold the quality signals into one
+    * keep/drop decision with a first-match reason — the executable form
+    * of a filtering recipe (length floor, repetition cap, stopword-band
+    * sanity check).
+    */
+  def filterVerdict(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = inList(Profiles.head._2)
+    Tables.documents(spark, sfDir).selectExpr(
+      "doc_id",
+      s"CAST(size($wsSplitSpark) AS BIGINT) AS n_tokens",
+      s"""CASE
+         | WHEN size($wsSplitSpark) < 10 THEN 'too_short'
+         | WHEN size(array_distinct($wsSplitSpark)) / CAST(size($wsSplitSpark) AS DOUBLE) < 0.3
+         |   THEN 'too_repetitive'
+         | WHEN size(filter($wsSplitSpark, w -> w IN $stop)) / CAST(size($wsSplitSpark) AS DOUBLE) > 0.7
+         |   THEN 'stopword_soup'
+         | ELSE 'keep' END AS verdict""".stripMargin)
+      .withColumn("keep", col("verdict") === "keep")
+  }
+
   val ChunkTokens = 64
   val ChunkStride = 48
 
@@ -308,6 +350,8 @@ object TextOps {
     "tx_tfidf" -> (tfidfTopTerms(_, _)),
     "tx_repetition" -> (repetitionStats(_, _)),
     "tx_chunking" -> (chunking(_, _)),
+    "tx_decontaminate" -> (decontaminate(_, _)),
+    "tx_filter_verdict" -> (filterVerdict(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   val oracles: Map[String, String] = {
@@ -367,6 +411,30 @@ object TextOps {
            |  SELECT doc_id,
            |    list_transform(range(length(text) - 7), i -> $bucket) AS hs
            |  FROM documents WHERE length(text) >= 8) t""".stripMargin
+      },
+      "tx_decontaminate" ->
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(len(string_split(text, ' ')) - ${Dedup.ShingleSize - 1}),
+           |    i -> concat_ws(' ', ${(1 to Dedup.ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+           |  FROM documents WHERE len(string_split(text, ' ')) >= ${Dedup.ShingleSize})
+           |SELECT c.doc_id, count(*) AS n_contaminated_shingles
+           |FROM sh c JOIN (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchmarkMaxId) b
+           |  ON c.s = b.s
+           |WHERE c.doc_id >= $BenchmarkMaxId
+           |GROUP BY c.doc_id""".stripMargin,
+      "tx_filter_verdict" -> {
+        s"""SELECT doc_id, n_tokens, verdict, (verdict = 'keep') AS keep FROM (
+           |  SELECT doc_id,
+           |    CAST(len($wsSplitDuck) AS BIGINT) AS n_tokens,
+           |    CASE
+           |     WHEN len($wsSplitDuck) < 10 THEN 'too_short'
+           |     WHEN len(list_distinct($wsSplitDuck)) / CAST(len($wsSplitDuck) AS DOUBLE) < 0.3
+           |       THEN 'too_repetitive'
+           |     WHEN len(list_filter($wsSplitDuck, w -> w IN $stop)) / CAST(len($wsSplitDuck) AS DOUBLE) > 0.7
+           |       THEN 'stopword_soup'
+           |     ELSE 'keep' END AS verdict
+           |  FROM documents) t""".stripMargin
       },
       "tx_winnow_robust" -> {
         val nib = (n: Int) =>
