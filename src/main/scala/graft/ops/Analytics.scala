@@ -207,6 +207,25 @@ object Analytics {
         round(var_samp(col("l_quantity")), 4).as("qty_var"),
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_covar"))
 
+  /** Event-sequence transition counts: per-user (previous event type →
+    * event type) bigram frequencies — the Markov-chain view of behavior
+    * streams. One window per user plus one global aggregation; top-20
+    * with full deterministic tie-break.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev_type").asc, col("event_type").asc)
+      .limit(20)
+  }
+
   /** Sliding-window aggregation (1h windows every 30min): each event
     * lands in exactly two overlapping windows. The streaming twin is
     * `window()` under a watermark; this batch form pins the window
@@ -230,6 +249,7 @@ object Analytics {
     "q_asof_signup" -> (asofSignup(_, _)),
     "q_asof_native" -> (asofSignupNative(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
+    "q_event_transitions" -> (eventTransitions(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_histogram" -> (histogram(_, _)),
     "q_stats" -> (stats(_, _)))
@@ -297,6 +317,15 @@ object Analytics {
         |FROM events e ASOF LEFT JOIN
         | (SELECT user_id AS su, ts FROM events WHERE event_type = 'signup') s
         | ON e.user_id = s.su AND e.ts >= s.ts""".stripMargin,
+    "q_event_transitions" ->
+      """SELECT prev_type, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY n DESC, prev_type, event_type LIMIT 20""".stripMargin,
     "q_sessionize" ->
       s"""WITH marked AS (
          |  SELECT user_id, epoch_us(ts) AS ts_us, value,
