@@ -147,6 +147,38 @@ object Analytics {
       .agg(count(lit(1)).as("n_close_pairs"))
   }
 
+  /** Band width for the keyless range join (10 s in µs). */
+  val BandUs = 10000000L
+
+  /** Keyless interval join via range banding: pairs of events within
+    * `BandUs` of each other across the WHOLE stream (no shared key to
+    * equi-join on). The naive plan is a nested-loop over n² pairs; the
+    * banding rewrite hashes the right side to its `ts div band` bucket
+    * and probes each left row's three adjacent buckets (explode ×3) —
+    * an ordinary shuffled equi-join on the band plus a residual |Δt|
+    * filter. Each qualifying pair matches in exactly one band, so no
+    * dedup is needed, and completeness holds because |Δt| ≤ band forces
+    * the bucket numbers within ±1. This is the general at-scale recipe
+    * for any tolerance/overlap join without an equi key.
+    */
+  def closePairsBanded(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts_us"), col("event_type"))
+    val right = ev.withColumn("band", expr(s"ts_us div $BandUs"))
+    val left = ev
+      .select(col("event_id").as("l_event_id"), col("ts_us").as("l_ts_us"),
+        col("event_type").as("l_event_type"))
+      .withColumn("band", explode(array(
+        expr(s"l_ts_us div $BandUs - 1"),
+        expr(s"l_ts_us div $BandUs"),
+        expr(s"l_ts_us div $BandUs + 1"))))
+    left.join(right, Seq("band"))
+      .filter(col("l_event_id") < col("event_id") &&
+        abs(col("l_ts_us") - col("ts_us")) <= BandUs)
+      .groupBy(col("l_event_type").as("type_a"), col("event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact percentiles per group (Spark `percentile` ≙ DuckDB
     * `quantile_cont`: linear interpolation on the sorted values).
     */
@@ -242,6 +274,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_sliding" -> (eventsSliding(_, _)),
     "q_interval_join" -> (closeEventPairs(_, _)),
+    "q_interval_banded" -> (closePairsBanded(_, _)),
     "q_funnel" -> (funnel(_, _)),
     "q_cohort_retention" -> (cohortRetention(_, _)),
     "q_outliers" -> (valueOutliers(_, _)),
@@ -299,6 +332,12 @@ object Analytics {
         |SELECT (SELECT count(*) FROM s1) AS n_signup,
         |       (SELECT count(*) FROM s2) AS n_signup_click,
         |       (SELECT count(*) FROM s3) AS n_full_funnel""".stripMargin,
+    "q_interval_banded" ->
+      s"""SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+         |FROM events a JOIN events b
+         |  ON a.event_id < b.event_id
+         |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= $BandUs
+         |GROUP BY 1, 2""".stripMargin,
     "q_interval_join" ->
       """SELECT a.user_id, count(*) AS n_close_pairs
         |FROM events a JOIN events b
