@@ -22,13 +22,18 @@ import org.apache.spark.sql.types.LongType
   * hand-applies this rewrite; the rule makes any ad-hoc query get it
   * for free.
   *
-  * Soundness (`div` truncates toward zero, both operands long):
-  * for k > 0 and c ≥ 0, trunc(a/k) > c ⟺ a ≥ (c+1)·k holds for all a
-  * (negative a included, since (c+1)·k > 0). For ≥: trunc(a/k) ≥ c ⟺
-  * a ≥ c·k holds only for c ≥ 1 — at c = 0 truncation-toward-zero means
-  * every a in (-k, 0) also satisfies trunc(a/k) ≥ 0, so the correct
-  * rewrite there is a > -k. Negative c is left untouched (truncation
-  * flips direction), as is any (c+1)·k that would overflow Long.
+  * Soundness (`div` truncates toward zero, both operands long, k > 0):
+  *   - trunc(a/k) > c  ⟺ a ≥ (c+1)·k   for c ≥ 0 (negatives included:
+  *     (c+1)·k > 0);
+  *   - trunc(a/k) ≥ c  ⟺ a ≥ c·k       for c ≥ 1; at c = 0 every
+  *     a in (-k, 0) also truncates to 0, so the rewrite is a > -k;
+  *   - trunc(a/k) < c  ⟺ a < c·k       for c ≥ 1; at c = 0 (trunc ≤ -1)
+  *     it is a ≤ -k, i.e. a < 1-k;
+  *   - trunc(a/k) ≤ c  ⟺ a < (c+1)·k   for c ≥ 0;
+  *   - trunc(a/k) = c  ⟺ c·k ≤ a < (c+1)·k for c ≥ 1; at c = 0 it is
+  *     -k < a < k.
+  * Negative c is left untouched (truncation flips direction), as is any
+  * product that would overflow Long.
   */
 object DivComparisonPushdown extends Rule[LogicalPlan] {
 
@@ -57,6 +62,38 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
       prod(c, k) match {
         case Some(bound) => GreaterThanOrEqual(a, Literal(bound, LongType))
         case None => GreaterThanOrEqual(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
+      }
+    case LessThan(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(0L, LongType)) if k > 0 =>
+      // trunc(a/k) < 0 ⟺ a <= -k
+      LessThan(a, Literal(1 - k, LongType))
+    case LessThan(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(c: Long, LongType)) if k > 0 && c >= 1 =>
+      prod(c, k) match {
+        case Some(bound) => LessThan(a, Literal(bound, LongType))
+        case None => LessThan(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
+      }
+    case LessThanOrEqual(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(c: Long, LongType)) if k > 0 && c >= 0 =>
+      prod(c + 1, k) match {
+        case Some(bound) => LessThan(a, Literal(bound, LongType))
+        case None => LessThanOrEqual(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
+      }
+    case EqualTo(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(0L, LongType)) if k > 0 =>
+      // trunc(a/k) = 0 ⟺ -k < a < k
+      And(GreaterThan(a, Literal(-k, LongType)), LessThan(a, Literal(k, LongType)))
+    case EqualTo(
+        IntegralDivide(a, Literal(k: Long, LongType), _),
+        Literal(c: Long, LongType)) if k > 0 && c >= 1 =>
+      (prod(c, k), prod(c + 1, k)) match {
+        case (Some(lo), Some(hi)) =>
+          And(GreaterThanOrEqual(a, Literal(lo, LongType)), LessThan(a, Literal(hi, LongType)))
+        case _ => EqualTo(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
       }
   }
 }

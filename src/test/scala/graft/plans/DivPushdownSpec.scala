@@ -6,9 +6,14 @@ import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 class DivPushdownSpec extends SparkSpec {
 
   test("rewrite is semantically exact (trunc-div vs bound, incl. negatives)") {
-    // geBound mirrors the rule: c >= 1 → a >= c·k; c == 0 → a > -k
+    // each *Holds mirrors the rule's rewrite for that comparison
     def geHolds(a: Long, k: Long, c: Long): Boolean =
       if (c == 0) a > -k else a >= c * k
+    def ltHolds(a: Long, k: Long, c: Long): Boolean =
+      if (c == 0) a < 1 - k else a < c * k
+    def leHolds(a: Long, k: Long, c: Long): Boolean = a < (c + 1) * k
+    def eqHolds(a: Long, k: Long, c: Long): Boolean =
+      if (c == 0) a > -k && a < k else a >= c * k && a < (c + 1) * k
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 2000) {
       val a = rnd.nextLong() % 1000000
@@ -16,13 +21,17 @@ class DivPushdownSpec extends SparkSpec {
       val c = rnd.nextInt(1000).toLong
       assert((a / k > c) == (a >= (c + 1) * k), s"a=$a k=$k c=$c (>)")
       assert((a / k >= c) == geHolds(a, k, c), s"a=$a k=$k c=$c (>=)")
+      assert((a / k < c) == ltHolds(a, k, c), s"a=$a k=$k c=$c (<)")
+      assert((a / k <= c) == leHolds(a, k, c), s"a=$a k=$k c=$c (<=)")
+      assert((a / k == c) == eqHolds(a, k, c), s"a=$a k=$k c=$c (=)")
     }
     // directed: the truncation-toward-zero region that randomized draws
-    // almost never hit — a in (-k, 0) with c = 0 must satisfy >=
-    for (k <- Seq(2L, 10L, 1000L); a <- Seq(-1L, -k + 1, -k / 2)) {
-      assert(a / k >= 0L, s"a=$a k=$k: trunc is 0, satisfies >= 0")
-      assert(geHolds(a, k, 0L), s"rewrite must keep a=$a k=$k c=0")
-      assert((-k / k >= 0L) == geHolds(-k, k, 0L), s"boundary a=-k k=$k")
+    // almost never hit — a in (-k, 0) and the ±k boundaries, at c = 0
+    for (k <- Seq(2L, 10L, 1000L); a <- Seq(-k, -k + 1, -k / 2, -1L, 0L, k - 1, k)) {
+      assert((a / k >= 0L) == geHolds(a, k, 0L), s"a=$a k=$k (>= 0)")
+      assert((a / k < 0L) == ltHolds(a, k, 0L), s"a=$a k=$k (< 0)")
+      assert((a / k <= 0L) == leHolds(a, k, 0L), s"a=$a k=$k (<= 0)")
+      assert((a / k == 0L) == eqHolds(a, k, 0L), s"a=$a k=$k (= 0)")
     }
   }
 
