@@ -123,6 +123,37 @@ object Pipeline {
     finally spark.stop()
   }
 
+  /** Targeted reprocessing (backfill): run the kernel with an explicit
+    * watermark override — everything ingested after `fromMs` is
+    * re-extracted and upserted. Safe to fire at any time because record
+    * keys are deterministic (sha2 of business columns): already-loaded
+    * rows are replaced in place, never duplicated — the idempotency the
+    * reference claims (README.md:81-83) but cannot deliver with uuid()
+    * keys. The run is logged under `<name>-backfill`, so the normal
+    * pipeline's watermark chain is untouched.
+    */
+  def backfill(spark: SparkSession, conf: PipelineConfig, fromMs: Long): RunResult = {
+    val startMs = conf.clock()
+    val bfConf = conf.copy(name = conf.name + "-backfill")
+    val wm = Some(fromMs)
+    try {
+      val extracted = extract(spark, conf.sourcePath, wm).cache()
+      val n = extracted.count()
+      if (n > 0) {
+        HudiLike.upsertInto(spark, conf.targetPath, transform(extracted, startMs),
+          keys = Seq("record_id"), precombine = "load_timestamp",
+          tieBreak = Seq("event_id"))
+      }
+      extracted.unpersist()
+      log(spark, bfConf, wm, startMs, "SUCCESS", n)
+      RunResult("SUCCESS", n, "backfill", wm)
+    } catch {
+      case e: Exception =>
+        log(spark, bfConf, wm, startMs, "FAILED", 0, Some(e.getMessage))
+        throw e
+    }
+  }
+
   private def log(spark: SparkSession, conf: PipelineConfig, wm: Option[Long],
       startMs: Long, status: String, n: Long, err: Option[String] = None): Unit = {
     val endMs = conf.clock()

@@ -59,6 +59,26 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(conf.targetPath).count() == r.recordsProcessed)
   }
 
+  test("backfill reprocesses without duplicating and leaves the watermark chain alone") {
+    val conf = freshConf(Seq(2000000000000L, 2000000001000L,
+      2000000002000L, 2000000003000L, 2000000004000L, 2000000005000L))
+    val r1 = Pipeline.run(spark, conf)
+    assert(r1.recordsProcessed == 1000)
+    // full-history backfill: every record re-extracted, none duplicated
+    val bf = Pipeline.backfill(spark, conf, fromMs = 0L)
+    assert(bf.status == "SUCCESS" && bf.mode == "backfill")
+    assert(bf.recordsProcessed == 1000)
+    val target = spark.read.parquet(conf.targetPath)
+    assert(target.count() == 1000, "backfill must replace, not append")
+    assert(target.select("record_id").distinct().count() == 1000)
+    // the backfill logs under its own name; the pipeline's watermark
+    // still reflects the original run
+    assert(Watermark.lastSuccessfulRun(spark, conf.logPath, conf.name)
+      .contains(2000000000000L))
+    val r2 = Pipeline.run(spark, conf)
+    assert(r2.mode == "incremental" && r2.recordsProcessed == 0)
+  }
+
   test("failure writes a FAILED log entry and rethrows") {
     val conf = freshConf(Seq(2000000000000L))
       .copy(sourcePath = "/nonexistent/events.parquet")
