@@ -111,7 +111,20 @@ object ScalarOps {
       "CAST(bit_count(l_orderkey) AS INT) AS key_bits",
       "~l_linenumber AS ln_not")
 
+  /** Map-typed column surface: construct, probe, and enumerate map
+    * columns (DuckDB's `m[k]` yields a LIST, so the oracle unwraps with
+    * `[1]`; a missing key is NULL on both engines).
+    */
+  def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).selectExpr(
+      "l_orderkey", "l_linenumber",
+      "element_at(map('flag', l_returnflag, 'status', l_linestatus), 'flag') AS m_flag",
+      "element_at(map('flag', l_returnflag, 'status', l_linestatus), 'nope') AS m_missing",
+      "CAST(size(map('flag', l_returnflag, 'status', l_linestatus)) AS BIGINT) AS m_size",
+      "concat_ws(',', map_keys(map('flag', l_returnflag, 'status', l_linestatus))) AS m_keys")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_funcs" -> (mapFuncs(_, _)),
     "q_bitwise_funcs" -> (bitwiseFuncs(_, _)),
     "q_weighted_avg" -> (weightedAvg(_, _)),
     "q_bool_aggs" -> (boolAggs(_, _)),
@@ -122,6 +135,13 @@ object ScalarOps {
     "q_date_funcs2" -> (dateFuncs(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | map(['flag','status'], [l_returnflag, l_linestatus])['flag'][1] AS m_flag,
+        | map(['flag','status'], [l_returnflag, l_linestatus])['nope'][1] AS m_missing,
+        | CAST(cardinality(map(['flag','status'], [l_returnflag, l_linestatus])) AS BIGINT) AS m_size,
+        | array_to_string(map_keys(map(['flag','status'], [l_returnflag, l_linestatus])), ',') AS m_keys
+        |FROM lineitem""".stripMargin,
     "q_bitwise_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | l_orderkey & 255 AS key_and,
