@@ -142,8 +142,22 @@ object Multimodal {
       s"""md5(concat_ws('', transform(sequence(1, length(text), $ResizeStride),
          |  i -> substr(text, i, 1)))) AS thumb_hash""".stripMargin)
 
+  /** Cross-modal join: documents ⋈ embeddings on id — the link step of
+    * any multimodal pipeline (text row ↔ its vector). Grouped stats are
+    * integer-only (count, char sum) so parallel aggregation order can't
+    * shift anything.
+    */
+  def docEmbedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .join(Tables.embeddings(spark, sfDir),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("label"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_resize" -> (resize(_, _)),
+    "mm_doc_embed_join" -> (docEmbedJoin(_, _)),
     "mm_media_meta" -> (mediaMeta(_, _)),
     "mm_decode_features" -> (decodeFeaturesFlat(_, _)),
     "mm_frame_sample" -> (frameSample(_, _)))
@@ -154,6 +168,11 @@ object Multimodal {
     * equals the raw byte value.
     */
   val oracles: Map[String, String] = Map(
+    "mm_doc_embed_join" ->
+      """SELECT label, lang, count(*) AS n_docs,
+        | CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY label, lang""".stripMargin,
     "mm_resize" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS BIGINT) AS orig_bytes,
