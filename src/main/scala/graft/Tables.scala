@@ -20,17 +20,23 @@ object Tables {
   // the directory and re-reads footers for schema inference on every
   // call, which across a ~100-query run is pure fixed overhead. The
   // testdata tables are immutable, and a cached DataFrame is just a
-  // reusable logical plan. The outer map holds the session WEAKLY so a
-  // stopped, dereferenced session (and every DataFrame made from it)
-  // can be collected instead of leaking for the JVM lifetime.
+  // reusable logical plan. The outer map holds the session WEAKLY and
+  // the per-session map behind a SoftReference — a DataFrame strongly
+  // references its session, so a strongly-held value map would pin the
+  // weak key forever (the classic WeakHashMap value→key pitfall); the
+  // soft indirection keeps the cache warm in normal operation yet lets
+  // a stopped, dereferenced session and its cached plans be collected.
   private val cache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.lang.ref.SoftReference[java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      Option(cache.get(spark)).flatMap(r => Option(r.get())).getOrElse {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      }
     }
     perSession.computeIfAbsent(s"$sfDir/$name.parquet", p => spark.read.parquet(p))
   }

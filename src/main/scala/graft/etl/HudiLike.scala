@@ -87,12 +87,20 @@ object HudiLike {
     * on the key.
     */
   def changeSet(oldState: DataFrame, newState: DataFrame, keys: Seq[String]): DataFrame = {
-    val cols = oldState.columns.toSeq
-    val payload = cols.filterNot(keys.contains)
-    val o = oldState.select(
-      keys.map(col) :+ struct(payload.map(col): _*).as("__old"): _*)
-    val n = newState.select(
-      keys.map(col) :+ struct(payload.map(col): _*).as("__new"): _*)
+    // compare over the UNION of both schemas — a column added (or
+    // dropped) by schema evolution must count as a change, not be
+    // silently excluded from the comparison struct
+    val payload = (oldState.columns.toSeq ++
+      newState.columns.toSeq.filterNot(oldState.columns.contains))
+      .filterNot(keys.contains)
+    val types =
+      (oldState.schema.fields ++ newState.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+    def payloadStruct(df: DataFrame) = struct(payload.map { c =>
+      if (df.columns.contains(c)) col(c) else lit(null).cast(types(c)).as(c)
+    }: _*)
+    val o = oldState.select(keys.map(col) :+ payloadStruct(oldState).as("__old"): _*)
+    val n = newState.select(keys.map(col) :+ payloadStruct(newState).as("__new"): _*)
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("__old").isNull, "insert")

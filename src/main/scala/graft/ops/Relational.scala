@@ -529,8 +529,11 @@ object Relational {
       .orderBy(col("h").asc)
       .limit(KmvK)
       .agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
+      // CAST the 2^60 literal to DOUBLE explicitly: as x.0 SQL text it
+      // would parse as DECIMAL in Spark (but DOUBLE in DuckDB) and the
+      // two engines could round-to-integer differently near .5
       .selectExpr("k", "kth_min",
-        "CAST(round((k - 1) * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est_distinct")
+        "CAST(round((k - 1) * (CAST(1152921504606846976 AS DOUBLE) / kth_min)) AS BIGINT) AS est_distinct")
 
   /** ROLLUP with grouping indicators: distinguishes subtotal rows from
     * genuine NULL group keys.
@@ -808,7 +811,7 @@ object Relational {
          |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
     "q_kmv_distinct" ->
       s"""SELECT k, kth_min,
-         | CAST(round((k - 1) * (1152921504606846976.0 / kth_min)) AS BIGINT) AS est_distinct
+         | CAST(round((k - 1) * (CAST(1152921504606846976 AS DOUBLE) / kth_min)) AS BIGINT) AS est_distinct
          |FROM (
          |  SELECT count(*) AS k, max(h) AS kth_min FROM (
          |    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h

@@ -73,20 +73,35 @@ object Similarity {
     * dimension d is ±1 from the parity of the first hex char of
     * `md5("p_d")` — a deterministic, engine-neutral sign matrix (no
     * stored model, and exactly reproducible in the DuckDB oracle, unlike
-    * the earlier xxhash64 variant). Each projection is an index-order
-    * fold over the array (`aggregate`), so (a) the double accumulation
-    * is bit-identical to DuckDB's `list_sum(list_transform(...))`, and
+    * the earlier xxhash64 variant). The matrix is a compile-time
+    * constant, so it is derived ONCE in Scala and embedded as literal
+    * arrays — re-deriving it per row cost NumPlanes·Dim md5 string
+    * hashes per vector, ~10^12 of pure fixed overhead at the 10^9-vector
+    * scale this path targets. Each projection is an index-order fold
+    * over the array (`aggregate`), so (a) the double accumulation is
+    * bit-identical to DuckDB's `list_sum(list_transform(...))`, and
     * (b) there is NO shuffle at all — the old posexplode+groupBy shape
     * shuffled |corpus|·dim rows; this streams the corpus through one
-    * codegen stage, the shape that matters at 10^9 vectors.
+    * codegen stage.
     */
-  private def signCase(p: Int, dExpr: String): String =
-    s"(CASE WHEN ascii(substr(md5(concat('$p', '_', CAST($dExpr AS STRING))), 1, 1)) % 2 = 0" +
-      s" THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** +1.0/-1.0 per (plane, dim): parity of md5("p_d")'s first hex char
+    * — byte-identical to the SQL form
+    * `ascii(substr(md5(concat(p,'_',d)),1,1)) % 2`.
+    */
+  private def sign(p: Int, d: Int): Double =
+    if (md5Hex(s"${p}_$d").charAt(0) % 2 == 0) 1.0 else -1.0
+
+  private def signLits(p: Int, sep: String = ", "): String =
+    (0 until Dim).map(d => if (sign(p, d) > 0) "1.0" else "-1.0").mkString(sep)
 
   private def projExpr(p: Int): String =
-    s"aggregate(sequence(0, ${Dim - 1}), CAST(0.0 AS DOUBLE), " +
-      s"(acc, d) -> acc + CAST(element_at(embedding, d + 1) AS DOUBLE) * ${signCase(p, "d")})"
+    s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), " +
+      s"(acc, d) -> acc + CAST(element_at(embedding, d) AS DOUBLE) * " +
+      s"CAST(element_at(array(${signLits(p)}), d) AS DOUBLE))"
 
   private def bucketCol: org.apache.spark.sql.Column =
     (0 until NumPlanes).map(p =>
@@ -267,14 +282,12 @@ object Similarity {
   private def sqlL2(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
 
-  /** DuckDB twin of [[projExpr]]/[[bucketCol]]: same md5-parity sign
+  /** DuckDB twin of [[projExpr]]/[[bucketCol]]: the same literal sign
     * matrix, same index-order double accumulation.
     */
   private def sqlProj(p: Int, emb: String): String =
     s"""list_sum(list_transform(range(1, $Dim + 1), i ->
-       |  CAST($emb[i] AS DOUBLE) *
-       |  (CASE WHEN ascii(substr(md5(concat('$p', '_', CAST(i - 1 AS VARCHAR))), 1, 1)) % 2 = 0
-       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)))""".stripMargin
+       |  CAST($emb[i] AS DOUBLE) * CAST(([${signLits(p)}])[i] AS DOUBLE)))""".stripMargin
 
   private def sqlBucket(emb: String): String =
     (0 until NumPlanes).map(p =>

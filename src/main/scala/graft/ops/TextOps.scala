@@ -231,14 +231,18 @@ object TextOps {
         // one digest instance per partition (the open-once pattern)
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, text) =>
-          val n = text.length - k + 1
+          // iterate CODEPOINTS, not UTF-16 units — SQL length/substr are
+          // codepoint-based, and a non-BMP char would otherwise shift
+          // every window against the DuckDB oracle
+          val cps = text.codePoints().toArray
+          val n = cps.length - k + 1
           if (n < w) Iterator.empty
           else {
             val hs = new Array[Int](n)
             var i = 0
             while (i < n) {
               md.reset()
-              val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+              val d = md.digest(new String(cps, i, k).getBytes("UTF-8"))
               hs(i) = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
               i += 1
             }
