@@ -80,4 +80,15 @@ class TimelineSpec extends SparkSpec {
     assert(got == Map("a" -> "delete", "b" -> "update",
       "c" -> "unchanged", "d" -> "insert"))
   }
+
+  test("changeSet sees changes in columns added by schema evolution") {
+    val before = rows(("a", 1L, 1.0), ("b", 1L, 2.0))
+    val after = Seq(("a", 1L, 1.0, "x"), ("b", 1L, 2.0, null: String))
+      .toDF("k", "pc", "v", "extra")
+    val got = HudiLike.changeSet(before, after, Seq("k"))
+      .as[(String, String)].collect().toMap
+    // a gained a value in the new column -> update; b's new column is
+    // null on both sides (absent == null) -> unchanged
+    assert(got == Map("a" -> "update", "b" -> "unchanged"))
+  }
 }
