@@ -27,5 +27,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.PipelineQueries.oracles ++
       ops.ScalarOps.oracles ++ ops.Analytics.oracles ++ ops.Sampling.oracles ++
       ops.Dedup.oracles ++ ops.SimHash.oracles ++ ops.Similarity.oracles ++
-      ops.TextOps.oracles ++ ops.Privacy.oracles ++ ops.Multimodal.oracles
+      ops.IvfIndex.oracles ++ ops.TextOps.oracles ++ ops.Privacy.oracles ++
+      ops.Multimodal.oracles
 }

@@ -78,6 +78,24 @@ object IvfIndex {
     */
   def search(spark: SparkSession, sfDir: String): DataFrame = {
     val (assigned, centroids) = build(spark, sfDir)
+    searchFrom(assigned, centroids)
+  }
+
+  /** IVF search over a FIXED codebook (the first K vectors, no Lloyd
+    * refinement) — "IVF-flat with a provided codebook". Splitting the
+    * operator this way makes the entire search path (assignment, probe
+    * selection, in-cell re-rank) hash-checkable against DuckDB; the
+    * k-means refinement in [[build]] stays the one spec-verified piece.
+    */
+  def searchFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    searchFrom(assign(e, centroids), centroids)
+  }
+
+  private def searchFrom(assigned: DataFrame, centroids: DataFrame): DataFrame = {
     val queries = assigned.filter(col("vec_id") < Similarity.QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -106,5 +124,44 @@ object IvfIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_search" -> (search(_, _)),
+    "sim_ivf_fixed" -> (searchFixed(_, _)),
     "sim_ivf_cells" -> (cellStats(_, _)))
+
+  /** DuckDB oracle for the fixed-codebook search: same assignment tie
+    * rule (max sim, then lowest centroid id), probe ranking on the RAW
+    * similarity, re-rank on the 4dp-rounded one — mirroring the Spark
+    * plan exactly.
+    */
+  val oracles: Map[String, String] = {
+    val cosEC = Similarity.sqlCosPublic("e.embedding", "c.centroid")
+    val cosQC = Similarity.sqlCosPublic("q.qv", "c.centroid")
+    val cosVQ = Similarity.sqlCosPublic("a.embedding", "q.qv")
+    Map("sim_ivf_fixed" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $K),
+         |a AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, c) t WHERE rn = 1),
+         |q AS (
+         |  SELECT a.vec_id AS q_id, a.embedding AS qv FROM a
+         |  WHERE a.vec_id < ${Similarity.QuerySetSize}),
+         |probes AS (
+         |  SELECT q_id, qv, centroid_id FROM (
+         |    SELECT q.q_id, q.qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC DESC, c.centroid_id) AS rn
+         |    FROM q, c) t WHERE rn <= $NProbe)
+         |SELECT q_id, vec_id, centroid_id, cos_sim, rnk FROM (
+         |  SELECT q.q_id, a.vec_id, a.centroid_id,
+         |    round($cosVQ, 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round($cosVQ, 4) DESC, a.vec_id) AS rnk
+         |  FROM a JOIN probes q ON a.centroid_id = q.centroid_id
+         |  WHERE a.vec_id <> q.q_id) s
+         |WHERE rnk <= 5""".stripMargin)
+  }
 }
