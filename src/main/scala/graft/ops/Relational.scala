@@ -374,6 +374,32 @@ object Relational {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("src")).as("n_srcs"))
 
+  /** UNION (distinct) — dedup across the combined sets, vs the
+    * bag-semantics `unionAllKeys`.
+    */
+  def unionDistinctKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(col("o_custkey").as("k"))
+      .union(Tables.customer(spark, sfDir).select(col("c_custkey").as("k")))
+      .distinct()
+
+  /** INTERSECT ALL / EXCEPT ALL: multiset semantics — each key keeps
+    * min(countL, countR) / max(countL − countR, 0) copies, which the
+    * grouped output makes visible (and hash-checkable).
+    */
+  def intersectAllStatuses(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      .intersectAll(Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_copies"))
+
+  def exceptAllStatuses(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      .exceptAll(Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_copies"))
+
   /** FULL OUTER join with nulls possible on both sides. */
   def fullOuterActivity(spark: SparkSession, sfDir: String): DataFrame = {
     val building = Tables.customer(spark, sfDir)
@@ -692,6 +718,9 @@ object Relational {
     "q_cube" -> (cubeQuantities(_, _)),
     "q_pivot" -> (pivotQuantities(_, _)),
     "q_union_all" -> (unionAllKeys(_, _)),
+    "q_union_distinct" -> (unionDistinctKeys(_, _)),
+    "q_intersect_all" -> (intersectAllStatuses(_, _)),
+    "q_except_all" -> (exceptAllStatuses(_, _)),
     "q_full_outer" -> (fullOuterActivity(_, _)),
     "q_approx_distinct" -> (approxDistinct(_, _)),
     "q_kmv_distinct" -> (kmvDistinct(_, _)),
@@ -877,6 +906,22 @@ object Relational {
         | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS "N",
         | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS "R"
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT o_custkey AS k FROM orders
+        |UNION
+        |SELECT c_custkey AS k FROM customer""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT k, count(*) AS n_copies FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O') t
+        |GROUP BY k""".stripMargin,
+    "q_except_all" ->
+      """SELECT k, count(*) AS n_copies FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O') t
+        |GROUP BY k""".stripMargin,
     "q_union_all" ->
       """SELECT k, count(*) AS n_rows, count(DISTINCT src) AS n_srcs FROM (
         |  SELECT o_custkey AS k, 'order' AS src FROM orders
