@@ -147,6 +147,29 @@ object Analytics {
       .agg(count(lit(1)).as("n_close_pairs"))
   }
 
+  /** Jan-2024 day-number range of the events table (epoch days). */
+  val GapFillFirstDay = 19723L // 2024-01-01
+  val GapFillLastDay = 19753L // 2024-01-31
+
+  /** Time-series gap filling: a generated (day × event_type) grid left-
+    * joined to actual daily counts, zero-filled — dashboards and
+    * downstream models need the empty buckets a plain GROUP BY drops.
+    * The grid side is generated (`spark.range` × distinct types), tiny,
+    * and broadcast; integer-only aggregates.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val days = spark.range(GapFillFirstDay, GapFillLastDay + 1).toDF("day")
+    val types = Tables.events(spark, sfDir).select(col("event_type")).distinct()
+    val actual = Tables.events(spark, sfDir)
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    days.crossJoin(types)
+      .join(actual, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Band width for the keyless range join (10 s in µs). */
   val BandUs = 10000000L
 
@@ -283,6 +306,7 @@ object Analytics {
     "q_asof_native" -> (asofSignupNative(_, _)),
     "q_sessionize" -> (sessionize(_, _)),
     "q_event_transitions" -> (eventTransitions(_, _)),
+    "q_gap_fill" -> (gapFill(_, _)),
     "q_percentiles" -> (percentiles(_, _)),
     "q_histogram" -> (histogram(_, _)),
     "q_stats" -> (stats(_, _)))
@@ -356,6 +380,14 @@ object Analytics {
         |FROM events e ASOF LEFT JOIN
         | (SELECT user_id AS su, ts FROM events WHERE event_type = 'signup') s
         | ON e.user_id = s.su AND e.ts >= s.ts""".stripMargin,
+    "q_gap_fill" ->
+      s"""SELECT d.day, t.event_type, coalesce(a.n, 0) AS n
+         |FROM (SELECT unnest(generate_series($GapFillFirstDay, $GapFillLastDay)) AS day) d
+         |CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+         |LEFT JOIN (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2) a
+         |  ON a.day = d.day AND a.event_type = t.event_type""".stripMargin,
     "q_event_transitions" ->
       """SELECT prev_type, event_type, count(*) AS n FROM (
         |  SELECT event_type,
