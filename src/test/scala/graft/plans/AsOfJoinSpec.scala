@@ -32,6 +32,19 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 7L, None)))       // key absent on right
   }
 
+  test("null keys and null timestamps never match and never crash") {
+    val left = Seq((Some(1L), Some(10L)), (None, Some(5L)), (Some(1L), None))
+      .toDF("k", "ts")
+    val right = Seq((Some(1L), Some(8L)), (None, Some(1L)))
+      .toDF("k", "rts")
+    val got = AsOfJoin.asof(left, right, "k", "ts", "rts", "asof")
+      .as[(Option[Long], Option[Long], Option[Long])].collect().toSet
+    assert(got == Set(
+      (Some(1L), Some(10L), Some(8L)), // normal match
+      (None, Some(5L), None),          // null key: no match
+      (Some(1L), None, None)))         // null ts: no match
+  }
+
   test("exec plan co-partitions and sorts both children, no window") {
     val df = graft.ops.Analytics.asofSignupNative(spark, sf0001)
     df.count() // finalize the adaptive plan before inspecting it
