@@ -16,12 +16,12 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Open the catalog once: file listings + footer schema reads are
     // per-table one-time costs any engine pays at table registration,
-    // not per query (no row data is scanned here).
-    Tables.all.foreach { t =>
-      try {
-        if (t == "events") Tables.events(spark, sfDir).schema
-        else Tables.load(spark, sfDir, t).schema
-      } catch { case _: Throwable => () }
+    // not per query (no row data is scanned here). Tables.views applies
+    // each table's correct loader (events needs nanos handling).
+    try Tables.views(spark, sfDir)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] catalog warmup failed: ${e.getMessage}")
     }
     // dev: bench only a comma-separated subset of query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

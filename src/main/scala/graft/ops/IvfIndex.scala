@@ -92,7 +92,9 @@ object IvfIndex {
     val e = Tables.embeddings(spark, sfDir)
     val centroids = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    searchFrom(assign(e, centroids), centroids)
+    // searchFrom references the assignment from two plan branches
+    // (probes + re-rank); cache it as build() does
+    searchFrom(assign(e, centroids).cache(), centroids)
   }
 
   private def searchFrom(assigned: DataFrame, centroids: DataFrame): DataFrame = {
@@ -133,9 +135,9 @@ object IvfIndex {
     * plan exactly.
     */
   val oracles: Map[String, String] = {
-    val cosEC = Similarity.sqlCosPublic("e.embedding", "c.centroid")
-    val cosQC = Similarity.sqlCosPublic("q.qv", "c.centroid")
-    val cosVQ = Similarity.sqlCosPublic("a.embedding", "q.qv")
+    val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
+    val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
+    val cosVQ = Similarity.sqlCos("a.embedding", "q.qv")
     Map("sim_ivf_fixed" ->
       s"""WITH c AS (
          |  SELECT vec_id AS centroid_id, embedding AS centroid

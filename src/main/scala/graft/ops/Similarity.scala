@@ -274,10 +274,7 @@ object Similarity {
   /** DuckDB cosine identical to `CosineSimilarity`: float→double per
     * element, index-order accumulation.
     */
-  /** [[sqlCos]] for other modules' oracles (IvfIndex). */
-  def sqlCosPublic(a: String, b: String): String = sqlCos(a, b)
-
-  private def sqlCos(a: String, b: String): String =
+  def sqlCos(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
        |  * sqrt(list_sum(list_transform(range(1, $Dim + 1), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
