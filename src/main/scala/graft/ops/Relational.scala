@@ -400,6 +400,31 @@ object Relational {
         .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("n_copies"))
 
+  /** RIGHT OUTER join: every customer kept, order fields null for
+    * order-less customers (the mirror of `customerOrderCounts`' left
+    * join, exercising the remaining outer-join type).
+    */
+  def rightJoinOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"),
+        count(lit(1)).as("n_rows"))
+
+  /** Ordered string aggregation: per return flag, the sorted distinct
+    * line statuses as one CSV cell — `collect_list` + `array_sort`
+    * keeps it deterministic (↔ DuckDB `string_agg(... ORDER BY)`).
+    */
+  def stringAggStatuses(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(expr("concat_ws(',', array_sort(collect_list(l_linestatus)))").as("statuses"))
+
   /** FULL OUTER join with nulls possible on both sides. */
   def fullOuterActivity(spark: SparkSession, sfDir: String): DataFrame = {
     val building = Tables.customer(spark, sfDir)
@@ -719,6 +744,8 @@ object Relational {
     "q_pivot" -> (pivotQuantities(_, _)),
     "q_union_all" -> (unionAllKeys(_, _)),
     "q_union_distinct" -> (unionDistinctKeys(_, _)),
+    "q_right_join" -> (rightJoinOrders(_, _)),
+    "q_string_agg" -> (stringAggStatuses(_, _)),
     "q_intersect_all" -> (intersectAllStatuses(_, _)),
     "q_except_all" -> (exceptAllStatuses(_, _)),
     "q_full_outer" -> (fullOuterActivity(_, _)),
@@ -906,6 +933,18 @@ object Relational {
         | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS "N",
         | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS "R"
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_right_join" ->
+      """SELECT c_mktsegment,
+        | count(o_orderkey) AS n_big_orders,
+        | count(*) AS n_rows
+        |FROM (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 400000) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_string_agg" ->
+      """SELECT l_returnflag,
+        | string_agg(l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) t
+        |GROUP BY l_returnflag""".stripMargin,
     "q_union_distinct" ->
       """SELECT o_custkey AS k FROM orders
         |UNION
