@@ -1,6 +1,8 @@
 package graft.etl
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.Paths
+import java.util.concurrent.ConcurrentHashMap
 
 /** DDL surface (SURVEY.md §2.1 S5): the reference's
   * `create_database_and_table` (pipeline_architecture.py:69-122) issues
@@ -60,6 +62,60 @@ object Catalog {
          |  'graft.table.type' = 'cow',
          |  'graft.table.primaryKey' = 'pipeline_name,created_at',
          |  'graft.table.preCombineField' = 'created_at')""".stripMargin)
+  }
+
+  // ---- Hive-sync emulation --------------------------------------------
+  // The reference enables Hudi's post-commit metastore sync
+  // (pipeline_architecture.py:248-251): after every commit the catalog
+  // entry is re-registered so readers resolve the NEW file set. Without
+  // it, a temp view created over the table path pins the file listing of
+  // the snapshot that existed at registration — after a CoW swap it
+  // reads stale data (or fails once the old snapshot is cleaned). Views
+  // registered here are re-registered by [[syncViews]], which
+  // `HudiLike.commit` / `Timeline.commit` invoke after their pointer
+  // swap — the no-HMS analog of hive-sync.
+
+  private final case class ViewEntry(name: String, path: String, timeline: Boolean)
+  private val viewRegistry = new ConcurrentHashMap[String, ViewEntry]()
+
+  private def canon(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
+
+  /** Register (or replace) a temp view over a `HudiLike`-managed table
+    * path; the view is kept in sync across commits.
+    */
+  def registerView(spark: SparkSession, name: String, tablePath: String): Unit = {
+    spark.read.parquet(tablePath).createOrReplaceTempView(name)
+    viewRegistry.put(name, ViewEntry(name, canon(tablePath), timeline = false))
+  }
+
+  /** Register a temp view tracking the LATEST version of a
+    * `Timeline`-managed table root.
+    */
+  def registerTimelineView(spark: SparkSession, name: String, tableRoot: String): Unit = {
+    Timeline.read(spark, tableRoot).createOrReplaceTempView(name)
+    viewRegistry.put(name, ViewEntry(name, canon(tableRoot), timeline = true))
+  }
+
+  /** Drop a view from sync tracking (the view itself is left to the
+    * session's normal temp-view lifecycle).
+    */
+  def unregisterView(name: String): Unit = viewRegistry.remove(name)
+
+  /** Re-register every tracked view over `tablePath` and invalidate
+    * cached plans holding the swapped files. Called by the commit paths;
+    * safe to call for paths with no tracked views.
+    */
+  private[etl] def syncViews(spark: SparkSession, tablePath: String): Unit = {
+    val p = canon(tablePath)
+    viewRegistry.values.forEach { e =>
+      if (e.path == p) {
+        if (e.timeline) Timeline.read(spark, e.path).createOrReplaceTempView(e.name)
+        else spark.read.parquet(e.path).createOrReplaceTempView(e.name)
+      }
+    }
+    // cached Datasets over the old snapshot: drop + relist their files
+    try spark.catalog.refreshByPath(p)
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Read the upsert key/precombine config back from table properties

@@ -147,6 +147,9 @@ object HudiLike {
         StandardCopyOption.REPLACE_EXISTING)
       prev.foreach(p => deleteRecursively(target.resolveSibling(p)))
     }
+    // hive-sync analog (py:248-251): re-register tracked views / refresh
+    // cached plans so pre-existing readers resolve the new snapshot
+    Catalog.syncViews(df.sparkSession, tablePath)
   }
 
   /** Upsert `incoming` into the parquet table at `tablePath` (created if

@@ -20,6 +20,63 @@ case class PipelineConfig(
 case class RunResult(
     status: String, recordsProcessed: Long, mode: String, watermark: Option[Long])
 
+/** Per-environment deployment preset (reference `ENVIRONMENT_CONFIGS`,
+  * pipeline_architecture.py:423-448): database/pipeline name prefixes
+  * plus the Spark parallelism knobs that differ between a laptop dev
+  * loop and the production cluster. `sparkConfigs` go on the session
+  * BUILDER — `spark.default.parallelism` is fixed at context start and
+  * cannot be set on a live session.
+  */
+case class EnvProfile(
+    environment: String,
+    databaseName: String,
+    pipelineName: String,
+    sparkConfigs: Map[String, String]) {
+
+  /** Apply this profile's Spark configs to a session builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sparkConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Derive a run config named under this environment's prefix. */
+  def pipelineConfig(sourcePath: String, targetPath: String, logPath: String,
+      clock: () => Long = () => System.currentTimeMillis()): PipelineConfig =
+    PipelineConfig(pipelineName, sourcePath, targetPath, logPath, clock)
+}
+
+object PipelineConfig {
+
+  /** dev/staging/prod presets (py:424-447). Partition counts mirror the
+    * reference's template; production's 200 is the deploy-time knob —
+    * at the 1000-executor / 100 TB scale this library targets it is
+    * sized to ~2-3× total cores with ~128-256 MB per shuffle partition,
+    * not left at the template value.
+    */
+  val Environments: Map[String, EnvProfile] = Map(
+    "development" -> EnvProfile("development", "dev_graft_db",
+      "dev_data_processing_pipeline",
+      Map("spark.sql.shuffle.partitions" -> "10",
+        "spark.default.parallelism" -> "10")),
+    "staging" -> EnvProfile("staging", "staging_graft_db",
+      "staging_data_processing_pipeline",
+      Map("spark.sql.shuffle.partitions" -> "50",
+        "spark.default.parallelism" -> "50")),
+    "production" -> EnvProfile("production", "prod_graft_db",
+      "prod_data_processing_pipeline",
+      Map("spark.sql.shuffle.partitions" -> "200",
+        "spark.default.parallelism" -> "200")))
+
+  def forEnvironment(env: String): EnvProfile =
+    Environments.getOrElse(env, throw new IllegalArgumentException(
+      s"unknown environment '$env' (expected one of ${Environments.keys.mkString(", ")})"))
+
+  /** Resolve the profile from the deploy environment variable (the
+    * reference selects its config map entry the same way); the lookup is
+    * injectable so tests don't mutate the process environment.
+    */
+  def fromEnv(lookup: String => Option[String] = sys.env.get): EnvProfile =
+    forEnvironment(lookup("GRAFT_ENV").getOrElse("development"))
+}
+
 /** The incremental ETL kernel: watermark read → incremental extract →
   * metadata stamp → keyed upsert → audit log. Re-expresses the
   * reference's `run_pipeline` (pipeline_architecture.py:262-335) on pure

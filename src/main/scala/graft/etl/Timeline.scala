@@ -52,6 +52,8 @@ object Timeline {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, pointer(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // hive-sync analog: tracked latest-version views re-point to v=next
+    Catalog.syncViews(df.sparkSession, tablePath)
     next
   }
 

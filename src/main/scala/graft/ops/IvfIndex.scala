@@ -124,9 +124,31 @@ object IvfIndex {
     assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** One Lloyd refinement round, hash-checkable end to end: assign every
+    * vector to its nearest fixed-codebook centroid (the tie rule
+    * `sim_ivf_fixed` already oracle-matches), then emit the refined
+    * centroid coordinates as per-dimension means at fixed 6dp rounding —
+    * long form (centroid_id, d, m, n_members). This pins the k-means
+    * REFINEMENT arithmetic against DuckDB, not just the search path; the
+    * multi-round [[build]] loop is this step iterated, so its one
+    * spec-only remainder is loop plumbing rather than math.
+    */
+  def oneRound(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    assign(e, centroids)
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("centroid_id"), col("d").cast("long").as("d"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"),
+        count(lit(1)).as("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_search" -> (search(_, _)),
     "sim_ivf_fixed" -> (searchFixed(_, _)),
+    "sim_ivf_one_round" -> (oneRound(_, _)),
     "sim_ivf_cells" -> (cellStats(_, _)))
 
   /** DuckDB oracle for the fixed-codebook search: same assignment tie
@@ -138,7 +160,23 @@ object IvfIndex {
     val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
     val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
     val cosVQ = Similarity.sqlCos("a.embedding", "q.qv")
-    Map("sim_ivf_fixed" ->
+    Map(
+      "sim_ivf_one_round" ->
+        s"""WITH c AS (
+           |  SELECT vec_id AS centroid_id, embedding AS centroid
+           |  FROM embeddings WHERE vec_id < $K),
+           |a AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+           |    FROM embeddings e, c) t WHERE rn = 1)
+           |SELECT centroid_id, CAST(d AS BIGINT) AS d,
+           |  round(avg(CAST(embedding[d + 1] AS DOUBLE)), 6) AS m,
+           |  count(*) AS n_members
+           |FROM a, (SELECT unnest(range(${Similarity.Dim})) AS d) dims
+           |GROUP BY centroid_id, d""".stripMargin,
+      "sim_ivf_fixed" ->
       s"""WITH c AS (
          |  SELECT vec_id AS centroid_id, embedding AS centroid
          |  FROM embeddings WHERE vec_id < $K),

@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   * computed column is aliased identically on both sides; ties in top-k
   * / window ranks are broken by a unique key.
   *
-  * Scale notes: dimension joins (`region`, `nation`, `customer`, `part`,
-  * `supplier`) take explicit `broadcast()` hints — at 100 TB the fact
-  * tables shuffle on join keys, the dims must not. Aggregations are
+  * Scale notes: fixed-cardinality dimension joins (`region`, `nation`,
+  * `supplier`, `part`) take explicit `broadcast()` hints — at 100 TB the
+  * fact tables shuffle on join keys, those dims must not. `customer` is
+  * NOT hinted: it scales with SF (150k rows at sf1 → ~15M at sf100,
+  * gigabytes) and a forced broadcast is a 100×-scale OOM; AQE's
+  * size-based planning promotes it to broadcast only when it actually
+  * fits under `spark.sql.autoBroadcastJoinThreshold`. Aggregations are
   * plain `groupBy` → partial (map-side) + final hash aggregation.
   */
 object Relational {
@@ -87,23 +91,27 @@ object Relational {
         exactMoneyAvg(col("l_discount"), 2, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** TPC-H Q3-style: two fact joins + one broadcast dim join, top-10 by
-    * revenue with key tie-break.
+  /** TPC-H Q3-style: two fact joins + a customer join AQE may promote
+    * to broadcast when the filtered side fits, top-10 by revenue with
+    * key tie-break. No hint on customer — it scales with SF.
     */
   def topOrdersBySegment(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(exactMoneySum(discPrice, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
 
-  /** TPC-H Q5-style: revenue per nation for one region; the three dims
-    * broadcast, the two facts shuffle once on their join keys.
+  /** TPC-H Q5-style: revenue per nation for one region; the tiny dims
+    * (nation, region) broadcast onto customer, the two facts shuffle
+    * once on their join keys, and the customer edge shuffles too —
+    * customer scales with SF, so no broadcast hint (AQE promotes it
+    * only when the region-filtered side measures small enough).
     */
   def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
@@ -114,14 +122,14 @@ object Relational {
     val dims = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+      .join(dims, o("o_custkey") === dims("c_custkey"))
       .groupBy(col("n_name"))
       .agg(exactMoneySum(discPrice, 4).as("revenue"))
   }
 
   /** TPC-H Q7-style: revenue matrix between supplier nation and
     * customer nation — the same dimension joined twice under different
-    * roles (both broadcast).
+    * roles (both broadcast; customer joins unhinted — it scales).
     */
   def nationPairVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val n1 = Tables.nation(spark, sfDir)
@@ -134,7 +142,7 @@ object Relational {
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n1), s("s_nationkey") === n1("snk"))
       .join(broadcast(n2), c("c_nationkey") === n2("cnk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -151,7 +159,7 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(exactMoneySum(discPrice, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -408,8 +416,8 @@ object Relational {
     Tables.orders(spark, sfDir)
       .filter(col("o_totalprice") > 400000)
       .select(col("o_custkey"), col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"), "right")
       .groupBy(col("c_mktsegment"))
       .agg(count(col("o_orderkey")).as("n_big_orders"),
@@ -541,7 +549,7 @@ object Relational {
       .filter(col("sq") > 300)
     Tables.orders(spark, sfDir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .selectExpr("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
         "CAST(sq AS BIGINT) AS sum_qty")
   }
@@ -568,23 +576,25 @@ object Relational {
     * `(K-1) / kth_min_normalized`. Unlike HLL (`approxDistinct`), the
     * whole construction is deterministic, engine-neutral md5 arithmetic
     * — so the *estimate itself* is oracle-checked, not just pinned by a
-    * spec. The distinct+top-K here runs as one hash shuffle plus a
-    * TakeOrdered; a 100 TB deployment replaces that with a bounded
-    * per-partition min-heap Aggregator merged map-side, same estimator.
+    * spec. The sketch is `graft.functions.KmvAggregator`: bounded ≤K-long
+    * state per partition, merged map-side, so the shuffle carries one
+    * small array per map partition instead of all n distinct hashes
+    * (the earlier distinct+sort+LIMIT form — one full hash shuffle +
+    * TakeOrdered — remains in RelationalSpec as the equivalence
+    * baseline). Same estimator, bit-identical output.
     */
-  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketch = udaf(graft.functions.KmvAggregator)
     Tables.lineitem(spark, sfDir)
       .selectExpr(
         "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
-      .distinct()
-      .orderBy(col("h").asc)
-      .limit(KmvK)
-      .agg(count(lit(1)).as("k"), max(col("h")).as("kth_min"))
+      .agg(sketch(col("h")).as("s"))
       // CAST the 2^60 literal to DOUBLE explicitly: as x.0 SQL text it
       // would parse as DECIMAL in Spark (but DOUBLE in DuckDB) and the
       // two engines could round-to-integer differently near .5
-      .selectExpr("k", "kth_min",
-        "CAST(round((k - 1) * (CAST(1152921504606846976 AS DOUBLE) / kth_min)) AS BIGINT) AS est_distinct")
+      .selectExpr("s.k AS k", "s.kth_min AS kth_min",
+        "CAST(round((s.k - 1) * (CAST(1152921504606846976 AS DOUBLE) / s.kth_min)) AS BIGINT) AS est_distinct")
+  }
 
   /** ROLLUP with grouping indicators: distinguishes subtotal rows from
     * genuine NULL group keys.
@@ -684,8 +694,10 @@ object Relational {
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
         java.nio.file.Files.deleteIfExists(p)
       }
       rm(dir)

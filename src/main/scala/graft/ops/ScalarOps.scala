@@ -112,16 +112,20 @@ object ScalarOps {
       "~l_linenumber AS ln_not")
 
   /** Map-typed column surface: construct, probe, and enumerate map
-    * columns (DuckDB's `m[k]` yields a LIST, so the oracle unwraps with
-    * `[1]`; a missing key is NULL on both engines).
+    * columns. Values are multi-character on purpose: DuckDB's map
+    * subscript semantics changed at 1.2 (`m[k]` LIST → value), and with
+    * single-char values a stale `[1]` unwrap would degrade to harmless
+    * first-char string indexing and mask the mismatch. The oracle
+    * probes via `list_position` over `map_keys`/`map_values`, which is
+    * version-stable; a missing key is NULL on both engines.
     */
   def mapFuncs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir).selectExpr(
       "l_orderkey", "l_linenumber",
-      "element_at(map('flag', l_returnflag, 'status', l_linestatus), 'flag') AS m_flag",
-      "element_at(map('flag', l_returnflag, 'status', l_linestatus), 'nope') AS m_missing",
-      "CAST(size(map('flag', l_returnflag, 'status', l_linestatus)) AS BIGINT) AS m_size",
-      "concat_ws(',', map_keys(map('flag', l_returnflag, 'status', l_linestatus))) AS m_keys")
+      "element_at(map('flag', concat(l_returnflag, '_f'), 'status', concat(l_linestatus, '_s')), 'flag') AS m_flag",
+      "element_at(map('flag', concat(l_returnflag, '_f'), 'status', concat(l_linestatus, '_s')), 'nope') AS m_missing",
+      "CAST(size(map('flag', concat(l_returnflag, '_f'), 'status', concat(l_linestatus, '_s'))) AS BIGINT) AS m_size",
+      "concat_ws(',', map_keys(map('flag', concat(l_returnflag, '_f'), 'status', concat(l_linestatus, '_s')))) AS m_keys")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_map_funcs" -> (mapFuncs(_, _)),
@@ -136,12 +140,17 @@ object ScalarOps {
 
   val oracles: Map[String, String] = Map(
     "q_map_funcs" ->
-      """SELECT l_orderkey, l_linenumber,
-        | map(['flag','status'], [l_returnflag, l_linestatus])['flag'][1] AS m_flag,
-        | map(['flag','status'], [l_returnflag, l_linestatus])['nope'][1] AS m_missing,
-        | CAST(cardinality(map(['flag','status'], [l_returnflag, l_linestatus])) AS BIGINT) AS m_size,
-        | array_to_string(map_keys(map(['flag','status'], [l_returnflag, l_linestatus])), ',') AS m_keys
-        |FROM lineitem""".stripMargin,
+      """WITH m AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  map(['flag','status'],
+        |      [concat(l_returnflag, '_f'), concat(l_linestatus, '_s')]) AS mp
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        | list_extract(map_values(mp), list_position(map_keys(mp), 'flag')) AS m_flag,
+        | list_extract(map_values(mp), list_position(map_keys(mp), 'nope')) AS m_missing,
+        | CAST(cardinality(mp) AS BIGINT) AS m_size,
+        | array_to_string(map_keys(mp), ',') AS m_keys
+        |FROM m""".stripMargin,
     "q_bitwise_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         | l_orderkey & 255 AS key_and,

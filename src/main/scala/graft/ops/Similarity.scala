@@ -206,9 +206,11 @@ object Similarity {
       .filter(col("rnk") <= 5)
   }
 
-  /** Embedding near-dup pairs: all pairs ≥ 0.4 cosine (brute force —
-    * exactness baseline for `Dedup`'s embedding-space variant; the LSH
-    * bucket path above is the scale route).
+  /** Embedding near-dup pairs, brute force: all pairs ≥ 0.4 cosine.
+    * TEST-SCALE ONLY — the `id_a < id_b` cartesian is O(n²) by
+    * construction and exists as the exactness/recall baseline for
+    * [[embedNearDupLsh]] (the registered scale path); `SimilaritySpec`
+    * measures the LSH variant's recall against this one.
     */
   def embedNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
@@ -216,6 +218,70 @@ object Similarity {
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  /** Banded sign-LSH near-dup config: 16 planes split into 8 bands of
+    * 2. A pair is a candidate iff SOME band's 2 sign bits agree — the
+    * MinHash-LSH banding construction applied to random-hyperplane
+    * bits. With per-plane agreement p = 1 − θ/π, candidate recall is
+    * 1 − (1 − p^r)^b: ≥ 98% across this corpus's whole near-dup range
+    * (cos 0.4–0.6 → p 0.63–0.71). Band width r is the selectivity
+    * knob — it is 2 here because the synthetic corpus puts the dup
+    * threshold in the tail of the random-pair distribution; production
+    * near-dup corpora (threshold ≥ 0.85, p ≥ 0.93) run r ≈ 16 /
+    * b ≈ 8, where a random pair collides with probability ~1e-4 and
+    * the join touches ~n·E[bucket] pairs instead of n².
+    */
+  val NdPlanes = 16
+  val NdBands = 8
+  val NdBandBits: Int = NdPlanes / NdBands
+  /** Near-dup sign matrix uses an independent md5 stream ("nd_p_d")
+    * so its bits don't correlate with the ANN bucket planes.
+    */
+  private def ndSignLits(p: Int): String =
+    (0 until Dim).map(d =>
+      if (md5Hex(s"nd_${p}_$d").charAt(0) % 2 == 0) "1.0" else "-1.0").mkString(", ")
+
+  private def ndProjExpr(p: Int): String =
+    s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), " +
+      s"(acc, d) -> acc + CAST(element_at(embedding, d) AS DOUBLE) * " +
+      s"CAST(element_at(array(${ndSignLits(p)}), d) AS DOUBLE))"
+
+  /** 16-bit sign code, one bit per near-dup plane. */
+  private def ndCodeCol: org.apache.spark.sql.Column =
+    (0 until NdPlanes).map(p =>
+      when(expr(ndProjExpr(p)) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** Embedding near-dup pairs via banded sign-LSH — the registered
+    * scale path (replaces the brute-force cartesian as the primary
+    * query). Each vector computes its 16-bit sign code once (one
+    * codegen pass, no shuffle), explodes into 8 (band, 2-bit key)
+    * rows, and candidates join only on band equality; the exact
+    * cosine then confirms ≥ 0.4 inside each candidate pair. Pairs
+    * colliding in several bands are deduplicated before the cosine is
+    * computed. Fully oracle-checked: the md5 sign matrix, banding
+    * arithmetic, and index-order cosine all reproduce in DuckDB.
+    */
+  def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), ndCodeCol.as("code"))
+    val bandIdx = explode(sequence(lit(0), lit(NdBands - 1)))
+    val banded = e
+      .withColumn("band_idx", bandIdx)
+      .select(col("vec_id"), col("embedding"), col("band_idx"),
+        expr(s"shiftright(code, band_idx * $NdBandBits) & ${(1 << NdBandBits) - 1}")
+          .as("band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct() // a pair may collide in up to 8 bands; cosine once
       .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
   }
@@ -269,7 +335,8 @@ object Similarity {
     "sim_ann_multiprobe" -> (annMultiProbe(_, _)),
     "sim_sq8_search" -> (sq8Search(_, _)),
     "sim_lsh_buckets" -> (lshBucketStats(_, _)),
-    "dd_embed_neardup" -> (embedNearDupPairs(_, _)))
+    "dd_embed_neardup" -> (embedNearDupPairs(_, _)),
+    "dd_embed_neardup_lsh" -> (embedNearDupLsh(_, _)))
 
   /** DuckDB cosine identical to `CosineSimilarity`: float→double per
     * element, index-order accumulation.
@@ -292,6 +359,18 @@ object Similarity {
   private def sqlBucket(emb: String): String =
     (0 until NumPlanes).map(p =>
       s"(CASE WHEN ${sqlProj(p, emb)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+
+  /** DuckDB twin of [[ndCodeCol]]: same "nd_" md5 sign stream, same
+    * index-order double accumulation, same bit packing.
+    */
+  private def sqlNdProj(p: Int, emb: String): String =
+    s"""list_sum(list_transform(range(1, $Dim + 1), i ->
+       |  CAST($emb[i] AS DOUBLE) * CAST(([${ndSignLits(p)}])[i] AS DOUBLE)))""".stripMargin
+
+  private def sqlNdCode(emb: String): String =
+    (0 until NdPlanes).map(p =>
+      s"(CASE WHEN ${sqlNdProj(p, emb)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("CAST((", " + ", ") AS BIGINT)")
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +420,22 @@ object Similarity {
          |  round(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.4""".stripMargin,
+    "dd_embed_neardup_lsh" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, ${sqlNdCode("embedding")} AS code FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, bi, (code >> (bi * $NdBandBits)) & ${(1 << NdBandBits) - 1} AS bk
+         |  FROM c, (SELECT unnest(range($NdBands)) AS bi) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round(${sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = cand.id_a
+         |JOIN embeddings eb ON eb.vec_id = cand.id_b
+         |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 4) >= 0.4""".stripMargin,
     "sim_lsh_buckets" ->
       s"""SELECT bucket, count(*) AS n_vectors
          |FROM (SELECT ${sqlBucket("embedding")} AS bucket FROM embeddings) b

@@ -43,11 +43,19 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
     if (c != 0 && r / c != k) None else Some(r)
   }
 
+  /** (c+1)·k, None when c+1 itself overflows (c = Long.MaxValue). Without
+    * this guard a tautological literal like `a div 1 <= Long.MaxValue`
+    * would wrap c+1 to Long.MinValue and rewrite to an always-false
+    * predicate, silently dropping every row.
+    */
+  private def prodSucc(c: Long, k: Long): Option[Long] =
+    if (c == Long.MaxValue) None else prod(c + 1, k)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case GreaterThan(
         IntegralDivide(a, Literal(k: Long, LongType), _),
         Literal(c: Long, LongType)) if k > 0 && c >= 0 =>
-      prod(c + 1, k) match {
+      prodSucc(c, k) match {
         case Some(bound) => GreaterThanOrEqual(a, Literal(bound, LongType))
         case None => GreaterThan(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
       }
@@ -78,7 +86,7 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
     case LessThanOrEqual(
         IntegralDivide(a, Literal(k: Long, LongType), _),
         Literal(c: Long, LongType)) if k > 0 && c >= 0 =>
-      prod(c + 1, k) match {
+      prodSucc(c, k) match {
         case Some(bound) => LessThan(a, Literal(bound, LongType))
         case None => LessThanOrEqual(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
       }
@@ -90,7 +98,7 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
     case EqualTo(
         IntegralDivide(a, Literal(k: Long, LongType), _),
         Literal(c: Long, LongType)) if k > 0 && c >= 1 =>
-      (prod(c, k), prod(c + 1, k)) match {
+      (prod(c, k), prodSucc(c, k)) match {
         case (Some(lo), Some(hi)) =>
           And(GreaterThanOrEqual(a, Literal(lo, LongType)), LessThan(a, Literal(hi, LongType)))
         case _ => EqualTo(IntegralDivide(a, Literal(k, LongType)), Literal(c, LongType))
@@ -104,6 +112,20 @@ object DivComparisonPushdown extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def binary(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length != 2) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    build(exprs(0), exprs(1))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => DivComparisonPushdown)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -113,12 +135,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.CosineSimilarity(exprs.head, exprs(1))))
+      binary("cosine_sim")(graft.functions.CosineSimilarity(_, _))))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("l2_dist"),
       new ExpressionInfo(classOf[graft.functions.L2Distance].getName, "l2_dist"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.L2Distance(exprs.head, exprs(1))))
+      binary("l2_dist")(graft.functions.L2Distance(_, _))))
   }
 }

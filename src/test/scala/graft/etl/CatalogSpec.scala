@@ -35,4 +35,61 @@ class CatalogSpec extends SparkSpec {
     assert(wm == 1000L)
     spark.sql("DROP DATABASE pipeline_layer CASCADE")
   }
+
+  test("environment profiles select the reference's dev/staging/prod presets") {
+    for (((env, prefix), parts) <- Seq(
+        ("development", "dev_") -> "10",
+        ("staging", "staging_") -> "50",
+        ("production", "prod_") -> "200")) {
+      val p = PipelineConfig.forEnvironment(env)
+      assert(p.environment == env)
+      assert(p.sparkConfigs("spark.sql.shuffle.partitions") == parts)
+      assert(p.sparkConfigs("spark.default.parallelism") == parts)
+      assert(p.databaseName.startsWith(prefix) && p.pipelineName.startsWith(prefix))
+      assert(p.pipelineName.contains("data_processing_pipeline"))
+    }
+    // env-var selection (injectable lookup), with dev as the default
+    assert(PipelineConfig.fromEnv(_ => Some("staging")).environment == "staging")
+    assert(PipelineConfig.fromEnv(_ => None).environment == "development")
+    intercept[IllegalArgumentException](PipelineConfig.forEnvironment("qa"))
+    // profile configs land on a session builder
+    val b = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").config("spark.ui.enabled", "false")
+    PipelineConfig.forEnvironment("staging").configure(b)
+    // the shared test session already exists; builder configs apply to
+    // the derived conf without starting a second context
+    val derived = PipelineConfig.forEnvironment("staging")
+      .pipelineConfig("/s", "/t", "/l")
+    assert(derived.name == "staging_data_processing_pipeline")
+  }
+
+  test("hive-sync analog: pre-registered view reads the new snapshot after upsert") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sync").toString + "/tbl"
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "payload", "ver")
+    HudiLike.upsertInto(spark, dir, v1, keys = Seq("id"), precombine = "ver")
+    Catalog.registerView(spark, "sync_view", dir)
+    assert(spark.table("sync_view").count() == 2)
+    // second commit swaps the snapshot symlink; the OLD snapshot dir is
+    // deleted, so a stale pinned file listing would error or miss rows
+    val v2 = Seq((2L, "b2", 20L), (3L, "c", 20L)).toDF("id", "payload", "ver")
+    HudiLike.upsertInto(spark, dir, v2, keys = Seq("id"), precombine = "ver")
+    val rows = spark.table("sync_view").orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b2", 20L), (3L, "c", 20L)))
+    Catalog.unregisterView("sync_view")
+    spark.catalog.dropTempView("sync_view")
+  }
+
+  test("hive-sync analog: timeline view tracks the latest commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("synctl").toString + "/tbl"
+    Timeline.commit(Seq((1L, "x")).toDF("id", "v"), root)
+    Catalog.registerTimelineView(spark, "sync_tl_view", root)
+    assert(spark.table("sync_tl_view").count() == 1)
+    Timeline.commit(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), root)
+    assert(spark.table("sync_tl_view").count() == 2)
+    Catalog.unregisterView("sync_tl_view")
+    spark.catalog.dropTempView("sync_tl_view")
+  }
 }

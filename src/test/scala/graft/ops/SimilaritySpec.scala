@@ -46,6 +46,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("banded near-dup LSH recovers >=90% of brute-force pairs, no false positives") {
+    // brute force is the exactness baseline (test-scale only); the banded
+    // config (8 bands x 2 planes) predicts >=98% recall at cos 0.4-0.6
+    val exact = Similarity.embedNearDupPairs(spark, sf001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embedNearDupLsh(spark, sf001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((lsh -- exact).isEmpty, "every LSH pair must pass the exact cosine filter")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 (${lsh.size}/${exact.size})")
+  }
+
   test("brute-force KNN and scores agree") {
     val scores = Similarity.cosineScores(spark, sf0001)
       .as[(Long, Double)].collect().toMap

@@ -65,6 +65,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("KMV aggregator matches the unbounded distinct+sort+limit baseline, in-plan") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.kmvDistinct(spark, sf001)
+    // the bounded sketch must actually be the execution path: a typed
+    // Aggregator plans as an ObjectHashAggregate over ScalaAggregator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg in:\n$plan")
+    assert(plan.toLowerCase.contains("kmvaggregator"), s"KmvAggregator missing from:\n$plan")
+    val Array((k, kth, est)) = df.as[(Long, Long, Long)].collect()
+    // unbounded reference: all distinct hashes, globally sorted, first K
+    val baseline = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT) AS h")
+      .distinct().orderBy(col("h").asc).limit(Relational.KmvK)
+      .agg(count(lit(1)), max(col("h"))).as[(Long, Long)].head()
+    assert((k, kth) == baseline, s"sketch ($k,$kth) != baseline $baseline")
+  }
+
+  test("KMV aggregator reduce/merge invariants (bounded, sorted, distinct)") {
+    import graft.functions.KmvAggregator
+    val rnd = new scala.util.Random(7)
+    val values = Array.fill(5000)(rnd.nextLong().abs % 2000) // heavy duplication
+    val (left, right) = values.splitAt(2500)
+    def fold(vs: Array[Long]) = vs.foldLeft(KmvAggregator.zero)(KmvAggregator.reduce)
+    val merged = KmvAggregator.merge(fold(left), fold(right))
+    val expect = values.distinct.sorted.take(KmvAggregator.K)
+    assert(merged.toSeq == expect.toSeq)
+    val s = KmvAggregator.finish(merged)
+    assert(s.k == expect.length && s.kth_min == expect.last)
+  }
+
   test("SQ8 quantized ranking tracks exact cosine top-5 closely") {
     val exact = Similarity.knnPerQuery(spark, sf0001)
       .select("q_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect()

@@ -35,6 +35,26 @@ class DivPushdownSpec extends SparkSpec {
     }
   }
 
+  test("tautological Long.MaxValue literal is left unrewritten (c+1 overflow guard)") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ DivComparisonPushdown
+    try {
+      val df = Seq(-3L, 0L, 7L, Long.MaxValue).toDF("a")
+      // c = Long.MaxValue: c+1 wraps; the rule must fall back to the raw
+      // predicate instead of rewriting to an always-false bound
+      val le = df.filter(s"a div 1 <= ${Long.MaxValue}").count()
+      assert(le == 4, "tautological <= must keep every row")
+      val gt = df.filter(s"a div 1 > ${Long.MaxValue}").count()
+      assert(gt == 0)
+      val eq = df.filter(s"a div 1 = ${Long.MaxValue}").count()
+      assert(eq == 1)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == DivComparisonPushdown)
+    }
+  }
+
   test("injected rule keeps negative rows under `div ... >= 0`") {
     import spark.implicits._
     val df = Seq(-11L, -10L, -9L, -5L, -1L, 0L, 3L, 10L).toDF("a")
