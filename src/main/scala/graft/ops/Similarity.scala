@@ -266,22 +266,27 @@ object Similarity {
     */
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), ndCodeCol.as("code"))
-    val bandIdx = explode(sequence(lit(0), lit(NdBands - 1)))
-    val banded = e
-      .withColumn("band_idx", bandIdx)
-      .select(col("vec_id"), col("embedding"), col("band_idx"),
+    // banded rows carry only (band, key, id) — the candidate join and the
+    // pair dedup shuffle 16-byte id pairs, not 2×64-float vectors (~30×
+    // less exchange volume); vectors re-attach afterwards by two id equi-
+    // joins against the corpus, the standard candidates-then-fetch shape
+    val banded = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), ndCodeCol.as("code"))
+      .withColumn("band_idx", explode(sequence(lit(0), lit(NdBands - 1))))
+      .select(col("vec_id"), col("band_idx"),
         expr(s"shiftright(code, band_idx * $NdBandBits) & ${(1 << NdBandBits) - 1}")
           .as("band_key"))
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = banded.select(col("band_idx"), col("band_key"),
-      col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_b")),
+        Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in up to 8 bands; cosine once
+    val ea = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
   }
