@@ -165,6 +165,62 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  // ---- incremental dedup (batch vs corpus) ------------------------------
+
+  /** Deterministic batch split for the incremental-dedup query: doc_id
+    * divisible by 5 plays the "incoming batch", the rest the standing
+    * corpus.
+    */
+  val IncomingMod = 5
+
+  /** Dedup an incoming batch AGAINST the standing corpus — the shape an
+    * ingestion pipeline runs on every batch (dedup-within-corpus answers
+    * a different question). Per incoming doc: is its digest already in
+    * the corpus (exact dup), what is its best 5-gram Jaccard against any
+    * corpus doc sharing a capped shingle (near dup ≥ 0.5), else new.
+    *
+    * Scale shape: the exact check is one semi-join on content digest
+    * (the corpus side is a digest index, not the documents); the
+    * near-dup check joins batch shingles to corpus shingles under the
+    * same stop-shingle cap as [[ngramJaccardPairs]]. In production the
+    * corpus shingle index is precomputed and stored once, so per-batch
+    * cost is O(batch × avg-bucket), independent of corpus scans.
+    */
+  def incrementalNew(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val incoming = d.filter(col("doc_id") % IncomingMod === 0)
+    val corpusDigests = d.filter(col("doc_id") % IncomingMod =!= 0)
+      .select(md5(col("text")).as("h")).distinct()
+    val exactDups = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpusDigests, Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(true))
+    // shingle cap computed over the FULL collection (batch + corpus), as
+    // the standing index would be maintained
+    val sh = cappedShingles(spark, sfDir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inc = sh.filter(col("doc_id") % IncomingMod === 0)
+    val corp = sh.filter(col("doc_id") % IncomingMod =!= 0)
+    val shared = inc.as("a").join(corp.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+    val bestJacc = shared
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n_a")), "doc_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n_sh").as("n_b")), "corpus_id")
+      .groupBy(col("doc_id"))
+      .agg(max(round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6))
+        .as("best_jacc"))
+    incoming.select(col("doc_id"))
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(bestJacc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("best_jacc"), lit(0.0)).as("best_jacc"))
+      .withColumn("verdict",
+        when(col("exact_dup"), "exact_dup")
+          .when(col("best_jacc") >= JaccardThreshold, "near_dup")
+          .otherwise("new"))
+  }
+
   // ---- MinHash + LSH (the at-scale path; no SQL oracle) -----------------
 
   val NumPerms = 64
@@ -173,12 +229,20 @@ object Dedup {
 
   /** 64-permutation MinHash signature per doc as `array<long>`: one pass
     * over (doc, shingle) with 64 partial `min` aggregates — no shuffle
-    * beyond the doc_id hash agg. Permutation j is `xxhash64(j, s)`.
+    * beyond the doc_id hash agg. Permutation j is the engine-neutral
+    * 60-bit md5 hash of `"j_" || shingle` (the textbook k-independent-
+    * hash-functions family), chosen so the ENTIRE construction —
+    * signatures, banding, candidate pairs, estimate — replays in DuckDB
+    * and is hash-checked, not just spec-bounded. The xxhash64+splitmix64
+    * variant below ([[minhashSignaturesAgg]]) is the cheaper per-row
+    * production path (1 string hash + 64 integer mixes vs 64 string
+    * hashes); `DedupSpec` ties the two together on recall.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir)
-    val aggs: Seq[Column] =
-      (0 until NumPerms).map(j => min(xxhash64(lit(j), col("s"))).as(s"m$j"))
+    val aggs: Seq[Column] = (0 until NumPerms).map(j =>
+      min(expr(s"CAST(conv(substr(md5(concat('${j}_', s)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"m$j"))
     sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -212,10 +276,12 @@ object Dedup {
 
   private def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
     val sig = signatures.cache()
+    // band key = the band's literal min-hash contents (not an engine-
+    // specific hash of them): collision-free, identical in DuckDB
     val bandCols = (0 until NumBands).map { bIdx =>
       val parts = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), bIdx * RowsPerBand + r + 1))
-      struct(lit(bIdx).as("band"), xxhash64(parts: _*).as("bh"))
+      struct(lit(bIdx).as("band"), concat_ws(",", parts: _*).as("bh"))
     }
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array(bandCols: _*)).as("b"))
@@ -239,14 +305,49 @@ object Dedup {
     "dd_normalized" -> (normalizedGroups(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
     "dd_clusters" -> (nearDupClusters(_, _)),
+    "dd_incremental_new" -> (incrementalNew(_, _)),
     "dd_minhash_lsh" -> (minhashCandidates(_, _)),
     "dd_minhash_agg" -> (minhashCandidatesAgg(_, _)))
 
-  /** `dd_minhash_lsh` has no SQL oracle (xxhash64 is Spark-specific);
-    * the driver records its rows-only check, and `DedupSpec` verifies
-    * its recall against `dd_ngram_jaccard`.
+  /** `dd_minhash_agg` has no SQL oracle (its xxhash64+splitmix64 mixing
+    * has no DuckDB equivalent); the driver records its rows-only check,
+    * and `DedupSpec` verifies its recall. `dd_minhash_lsh` — the md5-
+    * family construction — is fully oracle-checked below.
     */
   val oracles: Map[String, String] = Map(
+    "dd_minhash_lsh" -> {
+      val sigMins = (0 until NumPerms).map(j =>
+        s"min(CAST('0x' || substr(md5(concat('${j}_', s)), 1, 15) AS BIGINT)) AS m$j")
+        .mkString(",\n      ")
+      val sigList = (0 until NumPerms).map(j => s"m$j").mkString(", ")
+      val bandKey = (1 to RowsPerBand)
+        .map(r => s"sig[b * $RowsPerBand + $r]").mkString("concat_ws(',', ", ", ", ")")
+      val matches =
+        s"len(list_filter(list_transform(range(1, $NumPerms + 1), i -> sa.sig[i] = sb.sig[i]), x -> x))"
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
+         |    i -> concat_ws(' ', ${(1 to ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+         |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleSize),
+         |sig AS (
+         |  SELECT doc_id, list_value($sigList) AS sig FROM (
+         |    SELECT doc_id,
+         |      $sigMins
+         |    FROM sh GROUP BY doc_id) m),
+         |banded AS (
+         |  SELECT doc_id, b AS band, $bandKey AS bh
+         |  FROM sig, (SELECT unnest(range($NumBands)) AS b) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round($matches / $NumPerms.0, 6) AS est_jaccard
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_a
+         |JOIN sig sb ON sb.doc_id = cand.doc_b
+         |WHERE round($matches / $NumPerms.0, 6) >= $JaccardThreshold""".stripMargin
+    },
     "dd_exact_groups" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
@@ -258,6 +359,41 @@ object Dedup {
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSql,
+    "dd_incremental_new" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
+         |    i -> concat_ws(' ', ${(1 to ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+         |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleSize),
+         |capped AS (
+         |  SELECT doc_id, s FROM sh
+         |  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > $MaxShingleFreq)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+         |exact AS (
+         |  SELECT i.doc_id FROM documents i
+         |  WHERE i.doc_id % $IncomingMod = 0 AND md5(i.text) IN (
+         |    SELECT md5(text) FROM documents WHERE doc_id % $IncomingMod <> 0)),
+         |best AS (
+         |  SELECT doc_id, max(round(CAST(shared AS DOUBLE)
+         |      / (n_a + n_b - shared), 6)) AS best_jacc FROM (
+         |    SELECT a.doc_id, b.doc_id AS corpus_id, count(*) AS shared,
+         |      any_value(sa.n_sh) AS n_a, any_value(sb.n_sh) AS n_b
+         |    FROM capped a JOIN capped b ON a.s = b.s
+         |      AND a.doc_id % $IncomingMod = 0 AND b.doc_id % $IncomingMod <> 0
+         |    JOIN sizes sa ON a.doc_id = sa.doc_id
+         |    JOIN sizes sb ON b.doc_id = sb.doc_id
+         |    GROUP BY a.doc_id, b.doc_id) p
+         |  GROUP BY doc_id)
+         |SELECT i.doc_id,
+         |  (e.doc_id IS NOT NULL) AS exact_dup,
+         |  coalesce(b.best_jacc, 0.0) AS best_jacc,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN coalesce(b.best_jacc, 0.0) >= $JaccardThreshold THEN 'near_dup'
+         |       ELSE 'new' END AS verdict
+         |FROM documents i
+         |LEFT JOIN exact e ON i.doc_id = e.doc_id
+         |LEFT JOIN best b ON i.doc_id = b.doc_id
+         |WHERE i.doc_id % $IncomingMod = 0""".stripMargin,
     "dd_clusters" ->
       s"""WITH RECURSIVE
          |edges AS (

@@ -51,6 +51,9 @@ object PlanAudit {
     audit("q_kmv_distinct", Relational.kmvDistinct(spark, sf))
     audit("sim_sq8_search", Similarity.sq8Search(spark, sf))
     audit("sim_ann_multiprobe", Similarity.annMultiProbe(spark, sf))
+    audit("dd_embed_neardup_lsh", Similarity.embedNearDupLsh(spark, sf))
+    audit("q7_nation_pairs", Relational.nationPairVolume(spark, sf))
+    audit("q10_returned_items", Relational.returnedItemRevenue(spark, sf))
     spark.stop()
   }
 }
