@@ -57,21 +57,27 @@ object Bench {
     // deterministic name order (the old unordered Map made round-over-round
     // per-query numbers incomparable); best-of-2 per query so one GC pause /
     // host-contention spike can't masquerade as a regression
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // a failed rep records None — a near-zero failure elapsed must never
+      // win the min and masquerade as a fast success
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable => // keep timing the rest, but never silently
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable => // keep timing the rest, but never silently
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries cache intermediates (shingle/signature reuse); drop them
         // between runs so blocks don't accrete into GC pressure
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      // every rep failed: surface a loud sentinel instead of a timing
+      name -> times.minOption.getOrElse(-1.0)
     }
     // The driver captures only the tail of stdout (~2 KB): a per-query map
     // over all ~130 queries overflows it and the JSON line never parses
@@ -84,8 +90,10 @@ object Bench {
     // full per-query history: always dumped so round N+1 can diff every
     // query, not just the 15 the driver line carries (committed as
     // bench/rN.txt at round end)
+    // default is cwd-relative (sbt forks in the project root), so any
+    // checkout location keeps its history
     val dumpPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUMP",
-      "/root/repo/bench/last_run.txt")
+      "bench/last_run.txt")
     try {
       val p = java.nio.file.Paths.get(dumpPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -23,6 +23,12 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // subset mode overwrites oracle_sql.json with only the filtered keys;
+    // stale result dirs from an earlier full run would then look "all
+    // green" after a 1-query check — make the narrowing impossible to miss
+    if (only.isDefined)
+      System.err.println(s"[verify] SUBSET mode: ${selected.size} of " +
+        s"${SparkEntry.queries.size} queries; use a fresh outDir")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

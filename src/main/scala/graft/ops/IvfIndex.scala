@@ -124,6 +124,19 @@ object IvfIndex {
     assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Cell histogram over the FIXED codebook (no Lloyd refinement) — the
+    * oracle-checked twin of [[cellStats]], same assignment tie rule as
+    * `sim_ivf_fixed`.
+    */
+  def cellStatsFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    assign(e, centroids)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** One Lloyd refinement round, hash-checkable end to end: assign every
     * vector to its nearest fixed-codebook centroid (the tie rule
     * `sim_ivf_fixed` already oracle-matches), then emit the refined
@@ -149,7 +162,8 @@ object IvfIndex {
     "sim_ivf_search" -> (search(_, _)),
     "sim_ivf_fixed" -> (searchFixed(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
-    "sim_ivf_cells" -> (cellStats(_, _)))
+    "sim_ivf_cells" -> (cellStats(_, _)),
+    "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)))
 
   /** DuckDB oracle for the fixed-codebook search: same assignment tie
     * rule (max sim, then lowest centroid id), probe ranking on the RAW
@@ -161,6 +175,18 @@ object IvfIndex {
     val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
     val cosVQ = Similarity.sqlCos("a.embedding", "q.qv")
     Map(
+      "sim_ivf_cells_fixed" ->
+        s"""WITH c AS (
+           |  SELECT vec_id AS centroid_id, embedding AS centroid
+           |  FROM embeddings WHERE vec_id < $K),
+           |a AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+           |    FROM embeddings e, c) t WHERE rn = 1)
+           |SELECT centroid_id, count(*) AS n_vectors
+           |FROM a GROUP BY centroid_id""".stripMargin,
       "sim_ivf_one_round" ->
         s"""WITH c AS (
            |  SELECT vec_id AS centroid_id, embedding AS centroid

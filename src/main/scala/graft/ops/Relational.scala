@@ -567,8 +567,11 @@ object Relational {
         (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
       .agg(exactMoneySum(discPrice, 4).as("revenue"))
 
-  /** KMV sketch size. */
-  val KmvK = 256
+  /** KMV sketch size — single source of truth is the Aggregator, so the
+    * execution path, the DuckDB oracle SQL, and the spec baseline can
+    * never drift apart on K.
+    */
+  val KmvK: Int = graft.functions.KmvAggregator.K
 
   /** Approximate distinct count via a k-minimum-values sketch
     * (Bar-Yossef et al.): hash every key to a uniform 60-bit value,

@@ -229,10 +229,16 @@ object Similarity {
     * 1 − (1 − p^r)^b: ≥ 98% across this corpus's whole near-dup range
     * (cos 0.4–0.6 → p 0.63–0.71). Band width r is the selectivity
     * knob — it is 2 here because the synthetic corpus puts the dup
-    * threshold in the tail of the random-pair distribution; production
-    * near-dup corpora (threshold ≥ 0.85, p ≥ 0.93) run r ≈ 16 /
-    * b ≈ 8, where a random pair collides with probability ~1e-4 and
-    * the join touches ~n·E[bucket] pairs instead of n².
+    * threshold in the tail of the random-pair distribution, and at r=2
+    * a random pair still collides in ≥1 band with p ≈ 0.9: ON THIS
+    * CORPUS the banded path inspects nearly all pairs and exists to
+    * exercise and oracle-check the banding machinery, not to win the
+    * benchmark. The asymptotic claim belongs to the production regime
+    * (threshold ≥ 0.85, p ≥ 0.93, r ≈ 16 / b ≈ 8): there a random
+    * pair collides with probability ~1e-4 and the join touches
+    * ~n·E[bucket] pairs instead of n². Sign-LSH fundamentally cannot
+    * be selective when the target threshold sits in the random-pair
+    * tail — that is a property of the data, not the operator.
     */
   val NdPlanes = 16
   val NdBands = 8
@@ -270,12 +276,15 @@ object Similarity {
     // pair dedup shuffle 16-byte id pairs, not 2×64-float vectors (~30×
     // less exchange volume); vectors re-attach afterwards by two id equi-
     // joins against the corpus, the standard candidates-then-fetch shape
+    // cached: the 16-plane sign-code projection is the dominant per-row
+    // cost and feeds both sides of the candidate self-join
     val banded = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), ndCodeCol.as("code"))
       .withColumn("band_idx", explode(sequence(lit(0), lit(NdBands - 1))))
       .select(col("vec_id"), col("band_idx"),
         expr(s"shiftright(code, band_idx * $NdBandBits) & ${(1 << NdBandBits) - 1}")
           .as("band_key"))
+      .cache()
     val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_b")),
         Seq("band_idx", "band_key"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation (north-star extension):
@@ -49,6 +50,28 @@ object TextOps {
       s"CAST(size($wsSplitSpark) AS BIGINT) AS n_ws_tokens",
       s"CAST(size(regexp_extract_all(text, '$TokenPattern', 0)) AS BIGINT) AS n_re_tokens",
       "CAST(length(text) AS BIGINT) AS n_chars_obs")
+
+  /** Token budget per training shard for [[packShards]]. */
+  val ShardBudget = 2000
+
+  /** Greedy sequential shard packing: assign each doc (in doc_id order,
+    * independently per source) to the training shard its running token
+    * offset falls in — `shard = floor(start_offset / budget)`, the
+    * data-parallel approximation of context-window packing every
+    * pre-training data pipeline runs before tokenization. The running
+    * sum windows PER SOURCE, so at corpus scale the packing
+    * parallelizes across sources instead of forcing one global
+    * partition (a single global ORDER BY running sum is the
+    * anti-pattern; per-group packing is how sharding is actually done).
+    */
+  def packShards(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "source",
+        s"CAST(size($wsSplitSpark) AS BIGINT) AS n_tokens")
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .selectExpr("doc_id", "source", "n_tokens",
+        s"CAST((cum - n_tokens) div $ShardBudget AS BIGINT) AS shard")
 
   /** Quality scoring: length, mean word length, stopword ratio, and a
     * composite score — the usual pre-training heuristics (length filters
@@ -343,6 +366,7 @@ object TextOps {
         expr(s"CAST(sum(size($wsSplitSpark)) AS BIGINT) AS total_tokens"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_pack_shards" -> (packShards(_, _)),
     "tx_token_counts" -> (tokenCounts(_, _)),
     "tx_quality" -> (qualityScores(_, _)),
     "tx_langid" -> (langId(_, _)),
@@ -361,6 +385,14 @@ object TextOps {
   val oracles: Map[String, String] = {
     val stop = inList(Profiles.head._2)
     Map(
+      "tx_pack_shards" ->
+        s"""SELECT doc_id, source, n_tokens,
+           |  CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard
+           |FROM (
+           |  SELECT doc_id, source, len($wsSplitDuck) AS n_tokens,
+           |    sum(len($wsSplitDuck)) OVER (
+           |      PARTITION BY source ORDER BY doc_id) AS cum
+           |  FROM documents) t""".stripMargin,
       "tx_token_counts" ->
         s"""SELECT doc_id,
            | len($wsSplitDuck) AS n_ws_tokens,
