@@ -50,9 +50,20 @@ object Bench {
     // dev: bench only a comma-separated subset of query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // past sf 0.1 the O(n²) recall baselines leave the benched set (they
+    // would dominate it quadratically); correctness still covers them at
+    // sf0.01 — see SparkEntry.quadraticQueries
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .flatMap(_.group(1).toDoubleOption)
+    val scaleGated =
+      if (sf.exists(_ > 0.1)) {
+        System.err.println(
+          s"[bench] sf=$sf: skipping quadratic baselines ${SparkEntry.quadraticQueries.mkString(",")}")
+        SparkEntry.queries -- SparkEntry.quadraticQueries
+      } else SparkEntry.queries
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
-      case None => SparkEntry.queries
+      case Some(names) => scaleGated.filter { case (k, _) => names(k) }
+      case None => scaleGated
     }
     // deterministic name order (the old unordered Map made round-over-round
     // per-query numbers incomparable); best-of-2 per query so one GC pause /
@@ -76,9 +87,13 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) Some(dt) else None
       }
-      // every rep failed: surface a loud sentinel instead of a timing
-      name -> times.minOption.getOrElse(-1.0)
+      // every rep failed → None: kept OUT of the total (a -1.0 sentinel
+      // summed in would make a broken query IMPROVE the headline number)
+      // and reported explicitly in the JSON line below
+      name -> times.minOption
     }
+    val failed = results.collect { case (name, None) => name }
+    val timed = results.collect { case (name, Some(t)) => name -> t }
     // The driver captures only the tail of stdout (~2 KB): a per-query map
     // over all ~130 queries overflows it and the JSON line never parses
     // (round-1 lesson). Emit the 15 slowest queries only, rounded, and keep
@@ -98,18 +113,20 @@ object Bench {
       val p = java.nio.file.Paths.get(dumpPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       val lines = (s"# sf=$sfDir reps=$reps n_queries=${results.size} " +
-        s"total=${fmt(results.map(_._2).sum)}s") +:
-        results.sortBy(-_._2).map { case (k, v) => s"${fmt(v)}  $k" }
+        s"n_failed=${failed.size} total=${fmt(timed.map(_._2).sum)}s") +:
+        (failed.map(k => s"FAILED $k") ++
+          timed.sortBy(-_._2).map { case (k, v) => s"${fmt(v)}  $k" })
       java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] dump failed: ${e.getMessage}")
     }
-    val slowest = results.sortBy(-_._2).take(15)
+    val slowest = timed.sortBy(-_._2).take(15)
     val qs = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

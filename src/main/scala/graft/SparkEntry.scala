@@ -13,6 +13,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Queries that are quadratic in corpus size BY CONSTRUCTION —
+    * test-scale recall baselines for their registered LSH primaries
+    * (`dd_embed_neardup` ↔ `dd_embed_neardup_lsh`). The correctness
+    * gate still checks them at sf0.01; `Bench` excludes them past
+    * sf 0.1 so the benched set is the at-scale set — an explicit
+    * registry flag, not an ad-hoc env var.
+    */
+  val quadraticQueries: Set[String] = Set("dd_embed_neardup")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++

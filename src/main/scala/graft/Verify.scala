@@ -23,12 +23,13 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
-    // subset mode overwrites oracle_sql.json with only the filtered keys;
-    // stale result dirs from an earlier full run would then look "all
-    // green" after a 1-query check — make the narrowing impossible to miss
+    // subset mode must not overwrite the full run's oracle_sql.json: a
+    // stale full outDir plus a narrowed oracle file would make a 1-query
+    // check look like a clean full pass. The narrowed oracle goes to a
+    // suffixed file the full-run checker never reads.
     if (only.isDefined)
       System.err.println(s"[verify] SUBSET mode: ${selected.size} of " +
-        s"${SparkEntry.queries.size} queries; use a fresh outDir")
+        s"${SparkEntry.queries.size} queries; writing oracle_sql.subset.json")
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -55,7 +56,9 @@ object Verify {
     }
     val json = dumped
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

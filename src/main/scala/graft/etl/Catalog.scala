@@ -75,17 +75,30 @@ object Catalog {
   // `HudiLike.commit` / `Timeline.commit` invoke after their pointer
   // swap — the no-HMS analog of hive-sync.
 
-  private final case class ViewEntry(name: String, path: String, timeline: Boolean)
-  private val viewRegistry = new ConcurrentHashMap[String, ViewEntry]()
+  // Temp views are SESSION-scoped, so the registry keys each entry by
+  // its owning session and syncViews re-registers on THAT session (held
+  // weakly — a tracked view must not pin a stopped session in memory),
+  // never on whichever session happened to commit. Without this, a
+  // commit from session B would re-point session B's view while session
+  // A kept a stale pinned file listing of the swapped-out snapshot.
+  private final case class ViewEntry(
+      session: java.lang.ref.WeakReference[SparkSession],
+      name: String, path: String, timeline: Boolean)
+  private val viewRegistry = new ConcurrentHashMap[(Int, String), ViewEntry]()
 
   private def canon(p: String): String = Paths.get(p).toAbsolutePath.normalize.toString
 
+  private def key(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name)
+
   /** Register (or replace) a temp view over a `HudiLike`-managed table
-    * path; the view is kept in sync across commits.
+    * path; the view is kept in sync across commits (in the registering
+    * session — each session tracks its own views).
     */
   def registerView(spark: SparkSession, name: String, tablePath: String): Unit = {
     spark.read.parquet(tablePath).createOrReplaceTempView(name)
-    viewRegistry.put(name, ViewEntry(name, canon(tablePath), timeline = false))
+    viewRegistry.put(key(spark, name), ViewEntry(
+      new java.lang.ref.WeakReference(spark), name, canon(tablePath), timeline = false))
   }
 
   /** Register a temp view tracking the LATEST version of a
@@ -93,28 +106,41 @@ object Catalog {
     */
   def registerTimelineView(spark: SparkSession, name: String, tableRoot: String): Unit = {
     Timeline.read(spark, tableRoot).createOrReplaceTempView(name)
-    viewRegistry.put(name, ViewEntry(name, canon(tableRoot), timeline = true))
+    viewRegistry.put(key(spark, name), ViewEntry(
+      new java.lang.ref.WeakReference(spark), name, canon(tableRoot), timeline = true))
   }
 
-  /** Drop a view from sync tracking (the view itself is left to the
-    * session's normal temp-view lifecycle).
+  /** Drop a view from sync tracking in every session it was registered
+    * from (the view itself is left to each session's normal temp-view
+    * lifecycle).
     */
-  def unregisterView(name: String): Unit = viewRegistry.remove(name)
+  def unregisterView(name: String): Unit =
+    viewRegistry.keySet.removeIf(_._2 == name)
 
-  /** Re-register every tracked view over `tablePath` and invalidate
-    * cached plans holding the swapped files. Called by the commit paths;
-    * safe to call for paths with no tracked views.
+  /** Re-register every tracked view over `tablePath` — each on its OWN
+    * session — and invalidate cached plans holding the swapped files.
+    * Called by the commit paths; safe for paths with no tracked views.
+    * Entries whose session has been garbage-collected are dropped.
     */
-  private[etl] def syncViews(spark: SparkSession, tablePath: String): Unit = {
+  private[etl] def syncViews(committing: SparkSession, tablePath: String): Unit = {
     val p = canon(tablePath)
-    viewRegistry.values.forEach { e =>
+    val dead = new java.util.ArrayList[(Int, String)]()
+    viewRegistry.forEach { (k, e) =>
       if (e.path == p) {
-        if (e.timeline) Timeline.read(spark, e.path).createOrReplaceTempView(e.name)
-        else spark.read.parquet(e.path).createOrReplaceTempView(e.name)
+        e.session.get() match {
+          case null => dead.add(k)
+          case owner =>
+            if (e.timeline) Timeline.read(owner, e.path).createOrReplaceTempView(e.name)
+            else owner.read.parquet(e.path).createOrReplaceTempView(e.name)
+            try owner.catalog.refreshByPath(p)
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
       }
     }
-    // cached Datasets over the old snapshot: drop + relist their files
-    try spark.catalog.refreshByPath(p)
+    dead.forEach(viewRegistry.remove(_))
+    // the committing session's own cached Datasets over the old
+    // snapshot: drop + relist their files even if it tracked no view
+    try committing.catalog.refreshByPath(p)
     catch { case scala.util.control.NonFatal(_) => () }
   }
 

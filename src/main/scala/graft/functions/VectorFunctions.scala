@@ -133,12 +133,19 @@ case class L2Distance(left: Expression, right: Expression)
 
 object VectorFunctions {
   /** Register the vector functions in the session's function registry
-    * so plans can use them via `expr(...)` and plain SQL.
+    * so plans can use them via `expr(...)` and plain SQL. Idempotent
+    * per session: every similarity query calls this defensively, and
+    * re-registering spams a SimpleFunctionRegistry replace-warning per
+    * call — the existence check keeps repeat calls silent.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "l2_dist", exprs => L2Distance(exprs.head, exprs(1)), "built-in")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+      registry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "l2_dist", exprs => L2Distance(exprs.head, exprs(1)), "built-in")
+    }
   }
 }

@@ -71,12 +71,19 @@ object Dedup {
     * plain single-space split, identical to the oracle's
     * `string_split(text, ' ')`.
     */
-  def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+  def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, sfDir))
+
+  /** Shingle relation over an arbitrary document batch (`doc_id`,
+    * `text` columns) — the batch-shaped form the incremental-index
+    * paths feed.
+    */
+  def shinglesOf(docs: DataFrame): DataFrame = {
     // Tokenize once into a materialized array column, then build
     // shingles with slice+array_join over it. Referencing the split
     // expression directly inside the lambda re-evaluates the regex
     // split per element_at (5 splits per shingle — measured 10× slower).
-    val toks = Tables.documents(spark, sfDir)
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= ShingleSize)
     val idx = sequence(lit(0), size(col("t")) - ShingleSize) // inclusive bounds
@@ -221,29 +228,125 @@ object Dedup {
           .otherwise("new"))
   }
 
+  // ---- persisted corpus index (the artifact the ingestion loop keeps) ----
+
+  /** Content digests of a document batch: the exact-dup index rows. */
+  def digestsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+
+  /** Create (or atomically replace) the standing corpus index for
+    * `docs`: a digest table and a shingle table, each committed through
+    * `HudiLike.commit` — the same index [[incrementalNew]] recomputes
+    * inline at test scale, persisted once so per-batch dedup cost is
+    * O(batch × bucket) and the corpus documents are never rescanned.
+    */
+  def initCorpusIndex(docs: DataFrame, indexDir: String): Unit = {
+    graft.etl.HudiLike.commit(digestsOf(docs), s"$indexDir/digests")
+    graft.etl.HudiLike.commit(shinglesOf(docs), s"$indexDir/shingles")
+  }
+
+  /** Fold an accepted batch into the standing index through the keyed
+    * upsert path — idempotent, so re-ingesting a batch after a crash is
+    * a no-op (the same guarantee the pipeline's fact upserts carry).
+    */
+  def appendToCorpusIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    graft.etl.HudiLike.upsertInto(spark, s"$indexDir/digests",
+      digestsOf(batch), keys = Seq("doc_id"), precombine = "h")
+    graft.etl.HudiLike.upsertInto(spark, s"$indexDir/shingles",
+      shinglesOf(batch), keys = Seq("doc_id", "s"), precombine = "s")
+  }
+
+  /** Dedup an incoming batch against the PERSISTED corpus index — the
+    * production ingestion shape ([[incrementalNew]] is its inline twin,
+    * oracle-checked at test scale). Exact check: one semi-join of batch
+    * digests against the digest table. Near-dup check: batch shingles
+    * joined to the shingle table, best Jaccard per batch doc. The
+    * stop-shingle cap is enforced from the index's own document
+    * frequencies — the standing index maintains them, so a hot shingle
+    * is dropped from both sides without rescanning the corpus.
+    */
+  def incrementalAgainstIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val digests = spark.read.parquet(s"$indexDir/digests")
+    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    val hot = corpusSh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleFreq)
+      .select(col("s"))
+    val corp = corpusSh.join(broadcast(hot), Seq("s"), "left_anti")
+    val inc = shinglesOf(batch).join(broadcast(hot), Seq("s"), "left_anti")
+    // self-matches excluded on both checks: after an idempotent
+    // re-ingest the batch's own rows are in the index, and a doc must
+    // never count as its own duplicate
+    val exactDups = digestsOf(batch).as("b")
+      .join(digests.as("i"),
+        col("b.h") === col("i.h") && col("b.doc_id") =!= col("i.doc_id"),
+        "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(true))
+    val nA = inc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val nB = corp.groupBy(col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_b"))
+    val shared = inc.as("a").join(corp.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+    val bestJacc = shared
+      .join(nA, "doc_id")
+      .join(nB, "corpus_id")
+      .groupBy(col("doc_id"))
+      .agg(max(round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6))
+        .as("best_jacc"))
+    batch.select(col("doc_id"))
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(bestJacc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("best_jacc"), lit(0.0)).as("best_jacc"))
+      .withColumn("verdict",
+        when(col("exact_dup"), "exact_dup")
+          .when(col("best_jacc") >= JaccardThreshold, "near_dup")
+          .otherwise("new"))
+  }
+
   // ---- MinHash + LSH (the at-scale path; no SQL oracle) -----------------
 
   val NumPerms = 64
   val NumBands = 16
   val RowsPerBand: Int = NumPerms / NumBands
 
+  /** Modulus of the Kirsch–Mitzenmacher permutation family (2^60). The
+    * two base hashes are disjoint md5 substrings sized so the affine
+    * combination never overflows 64-bit signed arithmetic — DuckDB
+    * *throws* on BIGINT overflow, so replayability requires headroom,
+    * not wrapping: h1 < 2^60 (15 hex chars), h2 < 2^56 (14 hex chars),
+    * j ≤ 63 < 2^6 ⇒ h1 + j·h2 < 2^60 + 2^62 < 2^63.
+    */
+  val PermMod: Long = 1L << 60
+
   /** 64-permutation MinHash signature per doc as `array<long>`: one pass
     * over (doc, shingle) with 64 partial `min` aggregates — no shuffle
-    * beyond the doc_id hash agg. Permutation j is the engine-neutral
-    * 60-bit md5 hash of `"j_" || shingle` (the textbook k-independent-
-    * hash-functions family), chosen so the ENTIRE construction —
-    * signatures, banding, candidate pairs, estimate — replays in DuckDB
-    * and is hash-checked, not just spec-bounded. The xxhash64+splitmix64
-    * variant below ([[minhashSignaturesAgg]]) is the cheaper per-row
-    * production path (1 string hash + 64 integer mixes vs 64 string
-    * hashes); `DedupSpec` ties the two together on recall.
+    * beyond the doc_id hash agg. Each shingle is hashed ONCE with md5
+    * and split into two base hashes; permutation j is the
+    * Kirsch–Mitzenmacher affine combination `(h1 + j·h2) mod 2^60` —
+    * pure integer arithmetic from one string hash, 64× less hashing
+    * than the previous md5-per-permutation family, with the same
+    * guarantee: the ENTIRE construction — signatures, banding,
+    * candidate pairs, estimate — replays in DuckDB and is hash-checked,
+    * not just spec-bounded. The xxhash64+splitmix64 variant below
+    * ([[minhashSignaturesAgg]]) stays as the custom-Aggregator surface;
+    * `DedupSpec` ties the two together on recall.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(spark, sfDir)
+    // md5 lands in its own projection so CollapseProject won't inline
+    // (and so re-evaluate) the string hash into both substr sites
+    val hashed = shingles(spark, sfDir)
+      .select(col("doc_id"), md5(col("s")).as("mh"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(mh, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substr(mh, 17, 14), 16, 10) AS BIGINT)").as("h2"))
     val aggs: Seq[Column] = (0 until NumPerms).map(j =>
-      min(expr(s"CAST(conv(substr(md5(concat('${j}_', s)), 1, 15), 16, 10) AS BIGINT)"))
-        .as(s"m$j"))
-    sh.groupBy(col("doc_id"))
+      min((col("h1") + lit(j.toLong) * col("h2")) % lit(PermMod)).as(s"m$j"))
+    hashed.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumPerms).map(j => col(s"m$j")): _*).as("sig"))
@@ -287,7 +390,7 @@ object Dedup {
       explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+    val out = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -297,6 +400,12 @@ object Dedup {
           m => m)) / lit(NumPerms.toDouble), 6))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .filter(col("est_jaccard") >= JaccardThreshold)
+      // eager-materialize the (small) surviving pair set, then release
+      // the signature cache — a long-lived session calling LSH queries
+      // repeatedly must not accrete cached signature blocks
+      .localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -317,7 +426,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_minhash_lsh" -> {
       val sigMins = (0 until NumPerms).map(j =>
-        s"min(CAST('0x' || substr(md5(concat('${j}_', s)), 1, 15) AS BIGINT)) AS m$j")
+        s"min((h1 + $j * h2) % $PermMod) AS m$j")
         .mkString(",\n      ")
       val sigList = (0 until NumPerms).map(j => s"m$j").mkString(", ")
       val bandKey = (1 to RowsPerBand)
@@ -329,11 +438,16 @@ object Dedup {
          |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
          |    i -> concat_ws(' ', ${(1 to ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
          |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleSize),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+         |    CAST('0x' || substr(md5(s), 17, 14) AS BIGINT) AS h2
+         |  FROM sh),
          |sig AS (
          |  SELECT doc_id, list_value($sigList) AS sig FROM (
          |    SELECT doc_id,
          |      $sigMins
-         |    FROM sh GROUP BY doc_id) m),
+         |    FROM hs GROUP BY doc_id) m),
          |banded AS (
          |  SELECT doc_id, b AS band, $bandKey AS bh
          |  FROM sig, (SELECT unnest(range($NumBands)) AS b) bands),

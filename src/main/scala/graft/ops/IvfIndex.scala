@@ -1,10 +1,12 @@
 package graft.ops
 
 import graft.Tables
+import graft.etl.{Catalog, HudiLike}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the
   * centroid-partitioned scale path for similarity search, alongside the
@@ -18,6 +20,16 @@ import org.apache.spark.sql.functions._
   * driver between iterations is the legitimate "broadcast the model"
   * pattern, not a driver-side data loop.
   *
+  * The index is an ARTIFACT, not a query intermediate: [[buildCommit]]
+  * writes assignments + centroids once through `HudiLike.commit` (atomic
+  * snapshot swap, `Catalog` views kept in sync), and every search/stats
+  * query reads the committed tables via [[ensureIndex]] — the
+  * build-once/query-many shape the reference itself uses for its tables
+  * (pipeline_architecture.py:78-97 build vs py:201-231 query). A real
+  * ANN system amortizes the k-means build over millions of queries;
+  * rebuilding per query was both a bench distortion and the wrong
+  * lifecycle.
+  *
   * Search probes the `nprobe` nearest centroids per query and re-ranks
   * only vectors in those cells: corpus scan cost drops to ~nprobe/k of
   * brute force, the property that matters at 10^9 vectors.
@@ -27,6 +39,11 @@ object IvfIndex {
   val K = 8
   val Iterations = 3
   val NProbe = 2
+  /** Wider probe setting exercised by `sim_ivf_multiprobe` — the
+    * recall/cost knob: nprobe cells of k are scanned, so recall rises
+    * with nprobe while scan cost stays ~nprobe/k of brute force.
+    */
+  val NProbeWide = 4
 
   private def cos(a: String, b: String) = expr(s"cosine_sim($a, $b)")
 
@@ -73,11 +90,80 @@ object IvfIndex {
     (assign(e, centroids).cache(), centroids)
   }
 
+  // ---- committed-index lifecycle ----------------------------------------
+
+  /** Where a corpus's committed index lives: one dir per canonical
+    * corpus path (cwd-relative — sbt forks in the project root, so
+    * Bench/Verify/tests share artifacts).
+    */
+  private def indexDir(sfDir: String): String = {
+    val canon = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"target/graft-index/ivf-$key"
+  }
+
+  /** Fingerprint of the build parameters, stored next to the committed
+    * tables: an artifact built by older code (different K/Iterations/
+    * init) must be rebuilt, never silently read.
+    */
+  private def paramsFingerprint: String = s"v1 k=$K iters=$Iterations"
+
+  /** Build the index and commit it as a table artifact: assignments and
+    * centroids each written through `HudiLike.commit` (atomic pointer
+    * swap; registered `Catalog` views resync), plus the params marker.
+    * Always rebuilds — this IS the index-creation operation; use
+    * [[ensureIndex]] on the query path.
+    */
+  def buildCommit(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val dir = indexDir(sfDir)
+    val (assigned, centroids) = build(spark, sfDir)
+    HudiLike.commit(assigned, s"$dir/assignments")
+    HudiLike.commit(centroids, s"$dir/centroids")
+    // commit materialized both frames to parquet; drop the build caches
+    // (long-lived sessions must not accrete k-means intermediates)
+    assigned.unpersist(); centroids.unpersist()
+    Files.writeString(Paths.get(s"$dir/meta"), paramsFingerprint)
+    (spark.read.parquet(s"$dir/assignments"),
+      spark.read.parquet(s"$dir/centroids"))
+  }
+
+  /** The committed index for `sfDir`, building it first if absent or
+    * built with different parameters. Query entry points read through
+    * this, so the Lloyd build runs once per corpus, not once per query.
+    */
+  def ensureIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val dir = indexDir(sfDir)
+    val fresh = Files.exists(Paths.get(s"$dir/assignments")) &&
+      Files.exists(Paths.get(s"$dir/centroids")) &&
+      Files.exists(Paths.get(s"$dir/meta")) &&
+      Files.readString(Paths.get(s"$dir/meta")) == paramsFingerprint
+    if (fresh)
+      (spark.read.parquet(s"$dir/assignments"),
+        spark.read.parquet(s"$dir/centroids"))
+    else buildCommit(spark, sfDir)
+  }
+
+  /** The `sim_ivf_build` query: a full rebuild + commit, surfaced as
+    * the committed centroid coordinates in long form. This is the one
+    * entry that pays the Lloyd loop; its cost is the per-corpus
+    * index-creation cost the searches amortize.
+    */
+  def buildQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, centroids) = buildCommit(spark, sfDir)
+    centroids
+      .select(col("centroid_id"), posexplode(col("centroid")).as(Seq("d", "x")))
+      .select(col("centroid_id"), col("d").cast("long").as("d"),
+        round(col("x").cast("double"), 6).as("m"))
+  }
+
   /** ANN search: probe the NProbe nearest cells per query vector
     * (vec_id < 5 as elsewhere), exact re-rank inside them, top-5 out.
+    * Reads the committed index ([[ensureIndex]]) — no per-query build.
     */
   def search(spark: SparkSession, sfDir: String): DataFrame = {
-    val (assigned, centroids) = build(spark, sfDir)
+    VectorFunctions.register(spark)
+    val (assigned, centroids) = ensureIndex(spark, sfDir)
     searchFrom(assigned, centroids)
   }
 
@@ -97,7 +183,21 @@ object IvfIndex {
     searchFrom(assign(e, centroids).cache(), centroids)
   }
 
-  private def searchFrom(assigned: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Fixed-codebook search at the wide probe setting ([[NProbeWide]]) —
+    * the probe-count/recall knob as a first-class query, hash-checkable
+    * the same way as `sim_ivf_fixed`; `IvfIndexSpec` asserts its recall
+    * against the brute-force KNN dominates the nprobe=2 path.
+    */
+  def searchFixedMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    searchFrom(assign(e, centroids).cache(), centroids, NProbeWide)
+  }
+
+  private def searchFrom(assigned: DataFrame, centroids: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
     val queries = assigned.filter(col("vec_id") < Similarity.QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -106,7 +206,7 @@ object IvfIndex {
       .select(col("q_id"), col("qv"), col("centroid_id"),
         cos("qv", "centroid").as("csim"))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("qv"), col("centroid_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
@@ -118,9 +218,11 @@ object IvfIndex {
       .filter(col("rnk") <= 5)
   }
 
-  /** Cell occupancy histogram (index health check). */
+  /** Cell occupancy histogram (index health check) — reads the
+    * committed assignments, no rebuild.
+    */
   def cellStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val (assigned, _) = build(spark, sfDir)
+    val (assigned, _) = ensureIndex(spark, sfDir)
     assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
   }
 
@@ -159,8 +261,10 @@ object IvfIndex {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_build" -> (buildQuery(_, _)),
     "sim_ivf_search" -> (search(_, _)),
     "sim_ivf_fixed" -> (searchFixed(_, _)),
+    "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
     "sim_ivf_cells" -> (cellStats(_, _)),
     "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)))
@@ -174,7 +278,36 @@ object IvfIndex {
     val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
     val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
     val cosVQ = Similarity.sqlCos("a.embedding", "q.qv")
+    def fixedSearchSql(nprobe: Int): String =
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $K),
+         |a AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, c) t WHERE rn = 1),
+         |q AS (
+         |  SELECT a.vec_id AS q_id, a.embedding AS qv FROM a
+         |  WHERE a.vec_id < ${Similarity.QuerySetSize}),
+         |probes AS (
+         |  SELECT q_id, qv, centroid_id FROM (
+         |    SELECT q.q_id, q.qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY $cosQC DESC, c.centroid_id) AS rn
+         |    FROM q, c) t WHERE rn <= $nprobe)
+         |SELECT q_id, vec_id, centroid_id, cos_sim, rnk FROM (
+         |  SELECT q.q_id, a.vec_id, a.centroid_id,
+         |    round($cosVQ, 4) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round($cosVQ, 4) DESC, a.vec_id) AS rnk
+         |  FROM a JOIN probes q ON a.centroid_id = q.centroid_id
+         |  WHERE a.vec_id <> q.q_id) s
+         |WHERE rnk <= 5""".stripMargin
     Map(
+      "sim_ivf_fixed" -> fixedSearchSql(NProbe),
+      "sim_ivf_multiprobe" -> fixedSearchSql(NProbeWide),
       "sim_ivf_cells_fixed" ->
         s"""WITH c AS (
            |  SELECT vec_id AS centroid_id, embedding AS centroid
@@ -201,33 +334,6 @@ object IvfIndex {
            |  round(avg(CAST(embedding[d + 1] AS DOUBLE)), 6) AS m,
            |  count(*) AS n_members
            |FROM a, (SELECT unnest(range(${Similarity.Dim})) AS d) dims
-           |GROUP BY centroid_id, d""".stripMargin,
-      "sim_ivf_fixed" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS centroid_id, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $K),
-         |a AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT e.vec_id, e.embedding, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
-         |    FROM embeddings e, c) t WHERE rn = 1),
-         |q AS (
-         |  SELECT a.vec_id AS q_id, a.embedding AS qv FROM a
-         |  WHERE a.vec_id < ${Similarity.QuerySetSize}),
-         |probes AS (
-         |  SELECT q_id, qv, centroid_id FROM (
-         |    SELECT q.q_id, q.qv, c.centroid_id,
-         |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY $cosQC DESC, c.centroid_id) AS rn
-         |    FROM q, c) t WHERE rn <= $NProbe)
-         |SELECT q_id, vec_id, centroid_id, cos_sim, rnk FROM (
-         |  SELECT q.q_id, a.vec_id, a.centroid_id,
-         |    round($cosVQ, 4) AS cos_sim,
-         |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY round($cosVQ, 4) DESC, a.vec_id) AS rnk
-         |  FROM a JOIN probes q ON a.centroid_id = q.centroid_id
-         |  WHERE a.vec_id <> q.q_id) s
-         |WHERE rnk <= 5""".stripMargin)
+           |GROUP BY centroid_id, d""".stripMargin)
   }
 }

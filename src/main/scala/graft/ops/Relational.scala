@@ -158,12 +158,22 @@ object Relational {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    // Aggregate to per-customer revenue and take the top 20 BEFORE
+    // touching the customer table, then attach attributes by
+    // broadcasting the 20-row side INTO customer. Joining the raw fact
+    // rows to customer first (the naive shape) only works when customer
+    // broadcasts — at 100 TB customer is fact-sized and that plan dies;
+    // this one's only broadcast is 20 rows. Same result under the
+    // schema's referential integrity (every o_custkey resolves), which
+    // the DuckDB hash check pins at both test SFs.
+    val topKeys = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
       .agg(exactMoneySum(discPrice, 4).as("revenue"))
-      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(20)
+    broadcast(topKeys).join(c, topKeys("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
   }
 
   /** Relational division ("for all" membership): customers with at
@@ -547,8 +557,14 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("sq"))
       .filter(col("sq") > 300)
-    Tables.orders(spark, sfDir)
+    // the >300 HAVING keeps the hit set to a sliver of orders (~1e-4 of
+    // keys in TPC-H data), so the HITS are the broadcast side of the
+    // customer join and customer streams — without the hint the static
+    // planner (blind to the HAVING's selectivity) broadcasts customer,
+    // which is fact-sized at 100 TB
+    val hits = Tables.orders(spark, sfDir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
+    broadcast(hits)
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .selectExpr("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
         "CAST(sq AS BIGINT) AS sum_qty")

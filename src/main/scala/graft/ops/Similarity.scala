@@ -291,6 +291,10 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in up to 8 bands; cosine once
+      // eager-materialize the id-pair set, then release the banded
+      // cache — repeated LSH calls on one session must not accrete blocks
+      .localCheckpoint()
+    banded.unpersist()
     val ea = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val eb = Tables.embeddings(spark, sfDir)

@@ -75,4 +75,39 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.exactSurvivors(spark, sf0001).count() == distinctTexts)
     assert(Dedup.exactGroups(spark, sf0001).count() == distinctTexts)
   }
+
+  test("incremental dedup runs consecutive batches against a persisted index") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("corpus-index").toString
+    val d = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch1 = d.filter(col("doc_id") % 2 === 1)
+    // batch2 = batch1's texts under fresh ids: all 'new' while only the
+    // corpus is indexed, all 'exact_dup' once batch1 has been folded in
+    val batch2 = batch1.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+
+    Dedup.initCorpusIndex(corpus, dir)
+    val r1 = Dedup.incrementalAgainstIndex(spark, batch1, dir)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(r1.size == batch1.count(), "one verdict per batch-1 doc")
+    assert(!r1.values.exists(_ == "exact_dup"),
+      "sf0.001 documents are content-distinct; batch 1 must plant no exact dup")
+
+    // state advances between batches THROUGH THE ARTIFACT, not a
+    // recomputation: fold batch1 in, then batch2's copies are caught
+    Dedup.appendToCorpusIndex(spark, batch1, dir)
+    val r2 = Dedup.incrementalAgainstIndex(spark, batch2, dir)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(r2.size == batch1.count())
+    assert(r2.values.forall(_ == "exact_dup"),
+      s"every batch-2 doc repeats a batch-1 text; got ${r2.values.groupBy(identity).view.mapValues(_.size).toMap}")
+
+    // idempotent re-ingest: folding batch1 again must not flip verdicts
+    // (self-matches are excluded)
+    Dedup.appendToCorpusIndex(spark, batch1, dir)
+    val r1Again = Dedup.incrementalAgainstIndex(spark, batch1, dir)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(!r1Again.values.exists(_ == "exact_dup"),
+      "a re-ingested doc must not count as its own duplicate")
+  }
 }

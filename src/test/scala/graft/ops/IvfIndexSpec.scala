@@ -12,6 +12,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(cells.map(_._2).sum == graft.Tables.embeddings(spark, sf0001).count())
   }
 
+  test("committed index is read back, not rebuilt, and matches a fresh build") {
+    // buildCommit writes the artifact; ensureIndex must serve the exact
+    // same assignments from the committed tables
+    val (a1, c1) = IvfIndex.buildCommit(spark, sf0001)
+    val committed = a1.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    assert(c1.count() == IvfIndex.K)
+    val (a2, _) = IvfIndex.ensureIndex(spark, sf0001)
+    val reread = a2.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    assert(reread == committed)
+    val (fresh, _) = IvfIndex.build(spark, sf0001)
+    assert(fresh.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap == committed,
+      "persisted assignments must equal a from-scratch deterministic build")
+  }
+
+  test("wider probing (nprobe=4) recall >= nprobe=2 recall vs brute-force KNN") {
+    // ground truth: exact top-5 per query from the brute-force path
+    val truth = Similarity.knnPerQuery(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val narrow = recallOf(IvfIndex.searchFixed(spark, sf0001))
+    val wide = recallOf(IvfIndex.searchFixedMultiprobe(spark, sf0001))
+    assert(wide >= narrow,
+      s"probing more cells must not lose neighbors: nprobe2=$narrow nprobe4=$wide")
+    assert(wide > 0.0)
+  }
+
   test("search is exact within the probed cells") {
     graft.functions.VectorFunctions.register(spark)
     val got = IvfIndex.search(spark, sf0001)

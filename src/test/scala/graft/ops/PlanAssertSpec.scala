@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
+/** The PlanAudit dump turned into CI assertions: physical-plan
+  * properties that decide 100 TB behavior fail the build when they
+  * regress, instead of waiting for a human to re-read the dump.
+  *
+  * Asserted invariants:
+  *   1. the incremental-extract watermark predicate reaches the parquet
+  *      scan as a pushed filter (`DivComparisonPushdown`'s whole point);
+  *   2. no relational/pipeline query plans a BroadcastNestedLoopJoin —
+  *      the only sanctioned cartesians are the similarity baselines
+  *      (tiny broadcast query sides), which are not in the checked set;
+  *   3. no query carries an explicit `broadcast()` hint over the
+  *      `customer` table — the round-2 scale-killer. The static planner
+  *      and AQE may legitimately broadcast customer at test SF (their
+  *      decisions are size-based and flip on their own at 100 TB); a
+  *      HINT overrides size logic at every scale and must never pin a
+  *      fact-sized table as a build side.
+  */
+class PlanAssertSpec extends SparkSpec {
+
+  /** Execute and return the FINAL adaptive plan (AQE re-plans at
+    * runtime; the pre-execution plan would assert the wrong tree).
+    */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan
+  }
+
+  /** Collect the whole tree, descending through the adaptive wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec) that hide subtrees from
+    * the default `collect`.
+    */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(collectAll)
+  }
+
+  private def scansUnder(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectAll(p).collect { case f: FileSourceScanExec => f }
+
+  /** Join-bearing queries with no legitimate cartesian: every TPC-H-ish
+    * analytic join plus the pipeline extract/report paths.
+    */
+  private val checked = Seq(
+    "q3_top_orders_segment", "q5_region_revenue", "q7_nation_pairs",
+    "q10_returned_items", "q15_top_supplier", "q17_small_quantity",
+    "q18_large_orders", "q_semi_join", "q_anti_join", "q_left_join_agg",
+    "q_right_join", "q_full_outer", "q4_priority_exists",
+    "p_incremental_extract", "p_status_report")
+
+  private lazy val plans: Map[String, SparkPlan] =
+    checked.map(n => n -> finalPlan(SparkEntry.queries(n)(spark, sf001))).toMap
+
+  test("incremental extract pushes the watermark predicate into the scan") {
+    val scans = scansUnder(plans("p_incremental_extract"))
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(f => f != "[]" && f.nonEmpty),
+      s"no non-empty PushedFilters in extract scan; got $pushed")
+  }
+
+  test("no BroadcastNestedLoopJoin in any relational/pipeline query") {
+    for ((name, plan) <- plans) {
+      val bnl = collectAll(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnl.isEmpty, s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
+  test("no explicit broadcast hint pins customer as a build side") {
+    for (name <- checked) {
+      val analyzed = SparkEntry.queries(name)(spark, sf001).queryExecution.analyzed
+      val bad = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
+            h.child.collect {
+              case lr: LogicalRelation => lr.relation match {
+                case fs: HadoopFsRelation =>
+                  fs.location.rootPaths.mkString(",").contains("customer")
+                case _ => false
+              }
+            }.exists(identity) => h
+      }
+      assert(bad.isEmpty,
+        s"$name pins customer with a broadcast hint:\n${bad.headOption}")
+    }
+  }
+}

@@ -19,6 +19,43 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salting bounds the max shuffle partition under a 30%-mass hot key") {
+    // The actual skew claim, asserted at data level: force ~30% of the
+    // events table onto ONE join key (the single-key skew AQE's splitter
+    // cannot rebalance on the reduce side of a non-splittable agg/join
+    // key), and measure real per-partition row counts of the join
+    // output. Unsalted, the hot key's partition must blow past 2× the
+    // mean (proving the data really is skewed); salted, every partition
+    // must stay within 2× the mean.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // fixed 8-partition shuffle joins, no broadcast, no AQE re-plan:
+      // the test measures the raw partitioning, not AQE's patch-ups
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = graft.Tables.events(spark, sf001)
+        .select(when(col("event_id") % 10 < 3, lit(-1L))
+          .otherwise(col("user_id")).as("uid"), col("event_id"))
+      val dims = ev.select(col("uid").as("bk")).distinct()
+        .withColumn("dim", col("bk") * 2)
+      def partitionCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.select(spark_partition_id().as("pid"))
+          .groupBy("pid").agg(count(lit(1)).as("n"))
+          .select("n").as[Long].collect().toSeq
+      val plain = partitionCounts(ev.join(dims, ev("uid") === dims("bk")))
+      val salted = partitionCounts(Scale.saltedJoin(ev, dims, "uid", "bk", 8))
+      val mean = ev.count().toDouble / 8
+      assert(plain.max > 2 * mean,
+        s"hot key should overload one partition unsalted: max=${plain.max} mean=$mean")
+      assert(salted.max <= 2 * mean,
+        s"salted max partition must stay within 2x mean: max=${salted.max} mean=$mean counts=$salted")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("salted join spreads a hot key across salt partitions") {
     val li = graft.Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_partkey", "l_quantity")

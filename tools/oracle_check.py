@@ -37,7 +37,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    with open(f"{out_dir}/oracle_sql.json") as f:
+    # subset Verify runs write a suffixed oracle file so they can never be
+    # mistaken for (or contaminate) a full run's oracle_sql.json
+    import os
+    subset = f"{out_dir}/oracle_sql.subset.json"
+    oracle_file = subset if os.path.exists(subset) else f"{out_dir}/oracle_sql.json"
+    with open(oracle_file) as f:
         oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
