@@ -50,13 +50,14 @@ object Bench {
     // dev: bench only a comma-separated subset of query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // past sf 0.1 the O(n²) recall baselines leave the benched set (they
-    // would dominate it quadratically); correctness still covers them at
-    // sf0.01 — see SparkEntry.quadraticQueries
+    // at sf 0.1 and beyond the O(n²) recall baselines leave the benched
+    // set (at sf0.1 dd_embed_neardup alone was 18% of the round-4 bench;
+    // past it they dominate quadratically); correctness still covers them
+    // at sf0.01 — see SparkEntry.quadraticQueries
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .flatMap(_.group(1).toDoubleOption)
     val scaleGated =
-      if (sf.exists(_ > 0.1)) {
+      if (sf.exists(_ >= 0.1)) {
         System.err.println(
           s"[bench] sf=$sf: skipping quadratic baselines ${SparkEntry.quadraticQueries.mkString(",")}")
         SparkEntry.queries -- SparkEntry.quadraticQueries
@@ -83,8 +84,13 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries cache intermediates (shingle/signature reuse); drop them
-        // between runs so blocks don't accrete into GC pressure
+        // between runs so blocks don't accrete into GC pressure.
+        // clearCache only covers catalog-cached Datasets — localCheckpoint
+        // blocks (LSH candidate sets, dd_clusters rounds) survive it and
+        // were the round-4 cross-query slowdown; unpersist them explicitly
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok) Some(dt) else None
       }
       // every rep failed → None: kept OUT of the total (a -1.0 sentinel

@@ -16,8 +16,8 @@ object SparkEntry {
   /** Queries that are quadratic in corpus size BY CONSTRUCTION —
     * test-scale recall baselines for their registered LSH primaries
     * (`dd_embed_neardup` ↔ `dd_embed_neardup_lsh`). The correctness
-    * gate still checks them at sf0.01; `Bench` excludes them past
-    * sf 0.1 so the benched set is the at-scale set — an explicit
+    * gate still checks them at sf0.01; `Bench` excludes them at
+    * sf ≥ 0.1 so the benched set is the at-scale set — an explicit
     * registry flag, not an ad-hoc env var.
     */
   val quadraticQueries: Set[String] = Set("dd_embed_neardup")

@@ -36,7 +36,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // see Bench: avoid cross-query cache accretion
+      // see Bench: avoid cross-query cache accretion. localCheckpoint
+      // blocks (LSH candidates, dd_clusters rounds) survive clearCache —
+      // over 135 queries in one session they accrete into GC pressure,
+      // so drop them explicitly too
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -94,16 +94,23 @@ object Dedup {
 
   /** Shingles with the stop-shingle cap applied (window-free: one
     * aggregation to count, broadcast-joined back as an anti-filter).
+    * Public and cap-parameterized so `DedupSpec` can plant a hot
+    * shingle past a small cap and assert the candidate join stays
+    * bounded — the property that keeps the pair join sub-quadratic
+    * when a shingle goes viral at corpus scale.
     */
-  private def cappedShingles(spark: SparkSession, sfDir: String): DataFrame = {
+  def cappedShinglesOf(docs: DataFrame, maxFreq: Long = MaxShingleFreq): DataFrame = {
     // cache the raw shingle relation: it feeds the hot-shingle count,
     // the per-doc sizes, and both sides of the pair join
-    val sh = shingles(spark, sfDir).cache()
+    val sh = shinglesOf(docs).cache()
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleFreq)
+      .filter(col("df") > maxFreq)
       .select(col("s"))
     sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
+
+  private def cappedShingles(spark: SparkSession, sfDir: String): DataFrame =
+    cappedShinglesOf(Tables.documents(spark, sfDir))
 
   // ---- exact n-gram Jaccard ---------------------------------------------
 

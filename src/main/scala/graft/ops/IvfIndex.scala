@@ -103,11 +103,40 @@ object IvfIndex {
     s"target/graft-index/ivf-$key"
   }
 
-  /** Fingerprint of the build parameters, stored next to the committed
-    * tables: an artifact built by older code (different K/Iterations/
-    * init) must be rebuilt, never silently read.
+  /** Fingerprint of the corpus files backing the index (file count,
+    * total bytes, newest modification time): driver-side metadata only,
+    * no scan. A corpus that changed underneath a committed index must
+    * force a rebuild — `ensureIndex` must never silently serve stale
+    * assignments. Same "did the table move?" question the reference's
+    * watermark answers before an incremental read (py:128-148), applied
+    * to the index artifact.
     */
-  private def paramsFingerprint: String = s"v1 k=$K iters=$Iterations"
+  private def corpusFingerprint(sfDir: String): String = {
+    val root = Paths.get(s"$sfDir/embeddings.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        try {
+          val it = s.filter(p => Files.isRegularFile(p)).iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        } finally s.close()
+      } else if (Files.exists(root)) Seq(root)
+      else Seq.empty
+    val bytes = files.map(Files.size(_)).sum
+    val mtime =
+      if (files.isEmpty) 0L
+      else files.map(Files.getLastModifiedTime(_).toMillis).max
+    s"corpus files:${files.size} bytes:$bytes mtime:$mtime"
+  }
+
+  /** Fingerprint stored next to the committed tables: an artifact built
+    * by older code (different K/Iterations/init) OR over a corpus that
+    * has since changed must be rebuilt, never silently read.
+    */
+  private def indexFingerprint(sfDir: String): String =
+    s"v2 k=$K iters=$Iterations ${corpusFingerprint(sfDir)}"
 
   /** Build the index and commit it as a table artifact: assignments and
     * centroids each written through `HudiLike.commit` (atomic pointer
@@ -123,21 +152,26 @@ object IvfIndex {
     // commit materialized both frames to parquet; drop the build caches
     // (long-lived sessions must not accrete k-means intermediates)
     assigned.unpersist(); centroids.unpersist()
-    Files.writeString(Paths.get(s"$dir/meta"), paramsFingerprint)
+    // fingerprint captured AFTER the build read the corpus: a corpus
+    // mutation racing the build makes the meta stale and the next
+    // ensureIndex rebuilds — fail-rebuild, never fail-stale
+    Files.writeString(Paths.get(s"$dir/meta"), indexFingerprint(sfDir))
     (spark.read.parquet(s"$dir/assignments"),
       spark.read.parquet(s"$dir/centroids"))
   }
 
-  /** The committed index for `sfDir`, building it first if absent or
-    * built with different parameters. Query entry points read through
-    * this, so the Lloyd build runs once per corpus, not once per query.
+  /** The committed index for `sfDir`, building it first if absent,
+    * built with different parameters, or built over a corpus whose
+    * files have since changed (count/bytes/mtime — see
+    * [[corpusFingerprint]]). Query entry points read through this, so
+    * the Lloyd build runs once per corpus VERSION, not once per query.
     */
   def ensureIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val dir = indexDir(sfDir)
     val fresh = Files.exists(Paths.get(s"$dir/assignments")) &&
       Files.exists(Paths.get(s"$dir/centroids")) &&
       Files.exists(Paths.get(s"$dir/meta")) &&
-      Files.readString(Paths.get(s"$dir/meta")) == paramsFingerprint
+      Files.readString(Paths.get(s"$dir/meta")) == indexFingerprint(sfDir)
     if (fresh)
       (spark.read.parquet(s"$dir/assignments"),
         spark.read.parquet(s"$dir/centroids"))
@@ -165,6 +199,19 @@ object IvfIndex {
     VectorFunctions.register(spark)
     val (assigned, centroids) = ensureIndex(spark, sfDir)
     searchFrom(assigned, centroids)
+  }
+
+  /** Committed-index ANN search at the wide probe setting
+    * ([[NProbeWide]]) — the recall/cost knob on the PRODUCTION path,
+    * not just the fixed-codebook oracle twin. Rows-only in the driver
+    * gate (the Lloyd centroids aren't SQL-replayable); its arithmetic
+    * twin `sim_ivf_multiprobe` is fully hash-checked, and
+    * `IvfIndexSpec` asserts its recall dominates the nprobe=2 path.
+    */
+  def searchWide(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val (assigned, centroids) = ensureIndex(spark, sfDir)
+    searchFrom(assigned, centroids, NProbeWide)
   }
 
   /** IVF search over a FIXED codebook (the first K vectors, no Lloyd
@@ -263,6 +310,7 @@ object IvfIndex {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_build" -> (buildQuery(_, _)),
     "sim_ivf_search" -> (search(_, _)),
+    "sim_ivf_search_wide" -> (searchWide(_, _)),
     "sim_ivf_fixed" -> (searchFixed(_, _)),
     "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),

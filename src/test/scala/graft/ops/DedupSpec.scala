@@ -110,4 +110,28 @@ class DedupSpec extends SparkSpec {
     assert(!r1Again.values.exists(_ == "exact_dup"),
       "a re-ingested doc must not count as its own duplicate")
   }
+
+  test("stop-shingle cap bounds the candidate join when a shingle goes hot") {
+    import org.apache.spark.sql.functions.col
+    // 60 docs share one viral 5-gram (quadratic join fuel, zero dedup
+    // signal); one genuine near-dup pair shares a NON-hot shingle.
+    val hot = "the quick brown fox jumps"
+    val docs = (0 until 60).map(i => (i.toLong, s"$hot u${i}a u${i}b u${i}c u${i}d")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "alpha beta gamma delta epsilon eta"))
+    val df = docs.toDF("doc_id", "text")
+    def candidatePairs(sh: org.apache.spark.sql.DataFrame): Long =
+      sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val uncapped = candidatePairs(Dedup.shinglesOf(df))
+    assert(uncapped >= 60L * 59 / 2,
+      s"without the cap the hot shingle yields all-pairs: $uncapped")
+    // cap at 50 < 60: the viral shingle is dropped, the candidate join
+    // collapses to the one genuinely-shared shingle — sub-quadratic by
+    // construction, and the dedup signal survives
+    val capped = candidatePairs(Dedup.cappedShinglesOf(df, maxFreq = 50))
+    assert(capped == 1L,
+      s"cap must drop the hot shingle but keep the real near-dup pair: $capped")
+  }
 }

@@ -44,6 +44,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(wide > 0.0)
   }
 
+  test("ensureIndex rebuilds when the corpus files change underneath it") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-corpus").toString
+    val full = graft.Tables.embeddings(spark, sf0001)
+    full.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val n1 = full.count()
+    val (a1, _) = IvfIndex.ensureIndex(spark, tmp)
+    assert(a1.count() == n1)
+    // shrink the corpus IN PLACE — same path, different files. A fresh
+    // session reads the new listing (Tables memoizes per session); the
+    // committed index still carries the old corpus's fingerprint, so
+    // ensureIndex must rebuild rather than serve stale assignments.
+    val s2 = spark.newSession()
+    val half = graft.Tables.embeddings(s2, sf0001).filter("vec_id % 2 = 0")
+    val n2 = half.count()
+    half.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (a2, _) = IvfIndex.ensureIndex(s2, tmp)
+    assert(a2.count() == n2,
+      "changed corpus must force a rebuild, not serve stale assignments")
+  }
+
+  test("committed-index wide probe (nprobe=4) recall >= default committed path") {
+    val truth = Similarity.knnPerQuery(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val narrow = recallOf(IvfIndex.search(spark, sf0001))
+    val wide = recallOf(IvfIndex.searchWide(spark, sf0001))
+    assert(wide >= narrow,
+      s"committed path: probing more cells must not lose neighbors: nprobe2=$narrow nprobe4=$wide")
+    assert(wide > 0.0)
+  }
+
   test("search is exact within the probed cells") {
     graft.functions.VectorFunctions.register(spark)
     val got = IvfIndex.search(spark, sf0001)

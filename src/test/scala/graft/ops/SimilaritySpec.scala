@@ -59,6 +59,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("production-regime banding (r=8, b=2) is selective AND recalls planted near-dups") {
+    // The registered near-dup config (r=2) is documented non-selective on
+    // the near-orthogonal test corpus; this measures the PRODUCTION claim
+    // (Similarity.scala banding doc): at high threshold with wide bands,
+    // random pairs rarely collide while near-identical pairs always do.
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val dim = Similarity.Dim
+    def unit(v: Array[Float]): Array[Float] = {
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val n = 300
+    val base = (0 until n).map { i =>
+      (i.toLong, unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    // 10 planted near-identical dups of vectors 0..9 (cos >= 0.999)
+    val planted = (0 until 10).map { i =>
+      val noisy = unit(base(i)._2.map(x => (x + 0.001 * rnd.nextGaussian()).toFloat))
+      ((n + i).toLong, noisy)
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val cand = Similarity.bandedCandidates(df, planes = 16, bands = 2)
+      .as[(Long, Long)].collect().toSet
+    val totalPairs = (n + 10).toLong * (n + 9) / 2
+    // random-pair collision ~ 2 * 0.5^8 ≈ 0.8%; assert well under 10%
+    assert(cand.size < totalPairs / 10,
+      s"banding must prune the pair space: ${cand.size} of $totalPairs candidates")
+    val expected = (0 until 10).map(i => (i.toLong, (n + i).toLong)).toSet
+    assert(expected.subsetOf(cand),
+      s"planted near-dups missed by banding: ${expected -- cand}")
+  }
+
   test("brute-force KNN and scores agree") {
     val scores = Similarity.cosineScores(spark, sf0001)
       .as[(Long, Double)].collect().toMap
