@@ -162,15 +162,22 @@ object Dedup {
     // would emit split (wrong) clusters
     val maxRounds = 64
     while (changed > 0 && iter < maxRounds) {
-      val prop = edges.join(labels, edges("dst") === labels("id"))
+      val cur = labels
+      val prop = edges.join(cur, edges("dst") === cur("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(prop, labels("id") === prop("src"), "left")
-        .select(labels("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      // carry the per-node "label dropped" flag INSIDE the checkpointed
+      // frame: min-label propagation is monotone, so changed ⇔
+      // nbr_min < old label. The convergence count then scans the
+      // just-materialized local blocks instead of re-joining next
+      // against the previous labels (which cost a second shuffle join
+      // per round).
+      val next = cur.join(prop, cur("id") === prop("src"), "left")
+        .select(cur("id"),
+          least(cur("cluster"), coalesce(col("nbr_min"), cur("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), cur("cluster")) < cur("cluster")).as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     if (changed > 0)

@@ -66,9 +66,58 @@ object Sampling {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  // ---- target-mixture resampling ----------------------------------------
+
+  /** Target mixture weights per source (domain mixing): source `srcI`
+    * gets weight I+1, so the output distribution ramps linearly across
+    * the 20 sources instead of staying uniform like the corpus.
+    */
+  val MixtureWeights: Seq[(String, Long)] = (0 until 20).map(i => s"src$i" -> (i + 1L))
+  val MixtureSumW: Long = MixtureWeights.map(_._2).sum
+
+  private def mixtureWeightCaseSql: String =
+    MixtureWeights.map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+
+  /** Resample the corpus to the target source mixture — the domain-mixing
+    * step of training-data curation (the fractions are COMPUTED from the
+    * data, unlike [[stratifiedByLang]]'s fixed per-stratum rates):
+    *
+    *   1. count rows per source (tiny aggregate);
+    *   2. feasible output size `n_max` = the largest N for which no
+    *      source is oversampled: min over sources of
+    *      floor(cnt · ΣW / w) — the highest-weight-to-availability
+    *      source keeps 100% and every other source downsamples
+    *      proportionally, no replication;
+    *   3. per-source acceptance threshold on the same deterministic
+    *      16-bit content-hash lattice as [[hashSample]].
+    *
+    * At 100 TB the per-source counts and thresholds are a ~|sources|-row
+    * broadcast; the filter itself is one map-side pass with no shuffle.
+    * All arithmetic is IEEE-exact double on integer inputs, so the
+    * thresholds replay bit-for-bit in the DuckDB oracle.
+    */
+  def mixtureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", expr(mixtureWeightCaseSql))
+      .filter(col("w") > 0)
+    val budget = counts
+      .agg(min(expr(s"CAST(floor(cnt * $MixtureSumW.0 / w) AS BIGINT)")).as("n_max"))
+    val thresholds = counts.crossJoin(broadcast(budget))
+      .select(col("source"),
+        expr(s"CAST(floor(w * n_max * 65536.0 / ($MixtureSumW.0 * cnt)) AS BIGINT)")
+          .as("thr"))
+    val bucket = md5Bucket16Sql("concat('mx|', text)")
+    d.join(broadcast(thresholds), Seq("source"))
+      .filter(expr(s"$bucket < thr"))
+      .select(col("doc_id"), col("source"), expr(bucket).as("bucket16"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_hash" -> (hashSample(_, _)),
-    "samp_stratified" -> (stratifiedByLang(_, _)))
+    "samp_stratified" -> (stratifiedByLang(_, _)),
+    "samp_mixture" -> (mixtureSample(_, _)))
 
   val oracles: Map[String, String] = Map(
     "samp_hash" ->
@@ -78,5 +127,21 @@ object Sampling {
          |WHERE ${md5Bucket16Sql("text")} < ${65536L * 100 / 1000}""".stripMargin,
     "samp_stratified" ->
       s"""SELECT doc_id, lang, source FROM documents
-         |WHERE ${md5Bucket16Sql("concat('st|', text)")} < ($stratCaseSql)""".stripMargin)
+         |WHERE ${md5Bucket16Sql("concat('st|', text)")} < ($stratCaseSql)""".stripMargin,
+    "samp_mixture" ->
+      s"""WITH cw AS (
+         |  SELECT source, count(*) AS cnt, $mixtureWeightCaseSql AS w
+         |  FROM documents GROUP BY source),
+         |cwp AS (SELECT * FROM cw WHERE w > 0),
+         |budget AS (
+         |  SELECT min(CAST(floor(cnt * $MixtureSumW.0 / w) AS BIGINT)) AS n_max
+         |  FROM cwp),
+         |thr AS (
+         |  SELECT source,
+         |    CAST(floor(w * n_max * 65536.0 / ($MixtureSumW.0 * cnt)) AS BIGINT) AS thr
+         |  FROM cwp, budget)
+         |SELECT d.doc_id, d.source,
+         |  ${md5Bucket16Sql("concat('mx|', text)")} AS bucket16
+         |FROM documents d JOIN thr t ON d.source = t.source
+         |WHERE ${md5Bucket16Sql("concat('mx|', text)")} < t.thr""".stripMargin)
 }

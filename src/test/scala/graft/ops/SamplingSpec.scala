@@ -30,4 +30,29 @@ class SamplingSpec extends SparkSpec {
     // full-fraction strata must be complete
     assert(got("fr") == base("fr") && got("zh") == base("zh"))
   }
+
+  test("mixture resampling keeps the binding source whole and ramps the rest") {
+    val base = graft.Tables.documents(spark, sf001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val got = Sampling.mixtureSample(spark, sf001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // uniform corpus + linear weights: the max-weight source binds the
+    // budget (fraction exactly 1.0) and must survive in full
+    assert(got("src19") == base("src19"),
+      s"binding source must keep everything: ${got.get("src19")} of ${base("src19")}")
+    // acceptance fraction is w/20 here; spot-check the ramp at loose
+    // binomial tolerance (counts are small at test scale)
+    Seq("src4" -> 0.25, "src9" -> 0.50, "src14" -> 0.75).foreach { case (s, f) =>
+      val expected = base(s) * f
+      val actual = got.getOrElse(s, 0L).toDouble
+      assert(math.abs(actual - expected) <= math.max(8.0, expected * 0.5),
+        s"$s: expected ≈$expected got $actual")
+    }
+    // no replication: every per-source take is bounded by availability
+    got.foreach { case (s, n) => assert(n <= base(s)) }
+    // deterministic across runs
+    val again = Sampling.mixtureSample(spark, sf001)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
 }
