@@ -186,6 +186,27 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** Quality-aware survivor selection per near-dup cluster — the
+    * curation decision the cluster ids exist to serve: within each
+    * component keep the HIGHEST-QUALITY member (composite score from
+    * `TextOps.qualityScores`, ties to the lowest doc_id), not merely
+    * the lowest id. One join of the labels against the quality
+    * projection and one per-cluster `max_by` aggregation on top of the
+    * propagation rounds, so the at-scale cost profile is
+    * [[nearDupClusters]]'s.
+    */
+  def clusterSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = nearDupClusters(spark, sfDir)
+    val q = TextOps.qualityScores(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    labels.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        expr("max_by(doc_id, struct(quality_score, -doc_id))").as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("quality_score")).as("best_quality"))
+  }
+
   // ---- incremental dedup (batch vs corpus) ------------------------------
 
   /** Deterministic batch split for the incremental-dedup query: doc_id
@@ -428,6 +449,7 @@ object Dedup {
     "dd_normalized" -> (normalizedGroups(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
     "dd_clusters" -> (nearDupClusters(_, _)),
+    "dd_cluster_survivors" -> (clusterSurvivors(_, _)),
     "dd_incremental_new" -> (incrementalNew(_, _)),
     "dd_minhash_lsh" -> (minhashCandidates(_, _)),
     "dd_minhash_agg" -> (minhashCandidatesAgg(_, _)))
@@ -533,7 +555,32 @@ object Dedup {
          |  UNION
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src""".stripMargin)
+         |FROM reach GROUP BY src""".stripMargin,
+    "dd_cluster_survivors" ->
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ($ngramJaccardSql) p
+         |  UNION
+         |  SELECT doc_b, doc_a FROM ($ngramJaccardSql) p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |q AS (${TextOps.qualityScoreDuckSql}),
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+         |  FROM labels l JOIN q ON l.doc_id = q.doc_id),
+         |members AS (
+         |  SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+         |SELECT r.cluster_id, r.doc_id AS keep_id, m.n_members,
+         |  r.quality_score AS best_quality
+         |FROM ranked r JOIN members m ON r.cluster_id = m.cluster_id
+         |WHERE rn = 1""".stripMargin)
 
   private lazy val ngramJaccardSql: String = s"""
       |WITH sh AS (

@@ -353,6 +353,33 @@ object TextOps {
         s"CAST(size(slice(t, start + 1, $ChunkTokens)) AS BIGINT) AS n_chunk_tokens",
         s"md5(array_join(slice(t, start + 1, $ChunkTokens), ' ')) AS chunk_hash")
 
+  /** Unigram LM-proxy quality score: each document's mean log
+    * corpus-probability over its tokens — the cheap stand-in for the
+    * LM-perplexity filter of corpus curation (a doc of globally-rare
+    * tokens scores low; formulaic boilerplate scores high). Two
+    * aggregations and one token→frequency equi-join; the vocabulary
+    * relation is corpus-bounded and the join key is the token, so at
+    * 100 TB this is a standard skew-aware shuffle join (AQE splits the
+    * stopword-heavy buckets). Parity hygiene: `ln` is rounded per
+    * token at 8dp BEFORE the mean so both engines average identical
+    * values, and the mean itself is rounded at 4dp to absorb
+    * summation-order noise.
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val tok = d.select(col("doc_id"),
+      explode(expr(wsSplitSpark)).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(freq, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        expr("round(avg(round(ln(CAST(cf AS DOUBLE) / n_total), 8)), 4)")
+          .as("avg_logprob"))
+  }
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -380,7 +407,17 @@ object TextOps {
     "tx_chunking" -> (chunking(_, _)),
     "tx_decontaminate" -> (decontaminate(_, _)),
     "tx_filter_verdict" -> (filterVerdict(_, _)),
+    "tx_unigram_logprob" -> (unigramLogprob(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
+
+  /** DuckDB form of the composite-quality projection (doc_id,
+    * quality_score) — shared with `Dedup`'s cluster-survivor oracle so
+    * the two stay one definition.
+    */
+  lazy val qualityScoreDuckSql: String =
+    s"""SELECT doc_id, round(ln(1 + len($wsSplitDuck)) *
+       | (1.0 - len(list_filter($wsSplitDuck, w -> w IN ${inList(Profiles.head._2)})) / CAST(len($wsSplitDuck) AS DOUBLE)), 4) AS quality_score
+       |FROM documents""".stripMargin
 
   val oracles: Map[String, String] = {
     val stop = inList(Profiles.head._2)
@@ -399,6 +436,15 @@ object TextOps {
            | len(regexp_extract_all(text, '$TokenPattern')) AS n_re_tokens,
            | length(text) AS n_chars_obs
            |FROM documents""".stripMargin,
+      "tx_unigram_logprob" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($wsSplitDuck) AS w FROM documents),
+           |freq AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+           |tot AS (SELECT count(*) AS n_total FROM tok)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  round(avg(round(ln(CAST(cf AS DOUBLE) / n_total), 8)), 4) AS avg_logprob
+           |FROM tok JOIN freq USING (w), tot
+           |GROUP BY doc_id""".stripMargin,
       "tx_quality" ->
         s"""SELECT doc_id,
            | length(text) AS n_chars_obs,

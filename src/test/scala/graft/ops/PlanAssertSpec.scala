@@ -78,6 +78,17 @@ class PlanAssertSpec extends SparkSpec {
     }
   }
 
+  test("mixture resampling joins thresholds by broadcast, never shuffle") {
+    // the per-source threshold relation is ~|sources| rows; if it ever
+    // planned as a sort-merge join the whole corpus would shuffle on
+    // `source` (low-cardinality = catastrophic skew at 100 TB)
+    val plan = finalPlan(SparkEntry.queries("samp_mixture")(spark, sf001))
+    val smj = collectAll(plan).collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, s"samp_mixture plans a sort-merge join:\n$plan")
+  }
+
   test("no explicit broadcast hint pins customer as a build side") {
     for (name <- checked) {
       val analyzed = SparkEntry.queries(name)(spark, sf001).queryExecution.analyzed
