@@ -265,6 +265,78 @@ object IvfIndex {
       .filter(col("rnk") <= 5)
   }
 
+  /** How many cells each vector joins for cell-blocked near-dup
+    * candidate generation — multi-probe in reverse: a pair straddling
+    * one cell boundary still collides as long as either of its top-2
+    * cells agrees. The recall/cost knob of cell blocking, exactly as
+    * band width is for sign-LSH.
+    */
+  val AssignProbes = 2
+
+  /** Top-m centroid assignments per vector (ids only — the candidate
+    * join shuffles 16-byte pairs, vectors re-attach afterwards).
+    */
+  private def assignTop(vectors: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"), cos("embedding", "centroid").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** Embedding near-dup pairs blocked by IVF cell: candidates are
+    * pairs sharing any of their [[AssignProbes]] nearest cells,
+    * confirmed by exact cosine ≥ 0.4 — the third blocking strategy
+    * next to brute force and banded sign-LSH, and the one that reuses
+    * the index the ANN queries already maintain. Candidates dedup
+    * before the cosine (a pair can share both cells), then vectors
+    * re-attach by two id equi-joins — the candidates-then-fetch shape.
+    * Per-cell pair generation is quadratic in cell size, so at scale K
+    * grows with the corpus (K ≈ √n) to keep cells bucket-sized — the
+    * same discipline as LSH bucket width.
+    */
+  private def cellPairs(spark: SparkSession, sfDir: String,
+      cells: DataFrame): DataFrame = {
+    val cand = cells.select(col("centroid_id"), col("vec_id").as("id_a"))
+      .join(cells.select(col("centroid_id"), col("vec_id").as("id_b")),
+        Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val ea = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  /** Cell-blocked near-dup over the COMMITTED index's centroids
+    * (rows-only in the driver gate; [[nearDupCellsFixed]] is the
+    * hash-checked twin).
+    */
+  def nearDupCells(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val (_, centroids) = ensureIndex(spark, sfDir)
+    cellPairs(spark, sfDir,
+      assignTop(Tables.embeddings(spark, sfDir), centroids, AssignProbes))
+  }
+
+  /** Cell-blocked near-dup over the fixed codebook — fully
+    * oracle-checkable (assignment ranking and index-order cosine both
+    * replay in DuckDB).
+    */
+  def nearDupCellsFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    cellPairs(spark, sfDir, assignTop(e, centroids, AssignProbes))
+  }
+
   /** Cell occupancy histogram (index health check) — reads the
     * committed assignments, no rebuild.
     */
@@ -315,7 +387,9 @@ object IvfIndex {
     "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
     "sim_ivf_cells" -> (cellStats(_, _)),
-    "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)))
+    "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)),
+    "dd_embed_neardup_ivf" -> (nearDupCells(_, _)),
+    "dd_embed_neardup_ivf_fixed" -> (nearDupCellsFixed(_, _)))
 
   /** DuckDB oracle for the fixed-codebook search: same assignment tie
     * rule (max sim, then lowest centroid id), probe ranking on the RAW
@@ -353,9 +427,29 @@ object IvfIndex {
          |  FROM a JOIN probes q ON a.centroid_id = q.centroid_id
          |  WHERE a.vec_id <> q.q_id) s
          |WHERE rnk <= 5""".stripMargin
+    val cosXY = Similarity.sqlCos("x.embedding", "y.embedding")
     Map(
       "sim_ivf_fixed" -> fixedSearchSql(NProbe),
       "sim_ivf_multiprobe" -> fixedSearchSql(NProbeWide),
+      "dd_embed_neardup_ivf_fixed" ->
+        s"""WITH c AS (
+           |  SELECT vec_id AS centroid_id, embedding AS centroid
+           |  FROM embeddings WHERE vec_id < $K),
+           |a AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+           |    FROM embeddings e, c) t WHERE rn <= $AssignProbes),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |  FROM a x JOIN a y
+           |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+           |SELECT cand.id_a, cand.id_b, round($cosXY, 4) AS cos_sim
+           |FROM cand
+           |JOIN embeddings x ON cand.id_a = x.vec_id
+           |JOIN embeddings y ON cand.id_b = y.vec_id
+           |WHERE round($cosXY, 4) >= 0.4""".stripMargin,
       "sim_ivf_cells_fixed" ->
         s"""WITH c AS (
            |  SELECT vec_id AS centroid_id, embedding AS centroid

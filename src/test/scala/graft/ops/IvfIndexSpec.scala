@@ -78,6 +78,20 @@ class IvfIndexSpec extends SparkSpec {
     assert(wide > 0.0)
   }
 
+  test("cell-blocked near-dup pairs are a sound subset of brute force") {
+    val exact = Similarity.embedNearDupPairs(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cell = IvfIndex.nearDupCellsFixed(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((cell -- exact).isEmpty,
+      "every cell-blocked pair must pass the exact cosine filter")
+    assert(cell.nonEmpty && exact.nonEmpty)
+    // single-probe blocking misses boundary-straddling pairs by design;
+    // it must still recover a meaningful fraction at test scale
+    val recall = cell.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"cell-blocked recall $recall (${cell.size}/${exact.size})")
+  }
+
   test("search is exact within the probed cells") {
     graft.functions.VectorFunctions.register(spark)
     val got = IvfIndex.search(spark, sf0001)
