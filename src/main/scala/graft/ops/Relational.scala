@@ -583,6 +583,150 @@ object Relational {
         (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
       .agg(exactMoneySum(discPrice, 4).as("revenue"))
 
+  /** TPC-H Q8 (adapted: the fixture has no partsupp, so the supplier's
+    * nation comes straight off `supplier`): yearly market share of one
+    * supplier nation inside one region's customer orders for one part
+    * type. At-scale shape: the fact joins the type-filtered part slice
+    * and the fixed-size supplier/nation dims as broadcasts, shuffles
+    * once onto orders, and the region membership test is a LEFT SEMI
+    * join against the region's customers — customer scales with SF, so
+    * no hint (AQE may promote the 1/5-region slice). Numerator and
+    * denominator accumulate as exact 4dp integers per year, so the
+    * share is one deterministic double division.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("cnk"), col("n_regionkey").as("crk"))
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val regionCust = Tables.customer(spark, sfDir)
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .join(broadcast(r), col("crk") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        expr("sum(CASE WHEN supp_nation = 'NATION_2' THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("num"),
+        expr("sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))").as("den"))
+      .selectExpr("o_year",
+        "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS mkt_share")
+  }
+
+  /** TPC-H Q12 (adapted: no l_shipmode / l_commitdate in the fixture —
+    * the "late" predicate is shipped-after-order-date and the grouping
+    * key is the return flag): per flag, how many late line items came
+    * from critical- vs normal-priority orders. One fact-fact key join
+    * + map-side CASE counts — no distinct, one shuffle.
+    */
+  def q12LateShipments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13: distribution of per-customer order counts — LEFT join
+    * with an extra join-side predicate (the non-urgent filter must sit
+    * INSIDE the join, not under it, to keep zero-order customers), two
+    * cascaded aggregations. The first groupBy carries the c_custkey
+    * shuffle; the second groups a ≤max-orders-sized domain.
+    */
+  def q13CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q21 (adapted: "late" = shipped after order date): suppliers
+    * who were the SOLE late supplier on a finished multi-supplier
+    * order. The textbook form is a correlated EXISTS + NOT EXISTS pair
+    * against lineitem; at scale that is two extra fact self-joins, so
+    * this computes each order's supplier stats in ONE pass — distinct
+    * suppliers, distinct late suppliers, and (via max over a CASE) the
+    * unique late supplier when there is exactly one — then counts
+    * qualifying orders per supplier. One o_orderkey shuffle over the
+    * fact; everything after operates on per-order rows.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = when(col("l_shipdate") > col("o_orderdate"), col("l_suppkey"))
+    val perOrder = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(late).as("n_late_supp"),
+        max(late).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder.groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(25)
+  }
+
+  /** TPC-H Q22 (adapted: no c_phone — the grouping key is the nation
+    * and the "positive balance" filter stands in for the country-code
+    * IN list): customers above the average positive balance with no
+    * orders at all, counted per nation. The average is held as an
+    * exact integer pair (sum of cents, count) broadcast to every row,
+    * and the comparison is pure integer arithmetic
+    * (`bal_cents · cnt > sum_cents`) — no float threshold for the two
+    * engines to disagree on. The dormancy test is a LEFT ANTI join
+    * against recent orders (every fixture customer has SOME order, so
+    * "no orders at all" would be vacuously empty — "no orders since
+    * 1999" keeps Q22's anti-join-with-filter shape and real rows).
+    */
+  def q22GlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg(
+        sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")).as("sum_i"),
+        count(lit(1)).as("cnt"))
+    c.join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(thr))
+      .filter(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT) * cnt > sum_i"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        exactMoneySum(col("c_acctbal"), 2).as("totacctbal"))
+  }
+
   /** KMV sketch size — single source of truth is the Aggregator, so the
     * execution path, the DuckDB oracle SQL, and the spec baseline can
     * never drift apart on K.
@@ -788,6 +932,11 @@ object Relational {
     "p_formats_roundtrip" -> (formatsRoundtrip(_, _)),
     "q4_priority_exists" -> (q4PriorityExists(_, _)),
     "q6_revenue" -> (q6Revenue(_, _)),
+    "q8_market_share" -> (q8MarketShare(_, _)),
+    "q12_late_shipments" -> (q12LateShipments(_, _)),
+    "q13_cust_distribution" -> (q13CustomerDistribution(_, _)),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
+    "q22_global_sales" -> (q22GlobalSales(_, _)),
     "q14_promo_revenue" -> (q14PromoRevenue(_, _)),
     "q15_top_supplier" -> (q15TopSupplier(_, _)),
     "q17_small_quantity" -> (q17SmallQuantity(_, _)),
@@ -850,6 +999,66 @@ object Relational {
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(o_year AS INT) AS o_year,
+        | round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    sum(CASE WHEN n1.n_name = 'NATION_2'
+        |        THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)
+        |        ELSE 0 END) AS num,
+        |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT)) AS den
+        |  FROM lineitem
+        |   JOIN part ON l_partkey = p_partkey
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |   JOIN region ON n2.n_regionkey = r_regionkey
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+        |  GROUP BY 1) t""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY l_returnflag""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH po AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS n_late_supp,
+        |    max(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS late_supp
+        |  FROM lineitem
+        |   JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F') o
+        |     ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    "q22_global_sales" ->
+      s"""SELECT n_name, count(*) AS numcust,
+         | ${exactMoneySumSql("c_acctbal", 2)} AS totacctbal
+         |FROM customer
+         |CROSS JOIN (SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS sum_i,
+         |                   count(*) AS cnt
+         |            FROM customer WHERE c_acctbal > 0) thr
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * cnt > sum_i
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+         |GROUP BY n_name""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

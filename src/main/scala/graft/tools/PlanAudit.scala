@@ -54,6 +54,11 @@ object PlanAudit {
     audit("dd_embed_neardup_lsh", Similarity.embedNearDupLsh(spark, sf))
     audit("q7_nation_pairs", Relational.nationPairVolume(spark, sf))
     audit("q10_returned_items", Relational.returnedItemRevenue(spark, sf))
+    audit("q8_market_share", Relational.q8MarketShare(spark, sf))
+    audit("q12_late_shipments", Relational.q12LateShipments(spark, sf))
+    audit("q13_cust_distribution", Relational.q13CustomerDistribution(spark, sf))
+    audit("q21_waiting_suppliers", Relational.q21WaitingSuppliers(spark, sf))
+    audit("q22_global_sales", Relational.q22GlobalSales(spark, sf))
     spark.stop()
   }
 }
