@@ -373,6 +373,99 @@ object Similarity {
       "round(CAST(array_max(embedding) AS DOUBLE), 6) AS max_dim",
       "round(CAST(array_min(embedding) AS DOUBLE), 6) AS min_dim")
 
+  // ---- product quantization (PQ) ------------------------------------
+  // The third compression point on the memory/recall curve after SQ8
+  // (scalar, 1 byte/dim) and IVF (cell-partitioned exact vectors): PQ
+  // stores ONE SMALL CODE PER SUBSPACE (here 8 codes of 4 bits ≈ 4
+  // bytes per 64-dim vector, a 64× cut vs float32) and scores queries
+  // against additive centroid reconstructions. Codebook is FIXED (the
+  // first PqK corpus vectors' sub-slices, like `sim_ivf_fixed`'s seed
+  // codebook) so encode, reconstruction, and ranking are all
+  // deterministic and hash-checked against DuckDB — a k-means-trained
+  // codebook would drop the oracle without changing any plan shape.
+
+  /** Subspaces: 64 dims → 8 blocks of 8. */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  /** Centroids per subspace (codes are 4-bit). */
+  val PqK = 16
+
+  /** Codebook: (m, j, csub) — subspace m's j-th centroid, the m-th
+    * 8-dim slice of seed vector j. ~`PqM × PqK` rows — broadcast.
+    */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("j"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
+      .select(col("m"), col("j"),
+        expr(s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim)," +
+          " x -> CAST(x AS DOUBLE))").as("csub"))
+
+  /** Encode: nearest centroid per (vector, subspace) — the corpus
+    * explodes to `n × PqM` subvector rows, joins the broadcast
+    * codebook, and argmin is a row_number over (dist, j) so ties pick
+    * the lowest code in both engines. No shuffle of the corpus beyond
+    * the per-(vec_id, m) window — at 1000 executors this is a
+    * map-heavy pass over the embedding files.
+    */
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+    val sub = e
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim)," +
+          " x -> CAST(x AS DOUBLE))").as("vsub"))
+    val dist = expr(
+      s"""aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE),
+         | (acc, d) -> acc + (element_at(vsub, d) - element_at(csub, d))
+         |                 * (element_at(vsub, d) - element_at(csub, d)))""".stripMargin)
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("j").asc)
+    sub.join(broadcast(cb), "m")
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("j").as("code"), col("csub"))
+  }
+
+  /** The PQ code table itself — (vec_id, subspace, code), the artifact
+    * a 100 TB deployment would persist instead of raw vectors.
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    pqEncode(e, pqCodebook(e)).select(col("vec_id"), col("m"), col("code"))
+  }
+
+  /** PQ search: score queries against additive reconstructions
+    * (concatenated assigned centroids) — asymmetric distance
+    * computation with exact query vectors, like `sq8Search` but at
+    * sub-vector granularity. Reconstruction order is pinned by
+    * array_sort over (m, csub) structs; cosine is the same
+    * index-order fold the SQ8 oracle replays.
+    */
+  def pqSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val rec = pqEncode(e, pqCodebook(e))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("csub")))).as("parts"))
+      .select(col("vec_id"), expr("flatten(transform(parts, p -> p.csub))").as("rec"))
+    val queries = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    def fold(term: String) =
+      s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
+    val qcos =
+      s"""round(${fold("element_at(rec, d) * CAST(element_at(qv, d) AS DOUBLE)")}
+         | / (sqrt(${fold("element_at(rec, d) * element_at(rec, d)")})
+         |  * sqrt(${fold("CAST(element_at(qv, d) AS DOUBLE) * CAST(element_at(qv, d) AS DOUBLE)")})), 4)""".stripMargin
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    rec.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id", s"$qcos AS qcos")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_array_funcs" -> (arrayFuncs(_, _)),
     "sim_l2_top10" -> (l2Top10(_, _)),
@@ -383,9 +476,34 @@ object Similarity {
     "sim_ann_lsh" -> (annSearch(_, _)),
     "sim_ann_multiprobe" -> (annMultiProbe(_, _)),
     "sim_sq8_search" -> (sq8Search(_, _)),
+    "sim_pq_codes" -> (pqCodes(_, _)),
+    "sim_pq_search" -> (pqSearch(_, _)),
     "sim_lsh_buckets" -> (lshBucketStats(_, _)),
     "dd_embed_neardup" -> (embedNearDupPairs(_, _)),
     "dd_embed_neardup_lsh" -> (embedNearDupLsh(_, _)))
+
+  /** Shared oracle CTEs replaying the PQ codebook/encode: fixed-seed
+    * centroids, per-subspace L2² argmin with (dist, j) tie-break —
+    * the exact relational construction `pqEncode` plans.
+    */
+  private def pqEncSql: String =
+    s"""cb AS (
+       |  SELECT m, j, list_transform(range(1, $PqSubDim + 1),
+       |           d -> CAST(embedding[m * $PqSubDim + d] AS DOUBLE)) AS csub
+       |  FROM (SELECT vec_id AS j, embedding FROM embeddings WHERE vec_id < $PqK) v,
+       |       (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |sub AS (
+       |  SELECT vec_id, m, list_transform(range(1, $PqSubDim + 1),
+       |           d -> CAST(embedding[m * $PqSubDim + d] AS DOUBLE)) AS vsub
+       |  FROM embeddings, (SELECT unnest(range(0, $PqM)) AS m) ms),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code, csub FROM (
+       |    SELECT s.vec_id, s.m, c.j, c.csub,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_sum(list_transform(range(1, $PqSubDim + 1),
+       |          d -> (s.vsub[d] - c.csub[d]) * (s.vsub[d] - c.csub[d]))), c.j) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) t
+       |  WHERE rn = 1)""".stripMargin
 
   /** DuckDB cosine identical to `CosineSimilarity`: float→double per
     * element, index-order accumulation.
@@ -531,6 +649,30 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q.q_id
          |      ORDER BY $qcos DESC, c.vec_id) AS rnk
          |  FROM corpus c, q WHERE c.vec_id <> q.q_id) r
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "sim_pq_codes" ->
+      s"""WITH $pqEncSql
+         |SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS BIGINT) AS code
+         |FROM enc""".stripMargin,
+    "sim_pq_search" -> {
+      def fold(term: String) =
+        s"list_sum(list_transform(range(1, $Dim + 1), d -> $term))"
+      val qcos =
+        s"""round(${fold("r.rec[d] * CAST(q.qv[d] AS DOUBLE)")}
+           | / (sqrt(${fold("r.rec[d] * r.rec[d]")})
+           |  * sqrt(${fold("CAST(q.qv[d] AS DOUBLE) * CAST(q.qv[d] AS DOUBLE)")})), 4)""".stripMargin
+      s"""WITH $pqEncSql,
+         |rec AS (
+         |  SELECT vec_id, flatten(list(csub ORDER BY m)) AS rec
+         |  FROM enc GROUP BY vec_id),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |      WHERE vec_id < $QuerySetSize)
+         |SELECT q_id, vec_id, qcos, rnk FROM (
+         |  SELECT q.q_id, r.vec_id, $qcos AS qcos,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY $qcos DESC, r.vec_id) AS rnk
+         |  FROM rec r, q WHERE r.vec_id <> q.q_id) s
          |WHERE rnk <= 5""".stripMargin
     },
     "sim_ann_multiprobe" -> {

@@ -92,6 +92,30 @@ class SimilaritySpec extends SparkSpec {
       s"planted near-dups missed by banding: ${expected -- cand}")
   }
 
+  test("PQ codes are structurally valid and carry ranking signal") {
+    val codes = Similarity.pqCodes(spark, sf0001)
+      .selectExpr("vec_id", "CAST(m AS INT) AS m", "code")
+      .as[(Long, Int, Long)].collect()
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    assert(codes.length == n * Similarity.PqM, "one code per (vector, subspace)")
+    assert(codes.forall(c => c._3 >= 0 && c._3 < Similarity.PqK))
+    assert(codes.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq ==
+      (0 until Similarity.PqM)))
+    // 4-byte codes of RANDOM vectors (PQ's worst case — no cluster
+    // structure to exploit) must still rank far above chance: exact
+    // top-5 overlap ≈ 5/n ≈ 1% by luck, ≥20% with signal
+    val exact = Similarity.knnPerQuery(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqSearch(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.map(q => (pq.getOrElse(q, Set.empty) & exact(q)).size).sum
+    val total = exact.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.2,
+      s"PQ recall@5 $hits/$total below the 0.2 signal floor")
+  }
+
   test("brute-force KNN and scores agree") {
     val scores = Similarity.cosineScores(spark, sf0001)
       .as[(Long, Double)].collect().toMap
