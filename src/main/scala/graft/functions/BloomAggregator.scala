@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` OR-folding bit positions into a fixed-size Bloom
+  * bitmap — the at-scale membership primitive for decontamination: the
+  * benchmark side collapses to an `MBits`-bit array (8 KiB here) that
+  * BROADCASTS to every executor, so the candidate side is one
+  * map-local bit test per shingle instead of a shuffle join against
+  * the benchmark shingle set. Same lifecycle as the reference's
+  * lookup-table reads (pipeline_architecture.py:128-148 reads a tiny
+  * control table before scanning the batch), with the table shrunk to
+  * a bitmap.
+  *
+  * Positions are computed OUTSIDE the aggregator (Kirsch–Mitzenmacher
+  * over md5 halves, the same `(h1 + j·h2)` family as
+  * `graft.ops.Dedup`'s oracle-checked MinHash) so the whole filter —
+  * not just its behavior — is engine-neutral: DuckDB can rebuild the
+  * identical bit SET and the flag decision replays exactly.
+  *
+  * The buffer is a plain `Array[Long]` with element-wise OR merge:
+  * partial aggregation (map-side combine) falls out of the Aggregator
+  * contract, so building the filter over a 100 TB benchmark corpus
+  * shuffles one 8 KiB bitmap per map partition, nothing else.
+  */
+object BloomAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  /** Filter size in bits (8 KiB). Sized for the fixture's benchmark
+    * set (~10³ distinct shingles ⇒ load factor ~6%, fp ≈ (kn/m)^k ≈
+    * 2e-5); production sizing is m ≈ 1.44·k·n bits for the target fp.
+    */
+  val MBits = 1 << 16
+
+  /** Hash functions per key. With h1 < 2^60, h2 < 2^56 and j ≤ 3 the
+    * affine combination stays below 2^63 — no signed overflow.
+    */
+  val K = 4
+
+  private val Words = MBits / 64
+
+  override def zero: Array[Long] = new Array[Long](Words)
+
+  override def reduce(buf: Array[Long], pos: Long): Array[Long] = {
+    buf((pos >>> 6).toInt) |= 1L << (pos & 63)
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < Words) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  private val enc: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def bufferEncoder: Encoder[Array[Long]] = enc
+  override def outputEncoder: Encoder[Array[Long]] = enc
+}

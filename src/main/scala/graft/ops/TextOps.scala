@@ -406,9 +406,49 @@ object TextOps {
     "tx_repetition" -> (repetitionStats(_, _)),
     "tx_chunking" -> (chunking(_, _)),
     "tx_decontaminate" -> (decontaminate(_, _)),
+    "tx_decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "tx_filter_verdict" -> (filterVerdict(_, _)),
     "tx_unigram_logprob" -> (unigramLogprob(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
+
+  /** Bloom-filter decontamination — the broadcast-membership form of
+    * [[decontaminate]]: instead of semi-joining candidates against the
+    * benchmark shingle set (a shuffle whose build side grows with the
+    * benchmark corpus), the benchmark collapses to an 8 KiB bitmap
+    * (`BloomAggregator`) that broadcasts, and each candidate shingle is
+    * K map-local bit tests. Flag = all K Kirsch–Mitzenmacher positions
+    * set. Output counts flagged shingles per doc — a deterministic
+    * superset of the exact overlap count (fp ≈ 2e-5 at this sizing);
+    * the exact twin keeps the semantics pinned while THIS query's
+    * oracle replays the bit arithmetic itself.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateBloomOf(Dedup.shingles(spark, sfDir))
+
+  /** Bloom decontamination over an arbitrary (doc_id, s) shingle
+    * relation — split at [[BenchmarkMaxId]] like the exact path.
+    */
+  def decontaminateBloomOf(sh: DataFrame): DataFrame = {
+    val k = graft.functions.BloomAggregator.K
+    val m = graft.functions.BloomAggregator.MBits
+    val bloom = udaf(graft.functions.BloomAggregator)
+    val withHashes = (df: DataFrame) => df
+      .withColumn("h1", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substr(md5(s), 17, 14), 16, 10) AS BIGINT)"))
+    val filter = withHashes(sh.filter(col("doc_id") < BenchmarkMaxId)
+        .select(col("s")).distinct())
+      .select(explode(expr(s"transform(sequence(0, ${k - 1}), j -> (h1 + j * h2) % $m)")).as("pos"))
+      .agg(bloom(col("pos")).as("bloom"))
+    withHashes(sh.filter(col("doc_id") >= BenchmarkMaxId))
+      .withColumn("poss", expr(s"transform(sequence(0, ${k - 1}), j -> (h1 + j * h2) % $m)"))
+      .crossJoin(broadcast(filter))
+      .filter(expr(
+        """forall(poss, p ->
+          | (element_at(bloom, CAST(p DIV 64 AS INT) + 1)
+          |  & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged_shingles"))
+  }
 
   /** DuckDB form of the composite-quality projection (doc_id,
     * quality_score) — shared with `Dedup`'s cluster-survivor oracle so
@@ -505,6 +545,34 @@ object TextOps {
            |  ON c.s = b.s
            |WHERE c.doc_id >= $BenchmarkMaxId
            |GROUP BY c.doc_id""".stripMargin,
+      "tx_decontaminate_bloom" -> {
+        val k = graft.functions.BloomAggregator.K
+        val m = graft.functions.BloomAggregator.MBits
+        s"""WITH sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(len(string_split(text, ' ')) - ${Dedup.ShingleSize - 1}),
+           |    i -> concat_ws(' ', ${(1 to Dedup.ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+           |  FROM documents WHERE len(string_split(text, ' ')) >= ${Dedup.ShingleSize}),
+           |hh AS (
+           |  SELECT doc_id, s,
+           |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(s), 17, 14) AS BIGINT) AS h2
+           |  FROM sh),
+           |benchbits AS (
+           |  SELECT DISTINCT (h1 + j * h2) % $m AS b
+           |  FROM (SELECT DISTINCT s, h1, h2 FROM hh WHERE doc_id < $BenchmarkMaxId) t,
+           |       (SELECT unnest(range(0, $k)) AS j) js),
+           |cand AS (
+           |  SELECT doc_id, s, j, (h1 + j * h2) % $m AS b
+           |  FROM hh, (SELECT unnest(range(0, $k)) AS j) js
+           |  WHERE doc_id >= $BenchmarkMaxId)
+           |SELECT doc_id, count(*) AS n_flagged_shingles FROM (
+           |  SELECT doc_id, s
+           |  FROM cand JOIN benchbits USING (b)
+           |  GROUP BY doc_id, s
+           |  HAVING count(DISTINCT j) = $k) f
+           |GROUP BY doc_id""".stripMargin
+      },
       "tx_filter_verdict" -> {
         s"""SELECT doc_id, n_tokens, verdict, (verdict = 'keep') AS keep FROM (
            |  SELECT doc_id,

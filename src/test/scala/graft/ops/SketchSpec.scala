@@ -29,6 +29,32 @@ class SketchSpec extends SparkSpec {
       s"density $density vs expected ~$expected")
   }
 
+  test("bloom decontamination flags a superset of the exact overlap") {
+    val exact = TextOps.decontaminate(spark, sf0001)
+      .select("doc_id", "n_contaminated_shingles").as[(Long, Long)].collect().toMap
+    val bloom = TextOps.decontaminateBloom(spark, sf0001)
+      .select("doc_id", "n_flagged_shingles").as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      s"bloom must flag every exactly-contaminated doc: ${exact.keySet -- bloom.keySet}")
+    exact.foreach { case (id, n) =>
+      assert(bloom(id) >= n, s"doc $id: bloom count ${bloom(id)} below exact $n")
+    }
+  }
+
+  test("bloom decontamination catches a planted benchmark shingle, skips clean docs") {
+    // doc 0 is "benchmark" (id < BenchmarkMaxId); doc 10 embeds its
+    // 5-gram mid-text, doc 11 shares no shingle
+    val bench = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, bench + " zeta eta theta"),
+      (10L, "prefix words then " + bench + " trailing tail"),
+      (11L, "completely disjoint vocabulary with no overlap at all here")).toDF("doc_id", "text")
+    val flagged = TextOps.decontaminateBloomOf(Dedup.shinglesOf(docs))
+      .select("doc_id", "n_flagged_shingles").as[(Long, Long)].collect().toMap
+    assert(flagged.contains(10L) && flagged(10L) >= 1, s"planted overlap missed: $flagged")
+    assert(!flagged.contains(11L), s"clean doc falsely flagged: $flagged")
+  }
+
   test("winnowing guarantee: shared w+k-1 char run => shared fingerprint hash") {
     // two constructed docs share a run of exactly w+k-1 = 15 chars
     // embedded in different surroundings; SIGMOD'03 guarantees at least
