@@ -727,6 +727,150 @@ object Relational {
         exactMoneySum(col("c_acctbal"), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q2 (adapted: the fixture has no `partsupp`, so "supplies the
+    * part" = shipped it at least once in lineitem, and the argmin over
+    * ps_supplycost becomes an argmax over s_acctbal — same
+    * correlated-best-supplier-per-part shape): for every LARGE part,
+    * the best-funded EUROPE supplier who ships it. The distinct
+    * (part, supplier) pairs are one fact shuffle; part/supplier/nation/
+    * region all broadcast; the per-part argmax is a window over the
+    * already-aggregated pair set (ties broken by s_suppkey — acctbals
+    * are unique in the fixture but not at 100 TB).
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_name"))
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    pairs
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q9 (adapted: no partsupp ⇒ profit omits ps_supplycost and is
+    * the discounted revenue): per supplier nation per order year, over
+    * parts whose name contains "widget" (Q9's LIKE '%green%'). The two
+    * facts join once on l_orderkey; part (filtered, broadcast) prunes
+    * lineitem early; supplier/nation broadcast. One groupBy shuffle on
+    * (nation, year); money accumulates as exact 4dp integers.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(exactMoneySum(discPrice, 4).as("sum_profit"))
+  }
+
+  /** TPC-H Q11 (adapted: "stock value" = shipped value
+    * `l_extendedprice · l_quantity` from one region's suppliers, since
+    * there is no partsupp): parts whose value exceeds 1/1000 of the
+    * grand total. Q11's scalar-subquery HAVING survives as a
+    * broadcast-join threshold, and the comparison is pure integer
+    * arithmetic (`val_i · 1000 > tot_i`) — no float epsilon for the
+    * engines to disagree on. Per-part aggregation is one shuffle; the
+    * grand total is a second pass over the same ~|parts|-sized
+    * aggregate, not the fact table.
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "AMERICA")
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)"))
+        .as("val_i"))
+    val total = perPart.agg(sum(col("val_i")).as("tot_i"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("val_i") * 1000 > col("tot_i"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("val_i").cast("double") / 100.0, 2).as("part_value"))
+  }
+
+  /** TPC-H Q16 (adapted: the "customer complaints" exclusion list —
+    * Q16's NOT IN subquery — is suppliers with negative account
+    * balance; "supplies it" = shipped it in lineitem): distinct
+    * supplier count per (brand, type, size) over non-PROMO parts. The
+    * exclusion is a LEFT ANTI against a broadcast sliver; the distinct
+    * pairs carry one fact shuffle; countDistinct re-shuffles the
+    * ~|parts×suppliers| pair set, not the fact.
+    */
+  def q16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#45")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 (adapted: Q20's "availqty > half the year's shipped
+    * quantity" becomes "shipped more of the part in 1996 than in all
+    * other years combined" — no partsupp, same
+    * correlated-quantity-threshold + nested-semi-join shape): suppliers
+    * in ASIA with at least one front-loaded "small" part. Lineitem
+    * aggregates once per (supplier, part) with the year split as
+    * map-side CASE sums (integer-exact: quantities are integral);
+    * the qualifying supplier set then semi-joins supplier, and
+    * nation/region broadcast.
+    */
+  def q20PromoSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val qualifying = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996,
+          col("l_quantity").cast("long")).otherwise(0L)).as("qty_1996"),
+        sum(col("l_quantity").cast("long")).as("qty_all"))
+      .filter(col("qty_1996") * 2 > col("qty_all"))
+      .select(col("l_suppkey")).distinct()
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    Tables.supplier(spark, sfDir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name").asc)
+  }
+
   /** KMV sketch size — single source of truth is the Aggregator, so the
     * execution path, the DuckDB oracle SQL, and the spec baseline can
     * never drift apart on K.
@@ -932,6 +1076,11 @@ object Relational {
     "p_formats_roundtrip" -> (formatsRoundtrip(_, _)),
     "q4_priority_exists" -> (q4PriorityExists(_, _)),
     "q6_revenue" -> (q6Revenue(_, _)),
+    "q2_min_cost_supp" -> (q2MinCostSupplier(_, _)),
+    "q9_product_profit" -> (q9ProductProfit(_, _)),
+    "q11_important_parts" -> (q11ImportantParts(_, _)),
+    "q16_supplier_count" -> (q16SupplierCount(_, _)),
+    "q20_promo_suppliers" -> (q20PromoSuppliers(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
     "q12_late_shipments" -> (q12LateShipments(_, _)),
     "q13_cust_distribution" -> (q13CustomerDistribution(_, _)),
@@ -1018,6 +1167,66 @@ object Relational {
         |   JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
         |  GROUP BY 1) t""".stripMargin,
+    "q2_min_cost_supp" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM (
+        |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |                       ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |   JOIN part ON l_partkey = p_partkey
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'LARGE' AND r_name = 'EUROPE') t
+        |WHERE rn = 1
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         | ${exactMoneySumSql(discPriceSql, 4)} AS sum_profit
+         |FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * l_quantity * 100, 0) AS BIGINT)) AS val_i
+        |  FROM lineitem
+        |   JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey
+        |   JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'
+        |  GROUP BY 1)
+        |SELECT l_partkey AS p_partkey,
+        |  round(CAST(val_i AS DOUBLE) / 100.0, 2) AS part_value
+        |FROM per_part
+        |WHERE val_i * 1000 > (SELECT sum(val_i) FROM per_part)""".stripMargin,
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        | count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        | JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#45'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_promo_suppliers" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CASE WHEN year(l_shipdate) = 1996
+        |             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) * 2
+        |       > sum(CAST(l_quantity AS BIGINT)))
+        |ORDER BY s_name""".stripMargin,
     "q12_late_shipments" ->
       """SELECT l_returnflag,
         | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

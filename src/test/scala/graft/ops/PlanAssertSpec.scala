@@ -60,11 +60,12 @@ class PlanAssertSpec extends SparkSpec {
     "q18_large_orders", "q_semi_join", "q_anti_join", "q_left_join_agg",
     "q_right_join", "q_full_outer", "q4_priority_exists",
     "q8_market_share", "q12_late_shipments", "q13_cust_distribution",
-    "q21_waiting_suppliers",
-    // q22_global_sales is excluded: its 1-row scalar-threshold
-    // crossJoin(broadcast) is a legitimate BNLJ (the filter is an
-    // inequality, so Catalyst cannot rewrite it to an equi-join the
-    // way it does q15's max-revenue filter)
+    "q21_waiting_suppliers", "q2_min_cost_supp", "q9_product_profit",
+    "q16_supplier_count", "q20_promo_suppliers",
+    // q22_global_sales and q11_important_parts are excluded: their
+    // 1-row scalar-threshold crossJoin(broadcast) is a legitimate BNLJ
+    // (the filter is an inequality, so Catalyst cannot rewrite it to an
+    // equi-join the way it does q15's max-revenue filter)
     "p_incremental_extract", "p_status_report")
 
   private lazy val plans: Map[String, SparkPlan] =
