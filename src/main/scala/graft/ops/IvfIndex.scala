@@ -36,8 +36,24 @@ import java.nio.file.{Files, Paths}
   */
 object IvfIndex {
 
+  /** Fixed codebook size for the oracle-checked twins (`sim_ivf_fixed`,
+    * `dd_embed_neardup_ivf_fixed`, …): with the codebook pinned to the
+    * first K vectors the whole search path replays in DuckDB. The
+    * COMMITTED index does not use this constant — its cell count adapts
+    * to the corpus via [[adaptiveK]].
+    */
   val K = 8
   val Iterations = 3
+
+  /** Cell count for the committed index: K ≈ √n. Per-cell candidate
+    * generation in [[cellPairs]] is quadratic in cell size, so a
+    * constant K leaves candidates at ~n²/K — half of brute force at ANY
+    * corpus size. K = √n keeps expected cell size at √n and candidates
+    * at ~n^1.5, the same discipline as LSH bucket width. Floored at the
+    * fixed-codebook K so tiny fixtures keep multi-cell behavior.
+    */
+  def adaptiveK(n: Long): Int =
+    math.max(K, math.ceil(math.sqrt(n.toDouble)).toInt)
   val NProbe = 2
   /** Wider probe setting exercised by `sim_ivf_multiprobe` — the
     * recall/cost knob: nprobe cells of k are scanned, so recall rises
@@ -73,11 +89,23 @@ object IvfIndex {
       .select(col("centroid_id"),
         expr("transform(dm, s -> CAST(s.m AS FLOAT))").as("centroid"))
 
-  /** Build the index: returns (assignments, centroids). */
+  /** Build the index at the corpus-adaptive cell count: returns
+    * (assignments, centroids).
+    */
   def build(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val (assigned, centroids, _) = buildDetail(spark, sfDir)
+    (assigned, centroids)
+  }
+
+  /** [[build]] plus the cell count it chose — `buildCommit` records the
+    * k in the index meta so a formula or corpus change forces a rebuild.
+    */
+  private def buildDetail(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, Int) = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir).cache()
-    var centroids = e.filter(col("vec_id") < K)
+    val k = adaptiveK(e.count())
+    var centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       .cache()
     for (_ <- 1 to Iterations) {
@@ -87,7 +115,7 @@ object IvfIndex {
       // of stacking three lazy assign+recompute rounds into one lineage
       centroids.count()
     }
-    (assign(e, centroids).cache(), centroids)
+    (assign(e, centroids).cache(), centroids, k)
   }
 
   // ---- committed-index lifecycle ----------------------------------------
@@ -132,11 +160,25 @@ object IvfIndex {
   }
 
   /** Fingerprint stored next to the committed tables: an artifact built
-    * by older code (different K/Iterations/init) OR over a corpus that
-    * has since changed must be rebuilt, never silently read.
+    * by older code (different k formula/Iterations/init) OR over a
+    * corpus that has since changed must be rebuilt, never silently read.
+    * The cell count `k` is recorded at build time; [[ensureIndex]]
+    * validates the version + iterations + corpus parts without a scan
+    * (an unchanged corpus fingerprint implies an unchanged row count and
+    * therefore an unchanged adaptive k — k is derived deterministically
+    * from n at build).
     */
-  private def indexFingerprint(sfDir: String): String =
-    s"v2 k=$K iters=$Iterations ${corpusFingerprint(sfDir)}"
+  private def indexFingerprint(sfDir: String, k: Int): String =
+    s"v3 k=$k iters=$Iterations ${corpusFingerprint(sfDir)}"
+
+  /** Does the stored meta witness a current-version index over the
+    * current corpus? Matches `v3 k=<n> iters=… <corpus fingerprint>`
+    * with any k — the k itself is build-derived, and the corpus part
+    * pins it (same files → same n → same adaptive k).
+    */
+  private def metaCurrent(meta: String, sfDir: String): Boolean =
+    "^v3 k=\\d+ ".r.findPrefixOf(meta).exists(p =>
+      meta.drop(p.length) == s"iters=$Iterations ${corpusFingerprint(sfDir)}")
 
   /** Build the index and commit it as a table artifact: assignments and
     * centroids each written through `HudiLike.commit` (atomic pointer
@@ -146,7 +188,7 @@ object IvfIndex {
     */
   def buildCommit(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val dir = indexDir(sfDir)
-    val (assigned, centroids) = build(spark, sfDir)
+    val (assigned, centroids, k) = buildDetail(spark, sfDir)
     HudiLike.commit(assigned, s"$dir/assignments")
     HudiLike.commit(centroids, s"$dir/centroids")
     // commit materialized both frames to parquet; drop the build caches
@@ -155,7 +197,7 @@ object IvfIndex {
     // fingerprint captured AFTER the build read the corpus: a corpus
     // mutation racing the build makes the meta stale and the next
     // ensureIndex rebuilds — fail-rebuild, never fail-stale
-    Files.writeString(Paths.get(s"$dir/meta"), indexFingerprint(sfDir))
+    Files.writeString(Paths.get(s"$dir/meta"), indexFingerprint(sfDir, k))
     (spark.read.parquet(s"$dir/assignments"),
       spark.read.parquet(s"$dir/centroids"))
   }
@@ -171,7 +213,7 @@ object IvfIndex {
     val fresh = Files.exists(Paths.get(s"$dir/assignments")) &&
       Files.exists(Paths.get(s"$dir/centroids")) &&
       Files.exists(Paths.get(s"$dir/meta")) &&
-      Files.readString(Paths.get(s"$dir/meta")) == indexFingerprint(sfDir)
+      metaCurrent(Files.readString(Paths.get(s"$dir/meta")), sfDir)
     if (fresh)
       (spark.read.parquet(s"$dir/assignments"),
         spark.read.parquet(s"$dir/centroids"))
@@ -293,18 +335,14 @@ object IvfIndex {
     * the index the ANN queries already maintain. Candidates dedup
     * before the cosine (a pair can share both cells), then vectors
     * re-attach by two id equi-joins — the candidates-then-fetch shape.
-    * Per-cell pair generation is quadratic in cell size, so at scale K
-    * grows with the corpus (K ≈ √n) to keep cells bucket-sized — the
-    * same discipline as LSH bucket width.
+    * Per-cell pair generation is quadratic in cell size, so the
+    * committed path's K grows with the corpus ([[adaptiveK]], K ≈ √n)
+    * to keep cells bucket-sized — the same discipline as LSH bucket
+    * width; the fixed-K twin exists only for the DuckDB oracle.
     */
   private def cellPairs(spark: SparkSession, sfDir: String,
       cells: DataFrame): DataFrame = {
-    val cand = cells.select(col("centroid_id"), col("vec_id").as("id_a"))
-      .join(cells.select(col("centroid_id"), col("vec_id").as("id_b")),
-        Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val cand = candidatesFrom(cells)
     val ea = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val eb = Tables.embeddings(spark, sfDir)
@@ -312,6 +350,32 @@ object IvfIndex {
     cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
+  }
+
+  /** Distinct unordered candidate pairs sharing any cell — the
+    * quadratic-per-cell core of [[cellPairs]], factored so the scaling
+    * contract is testable on its own.
+    */
+  private def candidatesFrom(cells: DataFrame): DataFrame =
+    cells.select(col("centroid_id"), col("vec_id").as("id_a"))
+      .join(cells.select(col("centroid_id"), col("vec_id").as("id_b")),
+        Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+  /** Candidate-pair count for cell blocking over an arbitrary corpus
+    * `(vec_id, embedding)` at the adaptive cell count — the at-scale
+    * contract `IvfIndexSpec` pins: with K ≈ √n cells and
+    * [[AssignProbes]] memberships per vector, expected candidates are
+    * ~n^1.5, NOT the ~n²/K a constant K degrades to.
+    */
+  def candidatePairCount(spark: SparkSession, e: DataFrame): Long = {
+    VectorFunctions.register(spark)
+    val k = adaptiveK(e.count())
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    candidatesFrom(assignTop(e, centroids, AssignProbes)).count()
   }
 
   /** Cell-blocked near-dup over the COMMITTED index's centroids

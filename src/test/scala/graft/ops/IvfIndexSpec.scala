@@ -5,20 +5,24 @@ import graft.SparkSpec
 class IvfIndexSpec extends SparkSpec {
   import spark.implicits._
 
-  test("index build partitions the corpus into at most K non-empty cells") {
+  test("index build partitions the corpus into at most adaptiveK non-empty cells") {
+    val n = graft.Tables.embeddings(spark, sf0001).count()
     val cells = IvfIndex.cellStats(spark, sf0001)
       .as[(Long, Long)].collect()
-    assert(cells.length <= IvfIndex.K && cells.nonEmpty)
-    assert(cells.map(_._2).sum == graft.Tables.embeddings(spark, sf0001).count())
+    assert(cells.length <= IvfIndex.adaptiveK(n) && cells.length > 1)
+    assert(cells.map(_._2).sum == n)
   }
 
   test("committed index is read back, not rebuilt, and matches a fresh build") {
     // buildCommit writes the artifact; ensureIndex must serve the exact
     // same assignments from the committed tables
+    val n = graft.Tables.embeddings(spark, sf0001).count()
     val (a1, c1) = IvfIndex.buildCommit(spark, sf0001)
     val committed = a1.select("vec_id", "centroid_id")
       .as[(Long, Long)].collect().toMap
-    assert(c1.count() == IvfIndex.K)
+    // Lloyd may drop emptied cells, never add them
+    val nCells = c1.count()
+    assert(nCells > 1 && nCells <= IvfIndex.adaptiveK(n))
     val (a2, _) = IvfIndex.ensureIndex(spark, sf0001)
     val reread = a2.select("vec_id", "centroid_id")
       .as[(Long, Long)].collect().toMap
@@ -75,7 +79,33 @@ class IvfIndexSpec extends SparkSpec {
     val wide = recallOf(IvfIndex.searchWide(spark, sf0001))
     assert(wide >= narrow,
       s"committed path: probing more cells must not lose neighbors: nprobe2=$narrow nprobe4=$wide")
-    assert(wide > 0.0)
+    // absolute floor: the adaptive cell count (K ≈ √n, larger than the
+    // old constant 8) must not collapse recall — each probe now covers a
+    // smaller corpus fraction, so this is the regression guard for the
+    // K-scaling change
+    assert(narrow >= 0.3, s"committed nprobe=2 recall collapsed: $narrow")
+    assert(wide >= 0.4, s"committed nprobe=4 recall collapsed: $wide")
+  }
+
+  test("adaptive-K candidate pairs grow ~n^1.5, not n^2, on a 10x-larger corpus") {
+    // deterministic pseudo-random corpora (no Math.random — repeatable):
+    // 16-dim vectors with hash-derived components in (-1, 1)
+    def corpus(n: Int) = spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 15), d -> CAST((hash(id * 31 + d) % 997) / 997.0 AS FLOAT)) AS embedding")
+    val small = 600
+    val big = 6000
+    val cSmall = IvfIndex.candidatePairCount(spark, corpus(small))
+    val cBig = IvfIndex.candidatePairCount(spark, corpus(big))
+    assert(cSmall > 0 && cBig > 0)
+    val ratio = cBig.toDouble / cSmall
+    // n^1.5 scaling predicts ~10^1.5 ≈ 31.6x for a 10x corpus; constant-K
+    // blocking degrades to ~n^2/K ≈ 100x. Assert well below quadratic.
+    assert(ratio < 60.0,
+      s"candidate growth $ratio ( $cSmall -> $cBig ) looks quadratic — K must scale with n")
+    // and the blocking must actually prune: far fewer candidates than all pairs
+    assert(cBig < big.toLong * (big - 1) / 2 / 4,
+      s"cell blocking pruned too little: $cBig candidates for $big vectors")
   }
 
   test("cell-blocked near-dup pairs are a sound subset of brute force") {
