@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
   * computed column is aliased identically on both sides; ties in top-k
   * / window ranks are broken by a unique key.
   *
-  * Scale notes: fixed-cardinality dimension joins (`region`, `nation`,
-  * `supplier`, `part`) take explicit `broadcast()` hints — at 100 TB the
-  * fact tables shuffle on join keys, those dims must not. `customer` is
-  * NOT hinted: it scales with SF (150k rows at sf1 → ~15M at sf100,
-  * gigabytes) and a forced broadcast is a 100×-scale OOM; AQE's
-  * size-based planning promotes it to broadcast only when it actually
-  * fits under `spark.sql.autoBroadcastJoinThreshold`. Aggregations are
-  * plain `groupBy` → partial (map-side) + final hash aggregation.
+  * Scale notes: only FIXED-cardinality dimensions (`region`, `nation` —
+  * 5 and 25 rows at every SF) and provably-reduced derivations (a
+  * selective filter sliver, an aggregate, a top-k) take explicit
+  * `broadcast()` hints. Every SF-scaling table (`customer`, `orders`,
+  * `lineitem`, `supplier`, `part`) joins UNHINTED: a hint overrides
+  * size-based planning at every scale, and what fits at sf0.1 is a
+  * 100×-scale OOM (supplier is 10k·SF rows, part 200k·SF). AQE promotes
+  * those sides to broadcast only while they actually measure under
+  * `spark.sql.autoBroadcastJoinThreshold` — the decision flips on its
+  * own as data grows, which is exactly what a hint prevents.
+  * `PlanAssertSpec` enforces this: no broadcast hint whose subtree
+  * scans an SF-scaling table without a reducing node above the scan.
+  * Aggregations are plain `groupBy` → partial (map-side) + final hash
+  * aggregation.
   */
 object Relational {
 
@@ -129,7 +135,9 @@ object Relational {
 
   /** TPC-H Q7-style: revenue matrix between supplier nation and
     * customer nation — the same dimension joined twice under different
-    * roles (both broadcast; customer joins unhinted — it scales).
+    * roles (both nation legs broadcast; supplier and customer join
+    * unhinted — both scale with SF, AQE promotes them only while they
+    * measure small).
     */
   def nationPairVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val n1 = Tables.nation(spark, sfDir)
@@ -141,7 +149,7 @@ object Relational {
     val o = Tables.orders(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n1), s("s_nationkey") === n1("snk"))
       .join(broadcast(n2), c("c_nationkey") === n2("cnk"))
@@ -193,11 +201,13 @@ object Relational {
       .select(col("o_custkey"), col("n_years"), col("n_orders"))
   }
 
-  /** Fact ⋈ broadcast(dim) aggregation by brand. */
+  /** Fact ⋈ dim aggregation by brand — part scales with SF, so no
+    * broadcast hint (AQE promotes it while it measures small).
+    */
   def brandVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir)
     val l = Tables.lineitem(spark, sfDir)
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -507,7 +517,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
       .agg(
         expr("sum(CAST(round((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 10000, 0) AS BIGINT))").as("num"),
         expr("sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))").as("den"))
@@ -525,7 +535,9 @@ object Relational {
       .agg(expr("sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT))").as("rev_i"))
     val best = rev.agg(max(col("rev_i")).as("mx"))
     rev.crossJoin(broadcast(best)).filter(col("rev_i") === col("mx"))
-      .join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
+      // the max-filtered rev side is ~1 row; supplier scales with SF —
+      // leave the join unhinted and AQE broadcasts the tiny side
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
       .selectExpr("s_suppkey", "s_name",
         "round(CAST(rev_i AS DOUBLE) / 10000.0, 4) AS total_revenue")
   }
@@ -576,7 +588,7 @@ object Relational {
     */
   def q19Discounted(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
         (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
@@ -587,10 +599,11 @@ object Relational {
     * nation comes straight off `supplier`): yearly market share of one
     * supplier nation inside one region's customer orders for one part
     * type. At-scale shape: the fact joins the type-filtered part slice
-    * and the fixed-size supplier/nation dims as broadcasts, shuffles
-    * once onto orders, and the region membership test is a LEFT SEMI
-    * join against the region's customers — customer scales with SF, so
-    * no hint (AQE may promote the 1/5-region slice). Numerator and
+    * (hinted — a filter sliver) and the nation dim as broadcasts,
+    * shuffles once onto orders, and the region membership test is a
+    * LEFT SEMI join against the region's customers. Supplier and
+    * customer both scale with SF, so neither is hinted (AQE promotes
+    * them only while they measure small). Numerator and
     * denominator accumulate as exact 4dp integers per year, so the
     * share is one deterministic double division.
     */
@@ -614,7 +627,7 @@ object Relational {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("snk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
@@ -689,7 +702,9 @@ object Relational {
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     perOrder.groupBy(col("late_supp"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, sfDir)),
+      // both sides are ≤|supplier| rows and supplier scales with SF:
+      // no hint, AQE picks the build side by measured size
+      .join(Tables.supplier(spark, sfDir),
         col("late_supp") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name").asc)
@@ -732,25 +747,30 @@ object Relational {
     * ps_supplycost becomes an argmax over s_acctbal — same
     * correlated-best-supplier-per-part shape): for every LARGE part,
     * the best-funded EUROPE supplier who ships it. The distinct
-    * (part, supplier) pairs are one fact shuffle; part/supplier/nation/
-    * region all broadcast; the per-part argmax is a window over the
-    * already-aggregated pair set (ties broken by s_suppkey — acctbals
-    * are unique in the fixture but not at 100 TB).
+    * (part, supplier) pairs are one fact shuffle; the LARGE part sliver
+    * and the fixed nation/region dims broadcast, supplier joins
+    * unhinted (it scales with SF); the per-part argmax is a window over
+    * the already-aggregated pair set (ties broken by s_suppkey —
+    * acctbals are unique in the fixture but not at 100 TB).
     */
   def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
     val p = Tables.part(spark, sfDir)
       .filter(col("p_type") === "LARGE")
       .select(col("p_partkey"), col("p_name"))
+    // the selective LARGE broadcast joins BEFORE the pair dedup, so the
+    // distinct's shuffle carries only qualifying parts' pairs — at
+    // 100 TB the filter's selectivity prunes the dedup shuffle, where
+    // dedup-first would shuffle every (part, supplier) pair in the fact
+    val pairs = Tables.lineitem(spark, sfDir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey")).distinct()
     val s = Tables.supplier(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE")
     val w = Window.partitionBy(col("p_partkey"))
       .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
     pairs
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .withColumn("rn", row_number().over(w))
@@ -766,8 +786,9 @@ object Relational {
     * the discounted revenue): per supplier nation per order year, over
     * parts whose name contains "widget" (Q9's LIKE '%green%'). The two
     * facts join once on l_orderkey; part (filtered, broadcast) prunes
-    * lineitem early; supplier/nation broadcast. One groupBy shuffle on
-    * (nation, year); money accumulates as exact 4dp integers.
+    * lineitem early; nation broadcasts, supplier joins unhinted (it
+    * scales with SF). One groupBy shuffle on (nation, year); money
+    * accumulates as exact 4dp integers.
     */
   def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.part(spark, sfDir)
@@ -781,7 +802,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(exactMoneySum(discPrice, 4).as("sum_profit"))
@@ -795,7 +816,12 @@ object Relational {
     * arithmetic (`val_i · 1000 > tot_i`) — no float epsilon for the
     * engines to disagree on. Per-part aggregation is one shuffle; the
     * grand total is a second pass over the same ~|parts|-sized
-    * aggregate, not the fact table.
+    * aggregate, not the fact table. Overflow bound: the `· 1000`
+    * comparison consumes three more decimal digits of BIGINT headroom
+    * than `exactMoneySum`'s documented ~10^12-row limit — the exact
+    * form is safe to ~10^9 rows per part group; past that compare
+    * `val_i > tot_i / 1000` (one-off-per-thousandth tolerance) or
+    * accumulate in DECIMAL(38, 0).
     */
   def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables.supplier(spark, sfDir)
@@ -803,7 +829,7 @@ object Relational {
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir).filter(col("r_name") === "AMERICA")
     val perPart = Tables.lineitem(spark, sfDir)
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("l_partkey"))
@@ -856,9 +882,12 @@ object Relational {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(
+        // round-then-cast mirrors the oracle's CAST(double AS BIGINT)
+        // (DuckDB rounds, Spark's bare cast truncates — they agree on
+        // the fixture's integral quantities only by luck otherwise)
         sum(when(year(col("l_shipdate")) === 1996,
-          col("l_quantity").cast("long")).otherwise(0L)).as("qty_1996"),
-        sum(col("l_quantity").cast("long")).as("qty_all"))
+          round(col("l_quantity")).cast("long")).otherwise(0L)).as("qty_1996"),
+        sum(round(col("l_quantity")).cast("long")).as("qty_all"))
       .filter(col("qty_1996") * 2 > col("qty_all"))
       .select(col("l_suppkey")).distinct()
     val n = Tables.nation(spark, sfDir)
@@ -1212,7 +1241,8 @@ object Relational {
         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
         | JOIN part ON l_partkey = p_partkey
         |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#45'
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_acctbal < 0 AND s_suppkey = ps.l_suppkey)
         |GROUP BY 1, 2, 3""".stripMargin,
     "q20_promo_suppliers" ->
       """SELECT s_name, s_acctbal

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, GlobalLimit, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -18,12 +18,16 @@ import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
   *   2. no relational/pipeline query plans a BroadcastNestedLoopJoin —
   *      the only sanctioned cartesians are the similarity baselines
   *      (tiny broadcast query sides), which are not in the checked set;
-  *   3. no query carries an explicit `broadcast()` hint over the
-  *      `customer` table — the round-2 scale-killer. The static planner
-  *      and AQE may legitimately broadcast customer at test SF (their
-  *      decisions are size-based and flip on their own at 100 TB); a
-  *      HINT overrides size logic at every scale and must never pin a
-  *      fact-sized table as a build side.
+  *   3. no query carries an explicit `broadcast()` hint that pins ANY
+  *      SF-scaling table (customer, orders, lineitem, supplier, part)
+  *      as a build side without a reducing node (Filter / Aggregate /
+  *      Limit) between the hint and the scan — the round-2 customer
+  *      scale-killer, generalized. The static planner and AQE may
+  *      legitimately broadcast these at test SF (their decisions are
+  *      size-based and flip on their own at 100 TB); a HINT overrides
+  *      size logic at every scale. Filter slivers (LARGE parts),
+  *      aggregates, and top-k derivations shrink provably and may keep
+  *      their hints.
   */
 class PlanAssertSpec extends SparkSpec {
 
@@ -61,7 +65,8 @@ class PlanAssertSpec extends SparkSpec {
     "q_right_join", "q_full_outer", "q4_priority_exists",
     "q8_market_share", "q12_late_shipments", "q13_cust_distribution",
     "q21_waiting_suppliers", "q2_min_cost_supp", "q9_product_profit",
-    "q16_supplier_count", "q20_promo_suppliers",
+    "q16_supplier_count", "q20_promo_suppliers", "q14_promo_revenue",
+    "q19_discounted", "q_brand_volume",
     // q22_global_sales and q11_important_parts are excluded: their
     // 1-row scalar-threshold crossJoin(broadcast) is a legitimate BNLJ
     // (the filter is an inequality, so Catalyst cannot rewrite it to an
@@ -96,21 +101,40 @@ class PlanAssertSpec extends SparkSpec {
     assert(smj.isEmpty, s"samp_mixture plans a sort-merge join:\n$plan")
   }
 
-  test("no explicit broadcast hint pins customer as a build side") {
+  /** Tables whose row count grows with SF — a pinned broadcast of any
+    * of them is a deferred OOM. region/nation are fixed-cardinality
+    * (5/25 rows at every SF) and exempt.
+    */
+  private val sfScalingTables =
+    Seq("customer", "orders", "lineitem", "supplier", "part")
+
+  test("no broadcast hint pins an unreduced SF-scaling table as a build side") {
+    def sfScansUnder(p: LogicalPlan): Seq[String] = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val path = fs.location.rootPaths.mkString(",")
+          sfScalingTables.filter(t => path.contains(s"$t.parquet"))
+        case _ => Nil
+      }
+    }.flatten
     for (name <- checked) {
       val analyzed = SparkEntry.queries(name)(spark, sf001).queryExecution.analyzed
-      val bad = analyzed.collect {
-        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) &&
-            h.child.collect {
-              case lr: LogicalRelation => lr.relation match {
-                case fs: HadoopFsRelation =>
-                  fs.location.rootPaths.mkString(",").contains("customer")
-                case _ => false
-              }
-            }.exists(identity) => h
+      val hints = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
       }
-      assert(bad.isEmpty,
-        s"$name pins customer with a broadcast hint:\n${bad.headOption}")
+      for (h <- hints; tables = sfScansUnder(h.child) if tables.nonEmpty) {
+        // the analyzed plan carries only USER-written Filters (Catalyst
+        // adds IsNotNull guards later, in optimization), so a reducing
+        // node here is a deliberate sliver/aggregate/top-k, not noise
+        val reducing = h.child.collect {
+          case f: Filter => f: LogicalPlan
+          case a: Aggregate => a: LogicalPlan
+          case l: GlobalLimit => l: LogicalPlan
+        }
+        assert(reducing.nonEmpty,
+          s"$name broadcast-hints ${tables.mkString(",")} with no reducing node " +
+            s"between hint and scan — a pinned full-table broadcast:\n${h.child}")
+      }
     }
   }
 }
