@@ -56,11 +56,12 @@ object Bench {
     // at sf0.01 — see SparkEntry.quadraticQueries
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .flatMap(_.group(1).toDoubleOption)
+    val scaleExcluded = SparkEntry.quadraticQueries ++ SparkEntry.nonSelectiveQueries
     val scaleGated =
       if (sf.exists(_ >= 0.1)) {
         System.err.println(
-          s"[bench] sf=$sf: skipping quadratic baselines ${SparkEntry.quadraticQueries.mkString(",")}")
-        SparkEntry.queries -- SparkEntry.quadraticQueries
+          s"[bench] sf=$sf: skipping quadratic/non-selective baselines ${scaleExcluded.mkString(",")}")
+        SparkEntry.queries -- scaleExcluded
       } else SparkEntry.queries
     val selected = only match {
       case Some(names) => scaleGated.filter { case (k, _) => names(k) }
@@ -71,7 +72,22 @@ object Bench {
     // host-contention spike can't masquerade as a regression
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    // self-diagnosing dump (round-5 lesson: a 28 s driver-vs-rerun gap was
+    // unattributable from the artifact): every query line carries its
+    // wall-clock offset into the run, the JVM GC-time delta across its
+    // reps, and the heap level after it — so the NEXT round can tell
+    // machine contention (late offsets slow, GC flat) from block/heap
+    // accretion (heap climbs monotonically) from a real regression (one
+    // query slow at any offset, GC proportional) without a re-run
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    val benchT0 = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val atSec = (System.nanoTime() - benchT0) / 1e9
+      val gc0 = gcMillis()
       // a failed rep records None — a near-zero failure elapsed must never
       // win the min and masquerade as a fast success
       val times = (1 to reps).flatMap { _ =>
@@ -93,13 +109,15 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         if (ok) Some(dt) else None
       }
+      val diag = f"at=${atSec}%.1fs gc+${gcMillis() - gc0}ms heap=${heapMb()}MB"
       // every rep failed → None: kept OUT of the total (a -1.0 sentinel
       // summed in would make a broken query IMPROVE the headline number)
       // and reported explicitly in the JSON line below
-      name -> times.minOption
+      (name, times.minOption, diag)
     }
-    val failed = results.collect { case (name, None) => name }
-    val timed = results.collect { case (name, Some(t)) => name -> t }
+    val failed = results.collect { case (name, None, _) => name }
+    val timed = results.collect { case (name, Some(t), _) => name -> t }
+    val diags = results.map { case (name, _, d) => name -> d }.toMap
     // The driver captures only the tail of stdout (~2 KB): a per-query map
     // over all ~130 queries overflows it and the JSON line never parses
     // (round-1 lesson). Emit the 15 slowest queries only, rounded, and keep
@@ -119,9 +137,10 @@ object Bench {
       val p = java.nio.file.Paths.get(dumpPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       val lines = (s"# sf=$sfDir reps=$reps n_queries=${results.size} " +
-        s"n_failed=${failed.size} total=${fmt(timed.map(_._2).sum)}s") +:
-        (failed.map(k => s"FAILED $k") ++
-          timed.sortBy(-_._2).map { case (k, v) => s"${fmt(v)}  $k" })
+        s"n_failed=${failed.size} total=${fmt(timed.map(_._2).sum)}s " +
+        s"gc_total=${gcMillis()}ms") +:
+        (failed.map(k => s"FAILED $k  ${diags(k)}") ++
+          timed.sortBy(-_._2).map { case (k, v) => s"${fmt(v)}  $k  ${diags(k)}" })
       java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
     } catch {
       case scala.util.control.NonFatal(e) =>

@@ -22,6 +22,17 @@ object SparkEntry {
     */
   val quadraticQueries: Set[String] = Set("dd_embed_neardup")
 
+  /** Queries whose blocking is documented-NON-SELECTIVE on this corpus
+    * (the near-dup threshold sits in the random-pair tail, so the
+    * candidate join approaches n² regardless of config — see
+    * `Similarity.NdBands` doc). They stay oracle-checked at sf0.01 as
+    * machinery exercisers; `Bench` excludes them at sf ≥ 0.1 where
+    * their registered production-regime primaries
+    * (`dd_embed_neardup_lsh_prod`: r=8/b=2 at threshold 0.85) carry
+    * the at-scale measurement instead.
+    */
+  val nonSelectiveQueries: Set[String] = Set("dd_embed_neardup_lsh")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++

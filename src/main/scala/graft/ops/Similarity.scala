@@ -297,6 +297,56 @@ object Similarity {
       .distinct()
   }
 
+  /** Production-regime banded sign-LSH: the same 16 md5 planes split
+    * into 2 bands of 8 bits, confirming at threshold 0.85 — the (r, b)
+    * working point where banding is actually SELECTIVE (per-plane
+    * agreement p ≥ 0.93 at cos ≥ 0.85, so a random pair collides in a
+    * band with probability ~p_rand^8 ≈ 1e-2 per band instead of ~0.45
+    * at r=2; SimilaritySpec proves both selectivity and planted-dup
+    * recall in this regime). This is the configuration the sf ≥ 0.1
+    * bench carries; [[embedNearDupLsh]] (r=2, threshold 0.4) stays the
+    * oracle-checked exerciser of the banding machinery at sf0.01,
+    * gated out of the at-scale bench via
+    * `SparkEntry.nonSelectiveQueries` — the corpus puts the 0.4
+    * threshold in the random-pair tail where NO sign-LSH config is
+    * selective (doc above), so benching it at scale would measure a
+    * documented anti-pattern.
+    */
+  val NdBandsProd = 2
+  val NdBandBitsProd: Int = NdPlanes / NdBandsProd
+  val NdThresholdProd = 0.85
+
+  def embedNearDupLshProd(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    // same candidates-then-fetch shape as the r=2 exerciser: cached
+    // sign codes feed both sides of the self-join, the candidate join
+    // shuffles 16-byte id pairs, vectors re-attach by id equi-joins,
+    // and the cache-release barrier sits after the cosine confirm
+    val banded = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), ndCodeCol.as("code"))
+      .withColumn("band_idx", explode(sequence(lit(0), lit(NdBandsProd - 1))))
+      .select(col("vec_id"), col("band_idx"),
+        expr(s"shiftright(code, band_idx * $NdBandBitsProd) & ${(1 << NdBandBitsProd) - 1}")
+          .as("band_key"))
+      .cache()
+    val cand = banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("vec_id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val ea = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val confirmed = cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= NdThresholdProd)
+      .localCheckpoint()
+    banded.unpersist()
+    confirmed
+  }
+
   def embedNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     // banded rows carry only (band, key, id) — the candidate join and the
@@ -378,11 +428,13 @@ object Similarity {
   // (scalar, 1 byte/dim) and IVF (cell-partitioned exact vectors): PQ
   // stores ONE SMALL CODE PER SUBSPACE (here 8 codes of 4 bits ≈ 4
   // bytes per 64-dim vector, a 64× cut vs float32) and scores queries
-  // against additive centroid reconstructions. Codebook is FIXED (the
-  // first PqK corpus vectors' sub-slices, like `sim_ivf_fixed`'s seed
-  // codebook) so encode, reconstruction, and ranking are all
-  // deterministic and hash-checked against DuckDB — a k-means-trained
-  // codebook would drop the oracle without changing any plan shape.
+  // against additive centroid reconstructions. Two codebooks: the FIXED
+  // one (the first PqK corpus vectors' sub-slices, like
+  // `sim_ivf_fixed`'s seed codebook) keeps encode, reconstruction, and
+  // ranking hash-checked against DuckDB; the TRAINED one
+  // (per-subspace Lloyd over the same deterministic init) is the
+  // production recall point, spec-floored against the fixed codebook —
+  // identical search plan, only the broadcast model differs.
 
   /** Subspaces: 64 dims → 8 blocks of 8. */
   val PqM = 8
@@ -393,7 +445,7 @@ object Similarity {
   /** Codebook: (m, j, csub) — subspace m's j-th centroid, the m-th
     * 8-dim slice of seed vector j. ~`PqM × PqK` rows — broadcast.
     */
-  private def pqCodebook(e: DataFrame): DataFrame =
+  private[ops] def pqCodebook(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < PqK)
       .select(col("vec_id").as("j"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
@@ -408,7 +460,7 @@ object Similarity {
     * the per-(vec_id, m) window — at 1000 executors this is a
     * map-heavy pass over the embedding files.
     */
-  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame = {
+  private def pqAssign(e: DataFrame, cb: DataFrame): DataFrame = {
     val sub = e
       .select(col("vec_id"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
@@ -425,7 +477,61 @@ object Similarity {
       .withColumn("dist", dist)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("j").as("code"), col("csub"))
+      .select(col("vec_id"), col("m"), col("j").as("code"), col("vsub"), col("csub"))
+  }
+
+  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"), col("csub"))
+
+  /** Per-subspace Lloyd rounds over the seed codebook. */
+  val PqIterations = 3
+
+  /** TRAINED codebook: [[PqIterations]] rounds of per-subspace k-means
+    * — assignment is exactly [[pqAssign]]'s oracle-pinned argmin, and
+    * recompute is the per-(subspace, code, dim) member mean, the IVF
+    * `recompute` pattern at sub-vector granularity. Init is the
+    * deterministic seed codebook, so the trained result is reproducible
+    * and `SimilaritySpec` can floor its recall against the fixed
+    * codebook's. Each round's codebook is `PqM × PqK` rows — the
+    * collect-free broadcast-model loop, materialized per iteration to
+    * keep the plan one job deep (same discipline as `IvfIndex.build`).
+    */
+  /** Total squared quantization error of `cb` over corpus `e` — the
+    * objective Lloyd training minimizes. Exposed for `SimilaritySpec`:
+    * distortion is GUARANTEED non-increasing per round, so
+    * `distortion(trained) ≤ distortion(fixed)` is the deterministic
+    * training invariant (top-5 cosine recall, by contrast, is a
+    * 25-sample observable that noise flips between fixtures).
+    */
+  private[ops] def pqDistortion(e: DataFrame, cb: DataFrame): Double =
+    pqAssign(e, cb)
+      .select(expr(
+        s"""aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE),
+           | (acc, d) -> acc + (element_at(vsub, d) - element_at(csub, d))
+           |                 * (element_at(vsub, d) - element_at(csub, d)))""".stripMargin)
+        .as("d2"))
+      .agg(sum(col("d2"))).head.getDouble(0)
+
+  private[ops] def pqTrainedCodebook(e: DataFrame): DataFrame = {
+    var cb = pqCodebook(e)
+    var cached: DataFrame = null
+    for (_ <- 1 to PqIterations) {
+      val next = pqAssign(e, cb)
+        .select(col("m"), col("code").as("j"), posexplode(col("vsub")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("j"), col("d"))
+        .agg(avg(col("x")).as("mean"))
+        .groupBy(col("m"), col("j"))
+        .agg(array_sort(collect_list(struct(col("d"), col("mean")))).as("dm"))
+        .select(col("m"), col("j"), expr("transform(dm, s -> s.mean)").as("csub"))
+        .cache()
+      next.count()
+      // the previous round's codebook fed this round's assignment and is
+      // now dead — release it so training never accretes blocks
+      if (cached != null) cached.unpersist()
+      cached = next
+      cb = next
+    }
+    cb
   }
 
   /** The PQ code table itself — (vec_id, subspace, code), the artifact
@@ -445,7 +551,23 @@ object Similarity {
     */
   def pqSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val rec = pqEncode(e, pqCodebook(e))
+    pqSearchWith(e, pqCodebook(e))
+  }
+
+  /** PQ search over the TRAINED codebook ([[pqTrainedCodebook]]) —
+    * the production recall point. Rows-only in the driver gate (the
+    * Lloyd means aren't replayed in SQL); `sim_pq_search` (fixed
+    * codebook) keeps the full hash check on the identical search plan,
+    * and `SimilaritySpec` floors this variant's recall@5 at the fixed
+    * codebook's.
+    */
+  def pqTrainedSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    pqSearchWith(e, pqTrainedCodebook(e))
+  }
+
+  private def pqSearchWith(e: DataFrame, cb: DataFrame): DataFrame = {
+    val rec = pqEncode(e, cb)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("csub")))).as("parts"))
       .select(col("vec_id"), expr("flatten(transform(parts, p -> p.csub))").as("rec"))
@@ -478,9 +600,11 @@ object Similarity {
     "sim_sq8_search" -> (sq8Search(_, _)),
     "sim_pq_codes" -> (pqCodes(_, _)),
     "sim_pq_search" -> (pqSearch(_, _)),
+    "sim_pq_trained" -> (pqTrainedSearch(_, _)),
     "sim_lsh_buckets" -> (lshBucketStats(_, _)),
     "dd_embed_neardup" -> (embedNearDupPairs(_, _)),
-    "dd_embed_neardup_lsh" -> (embedNearDupLsh(_, _)))
+    "dd_embed_neardup_lsh" -> (embedNearDupLsh(_, _)),
+    "dd_embed_neardup_lsh_prod" -> (embedNearDupLshProd(_, _)))
 
   /** Shared oracle CTEs replaying the PQ codebook/encode: fixed-seed
     * centroids, per-subspace L2² argmin with (dist, j) tie-break —
@@ -603,6 +727,22 @@ object Similarity {
          |JOIN embeddings ea ON ea.vec_id = cand.id_a
          |JOIN embeddings eb ON eb.vec_id = cand.id_b
          |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 4) >= 0.4""".stripMargin,
+    "dd_embed_neardup_lsh_prod" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, ${sqlNdCode("embedding")} AS code FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, bi, (code >> (bi * $NdBandBitsProd)) & ${(1 << NdBandBitsProd) - 1} AS bk
+         |  FROM c, (SELECT unnest(range($NdBandsProd)) AS bi) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.bi = b.bi AND a.bk = b.bk AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |  round(${sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
+         |FROM cand
+         |JOIN embeddings ea ON ea.vec_id = cand.id_a
+         |JOIN embeddings eb ON eb.vec_id = cand.id_b
+         |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 4) >= $NdThresholdProd""".stripMargin,
     "sim_lsh_buckets" ->
       s"""SELECT bucket, count(*) AS n_vectors
          |FROM (SELECT ${sqlBucket("embedding")} AS bucket FROM embeddings) b

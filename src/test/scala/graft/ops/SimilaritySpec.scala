@@ -116,6 +116,35 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall@5 $hits/$total below the 0.2 signal floor")
   }
 
+  test("trained PQ codebook cuts distortion and keeps ranking signal") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    // the DETERMINISTIC training invariant: Lloyd rounds never increase
+    // total squared quantization error, so a trained codebook that
+    // measures above the seed codebook means training is broken.
+    // (Top-5 cosine recall is NOT asserted as trained >= fixed: with 25
+    // truth slots it is noise-dominated — measured 3-vs-6 at sf0.001
+    // but 6-vs-3 at sf0.01 on identical code — while distortion fell
+    // 25% at both. L2-distortion is the objective PQ training
+    // optimizes; the recall floor below pins the signal.)
+    val fixedD = Similarity.pqDistortion(e, Similarity.pqCodebook(e))
+    val trainedD = Similarity.pqDistortion(e, Similarity.pqTrainedCodebook(e))
+    assert(trainedD <= fixedD,
+      s"training increased distortion: $trainedD > $fixedD")
+    assert(trainedD < fixedD * 0.9,
+      s"training barely moved distortion: $trainedD vs $fixedD")
+    // trained search output: structurally complete and far above chance
+    // (random top-5 overlap ~5/n ≈ 1.25% → ~0.3 of 25 slots)
+    val exact = Similarity.knnPerQuery(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val trained = Similarity.pqTrainedSearch(spark, sf0001)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(trained.values.map(_.size).sum == exact.values.map(_.size).sum)
+    val hits = exact.keys.map(q => (trained.getOrElse(q, Set.empty) & exact(q)).size).sum
+    assert(hits >= 2, s"trained PQ recall collapsed: $hits of 25")
+  }
+
   test("brute-force KNN and scores agree") {
     val scores = Similarity.cosineScores(spark, sf0001)
       .as[(Long, Double)].collect().toMap
