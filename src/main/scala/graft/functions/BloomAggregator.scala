@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed `Aggregator` OR-folding bit positions into a fixed-size Bloom
   * bitmap — the at-scale membership primitive for decontamination: the
-  * benchmark side collapses to an `MBits`-bit array (8 KiB here) that
-  * BROADCASTS to every executor, so the candidate side is one
-  * map-local bit test per shingle instead of a shuffle join against
-  * the benchmark shingle set. Same lifecycle as the reference's
+  * benchmark side collapses to an `mBits`-bit array (8 KiB at the
+  * default sizing) that BROADCASTS to every executor, so the candidate
+  * side is one map-local bit test per shingle instead of a shuffle join
+  * against the benchmark shingle set. Same lifecycle as the reference's
   * lookup-table reads (pipeline_architecture.py:128-148 reads a tiny
   * control table before scanning the batch), with the table shrunk to
   * a bitmap.
@@ -22,24 +22,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * The buffer is a plain `Array[Long]` with element-wise OR merge:
   * partial aggregation (map-side combine) falls out of the Aggregator
   * contract, so building the filter over a 100 TB benchmark corpus
-  * shuffles one 8 KiB bitmap per map partition, nothing else.
+  * shuffles one bitmap per map partition, nothing else.
+  *
+  * The size is a constructor knob: the companion default carries the
+  * fixture sizing, and [[BloomAggregator.sizeFor]] is the executable
+  * production formula (m ≈ 1.44·k·n from the measured benchmark-set
+  * cardinality).
   */
-object BloomAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
+class BloomAggregator(val mBits: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive word multiple: $mBits")
 
-  /** Filter size in bits (8 KiB). Sized for the fixture's benchmark
-    * set (~10³ distinct shingles ⇒ load factor ~6%, fp ≈ (kn/m)^k ≈
-    * 2e-5); production sizing is m ≈ 1.44·k·n bits for the target fp.
-    */
-  val MBits = 1 << 16
+  private val words = mBits / 64
 
-  /** Hash functions per key. With h1 < 2^60, h2 < 2^56 and j ≤ 3 the
-    * affine combination stays below 2^63 — no signed overflow.
-    */
-  val K = 4
-
-  private val Words = MBits / 64
-
-  override def zero: Array[Long] = new Array[Long](Words)
+  override def zero: Array[Long] = new Array[Long](words)
 
   override def reduce(buf: Array[Long], pos: Long): Array[Long] = {
     buf((pos >>> 6).toInt) |= 1L << (pos & 63)
@@ -48,7 +44,7 @@ object BloomAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < Words) { a(i) |= b(i); i += 1 }
+    while (i < words) { a(i) |= b(i); i += 1 }
     a
   }
 
@@ -59,4 +55,30 @@ object BloomAggregator extends Aggregator[Long, Array[Long], Array[Long]] {
 
   override def bufferEncoder: Encoder[Array[Long]] = enc
   override def outputEncoder: Encoder[Array[Long]] = enc
+}
+
+/** Fixture-default instance (8 KiB) plus the sizing constants. */
+object BloomAggregator extends BloomAggregator(1 << 16) {
+
+  /** Default filter size in bits (8 KiB). Sized for the fixture's
+    * benchmark set (~10³ distinct shingles ⇒ load factor ~6%,
+    * fp ≈ (kn/m)^k ≈ 2e-5); size production filters with [[sizeFor]].
+    */
+  val MBits = 1 << 16
+
+  /** Hash functions per key. With h1 < 2^60, h2 < 2^56 and j ≤ 3 the
+    * affine combination stays below 2^63 — no signed overflow.
+    */
+  val K = 4
+
+  /** Production sizing: m ≈ 1.44·k·n bits (the optimal-k relation
+    * m = k·n/ln 2 solved for m, giving fp ≈ 2^-k), rounded up to a
+    * 64-bit word multiple, floored at one word. `n` is the measured
+    * distinct-key cardinality of the set the filter will hold.
+    */
+  def sizeFor(n: Long, k: Int = K): Int = {
+    val bits = math.ceil(1.44 * k * n.toDouble).toLong
+    val aligned = ((bits + 63) / 64) * 64
+    math.max(64L, aligned).toInt
+  }
 }

@@ -427,11 +427,15 @@ object TextOps {
 
   /** Bloom decontamination over an arbitrary (doc_id, s) shingle
     * relation — split at [[BenchmarkMaxId]] like the exact path.
+    * `mBits` is the filter-size knob (defaults to the fixture sizing;
+    * size production builds with `BloomAggregator.sizeFor(n)` from the
+    * measured benchmark-set cardinality).
     */
-  def decontaminateBloomOf(sh: DataFrame): DataFrame = {
+  def decontaminateBloomOf(sh: DataFrame,
+      mBits: Int = graft.functions.BloomAggregator.MBits): DataFrame = {
     val k = graft.functions.BloomAggregator.K
-    val m = graft.functions.BloomAggregator.MBits
-    val bloom = udaf(graft.functions.BloomAggregator)
+    val m = mBits
+    val bloom = udaf(new graft.functions.BloomAggregator(mBits))
     val withHashes = (df: DataFrame) => df
       .withColumn("h1", expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substr(md5(s), 17, 14), 16, 10) AS BIGINT)"))

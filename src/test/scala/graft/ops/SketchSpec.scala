@@ -55,6 +55,31 @@ class SketchSpec extends SparkSpec {
     assert(!flagged.contains(11L), s"clean doc falsely flagged: $flagged")
   }
 
+  test("bloom filter builds at a non-default production-formula size") {
+    import graft.functions.BloomAggregator
+    // the sizing formula is executable and word-aligned: m ≈ 1.44·k·n
+    assert(BloomAggregator.sizeFor(1000) ==
+      ((math.ceil(1.44 * BloomAggregator.K * 1000).toLong + 63) / 64 * 64).toInt)
+    assert(BloomAggregator.sizeFor(0) == 64)
+    assert(BloomAggregator.sizeFor(1000) % 64 == 0)
+    // same planted-overlap scenario through a filter sized by the
+    // formula for a few hundred keys (4096 bits — 1/16 the default):
+    // a Bloom filter never false-negatives, so the planted hit MUST
+    // survive any sizing; at kn/m ≈ 0.02 the clean doc stays unflagged
+    val bench = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, bench + " zeta eta theta"),
+      (10L, "prefix words then " + bench + " trailing tail"),
+      (11L, "completely disjoint vocabulary with no overlap at all here")).toDF("doc_id", "text")
+    val mSmall = BloomAggregator.sizeFor(700)
+    assert(mSmall != BloomAggregator.MBits && mSmall <= (1 << 12))
+    val flagged = TextOps.decontaminateBloomOf(Dedup.shinglesOf(docs), mSmall)
+      .select("doc_id", "n_flagged_shingles").as[(Long, Long)].collect().toMap
+    assert(flagged.contains(10L) && flagged(10L) >= 1,
+      s"planted overlap missed at m=$mSmall: $flagged")
+    assert(!flagged.contains(11L), s"clean doc falsely flagged at m=$mSmall: $flagged")
+  }
+
   test("winnowing guarantee: shared w+k-1 char run => shared fingerprint hash") {
     // two constructed docs share a run of exactly w+k-1 = 15 chars
     // embedded in different surroundings; SIGMOD'03 guarantees at least
