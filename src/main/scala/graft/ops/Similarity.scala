@@ -566,6 +566,65 @@ object Similarity {
     pqSearchWith(e, pqTrainedCodebook(e))
   }
 
+  /** PQ search in true ADC form — the shape a 10^9-vector deployment
+    * actually runs: per query, a (PqM × PqK)-entry lookup table of
+    * partial dot products and centroid partial norms broadcasts, and
+    * each candidate scores as PqM table lookups + adds on its 4-bit
+    * codes — never touching the raw vectors. [[pqSearch]] scores the
+    * same reconstruction by materializing the full 64-dim vector and
+    * folding all dims per (candidate, query); algebraically the same
+    * cosine (dot and |rec|² decompose over subspaces), but at scale the
+    * decomposed form reads the ~4-byte code table instead of 256-byte
+    * floats — the 64× I/O cut is the whole point of PQ. Fully
+    * hash-checked: fixed codebook, and the oracle replays the ADC
+    * association order (per-subspace partials, then the M-term sum)
+    * exactly.
+    */
+  def pqAdcSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = pqCodebook(e)
+    // query sub-slices: (q_id, m, qsub)
+    val qsub = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"),
+        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
+      .select(col("q_id"), col("m"),
+        expr(s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim)," +
+          " x -> CAST(x AS DOUBLE))").as("qsub"))
+    def fold(term: String) =
+      s"aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
+    // the ADC lookup table: Q × PqM × PqK rows, each carrying the
+    // partial dot, the centroid slice's squared norm, and the query
+    // slice's squared norm — everything the final score needs. Each
+    // partial is an order-pinned fold (identical in DuckDB), then
+    // SNAPS TO AN 8dp INTEGER: the M-term sums below run as groupBy
+    // aggregates whose accumulation order Spark does not pin, and
+    // integer addition is the one form that is order-independent AND
+    // bit-identical across engines (the exactMoneySum discipline; the
+    // ~1e-8 snap is noise against the 4dp ranking round).
+    val S = "100000000.0"
+    val lut = qsub.join(cb, "m")
+      .selectExpr("q_id", "m", "j",
+        s"CAST(round(${fold("element_at(qsub, d) * element_at(csub, d)")} * $S) AS BIGINT) AS pdot_i",
+        s"CAST(round(${fold("element_at(csub, d) * element_at(csub, d)")} * $S) AS BIGINT) AS c2_i",
+        s"CAST(round(${fold("element_at(qsub, d) * element_at(qsub, d)")} * $S) AS BIGINT) AS q2_i")
+    val codes = pqEncode(e, cb).select(col("vec_id"), col("m"), col("code"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    codes
+      .join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("j"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot_i")).as("dot_i"), sum(col("c2_i")).as("rn2_i"),
+        sum(col("q2_i")).as("qn2_i"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"""round((CAST(dot_i AS DOUBLE) / $S)
+           | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)
+           |  * sqrt(CAST(qn2_i AS DOUBLE) / $S)), 4) AS qcos""".stripMargin)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   private def pqSearchWith(e: DataFrame, cb: DataFrame): DataFrame = {
     val rec = pqEncode(e, cb)
       .groupBy(col("vec_id"))
@@ -600,6 +659,7 @@ object Similarity {
     "sim_sq8_search" -> (sq8Search(_, _)),
     "sim_pq_codes" -> (pqCodes(_, _)),
     "sim_pq_search" -> (pqSearch(_, _)),
+    "sim_pq_adc" -> (pqAdcSearch(_, _)),
     "sim_pq_trained" -> (pqTrainedSearch(_, _)),
     "sim_lsh_buckets" -> (lshBucketStats(_, _)),
     "dd_embed_neardup" -> (embedNearDupPairs(_, _)),
@@ -813,6 +873,38 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q.q_id
          |      ORDER BY $qcos DESC, r.vec_id) AS rnk
          |  FROM rec r, q WHERE r.vec_id <> q.q_id) s
+         |WHERE rnk <= 5""".stripMargin
+    },
+    "sim_pq_adc" -> {
+      def fold(term: String) =
+        s"list_sum(list_transform(range(1, $PqSubDim + 1), d -> $term))"
+      val S = "100000000.0"
+      val qcosExpr =
+        s"""round((CAST(dot_i AS DOUBLE) / $S)
+           | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)
+           |  * sqrt(CAST(qn2_i AS DOUBLE) / $S)), 4)""".stripMargin
+      s"""WITH $pqEncSql,
+         |qsub AS (
+         |  SELECT vec_id AS q_id, m, list_transform(range(1, $PqSubDim + 1),
+         |           d -> CAST(embedding[m * $PqSubDim + d] AS DOUBLE)) AS qsub
+         |  FROM embeddings, (SELECT unnest(range(0, $PqM)) AS m) ms
+         |  WHERE vec_id < $QuerySetSize),
+         |lut AS (
+         |  SELECT q.q_id, q.m, c.j,
+         |    CAST(round(${fold("q.qsub[d] * c.csub[d]")} * $S) AS BIGINT) AS pdot_i,
+         |    CAST(round(${fold("c.csub[d] * c.csub[d]")} * $S) AS BIGINT) AS c2_i,
+         |    CAST(round(${fold("q.qsub[d] * q.qsub[d]")} * $S) AS BIGINT) AS q2_i
+         |  FROM qsub q JOIN cb c ON q.m = c.m),
+         |scored AS (
+         |  SELECT l.q_id, e.vec_id,
+         |    sum(l.pdot_i) AS dot_i, sum(l.c2_i) AS rn2_i, sum(l.q2_i) AS qn2_i
+         |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
+         |  GROUP BY l.q_id, e.vec_id)
+         |SELECT q_id, vec_id, qcos, rnk FROM (
+         |  SELECT q_id, vec_id, $qcosExpr AS qcos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY $qcosExpr DESC, vec_id) AS rnk
+         |  FROM scored WHERE vec_id <> q_id) s
          |WHERE rnk <= 5""".stripMargin
     },
     "sim_ann_multiprobe" -> {

@@ -145,6 +145,26 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 2, s"trained PQ recall collapsed: $hits of 25")
   }
 
+  test("ADC lookup-table search matches the reconstruction-scoring PQ search") {
+    // same codebook, same codes: the decomposed ADC cosine equals the
+    // full-reconstruction cosine up to the 1e-8 integer snap, so the
+    // two top-5s must agree except possibly at knife-edge 4dp ties
+    val rec = Similarity.pqSearch(spark, sf0001)
+      .select("q_id", "vec_id", "qcos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val adc = Similarity.pqAdcSearch(spark, sf0001)
+      .select("q_id", "vec_id", "qcos").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(adc.size == rec.size)
+    val common = adc.keySet & rec.keySet
+    assert(common.size >= (rec.size * 0.8).toInt,
+      s"ADC and reconstruction top-5 diverged: ${common.size}/${rec.size} shared")
+    common.foreach { k =>
+      assert(math.abs(adc(k) - rec(k)) <= 2e-4,
+        s"$k: adc=${adc(k)} rec=${rec(k)}")
+    }
+  }
+
   test("brute-force KNN and scores agree") {
     val scores = Similarity.cosineScores(spark, sf0001)
       .as[(Long, Double)].collect().toMap
