@@ -380,6 +380,53 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Count-min sketch geometry: [[CmsD]] hash rows of [[CmsW]] counters
+    * (16 KiB of longs). Estimate error is bounded by ε·N with
+    * ε = e/CmsW ≈ 0.5% of total token mass at fixture sizing, with
+    * failure probability e^-CmsD ≈ 2%; production sizing is
+    * W = ceil(e/ε), D = ceil(ln(1/δ)).
+    */
+  val CmsW = 512
+  val CmsD = 4
+
+  /** Heavy hitters with count-min-sketch estimates: the exact top-20
+    * tokens (count desc, token asc) each paired with the count the CMS
+    * would report. The sketch is the Bloom filter's counting sibling
+    * and needs NO custom aggregator: the counter table is a plain
+    * `groupBy(row, position).count()` — map-side combinable by
+    * construction, so a 100 TB corpus shuffles ≤ CmsD·CmsW counter rows
+    * per map partition — and estimates are a broadcast join + `min`
+    * over the [[CmsD]] Kirsch–Mitzenmacher positions (same md5 h1/h2
+    * stream as the Bloom path, so DuckDB replays every counter and the
+    * estimate itself is hash-checked). CMS never underestimates:
+    * `est_count ≥ n_exact` always, with overshoot bounded by colliding
+    * token mass — `SketchSpec` pins both.
+    */
+  def heavyHittersCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(expr(wsSplitSpark)).as("w"))
+    val withHashes = (df: DataFrame) => df
+      .withColumn("h1", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substr(md5(w), 17, 14), 16, 10) AS BIGINT)"))
+    val jp = s"transform(sequence(0, ${CmsD - 1}), " +
+      s"j -> named_struct('j', j, 'pos', (h1 + j * h2) % $CmsW))"
+    val counters = withHashes(tok)
+      .select(explode(expr(jp)).as("jp"))
+      .select(col("jp.j").as("j"), col("jp.pos").as("pos"))
+      .groupBy(col("j"), col("pos"))
+      .agg(count(lit(1)).as("c"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w").asc)
+      .limit(20)
+    withHashes(top)
+      .select(col("w").as("token"), col("n_exact"), explode(expr(jp)).as("jp"))
+      .select(col("token"), col("n_exact"),
+        col("jp.j").as("j"), col("jp.pos").as("pos"))
+      .join(broadcast(counters), Seq("j", "pos"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("c")).as("est_count"))
+  }
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -409,6 +456,7 @@ object TextOps {
     "tx_decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "tx_filter_verdict" -> (filterVerdict(_, _)),
     "tx_unigram_logprob" -> (unigramLogprob(_, _)),
+    "tx_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   /** Bloom-filter decontamination — the broadcast-membership form of
@@ -576,6 +624,31 @@ object TextOps {
            |  GROUP BY doc_id, s
            |  HAVING count(DISTINCT j) = $k) f
            |GROUP BY doc_id""".stripMargin
+      },
+      "tx_heavy_hitters_cms" -> {
+        s"""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           |h AS (
+           |  SELECT w,
+           |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h1,
+           |    CAST('0x' || substr(md5(w), 17, 14) AS BIGINT) AS h2
+           |  FROM tok),
+           |counters AS (
+           |  SELECT j, (h1 + j * h2) % $CmsW AS pos, count(*) AS c
+           |  FROM h, (SELECT unnest(range(0, $CmsD)) AS j) js
+           |  GROUP BY 1, 2),
+           |top AS (
+           |  SELECT w, count(*) AS n_exact FROM tok GROUP BY w
+           |  ORDER BY n_exact DESC, w LIMIT 20),
+           |topjp AS (
+           |  SELECT t.w, t.n_exact, js.j,
+           |    (CAST('0x' || substr(md5(t.w), 1, 15) AS BIGINT)
+           |     + js.j * CAST('0x' || substr(md5(t.w), 17, 14) AS BIGINT)) % $CmsW AS pos
+           |  FROM top t, (SELECT unnest(range(0, $CmsD)) AS j) js)
+           |SELECT w AS token, CAST(n_exact AS BIGINT) AS n_exact,
+           |  min(c) AS est_count
+           |FROM topjp JOIN counters USING (j, pos)
+           |GROUP BY 1, 2""".stripMargin
       },
       "tx_filter_verdict" -> {
         s"""SELECT doc_id, n_tokens, verdict, (verdict = 'keep') AS keep FROM (

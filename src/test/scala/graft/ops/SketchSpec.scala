@@ -80,6 +80,28 @@ class SketchSpec extends SparkSpec {
     assert(!flagged.contains(11L), s"clean doc falsely flagged at m=$mSmall: $flagged")
   }
 
+  test("count-min estimates never undercount and stay within the epsilon bound") {
+    val rows = TextOps.heavyHittersCms(spark, sf0001)
+      .select("token", "n_exact", "est_count")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    // CMS structural guarantee: min over D counters that each include
+    // the token's full count can never be below the exact count
+    rows.foreach { case (t, exact, est) =>
+      assert(est >= exact, s"'$t': CMS undercounted $est < $exact")
+    }
+    // error bound: overshoot <= e/W * N with prob 1 - e^-D per token;
+    // assert the Markov-style bound with slack (3x) so the test pins
+    // real sketch behavior without flaking on collision luck
+    val n = graft.Tables.documents(spark, sf0001)
+      .selectExpr("sum(size(split(text, ' ')))").head.getLong(0)
+    val bound = 3.0 * math.E / TextOps.CmsW * n
+    rows.foreach { case (t, exact, est) =>
+      assert(est - exact <= bound,
+        s"'$t': overshoot ${est - exact} above 3x epsilon bound $bound (N=$n)")
+    }
+  }
+
   test("winnowing guarantee: shared w+k-1 char run => shared fingerprint hash") {
     // two constructed docs share a run of exactly w+k-1 = 15 chars
     // embedded in different surroundings; SIGMOD'03 guarantees at least
