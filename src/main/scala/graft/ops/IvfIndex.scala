@@ -124,11 +124,17 @@ object IvfIndex {
     * corpus path (cwd-relative — sbt forks in the project root, so
     * Bench/Verify/tests share artifacts).
     */
-  private def indexDir(sfDir: String): String = {
+  private def indexDir(sfDir: String): String = artifactDir(sfDir, "ivf")
+
+  /** Shared artifact-location scheme for committed per-corpus models
+    * (IVF index, trained PQ codebook): one dir per (kind, canonical
+    * corpus path).
+    */
+  private[ops] def artifactDir(sfDir: String, kind: String): String = {
     val canon = Paths.get(sfDir).toAbsolutePath.normalize.toString
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"target/graft-index/ivf-$key"
+    s"target/graft-index/$kind-$key"
   }
 
   /** Fingerprint of the corpus files backing the index (file count,
@@ -139,7 +145,7 @@ object IvfIndex {
     * watermark answers before an incremental read (py:128-148), applied
     * to the index artifact.
     */
-  private def corpusFingerprint(sfDir: String): String = {
+  private[ops] def corpusFingerprint(sfDir: String): String = {
     val root = Paths.get(s"$sfDir/embeddings.parquet")
     val files: Seq[java.nio.file.Path] =
       if (Files.isDirectory(root)) {

@@ -145,6 +145,19 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 2, s"trained PQ recall collapsed: $hits of 25")
   }
 
+  test("committed trained PQ codebook reads back equal to a fresh training run") {
+    val e = graft.Tables.embeddings(spark, sf0001)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("m", "j", "csub").as[(Long, Long, Seq[Double])]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val committed = asMap(Similarity.ensureTrainedCodebook(spark, sf0001))
+    val reread = asMap(Similarity.ensureTrainedCodebook(spark, sf0001))
+    val fromScratch = asMap(Similarity.pqTrainedCodebook(e))
+    assert(committed == reread, "second ensure must serve the committed artifact")
+    assert(committed == fromScratch,
+      "persisted codebook must equal a from-scratch deterministic training run")
+  }
+
   test("ADC lookup-table search matches the reconstruction-scoring PQ search") {
     // same codebook, same codes: the decomposed ADC cosine equals the
     // full-reconstruction cosine up to the 1e-8 integer snap, so the
