@@ -427,6 +427,54 @@ object TextOps {
       .agg(min(col("c")).as("est_count"))
   }
 
+  /** The end-to-end curation pipeline as ONE query — the composition a
+    * training-data run actually executes, each stage the already-
+    * oracle-checked operator:
+    *   1. policy filter (the [[filterVerdict]] keep rule),
+    *   2. exact dedup among kept docs (min-doc_id survivor per content
+    *      digest, [[graft.ops.Dedup.exactSurvivors]]'s rule),
+    *   3. eval-set decontamination (drop docs sharing any 5-shingle
+    *      with the benchmark docs, [[decontaminate]]'s rule; benchmark
+    *      docs themselves never ship),
+    *   4. greedy per-source shard packing ([[packShards]]).
+    * One doc scan feeds stages 1-2; the shingle explosion runs only for
+    * stage 3; packing windows per source. At 100 TB: digest groupBy is
+    * one shuffle, the benchmark shingle set broadcasts, the
+    * contaminated-id set anti-joins (no distinct needed — anti join
+    * ignores right-side duplicates), and packing parallelizes across
+    * sources. Output: the shipped shard manifest.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = inList(Profiles.head._2)
+    val kept = Tables.documents(spark, sfDir).selectExpr(
+        "doc_id", "source", "text",
+        s"CAST(size($wsSplitSpark) AS BIGINT) AS n_tokens",
+        s"""CASE
+           | WHEN size($wsSplitSpark) < 10 THEN 'too_short'
+           | WHEN size(array_distinct($wsSplitSpark)) / CAST(size($wsSplitSpark) AS DOUBLE) < 0.3
+           |   THEN 'too_repetitive'
+           | WHEN size(filter($wsSplitSpark, w -> w IN $stop)) / CAST(size($wsSplitSpark) AS DOUBLE) > 0.7
+           |   THEN 'stopword_soup'
+           | ELSE 'keep' END AS verdict""".stripMargin)
+      .filter(col("verdict") === "keep")
+    val survivorIds = kept.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val survivors = kept.join(survivorIds, Seq("doc_id"), "left_semi")
+    val sh = Dedup.shingles(spark, sfDir)
+    val benchSh = sh.filter(col("doc_id") < BenchmarkMaxId)
+      .select(col("s")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= BenchmarkMaxId)
+      .join(broadcast(benchSh), "s")
+      .select(col("doc_id"))
+    survivors
+      .filter(col("doc_id") >= BenchmarkMaxId)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .selectExpr("doc_id", "source", "n_tokens",
+        s"CAST((cum - n_tokens) div $ShardBudget AS BIGINT) AS shard")
+  }
+
   /** Corpus stats rollup per (lang, source): the curation dashboard
     * aggregation.
     */
@@ -457,6 +505,7 @@ object TextOps {
     "tx_filter_verdict" -> (filterVerdict(_, _)),
     "tx_unigram_logprob" -> (unigramLogprob(_, _)),
     "tx_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
+    "tx_curation_pipeline" -> (curationPipeline(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
 
   /** Bloom-filter decontamination — the broadcast-membership form of
@@ -649,6 +698,43 @@ object TextOps {
            |  min(c) AS est_count
            |FROM topjp JOIN counters USING (j, pos)
            |GROUP BY 1, 2""".stripMargin
+      },
+      "tx_curation_pipeline" -> {
+        val verdict =
+          s"""CASE
+             | WHEN len($wsSplitDuck) < 10 THEN 'too_short'
+             | WHEN len(list_distinct($wsSplitDuck)) / CAST(len($wsSplitDuck) AS DOUBLE) < 0.3
+             |   THEN 'too_repetitive'
+             | WHEN len(list_filter($wsSplitDuck, w -> w IN $stop)) / CAST(len($wsSplitDuck) AS DOUBLE) > 0.7
+             |   THEN 'stopword_soup'
+             | ELSE 'keep' END""".stripMargin
+        s"""WITH v AS (
+           |  SELECT doc_id, source, text,
+           |    CAST(len($wsSplitDuck) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |  WHERE ($verdict) = 'keep'),
+           |keepers AS (
+           |  SELECT min(doc_id) AS doc_id FROM v GROUP BY md5(text)),
+           |surv AS (
+           |  SELECT v.doc_id, v.source, v.n_tokens
+           |  FROM v JOIN keepers USING (doc_id)),
+           |sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(len(string_split(text, ' ')) - ${Dedup.ShingleSize - 1}),
+           |    i -> concat_ws(' ', ${(1 to Dedup.ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+           |  FROM documents WHERE len(string_split(text, ' ')) >= ${Dedup.ShingleSize}),
+           |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < $BenchmarkMaxId),
+           |contam AS (
+           |  SELECT DISTINCT c.doc_id FROM sh c JOIN bench b USING (s)
+           |  WHERE c.doc_id >= $BenchmarkMaxId)
+           |SELECT doc_id, source, n_tokens,
+           |  CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard
+           |FROM (
+           |  SELECT s.doc_id, s.source, s.n_tokens,
+           |    sum(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.doc_id) AS cum
+           |  FROM surv s
+           |  WHERE s.doc_id >= $BenchmarkMaxId
+           |    AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)) t""".stripMargin
       },
       "tx_filter_verdict" -> {
         s"""SELECT doc_id, n_tokens, verdict, (verdict = 'keep') AS keep FROM (
