@@ -226,6 +226,42 @@ object IvfIndex {
     else buildCommit(spark, sfDir)
   }
 
+  /** Incrementally append a batch of NEW vectors to the committed
+    * index without retraining — the production path for corpus growth
+    * between periodic retrains: each new vector assigns to its nearest
+    * EXISTING committed centroid (the same tie rule as the build), the
+    * assignment table re-commits atomically (re-sent vec_ids take their
+    * new assignment — upsert-by-key), and the meta re-stamps with the
+    * post-append corpus fingerprint at the UNCHANGED cell count, so
+    * `ensureIndex` keeps serving the appended artifact instead of
+    * triggering a full rebuild. Centroids intentionally stay fixed;
+    * cell balance degrades gradually until the next [[buildCommit]],
+    * which [[adaptiveK]] then right-sizes for the grown corpus. Cost is
+    * one broadcast cross-score over the BATCH only — never the corpus.
+    */
+  def appendCommit(spark: SparkSession, sfDir: String,
+      newVectors: DataFrame): (DataFrame, DataFrame) = {
+    VectorFunctions.register(spark)
+    val dir = indexDir(sfDir)
+    require(Files.exists(Paths.get(s"$dir/meta")),
+      s"no committed index under $dir — run buildCommit first")
+    val meta = Files.readString(Paths.get(s"$dir/meta"))
+    val k = "^v3 k=(\\d+) ".r.findFirstMatchIn(meta).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"unparseable index meta: $meta"))
+    val existing = spark.read.parquet(s"$dir/assignments")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assignedNew = assign(newVectors, centroids)
+    val merged = existing
+      .join(assignedNew.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(assignedNew)
+    HudiLike.commit(merged, s"$dir/assignments")
+    // stamp AFTER the append read the grown corpus: same fail-rebuild
+    // discipline as buildCommit, at the retained cell count
+    Files.writeString(Paths.get(s"$dir/meta"),
+      s"v3 k=$k iters=$Iterations ${corpusFingerprint(sfDir)}")
+    (spark.read.parquet(s"$dir/assignments"), centroids)
+  }
+
   /** The `sim_ivf_build` query: a full rebuild + commit, surfaced as
     * the committed centroid coordinates in long form. This is the one
     * entry that pays the Lloyd loop; its cost is the per-corpus

@@ -847,9 +847,12 @@ object Relational {
     * Q16's NOT IN subquery — is suppliers with negative account
     * balance; "supplies it" = shipped it in lineitem): distinct
     * supplier count per (brand, type, size) over non-PROMO parts. The
-    * exclusion is a LEFT ANTI against a broadcast sliver; the distinct
-    * pairs carry one fact shuffle; countDistinct re-shuffles the
-    * ~|parts×suppliers| pair set, not the fact.
+    * exclusion list is a CONSTANT FRACTION of supplier (~9% have
+    * negative balance), not a sliver — it scales linearly with SF, so
+    * the anti join is unhinted and AQE broadcasts it only while it
+    * measures small. The distinct pairs carry one fact shuffle;
+    * countDistinct re-shuffles the ~|parts×suppliers| pair set, not
+    * the fact. The part filter IS a sliver-by-value and keeps its hint.
     */
   def q16SupplierCount(spark: SparkSession, sfDir: String): DataFrame = {
     val excluded = Tables.supplier(spark, sfDir)
@@ -859,7 +862,7 @@ object Relational {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))

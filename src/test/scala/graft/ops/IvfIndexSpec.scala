@@ -68,6 +68,58 @@ class IvfIndexSpec extends SparkSpec {
       "changed corpus must force a rebuild, not serve stale assignments")
   }
 
+  test("incremental append serves the grown corpus without a rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val full = graft.Tables.embeddings(spark, sf0001)
+    val base = full.filter("vec_id < 300")
+    base.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (a0, c0) = IvfIndex.ensureIndex(spark, tmp)
+    val nBase = a0.count()
+    val centsBefore = c0.select("centroid_id", "centroid")
+      .as[(Long, Seq[Float])].collect().toMap
+    // the corpus grows in place (new vectors land as appended files) —
+    // a fresh session sees the new listing
+    val s2 = spark.newSession()
+    val batch = graft.Tables.embeddings(s2, sf0001).filter("vec_id >= 300")
+    batch.write.mode("append").parquet(s"$tmp/embeddings.parquet")
+    val nNew = batch.count()
+    val (a1, c1) = IvfIndex.appendCommit(s2, tmp,
+      batch.select("vec_id", "embedding"))
+    assert(a1.count() == nBase + nNew, "append must cover the grown corpus")
+    // centroids unchanged: append assigns, never retrains
+    val centsAfter = c1.select("centroid_id", "centroid")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(centsAfter == centsBefore, "append must not move centroids")
+    // the appended artifact is CURRENT: ensureIndex serves it as-is
+    // (a rebuild would have re-run Lloyd over the grown corpus and
+    // produced adaptiveK(400) > adaptiveK(300) cells)
+    val (a2, c2) = IvfIndex.ensureIndex(s2, tmp)
+    assert(c2.select("centroid_id", "centroid")
+      .as[(Long, Seq[Float])].collect().toMap == centsBefore,
+      "ensureIndex after append must serve the appended artifact, not rebuild")
+    assert(a2.count() == nBase + nNew)
+    // new vectors are assigned to their true nearest committed centroid
+    val got = a2.filter("vec_id >= 300").select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val emb = batch.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (v, cid) =>
+      val best = centsBefore.toSeq
+        .map { case (c, cv) => (c, cosine(emb(v), cv)) }
+        .sortBy(r => (-r._2, r._1)).head._1
+      assert(cid == best, s"vec $v assigned to $cid, nearest is $best")
+    }
+  }
+
   test("committed-index wide probe (nprobe=4) recall >= default committed path") {
     val truth = Similarity.knnPerQuery(spark, sf0001)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
