@@ -67,6 +67,10 @@ class PlanAssertSpec extends SparkSpec {
     "q21_waiting_suppliers", "q2_min_cost_supp", "q9_product_profit",
     "q16_supplier_count", "q20_promo_suppliers", "q14_promo_revenue",
     "q19_discounted", "q_brand_volume",
+    // round-6 composites: the curation pipeline's contamination anti
+    // join, the CMS counter join, and the ADC lut join must all stay
+    // broadcast-equi (no BNLJ) and hint-clean
+    "tx_curation_pipeline", "tx_heavy_hitters_cms", "sim_pq_adc",
     // q22_global_sales and q11_important_parts are excluded: their
     // 1-row scalar-threshold crossJoin(broadcast) is a legitimate BNLJ
     // (the filter is an inequality, so Catalyst cannot rewrite it to an
