@@ -139,51 +139,72 @@ object Dedup {
   /** Near-duplicate clusters: connected components over the Jaccard
     * pair graph — the decision step that turns pairwise matches into
     * keep/drop groups (cluster id = smallest doc_id in the component,
-    * i.e. the survivor). Distributed min-label propagation: each round
-    * joins the edge list to current labels, takes the per-node min over
-    * neighbors, and re-checkpoints — O(diameter) rounds, every round a
-    * key-partitioned join+agg, lineage truncated per round so the plan
-    * stays one-iteration deep (the same driver-controls/executors-work
-    * loop shape as the IVF k-means build). The driver-side loop only
-    * reads a convergence COUNT, never row data.
+    * i.e. the survivor). See [[clustersFromPairs]] for the algorithm.
     */
-  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersFromPairs(ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")))._1
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+
+  /** Distributed min-label propagation WITH POINTER JUMPING over an
+    * arbitrary undirected pair list `(a, b)` — returns (labels, rounds).
+    * Each round does two steps, both key-partitioned join+aggs with
+    * lineage truncated per round (the driver loop only reads a
+    * convergence COUNT, never row data):
+    *   1. HOP: every node takes the min of its neighbors' labels —
+    *      advances a component's min id one edge per round;
+    *   2. JUMP: `label(v) ← label(label(v))` — label values are always
+    *      node ids of the same component (init `label(v) = v`, and both
+    *      steps only copy existing labels), so each node may shortcut
+    *      straight to its current label's label, halving the remaining
+    *      distance to the component minimum.
+    * Hop alone converges in O(diameter) rounds — a 10^6-node chain
+    * needs 10^6 rounds; hop+jump converges in O(log n), which is what
+    * makes the fixed round cap safe at ANY corpus shape: 64 rounds
+    * cover components of ~2^64 nodes, so hitting the cap can only mean
+    * a logic bug, and it still fails loudly rather than emitting split
+    * clusters.
+    */
+  private[ops] def clustersFromPairs(pairs0: DataFrame): (DataFrame, Int) = {
+    val pairs = pairs0.toDF("doc_a", "doc_b").localCheckpoint()
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    // min-label propagation advances one hop per round, so rounds ≤
-    // component diameter; 64 is far beyond any near-dup graph's
-    // diameter, and running past it must fail loudly — a silent cap
-    // would emit split (wrong) clusters
     val maxRounds = 64
     while (changed > 0 && iter < maxRounds) {
       val cur = labels
       val prop = edges.join(cur, edges("dst") === cur("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      // carry the per-node "label dropped" flag INSIDE the checkpointed
-      // frame: min-label propagation is monotone, so changed ⇔
-      // nbr_min < old label. The convergence count then scans the
-      // just-materialized local blocks instead of re-joining next
-      // against the previous labels (which cost a second shuffle join
-      // per round).
-      val next = cur.join(prop, cur("id") === prop("src"), "left")
+      // checkpoint between hop and jump: the jump self-joins the hopped
+      // frame, and without the barrier both branches would recompute
+      // the hop's shuffle
+      val hopped = cur.join(prop, cur("id") === prop("src"), "left")
         .select(cur("id"),
           least(cur("cluster"), coalesce(col("nbr_min"), cur("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), cur("cluster")) < cur("cluster")).as("chg"))
+          cur("cluster").as("old"))
+        .localCheckpoint()
+      val parent = hopped.select(col("id").as("pid"), col("cluster").as("pcluster"))
+      // carry the per-node "label dropped" flag INSIDE the checkpointed
+      // frame: propagation is monotone, so changed ⇔ new < old. The
+      // convergence count then scans the just-materialized local blocks
+      // instead of costing an extra shuffle join per round.
+      val next = hopped.join(parent, hopped("cluster") === parent("pid"), "left")
+        .select(hopped("id"),
+          coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
+          (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
+      hopped.unpersist()
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+    (labels, iter)
   }
 
   /** Quality-aware survivor selection per near-dup cluster — the

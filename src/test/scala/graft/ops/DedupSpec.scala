@@ -69,6 +69,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pointer-jumping converges in O(log n) rounds on a planted chain") {
+    // a 300-node path graph has diameter 299: hop-only min-label
+    // propagation would need 299 rounds and blow the 64-round cap;
+    // hop+jump doubles the shortcut distance per round
+    val pairs = spark.range(299).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    val (labels, rounds) = Dedup.clustersFromPairs(pairs)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 300)
+    assert(got.values.forall(_ == 0L), "single chain must collapse to cluster 0")
+    assert(rounds <= 16, s"chain of 300 took $rounds rounds — jumping broken?")
+  }
+
   test("exact dedup survivors preserve distinct content count") {
     val d = graft.Tables.documents(spark, sf0001)
     val distinctTexts = d.select("text").distinct().count()
