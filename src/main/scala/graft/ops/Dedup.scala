@@ -163,7 +163,11 @@ object Dedup {
     * makes the fixed round cap safe at ANY corpus shape: 64 rounds
     * cover components of ~2^64 nodes, so hitting the cap can only mean
     * a logic bug, and it still fails loudly rather than emitting split
-    * clusters.
+    * clusters. The jump step (one extra join + barrier per round)
+    * activates from round 3: real near-dup graphs are dense and
+    * converge in 2-3 hop rounds where jumping is pure overhead, while
+    * a high-diameter component is still shortcut after a constant
+    * delay — O(log n) with the common case at hop-only cost.
     */
   private[ops] def clustersFromPairs(pairs0: DataFrame): (DataFrame, Int) = {
     val pairs = pairs0.toDF("doc_a", "doc_b").localCheckpoint()
@@ -178,26 +182,35 @@ object Dedup {
       val cur = labels
       val prop = edges.join(cur, edges("dst") === cur("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      // checkpoint between hop and jump: the jump self-joins the hopped
-      // frame, and without the barrier both branches would recompute
-      // the hop's shuffle
-      val hopped = cur.join(prop, cur("id") === prop("src"), "left")
+      val hop = cur.join(prop, cur("id") === prop("src"), "left")
         .select(cur("id"),
           least(cur("cluster"), coalesce(col("nbr_min"), cur("cluster"))).as("cluster"),
           cur("cluster").as("old"))
-        .localCheckpoint()
-      val parent = hopped.select(col("id").as("pid"), col("cluster").as("pcluster"))
       // carry the per-node "label dropped" flag INSIDE the checkpointed
       // frame: propagation is monotone, so changed ⇔ new < old. The
       // convergence count then scans the just-materialized local blocks
       // instead of costing an extra shuffle join per round.
-      val next = hopped.join(parent, hopped("cluster") === parent("pid"), "left")
-        .select(hopped("id"),
-          coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
-          (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
-        .localCheckpoint()
+      var hoppedRef: DataFrame = null
+      val next =
+        if (iter < 2) {
+          hop.select(col("id"), col("cluster"),
+            (col("cluster") < col("old")).as("chg"))
+            .localCheckpoint()
+        } else {
+          // checkpoint between hop and jump: the jump self-joins the
+          // hopped frame, and without the barrier both branches would
+          // recompute the hop's shuffle
+          val hopped = hop.localCheckpoint()
+          hoppedRef = hopped
+          val parent = hopped.select(col("id").as("pid"), col("cluster").as("pcluster"))
+          hopped.join(parent, hopped("cluster") === parent("pid"), "left")
+            .select(hopped("id"),
+              coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
+              (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
+            .localCheckpoint()
+        }
       changed = next.filter(col("chg")).count()
-      hopped.unpersist()
+      if (hoppedRef != null) hoppedRef.unpersist()
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
