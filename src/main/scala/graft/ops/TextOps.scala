@@ -40,7 +40,7 @@ object TextOps {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private val wsSplitSpark = "split(text, ' ')"
+  private[ops] val wsSplitSpark = "split(text, ' ')"
   private val wsSplitDuck = "string_split(text, ' ')"
 
   /** Token counts: whitespace tokens and BPE-ish regex tokens. */
@@ -54,24 +54,53 @@ object TextOps {
   /** Token budget per training shard for [[packShards]]. */
   val ShardBudget = 2000
 
+  /** Docs per prefix-sum block in [[packBySource]]. 128 exercises the
+    * multi-block path at every test SF; a production run sizes it so a
+    * block's rows fit one task comfortably (e.g. 2^20).
+    */
+  val PackBlock = 128
+
   /** Greedy sequential shard packing: assign each doc (in doc_id order,
     * independently per source) to the training shard its running token
     * offset falls in — `shard = floor(start_offset / budget)`, the
     * data-parallel approximation of context-window packing every
-    * pre-training data pipeline runs before tokenization. The running
-    * sum windows PER SOURCE, so at corpus scale the packing
-    * parallelizes across sources instead of forcing one global
-    * partition (a single global ORDER BY running sum is the
-    * anti-pattern; per-group packing is how sharding is actually done).
+    * pre-training data pipeline runs before tokenization.
     */
   def packShards(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    packBySource(Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "source",
-        s"CAST(size($wsSplitSpark) AS BIGINT) AS n_tokens")
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        s"CAST(size($wsSplitSpark) AS BIGINT) AS n_tokens"))
+
+  /** The per-source running-sum shard assignment over a
+    * (doc_id, source, n_tokens) relation, as a TWO-LEVEL prefix sum.
+    * A single `sum OVER (PARTITION BY source ORDER BY doc_id)` puts
+    * each source's entire history in ONE window task — and at 100 TB
+    * one source ("web") IS the corpus, so per-source parallelism alone
+    * is a single-task bottleneck. Instead: docs fold into
+    * [[PackBlock]]-sized blocks by `doc_id div block`; block token
+    * totals prefix-sum per source (rows = |corpus|/block — tiny);
+    * each block's in-block running sum then adds its block offset.
+    * The result is bit-identical to the single-window form (same
+    * total order), but every window task holds ≤ block rows — the
+    * classic scan-then-offset parallel prefix sum. Output:
+    * (doc_id, source, n_tokens, shard).
+    */
+  private[ops] def packBySource(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("blk", expr(s"doc_id div $PackBlock"))
+    val offsets = base.groupBy(col("source"), col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tot"))
+      .withColumn("blk_off",
+        sum(col("blk_tot")).over(
+          Window.partitionBy(col("source")).orderBy(col("blk"))) - col("blk_tot"))
+      .select(col("source"), col("blk"), col("blk_off"))
+    base
+      .withColumn("cum_in",
+        sum(col("n_tokens")).over(
+          Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))))
+      .join(broadcast(offsets), Seq("source", "blk"))
       .selectExpr("doc_id", "source", "n_tokens",
-        s"CAST((cum - n_tokens) div $ShardBudget AS BIGINT) AS shard")
+        s"CAST((blk_off + cum_in - n_tokens) div $ShardBudget AS BIGINT) AS shard")
+  }
 
   /** Quality scoring: length, mean word length, stopword ratio, and a
     * composite score — the usual pre-training heuristics (length filters
@@ -441,8 +470,9 @@ object TextOps {
     * stage 3; packing windows per source. At 100 TB: digest groupBy is
     * one shuffle, the benchmark shingle set broadcasts, the
     * contaminated-id set anti-joins (no distinct needed — anti join
-    * ignores right-side duplicates), and packing parallelizes across
-    * sources. Output: the shipped shard manifest.
+    * ignores right-side duplicates), and packing is the two-level
+    * prefix sum of [[packBySource]] — parallel even when one source is
+    * the whole corpus. Output: the shipped shard manifest.
     */
   def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val stop = inList(Profiles.head._2)
@@ -466,13 +496,10 @@ object TextOps {
     val contaminated = sh.filter(col("doc_id") >= BenchmarkMaxId)
       .join(broadcast(benchSh), "s")
       .select(col("doc_id"))
-    survivors
+    packBySource(survivors
       .filter(col("doc_id") >= BenchmarkMaxId)
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .withColumn("cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
-      .selectExpr("doc_id", "source", "n_tokens",
-        s"CAST((cum - n_tokens) div $ShardBudget AS BIGINT) AS shard")
+      .select(col("doc_id"), col("source"), col("n_tokens")))
   }
 
   /** Corpus stats rollup per (lang, source): the curation dashboard
