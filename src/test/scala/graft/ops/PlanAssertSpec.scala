@@ -105,6 +105,26 @@ class PlanAssertSpec extends SparkSpec {
     assert(smj.isEmpty, s"samp_mixture plans a sort-merge join:\n$plan")
   }
 
+  test("rank-filtered windows keep the map-side WindowGroupLimit prune") {
+    // top-k-per-group via `rank()/row_number() <= k` is only 100 TB-safe
+    // because InferWindowGroupLimit plants a Partial WindowGroupLimit
+    // BELOW the exchange: each map task forwards ≤ k rows per group, so
+    // a low-cardinality partition key (q_window_rank's 5 priorities)
+    // never funnels the full table into 5 reduce tasks. If a refactor
+    // breaks the rank-predicate shape Catalyst recognizes, the prune
+    // silently vanishes and the query reverts to the funnel — fail here.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    for (name <- Seq("q_window_rank", "q2_min_cost_supp", "sim_knn_per_query")) {
+      val plan = finalPlan(SparkEntry.queries(name)(spark, sf001))
+      val partialPrune = collectAll(plan).exists {
+        case w: WindowGroupLimitExec => w.mode == org.apache.spark.sql.execution.window.Partial
+        case _ => false
+      }
+      assert(partialPrune,
+        s"$name lost its pre-shuffle WindowGroupLimit prune:\n$plan")
+    }
+  }
+
   /** Tables whose row count grows with SF — a pinned broadcast of any
     * of them is a deferred OOM. region/nation are fixed-cardinality
     * (5/25 rows at every SF) and exempt.
