@@ -136,6 +136,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jacc"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs — the AllPairs/PPJoin prefix
+    * filter (Bayardo et al. WWW'07; Xiao et al. WWW'08) over the same
+    * capped shingle relation: the SAME result set as
+    * [[ngramJaccardPairs]] (it shares that query's oracle), from a far
+    * smaller candidate join. Under a global token order (rarest first:
+    * df asc, shingle asc), doc x only indexes its first
+    * `n − ⌈t·n⌉ + 1` shingles: any pair with J ≥ t has overlap
+    * o ≥ ⌈t·n⌉ on BOTH sides (J = o/(n_a+n_b−o) ≥ t ⇒ o ≥ t·n_a and
+    * ≥ t·n_b), and two sorted sets whose prefixes-to-position
+    * `n − o + 1` are disjoint can share at most o−1 elements — so the
+    * prefix equi-join loses nothing. At t = 0.5 each doc indexes ~half
+    * its shingles, and because the order is rare-first those are the
+    * LOW-df shingles — the join's per-key fan-out collapses while the
+    * stop-shingle cap handles the true degenerates. Candidates then
+    * verify exactly against the full shingle sets (array_intersect on
+    * the per-doc sorted arrays; bounded by doc length, not corpus).
+    * At 100 TB this is the exact-dedup path to prefer over the raw
+    * shingle join: one extra df-join + per-doc window buys a candidate
+    * set that scales with true similarity, not shingle co-occurrence.
+    */
+  def prefixJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    prefixJaccardOf(cappedShingles(spark, sfDir))
+
+  /** The prefix-filter candidate pairs (doc_a < doc_b, distinct) —
+    * split out so `DedupSpec` can assert the candidate count shrinks
+    * strictly below the raw shingle join's.
+    */
+  private[ops] def prefixCandidatesOf(sh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val pre = sh.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("s").asc)))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * lit(JaccardThreshold)) + 1)
+      .select(col("doc_id"), col("s"))
+    pre.as("a").join(pre.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private[ops] def prefixJaccardOf(sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("ss"), count(lit(1)).as("n_sh"))
+    prefixCandidatesOf(sh)
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("sa"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("sb"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jacc",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6))
+      .filter(col("jacc") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"), col("jacc"))
+  }
+
   /** Near-duplicate clusters: connected components over the Jaccard
     * pair graph — the decision step that turns pairwise matches into
     * keep/drop groups (cluster id = smallest doc_id in the component,
@@ -482,6 +539,7 @@ object Dedup {
     "dd_exact_survivors" -> (exactSurvivors(_, _)),
     "dd_normalized" -> (normalizedGroups(_, _)),
     "dd_ngram_jaccard" -> (ngramJaccardPairs(_, _)),
+    "dd_ngram_jaccard_prefix" -> (prefixJaccardPairs(_, _)),
     "dd_clusters" -> (nearDupClusters(_, _)),
     "dd_cluster_survivors" -> (clusterSurvivors(_, _)),
     "dd_incremental_new" -> (incrementalNew(_, _)),
@@ -543,6 +601,9 @@ object Dedup {
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dd_ngram_jaccard" -> ngramJaccardSql,
+    // identical SQL by construction: the prefix filter changes the
+    // candidate generation, never the result set
+    "dd_ngram_jaccard_prefix" -> ngramJaccardSql,
     "dd_incremental_new" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

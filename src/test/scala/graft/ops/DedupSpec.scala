@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered Jaccard returns exactly the unfiltered pair set") {
+    val prefix = Dedup.prefixJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(prefix == exact,
+      s"prefix filter changed the result: extra=${prefix -- exact} missing=${exact -- prefix}")
+  }
+
+  test("prefix filter strictly shrinks the candidate join") {
+    val sh = Dedup.cappedShinglesOf(graft.Tables.documents(spark, sf0001))
+    val full = sh.as("a").join(sh.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    val pruned = Dedup.prefixCandidatesOf(sh).count()
+    assert(pruned < full, s"prefix candidates $pruned not below raw $full")
+    assert(pruned >= exact.size.toLong,
+      "fewer candidates than true pairs — the filter dropped a qualifying pair")
+  }
+
   test("simhash fingerprints are 64-bit strings and near-dups are symmetric-free") {
     val fp = SimHash.fingerprints(spark, sf0001)
     assert(fp.filter("length(simhash) != 64").count() == 0)
