@@ -269,15 +269,15 @@ object TextOps {
     winnowRobustOf(
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text")).as[(Long, String)])
+      .select(col("doc_id"), col("pos"), col("h"))
   }
 
   /** The winnowing kernel over any (doc_id, text) dataset — separated
     * so the SIGMOD guarantee is testable on constructed documents.
     */
-  def winnowRobustOf(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+  def winnowRobustOf(docs: org.apache.spark.sql.Dataset[(Long, String)],
+      k: Int = 8, w: Int = WinnowW): DataFrame = {
     import docs.sparkSession.implicits._
-    val k = 8
-    val w = WinnowW
     docs
       .mapPartitions { it =>
         // one digest instance per partition (the open-once pattern)
@@ -313,11 +313,100 @@ object TextOps {
               }
               j += 1
             }
-            sel.iterator.map(p => (id, (p + 1).toLong, hs(p).toLong))
+            sel.iterator.map { p =>
+              // full gram digest only for SELECTED positions (~n/w per
+              // doc): the 16-bit bucket drives winnowing, but cross-doc
+              // passage matching needs a collision-free fingerprint
+              md.reset()
+              val hex = md.digest(new String(cps, p, k).getBytes("UTF-8"))
+                .map("%02x".format(_)).mkString
+              (id, (p + 1).toLong, hs(p).toLong, hex)
+            }
           }
         }
       }
-      .toDF("doc_id", "pos", "h")
+      .toDF("doc_id", "pos", "h", "fp")
+  }
+
+  /** Hot-fingerprint cap for [[passageOverlapPairs]]: a winnowed gram
+    * shared by more than this many docs is boilerplate (headers,
+    * license blocks), carries no pairing signal, and would dominate the
+    * fingerprint self-join — same reasoning as `Dedup.MaxShingleFreq`.
+    */
+  val PassageFpMaxFreq = 1000L
+
+  /** Passage-matching gram/window sizes. The 8-char winnow gram of
+    * `tx_winnow_robust` is ~1.5 words — right for per-doc sketching,
+    * quadratically noisy as a cross-doc join key (common word pairs
+    * collide corpus-wide). Passage matching hashes 32-char grams
+    * winnowed over 16-windows: a match witnesses a ≥ 32-char verbatim
+    * run, and any shared run of 32+16-1 = 47 chars is guaranteed a
+    * shared selected fingerprint — copying signal, not phrase reuse.
+    */
+  val PassageGram = 32
+  val PassageWindow = 16
+
+  /** Pairs must share at least this many winnowed fingerprints — one
+    * shared 8-gram is noise; two selected fingerprints witness either a
+    * ≥ w+k-1-char shared run or two independent shared grams.
+    */
+  val MinSharedFps = 2L
+
+  /** Passage-level duplicate pairs: docs sharing ≥ [[MinSharedFps]]
+    * winnowed gram fingerprints, with the containment fraction
+    * `|shared| / min(|fps_a|, |fps_b|)` — the distributed stand-in for
+    * suffix-array substring dedup (winnowing guarantees any shared run
+    * of w+k-1 chars contributes a shared fingerprint, so long copied
+    * passages are caught even when the documents as a whole are not
+    * near-dups; whole-doc Jaccard misses a verbatim paragraph pasted
+    * into an otherwise-unrelated page). Scale shape: the per-doc
+    * fingerprint relation is |text|/w rows (not |text|), the hot-fp cap
+    * bounds the self-join fan-out per key, and everything else is
+    * key-partitioned join+agg.
+    */
+  def passageOverlapPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    passageOverlapOf(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)])
+  }
+
+  /** The passage-overlap kernel over any (doc_id, text) dataset —
+    * separated so the winnowing run-coverage guarantee is testable on
+    * planted shared passages.
+    */
+  def passageOverlapOf(docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    // the winnow kernel is CPU-bound (one digest per codepoint) and
+    // runs at input-split granularity; a small dense file yields fewer
+    // splits than cores and serializes the hashing, so rebalance only
+    // in that case — at production split counts this is a no-op, never
+    // a corpus-wide text shuffle
+    val sc = docs.sparkSession.sparkContext
+    val spread =
+      if (docs.rdd.getNumPartitions < sc.defaultParallelism)
+        docs.repartition(sc.defaultParallelism)
+      else docs
+    // cache the per-doc fingerprint relation (~|corpus|/w rows): it
+    // feeds the hot-fp count, both self-join sides, and the size agg —
+    // uncached, the mapPartitions winnow kernel re-runs for each
+    val f = winnowRobustOf(spread, k = PassageGram, w = PassageWindow)
+      .select(col("doc_id"), col("fp")).distinct().cache()
+    val hot = f.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > PassageFpMaxFreq)
+      .select(col("fp"))
+    val capped = f.join(broadcast(hot), Seq("fp"), "left_anti")
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFps)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .withColumn("containment",
+        round(col("n_shared") / least(col("n_a"), col("n_b")), 6))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("containment"))
   }
 
   /** Benchmark doc_ids for the decontamination check (stand-in for an
@@ -523,6 +612,7 @@ object TextOps {
     "tx_winnow" -> (winnowFingerprints(_, _)),
     "tx_winnow_md5" -> (winnowMd5(_, _)),
     "tx_winnow_robust" -> (winnowRobust(_, _)),
+    "dd_passage_overlap" -> (passageOverlapPairs(_, _)),
     "tx_top_bigrams" -> (topBigrams(_, _)),
     "tx_tfidf" -> (tfidfTopTerms(_, _)),
     "tx_repetition" -> (repetitionStats(_, _)),
@@ -794,6 +884,40 @@ object TextOps {
            |    SELECT doc_id,
            |      list_transform(range(length(text) - 7), i -> $bucket) AS hs
            |    FROM documents WHERE length(text) >= ${8 + WinnowW - 1}) t) u""".stripMargin
+      },
+      "dd_passage_overlap" -> {
+        val nib = (n: Int) =>
+          s"(CASE WHEN ascii(substr(md5(substr(text, i + 1, $PassageGram)), $n, 1)) <= 57 " +
+            s"THEN ascii(substr(md5(substr(text, i + 1, $PassageGram)), $n, 1)) - 48 " +
+            s"ELSE ascii(substr(md5(substr(text, i + 1, $PassageGram)), $n, 1)) - 87 END)"
+        val bucket = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+        // same winnowing CTE as tx_winnow_robust (text carried through)
+        // at the passage gram/window sizes, then the full gram md5 at
+        // each selected 1-based pos
+        s"""WITH sel AS (
+           |  SELECT doc_id, text, unnest(list_distinct(list_transform(
+           |    range(1, len(hs) - ${PassageWindow - 2}),
+           |    j -> j - 1 + list_position(list_slice(hs, j, j + ${PassageWindow - 1}),
+           |                               list_min(list_slice(hs, j, j + ${PassageWindow - 1})))))) AS pos
+           |  FROM (
+           |    SELECT doc_id, text,
+           |      list_transform(range(length(text) - ${PassageGram - 1}), i -> $bucket) AS hs
+           |    FROM documents WHERE length(text) >= ${PassageGram + PassageWindow - 1}) t),
+           |f AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(pos AS INT), $PassageGram)) AS fp FROM sel),
+           |capped AS (
+           |  SELECT doc_id, fp FROM f
+           |  WHERE fp NOT IN (SELECT fp FROM f GROUP BY fp HAVING count(*) > $PassageFpMaxFreq)),
+           |sizes AS (SELECT doc_id, count(*) AS n_fp FROM capped GROUP BY doc_id),
+           |shared AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+           |  round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS containment
+           |FROM shared
+           |JOIN sizes sa ON sa.doc_id = doc_a
+           |JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE n_shared >= $MinSharedFps""".stripMargin
       },
       "tx_chunking" ->
         s"""SELECT doc_id,

@@ -111,6 +111,7 @@ class SketchSpec extends SparkSpec {
     val doc2 = "totally different prefix text " + shared + " and another suffix"
     val docs = Seq((1L, doc1), (2L, doc2)).toDS()
     val fps = TextOps.winnowRobustOf(docs)
+      .select("doc_id", "pos", "h")
       .as[(Long, Long, Long)].collect().groupBy(_._1)
     val h1 = fps(1L).map(_._3).toSet
     val h2 = fps(2L).map(_._3).toSet
@@ -118,8 +119,28 @@ class SketchSpec extends SparkSpec {
       s"docs sharing a ${shared.length}-char run must share a fingerprint hash")
     // and identical docs get identical fingerprint sets
     val same = TextOps.winnowRobustOf(Seq((1L, doc1), (2L, doc1)).toDS())
+      .select("doc_id", "pos", "h")
       .as[(Long, Long, Long)].collect().groupBy(_._1)
     assert(same(1L).map(r => (r._2, r._3)).toSet == same(2L).map(r => (r._2, r._3)).toSet)
+  }
+
+  test("passage overlap pairs docs sharing a long run, not unrelated docs") {
+    // a ~120-char passage pasted into two otherwise-unrelated docs: the
+    // winnowing guarantee selects >= 2 fingerprints inside it (every
+    // w+k-1 = 15-char sub-run contributes one), so the pair must
+    // surface; doc 3 shares nothing and must pair with neither
+    val passage = ("shared passage the quick brown fox jumps over the " +
+      "lazy dog while seventeen green bottles hang quietly on the wall today").take(120)
+    val docs = Seq(
+      (1L, "first document preamble with its own words " + passage + " and a closing remark"),
+      (2L, "completely different opening sentence here " + passage + " then another ending"),
+      (3L, "this third document shares no passage with the others at all and talks about " +
+        "entirely unrelated matters of accounting and horticulture instead")).toDS()
+    val pairs = TextOps.passageOverlapOf(docs)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 2, "the shared passage must contribute >= MinSharedFps fingerprints")
   }
 
   test("KMV estimate lands near the exact distinct count") {
