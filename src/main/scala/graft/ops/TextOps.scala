@@ -247,6 +247,8 @@ object TextOps {
     */
   val WinnowW = 8
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   /** Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): slide a
     * w-hash window over the k-gram hash sequence and keep each window's
     * minimum (leftmost on ties — a deterministic variant of the paper's
@@ -276,7 +278,7 @@ object TextOps {
     * so the SIGMOD guarantee is testable on constructed documents.
     */
   def winnowRobustOf(docs: org.apache.spark.sql.Dataset[(Long, String)],
-      k: Int = 8, w: Int = WinnowW): DataFrame = {
+      k: Int = 8, w: Int = WinnowW, withFp: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .mapPartitions { it =>
@@ -315,12 +317,22 @@ object TextOps {
             }
             sel.iterator.map { p =>
               // full gram digest only for SELECTED positions (~n/w per
-              // doc): the 16-bit bucket drives winnowing, but cross-doc
-              // passage matching needs a collision-free fingerprint
-              md.reset()
-              val hex = md.digest(new String(cps, p, k).getBytes("UTF-8"))
-                .map("%02x".format(_)).mkString
-              (id, (p + 1).toLong, hs(p).toLong, hex)
+              // doc) and only when asked (withFp): the 16-bit bucket
+              // drives winnowing, but cross-doc passage matching needs
+              // a collision-free fingerprint
+              val fp = if (!withFp) "" else {
+                md.reset()
+                val d = md.digest(new String(cps, p, k).getBytes("UTF-8"))
+                val hex = new Array[Char](d.length * 2)
+                var b = 0
+                while (b < d.length) {
+                  hex(b * 2) = HexDigits((d(b) >>> 4) & 0xf)
+                  hex(b * 2 + 1) = HexDigits(d(b) & 0xf)
+                  b += 1
+                }
+                new String(hex)
+              }
+              (id, (p + 1).toLong, hs(p).toLong, fp)
             }
           }
         }
@@ -389,7 +401,7 @@ object TextOps {
     // cache the per-doc fingerprint relation (~|corpus|/w rows): it
     // feeds the hot-fp count, both self-join sides, and the size agg —
     // uncached, the mapPartitions winnow kernel re-runs for each
-    val f = winnowRobustOf(spread, k = PassageGram, w = PassageWindow)
+    val f = winnowRobustOf(spread, k = PassageGram, w = PassageWindow, withFp = true)
       .select(col("doc_id"), col("fp")).distinct().cache()
     val hot = f.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > PassageFpMaxFreq)
