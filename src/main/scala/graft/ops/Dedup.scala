@@ -677,7 +677,7 @@ object Dedup {
          |FROM ranked r JOIN members m ON r.cluster_id = m.cluster_id
          |WHERE rn = 1""".stripMargin)
 
-  private lazy val ngramJaccardSql: String = s"""
+  private[ops] lazy val ngramJaccardSql: String = s"""
       |WITH sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),

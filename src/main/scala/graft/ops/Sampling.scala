@@ -114,12 +114,64 @@ object Sampling {
       .select(col("doc_id"), col("source"), expr(bucket).as("bucket16"))
   }
 
+  /** Split-fraction thresholds for [[leakFreeSplit]]: 90/5/5 as 16-bit
+    * bucket cutoffs (integer math, identical in both engines).
+    */
+  val TrainMax: Long = 65536L * 900 / 1000
+  val ValMax: Long = 65536L * 950 / 1000
+
+  /** Leakage-free train/val/test split: hash-split on the near-dup
+    * CLUSTER id, not the document — a plain per-doc hash split puts two
+    * near-duplicates on opposite sides of the train/eval boundary and
+    * the eval set silently becomes training data. Every doc gets its
+    * component's label (singletons are their own cluster), and the
+    * whole cluster lands in one split. The cluster labels come from the
+    * same min-label propagation as `dd_clusters` (one extra left join
+    * against the corpus; the propagation itself is the measured cost),
+    * and the md5 bucket split replays exactly in the oracle.
+    */
+  def leakFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = md5Bucket16Sql("CAST(cluster_id AS STRING)")
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(Dedup.nearDupClusters(spark, sfDir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .selectExpr("doc_id", "cluster_id", s"$bucket AS bucket16")
+      .selectExpr("doc_id", "cluster_id", "bucket16",
+        s"""CASE WHEN bucket16 < $TrainMax THEN 'train'
+           |     WHEN bucket16 < $ValMax THEN 'val'
+           |     ELSE 'test' END AS split""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "samp_hash" -> (hashSample(_, _)),
     "samp_stratified" -> (stratifiedByLang(_, _)),
-    "samp_mixture" -> (mixtureSample(_, _)))
+    "samp_mixture" -> (mixtureSample(_, _)),
+    "samp_leakfree_split" -> (leakFreeSplit(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "samp_leakfree_split" -> {
+      val bucket = md5Bucket16Sql("CAST(cluster_id AS VARCHAR)")
+      s"""WITH RECURSIVE
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM (${Dedup.ngramJaccardSql}) p
+         |  UNION
+         |  SELECT doc_b, doc_a FROM (${Dedup.ngramJaccardSql}) p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, $bucket AS bucket16,
+         |  CASE WHEN $bucket < ${TrainMax} THEN 'train'
+         |       WHEN $bucket < ${ValMax} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lab""".stripMargin
+    },
     "samp_hash" ->
       s"""SELECT doc_id, lang, n_chars,
          | ${md5Bucket16Sql("text")} AS bucket16

@@ -15,6 +15,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s10a.size / n - 0.1) < 0.06, s"~10%, got ${s10a.size / n}")
   }
 
+  test("leak-free split keeps every near-dup pair on one side of the boundary") {
+    val split = Sampling.leakFreeSplit(spark, sf0001)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(split.size == n.toInt, "every doc gets exactly one split label")
+    // the property a per-doc hash split violates: near-dup pairs never
+    // straddle train/eval
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs)
+      assert(split(a) == split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    val frac = split.values.groupBy(identity).view.mapValues(_.size.toDouble / n).toMap
+    assert(frac("train") > 0.8 && frac.getOrElse("val", 0.0) < 0.12 &&
+      frac.getOrElse("test", 0.0) < 0.12, s"fractions off: $frac")
+  }
+
   test("stratified sample respects per-language fractions") {
     val base = graft.Tables.documents(spark, sf0001)
       .groupBy("lang").count().as[(String, Long)].collect().toMap
