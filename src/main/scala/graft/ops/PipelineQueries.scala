@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import graft.etl.{HudiLike, Pipeline}
+import graft.etl.{HudiLike, MorTable, Pipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,17 @@ object PipelineQueries {
 
   /** Far-future watermark (2030) — drives the empty-batch short-circuit. */
   val FutureMs: Long = 1893456000000L
+
+  /** 2024-01-25T00:00:00Z in epoch micros — the second delta boundary
+    * for the merge-on-read scenario.
+    */
+  val Split2Us: Long = 1706140800000000L
+
+  /** Far-future epoch micros — the tombstone precombine stamp (a delete
+    * must outrank every live row, Hudi's `_hoodie_is_deleted` payload
+    * works the same way).
+    */
+  val FutureUs: Long = FutureMs * 1000L
 
   /** Incremental extraction (py:201-231): deterministic record key,
     * non-null timestamp guard, watermark range predicate.
@@ -140,7 +151,82 @@ object PipelineQueries {
     HudiLike.changeSet(before, after, Seq("user_id"))
   }
 
+  // one scratch parent per JVM, removed on exit; each scenario build
+  // gets a fresh subdirectory (MOR create requires an empty table dir)
+  private lazy val morScratch: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }))
+    dir
+  }
+
+  /** Deterministic merge-on-read lifecycle over `events`, keyed on
+    * user_id / precombined on ts_us (tie-break event_id):
+    *
+    *   base  = state as of [[SplitUs]]
+    *   log 1 = upserts in ([[SplitUs]], [[Split2Us]]]
+    *   log 2 = upserts after [[Split2Us]]
+    *   log 3 = tombstones for every user_id % 7 == 0
+    *
+    * Each upsert writes O(batch) — the base is never rewritten (MOR's
+    * reason to exist; `MorTableSpec` asserts the base files are
+    * untouched). Returns the table path for the read-path queries.
+    */
+  private def morScenario(spark: SparkSession, sfDir: String): String = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "t").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    MorTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    MorTable.upsertInto(path, ev.filter(col("ts_us") > Split2Us))
+    MorTable.deleteFrom(path,
+      ev.filter(col("user_id") % 7 === 0).select(col("user_id")).distinct()
+        .withColumn("ts_us", lit(FutureUs)))
+    path
+  }
+
+  /** MOR snapshot query: merge base + logs at read time, drop
+    * tombstoned keys — must equal the latest-per-user state over ALL
+    * events minus the deleted users, which is what the oracle replays.
+    */
+  def morSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    MorTable.readSnapshot(spark, morScenario(spark, sfDir))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+
+  /** MOR read-optimized query: the compacted base only — deliberately
+    * stale (none of the three logs applied), no merge window in the
+    * plan.
+    */
+  def morReadOptimized(spark: SparkSession, sfDir: String): DataFrame =
+    MorTable.readOptimized(spark, morScenario(spark, sfDir))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+
+  /** MOR incremental pull since log 1: exactly logs 2 and 3 (upserts
+    * after [[Split2Us]] plus the tombstones), read straight from the
+    * delta files — O(changes), no base scan, no diff join.
+    */
+  def morIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    MorTable.incrementalRead(spark, morScenario(spark, sfDir), sinceSeq = 1L)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"), col("_seq"), col("_deleted"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_mor_snapshot" -> (morSnapshot(_, _)),
+    "p_mor_read_optimized" -> (morReadOptimized(_, _)),
+    "p_mor_incremental" -> (morIncremental(_, _)),
     "p_cdc_diff" -> (cdcDiff(_, _)),
     "p_ts_roundtrip" -> (tsFormatRoundtrip(_, _)),
     "p_incremental_extract" -> (incrementalExtract(_, _)),
@@ -159,6 +245,33 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_mor_snapshot" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
+    "p_mor_read_optimized" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_mor_incremental" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us,
+         |  CAST(2 AS BIGINT) AS _seq, false AS _deleted FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) > $Split2Us) t WHERE rn = 1
+         |UNION ALL
+         |SELECT DISTINCT user_id, CAST(NULL AS BIGINT) AS event_id,
+         |  CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value,
+         |  CAST($FutureUs AS BIGINT) AS ts_us,
+         |  CAST(3 AS BIGINT) AS _seq, true AS _deleted
+         |FROM events WHERE user_id % 7 = 0""".stripMargin,
     "p_cdc_diff" ->
       s"""WITH before AS (
          |  SELECT user_id, event_id, ts_us FROM (

@@ -1,0 +1,97 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class MorTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (String, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+
+  private def snapshot(dir: String): Seq[(String, Long, Double)] =
+    MorTable.readSnapshot(spark, dir).as[(String, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+
+  private def freshTable(): String = {
+    val dir = Files.createTempDirectory("mor").toString + "/t"
+    MorTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc")
+    dir
+  }
+
+  test("snapshot read merges base, upserts, and tombstones") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0), ("d", 1L, 4.0)))
+    MorTable.deleteFrom(dir, Seq(("c", 9L)).toDF("k", "pc"))
+    assert(snapshot(dir) == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("d", 1L, 4.0)))
+    assert(MorTable.state(dir).contains((0L, 2L)))
+  }
+
+  test("on a precombine tie the later commit wins (delta shadows base)") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("a", 1L, 100.0)))
+    assert(snapshot(dir).find(_._1 == "a").map(_._3).contains(100.0))
+    MorTable.upsertInto(dir, rows(("a", 1L, 200.0)))
+    assert(snapshot(dir).find(_._1 == "a").map(_._3).contains(200.0))
+  }
+
+  test("upserts append O(batch) logs and never rewrite the base") {
+    val dir = freshTable()
+    def baseFiles = Files.walk(Paths.get(s"$dir/base=0")).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => (p.toString, Files.getLastModifiedTime(p), Files.size(p)))
+      .toSet
+    val before = baseFiles
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0)))
+    MorTable.upsertInto(dir, rows(("c", 2L, 30.0)))
+    assert(baseFiles == before, "MOR upsert must not touch base files")
+    val logs = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("log=")).toSeq.sorted
+    assert(logs == Seq("log=0.1", "log=0.2"))
+  }
+
+  test("read-optimized view is the base only, stale by the log lag") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0)))
+    val ro = MorTable.readOptimized(spark, dir).as[(String, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(ro == Seq(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+  }
+
+  test("incremental pull reads only the logs after the given sequence") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0)))
+    MorTable.upsertInto(dir, rows(("e", 1L, 5.0)))
+    MorTable.deleteFrom(dir, Seq(("a", 9L)).toDF("k", "pc"))
+    val pulled = MorTable.incrementalRead(spark, dir, sinceSeq = 1L)
+      .select("k", "_seq", "_deleted").as[(String, Long, Boolean)]
+      .collect().toSeq.sortBy(_._2)
+    assert(pulled == Seq(("e", 2L, false), ("a", 3L, true)))
+    assert(MorTable.incrementalRead(spark, dir, sinceSeq = 3L).count() == 0)
+  }
+
+  test("compaction folds logs into a new base without changing contents") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0), ("d", 1L, 4.0)))
+    MorTable.deleteFrom(dir, Seq(("c", 9L)).toDF("k", "pc"))
+    val before = snapshot(dir)
+    val newBase = MorTable.compact(spark, dir)
+    assert(newBase == 1L && MorTable.state(dir).contains((1L, 0L)))
+    assert(snapshot(dir) == before)
+    // post-compaction the read-optimized view catches up to the snapshot
+    val ro = MorTable.readOptimized(spark, dir).as[(String, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(ro == before)
+    // the old generation is still readable until clean() retires it
+    val cleaned = MorTable.clean(dir)
+    assert(cleaned.toSet == Set("base=0", "log=0.1", "log=0.2"))
+    assert(snapshot(dir) == before)
+  }
+
+  test("props persist the key configuration across readers") {
+    val dir = freshTable()
+    val p = MorTable.props(dir)
+    assert(p.keys == Seq("k") && p.precombine == "pc" && p.tieBreak.isEmpty)
+  }
+}

@@ -114,7 +114,12 @@ class PlanAssertSpec extends SparkSpec {
     // breaks the rank-predicate shape Catalyst recognizes, the prune
     // silently vanishes and the query reverts to the funnel — fail here.
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
-    for (name <- Seq("q_window_rank", "q2_min_cost_supp", "sim_knn_per_query")) {
+    // p_mor_snapshot: the MOR merge window must prune map-side too —
+    // at 100 TB the base∪logs union is the full table and the merge
+    // shuffle is the read cost; without the Partial prune every log
+    // shadow row crosses the exchange
+    for (name <- Seq("q_window_rank", "q2_min_cost_supp", "sim_knn_per_query",
+        "p_mor_snapshot")) {
       val plan = finalPlan(SparkEntry.queries(name)(spark, sf001))
       val partialPrune = collectAll(plan).exists {
         case w: WindowGroupLimitExec => w.mode == org.apache.spark.sql.execution.window.Partial
