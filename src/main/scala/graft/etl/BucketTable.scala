@@ -1,0 +1,203 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Copy-on-write with a bucket index: partial rewrites instead of
+  * whole-table rewrites (reference: Hudi's `BUCKET` index / file-group
+  * routing — the piece that makes CoW upserts affordable at scale; the
+  * reference pipeline gets it implicitly from
+  * `hoodie.datasource.write.recordkey.field`,
+  * pipeline_architecture.py:246, because Hudi routes records to file
+  * groups under the hood).
+  *
+  * [[HudiLike.upsertInto]] and [[Timeline.upsertInto]] rewrite the
+  * whole merged snapshot per commit — O(table) writes. Here the key
+  * space is hash-partitioned into a fixed number of buckets (Hudi's
+  * bucket index), a record's bucket is `pmod(xxhash64(keys), n)`, and
+  * an upsert rewrites ONLY the buckets the batch touches:
+  *
+  *   write cost = O(batch + touched fraction of table)
+  *
+  * For a trickle batch hitting k of n buckets that is k/n of the table,
+  * not all of it. The rewrite of all touched buckets is ONE Spark job
+  * (`partitionBy(bucket)` write), not a per-bucket loop — at 1000
+  * buckets a driver loop would schedule 1000 jobs.
+  *
+  * Layout under `tablePath/`:
+  *   - `gen=G/__bucket=B/`  bucket B's data as written by commit G
+  *   - `_manifest`          one `B G` line per bucket — the commit
+  *                          makes new generations visible by atomically
+  *                          replacing this file; dirs are immutable
+  *   - `_props`             keys / precombine / tieBreak / numBuckets
+  *
+  * Readers resolve the manifest once, then read each generation
+  * directory filtered to the buckets still live in it. A failed writer
+  * leaves orphan `gen=` dirs that no manifest references — invisible to
+  * readers, removed by [[clean]] (Hudi's rollback of an uncommitted
+  * instant works the same way).
+  */
+object BucketTable {
+
+  private val BucketCol = "__bucket"
+
+  private def manifestPath(tablePath: String): Path = Paths.get(tablePath, "_manifest")
+  private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
+
+  final case class Props(keys: Seq[String], precombine: String,
+      tieBreak: Seq[String], numBuckets: Int)
+
+  def props(tablePath: String): Props = {
+    val m = Files.readAllLines(propsPath(tablePath)).asScala
+      .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap
+    Props(
+      m("keys").split(',').toSeq.filter(_.nonEmpty),
+      m("precombine"),
+      m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty),
+      m("numBuckets").toInt)
+  }
+
+  /** bucket → generation that last rewrote it. */
+  def manifest(tablePath: String): Map[Int, Long] = {
+    val p = manifestPath(tablePath)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val Array(b, g) = l.split(' '); b.toInt -> g.toLong
+    }.toMap
+  }
+
+  private def writeManifest(tablePath: String, m: Map[Int, Long]): Unit = {
+    val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
+    Files.writeString(tmp,
+      m.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def withBucket(df: DataFrame, p: Props): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(p.keys.map(col): _*), lit(p.numBuckets)).cast("int"))
+
+  /** Write `df`'s buckets under `gen=G/` in one partitioned job and
+    * return the bucket ids actually written (read back from the
+    * directory names — never inferred, so a skipped empty bucket can't
+    * desync the manifest).
+    */
+  private def writeGen(df: DataFrame, tablePath: String, gen: Long): Seq[Int] = {
+    val dir = Paths.get(tablePath, s"gen=$gen")
+    df.write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+    Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith(s"$BucketCol=") =>
+        s.drop(BucketCol.length + 1).toInt }
+      .toSeq.sorted
+  }
+
+  /** Initialize: every record hashed to its bucket, all buckets at
+    * generation 0.
+    */
+  def create(df: DataFrame, tablePath: String, keys: Seq[String],
+      precombine: String, tieBreak: Seq[String] = Nil,
+      numBuckets: Int = 16): Unit = {
+    require(!Files.exists(manifestPath(tablePath)),
+      s"table already exists at $tablePath")
+    Files.createDirectories(Paths.get(tablePath))
+    Files.writeString(propsPath(tablePath),
+      s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
+        s"tieBreak=${tieBreak.mkString(",")}\nnumBuckets=$numBuckets\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val p = Props(keys, precombine, tieBreak, numBuckets)
+    val written = writeGen(
+      withBucket(HudiLike.precombineLatest(df, keys, precombine, tieBreak), p),
+      tablePath, 0L)
+    writeManifest(tablePath, written.map(_ -> 0L).toMap)
+  }
+
+  /** Read the live table (all buckets at their manifest generation).
+    * One parquet read per live generation, dir-partition-pruned to the
+    * buckets still current in it.
+    */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no bucket table at $tablePath")
+    m.groupBy(_._2).map { case (gen, entries) =>
+      spark.read.option("basePath", s"$tablePath/gen=$gen")
+        .parquet(entries.keys.toSeq.sorted
+          .map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
+    }.reduce(_ unionByName _).drop(BucketCol)
+  }
+
+  private def readBuckets(spark: SparkSession, tablePath: String,
+      buckets: Set[Int]): DataFrame = {
+    val m = manifest(tablePath).view.filterKeys(buckets).toMap
+    m.groupBy(_._2).map { case (gen, entries) =>
+      spark.read.option("basePath", s"$tablePath/gen=$gen")
+        .parquet(entries.keys.toSeq.sorted
+          .map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(read(spark, tablePath).limit(0).withColumn(BucketCol, lit(0)))
+  }
+
+  /** Partial-rewrite upsert: hash the batch to buckets, merge against
+    * ONLY those buckets' current data, write them as `gen=G+1` in one
+    * job, swing the manifest. Untouched buckets keep their files —
+    * `BucketTableSpec` asserts it.
+    *
+    * The touched-bucket set is collected to the driver: it is at most
+    * `numBuckets` ints (bounded by config, not by data), the same
+    * driver-side knowledge Hudi's write client needs to plan a commit.
+    */
+  def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame): Seq[Int] = {
+    val p = props(tablePath)
+    val tagged = withBucket(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    val touched = tagged.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return Seq.empty
+    val gen = manifest(tablePath).values.max + 1
+    val merged = HudiLike.upsert(
+      readBuckets(spark, tablePath, touched), tagged,
+      p.keys, p.precombine, p.tieBreak)
+      // recompute instead of carrying: upsert projects to the data
+      // columns of both sides; bucket is a pure function of the keys
+    val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
+    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    written
+  }
+
+  /** Drop generation dirs no manifest entry references (aborted writers,
+    * superseded buckets). Returns removed dir names.
+    */
+  def clean(tablePath: String): Seq[String] = {
+    val live: Map[Long, Set[Int]] = manifest(tablePath)
+      .groupBy(_._2).view.mapValues(_.keySet).toMap
+    val root = Paths.get(tablePath)
+    val removed = Files.list(root).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("gen="))
+      .flatMap { genDir =>
+        val gen = genDir.getFileName.toString.drop(4).toLong
+        val liveB = live.getOrElse(gen, Set.empty)
+        val deadBuckets = Files.list(genDir).iterator().asScala
+          .filter { bd =>
+            val n = bd.getFileName.toString
+            n.startsWith(s"$BucketCol=") &&
+              !liveB(n.drop(BucketCol.length + 1).toInt)
+          }.toSeq
+        deadBuckets.foreach { bd =>
+          Files.walk(bd).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.delete(f))
+        }
+        val gone = deadBuckets.map(bd => s"gen=$gen/${bd.getFileName}")
+        if (liveB.isEmpty && Files.list(genDir).iterator().asScala
+            .forall(!_.getFileName.toString.startsWith(s"$BucketCol="))) {
+          Files.walk(genDir).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.delete(f))
+          gone :+ s"gen=$gen"
+        } else gone
+      }.toSeq
+    removed
+  }
+}

@@ -196,6 +196,28 @@ object PipelineQueries {
     path
   }
 
+  /** Bucket-index CoW lifecycle (Hudi's BUCKET index): create the table
+    * from the pre-[[SplitUs]] state, upsert everything after it — the
+    * upsert rewrites only the hash buckets the batch touches
+    * (`BucketTableSpec` proves untouched buckets keep their files
+    * byte-for-byte) — then read the live manifest. The merged result
+    * must equal the plain latest-per-user state, which the oracle
+    * replays as one window.
+    */
+  def bucketUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "b").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.BucketTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.BucketTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** MOR snapshot query: merge base + logs at read time, drop
     * tombstoned keys — must equal the latest-per-user state over ALL
     * events minus the deleted users, which is what the oracle replays.
@@ -224,6 +246,7 @@ object PipelineQueries {
         col("value"), col("ts_us"), col("_seq"), col("_deleted"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
     "p_mor_incremental" -> (morIncremental(_, _)),
@@ -245,6 +268,13 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_bucket_upsert" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1""".stripMargin,
     "p_mor_snapshot" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

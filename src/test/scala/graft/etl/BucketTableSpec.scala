@@ -1,0 +1,70 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class BucketTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(t: (String, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+
+  private def contents(dir: String): Seq[(String, Long, Double)] =
+    BucketTable.read(spark, dir).as[(String, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+
+  /** Every data file under the table with its mtime+size. */
+  private def dataFiles(dir: String): Set[(String, Any, Long)] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => (p.toString, Files.getLastModifiedTime(p), Files.size(p)))
+      .toSet
+
+  test("upsert merges keys and rewrites only touched buckets") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))
+    BucketTable.create(rows(base: _*), dir, keys = Seq("k"), precombine = "pc",
+      numBuckets = 16)
+    val gen0 = dataFiles(dir)
+
+    // one updated key + one new key → at most 2 of 16 buckets rewritten
+    val touched = BucketTable.upsertInto(spark, dir,
+      rows(("k7", 2L, 700.0), ("new1", 1L, -1.0)))
+    assert(touched.size <= 2, s"expected <=2 touched buckets, got $touched")
+
+    val expected = (base.filterNot(_._1 == "k7") ++
+      Seq(("k7", 2L, 700.0), ("new1", 1L, -1.0))).sortBy(_._1)
+    assert(contents(dir) == expected)
+
+    // untouched buckets keep their exact gen=0 files
+    val untouchedGen0 = gen0.filterNot { case (p, _, _) =>
+      touched.exists(b => p.contains(s"__bucket=$b/")) }
+    assert(untouchedGen0.subsetOf(dataFiles(dir)),
+      "untouched buckets' gen=0 files must survive an upsert byte-for-byte")
+    // and the manifest points the untouched buckets at gen 0 still
+    val m = BucketTable.manifest(dir)
+    assert(m.count(_._2 == 1L) == touched.size)
+  }
+
+  test("precombine keeps the latest row per key within and across commits") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 5L, 1.0)), dir, Seq("k"), "pc", numBuckets = 4)
+    BucketTable.upsertInto(spark, dir, rows(("a", 3L, 2.0))) // stale: loses
+    assert(contents(dir) == Seq(("a", 5L, 1.0)))
+    BucketTable.upsertInto(spark, dir, rows(("a", 9L, 3.0), ("a", 7L, 4.0)))
+    assert(contents(dir) == Seq(("a", 9L, 3.0)))
+  }
+
+  test("clean removes superseded and orphan generations, readers unaffected") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, Seq("k"), "pc", numBuckets = 8)
+    BucketTable.upsertInto(spark, dir, rows(("k1", 2L, 10.0)))
+    BucketTable.upsertInto(spark, dir, rows(("k1", 3L, 11.0)))
+    val before = contents(dir)
+    val removed = BucketTable.clean(dir)
+    assert(removed.nonEmpty, "two rewrites of k1's bucket leave a dead generation")
+    assert(contents(dir) == before)
+    assert(BucketTable.clean(dir).isEmpty, "clean is idempotent")
+  }
+}
