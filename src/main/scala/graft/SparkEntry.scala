@@ -38,8 +38,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.PipelineQueries.queries ++
       ops.ScalarOps.queries ++ ops.Analytics.queries ++ ops.Sampling.queries ++
       ops.Dedup.queries ++ ops.SimHash.queries ++ ops.Similarity.queries ++
-      ops.IvfIndex.queries ++ ops.TextOps.queries ++ ops.Privacy.queries ++
-      ops.Multimodal.queries
+      ops.IvfIndex.queries ++ ops.IvfPq.queries ++ ops.TextOps.queries ++
+      ops.Privacy.queries ++ ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,6 +47,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.PipelineQueries.oracles ++
       ops.ScalarOps.oracles ++ ops.Analytics.oracles ++ ops.Sampling.oracles ++
       ops.Dedup.oracles ++ ops.SimHash.oracles ++ ops.Similarity.oracles ++
-      ops.IvfIndex.oracles ++ ops.TextOps.oracles ++ ops.Privacy.oracles ++
-      ops.Multimodal.oracles
+      ops.IvfIndex.oracles ++ ops.IvfPq.oracles ++ ops.TextOps.oracles ++
+      ops.Privacy.oracles ++ ops.Multimodal.oracles
 }

@@ -66,7 +66,7 @@ object IvfIndex {
   /** Cluster assignment for every vector: nearest centroid by cosine
     * (ties broken by centroid id — deterministic).
     */
-  private def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+  private[ops] def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     // argmax as a single max_by aggregation (tie → lower centroid_id via
     // the negated id in the ordering struct): one partial+final agg, no
     // window sort — this runs once per Lloyd iteration

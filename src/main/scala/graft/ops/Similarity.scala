@@ -480,7 +480,7 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("j").as("code"), col("vsub"), col("csub"))
   }
 
-  private def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
+  private[ops] def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
     pqAssign(e, cb).select(col("vec_id"), col("m"), col("code"), col("csub"))
 
   /** Per-subspace Lloyd rounds over the seed codebook. */
@@ -576,24 +576,44 @@ object Similarity {
     * fingerprint + training params as the staleness check.
     */
   private[ops] def ensureTrainedCodebook(spark: SparkSession,
-      sfDir: String): DataFrame = {
+      sfDir: String): DataFrame =
+    ensureTrainedPq(spark, sfDir)._1
+
+  /** The committed trained-PQ artifact pair for `sfDir` — (codebook,
+    * code table), training and encoding first if absent, built with
+    * other parameters, or built over a corpus whose files changed. The
+    * CODE TABLE is committed alongside the codebook because it is the
+    * artifact a 100 TB deployment actually serves from: ~4 bytes per
+    * vector instead of 256 — IVF-PQ search reads codes + codebook and
+    * never touches raw vectors until the shortlist re-rank
+    * ([[IvfPq]]). Commit goes through `HudiLike.commit` (atomic
+    * snapshot swap); the meta version is v2 so v1 artifacts (codebook
+    * only) rebuild once rather than serving a missing code table.
+    */
+  private[ops] def ensureTrainedPq(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     import java.nio.file.{Files, Paths}
     val dir = IvfIndex.artifactDir(sfDir, "pq")
     val meta =
-      s"v1 m=$PqM k=$PqK iters=$PqIterations ${IvfIndex.corpusFingerprint(sfDir)}"
+      s"v2 m=$PqM k=$PqK iters=$PqIterations ${IvfIndex.corpusFingerprint(sfDir)}"
     val fresh = Files.exists(Paths.get(s"$dir/codebook")) &&
+      Files.exists(Paths.get(s"$dir/codes")) &&
       Files.exists(Paths.get(s"$dir/meta")) &&
       Files.readString(Paths.get(s"$dir/meta")) == meta
     if (!fresh) {
-      val cb = pqTrainedCodebook(Tables.embeddings(spark, sfDir))
+      val e = Tables.embeddings(spark, sfDir)
+      val cb = pqTrainedCodebook(e)
       graft.etl.HudiLike.commit(cb, s"$dir/codebook")
+      graft.etl.HudiLike.commit(
+        pqEncode(e, cb).select(col("vec_id"), col("m"), col("code")),
+        s"$dir/codes")
       cb.unpersist()
       // fingerprint captured AFTER training read the corpus —
       // fail-rebuild, never fail-stale
       Files.writeString(Paths.get(s"$dir/meta"),
-        s"v1 m=$PqM k=$PqK iters=$PqIterations ${IvfIndex.corpusFingerprint(sfDir)}")
+        s"v2 m=$PqM k=$PqK iters=$PqIterations ${IvfIndex.corpusFingerprint(sfDir)}")
     }
-    spark.read.parquet(s"$dir/codebook")
+    (spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"))
   }
 
   /** PQ search in true ADC form — the shape a 10^9-vector deployment
@@ -700,7 +720,7 @@ object Similarity {
     * centroids, per-subspace L2² argmin with (dist, j) tie-break —
     * the exact relational construction `pqEncode` plans.
     */
-  private def pqEncSql: String =
+  private[ops] def pqEncSql: String =
     s"""cb AS (
        |  SELECT m, j, list_transform(range(1, $PqSubDim + 1),
        |           d -> CAST(embedding[m * $PqSubDim + d] AS DOUBLE)) AS csub
