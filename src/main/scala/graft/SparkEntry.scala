@@ -37,7 +37,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++
       ops.ScalarOps.queries ++ ops.Analytics.queries ++ ops.Sampling.queries ++
-      ops.Dedup.queries ++ ops.SimHash.queries ++ ops.Similarity.queries ++
+      ops.Dedup.queries ++ ops.FuzzyJoin.queries ++ ops.SimHash.queries ++
+      ops.Similarity.queries ++
       ops.IvfIndex.queries ++ ops.IvfPq.queries ++ ops.TextOps.queries ++
       ops.Privacy.queries ++ ops.Multimodal.queries
 
@@ -46,7 +47,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.PipelineQueries.oracles ++
       ops.ScalarOps.oracles ++ ops.Analytics.oracles ++ ops.Sampling.oracles ++
-      ops.Dedup.oracles ++ ops.SimHash.oracles ++ ops.Similarity.oracles ++
+      ops.Dedup.oracles ++ ops.FuzzyJoin.oracles ++ ops.SimHash.oracles ++
+      ops.Similarity.oracles ++
       ops.IvfIndex.oracles ++ ops.IvfPq.oracles ++ ops.TextOps.oracles ++
       ops.Privacy.oracles ++ ops.Multimodal.oracles
 }

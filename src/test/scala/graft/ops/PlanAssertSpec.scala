@@ -71,6 +71,9 @@ class PlanAssertSpec extends SparkSpec {
     // join, the CMS counter join, and the ADC lut join must all stay
     // broadcast-equi (no BNLJ) and hint-clean
     "tx_curation_pipeline", "tx_heavy_hitters_cms", "sim_pq_adc",
+    // segment-blocked fuzzy join: candidates must come from the
+    // (seg, gram) equi-join, never a cartesian fallback
+    "dd_fuzzy_prefix_ed",
     // q22_global_sales and q11_important_parts are excluded: their
     // 1-row scalar-threshold crossJoin(broadcast) is a legitimate BNLJ
     // (the filter is an inequality, so Catalyst cannot rewrite it to an
@@ -165,5 +168,22 @@ class PlanAssertSpec extends SparkSpec {
             s"between hint and scan — a pinned full-table broadcast:\n${h.child}")
       }
     }
+  }
+
+  test("ivfpq: the only cartesians are the centroid-broadcast stages; ADC joins are equi") {
+    // two legitimate BNLJs: the n x K assignment pass and the Q x K
+    // probe stage — each crosses against the BROADCAST centroid table
+    // (K rows, constant-bounded), so both are linear in their big side.
+    // The code and LUT joins must plan as equi joins or the ADC stage
+    // degrades to scoring every (candidate, lut-row) combination
+    val plan = finalPlan(SparkEntry.queries("sim_ivfpq_fixed")(spark, sf001))
+    val all = collectAll(plan)
+    val bnl = all.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnl.size <= 2, s"sim_ivfpq_fixed plans ${bnl.size} BNLJs:\n$plan")
+    val bhj = all.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"ADC lut join must broadcast-equi, none found:\n$plan")
   }
 }
