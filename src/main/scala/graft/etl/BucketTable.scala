@@ -49,6 +49,9 @@ object BucketTable {
   final case class Props(keys: Seq[String], precombine: String,
       tieBreak: Seq[String], numBuckets: Int)
 
+  /** Whether a bucket table has been created (committed) at `tablePath`. */
+  def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
+
   def props(tablePath: String): Props = {
     val m = Files.readAllLines(propsPath(tablePath)).asScala
       .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap

@@ -168,4 +168,37 @@ class StreamingSpec extends SparkSpec {
     val streamKeys = target.select("record_id").as[String].collect().toSet
     assert(streamKeys == batchKeys)
   }
+
+  test("bucketed streaming ingest: multi-batch delivery, partial rewrites, batch parity") {
+    val base = Files.createTempDirectory("streamb").toString
+    // stage the events table as TWO files so maxFilesPerTrigger=1
+    // forces two micro-batches: create on batch 0, partial-rewrite
+    // upsert on batch 1
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw.filter($"event_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$base/half0")
+    raw.filter($"event_id" % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$base/half1")
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    for (h <- Seq("half0", "half1")) {
+      val part = Files.list(java.nio.file.Paths.get(s"$base/$h"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, java.nio.file.Paths.get(s"$base/src/$h.parquet"))
+    }
+    StreamingPipeline.runIngestBucketed(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    val target = graft.etl.BucketTable.read(spark, s"$base/target")
+    assert(target.count() == 1000)
+    val batchKeys = graft.etl.Pipeline
+      .extract(spark, s"$sf0001/events.parquet", None)
+      .select("record_id").as[String].collect().toSet
+    val streamKeys = target.select("record_id").as[String].collect().toSet
+    assert(streamKeys == batchKeys, "bucketed sink must reach batch-extract parity")
+    // both micro-batches committed: some buckets must sit at a later
+    // generation than the create
+    val gens = graft.etl.BucketTable.manifest(s"$base/target").values.toSet
+    assert(gens.exists(_ > 0L),
+      s"second micro-batch must have produced a new generation, got $gens")
+  }
 }
