@@ -171,6 +171,33 @@ object BucketTable {
     written
   }
 
+  /** Point lookup by full key: hash the key values to their bucket and
+    * read ONLY that bucket's current generation directory — the bucket
+    * index's serving win (Hudi routes record-key lookups the same way).
+    * At any table size the scan is one bucket, ~1/numBuckets of the
+    * data; `BucketTableSpec` asserts the plan's input files all come
+    * from the computed bucket. `keyValues` must cover `props.keys` in
+    * order.
+    */
+  def lookup(spark: SparkSession, tablePath: String,
+      keyValues: Seq[Any]): DataFrame = {
+    val p = props(tablePath)
+    require(keyValues.length == p.keys.length,
+      s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
+    // compute the bucket with the SAME expression records are routed
+    // by — a reimplementation (e.g. hashing driver-side with a
+    // different seed) could silently read the wrong bucket
+    val keyDf = p.keys.zip(keyValues).foldLeft(spark.range(1).toDF()) {
+      case (df, (k, v)) => df.withColumn(k, lit(v))
+    }
+    val bucket = withBucket(keyDf, p).select(col(BucketCol)).head().getInt(0)
+    val filtered = readBuckets(spark, tablePath, Set(bucket))
+      .drop(BucketCol)
+    p.keys.zip(keyValues).foldLeft(filtered) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v))
+    }
+  }
+
   /** Drop generation dirs no manifest entry references (aborted writers,
     * superseded buckets). Returns removed dir names.
     */

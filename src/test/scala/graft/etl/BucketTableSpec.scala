@@ -55,6 +55,22 @@ class BucketTableSpec extends SparkSpec {
     assert(contents(dir) == Seq(("a", 9L, 3.0)))
   }
 
+  test("point lookup reads only the key's bucket") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows((1 to 64).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, Seq("k"), "pc", numBuckets = 16)
+    val res = BucketTable.lookup(spark, dir, Seq("k7"))
+    assert(res.as[(String, Long, Double)].collect().toSeq ==
+      Seq(("k7", 1L, 7.0)))
+    // the scan must touch exactly one bucket directory of the 16
+    val bucketsTouched = res.inputFiles.toSeq
+      .map(f => f.split("__bucket=")(1).split('/').head).distinct
+    assert(bucketsTouched.size == 1,
+      s"lookup read ${bucketsTouched.size} buckets: $bucketsTouched")
+    // and a missing key still scans one bucket, returning nothing
+    assert(BucketTable.lookup(spark, dir, Seq("nope")).count() == 0)
+  }
+
   test("clean removes superseded and orphan generations, readers unaffected") {
     val dir = Files.createTempDirectory("bucket").toString + "/t"
     BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
