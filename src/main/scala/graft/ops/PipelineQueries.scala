@@ -218,6 +218,49 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** Incremental view maintenance: a per-(event_type, day) rollup kept
+    * as a committed state table and advanced in THREE O(batch) merges
+    * (≤[[SplitUs]], ([[SplitUs]], [[Split2Us]]], >[[Split2Us]]) — the
+    * materialized-rollup pattern every large pipeline runs instead of
+    * re-aggregating history per batch. Each merge aggregates ONLY the
+    * batch slice (the ts predicate pushes into the scan), unions the
+    * prior state, and re-aggregates — cost O(batch + |groups|), never
+    * O(history). Counts and 2dp-integer value sums merge exactly
+    * (associative BIGINT addition — the `exactMoneySum` discipline), so
+    * three-step maintenance is bit-identical to the oracle's one-shot
+    * GROUP BY over all events.
+    */
+  def ivmRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "v").toString + "/state"
+    val day = expr("ts_us div 86400000000").as("day_id")
+    def batchAgg(lo: Option[Long], hi: Option[Long]): DataFrame = {
+      val ev = Tables.events(spark, sfDir).filter(col("ts_us").isNotNull)
+      val sliced = (lo, hi) match {
+        case (Some(l), Some(h)) => ev.filter(col("ts_us") > l && col("ts_us") <= h)
+        case (Some(l), None) => ev.filter(col("ts_us") > l)
+        case (None, Some(h)) => ev.filter(col("ts_us") <= h)
+        case _ => ev
+      }
+      sliced.groupBy(col("event_type"), day)
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("val_i"))
+    }
+    def mergeInto(batch: DataFrame): Unit = {
+      val merged =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) batch
+        else spark.read.parquet(path).unionByName(batch)
+          .groupBy(col("event_type"), col("day_id"))
+          .agg(sum(col("n_events")).as("n_events"), sum(col("val_i")).as("val_i"))
+      HudiLike.commit(merged, path)
+    }
+    mergeInto(batchAgg(None, Some(SplitUs)))
+    mergeInto(batchAgg(Some(SplitUs), Some(Split2Us)))
+    mergeInto(batchAgg(Some(Split2Us), None))
+    spark.read.parquet(path)
+      .select(col("event_type"), col("day_id"), col("n_events"),
+        round(col("val_i") / 100.0, 2).as("total_value"))
+  }
+
   /** MOR snapshot query: merge base + logs at read time, drop
     * tombstoned keys — must equal the latest-per-user state over ALL
     * events minus the deleted users, which is what the oracle replays.
@@ -247,6 +290,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
+    "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
     "p_mor_incremental" -> (morIncremental(_, _)),
@@ -268,6 +312,12 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_ivm_rollup" ->
+      s"""SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+         |  count(*) AS n_events,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+         |FROM events WHERE ts IS NOT NULL
+         |GROUP BY event_type, day_id""".stripMargin,
     "p_bucket_upsert" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
