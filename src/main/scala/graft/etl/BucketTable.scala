@@ -120,7 +120,10 @@ object BucketTable {
 
   /** Read the live table (all buckets at their manifest generation).
     * One parquet read per live generation, dir-partition-pruned to the
-    * buckets still current in it.
+    * buckets still current in it. Generations written after a
+    * schema-evolving upsert may carry extra columns — the union allows
+    * missing columns, so older generations read with nulls there
+    * (schema-on-read, same contract as `HudiLike.upsert`).
     */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val m = manifest(tablePath)
@@ -129,7 +132,7 @@ object BucketTable {
       spark.read.option("basePath", s"$tablePath/gen=$gen")
         .parquet(entries.keys.toSeq.sorted
           .map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
-    }.reduce(_ unionByName _).drop(BucketCol)
+    }.reduce(_.unionByName(_, allowMissingColumns = true)).drop(BucketCol)
   }
 
   private def readBuckets(spark: SparkSession, tablePath: String,
@@ -139,7 +142,7 @@ object BucketTable {
       spark.read.option("basePath", s"$tablePath/gen=$gen")
         .parquet(entries.keys.toSeq.sorted
           .map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
-    }.reduceOption(_ unionByName _)
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse(read(spark, tablePath).limit(0).withColumn(BucketCol, lit(0)))
   }
 

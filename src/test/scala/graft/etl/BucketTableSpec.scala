@@ -71,6 +71,23 @@ class BucketTableSpec extends SparkSpec {
     assert(BucketTable.lookup(spark, dir, Seq("nope")).count() == 0)
   }
 
+  test("schema-evolving upsert: new column reads as null on untouched generations") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, Seq("k"), "pc", numBuckets = 8)
+    // the batch carries an extra column; only its buckets rewrite, so
+    // the table ends up with mixed-schema generations
+    val evolved = Seq(("k1", 2L, 10.0, "tagged")).toDF("k", "pc", "v", "tag")
+    BucketTable.upsertInto(spark, dir, evolved)
+    val all = BucketTable.read(spark, dir)
+      .select("k", "pc", "v", "tag")
+      .as[(String, Long, Double, Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(all("k1")._4 == Some("tagged"))
+    assert(all("k2")._4 == None, "old generations read the new column as null")
+    assert(all.size == 32)
+  }
+
   test("clean removes superseded and orphan generations, readers unaffected") {
     val dir = Files.createTempDirectory("bucket").toString + "/t"
     BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
