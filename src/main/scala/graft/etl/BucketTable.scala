@@ -91,7 +91,12 @@ object BucketTable {
     */
   private def writeGen(df: DataFrame, tablePath: String, gen: Long): Seq[Int] = {
     val dir = Paths.get(tablePath, s"gen=$gen")
-    df.write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+    // cluster by bucket before the partitioned write: every bucket is
+    // produced by one task → one file per bucket dir. Without it each
+    // of the writer's input tasks opens a file in every bucket it sees
+    // (tasks × buckets small files — the classic partitionBy blowup)
+    df.repartition(col(BucketCol))
+      .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
     Files.list(dir).iterator().asScala.map(_.getFileName.toString)
       .collect { case s if s.startsWith(s"$BucketCol=") =>
         s.drop(BucketCol.length + 1).toInt }

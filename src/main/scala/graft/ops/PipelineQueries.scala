@@ -218,6 +218,33 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** Bucket-index point lookup: build the same table as
+    * [[bucketUpsert]], then fetch ONE user's current row by key — the
+    * serving read that makes the bucket index worth maintaining: the
+    * scan touches a single bucket (~1/numBuckets of the table at any
+    * size; `BucketTableSpec` asserts the pruning on input files). The
+    * oracle replays it as the latest-per-user window filtered to the
+    * key.
+    */
+  /** Present at every SF: events carries users 0..14 at sf0.001 and a
+    * superset at larger SFs.
+    */
+  val LookupUser = 7L
+
+  def bucketLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "l").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.BucketTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.BucketTable.lookup(spark, path, Seq(LookupUser))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** Incremental view maintenance: a per-(event_type, day) rollup kept
     * as a committed state table and advanced in THREE O(batch) merges
     * (≤[[SplitUs]], ([[SplitUs]], [[Split2Us]]], >[[Split2Us]]) — the
@@ -290,6 +317,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
+    "p_bucket_lookup" -> (bucketLookup(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
@@ -312,6 +340,13 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_bucket_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE user_id = $LookupUser) t
+         |WHERE rn = 1""".stripMargin,
     "p_ivm_rollup" ->
       s"""SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
          |  count(*) AS n_events,

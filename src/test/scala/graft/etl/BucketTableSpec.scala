@@ -26,6 +26,12 @@ class BucketTableSpec extends SparkSpec {
     BucketTable.create(rows(base: _*), dir, keys = Seq("k"), precombine = "pc",
       numBuckets = 16)
     val gen0 = dataFiles(dir)
+    // clustered write: one parquet file per bucket dir, not one per
+    // (input task x bucket)
+    val filesPerBucket = gen0.toSeq.map(_._1)
+      .groupBy(p => p.split("__bucket=")(1).split('/').head)
+    assert(filesPerBucket.values.forall(_.size == 1),
+      s"expected one file per bucket, got ${filesPerBucket.view.mapValues(_.size).toMap}")
 
     // one updated key + one new key → at most 2 of 16 buckets rewritten
     val touched = BucketTable.upsertInto(spark, dir,
