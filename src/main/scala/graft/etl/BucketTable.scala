@@ -84,12 +84,33 @@ object BucketTable {
     df.withColumn(BucketCol,
       pmod(xxhash64(p.keys.map(col): _*), lit(p.numBuckets)).cast("int"))
 
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
+  /** Roll back an uncommitted generation: a `gen=G` dir with no
+    * manifest entry pointing at G is debris from a writer that died
+    * between the parquet write and the manifest swing (or from an
+    * empty create). Readers never saw it; remove it so the retry's
+    * `errorifexists` write can proceed — Hudi's rollback of a failed
+    * instant, run lazily by the next writer.
+    */
+  private def rollbackOrphan(tablePath: String, gen: Long): Unit = {
+    val dir = Paths.get(tablePath, s"gen=$gen")
+    if (Files.exists(dir) && !manifest(tablePath).values.exists(_ == gen))
+      deleteRecursively(dir)
+  }
+
   /** Write `df`'s buckets under `gen=G/` in one partitioned job and
     * return the bucket ids actually written (read back from the
     * directory names — never inferred, so a skipped empty bucket can't
     * desync the manifest).
     */
   private def writeGen(df: DataFrame, tablePath: String, gen: Long): Seq[Int] = {
+    rollbackOrphan(tablePath, gen)
     val dir = Paths.get(tablePath, s"gen=$gen")
     // cluster by bucket before the partitioned write: every bucket is
     // produced by one task → one file per bucket dir. Without it each
@@ -97,10 +118,12 @@ object BucketTable {
     // (tasks × buckets small files — the classic partitionBy blowup)
     df.repartition(col(BucketCol))
       .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
-    Files.list(dir).iterator().asScala.map(_.getFileName.toString)
-      .collect { case s if s.startsWith(s"$BucketCol=") =>
-        s.drop(BucketCol.length + 1).toInt }
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .collect { case n if n.startsWith(s"$BucketCol=") =>
+        n.drop(BucketCol.length + 1).toInt }
       .toSeq.sorted
+    finally s.close()
   }
 
   /** Initialize: every record hashed to its bucket, all buckets at
@@ -133,11 +156,7 @@ object BucketTable {
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val m = manifest(tablePath)
     require(m.nonEmpty, s"no bucket table at $tablePath")
-    m.groupBy(_._2).map { case (gen, entries) =>
-      spark.read.option("basePath", s"$tablePath/gen=$gen")
-        .parquet(entries.keys.toSeq.sorted
-          .map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)).drop(BucketCol)
+    readBuckets(spark, tablePath, m.keySet).drop(BucketCol)
   }
 
   private def readBuckets(spark: SparkSession, tablePath: String,
@@ -168,9 +187,15 @@ object BucketTable {
     val touched = tagged.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return Seq.empty
-    val gen = manifest(tablePath).values.max + 1
-    val merged = HudiLike.upsert(
-      readBuckets(spark, tablePath, touched), tagged,
+    // maxOption / limit(0): a table created from an empty frame has an
+    // empty manifest — the first non-empty upsert merges against
+    // nothing and commits generation 0
+    val committed = manifest(tablePath)
+    val gen = committed.values.maxOption.getOrElse(-1L) + 1
+    val existing =
+      if (committed.isEmpty) tagged.limit(0)
+      else readBuckets(spark, tablePath, touched)
+    val merged = HudiLike.upsert(existing, tagged,
       p.keys, p.precombine, p.tieBreak)
       // recompute instead of carrying: upsert projects to the data
       // columns of both sides; bucket is a pure function of the keys
@@ -194,9 +219,14 @@ object BucketTable {
       s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
     // compute the bucket with the SAME expression records are routed
     // by — a reimplementation (e.g. hashing driver-side with a
-    // different seed) could silently read the wrong bucket
+    // different seed) could silently read the wrong bucket. Each key
+    // literal is CAST to the table column's type first: xxhash64 is
+    // type-sensitive (int 7 and long 7L hash differently), so an
+    // as-written literal of the wrong width would silently probe the
+    // wrong bucket
+    val keyTypes = read(spark, tablePath).schema
     val keyDf = p.keys.zip(keyValues).foldLeft(spark.range(1).toDF()) {
-      case (df, (k, v)) => df.withColumn(k, lit(v))
+      case (df, (k, v)) => df.withColumn(k, lit(v).cast(keyTypes(k).dataType))
     }
     val bucket = withBucket(keyDf, p).select(col(BucketCol)).head().getInt(0)
     val filtered = readBuckets(spark, tablePath, Set(bucket))
@@ -210,32 +240,29 @@ object BucketTable {
     * superseded buckets). Returns removed dir names.
     */
   def clean(tablePath: String): Seq[String] = {
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     val live: Map[Long, Set[Int]] = manifest(tablePath)
       .groupBy(_._2).view.mapValues(_.keySet).toMap
-    val root = Paths.get(tablePath)
-    val removed = Files.list(root).iterator().asScala
+    listDir(Paths.get(tablePath))
       .filter(_.getFileName.toString.startsWith("gen="))
       .flatMap { genDir =>
         val gen = genDir.getFileName.toString.drop(4).toLong
         val liveB = live.getOrElse(gen, Set.empty)
-        val deadBuckets = Files.list(genDir).iterator().asScala
-          .filter { bd =>
-            val n = bd.getFileName.toString
-            n.startsWith(s"$BucketCol=") &&
-              !liveB(n.drop(BucketCol.length + 1).toInt)
-          }.toSeq
-        deadBuckets.foreach { bd =>
-          Files.walk(bd).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.delete(f))
+        val deadBuckets = listDir(genDir).filter { bd =>
+          val n = bd.getFileName.toString
+          n.startsWith(s"$BucketCol=") &&
+            !liveB(n.drop(BucketCol.length + 1).toInt)
         }
+        deadBuckets.foreach(deleteRecursively)
         val gone = deadBuckets.map(bd => s"gen=$gen/${bd.getFileName}")
-        if (liveB.isEmpty && Files.list(genDir).iterator().asScala
+        if (liveB.isEmpty && listDir(genDir)
             .forall(!_.getFileName.toString.startsWith(s"$BucketCol="))) {
-          Files.walk(genDir).sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.delete(f))
+          deleteRecursively(genDir)
           gone :+ s"gen=$gen"
         } else gone
-      }.toSeq
-    removed
+      }
   }
 }

@@ -212,12 +212,17 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!graft.etl.BucketTable.exists(targetPath))
-          graft.etl.BucketTable.create(batch, targetPath,
-            keys = Seq("record_id"), precombine = "event_timestamp",
-            tieBreak = Seq("event_id"))
-        else
-          graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, batch)
+        // skip empty micro-batches: creating the table from one would
+        // commit an empty manifest and give later batches nothing to
+        // route against (and an empty upsert is a no-op anyway)
+        if (!batch.isEmpty) {
+          if (!graft.etl.BucketTable.exists(targetPath))
+            graft.etl.BucketTable.create(batch, targetPath,
+              keys = Seq("record_id"), precombine = "event_timestamp",
+              tieBreak = Seq("event_id"))
+          else
+            graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, batch)
+        }
         ()
       }
       .start()

@@ -94,6 +94,42 @@ class BucketTableSpec extends SparkSpec {
     assert(all.size == 32)
   }
 
+  test("a writer that died between parquet write and manifest swing self-heals on retry") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir, Seq("k"), "pc",
+      numBuckets = 4)
+    // simulate the crash: the next generation's dir exists with data
+    // files but no manifest entry ever pointed at it
+    val orphan = Paths.get(dir, "gen=1", "__bucket=0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-00000.parquet"), "debris")
+    val touched = BucketTable.upsertInto(spark, dir, rows(("a", 2L, 10.0)))
+    assert(touched.nonEmpty, "retry must succeed after rolling back the orphan")
+    assert(contents(dir) == Seq(("a", 2L, 10.0), ("b", 1L, 2.0)))
+  }
+
+  test("create from an empty frame: the first non-empty upsert commits generation 0") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(), dir, Seq("k"), "pc", numBuckets = 4)
+    assert(BucketTable.exists(dir))
+    assert(BucketTable.manifest(dir).isEmpty)
+    BucketTable.upsertInto(spark, dir, rows(("a", 1L, 1.0)))
+    assert(contents(dir) == Seq(("a", 1L, 1.0)))
+  }
+
+  test("lookup casts key literals to the table's column types before hashing") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    val byId = (1 to 32).map(i => (i.toLong, 1L, i.toDouble))
+      .toDF("id", "pc", "v")
+    BucketTable.create(byId, dir, Seq("id"), "pc", numBuckets = 8)
+    // Int 7 vs the LongType id column: xxhash64 hashes 4- and 8-byte
+    // integers differently, so without the cast this probes the wrong
+    // bucket and silently returns nothing
+    val res = BucketTable.lookup(spark, dir, Seq(7))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(res == Seq((7L, 1L, 7.0)))
+  }
+
   test("clean removes superseded and orphan generations, readers unaffected") {
     val dir = Files.createTempDirectory("bucket").toString + "/t"
     BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
