@@ -77,6 +77,26 @@ class IvfPqSpec extends SparkSpec {
         s"than brute force ($cand vs ${Similarity.QuerySetSize * (n - 1)})")
   }
 
+  test("widening nprobe strictly grows the candidate set (the recall/cost knob)") {
+    register()
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val centroids = e.filter($"vec_id" < IvfIndex.K)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val assigned = IvfIndex.assign(e, centroids)
+      .select($"vec_id", $"centroid_id")
+    val q = e.filter($"vec_id" < Similarity.QuerySetSize)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val narrow = IvfPq.candidates(q, assigned, centroids, IvfIndex.NProbe)
+      .as[(Long, Long)].collect().toSet
+    val wide = IvfPq.candidates(q, assigned, centroids, IvfIndex.NProbeWide)
+      .as[(Long, Long)].collect().toSet
+    assert(narrow.subsetOf(wide),
+      s"nprobe=${IvfIndex.NProbeWide} candidates must contain the nprobe=${IvfIndex.NProbe} set")
+    assert(wide.size > narrow.size,
+      "wider probing must actually admit more candidates on a multi-cell corpus")
+  }
+
   test("committed path reuses the trained artifacts and returns dense top-5 ranks") {
     register()
     IvfPq.search(spark, sf0001).count() // builds ivf + pq artifacts if absent
