@@ -236,6 +236,26 @@ object BucketTable {
     }
   }
 
+  /** Rewrite every live bucket at one fresh generation and point the
+    * whole manifest at it. Each upsert leaves its touched buckets at a
+    * new generation, so a long-lived table's manifest fans out over
+    * many `gen=` dirs and every read unions one parquet relation per
+    * distinct live generation — compaction collapses that planning
+    * fan-in back to a single relation (the same read-amplification
+    * reasoning as `MorTable.compact`, applied to generation spread
+    * instead of log depth). Data is unchanged; `clean` afterwards
+    * reclaims the superseded dirs. Returns the new generation.
+    */
+  def compact(spark: SparkSession, tablePath: String): Long = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no bucket table at $tablePath")
+    val gen = m.values.max + 1
+    val written = writeGen(
+      readBuckets(spark, tablePath, m.keySet), tablePath, gen)
+    writeManifest(tablePath, written.map(_ -> gen).toMap)
+    gen
+  }
+
   /** Drop generation dirs no manifest entry references (aborted writers,
     * superseded buckets). Returns removed dir names.
     */

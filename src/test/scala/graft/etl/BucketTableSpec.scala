@@ -130,6 +130,23 @@ class BucketTableSpec extends SparkSpec {
     assert(res == Seq((7L, 1L, 7.0)))
   }
 
+  test("compact collapses all live buckets to one generation, data unchanged") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, Seq("k"), "pc", numBuckets = 8)
+    BucketTable.upsertInto(spark, dir, rows(("k1", 2L, 10.0)))
+    BucketTable.upsertInto(spark, dir, rows(("k2", 2L, 20.0)))
+    val before = contents(dir)
+    assert(BucketTable.manifest(dir).values.toSet.size > 1,
+      "upserts must have spread the manifest over generations")
+    val gen = BucketTable.compact(spark, dir)
+    assert(BucketTable.manifest(dir).values.toSet == Set(gen),
+      "after compaction every bucket sits at the new generation")
+    assert(contents(dir) == before, "compaction must not change the data")
+    assert(BucketTable.clean(dir).nonEmpty, "superseded generations reclaimed")
+    assert(contents(dir) == before)
+  }
+
   test("clean removes superseded and orphan generations, readers unaffected") {
     val dir = Files.createTempDirectory("bucket").toString + "/t"
     BucketTable.create(rows((1 to 32).map(i => (s"k$i", 1L, i.toDouble)): _*),
