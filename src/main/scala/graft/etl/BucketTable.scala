@@ -155,7 +155,11 @@ object BucketTable {
     */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val m = manifest(tablePath)
-    require(m.nonEmpty, s"no bucket table at $tablePath")
+    require(m.nonEmpty,
+      if (exists(tablePath))
+        s"bucket table at $tablePath has no committed data yet (created " +
+          "from an empty frame; upsert a non-empty batch first)"
+      else s"no bucket table at $tablePath")
     readBuckets(spark, tablePath, m.keySet).drop(BucketCol)
   }
 

@@ -86,14 +86,27 @@ object MorTable {
     writePointer(tablePath, 0L, 0L)
   }
 
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
   private def appendDelta(tablePath: String, batch: DataFrame, deleted: Boolean): Long = {
     val (base, deltas) = state(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
     val seq = deltas + 1
+    // roll back debris from a writer that died between the log write
+    // and the pointer swing: the pointer never referenced log seq, so
+    // readers never saw the dir and the retry may reclaim it (same
+    // lazy rollback as BucketTable.rollbackOrphan)
+    val logDir = Paths.get(tablePath, s"log=$base.$seq")
+    if (Files.exists(logDir)) deleteRecursively(logDir)
     batch
       .withColumn(SeqCol, lit(seq))
       .withColumn(DelCol, lit(deleted))
-      .write.mode("errorifexists").parquet(s"$tablePath/log=$base.$seq")
+      .write.mode("errorifexists").parquet(logDir.toString)
     writePointer(tablePath, base, seq)
     seq
   }
@@ -187,16 +200,15 @@ object MorTable {
     */
   def clean(tablePath: String): Seq[String] = {
     val (base, _) = state(tablePath).getOrElse(return Seq.empty)
-    val dir = Paths.get(tablePath)
-    val stale = Files.list(dir).iterator().asScala.filter { p =>
-      val n = p.getFileName.toString
-      (n.startsWith("base=") && n.drop(5).toLong < base) ||
-        (n.startsWith("log=") && n.drop(4).takeWhile(_ != '.').toLong < base)
-    }.toSeq
-    stale.foreach { p =>
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
+    val s = Files.list(Paths.get(tablePath))
+    val stale =
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith("base=") && n.drop(5).toLong < base) ||
+          (n.startsWith("log=") && n.drop(4).takeWhile(_ != '.').toLong < base)
+      }.toSeq
+      finally s.close()
+    stale.foreach(deleteRecursively)
     stale.map(_.getFileName.toString)
   }
 }

@@ -75,10 +75,22 @@ object BloomAggregator extends BloomAggregator(1 << 16) {
     * m = k·n/ln 2 solved for m, giving fp ≈ 2^-k), rounded up to a
     * 64-bit word multiple, floored at one word. `n` is the measured
     * distinct-key cardinality of the set the filter will hold.
+    *
+    * The bit count is bounded by Int (the bitmap is one in-memory
+    * array row): past n ≈ 3.7e8 at k=4 the formula exceeds 2^31-64
+    * bits (~256 MiB) and this FAILS LOUDLY rather than letting the
+    * Long→Int wrap hand back a silently undersized (or negative)
+    * filter whose false-positive rate explodes. Membership sets
+    * bigger than that shouldn't be one Bloom row anyway — shard the
+    * set and build one filter per shard.
     */
   def sizeFor(n: Long, k: Int = K): Int = {
     val bits = math.ceil(1.44 * k * n.toDouble).toLong
     val aligned = ((bits + 63) / 64) * 64
-    math.max(64L, aligned).toInt
+    val m = math.max(64L, aligned)
+    require(m <= Int.MaxValue - 63,
+      s"sizeFor(n=$n, k=$k) needs $m bits > Int range; shard the set " +
+        "into multiple filters instead")
+    m.toInt
   }
 }

@@ -165,6 +165,37 @@ object IvfIndex {
     s"corpus files:${files.size} bytes:$bytes mtime:$mtime"
   }
 
+  /** Per-file corpus inventory (relative path, size, mtime) — the
+    * evidence [[appendCommit]] needs to tell APPEND-ONLY growth (every
+    * file the base index was built over is intact, new files carry the
+    * batch) from an in-place rewrite, which the aggregate
+    * [[corpusFingerprint]] cannot distinguish from growth. One line
+    * per file, sorted.
+    */
+  private def corpusInventory(sfDir: String): Seq[String] = {
+    val root = Paths.get(s"$sfDir/embeddings.parquet")
+    val files: Seq[java.nio.file.Path] =
+      if (Files.isDirectory(root)) {
+        val s = Files.walk(root)
+        try {
+          val it = s.filter(p => Files.isRegularFile(p)).iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          while (it.hasNext) buf += it.next()
+          buf.toSeq
+        } finally s.close()
+      } else if (Files.exists(root)) Seq(root)
+      else Seq.empty
+    files
+      // data files only: _SUCCESS markers and .crc shadows are
+      // rewritten by every append job without touching any data
+      .filterNot { f =>
+        val n = f.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map(f => s"${root.getParent.relativize(f)} ${Files.size(f)} " +
+        s"${Files.getLastModifiedTime(f).toMillis}").sorted
+  }
+
   /** Fingerprint stored next to the committed tables: an artifact built
     * by older code (different k formula/Iterations/init) OR over a
     * corpus that has since changed must be rebuilt, never silently read.
@@ -203,6 +234,8 @@ object IvfIndex {
     // fingerprint captured AFTER the build read the corpus: a corpus
     // mutation racing the build makes the meta stale and the next
     // ensureIndex rebuilds — fail-rebuild, never fail-stale
+    Files.writeString(Paths.get(s"$dir/files"),
+      corpusInventory(sfDir).mkString("\n"))
     Files.writeString(Paths.get(s"$dir/meta"), indexFingerprint(sfDir, k))
     (spark.read.parquet(s"$dir/assignments"),
       spark.read.parquet(s"$dir/centroids"))
@@ -248,6 +281,23 @@ object IvfIndex {
     val meta = Files.readString(Paths.get(s"$dir/meta"))
     val k = "^v3 k=(\\d+) ".r.findFirstMatchIn(meta).map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"unparseable index meta: $meta"))
+    // append is only sound over APPEND-ONLY growth: every file the
+    // committed index was built over must be byte-identical on disk
+    // (new files carry the batch). An in-place rewrite means the
+    // committed assignments describe embeddings that no longer exist —
+    // refuse, so the caller rebuilds instead of this call laundering a
+    // stale index into a "current" fingerprint
+    val filesPath = Paths.get(s"$dir/files")
+    require(Files.exists(filesPath),
+      s"no corpus inventory under $dir (index predates append support) — " +
+        "run buildCommit first")
+    val recorded = Files.readString(filesPath)
+      .linesIterator.filter(_.nonEmpty).toSet
+    val current = corpusInventory(sfDir).toSet
+    val mutated = recorded -- current
+    require(mutated.isEmpty,
+      s"corpus files changed since the index was built (not append-only " +
+        s"growth): ${mutated.take(3).mkString("; ")} — run buildCommit instead")
     val existing = spark.read.parquet(s"$dir/assignments")
     val centroids = spark.read.parquet(s"$dir/centroids")
     val assignedNew = assign(newVectors, centroids)
@@ -257,6 +307,8 @@ object IvfIndex {
     HudiLike.commit(merged, s"$dir/assignments")
     // stamp AFTER the append read the grown corpus: same fail-rebuild
     // discipline as buildCommit, at the retained cell count
+    Files.writeString(Paths.get(s"$dir/files"),
+      corpusInventory(sfDir).mkString("\n"))
     Files.writeString(Paths.get(s"$dir/meta"),
       s"v3 k=$k iters=$Iterations ${corpusFingerprint(sfDir)}")
     (spark.read.parquet(s"$dir/assignments"), centroids)

@@ -47,33 +47,14 @@ object IvfPq {
 
   import Similarity.{PqM, PqSubDim, QuerySetSize}
 
-  /** Integer-snap scale for the ADC partials — same discipline and
-    * value as `pqAdcSearch`: order-pinned double folds snap to 8dp
-    * BIGINTs so the per-candidate sums are order-independent and
-    * bit-identical across engines.
+  /** ADC lookup table and snap scale: SHARED with `pqAdcSearch`
+    * ([[Similarity.adcLut]]/[[Similarity.AdcSnap]]) so the two ADC
+    * paths — full-corpus and IVF-candidate — stay on one arithmetic
+    * by construction; the DuckDB oracles of both replay it and the
+    * driver's hash check would flag any drift.
     */
-  private val S = "100000000.0"
-
-  private def fold(term: String) =
-    s"aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
-
-  /** Per-query ADC lookup table over codebook `cb`: (q_id, m, code) →
-    * integer partial dot / centroid-slice norm² / query-slice norm².
-    * Q × M × K rows — broadcast.
-    */
-  private def lutFor(queries: DataFrame, cb: DataFrame): DataFrame = {
-    val qsub = queries
-      .select(col("q_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
-        col("qv"))
-      .select(col("q_id"), col("m"),
-        expr(s"transform(slice(qv, m * $PqSubDim + 1, $PqSubDim)," +
-          " x -> CAST(x AS DOUBLE))").as("qsub"))
-    qsub.join(cb, "m")
-      .selectExpr("q_id", "m", "j AS code",
-        s"CAST(round(${fold("element_at(qsub, d) * element_at(csub, d)")} * $S) AS BIGINT) AS pdot_i",
-        s"CAST(round(${fold("element_at(csub, d) * element_at(csub, d)")} * $S) AS BIGINT) AS c2_i",
-        s"CAST(round(${fold("element_at(qsub, d) * element_at(qsub, d)")} * $S) AS BIGINT) AS q2_i")
-  }
+  private def lutFor(queries: DataFrame, cb: DataFrame): DataFrame =
+    Similarity.adcLut(queries, cb)
 
   private def queriesOf(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < QuerySetSize)
@@ -104,10 +85,7 @@ object IvfPq {
     */
   private[ops] def adcShortlist(cand: DataFrame, codes: DataFrame,
       lut: DataFrame): DataFrame = {
-    val adcCos =
-      s"""round((CAST(dot_i AS DOUBLE) / $S)
-         | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)
-         |  * sqrt(CAST(qn2_i AS DOUBLE) / $S)), 4)""".stripMargin
+    val adcCos = Similarity.adcCosExpr
     val wShort = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_cos").desc, col("vec_id").asc)
     cand.join(codes, Seq("vec_id"))
@@ -207,6 +185,7 @@ object IvfPq {
     */
   val oracles: Map[String, String] = Map(
     "sim_ivfpq_fixed" -> {
+      val S = Similarity.AdcSnap
       val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
       val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
       val cosEQ = Similarity.sqlCos("e.embedding", "q.qv")

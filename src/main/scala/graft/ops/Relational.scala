@@ -569,14 +569,16 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("sq"))
       .filter(col("sq") > 300)
-    // the >300 HAVING keeps the hit set to a sliver of orders (~1e-4 of
-    // keys in TPC-H data), so the HITS are the broadcast side of the
-    // customer join and customer streams — without the hint the static
-    // planner (blind to the HAVING's selectivity) broadcasts customer,
-    // which is fact-sized at 100 TB
+    // the >300 HAVING keeps the hit set to ~1e-4 of orders, so HITS is
+    // the natural build side of the customer join — but it still grows
+    // linearly with SF (~1.5e7 rows at 100 TB, past any broadcast
+    // threshold), so no hint: AQE's runtime size check broadcasts it at
+    // scales where that is safe and falls back to a shuffle join where
+    // it is not. A pinned broadcast here would be the q2-supplier
+    // hazard one derivation removed
     val hits = Tables.orders(spark, sfDir)
       .join(big, col("o_orderkey") === col("l_orderkey"))
-    broadcast(hits)
+    hits
       .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
       .selectExpr("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
         "CAST(sq AS BIGINT) AS sum_qty")

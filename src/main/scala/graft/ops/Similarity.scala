@@ -630,47 +630,60 @@ object Similarity {
     * association order (per-subspace partials, then the M-term sum)
     * exactly.
     */
+  /** Integer-snap scale for the ADC partials: each order-pinned double
+    * fold snaps to an 8dp BIGINT so the per-candidate M-term sums are
+    * groupBy aggregates of INTEGERS — order-independent and
+    * bit-identical across engines (the exactMoneySum discipline; the
+    * ~1e-8 snap is noise against the 4dp ranking round). Shared by
+    * [[pqAdcSearch]] and `IvfPq` so the two ADC paths cannot drift.
+    */
+  private[ops] val AdcSnap = "100000000.0"
+
+  /** The ADC lookup table over codebook `cb` for `queries`
+    * (q_id, qv): one row per (q_id, m, code) carrying the integer
+    * partial dot, centroid-slice norm², and query-slice norm² —
+    * everything the final cosine needs. Q × PqM × PqK rows: broadcast.
+    */
+  private[ops] def adcLut(queries: DataFrame, cb: DataFrame): DataFrame = {
+    def fold(term: String) =
+      s"aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
+    val qsub = queries
+      .select(col("q_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("qv"))
+      .select(col("q_id"), col("m"),
+        expr(s"transform(slice(qv, m * $PqSubDim + 1, $PqSubDim)," +
+          " x -> CAST(x AS DOUBLE))").as("qsub"))
+    qsub.join(cb, "m")
+      .selectExpr("q_id", "m", "j AS code",
+        s"CAST(round(${fold("element_at(qsub, d) * element_at(csub, d)")} * $AdcSnap) AS BIGINT) AS pdot_i",
+        s"CAST(round(${fold("element_at(csub, d) * element_at(csub, d)")} * $AdcSnap) AS BIGINT) AS c2_i",
+        s"CAST(round(${fold("element_at(qsub, d) * element_at(qsub, d)")} * $AdcSnap) AS BIGINT) AS q2_i")
+  }
+
+  /** Cosine from the summed integer ADC partials (`dot_i`/`rn2_i`/
+    * `qn2_i` columns), rounded to the 4dp ranking lattice.
+    */
+  private[ops] def adcCosExpr: String =
+    s"""round((CAST(dot_i AS DOUBLE) / $AdcSnap)
+       | / (sqrt(CAST(rn2_i AS DOUBLE) / $AdcSnap)
+       |  * sqrt(CAST(qn2_i AS DOUBLE) / $AdcSnap)), 4)""".stripMargin
+
   def pqAdcSearch(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
     val cb = pqCodebook(e)
-    // query sub-slices: (q_id, m, qsub)
-    val qsub = e.filter(col("vec_id") < QuerySetSize)
-      .select(col("vec_id").as("q_id"),
-        explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
-      .select(col("q_id"), col("m"),
-        expr(s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim)," +
-          " x -> CAST(x AS DOUBLE))").as("qsub"))
-    def fold(term: String) =
-      s"aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
-    // the ADC lookup table: Q × PqM × PqK rows, each carrying the
-    // partial dot, the centroid slice's squared norm, and the query
-    // slice's squared norm — everything the final score needs. Each
-    // partial is an order-pinned fold (identical in DuckDB), then
-    // SNAPS TO AN 8dp INTEGER: the M-term sums below run as groupBy
-    // aggregates whose accumulation order Spark does not pin, and
-    // integer addition is the one form that is order-independent AND
-    // bit-identical across engines (the exactMoneySum discipline; the
-    // ~1e-8 snap is noise against the 4dp ranking round).
-    val S = "100000000.0"
-    val lut = qsub.join(cb, "m")
-      .selectExpr("q_id", "m", "j",
-        s"CAST(round(${fold("element_at(qsub, d) * element_at(csub, d)")} * $S) AS BIGINT) AS pdot_i",
-        s"CAST(round(${fold("element_at(csub, d) * element_at(csub, d)")} * $S) AS BIGINT) AS c2_i",
-        s"CAST(round(${fold("element_at(qsub, d) * element_at(qsub, d)")} * $S) AS BIGINT) AS q2_i")
+    val queries = e.filter(col("vec_id") < QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val lut = adcLut(queries, cb)
     val codes = pqEncode(e, cb).select(col("vec_id"), col("m"), col("code"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("qcos").desc, col("vec_id").asc)
     codes
-      .join(broadcast(lut),
-        codes("m") === lut("m") && codes("code") === lut("j"))
+      .join(broadcast(lut), Seq("m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pdot_i")).as("dot_i"), sum(col("c2_i")).as("rn2_i"),
         sum(col("q2_i")).as("qn2_i"))
       .filter(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id",
-        s"""round((CAST(dot_i AS DOUBLE) / $S)
-           | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)
-           |  * sqrt(CAST(qn2_i AS DOUBLE) / $S)), 4) AS qcos""".stripMargin)
+      .selectExpr("q_id", "vec_id", s"$adcCosExpr AS qcos")
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
   }
@@ -928,7 +941,7 @@ object Similarity {
     "sim_pq_adc" -> {
       def fold(term: String) =
         s"list_sum(list_transform(range(1, $PqSubDim + 1), d -> $term))"
-      val S = "100000000.0"
+      val S = AdcSnap
       val qcosExpr =
         s"""round((CAST(dot_i AS DOUBLE) / $S)
            | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)

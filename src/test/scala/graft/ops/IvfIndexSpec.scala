@@ -68,6 +68,29 @@ class IvfIndexSpec extends SparkSpec {
       "changed corpus must force a rebuild, not serve stale assignments")
   }
 
+  test("append refuses a corpus rewritten in place (not append-only growth)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-mut").toString
+    graft.Tables.embeddings(spark, sf0001).filter("vec_id < 300")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    IvfIndex.ensureIndex(spark, tmp)
+    // rewrite the corpus IN PLACE: same row count, different files —
+    // the committed assignments now describe embeddings that no longer
+    // exist, so appending must refuse rather than re-stamp the meta
+    // over a stale base (ensureIndex would correctly rebuild; append
+    // must not launder the staleness away)
+    val s2 = spark.newSession()
+    graft.Tables.embeddings(s2, sf0001).filter("vec_id < 300")
+      .withColumn("embedding", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> CAST(x * 2.0 AS FLOAT))"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val batch = graft.Tables.embeddings(s2, sf0001).filter("vec_id >= 300")
+      .select("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.appendCommit(s2, tmp, batch)
+    }
+    assert(ex.getMessage.contains("not append-only"), ex.getMessage)
+  }
+
   test("incremental append serves the grown corpus without a rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
     val full = graft.Tables.embeddings(spark, sf0001)

@@ -149,23 +149,41 @@ class PlanAssertSpec extends SparkSpec {
         case _ => Nil
       }
     }.flatten
+    // does the path from `node` down to an SF-scaling scan pass through
+    // a reducing node? Checked PER PATH, not per subtree: a filtered
+    // region joined beside an unreduced customer must not let the
+    // customer scan borrow region's Filter as its alibi
+    def reducedOnEveryScanPath(node: LogicalPlan, seenReducing: Boolean): Seq[String] = {
+      val reducingHere = node match {
+        case _: Filter | _: Aggregate | _: GlobalLimit => true
+        case _ => false
+      }
+      node match {
+        case lr: LogicalRelation if !seenReducing && !reducingHere =>
+          lr.relation match {
+            case fs: HadoopFsRelation =>
+              val path = fs.location.rootPaths.mkString(",")
+              sfScalingTables.filter(t => path.contains(s"$t.parquet"))
+            case _ => Nil
+          }
+        case _ =>
+          node.children.flatMap(
+            reducedOnEveryScanPath(_, seenReducing || reducingHere))
+      }
+    }
     for (name <- checked) {
       val analyzed = SparkEntry.queries(name)(spark, sf001).queryExecution.analyzed
       val hints = analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
       }
-      for (h <- hints; tables = sfScansUnder(h.child) if tables.nonEmpty) {
+      for (h <- hints) {
         // the analyzed plan carries only USER-written Filters (Catalyst
         // adds IsNotNull guards later, in optimization), so a reducing
-        // node here is a deliberate sliver/aggregate/top-k, not noise
-        val reducing = h.child.collect {
-          case f: Filter => f: LogicalPlan
-          case a: Aggregate => a: LogicalPlan
-          case l: GlobalLimit => l: LogicalPlan
-        }
-        assert(reducing.nonEmpty,
-          s"$name broadcast-hints ${tables.mkString(",")} with no reducing node " +
-            s"between hint and scan — a pinned full-table broadcast:\n${h.child}")
+        // node on the path is a deliberate sliver/aggregate/top-k
+        val unreduced = reducedOnEveryScanPath(h.child, seenReducing = false)
+        assert(unreduced.isEmpty,
+          s"$name broadcast-hints ${unreduced.mkString(",")} with no reducing " +
+            s"node on the hint-to-scan path — a pinned full-table broadcast:\n${h.child}")
       }
     }
   }
