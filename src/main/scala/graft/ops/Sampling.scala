@@ -146,9 +146,43 @@ object Sampling {
     "samp_hash" -> (hashSample(_, _)),
     "samp_stratified" -> (stratifiedByLang(_, _)),
     "samp_mixture" -> (mixtureSample(_, _)),
-    "samp_leakfree_split" -> (leakFreeSplit(_, _)))
+    "samp_leakfree_split" -> (leakFreeSplit(_, _)),
+    "samp_shuffle_shards" -> (shuffleShards(_, _)))
+
+  /** Shard count for the deterministic global shuffle. */
+  val ShuffleShards = 8
+
+  /** Deterministic global shuffle into training shards — the step every
+    * pre-training pipeline runs between curation and the loader:
+    * within-shard document order must look random (no source/time
+    * runs), be stable across reruns and cluster sizes, and never
+    * require a global sort. Shard = low bits of a salted content-id
+    * hash (an even split independent of the `samp_hash` draw); order
+    * within a shard = the remaining hash bits. The plan is
+    * hash-partition + per-shard window — at 100 TB each shard sorts
+    * independently (~1/[[ShuffleShards]] of the data; in production the
+    * shard count scales with the corpus, keeping sorts executor-sized),
+    * with NO single global ordering stage anywhere. A loader reading
+    * shard files in `pos` order consumes a reproducible permutation.
+    */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = "md5(concat('shuf|', CAST(doc_id AS STRING)))"
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", s"$h AS shuffle_key",
+        s"CAST(${md5Bucket16Sql(s"concat('shuf|', CAST(doc_id AS STRING))")} % $ShuffleShards AS BIGINT) AS shard")
+      .selectExpr("doc_id", "shard",
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos")
+  }
 
   val oracles: Map[String, String] = Map(
+    "samp_shuffle_shards" ->
+      s"""SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY md5(concat('shuf|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(${md5Bucket16Sql("concat('shuf|', CAST(doc_id AS STRING))")} % $ShuffleShards AS BIGINT) AS shard
+         |  FROM documents) t""".stripMargin,
     "samp_leakfree_split" -> {
       val bucket = md5Bucket16Sql("CAST(cluster_id AS VARCHAR)")
       s"""WITH RECURSIVE

@@ -15,6 +15,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s10a.size / n - 0.1) < 0.06, s"~10%, got ${s10a.size / n}")
   }
 
+  test("shuffle shards: every doc placed once, shards balanced, positions dense") {
+    val rows = Sampling.shuffleShards(spark, sf0001)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.length == n)
+    assert(rows.map(_._1).distinct.length == n, "each doc exactly once")
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet == (0L until Sampling.ShuffleShards).toSet,
+      s"all ${Sampling.ShuffleShards} shards populated")
+    val mean = n.toDouble / Sampling.ShuffleShards
+    assert(byShard.values.forall(s => s.length > mean / 2 && s.length < mean * 2),
+      s"hash split balanced, got ${byShard.view.mapValues(_.length).toMap}")
+    byShard.values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq == (1L to s.length),
+        "positions dense from 1 within each shard")
+    }
+  }
+
   test("leak-free split keeps every near-dup pair on one side of the boundary") {
     val split = Sampling.leakFreeSplit(spark, sf0001)
       .select("doc_id", "split").as[(Long, String)].collect().toMap
