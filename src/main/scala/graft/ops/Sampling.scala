@@ -18,16 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 16-bit value of the first 4 hex nibbles of md5(col), as shared
-    * SQL (same text on both engines).
+  /** Value of the first `nibbles` hex nibbles of md5(col), as shared
+    * SQL (same text on both engines). Capped at 6 nibbles (24 bits) so
+    * every intermediate product stays within 32-bit int on both
+    * engines (Spark would silently wrap, DuckDB would promote — a
+    * cross-engine hash mismatch).
     */
-  def md5Bucket16Sql(column: String): String = {
+  private def md5NibblesSql(column: String, nibbles: Int): String = {
+    require(nibbles >= 1 && nibbles <= 6, "1..6 nibbles (int-safe)")
     def nib(i: Int) =
       s"(CASE WHEN ascii(substr(md5($column), $i, 1)) <= 57 " +
         s"THEN ascii(substr(md5($column), $i, 1)) - 48 " +
         s"ELSE ascii(substr(md5($column), $i, 1)) - 87 END)"
-    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
+    (1 to nibbles)
+      .map(i => s"${nib(i)} * ${math.pow(16, nibbles - i).toLong}")
+      .mkString("(", " + ", ")")
   }
+
+  /** 16-bit value of the first 4 hex nibbles of md5(col). */
+  def md5Bucket16Sql(column: String): String = md5NibblesSql(column, 4)
+
+  /** 24-bit variant — the shard-assignment lattice for the adaptive
+    * training shuffle, where the shard count scales with the corpus
+    * (16.7M shard capacity ≈ 16.7 trillion docs at the default
+    * [[TargetRowsPerShard]] — the 16-bit lattice would alias above
+    * 65536 shards).
+    */
+  def md5Bucket24Sql(column: String): String = md5NibblesSql(column, 6)
 
   /** ~`permille`/1000 deterministic sample of documents by content
     * hash. Output carries the bucket so the threshold is auditable.
@@ -147,10 +164,28 @@ object Sampling {
     "samp_stratified" -> (stratifiedByLang(_, _)),
     "samp_mixture" -> (mixtureSample(_, _)),
     "samp_leakfree_split" -> (leakFreeSplit(_, _)),
-    "samp_shuffle_shards" -> (shuffleShards(_, _)))
+    "samp_shuffle_shards" -> (shuffleShards(_, _)),
+    "samp_shuffle_shards_fixed" -> (shuffleShardsFixed(_, _)))
 
-  /** Shard count for the deterministic global shuffle. */
+  /** Minimum shard count — also the fixed count of the oracle-twin
+    * query `samp_shuffle_shards_fixed`.
+    */
   val ShuffleShards = 8
+
+  /** Rows an adaptive shard targets. Each shard is sorted by ONE window
+    * task, so this bounds that task's input regardless of corpus size —
+    * the same role `IvfIndex.adaptiveK`'s √n plays for cell size. ~1M
+    * short rows is comfortably executor-sized; the shard count, not the
+    * shard size, grows with the corpus.
+    */
+  val TargetRowsPerShard: Long = 1000000L
+
+  /** `max(`[[ShuffleShards]]`, ceil(n / targetRowsPerShard))` — the
+    * corpus-scaled shard count (mirrors `IvfIndex.adaptiveK`).
+    */
+  def adaptiveShards(n: Long, targetRowsPerShard: Long = TargetRowsPerShard): Long =
+    math.max(ShuffleShards.toLong,
+      (n + targetRowsPerShard - 1) / targetRowsPerShard)
 
   /** Deterministic global shuffle into training shards — the step every
     * pre-training pipeline runs between curation and the loader:
@@ -159,13 +194,41 @@ object Sampling {
     * require a global sort. Shard = low bits of a salted content-id
     * hash (an even split independent of the `samp_hash` draw); order
     * within a shard = the remaining hash bits. The plan is
-    * hash-partition + per-shard window — at 100 TB each shard sorts
-    * independently (~1/[[ShuffleShards]] of the data; in production the
-    * shard count scales with the corpus, keeping sorts executor-sized),
-    * with NO single global ordering stage anywhere. A loader reading
-    * shard files in `pos` order consumes a reproducible permutation.
+    * hash-partition + per-shard window, with NO single global ordering
+    * stage anywhere. A loader reading shard files in `pos` order
+    * consumes a reproducible permutation.
+    *
+    * `shards` must come from [[adaptiveShards]] (or a caller-sized
+    * equivalent): each shard is one window task sorting n/shards rows,
+    * so a constant count would put ~table/shards rows in one task at
+    * 100 TB. `SamplingSpec` pins the per-shard row bound on a corpus
+    * sized to force more than [[ShuffleShards]] shards.
+    */
+  def shuffleShardsOf(docs: DataFrame, shards: Long): DataFrame = {
+    val h = "md5(concat('shuf|', CAST(doc_id AS STRING)))"
+    docs
+      .selectExpr("doc_id", s"$h AS shuffle_key",
+        s"CAST(${md5Bucket24Sql(s"concat('shuf|', CAST(doc_id AS STRING))")} % $shards AS BIGINT) AS shard")
+      .selectExpr("doc_id", "shard",
+        "CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos")
+  }
+
+  /** The registered adaptive shuffle: shard count derived from the
+    * corpus row count. The count is one cheap parquet-metadata
+    * aggregate, and the oracle replays the same `greatest(min,
+    * ceil(count/target))` arithmetic in a CTE — so the adaptive query
+    * is fully hash-checked at every SF, not rows-only.
     */
   def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    shuffleShardsOf(docs, adaptiveShards(docs.count()))
+  }
+
+  /** Fixed-count twin (the pre-adaptive form, 16-bit lattice modulo
+    * [[ShuffleShards]]): oracle-stable across SFs, kept as the
+    * regression witness for the shared shard/window machinery.
+    */
+  def shuffleShardsFixed(spark: SparkSession, sfDir: String): DataFrame = {
     val h = "md5(concat('shuf|', CAST(doc_id AS STRING)))"
     Tables.documents(spark, sfDir)
       .selectExpr("doc_id", s"$h AS shuffle_key",
@@ -176,6 +239,18 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "samp_shuffle_shards" ->
+      s"""WITH ns AS (
+         |  SELECT greatest($ShuffleShards,
+         |    CAST(ceil(count(*) / $TargetRowsPerShard.0) AS BIGINT)) AS shards
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY md5(concat('shuf|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(${md5Bucket24Sql("concat('shuf|', CAST(doc_id AS STRING))")} % ns.shards AS BIGINT) AS shard
+         |  FROM documents, ns) t""".stripMargin,
+    "samp_shuffle_shards_fixed" ->
       s"""SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard
          |    ORDER BY md5(concat('shuf|', CAST(doc_id AS STRING))), doc_id) AS BIGINT) AS pos

@@ -16,7 +16,7 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("shuffle shards: every doc placed once, shards balanced, positions dense") {
-    val rows = Sampling.shuffleShards(spark, sf0001)
+    val rows = Sampling.shuffleShardsFixed(spark, sf0001)
       .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
     val n = graft.Tables.documents(spark, sf0001).count()
     assert(rows.length == n)
@@ -31,6 +31,39 @@ class SamplingSpec extends SparkSpec {
       assert(s.map(_._3).sorted.toSeq == (1L to s.length),
         "positions dense from 1 within each shard")
     }
+  }
+
+  test("adaptive shard count scales with the corpus above the floor") {
+    assert(Sampling.adaptiveShards(0) == 8L, "empty corpus keeps the floor")
+    assert(Sampling.adaptiveShards(8000000L) == 8L, "floor holds to 8 x target")
+    assert(Sampling.adaptiveShards(8000001L) == 9L, "one row past -> one more shard")
+    assert(Sampling.adaptiveShards(1000000000L) == 1000L, "1B rows -> 1000 shards")
+    assert(Sampling.adaptiveShards(100L, targetRowsPerShard = 10L) == 10L)
+  }
+
+  test("adaptive shuffle bounds every shard's window-task input") {
+    // corpus sized to force >8 shards at a small target: the per-shard
+    // row bound is the property the fixed-8 form lacked (one window
+    // task sorting ~n/8 rows at any scale)
+    val n = 20000L
+    val target = 1000L
+    val shards = Sampling.adaptiveShards(n, target)
+    assert(shards == 20L)
+    val docs = spark.range(n).toDF("doc_id")
+    val perShard = Sampling.shuffleShardsOf(docs, shards)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(perShard.keySet == (0L until shards).toSet, "all shards populated")
+    assert(perShard.values.sum == n)
+    val bound = (target * 3) / 2
+    perShard.foreach { case (s, c) =>
+      assert(c <= bound, s"shard $s holds $c rows > ${bound} (task-input bound)")
+    }
+    // positions dense from 1 within each shard (the loader contract)
+    val dense = Sampling.shuffleShardsOf(docs, shards)
+      .select("shard", "pos").as[(Long, Long)].collect()
+      .groupBy(_._1).forall { case (_, ps) =>
+        ps.map(_._2).sorted.toSeq == (1L to ps.length) }
+    assert(dense)
   }
 
   test("leak-free split keeps every near-dup pair on one side of the boundary") {
