@@ -288,6 +288,60 @@ object PipelineQueries {
         round(col("val_i") / 100.0, 2).as("total_value"))
   }
 
+  /** Oracle-checked streaming ingest — the Structured Streaming twin of
+    * the reference's watermark-gated incremental loop
+    * (pipeline_architecture.py:278-282, README.md:94-108), driven
+    * end-to-end through the driver gate:
+    *
+    *   1. split the raw events into three parquet files by event time
+    *      ([[SplitUs]] / [[Split2Us]] boundaries — the same slices the
+    *      MOR scenario replays as batches);
+    *   2. file-stream them with `maxFilesPerTrigger=1` under
+    *      `Trigger.AvailableNow`, so the extract/stamp/key pipeline runs
+    *      as three real micro-batches through
+    *      [[graft.streaming.StreamingPipeline.runIngestBucketed]]'s
+    *      foreachBatch → BucketTable sink (keyed on `entity_id`,
+    *      precombined on event time — Hudi's streaming-write pattern);
+    *   3. read the final table.
+    *
+    * The result must equal the latest-per-entity window over ALL events
+    * — the oracle's one-window replay — because the (precombine,
+    * tieBreak) order is total, making the outcome independent of
+    * micro-batch boundaries.
+    */
+  def streamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(morScratch, "s")
+    val src = Files.createDirectories(base.resolve("src"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val splitNs = SplitUs * 1000L // raw ts column is epoch NANOS
+    val split2Ns = Split2Us * 1000L
+    Seq(
+      raw.filter(col("ts") <= splitNs),
+      raw.filter(col("ts") > splitNs && col("ts") <= split2Ns),
+      raw.filter(col("ts") > split2Ns)
+    ).zipWithIndex.foreach { case (slice, i) =>
+      val w = base.resolve(s"w$i")
+      slice.coalesce(1).write.parquet(w.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(w)
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      Files.move(part, src.resolve(s"slice$i.parquet"))
+    }
+    graft.streaming.StreamingPipeline.runIngestBucketed(spark,
+      src.toString, base.resolve("tbl").toString, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = 1, keys = Seq("entity_id"),
+      precombine = "event_timestamp", tieBreak = Seq("event_id"))
+    graft.etl.BucketTable.read(spark, base.resolve("tbl").toString)
+      .select(col("entity_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
+  }
+
   /** MOR snapshot query: merge base + logs at read time, drop
     * tombstoned keys — must equal the latest-per-user state over ALL
     * events minus the deleted users, which is what the oracle replays.
@@ -316,6 +370,7 @@ object PipelineQueries {
         col("value"), col("ts_us"), col("_seq"), col("_deleted"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_stream_ingest" -> (streamIngest(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_bucket_lookup" -> (bucketLookup(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
@@ -340,6 +395,14 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_stream_ingest" ->
+      s"""SELECT entity_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id AS entity_id, event_id, event_type, value,
+         |  epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
     "p_bucket_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

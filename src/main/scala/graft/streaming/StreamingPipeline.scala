@@ -202,11 +202,24 @@ object StreamingPipeline {
     * per-batch cost grows with everything ingested so far. First batch
     * creates the table; `maxFilesPerTrigger` upstream controls batch
     * granularity. `StreamingSpec` proves multi-batch delivery reaches
-    * key parity with the batch extract.
+    * key parity with the batch extract, and the driver gate checks the
+    * final table against the latest-per-entity oracle
+    * (`PipelineQueries.streamIngest`).
+    *
+    * `keys`/`precombine`/`tieBreak` choose the upsert identity: the
+    * default `record_id` keeps every extracted event (pure ingest);
+    * keying on `entity_id` makes each micro-batch's precombine
+    * resolution collapse to the latest state per entity — the streaming
+    * twin of `p_upsert_precombine`. Because the (precombine, tieBreak)
+    * order is total, the final table is independent of how events were
+    * batched — out-of-order delivery converges to the same state.
     */
   def runIngestBucketed(spark: SparkSession, sourceDir: String,
       targetPath: String, checkpoint: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1,
+      keys: Seq[String] = Seq("record_id"),
+      precombine: String = "event_timestamp",
+      tieBreak: Seq[String] = Seq("event_id")): Unit = {
     val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -218,8 +231,7 @@ object StreamingPipeline {
         if (!batch.isEmpty) {
           if (!graft.etl.BucketTable.exists(targetPath))
             graft.etl.BucketTable.create(batch, targetPath,
-              keys = Seq("record_id"), precombine = "event_timestamp",
-              tieBreak = Seq("event_id"))
+              keys = keys, precombine = precombine, tieBreak = tieBreak)
           else
             graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, batch)
         }
