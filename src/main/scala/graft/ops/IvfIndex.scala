@@ -435,8 +435,7 @@ object IvfIndex {
     * width; the fixed-K twin exists only for the DuckDB oracle.
     */
   private def cellPairs(spark: SparkSession, sfDir: String,
-      cells: DataFrame): DataFrame = {
-    val cand = candidatesFrom(cells)
+      cand: DataFrame): DataFrame = {
     val ea = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val eb = Tables.embeddings(spark, sfDir)
@@ -458,41 +457,91 @@ object IvfIndex {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
+  /** Hot-cell cap factor: a cell holding more than
+    * `HotCellCapFactor · √n` vectors sub-partitions before pairing.
+    * Expected cell size under [[adaptiveK]] is ~[[AssignProbes]]·√n, so
+    * the cap only bites on genuinely skewed assignments (a clustered
+    * corpus packing Θ(n) vectors into one cell — where uncapped pair
+    * generation is Θ(n²) no matter what K is).
+    */
+  val HotCellCapFactor = 4
+
+  /** `HotCellCapFactor · ceil(√n)`, floored at 1. */
+  def hotCellCap(n: Long): Long =
+    math.max(1L, HotCellCapFactor * math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** [[candidatesFrom]] with the hot-cell cap: each cell larger than
+    * `cap` is split into `ceil(cell_n / cap)` sub-cells by a secondary
+    * hash of the vector id, and pairs generate within a sub-cell only.
+    * Per-task pair work is then ≤ ~cap² regardless of how skewed the
+    * assignment is — total candidates stay O(n · cap) = O(n^1.5) even
+    * when every vector lands in ONE cell ([[adaptiveK]] only bounds the
+    * EXPECTED cell size; this bounds the worst case). The price is the
+    * same recall trade LSH banding makes: a near-dup pair inside a hot
+    * cell is found only if the secondary hash co-locates it — on normal
+    * corpora the cap never triggers (`sub_id` is constant 0) and the
+    * output is identical to the uncapped join. `IvfIndexSpec` pins the
+    * pathological-corpus bound.
+    */
+  private[ops] def candidatesCapped(cells: DataFrame, cap: Long): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val sizes = cells.groupBy(col("centroid_id")).agg(count(lit(1)).as("cell_n"))
+    // one shuffle key (centroid_id) shared by the size join and the
+    // pair join right after it — co-partitioned, no extra exchange
+    val sub = cells.join(sizes, Seq("centroid_id"))
+      .withColumn("sub_id",
+        pmod(xxhash64(col("vec_id")),
+          greatest(lit(1L), ceil(col("cell_n") / lit(cap.toDouble)).cast("long"))))
+      .select(col("centroid_id"), col("sub_id"), col("vec_id"))
+    sub.select(col("centroid_id"), col("sub_id"), col("vec_id").as("id_a"))
+      .join(sub.select(col("centroid_id"), col("sub_id"), col("vec_id").as("id_b")),
+        Seq("centroid_id", "sub_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** Candidate-pair count for cell blocking over an arbitrary corpus
     * `(vec_id, embedding)` at the adaptive cell count — the at-scale
     * contract `IvfIndexSpec` pins: with K ≈ √n cells and
     * [[AssignProbes]] memberships per vector, expected candidates are
-    * ~n^1.5, NOT the ~n²/K a constant K degrades to.
+    * ~n^1.5, NOT the ~n²/K a constant K degrades to; and with the
+    * hot-cell cap the bound holds even under a fully-degenerate
+    * assignment (every vector in one cell).
     */
   def candidatePairCount(spark: SparkSession, e: DataFrame): Long = {
     VectorFunctions.register(spark)
-    val k = adaptiveK(e.count())
+    val n = e.count()
+    val k = adaptiveK(n)
     val centroids = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    candidatesFrom(assignTop(e, centroids, AssignProbes)).count()
+    candidatesCapped(assignTop(e, centroids, AssignProbes), hotCellCap(n)).count()
   }
 
   /** Cell-blocked near-dup over the COMMITTED index's centroids
     * (rows-only in the driver gate; [[nearDupCellsFixed]] is the
-    * hash-checked twin).
+    * hash-checked twin). This is the at-scale path, so it carries the
+    * hot-cell cap — a skewed corpus can't make one cell quadratic.
     */
   def nearDupCells(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
     val (_, centroids) = ensureIndex(spark, sfDir)
     cellPairs(spark, sfDir,
-      assignTop(Tables.embeddings(spark, sfDir), centroids, AssignProbes))
+      candidatesCapped(assignTop(e, centroids, AssignProbes), hotCellCap(e.count())))
   }
 
   /** Cell-blocked near-dup over the fixed codebook — fully
     * oracle-checkable (assignment ranking and index-order cosine both
-    * replay in DuckDB).
+    * replay in DuckDB; uncapped, since xxhash64 sub-partitioning has no
+    * DuckDB replay — the cap lives on the adaptive committed path).
     */
   def nearDupCellsFixed(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
     val centroids = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    cellPairs(spark, sfDir, assignTop(e, centroids, AssignProbes))
+    cellPairs(spark, sfDir, candidatesFrom(assignTop(e, centroids, AssignProbes)))
   }
 
   /** Cell occupancy histogram (index health check) — reads the

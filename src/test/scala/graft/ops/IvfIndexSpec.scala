@@ -183,6 +183,60 @@ class IvfIndexSpec extends SparkSpec {
       s"cell blocking pruned too little: $cBig candidates for $big vectors")
   }
 
+  test("hot-cell cap bounds candidates on a fully-degenerate corpus") {
+    // pathological corpus: every vector within epsilon of ONE direction,
+    // so the whole corpus assigns to the same top-2 cells. adaptiveK
+    // only fixes the EXPECTED cell size — here assignment is maximally
+    // skewed and uncapped pair generation would be ~n^2/2 per cell.
+    val n = 2000
+    val e = spark.range(n).selectExpr(
+      "id AS vec_id",
+      // dominant first component + deterministic 1e-4-scale noise:
+      // cosine between any two vectors is ~1, all near one centroid
+      "transform(sequence(0, 15), d -> CAST(CASE WHEN d = 0 THEN 1.0 " +
+        "ELSE (hash(id * 31 + d) % 997) / 9970000.0 END AS FLOAT)) AS embedding")
+    val cap = IvfIndex.hotCellCap(n)
+    val got = IvfIndex.candidatePairCount(spark, e)
+    // per membership each vector pairs with <= ~cap others; AssignProbes
+    // memberships with 2x slack for hash-split variance
+    val bound = IvfIndex.AssignProbes.toLong * n * cap
+    assert(got <= bound,
+      s"degenerate corpus produced $got candidates > O(n^1.5) bound $bound")
+    // and far below the ~n^2/2 a single uncapped hot cell degrades to
+    assert(got < n.toLong * (n - 1) / 4,
+      s"$got candidates is within 2x of all-pairs — the cap did not bite")
+    assert(got > 0, "capped blocking must still produce candidates")
+  }
+
+  test("cap is inert on a well-spread corpus (sub_id constant)") {
+    // the normal-corpus contract: no cell exceeds the cap, so capped
+    // and uncapped candidate sets are identical
+    def corpus(n: Int) = spark.range(n).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 15), d -> CAST((hash(id * 31 + d) % 997) / 997.0 AS FLOAT)) AS embedding")
+    val e = corpus(600)
+    graft.functions.VectorFunctions.register(spark)
+    val k = IvfIndex.adaptiveK(600)
+    val centroids = e.filter($"vec_id" < k)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid"))
+    val cells = e.crossJoin(org.apache.spark.sql.functions.broadcast(centroids))
+      .selectExpr("vec_id", "centroid_id",
+        "cosine_sim(embedding, centroid) AS sim")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"sim".desc, $"centroid_id".asc)))
+      .filter($"rn" <= IvfIndex.AssignProbes)
+      .select($"vec_id", $"centroid_id")
+    val capped = IvfIndex.candidatesCapped(cells, IvfIndex.hotCellCap(600))
+      .as[(Long, Long)].collect().toSet
+    val uncapped = cells.select($"centroid_id", $"vec_id".as("id_a"))
+      .join(cells.select($"centroid_id", $"vec_id".as("id_b")), Seq("centroid_id"))
+      .filter($"id_a" < $"id_b").select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(capped == uncapped,
+      s"cap changed a well-spread corpus: ${capped.size} vs ${uncapped.size}")
+  }
+
   test("cell-blocked near-dup pairs are a sound subset of brute force") {
     val exact = Similarity.embedNearDupPairs(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
