@@ -316,13 +316,40 @@ object Similarity {
   val NdBandBitsProd: Int = NdPlanes / NdBandsProd
   val NdThresholdProd = 0.85
 
+  /** How many vectors the prod-regime witness corpus plants as
+    * near-dups, and the id offset their perturbed copies live at.
+    */
+  val NdPlantCount = 25
+  val NdPlantOffset = 1000000L
+
+  /** The prod-regime witness corpus: embeddings ∪ a perturbed copy of
+    * the first [[NdPlantCount]] vectors (first component +0.01, ids
+    * offset by [[NdPlantOffset]]). The raw corpus has no pairs at
+    * cosine ≥ 0.85, so the gate's oracle match on it was vacuous
+    * (0 = 0 rows certified nothing about the band-key/confirm
+    * arithmetic); each planted copy sits at cosine ≈ 1 of its source,
+    * so the selective banding provably finds real near-dups under the
+    * DuckDB replay. The perturbation is double-arithmetic + FLOAT cast,
+    * bit-identical on both engines.
+    */
+  private def prodWitnessCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < NdPlantCount)
+      .select((col("vec_id") + NdPlantOffset).as("vec_id"),
+        expr(s"transform(sequence(1, $Dim), d -> " +
+          "CAST(element_at(embedding, d) + " +
+          "CASE WHEN d = 1 THEN 0.01 ELSE 0.0 END AS FLOAT))").as("embedding"))
+    base.unionByName(planted)
+  }
+
   def embedNearDupLshProd(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     // same candidates-then-fetch shape as the r=2 exerciser: cached
     // sign codes feed both sides of the self-join, the candidate join
     // shuffles 16-byte id pairs, vectors re-attach by id equi-joins,
     // and the cache-release barrier sits after the cosine confirm
-    val banded = Tables.embeddings(spark, sfDir)
+    val corpus = prodWitnessCorpus(spark, sfDir)
+    val banded = corpus
       .select(col("vec_id"), ndCodeCol.as("code"))
       .withColumn("band_idx", explode(sequence(lit(0), lit(NdBandsProd - 1))))
       .select(col("vec_id"), col("band_idx"),
@@ -335,10 +362,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val ea = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val eb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     val confirmed = cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), round(cos("va", "vb"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= NdThresholdProd)
@@ -851,8 +876,15 @@ object Similarity {
          |JOIN embeddings eb ON eb.vec_id = cand.id_b
          |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 4) >= 0.4""".stripMargin,
     "dd_embed_neardup_lsh_prod" ->
-      s"""WITH c AS (
-         |  SELECT vec_id, ${sqlNdCode("embedding")} AS code FROM embeddings),
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + $NdPlantOffset AS vec_id,
+         |    list_transform(range(1, $Dim + 1), d ->
+         |      CAST(embedding[d] + CASE WHEN d = 1 THEN 0.01 ELSE 0.0 END AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id < $NdPlantCount),
+         |c AS (
+         |  SELECT vec_id, ${sqlNdCode("embedding")} AS code FROM corpus),
          |banded AS (
          |  SELECT vec_id, bi, (code >> (bi * $NdBandBitsProd)) & ${(1 << NdBandBitsProd) - 1} AS bk
          |  FROM c, (SELECT unnest(range($NdBandsProd)) AS bi) bands),
@@ -863,8 +895,8 @@ object Similarity {
          |SELECT id_a, id_b,
          |  round(${sqlCos("ea.embedding", "eb.embedding")}, 4) AS cos_sim
          |FROM cand
-         |JOIN embeddings ea ON ea.vec_id = cand.id_a
-         |JOIN embeddings eb ON eb.vec_id = cand.id_b
+         |JOIN corpus ea ON ea.vec_id = cand.id_a
+         |JOIN corpus eb ON eb.vec_id = cand.id_b
          |WHERE round(${sqlCos("ea.embedding", "eb.embedding")}, 4) >= $NdThresholdProd""".stripMargin,
     "sim_lsh_buckets" ->
       s"""SELECT bucket, count(*) AS n_vectors
