@@ -48,15 +48,48 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; `nanosAsLong` reads it as epoch-nanos LongType
-    * (exactly what DuckDB's `epoch_ns(ts)` returns, giving the oracle an
-    * exact integer handle on event time). Exposed as `ts_ns` plus a
+  /** Normalize an events frame's `ts` column to epoch-NANOS LongType.
+    *
+    * Testdata generations have encoded event time two ways: parquet
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader only accepts as
+    * an epoch-nanos LongType under `nanosAsLong` — and plain
+    * TIMESTAMP(MICROS), which arrives as a real TimestampType. All
+    * downstream code (watermark arithmetic, record keys, the DuckDB
+    * oracle's `epoch_us(ts)`) is written against the integer form, and
+    * microseconds is the finest unit both engines agree on exactly, so
+    * both encodings collapse to the same epoch-long representation
+    * (micros × 1000 has zero sub-micro digits, matching DuckDB's
+    * truncation of nanos to micros on read).
+    */
+  def normalizeTsNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType      => df
+      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        // session TZ is pinned to UTC everywhere (builders set it), so a
+        // naive timestamp's wall-clock IS its UTC epoch — the same
+        // reading DuckDB gives the column
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"unexpected events.ts type $other (expected nanos-long or timestamp)")
+    }
+  }
+
+  /** Raw events read with `ts` normalized to epoch-nanos LongType. */
+  def eventsRaw(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTsNanos(spark.read.parquet(path))
+  }
+
+  /** Events with `ts_ns` (epoch nanos), `ts_us` (epoch micros) and a
     * microsecond-truncated TimestampType `ts` for time functions.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
+    normalizeTsNanos(load(spark, sfDir, "events"))
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -96,23 +96,34 @@ object Pipeline {
     */
   def extract(spark: SparkSession, sourcePath: String, watermarkMs: Option[Long]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(sourcePath) // events schema: ts = epoch nanos (long)
+    val raw = spark.read.parquet(sourcePath)
     // Event time is keyed at MICROsecond precision (`ts div 1000`): the
-    // parquet column is nanos, but DuckDB truncates nanos to micros on
+    // source encodes nanos-as-long or micros-timestamp (see
+    // Tables.normalizeTsNanos), and DuckDB truncates nanos to micros on
     // read, so micros is the finest unit both engines agree on exactly.
     // Integer div throughout — epoch nanos ~1.7e18 exceeds double's 2^53
     // mantissa, so floating division would corrupt the low digits.
-    // The watermark predicate is applied to the RAW nanos column before
-    // projection: `ts div 1e6 > wm ⟺ ts >= (wm+1)·1e6`. The derived-
-    // column form (`event_time_ms > wm`) is an arithmetic expression
-    // parquet can't evaluate; this form reaches PushedFilters and prunes
-    // row groups by ingestion time — the property that makes incremental
-    // extracts cheap at scale.
-    val gated = watermarkMs match {
-      case Some(wm) => src.filter(col("ts") >= lit((wm + 1) * 1000000L))
-      case None     => src
+    // The watermark predicate is applied to the RAW physical column
+    // before normalization, with a literal of the column's own type:
+    // `ts div 1e6 > wm ⟺ ts >= (wm+1)·1e6` (nanos long) resp.
+    // `ts >= timestamp_micros((wm+1)·1e3)` (micros timestamp). The
+    // derived-column form (`event_time_ms > wm`) is an arithmetic
+    // expression parquet can't evaluate; the typed form reaches
+    // PushedFilters and prunes row groups by ingestion time — the
+    // property that makes incremental extracts cheap at scale.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val gated = (watermarkMs, raw.schema("ts").dataType) match {
+      case (Some(wm), TimestampType) =>
+        raw.filter(col("ts") >= timestamp_micros(lit((wm + 1) * 1000L)))
+      case (Some(wm), TimestampNTZType) =>
+        // literal-side cast only (UTC session): the column stays bare so
+        // the comparison still reaches PushedFilters
+        raw.filter(col("ts") >=
+          timestamp_micros(lit((wm + 1) * 1000L)).cast(TimestampNTZType))
+      case (Some(wm), _) => raw.filter(col("ts") >= lit((wm + 1) * 1000000L))
+      case (None, _)     => raw
     }
-    gated
+    graft.Tables.normalizeTsNanos(gated)
       .filter(col("ts").isNotNull)
       .select(
         sha2(concat_ws("|", col("event_id"), col("user_id"),

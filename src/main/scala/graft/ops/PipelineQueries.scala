@@ -313,9 +313,10 @@ object PipelineQueries {
     import java.nio.file.{Files, Paths}
     val base = Files.createTempDirectory(morScratch, "s")
     val src = Files.createDirectories(base.resolve("src"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val splitNs = SplitUs * 1000L // raw ts column is epoch NANOS
+    // normalized: ts = epoch NANOS long, so the re-written slices match
+    // StreamingPipeline.eventsNanosSchema regardless of source encoding
+    val raw = Tables.eventsRaw(spark, s"$sfDir/events.parquet")
+    val splitNs = SplitUs * 1000L
     val split2Ns = Split2Us * 1000L
     Seq(
       raw.filter(col("ts") <= splitNs),

@@ -12,8 +12,7 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = graft.Tables.eventsRaw(spark, s"$sf/events.parquet")
     ev.printSchema()
     ev.withColumn("ts_us", org.apache.spark.sql.functions.timestamp_micros(
       org.apache.spark.sql.functions.expr("ts div 1000"))).show(3, truncate = false)

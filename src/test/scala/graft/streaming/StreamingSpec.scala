@@ -150,12 +150,22 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  // Stage a DataFrame as one parquet file under dir (FileStreamSource
+  // wants a directory of files; the frame must already carry ts as
+  // epoch-nanos long to match eventsNanosSchema).
+  private def stageOneFile(df: org.apache.spark.sql.DataFrame,
+      scratch: String, name: String, destDir: String): Unit = {
+    df.coalesce(1).write.parquet(s"$scratch/$name")
+    val part = Files.list(java.nio.file.Paths.get(s"$scratch/$name"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    Files.createDirectories(java.nio.file.Paths.get(destDir))
+    Files.copy(part, java.nio.file.Paths.get(s"$destDir/$name.parquet"))
+  }
+
   test("streaming ingest upserts into the HudiLike target (batch parity)") {
     val base = Files.createTempDirectory("stream").toString
-    // FileStreamSource wants a directory; stage the single-file table
-    Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    stageOneFile(graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet"),
+      base, "events", s"$base/src")
     StreamingPipeline.runIngest(spark, s"$base/src",
       s"$base/target", s"$base/ckpt")
     val target = spark.read.parquet(s"$base/target")
@@ -174,18 +184,9 @@ class StreamingSpec extends SparkSpec {
     // stage the events table as TWO files so maxFilesPerTrigger=1
     // forces two micro-batches: create on batch 0, partial-rewrite
     // upsert on batch 1
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
-    raw.filter($"event_id" % 2 === 0).coalesce(1)
-      .write.parquet(s"$base/half0")
-    raw.filter($"event_id" % 2 =!= 0).coalesce(1)
-      .write.parquet(s"$base/half1")
-    Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-    for (h <- Seq("half0", "half1")) {
-      val part = Files.list(java.nio.file.Paths.get(s"$base/$h"))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      Files.copy(part, java.nio.file.Paths.get(s"$base/src/$h.parquet"))
-    }
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
     StreamingPipeline.runIngestBucketed(spark, s"$base/src",
       s"$base/target", s"$base/ckpt")
     val target = graft.etl.BucketTable.read(spark, s"$base/target")
