@@ -123,15 +123,30 @@ object Pipeline {
       case (Some(wm), _) => raw.filter(col("ts") >= lit((wm + 1) * 1000000L))
       case (None, _)     => raw
     }
-    graft.Tables.normalizeTsNanos(gated)
-      .filter(col("ts").isNotNull)
-      .select(
-        sha2(concat_ws("|", col("event_id"), col("user_id"),
-          expr("ts div 1000")), 256).as("record_id"),
-        col("event_id"), col("user_id").as("entity_id"),
-        timestamp_micros(expr("ts div 1000")).as("event_timestamp"),
-        expr("ts div 1000000").as("event_time_ms"),
-        col("event_type"), col("value"), col("props"))
+    keyedProjection(graft.Tables.normalizeTsNanos(gated), withBatchExtras = true)
+  }
+
+  /** THE record-key/stamp projection, over a NORMALIZED events frame
+    * (`ts` = epoch-nanos long — `Tables.normalizeTsNanos`). Both ingest
+    * front doors — [[extract]] and
+    * `graft.streaming.StreamingPipeline.extractStream` — call this one
+    * definition, so the deterministic key (sha2 over the identifying
+    * columns at micro precision) cannot drift between batch and stream;
+    * `TsEncodingSpec` diff-tests the two paths on every physical `ts`
+    * encoding. `withBatchExtras` adds the batch-only derived columns
+    * (`event_time_ms`, `props`) the streaming sink does not carry.
+    */
+  private[graft] def keyedProjection(normalized: DataFrame,
+      withBatchExtras: Boolean): DataFrame = {
+    val cols = Seq(
+      sha2(concat_ws("|", col("event_id"), col("user_id"),
+        expr("ts div 1000")), 256).as("record_id"),
+      col("event_id"), col("user_id").as("entity_id"),
+      timestamp_micros(expr("ts div 1000")).as("event_timestamp")) ++
+      (if (withBatchExtras) Seq(expr("ts div 1000000").as("event_time_ms")) else Nil) ++
+      Seq(col("event_type"), col("value")) ++
+      (if (withBatchExtras) Seq(col("props")) else Nil)
+    normalized.filter(col("ts").isNotNull).select(cols: _*)
   }
 
   /** Metadata stamping (py:233-236): processing date + load timestamp,

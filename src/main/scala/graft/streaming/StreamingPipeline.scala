@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.etl.HudiLike
+import graft.etl.{HudiLike, Pipeline}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger}
@@ -149,8 +149,15 @@ object StreamingPipeline {
       .select(col("click_id"), c("user_id").as("user_id"), col("click_ts"), col("signup_ts"))
   }
 
-  /** Source schema for streaming reads of the events parquet (ts is
-    * epoch nanos — see graft.Tables.events).
+  /** Fallback source schema for streaming reads of the events parquet
+    * when the source directory has no files yet to sniff (ts as epoch
+    * nanos — the canonical normalized form). When files exist,
+    * [[extractStream]] reads the ACTUAL schema from a footer instead:
+    * testdata generations have encoded `ts` as nanos-long, TIMESTAMP
+    * or TIMESTAMP_NTZ (see `Tables.normalizeTsNanos`), and a
+    * hard-coded long layout would either fail the read or — worse —
+    * interpret micros as nanos and mint keys disagreeing with the
+    * batch extract by 1000×.
     */
   val eventsNanosSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
@@ -177,20 +184,37 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
-  /** The keyed/stamped extract stream shared by both ingest sinks. */
-  private def extractStream(spark: SparkSession, sourceDir: String,
+  /** The keyed/stamped extract stream shared by both ingest sinks.
+    *
+    * A file-stream source needs its schema up front, so the source's
+    * physical `ts` encoding is sniffed from one batch-read footer
+    * (metadata only — no data scan) and the stream is normalized to
+    * the canonical epoch-nanos long exactly like the batch path
+    * (`Tables.normalizeTsNanos`), then keyed through the SAME
+    * projection as `Pipeline.extract` — batch and stream cannot drift.
+    */
+  private[streaming] def extractStream(spark: SparkSession, sourceDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsNanosSchema)
+    val schema = scala.util.Try(spark.read.parquet(sourceDir).schema)
+      .getOrElse(eventsNanosSchema) // empty dir: nothing to sniff yet
+    val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(sourceDir)
-      .filter(col("ts").isNotNull)
-      .select(
-        sha2(concat_ws("|", col("event_id"), col("user_id"),
-          expr("ts div 1000")), 256).as("record_id"),
-        col("event_id"), col("user_id").as("entity_id"),
-        timestamp_micros(expr("ts div 1000")).as("event_timestamp"),
-        col("event_type"), col("value"))
+    // A single-FILE source (the raw testdata layout) needs special
+    // handling: FileStreamSource forces basePath to the source path on
+    // any non-glob path, and per-batch reads reject a non-directory
+    // basePath. Rewriting the path to a single-match brace glob keeps
+    // our explicit parent basePath in force.
+    val hp = new org.apache.hadoop.fs.Path(sourceDir)
+    val streamPath =
+      if (scala.util.Try(hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(hp).isFile).getOrElse(false)) {
+        reader.option("basePath", hp.getParent.toString)
+        s"${hp.getParent}/{${hp.getName}}"
+      } else sourceDir
+    Pipeline.keyedProjection(
+      graft.Tables.normalizeTsNanos(reader.parquet(streamPath)),
+      withBatchExtras = false)
   }
 
   /** Streaming ingest into a bucket-index table: same extract stream,

@@ -86,8 +86,12 @@ class PlanAssertSpec extends SparkSpec {
   test("incremental extract pushes the watermark predicate into the scan") {
     val scans = scansUnder(plans("p_incremental_extract"))
     val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
-    assert(pushed.exists(f => f != "[]" && f.nonEmpty),
-      s"no non-empty PushedFilters in extract scan; got $pushed")
+    // the RANGE predicate itself must reach the scan — an inferred
+    // IsNotNull(ts) alone (non-empty PushedFilters) would not prune row
+    // groups by ingestion time, which is the property incremental
+    // extracts live on
+    assert(pushed.exists(_.contains("GreaterThanOrEqual(ts")),
+      s"watermark range predicate missing from PushedFilters; got $pushed")
   }
 
   test("no BroadcastNestedLoopJoin in any relational/pipeline query") {

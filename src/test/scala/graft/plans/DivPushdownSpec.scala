@@ -98,7 +98,8 @@ class DivPushdownSpec extends SparkSpec {
       // predicates, which reach PushedFilters when the column is a raw
       // parquet long. `ts_ns` is a derived column since the testdata
       // moved event time to TIMESTAMP(MICROS) (Tables.normalizeTsNanos),
-      // so assert the scan-pruning effect on the physical `event_id`;
+      // so assert the scan-pruning effect on lineitem's physical
+      // `l_orderkey`;
       // the watermark path's own pushdown is covered by PlanAssertSpec's
       // extract-scan assertion.
       val pushed = graft.Tables.lineitem(spark, sf0001)

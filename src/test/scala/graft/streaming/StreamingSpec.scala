@@ -156,8 +156,10 @@ class StreamingSpec extends SparkSpec {
   private def stageOneFile(df: org.apache.spark.sql.DataFrame,
       scratch: String, name: String, destDir: String): Unit = {
     df.coalesce(1).write.parquet(s"$scratch/$name")
-    val part = Files.list(java.nio.file.Paths.get(s"$scratch/$name"))
-      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val listing = Files.list(java.nio.file.Paths.get(s"$scratch/$name"))
+    val part =
+      try listing.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     Files.createDirectories(java.nio.file.Paths.get(destDir))
     Files.copy(part, java.nio.file.Paths.get(s"$destDir/$name.parquet"))
   }
@@ -201,5 +203,23 @@ class StreamingSpec extends SparkSpec {
     val gens = graft.etl.BucketTable.manifest(s"$base/target").values.toSet
     assert(gens.exists(_ > 0L),
       s"second micro-batch must have produced a new generation, got $gens")
+  }
+
+  test("bucketed streaming ingest of the RAW events directory (no pre-staging)") {
+    // Point the stream at the driver-generated parquet directory AS-IS:
+    // whatever physical ts encoding this testdata generation uses,
+    // extractStream must sniff it and reach key parity with the batch
+    // extract (the round-8 gap: a hard-coded nanos-long schema either
+    // failed the read or mis-keyed micros by 1000×).
+    val base = Files.createTempDirectory("streamraw").toString
+    StreamingPipeline.runIngestBucketed(spark, s"$sf0001/events.parquet",
+      s"$base/target", s"$base/ckpt")
+    val target = graft.etl.BucketTable.read(spark, s"$base/target")
+    val batchKeys = graft.etl.Pipeline
+      .extract(spark, s"$sf0001/events.parquet", None)
+      .select("record_id").as[String].collect().toSet
+    val streamKeys = target.select("record_id").as[String].collect().toSet
+    assert(streamKeys == batchKeys,
+      "raw-directory stream must reach batch-extract key parity")
   }
 }
