@@ -327,9 +327,14 @@ object IvfIndex {
         round(col("x").cast("double"), 6).as("m"))
   }
 
-  /** ANN search: probe the NProbe nearest cells per query vector
-    * (vec_id < 5 as elsewhere), exact re-rank inside them, top-5 out.
-    * Reads the committed index ([[ensureIndex]]) — no per-query build.
+  /** Trained-index ANN search: probe the NProbe nearest cells per query
+    * vector (vec_id < 5 as elsewhere), exact re-rank inside them, top-5
+    * out. Reads the committed Lloyd-trained index ([[ensureIndex]]) —
+    * no per-query build. Spec-exercised (`IvfIndexSpec` recall and
+    * artifact-parity cases); the REGISTERED `sim_ivf_search` entry is
+    * [[searchAdaptive]], whose whole path — adaptive cell count
+    * included — replays in DuckDB, because Lloyd refinement does not
+    * (float summation order differs between engines).
     */
   def search(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
@@ -337,17 +342,54 @@ object IvfIndex {
     searchFrom(assigned, centroids)
   }
 
-  /** Committed-index ANN search at the wide probe setting
-    * ([[NProbeWide]]) — the recall/cost knob on the PRODUCTION path,
-    * not just the fixed-codebook oracle twin. Rows-only in the driver
-    * gate (the Lloyd centroids aren't SQL-replayable); its arithmetic
-    * twin `sim_ivf_multiprobe` is fully hash-checked, and
-    * `IvfIndexSpec` asserts its recall dominates the nprobe=2 path.
+  /** Trained-index ANN search at the wide probe setting
+    * ([[NProbeWide]]) — the recall/cost knob on the Lloyd-trained
+    * artifact path. Spec-exercised; `IvfIndexSpec` asserts its recall
+    * dominates the nprobe=2 path. Registered `sim_ivf_search_wide` is
+    * [[searchAdaptiveWide]].
     */
   def searchWide(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val (assigned, centroids) = ensureIndex(spark, sfDir)
     searchFrom(assigned, centroids, NProbeWide)
+  }
+
+  /** Seed codebook (the first k vectors by id, no Lloyd refinement) at
+    * the corpus-adaptive cell count [[adaptiveK]] — "IVF-flat with a
+    * provided codebook", sized like the committed index. Everything
+    * downstream of the seed choice is the production arithmetic, and
+    * because the seed is deterministic the ENTIRE path — including the
+    * K ≈ √n sizing — replays in DuckDB (`count(*)` in a CTE, the same
+    * construction `samp_shuffle_shards` uses for its adaptive shard
+    * count). The one count() action is driver-side metadata, not a
+    * data loop.
+    */
+  private def adaptiveSeedCentroids(e: DataFrame): DataFrame = {
+    val k = adaptiveK(e.count())
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+  }
+
+  /** `sim_ivf_search`: hash-checked ANN search at the corpus-adaptive
+    * cell count over the seed codebook (see [[adaptiveSeedCentroids]]);
+    * the Lloyd-trained committed artifact keeps serving [[search]],
+    * covered by `sim_ivf_build` + `IvfIndexSpec`.
+    */
+  def searchAdaptive(spark: SparkSession, sfDir: String): DataFrame =
+    searchAdaptiveAt(spark, sfDir, NProbe)
+
+  /** `sim_ivf_search_wide`: the adaptive-K seed-codebook search at the
+    * wide probe setting — the recall/cost knob, hash-checked end to end.
+    */
+  def searchAdaptiveWide(spark: SparkSession, sfDir: String): DataFrame =
+    searchAdaptiveAt(spark, sfDir, NProbeWide)
+
+  private def searchAdaptiveAt(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = adaptiveSeedCentroids(e)
+    searchFrom(assign(e, centroids).cache(), centroids, nprobe)
   }
 
   /** IVF search over a FIXED codebook (the first K vectors, no Lloyd
@@ -518,10 +560,11 @@ object IvfIndex {
     candidatesCapped(assignTop(e, centroids, AssignProbes), hotCellCap(n)).count()
   }
 
-  /** Cell-blocked near-dup over the COMMITTED index's centroids
-    * (rows-only in the driver gate; [[nearDupCellsFixed]] is the
-    * hash-checked twin). This is the at-scale path, so it carries the
+  /** Cell-blocked near-dup over the COMMITTED Lloyd-trained index's
+    * centroids. This is the at-scale artifact path, so it carries the
     * hot-cell cap — a skewed corpus can't make one cell quadratic.
+    * Spec-exercised; the registered `dd_embed_neardup_ivf` entry is
+    * [[nearDupCellsAdaptive]], hash-checked end to end.
     */
   def nearDupCells(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
@@ -529,6 +572,22 @@ object IvfIndex {
     val (_, centroids) = ensureIndex(spark, sfDir)
     cellPairs(spark, sfDir,
       candidatesCapped(assignTop(e, centroids, AssignProbes), hotCellCap(e.count())))
+  }
+
+  /** `dd_embed_neardup_ivf`: cell-blocked near-dup at the
+    * corpus-adaptive cell count over the seed codebook — the adaptive
+    * sizing (the property that keeps candidates ~n^1.5) hash-checks in
+    * DuckDB. Uncapped candidate generation: the hot-cell cap's xxhash64
+    * sub-partitioning has no DuckDB replay, so the cap lives on the
+    * trained artifact path ([[nearDupCells]]); `IvfIndexSpec` pins that
+    * capped ≡ uncapped on a non-pathological corpus, so the two differ
+    * only where the cap is actually saving the job.
+    */
+  def nearDupCellsAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    cellPairs(spark, sfDir,
+      candidatesFrom(assignTop(e, adaptiveSeedCentroids(e), AssignProbes)))
   }
 
   /** Cell-blocked near-dup over the fixed codebook — fully
@@ -545,11 +604,24 @@ object IvfIndex {
   }
 
   /** Cell occupancy histogram (index health check) — reads the
-    * committed assignments, no rebuild.
+    * committed Lloyd-trained assignments, no rebuild. Spec-exercised;
+    * the registered `sim_ivf_cells` entry is [[cellStatsAdaptive]].
     */
   def cellStats(spark: SparkSession, sfDir: String): DataFrame = {
     val (assigned, _) = ensureIndex(spark, sfDir)
     assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** `sim_ivf_cells`: occupancy histogram of the adaptive-K
+    * seed-codebook assignment — hash-checked, including the K ≈ √n cell
+    * count itself (the histogram's row count IS the adaptive k, so the
+    * oracle pins the sizing formula, not just the assignment tie rule).
+    */
+  def cellStatsAdaptive(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    assign(e, adaptiveSeedCentroids(e))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
   }
 
   /** Cell histogram over the FIXED codebook (no Lloyd refinement) — the
@@ -588,29 +660,46 @@ object IvfIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_build" -> (buildQuery(_, _)),
-    "sim_ivf_search" -> (search(_, _)),
-    "sim_ivf_search_wide" -> (searchWide(_, _)),
+    "sim_ivf_search" -> (searchAdaptive(_, _)),
+    "sim_ivf_search_wide" -> (searchAdaptiveWide(_, _)),
     "sim_ivf_fixed" -> (searchFixed(_, _)),
     "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
-    "sim_ivf_cells" -> (cellStats(_, _)),
+    "sim_ivf_cells" -> (cellStatsAdaptive(_, _)),
     "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)),
-    "dd_embed_neardup_ivf" -> (nearDupCells(_, _)),
+    "dd_embed_neardup_ivf" -> (nearDupCellsAdaptive(_, _)),
     "dd_embed_neardup_ivf_fixed" -> (nearDupCellsFixed(_, _)))
 
-  /** DuckDB oracle for the fixed-codebook search: same assignment tie
-    * rule (max sim, then lowest centroid id), probe ranking on the RAW
-    * similarity, re-rank on the 4dp-rounded one — mirroring the Spark
-    * plan exactly.
+  /** The centroid-codebook CTE both oracle families share: the fixed
+    * form pins `vec_id < K`; the adaptive form computes K ≈ √n from
+    * `count(*)` exactly as [[adaptiveK]] does (same `greatest`/`ceil`/
+    * `sqrt` over IEEE doubles in both engines), so the sizing formula
+    * itself is hash-checked — the `samp_shuffle_shards` construction.
+    */
+  private[ops] def centroidCte(adaptive: Boolean): String =
+    if (adaptive)
+      s"""ks AS (
+         |  SELECT greatest($K, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings, ks WHERE vec_id < ks.k)""".stripMargin
+    else
+      s"""c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $K)""".stripMargin
+
+  /** DuckDB oracles: same assignment tie rule (max sim, then lowest
+    * centroid id), probe ranking on the RAW similarity, re-rank on the
+    * 4dp-rounded one — mirroring the Spark plan exactly; each query
+    * shape exists at both the fixed and the adaptive codebook size.
     */
   val oracles: Map[String, String] = {
     val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
     val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
     val cosVQ = Similarity.sqlCos("a.embedding", "q.qv")
-    def fixedSearchSql(nprobe: Int): String =
-      s"""WITH c AS (
-         |  SELECT vec_id AS centroid_id, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $K),
+    def searchSql(nprobe: Int, adaptive: Boolean): String =
+      s"""WITH ${centroidCte(adaptive)},
          |a AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -635,40 +724,42 @@ object IvfIndex {
          |  WHERE a.vec_id <> q.q_id) s
          |WHERE rnk <= 5""".stripMargin
     val cosXY = Similarity.sqlCos("x.embedding", "y.embedding")
+    def nearDupSql(adaptive: Boolean): String =
+      s"""WITH ${centroidCte(adaptive)},
+         |a AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, c) t WHERE rn <= $AssignProbes),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM a x JOIN a y
+         |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+         |SELECT cand.id_a, cand.id_b, round($cosXY, 4) AS cos_sim
+         |FROM cand
+         |JOIN embeddings x ON cand.id_a = x.vec_id
+         |JOIN embeddings y ON cand.id_b = y.vec_id
+         |WHERE round($cosXY, 4) >= 0.4""".stripMargin
+    def cellsSql(adaptive: Boolean): String =
+      s"""WITH ${centroidCte(adaptive)},
+         |a AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, c) t WHERE rn = 1)
+         |SELECT centroid_id, count(*) AS n_vectors
+         |FROM a GROUP BY centroid_id""".stripMargin
     Map(
-      "sim_ivf_fixed" -> fixedSearchSql(NProbe),
-      "sim_ivf_multiprobe" -> fixedSearchSql(NProbeWide),
-      "dd_embed_neardup_ivf_fixed" ->
-        s"""WITH c AS (
-           |  SELECT vec_id AS centroid_id, embedding AS centroid
-           |  FROM embeddings WHERE vec_id < $K),
-           |a AS (
-           |  SELECT vec_id, centroid_id FROM (
-           |    SELECT e.vec_id, c.centroid_id,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
-           |    FROM embeddings e, c) t WHERE rn <= $AssignProbes),
-           |cand AS (
-           |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-           |  FROM a x JOIN a y
-           |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
-           |SELECT cand.id_a, cand.id_b, round($cosXY, 4) AS cos_sim
-           |FROM cand
-           |JOIN embeddings x ON cand.id_a = x.vec_id
-           |JOIN embeddings y ON cand.id_b = y.vec_id
-           |WHERE round($cosXY, 4) >= 0.4""".stripMargin,
-      "sim_ivf_cells_fixed" ->
-        s"""WITH c AS (
-           |  SELECT vec_id AS centroid_id, embedding AS centroid
-           |  FROM embeddings WHERE vec_id < $K),
-           |a AS (
-           |  SELECT vec_id, centroid_id FROM (
-           |    SELECT e.vec_id, c.centroid_id,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
-           |    FROM embeddings e, c) t WHERE rn = 1)
-           |SELECT centroid_id, count(*) AS n_vectors
-           |FROM a GROUP BY centroid_id""".stripMargin,
+      "sim_ivf_fixed" -> searchSql(NProbe, adaptive = false),
+      "sim_ivf_multiprobe" -> searchSql(NProbeWide, adaptive = false),
+      "sim_ivf_search" -> searchSql(NProbe, adaptive = true),
+      "sim_ivf_search_wide" -> searchSql(NProbeWide, adaptive = true),
+      "dd_embed_neardup_ivf_fixed" -> nearDupSql(adaptive = false),
+      "dd_embed_neardup_ivf" -> nearDupSql(adaptive = true),
+      "sim_ivf_cells_fixed" -> cellsSql(adaptive = false),
+      "sim_ivf_cells" -> cellsSql(adaptive = true),
       "sim_ivf_one_round" ->
         s"""WITH c AS (
            |  SELECT vec_id AS centroid_id, embedding AS centroid

@@ -133,8 +133,17 @@ object IvfPq {
     */
   private[ops] def fixedShortlist(e0: DataFrame, nprobe: Int): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding"))
-    val centroids = e.filter(col("vec_id") < IvfIndex.K)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    shortlistOn(e, e.filter(col("vec_id") < IvfIndex.K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid")),
+      nprobe)
+  }
+
+  /** Stages 1+2 over an arbitrary seed-centroid frame — shared by the
+    * fixed-K and adaptive-K paths (seed PQ codebook in both; only the
+    * IVF codebook size differs).
+    */
+  private def shortlistOn(e: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
     val assignedIds = IvfIndex.assign(e, centroids)
       .select(col("vec_id"), col("centroid_id"))
     val cb = Similarity.pqCodebook(e)
@@ -153,15 +162,32 @@ object IvfPq {
     searchOn(Tables.embeddings(spark, sfDir), IvfIndex.NProbe)
   }
 
-  /** `sim_ivfpq_search`: the production path — committed Lloyd-trained
-    * IVF index (adaptive K) for the probes, committed trained PQ
-    * codebook + code table for the ADC stage. Raw vectors are read
-    * exactly twice: Q query rows and the Q × R shortlist fetch; the
-    * corpus-wide inputs are the id-only assignments and the ~4-byte
-    * codes. Rows-only in the driver gate; `sim_ivfpq_fixed` is the
-    * hash-checked twin on the identical plan.
+  /** `sim_ivfpq_search`: IVF-PQ at the corpus-adaptive IVF codebook
+    * size (K ≈ √n seed centroids — `IvfIndex.adaptiveK` replayed from
+    * `count(*)` in the oracle) with the seed PQ codebook — every stage
+    * hash-checks in DuckDB, including the sizing. The Lloyd-trained +
+    * trained-PQ artifact path remains [[searchTrained]], spec-exercised
+    * (trained models don't replay: float summation order differs
+    * between engines).
     */
   def search(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val k = IvfIndex.adaptiveK(e.count())
+    val centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    rerank(shortlistOn(e, centroids, IvfIndex.NProbe), e, queriesOf(e))
+  }
+
+  /** The trained-artifact production path — committed Lloyd-trained
+    * IVF index for the probes, committed trained PQ codebook + code
+    * table for the ADC stage. Raw vectors are read exactly twice: Q
+    * query rows and the Q × R shortlist fetch; the corpus-wide inputs
+    * are the id-only assignments and the ~4-byte codes. Spec-exercised
+    * (`IvfPqSpec`); the registered `sim_ivfpq_search` entry is the
+    * hash-checked adaptive-K [[search]].
+    */
+  def searchTrained(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val (assigned, centroids) = IvfIndex.ensureIndex(spark, sfDir)
     val (cb, codes) = Similarity.ensureTrainedPq(spark, sfDir)
@@ -178,13 +204,14 @@ object IvfPq {
     "sim_ivfpq_fixed" -> (searchFixed(_, _)),
     "sim_ivfpq_search" -> (search(_, _)))
 
-  /** DuckDB replay of the fixed twin: seed-centroid assignment argmax
-    * (`sim_ivf_fixed`'s tie rule), the PQ encode CTEs shared with
-    * `sim_pq_codes`, integer ADC sums (`sim_pq_adc`'s association
-    * order), the ShortlistR window cut, then the exact-cosine re-rank.
+  /** DuckDB replay of both twins: seed-centroid assignment argmax
+    * (`sim_ivf_fixed`'s tie rule) at the fixed resp. adaptive IVF
+    * codebook size, the PQ encode CTEs shared with `sim_pq_codes`,
+    * integer ADC sums (`sim_pq_adc`'s association order), the
+    * ShortlistR window cut, then the exact-cosine re-rank.
     */
-  val oracles: Map[String, String] = Map(
-    "sim_ivfpq_fixed" -> {
+  val oracles: Map[String, String] = {
+    def sql(adaptive: Boolean): String = {
       val S = Similarity.AdcSnap
       val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
       val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
@@ -195,10 +222,20 @@ object IvfPq {
         s"""round((CAST(dot_i AS DOUBLE) / $S)
            | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)
            |  * sqrt(CAST(qn2_i AS DOUBLE) / $S)), 4)""".stripMargin
+      val ivfcCte =
+        if (adaptive)
+          s"""ivfk AS (
+             |  SELECT greatest(${IvfIndex.K}, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
+             |  FROM embeddings),
+             |ivfc AS (
+             |  SELECT vec_id AS centroid_id, embedding AS centroid
+             |  FROM embeddings, ivfk WHERE vec_id < ivfk.k)""".stripMargin
+        else
+          s"""ivfc AS (
+             |  SELECT vec_id AS centroid_id, embedding AS centroid
+             |  FROM embeddings WHERE vec_id < ${IvfIndex.K})""".stripMargin
       s"""WITH ${Similarity.pqEncSql},
-         |ivfc AS (
-         |  SELECT vec_id AS centroid_id, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < ${IvfIndex.K}),
+         |$ivfcCte,
          |asn AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT e.vec_id, c.centroid_id,
@@ -249,5 +286,9 @@ object IvfPq {
          |  JOIN embeddings e ON e.vec_id = s.vec_id
          |  JOIN q ON q.q_id = s.q_id) r
          |WHERE rnk <= 5""".stripMargin
-    })
+    }
+    Map(
+      "sim_ivfpq_fixed" -> sql(adaptive = false),
+      "sim_ivfpq_search" -> sql(adaptive = true))
+  }
 }

@@ -251,6 +251,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall >= 0.3, s"cell-blocked recall $recall (${cell.size}/${exact.size})")
   }
 
+  test("trained-index and adaptive-seed near-dup paths are both sound") {
+    // the committed (Lloyd-trained, hot-cell-capped) path lost its
+    // driver-gate registration to the hash-checked adaptive twin — keep
+    // it exercised here: both must emit only true ≥-threshold pairs
+    val exact = Similarity.embedNearDupPairs(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    for ((name, df) <- Seq(
+        "trained" -> IvfIndex.nearDupCells(spark, sf0001),
+        "adaptive" -> IvfIndex.nearDupCellsAdaptive(spark, sf0001))) {
+      val got = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.nonEmpty, s"$name produced no pairs")
+      assert((got -- exact).isEmpty,
+        s"$name emitted pairs failing the exact cosine filter")
+    }
+  }
+
   test("search is exact within the probed cells") {
     graft.functions.VectorFunctions.register(spark)
     val got = IvfIndex.search(spark, sf0001)

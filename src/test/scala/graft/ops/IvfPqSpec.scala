@@ -99,11 +99,11 @@ class IvfPqSpec extends SparkSpec {
 
   test("committed path reuses the trained artifacts and returns dense top-5 ranks") {
     register()
-    IvfPq.search(spark, sf0001).count() // builds ivf + pq artifacts if absent
+    IvfPq.searchTrained(spark, sf0001).count() // builds ivf + pq artifacts if absent
     val pqDir = IvfIndex.artifactDir(sf0001, "pq")
     val before = Seq(s"$pqDir/meta", s"$pqDir/codes")
       .map(p => Files.getLastModifiedTime(Paths.get(p)))
-    val res = IvfPq.search(spark, sf0001)
+    val res = IvfPq.searchTrained(spark, sf0001)
       .select("q_id", "vec_id", "cos_sim", "rnk")
       .as[(Long, Long, Double, Long)].collect()
     val after = Seq(s"$pqDir/meta", s"$pqDir/codes")
