@@ -226,12 +226,50 @@ object Dedup {
     * a high-diameter component is still shortcut after a constant
     * delay — O(log n) with the common case at hop-only cost.
     */
+  /** Materialize a checkpoint whose physical partitioning/ordering
+    * SURVIVES into the checkpointed plan: `localCheckpoint` copies
+    * `executedPlan.outputPartitioning` into the LogicalRDD, but under
+    * AQE the executed plan is the adaptive wrapper, which reports
+    * UnknownPartitioning — so every checkpoint inside the CC loop would
+    * silently forget its layout and each round would re-exchange both
+    * join sides from scratch. AQE is disabled for just this one query's
+    * materialization (the loop's round shapes are fixed joins over
+    * pre-partitioned checkpoints — there is nothing for AQE to re-plan
+    * there anyway), then restored.
+    */
+  private def checkpointKeepingLayout(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint()
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** The symmetrized edge list, hash-partitioned ON THE JOIN KEY (`dst`)
+    * once and materialized with its layout preserved
+    * ([[checkpointKeepingLayout]]): every propagation round joins
+    * `edges.dst = labels.id`, so the per-round sort-merge join reuses
+    * this one exchange (and the within-partition sort) instead of
+    * re-shuffling the full edge list every round — at 100 TB the edge
+    * list is the O(corpus) side and rounds are O(log n), so this is the
+    * difference between shuffling E once and shuffling E·log n.
+    * `ClusterPartitioningSpec` pins the reuse on the physical plan.
+    */
+  private[ops] def ccEdges(pairs: DataFrame): DataFrame =
+    checkpointKeepingLayout(
+      pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .repartition(col("dst"))
+        .sortWithinPartitions(col("dst")))
+
   private[ops] def clustersFromPairs(pairs0: DataFrame): (DataFrame, Int) = {
+    // the FIRST checkpoint runs the expensive candidate-pair lineage, so
+    // it keeps AQE; everything downstream is layout-critical
     val pairs = pairs0.toDF("doc_a", "doc_b").localCheckpoint()
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    val edges = ccEdges(pairs)
+    var labels = checkpointKeepingLayout(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     var changed = 1L
     var iter = 0
     val maxRounds = 64
@@ -250,21 +288,27 @@ object Dedup {
       var hoppedRef: DataFrame = null
       val next =
         if (iter < 2) {
-          hop.select(col("id"), col("cluster"),
-            (col("cluster") < col("old")).as("chg"))
-            .localCheckpoint()
+          checkpointKeepingLayout(
+            hop.select(col("id"), col("cluster"),
+              (col("cluster") < col("old")).as("chg")))
         } else {
           // checkpoint between hop and jump: the jump self-joins the
           // hopped frame, and without the barrier both branches would
           // recompute the hop's shuffle
-          val hopped = hop.localCheckpoint()
+          val hopped = checkpointKeepingLayout(hop)
           hoppedRef = hopped
           val parent = hopped.select(col("id").as("pid"), col("cluster").as("pcluster"))
-          hopped.join(parent, hopped("cluster") === parent("pid"), "left")
-            .select(hopped("id"),
-              coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
-              (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
-            .localCheckpoint()
+          checkpointKeepingLayout(
+            hopped.join(parent, hopped("cluster") === parent("pid"), "left")
+              .select(hopped("id"),
+                coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
+                (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
+              // the jump join keyed on the LABEL VALUE, so its output
+              // lost the id-partitioning every other round-step reuses
+              // (the edges.dst join and the hop join both key on id);
+              // restore it before the checkpoint — one V-sized exchange
+              // here saves two in the next round
+              .repartition(col("id")))
         }
       changed = next.filter(col("chg")).count()
       if (hoppedRef != null) hoppedRef.unpersist()
