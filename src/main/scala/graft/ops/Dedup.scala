@@ -506,10 +506,18 @@ object Dedup {
     * ([[minhashSignaturesAgg]]) stays as the custom-Aggregator surface;
     * `DedupSpec` ties the two together on recall.
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignaturesOf(Tables.documents(spark, sfDir))
+
+  /** The signature pass over an arbitrary `(doc_id, text)` frame —
+    * shared by the full-corpus query and the incremental LSH index
+    * (signatures are strictly per-doc, so batch and corpus sides
+    * compute byte-identical rows by construction).
+    */
+  private[ops] def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     // md5 lands in its own projection so CollapseProject won't inline
     // (and so re-evaluate) the string hash into both substr sites
-    val hashed = shingles(spark, sfDir)
+    val hashed = shinglesOf(docs)
       .select(col("doc_id"), md5(col("s")).as("mh"))
       .select(col("doc_id"),
         expr("CAST(conv(substr(mh, 1, 15), 16, 10) AS BIGINT)").as("h1"),
@@ -547,18 +555,26 @@ object Dedup {
   def minhashCandidatesAgg(spark: SparkSession, sfDir: String): DataFrame =
     candidatesFromSignatures(minhashSignaturesAgg(spark, sfDir))
 
-  private def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
-    val sig = signatures.cache()
-    // band key = the band's literal min-hash contents (not an engine-
-    // specific hash of them): collision-free, identical in DuckDB
+  /** 16×4 banding of a signature frame: one row per (doc, band) with
+    * the band key. Band key = the band's literal min-hash contents (not
+    * an engine-specific hash of them): collision-free, identical in
+    * DuckDB. Shared by the all-pairs candidate join and the persisted
+    * LSH index's band table.
+    */
+  private[ops] def bandedOf(signatures: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { bIdx =>
       val parts = (0 until RowsPerBand).map(r =>
         element_at(col("sig"), bIdx * RowsPerBand + r + 1))
       struct(lit(bIdx).as("band"), concat_ws(",", parts: _*).as("bh"))
     }
-    val banded = sig.select(col("doc_id"), col("sig"),
+    signatures.select(col("doc_id"), col("sig"),
       explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  private def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
+    val sig = signatures.cache()
+    val banded = bandedOf(sig)
     val a = banded.as("a"); val b = banded.as("b")
     val out = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
@@ -578,7 +594,90 @@ object Dedup {
     out
   }
 
+  // ---- incremental MinHash-LSH index (persisted; the at-scale ingest path) --
+
+  /** Create the persisted LSH index for a standing corpus: a signature
+    * table keyed on `doc_id` and a band table keyed on `(doc_id, band)`,
+    * each a `BucketTable`, so per-batch maintenance rewrites only the
+    * touched buckets — O(batch + touched buckets) per commit, the same
+    * sink shape as the streaming ingest. This is [[incrementalNew]]'s
+    * shingle-index idea moved onto the LSH path: the per-batch lookup
+    * joins ~16 band rows per incoming doc against the band table
+    * instead of every shingle against the shingle table, which is what
+    * survives 100 TB (band rows are fixed-width and 16/doc; shingle
+    * rows are ~|text|/doc).
+    */
+  def initLshIndex(docs: DataFrame, indexDir: String): Unit = {
+    val sig = minhashSignaturesOf(docs).localCheckpoint()
+    graft.etl.BucketTable.create(sig, s"$indexDir/sig",
+      keys = Seq("doc_id"), precombine = "doc_id")
+    graft.etl.BucketTable.create(
+      bandedOf(sig).select(col("doc_id"), col("band"), col("bh")),
+      s"$indexDir/bands", keys = Seq("doc_id", "band"), precombine = "bh")
+  }
+
+  /** Fold an accepted batch into the standing LSH index through the
+    * keyed bucket-upsert path — idempotent (signatures are a pure
+    * function of the text, keys are (doc_id[, band])), so re-ingesting
+    * a batch after a crash is a no-op and incremental maintenance
+    * converges to exactly the from-scratch index ([[LshIndexSpec]]
+    * pins batch-incremental ≡ from-scratch).
+    */
+  def appendToLshIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit = {
+    val sig = minhashSignaturesOf(batch).localCheckpoint()
+    graft.etl.BucketTable.upsertInto(spark, s"$indexDir/sig", sig)
+    graft.etl.BucketTable.upsertInto(spark, s"$indexDir/bands",
+      bandedOf(sig).select(col("doc_id"), col("band"), col("bh")))
+    ()
+  }
+
+  /** Near-dup lookup of an incoming batch against the PERSISTED LSH
+    * index: batch signatures (one pass over the batch only), band join
+    * against the standing band table, estimate from the two signature
+    * tables, threshold — per-batch cost O(batch × bucket), corpus never
+    * rescanned. Self-matches excluded so the lookup stays correct after
+    * an idempotent re-ingest of the same batch.
+    */
+  def lshAgainstIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame = {
+    val corpusSig = graft.etl.BucketTable.read(spark, s"$indexDir/sig")
+      .select(col("doc_id").as("corpus_id"), col("sig").as("sig_b"))
+    val corpusBands = graft.etl.BucketTable.read(spark, s"$indexDir/bands")
+      .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
+    val bsig = minhashSignaturesOf(batch).localCheckpoint()
+    val cand = bandedOf(bsig).select(col("doc_id"), col("band"), col("bh"))
+      .join(corpusBands, Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(bsig.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .join(corpusSig, Seq("corpus_id"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)) / lit(NumPerms.toDouble), 6))
+      .filter(col("est_jaccard") >= JaccardThreshold)
+      .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
+  }
+
+  /** `dd_incremental_lsh`: the [[incrementalNew]] scenario on the LSH
+    * path — stand up the index over the corpus split (doc_id not
+    * divisible by [[IncomingMod]]), then look up the incoming split
+    * against it. Signatures are per-doc, so the oracle replays the
+    * whole construction over `documents` and restricts the candidate
+    * join to batch×corpus — hash-checked end to end like
+    * `dd_minhash_lsh`.
+    */
+  def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    initLshIndex(d.filter(col("doc_id") % IncomingMod =!= 0), dir)
+    lshAgainstIndex(spark, d.filter(col("doc_id") % IncomingMod === 0), dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental_lsh" -> (incrementalLsh(_, _)),
     "dd_exact_groups" -> (exactGroups(_, _)),
     "dd_exact_survivors" -> (exactSurvivors(_, _)),
     "dd_normalized" -> (normalizedGroups(_, _)),
@@ -595,45 +694,67 @@ object Dedup {
     * and `DedupSpec` verifies its recall. `dd_minhash_lsh` — the md5-
     * family construction — is fully oracle-checked below.
     */
+  /** The DuckDB replay of the md5 Kirsch–Mitzenmacher construction up
+    * to banding (shingles → base hashes → 64-perm signatures → band
+    * keys) — shared by `dd_minhash_lsh` (all-pairs candidates) and
+    * `dd_incremental_lsh` (batch×corpus candidates).
+    */
+  private def minhashCtes: String = {
+    val sigMins = (0 until NumPerms).map(j =>
+      s"min((h1 + $j * h2) % $PermMod) AS m$j")
+      .mkString(",\n      ")
+    val sigList = (0 until NumPerms).map(j => s"m$j").mkString(", ")
+    val bandKey = (1 to RowsPerBand)
+      .map(r => s"sig[b * $RowsPerBand + $r]").mkString("concat_ws(',', ", ", ", ")")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
+       |    i -> concat_ws(' ', ${(1 to ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleSize),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(s), 17, 14) AS BIGINT) AS h2
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, list_value($sigList) AS sig FROM (
+       |    SELECT doc_id,
+       |      $sigMins
+       |    FROM hs GROUP BY doc_id) m),
+       |banded AS (
+       |  SELECT doc_id, b AS band, $bandKey AS bh
+       |  FROM sig, (SELECT unnest(range($NumBands)) AS b) bands)""".stripMargin
+  }
+
+  private def sigMatches =
+    s"len(list_filter(list_transform(range(1, $NumPerms + 1), i -> sa.sig[i] = sb.sig[i]), x -> x))"
+
   val oracles: Map[String, String] = Map(
-    "dd_minhash_lsh" -> {
-      val sigMins = (0 until NumPerms).map(j =>
-        s"min((h1 + $j * h2) % $PermMod) AS m$j")
-        .mkString(",\n      ")
-      val sigList = (0 until NumPerms).map(j => s"m$j").mkString(", ")
-      val bandKey = (1 to RowsPerBand)
-        .map(r => s"sig[b * $RowsPerBand + $r]").mkString("concat_ws(',', ", ", ", ")")
-      val matches =
-        s"len(list_filter(list_transform(range(1, $NumPerms + 1), i -> sa.sig[i] = sb.sig[i]), x -> x))"
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(len(string_split(text, ' ')) - ${ShingleSize - 1}),
-         |    i -> concat_ws(' ', ${(1 to ShingleSize).map(j => s"string_split(text, ' ')[i+$j]").mkString(", ")})))) AS s
-         |  FROM documents WHERE len(string_split(text, ' ')) >= $ShingleSize),
-         |hs AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
-         |    CAST('0x' || substr(md5(s), 17, 14) AS BIGINT) AS h2
-         |  FROM sh),
-         |sig AS (
-         |  SELECT doc_id, list_value($sigList) AS sig FROM (
-         |    SELECT doc_id,
-         |      $sigMins
-         |    FROM hs GROUP BY doc_id) m),
-         |banded AS (
-         |  SELECT doc_id, b AS band, $bandKey AS bh
-         |  FROM sig, (SELECT unnest(range($NumBands)) AS b) bands),
+    "dd_minhash_lsh" ->
+      s"""WITH $minhashCtes,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
-         |  round($matches / $NumPerms.0, 6) AS est_jaccard
+         |  round($sigMatches / $NumPerms.0, 6) AS est_jaccard
          |FROM cand
          |JOIN sig sa ON sa.doc_id = cand.doc_a
          |JOIN sig sb ON sb.doc_id = cand.doc_b
-         |WHERE round($matches / $NumPerms.0, 6) >= $JaccardThreshold""".stripMargin
-    },
+         |WHERE round($sigMatches / $NumPerms.0, 6) >= $JaccardThreshold""".stripMargin,
+    "dd_incremental_lsh" ->
+      s"""WITH $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh
+         |   AND a.doc_id % $IncomingMod = 0 AND b.doc_id % $IncomingMod <> 0)
+         |SELECT cand.doc_id, cand.corpus_id,
+         |  round($sigMatches / $NumPerms.0, 6) AS est_jaccard
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_id
+         |JOIN sig sb ON sb.doc_id = cand.corpus_id
+         |WHERE round($sigMatches / $NumPerms.0, 6) >= $JaccardThreshold""".stripMargin,
     "dd_exact_groups" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

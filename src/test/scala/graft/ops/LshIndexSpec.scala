@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.etl.BucketTable
+import java.nio.file.Files
+
+/** The incremental MinHash-LSH index contract:
+  *   1. incremental maintenance (init corpus, append batch) converges to
+  *      exactly the from-scratch index over corpus ∪ batch, and
+  *      re-appending a batch is a no-op (crash-safe idempotent ingest);
+  *   2. the per-batch index lookup finds exactly the batch×corpus subset
+  *      of the all-pairs LSH candidates at the same estimates.
+  */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigRows(dir: String): Set[(Long, Seq[Long])] =
+    BucketTable.read(spark, s"$dir/sig")
+      .as[(Long, Seq[Long])].collect().toSet
+
+  private def bandRows(dir: String): Set[(Long, Int, String)] =
+    BucketTable.read(spark, s"$dir/bands")
+      .as[(Long, Int, String)].collect().toSet
+
+  test("batch-incremental maintenance equals the from-scratch index; re-append is a no-op") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val corpus = d.filter($"doc_id" % Dedup.IncomingMod =!= 0)
+    val batch = d.filter($"doc_id" % Dedup.IncomingMod === 0)
+    val incDir = Files.createTempDirectory("lsh-inc").toString
+    val fullDir = Files.createTempDirectory("lsh-full").toString
+    Dedup.initLshIndex(corpus, incDir)
+    Dedup.appendToLshIndex(spark, batch, incDir)
+    val afterAppend = (sigRows(incDir), bandRows(incDir))
+    Dedup.appendToLshIndex(spark, batch, incDir) // idempotent re-ingest
+    assert((sigRows(incDir), bandRows(incDir)) == afterAppend,
+      "re-appending the same batch must not change the index")
+    Dedup.initLshIndex(d, fullDir)
+    assert(sigRows(incDir) == sigRows(fullDir),
+      "incremental signature table diverged from from-scratch build")
+    assert(bandRows(incDir) == bandRows(fullDir),
+      "incremental band table diverged from from-scratch build")
+  }
+
+  test("index lookup equals the all-pairs LSH restricted to batch-vs-corpus") {
+    val got = Dedup.incrementalLsh(spark, sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = Dedup.minhashCandidates(spark, sf0001)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, e) =>
+        if (a % Dedup.IncomingMod == 0 && b % Dedup.IncomingMod != 0) Some((a, b, e))
+        else if (b % Dedup.IncomingMod == 0 && a % Dedup.IncomingMod != 0) Some((b, a, e))
+        else None
+      }.toSet
+    assert(got == expected,
+      s"lookup found ${got.size} pairs, all-pairs restriction has ${expected.size}")
+  }
+}
