@@ -661,6 +661,42 @@ object Dedup {
       .select(col("doc_id"), col("corpus_id"), col("est_jaccard"))
   }
 
+  /** One micro-batch of the online dedup ingest
+    * (`StreamingPipeline.runDedupIngest`): drop every batch doc that is
+    * an LSH near-dup of the standing index (exact copies are the
+    * est=1.0 case — identical text collides on every band) or of a
+    * LOWER-id doc in the same batch, upsert the survivors into the
+    * corpus table, and fold them into the index so later batches dedup
+    * against them. Idempotent per batch: replaying a batch finds its
+    * own rows in the index only as self-matches (excluded), its
+    * survivors upsert to identical rows, and its dropped docs drop
+    * again.
+    */
+  def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
+      indexDir: String, acceptPath: String): Unit = {
+    val b = batch.localCheckpoint()
+    val vsIndex =
+      if (graft.etl.BucketTable.exists(s"$indexDir/sig"))
+        lshAgainstIndex(spark, b, indexDir).select(col("doc_id"))
+      else b.select(col("doc_id")).limit(0)
+    // within-batch: greedy keep-lowest-id over the batch's own LSH
+    // candidate pairs (doc_a < doc_b by construction)
+    val withinBatch = candidatesFromSignatures(minhashSignaturesOf(b))
+      .select(col("doc_b").as("doc_id"))
+    val dropIds = vsIndex.union(withinBatch).distinct()
+    val accepted = b.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
+    if (!accepted.isEmpty) {
+      if (!graft.etl.BucketTable.exists(acceptPath))
+        graft.etl.BucketTable.create(accepted, acceptPath,
+          keys = Seq("doc_id"), precombine = "doc_id")
+      else
+        graft.etl.BucketTable.upsertInto(spark, acceptPath, accepted)
+      if (!graft.etl.BucketTable.exists(s"$indexDir/sig"))
+        initLshIndex(accepted, indexDir)
+      else appendToLshIndex(spark, accepted, indexDir)
+    }
+  }
+
   /** `dd_incremental_lsh`: the [[incrementalNew]] scenario on the LSH
     * path — stand up the index over the corpus split (doc_id not
     * divisible by [[IncomingMod]]), then look up the incoming split

@@ -196,15 +196,28 @@ object StreamingPipeline {
   private[streaming] def extractStream(spark: SparkSession, sourceDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Pipeline.keyedProjection(
+      graft.Tables.normalizeTsNanos(
+        fileStream(spark, sourceDir, eventsNanosSchema, maxFilesPerTrigger)),
+      withBatchExtras = false)
+  }
+
+  /** Schema-sniffing parquet file stream shared by the ingest sinks:
+    * the stream schema comes from a batch-read footer of the actual
+    * source (metadata only), with `fallback` covering a not-yet-
+    * populated directory. A single-FILE source (the raw testdata
+    * layout) needs special handling: FileStreamSource forces basePath
+    * to the source path on any non-glob path, and per-batch reads
+    * reject a non-directory basePath — rewriting the path to a
+    * single-match brace glob keeps our explicit parent basePath in
+    * force.
+    */
+  private def fileStream(spark: SparkSession, sourceDir: String,
+      fallback: StructType, maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema = scala.util.Try(spark.read.parquet(sourceDir).schema)
-      .getOrElse(eventsNanosSchema) // empty dir: nothing to sniff yet
+      .getOrElse(fallback)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    // A single-FILE source (the raw testdata layout) needs special
-    // handling: FileStreamSource forces basePath to the source path on
-    // any non-glob path, and per-batch reads reject a non-directory
-    // basePath. Rewriting the path to a single-match brace glob keeps
-    // our explicit parent basePath in force.
     val hp = new org.apache.hadoop.fs.Path(sourceDir)
     val streamPath =
       if (scala.util.Try(hp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -212,9 +225,46 @@ object StreamingPipeline {
         reader.option("basePath", hp.getParent.toString)
         s"${hp.getParent}/{${hp.getName}}"
       } else sourceDir
-    Pipeline.keyedProjection(
-      graft.Tables.normalizeTsNanos(reader.parquet(streamPath)),
-      withBatchExtras = false)
+    reader.parquet(streamPath)
+  }
+
+  /** Fallback schema for streaming reads of a documents source. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming document ingest with ONLINE near-dup dedup — the shape a
+    * training-data ingestion service runs: each micro-batch is deduped
+    * against the standing MinHash-LSH index
+    * (`graft.ops.Dedup.lshAgainstIndex` — exact copies collide on every
+    * band, so exact dups are the est=1.0 special case) and within
+    * itself; only accepted docs land in the corpus table AND fold into
+    * the index (`appendToLshIndex`), so later batches dedup against
+    * everything accepted so far. First-accepted-wins semantics: a doc
+    * arriving after its near-dup was accepted is dropped, which makes
+    * the outcome batch-ORDER-dependent by design (the streaming twin of
+    * `dd_incremental_new`'s verdict, applied as a filter).
+    * Per-batch cost is O(batch × bucket) lookup + O(batch) index/corpus
+    * upserts — corpus never rescanned. `StreamingSpec` pins parity with
+    * the sequential batch replay.
+    */
+  def runDedupIngest(spark: SparkSession, sourceDir: String, indexDir: String,
+      acceptPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val q = fileStream(spark, sourceDir, documentsSchema, Some(maxFilesPerTrigger))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Dedup.dedupIngestBatch(batch.sparkSession, batch,
+            indexDir, acceptPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** Streaming ingest into a bucket-index table: same extract stream,

@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSpec {
       s"second micro-batch must have produced a new generation, got $gens")
   }
 
+  test("streaming dedup ingest equals the sequential batch replay and accepts no near-dups") {
+    val base = Files.createTempDirectory("streamdd").toString
+    val docs = graft.Tables.documents(spark, sf0001)
+    val half0 = docs.filter($"doc_id" % 2 === 0)
+    val half1 = docs.filter($"doc_id" % 2 =!= 0)
+    // two staged files → two micro-batches in a deterministic order
+    stageOneFile(half0, base, "half0", s"$base/src")
+    stageOneFile(half1, base, "half1", s"$base/src")
+    StreamingPipeline.runDedupIngest(spark, s"$base/src",
+      s"$base/idx", s"$base/accept", s"$base/ckpt")
+    val accepted = graft.etl.BucketTable.read(spark, s"$base/accept")
+      .select("doc_id").as[Long].collect().toSet
+    // sequential replay of the same two batches through the batch kernel
+    for (half <- Seq(half0, half1))
+      graft.ops.Dedup.dedupIngestBatch(spark, half, s"$base/idx2", s"$base/accept2")
+    val replayed = graft.etl.BucketTable.read(spark, s"$base/accept2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == replayed,
+      s"stream accepted ${accepted.size}, sequential replay ${replayed.size}")
+    // dedup actually happened (the fixture contains near-dups), and no
+    // two accepted docs are LSH near-dups of each other
+    assert(accepted.size < docs.count())
+    val pairs = graft.ops.Dedup.minhashCandidates(spark, sf0001)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val survivors = pairs.filter { case (a, b) => accepted(a) && accepted(b) }
+    assert(survivors.isEmpty,
+      s"accepted set still contains near-dup pairs: ${survivors.take(3).toSeq}")
+  }
+
   test("bucketed streaming ingest of the RAW events directory (no pre-staging)") {
     // Point the stream at the driver-generated parquet directory AS-IS:
     // whatever physical ts encoding this testdata generation uses,
