@@ -214,8 +214,18 @@ object StreamingPipeline {
     */
   private def fileStream(spark: SparkSession, sourceDir: String,
       fallback: StructType, maxFilesPerTrigger: Option[Int]): DataFrame = {
-    val schema = scala.util.Try(spark.read.parquet(sourceDir).schema)
-      .getOrElse(fallback)
+    val schema =
+      try spark.read.parquet(sourceDir).schema
+      catch {
+        // only an empty or not-yet-created source dir has nothing to
+        // sniff — start from the fallback schema. Any OTHER failure
+        // (corrupt footer, permissions) must surface here, not get
+        // silently papered over with a possibly-wrong schema.
+        case e: org.apache.spark.sql.AnalysisException
+            if Seq("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
+              .exists(c => Option(e.getCondition).exists(_.contains(c))) =>
+          fallback
+      }
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val hp = new org.apache.hadoop.fs.Path(sourceDir)

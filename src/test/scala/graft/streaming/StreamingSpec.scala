@@ -205,6 +205,14 @@ class StreamingSpec extends SparkSpec {
       s"second micro-batch must have produced a new generation, got $gens")
   }
 
+  test("extractStream falls back to the canonical schema on an empty source dir") {
+    val dir = Files.createTempDirectory("emptysrc").toString
+    val df = StreamingPipeline.extractStream(spark, dir)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq == Seq("record_id", "event_id", "entity_id",
+      "event_timestamp", "event_type", "value"))
+  }
+
   test("streaming dedup ingest equals the sequential batch replay and accepts no near-dups") {
     val base = Files.createTempDirectory("streamdd").toString
     val docs = graft.Tables.documents(spark, sf0001)
