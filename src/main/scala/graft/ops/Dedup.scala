@@ -262,12 +262,29 @@ object Dedup {
         .repartition(col("dst"))
         .sortWithinPartitions(col("dst")))
 
+  /** Edge count above which the loop pre-partitions: below it, the
+    * label side broadcasts and every round is map-side anyway, so the
+    * up-front exchange and fixed-width rounds are pure overhead (the
+    * threshold is roughly where a labels build side stops fitting the
+    * default 10 MB autoBroadcast budget). Above it, rounds sort-merge
+    * join and the one-time exchange is the difference between shuffling
+    * E once and E·log(n) times.
+    */
+  private[ops] val CcPrepartitionMinEdges = 100000L
+
   private[ops] def clustersFromPairs(pairs0: DataFrame): (DataFrame, Int) = {
     // the FIRST checkpoint runs the expensive candidate-pair lineage, so
-    // it keeps AQE; everything downstream is layout-critical
+    // it keeps AQE; everything downstream is layout-critical when big
     val pairs = pairs0.toDF("doc_a", "doc_b").localCheckpoint()
-    val edges = ccEdges(pairs)
-    var labels = checkpointKeepingLayout(
+    // free on the materialized checkpoint — no recompute
+    val big = pairs.count() * 2 >= CcPrepartitionMinEdges
+    val ckpt: DataFrame => DataFrame =
+      if (big) checkpointKeepingLayout else (_.localCheckpoint())
+    val edges =
+      if (big) ccEdges(pairs)
+      else pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst").localCheckpoint()
+    var labels = ckpt(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster", col("id")))
     var changed = 1L
@@ -288,27 +305,26 @@ object Dedup {
       var hoppedRef: DataFrame = null
       val next =
         if (iter < 2) {
-          checkpointKeepingLayout(
-            hop.select(col("id"), col("cluster"),
-              (col("cluster") < col("old")).as("chg")))
+          ckpt(hop.select(col("id"), col("cluster"),
+            (col("cluster") < col("old")).as("chg")))
         } else {
           // checkpoint between hop and jump: the jump self-joins the
           // hopped frame, and without the barrier both branches would
           // recompute the hop's shuffle
-          val hopped = checkpointKeepingLayout(hop)
+          val hopped = ckpt(hop)
           hoppedRef = hopped
           val parent = hopped.select(col("id").as("pid"), col("cluster").as("pcluster"))
-          checkpointKeepingLayout(
-            hopped.join(parent, hopped("cluster") === parent("pid"), "left")
-              .select(hopped("id"),
-                coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
-                (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
-              // the jump join keyed on the LABEL VALUE, so its output
-              // lost the id-partitioning every other round-step reuses
-              // (the edges.dst join and the hop join both key on id);
-              // restore it before the checkpoint — one V-sized exchange
-              // here saves two in the next round
-              .repartition(col("id")))
+          val jumped = hopped.join(parent, hopped("cluster") === parent("pid"), "left")
+            .select(hopped("id"),
+              coalesce(col("pcluster"), hopped("cluster")).as("cluster"),
+              (coalesce(col("pcluster"), hopped("cluster")) < col("old")).as("chg"))
+          // the jump join keyed on the LABEL VALUE, so its output lost
+          // the id-partitioning every other round-step reuses (the
+          // edges.dst join and the hop join both key on id); restore it
+          // before the checkpoint — one V-sized exchange here saves two
+          // in the next round (pointless when rounds broadcast, so
+          // gated with the rest of the layout discipline)
+          ckpt(if (big) jumped.repartition(col("id")) else jumped)
         }
       changed = next.filter(col("chg")).count()
       if (hoppedRef != null) hoppedRef.unpersist()

@@ -73,4 +73,23 @@ class ClusterPartitioningSpec extends SparkSpec {
         s"a propagation round re-sorts the pre-sorted edge list:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("pre-partitioned path converges correctly on a >threshold chain graph") {
+    // 600 chains of 101 nodes = 60k pairs = 120k directed edges, above
+    // CcPrepartitionMinEdges — drives the layout-preserving branch of
+    // clustersFromPairs end to end (high-diameter components, so the
+    // pointer-jumping rounds and their repartition(id) all execute) and
+    // checks the labels, not just the plan shape
+    val chainLen = 101
+    val pairs = spark.range(600).selectExpr(s"id * $chainLen AS base")
+      .selectExpr(s"explode(sequence(base, base + ${chainLen - 2})) AS doc_a")
+      .selectExpr("doc_a", "doc_a + 1 AS doc_b")
+    assert(pairs.count() * 2 >= Dedup.CcPrepartitionMinEdges)
+    val (labels, rounds) = Dedup.clustersFromPairs(pairs)
+    val wrong = labels
+      .selectExpr("id", "cluster", s"CAST(id DIV $chainLen AS BIGINT) * $chainLen AS expected")
+      .filter("cluster <> expected")
+    assert(wrong.isEmpty, s"mislabeled nodes: ${wrong.take(3).toSeq}")
+    assert(rounds <= 12, s"chain of $chainLen should converge in O(log n) rounds, took $rounds")
+  }
 }
