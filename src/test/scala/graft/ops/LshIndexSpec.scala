@@ -41,6 +41,25 @@ class LshIndexSpec extends SparkSpec {
       "incremental band table diverged from from-scratch build")
   }
 
+  test("dedupIngestBatch replay is a no-op (crash-safe re-ingest)") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val batch0 = d.filter($"doc_id" % 3 === 0)
+    val batch1 = d.filter($"doc_id" % 3 === 1)
+    val idx = Files.createTempDirectory("lsh-replay-idx").toString
+    val acc = Files.createTempDirectory("lsh-replay-acc").toString + "/t"
+    Dedup.dedupIngestBatch(spark, batch0, idx, acc)
+    Dedup.dedupIngestBatch(spark, batch1, idx, acc)
+    def acceptedIds = BucketTable.read(spark, acc)
+      .select("doc_id").as[Long].collect().toSet
+    val afterBoth = acceptedIds
+    val idxAfterBoth = (sigRows(idx), bandRows(idx))
+    Dedup.dedupIngestBatch(spark, batch1, idx, acc) // crash-replay batch 1
+    assert(acceptedIds == afterBoth,
+      "replaying an already-ingested batch must not change the accept table")
+    assert((sigRows(idx), bandRows(idx)) == idxAfterBoth,
+      "replaying an already-ingested batch must not change the index")
+  }
+
   test("index lookup equals the all-pairs LSH restricted to batch-vs-corpus") {
     val got = Dedup.incrementalLsh(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
