@@ -239,10 +239,18 @@ object Dedup {
     */
   private def checkpointKeepingLayout(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try df.localCheckpoint()
-    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // The toggle is session-scoped, so a query PLANNING on the same
+    // session inside this window would also plan without AQE. The
+    // synchronized block serializes concurrent layout-checkpoints;
+    // unrelated concurrent queries are the caller's concern (the
+    // engine's drivers — Bench/Verify/pipelines — run queries
+    // sequentially per session, the Spark batch norm).
+    spark.synchronized {
+      val prev = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint()
+      finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   /** The symmetrized edge list, hash-partitioned ON THE JOIN KEY (`dst`)
@@ -623,13 +631,42 @@ object Dedup {
     * survives 100 TB (band rows are fixed-width and 16/doc; shingle
     * rows are ~|text|/doc).
     */
-  def initLshIndex(docs: DataFrame, indexDir: String): Unit = {
-    val sig = minhashSignaturesOf(docs).localCheckpoint()
-    graft.etl.BucketTable.create(sig, s"$indexDir/sig",
-      keys = Seq("doc_id"), precombine = "doc_id")
+  def initLshIndex(docs: DataFrame, indexDir: String): Unit =
+    initLshIndexFromSignatures(minhashSignaturesOf(docs).localCheckpoint(), indexDir)
+
+  /** Is a COMPLETE LSH index present? The sig table is written last, so
+    * its manifest is the commit marker: a crash between the two creates
+    * leaves only bands, which the next [[initLshIndex]] clears and
+    * rebuilds instead of wedging every later batch on a half-index.
+    */
+  def lshIndexExists(indexDir: String): Boolean =
+    graft.etl.BucketTable.exists(s"$indexDir/sig") &&
+      graft.etl.BucketTable.exists(s"$indexDir/bands")
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally s.close()
+    }
+
+  private[ops] def initLshIndexFromSignatures(sig: DataFrame,
+      indexDir: String): Unit = {
+    // clear a partial index left by a crash between the two creates
+    // (bands committed, sig marker absent) — fail-rebuild, never
+    // fail-stale or fail-forever
+    if (!graft.etl.BucketTable.exists(s"$indexDir/sig"))
+      deleteRecursively(java.nio.file.Paths.get(s"$indexDir/bands"))
+    // bands first, sig (the marker) last; precombine is constant per
+    // key, so the merge's incoming-wins tie rule makes a re-ingest of
+    // EDITED text replace the old rows rather than keeping whichever
+    // band hash sorts higher
     graft.etl.BucketTable.create(
       bandedOf(sig).select(col("doc_id"), col("band"), col("bh")),
-      s"$indexDir/bands", keys = Seq("doc_id", "band"), precombine = "bh")
+      s"$indexDir/bands", keys = Seq("doc_id", "band"), precombine = "doc_id")
+    graft.etl.BucketTable.create(sig, s"$indexDir/sig",
+      keys = Seq("doc_id"), precombine = "doc_id")
   }
 
   /** Fold an accepted batch into the standing LSH index through the
@@ -640,8 +677,11 @@ object Dedup {
     * pins batch-incremental ≡ from-scratch).
     */
   def appendToLshIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): Unit =
+    appendSignatures(spark, minhashSignaturesOf(batch).localCheckpoint(), indexDir)
+
+  private[ops] def appendSignatures(spark: SparkSession, sig: DataFrame,
       indexDir: String): Unit = {
-    val sig = minhashSignaturesOf(batch).localCheckpoint()
     graft.etl.BucketTable.upsertInto(spark, s"$indexDir/sig", sig)
     graft.etl.BucketTable.upsertInto(spark, s"$indexDir/bands",
       bandedOf(sig).select(col("doc_id"), col("band"), col("bh")))
@@ -651,17 +691,27 @@ object Dedup {
   /** Near-dup lookup of an incoming batch against the PERSISTED LSH
     * index: batch signatures (one pass over the batch only), band join
     * against the standing band table, estimate from the two signature
-    * tables, threshold — per-batch cost O(batch × bucket), corpus never
-    * rescanned. Self-matches excluded so the lookup stays correct after
-    * an idempotent re-ingest of the same batch.
+    * tables, threshold. Per-batch cost: the batch side is O(batch);
+    * the index side is ONE streaming pass over the fixed-width band
+    * table (16 rows/doc — the corpus TEXT is never rescanned and no
+    * shingles are recomputed) plus the signature fetch for the
+    * candidate-bounded pair set. Self-matches excluded so the lookup
+    * stays correct after an idempotent re-ingest of the same batch.
     */
   def lshAgainstIndex(spark: SparkSession, batch: DataFrame,
+      indexDir: String): DataFrame =
+    lshLookup(spark, minhashSignaturesOf(batch).localCheckpoint(), indexDir)
+
+  /** [[lshAgainstIndex]] over precomputed batch signatures — so
+    * [[dedupIngestBatch]] runs the signature pass once per micro-batch,
+    * not once per consumer.
+    */
+  private[ops] def lshLookup(spark: SparkSession, bsig: DataFrame,
       indexDir: String): DataFrame = {
     val corpusSig = graft.etl.BucketTable.read(spark, s"$indexDir/sig")
       .select(col("doc_id").as("corpus_id"), col("sig").as("sig_b"))
     val corpusBands = graft.etl.BucketTable.read(spark, s"$indexDir/bands")
       .select(col("doc_id").as("corpus_id"), col("band"), col("bh"))
-    val bsig = minhashSignaturesOf(batch).localCheckpoint()
     val cand = bandedOf(bsig).select(col("doc_id"), col("band"), col("bh"))
       .join(corpusBands, Seq("band", "bh"))
       .filter(col("doc_id") =!= col("corpus_id"))
@@ -691,13 +741,16 @@ object Dedup {
   def dedupIngestBatch(spark: SparkSession, batch: DataFrame,
       indexDir: String, acceptPath: String): Unit = {
     val b = batch.localCheckpoint()
+    // ONE signature pass per micro-batch serves all three consumers:
+    // the index lookup, the within-batch dedup, and the index append
+    val bsig = minhashSignaturesOf(b).localCheckpoint()
     val vsIndex =
-      if (graft.etl.BucketTable.exists(s"$indexDir/sig"))
-        lshAgainstIndex(spark, b, indexDir).select(col("doc_id"))
+      if (lshIndexExists(indexDir))
+        lshLookup(spark, bsig, indexDir).select(col("doc_id"))
       else b.select(col("doc_id")).limit(0)
     // within-batch: greedy keep-lowest-id over the batch's own LSH
     // candidate pairs (doc_a < doc_b by construction)
-    val withinBatch = candidatesFromSignatures(minhashSignaturesOf(b))
+    val withinBatch = candidatesFromSignatures(bsig)
       .select(col("doc_b").as("doc_id"))
     val dropIds = vsIndex.union(withinBatch).distinct()
     val accepted = b.join(dropIds, Seq("doc_id"), "left_anti").localCheckpoint()
@@ -707,9 +760,11 @@ object Dedup {
           keys = Seq("doc_id"), precombine = "doc_id")
       else
         graft.etl.BucketTable.upsertInto(spark, acceptPath, accepted)
-      if (!graft.etl.BucketTable.exists(s"$indexDir/sig"))
-        initLshIndex(accepted, indexDir)
-      else appendToLshIndex(spark, accepted, indexDir)
+      val accSig = bsig
+        .join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      if (!lshIndexExists(indexDir)) initLshIndexFromSignatures(accSig, indexDir)
+      else appendSignatures(spark, accSig, indexDir)
     }
   }
 
@@ -723,9 +778,16 @@ object Dedup {
     */
   def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
-    initLshIndex(d.filter(col("doc_id") % IncomingMod =!= 0), dir)
-    lshAgainstIndex(spark, d.filter(col("doc_id") % IncomingMod === 0), dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx")
+    initLshIndex(d.filter(col("doc_id") % IncomingMod =!= 0), dir.toString)
+    // materialize the (small) verdict set, then drop the scratch index —
+    // repeated bench/verify invocations must not accrete index copies
+    // under the temp root
+    val out = lshAgainstIndex(spark,
+      d.filter(col("doc_id") % IncomingMod === 0), dir.toString)
+      .localCheckpoint()
+    deleteRecursively(dir)
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

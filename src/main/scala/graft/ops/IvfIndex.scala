@@ -364,7 +364,7 @@ object IvfIndex {
     * count). The one count() action is driver-side metadata, not a
     * data loop.
     */
-  private def adaptiveSeedCentroids(e: DataFrame): DataFrame = {
+  private[ops] def adaptiveSeedCentroids(e: DataFrame): DataFrame = {
     val k = adaptiveK(e.count())
     e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))

@@ -173,9 +173,7 @@ object IvfPq {
   def search(spark: SparkSession, sfDir: String): DataFrame = {
     VectorFunctions.register(spark)
     val e = Tables.embeddings(spark, sfDir)
-    val k = IvfIndex.adaptiveK(e.count())
-    val centroids = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val centroids = IvfIndex.adaptiveSeedCentroids(e)
     rerank(shortlistOn(e, centroids, IvfIndex.NProbe), e, queriesOf(e))
   }
 
@@ -222,26 +220,17 @@ object IvfPq {
         s"""round((CAST(dot_i AS DOUBLE) / $S)
            | / (sqrt(CAST(rn2_i AS DOUBLE) / $S)
            |  * sqrt(CAST(qn2_i AS DOUBLE) / $S)), 4)""".stripMargin
-      val ivfcCte =
-        if (adaptive)
-          s"""ivfk AS (
-             |  SELECT greatest(${IvfIndex.K}, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS k
-             |  FROM embeddings),
-             |ivfc AS (
-             |  SELECT vec_id AS centroid_id, embedding AS centroid
-             |  FROM embeddings, ivfk WHERE vec_id < ivfk.k)""".stripMargin
-        else
-          s"""ivfc AS (
-             |  SELECT vec_id AS centroid_id, embedding AS centroid
-             |  FROM embeddings WHERE vec_id < ${IvfIndex.K})""".stripMargin
+      // one source of truth for the codebook CTE (named `c`), fixed and
+      // adaptive alike — a sizing-rule change cannot drift between the
+      // IVF and IVF-PQ oracles
       s"""WITH ${Similarity.pqEncSql},
-         |$ivfcCte,
+         |${IvfIndex.centroidCte(adaptive)},
          |asn AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT e.vec_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
-         |    FROM embeddings e, ivfc c) t WHERE rn = 1),
+         |    FROM embeddings e, c) t WHERE rn = 1),
          |q AS (
          |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
          |  WHERE vec_id < $QuerySetSize),
@@ -250,7 +239,7 @@ object IvfPq {
          |    SELECT q.q_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY q.q_id
          |        ORDER BY $cosQC DESC, c.centroid_id) AS rn
-         |    FROM q, ivfc c) t WHERE rn <= ${IvfIndex.NProbe}),
+         |    FROM q, c) t WHERE rn <= ${IvfIndex.NProbe}),
          |cand AS (
          |  SELECT p.q_id, a.vec_id
          |  FROM asn a JOIN probes p ON a.centroid_id = p.centroid_id

@@ -231,9 +231,13 @@ object StreamingPipeline {
     val hp = new org.apache.hadoop.fs.Path(sourceDir)
     val streamPath =
       if (scala.util.Try(hp.getFileSystem(spark.sessionState.newHadoopConf())
-          .getFileStatus(hp).isFile).getOrElse(false)) {
+            .getFileStatus(hp).isFile).getOrElse(false)
+          && hp.getParent != null) {
         reader.option("basePath", hp.getParent.toString)
-        s"${hp.getParent}/{${hp.getName}}"
+        // escape glob metacharacters in the file name — an unescaped
+        // {a,b} or [x] would silently match a DIFFERENT file set
+        val escaped = hp.getName.replaceAll("([\\\\{}\\[\\]*?])", "\\\\$1")
+        s"${hp.getParent}/{$escaped}"
       } else sourceDir
     reader.parquet(streamPath)
   }
