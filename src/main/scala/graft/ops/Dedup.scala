@@ -598,13 +598,20 @@ object Dedup {
 
   private def candidatesFromSignatures(signatures: DataFrame): DataFrame = {
     val sig = signatures.cache()
-    val banded = bandedOf(sig)
+    // candidates-then-fetch: only (doc_id, band, bh) travels through the
+    // band self-join's shuffle — the 64-long signature arrays re-attach
+    // by id AFTER the distinct pair set exists. Shipping sig through the
+    // join (16 copies per doc) would multiply the shuffle width ~10× at
+    // corpus scale; same discipline as the IVF/PQ candidate joins
+    // ("ids only — vectors never travel with candidates").
+    val banded = bandedOf(sig).select(col("doc_id"), col("band"), col("bh"))
     val a = banded.as("a"); val b = banded.as("b")
     val out = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           m => m)) / lit(NumPerms.toDouble), 6))
