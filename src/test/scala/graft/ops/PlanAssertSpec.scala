@@ -74,6 +74,11 @@ class PlanAssertSpec extends SparkSpec {
     // segment-blocked fuzzy join: candidates must come from the
     // (seg, gram) equi-join, never a cartesian fallback
     "dd_fuzzy_prefix_ed",
+    // LSH candidate generation (all-pairs and incremental-index): the
+    // band joins must stay (band, bh) equi-joins and the signature
+    // re-attach an id equi-join — a cartesian fallback here is the
+    // n² the LSH construction exists to avoid
+    "dd_minhash_lsh", "dd_incremental_lsh",
     // q22_global_sales and q11_important_parts are excluded: their
     // 1-row scalar-threshold crossJoin(broadcast) is a legitimate BNLJ
     // (the filter is an inequality, so Catalyst cannot rewrite it to an
