@@ -60,6 +60,47 @@ class LshIndexSpec extends SparkSpec {
       "replaying an already-ingested batch must not change the index")
   }
 
+  test("re-ingesting docs with EDITED text replaces their index rows (no stale bands)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val base = graft.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 7 === 0)
+    val incDir = Files.createTempDirectory("lsh-edit-inc").toString
+    val fullDir = Files.createTempDirectory("lsh-edit-full").toString
+    Dedup.initLshIndex(base, incDir)
+    val edited = base.withColumn("text",
+      concat(col("text"), lit(" wholly new trailing tokens for the edit")))
+    Dedup.appendToLshIndex(spark, edited, incDir)
+    Dedup.initLshIndex(edited, fullDir)
+    // upsert-by-key with incoming-wins ties must fully replace the old
+    // content's rows — a precombine that kept "whichever hash sorts
+    // higher" would leave stale band hashes here
+    assert(sigRows(incDir) == sigRows(fullDir),
+      "edited docs left stale signature rows")
+    assert(bandRows(incDir) == bandRows(fullDir),
+      "edited docs left stale band rows")
+  }
+
+  test("initLshIndex recovers from a crash-partial index (bands without sig marker)") {
+    val docs = graft.Tables.documents(spark, sf0001).filter($"doc_id" % 11 === 0)
+    val dir = Files.createTempDirectory("lsh-partial").toString
+    val fullDir = Files.createTempDirectory("lsh-partial-full").toString
+    // simulate a crash between the two creates: bands committed, sig
+    // (the existence marker) absent — with STALE content, so a recovery
+    // that merely created the missing sig table would be caught
+    val staleSig = Dedup.minhashSignaturesOf(
+      docs.limit(3)).localCheckpoint()
+    BucketTable.create(
+      Dedup.bandedOf(staleSig).select($"doc_id", $"band", $"bh"),
+      s"$dir/bands", keys = Seq("doc_id", "band"), precombine = "doc_id")
+    assert(!Dedup.lshIndexExists(dir))
+    Dedup.initLshIndex(docs, dir) // must clear the partial state and rebuild
+    Dedup.initLshIndex(docs, fullDir)
+    assert(Dedup.lshIndexExists(dir))
+    assert(sigRows(dir) == sigRows(fullDir))
+    assert(bandRows(dir) == bandRows(fullDir),
+      "recovery must rebuild the bands table, not keep the partial one")
+  }
+
   test("index lookup equals the all-pairs LSH restricted to batch-vs-corpus") {
     val got = Dedup.incrementalLsh(spark, sf0001)
       .as[(Long, Long, Double)].collect().toSet
