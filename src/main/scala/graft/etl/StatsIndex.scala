@@ -1,0 +1,209 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** File-level column-statistics index with data-skipping scans — the
+  * re-expression of Hudi's metadata-table `column_stats` partition and
+  * `hoodie.metadata.index.column.stats.enable` data skipping (the
+  * reference gets file pruning implicitly from Hudi's file-listing +
+  * stats metadata when reading the tables it writes,
+  * pipeline_architecture.py:238-260; Delta/Iceberg ship the same
+  * structure as per-file min/max in the transaction log / manifest).
+  *
+  * Why this exists at 100 TB: parquet row-group stats only prune AFTER
+  * a footer is opened — a scan over a million files still pays a
+  * million footer reads (and on an object store, a million GETs) just
+  * to discover most files are irrelevant. A column-stats index holds
+  * one row per file (min/max/null-count per indexed column), so a
+  * range predicate prunes the FILE LIST before any data I/O: the scan
+  * plans only the surviving files. Stats rows are O(files), thousands
+  * of times smaller than the data.
+  *
+  * Layout under `statsPath/`:
+  *   - `v=N/`      stats parquet as of version N (one row per data file)
+  *   - `_latest`   pointer file holding N — atomically swapped, so a
+  *                 reader sees a complete version and a crashed writer
+  *                 leaves the previous version live ([[Timeline]]'s
+  *                 pointer-file commit, applied to the index)
+  *   - `_props`    the indexed column list
+  *
+  * Correctness never depends on the index: [[scan]] re-applies every
+  * range as a real residual filter, so a stale index can only lose
+  * pruning opportunity on files it has not seen — which [[update]]
+  * closes incrementally by scanning ONLY files absent from the current
+  * version (Hudi's incremental metadata-table commit; O(new files),
+  * not O(table)).
+  */
+object StatsIndex {
+
+  /** Closed range predicate on one column; `None` = unbounded side. */
+  final case class ColRange(column: String,
+      lo: Option[Any] = None, hi: Option[Any] = None)
+
+  private def latestPath(statsPath: String): Path = Paths.get(statsPath, "_latest")
+  private def propsPath(statsPath: String): Path = Paths.get(statsPath, "_props")
+
+  def exists(statsPath: String): Boolean = Files.exists(latestPath(statsPath))
+
+  /** Indexed columns, as recorded at [[build]] time. */
+  def columns(statsPath: String): Seq[String] =
+    Files.readString(propsPath(statsPath)).trim.split(',').toSeq.filter(_.nonEmpty)
+
+  private def currentVersion(statsPath: String): Long =
+    Files.readString(latestPath(statsPath)).trim.toLong
+
+  private def statsDf(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(s"$statsPath/v=${currentVersion(statsPath)}")
+
+  /** `file:///a/b` and `/a/b` must compare equal: `_metadata.file_path`
+    * reports the Hadoop URI while directory listings yield plain paths.
+    */
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.drop(5).replaceFirst("^/+", "/") else p
+
+  private def listDataFiles(dataDir: String): Seq[String] = {
+    val s = Files.walk(Paths.get(dataDir))
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  /** One stats row per file of `df`'s file source: row_count plus
+    * min/max/null_count per indexed column. A single scan with a
+    * map-side-combined aggregation on `_metadata.file_path` — each
+    * task folds its rows into one partial row per file it read, and
+    * the shuffle moves O(files) tiny rows, not data.
+    */
+  private def computeStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))
+    }
+    df.groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("file", udfFreeStrip(col("file")))
+  }
+
+  /** `regexp_replace` strip of the `file:` scheme, evaluated in the
+    * plan (no driver round-trip, no UDF).
+    */
+  private def udfFreeStrip(c: Column): Column =
+    regexp_replace(c, "^file:/+", "/")
+
+  private def writeVersion(spark: SparkSession, statsPath: String,
+      stats: DataFrame, v: Long): Unit = {
+    // coalesce(1): the stats relation is O(files) rows of scalars — at a
+    // million files still a single small parquet; one file keeps every
+    // later prune a one-file read
+    stats.coalesce(1).write.mode("errorifexists")
+      .parquet(s"$statsPath/v=$v")
+    val tmp = Paths.get(statsPath, s"_latest.tmp${System.nanoTime()}")
+    Files.writeString(tmp, v.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, latestPath(statsPath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Bootstrap the index: one full scan of `dataDir` (how Hudi
+    * initializes the column-stats partition on an existing table).
+    */
+  def build(spark: SparkSession, dataDir: String, cols: Seq[String],
+      statsPath: String): Unit = {
+    require(cols.nonEmpty, "index at least one column")
+    Files.createDirectories(Paths.get(statsPath))
+    Files.writeString(propsPath(statsPath), cols.mkString(","),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeVersion(spark, statsPath,
+      computeStats(spark.read.parquet(dataDir), cols), 0L)
+  }
+
+  /** Fold files that appeared since the last version into the index —
+    * reads ONLY the new files (listing diff on the driver is O(files)
+    * names, the same knowledge any commit protocol's planner holds).
+    * Returns the newly indexed files; no-op on an up-to-date index.
+    */
+  def update(spark: SparkSession, dataDir: String, statsPath: String): Seq[String] = {
+    val indexed = statsDf(spark, statsPath).select("file")
+      .collect().map(_.getString(0)).toSet
+    val fresh = listDataFiles(dataDir).filterNot(indexed)
+    if (fresh.isEmpty) return Seq.empty
+    val freshStats = computeStats(
+      spark.read.parquet(fresh: _*), columns(statsPath))
+    writeVersion(spark, statsPath,
+      statsDf(spark, statsPath).unionByName(freshStats),
+      currentVersion(statsPath) + 1)
+    fresh
+  }
+
+  /** Survivor predicate over the stats relation: a file can hold a row
+    * in `[lo, hi]` unless its max proves `< lo` or its min proves
+    * `> hi`. Null stats (all-null file, or a column the writer never
+    * saw) prove nothing — `coalesce(..., true)` keeps the file, so
+    * pruning is always conservative.
+    */
+  private def survives(r: ColRange): Column = {
+    val loOk = r.lo.map(v =>
+      coalesce(col(s"${r.column}__max") >= lit(v), lit(true)))
+    val hiOk = r.hi.map(v =>
+      coalesce(col(s"${r.column}__min") <= lit(v), lit(true)))
+    (loOk.toSeq ++ hiOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Files whose stats intersect every range, plus the total indexed
+    * count (for observability/asserts). The stats read is one tiny
+    * parquet; survivors come to the driver because the driver is what
+    * plans the subsequent scan's file list.
+    */
+  def prune(spark: SparkSession, statsPath: String,
+      ranges: Seq[ColRange]): (Seq[String], Long) = {
+    val idxCols = columns(statsPath).toSet
+    val unknown = ranges.map(_.column).filterNot(idxCols)
+    require(unknown.isEmpty,
+      s"columns not in index: ${unknown.mkString(",")} (indexed: ${idxCols.mkString(",")})")
+    val stats = statsDf(spark, statsPath)
+    val total = stats.count()
+    val survivors = stats.filter(ranges.map(survives).reduceOption(_ && _)
+      .getOrElse(lit(true)))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    (survivors, total)
+  }
+
+  /** Data-skipping scan: plan only the files [[prune]] keeps, then
+    * re-apply every range as a residual filter — the residual also
+    * reaches parquet PushedFilters, so row-group pruning still applies
+    * inside survivors and correctness never rests on index freshness
+    * for the files it HAS indexed. Files newer than the index are
+    * invisible to it, which is why writers pair appends with
+    * [[update]]; [[scanFresh]] closes the gap unconditionally.
+    */
+  def scan(spark: SparkSession, dataDir: String, statsPath: String,
+      ranges: Seq[ColRange]): DataFrame = {
+    val (files, _) = prune(spark, statsPath, ranges)
+    val residual = rangesFilter(ranges)
+    if (files.isEmpty)
+      spark.read.parquet(dataDir).filter(lit(false))
+    else
+      spark.read.parquet(files: _*).filter(residual)
+  }
+
+  /** [[update]] then [[scan]]: the read-side contract Hudi's metadata
+    * reader gives — stats always cover the current file listing.
+    */
+  def scanFresh(spark: SparkSession, dataDir: String, statsPath: String,
+      ranges: Seq[ColRange]): DataFrame = {
+    update(spark, dataDir, statsPath)
+    scan(spark, dataDir, statsPath, ranges)
+  }
+
+  private def rangesFilter(ranges: Seq[ColRange]): Column =
+    ranges.flatMap { r =>
+      r.lo.map(v => col(r.column) >= lit(v)).toSeq ++
+        r.hi.map(v => col(r.column) <= lit(v)).toSeq
+    }.reduceOption(_ && _).getOrElse(lit(true))
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.StatsIndex
+import graft.etl.StatsIndex.ColRange
+
+/** Data-skipping scans over stats-indexed layouts, as oracle-checked
+  * queries (reference: Hudi's column-stats metadata index +
+  * `hoodie.metadata.index.column.stats.enable`, which the reference
+  * pipeline inherits on every Hudi read, pipeline_architecture.py:
+  * 207-227 — re-expressed in [[graft.etl.StatsIndex]]).
+  *
+  * Each query materializes a deterministic file layout in scratch,
+  * builds/updates the index, and returns a range scan planned through
+  * it. The oracle replays the same range filter over the raw table —
+  * data skipping must be pure optimization, invisible in results. The
+  * pruning effect itself (files skipped, update increments) is pinned
+  * by `StatsIndexSpec`, which asserts file counts, and the layouts are
+  * sized so the skip ratio holds at every SF (file count is a layout
+  * knob, the time/key span of the testdata is SF-invariant).
+  */
+object Skipping {
+
+  /** ~2.9 days of the 30-day event span (micros) — prunes ~90% of a
+    * time-ordered layout at any SF.
+    */
+  val TsLoUs = 1705000000000000L
+  val TsHiUs = 1705250000000000L
+
+  /** Day-index + user ranges for the 2-D z-order scan. Day 19730-19735
+    * is 6 of the ~30 days; user 0-9 covers a shrinking fraction as SF
+    * grows (user cardinality scales with SF), so BOTH dimensions prune.
+    */
+  val DayLo = 19730L
+  val DayHi = 19735L
+  val UserLo = 0L
+  val UserHi = 9L
+
+  /** Files per layout: enough that skipping is visible (and asserted)
+    * at sf0.001, few enough that sf0.1's 100k rows still write in one
+    * quick job. At real scale this is the table's natural file count.
+    */
+  val LayoutFiles = 8
+
+  private lazy val scratch: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }))
+    dir
+  }
+
+  private def eventsSlim(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+
+  /** Time-ordered layout (the shape an ingest sorted by arrival leaves
+    * on disk): range-partition by `ts_us` so each file owns a tight
+    * time slice, then index and range-scan through the index.
+    */
+  def statsSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "ts").toString
+    val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim(spark, sfDir)
+      .repartitionByRange(LayoutFiles, col("ts_us"))
+      .write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us", "user_id"), stats)
+    StatsIndex.scan(spark, data, stats,
+      Seq(ColRange("ts_us", Some(TsLoUs), Some(TsHiUs))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** Z-order layout: cluster on the Morton curve of (user_id, day) so
+    * per-file min/max stay tight on BOTH columns, then scan a 2-D box
+    * through the index — the multi-dimensional data-skipping pattern
+    * (Hudi clustering with z-order + col_stats; Delta OPTIMIZE ZORDER).
+    */
+  def statsSkippingZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "z").toString
+    val data = s"$base/data"; val stats = s"$base/stats"
+    Scale.writeZOrdered(
+      eventsSlim(spark, sfDir)
+        .withColumn("day_id", expr("ts_us div 86400000000")),
+      data, "user_id", "day_id", LayoutFiles)
+    StatsIndex.build(spark, data, Seq("user_id", "day_id"), stats)
+    StatsIndex.scan(spark, data, stats, Seq(
+      ColRange("user_id", Some(UserLo), Some(UserHi)),
+      ColRange("day_id", Some(DayLo), Some(DayHi))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** Incremental index maintenance: bootstrap the index on the first
+    * half of the timeline, append the second half as new files, then
+    * [[StatsIndex.scanFresh]] — the update indexes ONLY the appended
+    * files (asserted by `StatsIndexSpec`) and the scan straddles the
+    * append boundary, so a stale index would lose rows loudly here.
+    */
+  def statsSkippingUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "u").toString
+    val data = s"$base/data"; val stats = s"$base/stats"
+    val ev = eventsSlim(spark, sfDir)
+    ev.filter(col("ts_us") <= PipelineQueries.SplitUs)
+      .repartitionByRange(LayoutFiles, col("ts_us"))
+      .write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us"), stats)
+    ev.filter(col("ts_us") > PipelineQueries.SplitUs)
+      .repartitionByRange(LayoutFiles, col("ts_us"))
+      .write.mode("append").parquet(data)
+    // straddle SplitUs (1705708800000000): old-half tail + new-half head
+    StatsIndex.scanFresh(spark, data, stats,
+      Seq(ColRange("ts_us", Some(1705600000000000L), Some(1705900000000000L))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_stats_skipping" -> (statsSkipping(_, _)),
+    "p_stats_skipping_zorder" -> (statsSkippingZorder(_, _)),
+    "p_stats_skipping_update" -> (statsSkippingUpdate(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "p_stats_skipping" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE epoch_us(ts) BETWEEN $TsLoUs AND $TsHiUs""".stripMargin,
+    "p_stats_skipping_zorder" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE user_id BETWEEN $UserLo AND $UserHi
+         |  AND (epoch_us(ts) // 86400000000) BETWEEN $DayLo AND $DayHi""".stripMargin,
+    "p_stats_skipping_update" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE epoch_us(ts) BETWEEN 1705600000000000 AND 1705900000000000""".stripMargin)
+}

@@ -1,0 +1,126 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.etl.StatsIndex.ColRange
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins the properties that make the column-stats index an index and
+  * not just a cache: scans through it equal plain filtered scans, it
+  * actually prunes files, updates are incremental (only new files get
+  * scanned/indexed), and null/absent stats never cause over-pruning.
+  */
+class StatsIndexSpec extends SparkSpec {
+
+  private def scratch() = Files.createTempDirectory("statsidx").toString
+
+  private def eventsSlim = graft.Tables.events(spark, sf0001)
+    .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
+
+  test("stats scan == plain filtered scan on a range layout, and prunes files") {
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim.repartitionByRange(8, col("ts_us")).write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us", "user_id"), stats)
+
+    val ranges = Seq(ColRange("ts_us",
+      Some(graft.ops.Skipping.TsLoUs), Some(graft.ops.Skipping.TsHiUs)))
+    val viaIndex = StatsIndex.scan(spark, data, stats, ranges)
+    val plain = spark.read.parquet(data)
+      .filter(col("ts_us").between(graft.ops.Skipping.TsLoUs, graft.ops.Skipping.TsHiUs))
+    assert(viaIndex.count() == plain.count() && plain.count() > 0)
+    assert(viaIndex.exceptAll(plain).isEmpty && plain.exceptAll(viaIndex).isEmpty)
+
+    val (survivors, total) = StatsIndex.prune(spark, stats, ranges)
+    assert(total == 8, s"range layout should produce 8 indexed files, got $total")
+    // ~2.9 of 30 days on a time-ordered layout: at most half the files survive
+    assert(survivors.nonEmpty && survivors.size <= total / 2,
+      s"expected real pruning, got ${survivors.size}/$total")
+  }
+
+  test("z-order layout prunes on BOTH dimensions; linear layout cannot on the second") {
+    val ev = eventsSlim.withColumn("day_id", expr("ts_us div 86400000000"))
+    val zBase = scratch(); val lBase = scratch()
+    graft.ops.Scale.writeZOrdered(ev, s"$zBase/data", "user_id", "day_id", 8)
+    ev.repartitionByRange(8, col("user_id")) // linear: tight on user only
+      .write.parquet(s"$lBase/data")
+    StatsIndex.build(spark, s"$zBase/data", Seq("user_id", "day_id"), s"$zBase/stats")
+    StatsIndex.build(spark, s"$lBase/data", Seq("user_id", "day_id"), s"$lBase/stats")
+
+    // day-only box: the dimension the linear layout did not sort by
+    val dayBox = Seq(ColRange("day_id",
+      Some(graft.ops.Skipping.DayLo), Some(graft.ops.Skipping.DayHi)))
+    val (zSurv, zTotal) = StatsIndex.prune(spark, s"$zBase/stats", dayBox)
+    val (lSurv, lTotal) = StatsIndex.prune(spark, s"$lBase/stats", dayBox)
+    assert(lSurv.size == lTotal,
+      "a user-sorted layout has the full day span in every file — no day pruning")
+    assert(zSurv.size < zTotal,
+      s"z-order must keep day stats tight enough to prune (${zSurv.size}/$zTotal)")
+
+    // and results through the index still match the plain filter
+    val viaIndex = StatsIndex.scan(spark, s"$zBase/data", s"$zBase/stats", dayBox)
+    val plain = spark.read.parquet(s"$zBase/data")
+      .filter(col("day_id").between(graft.ops.Skipping.DayLo, graft.ops.Skipping.DayHi))
+    assert(viaIndex.exceptAll(plain).isEmpty && plain.exceptAll(viaIndex).isEmpty)
+  }
+
+  test("update indexes ONLY appended files and scanFresh sees rows across the boundary") {
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    val split = graft.ops.PipelineQueries.SplitUs
+    eventsSlim.filter(col("ts_us") <= split)
+      .repartitionByRange(4, col("ts_us")).write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us"), stats)
+    val before = StatsIndex.prune(spark, stats, Nil)._2
+
+    eventsSlim.filter(col("ts_us") > split)
+      .repartitionByRange(4, col("ts_us")).write.mode("append").parquet(data)
+    val fresh = StatsIndex.update(spark, data, stats)
+    assert(fresh.size == 4, s"exactly the 4 appended files, got ${fresh.size}")
+    val after = StatsIndex.prune(spark, stats, Nil)._2
+    assert(after == before + 4)
+    // already up to date → no-op
+    assert(StatsIndex.update(spark, data, stats).isEmpty)
+
+    val straddle = Seq(ColRange("ts_us",
+      Some(1705600000000000L), Some(1705900000000000L)))
+    val viaIndex = StatsIndex.scanFresh(spark, data, stats, straddle)
+    val plain = spark.read.parquet(data)
+      .filter(col("ts_us").between(1705600000000000L, 1705900000000000L))
+    assert(viaIndex.count() == plain.count() && plain.count() > 0)
+    // rows from both halves — the scan truly straddles the append
+    assert(viaIndex.filter(col("ts_us") <= split).count() > 0)
+    assert(viaIndex.filter(col("ts_us") > split).count() > 0)
+  }
+
+  test("null stats are conservative: an all-null file is never pruned away") {
+    import spark.implicits._
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v")
+      .coalesce(1).write.parquet(data)
+    Seq((3L, None: Option[Long]), (4L, None: Option[Long])).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(data)
+    StatsIndex.build(spark, data, Seq("v"), stats)
+    val (surv, total) = StatsIndex.prune(spark, stats,
+      Seq(ColRange("v", Some(15L), Some(25L))))
+    assert(total == 2)
+    // the all-null file has null min/max → must survive (conservative);
+    // the (10,20) file overlaps → survives too
+    assert(surv.size == 2)
+    // but the residual filter still makes the RESULT exact
+    val rows = StatsIndex.scan(spark, data, stats,
+      Seq(ColRange("v", Some(15L), Some(25L)))).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("disjoint range prunes everything and returns an empty, well-typed frame") {
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim.repartitionByRange(4, col("ts_us")).write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us"), stats)
+    val out = StatsIndex.scan(spark, data, stats,
+      Seq(ColRange("ts_us", Some(9999999999999999L), None)))
+    assert(out.count() == 0)
+    assert(out.schema.fieldNames.contains("event_id"))
+    val (surv, _) = StatsIndex.prune(spark, stats,
+      Seq(ColRange("ts_us", Some(9999999999999999L), None)))
+    assert(surv.isEmpty)
+  }
+}
