@@ -309,8 +309,56 @@ object PipelineQueries {
     * tieBreak) order is total, making the outcome independent of
     * micro-batch boundaries.
     */
-  def streamIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+  /** `p_bloom_upsert`: the bloom-index CoW lifecycle ([[graft.etl
+    * .BloomTable]] — Hudi's BLOOM index next to `p_bucket_upsert`'s
+    * BUCKET index). Base = events up to [[SplitUs]] key-range
+    * clustered over 8 files; the update batch is KEY-LOCAL (users
+    * 0-9 after the split), so the range+bloom tagging rewrites only
+    * the file(s) owning those keys — `BloomTableSpec` asserts the
+    * partial rewrite; here the oracle pins the merged result.
+    */
+  def bloomUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "f").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("user_id") <= 9))
+    graft.etl.BloomTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** `p_bloom_lookup`: point read through the bloom index — the probe
+    * tags the one file whose key range + bloom can hold the key, and
+    * the scan reads only it (`BloomTableSpec` asserts the file count;
+    * the oracle pins the row).
+    */
+  def bloomLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "g").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.BloomTable.lookup(spark, path, Seq(LookupUser))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** Stage the events table as three single-file time slices under a
+    * fresh scratch dir — a file-stream source whose micro-batch
+    * boundaries (`maxFilesPerTrigger=1`) are the [[SplitUs]] /
+    * [[Split2Us]] cuts. Returns (scratch base, source dir).
+    */
+  private def stageEventSlices(spark: SparkSession,
+      sfDir: String): (java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.Files
     val base = Files.createTempDirectory(morScratch, "s")
     val src = Files.createDirectories(base.resolve("src"))
     // normalized: ts = epoch NANOS long, so the re-written slices match
@@ -334,6 +382,11 @@ object PipelineQueries {
       }
       Files.move(part, src.resolve(s"slice$i.parquet"))
     }
+    (base, src)
+  }
+
+  def streamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
     graft.streaming.StreamingPipeline.runIngestBucketed(spark,
       src.toString, base.resolve("tbl").toString, base.resolve("ckpt").toString,
       maxFilesPerTrigger = 1, keys = Seq("entity_id"),
@@ -341,6 +394,24 @@ object PipelineQueries {
     graft.etl.BucketTable.read(spark, base.resolve("tbl").toString)
       .select(col("entity_id"), col("event_id"), col("event_type"),
         col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
+  }
+
+  /** `p_stream_window_agg`: streaming tumbling-window rollup as an
+    * oracle-checked query. Stages the same three time-sliced source
+    * files as [[streamIngest]], runs
+    * [[graft.streaming.StreamingPipeline.runWindowedAgg]] as three real
+    * micro-batches (windows accumulate across batches in the state
+    * store), and reads the published aggregate. The final aggregate
+    * must be independent of micro-batch boundaries — exactly the
+    * one-pass GROUP BY the oracle replays.
+    */
+  def streamWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    val out = base.resolve("agg").toString
+    graft.streaming.StreamingPipeline.runWindowedAgg(spark,
+      src.toString, out, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = Some(1))
+    spark.read.parquet(out)
   }
 
   /** MOR snapshot query: merge base + logs at read time, drop
@@ -372,8 +443,11 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_stream_ingest" -> (streamIngest(_, _)),
+    "p_stream_window_agg" -> (streamWindowAgg(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_bucket_lookup" -> (bucketLookup(_, _)),
+    "p_bloom_upsert" -> (bloomUpsert(_, _)),
+    "p_bloom_lookup" -> (bloomLookup(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
@@ -396,6 +470,12 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_stream_window_agg" ->
+      s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         |  event_type, count(*) AS n,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+         |FROM events WHERE ts IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
     "p_stream_ingest" ->
       s"""SELECT entity_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id AS entity_id, event_id, event_type, value,
@@ -403,6 +483,22 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_bloom_upsert" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE epoch_us(ts) <= $SplitUs
+         |    OR (epoch_us(ts) > $SplitUs AND user_id <= 9)) t
+         |WHERE rn = 1""".stripMargin,
+    "p_bloom_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE user_id = $LookupUser) t
          |WHERE rn = 1""".stripMargin,
     "p_bucket_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (

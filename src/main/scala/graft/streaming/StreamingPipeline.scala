@@ -302,6 +302,51 @@ object StreamingPipeline {
     * order is total, the final table is independent of how events were
     * batched — out-of-order delivery converges to the same state.
     */
+  /** End-to-end streaming windowed aggregation: file-stream the events
+    * source (encoding-aware, same sniff as the ingest sinks), tumble
+    * into 1-hour event-time windows, and publish the aggregate each
+    * micro-batch via Complete-mode foreachBatch overwrite — the
+    * classic streaming-rollup serving pattern (latest full aggregate
+    * always readable at `outPath`). Values are summed as integer cents
+    * so the published numbers are exactly reproducible by a batch
+    * engine (same discipline as `p_ivm_rollup`).
+    *
+    * State scale: rows-in-state = open windows × event types — bounded
+    * by the time span, not the corpus; the per-batch overwrite writes
+    * O(state) rows. Complete mode retains all windows (no
+    * watermark-eviction) — the right trade while the window×type
+    * cardinality is the small serving table; an unbounded-horizon
+    * deployment would switch the sink to Update mode + keyed upsert
+    * (`runIngestBucketed`'s sink) and let the 10-minute watermark
+    * evict closed windows.
+    */
+  def runWindowedAgg(spark: SparkSession, sourceDir: String, outPath: String,
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.Tables.normalizeTsNanos(
+      fileStream(spark, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
+      .filter(col("ts").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"),
+          round(col("cents") / 100.0, 2).as("total"))
+          .write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runIngestBucketed(spark: SparkSession, sourceDir: String,
       targetPath: String, checkpoint: String,
       maxFilesPerTrigger: Int = 1,

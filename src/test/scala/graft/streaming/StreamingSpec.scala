@@ -205,6 +205,29 @@ class StreamingSpec extends SparkSpec {
       s"second micro-batch must have produced a new generation, got $gens")
   }
 
+  test("streaming windowed rollup accumulates across micro-batches to the batch answer") {
+    val base = Files.createTempDirectory("streamw").toString
+    // two files → two micro-batches: hour windows receiving rows in
+    // BOTH batches must still end at the one-pass totals
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
+    StreamingPipeline.runWindowedAgg(spark, s"$base/src",
+      s"$base/agg", s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    import org.apache.spark.sql.functions.{count, expr, lit, round, sum}
+    val got = spark.read.parquet(s"$base/agg")
+    val want = graft.Tables.events(spark, sf0001)
+      .filter($"ts_us".isNotNull)
+      .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("window_start_us"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0, 2)
+          .as("total"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streaming windowed rollup must equal the batch GROUP BY")
+  }
+
   test("extractStream falls back to the canonical schema on an empty source dir") {
     val dir = Files.createTempDirectory("emptysrc").toString
     val df = StreamingPipeline.extractStream(spark, dir)
