@@ -1,0 +1,405 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Copy-on-write with a BLOOM file index — the other half of Hudi's
+  * indexing story next to [[BucketTable]]'s BUCKET index (reference:
+  * Hudi's default `hoodie.index.type=BLOOM`, which tags each incoming
+  * record to the file groups that may already hold its key using the
+  * per-file key range + bloom filter Hudi stores in parquet footers;
+  * the reference pipeline exercises it implicitly through every
+  * `hoodie.datasource.write.operation=upsert`,
+  * pipeline_architecture.py:243-251).
+  *
+  * Where the bucket index prescribes file placement (`hash(key) % n`),
+  * the bloom index lets data lie where ingest put it — here key-range
+  * clustered — and answers the write-side question "which files might
+  * contain these keys?" from an O(files) sidecar:
+  *
+  *   - key-range check: file's [key_min, key_max] must overlap the key
+  *   - bloom check: all K Kirsch–Mitzenmacher bits of the key must be
+  *     set in the file's bitmap (definitely-absent ⇒ skip the file,
+  *     even when the range overlaps — the sparse-key win)
+  *
+  * An upsert rewrites ONLY the files some incoming key may live in;
+  * a batch of brand-new keys that no file can contain is a pure
+  * append — no existing file read OR written. That is what makes CoW
+  * upserts affordable when batches have key locality but the table is
+  * not hash-laid-out.
+  *
+  * Layout under `tablePath/`:
+  *   - `c=N/`       data files written by commit N (immutable)
+  *   - `_manifest`  one live data-file path per line (relative),
+  *                  atomically replaced — the commit point
+  *   - `_index/v=M/` one row per live file: key_min/key_max of the
+  *                  leading key column, bloom bitmap, row_count
+  *   - `_index/_latest` pointer, swapped after the manifest: the index
+  *                  is an acceleration structure, so it trails the
+  *                  manifest and [[reconcileIndex]] self-heals any gap
+  *                  (files in the manifest but not the index get
+  *                  scanned on the next upsert — never wrong results,
+  *                  only lost pruning, same contract as
+  *                  [[StatsIndex]])
+  *   - `_props`     keys / precombine / tieBreak / mBits / numFiles
+  *
+  * Scale: the index is O(files) tiny rows and broadcasts; candidate
+  * tagging is one broadcast probe over the BATCH (each row: one range
+  * compare + K bit tests per surviving file — at very large file
+  * counts, pre-partition the probe by key-range interval the way
+  * Hudi's bloom-index partitioner does). The merge reads only matched
+  * files; the index update scans only freshly written files.
+  */
+object BloomTable {
+
+  private def manifestPath(t: String): Path = Paths.get(t, "_manifest")
+  private def propsPath(t: String): Path = Paths.get(t, "_props")
+  private def indexLatest(t: String): Path = Paths.get(t, "_index", "_latest")
+
+  final case class Props(keys: Seq[String], precombine: String,
+      tieBreak: Seq[String], mBits: Int, numFiles: Int)
+
+  def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
+
+  def props(tablePath: String): Props = {
+    val m = Files.readAllLines(propsPath(tablePath)).asScala
+      .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap
+    Props(m("keys").split(',').toSeq.filter(_.nonEmpty), m("precombine"),
+      m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty),
+      m("mBits").toInt, m("numFiles").toInt)
+  }
+
+  /** Live data files (relative paths), in manifest order. */
+  def manifest(tablePath: String): Seq[String] = {
+    val p = manifestPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+  }
+
+  private def writeManifest(tablePath: String, files: Seq[String]): Unit = {
+    val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
+    Files.writeString(tmp, files.sorted.mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- key hashing (same Kirsch–Mitzenmacher md5 family as
+  // BloomAggregator's other users — TextOps.decontaminateBloom) ----
+
+  /** Composite key collapsed to one string for hashing. */
+  private def keyStr(keys: Seq[String]): Column =
+    concat_ws("", keys.map(k => col(k).cast("string")): _*)
+
+  private def withKeyHashes(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.withColumn("__ks", keyStr(keys))
+      .withColumn("__h1",
+        expr("CAST(conv(substr(md5(__ks), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("__h2",
+        expr("CAST(conv(substr(md5(__ks), 17, 14), 16, 10) AS BIGINT)"))
+
+  private def positions(m: Int): String = {
+    val k = graft.functions.BloomAggregator.K
+    s"transform(sequence(0, ${k - 1}), j -> (__h1 + j * __h2) % $m)"
+  }
+
+  /** One index row per data file of `df` (which must carry
+    * `_metadata.file_path`-addressable provenance, i.e. be a fresh
+    * parquet read of exactly the files to index): leading-key
+    * min/max, row count, bloom bitmap of the full composite key.
+    * One pass, map-side combined.
+    */
+  private def indexRows(df: DataFrame, p: Props): DataFrame = {
+    val bloom = udaf(new graft.functions.BloomAggregator(p.mBits))
+    withKeyHashes(df, p.keys)
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file"),
+        col(p.keys.head).as("__k0"),
+        explode(expr(positions(p.mBits))).as("pos"))
+      .groupBy(col("file"))
+      .agg(min(col("__k0")).as("key_min"), max(col("__k0")).as("key_max"),
+        (count(lit(1)) / graft.functions.BloomAggregator.K).cast("long")
+          .as("row_count"),
+        bloom(col("pos")).as("bloom"))
+  }
+
+  private def currentIndexVersion(tablePath: String): Long =
+    Files.readString(indexLatest(tablePath)).trim.toLong
+
+  private def readIndex(spark: SparkSession, tablePath: String): DataFrame =
+    spark.read.parquet(s"$tablePath/_index/v=${currentIndexVersion(tablePath)}")
+
+  /** Next index version that cannot collide with debris: a writer that
+    * died after the `v=` dir write but before the pointer swap leaves
+    * an orphan version readers never see — number past it rather than
+    * fail on `errorifexists`.
+    */
+  private def nextIndexVersion(tablePath: String): Long = {
+    val dir = Paths.get(tablePath, "_index")
+    val onDisk =
+      if (!Files.exists(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith("v=") => n.drop(2).toLong }.toSeq
+        finally s.close()
+      }
+    onDisk.maxOption.getOrElse(-1L) + 1
+  }
+
+  private def writeIndex(tablePath: String, rows: DataFrame, v: Long): Unit = {
+    Files.createDirectories(Paths.get(tablePath, "_index"))
+    rows.coalesce(1).write.mode("errorifexists")
+      .parquet(s"$tablePath/_index/v=$v")
+    val tmp = Paths.get(tablePath, "_index", s"_latest.tmp${System.nanoTime()}")
+    Files.writeString(tmp, v.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, indexLatest(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def listCommitFiles(tablePath: String, commit: Long): Seq[String] = {
+    val dir = Paths.get(tablePath, s"c=$commit")
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"c=$commit/$n").toSeq.sorted
+    finally s.close()
+  }
+
+  private def absFiles(tablePath: String, rel: Seq[String]): Seq[String] = {
+    val base = Paths.get(tablePath).toAbsolutePath.normalize
+    rel.map(r => base.resolve(r).toString)
+  }
+
+  private def relFile(tablePath: String, abs: String): String = {
+    val base = Paths.get(tablePath).toAbsolutePath.normalize.toString
+    abs.stripPrefix(base).stripPrefix("/")
+  }
+
+  /** Write `df` key-range clustered into `files` files under `c=N/`:
+    * range partitioning by the leading key keeps per-file [key_min,
+    * key_max] tight and non-overlapping, which is what gives the range
+    * half of the index its pruning power (the bloom half works under
+    * any layout).
+    */
+  private def writeCommit(df: DataFrame, tablePath: String, commit: Long,
+      p: Props, files: Int): Seq[String] = {
+    df.repartitionByRange(math.max(1, files), col(p.keys.head))
+      .write.mode("errorifexists").parquet(s"$tablePath/c=$commit")
+    listCommitFiles(tablePath, commit)
+  }
+
+  private def nextCommit(tablePath: String): Long = {
+    val live = manifest(tablePath).flatMap(f =>
+      "^c=(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toLong))
+    val onDisk = {
+      val s = Files.list(Paths.get(tablePath))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("c=") => n.drop(2).toLong }.toSeq
+      finally s.close()
+    }
+    (live ++ onDisk).maxOption.getOrElse(-1L) + 1
+  }
+
+  def create(df: DataFrame, tablePath: String, keys: Seq[String],
+      precombine: String, tieBreak: Seq[String] = Nil,
+      mBits: Int = graft.functions.BloomAggregator.MBits,
+      numFiles: Int = 8): Unit = {
+    require(!exists(tablePath), s"table already exists at $tablePath")
+    Files.createDirectories(Paths.get(tablePath))
+    Files.writeString(propsPath(tablePath),
+      s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
+        s"tieBreak=${tieBreak.mkString(",")}\nmBits=$mBits\nnumFiles=$numFiles\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val p = Props(keys, precombine, tieBreak, mBits, numFiles)
+    val written = writeCommit(
+      HudiLike.precombineLatest(df, keys, precombine, tieBreak),
+      tablePath, 0L, p, numFiles)
+    writeManifest(tablePath, written)
+    val spark = df.sparkSession
+    writeIndex(tablePath,
+      indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p), 0L)
+  }
+
+  /** Read the live table. Files are grouped by commit dir so commits
+    * with evolved schemas union by name (schema-on-read, as elsewhere).
+    */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val files = manifest(tablePath)
+    require(files.nonEmpty, s"no bloom table at $tablePath")
+    files.groupBy(f => f.takeWhile(_ != '/'))
+      .values.map(fs => spark.read.parquet(absFiles(tablePath, fs.toSeq): _*))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Index rows reconciled to the CURRENT manifest: rows for retired
+    * files dropped; live files the index has not seen (a writer that
+    * crashed between the manifest swap and the index swap) scanned and
+    * folded in now. Correctness of candidate tagging therefore never
+    * depends on the index being current — missing rows are healed
+    * before they could cause a missed match.
+    */
+  private def reconcileIndex(spark: SparkSession, tablePath: String,
+      p: Props): DataFrame = {
+    val live = absFiles(tablePath, manifest(tablePath))
+    val idx = readIndex(spark, tablePath)
+      .filter(col("file").isin(live: _*))
+    val indexed = idx.select("file").collect().map(_.getString(0)).toSet
+    val missing = live.filterNot(indexed)
+    if (missing.isEmpty) idx
+    else idx.unionByName(
+      indexRows(spark.read.parquet(missing: _*), p))
+  }
+
+  /** Relative paths of live files that MAY contain at least one key of
+    * `batch` (range ∩ bloom tagging — Hudi's `tagLocation`). The probe
+    * broadcasts the O(files) index and runs over the batch; survivors
+    * come to the driver because the driver plans the merge's file list.
+    */
+  private def candidateFiles(tablePath: String, batch: DataFrame,
+      idx: DataFrame, p: Props): Seq[String] = {
+    withKeyHashes(batch, p.keys)
+      .withColumn("__poss", expr(positions(p.mBits)))
+      .select(col(p.keys.head).as("__k0"), col("__poss"))
+      .join(broadcast(idx),
+        col("__k0") >= col("key_min") && col("__k0") <= col("key_max"))
+      .filter(expr(
+        """forall(__poss, p ->
+          | (element_at(bloom, CAST(p DIV 64 AS INT) + 1)
+          |  & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)""".stripMargin))
+      .select(col("file")).distinct()
+      .collect().map(r => relFile(tablePath, r.getString(0))).toSeq.sorted
+  }
+
+  /** Bloom-routed upsert: tag the batch to candidate files, merge
+    * against ONLY those, write the merged region as a new commit,
+    * swing the manifest (old candidates out, new files in), then
+    * refresh the index incrementally (retired rows dropped, new files
+    * scanned — never the untouched ones). Returns the relative paths
+    * of the files the batch actually rewrote (empty = pure append).
+    */
+  def upsertInto(spark: SparkSession, tablePath: String,
+      incoming: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
+      p.tieBreak).localCheckpoint()
+    if (batch.isEmpty) return Seq.empty
+    // reconcile once, reuse for tagging AND as the base of the next
+    // index version — a healed gap is persisted, not re-healed forever
+    val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
+    val touched = candidateFiles(tablePath, batch, idx, p)
+    val commit = nextCommit(tablePath)
+    val existing =
+      if (touched.isEmpty) batch.limit(0)
+      else spark.read.parquet(absFiles(tablePath, touched): _*)
+    val merged = HudiLike.upsert(existing, batch, p.keys, p.precombine, p.tieBreak)
+    // file budget for the rewritten region: keep the region's file
+    // count (+1 when pure append) so file sizes stay level without a
+    // table-wide count() job; compact() re-levels the whole table
+    val written = writeCommit(merged, tablePath, commit, p,
+      math.max(1, touched.size))
+    val newManifest = (manifest(tablePath).toSet -- touched) ++ written
+    writeManifest(tablePath, newManifest.toSeq)
+    val keptIdx = idx
+      .filter(!col("file").isin(absFiles(tablePath, touched): _*))
+    writeIndex(tablePath,
+      keptIdx.unionByName(
+        indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
+      nextIndexVersion(tablePath))
+    touched
+  }
+
+  /** Point lookup by full key: probe the index, read only candidate
+    * files (usually one: ranges are non-overlapping per commit and the
+    * bloom kills false range matches across commits), filter exact.
+    */
+  def lookup(spark: SparkSession, tablePath: String,
+      keyValues: Seq[Any]): DataFrame = {
+    val p = props(tablePath)
+    require(keyValues.length == p.keys.length,
+      s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
+    val schema = read(spark, tablePath).schema
+    val probe = p.keys.zip(keyValues).foldLeft(spark.range(1).toDF()) {
+      case (df, (k, v)) => df.withColumn(k, lit(v).cast(schema(k).dataType))
+    }
+    val candidates = candidateFiles(tablePath, probe,
+      reconcileIndex(spark, tablePath, p), p)
+    if (candidates.isEmpty)
+      return read(spark, tablePath).limit(0)
+    val base = spark.read.parquet(absFiles(tablePath, candidates): _*)
+    p.keys.zip(keyValues).foldLeft(base) { case (df, (k, v)) =>
+      df.filter(col(k) === lit(v).cast(schema(k).dataType))
+    }
+  }
+
+  /** Rewrite the whole table key-range clustered at `numFiles` fresh
+    * files in one commit — re-levels file sizes after append drift and
+    * restores globally non-overlapping ranges (Hudi clustering).
+    */
+  def compact(spark: SparkSession, tablePath: String): Long = {
+    val p = props(tablePath)
+    val commit = nextCommit(tablePath)
+    val written = writeCommit(read(spark, tablePath), tablePath, commit, p,
+      p.numFiles)
+    writeManifest(tablePath, written)
+    writeIndex(tablePath,
+      indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
+      nextIndexVersion(tablePath))
+    commit
+  }
+
+  /** Remove data files no longer in the manifest and index versions
+    * before the latest. Returns removed paths (table-relative).
+    */
+  def clean(tablePath: String): Seq[String] = {
+    val live = manifest(tablePath).toSet
+    val base = Paths.get(tablePath)
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def deleteRecursively(p: Path): Unit = {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally w.close()
+    }
+    val removedData = listDir(base)
+      .filter(_.getFileName.toString.startsWith("c="))
+      .flatMap { cdir =>
+        val parts = listDir(cdir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        val (liveParts, deadParts) =
+          parts.partition(f => live(s"${cdir.getFileName}/${f.getFileName}"))
+        val gone = deadParts.map { f =>
+          val rel = s"${cdir.getFileName}/${f.getFileName}"
+          Files.delete(f); rel
+        }
+        // no live parquet left → the whole commit dir (markers and
+        // all) is debris
+        if (liveParts.isEmpty) {
+          deleteRecursively(cdir)
+          gone :+ s"${cdir.getFileName}"
+        } else gone
+      }
+    val keep = currentIndexVersion(tablePath)
+    val idxDir = Paths.get(tablePath, "_index")
+    val removedIdx = {
+      val s = Files.list(idxDir)
+      try s.iterator().asScala
+        .filter { d => val n = d.getFileName.toString
+          n.startsWith("v=") && n.drop(2).toLong < keep }
+        .map { d =>
+          val w = Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f => Files.delete(f))
+          finally w.close()
+          s"_index/${d.getFileName}"
+        }.toSeq
+      finally s.close()
+    }
+    removedData ++ removedIdx
+  }
+}

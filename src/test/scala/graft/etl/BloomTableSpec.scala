@@ -1,0 +1,137 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Pins what makes the bloom file index an index: merged results equal
+  * the plain keyed upsert, key-local batches rewrite only their files,
+  * definitely-absent keys (bloom negative inside an overlapping range)
+  * append without touching any file, lookups read one file, and a
+  * writer crash between the manifest and index swaps self-heals.
+  */
+class BloomTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch() = Files.createTempDirectory("bloomtbl").toString + "/t"
+
+  private def ev = graft.Tables.events(spark, sf0001)
+    .select(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), col("ts_us"))
+    .filter(col("ts_us").isNotNull)
+
+  private val split = graft.ops.PipelineQueries.SplitUs
+
+  test("create + upserts equal precombine-latest over the union of batches") {
+    val path = scratch()
+    val b0 = ev.filter(col("ts_us") <= split)
+    val b1 = ev.filter(col("ts_us") > split && col("user_id") % 3 === 0)
+    val b2 = ev.filter(col("ts_us") > split && col("user_id") % 3 =!= 0)
+    BloomTable.create(b0, path, keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 8)
+    BloomTable.upsertInto(spark, path, b1)
+    BloomTable.upsertInto(spark, path, b2)
+    val got = BloomTable.read(spark, path)
+    val want = HudiLike.precombineLatest(b0.unionByName(b1).unionByName(b2),
+      Seq("user_id"), "ts_us", Seq("event_id"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("key-local batch rewrites only the files owning those keys") {
+    val path = scratch()
+    BloomTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 8)
+    val before = BloomTable.manifest(path)
+    assert(before.size == 8)
+    // sf0.001 has 15 users over 8 range-clustered files → users 0-1
+    // live in one file (maybe two at a boundary)
+    val touched = BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > split && col("user_id") <= 1))
+    assert(touched.nonEmpty && touched.size <= 2,
+      s"key-local batch must touch at most 2 of 8 files, rewrote $touched")
+    val after = BloomTable.manifest(path)
+    val untouched = before.filterNot(touched.contains)
+    assert(untouched.forall(after.contains),
+      "files the batch did not match must stay live, byte-identical")
+  }
+
+  test("bloom rejects absent keys inside an overlapping range → pure append") {
+    val path = scratch()
+    // base holds EVEN keys 0..98: every odd key is inside [0,98] (range
+    // check alone cannot prune) but definitely absent (bloom can)
+    val base = spark.range(50).select(
+      (col("id") * 2).as("k"), lit("base").as("src"), col("id").as("seq"))
+    BloomTable.create(base, path, keys = Seq("k"), precombine = "seq",
+      numFiles = 2)
+    val before = BloomTable.manifest(path)
+    val odd = spark.range(5).select(
+      (col("id") * 2 + 1).as("k"), lit("new").as("src"), (col("id") + 100).as("seq"))
+    val touched = BloomTable.upsertInto(spark, path, odd)
+    assert(touched.isEmpty,
+      s"all-absent keys must append without rewriting any file, rewrote $touched")
+    val after = BloomTable.manifest(path)
+    assert(before.forall(after.contains), "append must keep every old file live")
+    assert(after.size > before.size, "append must add new files")
+    assert(BloomTable.read(spark, path).count() == 55)
+  }
+
+  test("lookup reads only the candidate file(s)") {
+    val path = scratch()
+    BloomTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 8)
+    val row = BloomTable.lookup(spark, path, Seq(7L))
+    assert(row.count() == 1)
+    val filesRead = row.inputFiles.length
+    assert(filesRead <= 2,
+      s"point lookup must plan at most 2 of 8 files, planned $filesRead")
+    assert(row.head().getAs[Long]("user_id") == 7L)
+  }
+
+  test("compaction re-levels to numFiles and clean removes retired files") {
+    val path = scratch()
+    BloomTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 4)
+    BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > split))
+    val want = BloomTable.read(spark, path).collect().toSet
+    BloomTable.compact(spark, path)
+    assert(BloomTable.manifest(path).size == 4)
+    val removed = BloomTable.clean(path)
+    assert(removed.nonEmpty, "clean after compact must reclaim retired files")
+    val got = BloomTable.read(spark, path).collect().toSet
+    assert(got == want, "compaction + clean must not change contents")
+  }
+
+  test("index lagging the manifest (crash between swaps) self-heals") {
+    val path = scratch()
+    BloomTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 4)
+    BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > split && col("user_id") <= 5))
+    // simulate the crash: manifest is current, but the index pointer
+    // still names the CREATE-time version (v0 is still on disk)
+    Files.writeString(Paths.get(path, "_index", "_latest"), "0")
+    // keys 0-5 now live in commit-1 files the stale index has no rows
+    // for — reconcile must scan them, or this upsert would misroute
+    BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > split && col("user_id") > 5))
+    val got = BloomTable.read(spark, path)
+    val want = HudiLike.precombineLatest(ev, Seq("user_id"), "ts_us", Seq("event_id"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("empty batch is a no-op") {
+    val path = scratch()
+    BloomTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 4)
+    val before = BloomTable.manifest(path)
+    assert(BloomTable.upsertInto(spark, path, ev.limit(0)).isEmpty)
+    assert(BloomTable.manifest(path) == before)
+  }
+}
