@@ -311,6 +311,43 @@ object BloomTable {
     touched
   }
 
+  /** Row-level delete by key (Hudi's `delete` operation — the
+    * reference's Hudi writer accepts it through the same upsert API,
+    * `hoodie.datasource.write.operation=delete`): tag the keys to
+    * candidate files exactly like an upsert, rewrite ONLY those files
+    * minus the deleted keys, swing the manifest. Keys the bloom proves
+    * absent cost nothing — no file read, no commit. Returns the
+    * relative paths of the rewritten files.
+    */
+  def deleteFrom(spark: SparkSession, tablePath: String,
+      keysToDelete: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val keyRel = keysToDelete.select(p.keys.map(col): _*)
+      .distinct().localCheckpoint()
+    if (keyRel.isEmpty) return Seq.empty
+    val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
+    val touched = candidateFiles(tablePath, keyRel, idx, p)
+    if (touched.isEmpty) return Seq.empty
+    val existing = spark.read.parquet(absFiles(tablePath, touched): _*)
+    val remaining = existing.join(keyRel, p.keys, "left_anti")
+    val commit = nextCommit(tablePath)
+    // the whole candidate region may empty out — then the commit is
+    // pure retirement: no new files, just the manifest shrinking
+    val written =
+      if (remaining.isEmpty) Seq.empty
+      else writeCommit(remaining, tablePath, commit, p, touched.size)
+    writeManifest(tablePath,
+      ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
+    val keptIdx = idx
+      .filter(!col("file").isin(absFiles(tablePath, touched): _*))
+    val nextIdx =
+      if (written.isEmpty) keptIdx
+      else keptIdx.unionByName(
+        indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
+    writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
+    touched
+  }
+
   /** Point lookup by full key: probe the index, read only candidate
     * files (usually one: ranges are non-overlapping per commit and the
     * bloom kills false range matches across commits), filter exact.

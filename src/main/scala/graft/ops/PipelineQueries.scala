@@ -414,6 +414,43 @@ object PipelineQueries {
     spark.read.parquet(out)
   }
 
+  /** `p_stream_window_upsert`: the Update-mode / keyed-sink twin of
+    * [[streamWindowAgg]] — only windows changed by each micro-batch
+    * flow to the BucketTable upsert, and the final table must still
+    * equal the one-pass GROUP BY (same oracle), because the per-key
+    * update sequence is monotone and precombined on `n`.
+    */
+  def streamWindowUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    val tbl = base.resolve("wtbl").toString
+    graft.streaming.StreamingPipeline.runWindowedAggKeyed(spark,
+      src.toString, tbl, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = Some(1))
+    graft.etl.BucketTable.read(spark, tbl)
+      .select(col("window_start_us"), col("event_type"), col("n"), col("total"))
+  }
+
+  /** `p_bloom_delete`: row-level delete through the bloom index —
+    * create the keyed table over all events, delete a key band, read
+    * what survives. `BloomTableSpec` asserts only candidate files get
+    * rewritten; the oracle pins the surviving rows.
+    */
+  def bloomDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "d").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    graft.etl.BloomTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.BloomTable.deleteFrom(spark, path,
+      ev.filter(col("user_id").between(10, 19)).select("user_id"))
+    graft.etl.BloomTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** MOR snapshot query: merge base + logs at read time, drop
     * tombstoned keys — must equal the latest-per-user state over ALL
     * events minus the deleted users, which is what the oracle replays.
@@ -448,6 +485,8 @@ object PipelineQueries {
     "p_bucket_lookup" -> (bucketLookup(_, _)),
     "p_bloom_upsert" -> (bloomUpsert(_, _)),
     "p_bloom_lookup" -> (bloomLookup(_, _)),
+    "p_bloom_delete" -> (bloomDelete(_, _)),
+    "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
@@ -484,6 +523,19 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    "p_stream_window_upsert" ->
+      s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+         |  event_type, count(*) AS n,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+         |FROM events WHERE ts IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
+    "p_bloom_delete" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND user_id NOT BETWEEN 10 AND 19""".stripMargin,
     "p_bloom_upsert" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -347,6 +347,52 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** The unbounded-horizon twin of [[runWindowedAgg]]: Update-mode
+    * emission (only windows CHANGED by the micro-batch) upserted into
+    * a [[graft.etl.BucketTable]] keyed on (window, type). Per batch
+    * the sink cost is O(changed windows + touched buckets) — never
+    * O(all windows) like a Complete-mode rewrite — and the 10-minute
+    * watermark evicts closed windows from the state store, so both
+    * state and per-commit work stay bounded on an infinite stream.
+    * The per-key emission sequence is monotone in `n` (a window only
+    * ever folds rows in), so `n` is the precombine column: latest
+    * update wins, replays after a checkpoint recovery included.
+    */
+  def runWindowedAggKeyed(spark: SparkSession, sourceDir: String,
+      tablePath: String, checkpoint: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.Tables.normalizeTsNanos(
+      fileStream(spark, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
+      .filter(col("ts").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(
+          unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"),
+          round(col("cents") / 100.0, 2).as("total"))
+        if (!rows.isEmpty) {
+          if (!graft.etl.BucketTable.exists(tablePath))
+            graft.etl.BucketTable.create(rows, tablePath,
+              keys = Seq("window_start_us", "event_type"), precombine = "n")
+          else
+            graft.etl.BucketTable.upsertInto(rows.sparkSession, tablePath, rows)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runIngestBucketed(spark: SparkSession, sourceDir: String,
       targetPath: String, checkpoint: String,
       maxFilesPerTrigger: Int = 1,

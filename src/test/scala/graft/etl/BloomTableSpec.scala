@@ -125,6 +125,46 @@ class BloomTableSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("delete rewrites only the files holding the keys") {
+    val path = scratch()
+    BloomTable.create(ev, path, keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 8)
+    val before = BloomTable.manifest(path)
+    val touched = BloomTable.deleteFrom(spark, path,
+      spark.range(2).select(col("id").as("user_id")))
+    assert(touched.nonEmpty && touched.size <= 2,
+      s"deleting users 0-1 must rewrite at most 2 of 8 files, rewrote $touched")
+    val after = BloomTable.manifest(path)
+    assert(before.filterNot(touched.contains).forall(after.contains))
+    val got = BloomTable.read(spark, path)
+    assert(got.filter(col("user_id") < 2).count() == 0)
+    val want = HudiLike.precombineLatest(ev, Seq("user_id"), "ts_us",
+      Seq("event_id")).filter(col("user_id") >= 2)
+    assert(got.count() == want.count())
+  }
+
+  test("deleting bloom-absent keys is free; emptying a file's keys retires it") {
+    val path = scratch()
+    val base = spark.range(50).select(
+      (col("id") * 2).as("k"), lit("base").as("src"), col("id").as("seq"))
+    BloomTable.create(base, path, keys = Seq("k"), precombine = "seq",
+      numFiles = 2)
+    // odd keys: inside file0's [0,48] range but bloom-absent → no-op
+    val absent = BloomTable.deleteFrom(spark, path,
+      spark.range(5).select((col("id") * 2 + 1).as("k")))
+    assert(absent.isEmpty, s"bloom-absent deletes must touch nothing: $absent")
+    // delete ALL of file0's keys → pure retirement, no replacement file
+    val before = BloomTable.manifest(path)
+    val touched = BloomTable.deleteFrom(spark, path,
+      spark.range(25).select((col("id") * 2).as("k")))
+    assert(touched.size == 1)
+    val after = BloomTable.manifest(path)
+    assert(after.size == before.size - 1,
+      s"an emptied file must retire without a replacement: $before -> $after")
+    assert(BloomTable.read(spark, path).count() == 25)
+    assert(BloomTable.lookup(spark, path, Seq(0L)).count() == 0)
+  }
+
   test("empty batch is a no-op") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,

@@ -228,6 +228,28 @@ class StreamingSpec extends SparkSpec {
       "streaming windowed rollup must equal the batch GROUP BY")
   }
 
+  test("update-mode keyed windowed rollup reaches the same totals as complete mode") {
+    val base = Files.createTempDirectory("streamwu").toString
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
+    StreamingPipeline.runWindowedAggKeyed(spark, s"$base/src",
+      s"$base/wtbl", s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    import org.apache.spark.sql.functions.{col, count, expr, lit, round, sum}
+    val got = graft.etl.BucketTable.read(spark, s"$base/wtbl")
+      .select(col("window_start_us"), col("event_type"), col("n"), col("total"))
+    val want = graft.Tables.events(spark, sf0001)
+      .filter($"ts_us".isNotNull)
+      .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("window_start_us"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0, 2)
+          .as("total"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "update-mode keyed rollup must equal the batch GROUP BY")
+  }
+
   test("extractStream falls back to the canonical schema on an empty source dir") {
     val dir = Files.createTempDirectory("emptysrc").toString
     val df = StreamingPipeline.extractStream(spark, dir)
