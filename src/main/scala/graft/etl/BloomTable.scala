@@ -203,20 +203,40 @@ object BloomTable {
     (live ++ onDisk).maxOption.getOrElse(-1L) + 1
   }
 
+  /** `mBits = AutoSize` at [[create]]: size each file's filter from
+    * the measured table cardinality (`BloomAggregator.sizeFor` over
+    * the expected per-file key count) instead of the fixture default —
+    * the knob a production table MUST set, because a fixed 64 Kibit
+    * filter saturates around ~10⁴ keys per file and a saturated bloom
+    * degrades tagging to the range check alone (correct, but every
+    * range-overlapping file gets read again). Costs one count() of the
+    * deduped create batch — commit-planning work, like Hudi's
+    * `hoodie.index.bloom.num_entries` auto-tuning.
+    */
+  val AutoSize: Int = 0
+
   def create(df: DataFrame, tablePath: String, keys: Seq[String],
       precombine: String, tieBreak: Seq[String] = Nil,
       mBits: Int = graft.functions.BloomAggregator.MBits,
       numFiles: Int = 8): Unit = {
     require(!exists(tablePath), s"table already exists at $tablePath")
     Files.createDirectories(Paths.get(tablePath))
+    val deduped0 = HudiLike.precombineLatest(df, keys, precombine, tieBreak)
+    // auto-size pays one materialize+count of the create batch; the
+    // explicit-mBits path stays a single streaming write
+    val (deduped, sizedBits) =
+      if (mBits != AutoSize) (deduped0, mBits)
+      else {
+        val d = deduped0.localCheckpoint()
+        (d, graft.functions.BloomAggregator.sizeFor(
+          math.max(1L, (d.count() + numFiles - 1) / numFiles)))
+      }
     Files.writeString(propsPath(tablePath),
       s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
-        s"tieBreak=${tieBreak.mkString(",")}\nmBits=$mBits\nnumFiles=$numFiles\n",
+        s"tieBreak=${tieBreak.mkString(",")}\nmBits=$sizedBits\nnumFiles=$numFiles\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val p = Props(keys, precombine, tieBreak, mBits, numFiles)
-    val written = writeCommit(
-      HudiLike.precombineLatest(df, keys, precombine, tieBreak),
-      tablePath, 0L, p, numFiles)
+    val p = Props(keys, precombine, tieBreak, sizedBits, numFiles)
+    val written = writeCommit(deduped, tablePath, 0L, p, numFiles)
     writeManifest(tablePath, written)
     val spark = df.sparkSession
     writeIndex(tablePath,

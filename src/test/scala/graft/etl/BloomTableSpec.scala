@@ -165,6 +165,28 @@ class BloomTableSpec extends SparkSpec {
     assert(BloomTable.lookup(spark, path, Seq(0L)).count() == 0)
   }
 
+  test("AutoSize derives per-file filter bits from the measured cardinality") {
+    val path = scratch()
+    val base = spark.range(50).select(
+      (col("id") * 2).as("k"), lit("base").as("src"), col("id").as("seq"))
+    BloomTable.create(base, path, keys = Seq("k"), precombine = "seq",
+      mBits = BloomTable.AutoSize, numFiles = 2)
+    val sized = BloomTable.props(path).mBits
+    assert(sized == graft.functions.BloomAggregator.sizeFor(25),
+      s"expected sizeFor(ceil(50/2)) bits, got $sized")
+    // at the optimal-m sizing fp ≈ 2^-K ≈ 6% per probe, so absent keys
+    // may false-positive a file (costing only its rewrite) — assert
+    // correctness, and that tagging still prunes past the range check
+    // (≤1 of the 2 files can match 5 probes only via fp, never both on
+    // the range alone, since odd keys overlap just file0's [0,48])
+    val touched = BloomTable.upsertInto(spark, path,
+      spark.range(5).select((col("id") * 2 + 1).as("k"),
+        lit("new").as("src"), (col("id") + 100).as("seq")))
+    assert(touched.size <= 1,
+      s"only file0's range overlaps the odd probes, got $touched")
+    assert(BloomTable.read(spark, path).count() == 55)
+  }
+
   test("empty batch is a no-op") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,

@@ -35,6 +35,11 @@ class StatsIndexSpec extends SparkSpec {
     // ~2.9 of 30 days on a time-ordered layout: at most half the files survive
     assert(survivors.nonEmpty && survivors.size <= total / 2,
       s"expected real pruning, got ${survivors.size}/$total")
+    // and the scan PLANS exactly the survivor list — skipping happens
+    // at the file-listing level, not as a post-read filter
+    val planned = viaIndex.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(planned == survivors.toSet,
+      s"scan must plan the survivor files only: $planned vs $survivors")
   }
 
   test("z-order layout prunes on BOTH dimensions; linear layout cannot on the second") {
