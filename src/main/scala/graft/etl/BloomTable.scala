@@ -89,9 +89,12 @@ object BloomTable {
   // ---- key hashing (same Kirsch–Mitzenmacher md5 family as
   // BloomAggregator's other users — TextOps.decontaminateBloom) ----
 
-  /** Composite key collapsed to one string for hashing. */
+  /** Composite key collapsed to one string for hashing; the control
+    * separator keeps composite keys like ("ab","c") and ("a","bc")
+    * from sharing bloom bits.
+    */
   private def keyStr(keys: Seq[String]): Column =
-    concat_ws("", keys.map(k => col(k).cast("string")): _*)
+    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
 
   private def withKeyHashes(df: DataFrame, keys: Seq[String]): DataFrame =
     df.withColumn("__ks", keyStr(keys))
