@@ -252,10 +252,21 @@ object BloomTable {
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val files = manifest(tablePath)
     require(files.nonEmpty, s"no bloom table at $tablePath")
-    files.groupBy(f => f.takeWhile(_ != '/'))
+    readFiles(spark, tablePath, files)
+  }
+
+  /** Read a set of table-relative files grouped BY COMMIT DIR with a
+    * by-name union: a single flat `spark.read.parquet(all files)`
+    * would take its schema from one footer and silently DROP columns
+    * that only later commits carry — fatal on the merge path, where
+    * the surviving rows get rewritten (schema-on-read, same contract
+    * as `BucketTable.readBuckets`).
+    */
+  private def readFiles(spark: SparkSession, tablePath: String,
+      rel: Seq[String]): DataFrame =
+    rel.groupBy(f => f.takeWhile(_ != '/'))
       .values.map(fs => spark.read.parquet(absFiles(tablePath, fs.toSeq): _*))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-  }
 
   /** Index rows reconciled to the CURRENT manifest: rows for retired
     * files dropped; live files the index has not seen (a writer that
@@ -316,7 +327,7 @@ object BloomTable {
     val commit = nextCommit(tablePath)
     val existing =
       if (touched.isEmpty) batch.limit(0)
-      else spark.read.parquet(absFiles(tablePath, touched): _*)
+      else readFiles(spark, tablePath, touched)
     val merged = HudiLike.upsert(existing, batch, p.keys, p.precombine, p.tieBreak)
     // file budget for the rewritten region: keep the region's file
     // count (+1 when pure append) so file sizes stay level without a
@@ -351,7 +362,7 @@ object BloomTable {
     val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
     val touched = candidateFiles(tablePath, keyRel, idx, p)
     if (touched.isEmpty) return Seq.empty
-    val existing = spark.read.parquet(absFiles(tablePath, touched): _*)
+    val existing = readFiles(spark, tablePath, touched)
     val remaining = existing.join(keyRel, p.keys, "left_anti")
     val commit = nextCommit(tablePath)
     // the whole candidate region may empty out — then the commit is

@@ -187,6 +187,31 @@ class BloomTableSpec extends SparkSpec {
     assert(BloomTable.read(spark, path).count() == 55)
   }
 
+  test("schema evolution survives bloom-routed merges across commits") {
+    val path = scratch()
+    val base = spark.range(20).select(col("id").as("k"),
+      lit(0L).as("pc"), (col("id") * 1.0).as("v"))
+    BloomTable.create(base, path, keys = Seq("k"), precombine = "pc",
+      numFiles = 2)
+    // commit 1 ADDS a column for keys 0-4 (schema-on-read evolution)
+    BloomTable.upsertInto(spark, path, spark.range(5).select(
+      col("id").as("k"), lit(1L).as("pc"), (col("id") * 1.0).as("v"),
+      concat(lit("e"), col("id")).as("extra")))
+    // commit 2 touches BOTH an evolved file (key 0) and a create-time
+    // file (key 15): the merge reads across commits with different
+    // schemas — a flat multi-file read would take the OLDER footer's
+    // schema and silently drop `extra` from the rewritten region
+    BloomTable.upsertInto(spark, path, spark.createDataFrame(Seq(
+      (0L, 2L, 0.5), (15L, 2L, 1.5))).toDF("k", "pc", "v"))
+    val got = BloomTable.read(spark, path)
+    assert(got.columns.contains("extra"))
+    // untouched evolved rows keep their values through the rewrite
+    assert(got.filter(col("k") === 1).head().getAs[String]("extra") == "e1")
+    // rows replaced by the extra-less batch read null there
+    assert(got.filter(col("k") === 0).head().getAs[String]("extra") == null)
+    assert(got.count() == 20)
+  }
+
   test("empty batch is a no-op") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,
