@@ -421,6 +421,23 @@ object BloomTable {
     commit
   }
 
+  /** Inline compaction trigger (Hudi's
+    * `hoodie.compact.inline.max.delta.commits` analog, applied to
+    * file-count drift): every pure-append trickle commit adds a file,
+    * and past a few multiples of `numFiles` the manifest's small-file
+    * spread degrades both candidate tagging (more ranges overlap) and
+    * read fan-in. Call after upserts; compacts when the live file
+    * count exceeds `maxLiveFiles` (default 3× the layout target) and
+    * returns the new commit id when it did.
+    */
+  def maybeCompact(spark: SparkSession, tablePath: String,
+      maxLiveFiles: Int = -1): Option[Long] = {
+    val limit =
+      if (maxLiveFiles > 0) maxLiveFiles else 3 * props(tablePath).numFiles
+    if (manifest(tablePath).size <= limit) None
+    else Some(compact(spark, tablePath))
+  }
+
   /** Remove data files no longer in the manifest and index versions
     * before the latest. Returns removed paths (table-relative).
     */

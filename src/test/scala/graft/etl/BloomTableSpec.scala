@@ -212,6 +212,29 @@ class BloomTableSpec extends SparkSpec {
     assert(got.count() == 20)
   }
 
+  test("maybeCompact fires only past the live-file limit and re-levels") {
+    val path = scratch()
+    val base = spark.range(20).select(col("id").as("k"),
+      lit(0L).as("pc"), (col("id") * 1.0).as("v"))
+    BloomTable.create(base, path, keys = Seq("k"), precombine = "pc",
+      numFiles = 2)
+    // trickle appends of brand-new keys: each is a pure-append commit
+    // adding one file
+    (1 to 5).foreach { i =>
+      BloomTable.upsertInto(spark, path, spark.range(3).select(
+        (col("id") + 100 * i).as("k"), lit(i.toLong).as("pc"),
+        (col("id") * 1.0).as("v")))
+    }
+    assert(BloomTable.manifest(path).size == 7)
+    assert(BloomTable.maybeCompact(spark, path, maxLiveFiles = 8).isEmpty,
+      "below the limit nothing should compact")
+    val want = BloomTable.read(spark, path).collect().toSet
+    assert(BloomTable.maybeCompact(spark, path).nonEmpty,
+      "7 files > 3×numFiles=6 must trigger the default-limit compaction")
+    assert(BloomTable.manifest(path).size == 2)
+    assert(BloomTable.read(spark, path).collect().toSet == want)
+  }
+
   test("empty batch is a no-op") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,
