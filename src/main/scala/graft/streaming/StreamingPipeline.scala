@@ -347,6 +347,41 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming ingest through the BLOOM-indexed CoW table — the third
+    * sink of the matrix (HudiLike whole-table, BucketTable
+    * hash-routed, BloomTable range/bloom-routed): each micro-batch is
+    * tagged to candidate files and merges against only those, and the
+    * inline [[graft.etl.BloomTable.maybeCompact]] bounds small-file
+    * drift from append-heavy batches — compaction riding the stream
+    * the way Hudi schedules inline compaction between commits.
+    */
+  def runIngestBloomRouted(spark: SparkSession, sourceDir: String,
+      targetPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1,
+      keys: Seq[String] = Seq("entity_id"),
+      precombine: String = "event_timestamp",
+      tieBreak: Seq[String] = Seq("event_id")): Unit = {
+    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!graft.etl.BloomTable.exists(targetPath))
+            graft.etl.BloomTable.create(batch, targetPath,
+              keys = keys, precombine = precombine, tieBreak = tieBreak)
+          else {
+            graft.etl.BloomTable.upsertInto(batch.sparkSession, targetPath, batch)
+            graft.etl.BloomTable.maybeCompact(batch.sparkSession, targetPath)
+              .foreach(_ => graft.etl.BloomTable.clean(targetPath))
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The unbounded-horizon twin of [[runWindowedAgg]]: Update-mode
     * emission (only windows CHANGED by the micro-batch) upserted into
     * a [[graft.etl.BucketTable]] keyed on (window, type). Per batch

@@ -228,6 +228,26 @@ class StreamingSpec extends SparkSpec {
       "streaming windowed rollup must equal the batch GROUP BY")
   }
 
+  test("bloom-routed streaming ingest reaches batch parity") {
+    val base = Files.createTempDirectory("streamf").toString
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
+    StreamingPipeline.runIngestBloomRouted(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    import org.apache.spark.sql.functions.col
+    val got = graft.etl.BloomTable.read(spark, s"$base/target")
+      .select(col("entity_id"), col("event_id"))
+    val want = graft.etl.HudiLike.precombineLatest(
+      graft.Tables.events(spark, sf0001).filter($"ts_us".isNotNull)
+        .select($"user_id".as("entity_id"), $"event_id", $"ts_us"),
+      Seq("entity_id"), "ts_us", Seq("event_id"))
+      .select(col("entity_id"), col("event_id"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bloom-routed streaming sink must reach the latest-per-entity state")
+  }
+
   test("update-mode keyed windowed rollup reaches the same totals as complete mode") {
     val base = Files.createTempDirectory("streamwu").toString
     val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
