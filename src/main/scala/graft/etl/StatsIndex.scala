@@ -143,15 +143,17 @@ object StatsIndex {
 
   /** Survivor predicate over the stats relation: a file can hold a row
     * in `[lo, hi]` unless its max proves `< lo` or its min proves
-    * `> hi`. Null stats (all-null file, or a column the writer never
-    * saw) prove nothing — `coalesce(..., true)` keeps the file, so
-    * pruning is always conservative.
+    * `> hi`. Null min/max stats occur exactly when the file has NO
+    * non-null value in the column (min/max skip nulls — an all-null
+    * file, or one written before the column existed), and a null cell
+    * matches no range predicate, so those files are provably
+    * unmatchable and `coalesce(..., false)` prunes them too.
     */
   private def survives(r: ColRange): Column = {
     val loOk = r.lo.map(v =>
-      coalesce(col(s"${r.column}__max") >= lit(v), lit(true)))
+      coalesce(col(s"${r.column}__max") >= lit(v), lit(false)))
     val hiOk = r.hi.map(v =>
-      coalesce(col(s"${r.column}__min") <= lit(v), lit(true)))
+      coalesce(col(s"${r.column}__min") <= lit(v), lit(false)))
     (loOk.toSeq ++ hiOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
   }
 

@@ -96,7 +96,7 @@ class StatsIndexSpec extends SparkSpec {
     assert(viaIndex.filter(col("ts_us") > split).count() > 0)
   }
 
-  test("null stats are conservative: an all-null file is never pruned away") {
+  test("all-null files are provably unmatchable by ranges and get pruned") {
     import spark.implicits._
     val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
     Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v")
@@ -107,10 +107,10 @@ class StatsIndexSpec extends SparkSpec {
     val (surv, total) = StatsIndex.prune(spark, stats,
       Seq(ColRange("v", Some(15L), Some(25L))))
     assert(total == 2)
-    // the all-null file has null min/max → must survive (conservative);
-    // the (10,20) file overlaps → survives too
-    assert(surv.size == 2)
-    // but the residual filter still makes the RESULT exact
+    // null min/max ⇔ no non-null value ⇔ no row can match a range:
+    // only the (10,20) file survives
+    assert(surv.size == 1)
+    // and the result is exact either way
     val rows = StatsIndex.scan(spark, data, stats,
       Seq(ColRange("v", Some(15L), Some(25L)))).collect()
     assert(rows.map(_.getLong(0)).toSet == Set(2L))
