@@ -79,6 +79,48 @@ object HudiLike {
       .select(cols.map(col): _*)
   }
 
+  /** Partial-update merge — Hudi's `PartialUpdateAvroPayload`
+    * semantics on top of the same ordering as [[upsert]]: per key,
+    * each non-key column takes its value from the LATEST row (by
+    * precombine, incoming-wins, tie-break) whose value there is NOT
+    * NULL, so an update batch can carry only the columns it changes
+    * and null out the rest. Spark-native formulation: one window
+    * partitioned by the key with `last(col, ignoreNulls=true)` over
+    * the full frame per payload column, then one representative row
+    * per key — the key shuffle happens once and both windows reuse
+    * the exchange/sort.
+    */
+  def upsertPartial(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      precombine: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val cols = existing.columns.toSeq ++
+      incoming.columns.toSeq.filterNot(existing.columns.contains)
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val asc = (Seq(col(precombine).asc, col("__src").asc) ++
+      tieBreak.map(col(_).asc))
+    val full = Window.partitionBy(keys.map(col): _*).orderBy(asc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pick = Window.partitionBy(keys.map(col): _*)
+      .orderBy((Seq(col(precombine).desc, col("__src").desc) ++
+        tieBreak.map(col(_).desc)): _*)
+    // ALL window expressions in one select, each referencing the
+    // ORIGINAL columns: a sequential withColumn fill would overwrite
+    // the precombine column first and silently re-order every later
+    // column's window by the filled constant (HudiLikeSpec's
+    // stale-incoming case catches exactly that)
+    tagged.select(
+      (cols.map { c =>
+        if (keys.contains(c)) col(c)
+        else last(col(c), ignoreNulls = true).over(full).as(c)
+      } :+ row_number().over(pick).as("__rn")): _*)
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
   /** Change-data-capture diff between two keyed states: every key in
     * either side, tagged `insert` (new only), `delete` (old only),
     * `update` (both, any non-key column changed), or `unchanged`. This

@@ -309,6 +309,27 @@ object PipelineQueries {
     * tieBreak) order is total, making the outcome independent of
     * micro-batch boundaries.
     */
+  /** `p_upsert_partial`: Hudi's partial-update payload
+    * ([[graft.etl.HudiLike.upsertPartial]]) — the post-split batch
+    * carries only the columns it changes (`event_type` nulled out),
+    * and merged rows must inherit the pre-split `event_type` while
+    * taking the batch's value/timestamp. The oracle replays the merge
+    * with IGNORE-NULLS window functions.
+    */
+  def upsertPartialQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    val existing = HudiLike.precombineLatest(
+      ev.filter(col("ts_us") <= SplitUs),
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val incoming = ev.filter(col("ts_us") > SplitUs)
+      .withColumn("event_type", lit(null).cast("string"))
+    HudiLike.upsertPartial(existing, incoming,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+  }
+
   /** `p_bloom_upsert`: the bloom-index CoW lifecycle ([[graft.etl
     * .BloomTable]] — Hudi's BLOOM index next to `p_bucket_upsert`'s
     * BUCKET index). Base = events up to [[SplitUs]] key-range
@@ -483,6 +504,7 @@ object PipelineQueries {
     "p_stream_window_agg" -> (streamWindowAgg(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_bucket_lookup" -> (bucketLookup(_, _)),
+    "p_upsert_partial" -> (upsertPartialQ(_, _)),
     "p_bloom_upsert" -> (bloomUpsert(_, _)),
     "p_bloom_lookup" -> (bloomLookup(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
@@ -523,6 +545,27 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    "p_upsert_partial" ->
+      s"""WITH all_rows AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+         |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) <= $SplitUs
+         |  UNION ALL
+         |  SELECT user_id, event_id, CAST(NULL AS VARCHAR), value, epoch_us(ts)
+         |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > $SplitUs
+         |), merged AS (
+         |  SELECT user_id,
+         |    last_value(event_id IGNORE NULLS) OVER w AS event_id,
+         |    last_value(event_type IGNORE NULLS) OVER w AS event_type,
+         |    last_value(value IGNORE NULLS) OVER w AS value,
+         |    last_value(ts_us IGNORE NULLS) OVER w AS ts_us,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM all_rows
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT user_id, event_id, event_type, value, ts_us
+         |FROM merged WHERE rn = 1""".stripMargin,
     "p_stream_window_upsert" ->
       s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
          |  event_type, count(*) AS n,

@@ -32,6 +32,34 @@ class HudiLikeSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 30.0)))
   }
 
+  test("upsertPartial: null incoming fields inherit existing values") {
+    val existing = Seq(("a", 1L, Some(1.0), Some("x")), ("b", 1L, Some(2.0), Some("y")))
+      .toDF("k", "pc", "v", "tag")
+    // a's update carries only v (tag null); c is a brand-new key with
+    // a null field that has nothing to inherit
+    val incoming = Seq(("a", 2L, Some(10.0), None: Option[String]),
+      ("c", 1L, None: Option[Double], Some("z")))
+      .toDF("k", "pc", "v", "tag")
+    val got = HudiLike.upsertPartial(existing, incoming, Seq("k"), "pc")
+      .as[(String, Long, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 2L, Some(10.0), Some("x")), // v updated, tag inherited
+      ("b", 1L, Some(2.0), Some("y")),  // untouched
+      ("c", 1L, None, Some("z"))))      // nothing to inherit stays null
+  }
+
+  test("upsertPartial: stale incoming fills gaps but never overrides newer values") {
+    val existing = Seq(("a", 5L, Some(1.0), None: Option[String]))
+      .toDF("k", "pc", "v", "tag")
+    // older record arrives late carrying a tag the newer row lacks:
+    // column-wise latest-non-null takes v from pc=5, tag from pc=3
+    val incoming = Seq(("a", 3L, Some(99.0), Some("late")))
+      .toDF("k", "pc", "v", "tag")
+    val got = HudiLike.upsertPartial(existing, incoming, Seq("k"), "pc")
+      .as[(String, Long, Option[Double], Option[String])].collect()
+    assert(got.toSeq == Seq(("a", 5L, Some(1.0), Some("late"))))
+  }
+
   test("upsert: stale incoming loses to newer existing (precombine wins)") {
     val existing = rows(("a", 5L, 50.0))
     val incoming = rows(("a", 3L, 30.0))
