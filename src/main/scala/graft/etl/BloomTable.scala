@@ -63,6 +63,46 @@ object BloomTable {
 
   def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
 
+  /** Stale-lock expiry: a mutator that died holding `_lock` blocks
+    * writers only this long (Hudi's filesystem lock provider uses the
+    * same create-exclusive + expiry scheme).
+    */
+  val LockExpiryMs: Long = 10 * 60 * 1000L
+
+  /** Multi-writer safety: two concurrent mutators would each compute a
+    * manifest from the same snapshot and the second swap would
+    * silently DROP the first writer's files — lost commits. Mutators
+    * therefore hold an exclusive-create lock file for the duration of
+    * tag→write→swap; a second writer fails loudly with
+    * `ConcurrentModificationException` (retry after the holder
+    * finishes) instead of corrupting the table. A crashed holder's
+    * lock is stolen after [[LockExpiryMs]]; the steal itself races
+    * through exclusive-create, so exactly one stealer wins.
+    */
+  private def withTableLock[T](tablePath: String)(body: => T): T = {
+    val lock = Paths.get(tablePath, "_lock")
+    def tryAcquire(): Boolean =
+      try {
+        Files.writeString(lock, System.currentTimeMillis().toString,
+          StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val acquired = tryAcquire() || {
+      val age =
+        try System.currentTimeMillis() - Files.readString(lock).trim.toLong
+        catch { case _: Exception => Long.MaxValue }
+      age > LockExpiryMs && {
+        Files.deleteIfExists(lock)
+        tryAcquire()
+      }
+    }
+    if (!acquired)
+      throw new java.util.ConcurrentModificationException(
+        s"another writer holds $lock — retry after it commits " +
+          s"(or after ${LockExpiryMs / 1000}s if it died)")
+    try body finally Files.deleteIfExists(lock)
+  }
+
   def props(tablePath: String): Props = {
     val m = Files.readAllLines(propsPath(tablePath)).asScala
       .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap
@@ -315,6 +355,10 @@ object BloomTable {
     * of the files the batch actually rewrote (empty = pure append).
     */
   def upsertInto(spark: SparkSession, tablePath: String,
+      incoming: DataFrame): Seq[String] =
+    withTableLock(tablePath)(upsertIntoLocked(spark, tablePath, incoming))
+
+  private def upsertIntoLocked(spark: SparkSession, tablePath: String,
       incoming: DataFrame): Seq[String] = {
     val p = props(tablePath)
     val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
@@ -354,6 +398,10 @@ object BloomTable {
     * relative paths of the rewritten files.
     */
   def deleteFrom(spark: SparkSession, tablePath: String,
+      keysToDelete: DataFrame): Seq[String] =
+    withTableLock(tablePath)(deleteFromLocked(spark, tablePath, keysToDelete))
+
+  private def deleteFromLocked(spark: SparkSession, tablePath: String,
       keysToDelete: DataFrame): Seq[String] = {
     val p = props(tablePath)
     val keyRel = keysToDelete.select(p.keys.map(col): _*)
@@ -409,7 +457,10 @@ object BloomTable {
     * files in one commit — re-levels file sizes after append drift and
     * restores globally non-overlapping ranges (Hudi clustering).
     */
-  def compact(spark: SparkSession, tablePath: String): Long = {
+  def compact(spark: SparkSession, tablePath: String): Long =
+    withTableLock(tablePath)(compactLocked(spark, tablePath))
+
+  private def compactLocked(spark: SparkSession, tablePath: String): Long = {
     val p = props(tablePath)
     val commit = nextCommit(tablePath)
     val written = writeCommit(read(spark, tablePath), tablePath, commit, p,

@@ -235,6 +235,30 @@ class BloomTableSpec extends SparkSpec {
     assert(BloomTable.read(spark, path).collect().toSet == want)
   }
 
+  test("a held writer lock fails mutators loudly; a stale lock is stolen") {
+    val path = scratch()
+    val base = spark.range(10).select(col("id").as("k"),
+      lit(0L).as("pc"), (col("id") * 1.0).as("v"))
+    BloomTable.create(base, path, keys = Seq("k"), precombine = "pc",
+      numFiles = 2)
+    val batch = spark.range(3).select((col("id") + 100).as("k"),
+      lit(1L).as("pc"), (col("id") * 1.0).as("v"))
+    // another writer holds the lock → fail loudly, table unchanged
+    Files.writeString(Paths.get(path, "_lock"),
+      System.currentTimeMillis().toString)
+    val before = BloomTable.manifest(path)
+    intercept[java.util.ConcurrentModificationException] {
+      BloomTable.upsertInto(spark, path, batch)
+    }
+    assert(BloomTable.manifest(path) == before, "failed writer must not commit")
+    // a lock older than the expiry is a dead writer's: steal and proceed
+    Files.writeString(Paths.get(path, "_lock"),
+      (System.currentTimeMillis() - BloomTable.LockExpiryMs - 1000).toString)
+    BloomTable.upsertInto(spark, path, batch)
+    assert(BloomTable.read(spark, path).count() == 13)
+    assert(!Files.exists(Paths.get(path, "_lock")), "lock must release")
+  }
+
   test("empty batch is a no-op") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,
