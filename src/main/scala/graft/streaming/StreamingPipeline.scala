@@ -417,8 +417,13 @@ object StreamingPipeline {
           round(col("cents") / 100.0, 2).as("total"))
         if (!rows.isEmpty) {
           if (!graft.etl.BucketTable.exists(tablePath))
+            // the serving table's cardinality is open-windows × types —
+            // bounded by the horizon, thousands not billions — so a few
+            // buckets keep per-commit file/task fan-out proportional to
+            // the data instead of the default layout
             graft.etl.BucketTable.create(rows, tablePath,
-              keys = Seq("window_start_us", "event_type"), precombine = "n")
+              keys = Seq("window_start_us", "event_type"), precombine = "n",
+              numBuckets = 4)
           else
             graft.etl.BucketTable.upsertInto(rows.sparkSession, tablePath, rows)
         }
