@@ -40,7 +40,8 @@ object SparkEntry {
       ops.Dedup.queries ++ ops.FuzzyJoin.queries ++ ops.SimHash.queries ++
       ops.Similarity.queries ++
       ops.IvfIndex.queries ++ ops.IvfPq.queries ++ ops.TextOps.queries ++
-      ops.Privacy.queries ++ ops.Multimodal.queries ++ ops.Skipping.queries
+      ops.Privacy.queries ++ ops.Multimodal.queries ++ ops.Skipping.queries ++
+      ops.Scale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       ops.Dedup.oracles ++ ops.FuzzyJoin.oracles ++ ops.SimHash.oracles ++
       ops.Similarity.oracles ++
       ops.IvfIndex.oracles ++ ops.IvfPq.oracles ++ ops.TextOps.oracles ++
-      ops.Privacy.oracles ++ ops.Multimodal.oracles ++ ops.Skipping.oracles
+      ops.Privacy.oracles ++ ops.Multimodal.oracles ++ ops.Skipping.oracles ++
+      ops.Scale.oracles
 }

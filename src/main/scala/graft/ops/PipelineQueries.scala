@@ -499,7 +499,72 @@ object PipelineQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"), col("_seq"), col("_deleted"))
 
+  /** Deterministic versioned-timeline lifecycle (the commit-timeline
+    * table, `graft.etl.Timeline`): three keyed upserts produce commits
+    *
+    *   v0 = latest state per user as of [[SplitUs]]
+    *   v1 = + upserts in ([[SplitUs]], [[Split2Us]]]
+    *   v2 = + upserts after [[Split2Us]]
+    *
+    * Precombine on (ts_us, event_id) is associative over disjoint
+    * time slices, so each vN equals the one-pass latest-per-user over
+    * its cumulative prefix — which is exactly what the oracles replay.
+    * Returns the table path for the read-path queries.
+    */
+  private def timelineScenario(spark: SparkSession, sfDir: String): String = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "tl").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    def up(slice: DataFrame): Unit = {
+      graft.etl.Timeline.upsertInto(spark, path, slice,
+        keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+      ()
+    }
+    up(ev.filter(col("ts_us") <= SplitUs))
+    up(ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    up(ev.filter(col("ts_us") > Split2Us))
+    path
+  }
+
+  /** Time-travel read of commit v1 — the table as of [[Split2Us]],
+    * even though v2 has since been committed. Readers resolve an
+    * immutable snapshot directory, so this is a metadata-only choice:
+    * no diff, no undo log, no extra scan vs reading latest.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Timeline.readVersion(spark, timelineScenario(spark, sfDir), 1L)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+
+  /** Restore (rollback) to v0, then read latest: the post-restore
+    * table must equal the as-of-[[SplitUs]] state, with history still
+    * append-only (v1/v2 remain readable until cleaned — `TimelineSpec`
+    * pins that; the oracle pins the contents).
+    */
+  def timelineRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = timelineScenario(spark, sfDir)
+    graft.etl.Timeline.restore(spark, path, 0L)
+    graft.etl.Timeline.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** Incremental query v0 → v2 (Hudi's incremental read on the commit
+    * timeline): every user whose latest state changed going from the
+    * as-of-[[SplitUs]] snapshot to the final one, tagged insert/update
+    * (upserts never remove keys, so no deletes here — the delete tag
+    * is exercised by `HudiLikeSpec`). One full-outer shuffle on the
+    * key, O(|v0| + |v2|) — never a replay of the event history.
+    */
+  def timelineIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.Timeline.incrementalRead(spark, timelineScenario(spark, sfDir),
+      keys = Seq("user_id"), fromVersion = 0L, toVersion = 2L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_time_travel" -> (timeTravel(_, _)),
+    "p_timeline_restore" -> (timelineRestore(_, _)),
+    "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_stream_ingest" -> (streamIngest(_, _)),
     "p_stream_window_agg" -> (streamWindowAgg(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
@@ -642,6 +707,41 @@ object PipelineQueries {
          |  CAST($FutureUs AS BIGINT) AS ts_us,
          |  CAST(3 AS BIGINT) AS _seq, true AS _deleted
          |FROM events WHERE user_id % 7 = 0""".stripMargin,
+    "p_time_travel" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $Split2Us) t
+         |WHERE rn = 1""".stripMargin,
+    "p_timeline_restore" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_timeline_incremental" ->
+      s"""WITH before AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE epoch_us(ts) <= $SplitUs) t WHERE rn = 1),
+         |after AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events) t WHERE rn = 1)
+         |SELECT user_id, change_type FROM (
+         |  SELECT coalesce(b.user_id, a.user_id) AS user_id,
+         |    CASE WHEN b.user_id IS NULL THEN 'insert'
+         |         WHEN a.user_id IS NULL THEN 'delete'
+         |         WHEN a.event_id = b.event_id AND a.ts_us = b.ts_us THEN 'unchanged'
+         |         ELSE 'update' END AS change_type
+         |  FROM before b FULL OUTER JOIN after a ON b.user_id = a.user_id) d
+         |WHERE change_type <> 'unchanged'""".stripMargin,
     "p_cdc_diff" ->
       s"""WITH before AS (
          |  SELECT user_id, event_id, ts_us FROM (

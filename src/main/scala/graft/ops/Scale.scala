@@ -95,4 +95,102 @@ object Scale {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  // one scratch parent per JVM for the layout-building queries below,
+  // removed on exit (same pattern as PipelineQueries.morScratch)
+  private lazy val scratch: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }))
+    dir
+  }
+
+  /** `q_salted_skew_join`: the salted fact⋈dim join as an
+    * oracle-checked query — lineitem salted on a whole-row hash, part
+    * replicated across the salt space, result identical to the plain
+    * join (which is exactly what the oracle runs). `ScaleSpec` pins
+    * the mechanics (hot key split across reducers); this entry pins
+    * result parity at every SF.
+    */
+  def saltedSkewJoin(spark: SparkSession, sfDir: String): DataFrame =
+    saltedJoin(graft.Tables.lineitem(spark, sfDir),
+        graft.Tables.part(spark, sfDir),
+        "l_partkey", "p_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** `q_partition_prune`: hive-partitioned layout end-to-end — write
+    * events partitioned by `event_type`, then answer a single-type
+    * aggregate from the pruned read. The scan must carry the predicate
+    * as a PartitionFilter (directories never opened — `ScaleSpec`
+    * asserts it); the oracle replays the same aggregate over the flat
+    * table.
+    */
+  def partitionPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(scratch, "pp").toString + "/t"
+    writePartitioned(
+      graft.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("value")),
+      path, Seq("event_type"))
+    spark.read.parquet(path)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        round(sum(col("value")), 2).as("total"))
+  }
+
+  /** `q_bucketed_join`: the shuffle-free co-located join end-to-end —
+    * both sides written bucketed+sorted on the join key into the same
+    * bucket count, joined through the catalog, aggregated. `ScaleSpec`
+    * asserts the zero-Exchange plan; this entry pins result parity
+    * against the plain-join oracle. Fixed table names + overwrite mode
+    * keep the entry re-runnable within and across sessions.
+    */
+  def bucketedJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "bj").toString
+    writeBucketed(
+      graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      "graft_bkt_lineitem", s"$base/li", "l_orderkey", numBuckets = 8)
+    writeBucketed(
+      graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_bkt_orders", s"$base/ord", "o_orderkey", numBuckets = 8)
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_skew_join" -> (saltedSkewJoin(_, _)),
+    "q_partition_prune" -> (partitionPrune(_, _)),
+    "q_bucketed_join" -> (bucketedJoinAgg(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_skew_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY user_id""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
 }
