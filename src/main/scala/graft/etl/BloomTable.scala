@@ -63,45 +63,13 @@ object BloomTable {
 
   def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
 
-  /** Stale-lock expiry: a mutator that died holding `_lock` blocks
-    * writers only this long (Hudi's filesystem lock provider uses the
-    * same create-exclusive + expiry scheme).
+  /** Multi-writer safety: mutators hold [[FsLock]]'s exclusive-create
+    * lock file for the duration of tag→write→swap; a second writer
+    * fails loudly with `ConcurrentModificationException` instead of
+    * silently dropping the first writer's files (lost commits).
     */
-  val LockExpiryMs: Long = 10 * 60 * 1000L
-
-  /** Multi-writer safety: two concurrent mutators would each compute a
-    * manifest from the same snapshot and the second swap would
-    * silently DROP the first writer's files — lost commits. Mutators
-    * therefore hold an exclusive-create lock file for the duration of
-    * tag→write→swap; a second writer fails loudly with
-    * `ConcurrentModificationException` (retry after the holder
-    * finishes) instead of corrupting the table. A crashed holder's
-    * lock is stolen after [[LockExpiryMs]]; the steal itself races
-    * through exclusive-create, so exactly one stealer wins.
-    */
-  private def withTableLock[T](tablePath: String)(body: => T): T = {
-    val lock = Paths.get(tablePath, "_lock")
-    def tryAcquire(): Boolean =
-      try {
-        Files.writeString(lock, System.currentTimeMillis().toString,
-          StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    val acquired = tryAcquire() || {
-      val age =
-        try System.currentTimeMillis() - Files.readString(lock).trim.toLong
-        catch { case _: Exception => Long.MaxValue }
-      age > LockExpiryMs && {
-        Files.deleteIfExists(lock)
-        tryAcquire()
-      }
-    }
-    if (!acquired)
-      throw new java.util.ConcurrentModificationException(
-        s"another writer holds $lock — retry after it commits " +
-          s"(or after ${LockExpiryMs / 1000}s if it died)")
-    try body finally Files.deleteIfExists(lock)
-  }
+  private def withTableLock[T](tablePath: String)(body: => T): T =
+    FsLock.withTableLock(tablePath)(body)
 
   def props(tablePath: String): Props = {
     val m = Files.readAllLines(propsPath(tablePath)).asScala

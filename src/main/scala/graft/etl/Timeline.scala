@@ -40,6 +40,14 @@ object Timeline {
       .toSeq.sorted
   }
 
+  private def swingPointer(tablePath: String, next: Long): Unit = {
+    val tmp = Paths.get(tablePath, s"_latest.tmp${System.nanoTime()}")
+    Files.writeString(tmp, next.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pointer(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Commit `df` as the next version: write the snapshot dir, then
     * atomically swing the `_latest` pointer.
     */
@@ -47,11 +55,7 @@ object Timeline {
     val next = latestVersion(tablePath).getOrElse(-1L) + 1
     val snapDir = Paths.get(tablePath, s"v=$next")
     df.write.mode("overwrite").parquet(snapDir.toString)
-    val tmp = Paths.get(tablePath, s"_latest.tmp${System.nanoTime()}")
-    Files.writeString(tmp, next.toString,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, pointer(tablePath), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    swingPointer(tablePath, next)
     // hive-sync analog: tracked latest-version views re-point to v=next
     Catalog.syncViews(df.sparkSession, tablePath)
     next
@@ -118,6 +122,78 @@ object Timeline {
       readVersion(spark, tablePath, fromVersion),
       readVersion(spark, tablePath, toVersion), keys)
       .filter(org.apache.spark.sql.functions.col("change_type") =!= "unchanged")
+
+  /** One optimistic-concurrency attempt against an assumed base
+    * version: merge `incoming` with `base` and stage the snapshot
+    * OUTSIDE any lock (the expensive work), then — inside the short
+    * [[FsLock]] critical section — validate that `base` is still the
+    * latest commit and, only then, atomically move the staged
+    * directory to `v=next` and swing the pointer. Returns None on
+    * conflict (some other writer committed first; the staged snapshot
+    * is discarded and NOTHING about the table changed).
+    *
+    * Because every Timeline commit is a whole-table snapshot, any
+    * intervening commit overlaps ours totally — there is no
+    * disjoint-files fast path like Hudi's bucket-level conflict check
+    * (BucketTable is the layout for that), so conflict resolution is
+    * always re-merge-and-retry, which [[upsertIntoOcc]] drives.
+    */
+  private[etl] def attemptOcc(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, keys: Seq[String], precombine: String,
+      tieBreak: Seq[String], base: Option[Long]): Option[Long] = {
+    val merged = base match {
+      case Some(v) =>
+        HudiLike.upsert(readVersion(spark, tablePath, v), incoming,
+          keys, precombine, tieBreak)
+      case None =>
+        HudiLike.precombineLatest(incoming, keys, precombine, tieBreak)
+    }
+    Files.createDirectories(Paths.get(tablePath))
+    val staged = Files.createTempDirectory(Paths.get(tablePath), "_staged-")
+    merged.write.mode("overwrite").parquet(staged.toString)
+    val committed = FsLock.withTableLock(tablePath) {
+      if (latestVersion(tablePath) != base) None
+      else {
+        val next = base.getOrElse(-1L) + 1
+        Files.move(staged, Paths.get(tablePath, s"v=$next"),
+          StandardCopyOption.ATOMIC_MOVE)
+        swingPointer(tablePath, next)
+        Some(next)
+      }
+    }
+    if (committed.isEmpty) {
+      Files.walk(staged).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    } else Catalog.syncViews(spark, tablePath)
+    committed
+  }
+
+  /** Multi-writer upsert under optimistic concurrency control (Hudi's
+    * `OPTIMISTIC_CONCURRENCY_CONTROL` write mode with a filesystem
+    * lock provider): merge and snapshot-write run lock-free against
+    * the version this writer read; the lock guards only the
+    * validate-and-swing instant. On conflict the writer re-reads the
+    * new latest, re-applies ONLY its own incoming batch, and tries
+    * again — keyed upserts commute across disjoint keys and precombine
+    * resolves the rest, so no update is lost whatever the commit
+    * order. Bounded retries keep a livelocked writer loud instead of
+    * spinning forever.
+    */
+  def upsertIntoOcc(spark: SparkSession, tablePath: String, incoming: DataFrame,
+      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil,
+      maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attemptOcc(spark, tablePath, incoming, keys, precombine, tieBreak,
+        latestVersion(tablePath)) match {
+        case Some(v) => return v
+        case None => attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"gave up after $maxRetries OCC retries at $tablePath — " +
+        "another writer keeps committing first")
+  }
 
   /** Restore (rollback): make `version`'s contents the newest commit.
     * Implemented as a new commit carrying the old snapshot — history

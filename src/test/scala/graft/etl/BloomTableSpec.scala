@@ -253,7 +253,7 @@ class BloomTableSpec extends SparkSpec {
     assert(BloomTable.manifest(path) == before, "failed writer must not commit")
     // a lock older than the expiry is a dead writer's: steal and proceed
     Files.writeString(Paths.get(path, "_lock"),
-      (System.currentTimeMillis() - BloomTable.LockExpiryMs - 1000).toString)
+      (System.currentTimeMillis() - graft.etl.FsLock.LockExpiryMs - 1000).toString)
     BloomTable.upsertInto(spark, path, batch)
     assert(BloomTable.read(spark, path).count() == 13)
     assert(!Files.exists(Paths.get(path, "_lock")), "lock must release")

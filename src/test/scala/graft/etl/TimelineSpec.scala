@@ -72,6 +72,50 @@ class TimelineSpec extends SparkSpec {
     assert(latest.toSeq == Seq(("a", 1L, 1.0)))
   }
 
+  test("OCC attempt aborts cleanly when another commit lands first") {
+    val dir = Files.createTempDirectory("occ").toString + "/t"
+    Timeline.upsertInto(spark, dir, rows(("a", 1L, 1.0)), Seq("k"), "pc")
+    // writer A starts from v0; writer B commits v1 before A validates
+    Timeline.upsertInto(spark, dir, rows(("b", 1L, 2.0)), Seq("k"), "pc")
+    val res = Timeline.attemptOcc(spark, dir, rows(("c", 1L, 3.0)),
+      Seq("k"), "pc", Nil, base = Some(0L))
+    assert(res.isEmpty, "stale-base attempt must be rejected")
+    // the abort left no new version, no staged dir, no lock
+    assert(Timeline.latestVersion(dir).contains(1L))
+    assert(Timeline.versions(dir) == Seq(0L, 1L))
+    val leftovers = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(!names.exists(_.startsWith("_staged")), s"staged dir leaked: $names")
+    assert(!names.contains("_lock"), "lock leaked")
+    // retried against the real latest, the same batch commits as v2
+    // with writer B's row intact — no lost update
+    assert(Timeline.attemptOcc(spark, dir, rows(("c", 1L, 3.0)),
+      Seq("k"), "pc", Nil, base = Some(1L)).contains(2L))
+    val latest = Timeline.read(spark, dir).as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(latest.toSeq == Seq(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+  }
+
+  test("concurrent OCC writers both commit without lost updates") {
+    val dir = Files.createTempDirectory("occ2").toString + "/t"
+    Timeline.upsertInto(spark, dir, rows(("seed", 1L, 0.0)), Seq("k"), "pc")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future(Timeline.upsertIntoOcc(spark, dir,
+        rows((s"w$i", 1L, i.toDouble)), Seq("k"), "pc"))
+    }
+    val versions = Await.result(Future.sequence(writers), 5.minutes)
+    // every writer committed a distinct version, whatever the interleave
+    assert(versions.distinct.size == 4)
+    assert(Timeline.latestVersion(dir).contains(4L))
+    val keys = Timeline.read(spark, dir).as[(String, Long, Double)]
+      .collect().map(_._1).sorted
+    assert(keys.toSeq == Seq("seed", "w1", "w2", "w3", "w4"))
+  }
+
   test("changeSet tags insert/update/delete/unchanged") {
     val before = rows(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0))
     val after = rows(("b", 2L, 20.0), ("c", 1L, 3.0), ("d", 1L, 4.0))
