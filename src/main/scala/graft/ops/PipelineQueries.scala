@@ -561,7 +561,36 @@ object PipelineQueries {
     graft.etl.Timeline.incrementalRead(spark, timelineScenario(spark, sfDir),
       keys = Seq("user_id"), fromVersion = 0L, toVersion = 2L)
 
+  /** The three-slice ingest run through [[graft.etl.Timeline.upsertIntoOcc]]
+    * (the optimistic-concurrency front door) instead of the plain
+    * upsert: each batch merges lock-free and validates at the swing.
+    * Sequential here — so the run is deterministic for the oracle —
+    * but the SAME code path four genuinely concurrent writers exercise
+    * in `TimelineSpec`; the final table must equal the one-pass
+    * latest-per-user state either way, because keyed precombine makes
+    * batch application order irrelevant.
+    */
+  def occUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "occ").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    def up(slice: DataFrame): Unit = {
+      graft.etl.Timeline.upsertIntoOcc(spark, path, slice,
+        keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+      ()
+    }
+    up(ev.filter(col("ts_us") <= SplitUs))
+    up(ev.filter(col("ts_us") > Split2Us))
+    up(ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.Timeline.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_occ_upsert" -> (occUpsert(_, _)),
     "p_time_travel" -> (timeTravel(_, _)),
     "p_timeline_restore" -> (timelineRestore(_, _)),
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
@@ -707,6 +736,13 @@ object PipelineQueries {
          |  CAST($FutureUs AS BIGINT) AS ts_us,
          |  CAST(3 AS BIGINT) AS _seq, true AS _deleted
          |FROM events WHERE user_id % 7 = 0""".stripMargin,
+    "p_occ_upsert" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events WHERE ts IS NOT NULL) t
+        |WHERE rn = 1""".stripMargin,
     "p_time_travel" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -83,7 +83,12 @@ class PlanAssertSpec extends SparkSpec {
     // 1-row scalar-threshold crossJoin(broadcast) is a legitimate BNLJ
     // (the filter is an inequality, so Catalyst cannot rewrite it to an
     // equi-join the way it does q15's max-revenue filter)
-    "p_incremental_extract", "p_status_report")
+    "p_incremental_extract", "p_status_report",
+    // round-9 layout queries: the salted join must stay a (key, salt)
+    // equi-join (a cartesian fallback would defeat the salting), and
+    // the timeline reads join nothing exotic
+    "q_salted_skew_join", "q_partition_prune", "q_bucketed_join",
+    "p_time_travel", "p_timeline_incremental")
 
   private lazy val plans: Map[String, SparkPlan] =
     checked.map(n => n -> finalPlan(SparkEntry.queries(n)(spark, sf001))).toMap
@@ -104,6 +109,23 @@ class PlanAssertSpec extends SparkSpec {
       val bnl = collectAll(plan).collect { case b: BroadcastNestedLoopJoinExec => b }
       assert(bnl.isEmpty, s"$name plans a BroadcastNestedLoopJoin:\n$plan")
     }
+  }
+
+  test("partition-pruned read reaches the scan as a PartitionFilter") {
+    // the whole point of the hive layout: the event_type predicate must
+    // prune DIRECTORIES (PartitionFilters), not open footers and filter
+    // (PushedFilters) — at 100 TB that's the difference between reading
+    // one partition and listing all of them
+    val scans = scansUnder(plans("q_partition_prune"))
+    assert(scans.exists(s =>
+      s.partitionFilters.exists(_.toString.contains("event_type"))),
+      s"event_type missing from PartitionFilters:\n${plans("q_partition_prune")}")
+  }
+
+  test("bucketed-join query reads both sides through the bucket layout") {
+    val plan = plans("q_bucketed_join").toString
+    assert(plan.contains("Bucketed: true"),
+      s"bucketed join must scan buckets:\n$plan")
   }
 
   test("mixture resampling joins thresholds by broadcast, never shuffle") {
