@@ -164,8 +164,16 @@ object BucketTable {
   }
 
   private def readBuckets(spark: SparkSession, tablePath: String,
-      buckets: Set[Int]): DataFrame = {
-    val m = manifest(tablePath).view.filterKeys(buckets).toMap
+      buckets: Set[Int]): DataFrame =
+    readBuckets(spark, tablePath, buckets, manifest(tablePath))
+
+  /** Read `buckets` as of an EXPLICIT manifest snapshot — the OCC
+    * writer merges against the manifest it validated, never a fresher
+    * one a concurrent commit may have swung in between.
+    */
+  private def readBuckets(spark: SparkSession, tablePath: String,
+      buckets: Set[Int], m0: Map[Int, Long]): DataFrame = {
+    val m = m0.view.filterKeys(buckets).toMap
     m.groupBy(_._2).map { case (gen, entries) =>
       spark.read.option("basePath", s"$tablePath/gen=$gen")
         .parquet(entries.keys.toSeq.sorted
@@ -178,6 +186,10 @@ object BucketTable {
     * ONLY those buckets' current data, write them as `gen=G+1` in one
     * job, swing the manifest. Untouched buckets keep their files —
     * `BucketTableSpec` asserts it.
+    *
+    * Single-writer path (no lock, sequential generations): concurrent
+    * callers could interleave manifest read-modify-write and lose a
+    * commit — multi-writer ingest goes through [[upsertIntoOcc]].
     *
     * The touched-bucket set is collected to the driver: it is at most
     * `numBuckets` ints (bounded by config, not by data), the same
@@ -208,6 +220,93 @@ object BucketTable {
     written
   }
 
+  /** One bucket-level optimistic-concurrency attempt: merge `tagged`
+    * against the `m0` view of its touched buckets and write the new
+    * generation OUTSIDE any lock; inside the short [[FsLock]] critical
+    * section, commit only if no other writer has re-pointed a touched
+    * bucket since `m0` — Hudi's file-group-level conflict detection.
+    * Writers whose batches land in DISJOINT buckets both commit even
+    * when they fully overlap in time (the untouched-bucket manifest
+    * entries are taken from the in-lock manifest, so neither swing
+    * drops the other's); an overlapping-bucket writer gets None, its
+    * generation dir removed, the table untouched.
+    *
+    * Generation ids for OCC writes are nanotime-unique rather than
+    * max+1: two in-flight writers must never stage into the same
+    * `gen=` dir (the plain sequential path keeps small sequential
+    * ids). `clean` must not run concurrently with in-flight writers —
+    * it would sweep a staged-but-not-yet-committed generation (same
+    * rule as Hudi cleaning vs inflight instants).
+    */
+  private[etl] def attemptOcc(spark: SparkSession, tablePath: String,
+      tagged: DataFrame, touched: Set[Int], p: Props,
+      m0: Map[Int, Long]): Option[Seq[Int]] = {
+    val existing =
+      if (m0.isEmpty) tagged.limit(0)
+      else readBuckets(spark, tablePath, touched, m0)
+    val merged = HudiLike.upsert(existing, tagged,
+      p.keys, p.precombine, p.tieBreak)
+    val gen = System.nanoTime()
+    val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
+    val committed = FsLock.withTableLock(tablePath) {
+      val m1 = manifest(tablePath)
+      val conflict = touched.exists(b => m1.get(b) != m0.get(b))
+      if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen))
+      !conflict
+    }
+    if (committed) Some(written)
+    else {
+      deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
+      None
+    }
+  }
+
+  /** Multi-writer upsert under optimistic concurrency control: the
+    * bucket index makes conflict detection sharp — only writers whose
+    * batches hash into a COMMON bucket contend, and the loser re-merges
+    * just its own batch against the fresh manifest and tries again.
+    * This is the concurrent front door; [[upsertInto]] stays the
+    * single-writer fast path (no lock, sequential generations).
+    */
+  def upsertIntoOcc(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, maxRetries: Int = 5): Seq[Int] = {
+    val p = props(tablePath)
+    val tagged = withBucket(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    val touched = tagged.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return Seq.empty
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attemptOcc(spark, tablePath, tagged, touched, p, manifest(tablePath)) match {
+        case Some(written) => return written
+        case None => attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"gave up after $maxRetries OCC retries at $tablePath — " +
+        "another writer keeps re-pointing the touched buckets")
+  }
+
+  /** The bucket `keyValues` hashes to — computed with the SAME
+    * expression records are routed by, each literal CAST to the table
+    * column's type first (xxhash64 is type-sensitive; an as-written
+    * literal of the wrong width would silently probe the wrong
+    * bucket). `keyValues` must cover `props.keys` in order.
+    */
+  def bucketOf(spark: SparkSession, tablePath: String,
+      keyValues: Seq[Any]): Int = {
+    val p = props(tablePath)
+    require(keyValues.length == p.keys.length,
+      s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
+    val keyTypes = read(spark, tablePath).schema
+    val keyDf = p.keys.zip(keyValues).foldLeft(spark.range(1).toDF()) {
+      case (df, (k, v)) => df.withColumn(k, lit(v).cast(keyTypes(k).dataType))
+    }
+    withBucket(keyDf, p).select(col(BucketCol)).head().getInt(0)
+  }
+
   /** Point lookup by full key: hash the key values to their bucket and
     * read ONLY that bucket's current generation directory — the bucket
     * index's serving win (Hudi routes record-key lookups the same way).
@@ -219,20 +318,7 @@ object BucketTable {
   def lookup(spark: SparkSession, tablePath: String,
       keyValues: Seq[Any]): DataFrame = {
     val p = props(tablePath)
-    require(keyValues.length == p.keys.length,
-      s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
-    // compute the bucket with the SAME expression records are routed
-    // by — a reimplementation (e.g. hashing driver-side with a
-    // different seed) could silently read the wrong bucket. Each key
-    // literal is CAST to the table column's type first: xxhash64 is
-    // type-sensitive (int 7 and long 7L hash differently), so an
-    // as-written literal of the wrong width would silently probe the
-    // wrong bucket
-    val keyTypes = read(spark, tablePath).schema
-    val keyDf = p.keys.zip(keyValues).foldLeft(spark.range(1).toDF()) {
-      case (df, (k, v)) => df.withColumn(k, lit(v).cast(keyTypes(k).dataType))
-    }
-    val bucket = withBucket(keyDf, p).select(col(BucketCol)).head().getInt(0)
+    val bucket = bucketOf(spark, tablePath, keyValues)
     val filtered = readBuckets(spark, tablePath, Set(bucket))
       .drop(BucketCol)
     p.keys.zip(keyValues).foldLeft(filtered) { case (df, (k, v)) =>

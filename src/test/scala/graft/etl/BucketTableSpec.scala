@@ -159,4 +159,68 @@ class BucketTableSpec extends SparkSpec {
     assert(contents(dir) == before)
     assert(BucketTable.clean(dir).isEmpty, "clean is idempotent")
   }
+
+  /** Partition base keys by the bucket they hash to, so tests can build
+    * batches with known (disjoint or overlapping) bucket footprints.
+    */
+  private def keysByBucket(dir: String, ks: Seq[String]): Map[Int, Seq[String]] =
+    ks.groupBy(k => BucketTable.bucketOf(spark, dir, Seq(k)))
+
+  test("OCC: disjoint-bucket writers both commit despite a stale base") {
+    val dir = Files.createTempDirectory("occ-bkt").toString + "/t"
+    val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))
+    BucketTable.create(rows(base: _*), dir, keys = Seq("k"), precombine = "pc",
+      numBuckets = 16)
+    val byBucket = keysByBucket(dir, base.map(_._1))
+    val (bA, keysA) = byBucket.head
+    val (bB, keysB) = byBucket.drop(1).head
+    val m0 = BucketTable.manifest(dir)
+    val p = BucketTable.props(dir)
+
+    // writer B commits bucket bB first (plain path)
+    BucketTable.upsertInto(spark, dir, rows((keysB.head, 2L, -2.0)))
+    // writer A validated against m0 (now stale) but touched only bA —
+    // disjoint from bB, so its attempt must still commit
+    val taggedA = rows((keysA.head, 2L, -1.0))
+      .withColumn("__bucket", org.apache.spark.sql.functions.lit(bA))
+    val resA = BucketTable.attemptOcc(spark, dir, taggedA, Set(bA), p, m0)
+    assert(resA.contains(Seq(bA)), "disjoint-bucket attempt must commit")
+
+    // neither writer's update was lost
+    val gotFull = contents(dir).map(t => t._1 -> t._3).toMap
+    assert(gotFull(keysA.head) == -1.0 && gotFull(keysB.head) == -2.0)
+
+    // same-bucket staleness DOES conflict: a second attempt against the
+    // original m0 touching bB must abort cleanly
+    val taggedC = rows((keysB.last, 2L, -3.0))
+      .withColumn("__bucket", org.apache.spark.sql.functions.lit(bB))
+    val before = contents(dir)
+    assert(BucketTable.attemptOcc(spark, dir, taggedC, Set(bB), p, m0).isEmpty)
+    assert(contents(dir) == before, "aborted attempt must not change the table")
+    val leftover = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!leftover.contains("_lock"), "lock leaked")
+    // the aborted generation dir was rolled back
+    val liveGens = BucketTable.manifest(dir).values.toSet
+    val genDirs = leftover.filter(_.startsWith("gen=")).map(_.drop(4).toLong).toSet
+    assert(genDirs == liveGens, s"aborted gen dir leaked: $genDirs vs $liveGens")
+  }
+
+  test("OCC: concurrent writers converge to the sequential-equivalent state") {
+    val dir = Files.createTempDirectory("occ-bkt2").toString + "/t"
+    val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))
+    BucketTable.create(rows(base: _*), dir, keys = Seq("k"), precombine = "pc",
+      numBuckets = 8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // four writers, overlapping bucket footprints — retries must resolve
+    val writers = (0 until 4).map { w =>
+      Future(BucketTable.upsertIntoOcc(spark, dir,
+        rows((16 * w + 1 to 16 * (w + 1)).map(i => (s"k$i", 2L, -i.toDouble)): _*)))
+    }
+    Await.result(Future.sequence(writers), 5.minutes)
+    val expected = (1 to 64).map(i => (s"k$i", 2L, -i.toDouble)).sortBy(_._1)
+    assert(contents(dir) == expected)
+  }
 }
