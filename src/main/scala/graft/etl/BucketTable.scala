@@ -248,7 +248,7 @@ object BucketTable {
       p.keys, p.precombine, p.tieBreak)
     val gen = System.nanoTime()
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
-    val committed = FsLock.withTableLock(tablePath) {
+    val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
       val conflict = touched.exists(b => m1.get(b) != m0.get(b))
       if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen))

@@ -23,7 +23,22 @@ object FsLock {
     */
   val LockExpiryMs: Long = 10 * 60 * 1000L
 
-  def withTableLock[T](tablePath: String)(body: => T): T = {
+  /** Queue-behind-the-holder wait bound for short critical sections
+    * (OCC validate-and-swing, MOR log appends): long enough that a
+    * live holder always finishes first and a dead one expires and is
+    * stolen inside the wait.
+    */
+  val QueueWaitMs: Long = LockExpiryMs + 60 * 1000L
+
+  /** Acquire `tablePath/_lock`, run `body`, release. With the default
+    * `waitMs = 0` a held lock fails IMMEDIATELY with
+    * `ConcurrentModificationException` (fail-fast mutators — the
+    * caller owns the retry policy); with a positive `waitMs` the
+    * writer polls until the holder releases, a stale lock expires and
+    * is stolen, or the wait bound passes (queueing writers — lock
+    * contention is ordinary sequencing, not an error).
+    */
+  def withTableLock[T](tablePath: String, waitMs: Long = 0L)(body: => T): T = {
     Files.createDirectories(Paths.get(tablePath))
     val lock = Paths.get(tablePath, "_lock")
     def tryAcquire(): Boolean =
@@ -32,7 +47,7 @@ object FsLock {
           StandardOpenOption.CREATE_NEW)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    val acquired = tryAcquire() || {
+    def tryOnce(): Boolean = tryAcquire() || {
       val age =
         try System.currentTimeMillis() - Files.readString(lock).trim.toLong
         catch { case _: Exception => Long.MaxValue }
@@ -40,6 +55,12 @@ object FsLock {
         Files.deleteIfExists(lock)
         tryAcquire()
       }
+    }
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = tryOnce()
+    while (!acquired && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25)
+      acquired = tryOnce()
     }
     if (!acquired)
       throw new java.util.ConcurrentModificationException(

@@ -93,23 +93,36 @@ object MorTable {
     finally s.close()
   }
 
-  private def appendDelta(tablePath: String, batch: DataFrame, deleted: Boolean): Long = {
-    val (base, deltas) = state(tablePath).getOrElse(
-      throw new IllegalStateException(s"no MOR table at $tablePath"))
-    val seq = deltas + 1
-    // roll back debris from a writer that died between the log write
-    // and the pointer swing: the pointer never referenced log seq, so
-    // readers never saw the dir and the retry may reclaim it (same
-    // lazy rollback as BucketTable.rollbackOrphan)
-    val logDir = Paths.get(tablePath, s"log=$base.$seq")
-    if (Files.exists(logDir)) deleteRecursively(logDir)
-    batch
-      .withColumn(SeqCol, lit(seq))
-      .withColumn(DelCol, lit(deleted))
-      .write.mode("errorifexists").parquet(logDir.toString)
-    writePointer(tablePath, base, seq)
-    seq
-  }
+  /** Serialized under [[FsLock]]: seq allocation is a read-modify-write
+    * of the pointer, and the lazy rollback below would otherwise
+    * reclaim a CONCURRENT writer's in-flight log dir (unreferenced
+    * until its pointer swing) as if it were crash debris. Holding the
+    * lock across the whole append is the right trade for MOR — the log
+    * write is O(batch), not a snapshot rewrite, so the critical
+    * section is as small as the work itself (this is also why MOR
+    * needs no OCC variant: appends to a log never conflict on
+    * content, only on sequencing). A writer that dies mid-append
+    * blocks others only until the lock expires; the stealer's rollback
+    * then reclaims the orphan safely because it, too, holds the lock.
+    */
+  private def appendDelta(tablePath: String, batch: DataFrame, deleted: Boolean): Long =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val (base, deltas) = state(tablePath).getOrElse(
+        throw new IllegalStateException(s"no MOR table at $tablePath"))
+      val seq = deltas + 1
+      // roll back debris from a writer that died between the log write
+      // and the pointer swing: the pointer never referenced log seq, so
+      // readers never saw the dir and the retry may reclaim it (same
+      // lazy rollback as BucketTable.rollbackOrphan)
+      val logDir = Paths.get(tablePath, s"log=$base.$seq")
+      if (Files.exists(logDir)) deleteRecursively(logDir)
+      batch
+        .withColumn(SeqCol, lit(seq))
+        .withColumn(DelCol, lit(deleted))
+        .write.mode("errorifexists").parquet(logDir.toString)
+      writePointer(tablePath, base, seq)
+      seq
+    }
 
   /** Upsert = append the batch as a delta log. Only the batch is
     * written — the base and earlier logs are untouched (the whole point
@@ -185,15 +198,22 @@ object MorTable {
     * immutable until [[clean]] — a reader holding the old pointer keeps
     * working, as in Hudi. Returns the new base version.
     */
-  def compact(spark: SparkSession, tablePath: String): Long = {
-    val (base, _) = state(tablePath).getOrElse(
-      throw new IllegalStateException(s"no MOR table at $tablePath"))
-    val next = base + 1
-    readSnapshot(spark, tablePath).write.mode("overwrite")
-      .parquet(s"$tablePath/base=$next")
-    writePointer(tablePath, next, 0L)
-    next
-  }
+  def compact(spark: SparkSession, tablePath: String): Long =
+    // same lock as appendDelta: an append landing between the snapshot
+    // read and the pointer swing would be silently dropped by the new
+    // (base, 0) pointer. Compaction holds the lock for its whole
+    // rewrite — the coarse-but-safe schedule; writers queue behind it
+    // exactly as they do behind Hudi's table-level lock when inline
+    // compaction runs
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val (base, _) = state(tablePath).getOrElse(
+        throw new IllegalStateException(s"no MOR table at $tablePath"))
+      val next = base + 1
+      readSnapshot(spark, tablePath).write.mode("overwrite")
+        .parquet(s"$tablePath/base=$next")
+      writePointer(tablePath, next, 0L)
+      next
+    }
 
   /** Retention: delete base/log dirs of generations older than the
     * current base. Never touches the live generation.

@@ -151,7 +151,7 @@ object Timeline {
     Files.createDirectories(Paths.get(tablePath))
     val staged = Files.createTempDirectory(Paths.get(tablePath), "_staged-")
     merged.write.mode("overwrite").parquet(staged.toString)
-    val committed = FsLock.withTableLock(tablePath) {
+    val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       if (latestVersion(tablePath) != base) None
       else {
         val next = base.getOrElse(-1L) + 1

@@ -94,4 +94,20 @@ class MorTableSpec extends SparkSpec {
     val p = MorTable.props(dir)
     assert(p.keys == Seq("k") && p.precombine == "pc" && p.tieBreak.isEmpty)
   }
+
+  test("concurrent delta appends serialize: distinct seqs, no lost log") {
+    val dir = freshTable()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future(MorTable.upsertInto(dir, rows((s"w$i", 2L, i.toDouble))))
+    }
+    val seqs = Await.result(Future.sequence(writers), 5.minutes)
+    // every append got its own log sequence and the pointer saw all four
+    assert(seqs.sorted == Seq(1L, 2L, 3L, 4L))
+    assert(MorTable.state(dir).contains((0L, 4L)))
+    val keys = snapshot(dir).map(_._1)
+    assert(keys == Seq("a", "b", "c", "w1", "w2", "w3", "w4"))
+  }
 }
