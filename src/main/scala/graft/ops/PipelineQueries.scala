@@ -372,38 +372,49 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
-  /** Stage the events table as three single-file time slices under a
-    * fresh scratch dir — a file-stream source whose micro-batch
-    * boundaries (`maxFilesPerTrigger=1`) are the [[SplitUs]] /
-    * [[Split2Us]] cuts. Returns (scratch base, source dir).
+  /** Stage the events table as three single-file time slices — a
+    * file-stream source whose micro-batch boundaries
+    * (`maxFilesPerTrigger=1`) are the [[SplitUs]] / [[Split2Us]] cuts.
+    * Returns (fresh scratch base for the caller's sink/checkpoint
+    * dirs, source dir). The slice files are immutable once staged and
+    * identical for every query at a given sfDir, so they're built once
+    * per JVM and shared — each of the three `p_stream_*` queries keeps
+    * its OWN base (checkpoints and sinks never collide), only the
+    * read-only source is reused.
     */
+  private val stagedSlices =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   private def stageEventSlices(spark: SparkSession,
       sfDir: String): (java.nio.file.Path, java.nio.file.Path) = {
     import java.nio.file.Files
-    val base = Files.createTempDirectory(morScratch, "s")
-    val src = Files.createDirectories(base.resolve("src"))
-    // normalized: ts = epoch NANOS long, so the re-written slices match
-    // StreamingPipeline.eventsNanosSchema regardless of source encoding
-    val raw = Tables.eventsRaw(spark, s"$sfDir/events.parquet")
-    val splitNs = SplitUs * 1000L
-    val split2Ns = Split2Us * 1000L
-    Seq(
-      raw.filter(col("ts") <= splitNs),
-      raw.filter(col("ts") > splitNs && col("ts") <= split2Ns),
-      raw.filter(col("ts") > split2Ns)
-    ).zipWithIndex.foreach { case (slice, i) =>
-      val w = base.resolve(s"w$i")
-      slice.coalesce(1).write.parquet(w.toString)
-      val part = {
-        import scala.jdk.CollectionConverters._
-        val s = Files.list(w)
-        try s.iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        finally s.close()
+    val src = stagedSlices.computeIfAbsent(sfDir, _ => {
+      val work = Files.createTempDirectory(morScratch, "slices")
+      val dst = Files.createDirectories(work.resolve("src"))
+      // normalized: ts = epoch NANOS long, so the re-written slices match
+      // StreamingPipeline.eventsNanosSchema regardless of source encoding
+      val raw = Tables.eventsRaw(spark, s"$sfDir/events.parquet")
+      val splitNs = SplitUs * 1000L
+      val split2Ns = Split2Us * 1000L
+      Seq(
+        raw.filter(col("ts") <= splitNs),
+        raw.filter(col("ts") > splitNs && col("ts") <= split2Ns),
+        raw.filter(col("ts") > split2Ns)
+      ).zipWithIndex.foreach { case (slice, i) =>
+        val w = work.resolve(s"w$i")
+        slice.coalesce(1).write.parquet(w.toString)
+        val part = {
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(w)
+          try s.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally s.close()
+        }
+        Files.move(part, dst.resolve(s"slice$i.parquet"))
       }
-      Files.move(part, src.resolve(s"slice$i.parquet"))
-    }
-    (base, src)
+      dst
+    })
+    (Files.createTempDirectory(morScratch, "s"), src)
   }
 
   def streamIngest(spark: SparkSession, sfDir: String): DataFrame = {
@@ -589,7 +600,31 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** The three-slice ingest through [[graft.etl.BucketTable.upsertIntoOcc]]
+    * — the bucket-index OCC front door, where only writers colliding on
+    * a bucket contend. Sequential slices keep the oracle deterministic;
+    * `BucketTableSpec` exercises the genuinely concurrent interleaves.
+    * Final table must equal the one-pass latest-per-user state.
+    */
+  def bucketOccUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "bocc").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.BucketTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > Split2Us))
+    graft.etl.BucketTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.BucketTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_bucket_occ_upsert" -> (bucketOccUpsert(_, _)),
     "p_occ_upsert" -> (occUpsert(_, _)),
     "p_time_travel" -> (timeTravel(_, _)),
     "p_timeline_restore" -> (timelineRestore(_, _)),
@@ -736,6 +771,13 @@ object PipelineQueries {
          |  CAST($FutureUs AS BIGINT) AS ts_us,
          |  CAST(3 AS BIGINT) AS _seq, true AS _deleted
          |FROM events WHERE user_id % 7 = 0""".stripMargin,
+    "p_bucket_occ_upsert" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events WHERE ts IS NOT NULL) t
+        |WHERE rn = 1""".stripMargin,
     "p_occ_upsert" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
