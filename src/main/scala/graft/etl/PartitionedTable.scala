@@ -1,0 +1,420 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Copy-on-write with a hive-style VALUE partition path — Hudi's
+  * canonical deployment shape (reference: the pipeline writes through
+  * `hoodie.datasource.write.partitionpath.field` machinery; it opts out
+  * via `NonpartitionedKeyGenerator`, pipeline_architecture.py:252, but
+  * `hoodie.datasource.write.drop.partition.columns=false`, py:55, is
+  * configured precisely because partitioned tables are the norm).
+  *
+  * [[BucketTable]] routes by HASH of the record key — good for point
+  * lookups, blind to value predicates. Here records are routed by the
+  * VALUE of declared partition columns (typically an event date), so:
+  *
+  *   - an upsert rewrites only the partitions the batch touches — a
+  *     daily ingest into a date-partitioned 100 TB table rewrites one
+  *     day, not the table;
+  *   - a read with a predicate on the partition columns scans only the
+  *     matching partition directories (partition pruning);
+  *   - dropping a partition is a manifest edit — no data job at all
+  *     (Hudi's `delete_partition`).
+  *
+  * Record identity is `(partition values, keys)` — the same key in two
+  * partitions is two records, exactly Hudi's non-global (partition-
+  * scoped) index semantics. A key whose partition value changes between
+  * batches inserts into the new partition and leaves the old row in
+  * place; deployments needing global identity route through
+  * [[BucketTable]] (hash on key alone) instead.
+  *
+  * Layout under `tablePath/` (same commit protocol as [[BucketTable]]):
+  *   - `gen=G/__p_<col>=<v>/…`  partition data as written by commit G
+  *   - `_manifest`              one `<partitionDir> G` line per live
+  *                              partition; atomically replaced
+  *   - `_props`                 keys / precombine / tieBreak /
+  *                              partition columns and their types
+  *
+  * Partition columns stay IN the data files (the reference's
+  * `drop.partition.columns=false`): the directory key is a shadow
+  * string column `__p_<col>`, so the typed original survives the
+  * round-trip untouched and readers never depend on partition-value
+  * type inference.
+  */
+object PartitionedTable {
+
+  private val Shadow = "__p_"
+
+  private def manifestPath(tablePath: String): Path = Paths.get(tablePath, "_manifest")
+  private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
+
+  final case class Props(keys: Seq[String], precombine: String,
+      tieBreak: Seq[String], partitionCols: Seq[String],
+      partitionTypes: Seq[String]) {
+    /** Identity columns of a record: partition scope + record key. */
+    def identity: Seq[String] = partitionCols ++ keys
+  }
+
+  def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
+
+  def props(tablePath: String): Props = {
+    val m = Files.readAllLines(propsPath(tablePath)).asScala
+      .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap
+    Props(
+      m("keys").split(',').toSeq.filter(_.nonEmpty),
+      m("precombine"),
+      m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty),
+      m("partitionCols").split(',').toSeq.filter(_.nonEmpty),
+      m("partitionTypes").split(';').toSeq.filter(_.nonEmpty))
+  }
+
+  /** partition dir (relative, escaped, e.g. `__p_day=2024-01-15`) →
+    * generation that last rewrote it.
+    */
+  def manifest(tablePath: String): Map[String, Long] = {
+    val p = manifestPath(tablePath)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+  }
+
+  private def writeManifest(tablePath: String, m: Map[String, Long]): Unit = {
+    val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
+    Files.writeString(tmp,
+      m.toSeq.sorted.map { case (d, g) => s"$d $g" }.mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Add the shadow string columns the partitioned write keys dirs on.
+    * The cast-to-string is OURS (not Spark's partition-value
+    * formatting), so [[partitionDirOf]] can reproduce the exact dir
+    * name driver-side.
+    */
+  private def withShadow(df: DataFrame, p: Props): DataFrame =
+    p.partitionCols.foldLeft(df)((d, c) =>
+      d.withColumn(Shadow + c, col(c).cast("string")))
+
+  /** The relative partition dir a row with these (string-cast)
+    * partition values lands in — the same escaping Spark's partitioned
+    * write applies to the shadow column values.
+    */
+  private def dirOfValues(p: Props, values: Seq[String]): String =
+    p.partitionCols.zip(values).map { case (c, v) =>
+      s"$Shadow$c=${ExternalCatalogUtils.escapePathName(v)}"
+    }.mkString("/")
+
+  /** Parse a manifest partition dir back into its string values. */
+  private def valuesOfDir(p: Props, dir: String): Seq[String] =
+    dir.split('/').toSeq.map { seg =>
+      ExternalCatalogUtils.unescapePathName(seg.drop(seg.indexOf('=') + 1))
+    }
+
+  private def deleteRecursively(path: Path): Unit = {
+    val s = Files.walk(path)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
+
+  private def rollbackOrphan(tablePath: String, gen: Long): Unit = {
+    val dir = Paths.get(tablePath, s"gen=$gen")
+    if (Files.exists(dir) && !manifest(tablePath).values.exists(_ == gen))
+      deleteRecursively(dir)
+  }
+
+  /** Write `df` (shadow columns present) under `gen=G/` in ONE
+    * partitioned job and return the partition dirs actually written
+    * (read back from the directory tree, never inferred).
+    */
+  private def writeGen(df: DataFrame, tablePath: String, gen: Long,
+      p: Props): Seq[String] = {
+    // cluster by partition before the partitioned write — without it
+    // every input task opens a file in every partition it sees
+    // (tasks × partitions small files)
+    writeGenPrepared(df.repartition(p.partitionCols.map(c => col(Shadow + c)): _*),
+      tablePath, gen, p)
+  }
+
+  /** [[writeGen]] minus the pre-write repartition — for callers
+    * ([[cluster]]) that have already arranged the rows into the task
+    * layout the files should inherit.
+    */
+  private def writeGenPrepared(df: DataFrame, tablePath: String, gen: Long,
+      p: Props): Seq[String] = {
+    rollbackOrphan(tablePath, gen)
+    val dir = Paths.get(tablePath, s"gen=$gen")
+    df.write.mode("errorifexists").partitionBy(p.partitionCols.map(Shadow + _): _*)
+      .parquet(dir.toString)
+    // walk to the leaf depth collecting relative dir paths
+    def leaves(d: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(d)
+      else {
+        val s = Files.list(d)
+        val subs =
+          try s.iterator().asScala.toSeq finally s.close()
+        subs.filter(x => x.getFileName.toString.startsWith(Shadow))
+          .flatMap(leaves(_, depth - 1))
+      }
+    leaves(dir, p.partitionCols.length)
+      .map(l => dir.relativize(l).toString.replace('\\', '/')).sorted
+  }
+
+  /** Distinct partition dirs the batch would write, computed
+    * driver-side from the batch's distinct partition values. Loudly
+    * rejects null partition values — a silent
+    * `__HIVE_DEFAULT_PARTITION__` would desync routing and pruning.
+    */
+  private def touchedDirs(tagged: DataFrame, p: Props): Seq[String] = {
+    val rows = tagged
+      .select(p.partitionCols.map(c => col(Shadow + c)): _*)
+      .distinct().collect()
+    rows.foreach { r =>
+      require(!(0 until r.length).exists(r.isNullAt),
+        s"null partition value in (${p.partitionCols.mkString(",")}) — " +
+          "partition columns must be non-null")
+    }
+    rows.map(r => dirOfValues(p,
+      (0 until r.length).map(r.getString))).toSeq.sorted
+  }
+
+  /** Initialize the table: every record routed to its value partition,
+    * all partitions at generation 0.
+    */
+  def create(df: DataFrame, tablePath: String, keys: Seq[String],
+      precombine: String, tieBreak: Seq[String] = Nil,
+      partitionCols: Seq[String]): Unit = {
+    require(!Files.exists(manifestPath(tablePath)),
+      s"table already exists at $tablePath")
+    require(partitionCols.nonEmpty, "at least one partition column")
+    Files.createDirectories(Paths.get(tablePath))
+    val types = partitionCols.map(c => df.schema(c).dataType.catalogString)
+    Files.writeString(propsPath(tablePath),
+      s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
+        s"tieBreak=${tieBreak.mkString(",")}\n" +
+        s"partitionCols=${partitionCols.mkString(",")}\n" +
+        s"partitionTypes=${types.mkString(";")}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val p = Props(keys, precombine, tieBreak, partitionCols, types)
+    val deduped = HudiLike.precombineLatest(df, p.identity, precombine, tieBreak)
+    val written = writeGen(withShadow(deduped, p), tablePath, 0L, p)
+    writeManifest(tablePath, written.map(_ -> 0L).toMap)
+  }
+
+  /** Read the given partition dirs at an explicit manifest snapshot —
+    * one parquet relation per live generation, dir-pruned to the
+    * partitions still current in it (schema-on-read union, same
+    * contract as [[BucketTable]]).
+    */
+  private def readDirs(spark: SparkSession, tablePath: String,
+      dirs: Set[String], m0: Map[String, Long], p: Props): DataFrame = {
+    val m = m0.view.filterKeys(dirs).toMap
+    m.groupBy(_._2).map { case (gen, entries) =>
+      spark.read.option("basePath", s"$tablePath/gen=$gen")
+        .parquet(entries.keys.toSeq.sorted
+          .map(d => s"$tablePath/gen=$gen/$d"): _*)
+    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(_.drop(p.partitionCols.map(Shadow + _): _*))
+      .getOrElse(read(spark, tablePath).limit(0))
+  }
+
+  /** Read the live table (all partitions at their manifest generation). */
+  def read(spark: SparkSession, tablePath: String): DataFrame = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty,
+      if (exists(tablePath))
+        s"partitioned table at $tablePath has no committed data yet"
+      else s"no partitioned table at $tablePath")
+    readDirs(spark, tablePath, m.keySet, m, props(tablePath))
+  }
+
+  /** Manifest partition dirs whose PARTITION VALUES satisfy `pred`
+    * (a predicate over the original partition columns). Evaluated on a
+    * local frame of the manifest's distinct partition tuples — O(live
+    * partitions) driver work, no data scan, and the predicate semantics
+    * are exactly Spark's (the values are cast back to the columns'
+    * stored types first).
+    */
+  def prunePartitions(spark: SparkSession, tablePath: String,
+      pred: Column): Seq[String] = {
+    val p = props(tablePath)
+    val dirs = manifest(tablePath).keySet.toSeq.sorted
+    if (dirs.isEmpty) return Seq.empty
+    import spark.implicits._
+    val parsed = dirs.map(d => (d, valuesOfDir(p, d)))
+    val df0 = parsed.map { case (d, vs) => (d, vs.mkString(" ")) }
+      .toDF("__dir", "__vals")
+    val withCols = p.partitionCols.zip(p.partitionTypes).zipWithIndex
+      .foldLeft(df0) { case (df, ((c, t), i)) =>
+        df.withColumn(c, split(col("__vals"), " ").getItem(i).cast(t))
+      }
+    withCols.filter(pred).select(col("__dir")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Partition-pruned read: scan only the partitions whose values
+    * satisfy `pred`, then apply `pred` as a residual row filter (safe
+    * for predicates that mix partition and data columns — pruning uses
+    * only what it can prove from partition values... so `pred` here
+    * must reference partition columns only; mixed predicates should
+    * prune with the partition clause and filter the rest on the
+    * result). At any table size the scan is the matching partitions.
+    */
+  def prunedRead(spark: SparkSession, tablePath: String, pred: Column): DataFrame = {
+    val keep = prunePartitions(spark, tablePath, pred).toSet
+    val p = props(tablePath)
+    if (keep.isEmpty) read(spark, tablePath).limit(0)
+    else readDirs(spark, tablePath, keep, manifest(tablePath), p).filter(pred)
+  }
+
+  /** Partial-rewrite upsert: route the batch to its value partitions,
+    * merge against ONLY those partitions' current data (identity =
+    * partition + key), write them as one new generation, swing the
+    * manifest. Untouched partitions keep their files.
+    * Single-writer path, mirroring [[BucketTable.upsertInto]].
+    */
+  def upsertInto(spark: SparkSession, tablePath: String,
+      incoming: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val tagged = withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    val touched = touchedDirs(tagged, p)
+    if (touched.isEmpty) return Seq.empty
+    val committed = manifest(tablePath)
+    val gen = committed.values.maxOption.getOrElse(-1L) + 1
+    val existing =
+      if (committed.isEmpty) tagged.drop(p.partitionCols.map(Shadow + _): _*).limit(0)
+      else readDirs(spark, tablePath, touched.toSet, committed, p)
+    val merged = HudiLike.upsert(existing,
+      tagged.drop(p.partitionCols.map(Shadow + _): _*),
+      p.identity, p.precombine, p.tieBreak)
+    val written = writeGen(withShadow(merged, p), tablePath, gen, p)
+    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    written
+  }
+
+  /** Dynamic partition overwrite (Hudi `insert_overwrite`, Spark's
+    * INSERT OVERWRITE dynamic mode): REPLACE the touched partitions'
+    * content with the batch (precombine-deduped), leave every other
+    * partition untouched. No merge read at all — the cheapest restate
+    * of a partition there is.
+    */
+  def insertOverwrite(spark: SparkSession, tablePath: String,
+      incoming: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val tagged = withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    val touched = touchedDirs(tagged, p)
+    if (touched.isEmpty) return Seq.empty
+    val gen = manifest(tablePath).values.maxOption.getOrElse(-1L) + 1
+    val written = writeGen(tagged, tablePath, gen, p)
+    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    written
+  }
+
+  /** Drop the partitions whose values satisfy `pred`: a manifest edit —
+    * no data job, readers never see the rows again, [[clean]] reclaims
+    * the files later (Hudi's `delete_partition`). Returns dropped dirs.
+    */
+  def dropPartitions(spark: SparkSession, tablePath: String,
+      pred: Column): Seq[String] = {
+    val drop = prunePartitions(spark, tablePath, pred)
+    if (drop.nonEmpty)
+      writeManifest(tablePath, manifest(tablePath) -- drop)
+    drop
+  }
+
+  /** Rewrite every live partition at one fresh generation — collapses
+    * the per-generation relation fan-in the same way
+    * [[BucketTable.compact]] does. Returns the new generation.
+    */
+  def compact(spark: SparkSession, tablePath: String): Long = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no partitioned table at $tablePath")
+    val p = props(tablePath)
+    val gen = m.values.max + 1
+    val written = writeGen(
+      withShadow(readDirs(spark, tablePath, m.keySet, m, p), p),
+      tablePath, gen, p)
+    writeManifest(tablePath, written.map(_ -> gen).toMap)
+    gen
+  }
+
+  /** Hudi-style CLUSTERING table service: rewrite every live partition
+    * with its rows range-distributed and sorted on `sortCols`, so each
+    * file within a partition carries a DISJOINT sort-key range. Data is
+    * unchanged (`p_part_cluster`'s oracle pins it); what changes is
+    * file-level statistics quality: a post-clustering range predicate
+    * on the sort key matches ~one file per partition instead of all of
+    * them, which parquet row-group stats (and a [[graft.etl.StatsIndex]]
+    * over the table's files) turn into skipped I/O. The task count —
+    * hence file count — is `ceil(rows / targetFileRows)`, Hudi's
+    * target-file-size knob expressed in rows.
+    *
+    * Range distribution keys on (partition dirs ++ sortCols), so a
+    * task's rows land in one partition (boundary tasks at most two) and
+    * a contiguous sort range — one range exchange for the whole table,
+    * not a per-partition job loop. Returns the new generation;
+    * [[clean]] reclaims the superseded dirs.
+    */
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFileRows: Long = 4000000L): Long = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no partitioned table at $tablePath")
+    require(sortCols.nonEmpty, "at least one clustering sort column")
+    val p = props(tablePath)
+    val data = readDirs(spark, tablePath, m.keySet, m, p)
+    val rows = data.count()
+    val numFiles = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
+    val gen = m.values.max + 1
+    val layout = p.partitionCols.map(c => col(Shadow + c)) ++ sortCols.map(col)
+    val arranged = withShadow(data, p)
+      .repartitionByRange(numFiles, layout: _*)
+      .sortWithinPartitions(layout: _*)
+    val written = writeGenPrepared(arranged, tablePath, gen, p)
+    writeManifest(tablePath, written.map(_ -> gen).toMap)
+    gen
+  }
+
+  /** Remove partition dirs no manifest entry references (aborted
+    * writers, superseded or dropped partitions). Returns removed paths.
+    */
+  def clean(tablePath: String): Seq[String] = {
+    def listDir(path: Path): Seq[Path] = {
+      val s = Files.list(path)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val p = props(tablePath)
+    val live: Map[Long, Set[String]] = manifest(tablePath)
+      .groupBy(_._2).view.mapValues(_.keySet).toMap
+    listDir(Paths.get(tablePath))
+      .filter(_.getFileName.toString.startsWith("gen="))
+      .flatMap { genDir =>
+        val gen = genDir.getFileName.toString.drop(4).toLong
+        val liveDirs = live.getOrElse(gen, Set.empty)
+        def sweep(d: Path, depth: Int): Seq[String] =
+          if (depth == 0) {
+            val rel = genDir.relativize(d).toString.replace('\\', '/')
+            if (!liveDirs(rel)) { deleteRecursively(d); Seq(s"gen=$gen/$rel") }
+            else Seq.empty
+          } else listDir(d)
+            .filter(_.getFileName.toString.startsWith(Shadow))
+            .flatMap(sweep(_, depth - 1))
+        val gone = sweep(genDir, p.partitionCols.length)
+        // drop the gen dir itself once no partition dirs remain in it
+        if (liveDirs.isEmpty && listDir(genDir)
+            .forall(!_.getFileName.toString.startsWith(Shadow))) {
+          deleteRecursively(genDir)
+          gone :+ s"gen=$gen"
+        } else gone
+      }
+  }
+}

@@ -309,6 +309,147 @@ object PipelineQueries {
     * tieBreak) order is total, making the outcome independent of
     * micro-batch boundaries.
     */
+  /** The shared events projection for the value-partitioned lifecycle
+    * queries: `event_date` (UTC calendar day of the event) is the
+    * partition column — the canonical Hudi deployment shape (daily
+    * partitions), ~30 live partitions at every SF.
+    */
+  private def partEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .filter(col("ts_us").isNotNull)
+      .select(to_date(col("ts")).as("event_date"), col("user_id"),
+        col("event_id"), col("event_type"), col("value"), col("ts_us"))
+
+  /** Output projection for the `p_part_*` queries: the DATE partition
+    * column goes out as its ISO string — a parquet DATE deserializes
+    * as python `datetime.date` on the Spark side but `Timestamp` from
+    * DuckDB, so a typed date column can never hash-match the oracle.
+    */
+  private val PartCols = Seq(col("event_date").cast("string").as("event_date"),
+    col("user_id"), col("event_id"), col("event_type"), col("value"),
+    col("ts_us"))
+
+  /** `p_part_upsert`: the value-partitioned CoW lifecycle
+    * ([[graft.etl.PartitionedTable]] — Hudi's partition-path layout
+    * next to `p_bucket_upsert`'s hash-bucket index). Create from the
+    * pre-[[SplitUs]] days, upsert everything after — the upsert
+    * rewrites only the ~10 partitions (days) the batch touches
+    * (`PartitionedTableSpec` proves untouched partitions keep their
+    * files byte-for-byte). Record identity is (partition, key) —
+    * Hudi's non-global index — so the oracle windows by
+    * (event_date, user_id).
+    */
+  def partUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs))
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
+
+  /** `p_part_prune`: partition-pruned read over the table
+    * [[partUpsert]] builds — only the six January days in the range
+    * are scanned (`PartitionedTableSpec` asserts the input-file
+    * pruning; at any table size the scan cost is the matching days,
+    * the reason date-partitioned layouts exist).
+    */
+  def partPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs))
+    graft.etl.PartitionedTable.prunedRead(spark, path,
+      col("event_date").between(lit("2024-01-10").cast("date"),
+        lit("2024-01-15").cast("date")))
+      .select(PartCols: _*)
+  }
+
+  /** `p_part_drop`: retention purge via `delete_partition` — drop the
+    * first four days as a pure manifest edit (no data job; the files
+    * stay until `clean`, `PartitionedTableSpec` asserts both) and read
+    * the surviving table.
+    */
+  def partDrop(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.dropPartitions(spark, path,
+      col("event_date") < lit("2024-01-05").cast("date"))
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
+
+  /** `p_part_overwrite`: dynamic partition overwrite (Hudi
+    * `insert_overwrite`) — RESTATE the Jan 15-18 partitions as their
+    * click events only, leaving every other day untouched. The oracle
+    * distinguishes overwrite from upsert: an upsert would have KEPT
+    * the non-click users' rows in those days; the overwrite replaces
+    * the partitions wholesale.
+    */
+  def partOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.insertOverwrite(spark, path,
+      ev.filter(col("event_date").between(lit("2024-01-15").cast("date"),
+        lit("2024-01-18").cast("date")) && col("event_type") === "click"))
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
+
+  /** `p_part_cluster`: the clustering table service — build the daily
+    * table, rewrite it range-clustered on `ts_us` within each day
+    * ([[graft.etl.PartitionedTable.cluster]]), read it back. The
+    * oracle pins that the physical rewrite changed NOTHING logically;
+    * `PartitionedTableSpec` asserts what it changed physically (files
+    * within a partition carry disjoint sort-key ranges — the property
+    * that turns range predicates into skipped I/O at 100 TB).
+    */
+  def partCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    // small target so the service actually splits partitions into
+    // several range files at test scale
+    graft.etl.PartitionedTable.cluster(spark, path, sortCols = Seq("ts_us"),
+      targetFileRows = 512L)
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
+
+  /** `p_part_stream_ingest`: the streaming front door of the
+    * partitioned table ([[graft.streaming.StreamingPipeline
+    * .runIngestPartitioned]]) — the staged three-slice event stream
+    * delivered as real micro-batches, each upserting only the day
+    * partitions it touches. Final state must equal the
+    * latest-per-(day, entity) window over all events, independent of
+    * batch boundaries.
+    */
+  def partStreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    graft.streaming.StreamingPipeline.runIngestPartitioned(spark,
+      src.toString, base.resolve("tbl").toString, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = 1, keys = Seq("entity_id"),
+      precombine = "event_timestamp", tieBreak = Seq("event_id"))
+    graft.etl.PartitionedTable.read(spark, base.resolve("tbl").toString)
+      .select(col("event_date").cast("string").as("event_date"),
+        col("entity_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
+  }
+
   /** `p_upsert_partial`: Hudi's partial-update payload
     * ([[graft.etl.HudiLike.upsertPartial]]) — the post-split batch
     * carries only the columns it changes (`event_type` nulled out),
@@ -632,6 +773,12 @@ object PipelineQueries {
     "p_stream_ingest" -> (streamIngest(_, _)),
     "p_stream_window_agg" -> (streamWindowAgg(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
+    "p_part_upsert" -> (partUpsert(_, _)),
+    "p_part_prune" -> (partPrune(_, _)),
+    "p_part_drop" -> (partDrop(_, _)),
+    "p_part_overwrite" -> (partOverwrite(_, _)),
+    "p_part_cluster" -> (partCluster(_, _)),
+    "p_part_stream_ingest" -> (partStreamIngest(_, _)),
     "p_bucket_lookup" -> (bucketLookup(_, _)),
     "p_upsert_partial" -> (upsertPartialQ(_, _)),
     "p_bloom_upsert" -> (bloomUpsert(_, _)),
@@ -743,6 +890,73 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_upsert" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_cluster" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_stream_ingest" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, entity_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id AS entity_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_prune" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND event_date
+         |  BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'""".stripMargin,
+    "p_part_drop" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND event_date >= DATE '2024-01-05'""".stripMargin,
+    "p_part_overwrite" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-15' AND DATE '2024-01-18') t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-15' AND DATE '2024-01-18'
+         |  AND event_type = 'click') t
          |WHERE rn = 1""".stripMargin,
     "p_mor_snapshot" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (

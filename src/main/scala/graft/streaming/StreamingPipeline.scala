@@ -433,6 +433,45 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming ingest into the VALUE-partitioned table — the fourth
+    * sink of the matrix (HudiLike whole-table, BucketTable hash-routed,
+    * BloomTable range/bloom-routed, [[graft.etl.PartitionedTable]]
+    * date-routed): each micro-batch is stamped with its event DATE and
+    * upserted, rewriting only the day partitions the batch touches. For
+    * a live stream that is "today" (plus whatever late data the batch
+    * carries) — the per-commit cost a date-partitioned 100 TB table is
+    * deployed for. Keyed on `entity_id` within the day by default, the
+    * table converges to latest-state-per-entity-per-day regardless of
+    * how events were batched (total (precombine, tieBreak) order).
+    */
+  def runIngestPartitioned(spark: SparkSession, sourceDir: String,
+      targetPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1,
+      keys: Seq[String] = Seq("entity_id"),
+      precombine: String = "event_timestamp",
+      tieBreak: Seq[String] = Seq("event_id")): Unit = {
+    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dated = batch.withColumn("event_date",
+            to_date(col("event_timestamp")))
+          if (!graft.etl.PartitionedTable.exists(targetPath))
+            graft.etl.PartitionedTable.create(dated, targetPath,
+              keys = keys, precombine = precombine, tieBreak = tieBreak,
+              partitionCols = Seq("event_date"))
+          else
+            graft.etl.PartitionedTable.upsertInto(batch.sparkSession,
+              targetPath, dated)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runIngestBucketed(spark: SparkSession, sourceDir: String,
       targetPath: String, checkpoint: String,
       maxFilesPerTrigger: Int = 1,

@@ -1,0 +1,206 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class PartitionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (partition value, key, precombine, data)
+  private def rows(t: (String, String, Long, Double)*) =
+    t.toSeq.toDF("day", "k", "pc", "v")
+
+  private def contents(dir: String): Seq[(String, String, Long, Double)] =
+    PartitionedTable.read(spark, dir)
+      .select("day", "k", "pc", "v")
+      .as[(String, String, Long, Double)].collect().toSeq.sorted
+
+  private def dataFiles(dir: String): Set[(String, Any, Long)] =
+    Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => (p.toString, Files.getLastModifiedTime(p), Files.size(p)))
+      .toSet
+
+  private def freshDir(): String =
+    Files.createTempDirectory("part").toString + "/t"
+
+  test("upsert merges per (partition, key) and rewrites only touched partitions") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0), ("d2", "a", 1L, 3.0),
+        ("d3", "c", 1L, 4.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val before = dataFiles(dir)
+
+    // update (d1,a), insert (d1,z) — only partition d1 rewritten
+    val touched = PartitionedTable.upsertInto(spark, dir,
+      rows(("d1", "a", 2L, 10.0), ("d1", "z", 1L, 5.0)))
+    assert(touched == Seq("__p_day=d1"))
+
+    // d2 and d3 files untouched byte-for-byte
+    val after = dataFiles(dir)
+    val kept = before.filter(f => f._1.contains("=d2") || f._1.contains("=d3"))
+    assert(kept.subsetOf(after), "untouched partition files were rewritten")
+
+    assert(contents(dir) == Seq(
+      ("d1", "a", 2L, 10.0), ("d1", "b", 1L, 2.0), ("d1", "z", 1L, 5.0),
+      ("d2", "a", 1L, 3.0), ("d3", "c", 1L, 4.0)).sorted)
+  }
+
+  test("identity is partition-scoped: same key in two partitions is two records") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "a", 5L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.upsertInto(spark, dir, rows(("d1", "a", 9L, 7.0)))
+    assert(contents(dir) == Seq(("d1", "a", 9L, 7.0), ("d2", "a", 5L, 2.0)))
+  }
+
+  test("pruned read scans only matching partition dirs") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0), ("d3", "c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val pruned = PartitionedTable.prunedRead(spark, dir, col("day") >= "d2")
+    assert(pruned.select("k").as[String].collect().toSet == Set("b", "c"))
+    val scanned = pruned.inputFiles.toSeq
+    assert(scanned.nonEmpty &&
+      scanned.forall(f => f.contains("__p_day=d2") || f.contains("__p_day=d3")),
+      s"pruned read scanned non-matching files: $scanned")
+  }
+
+  test("prunePartitions evaluates the predicate on typed partition values") {
+    val dir = freshDir()
+    val df = Seq((java.sql.Date.valueOf("2024-01-03"), "a", 1L, 1.0),
+      (java.sql.Date.valueOf("2024-01-10"), "b", 1L, 2.0))
+      .toDF("day", "k", "pc", "v")
+    PartitionedTable.create(df, dir, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))
+    // date comparison, not string comparison
+    val hit = PartitionedTable.prunePartitions(spark, dir,
+      col("day") < lit("2024-01-05").cast("date"))
+    assert(hit == Seq("__p_day=2024-01-03"))
+    // the typed date column survives the round trip in the data files
+    assert(PartitionedTable.read(spark, dir).schema("day").dataType ==
+      org.apache.spark.sql.types.DateType)
+  }
+
+  test("dropPartitions is metadata-only; clean reclaims the files") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val filesBefore = dataFiles(dir)
+    val dropped = PartitionedTable.dropPartitions(spark, dir, col("day") === "d1")
+    assert(dropped == Seq("__p_day=d1"))
+    // no data job ran: every file still on disk, rows invisible
+    assert(dataFiles(dir) == filesBefore)
+    assert(contents(dir) == Seq(("d2", "b", 1L, 2.0)))
+    val removed = PartitionedTable.clean(dir)
+    assert(removed.exists(_.contains("__p_day=d1")))
+    assert(dataFiles(dir).size < filesBefore.size)
+    assert(contents(dir) == Seq(("d2", "b", 1L, 2.0)))
+  }
+
+  test("insertOverwrite replaces partition content instead of merging") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0), ("d2", "c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.insertOverwrite(spark, dir, rows(("d1", "a", 2L, 9.0)))
+    // b is GONE from d1 (an upsert would have kept it); d2 untouched
+    assert(contents(dir) == Seq(("d1", "a", 2L, 9.0), ("d2", "c", 1L, 3.0)))
+  }
+
+  test("null partition values are rejected loudly") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0)), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val bad = Seq((Option.empty[String], "x", 1L, 0.0)).toDF("day", "k", "pc", "v")
+    val e = intercept[IllegalArgumentException] {
+      PartitionedTable.upsertInto(spark, dir, bad)
+    }
+    assert(e.getMessage.contains("null partition value"))
+  }
+
+  test("special characters in partition values round-trip") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("a=b/c d", "k1", 1L, 1.0), ("plain", "k2", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.upsertInto(spark, dir, rows(("a=b/c d", "k1", 2L, 5.0)))
+    assert(contents(dir) == Seq(("a=b/c d", "k1", 2L, 5.0), ("plain", "k2", 1L, 2.0)))
+    assert(PartitionedTable.prunePartitions(spark, dir,
+      col("day") === "a=b/c d").size == 1)
+  }
+
+  test("compact collapses generations without changing data") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.upsertInto(spark, dir, rows(("d1", "a", 2L, 3.0)))
+    val before = contents(dir)
+    assert(PartitionedTable.manifest(dir).values.toSet.size == 2)
+    PartitionedTable.compact(spark, dir)
+    PartitionedTable.clean(dir)
+    assert(PartitionedTable.manifest(dir).values.toSet.size == 1)
+    assert(contents(dir) == before)
+  }
+
+  test("cluster rewrites partitions into disjoint sort-key range files") {
+    val dir = freshDir()
+    // two partitions, 400 rows each, sort key interleaved across rows
+    val df = (1 to 800).map(i => (if (i % 2 == 0) "d1" else "d2",
+      s"k$i", 1L, ((i * 37) % 800).toDouble)).toDF("day", "k", "pc", "v")
+    PartitionedTable.create(df, dir, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))
+    val before = contents(dir)
+    PartitionedTable.cluster(spark, dir, sortCols = Seq("v"),
+      targetFileRows = 100L)
+    // logical invariance
+    assert(contents(dir) == before)
+    // physical effect: within each partition, per-file [min,max] of the
+    // sort key are pairwise disjoint — the property parquet row-group
+    // stats and StatsIndex turn into skipped I/O
+    val m = PartitionedTable.manifest(dir)
+    assert(m.values.toSet.size == 1, "cluster must repoint all partitions")
+    val gen = m.values.head
+    for (pdir <- m.keySet) {
+      val files = Files.list(Paths.get(s"$dir/gen=$gen/$pdir"))
+        .iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      assert(files.size > 1, s"expected several range files in $pdir")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("v")), max(col("v"))).head()
+        (r.getDouble(0), r.getDouble(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"overlapping file ranges in $pdir: $ranges")
+        case _ =>
+      }
+    }
+  }
+
+  test("multi-level partitioning routes, prunes and cleans by both columns") {
+    val dir = freshDir()
+    val df = Seq(("d1", "us", "a", 1L, 1.0), ("d1", "eu", "b", 1L, 2.0),
+      ("d2", "us", "c", 1L, 3.0))
+      .toDF("day", "region", "k", "pc", "v")
+    PartitionedTable.create(df, dir, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day", "region"))
+    val touched = PartitionedTable.upsertInto(spark, dir,
+      Seq(("d1", "us", "a", 2L, 9.0)).toDF("day", "region", "k", "pc", "v"))
+    assert(touched == Seq("__p_day=d1/__p_region=us"))
+    val pruned = PartitionedTable.prunedRead(spark, dir,
+      col("day") === "d1" && col("region") === "us")
+    assert(pruned.select("v").as[Double].collect().toSeq == Seq(9.0))
+    assert(pruned.inputFiles.forall(_.contains("__p_day=d1/__p_region=us")))
+    PartitionedTable.dropPartitions(spark, dir, col("region") === "eu")
+    assert(PartitionedTable.read(spark, dir).select("k").as[String]
+      .collect().toSet == Set("a", "c"))
+    assert(PartitionedTable.clean(dir).exists(_.contains("__p_region=eu")))
+  }
+}
