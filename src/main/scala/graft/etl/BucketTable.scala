@@ -47,7 +47,11 @@ object BucketTable {
   private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
 
   final case class Props(keys: Seq[String], precombine: String,
-      tieBreak: Seq[String], numBuckets: Int)
+      tieBreak: Seq[String], numBuckets: Int, bucketBy: Seq[String]) {
+    require(bucketBy.nonEmpty && keys.startsWith(bucketBy),
+      s"bucketBy ($bucketBy) must be a non-empty PREFIX of keys ($keys) " +
+        "so a full-key lookup can derive the bucket from its leading values")
+  }
 
   /** Whether a bucket table has been created (committed) at `tablePath`. */
   def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
@@ -55,11 +59,16 @@ object BucketTable {
   def props(tablePath: String): Props = {
     val m = Files.readAllLines(propsPath(tablePath)).asScala
       .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap
+    val keys = m("keys").split(',').toSeq.filter(_.nonEmpty)
+    // tables written before the bucketBy option default to hashing the
+    // full record key (the only behavior that existed then)
+    val by = m.getOrElse("bucketBy", "").split(',').toSeq.filter(_.nonEmpty)
     Props(
-      m("keys").split(',').toSeq.filter(_.nonEmpty),
+      keys,
       m("precombine"),
       m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty),
-      m("numBuckets").toInt)
+      m("numBuckets").toInt,
+      if (by.isEmpty) keys else by)
   }
 
   /** bucket → generation that last rewrote it. */
@@ -82,7 +91,7 @@ object BucketTable {
 
   private def withBucket(df: DataFrame, p: Props): DataFrame =
     df.withColumn(BucketCol,
-      pmod(xxhash64(p.keys.map(col): _*), lit(p.numBuckets)).cast("int"))
+      pmod(xxhash64(p.bucketBy.map(col): _*), lit(p.numBuckets)).cast("int"))
 
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
@@ -129,17 +138,26 @@ object BucketTable {
   /** Initialize: every record hashed to its bucket, all buckets at
     * generation 0.
     */
+  /** `bucketBy` (default: the full record key) chooses the hashed
+    * column subset — a table bucketed by a key PREFIX supports point
+    * reads by that prefix alone ([[SecondaryIndex]] buckets its
+    * (secondary value, primary key) entries by the secondary value
+    * this way). Routing is unaffected: a record's bucket is still a
+    * pure function of its columns.
+    */
   def create(df: DataFrame, tablePath: String, keys: Seq[String],
       precombine: String, tieBreak: Seq[String] = Nil,
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16, bucketBy: Seq[String] = Nil): Unit = {
     require(!Files.exists(manifestPath(tablePath)),
       s"table already exists at $tablePath")
     Files.createDirectories(Paths.get(tablePath))
+    val by = if (bucketBy.isEmpty) keys else bucketBy
     Files.writeString(propsPath(tablePath),
       s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
-        s"tieBreak=${tieBreak.mkString(",")}\nnumBuckets=$numBuckets\n",
+        s"tieBreak=${tieBreak.mkString(",")}\nnumBuckets=$numBuckets\n" +
+        s"bucketBy=${by.mkString(",")}\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val p = Props(keys, precombine, tieBreak, numBuckets)
+    val p = Props(keys, precombine, tieBreak, numBuckets, by)
     val written = writeGen(
       withBucket(HudiLike.precombineLatest(df, keys, precombine, tieBreak), p),
       tablePath, 0L)
@@ -289,19 +307,21 @@ object BucketTable {
         "another writer keeps re-pointing the touched buckets")
   }
 
-  /** The bucket `keyValues` hashes to — computed with the SAME
+  /** The bucket `bucketValues` hashes to — computed with the SAME
     * expression records are routed by, each literal CAST to the table
     * column's type first (xxhash64 is type-sensitive; an as-written
     * literal of the wrong width would silently probe the wrong
-    * bucket). `keyValues` must cover `props.keys` in order.
+    * bucket). `bucketValues` must cover `props.bucketBy` in order
+    * (= `props.keys` unless the table was created with a narrower
+    * `bucketBy`).
     */
   def bucketOf(spark: SparkSession, tablePath: String,
-      keyValues: Seq[Any]): Int = {
+      bucketValues: Seq[Any]): Int = {
     val p = props(tablePath)
-    require(keyValues.length == p.keys.length,
-      s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
+    require(bucketValues.length == p.bucketBy.length,
+      s"expected ${p.bucketBy.length} bucket-key values (${p.bucketBy.mkString(",")})")
     val keyTypes = read(spark, tablePath).schema
-    val keyDf = p.keys.zip(keyValues).foldLeft(spark.range(1).toDF()) {
+    val keyDf = p.bucketBy.zip(bucketValues).foldLeft(spark.range(1).toDF()) {
       case (df, (k, v)) => df.withColumn(k, lit(v).cast(keyTypes(k).dataType))
     }
     withBucket(keyDf, p).select(col(BucketCol)).head().getInt(0)
@@ -318,12 +338,36 @@ object BucketTable {
   def lookup(spark: SparkSession, tablePath: String,
       keyValues: Seq[Any]): DataFrame = {
     val p = props(tablePath)
-    val bucket = bucketOf(spark, tablePath, keyValues)
+    val bucket = bucketOf(spark, tablePath, keyValues.take(p.bucketBy.length))
     val filtered = readBuckets(spark, tablePath, Set(bucket))
       .drop(BucketCol)
-    p.keys.zip(keyValues).foldLeft(filtered) { case (df, (k, v)) =>
+    // with a narrowed bucketBy the caller may pass just the bucket-key
+    // prefix (all entries for that prefix) or the full key
+    val cols = if (keyValues.length == p.bucketBy.length) p.bucketBy else p.keys
+    require(keyValues.length == cols.length,
+      s"expected values for ${p.bucketBy.mkString(",")} or ${p.keys.mkString(",")}")
+    cols.zip(keyValues).foldLeft(filtered) { case (df, (k, v)) =>
       df.filter(col(k) === lit(v))
     }
+  }
+
+  /** Multi-key point lookup: route every requested key to its bucket
+    * in ONE job, read only those buckets, and semi-join back to the
+    * requested keys. `keyRows` must carry the key columns at the
+    * table's own types (xxhash64 is type-sensitive) — callers that
+    * derived the keys from a read of this table or its index satisfy
+    * that by construction. Scan cost is |distinct buckets touched|,
+    * never the table ([[SecondaryIndex.lookup]]'s second hop).
+    */
+  def lookupMany(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame): DataFrame = {
+    val p = props(tablePath)
+    val wanted = keyRows.select(p.keys.map(col): _*).distinct().localCheckpoint()
+    val buckets = withBucket(wanted, p).select(BucketCol)
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (buckets.isEmpty) read(spark, tablePath).limit(0)
+    else readBuckets(spark, tablePath, buckets).drop(BucketCol)
+      .join(broadcast(wanted), p.keys, "leftsemi")
   }
 
   /** Rewrite every live bucket at one fresh generation and point the

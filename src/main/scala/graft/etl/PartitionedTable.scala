@@ -348,6 +348,31 @@ object PartitionedTable {
     gen
   }
 
+  /** The highest committed generation — the "commit instant" a
+    * downstream consumer records to pull increments later.
+    */
+  def latestGen(tablePath: String): Long =
+    manifest(tablePath).values.maxOption.getOrElse(-1L)
+
+  /** Hudi-style incremental query at partition granularity: the
+    * current rows of every partition rewritten AFTER generation
+    * `sinceGen`. A downstream consumer that processed the table as of
+    * `sinceGen` re-reads only the partitions later commits touched —
+    * O(changed days), never O(table) — the partition-path twin of
+    * [[Timeline.incrementalRead]]'s row-level change pull. Returns the
+    * changed partitions' full current content (a day's restatement
+    * re-delivers the day, the contract partition-granular downstream
+    * jobs — daily aggregates, exports — actually want).
+    */
+  def incrementalRead(spark: SparkSession, tablePath: String,
+      sinceGen: Long): DataFrame = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no partitioned table at $tablePath")
+    val changed = m.filter(_._2 > sinceGen).keySet
+    if (changed.isEmpty) read(spark, tablePath).limit(0)
+    else readDirs(spark, tablePath, changed, m, props(tablePath))
+  }
+
   /** Hudi-style CLUSTERING table service: rewrite every live partition
     * with its rows range-distributed and sorted on `sortCols`, so each
     * file within a partition carries a DISJOINT sort-key range. Data is

@@ -339,17 +339,31 @@ object PipelineQueries {
     * Hudi's non-global index — so the oracle windows by
     * (event_date, user_id).
     */
-  def partUpsert(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
-    val ev = partEvents(spark, sfDir)
-    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
-      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
-      partitionCols = Seq("event_date"))
-    graft.etl.PartitionedTable.upsertInto(spark, path,
-      ev.filter(col("ts_us") > SplitUs))
-    graft.etl.PartitionedTable.read(spark, path)
+  /** The create+upsert lifecycle table shared (read-only) by
+    * `p_part_upsert` and `p_part_prune`: built ONCE per (JVM, sfDir) —
+    * same memoization discipline as [[stageEventSlices]] — so the
+    * prune query times the partition-pruned READ, not a rebuild of the
+    * identical table. Mutating queries (drop/overwrite/cluster) build
+    * their own tables.
+    */
+  private val partTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partUpsertTable(spark: SparkSession, sfDir: String): String =
+    partTables.computeIfAbsent(sfDir, _ => {
+      val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
+      val ev = partEvents(spark, sfDir)
+      graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+        keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+        partitionCols = Seq("event_date"))
+      graft.etl.PartitionedTable.upsertInto(spark, path,
+        ev.filter(col("ts_us") > SplitUs))
+      path
+    })
+
+  def partUpsert(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.PartitionedTable.read(spark, partUpsertTable(spark, sfDir))
       .select(PartCols: _*)
-  }
 
   /** `p_part_prune`: partition-pruned read over the table
     * [[partUpsert]] builds — only the six January days in the range
@@ -357,19 +371,23 @@ object PipelineQueries {
     * pruning; at any table size the scan cost is the matching days,
     * the reason date-partitioned layouts exist).
     */
-  def partPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory(morScratch, "p").toString + "/t"
-    val ev = partEvents(spark, sfDir)
-    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
-      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
-      partitionCols = Seq("event_date"))
-    graft.etl.PartitionedTable.upsertInto(spark, path,
-      ev.filter(col("ts_us") > SplitUs))
-    graft.etl.PartitionedTable.prunedRead(spark, path,
+  def partPrune(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.PartitionedTable.prunedRead(spark, partUpsertTable(spark, sfDir),
       col("event_date").between(lit("2024-01-10").cast("date"),
         lit("2024-01-15").cast("date")))
       .select(PartCols: _*)
-  }
+
+  /** `p_part_incremental`: the incremental pull a downstream consumer
+    * runs against the shared lifecycle table — partitions rewritten
+    * after the create commit (generation 0), i.e. exactly the days the
+    * post-[[SplitUs]] upsert touched, delivered as their full current
+    * content. The oracle derives the same day set from the events
+    * themselves (days with any post-split event).
+    */
+  def partIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.PartitionedTable.incrementalRead(spark,
+      partUpsertTable(spark, sfDir), sinceGen = 0L)
+      .select(PartCols: _*)
 
   /** `p_part_drop`: retention purge via `delete_partition` — drop the
     * first four days as a pure manifest edit (no data job; the files
@@ -406,6 +424,35 @@ object PipelineQueries {
         lit("2024-01-18").cast("date")) && col("event_type") === "click"))
     graft.etl.PartitionedTable.read(spark, path)
       .select(PartCols: _*)
+  }
+
+  /** `p_sec_lookup`: secondary-index point lookup
+    * ([[graft.etl.SecondaryIndex]] — Hudi 1.0's secondary index) — the
+    * users whose CURRENT row is a click, resolved through one index
+    * bucket + the hit keys' primary buckets instead of a table scan.
+    * The pre/post-[[SplitUs]] build makes many users' latest
+    * event_type CHANGE across the upsert, so the oracle (latest-per-
+    * user window filtered to click) only matches if the maintenance
+    * pass tombstoned every stale mapping and added every new one.
+    */
+  def secLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "x").toString
+    val primary = s"$base/primary"
+    val index = s"$base/index"
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("ts_us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), primary,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.SecondaryIndex.create(spark, primary, index,
+      secCols = Seq("event_type"), numBuckets = 16)
+    graft.etl.SecondaryIndex.upsertThrough(spark, primary, index,
+      ev.filter(col("ts_us") > SplitUs))
+    graft.etl.SecondaryIndex.lookup(spark, primary, index, Seq("click"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
   }
 
   /** `p_part_cluster`: the clustering table service — build the daily
@@ -775,6 +822,8 @@ object PipelineQueries {
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_part_upsert" -> (partUpsert(_, _)),
     "p_part_prune" -> (partPrune(_, _)),
+    "p_part_incremental" -> (partIncremental(_, _)),
+    "p_sec_lookup" -> (secLookup(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
@@ -918,6 +967,24 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    "p_sec_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND event_type = 'click'""".stripMargin,
+    "p_part_incremental" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND event_date IN (
+         |  SELECT DISTINCT CAST(ts AS DATE) FROM events
+         |  WHERE ts IS NOT NULL AND epoch_us(ts) > $SplitUs)""".stripMargin,
     "p_part_prune" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

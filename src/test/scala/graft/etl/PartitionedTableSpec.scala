@@ -148,6 +148,26 @@ class PartitionedTableSpec extends SparkSpec {
     assert(contents(dir) == before)
   }
 
+  test("incrementalRead returns only partitions committed after sinceGen") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0), ("d3", "c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val g0 = PartitionedTable.latestGen(dir)
+    assert(g0 == 0L)
+    PartitionedTable.upsertInto(spark, dir, rows(("d2", "b", 2L, 9.0)))
+    // only d2 changed since the create commit; full current content of it
+    val inc = PartitionedTable.incrementalRead(spark, dir, sinceGen = g0)
+      .select("day", "k", "pc", "v").as[(String, String, Long, Double)]
+      .collect().toSeq.sorted
+    assert(inc == Seq(("d2", "b", 2L, 9.0)))
+    // nothing changed since the latest commit
+    assert(PartitionedTable.incrementalRead(spark, dir,
+      PartitionedTable.latestGen(dir)).isEmpty)
+    // everything changed since before the table existed
+    assert(PartitionedTable.incrementalRead(spark, dir, -1L).count() == 3)
+  }
+
   test("cluster rewrites partitions into disjoint sort-key range files") {
     val dir = freshDir()
     // two partitions, 400 rows each, sort key interleaved across rows
