@@ -391,19 +391,33 @@ object PartitionedTable {
     * [[clean]] reclaims the superseded dirs.
     */
   def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
-      targetFileRows: Long = 4000000L): Long = {
+      targetFileRows: Long = 4000000L): Long =
+    clusterBy(spark, tablePath, sortCols.map(col), targetFileRows)
+
+  /** [[cluster]] generalized to sort EXPRESSIONS — e.g. a Morton
+    * z-value (`expr(Scale.zValueSql(x, y, "div"))`) for
+    * multi-dimensional clustering where a single-column sort can only
+    * tighten one dimension's file stats. The expressions are computed
+    * into temporary columns for the range exchange and dropped before
+    * the write, so the table schema is untouched.
+    */
+  def clusterBy(spark: SparkSession, tablePath: String,
+      sortExprs: Seq[Column], targetFileRows: Long = 4000000L): Long = {
     val m = manifest(tablePath)
     require(m.nonEmpty, s"no partitioned table at $tablePath")
-    require(sortCols.nonEmpty, "at least one clustering sort column")
+    require(sortExprs.nonEmpty, "at least one clustering sort expression")
     val p = props(tablePath)
     val data = readDirs(spark, tablePath, m.keySet, m, p)
     val rows = data.count()
     val numFiles = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
     val gen = m.values.max + 1
-    val layout = p.partitionCols.map(c => col(Shadow + c)) ++ sortCols.map(col)
-    val arranged = withShadow(data, p)
+    val sortNames = sortExprs.indices.map(i => s"__sort$i")
+    val layout = p.partitionCols.map(c => col(Shadow + c)) ++ sortNames.map(col)
+    val arranged = sortExprs.zip(sortNames)
+      .foldLeft(withShadow(data, p)) { case (df, (e, n)) => df.withColumn(n, e) }
       .repartitionByRange(numFiles, layout: _*)
       .sortWithinPartitions(layout: _*)
+      .drop(sortNames: _*)
     val written = writeGenPrepared(arranged, tablePath, gen, p)
     writeManifest(tablePath, written.map(_ -> gen).toMap)
     gen

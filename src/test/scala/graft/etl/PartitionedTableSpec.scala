@@ -204,6 +204,56 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("clusterBy with a z-value expression tightens file stats on both dimensions") {
+    val dir = freshDir()
+    // one partition, 512 rows on a 16x32 (x, y) grid in shuffled order
+    val df = (0 until 512).map { i =>
+      val j = (i * 197) % 512
+      ("d1", s"k$j", 1L, (j % 16).toDouble * 1000 + (j / 16))
+    }.map { case (d, k, pc, v) => (d, k, pc, v) }
+      .toDF("day", "k", "pc", "v")
+      .withColumn("x", (col("v") / 1000).cast("int"))
+      .withColumn("y", (col("v") % 1000).cast("int"))
+    PartitionedTable.create(df, dir, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))
+    val before = PartitionedTable.read(spark, dir)
+      .select("k", "x", "y").as[(String, Int, Int)].collect().toSet
+    val zExpr = expr(graft.ops.Scale.zValueSql("x", "y", "div"))
+    PartitionedTable.clusterBy(spark, dir, Seq(zExpr), targetFileRows = 64L)
+    // logical invariance
+    assert(PartitionedTable.read(spark, dir)
+      .select("k", "x", "y").as[(String, Int, Int)].collect().toSet == before)
+    // physical effect: every file's (x, y) bounding box is a fraction
+    // of the full 16x32 grid — both dimensions stay tight, which a
+    // single-column sort cannot do for the second dimension
+    val gen = PartitionedTable.manifest(dir).values.head
+    val pdir = PartitionedTable.manifest(dir).keySet.head
+    val files = Files.list(Paths.get(s"$dir/gen=$gen/$pdir"))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size >= 4, s"expected >=4 z-range files, got ${files.size}")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .withColumn("__z", zExpr)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+          min(col("__z")), max(col("__z"))).head()
+      (r.getLong(4), r.getLong(5),
+        (r.getInt(1) - r.getInt(0) + 1).toLong * (r.getInt(3) - r.getInt(2) + 1))
+    }
+    // files carry DISJOINT z-ranges (the exact property of the layout)
+    val zr = stats.map(s => (s._1, s._2)).sortBy(_._1)
+    zr.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping z ranges: $zr")
+      case _ =>
+    }
+    // and the (x, y) bounding boxes stay tight on BOTH dimensions:
+    // every box strictly under the full 16x32 grid, on average a small
+    // fraction of it (a straddling file can span two diagonal z-blocks,
+    // so the per-file bound is loose; the mean is the real signal)
+    val boxes = stats.map(_._3)
+    assert(boxes.forall(_ < 512), s"a file spans the whole grid: $boxes")
+    assert(boxes.sum / boxes.size <= 192, s"loose z-order boxes on average: $boxes")
+  }
+
   test("multi-level partitioning routes, prunes and cleans by both columns") {
     val dir = freshDir()
     val df = Seq(("d1", "us", "a", 1L, 1.0), ("d1", "eu", "b", 1L, 2.0),
