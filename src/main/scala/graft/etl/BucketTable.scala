@@ -390,16 +390,93 @@ object BucketTable {
     gen
   }
 
+  private val SavepointPrefix = "_savepoint_"
+
+  private def savepointPath(tablePath: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
+    Paths.get(tablePath, SavepointPrefix + name)
+  }
+
+  /** Pin the CURRENT committed state under `name` (Hudi's savepoint):
+    * a copy of the manifest that [[clean]] treats as live, so later
+    * upserts/compactions can never reclaim the generations this state
+    * reads from. O(manifest) metadata — no data copied.
+    */
+  def savepoint(tablePath: String, name: String): Unit = {
+    val p = savepointPath(tablePath, name)
+    require(!Files.exists(p), s"savepoint $name already exists")
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no committed state to savepoint at $tablePath")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    Files.writeString(tmp,
+      m.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Savepoint names currently pinned. */
+  def savepoints(tablePath: String): Seq[String] = {
+    val s = Files.list(Paths.get(tablePath))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .map(_.drop(SavepointPrefix.length)).toSeq.sorted
+    finally s.close()
+  }
+
+  private def savepointManifest(tablePath: String, name: String): Map[Int, Long] = {
+    val p = savepointPath(tablePath, name)
+    require(Files.exists(p), s"no savepoint $name at $tablePath")
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val Array(b, g) = l.split(' '); b.toInt -> g.toLong
+    }.toMap
+  }
+
+  /** Read the table AS OF a savepoint — time travel to the pinned
+    * state, without touching the live manifest.
+    */
+  def readSavepoint(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    val m = savepointManifest(tablePath, name)
+    readBuckets(spark, tablePath, m.keySet, m).drop(BucketCol)
+  }
+
+  /** Roll the table BACK to a savepoint: atomically swing the live
+    * manifest to the pinned one (Hudi's restore). Taken under the
+    * table lock so a concurrent OCC writer can't interleave its own
+    * manifest swing with the restore. Generations committed after the
+    * savepoint become unreferenced debris for [[clean]].
+    */
+  def restoreSavepoint(tablePath: String, name: String): Unit = {
+    val m = savepointManifest(tablePath, name)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      writeManifest(tablePath, m)
+    }
+    ()
+  }
+
+  /** Unpin a savepoint; its generations become reclaimable by
+    * [[clean]] unless still referenced by the live manifest or another
+    * savepoint.
+    */
+  def dropSavepoint(tablePath: String, name: String): Unit = {
+    Files.deleteIfExists(savepointPath(tablePath, name))
+    ()
+  }
+
   /** Drop generation dirs no manifest entry references (aborted writers,
-    * superseded buckets). Returns removed dir names.
+    * superseded buckets). Generations referenced by a [[savepoint]]
+    * count as live. Returns removed dir names.
     */
   def clean(tablePath: String): Seq[String] = {
     def listDir(p: Path): Seq[Path] = {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close()
     }
-    val live: Map[Long, Set[Int]] = manifest(tablePath)
-      .groupBy(_._2).view.mapValues(_.keySet).toMap
+    val pinned = savepoints(tablePath)
+      .map(savepointManifest(tablePath, _))
+      .foldLeft(manifest(tablePath).toSeq)(_ ++ _.toSeq)
+    val live: Map[Long, Set[Int]] = pinned
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     listDir(Paths.get(tablePath))
       .filter(_.getFileName.toString.startsWith("gen="))
       .flatMap { genDir =>

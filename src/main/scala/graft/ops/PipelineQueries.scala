@@ -455,6 +455,31 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_bucket_savepoint`: the savepoint/restore lifecycle
+    * ([[graft.etl.BucketTable.savepoint]] — Hudi's savepoint): pin the
+    * pre-[[SplitUs]] state, ingest everything after, roll back to the
+    * pin, and read. The oracle is the pinned state itself — it only
+    * matches if the post-savepoint generations really were superseded
+    * by the restore AND `clean` (run before the read) kept every
+    * pinned generation alive.
+    */
+  def bucketSavepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "v").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.BucketTable.savepoint(path, "pre-load")
+    graft.etl.BucketTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.BucketTable.restoreSavepoint(path, "pre-load")
+    graft.etl.BucketTable.clean(path)
+    graft.etl.BucketTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** `p_part_cluster`: the clustering table service — build the daily
     * table, rewrite it range-clustered on `ts_us` within each day
     * ([[graft.etl.PartitionedTable.cluster]]), read it back. The
@@ -824,6 +849,7 @@ object PipelineQueries {
     "p_part_prune" -> (partPrune(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
+    "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
@@ -966,6 +992,13 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_bucket_savepoint" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
     "p_sec_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (

@@ -20,6 +20,38 @@ class BucketTableSpec extends SparkSpec {
       .map(p => (p.toString, Files.getLastModifiedTime(p), Files.size(p)))
       .toSet
 
+  test("savepoint pins generations against clean; restore rolls back; drop unpins") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.savepoint(dir, "before-load")
+    BucketTable.upsertInto(spark, dir, rows(("a", 2L, 9.0), ("c", 1L, 3.0)))
+    val afterLoad = contents(dir)
+
+    // clean must NOT reclaim the superseded generation: the savepoint
+    // still references it
+    val removed = BucketTable.clean(dir)
+    assert(removed.isEmpty, s"clean reclaimed savepointed generations: $removed")
+    // time travel to the pinned state without touching the live table
+    assert(BucketTable.readSavepoint(spark, dir, "before-load")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1) ==
+      Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+    assert(contents(dir) == afterLoad)
+
+    // restore = roll the live manifest back; post-savepoint generations
+    // become debris that clean reclaims
+    BucketTable.restoreSavepoint(dir, "before-load")
+    assert(contents(dir) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+    assert(BucketTable.clean(dir).nonEmpty)
+    assert(contents(dir) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+
+    // dropping the savepoint unpins nothing still live (manifest refs it)
+    BucketTable.dropSavepoint(dir, "before-load")
+    assert(BucketTable.savepoints(dir).isEmpty)
+    assert(BucketTable.clean(dir).isEmpty)
+    assert(contents(dir) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+  }
+
   test("upsert merges keys and rewrites only touched buckets") {
     val dir = Files.createTempDirectory("bucket").toString + "/t"
     val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))
