@@ -300,6 +300,69 @@ object PartitionedTable {
     written
   }
 
+  /** One partition-level optimistic-concurrency attempt: merge
+    * `tagged` against the `m0` view of its touched partitions and
+    * write the new generation OUTSIDE any lock; inside the short
+    * [[FsLock]] critical section, commit only if no other writer has
+    * re-pointed a touched partition since `m0`. Writers whose batches
+    * land in DISJOINT partitions both commit even when fully
+    * overlapping in time — the date-partitioned lake's everyday
+    * concurrency: a backfill restating old days while live ingest
+    * appends today. A writer that lost a touched partition gets None,
+    * its generation dir removed, the table untouched. Generation ids
+    * are nanotime-unique so in-flight writers never stage into the
+    * same dir (mirrors [[BucketTable.attemptOcc]]).
+    */
+  private[etl] def attemptOcc(spark: SparkSession, tablePath: String,
+      tagged: DataFrame, touched: Set[String], p: Props,
+      m0: Map[String, Long]): Option[Seq[String]] = {
+    val existing =
+      if (m0.isEmpty) tagged.drop(p.partitionCols.map(Shadow + _): _*).limit(0)
+      else readDirs(spark, tablePath, touched, m0, p)
+    val merged = HudiLike.upsert(existing,
+      tagged.drop(p.partitionCols.map(Shadow + _): _*),
+      p.identity, p.precombine, p.tieBreak)
+    val gen = System.nanoTime()
+    val written = writeGen(withShadow(merged, p), tablePath, gen, p)
+    val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val m1 = manifest(tablePath)
+      val conflict = touched.exists(d => m1.get(d) != m0.get(d))
+      if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen))
+      !conflict
+    }
+    if (committed) Some(written)
+    else {
+      deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
+      None
+    }
+  }
+
+  /** Multi-writer upsert under optimistic concurrency control: only
+    * writers whose batches touch a COMMON partition contend, and the
+    * loser re-merges just its own batch against the fresh manifest and
+    * retries. The concurrent front door; [[upsertInto]] stays the
+    * single-writer fast path.
+    */
+  def upsertIntoOcc(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, maxRetries: Int = 5): Seq[String] = {
+    val p = props(tablePath)
+    val tagged = withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    val touched = touchedDirs(tagged, p).toSet
+    if (touched.isEmpty) return Seq.empty
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attemptOcc(spark, tablePath, tagged, touched, p, manifest(tablePath)) match {
+        case Some(written) => return written
+        case None => attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"gave up after $maxRetries OCC retries at $tablePath — " +
+        "another writer keeps re-pointing the touched partitions")
+  }
+
   /** Dynamic partition overwrite (Hudi `insert_overwrite`, Spark's
     * INSERT OVERWRITE dynamic mode): REPLACE the touched partitions'
     * content with the batch (precombine-deduped), leave every other

@@ -455,6 +455,29 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_part_occ_upsert`: multi-writer ingest into the daily table
+    * under partition-level OCC ([[graft.etl.PartitionedTable
+    * .upsertIntoOcc]]) — two out-of-order batches (the later slice
+    * committed first) land through the concurrent front door; the
+    * final state must equal the sequential merge because the
+    * (precombine, tieBreak) order is total and conflict losers retry
+    * against the fresh manifest. `PartitionedTableSpec` exercises the
+    * genuinely-concurrent interleavings.
+    */
+  def partOccUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "pocc").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > Split2Us))
+    graft.etl.PartitionedTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
+
   /** `p_bucket_savepoint`: the savepoint/restore lifecycle
     * ([[graft.etl.BucketTable.savepoint]] — Hudi's savepoint): pin the
     * pre-[[SplitUs]] state, ingest everything after, roll back to the
@@ -850,6 +873,7 @@ object PipelineQueries {
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
+    "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
@@ -988,6 +1012,15 @@ object PipelineQueries {
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, entity_id, event_id,
          |  event_type, value, ts_us FROM (
          | SELECT CAST(ts AS DATE) AS event_date, user_id AS entity_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_occ_upsert" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
          |  event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn

@@ -148,6 +148,60 @@ class PartitionedTableSpec extends SparkSpec {
     assert(contents(dir) == before)
   }
 
+  test("OCC: disjoint-partition writers both commit despite a stale base") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0), ("d3", "c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val p = PartitionedTable.props(dir)
+    val m0 = PartitionedTable.manifest(dir)
+
+    // writer B commits d2 first (plain path)
+    PartitionedTable.upsertInto(spark, dir, rows(("d2", "b", 2L, -2.0)))
+    // writer A validated against m0 (stale) but touches only d1 —
+    // disjoint from d2, so its attempt must still commit
+    val taggedA = rows(("d1", "a", 2L, -1.0))
+      .withColumn("__p_day", col("day").cast("string"))
+    val resA = PartitionedTable.attemptOcc(spark, dir, taggedA,
+      Set("__p_day=d1"), p, m0)
+    assert(resA.contains(Seq("__p_day=d1")), "disjoint-partition attempt must commit")
+    assert(contents(dir) == Seq(("d1", "a", 2L, -1.0), ("d2", "b", 2L, -2.0),
+      ("d3", "c", 1L, 3.0)))
+
+    // same-partition staleness conflicts: an attempt against the
+    // original m0 touching d2 must abort cleanly
+    val taggedC = rows(("d2", "x", 2L, -9.0))
+      .withColumn("__p_day", col("day").cast("string"))
+    val before = contents(dir)
+    assert(PartitionedTable.attemptOcc(spark, dir, taggedC,
+      Set("__p_day=d2"), p, m0).isEmpty)
+    assert(contents(dir) == before, "aborted attempt must not change the table")
+
+    // the retry loop resolves the conflict
+    PartitionedTable.upsertIntoOcc(spark, dir, rows(("d2", "x", 2L, -9.0)))
+    assert(contents(dir).contains(("d2", "x", 2L, -9.0)))
+  }
+
+  test("OCC: concurrent partition writers converge to the sequential state") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      (1 to 32).map(i => (s"d${i % 4}", s"k$i", 1L, i.toDouble))
+        .toDF("day", "k", "pc", "v"),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future(PartitionedTable.upsertIntoOcc(spark, dir,
+        (8 * w + 1 to 8 * (w + 1)).map(i => (s"d${i % 4}", s"k$i", 2L, -i.toDouble))
+          .toDF("day", "k", "pc", "v")))
+    }
+    Await.result(Future.sequence(writers), 300.seconds)
+    val got = contents(dir)
+    assert(got == (1 to 32).map(i => (s"d${i % 4}", s"k$i", 2L, -i.toDouble))
+      .sorted, s"lost updates: $got")
+  }
+
   test("incrementalRead returns only partitions committed after sinceGen") {
     val dir = freshDir()
     PartitionedTable.create(
