@@ -417,6 +417,22 @@ object PartitionedTable {
   def latestGen(tablePath: String): Long =
     manifest(tablePath).values.maxOption.getOrElse(-1L)
 
+  /** The CURRENT data files, manifest-resolved: each live partition's
+    * parquet files at its committed generation. Superseded generations
+    * still on disk (pre-[[clean]]) are excluded — this is the file
+    * list a [[StatsIndex]] over the table must index
+    * (`StatsIndex.buildFromFiles`/`syncToFiles`/`scanFiles`).
+    */
+  def liveFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    manifest(tablePath).toSeq.flatMap { case (d, g) =>
+      val dir = Paths.get(tablePath, s"gen=$g", d)
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq
+      finally s.close()
+    }.sorted
+
   /** Hudi-style incremental query at partition granularity: the
     * current rows of every partition rewritten AFTER generation
     * `sinceGen`. A downstream consumer that processed the table as of

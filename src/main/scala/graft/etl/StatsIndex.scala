@@ -123,6 +123,62 @@ object StatsIndex {
       computeStats(spark.read.parquet(dataDir), cols), 0L)
   }
 
+  /** [[build]] over an EXPLICIT file list — for table formats whose
+    * live set is manifest-resolved rather than
+    * everything-under-a-directory ([[PartitionedTable.liveFiles]],
+    * bucket/bloom manifests): superseded generations share the dir but
+    * must not pollute the index.
+    */
+  def buildFromFiles(spark: SparkSession, files: Seq[String],
+      cols: Seq[String], statsPath: String): Unit = {
+    require(cols.nonEmpty, "index at least one column")
+    require(files.nonEmpty, "no files to index")
+    Files.createDirectories(Paths.get(statsPath))
+    Files.writeString(propsPath(statsPath), cols.mkString(","),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writeVersion(spark, statsPath,
+      computeStats(spark.read.parquet(files: _*), cols), 0L)
+  }
+
+  /** Sync the index to an explicit CURRENT file list: stats rows of
+    * vanished files dropped, new files scanned (O(new files) data
+    * I/O), surviving rows carried forward. The table-format twin of
+    * [[update]] — a compaction or clustering commit swaps many files
+    * at once and the index follows without a full rebuild. Returns the
+    * newly indexed files.
+    */
+  def syncToFiles(spark: SparkSession, files: Seq[String],
+      statsPath: String): Seq[String] = {
+    val current = files.map(stripScheme).toSet
+    val stats = statsDf(spark, statsPath)
+    val indexed = stats.select("file").collect().map(_.getString(0)).toSet
+    val fresh = (current -- indexed).toSeq.sorted
+    if (fresh.isEmpty && (indexed -- current).isEmpty) return Seq.empty
+    import spark.implicits._
+    val keep = stats.join(
+      broadcast(current.toSeq.toDF("file")), Seq("file"), "leftsemi")
+    val next =
+      if (fresh.isEmpty) keep
+      else keep.unionByName(
+        computeStats(spark.read.parquet(fresh: _*), columns(statsPath)))
+    writeVersion(spark, statsPath, next, currentVersion(statsPath) + 1)
+    fresh
+  }
+
+  /** [[scan]] over an explicit live file list: plan only the files
+    * that both survive the stats prune AND are in the caller's live
+    * set (the index may still carry rows for files a concurrent commit
+    * just retired — correctness comes from the caller's list).
+    */
+  def scanFiles(spark: SparkSession, files: Seq[String], statsPath: String,
+      ranges: Seq[ColRange]): DataFrame = {
+    val (survivors, _) = prune(spark, statsPath, ranges)
+    val live = files.map(stripScheme).toSet
+    val keep = survivors.filter(live)
+    if (keep.isEmpty) spark.read.parquet(files: _*).filter(lit(false))
+    else spark.read.parquet(keep: _*).filter(rangesFilter(ranges))
+  }
+
   /** Fold files that appeared since the last version into the index —
     * reads ONLY the new files (listing diff on the driver is O(files)
     * names, the same knowledge any commit protocol's planner holds).

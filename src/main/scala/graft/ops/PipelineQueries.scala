@@ -525,6 +525,34 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_part_skipping`: zone-map data skipping over the CLUSTERED
+    * daily table — the payoff the clustering service exists for. Build
+    * the table, cluster each day's files by `ts_us`, index the
+    * manifest-resolved live files ([[graft.etl.StatsIndex
+    * .buildFromFiles]] — superseded generations excluded), then answer
+    * a time-range scan from only the files whose [min,max] intersect
+    * the range (`StatsIndexSpec` asserts the file-list pruning; the
+    * oracle pins the rows). At 100 TB this is the difference between
+    * opening every file's footer and opening ~range/day of them.
+    */
+  def partSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "psk").toString
+    val path = s"$base/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.cluster(spark, path, sortCols = Seq("ts_us"),
+      targetFileRows = 512L)
+    val stats = s"$base/stats"
+    graft.etl.StatsIndex.buildFromFiles(spark,
+      graft.etl.PartitionedTable.liveFiles(spark, path), Seq("ts_us"), stats)
+    graft.etl.StatsIndex.scanFiles(spark,
+      graft.etl.PartitionedTable.liveFiles(spark, path), stats,
+      Seq(graft.etl.StatsIndex.ColRange("ts_us", Some(SplitUs), Some(Split2Us))))
+      .select(PartCols: _*)
+  }
+
   /** `p_part_stream_ingest`: the streaming front door of the
     * partitioned table ([[graft.streaming.StreamingPipeline
     * .runIngestPartitioned]]) — the staged three-slice event stream
@@ -874,6 +902,7 @@ object PipelineQueries {
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
+    "p_part_skipping" -> (partSkipping(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
@@ -1017,6 +1046,15 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    "p_part_skipping" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND ts_us BETWEEN $SplitUs AND $Split2Us""".stripMargin,
     "p_part_occ_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

@@ -17,6 +17,52 @@ class StatsIndexSpec extends SparkSpec {
   private def eventsSlim = graft.Tables.events(spark, sf0001)
     .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
 
+  test("file-list index over a clustered partitioned table prunes and syncs") {
+    val base = scratch(); val tbl = s"$base/t"; val stats = s"$base/stats"
+    val df = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        col("user_id"), col("event_id"), col("value"), col("ts_us"))
+    PartitionedTable.create(df, tbl, keys = Seq("user_id"),
+      precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("day"))
+    PartitionedTable.cluster(spark, tbl, sortCols = Seq("ts_us"),
+      targetFileRows = 64L)
+    val live = PartitionedTable.liveFiles(spark, tbl)
+    StatsIndex.buildFromFiles(spark, live, Seq("ts_us"), stats)
+
+    // a one-day range must plan a small fraction of the files
+    val lo = 1704844800000000L; val hi = 1704931200000000L // Jan 10..11
+    val ranges = Seq(ColRange("ts_us", Some(lo), Some(hi)))
+    val (survivors, total) = StatsIndex.prune(spark, stats, ranges)
+    assert(total == live.size)
+    assert(survivors.nonEmpty && survivors.size * 4 <= total,
+      s"expected <=1/4 of $total files to survive, got ${survivors.size}")
+    // and the skipped scan equals the plain filtered read
+    val viaIndex = StatsIndex.scanFiles(spark, live, stats, ranges)
+      .select("user_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = PartitionedTable.read(spark, tbl)
+      .filter(col("ts_us").between(lo, hi))
+      .select("user_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == plain)
+
+    // an upsert supersedes some partitions' files: syncToFiles drops
+    // the retired rows, indexes the new files, and parity holds
+    PartitionedTable.upsertInto(spark, tbl,
+      df.filter(col("ts_us").between(lo, hi)).limit(50)
+        .withColumn("value", col("value") * -1))
+    val live2 = PartitionedTable.liveFiles(spark, tbl)
+    val fresh = StatsIndex.syncToFiles(spark, live2, stats)
+    assert(fresh.nonEmpty, "sync must index the new generation's files")
+    val (_, total2) = StatsIndex.prune(spark, stats, ranges)
+    assert(total2 == live2.size, "index must track exactly the live set")
+    val viaIndex2 = StatsIndex.scanFiles(spark, live2, stats, ranges)
+      .select("user_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain2 = PartitionedTable.read(spark, tbl)
+      .filter(col("ts_us").between(lo, hi))
+      .select("user_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex2 == plain2)
+  }
+
   test("stats scan == plain filtered scan on a range layout, and prunes files") {
     val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
     eventsSlim.repartitionByRange(8, col("ts_us")).write.parquet(data)
