@@ -49,14 +49,24 @@ object PartitionedTable {
 
   private val Shadow = "__p_"
 
+  /** Innermost dir level when file-grouping is on: `__g=<hash bucket>`. */
+  private val Group = "__g"
+
   private def manifestPath(tablePath: String): Path = Paths.get(tablePath, "_manifest")
   private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
 
   final case class Props(keys: Seq[String], precombine: String,
       tieBreak: Seq[String], partitionCols: Seq[String],
-      partitionTypes: Seq[String]) {
+      partitionTypes: Seq[String], numGroups: Int) {
     /** Identity columns of a record: partition scope + record key. */
     def identity: Seq[String] = partitionCols ++ keys
+    /** Whether records hash into file groups WITHIN each partition. */
+    def grouped: Boolean = numGroups > 0
+    /** Directory-level shadow columns, innermost last. */
+    def dirCols: Seq[String] =
+      partitionCols.map(Shadow + _) ++ (if (grouped) Seq(Group) else Nil)
+    /** Manifest-dir tree depth under a generation dir. */
+    def dirDepth: Int = partitionCols.length + (if (grouped) 1 else 0)
   }
 
   def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
@@ -69,7 +79,8 @@ object PartitionedTable {
       m("precombine"),
       m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty),
       m("partitionCols").split(',').toSeq.filter(_.nonEmpty),
-      m("partitionTypes").split(';').toSeq.filter(_.nonEmpty))
+      m("partitionTypes").split(';').toSeq.filter(_.nonEmpty),
+      m.getOrElse("numGroups", "0").toInt)
   }
 
   /** partition dir (relative, escaped, e.g. `__p_day=2024-01-15`) →
@@ -98,9 +109,13 @@ object PartitionedTable {
     * formatting), so [[partitionDirOf]] can reproduce the exact dir
     * name driver-side.
     */
-  private def withShadow(df: DataFrame, p: Props): DataFrame =
-    p.partitionCols.foldLeft(df)((d, c) =>
+  private def withShadow(df: DataFrame, p: Props): DataFrame = {
+    val shadowed = p.partitionCols.foldLeft(df)((d, c) =>
       d.withColumn(Shadow + c, col(c).cast("string")))
+    if (!p.grouped) shadowed
+    else shadowed.withColumn(Group,
+      pmod(xxhash64(p.keys.map(col): _*), lit(p.numGroups)).cast("int"))
+  }
 
   /** The relative partition dir a row with these (string-cast)
     * partition values lands in — the same escaping Spark's partitioned
@@ -111,11 +126,17 @@ object PartitionedTable {
       s"$Shadow$c=${ExternalCatalogUtils.escapePathName(v)}"
     }.mkString("/")
 
-  /** Parse a manifest partition dir back into its string values. */
+  /** Parse a manifest dir back into its PARTITION string values (the
+    * trailing file-group segment, if any, is routing — not a value).
+    */
   private def valuesOfDir(p: Props, dir: String): Seq[String] =
-    dir.split('/').toSeq.map { seg =>
+    dir.split('/').toSeq.take(p.partitionCols.length).map { seg =>
       ExternalCatalogUtils.unescapePathName(seg.drop(seg.indexOf('=') + 1))
     }
+
+  /** The partition prefix of a manifest dir (drops the group segment). */
+  private def partitionPrefix(p: Props, dir: String): String =
+    dir.split('/').take(p.partitionCols.length).mkString("/")
 
   private def deleteRecursively(path: Path): Unit = {
     val s = Files.walk(path)
@@ -136,10 +157,10 @@ object PartitionedTable {
     */
   private def writeGen(df: DataFrame, tablePath: String, gen: Long,
       p: Props): Seq[String] = {
-    // cluster by partition before the partitioned write — without it
-    // every input task opens a file in every partition it sees
-    // (tasks × partitions small files)
-    writeGenPrepared(df.repartition(p.partitionCols.map(c => col(Shadow + c)): _*),
+    // cluster by (partition, group) before the partitioned write —
+    // without it every input task opens a file in every leaf dir it
+    // sees (tasks × leaves small files)
+    writeGenPrepared(df.repartition(p.dirCols.map(col): _*),
       tablePath, gen, p)
   }
 
@@ -151,7 +172,7 @@ object PartitionedTable {
       p: Props): Seq[String] = {
     rollbackOrphan(tablePath, gen)
     val dir = Paths.get(tablePath, s"gen=$gen")
-    df.write.mode("errorifexists").partitionBy(p.partitionCols.map(Shadow + _): _*)
+    df.write.mode("errorifexists").partitionBy(p.dirCols: _*)
       .parquet(dir.toString)
     // walk to the leaf depth collecting relative dir paths
     def leaves(d: Path, depth: Int): Seq[Path] =
@@ -160,10 +181,12 @@ object PartitionedTable {
         val s = Files.list(d)
         val subs =
           try s.iterator().asScala.toSeq finally s.close()
-        subs.filter(x => x.getFileName.toString.startsWith(Shadow))
-          .flatMap(leaves(_, depth - 1))
+        subs.filter { x =>
+          val n = x.getFileName.toString
+          n.startsWith(Shadow) || n.startsWith(Group + "=")
+        }.flatMap(leaves(_, depth - 1))
       }
-    leaves(dir, p.partitionCols.length)
+    leaves(dir, p.dirDepth)
       .map(l => dir.relativize(l).toString.replace('\\', '/')).sorted
   }
 
@@ -173,36 +196,49 @@ object PartitionedTable {
     * `__HIVE_DEFAULT_PARTITION__` would desync routing and pruning.
     */
   private def touchedDirs(tagged: DataFrame, p: Props): Seq[String] = {
+    val nParts = p.partitionCols.length
     val rows = tagged
-      .select(p.partitionCols.map(c => col(Shadow + c)): _*)
+      .select(p.dirCols.map(col): _*)
       .distinct().collect()
     rows.foreach { r =>
-      require(!(0 until r.length).exists(r.isNullAt),
+      require(!(0 until nParts).exists(r.isNullAt),
         s"null partition value in (${p.partitionCols.mkString(",")}) — " +
           "partition columns must be non-null")
     }
-    rows.map(r => dirOfValues(p,
-      (0 until r.length).map(r.getString))).toSeq.sorted
+    rows.map { r =>
+      val part = dirOfValues(p, (0 until nParts).map(r.getString))
+      if (p.grouped) s"$part/$Group=${r.getInt(nParts)}" else part
+    }.toSeq.sorted
   }
 
   /** Initialize the table: every record routed to its value partition,
     * all partitions at generation 0.
     */
+  /** `numGroups > 0` additionally hashes records into that many FILE
+    * GROUPS inside each partition (Hudi's partition-path + file-group
+    * layout): an upsert then rewrites only the touched
+    * (partition, group) slices — for a trickle batch into today's
+    * partition, 1/numGroups of the day instead of the whole day — and
+    * OCC conflicts sharpen to same-group writers. 0 (default) keeps
+    * one slice per partition.
+    */
   def create(df: DataFrame, tablePath: String, keys: Seq[String],
       precombine: String, tieBreak: Seq[String] = Nil,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], numGroups: Int = 0): Unit = {
     require(!Files.exists(manifestPath(tablePath)),
       s"table already exists at $tablePath")
     require(partitionCols.nonEmpty, "at least one partition column")
+    require(numGroups >= 0, "numGroups must be >= 0")
     Files.createDirectories(Paths.get(tablePath))
     val types = partitionCols.map(c => df.schema(c).dataType.catalogString)
     Files.writeString(propsPath(tablePath),
       s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
         s"tieBreak=${tieBreak.mkString(",")}\n" +
         s"partitionCols=${partitionCols.mkString(",")}\n" +
-        s"partitionTypes=${types.mkString(";")}\n",
+        s"partitionTypes=${types.mkString(";")}\n" +
+        s"numGroups=$numGroups\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    val p = Props(keys, precombine, tieBreak, partitionCols, types)
+    val p = Props(keys, precombine, tieBreak, partitionCols, types, numGroups)
     val deduped = HudiLike.precombineLatest(df, p.identity, precombine, tieBreak)
     val written = writeGen(withShadow(deduped, p), tablePath, 0L, p)
     writeManifest(tablePath, written.map(_ -> 0L).toMap)
@@ -221,7 +257,7 @@ object PartitionedTable {
         .parquet(entries.keys.toSeq.sorted
           .map(d => s"$tablePath/gen=$gen/$d"): _*)
     }.reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .map(_.drop(p.partitionCols.map(Shadow + _): _*))
+      .map(_.drop(p.partitionCols.map(Shadow + _) :+ Group: _*))
       .getOrElse(read(spark, tablePath).limit(0))
   }
 
@@ -249,11 +285,11 @@ object PartitionedTable {
     if (dirs.isEmpty) return Seq.empty
     import spark.implicits._
     val parsed = dirs.map(d => (d, valuesOfDir(p, d)))
-    val df0 = parsed.map { case (d, vs) => (d, vs.mkString(" ")) }
+    val df0 = parsed.map { case (d, vs) => (d, vs.mkString("\u0000")) }
       .toDF("__dir", "__vals")
     val withCols = p.partitionCols.zip(p.partitionTypes).zipWithIndex
       .foldLeft(df0) { case (df, ((c, t), i)) =>
-        df.withColumn(c, split(col("__vals"), " ").getItem(i).cast(t))
+        df.withColumn(c, split(col("__vals"), "\u0000").getItem(i).cast(t))
       }
     withCols.filter(pred).select(col("__dir")).collect().map(_.getString(0)).toSeq
   }
@@ -290,10 +326,10 @@ object PartitionedTable {
     val committed = manifest(tablePath)
     val gen = committed.values.maxOption.getOrElse(-1L) + 1
     val existing =
-      if (committed.isEmpty) tagged.drop(p.partitionCols.map(Shadow + _): _*).limit(0)
+      if (committed.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
       else readDirs(spark, tablePath, touched.toSet, committed, p)
     val merged = HudiLike.upsert(existing,
-      tagged.drop(p.partitionCols.map(Shadow + _): _*),
+      tagged.drop(p.dirCols: _*),
       p.identity, p.precombine, p.tieBreak)
     val written = writeGen(withShadow(merged, p), tablePath, gen, p)
     writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
@@ -317,10 +353,10 @@ object PartitionedTable {
       tagged: DataFrame, touched: Set[String], p: Props,
       m0: Map[String, Long]): Option[Seq[String]] = {
     val existing =
-      if (m0.isEmpty) tagged.drop(p.partitionCols.map(Shadow + _): _*).limit(0)
+      if (m0.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
       else readDirs(spark, tablePath, touched, m0, p)
     val merged = HudiLike.upsert(existing,
-      tagged.drop(p.partitionCols.map(Shadow + _): _*),
+      tagged.drop(p.dirCols: _*),
       p.identity, p.precombine, p.tieBreak)
     val gen = System.nanoTime()
     val written = writeGen(withShadow(merged, p), tablePath, gen, p)
@@ -363,6 +399,40 @@ object PartitionedTable {
         "another writer keeps re-pointing the touched partitions")
   }
 
+  /** Point lookup by (partition values, record key): route through
+    * the SAME shadow/group expressions records are written by to the
+    * one leaf dir the key lives in, and read only it — 1/(partitions ×
+    * groups) of the table at any size (each literal is cast to the
+    * column's stored type first; xxhash64 is type-sensitive). On an
+    * ungrouped table the scan is the one partition.
+    */
+  def lookup(spark: SparkSession, tablePath: String,
+      partitionValues: Seq[Any], keyValues: Seq[Any]): DataFrame = {
+    val p = props(tablePath)
+    require(partitionValues.length == p.partitionCols.length,
+      s"expected ${p.partitionCols.length} partition values (${p.partitionCols.mkString(",")})")
+    require(keyValues.length == p.keys.length,
+      s"expected ${p.keys.length} key values (${p.keys.mkString(",")})")
+    val schema = read(spark, tablePath).schema
+    val probe0 = p.partitionCols.zip(p.partitionTypes).zip(partitionValues)
+      .foldLeft(spark.range(1).toDF()) { case (df, ((c, t), v)) =>
+        df.withColumn(c, lit(v).cast(t))
+      }
+    val probe = p.keys.zip(keyValues).foldLeft(probe0) { case (df, (k, v)) =>
+      df.withColumn(k, lit(v).cast(schema(k).dataType))
+    }
+    val tagged = withShadow(probe, p)
+    val r = tagged.select(p.dirCols.map(col): _*).head()
+    val nParts = p.partitionCols.length
+    val part = dirOfValues(p, (0 until nParts).map(r.getString))
+    val dir = if (p.grouped) s"$part/$Group=${r.getInt(nParts)}" else part
+    val m = manifest(tablePath)
+    if (!m.contains(dir)) return read(spark, tablePath).limit(0)
+    val slice = readDirs(spark, tablePath, Set(dir), m, p)
+    (p.partitionCols ++ p.keys).zip(partitionValues ++ keyValues)
+      .foldLeft(slice) { case (df, (c, v)) => df.filter(col(c) === lit(v)) }
+  }
+
   /** Dynamic partition overwrite (Hudi `insert_overwrite`, Spark's
     * INSERT OVERWRITE dynamic mode): REPLACE the touched partitions'
     * content with the batch (precombine-deduped), leave every other
@@ -379,7 +449,14 @@ object PartitionedTable {
     if (touched.isEmpty) return Seq.empty
     val gen = manifest(tablePath).values.maxOption.getOrElse(-1L) + 1
     val written = writeGen(tagged, tablePath, gen, p)
-    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    // overwrite semantics are PARTITION-wholesale: under file grouping
+    // a batch may miss some groups of a touched partition, and those
+    // slices must go too — drop every manifest entry whose partition
+    // prefix was overwritten, then add what was written
+    val overwritten = written.map(partitionPrefix(p, _)).toSet
+    val kept = manifest(tablePath)
+      .filterNot { case (d, _) => overwritten(partitionPrefix(p, d)) }
+    writeManifest(tablePath, kept ++ written.map(_ -> gen))
     written
   }
 
@@ -491,7 +568,7 @@ object PartitionedTable {
     val numFiles = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
     val gen = m.values.max + 1
     val sortNames = sortExprs.indices.map(i => s"__sort$i")
-    val layout = p.partitionCols.map(c => col(Shadow + c)) ++ sortNames.map(col)
+    val layout = p.dirCols.map(col) ++ sortNames.map(col)
     val arranged = sortExprs.zip(sortNames)
       .foldLeft(withShadow(data, p)) { case (df, (e, n)) => df.withColumn(n, e) }
       .repartitionByRange(numFiles, layout: _*)
@@ -524,9 +601,12 @@ object PartitionedTable {
             if (!liveDirs(rel)) { deleteRecursively(d); Seq(s"gen=$gen/$rel") }
             else Seq.empty
           } else listDir(d)
-            .filter(_.getFileName.toString.startsWith(Shadow))
+            .filter { x =>
+              val n = x.getFileName.toString
+              n.startsWith(Shadow) || n.startsWith(Group + "=")
+            }
             .flatMap(sweep(_, depth - 1))
-        val gone = sweep(genDir, p.partitionCols.length)
+        val gone = sweep(genDir, p.dirDepth)
         // drop the gen dir itself once no partition dirs remain in it
         if (liveDirs.isEmpty && listDir(genDir)
             .forall(!_.getFileName.toString.startsWith(Shadow))) {

@@ -377,6 +377,25 @@ object PipelineQueries {
         lit("2024-01-15").cast("date")))
       .select(PartCols: _*)
 
+  /** `p_part_group_upsert`: the grouped lifecycle — same merge
+    * semantics as `p_part_upsert` (the oracle is the identical
+    * window), but records hash into 8 FILE GROUPS inside each day, so
+    * the post-split upsert rewrites only the touched (day, group)
+    * slices (`PartitionedTableSpec` proves the partial rewrite). The
+    * hash-check pins that group routing loses and duplicates nothing.
+    */
+  def partGroupUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "pg").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"), numGroups = 8)
+    graft.etl.PartitionedTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs))
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
+
   /** `p_part_incremental`: the incremental pull a downstream consumer
     * runs against the shared lifecycle table — partitions rewritten
     * after the create commit (generation 0), i.e. exactly the days the
@@ -898,6 +917,7 @@ object PipelineQueries {
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_part_upsert" -> (partUpsert(_, _)),
     "p_part_prune" -> (partPrune(_, _)),
+    "p_part_group_upsert" -> (partGroupUpsert(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
@@ -1078,6 +1098,15 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1 AND event_type = 'click'""".stripMargin,
+    "p_part_group_upsert" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
     "p_part_incremental" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

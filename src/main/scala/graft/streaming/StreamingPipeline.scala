@@ -450,7 +450,8 @@ object StreamingPipeline {
       maxFilesPerTrigger: Int = 1,
       keys: Seq[String] = Seq("entity_id"),
       precombine: String = "event_timestamp",
-      tieBreak: Seq[String] = Seq("event_id")): Unit = {
+      tieBreak: Seq[String] = Seq("event_id"),
+      numGroups: Int = 8): Unit = {
     val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -460,9 +461,12 @@ object StreamingPipeline {
           val dated = batch.withColumn("event_date",
             to_date(col("event_timestamp")))
           if (!graft.etl.PartitionedTable.exists(targetPath))
+            // file groups bound the per-commit rewrite to the touched
+            // (day, group) slices — the difference between O(batch)
+            // and O(today) per micro-batch on a long-running stream
             graft.etl.PartitionedTable.create(dated, targetPath,
               keys = keys, precombine = precombine, tieBreak = tieBreak,
-              partitionCols = Seq("event_date"))
+              partitionCols = Seq("event_date"), numGroups = numGroups)
           else
             graft.etl.PartitionedTable.upsertInto(batch.sparkSession,
               targetPath, dated)

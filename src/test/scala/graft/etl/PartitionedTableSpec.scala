@@ -148,6 +148,55 @@ class PartitionedTableSpec extends SparkSpec {
     assert(contents(dir) == before)
   }
 
+  test("file groups: upsert rewrites only the touched (partition, group) slice") {
+    val dir = freshDir()
+    val base = (1 to 64).map(i => ("d1", s"k$i", 1L, i.toDouble)) ++
+      (1 to 16).map(i => ("d2", s"k$i", 1L, -i.toDouble))
+    PartitionedTable.create(base.toDF("day", "k", "pc", "v"), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"),
+      numGroups = 4)
+    // every (partition, group) leaf is its own manifest entry
+    val m0 = PartitionedTable.manifest(dir)
+    assert(m0.keySet.forall(_.matches("__p_day=d[12]/__g=\\d+")), m0.keySet)
+    val before = dataFiles(dir)
+
+    val touched = PartitionedTable.upsertInto(spark, dir,
+      rows(("d1", "k7", 2L, 700.0)))
+    assert(touched.size == 1 && touched.head.startsWith("__p_day=d1/__g="),
+      s"expected one (partition, group) slice, got $touched")
+    // every other slice of d1 — and all of d2 — keeps its files
+    val kept = before.filterNot(_._1.contains(touched.head))
+    assert(kept.subsetOf(dataFiles(dir)), "untouched group slices were rewritten")
+    // read parity
+    assert(contents(dir) == (base.map {
+      case ("d1", "k7", _, _) => ("d1", "k7", 2L, 700.0)
+      case r => r
+    }).sorted)
+  }
+
+  test("file groups: point lookup reads one leaf dir; overwrite clears missed groups") {
+    val dir = freshDir()
+    val base = (1 to 64).map(i => ("d1", s"k$i", 1L, i.toDouble))
+    PartitionedTable.create(base.toDF("day", "k", "pc", "v"), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"),
+      numGroups = 8)
+    val hit = PartitionedTable.lookup(spark, dir, Seq("d1"), Seq("k13"))
+    assert(hit.select("v").as[Double].collect().toSeq == Seq(13.0))
+    val leaf = hit.inputFiles.toSeq
+    assert(leaf.nonEmpty && leaf.map(_.replaceAll("/[^/]*$", "")).distinct.size == 1,
+      s"lookup scanned more than one leaf dir: $leaf")
+    // missing key in an existing slice and a missing partition both
+    // come back empty without error
+    assert(PartitionedTable.lookup(spark, dir, Seq("d1"), Seq("nope")).isEmpty)
+    assert(PartitionedTable.lookup(spark, dir, Seq("dX"), Seq("k1")).isEmpty)
+
+    // insert_overwrite with a batch hitting SOME groups must still
+    // restate the whole partition: rows in missed groups disappear
+    PartitionedTable.insertOverwrite(spark, dir,
+      rows(("d1", "k13", 2L, -13.0)))
+    assert(contents(dir) == Seq(("d1", "k13", 2L, -13.0)))
+  }
+
   test("OCC: disjoint-partition writers both commit despite a stale base") {
     val dir = freshDir()
     PartitionedTable.create(

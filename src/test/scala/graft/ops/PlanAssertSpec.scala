@@ -88,7 +88,12 @@ class PlanAssertSpec extends SparkSpec {
     // equi-join (a cartesian fallback would defeat the salting), and
     // the timeline reads join nothing exotic
     "q_salted_skew_join", "q_partition_prune", "q_bucketed_join",
-    "p_time_travel", "p_timeline_incremental")
+    "p_time_travel", "p_timeline_incremental",
+    // value-partitioned table + secondary index: the pruned read is a
+    // plain union of partition scans and the index lookup's key
+    // re-attach must stay a broadcast semi EQUI-join — a cartesian
+    // fallback would rescan the primary per index hit
+    "p_part_prune", "p_sec_lookup")
 
   private lazy val plans: Map[String, SparkPlan] =
     checked.map(n => n -> finalPlan(SparkEntry.queries(n)(spark, sf001))).toMap
