@@ -174,7 +174,13 @@ object PartitionedTable {
     val dir = Paths.get(tablePath, s"gen=$gen")
     df.write.mode("errorifexists").partitionBy(p.dirCols: _*)
       .parquet(dir.toString)
-    // walk to the leaf depth collecting relative dir paths
+    leafDirs(dir, p)
+  }
+
+  /** Walk a generation dir to the leaf depth, returning relative slice
+    * dir paths — always read back from the tree, never inferred.
+    */
+  private def leafDirs(dir: Path, p: Props): Seq[String] = {
     def leaves(d: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(d)
       else {
@@ -261,14 +267,17 @@ object PartitionedTable {
       .getOrElse(read(spark, tablePath).limit(0))
   }
 
-  /** Read the live table (all partitions at their manifest generation). */
+  /** Read the live table: every partition at its manifest generation,
+    * MERGED with any delta commits not yet compacted (Hudi's snapshot
+    * query — [[readOptimized]] skips the merge, [[compactDeltas]]
+    * eliminates it).
+    */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val m = manifest(tablePath)
-    require(m.nonEmpty,
-      if (exists(tablePath))
-        s"partitioned table at $tablePath has no committed data yet"
-      else s"no partitioned table at $tablePath")
-    readDirs(spark, tablePath, m.keySet, m, props(tablePath))
+    val base = readOptimized(spark, tablePath)
+    val d = deltas(tablePath)
+    if (d.isEmpty) base
+    else mergeDeltas(base,
+      deltaFrame(spark, tablePath, d, props(tablePath)), props(tablePath))
   }
 
   /** Manifest partition dirs whose PARTITION VALUES satisfy `pred`
@@ -281,7 +290,7 @@ object PartitionedTable {
   def prunePartitions(spark: SparkSession, tablePath: String,
       pred: Column): Seq[String] = {
     val p = props(tablePath)
-    val dirs = manifest(tablePath).keySet.toSeq.sorted
+    val dirs = (manifest(tablePath).keySet ++ deltas(tablePath).map(_._1)).toSeq.sorted
     if (dirs.isEmpty) return Seq.empty
     import spark.implicits._
     val parsed = dirs.map(d => (d, valuesOfDir(p, d)))
@@ -305,8 +314,17 @@ object PartitionedTable {
   def prunedRead(spark: SparkSession, tablePath: String, pred: Column): DataFrame = {
     val keep = prunePartitions(spark, tablePath, pred).toSet
     val p = props(tablePath)
-    if (keep.isEmpty) read(spark, tablePath).limit(0)
-    else readDirs(spark, tablePath, keep, manifest(tablePath), p).filter(pred)
+    if (keep.isEmpty) return read(spark, tablePath).limit(0)
+    val m = manifest(tablePath)
+    val baseKeep = m.keySet.intersect(keep)
+    val base =
+      if (baseKeep.isEmpty) readOptimized(spark, tablePath).limit(0)
+      else readDirs(spark, tablePath, baseKeep, m, p)
+    val dKeep = deltas(tablePath).filter(e => keep(e._1))
+    val merged =
+      if (dKeep.isEmpty) base
+      else mergeDeltas(base, deltaFrame(spark, tablePath, dKeep, p), p)
+    merged.filter(pred)
   }
 
   /** Partial-rewrite upsert: route the batch to its value partitions,
@@ -457,6 +475,12 @@ object PartitionedTable {
     val kept = manifest(tablePath)
       .filterNot { case (d, _) => overwritten(partitionPrefix(p, d)) }
     writeManifest(tablePath, kept ++ written.map(_ -> gen))
+    // the restated partitions' pending delta commits are superseded
+    // wholesale too — an overwrite is a full restate, not a merge
+    val d = deltas(tablePath)
+    if (d.exists(e => overwritten(partitionPrefix(p, e._1))))
+      writeDeltas(tablePath,
+        d.filterNot(e => overwritten(partitionPrefix(p, e._1))))
     written
   }
 
@@ -467,8 +491,14 @@ object PartitionedTable {
   def dropPartitions(spark: SparkSession, tablePath: String,
       pred: Column): Seq[String] = {
     val drop = prunePartitions(spark, tablePath, pred)
-    if (drop.nonEmpty)
+    if (drop.nonEmpty) {
+      val dropSet = drop.toSet
       writeManifest(tablePath, manifest(tablePath) -- drop)
+      // dropped rows must not resurrect through the delta log
+      val d = deltas(tablePath)
+      if (d.exists(e => dropSet(e._1)))
+        writeDeltas(tablePath, d.filterNot(e => dropSet(e._1)))
+    }
     drop
   }
 
@@ -487,6 +517,145 @@ object PartitionedTable {
     writeManifest(tablePath, written.map(_ -> gen).toMap)
     gen
   }
+
+  // ---- merge-on-read delta logs (per-slice) --------------------------
+
+  private val DSeq = "__dseq"
+
+  private def deltasPath(tablePath: String): Path = Paths.get(tablePath, "_deltas")
+
+  /** Committed delta log: `(slice dir, delta seq)` pairs, one per
+    * slice a delta commit wrote. Seqs are sequential (1, 2, …),
+    * allocated under the table lock like [[MorTable]]'s.
+    */
+  def deltas(tablePath: String): Seq[(String, Long)] = {
+    val p = deltasPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      (l.substring(0, i), l.substring(i + 1).toLong)
+    }.toSeq
+  }
+
+  private def writeDeltas(tablePath: String, d: Seq[(String, Long)]): Unit = {
+    val tmp = Paths.get(tablePath, s"_deltas.tmp${System.nanoTime()}")
+    Files.writeString(tmp,
+      d.sorted.map { case (s, g) => s"$s $g" }.mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, deltasPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** MERGE-ON-READ upsert: append the precombined batch as a delta
+    * commit — one partitioned write of O(batch) rows, NO base read,
+    * no rewrite of anything. This is the per-commit cost floor for
+    * high-frequency ingest (Hudi MOR's log append): [[upsertInto]]
+    * pays O(touched slices of the table) per commit, this pays
+    * O(batch), and the read side merges ([[read]]) until
+    * [[compactDeltas]] folds the logs back into the base. Serialized
+    * under the table lock (seq allocation is read-modify-write).
+    */
+  def upsertDelta(spark: SparkSession, tablePath: String,
+      incoming: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val tagged = withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    if (touchedDirs(tagged, p).isEmpty) return Seq.empty
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val existing = deltas(tablePath)
+      val seq = existing.map(_._2).maxOption.getOrElse(0L) + 1
+      val dir = Paths.get(tablePath, s"dgen=$seq")
+      if (Files.exists(dir)) deleteRecursively(dir) // crashed writer's orphan
+      tagged.repartition(p.dirCols.map(col): _*)
+        .write.mode("errorifexists").partitionBy(p.dirCols: _*)
+        .parquet(dir.toString)
+      val written = leafDirs(dir, p)
+      writeDeltas(tablePath, existing ++ written.map(_ -> seq))
+      written
+    }
+  }
+
+  /** Read-optimized view: the compacted base only — delta commits not
+    * yet folded in are invisible (Hudi's `read_optimized` query type).
+    */
+  def readOptimized(spark: SparkSession, tablePath: String): DataFrame = {
+    val m = manifest(tablePath)
+    require(m.nonEmpty,
+      if (exists(tablePath))
+        s"partitioned table at $tablePath has no committed data yet"
+      else s"no partitioned table at $tablePath")
+    readDirs(spark, tablePath, m.keySet, m, props(tablePath))
+  }
+
+  /** All delta rows as one frame with the commit seq attached. */
+  private def deltaFrame(spark: SparkSession, tablePath: String,
+      d: Seq[(String, Long)], p: Props): DataFrame =
+    d.groupBy(_._2).map { case (seq, entries) =>
+      spark.read.option("basePath", s"$tablePath/dgen=$seq")
+        .parquet(entries.map(e => s"$tablePath/dgen=$seq/${e._1}").toSeq.sorted: _*)
+        .drop(p.partitionCols.map(Shadow + _) :+ Group: _*)
+        .withColumn(DSeq, lit(seq))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Merge base and delta rows: latest per identity by (precombine,
+    * commit seq, tieBreak) — on a precombine tie the LATER commit
+    * wins, so a delta overrides the base row it shadows (same rule as
+    * [[MorTable]]).
+    */
+  private def mergeDeltas(base: DataFrame, deltaDf: DataFrame,
+      p: Props): DataFrame =
+    HudiLike.precombineLatest(
+      base.withColumn(DSeq, lit(0L))
+        .unionByName(deltaDf, allowMissingColumns = true),
+      p.identity, p.precombine, DSeq +: p.tieBreak)
+      .drop(DSeq)
+
+  /** Fold every delta commit into the base: the slices that carry
+    * deltas — and ONLY those — are rewritten at a fresh generation
+    * with the merged content, and the delta log resets. Returns the
+    * new generation, or None when there was nothing to compact.
+    */
+  def compactDeltas(spark: SparkSession, tablePath: String): Option[Long] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val d = deltas(tablePath)
+      if (d.isEmpty) None
+      else {
+        val p = props(tablePath)
+        val m = manifest(tablePath)
+        val slices = d.map(_._1).toSet
+        val baseSlices = m.keySet.intersect(slices)
+        val base =
+          if (baseSlices.isEmpty)
+            readDirs(spark, tablePath, m.keySet, m, p).limit(0)
+          else readDirs(spark, tablePath, baseSlices, m, p)
+        val merged = mergeDeltas(base, deltaFrame(spark, tablePath, d, p), p)
+        val gen = m.values.maxOption.getOrElse(-1L) + 1
+        val written = writeGen(withShadow(merged, p), tablePath, gen, p)
+        writeManifest(tablePath, m ++ written.map(_ -> gen))
+        writeDeltas(tablePath, Seq.empty)
+        Some(gen)
+      }
+    }
+
+  /** Incremental CDC pull from the delta log: every delta commit with
+    * seq > `sinceSeq`, each row stamped with its commit seq
+    * (`change_seq`) — O(changes) read, no base scan, no diff join
+    * (the per-slice twin of [[MorTable.incrementalRead]]). Each delta
+    * commit is itself precombined, so the feed is
+    * latest-per-identity-per-commit.
+    */
+  def changesSince(spark: SparkSession, tablePath: String,
+      sinceSeq: Long): DataFrame = {
+    val p = props(tablePath)
+    val d = deltas(tablePath).filter(_._2 > sinceSeq)
+    if (d.isEmpty) readOptimized(spark, tablePath).limit(0)
+      .withColumn("change_seq", lit(0L))
+    else deltaFrame(spark, tablePath, d, p)
+      .withColumnRenamed(DSeq, "change_seq")
+  }
+
+  // --------------------------------------------------------------------
 
   /** The highest committed generation — the "commit instant" a
     * downstream consumer records to pull increments later.
@@ -590,7 +759,15 @@ object PartitionedTable {
     val p = props(tablePath)
     val live: Map[Long, Set[String]] = manifest(tablePath)
       .groupBy(_._2).view.mapValues(_.keySet).toMap
-    listDir(Paths.get(tablePath))
+    // delta generations: a dgen dir is live while ANY _deltas entry
+    // references it (slice-level sweep not needed — delta commits are
+    // dropped whole by compaction/overwrite/drop)
+    val liveDgens = deltas(tablePath).map(_._2).toSet
+    val dgenGone = listDir(Paths.get(tablePath))
+      .filter(_.getFileName.toString.startsWith("dgen="))
+      .filterNot(d => liveDgens(d.getFileName.toString.drop(5).toLong))
+      .map { d => deleteRecursively(d); d.getFileName.toString }
+    dgenGone ++ listDir(Paths.get(tablePath))
       .filter(_.getFileName.toString.startsWith("gen="))
       .flatMap { genDir =>
         val gen = genDir.getFileName.toString.drop(4).toLong

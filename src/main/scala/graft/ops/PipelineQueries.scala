@@ -377,6 +377,73 @@ object PipelineQueries {
         lit("2024-01-15").cast("date")))
       .select(PartCols: _*)
 
+  /** The partitioned MERGE-ON-READ lifecycle shared by the four
+    * `p_part_mor_*` queries: base from the pre-[[SplitUs]] days, then
+    * two delta commits (mid slice, late slice) — each an O(batch)
+    * append with no base rewrite
+    * ([[graft.etl.PartitionedTable.upsertDelta]]). Built once per
+    * (JVM, sfDir), read-only afterwards except [[partMorCompact]]
+    * which builds its own.
+    */
+  private def buildPartMor(spark: SparkSession, sfDir: String,
+      path: String): Unit = {
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.upsertDelta(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.PartitionedTable.upsertDelta(spark, path,
+      ev.filter(col("ts_us") > Split2Us))
+  }
+
+  private val partMorTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partMorTable(spark: SparkSession, sfDir: String): String =
+    partMorTables.computeIfAbsent(sfDir, _ => {
+      val path = java.nio.file.Files.createTempDirectory(morScratch, "pm").toString + "/t"
+      buildPartMor(spark, sfDir, path)
+      path
+    })
+
+  /** `p_part_mor_snapshot`: snapshot read of the partitioned MOR table
+    * — base merged with both delta commits at read time; must equal
+    * the one-window latest-per-(day, user) state over all events.
+    */
+  def partMorSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.PartitionedTable.read(spark, partMorTable(spark, sfDir))
+      .select(PartCols: _*)
+
+  /** `p_part_mor_read_optimized`: the base-only view — delta commits
+    * invisible until compaction (Hudi's read_optimized query type).
+    */
+  def partMorReadOptimized(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.PartitionedTable.readOptimized(spark, partMorTable(spark, sfDir))
+      .select(PartCols: _*)
+
+  /** `p_part_mor_changes`: the CDC pull from the delta log — both
+    * commits' rows, each stamped with its commit seq; O(changes) read,
+    * no base scan. The oracle replays each commit's precombine window
+    * with its literal seq.
+    */
+  def partMorChanges(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.PartitionedTable.changesSince(spark, partMorTable(spark, sfDir), 0L)
+      .select(col("change_seq") +: PartCols: _*)
+
+  /** `p_part_mor_compact`: fold the delta log into a fresh base
+    * ([[graft.etl.PartitionedTable.compactDeltas]] rewrites ONLY the
+    * delta-bearing slices) and read the read-OPTIMIZED view — after
+    * compaction it must equal the full snapshot, which is the oracle.
+    */
+  def partMorCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "pm").toString + "/t"
+    buildPartMor(spark, sfDir, path)
+    graft.etl.PartitionedTable.compactDeltas(spark, path)
+    graft.etl.PartitionedTable.readOptimized(spark, path)
+      .select(PartCols: _*)
+  }
+
   /** `p_part_group_upsert`: the grouped lifecycle — same merge
     * semantics as `p_part_upsert` (the oracle is the identical
     * window), but records hash into 8 FILE GROUPS inside each day, so
@@ -918,6 +985,10 @@ object PipelineQueries {
     "p_part_upsert" -> (partUpsert(_, _)),
     "p_part_prune" -> (partPrune(_, _)),
     "p_part_group_upsert" -> (partGroupUpsert(_, _)),
+    "p_part_mor_snapshot" -> (partMorSnapshot(_, _)),
+    "p_part_mor_read_optimized" -> (partMorReadOptimized(_, _)),
+    "p_part_mor_changes" -> (partMorChanges(_, _)),
+    "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
@@ -1098,6 +1169,52 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1 AND event_type = 'click'""".stripMargin,
+    "p_part_mor_snapshot" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_mor_compact" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_mor_read_optimized" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_part_mor_changes" ->
+      s"""SELECT CAST(1 AS BIGINT) AS change_seq, CAST(event_date AS VARCHAR) AS event_date,
+         |  user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL
+         |  AND epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS change_seq, CAST(event_date AS VARCHAR) AS event_date,
+         |  user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > $Split2Us) t
+         |WHERE rn = 1""".stripMargin,
     "p_part_group_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

@@ -197,6 +197,80 @@ class PartitionedTableSpec extends SparkSpec {
     assert(contents(dir) == Seq(("d1", "k13", 2L, -13.0)))
   }
 
+  test("delta upserts append without touching the base; snapshot merges, compact folds") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0), ("d2", "c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val baseFiles = dataFiles(dir)
+
+    // two delta commits: an update, an insert, a cross-commit update
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "a", 2L, 10.0)))
+    PartitionedTable.upsertDelta(spark, dir,
+      rows(("d1", "z", 1L, 5.0), ("d2", "c", 3L, 30.0)))
+    // base files untouched byte-for-byte — the O(batch) commit
+    assert(baseFiles.subsetOf(dataFiles(dir)), "delta commit rewrote base files")
+    assert(PartitionedTable.deltas(dir).map(_._2).distinct.sorted == Seq(1L, 2L))
+
+    // snapshot merges base + deltas; read-optimized sees base only
+    val snap = Seq(("d1", "a", 2L, 10.0), ("d1", "b", 1L, 2.0),
+      ("d1", "z", 1L, 5.0), ("d2", "c", 3L, 30.0))
+    assert(contents(dir) == snap.sorted)
+    assert(PartitionedTable.readOptimized(spark, dir)
+      .select("day", "k", "pc", "v").as[(String, String, Long, Double)]
+      .collect().toSeq.sorted ==
+      Seq(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0), ("d2", "c", 1L, 3.0)))
+    // pruned read merges deltas for the surviving partitions
+    assert(PartitionedTable.prunedRead(spark, dir, col("day") === "d2")
+      .select("v").as[Double].collect().toSeq == Seq(30.0))
+
+    // on a precombine TIE the later commit wins (delta overrides base)
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "b", 1L, -2.0)))
+    assert(contents(dir).contains(("d1", "b", 1L, -2.0)))
+
+    // compaction folds the logs into a fresh base and resets them
+    val gen = PartitionedTable.compactDeltas(spark, dir)
+    assert(gen.nonEmpty && PartitionedTable.deltas(dir).isEmpty)
+    val after = contents(dir)
+    assert(after == (snap.map {
+      case ("d1", "b", p, _) => ("d1", "b", p, -2.0); case r => r
+    }).sorted)
+    assert(PartitionedTable.readOptimized(spark, dir)
+      .select("day", "k", "pc", "v").as[(String, String, Long, Double)]
+      .collect().toSeq.sorted == after)
+    // nothing left to compact; clean reclaims the folded dgen dirs
+    assert(PartitionedTable.compactDeltas(spark, dir).isEmpty)
+    assert(PartitionedTable.clean(dir).exists(_.startsWith("dgen=")))
+    assert(contents(dir) == after)
+  }
+
+  test("changesSince pulls only later delta commits; drop/overwrite clear pending deltas") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "a", 2L, 10.0)))
+    PartitionedTable.upsertDelta(spark, dir, rows(("d3", "n", 1L, 7.0)))
+    // a delta-only partition is visible to snapshot and pruning
+    assert(PartitionedTable.prunedRead(spark, dir, col("day") === "d3")
+      .select("v").as[Double].collect().toSeq == Seq(7.0))
+
+    val all = PartitionedTable.changesSince(spark, dir, 0L)
+      .select("change_seq", "day", "k").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    assert(all == Seq((1L, "d1", "a"), (2L, "d3", "n")))
+    assert(PartitionedTable.changesSince(spark, dir, 1L)
+      .select("k").as[String].collect().toSeq == Seq("n"))
+    assert(PartitionedTable.changesSince(spark, dir, 2L).isEmpty)
+
+    // dropping d1 must also drop its pending delta (no resurrection)
+    PartitionedTable.dropPartitions(spark, dir, col("day") === "d1")
+    assert(!contents(dir).exists(_._1 == "d1"))
+    // overwriting d3 supersedes its pending delta wholesale
+    PartitionedTable.insertOverwrite(spark, dir, rows(("d3", "x", 1L, 9.0)))
+    assert(PartitionedTable.prunedRead(spark, dir, col("day") === "d3")
+      .select("k").as[String].collect().toSeq == Seq("x"))
+  }
+
   test("OCC: disjoint-partition writers both commit despite a stale base") {
     val dir = freshDir()
     PartitionedTable.create(
