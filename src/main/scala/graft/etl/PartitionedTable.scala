@@ -638,6 +638,19 @@ object PartitionedTable {
       }
     }
 
+  /** Inline-compaction trigger: fold the delta log once it holds at
+    * least `maxDeltaCommits` commits — the policy Hudi schedules
+    * between streaming commits (`hoodie.compact.inline.max.delta.commits`).
+    * Bounds the snapshot read's merge fan-in on a long-running stream
+    * while keeping most commits at the O(batch) append cost. Returns
+    * the new generation when compaction ran.
+    */
+  def maybeCompactDeltas(spark: SparkSession, tablePath: String,
+      maxDeltaCommits: Int = 8): Option[Long] = {
+    val pending = deltas(tablePath).map(_._2).distinct.size
+    if (pending >= maxDeltaCommits) compactDeltas(spark, tablePath) else None
+  }
+
   /** Incremental CDC pull from the delta log: every delta commit with
     * seq > `sinceSeq`, each row stamped with its commit seq
     * (`change_seq`) — O(changes) read, no base scan, no diff join

@@ -444,6 +444,28 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_part_mor_stream`: the MOR streaming sink end-to-end — the
+    * staged three-slice stream delivered as micro-batches, each an
+    * O(batch) delta append with inline compaction riding the stream
+    * ([[graft.streaming.StreamingPipeline.runIngestPartitionedMor]],
+    * maxDeltaCommits=2 so the fold actually triggers at test scale).
+    * The snapshot read must equal the one-window latest state — the
+    * outcome is independent of batch boundaries AND of where in the
+    * stream compaction happened to run.
+    */
+  def partMorStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    graft.streaming.StreamingPipeline.runIngestPartitionedMor(spark,
+      src.toString, base.resolve("tbl").toString, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = 1, keys = Seq("entity_id"),
+      precombine = "event_timestamp", tieBreak = Seq("event_id"),
+      maxDeltaCommits = 2)
+    graft.etl.PartitionedTable.read(spark, base.resolve("tbl").toString)
+      .select(col("event_date").cast("string").as("event_date"),
+        col("entity_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
+  }
+
   /** `p_part_group_upsert`: the grouped lifecycle — same merge
     * semantics as `p_part_upsert` (the oracle is the identical
     * window), but records hash into 8 FILE GROUPS inside each day, so
@@ -985,6 +1007,7 @@ object PipelineQueries {
     "p_part_upsert" -> (partUpsert(_, _)),
     "p_part_prune" -> (partPrune(_, _)),
     "p_part_group_upsert" -> (partGroupUpsert(_, _)),
+    "p_part_mor_stream" -> (partMorStream(_, _)),
     "p_part_mor_snapshot" -> (partMorSnapshot(_, _)),
     "p_part_mor_read_optimized" -> (partMorReadOptimized(_, _)),
     "p_part_mor_changes" -> (partMorChanges(_, _)),
@@ -1169,6 +1192,15 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1 AND event_type = 'click'""".stripMargin,
+    "p_part_mor_stream" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, entity_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id AS entity_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
     "p_part_mor_snapshot" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

@@ -477,6 +477,50 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** The MERGE-ON-READ streaming sink — the per-commit cost floor of
+    * the sink matrix: each micro-batch lands as one O(batch) delta
+    * append ([[graft.etl.PartitionedTable.upsertDelta]] — no base
+    * read, nothing rewritten), and inline compaction
+    * ([[graft.etl.PartitionedTable.maybeCompactDeltas]]) folds the log
+    * into the base every `maxDeltaCommits` commits, bounding the
+    * snapshot read's merge fan-in — exactly Hudi's streaming-MOR
+    * write + inline-compaction schedule. Where [[runIngestPartitioned]]
+    * (CoW) pays O(touched day slices) per micro-batch, this pays
+    * O(batch) on most commits; the stream converges to the same state
+    * because the (precombine, commit seq, tieBreak) order is total.
+    */
+  def runIngestPartitionedMor(spark: SparkSession, sourceDir: String,
+      targetPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1,
+      keys: Seq[String] = Seq("entity_id"),
+      precombine: String = "event_timestamp",
+      tieBreak: Seq[String] = Seq("event_id"),
+      maxDeltaCommits: Int = 8): Unit = {
+    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val dated = batch.withColumn("event_date",
+            to_date(col("event_timestamp")))
+          if (!graft.etl.PartitionedTable.exists(targetPath))
+            graft.etl.PartitionedTable.create(dated, targetPath,
+              keys = keys, precombine = precombine, tieBreak = tieBreak,
+              partitionCols = Seq("event_date"))
+          else {
+            graft.etl.PartitionedTable.upsertDelta(batch.sparkSession,
+              targetPath, dated)
+            graft.etl.PartitionedTable.maybeCompactDeltas(batch.sparkSession,
+              targetPath, maxDeltaCommits)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runIngestBucketed(spark: SparkSession, sourceDir: String,
       targetPath: String, checkpoint: String,
       maxFilesPerTrigger: Int = 1,
