@@ -711,6 +711,28 @@ object PartitionedTable {
     else readDirs(spark, tablePath, changed, m, props(tablePath))
   }
 
+  /** Inline-clustering trigger: run [[cluster]] once any live slice
+    * has accumulated at least `minFilesPerSlice` data files — the
+    * small-file policy Hudi's clustering scheduler applies between
+    * commits (append-heavy ingest fragments slices; clustering
+    * coalesces them into sorted range files). Returns the new
+    * generation when clustering ran.
+    */
+  def maybeCluster(spark: SparkSession, tablePath: String,
+      sortCols: Seq[String], minFilesPerSlice: Int = 8,
+      targetFileRows: Long = 4000000L): Option[Long] = {
+    val m = manifest(tablePath)
+    val fragmented = m.exists { case (d, g) =>
+      val dir = Paths.get(tablePath, s"gen=$g", d)
+      val s = Files.list(dir)
+      val n = try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally s.close()
+      n >= minFilesPerSlice
+    }
+    if (fragmented) Some(cluster(spark, tablePath, sortCols, targetFileRows))
+    else None
+  }
+
   /** Hudi-style CLUSTERING table service: rewrite every live partition
     * with its rows range-distributed and sorted on `sortCols`, so each
     * file within a partition carries a DISJOINT sort-key range. Data is

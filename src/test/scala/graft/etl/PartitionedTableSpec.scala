@@ -244,6 +244,49 @@ class PartitionedTableSpec extends SparkSpec {
     assert(contents(dir) == after)
   }
 
+  test("replaying the same delta batch converges (foreachBatch crash-replay safety)") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0)), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val batch = rows(("d1", "a", 2L, 9.0), ("d1", "b", 1L, 2.0))
+    PartitionedTable.upsertDelta(spark, dir, batch)
+    val once = contents(dir)
+    // a crashed stream re-delivers the batch: a second append commits,
+    // but the (precombine, commit seq, tieBreak) merge keeps the state
+    // identical — replay converges instead of duplicating
+    PartitionedTable.upsertDelta(spark, dir, batch)
+    assert(contents(dir) == once)
+    // and compaction of the doubled log still lands on the same state
+    PartitionedTable.compactDeltas(spark, dir)
+    assert(contents(dir) == once)
+  }
+
+  test("maybeCluster triggers only on fragmented slices") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0)), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    // one file per slice — below any sensible threshold
+    assert(PartitionedTable.maybeCluster(spark, dir, Seq("v"),
+      minFilesPerSlice = 2).isEmpty)
+    // fragment d1 across several generations via repeated upserts
+    (2 to 4).foreach(i =>
+      PartitionedTable.upsertInto(spark, dir, rows(("d1", s"k$i", 1L, i.toDouble))))
+    // upserts REWRITE the slice, so still one live file; compact the
+    // fragmentation in by writing a multi-file slice directly
+    val wide = (1 to 64).map(i => ("d2", s"w$i", 1L, i.toDouble))
+    PartitionedTable.upsertInto(spark, dir,
+      wide.toDF("day", "k", "pc", "v").repartition(8))
+    // force multiple files in one slice via cluster with tiny target
+    PartitionedTable.cluster(spark, dir, Seq("v"), targetFileRows = 8L)
+    val before = contents(dir)
+    assert(PartitionedTable.maybeCluster(spark, dir, Seq("v"),
+      minFilesPerSlice = 4, targetFileRows = 1000000L).nonEmpty)
+    assert(contents(dir) == before)
+    // now coalesced — trigger is quiet again
+    assert(PartitionedTable.maybeCluster(spark, dir, Seq("v"),
+      minFilesPerSlice = 4, targetFileRows = 1000000L).isEmpty)
+  }
+
   test("changesSince pulls only later delta commits; drop/overwrite clear pending deltas") {
     val dir = freshDir()
     PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
