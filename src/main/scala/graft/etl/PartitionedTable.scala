@@ -521,6 +521,7 @@ object PartitionedTable {
   // ---- merge-on-read delta logs (per-slice) --------------------------
 
   private val DSeq = "__dseq"
+  private val Deleted = "__deleted"
 
   private def deltasPath(tablePath: String): Path = Paths.get(tablePath, "_deltas")
 
@@ -576,6 +577,37 @@ object PartitionedTable {
     }
   }
 
+  /** Row-level DELETE through the delta log: append tombstones for
+    * the given identities (Hudi's `_hoodie_is_deleted` payload).
+    * `deletes` must carry the identity columns (partition cols + keys)
+    * plus a precombine value that OUTRANKS the rows it retires; other
+    * columns land NULL. O(batch) like any delta commit; the rows
+    * disappear from snapshot reads immediately and physically at the
+    * next [[compactDeltas]]. A later upsert with a higher precombine
+    * legitimately resurrects the key.
+    */
+  def deleteDelta(spark: SparkSession, tablePath: String,
+      deletes: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val tagged = withShadow(
+      HudiLike.precombineLatest(deletes, p.identity, p.precombine, p.tieBreak)
+        .withColumn(Deleted, lit(true)), p)
+      .localCheckpoint()
+    if (touchedDirs(tagged, p).isEmpty) return Seq.empty
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val existing = deltas(tablePath)
+      val seq = existing.map(_._2).maxOption.getOrElse(0L) + 1
+      val dir = Paths.get(tablePath, s"dgen=$seq")
+      if (Files.exists(dir)) deleteRecursively(dir)
+      tagged.repartition(p.dirCols.map(col): _*)
+        .write.mode("errorifexists").partitionBy(p.dirCols: _*)
+        .parquet(dir.toString)
+      val written = leafDirs(dir, p)
+      writeDeltas(tablePath, existing ++ written.map(_ -> seq))
+      written
+    }
+  }
+
   /** Read-optimized view: the compacted base only — delta commits not
     * yet folded in are invisible (Hudi's `read_optimized` query type).
     */
@@ -592,10 +624,14 @@ object PartitionedTable {
   private def deltaFrame(spark: SparkSession, tablePath: String,
       d: Seq[(String, Long)], p: Props): DataFrame =
     d.groupBy(_._2).map { case (seq, entries) =>
-      spark.read.option("basePath", s"$tablePath/dgen=$seq")
+      val df = spark.read.option("basePath", s"$tablePath/dgen=$seq")
         .parquet(entries.map(e => s"$tablePath/dgen=$seq/${e._1}").toSeq.sorted: _*)
         .drop(p.partitionCols.map(Shadow + _) :+ Group: _*)
         .withColumn(DSeq, lit(seq))
+      // upsert commits predate/omit the tombstone flag — normalize so
+      // the merge can always reference it
+      if (df.columns.contains(Deleted)) df
+      else df.withColumn(Deleted, lit(false))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Merge base and delta rows: latest per identity by (precombine,
@@ -609,7 +645,10 @@ object PartitionedTable {
       base.withColumn(DSeq, lit(0L))
         .unionByName(deltaDf, allowMissingColumns = true),
       p.identity, p.precombine, DSeq +: p.tieBreak)
-      .drop(DSeq)
+      // an identity whose winning version is a tombstone is deleted;
+      // base rows and plain delta rows carry no flag (null -> false)
+      .filter(!coalesce(col(Deleted), lit(false)))
+      .drop(DSeq, Deleted)
 
   /** Fold every delta commit into the base: the slices that carry
     * deltas — and ONLY those — are rewritten at a fresh generation
@@ -664,8 +703,11 @@ object PartitionedTable {
     val d = deltas(tablePath).filter(_._2 > sinceSeq)
     if (d.isEmpty) readOptimized(spark, tablePath).limit(0)
       .withColumn("change_seq", lit(0L))
+      .withColumn("deleted", lit(false))
     else deltaFrame(spark, tablePath, d, p)
       .withColumnRenamed(DSeq, "change_seq")
+      .withColumn("deleted", coalesce(col(Deleted), lit(false)))
+      .drop(Deleted)
   }
 
   // --------------------------------------------------------------------

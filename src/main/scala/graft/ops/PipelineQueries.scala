@@ -429,7 +429,28 @@ object PipelineQueries {
     */
   def partMorChanges(spark: SparkSession, sfDir: String): DataFrame =
     graft.etl.PartitionedTable.changesSince(spark, partMorTable(spark, sfDir), 0L)
-      .select(col("change_seq") +: PartCols: _*)
+      .select(col("change_seq") +: col("deleted") +: PartCols: _*)
+
+  /** `p_part_mor_delete`: row-level delete through the delta log —
+    * tombstone every (day, user) identity whose user id is divisible
+    * by 7 (a far-future precombine outranks every live row), then
+    * snapshot-read: the keys are gone immediately, no base rewrite
+    * happened, and the oracle replays the survivors.
+    */
+  def partMorDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "pd").toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.PartitionedTable.deleteDelta(spark, path,
+      ev.filter(col("user_id") % 7 === 0)
+        .select(col("event_date"), col("user_id")).distinct()
+        .withColumn("ts_us", lit(FutureUs))
+        .withColumn("event_id", lit(0L)))
+    graft.etl.PartitionedTable.read(spark, path)
+      .select(PartCols: _*)
+  }
 
   /** `p_part_mor_compact`: fold the delta log into a fresh base
     * ([[graft.etl.PartitionedTable.compactDeltas]] rewrites ONLY the
@@ -1012,6 +1033,7 @@ object PipelineQueries {
     "p_part_mor_read_optimized" -> (partMorReadOptimized(_, _)),
     "p_part_mor_changes" -> (partMorChanges(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
+    "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
@@ -1219,6 +1241,24 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    "p_part_mor_delete" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
+    "p_part_mor_delete" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
     "p_part_mor_read_optimized" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (
@@ -1229,7 +1269,7 @@ object PipelineQueries {
          | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
     "p_part_mor_changes" ->
-      s"""SELECT CAST(1 AS BIGINT) AS change_seq, CAST(event_date AS VARCHAR) AS event_date,
+      s"""SELECT CAST(1 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
          |  user_id, event_id, event_type, value, ts_us FROM (
          | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
          |  event_type, value, epoch_us(ts) AS ts_us,
@@ -1239,7 +1279,7 @@ object PipelineQueries {
          |  AND epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) t
          |WHERE rn = 1
          |UNION ALL
-         |SELECT CAST(2 AS BIGINT) AS change_seq, CAST(event_date AS VARCHAR) AS event_date,
+         |SELECT CAST(2 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
          |  user_id, event_id, event_type, value, ts_us FROM (
          | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
          |  event_type, value, epoch_us(ts) AS ts_us,

@@ -244,6 +244,36 @@ class PartitionedTableSpec extends SparkSpec {
     assert(contents(dir) == after)
   }
 
+  test("deleteDelta tombstones rows; compaction removes them physically; upsert resurrects") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0), ("d2", "c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    val baseFiles = dataFiles(dir)
+    // tombstone (d1, a) with an outranking precombine — O(batch), no
+    // base rewrite
+    PartitionedTable.deleteDelta(spark, dir,
+      Seq(("d1", "a", 99L)).toDF("day", "k", "pc"))
+    assert(baseFiles.subsetOf(dataFiles(dir)))
+    assert(contents(dir) == Seq(("d1", "b", 1L, 2.0), ("d2", "c", 1L, 3.0)))
+    // the CDC feed reports the delete
+    val chg = PartitionedTable.changesSince(spark, dir, 0L)
+      .select("deleted", "day", "k").as[(Boolean, String, String)].collect().toSeq
+    assert(chg == Seq((true, "d1", "a")))
+    // a LATER upsert resurrects the key
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "a", 100L, 7.0)))
+    assert(contents(dir).contains(("d1", "a", 100L, 7.0)))
+    // re-delete, compact: the tombstoned row is physically gone and
+    // the tombstone itself does not survive into the base
+    PartitionedTable.deleteDelta(spark, dir,
+      Seq(("d1", "a", 101L)).toDF("day", "k", "pc"))
+    PartitionedTable.compactDeltas(spark, dir)
+    assert(contents(dir) == Seq(("d1", "b", 1L, 2.0), ("d2", "c", 1L, 3.0)))
+    assert(PartitionedTable.readOptimized(spark, dir)
+      .select("day", "k").as[(String, String)].collect().toSet ==
+      Set(("d1", "b"), ("d2", "c")))
+  }
+
   test("replaying the same delta batch converges (foreachBatch crash-replay safety)") {
     val dir = freshDir()
     PartitionedTable.create(rows(("d1", "a", 1L, 1.0)), dir,
