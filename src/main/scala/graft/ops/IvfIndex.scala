@@ -408,6 +408,38 @@ object IvfIndex {
     searchFrom(assign(e, centroids).cache(), centroids)
   }
 
+  /** `sim_ivf_recall`: ANN quality measured as a first-class query —
+    * recall@5 of the fixed-codebook nprobe search against the exact
+    * brute-force top-5 for the same query set. The evaluation every
+    * ANN deployment runs before trusting an index config: the
+    * per-query hit counts are deterministic (both rankings share the
+    * 4dp-rounding + vec_id tie rule), so the DuckDB oracle replays the
+    * WHOLE construction — index assignment, probe selection, both
+    * rankings and the hit join.
+    */
+  def recallFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val approx = searchFixed(spark, sfDir).select(col("q_id"), col("vec_id"))
+    val queries = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val exact = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cos("embedding", "qv"), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    approx.join(exact.withColumn("__hit", lit(1)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / lit(5.0), 4).as("recall"))
+  }
+
   /** Fixed-codebook search at the wide probe setting ([[NProbeWide]]) —
     * the probe-count/recall knob as a first-class query, hash-checkable
     * the same way as `sim_ivf_fixed`; `IvfIndexSpec` asserts its recall
@@ -663,6 +695,7 @@ object IvfIndex {
     "sim_ivf_search" -> (searchAdaptive(_, _)),
     "sim_ivf_search_wide" -> (searchAdaptiveWide(_, _)),
     "sim_ivf_fixed" -> (searchFixed(_, _)),
+    "sim_ivf_recall" -> (recallFixed(_, _)),
     "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
     "sim_ivf_cells" -> (cellStatsAdaptive(_, _)),
@@ -753,6 +786,44 @@ object IvfIndex {
          |FROM a GROUP BY centroid_id""".stripMargin
     Map(
       "sim_ivf_fixed" -> searchSql(NProbe, adaptive = false),
+      "sim_ivf_recall" ->
+        s"""WITH ${centroidCte(false)},
+           |a AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+           |    FROM embeddings e, c) t WHERE rn = 1),
+           |q AS (
+           |  SELECT a.vec_id AS q_id, a.embedding AS qv FROM a
+           |  WHERE a.vec_id < ${Similarity.QuerySetSize}),
+           |probes AS (
+           |  SELECT q_id, qv, centroid_id FROM (
+           |    SELECT q.q_id, q.qv, c.centroid_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY $cosQC DESC, c.centroid_id) AS rn
+           |    FROM q, c) t WHERE rn <= $NProbe),
+           |approx AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY round($cosVQ, 4) DESC, a.vec_id) AS rnk
+           |    FROM a JOIN probes q ON a.centroid_id = q.centroid_id
+           |    WHERE a.vec_id <> q.q_id) s
+           |  WHERE rnk <= 5),
+           |exact AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY round(${Similarity.sqlCos("e.embedding", "q.qv")}, 4) DESC,
+           |          e.vec_id) AS rnk
+           |    FROM embeddings e, q WHERE e.vec_id <> q.q_id) s
+           |  WHERE rnk <= 5)
+           |SELECT ap.q_id, CAST(count(ex.vec_id) AS BIGINT) AS n_hits,
+           |  round(count(ex.vec_id) / 5.0, 4) AS recall
+           |FROM approx ap LEFT JOIN exact ex
+           |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+           |GROUP BY ap.q_id""".stripMargin,
       "sim_ivf_multiprobe" -> searchSql(NProbeWide, adaptive = false),
       "sim_ivf_search" -> searchSql(NProbe, adaptive = true),
       "sim_ivf_search_wide" -> searchSql(NProbeWide, adaptive = true),
