@@ -445,8 +445,19 @@ object PartitionedTable {
     val part = dirOfValues(p, (0 until nParts).map(r.getString))
     val dir = if (p.grouped) s"$part/$Group=${r.getInt(nParts)}" else part
     val m = manifest(tablePath)
-    if (!m.contains(dir)) return read(spark, tablePath).limit(0)
-    val slice = readDirs(spark, tablePath, Set(dir), m, p)
+    // the slice's pending delta commits participate too — a lookup
+    // must see delta upserts and honor delta tombstones, like any
+    // snapshot read, while still scanning only this one slice's base
+    // dir and delta files
+    val dKeep = deltas(tablePath).filter(_._1 == dir)
+    if (!m.contains(dir) && dKeep.isEmpty)
+      return read(spark, tablePath).limit(0)
+    val base =
+      if (m.contains(dir)) readDirs(spark, tablePath, Set(dir), m, p)
+      else readOptimized(spark, tablePath).limit(0)
+    val slice =
+      if (dKeep.isEmpty) base
+      else mergeDeltas(base, deltaFrame(spark, tablePath, dKeep, p), p)
     (p.partitionCols ++ p.keys).zip(partitionValues ++ keyValues)
       .foldLeft(slice) { case (df, (c, v)) => df.filter(col(c) === lit(v)) }
   }
@@ -654,6 +665,11 @@ object PartitionedTable {
     * deltas — and ONLY those — are rewritten at a fresh generation
     * with the merged content, and the delta log resets. Returns the
     * new generation, or None when there was nothing to compact.
+    *
+    * Compaction TRUNCATES the [[changesSince]] feed (the folded
+    * commits are no longer individually addressable) — downstream
+    * consumers must pull before the compactor runs, the same contract
+    * as Hudi's cleaner archiving commits past the retained window.
     */
   def compactDeltas(spark: SparkSession, tablePath: String): Option[Long] =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {

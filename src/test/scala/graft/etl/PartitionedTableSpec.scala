@@ -274,6 +274,25 @@ class PartitionedTableSpec extends SparkSpec {
       Set(("d1", "b"), ("d2", "c")))
   }
 
+  test("point lookup sees pending delta upserts and tombstones") {
+    val dir = freshDir()
+    PartitionedTable.create(
+      rows(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"),
+      numGroups = 4)
+    // delta-update a, tombstone b, insert into a delta-only partition
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "a", 2L, 9.0)))
+    PartitionedTable.deleteDelta(spark, dir,
+      Seq(("d1", "b", 99L)).toDF("day", "k", "pc"))
+    PartitionedTable.upsertDelta(spark, dir, rows(("d9", "n", 1L, 7.0)))
+    assert(PartitionedTable.lookup(spark, dir, Seq("d1"), Seq("a"))
+      .select("v").as[Double].collect().toSeq == Seq(9.0))
+    assert(PartitionedTable.lookup(spark, dir, Seq("d1"), Seq("b")).isEmpty)
+    // a key living only in the delta log is found too
+    assert(PartitionedTable.lookup(spark, dir, Seq("d9"), Seq("n"))
+      .select("v").as[Double].collect().toSeq == Seq(7.0))
+  }
+
   test("replaying the same delta batch converges (foreachBatch crash-replay safety)") {
     val dir = freshDir()
     PartitionedTable.create(rows(("d1", "a", 1L, 1.0)), dir,
