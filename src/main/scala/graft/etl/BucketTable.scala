@@ -109,7 +109,8 @@ object BucketTable {
     */
   private def rollbackOrphan(tablePath: String, gen: Long): Unit = {
     val dir = Paths.get(tablePath, s"gen=$gen")
-    if (Files.exists(dir) && !manifest(tablePath).values.exists(_ == gen))
+    if (Files.exists(dir) && !manifest(tablePath).values.exists(_ == gen) &&
+        !pinnedGens(tablePath)(gen))
       deleteRecursively(dir)
   }
 
@@ -225,7 +226,7 @@ object BucketTable {
     // empty manifest — the first non-empty upsert merges against
     // nothing and commits generation 0
     val committed = manifest(tablePath)
-    val gen = committed.values.maxOption.getOrElse(-1L) + 1
+    val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.limit(0)
       else readBuckets(spark, tablePath, touched)
@@ -383,7 +384,7 @@ object BucketTable {
   def compact(spark: SparkSession, tablePath: String): Long = {
     val m = manifest(tablePath)
     require(m.nonEmpty, s"no bucket table at $tablePath")
-    val gen = m.values.max + 1
+    val gen = nextGen(tablePath)
     val written = writeGen(
       readBuckets(spark, tablePath, m.keySet), tablePath, gen)
     writeManifest(tablePath, written.map(_ -> gen).toMap)
@@ -422,6 +423,19 @@ object BucketTable {
       .map(_.drop(SavepointPrefix.length)).toSeq.sorted
     finally s.close()
   }
+
+  /** Generations referenced by any savepoint — writers must never
+    * reuse these ids: after [[restoreSavepoint]] the live manifest's
+    * max reverts, and a naive max+1 would collide with (and
+    * [[rollbackOrphan]] would destroy) a generation a LATER savepoint
+    * still pins.
+    */
+  private def pinnedGens(tablePath: String): Set[Long] =
+    savepoints(tablePath).flatMap(savepointManifest(tablePath, _).values).toSet
+
+  /** Next generation id: past everything live AND pinned. */
+  private def nextGen(tablePath: String): Long =
+    ((manifest(tablePath).values ++ pinnedGens(tablePath)) ++ Seq(-1L)).max + 1
 
   private def savepointManifest(tablePath: String, name: String): Map[Int, Long] = {
     val p = savepointPath(tablePath, name)

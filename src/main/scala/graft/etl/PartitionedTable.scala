@@ -147,7 +147,8 @@ object PartitionedTable {
 
   private def rollbackOrphan(tablePath: String, gen: Long): Unit = {
     val dir = Paths.get(tablePath, s"gen=$gen")
-    if (Files.exists(dir) && !manifest(tablePath).values.exists(_ == gen))
+    if (Files.exists(dir) && !manifest(tablePath).values.exists(_ == gen) &&
+        !pinnedGens(tablePath)(gen))
       deleteRecursively(dir)
   }
 
@@ -342,7 +343,7 @@ object PartitionedTable {
     val touched = touchedDirs(tagged, p)
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
-    val gen = committed.values.maxOption.getOrElse(-1L) + 1
+    val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
       else readDirs(spark, tablePath, touched.toSet, committed, p)
@@ -476,7 +477,7 @@ object PartitionedTable {
       .localCheckpoint()
     val touched = touchedDirs(tagged, p)
     if (touched.isEmpty) return Seq.empty
-    val gen = manifest(tablePath).values.maxOption.getOrElse(-1L) + 1
+    val gen = nextGen(tablePath)
     val written = writeGen(tagged, tablePath, gen, p)
     // overwrite semantics are PARTITION-wholesale: under file grouping
     // a batch may miss some groups of a touched partition, and those
@@ -521,7 +522,7 @@ object PartitionedTable {
     val m = manifest(tablePath)
     require(m.nonEmpty, s"no partitioned table at $tablePath")
     val p = props(tablePath)
-    val gen = m.values.max + 1
+    val gen = nextGen(tablePath)
     val written = writeGen(
       withShadow(readDirs(spark, tablePath, m.keySet, m, p), p),
       tablePath, gen, p)
@@ -576,7 +577,7 @@ object PartitionedTable {
     if (touchedDirs(tagged, p).isEmpty) return Seq.empty
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val existing = deltas(tablePath)
-      val seq = existing.map(_._2).maxOption.getOrElse(0L) + 1
+      val seq = nextDeltaSeq(tablePath, existing)
       val dir = Paths.get(tablePath, s"dgen=$seq")
       if (Files.exists(dir)) deleteRecursively(dir) // crashed writer's orphan
       tagged.repartition(p.dirCols.map(col): _*)
@@ -607,7 +608,7 @@ object PartitionedTable {
     if (touchedDirs(tagged, p).isEmpty) return Seq.empty
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val existing = deltas(tablePath)
-      val seq = existing.map(_._2).maxOption.getOrElse(0L) + 1
+      val seq = nextDeltaSeq(tablePath, existing)
       val dir = Paths.get(tablePath, s"dgen=$seq")
       if (Files.exists(dir)) deleteRecursively(dir)
       tagged.repartition(p.dirCols.map(col): _*)
@@ -685,7 +686,7 @@ object PartitionedTable {
             readDirs(spark, tablePath, m.keySet, m, p).limit(0)
           else readDirs(spark, tablePath, baseSlices, m, p)
         val merged = mergeDeltas(base, deltaFrame(spark, tablePath, d, p), p)
-        val gen = m.values.maxOption.getOrElse(-1L) + 1
+        val gen = nextGen(tablePath)
         val written = writeGen(withShadow(merged, p), tablePath, gen, p)
         writeManifest(tablePath, m ++ written.map(_ -> gen))
         writeDeltas(tablePath, Seq.empty)
@@ -828,7 +829,7 @@ object PartitionedTable {
     val data = readDirs(spark, tablePath, m.keySet, m, p)
     val rows = data.count()
     val numFiles = math.max(1L, (rows + targetFileRows - 1) / targetFileRows).toInt
-    val gen = m.values.max + 1
+    val gen = nextGen(tablePath)
     val sortNames = sortExprs.indices.map(i => s"__sort$i")
     val layout = p.dirCols.map(col) ++ sortNames.map(col)
     val arranged = sortExprs.zip(sortNames)
@@ -841,8 +842,113 @@ object PartitionedTable {
     gen
   }
 
+  // ---- savepoints ----------------------------------------------------
+
+  private val SavepointPrefix = "_savepoint_"
+
+  private def savepointPath(tablePath: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
+    Paths.get(tablePath, SavepointPrefix + name)
+  }
+
+  /** Pin the CURRENT snapshot state under `name`: the manifest AND the
+    * pending delta log (a MOR snapshot is both), so [[clean]] keeps
+    * every referenced generation and delta commit alive. O(metadata).
+    */
+  def savepoint(tablePath: String, name: String): Unit = {
+    val p = savepointPath(tablePath, name)
+    require(!Files.exists(p), s"savepoint $name already exists")
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no committed state to savepoint at $tablePath")
+    val body = (m.toSeq.sorted.map { case (d, g) => s"M $d $g" } ++
+      deltas(tablePath).sorted.map { case (d, g) => s"D $d $g" }).mkString("\n")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    Files.writeString(tmp, body,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def savepoints(tablePath: String): Seq[String] = {
+    val s = Files.list(Paths.get(tablePath))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .map(_.drop(SavepointPrefix.length)).toSeq.sorted
+    finally s.close()
+  }
+
+  private def savepointState(tablePath: String,
+      name: String): (Map[String, Long], Seq[(String, Long)]) = {
+    val p = savepointPath(tablePath, name)
+    require(Files.exists(p), s"no savepoint $name at $tablePath")
+    val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+    def parse(tag: String) = lines.filter(_.startsWith(tag + " ")).map { l =>
+      val body = l.drop(2)
+      val i = body.lastIndexOf(' ')
+      body.substring(0, i) -> body.substring(i + 1).toLong
+    }
+    (parse("M").toMap, parse("D"))
+  }
+
+  /** Generations referenced by ANY savepoint — writers must never
+    * reuse these ids: after a [[restoreSavepoint]] the live manifest's
+    * max reverts, and a naive max+1 would collide with (and
+    * [[rollbackOrphan]] would destroy) a generation a LATER savepoint
+    * still pins.
+    */
+  private def pinnedGens(tablePath: String): Set[Long] =
+    savepoints(tablePath).flatMap(savepointState(tablePath, _)._1.values).toSet
+
+  /** Delta commit seqs referenced by any savepoint (same hazard as
+    * [[pinnedGens]], for the delta log).
+    */
+  private def pinnedDgens(tablePath: String): Set[Long] =
+    savepoints(tablePath).flatMap(savepointState(tablePath, _)._2.map(_._2)).toSet
+
+  /** Next base generation id: past everything live AND pinned. */
+  private def nextGen(tablePath: String): Long =
+    ((manifest(tablePath).values ++ pinnedGens(tablePath)) ++ Seq(-1L)).max + 1
+
+  /** Next delta commit seq: past everything live AND pinned. */
+  private def nextDeltaSeq(tablePath: String,
+      existing: Seq[(String, Long)]): Long =
+    ((existing.map(_._2) ++ pinnedDgens(tablePath)) ++ Seq(0L)).max + 1
+
+  /** Read the table AS OF a savepoint — the pinned base merged with
+    * the pinned delta log, live state untouched.
+    */
+  def readSavepoint(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    val p = props(tablePath)
+    val (m, d) = savepointState(tablePath, name)
+    val base = readDirs(spark, tablePath, m.keySet, m, p)
+    if (d.isEmpty) base
+    else mergeDeltas(base, deltaFrame(spark, tablePath, d, p), p)
+  }
+
+  /** Roll the table BACK to a savepoint: atomically restore manifest
+    * and delta log under the table lock. Later generations and delta
+    * commits become debris for [[clean]].
+    */
+  def restoreSavepoint(tablePath: String, name: String): Unit = {
+    val (m, d) = savepointState(tablePath, name)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      writeManifest(tablePath, m)
+      writeDeltas(tablePath, d)
+    }
+    ()
+  }
+
+  def dropSavepoint(tablePath: String, name: String): Unit = {
+    Files.deleteIfExists(savepointPath(tablePath, name))
+    ()
+  }
+
+  // --------------------------------------------------------------------
+
   /** Remove partition dirs no manifest entry references (aborted
-    * writers, superseded or dropped partitions). Returns removed paths.
+    * writers, superseded or dropped partitions). Generations and delta
+    * commits referenced by a [[savepoint]] count as live. Returns
+    * removed paths.
     */
   def clean(tablePath: String): Seq[String] = {
     def listDir(path: Path): Seq[Path] = {
@@ -850,12 +956,16 @@ object PartitionedTable {
       try s.iterator().asScala.toSeq finally s.close()
     }
     val p = props(tablePath)
-    val live: Map[Long, Set[String]] = manifest(tablePath)
-      .groupBy(_._2).view.mapValues(_.keySet).toMap
-    // delta generations: a dgen dir is live while ANY _deltas entry
-    // references it (slice-level sweep not needed — delta commits are
-    // dropped whole by compaction/overwrite/drop)
-    val liveDgens = deltas(tablePath).map(_._2).toSet
+    val pins = savepoints(tablePath).map(savepointState(tablePath, _))
+    val pinnedManifest = pins.flatMap(_._1.toSeq)
+    val pinnedDeltas = pins.flatMap(_._2)
+    val live: Map[Long, Set[String]] = (manifest(tablePath).toSeq ++ pinnedManifest)
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // delta generations: a dgen dir is live while ANY _deltas entry —
+    // current or savepoint-pinned — references it (slice-level sweep
+    // not needed: delta commits are dropped whole by
+    // compaction/overwrite/drop)
+    val liveDgens = (deltas(tablePath) ++ pinnedDeltas).map(_._2).toSet
     val dgenGone = listDir(Paths.get(tablePath))
       .filter(_.getFileName.toString.startsWith("dgen="))
       .filterNot(d => liveDgens(d.getFileName.toString.drop(5).toLong))

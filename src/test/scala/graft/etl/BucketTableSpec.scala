@@ -52,6 +52,23 @@ class BucketTableSpec extends SparkSpec {
     assert(contents(dir) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
   }
 
+  test("restore-then-write never reuses a generation a later savepoint pins") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.savepoint(dir, "s1")
+    BucketTable.upsertInto(spark, dir, rows(("a", 2L, 9.0))) // gen 1
+    BucketTable.savepoint(dir, "s2")
+    BucketTable.restoreSavepoint(dir, "s1")
+    // next write must allocate past s2's pinned gen 1, not collide
+    BucketTable.upsertInto(spark, dir, rows(("b", 1L, 2.0)))
+    assert(BucketTable.readSavepoint(spark, dir, "s2")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1) ==
+      Seq(("a", 2L, 9.0)),
+      "post-restore write corrupted the later savepoint")
+    assert(contents(dir) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+  }
+
   test("upsert merges keys and rewrites only touched buckets") {
     val dir = Files.createTempDirectory("bucket").toString + "/t"
     val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))

@@ -274,6 +274,40 @@ class PartitionedTableSpec extends SparkSpec {
       Set(("d1", "b"), ("d2", "c")))
   }
 
+  test("savepoints pin base AND delta log; restore-then-write never corrupts a later pin") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0)), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "b", 1L, 2.0)))
+    PartitionedTable.savepoint(dir, "s1") // pins base gen 0 + delta seq 1
+    PartitionedTable.upsertInto(spark, dir, rows(("d1", "a", 2L, 9.0)))
+    PartitionedTable.savepoint(dir, "s2") // pins the post-upsert state
+    val s2State = PartitionedTable.readSavepoint(spark, dir, "s2")
+      .select("day", "k", "pc", "v").as[(String, String, Long, Double)]
+      .collect().toSeq.sorted
+
+    // clean keeps everything both savepoints reference
+    assert(PartitionedTable.clean(dir).isEmpty)
+    // s1's snapshot includes its pinned DELTA commit
+    assert(PartitionedTable.readSavepoint(spark, dir, "s1")
+      .select("day", "k", "pc", "v").as[(String, String, Long, Double)]
+      .collect().toSeq.sorted ==
+      Seq(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0)))
+
+    // roll back to s1, then write again: the new commits must not
+    // reuse (and destroy) generations/delta seqs s2 still pins
+    PartitionedTable.restoreSavepoint(dir, "s1")
+    PartitionedTable.upsertInto(spark, dir, rows(("d1", "c", 1L, 3.0)))
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "e", 1L, 5.0)))
+    assert(PartitionedTable.readSavepoint(spark, dir, "s2")
+      .select("day", "k", "pc", "v").as[(String, String, Long, Double)]
+      .collect().toSeq.sorted == s2State,
+      "post-restore writes corrupted the later savepoint")
+    assert(contents(dir).toSet ==
+      Set(("d1", "a", 1L, 1.0), ("d1", "b", 1L, 2.0),
+        ("d1", "c", 1L, 3.0), ("d1", "e", 1L, 5.0)))
+  }
+
   test("point lookup sees pending delta upserts and tombstones") {
     val dir = freshDir()
     PartitionedTable.create(
