@@ -43,6 +43,7 @@ object MorTable {
 
   private def pointer(tablePath: String): Path = Paths.get(tablePath, "_latest")
   private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
+  private def bootstrapPath(tablePath: String): Path = Paths.get(tablePath, "_bootstrap")
 
   /** Table key configuration, persisted at create time. */
   final case class Props(keys: Seq[String], precombine: String, tieBreak: Seq[String])
@@ -85,6 +86,54 @@ object MorTable {
       .write.mode("overwrite").parquet(s"$tablePath/base=0")
     writePointer(tablePath, 0L, 0L)
   }
+
+  /** Metadata-only bootstrap — Hudi's `METADATA_ONLY` bootstrap mode:
+    * onboard an EXISTING parquet dataset as this table's base
+    * generation without reading or rewriting a single data row. Only
+    * table metadata is written (`_props`, a `_bootstrap` pointer to the
+    * source, the `_latest` pointer); the source files stay exactly
+    * where they are and are never mutated, so onboarding a 100 TB
+    * directory costs one footer read (the schema validation below),
+    * not a 100 TB rewrite. From then on the table behaves like any
+    * MOR table: upserts/deletes land as O(batch) delta logs layered
+    * over the in-place source, and the first [[compact]] folds
+    * source + logs into an owned `base=1` — Hudi's
+    * "full-record migration on first rewrite" — after which the
+    * original directory is no longer consulted and may be retired.
+    *
+    * Until that first compaction, [[readOptimized]] serves the raw
+    * source as-is (duplicate keys unresolved — the same staleness
+    * trade the `_ro` view always makes); [[readSnapshot]] resolves
+    * keys across source ∪ logs, so a source carrying several rows per
+    * key still reads correctly.
+    */
+  def bootstrap(spark: SparkSession, sourceDir: String, tablePath: String,
+      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil): Unit = {
+    require(state(tablePath).isEmpty, s"table already exists at $tablePath")
+    // footer-only schema read: fail at bootstrap time — not on first
+    // read — if the source lacks a key/precombine/tie-break column
+    val fields = spark.read.parquet(sourceDir).schema.fieldNames.toSet
+    val missing = ((keys :+ precombine) ++ tieBreak).filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"source $sourceDir lacks required columns: ${missing.mkString(", ")}")
+    Files.createDirectories(Paths.get(tablePath))
+    Files.writeString(propsPath(tablePath),
+      s"keys=${keys.mkString(",")}\nprecombine=$precombine\ntieBreak=${tieBreak.mkString(",")}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.writeString(bootstrapPath(tablePath), sourceDir,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    writePointer(tablePath, 0L, 0L)
+  }
+
+  /** Base generation as a frame: generation 0 of a bootstrapped table
+    * resolves to the external source IN PLACE; every owned generation
+    * (created tables, and any bootstrapped table after its first
+    * compaction) reads its own `base=N` dir.
+    */
+  private def baseFrame(spark: SparkSession, tablePath: String, base: Long): DataFrame =
+    if (base == 0L && Files.exists(bootstrapPath(tablePath)))
+      spark.read.parquet(Files.readString(bootstrapPath(tablePath)).trim)
+    else spark.read.parquet(s"$tablePath/base=$base")
 
   private def deleteRecursively(p: Path): Unit = {
     val s = Files.walk(p)
@@ -152,7 +201,7 @@ object MorTable {
     val p = props(tablePath)
     val (base, deltas) = state(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
-    val baseDf = spark.read.parquet(s"$tablePath/base=$base")
+    val baseDf = baseFrame(spark, tablePath, base)
       .withColumn(SeqCol, lit(0L)).withColumn(DelCol, lit(false))
     val merged = (1L to deltas).foldLeft(baseDf) { (acc, s) =>
       // logs may be schema-sparse (tombstones carry NULL payload cols)
@@ -173,7 +222,7 @@ object MorTable {
   def readOptimized(spark: SparkSession, tablePath: String): DataFrame = {
     val (base, _) = state(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
-    spark.read.parquet(s"$tablePath/base=$base")
+    baseFrame(spark, tablePath, base)
   }
 
   /** Incremental pull: every record appended after log sequence

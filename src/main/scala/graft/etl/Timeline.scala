@@ -23,6 +23,15 @@ import scala.jdk.CollectionConverters._
 object Timeline {
 
   private def pointer(tablePath: String): Path = Paths.get(tablePath, "_latest")
+  private def timelineDir(tablePath: String): Path = Paths.get(tablePath, "_timeline")
+
+  /** One commit-timeline instant — the metadata Hudi keeps per commit
+    * (`<ts>.commit` files): what happened (`action`), when in commit
+    * order (`version`), and how many rows the snapshot carries.
+    * `archived` marks instants folded into an archived log file.
+    */
+  final case class Instant(
+      version: Long, action: String, n_rows: Long, archived: Boolean)
 
   /** Current committed version, or None for an uninitialized table. */
   def latestVersion(tablePath: String): Option[Long] = {
@@ -49,16 +58,110 @@ object Timeline {
   }
 
   /** Commit `df` as the next version: write the snapshot dir, then
-    * atomically swing the `_latest` pointer.
+    * atomically swing the `_latest` pointer and record the instant on
+    * the active timeline.
     */
-  def commit(df: DataFrame, tablePath: String): Long = {
+  def commit(df: DataFrame, tablePath: String, action: String = "commit"): Long = {
     val next = latestVersion(tablePath).getOrElse(-1L) + 1
     val snapDir = Paths.get(tablePath, s"v=$next")
     df.write.mode("overwrite").parquet(snapDir.toString)
     swingPointer(tablePath, next)
+    recordInstant(df.sparkSession, tablePath, next, action)
     // hive-sync analog: tracked latest-version views re-point to v=next
     Catalog.syncViews(df.sparkSession, tablePath)
     next
+  }
+
+  /** Write the instant metadata file for a just-committed version —
+    * one small `<v>.commit` file on the ACTIVE timeline (Hudi's
+    * `.hoodie/<ts>.commit`), published by atomic rename after the
+    * pointer swing. The row count is read back from the snapshot's
+    * parquet footers (a metadata-only count job — no data scan).
+    */
+  private def recordInstant(spark: SparkSession, tablePath: String,
+      version: Long, action: String): Unit = {
+    val dir = Files.createDirectories(timelineDir(tablePath))
+    val n = spark.read.parquet(s"$tablePath/v=$version").count()
+    val tmp = dir.resolve(s".$version.tmp${System.nanoTime()}")
+    Files.writeString(tmp, s"$version $action $n\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(s"$version.commit"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def parseInstant(line: String, archived: Boolean): Instant =
+    line.trim.split(' ') match {
+      case Array(v, a, n) => Instant(v.toLong, a, n.toLong, archived)
+    }
+
+  /** Archive the active timeline down to its newest `keepLatest`
+    * instants — Hudi's timeline archival: every older `<v>.commit`
+    * file is folded into ONE `archived-<lo>-<hi>.log` batch file and
+    * removed from the active dir, so the active timeline a reader must
+    * list stays bounded however many commits the table has seen (on an
+    * object store, the unbounded file listing is the thing this
+    * exists to prevent). History is preserved, not dropped —
+    * [[history]] reads both. Archival is metadata-only: snapshot data
+    * dirs are untouched (retention of DATA is [[clean]]'s job, exactly
+    * as archival and cleaning are independent services in Hudi).
+    * Returns the versions archived.
+    */
+  def archive(tablePath: String, keepLatest: Int): Seq[Long] = {
+    require(keepLatest >= 1, "must keep at least the latest instant")
+    val dir = timelineDir(tablePath)
+    if (!Files.exists(dir)) return Seq.empty
+    val active = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".commit"))
+        .map(p => (p.getFileName.toString.stripSuffix(".commit").toLong, p))
+        .toSeq.sortBy(_._1)
+      finally s.close()
+    }
+    val toArchive = active.dropRight(keepLatest)
+    if (toArchive.isEmpty) return Seq.empty
+    val lines = toArchive.map { case (_, p) => Files.readString(p).trim }
+    // write the batch file first, then retire the instant files: a
+    // crash in between leaves a version present in both, which
+    // [[history]] dedups (archived copy wins) — never a lost instant
+    val tmp = dir.resolve(s".archive.tmp${System.nanoTime()}")
+    Files.writeString(tmp, lines.mkString("", "\n", "\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp,
+      dir.resolve(s"archived-${toArchive.head._1}-${toArchive.last._1}.log"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    toArchive.foreach { case (_, p) => Files.delete(p) }
+    toArchive.map(_._1)
+  }
+
+  /** The full commit history — archived batch files plus the active
+    * instants, deduped by version (archived copy wins, covering a
+    * crash between [[archive]]'s batch write and file retirement),
+    * ascending. Timeline metadata is bounded by commit count, not
+    * data size, so materializing it driver-side is the right shape —
+    * this is a catalog read, not a table scan.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val dir = timelineDir(tablePath)
+    val all: Seq[Instant] =
+      if (!Files.exists(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        val files =
+          try s.iterator().asScala.map(_.getFileName.toString).toSeq
+          finally s.close()
+        val archived = files.filter(f =>
+          f.startsWith("archived-") && f.endsWith(".log")).sorted.flatMap { f =>
+          Files.readAllLines(dir.resolve(f)).asScala
+            .filter(_.nonEmpty).map(parseInstant(_, archived = true))
+        }
+        val active = files.filter(_.endsWith(".commit")).flatMap { f =>
+          Seq(parseInstant(Files.readString(dir.resolve(f)), archived = false))
+        }
+        val seen = archived.map(_.version).toSet
+        archived ++ active.filterNot(i => seen.contains(i.version))
+      }
+    spark.createDataFrame(all.sortBy(_.version))
   }
 
   /** Read the latest snapshot. */
@@ -107,7 +210,10 @@ object Timeline {
     * efficiency without changing table contents.
     */
   def compact(spark: SparkSession, tablePath: String, numFiles: Int): Long =
-    commit(read(spark, tablePath).repartition(numFiles), tablePath)
+    // "replacecommit" — Hudi's action name for commits that rewrite
+    // files without changing contents (clustering/compaction)
+    commit(read(spark, tablePath).repartition(numFiles), tablePath,
+      action = "replacecommit")
 
   /** Incremental query between two commits (Hudi's incremental read —
     * the feature that lets a downstream pipeline consume only what
@@ -158,6 +264,7 @@ object Timeline {
         Files.move(staged, Paths.get(tablePath, s"v=$next"),
           StandardCopyOption.ATOMIC_MOVE)
         swingPointer(tablePath, next)
+        recordInstant(spark, tablePath, next, "commit")
         Some(next)
       }
     }
@@ -201,5 +308,6 @@ object Timeline {
     * botched commits remain readable until `clean` retires them.
     */
   def restore(spark: SparkSession, tablePath: String, version: Long): Long =
-    commit(readVersion(spark, tablePath, version).localCheckpoint(), tablePath)
+    commit(readVersion(spark, tablePath, version).localCheckpoint(), tablePath,
+      action = "restore")
 }

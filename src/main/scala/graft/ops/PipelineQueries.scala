@@ -765,6 +765,31 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_rli_lookup`: point lookup through the RECORD-LEVEL index
+    * (Hudi 1.0's RLI, `graft.etl.RecordIndex`) — same lifecycle as
+    * [[bloomLookup]] (create as of [[SplitUs]], upsert the rest), but
+    * the index is built at create and refreshed after the upsert, so
+    * the lookup resolves key → ONE data file exactly: one index-shard
+    * read + one data-file read, no bloom false positives, no range
+    * fan-out (`RecordIndexSpec` pins the one-file plan). Same oracle
+    * as the bloom lookup — the index must never change the answer.
+    */
+  def rliLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "rl").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.RecordIndex.build(spark, path, numShards = 16)
+    graft.etl.BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.RecordIndex.refresh(spark, path)
+    graft.etl.RecordIndex.lookup(spark, path, Seq(LookupUser))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** Stage the events table as three single-file time slices — a
     * file-stream source whose micro-batch boundaries
     * (`maxFilesPerTrigger=1`) are the [[SplitUs]] / [[Split2Us]] cuts.
@@ -902,6 +927,120 @@ object PipelineQueries {
     MorTable.incrementalRead(spark, morScenario(spark, sfDir), sinceSeq = 1L)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"), col("_seq"), col("_deleted"))
+
+  /** `p_schema_evolution`: Hudi's schema-on-read evolution through the
+    * keyed upsert (`hoodie.schema.on.read.enable`, reference py:54) as
+    * an oracle-checked query — the incoming batch ADDS a column
+    * (`score`) and OMITS two the table has (`event_type`, `value`).
+    * Rows the batch replaces carry the new column and NULL for the
+    * omitted ones; untouched rows keep their payload with NULL score.
+    * The oracle replays the union-by-name + latest-per-key window with
+    * the same (precombine, source, tie-break) ordering.
+    */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val existing = HudiLike.precombineLatest(
+      ev.filter(col("ts_us") <= SplitUs),
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val incoming = Tables.events(spark, sfDir)
+      .filter(col("ts_us") > SplitUs)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 2, 2).as("score"), col("ts_us"))
+    HudiLike.upsert(existing, incoming,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+  }
+
+  /** `p_timeline_archive`: timeline archival as an oracle-checked
+    * query — the [[timelineScenario]] commits plus a restore make a
+    * four-instant history; `archive(keepLatest = 2)` folds the two
+    * oldest instants into one archived log file, and [[graft.etl
+    * .Timeline.history]] must still return all four with deterministic
+    * row counts (latest-per-user cardinalities of the three time
+    * slices), archived flags set on exactly the folded two.
+    */
+  def timelineArchive(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = timelineScenario(spark, sfDir)
+    graft.etl.Timeline.restore(spark, path, 1L)
+    graft.etl.Timeline.archive(path, keepLatest = 2)
+    graft.etl.Timeline.history(spark, path)
+      .select(col("version"), col("action"), col("n_rows"), col("archived"))
+  }
+
+  /** The five-column events projection every bootstrap query keys on. */
+  private def bootProjection(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+
+  /** Pre-existing-dataset source for the bootstrap queries: the
+    * pre-[[SplitUs]] event state written once per (JVM, sfDir) as a
+    * plain parquet directory nobody owns — the "100 TB that already
+    * exists" a metadata-only bootstrap onboards without rewriting.
+    * Memoized like [[stageEventSlices]]; immutable once staged.
+    */
+  private val stagedBootSources =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def stageBootstrapSource(spark: SparkSession,
+      sfDir: String): java.nio.file.Path =
+    stagedBootSources.computeIfAbsent(sfDir, _ => {
+      val dst = java.nio.file.Files
+        .createTempDirectory(morScratch, "bootsrc").resolve("src")
+      bootProjection(spark, sfDir).filter(col("ts_us") <= SplitUs)
+        .write.parquet(dst.toString)
+      dst
+    })
+
+  /** `p_bootstrap_snapshot`: metadata-only bootstrap (Hudi's
+    * METADATA_ONLY mode) of the staged pre-[[SplitUs]] dataset — zero
+    * data rewritten at onboarding time (`MorTableSpec` proves the
+    * table dir holds only metadata) — then one O(batch) delta upsert
+    * of everything after the split, then a snapshot read merging the
+    * in-place source with the log. Must equal the one-pass
+    * latest-per-user state over ALL events, which the oracle replays.
+    */
+  def bootstrapSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = stageBootstrapSource(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory(morScratch, "bt")
+      .resolve("t").toString
+    MorTable.bootstrap(spark, src.toString, dir,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    MorTable.upsertInto(dir,
+      bootProjection(spark, sfDir).filter(col("ts_us") > SplitUs))
+    MorTable.readSnapshot(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** `p_bootstrap_compact`: the full-record migration that completes a
+    * bootstrap — same lifecycle as [[bootstrapSnapshot]] (own private
+    * source copy), then [[MorTable.compact]] folds source + log into
+    * an owned base, after which the ORIGINAL dataset is deleted before
+    * the read: the result must be identical, proving compaction
+    * severed the in-place dependency.
+    */
+  def bootstrapCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory(morScratch, "bc")
+    val src = work.resolve("src").toString
+    bootProjection(spark, sfDir).filter(col("ts_us") <= SplitUs)
+      .write.parquet(src)
+    val dir = work.resolve("t").toString
+    MorTable.bootstrap(spark, src, dir,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    MorTable.upsertInto(dir,
+      bootProjection(spark, sfDir).filter(col("ts_us") > SplitUs))
+    MorTable.compact(spark, dir)
+    // retire the pre-existing dataset: reads must survive its removal
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally s.close()
+    MorTable.readSnapshot(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
 
   /** Deterministic versioned-timeline lifecycle (the commit-timeline
     * table, `graft.etl.Timeline`): three keyed upserts produce commits
@@ -1047,12 +1186,17 @@ object PipelineQueries {
     "p_upsert_partial" -> (upsertPartialQ(_, _)),
     "p_bloom_upsert" -> (bloomUpsert(_, _)),
     "p_bloom_lookup" -> (bloomLookup(_, _)),
+    "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
     "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
     "p_mor_incremental" -> (morIncremental(_, _)),
+    "p_bootstrap_snapshot" -> (bootstrapSnapshot(_, _)),
+    "p_bootstrap_compact" -> (bootstrapCompact(_, _)),
+    "p_schema_evolution" -> (schemaEvolution(_, _)),
+    "p_timeline_archive" -> (timelineArchive(_, _)),
     "p_cdc_diff" -> (cdcDiff(_, _)),
     "p_ts_roundtrip" -> (tsFormatRoundtrip(_, _)),
     "p_incremental_extract" -> (incrementalExtract(_, _)),
@@ -1129,6 +1273,13 @@ object PipelineQueries {
          |    OR (epoch_us(ts) > $SplitUs AND user_id <= 9)) t
          |WHERE rn = 1""".stripMargin,
     "p_bloom_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE user_id = $LookupUser) t
+         |WHERE rn = 1""".stripMargin,
+    "p_rli_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id
@@ -1354,6 +1505,53 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events) t
          |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
+    "p_schema_evolution" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us, score FROM (
+         | SELECT *, row_number() OVER (PARTITION BY user_id
+         |   ORDER BY ts_us DESC, src DESC, event_id DESC) AS rn
+         | FROM (
+         |  SELECT user_id, event_id, event_type, value, ts_us,
+         |   CAST(NULL AS DOUBLE) AS score, 0 AS src
+         |  FROM (
+         |   SELECT user_id, event_id, event_type, value,
+         |    epoch_us(ts) AS ts_us,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn0
+         |   FROM events WHERE epoch_us(ts) <= $SplitUs) e WHERE rn0 = 1
+         |  UNION ALL
+         |  SELECT user_id, event_id, CAST(NULL AS VARCHAR),
+         |   CAST(NULL AS DOUBLE), epoch_us(ts), round(value * 2, 2), 1
+         |  FROM events WHERE epoch_us(ts) > $SplitUs) u) t
+         |WHERE rn = 1""".stripMargin,
+    "p_timeline_archive" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version, 'commit' AS action,
+         |  (SELECT count(DISTINCT user_id) FROM events
+         |   WHERE epoch_us(ts) <= $SplitUs) AS n_rows, true AS archived
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), 'commit',
+         |  (SELECT count(DISTINCT user_id) FROM events
+         |   WHERE epoch_us(ts) <= $Split2Us), true
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'commit',
+         |  (SELECT count(DISTINCT user_id) FROM events), false
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'restore',
+         |  (SELECT count(DISTINCT user_id) FROM events
+         |   WHERE epoch_us(ts) <= $Split2Us), false""".stripMargin,
+    "p_bootstrap_snapshot" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "p_bootstrap_compact" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "p_mor_read_optimized" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

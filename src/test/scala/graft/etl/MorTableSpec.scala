@@ -95,6 +95,69 @@ class MorTableSpec extends SparkSpec {
     assert(p.keys == Seq("k") && p.precombine == "pc" && p.tieBreak.isEmpty)
   }
 
+  // --- metadata-only bootstrap (Hudi METADATA_ONLY mode) ---
+
+  /** Stage an external parquet "pre-existing dataset" and bootstrap a
+    * table over it in place. Returns (source dir, table dir).
+    */
+  private def bootstrapped(): (String, String) = {
+    val work = Files.createTempDirectory("boot")
+    val src = work.resolve("src").toString
+    // duplicate key "a" in the source: snapshot reads must resolve it
+    rows(("a", 1L, 1.0), ("a", 2L, 10.0), ("b", 1L, 2.0), ("c", 1L, 3.0))
+      .write.parquet(src)
+    val dir = work.resolve("t").toString
+    MorTable.bootstrap(spark, src, dir, keys = Seq("k"), precombine = "pc")
+    (src, dir)
+  }
+
+  test("bootstrap is metadata-only: no data files written, source untouched") {
+    val (src, dir) = bootstrapped()
+    def srcFiles = Files.walk(Paths.get(src)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(p => (p.toString, Files.getLastModifiedTime(p), Files.size(p)))
+      .toSet
+    val before = srcFiles
+    // the table dir holds ONLY metadata — no parquet anywhere
+    val tableFiles = Files.walk(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSet
+    assert(tableFiles == Set("_latest", "_props", "_bootstrap"))
+    // snapshot resolves the source's duplicate key in place
+    assert(snapshot(dir) == Seq(("a", 2L, 10.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+    // upserts + deletes layer over the in-place source, never mutating it
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0), ("d", 1L, 4.0)))
+    MorTable.deleteFrom(dir, Seq(("c", 9L)).toDF("k", "pc"))
+    assert(snapshot(dir) ==
+      Seq(("a", 2L, 10.0), ("b", 2L, 20.0), ("d", 1L, 4.0)))
+    assert(srcFiles == before, "bootstrap source files must never change")
+  }
+
+  test("bootstrap read-optimized serves the raw source; compaction owns it") {
+    val (src, dir) = bootstrapped()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0)))
+    // read-optimized before compaction = the raw source, dup keys and all
+    assert(MorTable.readOptimized(spark, dir).count() == 4)
+    val expected = snapshot(dir)
+    MorTable.compact(spark, dir)
+    assert(MorTable.state(dir).contains((1L, 0L)))
+    // full-record migration: the source can now be retired entirely
+    Files.walk(Paths.get(src)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    assert(snapshot(dir) == expected)
+    assert(MorTable.readOptimized(spark, dir).count() == expected.size)
+  }
+
+  test("bootstrap validates key columns against the source footer") {
+    val work = Files.createTempDirectory("bootv")
+    val src = work.resolve("src").toString
+    rows(("a", 1L, 1.0)).write.parquet(src)
+    val err = intercept[IllegalArgumentException] {
+      MorTable.bootstrap(spark, src, work.resolve("t").toString,
+        keys = Seq("nope"), precombine = "pc")
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("concurrent delta appends serialize: distinct seqs, no lost log") {
     val dir = freshTable()
     import scala.concurrent.{Await, Future}

@@ -125,6 +125,41 @@ class TimelineSpec extends SparkSpec {
       "c" -> "unchanged", "d" -> "insert"))
   }
 
+  test("commits record instants; archival folds old ones, keeps history") {
+    val dir = Files.createTempDirectory("archive").toString + "/t"
+    (1 to 5).foreach(i =>
+      Timeline.upsertInto(spark, dir, rows(("a", i.toLong, i.toDouble)), Seq("k"), "pc"))
+    Timeline.restore(spark, dir, 0L)
+    // six instants active, one file each
+    def timelineFiles = {
+      val s = Files.list(java.nio.file.Paths.get(s"$dir/_timeline"))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted }
+      finally s.close()
+    }
+    assert(timelineFiles.count(_.endsWith(".commit")) == 6)
+
+    val archived = Timeline.archive(dir, keepLatest = 2)
+    assert(archived == Seq(0L, 1L, 2L, 3L))
+    // active timeline bounded: 2 instant files + ONE archived batch
+    assert(timelineFiles == Seq("4.commit", "5.commit", "archived-0-3.log"))
+
+    // full history preserved across the fold, archived flags correct
+    val h = Timeline.history(spark, dir)
+      .as[(Long, String, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(h.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(h.map(_._2) == Seq.fill(5)("commit") :+ "restore")
+    assert(h.map(_._3) == Seq.fill(6)(1L)) // one key per snapshot
+    assert(h.map(_._4) == Seq(true, true, true, true, false, false))
+
+    // archival is idempotent at the same retention and monotone below it
+    assert(Timeline.archive(dir, keepLatest = 2).isEmpty)
+    assert(Timeline.archive(dir, keepLatest = 1) == Seq(4L))
+    val h2 = Timeline.history(spark, dir)
+      .as[(Long, String, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(h2.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+  }
+
   test("changeSet sees changes in columns added by schema evolution") {
     val before = rows(("a", 1L, 1.0), ("b", 1L, 2.0))
     val after = Seq(("a", 1L, 1.0, "x"), ("b", 1L, 2.0, null: String))
