@@ -771,8 +771,13 @@ object PipelineQueries {
     * the index is built at create and refreshed after the upsert, so
     * the lookup resolves key → ONE data file exactly: one index-shard
     * read + one data-file read, no bloom false positives, no range
-    * fan-out (`RecordIndexSpec` pins the one-file plan). Same oracle
-    * as the bloom lookup — the index must never change the answer.
+    * fan-out (`RecordIndexSpec` pins the one-file plan).
+    *
+    * The upsert is a TRICKLE batch (users 0..99 after the split) —
+    * the workload an RLI-backed serving table actually receives, and
+    * what keeps the refresh O(touched region): a batch spanning every
+    * key range would rewrite all files and re-index the whole table,
+    * which is `compact`-then-`build` territory, not index maintenance.
     */
   def rliLookup(spark: SparkSession, sfDir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory(morScratch, "rl").toString + "/t"
@@ -782,8 +787,12 @@ object PipelineQueries {
     graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
       keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
       numFiles = 8)
-    graft.etl.RecordIndex.build(spark, path, numShards = 16)
-    graft.etl.BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    // shards sized to key cardinality (~1.5k users at sf0.1 → hundreds
+    // of entries per shard); a 100 TB table scales this with key count,
+    // exactly like Hudi's metadata-table file-group count
+    graft.etl.RecordIndex.build(spark, path, numShards = 4)
+    graft.etl.BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("user_id") < 100))
     graft.etl.RecordIndex.refresh(spark, path)
     graft.etl.RecordIndex.lookup(spark, path, Seq(LookupUser))
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -1284,7 +1293,8 @@ object PipelineQueries {
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         | FROM events WHERE user_id = $LookupUser) t
+         | FROM events WHERE user_id = $LookupUser
+         |  AND (epoch_us(ts) <= $SplitUs OR user_id < 100)) t
          |WHERE rn = 1""".stripMargin,
     "p_bucket_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
