@@ -149,6 +149,30 @@ object StreamingPipeline {
       .select(col("click_id"), c("user_id").as("user_id"), col("click_ts"), col("signup_ts"))
   }
 
+  /** Default state/shuffle partition count for the streaming sinks.
+    * Streaming state cost scales with PARTITIONS × MICRO-BATCHES, not
+    * with data: every stateful operator maintains (and checkpoints)
+    * one state store per shuffle partition per batch, so a batch-
+    * analytics width (32 here, thousands on a cluster) multiplies
+    * fixed per-store overhead against key cardinalities that are tiny
+    * per micro-batch. Sizing this to the streaming key cardinality —
+    * open windows × types, entities per trickle batch — is the
+    * standard Structured Streaming deployment knob; measured 1.5x on
+    * the stateful sinks at sf0.1 (6.3s → 4.0s windowed upsert).
+    */
+  val StateParts: Int = 8
+
+  /** A derived session whose shuffle width is [[StateParts]] — the
+    * streaming query plans against it while the caller's session keeps
+    * its batch-analytics width (`newSession` shares the context and
+    * catalog; only the conf forks).
+    */
+  private def streamSession(spark: SparkSession, stateParts: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    ss
+  }
+
   /** Fallback source schema for streaming reads of the events parquet
     * when the source directory has no files yet to sniff (ts as epoch
     * nanos — the canonical normalized form). When files exist,
@@ -170,8 +194,8 @@ object StreamingPipeline {
     * sink). Runs one AvailableNow pass and blocks until drained.
     */
   def runIngest(spark: SparkSession, sourceDir: String, targetPath: String,
-      checkpoint: String): Unit = {
-    val q = extractStream(spark, sourceDir).writeStream
+      checkpoint: String, stateParts: Int = StateParts): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -265,8 +289,9 @@ object StreamingPipeline {
     */
   def runDedupIngest(spark: SparkSession, sourceDir: String, indexDir: String,
       acceptPath: String, checkpoint: String,
-      maxFilesPerTrigger: Int = 1): Unit = {
-    val q = fileStream(spark, sourceDir, documentsSchema, Some(maxFilesPerTrigger))
+      maxFilesPerTrigger: Int = 1, stateParts: Int = StateParts): Unit = {
+    val q = fileStream(streamSession(spark, stateParts), sourceDir,
+      documentsSchema, Some(maxFilesPerTrigger))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -321,10 +346,12 @@ object StreamingPipeline {
     * evict closed windows.
     */
   def runWindowedAgg(spark: SparkSession, sourceDir: String, outPath: String,
-      checkpoint: String, maxFilesPerTrigger: Option[Int] = None): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None,
+      stateParts: Int = StateParts): Unit = {
+    val s = streamSession(spark, stateParts)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = graft.Tables.normalizeTsNanos(
-      fileStream(spark, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
+      fileStream(s, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
       .filter(col("ts").isNotNull)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = events
@@ -360,8 +387,10 @@ object StreamingPipeline {
       maxFilesPerTrigger: Int = 1,
       keys: Seq[String] = Seq("entity_id"),
       precombine: String = "event_timestamp",
-      tieBreak: Seq[String] = Seq("event_id")): Unit = {
-    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      tieBreak: Seq[String] = Seq("event_id"),
+      stateParts: Int = StateParts): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir,
+      Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -395,10 +424,12 @@ object StreamingPipeline {
     */
   def runWindowedAggKeyed(spark: SparkSession, sourceDir: String,
       tablePath: String, checkpoint: String,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      maxFilesPerTrigger: Option[Int] = None,
+      stateParts: Int = StateParts): Unit = {
+    val s = streamSession(spark, stateParts)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = graft.Tables.normalizeTsNanos(
-      fileStream(spark, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
+      fileStream(s, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
       .filter(col("ts").isNotNull)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = events
@@ -451,8 +482,10 @@ object StreamingPipeline {
       keys: Seq[String] = Seq("entity_id"),
       precombine: String = "event_timestamp",
       tieBreak: Seq[String] = Seq("event_id"),
-      numGroups: Int = 8): Unit = {
-    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      numGroups: Int = 8,
+      stateParts: Int = StateParts): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir,
+      Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -495,8 +528,10 @@ object StreamingPipeline {
       keys: Seq[String] = Seq("entity_id"),
       precombine: String = "event_timestamp",
       tieBreak: Seq[String] = Seq("event_id"),
-      maxDeltaCommits: Int = 8): Unit = {
-    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      maxDeltaCommits: Int = 8,
+      stateParts: Int = StateParts): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir,
+      Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -526,8 +561,10 @@ object StreamingPipeline {
       maxFilesPerTrigger: Int = 1,
       keys: Seq[String] = Seq("record_id"),
       precombine: String = "event_timestamp",
-      tieBreak: Seq[String] = Seq("event_id")): Unit = {
-    val q = extractStream(spark, sourceDir, Some(maxFilesPerTrigger)).writeStream
+      tieBreak: Seq[String] = Seq("event_id"),
+      stateParts: Int = StateParts): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir,
+      Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
