@@ -889,6 +889,39 @@ object PipelineQueries {
       .select(col("window_start_us"), col("event_type"), col("n"), col("total"))
   }
 
+  /** `p_stream_session`: streaming SESSION windows as an oracle-checked
+    * query — the staged three-slice source, per-user 30-minute-gap
+    * sessions merging in the state store across micro-batches, final
+    * session table published Complete-mode. Must equal the batch
+    * gap-sessionization the oracle replays (break at gap ≥ 30 min —
+    * `session_window`'s exclusive end), with values summed as integer
+    * cents for exact parity.
+    */
+  def streamSessionAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    val out = base.resolve("sess").toString
+    graft.streaming.StreamingPipeline.runSessionAgg(spark,
+      src.toString, out, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = Some(1))
+    spark.read.parquet(out)
+  }
+
+  /** `p_stream_join`: stream-stream interval join as an oracle-checked
+    * query — clicks and signups split from the same staged source,
+    * joined per user within the preceding hour, matches appended as
+    * both sides arrive (watermarked state eviction on both). The
+    * appended set over the finite run must equal the batch interval
+    * join the oracle replays.
+    */
+  def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    val out = base.resolve("join").toString
+    graft.streaming.StreamingPipeline.runStreamJoin(spark,
+      src.toString, out, base.resolve("ckpt").toString,
+      maxFilesPerTrigger = Some(1))
+    spark.read.parquet(out)
+  }
+
   /** `p_bloom_delete`: row-level delete through the bloom index —
     * create the keyed table over all events, delete a key band, read
     * what survives. `BloomTableSpec` asserts only candidate files get
@@ -1198,6 +1231,8 @@ object PipelineQueries {
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
     "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
+    "p_stream_session" -> (streamSessionAgg(_, _)),
+    "p_stream_join" -> (streamJoin(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
@@ -1224,6 +1259,35 @@ object PipelineQueries {
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p_stream_session" ->
+      """WITH marked AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |           THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |numbered AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+        |    AS session_value
+        |FROM numbered GROUP BY user_id, sid""".stripMargin,
+    "p_stream_join" ->
+      """SELECT c.event_id AS click_id, c.user_id AS user_id,
+        |  epoch_us(c.ts) AS click_us, epoch_us(s.ts) AS signup_us
+        |FROM events c JOIN events s
+        |  ON c.user_id = s.user_id
+        | AND c.event_type = 'click' AND s.event_type = 'signup'
+        | AND epoch_us(c.ts) >= epoch_us(s.ts)
+        | AND epoch_us(c.ts) <= epoch_us(s.ts) + 3600000000""".stripMargin,
     "p_stream_window_agg" ->
       s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
          |  event_type, count(*) AS n,

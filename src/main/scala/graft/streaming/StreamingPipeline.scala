@@ -374,6 +374,81 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** End-to-end streaming SESSION-window aggregation: file-stream the
+    * events source, merge per-user gap sessions in the state store
+    * (`session_window`, 30-minute gap — windows merge as events
+    * arrive, the one windowing shape a batch GROUP BY can't express
+    * statically), and publish the full session table each micro-batch
+    * via Complete-mode foreachBatch overwrite, same serving pattern as
+    * [[runWindowedAgg]]. Session end is Spark's `last event + gap`.
+    * State scale: rows-in-state = open sessions, bounded by active
+    * users × gap, not corpus; an unbounded deployment would switch to
+    * Append mode and let the watermark emit closed sessions.
+    */
+  def runSessionAgg(spark: SparkSession, sourceDir: String, outPath: String,
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None,
+      stateParts: Int = StateParts): Unit = {
+    val s = streamSession(spark, stateParts)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.Tables.normalizeTsNanos(
+      fileStream(s, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
+      .filter(col("ts").isNotNull)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"),
+          round(col("cents") / 100.0, 2).as("session_value"))
+          .write.mode("overwrite").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** End-to-end stream-stream interval join: clicks and signups (two
+    * streams over the same event source, split by type) joined per
+    * user within the preceding hour — both sides watermarked so the
+    * join state evicts rows that can no longer match, matches appended
+    * to the sink as soon as both sides arrive. The canonical
+    * two-stream enrichment no batch diff can replace on a live
+    * pipeline; on a finite AvailableNow run the appended set equals
+    * the batch interval join the oracle replays.
+    */
+  def runStreamJoin(spark: SparkSession, sourceDir: String, outPath: String,
+      checkpoint: String, maxFilesPerTrigger: Option[Int] = None,
+      stateParts: Int = StateParts): Unit = {
+    val s = streamSession(spark, stateParts)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def typed(t: String) = graft.Tables.normalizeTsNanos(
+      fileStream(s, sourceDir, eventsNanosSchema, maxFilesPerTrigger))
+      .filter(col("ts").isNotNull && col("event_type") === t)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val joined = streamStreamJoin(typed("click"), typed("signup"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("signup_ts")).as("signup_us"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming ingest through the BLOOM-indexed CoW table — the third
     * sink of the matrix (HudiLike whole-table, BucketTable
     * hash-routed, BloomTable range/bloom-routed): each micro-batch is
