@@ -635,6 +635,54 @@ object IvfIndex {
     cellPairs(spark, sfDir, candidatesFrom(assignTop(e, centroids, AssignProbes)))
   }
 
+  /** Semantic-dedup similarity threshold — aligned with the corpus's
+    * near-dup threshold (the `dd_embed_neardup*` family thresholds at
+    * 0.4 on this synthetic embedding space).
+    */
+  val SemDedupTau = 0.4
+
+  /** `dd_semdedup` — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+    * over the fixed codebook: cluster the corpus, then WITHIN each
+    * cluster drop every vector that has a τ-similar cell-mate LESS
+    * similar to the centroid (ties by lower vec_id) — keeping, per
+    * group of semantic duplicates, the example farthest from the
+    * centroid, which is the paper's diversity-preserving survivor
+    * rule. Differs from the near-dup family in kind: those emit PAIRS
+    * for review; this emits the surviving CORPUS — the actual
+    * train-set pruning operation.
+    *
+    * Cost shape = one assignment pass + per-cell pairwise, exactly
+    * [[nearDupCellsFixed]]'s bound (quadratic in cell size, uncapped
+    * here for oracle replay); the committed-index path would run the
+    * same rule over [[adaptiveK]] cells (√n expected cell size) with
+    * the hot-cell cap. Survivor rule is per-vector EXISTS — no
+    * transitive closure — so it replays in DuckDB without recursion
+    * and drops every member of a duplicate chain except its
+    * least-central vector per adjacent comparison.
+    */
+  def semDedupFixed(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val ac = assign(e, centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("centroid_id"), col("vec_id"), col("embedding"),
+        round(cos("embedding", "centroid"), 4).as("c_sim"))
+    val x = ac.select(col("centroid_id"), col("vec_id").as("id_x"),
+      col("embedding").as("ex"), col("c_sim").as("cx"))
+    val y = ac.select(col("centroid_id"), col("vec_id").as("id_y"),
+      col("embedding").as("ey"), col("c_sim").as("cy"))
+    val dropped = x.join(y, Seq("centroid_id"))
+      .filter(col("id_x") =!= col("id_y"))
+      .filter(round(expr("cosine_sim(ex, ey)"), 4) >= SemDedupTau)
+      .filter(col("cy") < col("cx") ||
+        (col("cy") === col("cx") && col("id_y") < col("id_x")))
+      .select(col("id_x")).distinct()
+    ac.join(dropped, col("vec_id") === col("id_x"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"), col("c_sim"))
+  }
+
   /** Cell occupancy histogram (index health check) — reads the
     * committed Lloyd-trained assignments, no rebuild. Spec-exercised;
     * the registered `sim_ivf_cells` entry is [[cellStatsAdaptive]].
@@ -701,7 +749,8 @@ object IvfIndex {
     "sim_ivf_cells" -> (cellStatsAdaptive(_, _)),
     "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)),
     "dd_embed_neardup_ivf" -> (nearDupCellsAdaptive(_, _)),
-    "dd_embed_neardup_ivf_fixed" -> (nearDupCellsFixed(_, _)))
+    "dd_embed_neardup_ivf_fixed" -> (nearDupCellsFixed(_, _)),
+    "dd_semdedup" -> (semDedupFixed(_, _)))
 
   /** The centroid-codebook CTE both oracle families share: the fixed
     * form pins `vec_id < K`; the adaptive form computes K ≈ √n from
@@ -829,6 +878,30 @@ object IvfIndex {
       "sim_ivf_search_wide" -> searchSql(NProbeWide, adaptive = true),
       "dd_embed_neardup_ivf_fixed" -> nearDupSql(adaptive = false),
       "dd_embed_neardup_ivf" -> nearDupSql(adaptive = true),
+      "dd_semdedup" -> {
+        val cosAC = Similarity.sqlCos("a.embedding", "c.centroid")
+        s"""WITH ${centroidCte(adaptive = false)},
+           |a AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+           |    FROM embeddings e, c) t WHERE rn = 1),
+           |ac AS (
+           |  SELECT a.vec_id, a.embedding, a.centroid_id,
+           |    round($cosAC, 4) AS c_sim
+           |  FROM a JOIN c ON a.centroid_id = c.centroid_id),
+           |dropped AS (
+           |  SELECT DISTINCT x.vec_id AS id_x
+           |  FROM ac x JOIN ac y
+           |    ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id
+           |  WHERE round($cosXY, 4) >= $SemDedupTau
+           |    AND (y.c_sim < x.c_sim
+           |      OR (y.c_sim = x.c_sim AND y.vec_id < x.vec_id)))
+           |SELECT ac.vec_id, ac.centroid_id, ac.c_sim
+           |FROM ac LEFT JOIN dropped ON ac.vec_id = dropped.id_x
+           |WHERE dropped.id_x IS NULL""".stripMargin
+      },
       "sim_ivf_cells_fixed" -> cellsSql(adaptive = false),
       "sim_ivf_cells" -> cellsSql(adaptive = true),
       "sim_ivf_one_round" ->

@@ -305,4 +305,42 @@ class IvfIndexSpec extends SparkSpec {
         s"q=$q actual=$actual expected=$expected")
     }
   }
+
+  test("semdedup survivors: every dropped vector has a more-peripheral " +
+      "tau-similar cell-mate among the survivors' complement rule") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val survivors = IvfIndex.semDedupFixed(spark, sf0001)
+    val kept = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < n,
+      s"semdedup must drop something on this corpus (kept ${kept.size}/$n)")
+    // survivors carry their cell and centrality; re-derive the drop rule
+    // over the full corpus and check it partitions exactly
+    val centroids = e.filter(col("vec_id") < IvfIndex.K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    val ac = e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        expr("cosine_sim(embedding, centroid)").as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        expr("max_by(centroid_id, struct(sim, -centroid_id))").as("cid"),
+        expr("round(max(sim), 4)").as("c_sim"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getLong(2), r.getDouble(3)))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expectDropped = (for {
+      x <- ac
+      y <- ac
+      if x._1 != y._1 && x._3 == y._3
+      if math.rint(cosine(x._2, y._2) * 10000) / 10000 >= IvfIndex.SemDedupTau
+      if y._4 < x._4 || (y._4 == x._4 && y._1 < x._1)
+    } yield x._1).toSet
+    assert(kept == ac.map(_._1).toSet -- expectDropped)
+  }
 }
