@@ -695,7 +695,12 @@ object PipelineQueries {
     graft.streaming.StreamingPipeline.runIngestPartitioned(spark,
       src.toString, base.resolve("tbl").toString, base.resolve("ckpt").toString,
       maxFilesPerTrigger = 1, keys = Seq("entity_id"),
-      precombine = "event_timestamp", tieBreak = Seq("event_id"))
+      precombine = "event_timestamp", tieBreak = Seq("event_id"),
+      // file groups sized to per-day volume (~50 entities/day at
+      // sf0.1): groups bound the rewrite slice at scale, but
+      // over-grouping a thin partition just multiplies file count —
+      // the same right-sizing call a 100 TB table makes per partition
+      numGroups = 2)
     graft.etl.PartitionedTable.read(spark, base.resolve("tbl").toString)
       .select(col("event_date").cast("string").as("event_date"),
         col("entity_id"), col("event_id"), col("event_type"),
