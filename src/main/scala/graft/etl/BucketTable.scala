@@ -391,6 +391,56 @@ object BucketTable {
     gen
   }
 
+  /** Grow the bucket count by an integer `factor` — the bucket index's
+    * classic operational fix (Hudi's bucket-rescale clustering): a
+    * fixed bucket count sized for last year's volume eventually leaves
+    * every bucket oversized, and rehashing to an UNRELATED count would
+    * shuffle the whole table. An integer multiple doesn't:
+    * `h mod (f·n) ≡ h mod n (mod n)`, so each old bucket `b` splits
+    * into exactly the new buckets `{b, b+n, …, b+(f−1)n}` — every new
+    * bucket receives rows from ONE old bucket, and the rewrite is a
+    * map-side split (no shuffle; [[writeGen]]'s clustering repartition
+    * is deliberately skipped, and the one-file-per-new-bucket property
+    * survives because no two input tasks hold the same old bucket).
+    *
+    * Swap order under the table lock: data, then `_props`, then the
+    * manifest. Single-writer like [[compact]]; a concurrent LOOKUP
+    * racing the props/manifest swap window may transiently miss (the
+    * atomic-timeline fix Hudi uses is a versioned commit carrying both
+    * — out of scope for the POSIX layout, documented trade). Returns
+    * the new generation.
+    */
+  def rescale(spark: SparkSession, tablePath: String, factor: Int): Long =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      require(factor >= 2, s"rescale factor must be >= 2, got $factor")
+      val p = props(tablePath)
+      val m = manifest(tablePath)
+      require(m.nonEmpty, s"no bucket table at $tablePath")
+      val np = p.copy(numBuckets = p.numBuckets * factor)
+      val gen = nextGen(tablePath)
+      rollbackOrphan(tablePath, gen)
+      val dir = Paths.get(tablePath, s"gen=$gen")
+      readBuckets(spark, tablePath, m.keySet).drop(BucketCol)
+        .withColumn(BucketCol,
+          pmod(xxhash64(np.bucketBy.map(col): _*), lit(np.numBuckets)).cast("int"))
+        .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+      val written = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith(s"$BucketCol=") =>
+            n.drop(BucketCol.length + 1).toInt }
+          .toSeq.sorted
+        finally s.close()
+      }
+      Files.writeString(propsPath(tablePath),
+        s"keys=${np.keys.mkString(",")}\nprecombine=${np.precombine}\n" +
+          s"tieBreak=${np.tieBreak.mkString(",")}\nnumBuckets=${np.numBuckets}\n" +
+          s"bucketBy=${np.bucketBy.mkString(",")}\n",
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeManifest(tablePath, written.map(_ -> gen).toMap)
+      gen
+    }
+
   private val SavepointPrefix = "_savepoint_"
 
   private def savepointPath(tablePath: String, name: String): Path = {

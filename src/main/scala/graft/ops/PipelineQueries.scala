@@ -770,6 +770,32 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_bucket_rescale`: bucket-count growth mid-lifecycle
+    * ([[graft.etl.BucketTable.rescale]]) — create at 4 buckets from the
+    * pre-split state, upsert the middle slice, rescale ×4 to 16 (the
+    * map-side local split; `BucketTableSpec` pins layout + routing),
+    * then keep upserting through the NEW routing. The final table must
+    * equal the one-pass latest-per-user state — bucket layout is pure
+    * physics, never semantics.
+    */
+  def bucketRescale(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "rs").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 4)
+    graft.etl.BucketTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.BucketTable.rescale(spark, path, factor = 4)
+    graft.etl.BucketTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > Split2Us))
+    graft.etl.BucketTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** `p_rli_lookup`: point lookup through the RECORD-LEVEL index
     * (Hudi 1.0's RLI, `graft.etl.RecordIndex`) — same lifecycle as
     * [[bloomLookup]] (create as of [[SplitUs]], upsert the rest), but
@@ -1234,6 +1260,7 @@ object PipelineQueries {
     "p_bloom_upsert" -> (bloomUpsert(_, _)),
     "p_bloom_lookup" -> (bloomLookup(_, _)),
     "p_rli_lookup" -> (rliLookup(_, _)),
+    "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
     "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
     "p_stream_session" -> (streamSessionAgg(_, _)),
@@ -1357,6 +1384,13 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE user_id = $LookupUser) t
          |WHERE rn = 1""".stripMargin,
+    "p_bucket_rescale" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "p_rli_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -272,4 +272,43 @@ class BucketTableSpec extends SparkSpec {
     val expected = (1 to 64).map(i => (s"k$i", 2L, -i.toDouble)).sortBy(_._1)
     assert(contents(dir) == expected)
   }
+
+  test("rescale splits buckets locally: contents, routing, and layout hold") {
+    val dir = Files.createTempDirectory("rescale").toString + "/t"
+    BucketTable.create(rows((1 to 60).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.upsertInto(spark, dir, rows(("k7", 2L, 70.0)))
+    val before = contents(dir)
+
+    val gen = BucketTable.rescale(spark, dir, factor = 4)
+    assert(BucketTable.props(dir).numBuckets == 16)
+    assert(contents(dir) == before, "rescale must not change contents")
+    // every live bucket re-pointed at the rescale generation, ids < 16
+    val m = BucketTable.manifest(dir)
+    assert(m.values.toSet == Set(gen) && m.keySet.forall(_ < 16))
+    // every key routes through the new hash to a live bucket
+    (1 to 60).map(i => s"k$i").foreach { k =>
+      assert(m.contains(BucketTable.bucketOf(spark, dir, Seq(k))),
+        s"$k routes to a bucket missing from the rescaled manifest")
+    }
+    // one file per new bucket dir: holds because the split is map-side
+    // local (each new bucket receives rows from exactly one old bucket)
+    val bucketDirs = Files.list(Paths.get(s"$dir/gen=$gen")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("__bucket=")).toSeq
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { bd =>
+      val parts = Files.list(bd).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(parts == 1, s"${bd.getFileName} has $parts files")
+    }
+    // lookups route through the new count; upserts land normally after
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 2L, 70.0)))
+    BucketTable.upsertInto(spark, dir, rows(("k7", 3L, 700.0), ("z1", 1L, 0.5)))
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 3L, 700.0)))
+    // superseded pre-rescale generations reclaimable
+    assert(BucketTable.clean(dir).nonEmpty)
+    assert(contents(dir).size == before.size + 1)
+  }
 }
