@@ -48,9 +48,36 @@ object StatsIndex {
 
   def exists(statsPath: String): Boolean = Files.exists(latestPath(statsPath))
 
-  /** Indexed columns, as recorded at [[build]] time. */
-  def columns(statsPath: String): Seq[String] =
-    Files.readString(propsPath(statsPath)).trim.split(',').toSeq.filter(_.nonEmpty)
+  /** An indexed entry: stats column `name` computed from `sqlExpr`.
+    * A plain column indexes itself (`name == sqlExpr`); a FUNCTIONAL
+    * entry (Hudi 1.0's functional index) computes min/max/nulls of an
+    * expression the data never materializes — declared in [[build]]'s
+    * `cols` as `"name:=sqlExpr"` (e.g. `"day:=ts_us div 86400000000"`),
+    * so a predicate on the expression prunes files without a derived
+    * column existing on disk.
+    */
+  final case class Entry(name: String, sqlExpr: String)
+
+  private def parseEntry(s: String): Entry = s.split(":=") match {
+    case Array(n, e) => Entry(n.trim, e.trim)
+    case _ => Entry(s.trim, s.trim)
+  }
+
+  /** Indexed entries as recorded at [[build]] time. Props format is
+    * one entry per line (functional entries carry commas inside their
+    * SQL); a single comma-joined line of plain columns — the format
+    * before functional entries existed — still parses.
+    */
+  def entries(statsPath: String): Seq[Entry] =
+    Files.readString(propsPath(statsPath)).split('\n').toSeq
+      .flatMap { line =>
+        if (line.contains(":=")) Seq(line.trim)
+        else line.split(',').toSeq.map(_.trim)
+      }
+      .filter(_.nonEmpty).map(parseEntry)
+
+  /** Indexed stats-column names, as recorded at [[build]] time. */
+  def columns(statsPath: String): Seq[String] = entries(statsPath).map(_.name)
 
   private def currentVersion(statsPath: String): Long =
     Files.readString(latestPath(statsPath)).trim.toLong
@@ -80,10 +107,11 @@ object StatsIndex {
     * task folds its rows into one partial row per file it read, and
     * the shuffle moves O(files) tiny rows, not data.
     */
-  private def computeStats(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("row_count") +: cols.flatMap { c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
-        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))
+  private def computeStats(df: DataFrame, es: Seq[Entry]): DataFrame = {
+    val aggs = count(lit(1)).as("row_count") +: es.flatMap { e =>
+      val c = expr(e.sqlExpr)
+      Seq(min(c).as(s"${e.name}__min"), max(c).as(s"${e.name}__max"),
+        sum(c.isNull.cast("long")).as(s"${e.name}__nulls"))
     }
     df.groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -117,10 +145,10 @@ object StatsIndex {
       statsPath: String): Unit = {
     require(cols.nonEmpty, "index at least one column")
     Files.createDirectories(Paths.get(statsPath))
-    Files.writeString(propsPath(statsPath), cols.mkString(","),
+    Files.writeString(propsPath(statsPath), cols.mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     writeVersion(spark, statsPath,
-      computeStats(spark.read.parquet(dataDir), cols), 0L)
+      computeStats(spark.read.parquet(dataDir), cols.map(parseEntry)), 0L)
   }
 
   /** [[build]] over an EXPLICIT file list — for table formats whose
@@ -134,10 +162,10 @@ object StatsIndex {
     require(cols.nonEmpty, "index at least one column")
     require(files.nonEmpty, "no files to index")
     Files.createDirectories(Paths.get(statsPath))
-    Files.writeString(propsPath(statsPath), cols.mkString(","),
+    Files.writeString(propsPath(statsPath), cols.mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     writeVersion(spark, statsPath,
-      computeStats(spark.read.parquet(files: _*), cols), 0L)
+      computeStats(spark.read.parquet(files: _*), cols.map(parseEntry)), 0L)
   }
 
   /** Sync the index to an explicit CURRENT file list: stats rows of
@@ -160,7 +188,7 @@ object StatsIndex {
     val next =
       if (fresh.isEmpty) keep
       else keep.unionByName(
-        computeStats(spark.read.parquet(fresh: _*), columns(statsPath)))
+        computeStats(spark.read.parquet(fresh: _*), entries(statsPath)))
     writeVersion(spark, statsPath, next, currentVersion(statsPath) + 1)
     fresh
   }
@@ -176,7 +204,8 @@ object StatsIndex {
     val live = files.map(stripScheme).toSet
     val keep = survivors.filter(live)
     if (keep.isEmpty) spark.read.parquet(files: _*).filter(lit(false))
-    else spark.read.parquet(keep: _*).filter(rangesFilter(ranges))
+    else spark.read.parquet(keep: _*)
+      .filter(rangesFilter(ranges, entries(statsPath)))
   }
 
   /** Fold files that appeared since the last version into the index —
@@ -190,7 +219,7 @@ object StatsIndex {
     val fresh = listDataFiles(dataDir).filterNot(indexed)
     if (fresh.isEmpty) return Seq.empty
     val freshStats = computeStats(
-      spark.read.parquet(fresh: _*), columns(statsPath))
+      spark.read.parquet(fresh: _*), entries(statsPath))
     writeVersion(spark, statsPath,
       statsDf(spark, statsPath).unionByName(freshStats),
       currentVersion(statsPath) + 1)
@@ -243,7 +272,7 @@ object StatsIndex {
   def scan(spark: SparkSession, dataDir: String, statsPath: String,
       ranges: Seq[ColRange]): DataFrame = {
     val (files, _) = prune(spark, statsPath, ranges)
-    val residual = rangesFilter(ranges)
+    val residual = rangesFilter(ranges, entries(statsPath))
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(lit(false))
     else
@@ -259,9 +288,17 @@ object StatsIndex {
     scan(spark, dataDir, statsPath, ranges)
   }
 
-  private def rangesFilter(ranges: Seq[ColRange]): Column =
+  /** Residual filter over the DATA: each range's name resolves back to
+    * its entry's expression — a plain column filters itself (and still
+    * reaches parquet PushedFilters); a functional entry re-evaluates
+    * its expression per row (no pushdown — the file-level prune is the
+    * whole point of indexing it).
+    */
+  private def rangesFilter(ranges: Seq[ColRange], es: Seq[Entry]): Column = {
+    val exprOf = es.map(e => e.name -> e.sqlExpr).toMap
     ranges.flatMap { r =>
-      r.lo.map(v => col(r.column) >= lit(v)).toSeq ++
-        r.hi.map(v => col(r.column) <= lit(v)).toSeq
+      val c = expr(exprOf.getOrElse(r.column, r.column))
+      r.lo.map(v => c >= lit(v)).toSeq ++ r.hi.map(v => c <= lit(v)).toSeq
     }.reduceOption(_ && _).getOrElse(lit(true))
+  }
 }

@@ -125,12 +125,38 @@ object Skipping {
         col("value"), col("ts_us"))
   }
 
+  /** Functional index (Hudi 1.0's expression index): stats computed
+    * over `ts_us div 86400000000` — a DAY the data never materializes
+    * as a column — prune the time-ordered layout for a day-range
+    * predicate. The residual re-evaluates the expression per surviving
+    * row, so correctness never rests on the index; the skip itself is
+    * what makes an expression predicate affordable at scale (without
+    * it, a derived-value filter reads every footer of every file).
+    */
+  def funcIndexSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "f").toString
+    val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim(spark, sfDir)
+      .repartitionByRange(LayoutFiles, col("ts_us"))
+      .write.parquet(data)
+    StatsIndex.build(spark, data, Seq("day:=ts_us div 86400000000"), stats)
+    StatsIndex.scan(spark, data, stats,
+      Seq(ColRange("day", Some(DayLo), Some(DayHi))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_func_index" -> (funcIndexSkipping(_, _)),
     "p_stats_skipping" -> (statsSkipping(_, _)),
     "p_stats_skipping_zorder" -> (statsSkippingZorder(_, _)),
     "p_stats_skipping_update" -> (statsSkippingUpdate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "p_func_index" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE (epoch_us(ts) // 86400000000) BETWEEN $DayLo AND $DayHi""".stripMargin,
     "p_stats_skipping" ->
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
          |FROM events

@@ -88,6 +88,34 @@ class StatsIndexSpec extends SparkSpec {
       s"scan must plan the survivor files only: $planned vs $survivors")
   }
 
+  test("functional entry prunes on an expression the data never materializes") {
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim.repartitionByRange(8, col("ts_us")).write.parquet(data)
+    // day is NOT a column of the data — only the index knows it
+    StatsIndex.build(spark, data,
+      Seq("day:=ts_us div 86400000000", "user_id"), stats)
+    assert(StatsIndex.columns(stats) == Seq("day", "user_id"))
+    assert(!spark.read.parquet(data).schema.fieldNames.contains("day"))
+
+    val ranges = Seq(ColRange("day",
+      Some(graft.ops.Skipping.DayLo), Some(graft.ops.Skipping.DayHi)))
+    val viaIndex = StatsIndex.scan(spark, data, stats, ranges)
+    val plain = spark.read.parquet(data)
+      .filter(expr("ts_us div 86400000000")
+        .between(graft.ops.Skipping.DayLo, graft.ops.Skipping.DayHi))
+    assert(viaIndex.count() == plain.count() && plain.count() > 0)
+    assert(viaIndex.exceptAll(plain).isEmpty && plain.exceptAll(viaIndex).isEmpty)
+
+    // 6 of ~30 days on a time-ordered layout: real file pruning
+    val (survivors, total) = StatsIndex.prune(spark, stats, ranges)
+    assert(survivors.nonEmpty && survivors.size <= total / 2,
+      s"expected real pruning, got ${survivors.size}/$total")
+    // incremental update keeps evaluating the expression on new files
+    eventsSlim.limit(0).write.mode("append").parquet(data)
+    assert(StatsIndex.update(spark, data, stats).isEmpty ||
+      StatsIndex.scan(spark, data, stats, ranges).count() == plain.count())
+  }
+
   test("z-order layout prunes on BOTH dimensions; linear layout cannot on the second") {
     val ev = eventsSlim.withColumn("day_id", expr("ts_us div 86400000000"))
     val zBase = scratch(); val lBase = scratch()
