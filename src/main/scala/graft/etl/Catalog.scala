@@ -148,9 +148,21 @@ object Catalog {
     * (comma-split composite keys, as Hudi does — py:114).
     */
   def upsertConfig(spark: SparkSession, table: String): (Seq[String], String) = {
+    val (keys, pc, _) = upsertConfigFull(spark, table)
+    (keys, pc)
+  }
+
+  /** [[upsertConfig]] plus the optional `graft.table.tieBreak` columns
+    * (deterministic resolution of precombine ties — the property a
+    * table declares when its precombine column is not unique per key).
+    */
+  def upsertConfigFull(spark: SparkSession,
+      table: String): (Seq[String], String, Seq[String]) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     (props("graft.table.primaryKey").split(",").map(_.trim).toSeq,
-      props("graft.table.preCombineField"))
+      props("graft.table.preCombineField"),
+      props.getOrElse("graft.table.tieBreak", "").split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq)
   }
 }

@@ -1,0 +1,101 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction}
+import org.apache.spark.sql.functions.col
+
+/** SQL `MERGE INTO` front door for graft-managed catalog tables — the
+  * statement the reference's users write against Hudi's Spark SQL
+  * surface (`MERGE INTO target USING source ON ... WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`), re-expressed without
+  * a DSv2 row-level-operation implementation: the statement is parsed
+  * by SPARK'S OWN parser (so syntax, aliasing, and subquery sources are
+  * exactly Spark SQL), the parsed [[MergeIntoTable]] is validated
+  * against the canonical upsert shape, and execution is the same keyed
+  * precombine upsert every other write path uses — which is precisely
+  * what Hudi's MERGE INTO does when the table carries a precombine
+  * field (latest-wins on the precombine, batch pre-deduped per key,
+  * rather than ANSI MERGE's multiple-source-rows error).
+  *
+  * Supported shapes (everything else fails loudly, naming what it saw):
+  *   - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *     → keyed upsert
+  *   - `WHEN MATCHED THEN DELETE` (no other clauses) → keyed delete
+  *     (left-anti against the source's keys)
+  *
+  * The ON condition must be the key-equality conjunction over exactly
+  * the table's `graft.table.primaryKey` columns. The table keeps its
+  * declared schema (SQL MERGE never widens it; schema evolution is the
+  * API path's job), and the rewrite goes through `INSERT OVERWRITE` so
+  * table metadata (TBLPROPERTIES) survives.
+  */
+object SqlMerge {
+
+  def merge(spark: SparkSession, sqlText: String): Unit =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable =>
+        val target = tableName(m.targetTable)
+        val (keys, precombine, tieBreak) = Catalog.upsertConfigFull(spark, target)
+        val condKeys = keyEqualities(m.mergeCondition)
+        require(condKeys.map(_._1).toSet == keys.toSet &&
+          condKeys.forall { case (a, b) => a == b },
+          s"ON must equate exactly the primary key columns ${keys.mkString(",")}; " +
+            s"got ${condKeys.map { case (a, b) => s"$a=$b" }.mkString(" AND ")}")
+        val source = graftbridgeOfRows(spark, m.sourceTable)
+        val existing = spark.table(target)
+        val cols = existing.columns.toSeq
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+            writeBack(spark, target,
+              HudiLike.upsert(existing, source.select(cols.map(col): _*),
+                keys, precombine, tieBreak).select(cols.map(col): _*))
+          case (Seq(DeleteAction(None)), Seq()) =>
+            writeBack(spark, target,
+              existing.join(source.select(keys.map(col): _*).distinct(),
+                keys, "left_anti"))
+          case (matched, notMatched) =>
+            throw new IllegalArgumentException(
+              "unsupported MERGE shape: expected UPDATE SET * + INSERT * " +
+                s"or bare DELETE; got matched=$matched notMatched=$notMatched")
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a MERGE statement: ${other.getClass.getSimpleName}")
+    }
+
+  /** The merged state replaces the table contents in place:
+    * localCheckpoint decouples the plan from the files INSERT OVERWRITE
+    * is about to replace (the same discipline as `HudiLike.upsertInto`).
+    */
+  private def writeBack(spark: SparkSession, target: String,
+      merged: org.apache.spark.sql.DataFrame): Unit = {
+    merged.localCheckpoint()
+      .write.mode("overwrite").insertInto(target)
+    spark.catalog.refreshTable(target)
+  }
+
+  private def graftbridgeOfRows(spark: SparkSession, plan: LogicalPlan) =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unqualified table name from the parsed target (possibly aliased). */
+  private def tableName(plan: LogicalPlan): String =
+    plan.collectFirst { case r: UnresolvedRelation =>
+      r.multipartIdentifier.mkString(".")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"cannot resolve MERGE target from ${plan.getClass.getSimpleName}"))
+
+  /** `(targetCol, sourceCol)` pairs from an equality conjunction; any
+    * non-equality predicate is a loud failure (a theta-merge is not an
+    * upsert).
+    */
+  private def keyEqualities(e: Expression): Seq[(String, String)] = e match {
+    case And(l, r) => keyEqualities(l) ++ keyEqualities(r)
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+      Seq((a.nameParts.last, b.nameParts.last))
+    case other => throw new IllegalArgumentException(
+      s"MERGE ON must be a key-equality conjunction, got: ${other.sql}")
+  }
+}

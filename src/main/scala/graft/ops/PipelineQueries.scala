@@ -796,6 +796,43 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_sql_merge`: the SQL `MERGE INTO` surface
+    * ([[graft.etl.SqlMerge]]) — a catalog table carrying its key /
+    * precombine / tie-break as TBLPROPERTIES (exactly how the
+    * reference's DDL declares them, py:92-96), merged with the
+    * post-split batch through a statement Spark's own parser reads.
+    * Must equal the one-pass latest-per-user state: MERGE here IS the
+    * keyed precombine upsert, as in Hudi's Spark SQL surface.
+    */
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "sm").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    spark.sql("DROP TABLE IF EXISTS graft_merge_target")
+    spark.sql(
+      s"""CREATE TABLE graft_merge_target (
+         |  user_id BIGINT, event_id BIGINT, event_type STRING,
+         |  value DOUBLE, ts_us BIGINT)
+         |USING PARQUET LOCATION '$base/t'
+         |TBLPROPERTIES (
+         |  'graft.table.type' = 'cow',
+         |  'graft.table.primaryKey' = 'user_id',
+         |  'graft.table.preCombineField' = 'ts_us',
+         |  'graft.table.tieBreak' = 'event_id')""".stripMargin)
+    HudiLike.precombineLatest(ev.filter(col("ts_us") <= SplitUs),
+      Seq("user_id"), "ts_us", Seq("event_id"))
+      .write.mode("overwrite").insertInto("graft_merge_target")
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_merge_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_merge_target t USING graft_merge_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.table("graft_merge_target")
+  }
+
   /** `p_rli_lookup`: point lookup through the RECORD-LEVEL index
     * (Hudi 1.0's RLI, `graft.etl.RecordIndex`) — same lifecycle as
     * [[bloomLookup]] (create as of [[SplitUs]], upsert the rest), but
@@ -1261,6 +1298,7 @@ object PipelineQueries {
     "p_bloom_lookup" -> (bloomLookup(_, _)),
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
+    "p_sql_merge" -> (sqlMerge(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
     "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
     "p_stream_session" -> (streamSessionAgg(_, _)),
@@ -1384,6 +1422,13 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE user_id = $LookupUser) t
          |WHERE rn = 1""".stripMargin,
+    "p_sql_merge" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "p_bucket_rescale" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

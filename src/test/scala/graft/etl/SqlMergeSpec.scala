@@ -1,0 +1,98 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class SqlMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  /** Fresh catalog table (k BIGINT, pc BIGINT, v DOUBLE) keyed on k. */
+  private def freshTable(rows: Seq[(Long, Long, Double)]): String = {
+    n += 1
+    val name = s"sql_merge_spec_$n"
+    val loc = Files.createTempDirectory("sqlmerge").toString
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (k BIGINT, pc BIGINT, v DOUBLE)
+         |USING PARQUET LOCATION '$loc/t'
+         |TBLPROPERTIES (
+         |  'graft.table.primaryKey' = 'k',
+         |  'graft.table.preCombineField' = 'pc')""".stripMargin)
+    rows.toDF("k", "pc", "v").write.mode("overwrite").insertInto(name)
+    name
+  }
+
+  private def contents(t: String): Seq[(Long, Long, Double)] =
+    spark.table(t).as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+
+  test("UPDATE SET * + INSERT * is the keyed precombine upsert") {
+    val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)))
+    Seq((2L, 20L, 22.0), (3L, 5L, 33.0), (4L, 10L, 4.0))
+      .toDF("k", "pc", "v").createOrReplaceTempView("merge_src")
+    SqlMerge.merge(spark,
+      s"""MERGE INTO $t t USING merge_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // k=2 updated (newer pc); k=3's incoming row LOSES the precombine
+    // race (pc 5 < 10) so the existing row survives — Hudi MERGE
+    // semantics with a precombine field, not ANSI last-writer-wins
+    assert(contents(t) == Seq((1L, 10L, 1.0), (2L, 20L, 22.0),
+      (3L, 10L, 3.0), (4L, 10L, 4.0)))
+  }
+
+  test("bare DELETE removes matched keys only") {
+    val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)))
+    Seq((2L, 0L, 0.0), (9L, 0L, 0.0))
+      .toDF("k", "pc", "v").createOrReplaceTempView("merge_del")
+    SqlMerge.merge(spark,
+      s"MERGE INTO $t t USING merge_del s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    assert(contents(t) == Seq((1L, 10L, 1.0), (3L, 10L, 3.0)))
+  }
+
+  test("a subquery source parses and merges") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    Seq((1L, 20L, 11.0), (1L, 30L, 111.0))
+      .toDF("k", "pc", "v").createOrReplaceTempView("merge_sub")
+    SqlMerge.merge(spark,
+      s"""MERGE INTO $t t
+         |USING (SELECT k, pc, v FROM merge_sub WHERE pc <= 20) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(contents(t) == Seq((1L, 20L, 11.0)))
+  }
+
+  test("non-key ON conditions and theta joins fail loudly") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    Seq((1L, 20L, 11.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("merge_bad")
+    val e1 = intercept[IllegalArgumentException] {
+      SqlMerge.merge(spark,
+        s"""MERGE INTO $t t USING merge_bad s ON t.v = s.v
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e1.getMessage.contains("primary key"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlMerge.merge(spark,
+        s"""MERGE INTO $t t USING merge_bad s ON t.k > s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e2.getMessage.contains("equality"))
+  }
+
+  test("unsupported clause shapes fail loudly, table untouched") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    Seq((1L, 20L, 11.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("merge_shape")
+    val before = contents(t)
+    intercept[IllegalArgumentException] {
+      SqlMerge.merge(spark,
+        s"""MERGE INTO $t t USING merge_shape s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(contents(t) == before)
+  }
+}

@@ -205,6 +205,32 @@ class StreamingSpec extends SparkSpec {
       s"second micro-batch must have produced a new generation, got $gens")
   }
 
+  test("ingest resumes from the checkpoint across restarts, exactly once") {
+    val base = Files.createTempDirectory("streamr").toString
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    // run 1: only the even half exists — the "process dies" after it
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    StreamingPipeline.runIngestBucketed(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    val afterRun1 = graft.etl.BucketTable.read(spark, s"$base/target").count()
+    assert(afterRun1 == 500)
+    // run 2 (the restart): odd half lands; the SAME checkpoint must
+    // replay nothing from run 1 and fold only the new file
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
+    StreamingPipeline.runIngestBucketed(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    val target = graft.etl.BucketTable.read(spark, s"$base/target")
+    assert(target.count() == 1000)
+    assert(target.select("record_id").distinct().count() == 1000,
+      "restart must not re-apply run 1's batch")
+    // run 3: nothing new — a pure no-op, the table state untouched
+    val manifestBefore = graft.etl.BucketTable.manifest(s"$base/target")
+    StreamingPipeline.runIngestBucketed(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    assert(graft.etl.BucketTable.manifest(s"$base/target") == manifestBefore,
+      "an empty restart must not commit a generation")
+  }
+
   test("streaming windowed rollup accumulates across micro-batches to the batch answer") {
     val base = Files.createTempDirectory("streamw").toString
     // two files → two micro-batches: hour windows receiving rows in
