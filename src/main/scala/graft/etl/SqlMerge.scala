@@ -3,8 +3,8 @@ package graft.etl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.functions.{col, expr, lit, not, when}
 
 /** SQL `MERGE INTO` front door for graft-managed catalog tables — the
   * statement the reference's users write against Hudi's Spark SQL
@@ -33,10 +33,74 @@ import org.apache.spark.sql.functions.col
   */
 object SqlMerge {
 
+  /** Execute a graft-supported DML statement: MERGE INTO, UPDATE, or
+    * DELETE FROM, each parsed by Spark's parser and executed as the
+    * engine's own keyed/filtered rewrite.
+    */
+  def exec(spark: SparkSession, sqlText: String): Unit =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable => mergeParsed(spark, m)
+      case u: UpdateTable => updateParsed(spark, u)
+      case d: DeleteFromTable => deleteParsed(spark, d)
+      case other => throw new IllegalArgumentException(
+        s"unsupported DML: ${other.getClass.getSimpleName}")
+    }
+
+  /** `DELETE FROM t WHERE pred` — a filtered rewrite: survivors are
+    * the rows the predicate does NOT select (three-valued: a NULL
+    * predicate row is not deleted, exactly SQL's DELETE semantics).
+    */
+  private def deleteParsed(spark: SparkSession, d: DeleteFromTable): Unit = {
+    val target = tableName(d.table)
+    // DeleteFromTable's condition is non-optional (a bare DELETE
+    // parses as WHERE true)
+    val cond = render(d.condition)
+    val t = spark.table(target).alias(target.split('.').last)
+    writeBack(spark, target, t.filter(not(cond) || cond.isNull))
+  }
+
+  /** `UPDATE t SET c = e, ... WHERE pred` — a projected rewrite: each
+    * assigned column becomes `CASE WHEN pred THEN e ELSE c END`,
+    * unassigned columns pass through.
+    */
+  private def updateParsed(spark: SparkSession, u: UpdateTable): Unit = {
+    val target = tableName(u.table)
+    val cond = u.condition.map(render).getOrElse(lit(true))
+    val assigned = u.assignments.map { a =>
+      val name = a.key match {
+        case attr: UnresolvedAttribute => attr.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"unsupported assignment target: ${other.sql}")
+      }
+      name -> render(a.value)
+    }.toMap
+    val t = spark.table(target).alias(target.split('.').last)
+    val projected = t.select(t.columns.toSeq.map { c =>
+      assigned.get(c) match {
+        case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    writeBack(spark, target, projected)
+  }
+
+  /** Parsed-but-unresolved expression → Column, by round-tripping the
+    * generated SQL through `expr` — the expression resolves against
+    * the target table aliased under its own simple name, so both bare
+    * and table-qualified column references work.
+    */
+  private def render(e: Expression): org.apache.spark.sql.Column = expr(e.sql)
+
   def merge(spark: SparkSession, sqlText: String): Unit =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
-      case m: MergeIntoTable =>
-        val target = tableName(m.targetTable)
+      case m: MergeIntoTable => mergeParsed(spark, m)
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a MERGE statement: ${other.getClass.getSimpleName}")
+    }
+
+  private def mergeParsed(spark: SparkSession, m: MergeIntoTable): Unit = {
+    val target = tableName(m.targetTable)
         val (keys, precombine, tieBreak) = Catalog.upsertConfigFull(spark, target)
         val condKeys = keyEqualities(m.mergeCondition)
         require(condKeys.map(_._1).toSet == keys.toSet &&
@@ -60,10 +124,7 @@ object SqlMerge {
               "unsupported MERGE shape: expected UPDATE SET * + INSERT * " +
                 s"or bare DELETE; got matched=$matched notMatched=$notMatched")
         }
-      case other =>
-        throw new IllegalArgumentException(
-          s"not a MERGE statement: ${other.getClass.getSimpleName}")
-    }
+  }
 
   /** The merged state replaces the table contents in place:
     * localCheckpoint decouples the plan from the files INSERT OVERWRITE

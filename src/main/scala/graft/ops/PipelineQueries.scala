@@ -833,6 +833,55 @@ object PipelineQueries {
     spark.table("graft_merge_target")
   }
 
+  /** Shared scaffold for the SQL UPDATE/DELETE queries: a catalog
+    * table named `name` holding the latest-per-user state as of
+    * [[SplitUs]].
+    */
+  private def sqlDmlTable(spark: SparkSession, sfDir: String,
+      name: String): Unit = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "dml").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (
+         |  user_id BIGINT, event_id BIGINT, event_type STRING,
+         |  value DOUBLE, ts_us BIGINT)
+         |USING PARQUET LOCATION '$base/t'
+         |TBLPROPERTIES (
+         |  'graft.table.primaryKey' = 'user_id',
+         |  'graft.table.preCombineField' = 'ts_us',
+         |  'graft.table.tieBreak' = 'event_id')""".stripMargin)
+    HudiLike.precombineLatest(ev.filter(col("ts_us") <= SplitUs),
+      Seq("user_id"), "ts_us", Seq("event_id"))
+      .write.mode("overwrite").insertInto(name)
+  }
+
+  /** `p_sql_update`: the SQL UPDATE statement — assigned columns
+    * rewritten under the predicate, everything else untouched; the
+    * oracle replays the CASE WHEN over the same base state.
+    */
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlDmlTable(spark, sfDir, "graft_update_target")
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_update_target
+        |SET value = round(value * 1.1, 2)
+        |WHERE event_type = 'click'""".stripMargin)
+    spark.table("graft_update_target")
+  }
+
+  /** `p_sql_delete`: the SQL DELETE statement — predicate-selected
+    * rows removed (NULL-predicate rows kept, SQL three-valued
+    * semantics); the oracle replays the complement filter.
+    */
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlDmlTable(spark, sfDir, "graft_delete_target")
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_delete_target WHERE user_id % 7 = 0")
+    spark.table("graft_delete_target")
+  }
+
   /** `p_rli_lookup`: point lookup through the RECORD-LEVEL index
     * (Hudi 1.0's RLI, `graft.etl.RecordIndex`) — same lifecycle as
     * [[bloomLookup]] (create as of [[SplitUs]], upsert the rest), but
@@ -1299,6 +1348,8 @@ object PipelineQueries {
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
+    "p_sql_update" -> (sqlUpdate(_, _)),
+    "p_sql_delete" -> (sqlDelete(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
     "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
     "p_stream_session" -> (streamSessionAgg(_, _)),
@@ -1422,6 +1473,23 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE user_id = $LookupUser) t
          |WHERE rn = 1""".stripMargin,
+    "p_sql_update" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  CASE WHEN event_type = 'click' THEN round(value * 1.1, 2)
+         |       ELSE value END AS value, ts_us
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_sql_delete" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
     "p_sql_merge" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -83,6 +83,26 @@ class SqlMergeSpec extends SparkSpec {
     assert(e2.getMessage.contains("equality"))
   }
 
+  test("DELETE FROM removes predicate-selected rows, keeps NULL-predicate rows") {
+    val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 4.0), (3L, 10L, 9.0)))
+    SqlMerge.exec(spark, s"DELETE FROM $t WHERE v > 3.0")
+    assert(contents(t) == Seq((1L, 10L, 1.0)))
+    // no WHERE deletes everything
+    SqlMerge.exec(spark, s"DELETE FROM $t")
+    assert(contents(t).isEmpty)
+  }
+
+  test("UPDATE SET rewrites assigned columns under the predicate only") {
+    val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 4.0), (3L, 10L, 9.0)))
+    SqlMerge.exec(spark,
+      s"UPDATE $t SET v = v * 10, pc = 99 WHERE k >= 2")
+    assert(contents(t) == Seq((1L, 10L, 1.0), (2L, 99L, 40.0), (3L, 99L, 90.0)))
+    // table-qualified references resolve against the self-alias
+    SqlMerge.exec(spark,
+      s"UPDATE $t SET v = 0.0 WHERE ${t.split('.').last}.k = 1")
+    assert(contents(t).head == ((1L, 10L, 0.0)))
+  }
+
   test("unsupported clause shapes fail loudly, table untouched") {
     val t = freshTable(Seq((1L, 10L, 1.0)))
     Seq((1L, 20L, 11.0)).toDF("k", "pc", "v")
