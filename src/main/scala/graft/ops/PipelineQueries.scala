@@ -497,9 +497,13 @@ object PipelineQueries {
   def partGroupUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory(morScratch, "pg").toString + "/t"
     val ev = partEvents(spark, sfDir)
+    // groups sized to per-day volume (~50 users/day at sf0.1) — same
+    // right-sizing as the partitioned streaming sink; more groups in a
+    // thin partition only multiplies file count (`PartitionedTableSpec`
+    // pins the group-routing semantics at several group counts)
     graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
       keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
-      partitionCols = Seq("event_date"), numGroups = 8)
+      partitionCols = Seq("event_date"), numGroups = 2)
     graft.etl.PartitionedTable.upsertInto(spark, path,
       ev.filter(col("ts_us") > SplitUs))
     graft.etl.PartitionedTable.read(spark, path)
