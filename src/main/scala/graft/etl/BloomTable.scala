@@ -467,12 +467,6 @@ object BloomTable {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close()
     }
-    def deleteRecursively(p: Path): Unit = {
-      val w = Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally w.close()
-    }
     val removedData = listDir(base)
       .filter(_.getFileName.toString.startsWith("c="))
       .flatMap { cdir =>
@@ -487,7 +481,7 @@ object BloomTable {
         // no live parquet left → the whole commit dir (markers and
         // all) is debris
         if (liveParts.isEmpty) {
-          deleteRecursively(cdir)
+          FsUtil.deleteRecursively(cdir)
           gone :+ s"${cdir.getFileName}"
         } else gone
       }
@@ -499,10 +493,7 @@ object BloomTable {
         .filter { d => val n = d.getFileName.toString
           n.startsWith("v=") && n.drop(2).toLong < keep }
         .map { d =>
-          val w = Files.walk(d)
-          try w.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(f => Files.delete(f))
-          finally w.close()
+          FsUtil.deleteRecursively(d)
           s"_index/${d.getFileName}"
         }.toSeq
       finally s.close()

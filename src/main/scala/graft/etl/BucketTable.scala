@@ -80,6 +80,18 @@ object BucketTable {
     }.toMap
   }
 
+  /** Atomic `_props` write — shared by create / rescale / restore. */
+  private def writeProps(tablePath: String, p: Props): Unit = {
+    val tmp = Paths.get(tablePath, s"_props.tmp${System.nanoTime()}")
+    Files.writeString(tmp,
+      s"keys=${p.keys.mkString(",")}\nprecombine=${p.precombine}\n" +
+        s"tieBreak=${p.tieBreak.mkString(",")}\nnumBuckets=${p.numBuckets}\n" +
+        s"bucketBy=${p.bucketBy.mkString(",")}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, propsPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def writeManifest(tablePath: String, m: Map[Int, Long]): Unit = {
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp,
@@ -93,12 +105,7 @@ object BucketTable {
     df.withColumn(BucketCol,
       pmod(xxhash64(p.bucketBy.map(col): _*), lit(p.numBuckets)).cast("int"))
 
-  private def deleteRecursively(p: Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
-    finally s.close()
-  }
+  private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 
   /** Roll back an uncommitted generation: a `gen=G` dir with no
     * manifest entry pointing at G is debris from a writer that died
@@ -153,12 +160,8 @@ object BucketTable {
       s"table already exists at $tablePath")
     Files.createDirectories(Paths.get(tablePath))
     val by = if (bucketBy.isEmpty) keys else bucketBy
-    Files.writeString(propsPath(tablePath),
-      s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
-        s"tieBreak=${tieBreak.mkString(",")}\nnumBuckets=$numBuckets\n" +
-        s"bucketBy=${by.mkString(",")}\n",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val p = Props(keys, precombine, tieBreak, numBuckets, by)
+    writeProps(tablePath, p)
     val written = writeGen(
       withBucket(HudiLike.precombineLatest(df, keys, precombine, tieBreak), p),
       tablePath, 0L)
@@ -400,8 +403,12 @@ object BucketTable {
     * into exactly the new buckets `{b, b+n, …, b+(f−1)n}` — every new
     * bucket receives rows from ONE old bucket, and the rewrite is a
     * map-side split (no shuffle; [[writeGen]]'s clustering repartition
-    * is deliberately skipped, and the one-file-per-new-bucket property
-    * survives because no two input tasks hold the same old bucket).
+    * is deliberately skipped). Files per new bucket = read tasks that
+    * held its parent bucket: one while bucket files fit a split
+    * (`maxPartitionBytes`); an oversized parent contributes one file
+    * per extra split — bounded small-file drift that the next
+    * [[compact]] re-levels, the same trade Hudi's clustering-based
+    * resize makes.
     *
     * Swap order under the table lock: data, then `_props`, then the
     * manifest. Single-writer like [[compact]]; a concurrent LOOKUP
@@ -432,11 +439,7 @@ object BucketTable {
           .toSeq.sorted
         finally s.close()
       }
-      Files.writeString(propsPath(tablePath),
-        s"keys=${np.keys.mkString(",")}\nprecombine=${np.precombine}\n" +
-          s"tieBreak=${np.tieBreak.mkString(",")}\nnumBuckets=${np.numBuckets}\n" +
-          s"bucketBy=${np.bucketBy.mkString(",")}\n",
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeProps(tablePath, np)
       writeManifest(tablePath, written.map(_ -> gen).toMap)
       gen
     }
@@ -458,9 +461,15 @@ object BucketTable {
     require(!Files.exists(p), s"savepoint $name already exists")
     val m = manifest(tablePath)
     require(m.nonEmpty, s"no committed state to savepoint at $tablePath")
+    // pin the ROUTING config alongside the manifest: a later [[rescale]]
+    // rewrites numBuckets, and restoring just the old manifest under the
+    // new bucket count would route lookups/upserts to buckets the pinned
+    // state never had (empty lookups, split keys)
+    val pr = props(tablePath)
     val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
     Files.writeString(tmp,
-      m.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"),
+      (s"props numBuckets=${pr.numBuckets} bucketBy=${pr.bucketBy.mkString(",")}" +:
+        m.toSeq.sorted.map { case (b, g) => s"$b $g" }).mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -490,10 +499,25 @@ object BucketTable {
   private def savepointManifest(tablePath: String, name: String): Map[Int, Long] = {
     val p = savepointPath(tablePath, name)
     require(Files.exists(p), s"no savepoint $name at $tablePath")
-    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
-      val Array(b, g) = l.split(' '); b.toInt -> g.toLong
-    }.toMap
+    Files.readAllLines(p).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("props ")).map { l =>
+        val Array(b, g) = l.split(' '); b.toInt -> g.toLong
+      }.toMap
   }
+
+  /** (numBuckets, bucketBy) pinned by the savepoint; None for
+    * savepoints written before routing was pinned (pre-rescale format —
+    * valid only while the table was never rescaled).
+    */
+  private def savepointRouting(tablePath: String,
+      name: String): Option[(Int, Seq[String])] =
+    Files.readAllLines(savepointPath(tablePath, name)).asScala
+      .find(_.startsWith("props ")).map { l =>
+        val kv = l.drop(6).split(' ').map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> v }.toMap
+        (kv("numBuckets").toInt,
+          kv.getOrElse("bucketBy", "").split(',').toSeq.filter(_.nonEmpty))
+      }
 
   /** Read the table AS OF a savepoint — time travel to the pinned
     * state, without touching the live manifest.
@@ -513,6 +537,15 @@ object BucketTable {
   def restoreSavepoint(tablePath: String, name: String): Unit = {
     val m = savepointManifest(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      // restore ROUTING first (a rescale after the savepoint changed
+      // numBuckets; the pinned manifest only makes sense under the
+      // pinned bucket count), then the manifest
+      savepointRouting(tablePath, name).foreach { case (n, by) =>
+        val cur = props(tablePath)
+        if (cur.numBuckets != n || cur.bucketBy != by)
+          writeProps(tablePath, cur.copy(numBuckets = n,
+            bucketBy = if (by.isEmpty) cur.bucketBy else by))
+      }
       writeManifest(tablePath, m)
     }
     ()

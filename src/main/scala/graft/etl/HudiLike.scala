@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, LinkOption, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 
 /** Copy-on-write keyed-upsert semantics, re-expressed in pure Spark.
   *
@@ -216,9 +215,5 @@ object HudiLike {
     commit(merged, tablePath)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
+  private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 }

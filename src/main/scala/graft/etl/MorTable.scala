@@ -135,12 +135,7 @@ object MorTable {
       spark.read.parquet(Files.readString(bootstrapPath(tablePath)).trim)
     else spark.read.parquet(s"$tablePath/base=$base")
 
-  private def deleteRecursively(p: Path): Unit = {
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
-    finally s.close()
-  }
+  private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 
   /** Serialized under [[FsLock]]: seq allocation is a read-modify-write
     * of the pointer, and the lazy rollback below would otherwise

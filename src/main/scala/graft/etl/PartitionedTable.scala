@@ -138,12 +138,7 @@ object PartitionedTable {
   private def partitionPrefix(p: Props, dir: String): String =
     dir.split('/').take(p.partitionCols.length).mkString("/")
 
-  private def deleteRecursively(path: Path): Unit = {
-    val s = Files.walk(path)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
-    finally s.close()
-  }
+  private def deleteRecursively(path: Path): Unit = FsUtil.deleteRecursively(path)
 
   private def rollbackOrphan(tablePath: String, gen: Long): Unit = {
     val dir = Paths.get(tablePath, s"gen=$gen")

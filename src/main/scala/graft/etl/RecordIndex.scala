@@ -107,6 +107,8 @@ object RecordIndex {
     require(!exists(tablePath), s"record index already exists at $tablePath")
     val p = BloomTable.props(tablePath)
     val live = BloomTable.manifest(tablePath)
+    require(live.nonEmpty,
+      s"no committed data to index at $tablePath (upsert a batch first)")
     Files.createDirectories(rliDir(tablePath))
     Files.writeString(propsPath(tablePath), s"shards=$numShards\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -141,6 +143,11 @@ object RecordIndex {
       val next = current.getOrElse(shard, -1L) + 1
       val dst = rliDir(tablePath).resolve(s"s=$shard").resolve(s"v=$next")
       Files.createDirectories(dst.getParent)
+      // reclaim debris from a writer that died between this move and
+      // the manifest write: the manifest never referenced v=next, so
+      // the leftover dir was invisible to readers and the retry owns it
+      // (same lazy rollback as BucketTable.rollbackOrphan)
+      deleteRecursively(dst)
       Files.move(dir, dst, StandardCopyOption.ATOMIC_MOVE)
       shard -> next
     }.toMap
@@ -148,13 +155,7 @@ object RecordIndex {
     current ++ moved
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally w.close()
-    }
+  private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 
   /** Fold the table's latest commits into the index: scan ONLY the
     * data files the index has not seen, rewrite ONLY the shards those
@@ -190,7 +191,12 @@ object RecordIndex {
       .map(_.select("__s").distinct())
       .reduce(_.union(_)).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (affected.isEmpty) { writeCovered(tablePath, live); return Seq.empty }
+    if (affected.isEmpty) {
+      writeCovered(tablePath, live)
+      newEntries.foreach(_.unpersist(blocking = false))
+      staleSharded.foreach(_.unpersist(blocking = false))
+      return Seq.empty
+    }
     val versions = shardVersions(tablePath)
     val liveRel = live.toSeq.sorted
     // rebuild every affected shard in ONE Spark job: union the affected

@@ -66,15 +66,24 @@ object SqlMerge {
   private def updateParsed(spark: SparkSession, u: UpdateTable): Unit = {
     val target = tableName(u.table)
     val cond = u.condition.map(render).getOrElse(lit(true))
+    val t = spark.table(target).alias(target.split('.').last)
+    // resolve each assignment target against the table's columns
+    // CASE-INSENSITIVELY (Spark SQL's default resolution) and reject
+    // unknown columns loudly — a silently dropped `SET typo = ...`
+    // would make the whole statement a no-op
+    val byLower = t.columns.map(c => c.toLowerCase -> c).toMap
     val assigned = u.assignments.map { a =>
-      val name = a.key match {
+      val written = a.key match {
         case attr: UnresolvedAttribute => attr.nameParts.last
         case other => throw new IllegalArgumentException(
           s"unsupported assignment target: ${other.sql}")
       }
-      name -> render(a.value)
+      val resolved = byLower.getOrElse(written.toLowerCase,
+        throw new IllegalArgumentException(
+          s"UPDATE $target: no such column '$written' " +
+            s"(columns: ${t.columns.mkString(", ")})"))
+      resolved -> render(a.value)
     }.toMap
-    val t = spark.table(target).alias(target.split('.').last)
     val projected = t.select(t.columns.toSeq.map { c =>
       assigned.get(c) match {
         case Some(v) => when(cond, v).otherwise(col(c)).as(c)

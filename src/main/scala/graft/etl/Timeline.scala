@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
-import java.util.Comparator
 import scala.jdk.CollectionConverters._
 
 /** Versioned copy-on-write table with a commit timeline — the part of
@@ -158,8 +157,11 @@ object Timeline {
         val active = files.filter(_.endsWith(".commit")).flatMap { f =>
           Seq(parseInstant(Files.readString(dir.resolve(f)), archived = false))
         }
-        val seen = archived.map(_.version).toSet
-        archived ++ active.filterNot(i => seen.contains(i.version))
+        // dedup by version across ALL sources, not just archived-vs-
+        // active: a crash between an archive batch write and its
+        // instant-file deletions can leave a version in one archived
+        // log AND (after a later, wider archive run) in a second one
+        (archived ++ active).groupBy(_.version).values.map(_.head).toSeq
       }
     spark.createDataFrame(all.sortBy(_.version))
   }
@@ -196,11 +198,7 @@ object Timeline {
     require(retain >= 1, "must retain at least the latest version")
     val vs = versions(tablePath)
     val drop = vs.dropRight(retain)
-    drop.foreach { v =>
-      val dir = Paths.get(tablePath, s"v=$v")
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-    }
+    drop.foreach(v => FsUtil.deleteRecursively(Paths.get(tablePath, s"v=$v")))
     drop
   }
 
@@ -268,10 +266,8 @@ object Timeline {
         Some(next)
       }
     }
-    if (committed.isEmpty) {
-      Files.walk(staged).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-    } else Catalog.syncViews(spark, tablePath)
+    if (committed.isEmpty) FsUtil.deleteRecursively(staged)
+    else Catalog.syncViews(spark, tablePath)
     committed
   }
 

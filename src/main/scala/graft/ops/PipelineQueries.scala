@@ -1196,10 +1196,7 @@ object PipelineQueries {
       bootProjection(spark, sfDir).filter(col("ts_us") > SplitUs))
     MorTable.compact(spark, dir)
     // retire the pre-existing dataset: reads must survive its removal
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
-    try s.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => java.nio.file.Files.delete(f))
-    finally s.close()
+    graft.etl.FsUtil.deleteRecursively(java.nio.file.Paths.get(src))
     MorTable.readSnapshot(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"))

@@ -273,6 +273,26 @@ class BucketTableSpec extends SparkSpec {
     assert(contents(dir) == expected)
   }
 
+  test("restoring a pre-rescale savepoint restores the pinned routing too") {
+    val dir = Files.createTempDirectory("rsave").toString + "/t"
+    BucketTable.create(rows((1 to 40).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.savepoint(dir, "pre")
+    BucketTable.rescale(spark, dir, factor = 4)
+    assert(BucketTable.props(dir).numBuckets == 16)
+    BucketTable.restoreSavepoint(dir, "pre")
+    // routing reverted with the manifest: a lookup must hash mod 4
+    // again, or live keys would resolve to absent bucket ids
+    assert(BucketTable.props(dir).numBuckets == 4)
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 1L, 7.0)))
+    // and post-restore upserts route consistently with existing rows
+    BucketTable.upsertInto(spark, dir, rows(("k7", 2L, 70.0)))
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 2L, 70.0)))
+    assert(contents(dir).size == 40)
+  }
+
   test("rescale splits buckets locally: contents, routing, and layout hold") {
     val dir = Files.createTempDirectory("rescale").toString + "/t"
     BucketTable.create(rows((1 to 60).map(i => (s"k$i", 1L, i.toDouble)): _*),

@@ -10,7 +10,10 @@ class CatalogSpec extends SparkSpec {
     Catalog.ensurePipelineTables(spark, base)
     Catalog.ensurePipelineTables(spark, base) // IF NOT EXISTS — no error
 
+    // temp views from other specs sharing the session also show up in
+    // SHOW TABLES — assert over the database's PERSISTED tables only
     val tables = spark.sql("SHOW TABLES IN pipeline_layer")
+      .filter("NOT isTemporary")
       .select("tableName").collect().map(_.getString(0)).toSet
     assert(tables == Set("target_table", "pipeline_log"))
 

@@ -76,6 +76,22 @@ class RecordIndexSpec extends SparkSpec {
     assert(entries.isEmpty)
   }
 
+  test("refresh reclaims crash debris at the next shard version") {
+    val dir = freshTable()
+    // simulate a writer that died between moveShards and the manifest
+    // write: populated v=next dirs exist but the manifest still points
+    // at v=0 — whichever shards the refresh touches must reclaim them
+    RecordIndex.shardVersions(dir).keys.foreach { shard =>
+      val debris = Paths.get(s"$dir/_rli/s=$shard/v=1")
+      Files.createDirectories(debris)
+      Files.writeString(debris.resolve("junk.parquet"), "not parquet")
+    }
+    BloomTable.upsertInto(spark, dir, rows((7L, 2L, 70.0)))
+    val touched = RecordIndex.refresh(spark, dir)
+    assert(touched.nonEmpty, "refresh must proceed over the debris")
+    assert(one(RecordIndex.lookup(spark, dir, Seq(7L))) == (7L, 2L, 70.0))
+  }
+
   test("index layout is bounded: shard files versioned, old versions cleaned") {
     val dir = freshTable()
     BloomTable.upsertInto(spark, dir, rows((1 to 40).map(i => (i.toLong, 2L, -i.toDouble)): _*))

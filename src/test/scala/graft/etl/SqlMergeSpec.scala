@@ -103,6 +103,17 @@ class SqlMergeSpec extends SparkSpec {
     assert(contents(t).head == ((1L, 10L, 0.0)))
   }
 
+  test("UPDATE resolves SET targets case-insensitively, rejects unknowns") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    SqlMerge.exec(spark, s"UPDATE $t SET V = 5.0 WHERE K = 1")
+    assert(contents(t) == Seq((1L, 10L, 5.0)))
+    val e = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark, s"UPDATE $t SET valu = 0 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("valu"))
+    assert(contents(t) == Seq((1L, 10L, 5.0)), "failed UPDATE must not write")
+  }
+
   test("unsupported clause shapes fail loudly, table untouched") {
     val t = freshTable(Seq((1L, 10L, 1.0)))
     Seq((1L, 20L, 11.0)).toDF("k", "pc", "v")
