@@ -665,7 +665,31 @@ object IvfIndex {
     val e = Tables.embeddings(spark, sfDir)
     val centroids = e.filter(col("vec_id") < K)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    val ac = assign(e, centroids)
+    semDedupRule(assign(e, centroids), centroids)
+  }
+
+  /** `dd_semdedup_prod` — [[semDedupFixed]] over the COMMITTED
+    * Lloyd-trained index (`ensureIndex`: corpus-adaptive K ≈ √n cells,
+    * read back, never rebuilt per query): the production regime, where
+    * per-cell pairwise work is bounded at ~n per cell by the √n cell
+    * sizing. no_oracle (trained centroids don't replay in SQL);
+    * `dd_semdedup` is the hash-checked twin of the identical survivor
+    * rule.
+    */
+  def semDedupProd(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val (assigned, centroids) = ensureIndex(spark, sfDir)
+    semDedupRule(assigned, centroids)
+  }
+
+  /** The SemDeDup survivor rule over an assignment: drop every vector
+    * with a τ-similar cell-mate LESS similar to the centroid (ties by
+    * lower vec_id) — shared verbatim by the fixed-codebook oracle
+    * query and the committed-index production twin.
+    */
+  private def semDedupRule(assigned: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val ac = assigned
       .join(broadcast(centroids), Seq("centroid_id"))
       .select(col("centroid_id"), col("vec_id"), col("embedding"),
         round(cos("embedding", "centroid"), 4).as("c_sim"))
@@ -750,7 +774,8 @@ object IvfIndex {
     "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)),
     "dd_embed_neardup_ivf" -> (nearDupCellsAdaptive(_, _)),
     "dd_embed_neardup_ivf_fixed" -> (nearDupCellsFixed(_, _)),
-    "dd_semdedup" -> (semDedupFixed(_, _)))
+    "dd_semdedup" -> (semDedupFixed(_, _)),
+    "dd_semdedup_prod" -> (semDedupProd(_, _)))
 
   /** The centroid-codebook CTE both oracle families share: the fixed
     * form pins `vec_id < K`; the adaptive form computes K ≈ √n from

@@ -343,4 +343,15 @@ class IvfIndexSpec extends SparkSpec {
     } yield x._1).toSet
     assert(kept == ac.map(_._1).toSet -- expectDropped)
   }
+
+  test("semdedup over the committed index applies the same rule shape") {
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    val kept = IvfIndex.semDedupProd(spark, sf0001)
+    val ids = kept.select("vec_id").collect().map(_.getLong(0))
+    // a pruned corpus: unique survivors, strictly fewer than the corpus
+    assert(ids.distinct.length == ids.length)
+    assert(ids.nonEmpty && ids.length < n)
+    // every survivor carries its cell + centrality for downstream audit
+    assert(kept.columns.toSeq == Seq("vec_id", "centroid_id", "c_sim"))
+  }
 }
