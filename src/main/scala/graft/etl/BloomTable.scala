@@ -189,6 +189,17 @@ object BloomTable {
     abs.stripPrefix(base).stripPrefix("/")
   }
 
+  /** A file-path list as a one-column DataFrame for manifest
+    * semi/anti-joins: at 10⁵–10⁶ live files an `isin(paths: _*)`
+    * In-list would inflate every plan with that many literal nodes
+    * (driver-side analysis/codegen blowup); a broadcast join against a
+    * local relation keeps the plan O(1) whatever the manifest size.
+    */
+  private def fileDf(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    paths.toDF("file")
+  }
+
   /** Write `df` key-range clustered into `files` files under `c=N/`:
     * range partitioning by the leading key keeps per-file [key_min,
     * key_max] tight and non-overlapping, which is what gives the range
@@ -287,7 +298,7 @@ object BloomTable {
       p: Props): DataFrame = {
     val live = absFiles(tablePath, manifest(tablePath))
     val idx = readIndex(spark, tablePath)
-      .filter(col("file").isin(live: _*))
+      .join(broadcast(fileDf(spark, live)), Seq("file"), "left_semi")
     val indexed = idx.select("file").collect().map(_.getString(0)).toSet
     val missing = live.filterNot(indexed)
     if (missing.isEmpty) idx
@@ -348,8 +359,10 @@ object BloomTable {
       math.max(1, touched.size))
     val newManifest = (manifest(tablePath).toSet -- touched) ++ written
     writeManifest(tablePath, newManifest.toSeq)
-    val keptIdx = idx
-      .filter(!col("file").isin(absFiles(tablePath, touched): _*))
+    val keptIdx =
+      if (touched.isEmpty) idx
+      else idx.join(broadcast(fileDf(spark, absFiles(tablePath, touched))),
+        Seq("file"), "left_anti")
     writeIndex(tablePath,
       keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
@@ -388,8 +401,9 @@ object BloomTable {
       else writeCommit(remaining, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
       ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
-    val keptIdx = idx
-      .filter(!col("file").isin(absFiles(tablePath, touched): _*))
+    val keptIdx = idx.join(
+      broadcast(fileDf(spark, absFiles(tablePath, touched))),
+      Seq("file"), "left_anti")
     val nextIdx =
       if (written.isEmpty) keptIdx
       else keptIdx.unionByName(

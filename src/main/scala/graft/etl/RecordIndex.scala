@@ -38,6 +38,8 @@ import scala.jdk.CollectionConverters._
   */
 object RecordIndex {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def rliDir(t: String): Path = Paths.get(t, "_rli")
   private def propsPath(t: String): Path = rliDir(t).resolve("_props")
   private def manifestPath(t: String): Path = rliDir(t).resolve("_manifest")
@@ -103,7 +105,18 @@ object RecordIndex {
     * hash-sharded write. O(records) once; [[refresh]] keeps it current
     * incrementally from then on.
     */
-  def build(spark: SparkSession, tablePath: String, numShards: Int = 16): Unit = {
+  def build(spark: SparkSession, tablePath: String, numShards: Int = 16): Unit =
+    // same single-writer discipline as the table formats this indexes
+    // (BloomTable/BucketTable/MorTable all mutate under the table
+    // lock): two concurrent builds/refreshes would compute the same
+    // v=next per shard and moveShards' debris reclaim could delete the
+    // other writer's just-published shard dir after the manifest
+    // references it
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs)(
+      buildLocked(spark, tablePath, numShards))
+
+  private def buildLocked(spark: SparkSession, tablePath: String,
+      numShards: Int): Unit = {
     require(!exists(tablePath), s"record index already exists at $tablePath")
     val p = BloomTable.props(tablePath)
     val live = BloomTable.manifest(tablePath)
@@ -167,7 +180,24 @@ object RecordIndex {
     * fallback. Returns the shard ids rewritten.
     */
   def refresh(spark: SparkSession, tablePath: String,
-      staleKeys: Option[DataFrame] = None): Seq[Int] = {
+      staleKeys: Option[DataFrame] = None): Seq[Int] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs)(
+      refreshLocked(spark, tablePath, staleKeys))
+
+  /** Refresh batches above this many keys lose the broadcast hint on
+    * the anti-join sides (plain shuffle join instead): a caller that
+    * refreshes after a table-wide upsert would otherwise ship the
+    * whole key set through the driver and blow the broadcast memory
+    * limit mid-flight. Past this size a rebuild is usually cheaper —
+    * logged, not forced.
+    */
+  private val BroadcastKeyLimit = 1000000L
+
+  private def maybeBroadcast(df: DataFrame, keyCount: Long): DataFrame =
+    if (keyCount <= BroadcastKeyLimit) broadcast(df) else df
+
+  private def refreshLocked(spark: SparkSession, tablePath: String,
+      staleKeys: Option[DataFrame]): Seq[Int] = {
     val p = BloomTable.props(tablePath)
     val nShards = shards(tablePath)
     val live = BloomTable.manifest(tablePath).toSet
@@ -213,19 +243,38 @@ object RecordIndex {
           rliDir(tablePath).resolve(s"s=$shard").resolve(s"v=$v").toString)
           .withColumn("__s", lit(shard)))
     }.reduceOption(_.unionByName(_))
+    // counts are near-free here: both frames are cached and the
+    // `affected` collect above already materialized them
+    val newCount = newEntries.map(_.count()).getOrElse(0L)
+    val staleCount = staleSharded.map(_.count()).getOrElse(0L)
+    if (newCount > BroadcastKeyLimit)
+      logger.warn(s"RecordIndex.refresh at $tablePath folding $newCount " +
+        "new entries — past the broadcast threshold; a full rebuild is " +
+        "usually cheaper at this batch size")
+    // the live manifest joins as a broadcast local relation, never an
+    // In-list of path literals: at 10⁵–10⁶ files the literals would
+    // blow up plan analysis on the driver (same fix as
+    // BloomTable.reconcileIndex)
+    val liveDf = {
+      import spark.implicits._
+      liveRel.toDF("file")
+    }
     val keep = cur.map { c =>
-      // a refresh batch is small relative to the index — broadcast the
-      // anti-join sides so the shard rewrite is one map-side pass over
-      // the kept entries, no shuffle exchanges inside the write job
-      val liveOnly = c.filter(col("file").isin(liveRel: _*))
+      // a refresh batch is usually small relative to the index —
+      // broadcast the anti-join sides (under the size guard) so the
+      // shard rewrite is one map-side pass over the kept entries, no
+      // shuffle exchanges inside the write job
+      val liveOnly = c.join(broadcast(liveDf), Seq("file"), "left_semi")
       val minusNew = newEntries match {
         case Some(f) => liveOnly.join(
-          broadcast(f.select(p.keys.map(col): _*)), p.keys, "left_anti")
+          maybeBroadcast(f.select(p.keys.map(col): _*), newCount),
+          p.keys, "left_anti")
         case None => liveOnly
       }
       staleSharded match {
         case Some(s) => minusNew.join(
-          broadcast(s.select(p.keys.map(col): _*)), p.keys, "left_anti")
+          maybeBroadcast(s.select(p.keys.map(col): _*), staleCount),
+          p.keys, "left_anti")
         case None => minusNew
       }
     }

@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** Block until the shared listener bus has delivered all queued
+    * events — `QueryExecutionListener` callbacks are asynchronous, so a
+    * test asserting over captured plans must drain the bus first
+    * (`listenerBus` is `private[spark]`, hence bridged here).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
