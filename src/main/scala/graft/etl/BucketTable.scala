@@ -28,10 +28,13 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under `tablePath/`:
   *   - `gen=G/__bucket=B/`  bucket B's data as written by commit G
-  *   - `_manifest`          one `B G` line per bucket — the commit
-  *                          makes new generations visible by atomically
-  *                          replacing this file; dirs are immutable
-  *   - `_props`             keys / precombine / tieBreak / numBuckets
+  *   - `_manifest`          a `props numBuckets=… bucketBy=…` routing
+  *                          header plus one `B G` line per bucket — the
+  *                          commit makes new generations AND routing
+  *                          visible by atomically replacing this file;
+  *                          dirs are immutable
+  *   - `_props`             keys / precombine / tieBreak (authoritative)
+  *                          + a routing mirror of the manifest header
   *
   * Readers resolve the manifest once, then read each generation
   * directory filtered to the buckets still live in it. A failed writer
@@ -56,6 +59,16 @@ object BucketTable {
   /** Whether a bucket table has been created (committed) at `tablePath`. */
   def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
 
+  /** Table config. Keys / precombine / tieBreak come from `_props`
+    * (immutable after create); ROUTING (numBuckets / bucketBy) prefers
+    * the manifest's `props` header when present — the manifest is the
+    * single atomic commit point, so routing can never be observed out
+    * of step with the bucket→generation map it routes into (a crash
+    * between two separate file writes during [[rescale]] would
+    * otherwise durably leave lookups probing buckets the manifest
+    * doesn't have). Pre-header manifests (older tables) fall back to
+    * `_props`, which was authoritative when they were written.
+    */
   def props(tablePath: String): Props = {
     val m = Files.readAllLines(propsPath(tablePath)).asScala
       .map(_.split('=')).collect { case Array(k, v) => k -> v }.toMap
@@ -63,24 +76,49 @@ object BucketTable {
     // tables written before the bucketBy option default to hashing the
     // full record key (the only behavior that existed then)
     val by = m.getOrElse("bucketBy", "").split(',').toSeq.filter(_.nonEmpty)
-    Props(
+    val base = Props(
       keys,
       m("precombine"),
       m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty),
       m("numBuckets").toInt,
       if (by.isEmpty) keys else by)
+    manifestRouting(tablePath) match {
+      case Some((n, mby)) => base.copy(numBuckets = n,
+        bucketBy = if (mby.isEmpty) base.bucketBy else mby)
+      case None => base
+    }
+  }
+
+  private def manifestLines(tablePath: String): Seq[String] = {
+    val p = manifestPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+  }
+
+  /** (numBuckets, bucketBy) from the manifest's `props` header — same
+    * line format the savepoint files pin.
+    */
+  private def manifestRouting(tablePath: String): Option[(Int, Seq[String])] =
+    manifestLines(tablePath).find(_.startsWith("props ")).map(parseRouting)
+
+  private def parseRouting(line: String): (Int, Seq[String]) = {
+    val kv = line.drop(6).split(' ').map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    (kv("numBuckets").toInt,
+      kv.getOrElse("bucketBy", "").split(',').toSeq.filter(_.nonEmpty))
   }
 
   /** bucket → generation that last rewrote it. */
-  def manifest(tablePath: String): Map[Int, Long] = {
-    val p = manifestPath(tablePath)
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+  def manifest(tablePath: String): Map[Int, Long] =
+    manifestLines(tablePath).filterNot(_.startsWith("props ")).map { l =>
       val Array(b, g) = l.split(' '); b.toInt -> g.toLong
     }.toMap
-  }
 
-  /** Atomic `_props` write — shared by create / rescale / restore. */
+  /** Atomic `_props` write. Since routing moved into the manifest
+    * header this is a MIRROR for routing fields (kept in sync
+    * best-effort so the file stays a complete human-readable record);
+    * keys/precombine/tieBreak here remain authoritative.
+    */
   private def writeProps(tablePath: String, p: Props): Unit = {
     val tmp = Paths.get(tablePath, s"_props.tmp${System.nanoTime()}")
     Files.writeString(tmp,
@@ -92,10 +130,15 @@ object BucketTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def writeManifest(tablePath: String, m: Map[Int, Long]): Unit = {
+  /** One atomic rename commits BOTH the bucket→generation map and the
+    * routing that addresses it (the `props` header line).
+    */
+  private def writeManifest(tablePath: String, m: Map[Int, Long],
+      p: Props): Unit = {
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp,
-      m.toSeq.sorted.map { case (b, g) => s"$b $g" }.mkString("\n"),
+      (s"props numBuckets=${p.numBuckets} bucketBy=${p.bucketBy.mkString(",")}" +:
+        m.toSeq.sorted.map { case (b, g) => s"$b $g" }).mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -165,7 +208,7 @@ object BucketTable {
     val written = writeGen(
       withBucket(HudiLike.precombineLatest(df, keys, precombine, tieBreak), p),
       tablePath, 0L)
-    writeManifest(tablePath, written.map(_ -> 0L).toMap)
+    writeManifest(tablePath, written.map(_ -> 0L).toMap, p)
   }
 
   /** Read the live table (all buckets at their manifest generation).
@@ -238,7 +281,7 @@ object BucketTable {
       // recompute instead of carrying: upsert projects to the data
       // columns of both sides; bucket is a pure function of the keys
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
-    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p)
     written
   }
 
@@ -273,7 +316,7 @@ object BucketTable {
     val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
       val conflict = touched.exists(b => m1.get(b) != m0.get(b))
-      if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen))
+      if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen), p)
       !conflict
     }
     if (committed) Some(written)
@@ -390,7 +433,7 @@ object BucketTable {
     val gen = nextGen(tablePath)
     val written = writeGen(
       readBuckets(spark, tablePath, m.keySet), tablePath, gen)
-    writeManifest(tablePath, written.map(_ -> gen).toMap)
+    writeManifest(tablePath, written.map(_ -> gen).toMap, props(tablePath))
     gen
   }
 
@@ -410,12 +453,15 @@ object BucketTable {
     * [[compact]] re-levels, the same trade Hudi's clustering-based
     * resize makes.
     *
-    * Swap order under the table lock: data, then `_props`, then the
-    * manifest. Single-writer like [[compact]]; a concurrent LOOKUP
-    * racing the props/manifest swap window may transiently miss (the
-    * atomic-timeline fix Hudi uses is a versioned commit carrying both
-    * — out of scope for the POSIX layout, documented trade). Returns
-    * the new generation.
+    * Commit is ONE atomic manifest swing carrying both the new bucket
+    * map and the new routing (the manifest's `props` header) — a crash
+    * mid-rescale leaves the old routing + old map fully intact on
+    * disk, never numBuckets from one generation durably pointing at
+    * the map of another (the versioned-commit fix Hudi's atomic
+    * timeline uses). A concurrent reader that resolved routing just
+    * before the swing may transiently probe the old bucket id — the
+    * benign read-skew any non-snapshot reader has across commits.
+    * Returns the new generation.
     */
   def rescale(spark: SparkSession, tablePath: String, factor: Int): Long =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
@@ -439,8 +485,13 @@ object BucketTable {
           .toSeq.sorted
         finally s.close()
       }
+      // ONE atomic commit carries both the new routing (manifest props
+      // header) and the new bucket map — a crash can never durably
+      // leave numBuckets pointing at the old generation's layout.
+      // The `_props` mirror follows; losing it to a crash is harmless
+      // (props() prefers the manifest header).
+      writeManifest(tablePath, written.map(_ -> gen).toMap, np)
       writeProps(tablePath, np)
-      writeManifest(tablePath, written.map(_ -> gen).toMap)
       gen
     }
 
@@ -537,16 +588,18 @@ object BucketTable {
   def restoreSavepoint(tablePath: String, name: String): Unit = {
     val m = savepointManifest(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
-      // restore ROUTING first (a rescale after the savepoint changed
-      // numBuckets; the pinned manifest only makes sense under the
-      // pinned bucket count), then the manifest
-      savepointRouting(tablePath, name).foreach { case (n, by) =>
-        val cur = props(tablePath)
-        if (cur.numBuckets != n || cur.bucketBy != by)
-          writeProps(tablePath, cur.copy(numBuckets = n,
-            bucketBy = if (by.isEmpty) cur.bucketBy else by))
+      // the restored manifest carries the savepoint's ROUTING in its
+      // props header (a rescale after the savepoint changed numBuckets;
+      // the pinned manifest only makes sense under the pinned bucket
+      // count) — one atomic swing restores both together
+      val cur = props(tablePath)
+      val restored = savepointRouting(tablePath, name) match {
+        case Some((n, by)) => cur.copy(numBuckets = n,
+          bucketBy = if (by.isEmpty) cur.bucketBy else by)
+        case None => cur
       }
-      writeManifest(tablePath, m)
+      writeManifest(tablePath, m, restored)
+      writeProps(tablePath, restored)
     }
     ()
   }

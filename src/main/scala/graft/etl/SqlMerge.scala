@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{col, expr, lit, not, when}
 
 /** SQL `MERGE INTO` front door for graft-managed catalog tables — the
@@ -55,9 +55,19 @@ object SqlMerge {
     // DeleteFromTable's condition is non-optional (a bare DELETE
     // parses as WHERE true)
     val cond = render(d.condition)
-    val t = spark.table(target).alias(target.split('.').last)
+    val t = spark.table(target).alias(frameAlias(d.table, target))
     writeBack(spark, target, t.filter(not(cond) || cond.isNull))
   }
+
+  /** The name the statement's expressions qualify columns by: the
+    * user's alias when the target was written `DELETE FROM t x ...` /
+    * `UPDATE t AS u ...` (otherwise `x.v` would fail analysis with an
+    * unresolved-column error even though the statement parsed), the
+    * table's simple name when not aliased.
+    */
+  private def frameAlias(plan: LogicalPlan, target: String): String =
+    plan.collectFirst { case a: SubqueryAlias => a.alias }
+      .getOrElse(target.split('.').last)
 
   /** `UPDATE t SET c = e, ... WHERE pred` — a projected rewrite: each
     * assigned column becomes `CASE WHEN pred THEN e ELSE c END`,
@@ -66,7 +76,7 @@ object SqlMerge {
   private def updateParsed(spark: SparkSession, u: UpdateTable): Unit = {
     val target = tableName(u.table)
     val cond = u.condition.map(render).getOrElse(lit(true))
-    val t = spark.table(target).alias(target.split('.').last)
+    val t = spark.table(target).alias(frameAlias(u.table, target))
     // resolve each assignment target against the table's columns
     // CASE-INSENSITIVELY (Spark SQL's default resolution) and reject
     // unknown columns loudly — a silently dropped `SET typo = ...`

@@ -64,18 +64,23 @@ object Timeline {
     val next = latestVersion(tablePath).getOrElse(-1L) + 1
     val snapDir = Paths.get(tablePath, s"v=$next")
     df.write.mode("overwrite").parquet(snapDir.toString)
-    swingPointer(tablePath, next)
+    // instant BEFORE the pointer swing: a crash in between leaves an
+    // orphan instant for an uncommitted version (harmless — the retry
+    // of the same version REPLACEs it), never a committed-and-readable
+    // version permanently missing from history()/archive()
     recordInstant(df.sparkSession, tablePath, next, action)
+    swingPointer(tablePath, next)
     // hive-sync analog: tracked latest-version views re-point to v=next
     Catalog.syncViews(df.sparkSession, tablePath)
     next
   }
 
-  /** Write the instant metadata file for a just-committed version —
+  /** Write the instant metadata file for a version about to commit —
     * one small `<v>.commit` file on the ACTIVE timeline (Hudi's
-    * `.hoodie/<ts>.commit`), published by atomic rename after the
-    * pointer swing. The row count is read back from the snapshot's
-    * parquet footers (a metadata-only count job — no data scan).
+    * `.hoodie/<ts>.commit`), published by atomic rename BEFORE the
+    * pointer swing so a committed version can never be missing from
+    * history. The row count is read back from the snapshot's parquet
+    * footers (a metadata-only count job — no data scan).
     */
   private def recordInstant(spark: SparkSession, tablePath: String,
       version: Long, action: String): Unit = {
@@ -261,8 +266,10 @@ object Timeline {
         val next = base.getOrElse(-1L) + 1
         Files.move(staged, Paths.get(tablePath, s"v=$next"),
           StandardCopyOption.ATOMIC_MOVE)
-        swingPointer(tablePath, next)
+        // instant before the swing — same never-a-lost-instant ordering
+        // as [[commit]]
         recordInstant(spark, tablePath, next, "commit")
+        swingPointer(tablePath, next)
         Some(next)
       }
     }

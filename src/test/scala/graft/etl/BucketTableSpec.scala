@@ -331,4 +331,31 @@ class BucketTableSpec extends SparkSpec {
     assert(BucketTable.clean(dir).nonEmpty)
     assert(contents(dir).size == before.size + 1)
   }
+
+  test("routing commits atomically with the manifest: a lost _props mirror is harmless") {
+    val dir = Files.createTempDirectory("ratomic").toString + "/t"
+    BucketTable.create(rows((1 to 40).map(i => (s"k$i", 1L, i.toDouble)): _*),
+      dir, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.rescale(spark, dir, factor = 4)
+    // simulate a writer that died between the manifest swing (the
+    // commit) and the _props mirror write: revert the mirror to the
+    // pre-rescale routing
+    val propsFile = Paths.get(dir, "_props")
+    Files.writeString(propsFile,
+      Files.readString(propsFile).replace("numBuckets=16", "numBuckets=4"))
+    // routing must still resolve through the manifest's atomic header —
+    // lookups and upserts route mod 16, matching the committed map
+    assert(BucketTable.props(dir).numBuckets == 16)
+    val m = BucketTable.manifest(dir)
+    (1 to 40).map(i => s"k$i").foreach { k =>
+      assert(m.contains(BucketTable.bucketOf(spark, dir, Seq(k))),
+        s"$k routes outside the committed manifest under the stale mirror")
+    }
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 1L, 7.0)))
+    BucketTable.upsertInto(spark, dir, rows(("k7", 2L, 70.0)))
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 2L, 70.0)))
+    assert(contents(dir).size == 40)
+  }
 }

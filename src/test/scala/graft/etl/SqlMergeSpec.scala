@@ -103,6 +103,14 @@ class SqlMergeSpec extends SparkSpec {
     assert(contents(t).head == ((1L, 10L, 0.0)))
   }
 
+  test("DELETE and UPDATE honor a user-written target alias") {
+    val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)))
+    SqlMerge.exec(spark, s"DELETE FROM $t x WHERE x.v > 2.5")
+    assert(contents(t) == Seq((1L, 10L, 1.0), (2L, 10L, 2.0)))
+    SqlMerge.exec(spark, s"UPDATE $t AS u SET v = u.v + 1 WHERE u.k = 1")
+    assert(contents(t) == Seq((1L, 10L, 2.0), (2L, 10L, 2.0)))
+  }
+
   test("UPDATE resolves SET targets case-insensitively, rejects unknowns") {
     val t = freshTable(Seq((1L, 10L, 1.0)))
     SqlMerge.exec(spark, s"UPDATE $t SET V = 5.0 WHERE K = 1")
