@@ -412,6 +412,100 @@ object BloomTable {
     touched
   }
 
+  /** Rewrite the candidate region `keyRows`' keys tag to (range ∩
+    * bloom, exactly like an upsert) through `transform` — the
+    * conditional-MERGE route for bloom-layout tables: the transform
+    * sees the candidate files' full current rows and returns their
+    * replacement, which may also carry NEW keys (inserted rows land in
+    * the rewritten region's fresh files). Keys the bloom proves absent
+    * cost nothing on the read side. Returns the relative paths of the
+    * files rewritten.
+    */
+  def rewriteKeys(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame)(transform: DataFrame => DataFrame): Seq[String] =
+    withTableLock(tablePath)(
+      rewriteKeysLocked(spark, tablePath, keyRows, transform))
+
+  private def rewriteKeysLocked(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame, transform: DataFrame => DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val keyRel = keyRows.select(p.keys.map(col): _*)
+      .distinct().localCheckpoint()
+    if (keyRel.isEmpty) Seq.empty
+    else {
+      val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
+      val touched = candidateFiles(tablePath, keyRel, idx, p)
+      val existing =
+        if (touched.isEmpty) read(spark, tablePath).limit(0)
+        else readFiles(spark, tablePath, touched)
+      val next = transform(existing).localCheckpoint()
+      val commit = nextCommit(tablePath)
+      val written =
+        if (next.isEmpty) Seq.empty
+        else writeCommit(next, tablePath, commit, p, math.max(1, touched.size))
+      writeManifest(tablePath,
+        ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
+      val keptIdx =
+        if (touched.isEmpty) idx
+        else idx.join(broadcast(fileDf(spark, absFiles(tablePath, touched))),
+          Seq("file"), "left_anti")
+      val nextIdx =
+        if (written.isEmpty) keptIdx
+        else keptIdx.unionByName(
+          indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
+      writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
+      touched
+    }
+  }
+
+  /** Targeted rewrite of the rows a predicate selects: ONE
+    * column-pruned discovery scan (predicate columns + file
+    * provenance) finds the files holding matching rows; ONLY those
+    * files are read in full, pushed through `transform`, and rewritten
+    * as a new commit — the SQL UPDATE/DELETE route for bloom-layout
+    * tables. Files the predicate provably misses are never read twice
+    * nor written. Returns the relative paths of the rewritten files.
+    */
+  def rewriteWhere(spark: SparkSession, tablePath: String,
+      pred: Column)(transform: DataFrame => DataFrame): Seq[String] =
+    withTableLock(tablePath)(rewriteWhereLocked(spark, tablePath, pred,
+      transform))
+
+  private def rewriteWhereLocked(spark: SparkSession, tablePath: String,
+      pred: Column, transform: DataFrame => DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val live = manifest(tablePath)
+    if (live.isEmpty) return Seq.empty
+    // reconcile against the PRE-rewrite manifest, reused for the index
+    // update below (same shape as the delete path)
+    val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
+    val touched = live.groupBy(_.takeWhile(_ != '/')).values.map { fs =>
+      spark.read.parquet(absFiles(tablePath, fs.toSeq): _*)
+        .withColumn("__fp",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(pred).select("__fp").distinct()
+      .collect().map(r => relFile(tablePath, r.getString(0))).toSeq.sorted
+    if (touched.isEmpty) return Seq.empty
+    val next = transform(readFiles(spark, tablePath, touched))
+      .localCheckpoint()
+    val commit = nextCommit(tablePath)
+    val written =
+      if (next.isEmpty) Seq.empty
+      else writeCommit(next, tablePath, commit, p, touched.size)
+    writeManifest(tablePath,
+      ((live.toSet -- touched) ++ written).toSeq)
+    val keptIdx = idx.join(
+      broadcast(fileDf(spark, absFiles(tablePath, touched))),
+      Seq("file"), "left_anti")
+    val nextIdx =
+      if (written.isEmpty) keptIdx
+      else keptIdx.unionByName(
+        indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
+    writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
+    touched
+  }
+
   /** Point lookup by full key: probe the index, read only candidate
     * files (usually one: ranges are non-overlapping per commit and the
     * bloom kills false range matches across commits), filter exact.

@@ -417,6 +417,108 @@ object BucketTable {
       .join(broadcast(wanted), p.keys, "leftsemi")
   }
 
+  /** Rewrite ONLY `touched` buckets: read their current rows, apply
+    * `transform` (which sees just those buckets' rows, bucket column
+    * dropped), re-bucket the result, and write it as a fresh
+    * generation in one partitioned job. A bucket `transform` emptied
+    * entirely is dropped from the manifest (no dir written = no
+    * entry). The shared core under every targeted DML — delete /
+    * update / conditional merge all cost O(touched fraction of table),
+    * never O(table). Caller holds the table lock.
+    */
+  private def rewriteTouchedLocked(spark: SparkSession, tablePath: String,
+      touched: Set[Int], p: Props)(
+      transform: DataFrame => DataFrame): Seq[Int] = {
+    if (touched.isEmpty) return Seq.empty
+    val committed = manifest(tablePath)
+    require(committed.nonEmpty,
+      s"no committed data at $tablePath — targeted DML needs an existing " +
+        "table (create/upsertInto first)")
+    // a touched bucket with no manifest entry is currently EMPTY — the
+    // transform may still WRITE into it (a MERGE inserting keys that
+    // hash there), it just has nothing to read
+    val liveTouched = touched.intersect(committed.keySet)
+    val gen = nextGen(tablePath)
+    val current =
+      if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
+      else readBuckets(spark, tablePath, liveTouched).drop(BucketCol)
+    // localCheckpoint decouples the result from the files about to be
+    // superseded, same discipline as every other rewrite path
+    val next = transform(current).localCheckpoint()
+    val written = writeGen(withBucket(next, p), tablePath, gen)
+    // the transform must not re-route rows out of the touched region
+    // (assignments to key columns are rejected upstream): a row landing
+    // in an untouched bucket would duplicate its key there
+    require(written.toSet.subsetOf(touched),
+      s"targeted rewrite produced rows outside its touched buckets " +
+        s"(${written.toSet -- touched}) — transform changed key columns?")
+    // emptied buckets leave the manifest
+    writeManifest(tablePath,
+      (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen), p)
+    written
+  }
+
+  /** Row-level delete by key (the route Hudi's `delete` operation
+    * takes on a bucket-indexed table): hash the keys to
+    * their buckets, rewrite ONLY those buckets minus the deleted keys.
+    * Keys absent from the table cost only their bucket's rewrite
+    * membership check. Returns the bucket ids rewritten.
+    */
+  def deleteFrom(spark: SparkSession, tablePath: String,
+      keysToDelete: DataFrame): Seq[Int] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val p = props(tablePath)
+      val keyRel = keysToDelete.select(p.keys.map(col): _*)
+        .distinct().localCheckpoint()
+      if (keyRel.isEmpty) Seq.empty
+      else {
+        val touched = withBucket(keyRel, p).select(BucketCol)
+          .distinct().collect().map(_.getInt(0)).toSet
+        rewriteTouchedLocked(spark, tablePath, touched, p)(
+          _.join(broadcast(keyRel), p.keys, "left_anti"))
+      }
+    }
+
+  /** Targeted rewrite of the rows a predicate selects: ONE scan of the
+    * predicate columns finds the buckets holding matching rows, then
+    * only those buckets are rewritten through `transform` (the SQL
+    * UPDATE/DELETE route for bucket-layout tables). The discovery scan
+    * is column-pruned and read-only; the rewrite — the expensive half —
+    * stays O(touched). `transform` must preserve each row's key
+    * columns (re-routing would split keys across buckets). Returns the
+    * bucket ids rewritten.
+    */
+  def rewriteWhere(spark: SparkSession, tablePath: String,
+      pred: org.apache.spark.sql.Column)(
+      transform: DataFrame => DataFrame): Seq[Int] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val p = props(tablePath)
+      val m = manifest(tablePath)
+      if (m.isEmpty) Seq.empty
+      else {
+        val touched = readBuckets(spark, tablePath, m.keySet)
+          .filter(pred).select(BucketCol)
+          .distinct().collect().map(_.getInt(0)).toSet
+        rewriteTouchedLocked(spark, tablePath, touched, p)(transform)
+      }
+    }
+
+  /** Rewrite the buckets `keyRows`' keys hash into through `transform`
+    * — the conditional-MERGE route: the transform sees the touched
+    * buckets' full current rows (matched and unmatched alike) and
+    * returns their replacement. Returns the bucket ids rewritten.
+    */
+  def rewriteKeys(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame)(transform: DataFrame => DataFrame): Seq[Int] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val p = props(tablePath)
+      val wanted = keyRows.select(p.keys.map(col): _*).distinct()
+        .localCheckpoint()
+      val touched = withBucket(wanted, p).select(BucketCol)
+        .distinct().collect().map(_.getInt(0)).toSet
+      rewriteTouchedLocked(spark, tablePath, touched, p)(transform)
+    }
+
   /** Rewrite every live bucket at one fresh generation and point the
     * whole manifest at it. Each upsert leaves its touched buckets at a
     * new generation, so a long-lived table's manifest fans out over

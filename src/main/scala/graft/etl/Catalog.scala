@@ -158,11 +158,96 @@ object Catalog {
     */
   def upsertConfigFull(spark: SparkSession,
       table: String): (Seq[String], String, Seq[String]) = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = tblProps(spark, table)
     (props("graft.table.primaryKey").split(",").map(_.trim).toSeq,
       props("graft.table.preCombineField"),
       props.getOrElse("graft.table.tieBreak", "").split(",")
         .map(_.trim).filter(_.nonEmpty).toSeq)
   }
+
+  private def tblProps(spark: SparkSession, table: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  // ---- layout-backed tables -------------------------------------------
+  // Hudi registers its tables in the metastore so SQL DML routes to the
+  // table's OWN storage layout (file groups + index), not a naive
+  // whole-table rewrite. The analog here: a catalog entry whose
+  // `graft.table.layout`/`graft.table.path` TBLPROPERTIES bind it to an
+  // engine-managed BucketTable or BloomTable — SqlMerge dispatches
+  // MERGE/UPDATE/DELETE to that layout's targeted rewrites, and reads
+  // go through [[readTable]].
+
+  /** `Some((kind, path))` when `table` is bound to an engine-managed
+    * layout (`kind` ∈ bucket | bloom), None for plain parquet tables.
+    */
+  def layoutOf(spark: SparkSession, table: String): Option[(String, String)] = {
+    val props = tblProps(spark, table)
+    for {
+      kind <- props.get("graft.table.layout")
+      path <- props.get("graft.table.path")
+    } yield (kind, path)
+  }
+
+  /** Secondary-index binding declared on the table:
+    * `graft.table.secondaryIndex = 'col1,col2:indexPath'` → the
+    * indexed columns and the index table's path. The DML front door
+    * consults it to resolve equality predicates on the indexed columns
+    * into primary keys WITHOUT a table scan.
+    */
+  def secondaryIndexOf(spark: SparkSession,
+      table: String): Option[(Seq[String], String)] =
+    tblProps(spark, table).get("graft.table.secondaryIndex").map { v =>
+      val Array(cols, path) = v.split(":", 2)
+      (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, path)
+    }
+
+  /** Register a catalog entry bound to an engine-managed layout at
+    * `path` (already created via `BucketTable.create` /
+    * `BloomTable.create`). The entry carries the layout's schema and
+    * key/precombine config as TBLPROPERTIES; its LOCATION points at an
+    * empty stub directory so an accidental direct `spark.table` read
+    * returns zero rows instead of silently unioning every superseded
+    * generation — layout-aware reads go through [[readTable]].
+    */
+  def registerLayoutTable(spark: SparkSession, name: String, kind: String,
+      path: String, secondaryIndex: Option[(Seq[String], String)] = None): Unit = {
+    val (schema, keys, precombine, tieBreak) = kind match {
+      case "bucket" =>
+        val p = BucketTable.props(path)
+        (BucketTable.read(spark, path).schema, p.keys, p.precombine, p.tieBreak)
+      case "bloom" =>
+        val p = BloomTable.props(path)
+        (BloomTable.read(spark, path).schema, p.keys, p.precombine, p.tieBreak)
+      case other => throw new IllegalArgumentException(
+        s"unknown layout kind '$other' (expected bucket | bloom)")
+    }
+    val stub = Paths.get(path, "_catalog_stub")
+    java.nio.file.Files.createDirectories(stub)
+    val secProp = secondaryIndex.map { case (cols, idxPath) =>
+      s",\n  'graft.table.secondaryIndex' = '${cols.mkString(",")}:$idxPath'"
+    }.getOrElse("")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name (${schema.toDDL})
+         |USING PARQUET LOCATION '$stub'
+         |TBLPROPERTIES (
+         |  'graft.table.layout' = '$kind',
+         |  'graft.table.path' = '$path',
+         |  'graft.table.primaryKey' = '${keys.mkString(",")}',
+         |  'graft.table.preCombineField' = '$precombine',
+         |  'graft.table.tieBreak' = '${tieBreak.mkString(",")}'$secProp)""".stripMargin)
+  }
+
+  /** Layout-aware table read: the layout's manifest-resolved snapshot
+    * for bound tables, the plain catalog read otherwise.
+    */
+  def readTable(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame =
+    layoutOf(spark, table) match {
+      case Some(("bucket", path)) => BucketTable.read(spark, path)
+      case Some(("bloom", path)) => BloomTable.read(spark, path)
+      case Some((other, _)) => throw new IllegalArgumentException(
+        s"unknown layout kind '$other' on $table")
+      case None => spark.table(table)
+    }
 }

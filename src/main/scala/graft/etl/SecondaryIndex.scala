@@ -90,11 +90,37 @@ object SecondaryIndex {
     * whole construction.
     */
   def lookup(spark: SparkSession, primaryPath: String, indexPath: String,
+      secValues: Seq[Any]): DataFrame =
+    BucketTable.lookupMany(spark, primaryPath,
+      lookupKeys(spark, primaryPath, indexPath, secValues))
+
+  /** The index half of [[lookup]]: live primary keys currently mapped
+    * to the secondary value — one index-bucket read, no primary-table
+    * access. The SQL DML route uses this to turn an equality predicate
+    * on indexed columns into a key set without any table scan.
+    */
+  def lookupKeys(spark: SparkSession, primaryPath: String, indexPath: String,
       secValues: Seq[Any]): DataFrame = {
     val p = BucketTable.props(primaryPath)
-    val keys = BucketTable.lookup(spark, indexPath, secValues)
+    BucketTable.lookup(spark, indexPath, secValues)
       .filter(col(Live))
       .select(p.keys.map(col): _*)
-    BucketTable.lookupMany(spark, primaryPath, keys)
+  }
+
+  /** Tombstone the index mappings `(secValues, key ∈ keys)` — the
+    * maintenance half of a routed DELETE: the deleted keys' entries
+    * flip to `__live = false` so later lookups skip them at the index,
+    * not by probing the primary for rows that no longer exist.
+    */
+  def tombstone(spark: SparkSession, primaryPath: String, indexPath: String,
+      secValues: Seq[Any], keys: DataFrame): Unit = {
+    val p = BucketTable.props(primaryPath)
+    val secCols = BucketTable.props(indexPath).bucketBy
+    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    val dead = secCols.zip(secValues).foldLeft(keys.select(p.keys.map(col): _*)) {
+      case (df, (c, v)) => df.withColumn(c, lit(v))
+    }.withColumn(Live, lit(false)).withColumn(Commit, lit(commit))
+    BucketTable.upsertInto(spark, indexPath, dead)
+    ()
   }
 }

@@ -1,35 +1,56 @@
 package graft.etl
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
-import org.apache.spark.sql.functions.{col, expr, lit, not, when}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.functions.{col, lit, not, when}
 
-/** SQL `MERGE INTO` front door for graft-managed catalog tables — the
-  * statement the reference's users write against Hudi's Spark SQL
-  * surface (`MERGE INTO target USING source ON ... WHEN MATCHED THEN
-  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`), re-expressed without
-  * a DSv2 row-level-operation implementation: the statement is parsed
-  * by SPARK'S OWN parser (so syntax, aliasing, and subquery sources are
-  * exactly Spark SQL), the parsed [[MergeIntoTable]] is validated
-  * against the canonical upsert shape, and execution is the same keyed
-  * precombine upsert every other write path uses — which is precisely
-  * what Hudi's MERGE INTO does when the table carries a precombine
-  * field (latest-wins on the precombine, batch pre-deduped per key,
-  * rather than ANSI MERGE's multiple-source-rows error).
+/** SQL DML front door for graft-managed catalog tables — the
+  * statements the reference's users write against Hudi's Spark SQL
+  * surface (`MERGE INTO`, `UPDATE`, `DELETE FROM`), re-expressed
+  * without a DSv2 row-level-operation implementation: each statement
+  * is parsed by SPARK'S OWN parser (so syntax, aliasing, and subquery
+  * sources are exactly Spark SQL), validated, and executed as the
+  * engine's own rewrite.
   *
-  * Supported shapes (everything else fails loudly, naming what it saw):
+  * EXECUTION ROUTING (the piece that matters at 100 TB): a catalog
+  * table bound to an engine layout via `graft.table.layout` /
+  * `graft.table.path` TBLPROPERTIES ([[Catalog.registerLayoutTable]])
+  * dispatches to that layout's TARGETED rewrites —
+  * [[BucketTable]].upsertInto/deleteFrom/rewriteWhere/rewriteKeys or
+  * [[BloomTable]]'s equivalents — so a keyed MERGE rewrites only the
+  * touched buckets / candidate files, a predicate DELETE rewrites only
+  * the files holding matching rows, and an equality DELETE on a
+  * secondary-indexed column resolves its keys through
+  * [[SecondaryIndex]] with NO table scan at all. Plain parquet catalog
+  * tables keep the whole-table `INSERT OVERWRITE` path (there is no
+  * finer rewrite unit without a layout).
+  *
+  * MERGE shapes:
   *   - `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *     → keyed upsert
-  *   - `WHEN MATCHED THEN DELETE` (no other clauses) → keyed delete
-  *     (left-anti against the source's keys)
+  *     (both unconditional) → the keyed precombine upsert, exactly
+  *     Hudi's MERGE INTO on a table with a precombine field
+  *     (latest-wins on the precombine, batch pre-deduped per key,
+  *     rather than ANSI MERGE's multiple-source-rows error)
+  *   - `WHEN MATCHED THEN DELETE` alone (unconditional) → keyed delete
+  *   - conditional / explicit-assignment actions (`WHEN MATCHED AND
+  *     pred THEN UPDATE SET c = e, …`, `WHEN MATCHED [AND pred] THEN
+  *     DELETE`, `WHEN NOT MATCHED [AND pred] THEN INSERT (cols)
+  *     VALUES (…)`, `INSERT *` / `UPDATE SET *` with conditions, in
+  *     any combination) → ANSI semantics: actions are tried in
+  *     statement order per row, the first whose condition holds
+  *     applies, a matched row no action claims is kept. The source is
+  *     pre-deduped per key by the precombine when it carries that
+  *     column (Hudi's dedupe; write `AND s.ts > t.ts` for
+  *     newer-only updates).
+  *   - `WHEN NOT MATCHED BY SOURCE` is not supported (fails loudly).
   *
   * The ON condition must be the key-equality conjunction over exactly
-  * the table's `graft.table.primaryKey` columns. The table keeps its
-  * declared schema (SQL MERGE never widens it; schema evolution is the
-  * API path's job), and the rewrite goes through `INSERT OVERWRITE` so
-  * table metadata (TBLPROPERTIES) survives.
+  * the table's primary-key columns. Tables keep their declared schema
+  * (SQL MERGE never widens it; schema evolution is the API path's
+  * job).
   */
 object SqlMerge {
 
@@ -46,18 +67,23 @@ object SqlMerge {
         s"unsupported DML: ${other.getClass.getSimpleName}")
     }
 
-  /** `DELETE FROM t WHERE pred` — a filtered rewrite: survivors are
-    * the rows the predicate does NOT select (three-valued: a NULL
-    * predicate row is not deleted, exactly SQL's DELETE semantics).
+  def merge(spark: SparkSession, sqlText: String): Unit =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable => mergeParsed(spark, m)
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a MERGE statement: ${other.getClass.getSimpleName}")
+    }
+
+  // ---- expression plumbing --------------------------------------------
+
+  /** Parsed Catalyst expression → Column, resolved later against
+    * whatever frame it is applied to. No `.sql` round-trip — literals
+    * and functions survive verbatim (Bridge wraps the sql-private
+    * constructor).
     */
-  private def deleteParsed(spark: SparkSession, d: DeleteFromTable): Unit = {
-    val target = tableName(d.table)
-    // DeleteFromTable's condition is non-optional (a bare DELETE
-    // parses as WHERE true)
-    val cond = render(d.condition)
-    val t = spark.table(target).alias(frameAlias(d.table, target))
-    writeBack(spark, target, t.filter(not(cond) || cond.isNull))
-  }
+  private def render(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(e)
 
   /** The name the statement's expressions qualify columns by: the
     * user's alias when the target was written `DELETE FROM t x ...` /
@@ -69,103 +95,27 @@ object SqlMerge {
     plan.collectFirst { case a: SubqueryAlias => a.alias }
       .getOrElse(target.split('.').last)
 
-  /** `UPDATE t SET c = e, ... WHERE pred` — a projected rewrite: each
-    * assigned column becomes `CASE WHEN pred THEN e ELSE c END`,
-    * unassigned columns pass through.
+  /** Strip the frame qualifier from every column reference (`x.v` →
+    * `v` when the frame is known as `x`): the layout rewrites apply
+    * predicates to UNALIASED internal frames, where a qualified
+    * reference would fail resolution. An unknown qualifier stays and
+    * fails analysis loudly with Spark's own error.
     */
-  private def updateParsed(spark: SparkSession, u: UpdateTable): Unit = {
-    val target = tableName(u.table)
-    val cond = u.condition.map(render).getOrElse(lit(true))
-    val t = spark.table(target).alias(frameAlias(u.table, target))
-    // resolve each assignment target against the table's columns
-    // CASE-INSENSITIVELY (Spark SQL's default resolution) and reject
-    // unknown columns loudly — a silently dropped `SET typo = ...`
-    // would make the whole statement a no-op
-    val byLower = t.columns.map(c => c.toLowerCase -> c).toMap
-    val assigned = u.assignments.map { a =>
-      val written = a.key match {
-        case attr: UnresolvedAttribute => attr.nameParts.last
-        case other => throw new IllegalArgumentException(
-          s"unsupported assignment target: ${other.sql}")
-      }
-      val resolved = byLower.getOrElse(written.toLowerCase,
-        throw new IllegalArgumentException(
-          s"UPDATE $target: no such column '$written' " +
-            s"(columns: ${t.columns.mkString(", ")})"))
-      resolved -> render(a.value)
-    }.toMap
-    val projected = t.select(t.columns.toSeq.map { c =>
-      assigned.get(c) match {
-        case Some(v) => when(cond, v).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }: _*)
-    writeBack(spark, target, projected)
-  }
-
-  /** Parsed-but-unresolved expression → Column, by round-tripping the
-    * generated SQL through `expr` — the expression resolves against
-    * the target table aliased under its own simple name, so both bare
-    * and table-qualified column references work.
-    */
-  private def render(e: Expression): org.apache.spark.sql.Column = expr(e.sql)
-
-  def merge(spark: SparkSession, sqlText: String): Unit =
-    spark.sessionState.sqlParser.parsePlan(sqlText) match {
-      case m: MergeIntoTable => mergeParsed(spark, m)
-      case other =>
-        throw new IllegalArgumentException(
-          s"not a MERGE statement: ${other.getClass.getSimpleName}")
-    }
-
-  private def mergeParsed(spark: SparkSession, m: MergeIntoTable): Unit = {
-    val target = tableName(m.targetTable)
-        val (keys, precombine, tieBreak) = Catalog.upsertConfigFull(spark, target)
-        val condKeys = keyEqualities(m.mergeCondition)
-        require(condKeys.map(_._1).toSet == keys.toSet &&
-          condKeys.forall { case (a, b) => a == b },
-          s"ON must equate exactly the primary key columns ${keys.mkString(",")}; " +
-            s"got ${condKeys.map { case (a, b) => s"$a=$b" }.mkString(" AND ")}")
-        val source = graftbridgeOfRows(spark, m.sourceTable)
-        val existing = spark.table(target)
-        val cols = existing.columns.toSeq
-        (m.matchedActions, m.notMatchedActions) match {
-          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-            writeBack(spark, target,
-              HudiLike.upsert(existing, source.select(cols.map(col): _*),
-                keys, precombine, tieBreak).select(cols.map(col): _*))
-          case (Seq(DeleteAction(None)), Seq()) =>
-            writeBack(spark, target,
-              existing.join(source.select(keys.map(col): _*).distinct(),
-                keys, "left_anti"))
-          case (matched, notMatched) =>
-            throw new IllegalArgumentException(
-              "unsupported MERGE shape: expected UPDATE SET * + INSERT * " +
-                s"or bare DELETE; got matched=$matched notMatched=$notMatched")
-        }
-  }
-
-  /** The merged state replaces the table contents in place:
-    * localCheckpoint decouples the plan from the files INSERT OVERWRITE
-    * is about to replace (the same discipline as `HudiLike.upsertInto`).
-    */
-  private def writeBack(spark: SparkSession, target: String,
-      merged: org.apache.spark.sql.DataFrame): Unit = {
-    merged.localCheckpoint()
-      .write.mode("overwrite").insertInto(target)
-    spark.catalog.refreshTable(target)
-  }
-
-  private def graftbridgeOfRows(spark: SparkSession, plan: LogicalPlan) =
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  private def unqualified(e: Expression, alias: String, table: String): Column =
+    render(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+          (a.nameParts(a.nameParts.length - 2).equalsIgnoreCase(alias) ||
+            a.nameParts(a.nameParts.length - 2)
+              .equalsIgnoreCase(table.split('.').last)) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    })
 
   /** Unqualified table name from the parsed target (possibly aliased). */
   private def tableName(plan: LogicalPlan): String =
     plan.collectFirst { case r: UnresolvedRelation =>
       r.multipartIdentifier.mkString(".")
     }.getOrElse(throw new IllegalArgumentException(
-      s"cannot resolve MERGE target from ${plan.getClass.getSimpleName}"))
+      s"cannot resolve DML target from ${plan.getClass.getSimpleName}"))
 
   /** `(targetCol, sourceCol)` pairs from an equality conjunction; any
     * non-equality predicate is a loud failure (a theta-merge is not an
@@ -178,4 +128,381 @@ object SqlMerge {
     case other => throw new IllegalArgumentException(
       s"MERGE ON must be a key-equality conjunction, got: ${other.sql}")
   }
+
+  /** `col = literal [AND …]` over exactly `wanted` (case-insensitive)
+    * → the literal per column in `wanted` order, as plain Scala
+    * values; None for any other predicate shape.
+    */
+  private def equalityLiterals(e: Expression,
+      wanted: Seq[String]): Option[Seq[Any]] = {
+    def walk(x: Expression): Option[Map[String, Any]] = x match {
+      case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      case EqualTo(a: UnresolvedAttribute, Literal(v, dt)) =>
+        Some(Map(a.nameParts.last.toLowerCase ->
+          CatalystTypeConverters.convertToScala(v, dt)))
+      case EqualTo(Literal(v, dt), a: UnresolvedAttribute) =>
+        Some(Map(a.nameParts.last.toLowerCase ->
+          CatalystTypeConverters.convertToScala(v, dt)))
+      case _ => None
+    }
+    walk(e).filter(_.keySet == wanted.map(_.toLowerCase).toSet)
+      .map(m => wanted.map(c => m(c.toLowerCase)))
+  }
+
+  // ---- target resolution ----------------------------------------------
+
+  /** Key/precombine/tieBreak config: the layout's own props for bound
+    * tables (authoritative — the layout routes by them), TBLPROPERTIES
+    * for plain tables.
+    */
+  private def dmlConfig(spark: SparkSession, target: String,
+      layout: Option[(String, String)]): (Seq[String], String, Seq[String]) =
+    layout match {
+      case Some(("bucket", path)) =>
+        val p = BucketTable.props(path); (p.keys, p.precombine, p.tieBreak)
+      case Some(("bloom", path)) =>
+        val p = BloomTable.props(path); (p.keys, p.precombine, p.tieBreak)
+      case Some((other, _)) => throw new IllegalArgumentException(
+        s"unknown layout kind '$other' on $target")
+      case None => Catalog.upsertConfigFull(spark, target)
+    }
+
+  // ---- DELETE ----------------------------------------------------------
+
+  /** `DELETE FROM t WHERE pred` — survivors are the rows the predicate
+    * does NOT select (three-valued: a NULL predicate row is not
+    * deleted, exactly SQL's DELETE semantics). Routing, best first:
+    * secondary-index key resolution (equality on indexed columns of a
+    * bucket layout — zero table scan), targeted file/bucket rewrite
+    * (layout-backed), whole-table rewrite (plain).
+    */
+  private def deleteParsed(spark: SparkSession, d: DeleteFromTable): Unit = {
+    val target = tableName(d.table)
+    val alias = frameAlias(d.table, target)
+    Catalog.layoutOf(spark, target) match {
+      case None =>
+        // DeleteFromTable's condition is non-optional (a bare DELETE
+        // parses as WHERE true)
+        val cond = render(d.condition)
+        val t = spark.table(target).alias(alias)
+        writeBack(spark, target, t.filter(not(cond) || cond.isNull))
+      case Some(("bucket", path)) =>
+        val indexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+          case (secCols, idxPath) =>
+            equalityLiterals(d.condition, secCols).map((secCols, idxPath, _))
+        }
+        indexed match {
+          case Some((_, idxPath, secValues)) =>
+            // index-composed route: the predicate is an equality over
+            // the indexed columns — resolve keys through ONE index
+            // bucket, delete through the keys' buckets, tombstone the
+            // served mappings; no scan of the primary at any point
+            val keys = SecondaryIndex.lookupKeys(spark, path, idxPath, secValues)
+              .localCheckpoint()
+            BucketTable.deleteFrom(spark, path, keys)
+            SecondaryIndex.tombstone(spark, path, idxPath, secValues, keys)
+          case None =>
+            val cond = unqualified(d.condition, alias, target)
+            BucketTable.rewriteWhere(spark, path, cond)(
+              _.filter(not(cond) || cond.isNull))
+            ()
+        }
+      case Some(("bloom", path)) =>
+        val cond = unqualified(d.condition, alias, target)
+        BloomTable.rewriteWhere(spark, path, cond)(
+          _.filter(not(cond) || cond.isNull))
+        ()
+      case Some((other, _)) => throw new IllegalArgumentException(
+        s"unknown layout kind '$other' on $target")
+    }
+  }
+
+  // ---- UPDATE ----------------------------------------------------------
+
+  /** `UPDATE t SET c = e, ... WHERE pred` — each assigned column
+    * becomes `CASE WHEN pred THEN e ELSE c END`, unassigned columns
+    * pass through. Layout-backed tables rewrite ONLY the
+    * buckets/files holding predicate-matching rows.
+    */
+  private def updateParsed(spark: SparkSession, u: UpdateTable): Unit = {
+    val target = tableName(u.table)
+    val alias = frameAlias(u.table, target)
+    val layout = Catalog.layoutOf(spark, target)
+    val current = Catalog.readTable(spark, target)
+    // resolve each assignment target against the table's columns
+    // CASE-INSENSITIVELY (Spark SQL's default resolution) and reject
+    // unknown columns loudly — a silently dropped `SET typo = ...`
+    // would make the whole statement a no-op
+    val byLower = current.columns.map(c => c.toLowerCase -> c).toMap
+    def resolveAssigned(render: Expression => Column): Map[String, Column] =
+      u.assignments.map { a =>
+        val written = a.key match {
+          case attr: UnresolvedAttribute => attr.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"unsupported assignment target: ${other.sql}")
+        }
+        val resolved = byLower.getOrElse(written.toLowerCase,
+          throw new IllegalArgumentException(
+            s"UPDATE $target: no such column '$written' " +
+              s"(columns: ${current.columns.mkString(", ")})"))
+        resolved -> render(a.value)
+      }.toMap
+    def projected(df: DataFrame, cond: Column,
+        assigned: Map[String, Column]): DataFrame =
+      df.select(df.columns.toSeq.map { c =>
+        assigned.get(c) match {
+          case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    layout match {
+      case None =>
+        val cond = u.condition.map(render).getOrElse(lit(true))
+        val t = spark.table(target).alias(alias)
+        writeBack(spark, target, projected(t, cond, resolveAssigned(render)))
+      case Some((kind, path)) =>
+        val (keys, _, _) = dmlConfig(spark, target, layout)
+        val assigned = resolveAssigned(unqualified(_, alias, target))
+        assigned.keys.find(c => keys.exists(_.equalsIgnoreCase(c))).foreach(k =>
+          throw new IllegalArgumentException(
+            s"UPDATE $target: cannot assign key column '$k' on a " +
+              "layout-backed table (keys route rows to buckets/files)"))
+        val cond = u.condition.map(unqualified(_, alias, target))
+          .getOrElse(lit(true))
+        kind match {
+          case "bucket" =>
+            BucketTable.rewriteWhere(spark, path, cond)(
+              projected(_, cond, assigned))
+          case "bloom" =>
+            BloomTable.rewriteWhere(spark, path, cond)(
+              projected(_, cond, assigned))
+          case other => throw new IllegalArgumentException(
+            s"unknown layout kind '$other' on $target")
+        }
+        ()
+    }
+  }
+
+  // ---- MERGE -----------------------------------------------------------
+
+  private def mergeParsed(spark: SparkSession, m: MergeIntoTable): Unit = {
+    val target = tableName(m.targetTable)
+    val layout = Catalog.layoutOf(spark, target)
+    val (keys, precombine, tieBreak) = dmlConfig(spark, target, layout)
+    val condKeys = keyEqualities(m.mergeCondition)
+    require(condKeys.map(_._1).toSet == keys.toSet &&
+      condKeys.forall { case (a, b) => a == b },
+      s"ON must equate exactly the primary key columns ${keys.mkString(",")}; " +
+        s"got ${condKeys.map { case (a, b) => s"$a=$b" }.mkString(" AND ")}")
+    val source = graftbridgeOfRows(spark, m.sourceTable)
+    val existing = Catalog.readTable(spark, target)
+    val cols = existing.columns.toSeq
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported")
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        // Hudi's canonical MERGE: the keyed precombine upsert
+        val src = source.select(cols.map(col): _*)
+        layout match {
+          case Some(("bucket", path)) =>
+            BucketTable.upsertInto(spark, path, src); ()
+          case Some(("bloom", path)) =>
+            BloomTable.upsertInto(spark, path, src); ()
+          case _ => writeBack(spark, target,
+            HudiLike.upsert(existing, src, keys, precombine, tieBreak)
+              .select(cols.map(col): _*))
+        }
+      case (Seq(DeleteAction(None)), Seq()) =>
+        val delKeys = source.select(keys.map(col): _*).distinct()
+        layout match {
+          case Some(("bucket", path)) =>
+            BucketTable.deleteFrom(spark, path, delKeys); ()
+          case Some(("bloom", path)) =>
+            BloomTable.deleteFrom(spark, path, delKeys); ()
+          case _ => writeBack(spark, target,
+            existing.join(delKeys, keys, "left_anti"))
+        }
+      case _ =>
+        // conditional / explicit-assignment MERGE, ANSI order-of-
+        // actions semantics — executed as a join-projection over the
+        // touched region
+        val tAlias = frameAlias(m.targetTable, target)
+        val sAlias = sourceAliasOf(m.sourceTable)
+        def merged(cur: DataFrame): DataFrame =
+          applyMerge(cur, source, m, keys, precombine, tieBreak, tAlias, sAlias)
+        layout match {
+          case Some(("bucket", path)) =>
+            BucketTable.rewriteKeys(spark, path,
+              source.select(keys.map(col): _*))(merged)
+            ()
+          case Some(("bloom", path)) =>
+            BloomTable.rewriteKeys(spark, path,
+              source.select(keys.map(col): _*))(merged)
+            ()
+          case _ => writeBack(spark, target, merged(existing))
+        }
+    }
+  }
+
+  private def sourceAliasOf(plan: LogicalPlan): String =
+    plan.collectFirst { case a: SubqueryAlias => a.alias }
+      .orElse(plan.collectFirst { case r: UnresolvedRelation =>
+        r.multipartIdentifier.last })
+      .getOrElse("__source")
+
+  /** One side of the merge join: how the statement names it and where
+    * each of its columns went after the disambiguating rename.
+    */
+  private final case class Side(alias: String, renamed: Map[String, String])
+
+  /** Conditional-action MERGE over `existing` (the target rows in
+    * scope — the whole table on the plain path, just the touched
+    * region on a layout path): full-outer join target and (per-key
+    * precombine-deduped) source on the keys, then per row apply the
+    * FIRST action in statement order whose condition holds — matched
+    * rows with no applicable action pass through, source-only rows
+    * with no applicable insert are dropped. Executes as one
+    * join + one projection: no per-action passes, no driver loops,
+    * whatever the action count.
+    */
+  private def applyMerge(existing: DataFrame, source: DataFrame,
+      m: MergeIntoTable, keys: Seq[String], precombine: String,
+      tieBreak: Seq[String], tAlias: String, sAlias: String): DataFrame = {
+    val cols = existing.columns.toSeq
+    val srcCols = source.columns.toSeq
+    require(keys.forall(k => srcCols.exists(_.equalsIgnoreCase(k))),
+      s"MERGE source must carry the key columns ${keys.mkString(",")}")
+    // Hudi's dedupe: latest row per key by precombine, when the source
+    // carries the precombine column (an INSERT-only source may not)
+    val deduped =
+      if (srcCols.contains(precombine))
+        HudiLike.precombineLatest(source, keys, precombine,
+          tieBreak.filter(srcCols.contains))
+      else source
+    val t = Side(tAlias, cols.map(c => c.toLowerCase -> s"__t_$c").toMap)
+    val s = Side(sAlias, srcCols.map(c => c.toLowerCase -> s"__s_$c").toMap)
+    val tR = existing.select(
+      cols.map(c => col(c).as(s"__t_$c")) :+ lit(true).as("__t_present"): _*)
+    val sR = deduped.select(
+      srcCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s_present"): _*)
+    val joined = tR.join(sR,
+      keys.map(k => col(t.renamed(k.toLowerCase)) === col(s.renamed(k.toLowerCase)))
+        .reduce(_ && _),
+      "full_outer")
+
+    // rewrite a parsed expression's column references onto the renamed
+    // joined frame; unqualified names resolve source-first in insert
+    // context (the target row does not exist there), target-first
+    // otherwise
+    def rewrite(e: Expression, insertCtx: Boolean): Column =
+      render(e.transformUp {
+        case a: UnresolvedAttribute =>
+          val c = a.nameParts.last.toLowerCase
+          val resolved = a.nameParts match {
+            case parts if parts.length >= 2 &&
+                parts(parts.length - 2).equalsIgnoreCase(t.alias) =>
+              t.renamed.getOrElse(c, fail(s"${t.alias}.$c: no such target column"))
+            case parts if parts.length >= 2 &&
+                parts(parts.length - 2).equalsIgnoreCase(s.alias) =>
+              s.renamed.getOrElse(c, fail(s"${s.alias}.$c: no such source column"))
+            case parts if parts.length >= 2 =>
+              fail(s"unknown qualifier '${parts(parts.length - 2)}' " +
+                s"(target is ${t.alias}, source is ${s.alias})")
+            case _ =>
+              val (first, second) = if (insertCtx) (s, t) else (t, s)
+              first.renamed.get(c).orElse(second.renamed.get(c))
+                .getOrElse(fail(s"column '$c' exists on neither side"))
+          }
+          UnresolvedAttribute(Seq(resolved))
+      })
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"MERGE: $msg")
+    def actCond(a: MergeAction, insertCtx: Boolean): Column =
+      a.condition.map(rewrite(_, insertCtx)).getOrElse(lit(true))
+    def assignmentMap(assigns: Seq[Assignment],
+        updateCtx: Boolean): Map[String, Column] =
+      assigns.map { a =>
+        val written = a.key match {
+          case ua: UnresolvedAttribute => ua.nameParts.last
+          case other => fail(s"unsupported assignment target ${other.sql}")
+        }
+        val resolved = cols.find(_.equalsIgnoreCase(written))
+          .getOrElse(fail(s"no such target column '$written'"))
+        if (updateCtx && keys.exists(_.equalsIgnoreCase(resolved)))
+          fail(s"cannot UPDATE key column '$resolved'")
+        resolved -> rewrite(a.value, insertCtx = !updateCtx)
+      }.toMap
+    def starMap: Map[String, Column] = cols.map { c =>
+      val sc = s.renamed.getOrElse(c.toLowerCase,
+        fail(s"SET * / INSERT * needs source column '$c'"))
+      c -> col(sc)
+    }.toMap
+
+    // decision codes: matched action index; 100+i for insert actions;
+    // -1 keep the target row; -2 drop (source-only, no insert applies)
+    val matchedVals: Seq[(Int, Map[String, Column], Boolean)] =
+      m.matchedActions.zipWithIndex.map {
+        case (_: UpdateStarAction, i) => (i, starMap, false)
+        case (a: UpdateAction, i) =>
+          (i, assignmentMap(a.assignments, updateCtx = true), false)
+        case (_: DeleteAction, i) => (i, Map.empty[String, Column], true)
+        case (other, _) => fail(s"unsupported matched action $other")
+      }
+    val insertVals: Seq[(Int, Map[String, Column])] =
+      m.notMatchedActions.zipWithIndex.map {
+        case (_: InsertStarAction, i) => (100 + i, starMap)
+        case (a: InsertAction, i) =>
+          val am = assignmentMap(a.assignments, updateCtx = false)
+          keys.find(k => !am.exists(_._1.equalsIgnoreCase(k))).foreach(k =>
+            fail(s"INSERT must assign key column '$k'"))
+          (100 + i, am)
+        case (other, _) => fail(s"unsupported not-matched action $other")
+      }
+    val matchedDec = m.matchedActions.zipWithIndex
+      .foldRight(lit(-1)) { case ((a, i), els) =>
+        when(actCond(a, insertCtx = false), lit(i)).otherwise(els)
+      }
+    val insertDec = m.notMatchedActions.zipWithIndex
+      .foldRight(lit(-2)) { case ((a, i), els) =>
+        when(actCond(a, insertCtx = true), lit(100 + i)).otherwise(els)
+      }
+    val dec =
+      when(col("__t_present").isNotNull && col("__s_present").isNotNull,
+        matchedDec)
+        .when(col("__s_present").isNull, lit(-1))
+        .otherwise(insertDec)
+
+    val out = cols.map { c =>
+      val dt = existing.schema(c).dataType
+      val base: Column = col(t.renamed(c.toLowerCase)) // keep target value
+      val withMatched = matchedVals.filterNot(_._3)
+        .foldLeft(base) { case (acc, (i, vals, _)) =>
+          when(col("__dec") === i,
+            vals.getOrElse(c, col(t.renamed(c.toLowerCase)))).otherwise(acc)
+        }
+      insertVals.foldLeft(withMatched) { case (acc, (code, vals)) =>
+        when(col("__dec") === code,
+          vals.getOrElse(c, lit(null))).otherwise(acc)
+      }.cast(dt).as(c)
+    }
+    val deleteCodes = matchedVals.collect { case (i, _, true) => i }
+    val dropped = deleteCodes.map(col("__dec") === _)
+      .foldLeft(col("__dec") === -2)(_ || _)
+    joined.withColumn("__dec", dec).filter(!dropped).select(out: _*)
+  }
+
+  /** The merged state replaces the table contents in place:
+    * localCheckpoint decouples the plan from the files INSERT OVERWRITE
+    * is about to replace (the same discipline as `HudiLike.upsertInto`).
+    */
+  private def writeBack(spark: SparkSession, target: String,
+      merged: DataFrame): Unit = {
+    merged.localCheckpoint()
+      .write.mode("overwrite").insertInto(target)
+    spark.catalog.refreshTable(target)
+  }
+
+  private def graftbridgeOfRows(spark: SparkSession, plan: LogicalPlan) =
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -886,6 +886,93 @@ object PipelineQueries {
     spark.table("graft_delete_target")
   }
 
+  /** `p_sql_merge_bucketed`: the SQL MERGE front door ROUTED to the
+    * bucket layout (`graft.table.layout` TBLPROPERTIES →
+    * `BucketTable.upsertInto`): identical statement and result as
+    * [[sqlMerge]], but the execution rewrites ONLY the buckets the
+    * batch hashes into instead of `INSERT OVERWRITE`-ing the whole
+    * table — the difference between O(batch) and O(table) write cost
+    * per statement at 100 TB. `SqlRoutingSpec` pins the untouched
+    * buckets' files byte-identical; the oracle pins the contents.
+    */
+  def sqlMergeBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "smb")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mergeb_target",
+      "bucket", path)
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_mergeb_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_mergeb_target t USING graft_mergeb_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_mergeb_target")
+  }
+
+  /** `p_sql_merge_partial`: conditional-action MERGE — the Hudi-SQL
+    * shapes users write beyond star-star: `WHEN MATCHED AND <pred>
+    * THEN UPDATE SET col = expr`, a conditional DELETE, and an
+    * explicit-column INSERT. ANSI semantics (first action in statement
+    * order whose condition holds wins; unmatched rows keep/drop), with
+    * the source pre-deduped per key by the precombine. The oracle
+    * replays the whole decision table over a DuckDB full-outer join.
+    */
+  def sqlMergePartial(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlDmlTable(spark, sfDir, "graft_mergep_target")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_mergep_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_mergep_target t USING graft_mergep_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED AND s.ts_us > t.ts_us AND s.event_type = 'purchase'
+        |  THEN UPDATE SET event_id = s.event_id, event_type = s.event_type,
+        |    value = round(s.value, 2), ts_us = s.ts_us
+        |WHEN MATCHED AND s.event_type = 'click' THEN DELETE
+        |WHEN NOT MATCHED AND s.value > 0
+        |  THEN INSERT (user_id, event_id, event_type, value, ts_us)
+        |  VALUES (s.user_id, s.event_id, s.event_type, s.value, s.ts_us)""".stripMargin)
+    spark.table("graft_mergep_target")
+  }
+
+  /** `p_sql_delete_indexed`: the index-composed DML read path — a
+    * `DELETE ... WHERE event_type = 'click'` on a bucket-layout table
+    * carrying a [[graft.etl.SecondaryIndex]] on `event_type`: the
+    * front door resolves the predicate to primary keys through ONE
+    * index-bucket read, deletes through the keys' buckets, and
+    * tombstones the served index mappings — no scan of the primary
+    * table at any point (the full Hudi secondary-index read-path
+    * story). `SqlRoutingSpec` pins the index resolution and the
+    * tombstones; the oracle pins the surviving contents.
+    */
+  def sqlDeleteIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "sdi").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(
+      ev.filter(col("ts_us") <= SplitUs), s"$base/t",
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.SecondaryIndex.create(spark, s"$base/t", s"$base/idx",
+      Seq("event_type"), numBuckets = 8)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_delidx_target",
+      "bucket", s"$base/t",
+      secondaryIndex = Some((Seq("event_type"), s"$base/idx")))
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_delidx_target WHERE event_type = 'click'")
+    graft.etl.Catalog.readTable(spark, "graft_delidx_target")
+  }
+
   /** `p_rli_lookup`: point lookup through the RECORD-LEVEL index
     * (Hudi 1.0's RLI, `graft.etl.RecordIndex`) — same lifecycle as
     * [[bloomLookup]] (create as of [[SplitUs]], upsert the rest), but
@@ -1349,8 +1436,11 @@ object PipelineQueries {
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
+    "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
+    "p_sql_merge_partial" -> (sqlMergePartial(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
+    "p_sql_delete_indexed" -> (sqlDeleteIndexed(_, _)),
     "p_bloom_delete" -> (bloomDelete(_, _)),
     "p_stream_window_upsert" -> (streamWindowUpsert(_, _)),
     "p_stream_session" -> (streamSessionAgg(_, _)),
@@ -1498,6 +1588,61 @@ object PipelineQueries {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         | FROM events) t
         |WHERE rn = 1""".stripMargin,
+    // identical statement and semantics to p_sql_merge — only the
+    // EXECUTION routing differs (bucket-targeted vs whole-table), which
+    // is exactly what sharing the oracle proves
+    "p_sql_merge_bucketed" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    // the conditional-merge decision table replayed over a DuckDB
+    // full-outer join: upd = first matched action's condition,
+    // matched-else-kept, deletes and filtered inserts dropped
+    "p_sql_merge_partial" ->
+      s"""WITH t AS (
+         | SELECT user_id, event_id, event_type, value, ts_us FROM (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |   row_number() OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events WHERE epoch_us(ts) <= $SplitUs) x WHERE rn = 1
+         |), s AS (
+         | SELECT user_id, event_id, event_type, value, ts_us FROM (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |   row_number() OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events WHERE epoch_us(ts) > $SplitUs) x WHERE rn = 1
+         |), j AS (
+         | SELECT t.user_id AS tu, s.user_id AS su,
+         |  t.event_id AS te, t.event_type AS tt, t.value AS tv, t.ts_us AS tts,
+         |  s.event_id AS se, s.event_type AS st, s.value AS sv, s.ts_us AS sts,
+         |  (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+         |   AND COALESCE(s.ts_us > t.ts_us AND s.event_type = 'purchase', FALSE))
+         |    AS upd
+         | FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+         |)
+         |SELECT COALESCE(tu, su) AS user_id,
+         | CASE WHEN upd THEN se WHEN tu IS NOT NULL THEN te ELSE se END
+         |   AS event_id,
+         | CASE WHEN upd THEN st WHEN tu IS NOT NULL THEN tt ELSE st END
+         |   AS event_type,
+         | CASE WHEN upd THEN round(sv, 2) WHEN tu IS NOT NULL THEN tv ELSE sv
+         |   END AS value,
+         | CASE WHEN upd THEN sts WHEN tu IS NOT NULL THEN tts ELSE sts END
+         |   AS ts_us
+         |FROM j
+         |WHERE NOT (tu IS NOT NULL AND su IS NOT NULL AND NOT upd
+         |           AND COALESCE(st = 'click', FALSE))
+         |  AND NOT (tu IS NULL AND NOT COALESCE(sv > 0, FALSE))""".stripMargin,
+    "p_sql_delete_indexed" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1 AND event_type <> 'click'""".stripMargin,
     "p_bucket_rescale" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -130,8 +130,58 @@ class SqlMergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SqlMerge.merge(spark,
         s"""MERGE INTO $t t USING merge_shape s ON t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
     assert(contents(t) == before)
+  }
+
+  test("conditional MERGE: first matching action wins, unmatched rows keep/drop") {
+    val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0),
+      (4L, 10L, 4.0)))
+    // source: k=1 (older pc — still updates: conditions are ANSI, not
+    // precombine), k=2 (delete: v negative), k=3 (no condition holds →
+    // target row kept), k=5 (insert, passes filter), k=6 (insert
+    // filtered out → dropped)
+    Seq((1L, 5L, 10.0), (2L, 20L, -2.0), (3L, 20L, 3.0), (5L, 20L, 50.0),
+      (6L, 20L, -6.0))
+      .toDF("k", "pc", "v").createOrReplaceTempView("merge_cond")
+    SqlMerge.merge(spark,
+      s"""MERGE INTO $t t USING merge_cond s ON t.k = s.k
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v, pc = s.pc
+         |WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, pc, v) VALUES (s.k, s.pc, s.v)""".stripMargin)
+    assert(contents(t) == Seq((1L, 5L, 10.0), (3L, 10L, 3.0),
+      (4L, 10L, 4.0), (5L, 20L, 50.0)))
+  }
+
+  test("conditional MERGE: explicit INSERT leaves unassigned columns null") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    Seq((7L, 70L, 7.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("merge_ins")
+    SqlMerge.merge(spark,
+      s"""MERGE INTO $t t USING merge_ins s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT (k, pc) VALUES (s.k, s.pc)""".stripMargin)
+    val rows = spark.table(t).as[(Long, Long, Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, 10L, Some(1.0)), (7L, 70L, None)))
+  }
+
+  test("conditional MERGE rejects key-column updates and keyless inserts") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    Seq((1L, 20L, 2.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("merge_bad")
+    intercept[IllegalArgumentException] {
+      SqlMerge.merge(spark,
+        s"""MERGE INTO $t t USING merge_bad s ON t.k = s.k
+           |WHEN MATCHED AND s.v > 0 THEN UPDATE SET k = s.k + 100""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      SqlMerge.merge(spark,
+        s"""MERGE INTO $t t USING merge_bad s ON t.k = s.k
+           |WHEN NOT MATCHED THEN INSERT (pc, v) VALUES (s.pc, s.v)""".stripMargin)
+    }
+    assert(contents(t) == Seq((1L, 10L, 1.0)))
   }
 }
