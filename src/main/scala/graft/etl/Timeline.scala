@@ -145,7 +145,16 @@ object Timeline {
     * data size, so materializing it driver-side is the right shape —
     * this is a catalog read, not a table scan.
     */
-  def history(spark: SparkSession, tablePath: String): DataFrame = {
+  def history(spark: SparkSession, tablePath: String): DataFrame =
+    spark.createDataFrame(instants(tablePath))
+
+  /** The deduped, ascending instant list behind [[history]] —
+    * driver-side (timeline metadata is bounded by commit count, not
+    * data size). Consumers that must see commits REGARDLESS of
+    * archival state resolve through this, never by listing `.commit`
+    * files.
+    */
+  def instants(tablePath: String): Seq[Instant] = {
     val dir = timelineDir(tablePath)
     val all: Seq[Instant] =
       if (!Files.exists(dir)) Seq.empty
@@ -168,7 +177,7 @@ object Timeline {
         // log AND (after a later, wider archive run) in a second one
         (archived ++ active).groupBy(_.version).values.map(_.head).toSeq
       }
-    spark.createDataFrame(all.sortBy(_.version))
+    all.sortBy(_.version)
   }
 
   /** Read the latest snapshot. */
@@ -231,6 +240,34 @@ object Timeline {
       readVersion(spark, tablePath, fromVersion),
       readVersion(spark, tablePath, toVersion), keys)
       .filter(org.apache.spark.sql.functions.col("change_type") =!= "unchanged")
+
+  /** Incremental pull for a consumer checkpointed at `sinceVersion` —
+    * the catch-up entry point a downstream pipeline calls with the
+    * last version it saw. The checkpoint is validated against the FULL
+    * commit history ([[instants]] — archived batch logs folded in), so
+    * a consumer whose checkpoint predates an [[archive]] boundary
+    * still resolves; archival bounds the ACTIVE timeline listing, it
+    * never loses a consumer. What DOES bound how far back a consumer
+    * may lag is data retention: if [[clean]] has removed the
+    * checkpointed snapshot, the pull fails loudly naming the repair
+    * (full refresh) instead of silently diffing against the wrong
+    * base — exactly Hudi's incremental-read contract, where archival
+    * and cleaning are independent services.
+    */
+  def incrementalPull(spark: SparkSession, tablePath: String,
+      keys: Seq[String], sinceVersion: Long): DataFrame = {
+    val hist = instants(tablePath)
+    require(hist.exists(_.version == sinceVersion),
+      s"no instant for version $sinceVersion at $tablePath — the " +
+        s"checkpoint was never committed (history: " +
+        s"${hist.map(_.version).mkString(",")})")
+    val to = latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"no commits at $tablePath"))
+    require(Files.exists(Paths.get(tablePath, s"v=$sinceVersion")),
+      s"version $sinceVersion at $tablePath has been cleaned — this " +
+        "consumer lags past the retention window and must full-refresh")
+    incrementalRead(spark, tablePath, keys, sinceVersion, to)
+  }
 
   /** One optimistic-concurrency attempt against an assumed base
     * version: merge `incoming` with `base` and stage the snapshot

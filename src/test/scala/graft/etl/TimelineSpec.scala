@@ -160,6 +160,35 @@ class TimelineSpec extends SparkSpec {
     assert(h2.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
 
+  test("incremental pull spans the archive boundary; cleaned checkpoints fail loudly") {
+    val dir = Files.createTempDirectory("incrarch").toString + "/t"
+    Timeline.upsertInto(spark, dir, rows(("a", 1L, 1.0), ("b", 1L, 2.0)), Seq("k"), "pc")
+    Timeline.upsertInto(spark, dir, rows(("b", 2L, 20.0)), Seq("k"), "pc")
+    Timeline.upsertInto(spark, dir, rows(("c", 1L, 3.0)), Seq("k"), "pc")
+    val beforeArchive = Timeline.incrementalPull(spark, dir, Seq("k"), 0L)
+      .select("k", "change_type").as[(String, String)].collect().toSeq.sortBy(_._1)
+    assert(beforeArchive == Seq(("b", "update"), ("c", "insert")))
+    // fold v0/v1 instants into the archived log — the v0 checkpoint
+    // must still resolve through the full history
+    assert(Timeline.archive(dir, keepLatest = 1) == Seq(0L, 1L))
+    val afterArchive = Timeline.incrementalPull(spark, dir, Seq("k"), 0L)
+      .select("k", "change_type").as[(String, String)].collect().toSeq.sortBy(_._1)
+    assert(afterArchive == beforeArchive,
+      "archival is metadata-only: the pull result must not change")
+    // a checkpoint that was never committed is a loud error
+    val e1 = intercept[IllegalArgumentException] {
+      Timeline.incrementalPull(spark, dir, Seq("k"), 99L)
+    }
+    assert(e1.getMessage.contains("never committed"))
+    // cleaning the checkpointed snapshot makes the pull fail loudly,
+    // naming the repair — never a silent wrong-base diff
+    Timeline.clean(dir, retain = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Timeline.incrementalPull(spark, dir, Seq("k"), 0L)
+    }
+    assert(e2.getMessage.contains("full-refresh"))
+  }
+
   test("changeSet sees changes in columns added by schema evolution") {
     val before = rows(("a", 1L, 1.0), ("b", 1L, 2.0))
     val after = Seq(("a", 1L, 1.0, "x"), ("b", 1L, 2.0, null: String))
