@@ -637,13 +637,14 @@ object StreamingPipeline {
       keys: Seq[String] = Seq("record_id"),
       precombine: String = "event_timestamp",
       tieBreak: Seq[String] = Seq("event_id"),
-      stateParts: Int = StateParts): Unit = {
+      stateParts: Int = StateParts,
+      afterTableCommit: Long => Unit = _ => ()): Unit = {
     val q = extractStream(streamSession(spark, stateParts), sourceDir,
       Some(maxFilesPerTrigger)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // skip empty micro-batches: creating the table from one would
         // commit an empty manifest and give later batches nothing to
         // route against (and an empty upsert is a no-op anyway)
@@ -653,6 +654,14 @@ object StreamingPipeline {
               keys = keys, precombine = precombine, tieBreak = tieBreak)
           else
             graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, batch)
+          // crash-injection seam (tests only): runs after the table's
+          // manifest swing but BEFORE Structured Streaming commits the
+          // batch to the checkpoint — a throw here models the worst
+          // crash window, where the table holds a batch the checkpoint
+          // does not. Recovery REPLAYS that batch; the keyed precombine
+          // upsert makes the replay idempotent, which is exactly the
+          // sink's exactly-once argument (StreamingSpec proves it).
+          afterTableCommit(batchId)
         }
         ()
       }

@@ -231,6 +231,35 @@ class StreamingSpec extends SparkSpec {
       "an empty restart must not commit a generation")
   }
 
+  test("crash between table commit and checkpoint commit: replay is idempotent") {
+    val base = Files.createTempDirectory("streamc").toString
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    // run 1 dies INSIDE foreachBatch, after BucketTable's manifest
+    // swing but before Structured Streaming writes the batch's commit
+    // to the checkpoint — the table now holds a batch the checkpoint
+    // has never heard of (the worst crash window for a two-ledger sink)
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingPipeline.runIngestBucketed(spark, s"$base/src",
+        s"$base/target", s"$base/ckpt",
+        afterTableCommit = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage.contains("injected crash") ||
+      Option(boom.getCause).exists(_.getMessage.contains("injected crash")))
+    // the table committed run 1's batch even though the checkpoint did not
+    assert(graft.etl.BucketTable.read(spark, s"$base/target").count() == 500)
+    // recovery: the restarted query REPLAYS the uncommitted batch (plus
+    // the new file) — the keyed precombine upsert must absorb the
+    // replay with zero duplicates and zero lost rows
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
+    StreamingPipeline.runIngestBucketed(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    val target = graft.etl.BucketTable.read(spark, s"$base/target")
+    assert(target.count() == 1000, "replay lost or duplicated rows")
+    assert(target.select("record_id").distinct().count() == 1000,
+      "replayed batch must be absorbed idempotently by the keyed upsert")
+  }
+
   test("streaming windowed rollup accumulates across micro-batches to the batch answer") {
     val base = Files.createTempDirectory("streamw").toString
     // two files → two micro-batches: hour windows receiving rows in
