@@ -179,7 +179,8 @@ object Catalog {
   // go through [[readTable]].
 
   /** `Some((kind, path))` when `table` is bound to an engine-managed
-    * layout (`kind` ∈ bucket | bloom), None for plain parquet tables.
+    * layout (`kind` ∈ bucket | bloom | partitioned), None for plain
+    * parquet tables.
     */
   def layoutOf(spark: SparkSession, table: String): Option[(String, String)] = {
     val props = tblProps(spark, table)
@@ -219,8 +220,12 @@ object Catalog {
       case "bloom" =>
         val p = BloomTable.props(path)
         (BloomTable.read(spark, path).schema, p.keys, p.precombine, p.tieBreak)
+      case "partitioned" =>
+        val p = PartitionedTable.props(path)
+        (PartitionedTable.read(spark, path).schema,
+          p.keys, p.precombine, p.tieBreak)
       case other => throw new IllegalArgumentException(
-        s"unknown layout kind '$other' (expected bucket | bloom)")
+        s"unknown layout kind '$other' (expected bucket | bloom | partitioned)")
     }
     val stub = Paths.get(path, "_catalog_stub")
     java.nio.file.Files.createDirectories(stub)
@@ -246,6 +251,7 @@ object Catalog {
     layoutOf(spark, table) match {
       case Some(("bucket", path)) => BucketTable.read(spark, path)
       case Some(("bloom", path)) => BloomTable.read(spark, path)
+      case Some(("partitioned", path)) => PartitionedTable.read(spark, path)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $table")
       case None => spark.table(table)

@@ -509,6 +509,89 @@ object PartitionedTable {
     drop
   }
 
+  /** Rewrite ONLY `touched` slices through `transform`: their current
+    * MERGED rows (base generation + any delta commits on those slices)
+    * go in, the replacement comes out as a fresh generation, and the
+    * absorbed delta entries retire. Slices the transform empties leave
+    * the manifest; new rows may land in touched slices that were
+    * empty. The shared core under the partitioned DML routes — caller
+    * holds the table lock.
+    */
+  private def rewriteDirsLocked(spark: SparkSession, tablePath: String,
+      touched: Set[String], p: Props)(
+      transform: DataFrame => DataFrame): Seq[String] = {
+    if (touched.isEmpty) return Seq.empty
+    val committed = manifest(tablePath)
+    val d = deltas(tablePath)
+    require(committed.nonEmpty || d.nonEmpty,
+      s"no committed data at $tablePath — targeted DML needs an existing table")
+    val liveTouched = touched.intersect(committed.keySet)
+    val touchedDeltas = d.filter(e => touched(e._1))
+    val gen = nextGen(tablePath)
+    val base =
+      if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
+      else readDirs(spark, tablePath, liveTouched, committed, p)
+    val current =
+      if (touchedDeltas.isEmpty) base
+      else mergeDeltas(base, deltaFrame(spark, tablePath, touchedDeltas, p), p)
+    val next = transform(current).localCheckpoint()
+    val written = writeGen(withShadow(next, p), tablePath, gen, p)
+    require(written.toSet.subsetOf(touched),
+      s"targeted rewrite produced rows outside its touched slices " +
+        s"(${written.toSet -- touched}) — transform changed identity columns?")
+    writeManifest(tablePath,
+      (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen))
+    // the rewrite absorbed these slices' deltas — retire them so a
+    // deleted row can't resurrect through the log (same
+    // manifest-then-deltas ordering as dropPartitions)
+    if (touchedDeltas.nonEmpty)
+      writeDeltas(tablePath, d.filterNot(e => touched(e._1)))
+    written
+  }
+
+  /** Targeted predicate rewrite — the SQL UPDATE/DELETE route for
+    * partitioned tables when the predicate is NOT partition-only
+    * (partition-only predicates go through [[dropPartitions]] /
+    * partition pruning instead): one discovery scan of the merged
+    * snapshot finds the slices holding matching rows, then only those
+    * are rewritten. Returns the slice dirs rewritten.
+    */
+  def rewriteWhere(spark: SparkSession, tablePath: String,
+      pred: Column)(transform: DataFrame => DataFrame): Seq[String] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val p = props(tablePath)
+      val touched = touchedDirs(withShadow(read(spark, tablePath), p)
+        .filter(pred), p)
+      rewriteDirsLocked(spark, tablePath, touched.toSet, p)(transform)
+    }
+
+  /** Rewrite the slices `keyRows`' identities route to (the
+    * conditional-MERGE route): `keyRows` must carry the full identity
+    * (partition columns + keys); the transform sees those slices'
+    * merged current rows and returns their replacement.
+    */
+  def rewriteKeys(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame)(transform: DataFrame => DataFrame): Seq[String] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val p = props(tablePath)
+      val wanted = keyRows.select(p.identity.map(col): _*)
+        .distinct().localCheckpoint()
+      val touched = touchedDirs(withShadow(wanted, p), p)
+      rewriteDirsLocked(spark, tablePath, touched.toSet, p)(transform)
+    }
+
+  /** Row-level delete by identity (partition columns + keys): rewrite
+    * ONLY the slices the identities route to, minus the deleted rows.
+    */
+  def deleteFrom(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame): Seq[String] = {
+    val p = props(tablePath)
+    val wanted = keyRows.select(p.identity.map(col): _*)
+      .distinct().localCheckpoint()
+    rewriteKeys(spark, tablePath, wanted)(
+      _.join(broadcast(wanted), p.identity, "left_anti"))
+  }
+
   /** Rewrite every live partition at one fresh generation — collapses
     * the per-generation relation fan-in the same way
     * [[BucketTable.compact]] does. Returns the new generation.

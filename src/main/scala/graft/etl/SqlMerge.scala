@@ -162,10 +162,23 @@ object SqlMerge {
         val p = BucketTable.props(path); (p.keys, p.precombine, p.tieBreak)
       case Some(("bloom", path)) =>
         val p = BloomTable.props(path); (p.keys, p.precombine, p.tieBreak)
+      case Some(("partitioned", path)) =>
+        val p = PartitionedTable.props(path); (p.keys, p.precombine, p.tieBreak)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $target")
       case None => Catalog.upsertConfigFull(spark, target)
     }
+
+  /** The row identity DML joins/deduplicates on: partition columns +
+    * keys for the partitioned layout (a record key repeats across
+    * partitions there — Hudi's partition-path + record-key identity),
+    * the keys alone everywhere else.
+    */
+  private def dmlIdentity(keys: Seq[String],
+      layout: Option[(String, String)]): Seq[String] = layout match {
+    case Some(("partitioned", path)) => PartitionedTable.props(path).identity
+    case _ => keys
+  }
 
   // ---- DELETE ----------------------------------------------------------
 
@@ -212,10 +225,29 @@ object SqlMerge {
         BloomTable.rewriteWhere(spark, path, cond)(
           _.filter(not(cond) || cond.isNull))
         ()
+      case Some(("partitioned", path)) =>
+        val cond = unqualified(d.condition, alias, target)
+        val partCols = PartitionedTable.props(path).partitionCols
+          .map(_.toLowerCase).toSet
+        if (referencedColumns(d.condition).subsetOf(partCols))
+          // partition-only predicate → Hudi's drop-partition fast
+          // path: METADATA-ONLY (manifest + delta-log shrink), zero
+          // data read or written — the reason date-partitioned
+          // retention deletes are free at 100 TB
+          PartitionedTable.dropPartitions(spark, path, cond)
+        else
+          PartitionedTable.rewriteWhere(spark, path, cond)(
+            _.filter(not(cond) || cond.isNull))
+        ()
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $target")
     }
   }
+
+  /** Lower-cased bare column names a parsed predicate references. */
+  private def referencedColumns(e: Expression): Set[String] =
+    e.collect { case a: UnresolvedAttribute => a.nameParts.last.toLowerCase }
+      .toSet
 
   // ---- UPDATE ----------------------------------------------------------
 
@@ -262,11 +294,12 @@ object SqlMerge {
         writeBack(spark, target, projected(t, cond, resolveAssigned(render)))
       case Some((kind, path)) =>
         val (keys, _, _) = dmlConfig(spark, target, layout)
+        val identity = dmlIdentity(keys, layout)
         val assigned = resolveAssigned(unqualified(_, alias, target))
-        assigned.keys.find(c => keys.exists(_.equalsIgnoreCase(c))).foreach(k =>
-          throw new IllegalArgumentException(
-            s"UPDATE $target: cannot assign key column '$k' on a " +
-              "layout-backed table (keys route rows to buckets/files)"))
+        assigned.keys.find(c => identity.exists(_.equalsIgnoreCase(c)))
+          .foreach(k => throw new IllegalArgumentException(
+            s"UPDATE $target: cannot assign identity column '$k' on a " +
+              "layout-backed table (it routes rows to buckets/files/partitions)"))
         val cond = u.condition.map(unqualified(_, alias, target))
           .getOrElse(lit(true))
         kind match {
@@ -275,6 +308,9 @@ object SqlMerge {
               projected(_, cond, assigned))
           case "bloom" =>
             BloomTable.rewriteWhere(spark, path, cond)(
+              projected(_, cond, assigned))
+          case "partitioned" =>
+            PartitionedTable.rewriteWhere(spark, path, cond)(
               projected(_, cond, assigned))
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
@@ -289,11 +325,15 @@ object SqlMerge {
     val target = tableName(m.targetTable)
     val layout = Catalog.layoutOf(spark, target)
     val (keys, precombine, tieBreak) = dmlConfig(spark, target, layout)
+    val identity = dmlIdentity(keys, layout)
     val condKeys = keyEqualities(m.mergeCondition)
-    require(condKeys.map(_._1).toSet == keys.toSet &&
+    require((condKeys.map(_._1).toSet == keys.toSet ||
+      condKeys.map(_._1).toSet == identity.toSet) &&
       condKeys.forall { case (a, b) => a == b },
-      s"ON must equate exactly the primary key columns ${keys.mkString(",")}; " +
-        s"got ${condKeys.map { case (a, b) => s"$a=$b" }.mkString(" AND ")}")
+      s"ON must equate exactly the primary key columns ${keys.mkString(",")}" +
+        (if (identity != keys) s" (or the full identity ${identity.mkString(",")})"
+         else "") +
+        s"; got ${condKeys.map { case (a, b) => s"$a=$b" }.mkString(" AND ")}")
     val source = graftbridgeOfRows(spark, m.sourceTable)
     val existing = Catalog.readTable(spark, target)
     val cols = existing.columns.toSeq
@@ -308,19 +348,25 @@ object SqlMerge {
             BucketTable.upsertInto(spark, path, src); ()
           case Some(("bloom", path)) =>
             BloomTable.upsertInto(spark, path, src); ()
+          case Some(("partitioned", path)) =>
+            PartitionedTable.upsertInto(spark, path, src); ()
           case _ => writeBack(spark, target,
             HudiLike.upsert(existing, src, keys, precombine, tieBreak)
               .select(cols.map(col): _*))
         }
       case (Seq(DeleteAction(None)), Seq()) =>
-        val delKeys = source.select(keys.map(col): _*).distinct()
+        // the partitioned layout deletes by full identity (a key
+        // repeats across partitions); the rest by key
+        val delKeys = source.select(identity.map(col): _*).distinct()
         layout match {
           case Some(("bucket", path)) =>
             BucketTable.deleteFrom(spark, path, delKeys); ()
           case Some(("bloom", path)) =>
             BloomTable.deleteFrom(spark, path, delKeys); ()
+          case Some(("partitioned", path)) =>
+            PartitionedTable.deleteFrom(spark, path, delKeys); ()
           case _ => writeBack(spark, target,
-            existing.join(delKeys, keys, "left_anti"))
+            existing.join(delKeys, identity, "left_anti"))
         }
       case _ =>
         // conditional / explicit-assignment MERGE, ANSI order-of-
@@ -328,8 +374,11 @@ object SqlMerge {
         // touched region
         val tAlias = frameAlias(m.targetTable, target)
         val sAlias = sourceAliasOf(m.sourceTable)
+        // joined/deduped on the full identity: partition cols + keys
+        // for the partitioned layout, the keys elsewhere
         def merged(cur: DataFrame): DataFrame =
-          applyMerge(cur, source, m, keys, precombine, tieBreak, tAlias, sAlias)
+          applyMerge(cur, source, m, identity, precombine, tieBreak,
+            tAlias, sAlias)
         layout match {
           case Some(("bucket", path)) =>
             BucketTable.rewriteKeys(spark, path,
@@ -338,6 +387,10 @@ object SqlMerge {
           case Some(("bloom", path)) =>
             BloomTable.rewriteKeys(spark, path,
               source.select(keys.map(col): _*))(merged)
+            ()
+          case Some(("partitioned", path)) =>
+            PartitionedTable.rewriteKeys(spark, path,
+              source.select(identity.map(col): _*))(merged)
             ()
           case _ => writeBack(spark, target, merged(existing))
         }

@@ -965,6 +965,56 @@ object PipelineQueries {
     spark.table("graft_mergep_target")
   }
 
+  /** `p_sql_merge_partitioned`: the SQL MERGE front door routed to the
+    * PARTITIONED layout (`graft.table.layout = partitioned` →
+    * `PartitionedTable.upsertInto`): the statement is the same
+    * star-star MERGE, the execution rewrites only the day slices the
+    * batch touches. Result = latest per (day, user) over all events —
+    * the `p_part_upsert` contract reached through SQL.
+    */
+  def sqlMergePartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "smp")
+      .toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mergepart_target",
+      "partitioned", path)
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_mergepart_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_mergepart_target t USING graft_mergepart_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_mergepart_target")
+      .select(PartCols: _*)
+  }
+
+  /** `p_sql_delete_partition`: retention DELETE on a partition
+    * predicate, routed to `PartitionedTable.dropPartitions` —
+    * METADATA-ONLY (the manifest shrinks; zero data files read or
+    * written), the reason date-partitioned retention is free at
+    * 100 TB. `SqlRoutingSpec` pins the no-data-IO property; the
+    * oracle pins the surviving rows.
+    */
+  def sqlDeletePartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "sdp")
+      .toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_delpart_target",
+      "partitioned", path)
+    // SplitUs = 2024-01-20T00:00Z — drop that whole day
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_delpart_target WHERE event_date = DATE '2024-01-20'")
+    graft.etl.Catalog.readTable(spark, "graft_delpart_target")
+      .select(PartCols: _*)
+  }
+
   /** `p_sql_delete_indexed`: the index-composed DML read path — a
     * `DELETE ... WHERE event_type = 'click'` on a bucket-layout table
     * carrying a [[graft.etl.SecondaryIndex]] on `event_type`: the
@@ -1485,7 +1535,9 @@ object PipelineQueries {
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
+    "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
     "p_sql_merge_partial" -> (sqlMergePartial(_, _)),
+    "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
     "p_sql_delete_indexed" -> (sqlDeleteIndexed(_, _)),
@@ -1691,6 +1743,25 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1 AND event_type <> 'click'""".stripMargin,
+    // the p_part_upsert contract reached through the SQL front door
+    "p_sql_merge_partitioned" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    "p_sql_delete_partition" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND event_date <> DATE '2024-01-20'""".stripMargin,
     "p_bucket_rescale" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -164,6 +164,73 @@ class SqlRoutingSpec extends SparkSpec {
     assert(!fin.contains(2L) && fin(300L) == 300.0)
   }
 
+  test("partitioned-backed table: partition-only DELETE is metadata-only") {
+    val path = fresh("sqlpt")
+    val data = (1 to 60).map(i =>
+      (s"d${i % 3}", i.toLong, 1L, i.toDouble)).toDF("day", "k", "pc", "v")
+    PartitionedTable.create(data, path, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))
+    Catalog.registerLayoutTable(spark, "sql_rt_part", "partitioned", path)
+    val before = dataFiles(path)
+    SqlMerge.exec(spark, "DELETE FROM sql_rt_part WHERE day = 'd1'")
+    // metadata-only: the EXACT same data files exist afterwards — only
+    // the manifest shrank (Hudi's drop-partition fast path)
+    assert(dataFiles(path) == before,
+      "partition-only DELETE must not read or write any data file")
+    val left = PartitionedTable.read(spark, path)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(left.forall(_._1 != "d1") && left.size == 40)
+  }
+
+  test("partitioned-backed table: MERGE, predicate DELETE/UPDATE, conditional MERGE") {
+    val path = fresh("sqlpm")
+    val data = (1 to 60).map(i =>
+      (s"d${i % 3}", i.toLong, 1L, i.toDouble)).toDF("day", "k", "pc", "v")
+    PartitionedTable.create(data, path, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))
+    Catalog.registerLayoutTable(spark, "sql_rt_part2", "partitioned", path)
+    val before = dataFiles(path)
+    // star-star MERGE routes to the partition-targeted upsert: only
+    // the touched day's slice rewrites
+    Seq(("d1", 7L, 2L, 70.0), ("d1", 100L, 1L, 100.0))
+      .toDF("day", "k", "pc", "v").createOrReplaceTempView("rt_part_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_rt_part2 t USING rt_part_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = PartitionedTable.read(spark, path)
+      .as[(String, Long, Long, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(got(7L) == 70.0 && got(100L) == 100.0 && got.size == 61)
+    val after = dataFiles(path)
+    assert(before.intersect(after).size >= 2,
+      "untouched day slices must survive the merge byte-identical")
+    // mixed predicate DELETE → targeted slice rewrite (not a drop)
+    SqlMerge.exec(spark, "DELETE FROM sql_rt_part2 WHERE v > 50.0 AND k < 60")
+    val got2 = PartitionedTable.read(spark, path)
+      .as[(String, Long, Long, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(!got2.contains(7L) && got2.contains(100L) && got2.contains(60L))
+    // UPDATE with a non-partition predicate
+    SqlMerge.exec(spark, "UPDATE sql_rt_part2 SET v = v + 0.5 WHERE k <= 2")
+    val got3 = PartitionedTable.read(spark, path)
+      .as[(String, Long, Long, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(got3(1L) == 1.5 && got3(2L) == 2.5 && got3(3L) == 3.0)
+    // identity-column assignment rejected (would move rows across slices)
+    intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark, "UPDATE sql_rt_part2 SET day = 'd9' WHERE k = 3")
+    }
+    // conditional MERGE on the full identity join
+    Seq(("d0", 3L, 2L, -1.0), ("d2", 200L, 1L, 200.0))
+      .toDF("day", "k", "pc", "v").createOrReplaceTempView("rt_part_cond")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_rt_part2 t USING rt_part_cond s
+        |ON t.day = s.day AND t.k = s.k
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val fin = PartitionedTable.read(spark, path)
+      .as[(String, Long, Long, Double)].collect().map(r => r._2 -> r._4).toMap
+    assert(!fin.contains(3L) && fin(200L) == 200.0)
+  }
+
   test("readTable dispatches by layout; stub location reads empty") {
     val path = bucketBacked("sql_rt_read")
     assert(Catalog.readTable(spark, "sql_rt_read").count() == 64)
