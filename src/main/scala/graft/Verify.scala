@@ -30,7 +30,12 @@ object Verify {
     if (only.isDefined)
       System.err.println(s"[verify] SUBSET mode: ${selected.size} of " +
         s"${SparkEntry.queries.size} queries; writing oracle_sql.subset.json")
+    // registry-wide plan guard: fail the whole run if ANY query's
+    // executed plans carry an In/InSet past the 64-literal bound (the
+    // round-10 scale-killer shape) — see plans.InListCheck
+    val guard = plans.InListCheck.register(spark)
     selected.foreach { case (name, fn) =>
+      guard.label(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -65,6 +70,14 @@ object Verify {
     val oracleFile =
       if (only.isDefined) "oracle_sql.subset.json" else "oracle_sql.json"
     Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
+    val offenders = guard.report()
+    if (offenders.nonEmpty) {
+      System.err.println(
+        s"[verify] PLAN GUARD FAILED — ${offenders.size} oversized In-lists:")
+      offenders.foreach(o => System.err.println(s"[verify]   $o"))
+      spark.stop()
+      sys.exit(3)
+    }
     spark.stop()
   }
 }

@@ -200,6 +200,25 @@ object BloomTable {
     paths.toDF("file")
   }
 
+  /** How the `file ∈ paths` membership test is planned — the In-list
+    * bound `FileInListSpec` pins: up to [[InListMax]] paths it stays a
+    * literal `isin` (codegen'd filter, no exchange, no broadcast job —
+    * the hot trickle-commit path, where a broadcast join costs more
+    * than it saves); past that it becomes a broadcast semi/anti-join
+    * against the path list as a local relation, keeping the PLAN O(1)
+    * at 10⁵–10⁶ live files instead of carrying one literal node each.
+    */
+  private[etl] val InListMax = 64
+
+  private[etl] def filesIn(spark: SparkSession, df: DataFrame,
+      paths: Seq[String], keep: Boolean): DataFrame =
+    if (paths.isEmpty) { if (keep) df.limit(0) else df }
+    else if (paths.size <= InListMax) {
+      val in = col("file").isin(paths: _*)
+      df.filter(if (keep) in else !in)
+    } else df.join(broadcast(fileDf(spark, paths)), Seq("file"),
+      if (keep) "left_semi" else "left_anti")
+
   /** Write `df` key-range clustered into `files` files under `c=N/`:
     * range partitioning by the leading key keeps per-file [key_min,
     * key_max] tight and non-overlapping, which is what gives the range
@@ -297,8 +316,7 @@ object BloomTable {
   private def reconcileIndex(spark: SparkSession, tablePath: String,
       p: Props): DataFrame = {
     val live = absFiles(tablePath, manifest(tablePath))
-    val idx = readIndex(spark, tablePath)
-      .join(broadcast(fileDf(spark, live)), Seq("file"), "left_semi")
+    val idx = filesIn(spark, readIndex(spark, tablePath), live, keep = true)
     val indexed = idx.select("file").collect().map(_.getString(0)).toSet
     val missing = live.filterNot(indexed)
     if (missing.isEmpty) idx
@@ -359,10 +377,8 @@ object BloomTable {
       math.max(1, touched.size))
     val newManifest = (manifest(tablePath).toSet -- touched) ++ written
     writeManifest(tablePath, newManifest.toSeq)
-    val keptIdx =
-      if (touched.isEmpty) idx
-      else idx.join(broadcast(fileDf(spark, absFiles(tablePath, touched))),
-        Seq("file"), "left_anti")
+    val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
+      keep = false)
     writeIndex(tablePath,
       keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
@@ -401,9 +417,8 @@ object BloomTable {
       else writeCommit(remaining, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
       ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
-    val keptIdx = idx.join(
-      broadcast(fileDf(spark, absFiles(tablePath, touched))),
-      Seq("file"), "left_anti")
+    val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
+      keep = false)
     val nextIdx =
       if (written.isEmpty) keptIdx
       else keptIdx.unionByName(
@@ -445,10 +460,8 @@ object BloomTable {
         else writeCommit(next, tablePath, commit, p, math.max(1, touched.size))
       writeManifest(tablePath,
         ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
-      val keptIdx =
-        if (touched.isEmpty) idx
-        else idx.join(broadcast(fileDf(spark, absFiles(tablePath, touched))),
-          Seq("file"), "left_anti")
+      val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
+        keep = false)
       val nextIdx =
         if (written.isEmpty) keptIdx
         else keptIdx.unionByName(
@@ -495,9 +508,8 @@ object BloomTable {
       else writeCommit(next, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
       ((live.toSet -- touched) ++ written).toSeq)
-    val keptIdx = idx.join(
-      broadcast(fileDf(spark, absFiles(tablePath, touched))),
-      Seq("file"), "left_anti")
+    val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
+      keep = false)
     val nextIdx =
       if (written.isEmpty) keptIdx
       else keptIdx.unionByName(

@@ -184,17 +184,21 @@ object RecordIndex {
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs)(
       refreshLocked(spark, tablePath, staleKeys))
 
-  /** Refresh batches above this many keys lose the broadcast hint on
-    * the anti-join sides (plain shuffle join instead): a caller that
-    * refreshes after a table-wide upsert would otherwise ship the
-    * whole key set through the driver and blow the broadcast memory
-    * limit mid-flight. Past this size a rebuild is usually cheaper —
-    * logged, not forced.
+  /** Refresh batches covering more than this many NEW data files lose
+    * the broadcast hint on the anti-join sides (plain shuffle join
+    * instead): a caller that refreshes after a table-wide upsert would
+    * otherwise ship the whole key set through the driver and blow the
+    * broadcast memory limit mid-flight. File count is the driver-side
+    * proxy for batch size — known for free from the manifest diff
+    * (rows per file are bounded by the writer's file budget), where a
+    * count() would cost an extra job per refresh on the hot trickle
+    * path. Past this size a rebuild is usually cheaper — logged, not
+    * forced.
     */
-  private val BroadcastKeyLimit = 1000000L
+  private val BroadcastFileLimit = 64
 
-  private def maybeBroadcast(df: DataFrame, keyCount: Long): DataFrame =
-    if (keyCount <= BroadcastKeyLimit) broadcast(df) else df
+  private def maybeBroadcast(df: DataFrame, files: Int): DataFrame =
+    if (files <= BroadcastFileLimit) broadcast(df) else df
 
   private def refreshLocked(spark: SparkSession, tablePath: String,
       staleKeys: Option[DataFrame]): Seq[Int] = {
@@ -243,37 +247,30 @@ object RecordIndex {
           rliDir(tablePath).resolve(s"s=$shard").resolve(s"v=$v").toString)
           .withColumn("__s", lit(shard)))
     }.reduceOption(_.unionByName(_))
-    // counts are near-free here: both frames are cached and the
-    // `affected` collect above already materialized them
-    val newCount = newEntries.map(_.count()).getOrElse(0L)
-    val staleCount = staleSharded.map(_.count()).getOrElse(0L)
-    if (newCount > BroadcastKeyLimit)
-      logger.warn(s"RecordIndex.refresh at $tablePath folding $newCount " +
-        "new entries — past the broadcast threshold; a full rebuild is " +
-        "usually cheaper at this batch size")
-    // the live manifest joins as a broadcast local relation, never an
-    // In-list of path literals: at 10⁵–10⁶ files the literals would
-    // blow up plan analysis on the driver (same fix as
-    // BloomTable.reconcileIndex)
-    val liveDf = {
-      import spark.implicits._
-      liveRel.toDF("file")
-    }
+    if (newFiles.size > BroadcastFileLimit)
+      logger.warn(s"RecordIndex.refresh at $tablePath folding " +
+        s"${newFiles.size} new files (covered: ${covered.size}) — past " +
+        "the broadcast threshold; a full rebuild is usually cheaper at " +
+        "this batch size")
     val keep = cur.map { c =>
       // a refresh batch is usually small relative to the index —
       // broadcast the anti-join sides (under the size guard) so the
       // shard rewrite is one map-side pass over the kept entries, no
-      // shuffle exchanges inside the write job
-      val liveOnly = c.join(broadcast(liveDf), Seq("file"), "left_semi")
+      // shuffle exchanges inside the write job. "file is live" plans
+      // through BloomTable.filesIn: a literal isin under 64 paths, a
+      // broadcast semi-join past that (never a giant In-list)
+      val liveOnly = BloomTable.filesIn(spark, c, liveRel, keep = true)
       val minusNew = newEntries match {
         case Some(f) => liveOnly.join(
-          maybeBroadcast(f.select(p.keys.map(col): _*), newCount),
+          maybeBroadcast(f.select(p.keys.map(col): _*), newFiles.size),
           p.keys, "left_anti")
         case None => liveOnly
       }
       staleSharded match {
         case Some(s) => minusNew.join(
-          maybeBroadcast(s.select(p.keys.map(col): _*), staleCount),
+          // stale-key purges ride the delete path's small key frames;
+          // same file-count proxy keeps the guard job-free
+          maybeBroadcast(s.select(p.keys.map(col): _*), newFiles.size),
           p.keys, "left_anti")
         case None => minusNew
       }

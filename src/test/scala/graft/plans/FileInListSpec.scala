@@ -1,7 +1,6 @@
 package graft.plans
 
 import graft.SparkSpec
-import org.apache.spark.sql.catalyst.expressions.{Expression, In, InSet, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -10,41 +9,23 @@ import scala.jdk.CollectionConverters._
 
 /** The round-10 verdict's scale-killer, pinned by CI: index
   * maintenance (BloomTable reconcile/upsert/delete, RecordIndex
-  * build/refresh/lookup) must never express "file ∈ manifest" as an
-  * `isin` over path LITERALS — at 10⁵–10⁶ live files that inflates
-  * every plan with that many literal nodes and blows up driver-side
-  * analysis. The fix is a broadcast semi/anti-join against the
-  * manifest as a local relation; this spec runs the full lifecycle
-  * under a `QueryExecutionListener` and fails if ANY executed plan
-  * carries an In/InSet over a file-path column, or any In-list longer
-  * than 64 literals of any kind.
+  * build/refresh/lookup) must never inflate a plan with an In-list of
+  * more than `BloomTable.InListMax` (64) literals — at 10⁵–10⁶ live
+  * files that blows up driver-side analysis. Under the bound, a
+  * literal `isin` is the SANCTIONED fast path (codegen'd filter, no
+  * broadcast exchange — measured cheaper on trickle commits); past it,
+  * `BloomTable.filesIn` switches to a broadcast semi/anti-join against
+  * the path list as a local relation. This spec runs the full
+  * lifecycle — including a 100-file table, past the bound — under a
+  * `QueryExecutionListener` and fails if ANY executed plan carries an
+  * In/InSet longer than 64 entries.
   */
 class FileInListSpec extends SparkSpec {
   import spark.implicits._
 
-  private def offendingIn(plan: LogicalPlan): Seq[String] = {
-    def bad(e: Expression): Option[String] = e match {
-      case i: In =>
-        val overFile = i.value.references.exists(_.name == "file")
-        val pathLits = i.list.exists {
-          case Literal(s, _) if s != null =>
-            val str = s.toString
-            str.endsWith(".parquet") || str.matches(".*c=\\d+/.*")
-          case _ => false
-        }
-        if (overFile || pathLits || i.list.length > 64)
-          Some(s"In over ${i.value.sql} with ${i.list.length} literals")
-        else None
-      case s: InSet =>
-        val overFile = s.child.references.exists(_.name == "file")
-        if (overFile || s.hset.size > 64)
-          Some(s"InSet over ${s.child.sql} with ${s.hset.size} values")
-        else None
-      case _ => None
-    }
-    plan.flatMap(node => node.expressions.flatMap(_.collect(Function
-      .unlift(bad))))
-  }
+  // detection logic shared with the registry-wide Verify guard
+  private def offendingIn(plan: LogicalPlan): Seq[String] =
+    InListCheck.offendingIn(plan)
 
   test("bloom/RLI maintenance never plans In-lists over file paths") {
     val captured =
@@ -59,16 +40,20 @@ class FileInListSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       val dir = Files.createTempDirectory("inlist").toString + "/t"
-      val mk = (1 to 80).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v")
+      // 96 target files → the live manifest exceeds InListMax, so
+      // every "file is live" membership test must take the join path
+      val mk = (1 to 300).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v")
       graft.etl.BloomTable.create(mk, dir, keys = Seq("k"), precombine = "pc",
-        numFiles = 8)
+        numFiles = 96)
+      assert(graft.etl.BloomTable.manifest(dir).size > 64,
+        "fixture must exceed the In-list bound for the test to bite")
       graft.etl.RecordIndex.build(spark, dir, numShards = 4)
       graft.etl.BloomTable.upsertInto(spark, dir,
-        Seq((7L, 2L, 70.0), (81L, 1L, 81.0)).toDF("k", "pc", "v"))
+        Seq((7L, 2L, 70.0), (301L, 1L, 301.0)).toDF("k", "pc", "v"))
       graft.etl.RecordIndex.refresh(spark, dir)
-      graft.etl.BloomTable.deleteFrom(spark, dir, Seq(81L).toDF("k"))
+      graft.etl.BloomTable.deleteFrom(spark, dir, Seq(301L).toDF("k"))
       graft.etl.RecordIndex.refresh(spark, dir,
-        staleKeys = Some(Seq(81L).toDF("k")))
+        staleKeys = Some(Seq(301L).toDF("k")))
       assert(graft.etl.RecordIndex.lookup(spark, dir, Seq(7L)).count() == 1)
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
