@@ -148,6 +148,38 @@ object Scale {
         round(sum(col("value")), 2).as("total"))
   }
 
+  /** `q_dpp_join`: dynamic partition pruning end-to-end — the
+    * star-join shape that decides 100 TB fact scans. The fact table is
+    * written month-partitioned; the dim side (a month calendar with a
+    * quarter attribute) is filtered on a DERIVED column, so no static
+    * rule can turn it into a partition predicate — only Catalyst's
+    * runtime DPP subquery can: the broadcast of the filtered dim is
+    * reused as a dynamic pruning filter on the fact scan, and only the
+    * three matching month directories are ever listed or read.
+    * `PlanAssertSpec` pins the `dynamicpruning` expression in the fact
+    * scan's PartitionFilters; this entry pins result parity against
+    * the plain-join oracle. Money sums in integer cents (exact at any
+    * SF); revenue presented from the same integer in both engines.
+    */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(scratch, "dpp").toString + "/t"
+    val orders = graft.Tables.orders(spark, sfDir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    writePartitioned(
+      orders.select(col("o_orderkey"), col("o_totalprice"), col("o_month")),
+      path, Seq("o_month"))
+    val monthDim = orders.select(col("o_month")).distinct()
+      .withColumn("o_quarter",
+        concat(substring(col("o_month"), 1, 4), lit("-Q"),
+          expr("cast((cast(substring(o_month, 6, 2) as int) + 2) / 3 as int)")))
+    spark.read.parquet(path)
+      .join(monthDim.filter(col("o_quarter") === "1995-Q1"), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+          .as("revenue"))
+  }
+
   /** `q_bucketed_join`: the shuffle-free co-located join end-to-end —
     * both sides written bucketed+sorted on the join key into the same
     * bucket count, joined through the catalog, aggregated. `ScaleSpec`
@@ -176,6 +208,7 @@ object Scale {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_skew_join" -> (saltedSkewJoin(_, _)),
     "q_partition_prune" -> (partitionPrune(_, _)),
+    "q_dpp_join" -> (dppJoin(_, _)),
     "q_bucketed_join" -> (bucketedJoinAgg(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +221,14 @@ object Scale {
       """SELECT user_id, count(*) AS n_clicks, round(sum(value), 2) AS total
         |FROM events WHERE event_type = 'click'
         |GROUP BY user_id""".stripMargin,
+    "q_dpp_join" ->
+      """SELECT o_month, count(*) AS n_orders,
+        | round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0, 2)
+        |   AS revenue
+        |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice
+        |      FROM orders)
+        |WHERE o_month IN ('1995-01', '1995-02', '1995-03')
+        |GROUP BY o_month""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
         | round(sum(l_extendedprice), 2) AS revenue

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, GlobalLimit, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -87,7 +88,7 @@ class PlanAssertSpec extends SparkSpec {
     // round-9 layout queries: the salted join must stay a (key, salt)
     // equi-join (a cartesian fallback would defeat the salting), and
     // the timeline reads join nothing exotic
-    "q_salted_skew_join", "q_partition_prune", "q_bucketed_join",
+    "q_salted_skew_join", "q_partition_prune", "q_dpp_join", "q_bucketed_join",
     "p_time_travel", "p_timeline_incremental",
     // value-partitioned table + secondary index: the pruned read is a
     // plain union of partition scans and the index lookup's key
@@ -125,6 +126,56 @@ class PlanAssertSpec extends SparkSpec {
     assert(scans.exists(s =>
       s.partitionFilters.exists(_.toString.contains("event_type"))),
       s"event_type missing from PartitionFilters:\n${plans("q_partition_prune")}")
+  }
+
+  test("star join prunes fact partitions with a runtime DPP filter") {
+    // the dim filter is on a DERIVED quarter column, so only dynamic
+    // partition pruning can turn it into a partition predicate: the
+    // fact scan must carry a dynamicpruning expression in its
+    // PartitionFilters, and after execution the scan must have read
+    // three month directories, not all of them — at 100 TB that is the
+    // difference between one quarter and seven years of fact data
+    val scans = scansUnder(plans("q_dpp_join"))
+    val fact = scans.filter(_.partitionFilters.nonEmpty)
+    assert(fact.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"no dynamicpruning PartitionFilter on the fact scan:\n${plans("q_dpp_join")}")
+    val pruned = fact.find(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning"))).get
+    val readDirs = pruned.metrics.get("numPartitions").map(_.value)
+    readDirs.foreach(n => assert(n <= 3,
+      s"DPP read $n partitions; expected <= 3 (one quarter)"))
+  }
+
+  test("shuffle star join is eligible for Spark's runtime bloom filter") {
+    // at 100 TB the fact⋈dim equi-join plans as a shuffle join, and
+    // Spark 4's InjectRuntimeFilter (on by default) builds a bloom
+    // filter from the dim's selective side and applies it map-side on
+    // the fact BEFORE the shuffle — the row-level counterpart of DPP
+    // for non-partition join keys. The size thresholds that gate it
+    // (10 GB application side) never trip at test SF, so this test
+    // recreates the at-scale planning regime explicitly (no broadcast,
+    // zero application-side threshold) and pins that our canonical
+    // star-join shape actually receives the filter: `might_contain`
+    // over the fact's join key in the final plan.
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.get(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.Tables.lineitem(spark, sf001)
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val dim = graft.Tables.part(spark, sf001)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val agg = li.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n"))
+      val plan = finalPlan(agg).toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+      assert(agg.collect().head.getLong(0) > 0, "join produced no rows")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("bucketed-join query reads both sides through the bucket layout") {
