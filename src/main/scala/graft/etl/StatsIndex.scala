@@ -288,6 +288,67 @@ object StatsIndex {
     scan(spark, dataDir, statsPath, ranges)
   }
 
+  /** How a [[countWhere]] answered: rows proven by metadata alone,
+    * files that had to be scanned for the boundary residual, and the
+    * index size the classification ran over.
+    */
+  final case class CountBreakdown(total: Long, metaRows: Long,
+      containedFiles: Seq[String], scannedFiles: Seq[String],
+      indexedFiles: Long)
+
+  /** File fully inside `r`: every row satisfies the range, so its
+    * `row_count` can be taken from metadata without opening the file.
+    * Requires zero nulls in the column — nulls never satisfy a range
+    * predicate but do sit inside min/max, so a nulled file must fall
+    * back to the residual scan. An unbounded range (no predicate) is
+    * trivially contained, nulls and all.
+    */
+  private def containedIn(r: ColRange): Column = {
+    val loOk = r.lo.map(v =>
+      coalesce(col(s"${r.column}__min") >= lit(v), lit(false)))
+    val hiOk = r.hi.map(v =>
+      coalesce(col(s"${r.column}__max") <= lit(v), lit(false)))
+    val bounds = loOk.toSeq ++ hiOk.toSeq
+    if (bounds.isEmpty) lit(true)
+    else (bounds :+ (col(s"${r.column}__nulls") === lit(0L))).reduce(_ && _)
+  }
+
+  /** Metadata-answered count (Hudi's metadata-table count / Iceberg's
+    * manifest-stats count, re-expressed over the stats index): classify
+    * every indexed file against the ranges — DISJOINT files contribute
+    * nothing, fully-CONTAINED files contribute their `row_count`
+    * straight from the index, and only BOUNDARY files (intersecting but
+    * not contained) are opened, with the residual filter applied. At
+    * 100 TB a time-range count touches two boundary files instead of
+    * the whole table; the classification itself is one driver pass over
+    * the O(files) stats relation — the same order as planning any scan.
+    * Correctness never rests on tightness: a file the index can't prove
+    * contained is scanned, and `StatsIndexSpec` pins the null fallback.
+    */
+  def countWhere(spark: SparkSession, dataDir: String, statsPath: String,
+      ranges: Seq[ColRange]): CountBreakdown = {
+    val idxCols = columns(statsPath).toSet
+    val unknown = ranges.map(_.column).filterNot(idxCols)
+    require(unknown.isEmpty,
+      s"columns not in index: ${unknown.mkString(",")} (indexed: ${idxCols.mkString(",")})")
+    val surv = ranges.map(survives).reduceOption(_ && _).getOrElse(lit(true))
+    val cont = ranges.map(containedIn).reduceOption(_ && _).getOrElse(lit(true))
+    val rows = statsDf(spark, statsPath)
+      .select(col("file"), surv.as("s"), cont.as("c"), col("row_count"))
+      .collect()
+    val containedFiles =
+      rows.filter(_.getBoolean(2)).map(_.getString(0)).toSeq.sorted
+    val metaRows = rows.filter(_.getBoolean(2)).map(_.getLong(3)).sum
+    val boundary = rows.filter(r => r.getBoolean(1) && !r.getBoolean(2))
+      .map(_.getString(0)).toSeq.sorted
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary: _*)
+        .filter(rangesFilter(ranges, entries(statsPath))).count()
+    CountBreakdown(metaRows + scanned, metaRows, containedFiles, boundary,
+      rows.length.toLong)
+  }
+
   /** Residual filter over the DATA: each range's name resolves back to
     * its entry's expression — a plain column filters itself (and still
     * reaches parquet PushedFilters); a functional entry re-evaluates

@@ -125,6 +125,40 @@ object Skipping {
         col("value"), col("ts_us"))
   }
 
+  /** ~11.6 days of the 30-day span: wide enough that interior files of
+    * the 8-file time-ordered layout are FULLY contained at every SF
+    * (each file owns ~3.75 days), narrow enough that boundary files
+    * exist on both ends.
+    */
+  val CntLoUs = 1705000000000000L
+  val CntHiUs = 1706000000000000L
+
+  /** Metadata-only count: a time-range `count(*)` answered from the
+    * stats index — fully-contained files contribute `row_count`
+    * straight from metadata, only the two boundary files are opened
+    * (the Hudi metadata-table / Iceberg manifest-count story; at
+    * 100 TB this is a two-file read instead of a table scan).
+    * `StatsIndexSpec` pins the classification and the null fallback;
+    * the in-query require keeps the metadata path honest at every SF —
+    * if layout drift ever made this a plain scan, the query fails
+    * rather than silently degrading. Oracle replays the count over the
+    * raw table.
+    */
+  def statsCountMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "c").toString
+    val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim(spark, sfDir)
+      .repartitionByRange(LayoutFiles, col("ts_us"))
+      .write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us"), stats)
+    val bd = StatsIndex.countWhere(spark, data, stats,
+      Seq(ColRange("ts_us", Some(CntLoUs), Some(CntHiUs))))
+    require(bd.metaRows > 0 && bd.scannedFiles.size < bd.indexedFiles,
+      s"count not metadata-answered: $bd")
+    import spark.implicits._
+    Seq(bd.total).toDF("n_rows")
+  }
+
   /** Functional index (Hudi 1.0's expression index): stats computed
     * over `ts_us div 86400000000` — a DAY the data never materializes
     * as a column — prune the time-ordered layout for a day-range
@@ -148,6 +182,7 @@ object Skipping {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_func_index" -> (funcIndexSkipping(_, _)),
+    "p_stats_count_meta" -> (statsCountMeta(_, _)),
     "p_stats_skipping" -> (statsSkipping(_, _)),
     "p_stats_skipping_zorder" -> (statsSkippingZorder(_, _)),
     "p_stats_skipping_update" -> (statsSkippingUpdate(_, _)))
@@ -157,6 +192,10 @@ object Skipping {
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
          |FROM events
          |WHERE (epoch_us(ts) // 86400000000) BETWEEN $DayLo AND $DayHi""".stripMargin,
+    "p_stats_count_meta" ->
+      s"""SELECT count(*) AS n_rows
+         |FROM events
+         |WHERE epoch_us(ts) BETWEEN $CntLoUs AND $CntHiUs""".stripMargin,
     "p_stats_skipping" ->
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
          |FROM events

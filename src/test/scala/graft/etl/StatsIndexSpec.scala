@@ -190,6 +190,49 @@ class StatsIndexSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("countWhere answers contained files from metadata, scans only boundaries") {
+    import spark.implicits._
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    // five files of 20 keys each: 1-20 | 21-40 | 41-60 | 61-80 | 81-100
+    (0 until 5).foreach { f =>
+      (f * 20 + 1 to f * 20 + 20).map(_.toLong).toDF("k")
+        .coalesce(1).write.mode("append").parquet(data)
+    }
+    StatsIndex.build(spark, data, Seq("k"), stats)
+    val bd = StatsIndex.countWhere(spark, data, stats,
+      Seq(ColRange("k", Some(15L), Some(65L))))
+    // 15..65 inclusive = 51 keys; files 21-40 and 41-60 are contained
+    // (40 metadata rows), 1-20 and 61-80 are boundaries, 81-100 disjoint
+    assert(bd.total == 51, s"got $bd")
+    assert(bd.metaRows == 40, s"got $bd")
+    assert(bd.containedFiles.size == 2 && bd.scannedFiles.size == 2,
+      s"got $bd")
+    assert(bd.indexedFiles == 5)
+  }
+
+  test("countWhere never metadata-counts a file with nulls in the range column") {
+    import spark.implicits._
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    Seq[Option[Long]](Some(10L), Some(20L)).toDF("k")
+      .coalesce(1).write.parquet(data)
+    // min/max (12,18) sit fully inside the range, but the null row
+    // must not be counted — containment requires zero nulls
+    Seq[Option[Long]](Some(12L), None, Some(18L)).toDF("k")
+      .coalesce(1).write.mode("append").parquet(data)
+    StatsIndex.build(spark, data, Seq("k"), stats)
+    val bd = StatsIndex.countWhere(spark, data, stats,
+      Seq(ColRange("k", Some(10L), Some(20L))))
+    assert(bd.total == 4, s"got $bd")
+    // file (10,20) is contained and metadata-counted; the nulled file
+    // (12,null,18) is forced onto the scan path despite inside min/max
+    assert(bd.metaRows == 2 && bd.containedFiles.size == 1 &&
+      bd.scannedFiles.size == 1, s"got $bd")
+    // unbounded ranges are trivially contained, nulls included
+    val all = StatsIndex.countWhere(spark, data, stats, Seq(ColRange("k")))
+    assert(all.total == 5 && all.metaRows == 5 && all.scannedFiles.isEmpty,
+      s"got $all")
+  }
+
   test("disjoint range prunes everything and returns an empty, well-typed frame") {
     val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
     eventsSlim.repartitionByRange(4, col("ts_us")).write.parquet(data)
