@@ -4,12 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{col, lit, not, when}
 
 /** SQL DML front door for graft-managed catalog tables — the
   * statements the reference's users write against Hudi's Spark SQL
-  * surface (`MERGE INTO`, `UPDATE`, `DELETE FROM`), re-expressed
+  * surface (`MERGE INTO`, `UPDATE`, `DELETE FROM`, `INSERT INTO` /
+  * `INSERT OVERWRITE`), re-expressed
   * without a DSv2 row-level-operation implementation: each statement
   * is parsed by SPARK'S OWN parser (so syntax, aliasing, and subquery
   * sources are exactly Spark SQL), validated, and executed as the
@@ -54,15 +55,16 @@ import org.apache.spark.sql.functions.{col, lit, not, when}
   */
 object SqlMerge {
 
-  /** Execute a graft-supported DML statement: MERGE INTO, UPDATE, or
-    * DELETE FROM, each parsed by Spark's parser and executed as the
-    * engine's own keyed/filtered rewrite.
+  /** Execute a graft-supported DML statement: MERGE INTO, UPDATE,
+    * DELETE FROM, or INSERT INTO/OVERWRITE, each parsed by Spark's
+    * parser and executed as the engine's own keyed/filtered rewrite.
     */
   def exec(spark: SparkSession, sqlText: String): Unit =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case m: MergeIntoTable => mergeParsed(spark, m)
       case u: UpdateTable => updateParsed(spark, u)
       case d: DeleteFromTable => deleteParsed(spark, d)
+      case i: InsertIntoStatement => insertParsed(spark, i, sqlText)
       case other => throw new IllegalArgumentException(
         s"unsupported DML: ${other.getClass.getSimpleName}")
     }
@@ -248,6 +250,105 @@ object SqlMerge {
   private def referencedColumns(e: Expression): Set[String] =
     e.collect { case a: UnresolvedAttribute => a.nameParts.last.toLowerCase }
       .toSet
+
+  // ---- INSERT ----------------------------------------------------------
+
+  /** `INSERT INTO t [(cols)] <query>` / `INSERT OVERWRITE t <query>` —
+    * the remaining CRUD verb through the SQL front door. Layout-bound
+    * tables route INSERT INTO to the layout's keyed upsert (Hudi's
+    * INSERT into an upsert table: precombine dedup, latest wins —
+    * an O(batch) targeted rewrite, never a table rewrite) and INSERT
+    * OVERWRITE on the partitioned layout to `insertOverwrite` (Hudi's
+    * `insert_overwrite`: replace exactly the partitions present in the
+    * batch, touch no other slice). Plain catalog tables run Spark's
+    * own INSERT — there is nothing to route. A column list maps the
+    * query's output positionally onto the listed columns; columns it
+    * omits null-fill EXCEPT the row identity + precombine, which must
+    * be present (they route rows to buckets/files/partitions and
+    * version them).
+    */
+  private def insertParsed(spark: SparkSession, i: InsertIntoStatement,
+      sqlText: String): Unit = {
+    val target = tableName(i.table)
+    Catalog.layoutOf(spark, target) match {
+      case None =>
+        spark.sql(sqlText)
+        ()
+      case layout @ Some((kind, path)) =>
+        require(i.partitionSpec.isEmpty,
+          s"INSERT ... PARTITION on $target: partition columns of a " +
+            "layout table are data columns — select them in the query")
+        require(!i.ifPartitionNotExists,
+          s"IF NOT EXISTS is not supported on layout table $target")
+        val (keys, precombine, _) = dmlConfig(spark, target, layout)
+        val identity = dmlIdentity(keys, layout)
+        val src = graftbridgeOfRows(spark, i.query)
+        val shaped = shapeForInsert(src, Catalog.readTable(spark, target).schema,
+          i.userSpecifiedCols, i.byName, identity :+ precombine, target)
+        (kind, i.overwrite) match {
+          case ("partitioned", true) =>
+            PartitionedTable.insertOverwrite(spark, path, shaped)
+          case ("partitioned", false) =>
+            PartitionedTable.upsertInto(spark, path, shaped)
+            ()
+          case ("bucket", false) =>
+            BucketTable.upsertInto(spark, path, shaped)
+            ()
+          case ("bloom", false) =>
+            BloomTable.upsertInto(spark, path, shaped)
+          case (k, true) => throw new IllegalArgumentException(
+            s"INSERT OVERWRITE on '$k' layout $target is not supported — " +
+              "overwrite is a partition-level operation; use MERGE or " +
+              "UPDATE for keyed rewrites")
+          case (other, _) => throw new IllegalArgumentException(
+            s"unknown layout kind '$other' on $target")
+        }
+    }
+  }
+
+  /** Map the insert source onto the table's schema: positional rename
+    * (full schema, or the statement's column list), or as-is for
+    * BY NAME; present columns cast to their declared type, absent
+    * nullable columns null-filled, absent identity/precombine a loud
+    * failure.
+    */
+  private def shapeForInsert(src: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, userCols: Seq[String],
+      byName: Boolean, required: Seq[String], target: String): DataFrame = {
+    val known = schema.fieldNames.map(_.toLowerCase).toSet
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.size == src.columns.length,
+          s"INSERT $target: ${userCols.size} columns listed but the query " +
+            s"returns ${src.columns.length}")
+        val unknown = userCols.filterNot(c => known(c.toLowerCase))
+        require(unknown.isEmpty,
+          s"INSERT $target: no such columns: ${unknown.mkString(", ")} " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")
+        src.toDF(userCols: _*)
+      } else if (byName) {
+        val unknown = src.columns.filterNot(c => known(c.toLowerCase))
+        require(unknown.isEmpty,
+          s"INSERT $target BY NAME: no such columns: ${unknown.mkString(", ")}")
+        src
+      } else {
+        require(src.columns.length == schema.length,
+          s"INSERT $target: positional insert needs all ${schema.length} " +
+            s"columns, the query returns ${src.columns.length}")
+        src.toDF(schema.fieldNames: _*)
+      }
+    val present = named.columns.map(_.toLowerCase).toSet
+    val missing = required.filterNot(c => present(c.toLowerCase))
+    require(missing.isEmpty,
+      s"INSERT $target: row identity / precombine columns must be " +
+        s"provided: ${missing.mkString(", ")}")
+    named.select(schema.fields.map { f =>
+      if (present(f.name.toLowerCase))
+        col(named.columns.find(_.equalsIgnoreCase(f.name)).get)
+          .cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+  }
 
   // ---- UPDATE ----------------------------------------------------------
 

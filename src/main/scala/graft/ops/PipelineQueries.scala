@@ -992,6 +992,60 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_sql_insert`: the SQL INSERT front door routed to the bucket
+    * layout — `INSERT INTO <table> SELECT ...` on an upsert-keyed
+    * table executes as `BucketTable.upsertInto` (Hudi's INSERT INTO:
+    * precombine dedup, latest wins, O(batch) bucket rewrites — never
+    * a table rewrite). Same end state as the star-star MERGE, reached
+    * through the verb users actually start with.
+    */
+  def sqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "sin")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_insert_target",
+      "bucket", path)
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_insert_src")
+    graft.etl.SqlMerge.exec(spark,
+      """INSERT INTO graft_insert_target
+        |SELECT user_id, event_id, event_type, value, ts_us
+        |FROM graft_insert_src""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_insert_target")
+  }
+
+  /** `p_sql_insert_overwrite`: `INSERT OVERWRITE` routed to the
+    * partitioned layout's `insertOverwrite` — the [[partOverwrite]]
+    * contract (replace exactly the partitions present in the batch,
+    * leave every other day untouched) reached through SQL. The batch
+    * restates Jan 15-18 as click events only; the oracle distinguishes
+    * overwrite from upsert by the non-click rows it must NOT find.
+    */
+  def sqlInsertOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "sio")
+      .toString + "/t"
+    val ev = partEvents(spark, sfDir)
+    graft.etl.PartitionedTable.create(ev, path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      partitionCols = Seq("event_date"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_insow_target",
+      "partitioned", path)
+    ev.createOrReplaceTempView("graft_insow_src")
+    graft.etl.SqlMerge.exec(spark,
+      """INSERT OVERWRITE graft_insow_target
+        |SELECT event_date, user_id, event_id, event_type, value, ts_us
+        |FROM graft_insow_src
+        |WHERE event_date BETWEEN DATE '2024-01-15' AND DATE '2024-01-18'
+        |  AND event_type = 'click'""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_insow_target")
+      .select(PartCols: _*)
+  }
+
   /** `p_sql_delete_partition`: retention DELETE on a partition
     * predicate, routed to `PartitionedTable.dropPartitions` —
     * METADATA-ONLY (the manifest shrinks; zero data files read or
@@ -1534,6 +1588,8 @@ object PipelineQueries {
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
+    "p_sql_insert" -> (sqlInsert(_, _)),
+    "p_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
     "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
     "p_sql_merge_partial" -> (sqlMergePartial(_, _)),
@@ -1691,6 +1747,37 @@ object PipelineQueries {
     // identical statement and semantics to p_sql_merge — only the
     // EXECUTION routing differs (bucket-targeted vs whole-table), which
     // is exactly what sharing the oracle proves
+    // INSERT INTO an upsert-keyed table ≡ the star-star MERGE end state:
+    // latest per user over all events
+    "p_sql_insert" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    // INSERT OVERWRITE replays p_part_overwrite's contract through SQL
+    "p_sql_insert_overwrite" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-15' AND DATE '2024-01-18') t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-15' AND DATE '2024-01-18'
+         |  AND event_type = 'click') t
+         |WHERE rn = 1""".stripMargin,
     "p_sql_merge_bucketed" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -70,6 +70,39 @@ class SqlRoutingSpec extends SparkSpec {
         s"buckets (${touched.size})")
   }
 
+  test("INSERT INTO a bucket-backed table routes to the keyed upsert") {
+    val path = bucketBacked("sql_rt_ins")
+    val before = dataFiles(path)
+    Seq((7L, 2L, 70.0), (7L, 3L, 77.0), (65L, 1L, 65.0))
+      .toDF("k", "pc", "v").createOrReplaceTempView("rt_ins_src")
+    SqlMerge.exec(spark,
+      "INSERT INTO sql_rt_ins SELECT k, pc, v FROM rt_ins_src")
+    val got = contents(path).map(r => r._1 -> r._3).toMap
+    // precombine dedup inside the batch: pc=3 wins for k=7
+    assert(got(7L) == 77.0 && got(65L) == 65.0 && got(10L) == 10.0)
+    assert(got.size == 65)
+    val touched = Set(7L, 65L).map(k =>
+      BucketTable.bucketOf(spark, path, Seq(k)))
+    val after = dataFiles(path)
+    assert(before.size - before.intersect(after).size <= touched.size,
+      "INSERT INTO must rewrite only the touched buckets")
+    // a column list null-fills non-identity columns; omitting the
+    // precombine is a loud failure, not a silent zero-fill
+    SqlMerge.exec(spark,
+      "INSERT INTO sql_rt_ins (k, pc) SELECT 66, 1 ")
+    assert(BucketTable.read(spark, path).filter("k = 66")
+      .select("v").collect().head.isNullAt(0))
+    val e = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark, "INSERT INTO sql_rt_ins (k, v) SELECT 67, 1.0")
+    }
+    assert(e.getMessage.contains("precombine"))
+    // INSERT OVERWRITE is partition-level — rejected on a bucket layout
+    intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        "INSERT OVERWRITE sql_rt_ins SELECT k, pc, v FROM rt_ins_src")
+    }
+  }
+
   test("conditional MERGE routes through rewriteKeys, inserts included") {
     val path = bucketBacked("sql_rt_cond")
     Seq((3L, 2L, -1.0), (5L, 2L, 500.0), (200L, 2L, 200.0))
