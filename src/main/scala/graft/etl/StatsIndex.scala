@@ -349,6 +349,24 @@ object StatsIndex {
       rows.length.toLong)
   }
 
+  /** Metadata-only min/max of an indexed column: the fold of per-file
+    * bounds IS the global extremum (min of mins / max of maxes, nulls
+    * ignored — SQL MIN/MAX semantics), so the highest-traffic
+    * incremental-ETL query — `SELECT max(ts)` for the next watermark —
+    * answers from one O(files) stats read with zero data files opened.
+    * Returns (None, None) when no file holds a non-null value.
+    */
+  def minMaxOf(spark: SparkSession, statsPath: String,
+      column: String): (Option[Any], Option[Any]) = {
+    require(columns(statsPath).contains(column),
+      s"column not in index: $column (indexed: ${columns(statsPath).mkString(",")})")
+    val r = statsDf(spark, statsPath)
+      .agg(min(col(s"${column}__min")).as("lo"),
+        max(col(s"${column}__max")).as("hi"))
+      .collect().head
+    (Option(r.get(0)), Option(r.get(1)))
+  }
+
   /** Residual filter over the DATA: each range's name resolves back to
     * its entry's expression — a plain column filters itself (and still
     * reaches parquet PushedFilters); a functional entry re-evaluates

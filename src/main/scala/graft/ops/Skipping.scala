@@ -159,6 +159,30 @@ object Skipping {
     Seq(bd.total).toDF("n_rows")
   }
 
+  /** Metadata-only min/max: the watermark query (`SELECT max(ts)` to
+    * bound the next incremental pull) plus the span's min, answered
+    * from the stats index's per-file bounds — zero data files opened,
+    * the O(files) metadata read a 100 TB incremental consumer pays
+    * instead of a table scan. The oracle replays the aggregates over
+    * the raw table; `StatsIndexSpec` pins null semantics.
+    */
+  def statsMinMaxMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "m").toString
+    val data = s"$base/data"; val stats = s"$base/stats"
+    eventsSlim(spark, sfDir)
+      .repartitionByRange(LayoutFiles, col("ts_us"))
+      .write.parquet(data)
+    StatsIndex.build(spark, data, Seq("ts_us", "value"), stats)
+    val (tsLo, tsHi) = StatsIndex.minMaxOf(spark, stats, "ts_us")
+    val (_, vHi) = StatsIndex.minMaxOf(spark, stats, "value")
+    import spark.implicits._
+    // extrema are exact stored values (not accumulated floats) — both
+    // engines return the identical double, no rounding needed
+    Seq((tsLo.get.asInstanceOf[Long], tsHi.get.asInstanceOf[Long],
+      vHi.get.asInstanceOf[Double]))
+      .toDF("ts_min", "ts_max", "value_max")
+  }
+
   /** Functional index (Hudi 1.0's expression index): stats computed
     * over `ts_us div 86400000000` — a DAY the data never materializes
     * as a column — prune the time-ordered layout for a day-range
@@ -183,6 +207,7 @@ object Skipping {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_func_index" -> (funcIndexSkipping(_, _)),
     "p_stats_count_meta" -> (statsCountMeta(_, _)),
+    "p_stats_minmax_meta" -> (statsMinMaxMeta(_, _)),
     "p_stats_skipping" -> (statsSkipping(_, _)),
     "p_stats_skipping_zorder" -> (statsSkippingZorder(_, _)),
     "p_stats_skipping_update" -> (statsSkippingUpdate(_, _)))
@@ -196,6 +221,10 @@ object Skipping {
       s"""SELECT count(*) AS n_rows
          |FROM events
          |WHERE epoch_us(ts) BETWEEN $CntLoUs AND $CntHiUs""".stripMargin,
+    "p_stats_minmax_meta" ->
+      """SELECT min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+        | max(value) AS value_max
+        |FROM events""".stripMargin,
     "p_stats_skipping" ->
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
          |FROM events

@@ -233,6 +233,21 @@ class StatsIndexSpec extends SparkSpec {
       s"got $all")
   }
 
+  test("minMaxOf folds per-file bounds, ignoring nulls; all-null gives None") {
+    import spark.implicits._
+    val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
+    Seq[Option[Long]](Some(5L), None, Some(42L)).toDF("k")
+      .coalesce(1).write.parquet(data)
+    Seq[Option[Long]](None, None).toDF("k")
+      .coalesce(1).write.mode("append").parquet(data)
+    StatsIndex.build(spark, data, Seq("k"), stats)
+    assert(StatsIndex.minMaxOf(spark, stats, "k") == (Some(5L), Some(42L)))
+    val base2 = scratch(); val d2 = s"$base2/data"; val s2 = s"$base2/stats"
+    Seq[Option[Long]](None, None).toDF("k").coalesce(1).write.parquet(d2)
+    StatsIndex.build(spark, d2, Seq("k"), s2)
+    assert(StatsIndex.minMaxOf(spark, s2, "k") == (None, None))
+  }
+
   test("disjoint range prunes everything and returns an empty, well-typed frame") {
     val base = scratch(); val data = s"$base/data"; val stats = s"$base/stats"
     eventsSlim.repartitionByRange(4, col("ts_us")).write.parquet(data)

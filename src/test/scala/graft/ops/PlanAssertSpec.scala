@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, GlobalLimit, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -175,6 +175,43 @@ class PlanAssertSpec extends SparkSpec {
       assert(plan.contains("might_contain"),
         s"no runtime bloom filter injected on the fact side:\n$plan")
       assert(agg.collect().head.getLong(0) > 0, "join produced no rows")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("AQE splits a skewed shuffle-join partition at the at-scale thresholds") {
+    // the first line of defense q_salted_skew_join documents: AQE's
+    // skew-join split. Its byte thresholds never trip at test SF, so
+    // recreate the at-scale regime (no broadcast, tiny advisory/skew
+    // thresholds) over a fact with one hot key and pin that the final
+    // plan's sort-merge join actually carries skew=true — the runtime
+    // re-plan that keeps one 30%-of-the-table key from serializing one
+    // reducer at 100 TB.
+    val overrides = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.get(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~80% of the fact lands on key 0 — one pathological hot key.
+      // The repartition matters: AQE splits a skewed REDUCE partition
+      // into consecutive mapper-range chunks, so a single-mapper input
+      // (one parquet file at test SF) has nothing to split — exactly
+      // why this never trips on the unsplit testdata but does at scale,
+      // where a fact scan always has thousands of mappers.
+      val hot = graft.Tables.lineitem(spark, sf001)
+        .select(when(col("l_partkey") % 5 === 0, col("l_partkey") % 17)
+          .otherwise(lit(0L)).as("k"), col("l_extendedprice"))
+        .repartition(16)
+      val dim = spark.range(0, 17).select(col("id").as("k"),
+        (col("id") * 10).as("w"))
+      val agg = hot.join(dim, "k")
+        .agg(count(col("l_extendedprice") + col("w")).as("n"))
+      val plan = finalPlan(agg).toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
