@@ -227,6 +227,27 @@ object Catalog {
       case other => throw new IllegalArgumentException(
         s"unknown layout kind '$other' (expected bucket | bloom | partitioned)")
     }
+    writeLayoutEntry(spark, name, kind, path, schema, keys, precombine,
+      tieBreak, secondaryIndex)
+  }
+
+  /** Register a catalog entry bound to a [[Timeline]] table — the
+    * versioned-snapshot layout, the one `SELECT ... VERSION AS OF` /
+    * `TIMESTAMP AS OF` resolve against ([[graft.etl.SqlRead]]). The
+    * timeline persists no key config of its own (upserts carry it),
+    * so registration declares it — the same role Hudi's table config
+    * plays for its SQL surface.
+    */
+  def registerTimelineTable(spark: SparkSession, name: String, path: String,
+      keys: Seq[String], precombine: String,
+      tieBreak: Seq[String] = Nil): Unit =
+    writeLayoutEntry(spark, name, "timeline", path,
+      Timeline.read(spark, path).schema, keys, precombine, tieBreak, None)
+
+  private def writeLayoutEntry(spark: SparkSession, name: String,
+      kind: String, path: String, schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], precombine: String, tieBreak: Seq[String],
+      secondaryIndex: Option[(Seq[String], String)]): Unit = {
     val stub = Paths.get(path, "_catalog_stub")
     java.nio.file.Files.createDirectories(stub)
     val secProp = secondaryIndex.map { case (cols, idxPath) =>
@@ -252,6 +273,7 @@ object Catalog {
       case Some(("bucket", path)) => BucketTable.read(spark, path)
       case Some(("bloom", path)) => BloomTable.read(spark, path)
       case Some(("partitioned", path)) => PartitionedTable.read(spark, path)
+      case Some(("timeline", path)) => Timeline.read(spark, path)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $table")
       case None => spark.table(table)

@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL read front door with time travel — `SELECT ... FROM t VERSION
+  * AS OF n` / `TIMESTAMP AS OF ts` over [[Timeline]]-registered
+  * catalog tables (Hudi's as-of-instant query surface). The statement
+  * is parsed by SPARK'S OWN parser; every reference to a
+  * timeline-bound table is substituted with the resolved snapshot's
+  * plan (a plain reference reads latest), and everything else —
+  * joins, aggregates, other tables — analyzes and optimizes exactly
+  * as Spark SQL. Resolution is metadata-only: version → its immutable
+  * `v=N` directory; timestamp → the newest instant at or before it
+  * ([[Timeline.resolveAsOf]]), then that directory. Non-timeline
+  * relations pass through untouched (Spark's own analysis handles or
+  * rejects them).
+  */
+object SqlRead {
+
+  def select(spark: SparkSession, sqlText: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    // transformDown: a RelationTimeTravel node must be matched BEFORE
+    // its inner UnresolvedRelation child (bottom-up would rewrite the
+    // child to the latest snapshot and strand the travel spec)
+    val substituted = parsed.transformDown {
+      case tt: RelationTimeTravel =>
+        val name = relationName(tt.relation).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot resolve time-travel target: ${tt.relation}"))
+        timelinePath(spark, name) match {
+          case None => throw new IllegalArgumentException(
+            s"$name is not a timeline-registered table — time travel " +
+              "needs a versioned layout (Catalog.registerTimelineTable)")
+          case Some(path) =>
+            val version = (tt.version, tt.timestamp) match {
+              case (Some(v), _) => v.toLong
+              case (None, Some(ts)) => Timeline.resolveAsOf(path, epochMs(ts))
+              case (None, None) => throw new IllegalArgumentException(
+                s"time travel over $name needs VERSION AS OF or TIMESTAMP AS OF")
+            }
+            Timeline.readVersion(spark, path, version).queryExecution.analyzed
+        }
+      case r: UnresolvedRelation =>
+        timelinePath(spark, r.multipartIdentifier.mkString(".")) match {
+          case Some(path) =>
+            Timeline.read(spark, path).queryExecution.analyzed
+          case None => r
+        }
+    }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      substituted)
+  }
+
+  private def relationName(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String] =
+    plan.collectFirst { case r: UnresolvedRelation =>
+      r.multipartIdentifier.mkString(".")
+    }
+
+  private def timelinePath(spark: SparkSession, name: String): Option[String] =
+    try Catalog.layoutOf(spark, name).collect {
+      case ("timeline", path) => path
+    } catch {
+      // unregistered / temp-view names have no TBLPROPERTIES — not ours
+      case _: Exception => None
+    }
+
+  /** The AS OF coordinate as epoch millis: an integer literal is taken
+    * as epoch millis directly; a string literal parses as a timestamp
+    * (`yyyy-MM-dd[ HH:mm:ss]`, UTC). Anything non-literal is a loud
+    * failure — resolving a computed clock against the timeline would
+    * hide nondeterminism the reader can't see.
+    */
+  private def epochMs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(s: UTF8String, StringType) =>
+        val text = s.toString.trim
+        val withTime = if (text.length == 10) s"$text 00:00:00" else text
+        java.time.LocalDateTime.parse(withTime.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF needs an epoch-millis or timestamp-string " +
+          s"literal, got: ${other.sql}")
+    }
+}

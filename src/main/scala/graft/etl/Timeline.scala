@@ -29,8 +29,14 @@ object Timeline {
     * order (`version`), and how many rows the snapshot carries.
     * `archived` marks instants folded into an archived log file.
     */
+  /** `ts_ms` is the commit's wall-clock instant (Hudi's instant time,
+    * the coordinate `TIMESTAMP AS OF` resolves against); -1 on
+    * instants written before timestamps were recorded — those resolve
+    * by VERSION only.
+    */
   final case class Instant(
-      version: Long, action: String, n_rows: Long, archived: Boolean)
+      version: Long, action: String, n_rows: Long, archived: Boolean,
+      ts_ms: Long = -1L)
 
   /** Current committed version, or None for an uninitialized table. */
   def latestVersion(tablePath: String): Option[Long] = {
@@ -60,7 +66,12 @@ object Timeline {
     * atomically swing the `_latest` pointer and record the instant on
     * the active timeline.
     */
-  def commit(df: DataFrame, tablePath: String, action: String = "commit"): Long = {
+  /** `atMs` pins the instant's wall-clock time — the injectable clock
+    * for deterministic `TIMESTAMP AS OF` tests; production callers
+    * leave it None (now).
+    */
+  def commit(df: DataFrame, tablePath: String, action: String = "commit",
+      atMs: Option[Long] = None): Long = {
     val next = latestVersion(tablePath).getOrElse(-1L) + 1
     val snapDir = Paths.get(tablePath, s"v=$next")
     df.write.mode("overwrite").parquet(snapDir.toString)
@@ -68,7 +79,8 @@ object Timeline {
     // orphan instant for an uncommitted version (harmless — the retry
     // of the same version REPLACEs it), never a committed-and-readable
     // version permanently missing from history()/archive()
-    recordInstant(df.sparkSession, tablePath, next, action)
+    recordInstant(df.sparkSession, tablePath, next, action,
+      atMs.getOrElse(System.currentTimeMillis()))
     swingPointer(tablePath, next)
     // hive-sync analog: tracked latest-version views re-point to v=next
     Catalog.syncViews(df.sparkSession, tablePath)
@@ -83,11 +95,11 @@ object Timeline {
     * footers (a metadata-only count job — no data scan).
     */
   private def recordInstant(spark: SparkSession, tablePath: String,
-      version: Long, action: String): Unit = {
+      version: Long, action: String, tsMs: Long): Unit = {
     val dir = Files.createDirectories(timelineDir(tablePath))
     val n = spark.read.parquet(s"$tablePath/v=$version").count()
     val tmp = dir.resolve(s".$version.tmp${System.nanoTime()}")
-    Files.writeString(tmp, s"$version $action $n\n",
+    Files.writeString(tmp, s"$version $action $n $tsMs\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, dir.resolve(s"$version.commit"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -95,8 +107,31 @@ object Timeline {
 
   private def parseInstant(line: String, archived: Boolean): Instant =
     line.trim.split(' ') match {
+      // 3-field lines predate instant timestamps — readable forever
       case Array(v, a, n) => Instant(v.toLong, a, n.toLong, archived)
+      case Array(v, a, n, ts) =>
+        Instant(v.toLong, a, n.toLong, archived, ts.toLong)
     }
+
+  /** The version a `TIMESTAMP AS OF` read resolves to: the newest
+    * commit whose instant time is <= `tsMs`. Loud when nothing was
+    * committed that early, and when the candidate commits predate
+    * instant timestamps (resolving those by wall-clock would be a
+    * guess — use VERSION AS OF).
+    */
+  def resolveAsOf(tablePath: String, tsMs: Long): Long = {
+    val all = instants(tablePath)
+    require(all.nonEmpty, s"no commits at $tablePath")
+    val candidates = all.filter(i => i.ts_ms >= 0 && i.ts_ms <= tsMs)
+    if (candidates.isEmpty) {
+      val untimed = all.count(_.ts_ms < 0)
+      throw new IllegalArgumentException(
+        s"no commit at or before $tsMs at $tablePath" +
+          (if (untimed > 0) s" ($untimed instants predate timestamps — " +
+            "resolve those with VERSION AS OF)" else ""))
+    }
+    candidates.map(_.version).max
+  }
 
   /** Archive the active timeline down to its newest `keepLatest`
     * instants — Hudi's timeline archival: every older `<v>.commit`
@@ -194,7 +229,8 @@ object Timeline {
     * fresh immutable snapshot).
     */
   def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame,
-      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil): Long = {
+      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil,
+      atMs: Option[Long] = None): Long = {
     val merged = latestVersion(tablePath) match {
       case Some(v) =>
         HudiLike.upsert(readVersion(spark, tablePath, v), incoming,
@@ -202,7 +238,7 @@ object Timeline {
       case None =>
         HudiLike.precombineLatest(incoming, keys, precombine, tieBreak)
     }
-    commit(merged, tablePath)
+    commit(merged, tablePath, atMs = atMs)
   }
 
   /** Retention cleaning: drop all but the newest `retain` versions
@@ -305,7 +341,8 @@ object Timeline {
           StandardCopyOption.ATOMIC_MOVE)
         // instant before the swing — same never-a-lost-instant ordering
         // as [[commit]]
-        recordInstant(spark, tablePath, next, "commit")
+        recordInstant(spark, tablePath, next, "commit",
+          System.currentTimeMillis())
         swingPointer(tablePath, next)
         Some(next)
       }

@@ -1451,6 +1451,62 @@ object PipelineQueries {
   private def timelineScenarioShared(spark: SparkSession, sfDir: String): String =
     memoFixture("timelineScenario", sfDir)(timelineScenario(spark, sfDir))
 
+  /** The three-commit timeline with PINNED instant clocks (1000 /
+    * 2000 / 3000 ms) behind the SQL time-travel queries — the
+    * injectable clock makes `TIMESTAMP AS OF` deterministic. Built
+    * once per JVM (read-only consumers) and registered in the catalog
+    * as `graft_tt_table`.
+    */
+  private def sqlTimelineShared(spark: SparkSession, sfDir: String): String = {
+    val path = memoFixture("sqlTimelineClock", sfDir) {
+      val p = java.nio.file.Files.createTempDirectory(morScratch, "stt")
+        .toString + "/t"
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      def up(slice: DataFrame, clock: Long): Unit = {
+        graft.etl.Timeline.upsertInto(spark, p, slice,
+          keys = Seq("user_id"), precombine = "ts_us",
+          tieBreak = Seq("event_id"), atMs = Some(clock))
+        ()
+      }
+      up(ev.filter(col("ts_us") <= SplitUs), 1000L)
+      up(ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us), 2000L)
+      up(ev.filter(col("ts_us") > Split2Us), 3000L)
+      p
+    }
+    // registration is session-scoped — refresh it even on memo hits
+    graft.etl.Catalog.registerTimelineTable(spark, "graft_tt_table", path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    path
+  }
+
+  /** `p_sql_time_travel`: `SELECT ... FROM t VERSION AS OF 1` through
+    * the SQL read front door ([[graft.etl.SqlRead]]) — the
+    * [[timeTravel]] contract reached the way Hudi users write it.
+    * Resolution is metadata-only (version → immutable snapshot dir).
+    */
+  def sqlTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlTimelineShared(spark, sfDir)
+    graft.etl.SqlRead.select(spark,
+      """SELECT user_id, event_id, event_type, value, ts_us
+        |FROM graft_tt_table VERSION AS OF 1""".stripMargin)
+  }
+
+  /** `p_sql_asof_ts`: `TIMESTAMP AS OF` resolved against the pinned
+    * instant clocks — 2500 ms lands between the v1 (2000) and v2
+    * (3000) commits, so the read must serve exactly v1; the aggregate
+    * on top proves the travel composes with ordinary SQL. The oracle
+    * replays the as-of-[[Split2Us]] rollup.
+    */
+  def sqlAsOfTs(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlTimelineShared(spark, sfDir)
+    graft.etl.SqlRead.select(spark,
+      """SELECT event_type, count(*) AS n_users
+        |FROM graft_tt_table TIMESTAMP AS OF 2500
+        |GROUP BY event_type""".stripMargin)
+  }
+
   /** Time-travel read of commit v1 — the table as of [[Split2Us]],
     * even though v2 has since been committed. Readers resolve an
     * immutable snapshot directory, so this is a metadata-only choice:
@@ -1557,6 +1613,8 @@ object PipelineQueries {
     "p_bucket_occ_upsert" -> (bucketOccUpsert(_, _)),
     "p_occ_upsert" -> (occUpsert(_, _)),
     "p_time_travel" -> (timeTravel(_, _)),
+    "p_sql_time_travel" -> (sqlTimeTravel(_, _)),
+    "p_sql_asof_ts" -> (sqlAsOfTs(_, _)),
     "p_timeline_restore" -> (timelineRestore(_, _)),
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_timeline_incr_archived" -> (timelineIncrArchived(_, _)),
@@ -2171,6 +2229,23 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $Split2Us) t
          |WHERE rn = 1""".stripMargin,
+    // VERSION AS OF 1 through the SQL front door ≡ the v1 snapshot
+    "p_sql_time_travel" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $Split2Us) t
+         |WHERE rn = 1""".stripMargin,
+    // TIMESTAMP AS OF 2500 resolves to the v1 (clock 2000) snapshot
+    "p_sql_asof_ts" ->
+      s"""SELECT event_type, count(*) AS n_users FROM (
+         | SELECT user_id, event_type FROM (
+         |  SELECT user_id, event_type,
+         |   row_number() OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events WHERE epoch_us(ts) <= $Split2Us) x WHERE rn = 1) t
+         |GROUP BY event_type""".stripMargin,
     "p_timeline_restore" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -1,0 +1,113 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** SQL time travel over timeline-registered tables: VERSION AS OF and
+  * TIMESTAMP AS OF resolve metadata-only against the instant log,
+  * boundaries land on the right snapshot, pre-history timestamps and
+  * non-timeline targets fail loudly, and instants written before
+  * timestamps existed stay readable (and explicitly non-resolvable by
+  * wall clock).
+  */
+class SqlReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTimeline(): String = {
+    val p = Files.createTempDirectory("sqlread").toString + "/t"
+    def up(rows: Seq[(Long, Long, Double)], clock: Long): Unit = {
+      Timeline.upsertInto(spark, p, rows.toDF("k", "pc", "v"),
+        keys = Seq("k"), precombine = "pc", atMs = Some(clock))
+      ()
+    }
+    up(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)), 1000L)     // v0
+    up(Seq((2L, 2L, 22.0), (3L, 1L, 30.0)), 2000L)     // v1
+    up(Seq((1L, 2L, 11.0)), 3000L)                     // v2
+    p
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve the exact snapshot") {
+    val p = mkTimeline()
+    Catalog.registerTimelineTable(spark, "sqlread_t", p,
+      keys = Seq("k"), precombine = "pc")
+    def vals(sql: String): Map[Long, Double] =
+      SqlRead.select(spark, sql).as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> r._3).toMap
+    assert(vals("SELECT * FROM sqlread_t VERSION AS OF 0") ==
+      Map(1L -> 10.0, 2L -> 20.0))
+    // exactly AT an instant → that commit; between instants → the
+    // earlier one; plain reference → latest
+    assert(vals("SELECT * FROM sqlread_t TIMESTAMP AS OF 2000") ==
+      Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0))
+    assert(vals("SELECT * FROM sqlread_t TIMESTAMP AS OF 2999") ==
+      Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0))
+    assert(vals("SELECT * FROM sqlread_t") ==
+      Map(1L -> 11.0, 2L -> 22.0, 3L -> 30.0))
+    // composes with ordinary SQL against non-timeline relations
+    Seq((1L, "a"), (3L, "b")).toDF("k", "tag")
+      .createOrReplaceTempView("sqlread_dim")
+    val joined = SqlRead.select(spark,
+      """SELECT d.tag, count(*) AS n
+        |FROM sqlread_t VERSION AS OF 1 t JOIN sqlread_dim d ON t.k = d.k
+        |GROUP BY d.tag""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(joined == Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("pre-history timestamps, non-timeline targets, and bad specs fail loudly") {
+    val p = mkTimeline()
+    Catalog.registerTimelineTable(spark, "sqlread_e", p,
+      keys = Seq("k"), precombine = "pc")
+    val early = intercept[IllegalArgumentException] {
+      SqlRead.select(spark, "SELECT * FROM sqlread_e TIMESTAMP AS OF 999")
+        .collect()
+    }
+    assert(early.getMessage.contains("no commit at or before"))
+    Seq((1L, 1.0)).toDF("k", "v").createOrReplaceTempView("sqlread_plain")
+    val notTl = intercept[IllegalArgumentException] {
+      SqlRead.select(spark, "SELECT * FROM sqlread_plain VERSION AS OF 1")
+        .collect()
+    }
+    assert(notTl.getMessage.contains("not a timeline-registered"))
+    val computed = intercept[IllegalArgumentException] {
+      SqlRead.select(spark,
+        "SELECT * FROM sqlread_e TIMESTAMP AS OF (1000 + 1000)").collect()
+    }
+    assert(computed.getMessage.contains("literal"))
+  }
+
+  test("instants predating timestamps stay readable; wall-clock resolve is refused") {
+    val p = mkTimeline()
+    // rewrite v0's instant in the legacy 3-field format
+    val f = Paths.get(p, "_timeline", "0.commit")
+    val Array(v, a, n, _) = Files.readString(f).trim.split(' ')
+    Files.writeString(f, s"$v $a $n\n")
+    val is = Timeline.instants(p)
+    assert(is.map(_.version) == Seq(0L, 1L, 2L))
+    assert(is.head.ts_ms == -1L && is(1).ts_ms == 2000L)
+    // a timestamp before every TIMED instant names the untimed ones
+    val e = intercept[IllegalArgumentException] {
+      Timeline.resolveAsOf(p, 1500L)
+    }
+    assert(e.getMessage.contains("predate timestamps"))
+    // but at/after a timed instant, resolution ignores the legacy one
+    assert(Timeline.resolveAsOf(p, 5000L) == 2L)
+  }
+
+  test("timestamp-string literals parse as UTC") {
+    val p = Files.createTempDirectory("sqlread2").toString + "/t"
+    // clock = 2024-01-15T00:00:00Z
+    Timeline.upsertInto(spark, p, Seq((1L, 1L, 1.0)).toDF("k", "pc", "v"),
+      keys = Seq("k"), precombine = "pc", atMs = Some(1705276800000L))
+    Catalog.registerTimelineTable(spark, "sqlread_s", p,
+      keys = Seq("k"), precombine = "pc")
+    assert(SqlRead.select(spark,
+      "SELECT * FROM sqlread_s TIMESTAMP AS OF '2024-01-16'").count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      SqlRead.select(spark,
+        "SELECT * FROM sqlread_s TIMESTAMP AS OF '2024-01-14 23:59:59'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+}

@@ -146,6 +146,7 @@ class TimelineSpec extends SparkSpec {
 
     // full history preserved across the fold, archived flags correct
     val h = Timeline.history(spark, dir)
+      .select("version", "action", "n_rows", "archived")
       .as[(Long, String, Long, Boolean)].collect().toSeq.sortBy(_._1)
     assert(h.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
     assert(h.map(_._2) == Seq.fill(5)("commit") :+ "restore")
@@ -156,6 +157,7 @@ class TimelineSpec extends SparkSpec {
     assert(Timeline.archive(dir, keepLatest = 2).isEmpty)
     assert(Timeline.archive(dir, keepLatest = 1) == Seq(4L))
     val h2 = Timeline.history(spark, dir)
+      .select("version", "action", "n_rows", "archived")
       .as[(Long, String, Long, Boolean)].collect().toSeq.sortBy(_._1)
     assert(h2.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
   }
