@@ -992,6 +992,37 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_sql_ctas`: the full SQL lifecycle on a graft-managed table —
+    * `CREATE TABLE ... TBLPROPERTIES('graft.table.layout'='bucket')
+    * AS SELECT` stands the layout up ([[graft.etl.SqlDdl]]), then
+    * `INSERT INTO` upserts the post-split slice through the DML front
+    * door — a user never leaves SQL from empty catalog to upserted
+    * table. End state = latest per user over all events, same
+    * contract as the API-built lifecycles.
+    */
+  def sqlCtas(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "ctas")
+      .toString + "/t"
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .createOrReplaceTempView("graft_ctas_src")
+    graft.etl.SqlDdl.exec(spark,
+      s"""CREATE TABLE graft_ctas_target
+         |TBLPROPERTIES (
+         |  'graft.table.layout' = 'bucket',
+         |  'graft.table.path' = '$path',
+         |  'graft.table.primaryKey' = 'user_id',
+         |  'graft.table.preCombineField' = 'ts_us',
+         |  'graft.table.tieBreak' = 'event_id',
+         |  'graft.table.numBuckets' = '16')
+         |AS SELECT * FROM graft_ctas_src WHERE ts_us <= $SplitUs""".stripMargin)
+    graft.etl.SqlMerge.exec(spark,
+      s"""INSERT INTO graft_ctas_target
+         |SELECT * FROM graft_ctas_src WHERE ts_us > $SplitUs""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_ctas_target")
+  }
+
   /** `p_sql_insert`: the SQL INSERT front door routed to the bucket
     * layout — `INSERT INTO <table> SELECT ...` on an upsert-keyed
     * table executes as `BucketTable.upsertInto` (Hudi's INSERT INTO:
@@ -1646,6 +1677,7 @@ object PipelineQueries {
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
+    "p_sql_ctas" -> (sqlCtas(_, _)),
     "p_sql_insert" -> (sqlInsert(_, _)),
     "p_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
@@ -1805,6 +1837,14 @@ object PipelineQueries {
     // identical statement and semantics to p_sql_merge — only the
     // EXECUTION routing differs (bucket-targeted vs whole-table), which
     // is exactly what sharing the oracle proves
+    // CTAS + INSERT INTO ≡ the keyed-upsert end state over all events
+    "p_sql_ctas" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
     // INSERT INTO an upsert-keyed table ≡ the star-star MERGE end state:
     // latest per user over all events
     "p_sql_insert" ->
