@@ -6,18 +6,18 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** SQL read front door with time travel — `SELECT ... FROM t VERSION
-  * AS OF n` / `TIMESTAMP AS OF ts` over [[Timeline]]-registered
-  * catalog tables (Hudi's as-of-instant query surface). The statement
-  * is parsed by SPARK'S OWN parser; every reference to a
-  * timeline-bound table is substituted with the resolved snapshot's
-  * plan (a plain reference reads latest), and everything else —
-  * joins, aggregates, other tables — analyzes and optimizes exactly
-  * as Spark SQL. Resolution is metadata-only: version → its immutable
-  * `v=N` directory; timestamp → the newest instant at or before it
-  * ([[Timeline.resolveAsOf]]), then that directory. Non-timeline
-  * relations pass through untouched (Spark's own analysis handles or
-  * rejects them).
+/** SQL read front door — `SELECT` over graft-registered catalog
+  * tables, including time travel (`VERSION AS OF n` / `TIMESTAMP AS
+  * OF ts`, Hudi's as-of-instant query surface) on [[Timeline]]-bound
+  * ones. The statement is parsed by SPARK'S OWN parser; every
+  * reference to a graft layout is substituted with its manifest-aware
+  * read (a raw catalog read of the stub location would return empty),
+  * a timeline reference with a travel spec resolves the exact
+  * snapshot, and everything else — joins, aggregates, temp views,
+  * plain tables — analyzes and optimizes exactly as Spark SQL.
+  * Travel resolution is metadata-only: version → its immutable `v=N`
+  * directory; timestamp → the newest instant at or before it
+  * ([[Timeline.resolveAsOf]]), then that directory.
   */
 object SqlRead {
 
@@ -34,7 +34,9 @@ object SqlRead {
         timelinePath(spark, name) match {
           case None => throw new IllegalArgumentException(
             s"$name is not a timeline-registered table — time travel " +
-              "needs a versioned layout (Catalog.registerTimelineTable)")
+              "needs a versioned layout (Catalog.registerTimelineTable)" +
+              layoutKind(spark, name).fold("")(k =>
+                s"; '$k' layouts serve only the latest snapshot"))
           case Some(path) =>
             val version = (tt.version, tt.timestamp) match {
               case (Some(v), _) => v.toLong
@@ -45,9 +47,12 @@ object SqlRead {
             Timeline.readVersion(spark, path, version).queryExecution.analyzed
         }
       case r: UnresolvedRelation =>
-        timelinePath(spark, r.multipartIdentifier.mkString(".")) match {
-          case Some(path) =>
-            Timeline.read(spark, path).queryExecution.analyzed
+        // ANY graft layout resolves to its manifest-aware read — a
+        // plain catalog read of the stub location would return empty
+        layoutKind(spark, r.multipartIdentifier.mkString(".")) match {
+          case Some(_) =>
+            Catalog.readTable(spark, r.multipartIdentifier.mkString("."))
+              .queryExecution.analyzed
           case None => r
         }
     }
@@ -70,6 +75,10 @@ object SqlRead {
       // unregistered / temp-view names have no TBLPROPERTIES — not ours
       case _: Exception => None
     }
+
+  private def layoutKind(spark: SparkSession, name: String): Option[String] =
+    try Catalog.layoutOf(spark, name).map(_._1)
+    catch { case _: Exception => None }
 
   /** The AS OF coordinate as epoch millis: an integer literal is taken
     * as epoch millis directly; a string literal parses as a timestamp

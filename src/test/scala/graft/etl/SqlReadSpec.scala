@@ -94,6 +94,24 @@ class SqlReadSpec extends SparkSpec {
     assert(Timeline.resolveAsOf(p, 5000L) == 2L)
   }
 
+  test("plain SELECT over a non-timeline layout reads through the manifest") {
+    val p = Files.createTempDirectory("sqlreadb").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sqlread_b", "bucket", p)
+    // a raw catalog read sees the empty stub; SqlRead must not
+    assert(spark.table("sqlread_b").count() == 0)
+    assert(SqlRead.select(spark,
+      "SELECT sum(v) AS s FROM sqlread_b").as[Double].head() == 30.0)
+    // ...and time travel on it names the layout in the error
+    val e = intercept[IllegalArgumentException] {
+      SqlRead.select(spark, "SELECT * FROM sqlread_b VERSION AS OF 0")
+        .collect()
+    }
+    assert(e.getMessage.contains("'bucket' layouts"))
+  }
+
   test("timestamp-string literals parse as UTC") {
     val p = Files.createTempDirectory("sqlread2").toString + "/t"
     // clock = 2024-01-15T00:00:00Z
