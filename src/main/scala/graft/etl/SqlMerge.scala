@@ -166,6 +166,10 @@ object SqlMerge {
         val p = BloomTable.props(path); (p.keys, p.precombine, p.tieBreak)
       case Some(("partitioned", path)) =>
         val p = PartitionedTable.props(path); (p.keys, p.precombine, p.tieBreak)
+      case Some(("timeline", _)) =>
+        // the timeline persists no key config — registration declared
+        // it in TBLPROPERTIES (Catalog.registerTimelineTable)
+        Catalog.upsertConfigFull(spark, target)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $target")
       case None => Catalog.upsertConfigFull(spark, target)
@@ -226,6 +230,12 @@ object SqlMerge {
         val cond = unqualified(d.condition, alias, target)
         BloomTable.rewriteWhere(spark, path, cond)(
           _.filter(not(cond) || cond.isNull))
+        ()
+      case Some(("timeline", path)) =>
+        val cond = unqualified(d.condition, alias, target)
+        Timeline.commit(
+          Timeline.read(spark, path).filter(not(cond) || cond.isNull),
+          path, action = "delete")
         ()
       case Some(("partitioned", path)) =>
         val cond = unqualified(d.condition, alias, target)
@@ -296,6 +306,12 @@ object SqlMerge {
             ()
           case ("bloom", false) =>
             BloomTable.upsertInto(spark, path, shaped)
+          case ("timeline", false) =>
+            val (keys2, precombine2, tieBreak2) =
+              dmlConfig(spark, target, layout)
+            Timeline.upsertInto(spark, path, shaped, keys2, precombine2,
+              tieBreak2)
+            ()
           case (k, true) => throw new IllegalArgumentException(
             s"INSERT OVERWRITE on '$k' layout $target is not supported — " +
               "overwrite is a partition-level operation; use MERGE or " +
@@ -413,6 +429,9 @@ object SqlMerge {
           case "partitioned" =>
             PartitionedTable.rewriteWhere(spark, path, cond)(
               projected(_, cond, assigned))
+          case "timeline" =>
+            Timeline.commit(projected(current, cond, assigned), path,
+              action = "update")
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
         }
@@ -451,6 +470,12 @@ object SqlMerge {
             BloomTable.upsertInto(spark, path, src); ()
           case Some(("partitioned", path)) =>
             PartitionedTable.upsertInto(spark, path, src); ()
+          case Some(("timeline", path)) =>
+            // versioned snapshots: the MERGE lands as a new commit,
+            // immediately visible to VERSION/TIMESTAMP AS OF readers
+            Timeline.upsertInto(spark, path, src, keys, precombine,
+              tieBreak)
+            ()
           case _ => writeBack(spark, target,
             HudiLike.upsert(existing, src, keys, precombine, tieBreak)
               .select(cols.map(col): _*))
@@ -466,6 +491,10 @@ object SqlMerge {
             BloomTable.deleteFrom(spark, path, delKeys); ()
           case Some(("partitioned", path)) =>
             PartitionedTable.deleteFrom(spark, path, delKeys); ()
+          case Some(("timeline", path)) =>
+            Timeline.commit(existing.join(delKeys, identity, "left_anti"),
+              path, action = "delete")
+            ()
           case _ => writeBack(spark, target,
             existing.join(delKeys, identity, "left_anti"))
         }
@@ -492,6 +521,9 @@ object SqlMerge {
           case Some(("partitioned", path)) =>
             PartitionedTable.rewriteKeys(spark, path,
               source.select(identity.map(col): _*))(merged)
+            ()
+          case Some(("timeline", path)) =>
+            Timeline.commit(merged(existing), path, action = "merge")
             ()
           case _ => writeBack(spark, target, merged(existing))
         }

@@ -112,6 +112,30 @@ class SqlReadSpec extends SparkSpec {
     assert(e.getMessage.contains("'bucket' layouts"))
   }
 
+  test("SQL DML on a timeline table lands as new commits, history intact") {
+    val p = mkTimeline()
+    Catalog.registerTimelineTable(spark, "sqlread_dml", p,
+      keys = Seq("k"), precombine = "pc")
+    Seq((2L, 5L, 200.0), (9L, 1L, 90.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sqlread_dml_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sqlread_dml t USING sqlread_dml_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    SqlMerge.exec(spark, "UPDATE sqlread_dml SET v = v * 2 WHERE k = 1")
+    SqlMerge.exec(spark, "DELETE FROM sqlread_dml WHERE k = 3")
+    val got = Catalog.readTable(spark, "sqlread_dml")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 22.0, 2L -> 200.0, 9L -> 90.0))
+    // each statement was one commit; the pre-DML snapshot still reads
+    assert(Timeline.versions(p) == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(SqlRead.select(spark,
+      "SELECT * FROM sqlread_dml VERSION AS OF 2").count() == 3)
+    val acts = Timeline.instants(p).map(_.action)
+    assert(acts == Seq("commit", "commit", "commit", "commit", "update",
+      "delete"))
+  }
+
   test("timestamp-string literals parse as UTC") {
     val p = Files.createTempDirectory("sqlread2").toString + "/t"
     // clock = 2024-01-15T00:00:00Z
