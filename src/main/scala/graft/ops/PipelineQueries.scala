@@ -1077,6 +1077,40 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_sql_merge_timeline`: the SQL MERGE front door routed to the
+    * TIMELINE layout — the statement lands as one new versioned
+    * commit, the pre-merge snapshot stays readable (asserted by
+    * `SqlReadSpec`; the in-query travel read proves it end-to-end
+    * here), and the post-merge state is the keyed-upsert contract.
+    * Returns the latest state; the v0 time-travel count rides along
+    * as a require so a history-destroying regression fails loudly.
+    */
+  def sqlMergeTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "smt")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.Timeline.upsertInto(spark, path,
+      ev.filter(col("ts_us") <= SplitUs),
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      atMs = Some(1000L))
+    graft.etl.Catalog.registerTimelineTable(spark, "graft_mergetl_target",
+      path, keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"))
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_mergetl_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_mergetl_target t USING graft_mergetl_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(graft.etl.SqlRead.select(spark,
+      "SELECT * FROM graft_mergetl_target VERSION AS OF 0").count() > 0,
+      "pre-merge snapshot must stay readable")
+    graft.etl.Catalog.readTable(spark, "graft_mergetl_target")
+  }
+
   /** `p_sql_delete_partition`: retention DELETE on a partition
     * predicate, routed to `PartitionedTable.dropPartitions` —
     * METADATA-ONLY (the manifest shrinks; zero data files read or
@@ -1681,6 +1715,7 @@ object PipelineQueries {
     "p_sql_insert" -> (sqlInsert(_, _)),
     "p_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
+    "p_sql_merge_timeline" -> (sqlMergeTimeline(_, _)),
     "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
     "p_sql_merge_partial" -> (sqlMergePartial(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
@@ -1876,6 +1911,14 @@ object PipelineQueries {
          | WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-15' AND DATE '2024-01-18'
          |  AND event_type = 'click') t
          |WHERE rn = 1""".stripMargin,
+    // timeline-routed MERGE ≡ the same keyed-upsert end state
+    "p_sql_merge_timeline" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "p_sql_merge_bucketed" ->
       """SELECT user_id, event_id, event_type, value, ts_us FROM (
         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
