@@ -1,0 +1,105 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.Call
+
+/** SQL procedure front door — the `CALL` statements Hudi users run
+  * for table services (`call show_commits`, `call clean`, ...),
+  * parsed by Spark's own parser and dispatched to the engine's
+  * services over layout-registered catalog tables. Every procedure
+  * returns a DataFrame describing what it did (inspection procedures
+  * return their report, mutating ones the versions/files they
+  * touched), so a CALL composes with the rest of the SQL surface.
+  *
+  * Procedures (positional literal args):
+  *   - `show_commits('t')` — the timeline's full instant history
+  *     (version, action, n_rows, archived, ts_ms), archived batches
+  *     folded in
+  *   - `clean_commits('t', retain)` — drop all but the newest
+  *     `retain` snapshot versions; returns the versions removed
+  *   - `archive_commits('t', keep)` — fold all but the newest `keep`
+  *     active instants into a batch log; returns the versions archived
+  *   - `compact('t', num_files)` — rewrite the latest snapshot into
+  *     `num_files` files as a replacecommit; returns the new version
+  *   - `rollback_to_version('t', v)` — restore: make `v`'s contents
+  *     the newest commit (history stays append-only); returns the
+  *     new version
+  *   - `clean('t')` — file-level retention for bucket / bloom /
+  *     partitioned layouts; returns the data files removed
+  */
+object SqlCall {
+
+  def exec(spark: SparkSession, sqlText: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case c: Call =>
+        val name = c.procedure match {
+          case UnresolvedProcedure(parts) => parts.mkString(".").toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"cannot resolve procedure from ${other.getClass.getSimpleName}")
+        }
+        val argv: Seq[Any] = c.args.map {
+          case Literal(v, dt) => CatalystTypeConverters.convertToScala(v, dt)
+          case other => throw new IllegalArgumentException(
+            s"CALL arguments must be literals, got: ${other.sql}")
+        }
+        run(spark, name, argv)
+      case other => throw new IllegalArgumentException(
+        s"not a CALL statement: ${other.getClass.getSimpleName}")
+    }
+
+  private def timelinePathOf(spark: SparkSession, table: String): String =
+    Catalog.layoutOf(spark, table) match {
+      case Some(("timeline", p)) => p
+      case other => throw new IllegalArgumentException(
+        s"$table is not a timeline-registered table" +
+          other.fold("")(kp => s" (layout: ${kp._1})"))
+    }
+
+  private def toInt(x: Any, what: String): Int = x match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer, got: $other")
+  }
+
+  private def run(spark: SparkSession, name: String,
+      argv: Seq[Any]): DataFrame = {
+    import spark.implicits._
+    (name, argv) match {
+      case ("show_commits", Seq(t: String)) =>
+        Timeline.history(spark, timelinePathOf(spark, t))
+      case ("clean_commits", Seq(t: String, retain)) =>
+        Timeline.clean(timelinePathOf(spark, t),
+          toInt(retain, "retain")).toDF("version")
+      case ("archive_commits", Seq(t: String, keep)) =>
+        Timeline.archive(timelinePathOf(spark, t),
+          toInt(keep, "keep")).toDF("version")
+      case ("compact", Seq(t: String, n)) =>
+        Seq(Timeline.compact(spark, timelinePathOf(spark, t),
+          toInt(n, "num_files"))).toDF("version")
+      case ("rollback_to_version", Seq(t: String, v)) =>
+        Seq(Timeline.restore(spark, timelinePathOf(spark, t),
+          toInt(v, "version").toLong)).toDF("version")
+      case ("clean", Seq(t: String)) =>
+        val removed = Catalog.layoutOf(spark, t) match {
+          case Some(("bucket", p)) => BucketTable.clean(p)
+          case Some(("bloom", p)) => BloomTable.clean(p)
+          case Some(("partitioned", p)) => PartitionedTable.clean(p)
+          case Some(("timeline", _)) => throw new IllegalArgumentException(
+            s"clean('$t'): timeline tables clean by version — use " +
+              "clean_commits(table, retain)")
+          case other => throw new IllegalArgumentException(
+            s"$t is not layout-registered" +
+              other.fold("")(kp => s" (layout: ${kp._1})"))
+        }
+        removed.toDF("file")
+      case (other, args) => throw new IllegalArgumentException(
+        s"unknown procedure '$other'/${args.length} (supported: " +
+          "show_commits, clean_commits, archive_commits, compact, " +
+          "rollback_to_version, clean)")
+    }
+  }
+}

@@ -1572,6 +1572,21 @@ object PipelineQueries {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** `p_sql_call_commits`: `CALL show_commits('t')`
+    * ([[graft.etl.SqlCall]] — Hudi's `call show_commits` procedure
+    * surface) over the pinned-clock timeline: the full instant
+    * history as a queryable frame. The oracle derives each version's
+    * row count from the events table (an upsert-keyed snapshot holds
+    * one row per user seen so far) and the instant times from the
+    * pinned clocks — so a lost or mistimed instant fails the hash.
+    */
+  def sqlCallCommits(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlTimelineShared(spark, sfDir)
+    graft.etl.SqlCall.exec(spark, "CALL show_commits('graft_tt_table')")
+      .select(col("version"), col("action"), col("n_rows"),
+        col("archived"), col("ts_ms"))
+  }
+
   /** Time-travel read of commit v1 — the table as of [[Split2Us]],
     * even though v2 has since been committed. Readers resolve an
     * immutable snapshot directory, so this is a metadata-only choice:
@@ -1680,6 +1695,7 @@ object PipelineQueries {
     "p_time_travel" -> (timeTravel(_, _)),
     "p_sql_time_travel" -> (sqlTimeTravel(_, _)),
     "p_sql_asof_ts" -> (sqlAsOfTs(_, _)),
+    "p_sql_call_commits" -> (sqlCallCommits(_, _)),
     "p_timeline_restore" -> (timelineRestore(_, _)),
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_timeline_incr_archived" -> (timelineIncrArchived(_, _)),
@@ -2320,6 +2336,20 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $Split2Us) t
          |WHERE rn = 1""".stripMargin,
+    // the instant log replayed from the events table + pinned clocks
+    "p_sql_call_commits" ->
+      s"""SELECT CAST(0 AS BIGINT) AS version, 'commit' AS action,
+         | (SELECT count(DISTINCT user_id) FROM events
+         |  WHERE epoch_us(ts) <= $SplitUs) AS n_rows,
+         | false AS archived, CAST(1000 AS BIGINT) AS ts_ms
+         |UNION ALL
+         |SELECT 1, 'commit',
+         | (SELECT count(DISTINCT user_id) FROM events
+         |  WHERE epoch_us(ts) <= $Split2Us), false, 2000
+         |UNION ALL
+         |SELECT 2, 'commit',
+         | (SELECT count(DISTINCT user_id) FROM events
+         |  WHERE ts IS NOT NULL), false, 3000""".stripMargin,
     // TIMESTAMP AS OF 2500 resolves to the v1 (clock 2000) snapshot
     "p_sql_asof_ts" ->
       s"""SELECT event_type, count(*) AS n_users FROM (
