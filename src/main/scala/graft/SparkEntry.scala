@@ -41,7 +41,7 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.IvfIndex.queries ++ ops.IvfPq.queries ++ ops.TextOps.queries ++
       ops.Privacy.queries ++ ops.Multimodal.queries ++ ops.Skipping.queries ++
-      ops.Scale.queries ++ ops.DataQuality.queries
+      ops.Scale.queries ++ ops.DataQuality.queries ++ ops.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +52,5 @@ object SparkEntry {
       ops.Similarity.oracles ++
       ops.IvfIndex.oracles ++ ops.IvfPq.oracles ++ ops.TextOps.oracles ++
       ops.Privacy.oracles ++ ops.Multimodal.oracles ++ ops.Skipping.oracles ++
-      ops.Scale.oracles ++ ops.DataQuality.oracles
+      ops.Scale.oracles ++ ops.DataQuality.oracles ++ ops.Retrieval.oracles
 }

@@ -453,6 +453,50 @@ object IvfIndex {
     searchFrom(assign(e, centroids).cache(), centroids, NProbeWide)
   }
 
+  /** Metadata predicate for `sim_ivf_filtered` — pre-filtered ANN, the
+    * "vector search WHERE scalar-filter" shape every production vector
+    * store exposes (filtered HNSW/IVF in FAISS/Milvus terms).
+    */
+  val FilterPredSql = "label % 2 = 1"
+
+  /** `sim_ivf_filtered`: fixed-codebook IVF search restricted to
+    * vectors satisfying [[FilterPredSql]] — PRE-filtering: the predicate
+    * lands on the posting-list scan (a pushed parquet filter at scale,
+    * exactly like a partition/zone-map prune), so filtered-out vectors
+    * never reach the distance computation, and the probe width is the
+    * WIDE setting because filtering thins cells (the standard
+    * recall-under-selectivity compensation). Queries still come from
+    * the unfiltered corpus: a query's own label does not constrain what
+    * it may match.
+    */
+  def searchFixedFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    // candidates feed only the re-rank branch (queries read the base
+    // table), so no cache is needed here unlike searchFixed
+    val candidates = assign(e.filter(expr(FilterPredSql)), centroids)
+    val queries = e.filter(col("vec_id") < Similarity.QuerySetSize)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("centroid_id"),
+        cos("qv", "centroid").as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbeWide)
+      .select(col("q_id"), col("qv"), col("centroid_id"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    candidates.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("centroid_id"),
+        round(cos("embedding", "qv"), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
   private def searchFrom(assigned: DataFrame, centroids: DataFrame,
       nprobe: Int = NProbe): DataFrame = {
     val queries = assigned.filter(col("vec_id") < Similarity.QuerySetSize)
@@ -769,6 +813,7 @@ object IvfIndex {
     "sim_ivf_fixed" -> (searchFixed(_, _)),
     "sim_ivf_recall" -> (recallFixed(_, _)),
     "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
+    "sim_ivf_filtered" -> (searchFixedFiltered(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
     "sim_ivf_cells" -> (cellStatsAdaptive(_, _)),
     "sim_ivf_cells_fixed" -> (cellStatsFixed(_, _)),
@@ -899,6 +944,33 @@ object IvfIndex {
            |  ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
            |GROUP BY ap.q_id""".stripMargin,
       "sim_ivf_multiprobe" -> searchSql(NProbeWide, adaptive = false),
+      // pre-filtered search: the predicate restricts the CANDIDATE
+      // assignment only; queries q come from the unfiltered corpus
+      "sim_ivf_filtered" ->
+        s"""WITH ${centroidCte(false)},
+           |a AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY $cosEC DESC, c.centroid_id) AS rn
+           |    FROM embeddings e, c WHERE e.$FilterPredSql) t WHERE rn = 1),
+           |q AS (
+           |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           |  WHERE vec_id < ${Similarity.QuerySetSize}),
+           |probes AS (
+           |  SELECT q_id, qv, centroid_id FROM (
+           |    SELECT q.q_id, q.qv, c.centroid_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY $cosQC DESC, c.centroid_id) AS rn
+           |    FROM q, c) t WHERE rn <= $NProbeWide)
+           |SELECT q_id, vec_id, centroid_id, cos_sim, rnk FROM (
+           |  SELECT q.q_id, a.vec_id, a.centroid_id,
+           |    round($cosVQ, 4) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q.q_id
+           |      ORDER BY round($cosVQ, 4) DESC, a.vec_id) AS rnk
+           |  FROM a JOIN probes q ON a.centroid_id = q.centroid_id
+           |  WHERE a.vec_id <> q.q_id) s
+           |WHERE rnk <= 5""".stripMargin,
       "sim_ivf_search" -> searchSql(NProbe, adaptive = true),
       "sim_ivf_search_wide" -> searchSql(NProbeWide, adaptive = true),
       "dd_embed_neardup_ivf_fixed" -> nearDupSql(adaptive = false),

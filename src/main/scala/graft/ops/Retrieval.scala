@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval over the `documents`/`embeddings` corpus: Okapi BM25
+  * keyword ranking and reciprocal-rank-fusion hybrid search — the
+  * query-side half of a training-data/RAG pipeline (the reference's
+  * corpus is the ingest side; retrieval is what the curated corpus is
+  * FOR). Public formulas only: BM25 (Robertson/Sparck Jones, TREC-3)
+  * and RRF (Cormack/Clarke/Buettcher, SIGIR'09).
+  *
+  * Exactness contract: every arithmetic step that feeds a ranking is
+  * either integer (tf, df, dl — exact in both engines) or a correctly
+  * rounded IEEE double op written as the SAME expression text on both
+  * engines; the one libm-dependent call (`ln`) can differ in the last
+  * ulp, which the 6dp round on the final score absorbs (the `tx_tfidf`
+  * precedent). Rankings order by the ROUNDED score with the id as
+  * tie-break, so the top-k cut is deterministic cross-engine.
+  *
+  * Scale notes: BM25 is two passes — one map-side tokenize/count pass,
+  * one tiny global aggregate (corpus stats broadcast back) — then a
+  * `TakeOrdered` top-k; no shuffle touches document text. The RRF
+  * fusion joins two already-top-`RrfDepth` rankings (≤50 rows each), so
+  * the single-partition rank windows run on limit-bounded inputs, never
+  * on the corpus.
+  */
+object Retrieval {
+
+  /** Okapi BM25 parameters (the textbook defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Pinned keyword query (terms from the corpus vocabulary, as
+    * elsewhere: the pinned query vector is `vec_id = 0`).
+    */
+  val QueryTerms: Seq[String] = Seq("vector", "merge", "spark")
+
+  val TopK = 20
+
+  /** RRF constant k (SIGIR'09 default) and per-ranking depth. */
+  val RrfK = 60
+  val RrfDepth = 50
+
+  /** Score arithmetic as shared SQL text over columns
+    * (dl, tf_i, df_i, n_docs, avgdl) — one string, both engines. */
+  private def idfSql(i: Int): String =
+    s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))"
+
+  private def termWeightSql(i: Int): String =
+    s"(tf$i * ${K1 + 1} / (tf$i + $K1 * (${1 - B} + $B * (dl / avgdl))))"
+
+  private def scoreSql: String =
+    QueryTerms.indices.map(i => s"${idfSql(i)} * ${termWeightSql(i)}")
+      .mkString(" + ")
+
+  /** Per-document BM25 score for [[QueryTerms]]: one tokenize pass for
+    * (dl, tf_i), one corpus-stats aggregate (n_docs, avgdl, df_i — a
+    * single broadcast row), one scoring map. */
+  private[ops] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr(
+        Seq("doc_id", "CAST(size(t) AS BIGINT) AS dl") ++
+          QueryTerms.zipWithIndex.map { case (w, i) =>
+            s"CAST(size(filter(t, x -> x = '$w')) AS BIGINT) AS tf$i"
+          }: _*)
+    val aggCols = Seq(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")) ++
+      QueryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    perDoc.crossJoin(broadcast(stats))
+      .selectExpr("doc_id", s"round($scoreSql, 6) AS score")
+  }
+
+  /** `tx_bm25_topk`: global BM25 top-[[TopK]] for the pinned query —
+    * `TakeOrdered(TopK)`, no global sort materialized. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TopK)
+
+  /** Shared RRF-score text (both engines): `row_number` ranks are
+    * BIGINT ≥ 1, so each reciprocal is one correctly rounded double
+    * division; absent ranks contribute 0. */
+  private def rrfScoreSql: String =
+    s"round(coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + kw_rank), 0.0)" +
+      s" + coalesce(CAST(1.0 AS DOUBLE) / ($RrfK + vec_rank), 0.0), 6)"
+
+  /** `sim_hybrid_rrf`: hybrid retrieval — fuse the BM25 keyword ranking
+    * (pinned [[QueryTerms]]) with the dense cosine ranking (pinned query
+    * vector `vec_id = 0`) by reciprocal-rank fusion over the top
+    * [[RrfDepth]] of each, joined on `doc_id = vec_id`. A document only
+    * one ranking surfaced still scores (the outer join); ranks are 0 in
+    * the output when that side did not rank it. The rank windows are
+    * single-partition BUT limit-bounded: each runs on its ranking's
+    * already-cut top-50, never on corpus-sized input.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val kw = bm25Scores(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(RrfDepth)
+      .withColumn("kw_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id").as("id"), col("kw_rank"))
+    val vec = Similarity.cosineScores(spark, sfDir)
+      .orderBy(col("cos_sim").desc, col("vec_id").asc).limit(RrfDepth)
+      .withColumn("vec_rank", row_number()
+        .over(Window.orderBy(col("cos_sim").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id").as("id"), col("vec_rank"))
+    kw.join(vec, Seq("id"), "full_outer")
+      .selectExpr(
+        "id AS doc_id",
+        s"$rrfScoreSql AS rrf_score",
+        "CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank",
+        "CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bm25_topk" -> (bm25TopK(_, _)),
+    "sim_hybrid_rrf" -> (hybridRrf(_, _)))
+
+  /** DuckDB twins: the same tokenize/stats/score construction with
+    * DuckDB's list functions; score/rrf arithmetic is the SAME text as
+    * the Spark plan ([[scoreSql]]/[[rrfScoreSql]]). */
+  private def bm25Cte: String = {
+    val tfs = QueryTerms.zipWithIndex.map { case (w, i) =>
+      s"CAST(len(list_filter(t, x -> x = '$w')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfs = QueryTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, $tfs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s),
+       |st AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, $dfs
+       |  FROM tok),
+       |scored AS (
+       |  SELECT doc_id, round($scoreSql, 6) AS score FROM tok, st)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tx_bm25_topk" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,
+    "sim_hybrid_rrf" ->
+      s"""WITH $bm25Cte,
+         |kw AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS kw_rank
+         |  FROM scored ORDER BY score DESC, doc_id LIMIT $RrfDepth),
+         |vec AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS vec_rank
+         |  FROM (
+         |    SELECT vec_id, round(${Similarity.sqlCos("embedding", "qv")}, 4) AS cos_sim
+         |    FROM embeddings,
+         |      (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |    WHERE vec_id <> 0) c
+         |  ORDER BY cos_sim DESC, vec_id LIMIT $RrfDepth)
+         |SELECT coalesce(kw.id, vec.id) AS doc_id,
+         |  $rrfScoreSql AS rrf_score,
+         |  CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
+         |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
+         |FROM kw FULL OUTER JOIN vec ON kw.id = vec.id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+}

@@ -131,6 +131,38 @@ object Sampling {
       .select(col("doc_id"), col("source"), expr(bucket).as("bucket16"))
   }
 
+  /** Temperature-flattened source mixing (the multilingual/multi-domain
+    * rebalancing rule of XLM-R-style pretraining, Conneau et al. 2020:
+    * sample language s with probability ∝ (n_s)^(1/T)): at T = 2 the
+    * per-language keep-rate is `sqrt(n_min / n_s)`, normalized so the
+    * smallest language keeps 100% and every larger one downsamples
+    * toward — but never to — uniform (expected kept = sqrt(n_min·n_s),
+    * still increasing in n_s). The stratum is `lang` — the XLM-R
+    * setting, and the corpus axis that is actually imbalanced (sources
+    * here are uniform by construction, so a source-keyed temperature
+    * draw would be the identity). T is pinned at 2 because `sqrt` is an
+    * IEEE-754 CORRECTLY ROUNDED operation (unlike `pow`), so the
+    * threshold `floor(65536 · sqrt(n_min) / sqrt(n_s))` — an exact
+    * power-of-two scale of one correctly rounded division — replays
+    * bit-for-bit in the DuckDB oracle with no rounding hedge. Same
+    * deterministic 16-bit content-hash lattice as [[hashSample]]
+    * (salt 'tp|' keeps the draw independent of the other samples); at
+    * 100 TB the thresholds are a |sources|-row broadcast and the filter
+    * is one map-side pass.
+    */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val floorCnt = counts.agg(min(col("cnt")).as("cnt_min"))
+    val thresholds = counts.crossJoin(broadcast(floorCnt))
+      .selectExpr("lang",
+        "CAST(floor(CAST(65536 AS DOUBLE) * sqrt(cnt_min) / sqrt(cnt)) AS BIGINT) AS thr")
+    val bucket = md5Bucket16Sql("concat('tp|', text)")
+    d.join(broadcast(thresholds), Seq("lang"))
+      .filter(expr(s"$bucket < thr"))
+      .select(col("doc_id"), col("lang"), expr(bucket).as("bucket16"))
+  }
+
   /** Split-fraction thresholds for [[leakFreeSplit]]: 90/5/5 as 16-bit
     * bucket cutoffs (integer math, identical in both engines).
     */
@@ -163,6 +195,7 @@ object Sampling {
     "samp_hash" -> (hashSample(_, _)),
     "samp_stratified" -> (stratifiedByLang(_, _)),
     "samp_mixture" -> (mixtureSample(_, _)),
+    "samp_temperature" -> (temperatureSample(_, _)),
     "samp_leakfree_split" -> (leakFreeSplit(_, _)),
     "samp_shuffle_shards" -> (shuffleShards(_, _)),
     "samp_shuffle_shards_fixed" -> (shuffleShardsFixed(_, _)))
@@ -304,5 +337,17 @@ object Sampling {
          |SELECT d.doc_id, d.source,
          |  ${md5Bucket16Sql("concat('mx|', text)")} AS bucket16
          |FROM documents d JOIN thr t ON d.source = t.source
-         |WHERE ${md5Bucket16Sql("concat('mx|', text)")} < t.thr""".stripMargin)
+         |WHERE ${md5Bucket16Sql("concat('mx|', text)")} < t.thr""".stripMargin,
+    "samp_temperature" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+         |mn AS (SELECT min(cnt) AS cnt_min FROM cnt),
+         |thr AS (
+         |  SELECT lang,
+         |    CAST(floor(CAST(65536 AS DOUBLE) * sqrt(cnt_min) / sqrt(cnt)) AS BIGINT) AS thr
+         |  FROM cnt, mn)
+         |SELECT d.doc_id, d.lang,
+         |  ${md5Bucket16Sql("concat('tp|', text)")} AS bucket16
+         |FROM documents d JOIN thr t ON d.lang = t.lang
+         |WHERE ${md5Bucket16Sql("concat('tp|', text)")} < t.thr""".stripMargin)
 }

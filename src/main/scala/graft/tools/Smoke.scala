@@ -27,7 +27,8 @@ object Smoke {
       "Multimodal" -> graft.ops.Multimodal.queries.keySet,
       "Skipping" -> graft.ops.Skipping.queries.keySet,
       "Scale" -> graft.ops.Scale.queries.keySet,
-      "DataQuality" -> graft.ops.DataQuality.queries.keySet)
+      "DataQuality" -> graft.ops.DataQuality.queries.keySet,
+      "Retrieval" -> graft.ops.Retrieval.queries.keySet)
     val all = maps.flatMap { case (m, ks) => ks.toSeq.map(_ -> m) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
     require(dups.isEmpty,
