@@ -1368,6 +1368,38 @@ object PipelineQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"), col("_seq"), col("_deleted"))
 
+  /** `p_mor_stream_read`: the MOR delta log consumed as a STREAM
+    * ([[graft.streaming.StreamingPipeline.runTableChangeStream]]) — the
+    * read-side of Hudi's streaming query. Two checkpointed passes prove
+    * the cursor semantics end-to-end: pass 1 runs after log 1 and
+    * drains exactly it; logs 2-3 (upserts + tombstones) land; pass 2
+    * reuses the SAME checkpoint and emits only them. The accumulated
+    * sink therefore holds every delta exactly once — byte-equal to the
+    * batch incremental pull since 0, which is what the oracle replays.
+    */
+  def morStreamRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "ms")
+    val path = base.resolve("t").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    MorTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.streaming.StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    MorTable.upsertInto(path, ev.filter(col("ts_us") > Split2Us))
+    MorTable.deleteFrom(path,
+      ev.filter(col("user_id") % 7 === 0).select(col("user_id")).distinct()
+        .withColumn("ts_us", lit(FutureUs)))
+    graft.streaming.StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    spark.read.parquet(out)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"), col("_seq"), col("_deleted"))
+  }
+
   /** `p_schema_evolution`: Hudi's schema-on-read evolution through the
     * keyed upsert (`hoodie.schema.on.read.enable`, reference py:54) as
     * an oracle-checked query — the incoming batch ADDS a column
@@ -1746,6 +1778,7 @@ object PipelineQueries {
     "p_mor_snapshot" -> (morSnapshot(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
     "p_mor_incremental" -> (morIncremental(_, _)),
+    "p_mor_stream_read" -> (morStreamRead(_, _)),
     "p_bootstrap_snapshot" -> (bootstrapSnapshot(_, _)),
     "p_bootstrap_compact" -> (bootstrapCompact(_, _)),
     "p_schema_evolution" -> (schemaEvolution(_, _)),
@@ -2294,6 +2327,27 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
+    "p_mor_stream_read" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us,
+         |  CAST(1 AS BIGINT) AS _seq, false AS _deleted FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) a
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT user_id, event_id, event_type, value, ts_us,
+         |  CAST(2 AS BIGINT) AS _seq, false AS _deleted FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) > $Split2Us) b WHERE rn = 1
+         |UNION ALL
+         |SELECT DISTINCT user_id, CAST(NULL AS BIGINT) AS event_id,
+         |  CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value,
+         |  CAST($FutureUs AS BIGINT) AS ts_us,
+         |  CAST(3 AS BIGINT) AS _seq, true AS _deleted
+         |FROM events WHERE user_id % 7 = 0""".stripMargin,
     "p_mor_incremental" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us,
          |  CAST(2 AS BIGINT) AS _seq, false AS _deleted FROM (

@@ -121,9 +121,75 @@ object Retrieval {
       .limit(10)
   }
 
+  /** MMR pool/selection sizes and trade-off (Carbonell/Goldstein,
+    * SIGIR'98: next pick = argmax λ·rel − (1−λ)·max-sim-to-selected).
+    */
+  val MmrPool = 20
+  val MmrK = 5
+  val MmrLambda = 0.7
+
+  /** The whole MMR computation as ONE SQL text, parameterized only by
+    * the cosine rendering (`cosine_sim(a, b)` natively in Spark; the
+    * index-order `list_sum` fold in DuckDB) — the strongest parity form,
+    * as `winnowMd5`/`samp_*` do. The selection loop is UNROLLED: k is a
+    * fixed constant, so step i is a plain CTE over steps 1..i-1 — no
+    * recursion, no driver loop, no collect. Scale shape: the corpus is
+    * touched exactly once (the top-[[MmrPool]] TakeOrdered in `cand`);
+    * everything after runs on a CONSTANT-size shortlist (pool² pairwise
+    * sims), so the rerank cost is independent of corpus size.
+    */
+  private def mmrSql(cos: (String, String) => String): String = {
+    val lam = s"CAST($MmrLambda AS DOUBLE)"
+    val oneMinus = s"CAST(${1 - MmrLambda} AS DOUBLE)"
+    def selUnion(i: Int): String =
+      (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val steps = (2 to MmrK).map { i =>
+      s"""s$i AS (
+         |  SELECT vec_id, rel, $i AS pick FROM (
+         |    SELECT c.vec_id, c.rel,
+         |      round($lam * c.rel - $oneMinus * m.msim, 6) AS score
+         |    FROM cand c JOIN (
+         |      SELECT ia AS vec_id, max(sim) AS msim FROM ps
+         |      WHERE ib IN (${selUnion(i)}) GROUP BY ia) m
+         |      ON c.vec_id = m.vec_id
+         |    WHERE c.vec_id NOT IN (${selUnion(i)})
+         |  ) t ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH cand AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    round(${cos("e.embedding", "q.qv")}, 4) AS rel
+       |  FROM embeddings e,
+       |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MmrPool),
+       |ps AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    round(${cos("a.embedding", "b.embedding")}, 4) AS sim
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, 1 AS pick FROM cand
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT vec_id, rel, CAST(pick AS BIGINT) AS pick FROM ($unions) r""".stripMargin
+  }
+
+  /** `sim_mmr_rerank`: maximal-marginal-relevance diversified top-k —
+    * the rerank between retrieval and context assembly that keeps a
+    * result list from filling with near-duplicates of the best hit.
+    * Runs the shared [[mmrSql]] text through Spark's own parser over a
+    * temp view of the corpus; the oracle runs the same text in DuckDB.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings")
+    spark.sql(mmrSql((a, b) => s"cosine_sim($a, $b)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25_topk" -> (bm25TopK(_, _)),
-    "sim_hybrid_rrf" -> (hybridRrf(_, _)))
+    "sim_hybrid_rrf" -> (hybridRrf(_, _)),
+    "sim_mmr_rerank" -> (mmrRerank(_, _)))
 
   /** DuckDB twins: the same tokenize/stats/score construction with
     * DuckDB's list functions; score/rrf arithmetic is the SAME text as
@@ -171,5 +237,6 @@ object Retrieval {
          |  CAST(coalesce(kw_rank, 0) AS BIGINT) AS kw_rank,
          |  CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank
          |FROM kw FULL OUTER JOIN vec ON kw.id = vec.id
-         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
+    "sim_mmr_rerank" -> mmrSql(Similarity.sqlCos))
 }

@@ -103,6 +103,29 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("mmr rerank starts at the top hit and is more diverse than plain top-k") {
+    graft.functions.VectorFunctions.register(spark)
+    val picks = Retrieval.mmrRerank(spark, sf0001).collect()
+    assert(picks.length == Retrieval.MmrK)
+    assert(picks.map(_.getAs[Long]("pick")).sorted.sameElements(1L to Retrieval.MmrK.toLong))
+    val ids = picks.sortBy(_.getAs[Long]("pick")).map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+    val top = Similarity.knnTop10(spark, sf0001).collect().map(_.getAs[Long]("vec_id"))
+    assert(ids.head == top.head, "pick 1 is the plain nearest neighbor")
+    // diversity: average pairwise similarity among MMR picks is lower
+    // than among the plain top-MmrK
+    def avgSim(sel: Array[Long]): Double = {
+      val e = graft.Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id").isInCollection(sel))
+      e.as("a").crossJoin(e.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .agg(avg(expr("cosine_sim(a.embedding, b.embedding)")))
+        .collect()(0).getDouble(0)
+    }
+    assert(avgSim(ids) < avgSim(top.take(Retrieval.MmrK)),
+      "MMR picks are mutually less similar than the undiversified top-k")
+  }
+
   test("temperature sampling keeps the smallest language whole and flattens the rest") {
     val d = graft.Tables.documents(spark, sf0001)
     val corpus = d.groupBy(col("lang")).count().collect()

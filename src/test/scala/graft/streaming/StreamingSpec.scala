@@ -231,6 +231,42 @@ class StreamingSpec extends SparkSpec {
       "an empty restart must not commit a generation")
   }
 
+  test("MOR change stream: same checkpoint emits each commit exactly once") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("morstream")
+    val path = base.resolve("t").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val split = graft.ops.PipelineQueries.SplitUs
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val n1 = graft.etl.MorTable.incrementalRead(spark, {
+      graft.etl.MorTable.upsertInto(path, ev.filter(col("ts_us") > split)); path
+    }, sinceSeq = 0L).count()
+    // pass 1 drains commit 1
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    assert(spark.read.parquet(out).count() == n1)
+    // commit 2 (tombstones), pass 2 with the SAME checkpoint: only the
+    // new log flows — nothing from commit 1 is re-emitted
+    graft.etl.MorTable.deleteFrom(path,
+      ev.filter(col("user_id") % 5 === 0).select(col("user_id")).distinct()
+        .withColumn("ts_us", org.apache.spark.sql.functions.lit(Long.MaxValue / 2)))
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    val all = spark.read.parquet(out)
+    val n2 = all.filter(col("_seq") === 2L).count()
+    assert(n2 > 0, "pass 2 delivered the tombstone commit")
+    assert(all.count() == n1 + n2, "no replay of already-consumed commits")
+    assert(all.filter(col("_seq") === 1L).count() == n1)
+    assert(all.filter(col("_deleted")).count() == n2,
+      "schema-sparse tombstone log reads under the explicit schema")
+    // pass 3: nothing new — the sink is untouched
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    assert(spark.read.parquet(out).count() == n1 + n2)
+  }
+
   test("crash between table commit and checkpoint commit: replay is idempotent") {
     val base = Files.createTempDirectory("streamc").toString
     val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
