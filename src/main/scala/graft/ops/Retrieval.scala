@@ -56,25 +56,33 @@ object Retrieval {
     QueryTerms.indices.map(i => s"${idfSql(i)} * ${termWeightSql(i)}")
       .mkString(" + ")
 
-  /** Per-document BM25 score for [[QueryTerms]]: one tokenize pass for
-    * (dl, tf_i), one corpus-stats aggregate (n_docs, avgdl, df_i — a
-    * single broadcast row), one scoring map. */
-  private[ops] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, sfDir)
+  /** One tokenize pass: (doc_id, dl, tf_i per query term). */
+  private def bm25PerDoc(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "split(text, ' ') AS t")
       .selectExpr(
         Seq("doc_id", "CAST(size(t) AS BIGINT) AS dl") ++
           QueryTerms.zipWithIndex.map { case (w, i) =>
             s"CAST(size(filter(t, x -> x = '$w')) AS BIGINT) AS tf$i"
           }: _*)
+
+  /** Score every doc against a one-row stats frame
+    * (n_docs, avgdl, df_i) broadcast to the scan. */
+  private def scoreAgainst(perDoc: DataFrame, stats: DataFrame): DataFrame =
+    perDoc.crossJoin(broadcast(stats))
+      .selectExpr("doc_id", s"round($scoreSql, 6) AS score")
+
+  /** Per-document BM25 score for [[QueryTerms]]: one tokenize pass for
+    * (dl, tf_i), one corpus-stats aggregate (n_docs, avgdl, df_i — a
+    * single broadcast row), one scoring map. */
+  private[ops] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = bm25PerDoc(spark, sfDir)
     val aggCols = Seq(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl")) ++
       QueryTerms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = perDoc.agg(aggCols.head, aggCols.tail: _*)
-    perDoc.crossJoin(broadcast(stats))
-      .selectExpr("doc_id", s"round($scoreSql, 6) AS score")
+    scoreAgainst(perDoc, perDoc.agg(aggCols.head, aggCols.tail: _*))
   }
 
   /** `tx_bm25_topk`: global BM25 top-[[TopK]] for the pinned query —
@@ -214,8 +222,111 @@ object Retrieval {
     spark.sql(mmrUnionSql(ref))
   }
 
+  // ---- inverted index ----------------------------------------------------
+
+  /** Document-side shard count for posting lists. A term's postings are
+    * stored as ONE array row per (term, shard), so the shard count —
+    * not the corpus — bounds the row size: a stopword's postings at
+    * web scale would otherwise be a single multi-GB array. Sharding by
+    * doc hash is the document-partitioned layout distributed search
+    * engines use; at 100 TB this constant scales with the corpus the
+    * way `Sampling.adaptiveShards` does.
+    */
+  val IndexShards = 8
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val indexScratch: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inv")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.etl.FsUtil.deleteRecursively(dir)))
+    dir
+  }
+
+  /** Build (once per JVM — read-only after) the inverted index as a
+    * BucketTable keyed on (term, shard) and BUCKETED BY TERM: the
+    * posting lists live in the same table layout the engine uses for
+    * every other keyed dataset, and a keyword lookup routes to one
+    * bucket per term — never a corpus scan. Postings are doc_id-sorted
+    * arrays of (doc_id, tf); the build is one tokenize pass + one
+    * shuffle on (term, doc) + one on (term, shard).
+    */
+  private def postingsIndex(spark: SparkSession, sfDir: String): String =
+    indexCache.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(indexScratch, "ix").toString + "/t"
+      val postings = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("shard", expr(s"pmod(xxhash64(doc_id), $IndexShards)"))
+        .groupBy(col("term"), col("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+        .withColumn("ver", lit(1L))
+      graft.etl.BucketTable.create(postings, dir,
+        keys = Seq("term", "shard"), precombine = "ver",
+        numBuckets = 16, bucketBy = Seq("term"))
+      dir
+    })
+
+  /** Test seam: the committed index path (builds it if needed). */
+  private[ops] def postingsIndexPathForTest(spark: SparkSession,
+      sfDir: String): String = postingsIndex(spark, sfDir)
+
+  /** `tx_keyword_lookup`: serve a keyword query from the inverted
+    * index — one bucket-pruned point read per query term (the
+    * `bucketBy` prefix read), postings exploded back to (term, doc_id,
+    * tf). The oracle recomputes the same triples from raw text; the
+    * index path must agree exactly, which also proves the build lost
+    * nothing.
+    */
+  def keywordLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = postingsIndex(spark, sfDir)
+    QueryTerms.map(t => graft.etl.BucketTable.lookup(spark, path, Seq(t)))
+      .reduce(_ unionByName _)
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+  }
+
+  /** `tx_bm25_incremental`: the BM25 corpus statistics (n_docs, Σdl,
+    * per-term df) maintained INCREMENTALLY — three batches (doc_id
+    * mod 3) each contribute one O(batch) partial aggregate, merged by
+    * plain addition into the running totals (the `p_ivm_rollup`
+    * discipline applied to the search index's statistics; at scale a
+    * new batch costs one aggregate over the batch plus a constant-size
+    * merge, never a corpus re-scan). Scoring reads only the merged
+    * one-row totals, and the top-k must be byte-equal to the one-pass
+    * [[bm25TopK]] (same oracle) — batch boundaries never leak into the
+    * ranking, because every statistic BM25 needs is additive.
+    */
+  def bm25Incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val perDoc = bm25PerDoc(spark, sfDir)
+    val batchStats = (0 until 3).map { b =>
+      val aggCols = Seq(
+        count(lit(1)).as("n_docs_b"), sum(col("dl")).as("sum_dl_b")) ++
+        QueryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df${i}_b"))
+      perDoc.filter(pmod(col("doc_id"), lit(3)) === b)
+        .agg(aggCols.head, aggCols.tail: _*)
+    }
+    val mergeCols = Seq(
+      sum(col("n_docs_b")).as("n_docs"),
+      (sum(col("sum_dl_b")).cast("double") /
+        sum(col("n_docs_b")).cast("double")).as("avgdl")) ++
+      QueryTerms.indices.map(i => sum(col(s"df${i}_b")).as(s"df$i"))
+    val merged = batchStats.reduce(_ unionByName _)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+    scoreAgainst(perDoc, merged)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25_topk" -> (bm25TopK(_, _)),
+    "tx_bm25_incremental" -> (bm25Incremental(_, _)),
+    "tx_keyword_lookup" -> (keywordLookup(_, _)),
     "sim_hybrid_rrf" -> (hybridRrf(_, _)),
     "sim_mmr_rerank" -> (mmrRerank(_, _)))
 
@@ -245,6 +356,20 @@ object Retrieval {
       s"""WITH $bm25Cte
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,
+    // the incremental stats are additive integers, so the merged totals
+    // and therefore the ranking are EXACTLY the one-pass computation
+    "tx_bm25_incremental" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,
+    "tx_keyword_lookup" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) t
+         |WHERE w IN ($terms)
+         |GROUP BY w, doc_id""".stripMargin
+    },
     "sim_hybrid_rrf" ->
       s"""WITH $bm25Cte,
          |kw AS (

@@ -103,6 +103,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("incremental BM25 stats reproduce the one-pass ranking exactly") {
+    val once = Retrieval.bm25TopK(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val inc = Retrieval.bm25Incremental(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(inc.sameElements(once),
+      "additive stats merged across batches must not move any score")
+  }
+
+  test("keyword lookup serves exact tf triples from the inverted index") {
+    val served = Retrieval.keywordLookup(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toSet
+    assert(Retrieval.QueryTerms.forall(t => served.exists(_._1 == t)),
+      "every query term has postings on this corpus")
+    // recompute one term from raw text: the index must agree exactly
+    val t0 = Retrieval.QueryTerms.head
+    val expected = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t0')) AS BIGINT)").as("tf"))
+      .filter(col("tf") > 0).collect()
+      .map(r => (t0, r.getAs[Long]("doc_id"), r.getAs[Long]("tf"))).toSet
+    assert(served.filter(_._1 == t0) == expected)
+    // postings arrive doc-sharded: no single row carries a term's whole
+    // posting list (the row-size bound that survives stopwords at scale)
+    val raw = graft.etl.BucketTable.read(spark,
+      Retrieval.postingsIndexPathForTest(spark, sf0001))
+    val maxShardRows = raw.filter(col("term") === t0).count()
+    assert(maxShardRows > 1, s"term '$t0' spreads across >1 shard row")
+  }
+
   test("mmr rerank starts at the top hit and is more diverse than plain top-k") {
     graft.functions.VectorFunctions.register(spark)
     val picks = Retrieval.mmrRerank(spark, sf0001).collect()
