@@ -455,9 +455,13 @@ object IvfIndex {
 
   /** Metadata predicate for `sim_ivf_filtered` — pre-filtered ANN, the
     * "vector search WHERE scalar-filter" shape every production vector
-    * store exposes (filtered HNSW/IVF in FAISS/Milvus terms).
+    * store exposes (filtered HNSW/IVF in FAISS/Milvus terms). Written
+    * as an IN list (not the equivalent `label % 2 = 1`) deliberately:
+    * `In` is a parquet-pushable filter, so the predicate prunes row
+    * groups at the scan (`PlanAssertSpec` pins PushedFilters), while a
+    * modulo expression would evaluate post-read.
     */
-  val FilterPredSql = "label % 2 = 1"
+  val FilterPredSql = "label IN (1, 3, 5, 7, 9)"
 
   /** `sim_ivf_filtered`: fixed-codebook IVF search restricted to
     * vectors satisfying [[FilterPredSql]] — PRE-filtering: the predicate

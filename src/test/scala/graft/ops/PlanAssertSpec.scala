@@ -232,6 +232,40 @@ class PlanAssertSpec extends SparkSpec {
     assert(smj.isEmpty, s"samp_mixture plans a sort-merge join:\n$plan")
   }
 
+  test("filtered ANN pushes the label predicate into the candidate scan") {
+    // pre-filtering only pays if the predicate reaches the parquet
+    // scan: at 100 TB the difference between pruning row groups and
+    // filtering decoded vectors is the whole point of the operator
+    // (FilterPredSql is an IN list precisely because In pushes)
+    val plan = finalPlan(SparkEntry.queries("sim_ivf_filtered")(spark, sf001))
+    val pushed = scansUnder(plan).flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("In(label")),
+      s"label IN filter missing from PushedFilters; got $pushed")
+  }
+
+  test("temperature mixing joins thresholds by broadcast, never shuffle") {
+    // same contract as samp_mixture: |langs| threshold rows must
+    // broadcast — a sort-merge join would shuffle the corpus on a
+    // 5-value key
+    val plan = finalPlan(SparkEntry.queries("samp_temperature")(spark, sf001))
+    val smj = collectAll(plan).collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smj.isEmpty, s"samp_temperature plans a sort-merge join:\n$plan")
+  }
+
+  test("keyword lookup reads only the queried terms' buckets") {
+    // the inverted index exists to make a keyword query a point read:
+    // each term's lookup must scan a strict subset of the index files
+    val path = graft.ops.Retrieval.postingsIndexPathForTest(spark, sf001)
+    val all = graft.etl.BucketTable.read(spark, path)
+      .inputFiles.toSet
+    val lookedUp = graft.etl.BucketTable.lookup(spark, path,
+      Seq(graft.ops.Retrieval.QueryTerms.head)).inputFiles.toSet
+    assert(lookedUp.nonEmpty && lookedUp.size < all.size,
+      s"lookup reads ${lookedUp.size} of ${all.size} files — no pruning")
+  }
+
   test("rank-filtered windows keep the map-side WindowGroupLimit prune") {
     // top-k-per-group via `rank()/row_number() <= k` is only 100 TB-safe
     // because InferWindowGroupLimit plants a Partial WindowGroupLimit
