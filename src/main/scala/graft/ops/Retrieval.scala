@@ -256,14 +256,7 @@ object Retrieval {
     indexCache.computeIfAbsent(sfDir, _ => {
       val dir = java.nio.file.Files
         .createTempDirectory(indexScratch, "ix").toString + "/t"
-      val postings = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("shard", expr(s"pmod(xxhash64(doc_id), $IndexShards)"))
-        .groupBy(col("term"), col("shard"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-          .as("postings"))
+      val postings = postingsOf(Tables.documents(spark, sfDir))
         .withColumn("ver", lit(1L))
       graft.etl.BucketTable.create(postings, dir,
         keys = Seq("term", "shard"), precombine = "ver",
@@ -288,6 +281,77 @@ object Retrieval {
       .reduce(_ unionByName _)
       .select(col("term"), explode(col("postings")).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+  }
+
+  /** Shared posting-list construction: (term, shard) rows carrying
+    * doc_id-sorted (doc_id, tf) arrays. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("shard", expr(s"pmod(xxhash64(doc_id), $IndexShards)"))
+      .groupBy(col("term"), col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"))
+
+  /** `tx_keyword_incremental`: the inverted index MAINTAINED, not
+    * rebuilt — the index lifecycle every live corpus needs. Build from
+    * two thirds of the corpus; when the last third arrives, aggregate
+    * ONLY the batch, look up only the touched (term, shard) rows
+    * (bucket-routed point reads), merge posting arrays, and upsert —
+    * the BucketTable rewrites only the touched buckets (its own
+    * partial-rewrite contract), so maintenance is O(batch terms), never
+    * a corpus re-tokenize. Serving the query terms afterwards must
+    * yield byte-identical triples to the full-corpus oracle — the
+    * merge lost nothing.
+    */
+  def keywordIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = maintainedIndex(spark, sfDir)
+    QueryTerms.map(t => graft.etl.BucketTable.lookup(spark, dir, Seq(t)))
+      .reduce(_ unionByName _)
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+  }
+
+  /** Create the index table from an initial document set. */
+  private[ops] def buildIndexFrom(dir: String, docs: DataFrame): Unit =
+    graft.etl.BucketTable.create(
+      postingsOf(docs).withColumn("ver", lit(1L)), dir,
+      keys = Seq("term", "shard"), precombine = "ver",
+      numBuckets = 16, bucketBy = Seq("term"))
+
+  /** Fold a batch of NEW documents into the index: aggregate only the
+    * batch, point-read only the touched (term, shard) rows, merge the
+    * arrays, upsert — the BucketTable rewrites only the touched
+    * buckets (partial-rewrite contract; `RetrievalSpec` pins it on a
+    * corpus where the batch's terms are confined).
+    */
+  private[ops] def maintainIndexWith(spark: SparkSession, dir: String,
+      docs: DataFrame): Unit = {
+    val p2 = postingsOf(docs)
+    val existing = graft.etl.BucketTable
+      .lookupMany(spark, dir, p2.select(col("term"), col("shard")))
+      .select(col("term"), col("shard"), col("postings").as("old"))
+    val merged = p2.join(existing, Seq("term", "shard"), "left")
+      .selectExpr("term", "shard",
+        // batch docs are new, so the merge is a disjoint array union
+        "CASE WHEN old IS NULL THEN postings " +
+          "ELSE sort_array(concat(old, postings)) END AS postings",
+        "CAST(2 AS BIGINT) AS ver")
+    graft.etl.BucketTable.upsertInto(spark, dir, merged)
+  }
+
+  /** The build-then-maintain lifecycle behind [[keywordIncremental]]
+    * (returns the table dir so specs can inspect bucket generations).
+    */
+  private[ops] def maintainedIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(indexScratch, "ki").toString + "/t"
+    val d = Tables.documents(spark, sfDir)
+    buildIndexFrom(dir, d.filter(pmod(col("doc_id"), lit(3)) =!= 2))
+    maintainIndexWith(spark, dir, d.filter(pmod(col("doc_id"), lit(3)) === 2))
+    dir
   }
 
   /** `tx_bm25_incremental`: the BM25 corpus statistics (n_docs, Σdl,
@@ -327,6 +391,7 @@ object Retrieval {
     "tx_bm25_topk" -> (bm25TopK(_, _)),
     "tx_bm25_incremental" -> (bm25Incremental(_, _)),
     "tx_keyword_lookup" -> (keywordLookup(_, _)),
+    "tx_keyword_incremental" -> (keywordIncremental(_, _)),
     "sim_hybrid_rrf" -> (hybridRrf(_, _)),
     "sim_mmr_rerank" -> (mmrRerank(_, _)))
 
@@ -351,6 +416,15 @@ object Retrieval {
        |  SELECT doc_id, round($scoreSql, 6) AS score FROM tok, st)""".stripMargin
   }
 
+  private def keywordLookupSql: String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) t
+       |WHERE w IN ($terms)
+       |GROUP BY w, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "tx_bm25_topk" ->
       s"""WITH $bm25Cte
@@ -362,14 +436,9 @@ object Retrieval {
       s"""WITH $bm25Cte
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,
-    "tx_keyword_lookup" -> {
-      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
-         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |      FROM documents) t
-         |WHERE w IN ($terms)
-         |GROUP BY w, doc_id""".stripMargin
-    },
+    "tx_keyword_lookup" -> keywordLookupSql,
+    // maintained index must serve the SAME triples as a fresh build
+    "tx_keyword_incremental" -> keywordLookupSql,
     "sim_hybrid_rrf" ->
       s"""WITH $bm25Cte,
          |kw AS (

@@ -134,6 +134,40 @@ class RetrievalSpec extends SparkSpec {
     assert(maxShardRows > 1, s"term '$t0' spreads across >1 shard row")
   }
 
+  test("index maintenance rewrites only the buckets the batch touches") {
+    // the registered query's corpus is word soup (every batch carries
+    // the whole vocabulary), so partiality is pinned on a corpus where
+    // the second batch's terms are confined to a few buckets
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ki-spec").toString + "/t"
+    val base = (0 until 64).map(i => (i.toLong, s"w$i w$i w${(i + 1) % 64}"))
+      .toDF("doc_id", "text")
+    Retrieval.buildIndexFrom(dir, base)
+    val batch = Seq((100L, "w1 w1 zz")).toDF("doc_id", "text")
+    Retrieval.maintainIndexWith(spark, dir, batch)
+    val gens = graft.etl.BucketTable.manifest(dir)
+    assert(gens.values.exists(_ > 0L), "the batch produced an upsert")
+    assert(gens.values.count(_ == 0L) > 0,
+      s"every bucket was rewritten ($gens) — maintenance is not partial")
+    // merged postings serve both old and new docs for a touched term
+    val w1 = graft.etl.BucketTable.lookup(spark, dir, Seq("w1"))
+      .selectExpr("explode(postings) AS p").select($"p.doc_id", $"p.tf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1(100L) == 2L, "new doc's tf served")
+    assert(w1(1L) == 2L && w1(0L) == 1L, "pre-existing postings intact")
+    val zz = graft.etl.BucketTable.lookup(spark, dir, Seq("zz"))
+    assert(zz.count() == 1L, "a brand-new term inserts")
+    // and on the real corpus the maintained index serves exactly what
+    // a from-scratch build serves
+    val served = Retrieval.keywordLookup(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toSet
+    val maintained = Retrieval.keywordIncremental(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"))).toSet
+    assert(maintained == served)
+  }
+
   test("mmr rerank starts at the top hit and is more diverse than plain top-k") {
     graft.functions.VectorFunctions.register(spark)
     val picks = Retrieval.mmrRerank(spark, sf0001).collect()
