@@ -1400,6 +1400,44 @@ object PipelineQueries {
         col("value"), col("ts_us"), col("_seq"), col("_deleted"))
   }
 
+  /** `p_table_to_table`: incremental TABLE-TO-TABLE ETL — the
+    * DeltaStreamer-chaining pattern
+    * ([[graft.streaming.StreamingPipeline.runTableToTable]]). Seed the
+    * downstream BucketTable with the MOR source's base (the full first
+    * extract), then two checkpointed change-stream passes fold in the
+    * commits that landed between them (upserts AND tombstone deletes,
+    * each a partial-bucket rewrite). The final downstream state must
+    * equal the source SNAPSHOT — the same oracle as `p_mor_snapshot`,
+    * reached here without the downstream ever scanning the source.
+    */
+  def tableToTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "tt")
+    val src = base.resolve("src").toString
+    val tgt = base.resolve("tgt").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    MorTable.create(ev.filter(col("ts_us") <= SplitUs), src,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    // full load: the source base seeds the downstream table
+    graft.etl.BucketTable.create(MorTable.readOptimized(spark, src), tgt,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    MorTable.upsertInto(src,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.streaming.StreamingPipeline.runTableToTable(spark, src, tgt, ckpt,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    MorTable.upsertInto(src, ev.filter(col("ts_us") > Split2Us))
+    MorTable.deleteFrom(src,
+      ev.filter(col("user_id") % 7 === 0).select(col("user_id")).distinct()
+        .withColumn("ts_us", lit(FutureUs)))
+    graft.streaming.StreamingPipeline.runTableToTable(spark, src, tgt, ckpt,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.BucketTable.read(spark, tgt)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** `p_schema_evolution`: Hudi's schema-on-read evolution through the
     * keyed upsert (`hoodie.schema.on.read.enable`, reference py:54) as
     * an oracle-checked query — the incoming batch ADDS a column
@@ -1779,6 +1817,7 @@ object PipelineQueries {
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
     "p_mor_incremental" -> (morIncremental(_, _)),
     "p_mor_stream_read" -> (morStreamRead(_, _)),
+    "p_table_to_table" -> (tableToTable(_, _)),
     "p_bootstrap_snapshot" -> (bootstrapSnapshot(_, _)),
     "p_bootstrap_compact" -> (bootstrapCompact(_, _)),
     "p_schema_evolution" -> (schemaEvolution(_, _)),
@@ -2267,6 +2306,14 @@ object PipelineQueries {
          |  AND event_type = 'click') t
          |WHERE rn = 1""".stripMargin,
     "p_mor_snapshot" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
+    // the replicated downstream must converge to the source snapshot
+    "p_table_to_table" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id

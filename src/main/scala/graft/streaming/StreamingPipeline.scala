@@ -686,15 +686,66 @@ object StreamingPipeline {
     */
   def runTableChangeStream(spark: SparkSession, tablePath: String,
       outPath: String, checkpoint: String): Unit = {
-    val schema = StructType(
-      graft.etl.MorTable.readOptimized(spark, tablePath).schema.fields ++
-        Seq(StructField("_seq", LongType), StructField("_deleted", BooleanType)))
-    val q = spark.readStream.schema(schema)
-      .parquet(s"$tablePath/log=*")
+    val q = changeStream(spark, tablePath)
       .writeStream.format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The MOR delta log as a streaming DataFrame (see
+    * [[runTableChangeStream]] for the contract).
+    */
+  private def changeStream(spark: SparkSession, tablePath: String): DataFrame = {
+    val schema = StructType(
+      graft.etl.MorTable.readOptimized(spark, tablePath).schema.fields ++
+        Seq(StructField("_seq", LongType), StructField("_deleted", BooleanType)))
+    spark.readStream.schema(schema).parquet(s"$tablePath/log=*")
+  }
+
+  /** Table-to-table incremental ETL — the DeltaStreamer-chaining
+    * pattern: a MOR source table's change stream feeds a keyed
+    * BucketTable downstream. Per micro-batch: precombine the changes
+    * (latest per key by (precombine, _seq, tie-break) — `_seq` so a
+    * later commit beats an equal-precombine earlier one), route live
+    * rows through the keyed upsert and tombstones through the keyed
+    * delete — both partial-bucket rewrites, so each batch costs
+    * O(changes), and the replay after a crash is idempotent for the
+    * same reason the ingest sink's is (keyed precombine + delete of
+    * already-deleted keys is a no-op). The caller seeds the target
+    * with the source's base (full load), then repeated runs with one
+    * checkpoint keep it converged to the source snapshot — initial
+    * full extract + incremental tail, exactly the reference pipeline's
+    * two modes composed end-to-end across TABLES.
+    */
+  def runTableToTable(spark: SparkSession, sourceMorPath: String,
+      targetPath: String, checkpoint: String, keys: Seq[String],
+      precombine: String, tieBreak: Seq[String]): Unit = {
+    val q = changeStream(spark, sourceMorPath).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val latest = HudiLike.precombineLatest(batch, keys, precombine,
+            "_seq" +: tieBreak)
+          val ups = latest.filter(!col("_deleted")).drop("_seq", "_deleted")
+          val dels = latest.filter(col("_deleted"))
+            .select(keys.map(col): _*)
+          if (!ups.isEmpty) {
+            if (!graft.etl.BucketTable.exists(targetPath))
+              graft.etl.BucketTable.create(ups, targetPath,
+                keys = keys, precombine = precombine, tieBreak = tieBreak)
+            else
+              graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, ups)
+          }
+          if (graft.etl.BucketTable.exists(targetPath) && !dels.isEmpty)
+            graft.etl.BucketTable.deleteFrom(batch.sparkSession, targetPath, dels)
+        }
+        ()
+      }
       .start()
     q.awaitTermination()
   }

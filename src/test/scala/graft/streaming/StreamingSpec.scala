@@ -267,6 +267,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n1 + n2)
   }
 
+  test("table-to-table replication converges to the source snapshot; empty pass is a no-op") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Files.createTempDirectory("t2t")
+    val src = base.resolve("src").toString
+    val tgt = base.resolve("tgt").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val split = graft.ops.PipelineQueries.SplitUs
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= split), src,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.BucketTable.create(
+      graft.etl.MorTable.readOptimized(spark, src), tgt,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.MorTable.upsertInto(src, ev.filter(col("ts_us") > split))
+    graft.etl.MorTable.deleteFrom(src,
+      ev.filter(col("user_id") % 5 === 0).select(col("user_id")).distinct()
+        .withColumn("ts_us", lit(Long.MaxValue / 2)))
+    StreamingPipeline.runTableToTable(spark, src, tgt, ckpt,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val snapshot = graft.etl.MorTable.readSnapshot(spark, src)
+      .collect().map(_.toString).sorted
+    val replicated = graft.etl.BucketTable.read(spark, tgt)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us")).collect().map(_.toString).sorted
+    assert(replicated.sameElements(snapshot),
+      "downstream equals the source snapshot, deletes included")
+    // nothing new: the pass must not commit a generation downstream
+    val before = graft.etl.BucketTable.manifest(tgt)
+    StreamingPipeline.runTableToTable(spark, src, tgt, ckpt,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    assert(graft.etl.BucketTable.manifest(tgt) == before,
+      "an empty change-stream pass leaves the target untouched")
+  }
+
   test("crash between table commit and checkpoint commit: replay is idempotent") {
     val base = Files.createTempDirectory("streamc").toString
     val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
