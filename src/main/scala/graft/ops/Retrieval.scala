@@ -314,6 +314,58 @@ object Retrieval {
       .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
   }
 
+  /** The pinned phrase query (an ordered bigram from the corpus
+    * vocabulary) served by the POSITIONAL index. */
+  val PhraseTerms: (String, String) = ("vector", "merge")
+
+  /** Positional posting lists — (term, shard) rows carrying
+    * (doc_id, positions) arrays, the index layout phrase and proximity
+    * queries need. Same doc-sharding and term bucketing as the tf
+    * index; positions are 0-based token offsets, sorted.
+    */
+  private def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .withColumn("shard", expr(s"pmod(xxhash64(doc_id), $IndexShards)"))
+      .groupBy(col("term"), col("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("positions"))))
+        .as("plist"))
+
+  private def positionalIndex(spark: SparkSession, sfDir: String): String =
+    indexCache.computeIfAbsent("pos|" + sfDir, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(indexScratch, "px").toString + "/t"
+      graft.etl.BucketTable.create(
+        positionalPostingsOf(Tables.documents(spark, sfDir))
+          .withColumn("ver", lit(1L)),
+        dir, keys = Seq("term", "shard"), precombine = "ver",
+        numBuckets = 16, bucketBy = Seq("term"))
+      dir
+    })
+
+  /** `tx_phrase_search`: phrase ("vector merge") matching served from
+    * the positional index — one bucket-pruned point read PER PHRASE
+    * TERM (never a text scan), then a doc_id equi-join of the two
+    * posting lists and an adjacency intersect (positions of term1,
+    * shifted by one, ∩ positions of term2). The oracle recounts
+    * adjacent pairs from raw text; parity proves the positional build
+    * and the intersect both exact.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = positionalIndex(spark, sfDir)
+    def side(term: String, as: String): DataFrame =
+      graft.etl.BucketTable.lookup(spark, path, Seq(term))
+        .select(explode(col("plist")).as("p"))
+        .select(col("p.doc_id").as("doc_id"), col("p.positions").as(as))
+    side(PhraseTerms._1, "pos_a")
+      .join(side(PhraseTerms._2, "pos_b"), Seq("doc_id"))
+      .selectExpr("doc_id",
+        "CAST(size(array_intersect(transform(pos_a, x -> x + 1), pos_b)) AS BIGINT) AS n_matches")
+      .filter(col("n_matches") > 0)
+  }
+
   /** Create the index table from an initial document set. */
   private[ops] def buildIndexFrom(dir: String, docs: DataFrame): Unit =
     graft.etl.BucketTable.create(
@@ -392,6 +444,7 @@ object Retrieval {
     "tx_bm25_incremental" -> (bm25Incremental(_, _)),
     "tx_keyword_lookup" -> (keywordLookup(_, _)),
     "tx_keyword_incremental" -> (keywordIncremental(_, _)),
+    "tx_phrase_search" -> (phraseSearch(_, _)),
     "sim_hybrid_rrf" -> (hybridRrf(_, _)),
     "sim_mmr_rerank" -> (mmrRerank(_, _)))
 
@@ -439,6 +492,15 @@ object Retrieval {
     "tx_keyword_lookup" -> keywordLookupSql,
     // maintained index must serve the SAME triples as a fresh build
     "tx_keyword_incremental" -> keywordLookupSql,
+    // recount adjacent pairs from raw text (DuckDB lists are 1-based:
+    // i runs over 1..len-1, pairing t[i] with t[i+1])
+    "tx_phrase_search" ->
+      s"""SELECT doc_id, n_matches FROM (
+         |  SELECT doc_id, CAST(len(list_filter(range(1, len(t)),
+         |    i -> t[i] = '${PhraseTerms._1}' AND t[i+1] = '${PhraseTerms._2}'))
+         |    AS BIGINT) AS n_matches
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s) r
+         |WHERE n_matches > 0""".stripMargin,
     "sim_hybrid_rrf" ->
       s"""WITH $bm25Cte,
          |kw AS (

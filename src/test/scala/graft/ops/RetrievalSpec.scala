@@ -168,6 +168,21 @@ class RetrievalSpec extends SparkSpec {
     assert(maintained == served)
   }
 
+  test("phrase search over positional postings equals a raw-text recount") {
+    val (w1, w2) = Retrieval.PhraseTerms
+    val served = Retrieval.phraseSearch(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(served.nonEmpty, "the pinned phrase occurs on this corpus")
+    val expected = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id",
+        s"""CAST(size(filter(sequence(0, size(t) - 2),
+           |  i -> t[i] = '$w1' AND t[i+1] = '$w2')) AS BIGINT) AS n""".stripMargin)
+      .filter(col("n") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(served == expected)
+  }
+
   test("mmr rerank starts at the top hit and is more diverse than plain top-k") {
     graft.functions.VectorFunctions.register(spark)
     val picks = Retrieval.mmrRerank(spark, sf0001).collect()
