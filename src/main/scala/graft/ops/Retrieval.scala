@@ -268,6 +268,67 @@ object Retrieval {
   private[ops] def postingsIndexPathForTest(spark: SparkSession,
       sfDir: String): String = postingsIndex(spark, sfDir)
 
+  /** Per-document length table, stored as a BucketTable keyed on
+    * doc_id — the doc-stats sidecar every BM25 serving index keeps.
+    * Built once per JVM with the corpus-stats row (n_docs, Σdl) saved
+    * alongside as table properties would be; here a 1-row parquet.
+    */
+  private def docStatsTable(spark: SparkSession, sfDir: String): String =
+    indexCache.computeIfAbsent("dl|" + sfDir, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory(indexScratch, "dl").toString
+      val dl = Tables.documents(spark, sfDir)
+        .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS dl",
+          "CAST(1 AS BIGINT) AS ver")
+      graft.etl.BucketTable.create(dl, dir + "/t",
+        keys = Seq("doc_id"), precombine = "ver", numBuckets = 16)
+      dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+            .as("avgdl"))
+        .write.mode("errorifexists").parquet(dir + "/stats")
+      dir
+    })
+
+  /** `tx_bm25_served`: BM25 top-k answered ENTIRELY from committed
+    * index artifacts — postings (bucket-pruned reads, one per query
+    * term; df recomputed from the posting sizes), the doc-stats
+    * sidecar (dl fetched by `lookupMany` for candidate docs only), and
+    * the 1-row corpus stats — the raw text is never touched at query
+    * time, which is the difference between a search INDEX and a scan.
+    * Exactness: only docs carrying ≥1 query term can score > 0, and a
+    * zero tf contributes an exact `+ 0.0` to the left-to-right score
+    * sum, so scoring candidates with per-term tf coalesced to 0
+    * through the SAME [[scoreSql]] text reproduces [[bm25TopK]]'s
+    * doubles bit-for-bit (same oracle).
+    */
+  def bm25Served(spark: SparkSession, sfDir: String): DataFrame = {
+    val ix = postingsIndex(spark, sfDir)
+    val statsDir = docStatsTable(spark, sfDir)
+    val perTerm = QueryTerms.zipWithIndex.map { case (t, i) =>
+      graft.etl.BucketTable.lookup(spark, ix, Seq(t))
+        .select(explode(col("postings")).as("p"))
+        .select(col("p.doc_id").as("doc_id"),
+          col("p.tf").as(s"tf$i"))
+    }
+    val candidates = perTerm.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+      .selectExpr(
+        Seq("doc_id") ++
+          QueryTerms.indices.map(i => s"coalesce(tf$i, 0L) AS tf$i"): _*)
+    val dfCols = QueryTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val dfs = candidates.agg(dfCols.head, dfCols.tail: _*)
+    val corpus = spark.read.parquet(statsDir + "/stats")
+    val dl = graft.etl.BucketTable
+      .lookupMany(spark, statsDir + "/t", candidates.select(col("doc_id")))
+      .select(col("doc_id"), col("dl"))
+    candidates.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(dfs))
+      .crossJoin(broadcast(corpus))
+      .selectExpr("doc_id", s"round($scoreSql, 6) AS score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(TopK)
+  }
+
   /** `tx_keyword_lookup`: serve a keyword query from the inverted
     * index — one bucket-pruned point read per query term (the
     * `bucketBy` prefix read), postings exploded back to (term, doc_id,
@@ -442,6 +503,7 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_bm25_topk" -> (bm25TopK(_, _)),
     "tx_bm25_incremental" -> (bm25Incremental(_, _)),
+    "tx_bm25_served" -> (bm25Served(_, _)),
     "tx_keyword_lookup" -> (keywordLookup(_, _)),
     "tx_keyword_incremental" -> (keywordIncremental(_, _)),
     "tx_phrase_search" -> (phraseSearch(_, _)),
@@ -486,6 +548,12 @@ object Retrieval {
     // the incremental stats are additive integers, so the merged totals
     // and therefore the ranking are EXACTLY the one-pass computation
     "tx_bm25_incremental" ->
+      s"""WITH $bm25Cte
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,
+    // the index-served ranking must equal the corpus-scan ranking
+    // (zero-tf terms contribute an exact +0.0 to the score sum)
+    "tx_bm25_served" ->
       s"""WITH $bm25Cte
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin,

@@ -168,6 +168,18 @@ class RetrievalSpec extends SparkSpec {
     assert(maintained == served)
   }
 
+  test("index-served BM25 equals the corpus-scan ranking without reading documents") {
+    val scan = Retrieval.bm25TopK(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val df = Retrieval.bm25Served(spark, sf0001)
+    val served = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(served.sameElements(scan), "served ranking is bit-equal")
+    // the serving plan must touch only index artifacts, never the text
+    assert(!df.inputFiles.exists(_.contains("documents.parquet")),
+      "query-time plan reads documents.parquet — that is a scan, not an index")
+  }
+
   test("phrase search over positional postings equals a raw-text recount") {
     val (w1, w2) = Retrieval.PhraseTerms
     val served = Retrieval.phraseSearch(spark, sf0001).collect()
