@@ -267,6 +267,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == n1 + n2)
   }
 
+  test("MOR change stream survives source compaction and cleaning") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("morcmp")
+    val path = base.resolve("t").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val split = graft.ops.PipelineQueries.SplitUs
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > split && col("user_id") % 2 === 0))
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // compaction folds the consumed log into a new base and cleaning
+    // removes the old generation's files — the stream's checkpoint
+    // must neither break on the vanished files nor re-emit anything
+    graft.etl.MorTable.compact(spark, path)
+    graft.etl.MorTable.clean(path)
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    assert(spark.read.parquet(out).count() == n1,
+      "no re-emission after compaction/clean")
+    // a post-compaction commit (new base's log sequence) still flows
+    graft.etl.MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > split && col("user_id") % 2 =!= 0))
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 > n1, "commits after compaction are delivered")
+  }
+
   test("table-to-table replication converges to the source snapshot; empty pass is a no-op") {
     import org.apache.spark.sql.functions.{col, lit}
     val base = Files.createTempDirectory("t2t")
