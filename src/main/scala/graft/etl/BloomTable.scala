@@ -352,15 +352,20 @@ object BloomTable {
     * of the files the batch actually rewrote (empty = pure append).
     */
   def upsertInto(spark: SparkSession, tablePath: String,
-      incoming: DataFrame): Seq[String] =
-    withTableLock(tablePath)(upsertIntoLocked(spark, tablePath, incoming))
+      incoming: DataFrame,
+      validators: Seq[PreCommit.Rule] = Nil): Seq[String] =
+    withTableLock(tablePath)(
+      upsertIntoLocked(spark, tablePath, incoming, validators))
 
   private def upsertIntoLocked(spark: SparkSession, tablePath: String,
-      incoming: DataFrame): Seq[String] = {
+      incoming: DataFrame, validators: Seq[PreCommit.Rule]): Seq[String] = {
     val p = props(tablePath)
     val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
       p.tieBreak).localCheckpoint()
     if (batch.isEmpty) return Seq.empty
+    // gate BEFORE any tagging or write: a rejected batch leaves the
+    // table byte-identical (PreCommit's contract)
+    PreCommit.validate(batch, validators)
     // reconcile once, reuse for tagging AND as the base of the next
     // index version — a healed gap is persisted, not re-healed forever
     val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()

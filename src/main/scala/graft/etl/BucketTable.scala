@@ -260,11 +260,15 @@ object BucketTable {
     * `numBuckets` ints (bounded by config, not by data), the same
     * driver-side knowledge Hudi's write client needs to plan a commit.
     */
-  def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame): Seq[Int] = {
+  def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame,
+      validators: Seq[PreCommit.Rule] = Nil): Seq[Int] = {
     val p = props(tablePath)
     val tagged = withBucket(
       HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
       .localCheckpoint()
+    // gate BEFORE any generation write: a rejected batch leaves the
+    // table byte-identical (PreCommit's contract)
+    PreCommit.validate(tagged, validators)
     val touched = tagged.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return Seq.empty

@@ -29,6 +29,10 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *     new version
   *   - `clean('t')` — file-level retention for bucket / bloom /
   *     partitioned layouts; returns the data files removed
+  *   - `purge_key('t', k, ...)` — right-to-be-forgotten: erase one
+  *     record from the table AND every bound index artifact (record
+  *     index / secondary index), each via its targeted rewrite;
+  *     returns one row per artifact touched
   */
 object SqlCall {
 
@@ -96,10 +100,70 @@ object SqlCall {
               other.fold("")(kp => s" (layout: ${kp._1})"))
         }
         removed.toDF("file")
+      case ("purge_key", args) if args.length >= 2 &&
+          args.head.isInstanceOf[String] =>
+        purgeKey(spark, args.head.asInstanceOf[String], args.tail)
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
-          "rollback_to_version, clean)")
+          "rollback_to_version, clean, purge_key)")
+    }
+  }
+
+  /** `purge_key('t', k, ...)` — the right-to-be-forgotten procedure a
+    * training-data lake runs on a removal request: erase one record
+    * from the TABLE and from EVERY index artifact bound to it, each
+    * through its own targeted O(touched) path, never a table rewrite.
+    *   - bloom layout: `BloomTable.deleteFrom` (candidate-file rewrite)
+    *     + `RecordIndex.refresh(staleKeys=...)` when an RLI exists, so
+    *     the key's index entry is purged — not left to lazy self-heal.
+    *   - bucket layout: the row's secondary values are resolved FIRST
+    *     (they're unreachable after the delete), the secondary index
+    *     tombstones those mappings, then `BucketTable.deleteFrom`
+    *     rewrites only the key's bucket.
+    * Returns one row per artifact touched.
+    */
+  private def purgeKey(spark: SparkSession, t: String,
+      keyArgs: Seq[Any]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kind, path) = Catalog.layoutOf(spark, t).getOrElse(
+      throw new IllegalArgumentException(s"$t is not a layout-registered table"))
+    val keys = Catalog.upsertConfigFull(spark, t)._1
+    require(keyArgs.length == keys.length,
+      s"purge_key('$t', ...) needs ${keys.length} key values " +
+        s"(${keys.mkString(",")}), got ${keyArgs.length}")
+    val schema = Catalog.readTable(spark, t).schema
+    val keysDf = keys.zip(keyArgs).foldLeft(spark.range(1).toDF()) {
+      case (df, (k, v)) => df.withColumn(k, lit(v).cast(schema(k).dataType))
+    }.select(keys.map(col): _*)
+    kind match {
+      case "bloom" =>
+        val rewritten = BloomTable.deleteFrom(spark, path, keysDf)
+        val rli =
+          if (!RecordIndex.exists(path)) Nil
+          else {
+            val shards = RecordIndex.refresh(spark, path,
+              staleKeys = Some(keysDf))
+            Seq("record_index" -> s"shards_refreshed=${shards.size}")
+          }
+        (Seq("table" -> s"files_rewritten=${rewritten.size}") ++ rli)
+          .toDF("artifact", "detail")
+      case "bucket" =>
+        val sec = Catalog.secondaryIndexOf(spark, t).toSeq.flatMap {
+          case (secCols, idxPath) =>
+            val tuples = BucketTable.lookupMany(spark, path, keysDf)
+              .select(secCols.map(col): _*).distinct().collect()
+            tuples.foreach(r => SecondaryIndex.tombstone(
+              spark, path, idxPath, r.toSeq, keysDf))
+            Seq("secondary_index" -> s"tombstoned=${tuples.length}")
+        }
+        val buckets = BucketTable.deleteFrom(spark, path, keysDf)
+        (Seq("table" -> s"buckets_rewritten=${buckets.size}") ++ sec)
+          .toDF("artifact", "detail")
+      case other => throw new IllegalArgumentException(
+        s"purge_key('$t'): supported layouts are bucket | bloom, " +
+          s"got '$other'")
     }
   }
 }

@@ -1,8 +1,10 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,6 +29,23 @@ object SqlRead {
     // its inner UnresolvedRelation child (bottom-up would rewrite the
     // child to the latest snapshot and strand the travel spec)
     val substituted = parsed.transformDown {
+      // index-served point read: a filter whose equality conjuncts pin
+      // the FULL primary key of a bucket/bloom-layout table routes to
+      // the layout's point lookup (record index → one shard + one data
+      // file; bloom → candidate files; bucket → one bucket dir) instead
+      // of the manifest-wide snapshot scan — Hudi's RLI-served
+      // `WHERE key = ...` query path. The filter stays on top: residual
+      // conjuncts still apply, and re-checking the key equalities over
+      // the one resolved file is free.
+      case f @ Filter(cond, r: UnresolvedRelation) =>
+        pointRead(spark, r, cond)
+          .map(plan => Filter(cond,
+            SubqueryAlias(r.multipartIdentifier.last, plan)))
+          .getOrElse(f)
+      case f @ Filter(cond, sa @ SubqueryAlias(_, r: UnresolvedRelation)) =>
+        pointRead(spark, r, cond)
+          .map(plan => Filter(cond, SubqueryAlias(sa.identifier, plan)))
+          .getOrElse(f)
       case tt: RelationTimeTravel =>
         val name = relationName(tt.relation).getOrElse(
           throw new IllegalArgumentException(
@@ -60,6 +79,54 @@ object SqlRead {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       substituted)
   }
+
+  /** The point-lookup plan for `rel` under `cond`, when (a) the table
+    * is a bucket- or bloom-layout catalog entry and (b) `cond`'s
+    * top-level equality conjuncts cover every primary-key column with
+    * literals. Callers re-wrap the returned plan in a [[SubqueryAlias]]
+    * (the table's simple name, or the user's alias) so qualified
+    * references still resolve. Partial-key predicates and other layouts
+    * fall through to the snapshot read (None).
+    */
+  private def pointRead(spark: SparkSession, rel: UnresolvedRelation,
+      cond: Expression): Option[LogicalPlan] = {
+    val name = rel.multipartIdentifier.mkString(".")
+    layoutOf(spark, name).flatMap {
+      case (kind, path) if kind == "bucket" || kind == "bloom" =>
+        val keys = Catalog.upsertConfigFull(spark, name)._1
+        val eqs = conjuncts(cond).collect {
+          case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+            a.nameParts.last.toLowerCase -> l
+          case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+            a.nameParts.last.toLowerCase -> l
+        }.toMap
+        if (!keys.forall(k => eqs.contains(k.toLowerCase))) None
+        else {
+          val keyValues = keys.map { k =>
+            val l = eqs(k.toLowerCase)
+            CatalystTypeConverters.convertToScala(l.value, l.dataType)
+          }
+          val served = kind match {
+            case "bloom" if RecordIndex.exists(path) =>
+              RecordIndex.lookup(spark, path, keyValues)
+            case "bloom" => BloomTable.lookup(spark, path, keyValues)
+            case "bucket" => BucketTable.lookup(spark, path, keyValues)
+          }
+          Some(served.queryExecution.analyzed)
+        }
+      case _ => None
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def layoutOf(spark: SparkSession,
+      name: String): Option[(String, String)] =
+    try Catalog.layoutOf(spark, name)
+    catch { case _: Exception => None }
 
   private def relationName(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

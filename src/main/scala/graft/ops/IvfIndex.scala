@@ -453,6 +453,71 @@ object IvfIndex {
     searchFrom(assign(e, centroids).cache(), centroids, NProbeWide)
   }
 
+  /** Deterministic takedown set for `sim_ivf_delete`: every
+    * `vec_id % TakedownMod == 0` — includes query ids and codebook ids
+    * on purpose (a deleted doc must stop being SERVED; the codebook
+    * keeps its geometry until the next retrain, exactly as a vector
+    * store behaves between compactions).
+    */
+  val TakedownMod = 17
+
+  /** Tombstone-commit `ids` into a committed index dir — the
+    * right-to-be-forgotten path every training-data vector store
+    * needs: an O(deletes) artifact written atomically next to the
+    * index, ASSIGNMENTS AND CENTROIDS UNTOUCHED (at 100 TB the
+    * assignment table is the corpus-sized artifact; a takedown must
+    * never rewrite it). Repeated calls union in. Physical removal
+    * happens at the next full rebuild, Hudi's delete-then-compact
+    * discipline applied to the ANN index.
+    */
+  def deleteCommit(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val path = s"$dir/tombstones"
+    val cur =
+      if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+      else ids.select(col("vec_id")).limit(0)
+    HudiLike.commit(
+      cur.unionByName(ids.select(col("vec_id"))).distinct(), path)
+  }
+
+  /** Per-JVM staged fixed-codebook index + tombstones for
+    * `sim_ivf_delete` — build once, serve read-only (the memoFixture
+    * discipline; the SHARED committed artifact under [[indexDir]] is
+    * never tombstoned, so every other `sim_*` query keeps its corpus).
+    */
+  private val deleteStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[ops] def stagedDeleteIndex(spark: SparkSession, sfDir: String): String =
+    deleteStage.computeIfAbsent(sfDir, _ => {
+      val dir = Files.createTempDirectory("graft-ivfdel").toString
+      val e = Tables.embeddings(spark, sfDir)
+      val centroids = e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      HudiLike.commit(assign(e, centroids), s"$dir/assignments")
+      HudiLike.commit(centroids, s"$dir/centroids")
+      deleteCommit(spark, dir,
+        e.filter(col("vec_id") % TakedownMod === 0).select("vec_id"))
+      dir
+    })
+
+  /** `sim_ivf_delete`: ANN search AFTER takedown deletes — served from
+    * the committed artifacts (assignments + codebook + tombstone
+    * table), with the deleted vectors knocked out of the candidate
+    * side by a broadcast anti-join. The oracle replays the whole
+    * construction including the delete rule, so a tombstoned vector
+    * leaking back into any top-5 hash-mismatches; `IvfIndexSpec` pins
+    * that the delete wrote O(deletes) bytes and the assignment
+    * artifact stayed byte-identical.
+    */
+  def searchFixedAfterDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    VectorFunctions.register(spark)
+    val dir = stagedDeleteIndex(spark, sfDir)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+    searchFrom(assigned.cache(), centroids, tombstones = Some(tomb))
+  }
+
   /** Metadata predicate for `sim_ivf_filtered` — pre-filtered ANN, the
     * "vector search WHERE scalar-filter" shape every production vector
     * store exposes (filtered HNSW/IVF in FAISS/Milvus terms). Written
@@ -502,7 +567,7 @@ object IvfIndex {
   }
 
   private def searchFrom(assigned: DataFrame, centroids: DataFrame,
-      nprobe: Int = NProbe): DataFrame = {
+      nprobe: Int = NProbe, tombstones: Option[DataFrame] = None): DataFrame = {
     val queries = assigned.filter(col("vec_id") < Similarity.QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val wProbe = Window.partitionBy(col("q_id"))
@@ -515,7 +580,15 @@ object IvfIndex {
       .select(col("q_id"), col("qv"), col("centroid_id"))
     val wRank = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    assigned.join(broadcast(probes), Seq("centroid_id"))
+    // takedown tombstones knock vectors out of the CANDIDATE side only
+    // (a deleted doc must never be served; external queries still ask)
+    // — an O(deletes) broadcast anti-join, the assignments untouched
+    val candidates = tombstones match {
+      case Some(t) => assigned.join(
+        broadcast(t.select(col("vec_id")).distinct()), Seq("vec_id"), "left_anti")
+      case None => assigned
+    }
+    candidates.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("centroid_id"),
         round(cos("embedding", "qv"), 4).as("cos_sim"))
@@ -817,6 +890,7 @@ object IvfIndex {
     "sim_ivf_fixed" -> (searchFixed(_, _)),
     "sim_ivf_recall" -> (recallFixed(_, _)),
     "sim_ivf_multiprobe" -> (searchFixedMultiprobe(_, _)),
+    "sim_ivf_delete" -> (searchFixedAfterDelete(_, _)),
     "sim_ivf_filtered" -> (searchFixedFiltered(_, _)),
     "sim_ivf_one_round" -> (oneRound(_, _)),
     "sim_ivf_cells" -> (cellStatsAdaptive(_, _)),
@@ -854,7 +928,8 @@ object IvfIndex {
     val cosEC = Similarity.sqlCos("e.embedding", "c.centroid")
     val cosQC = Similarity.sqlCos("q.qv", "c.centroid")
     val cosVQ = Similarity.sqlCos("a.embedding", "q.qv")
-    def searchSql(nprobe: Int, adaptive: Boolean): String =
+    def searchSql(nprobe: Int, adaptive: Boolean,
+        exclude: String = ""): String =
       s"""WITH ${centroidCte(adaptive)},
          |a AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
@@ -877,7 +952,7 @@ object IvfIndex {
          |    row_number() OVER (PARTITION BY q.q_id
          |      ORDER BY round($cosVQ, 4) DESC, a.vec_id) AS rnk
          |  FROM a JOIN probes q ON a.centroid_id = q.centroid_id
-         |  WHERE a.vec_id <> q.q_id) s
+         |  WHERE a.vec_id <> q.q_id$exclude) s
          |WHERE rnk <= 5""".stripMargin
     val cosXY = Similarity.sqlCos("x.embedding", "y.embedding")
     def nearDupSql(adaptive: Boolean): String =
@@ -909,6 +984,8 @@ object IvfIndex {
          |FROM a GROUP BY centroid_id""".stripMargin
     Map(
       "sim_ivf_fixed" -> searchSql(NProbe, adaptive = false),
+      "sim_ivf_delete" -> searchSql(NProbe, adaptive = false,
+        exclude = s" AND a.vec_id % $TakedownMod <> 0"),
       "sim_ivf_recall" ->
         s"""WITH ${centroidCte(false)},
            |a AS (

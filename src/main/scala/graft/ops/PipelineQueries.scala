@@ -776,6 +776,75 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_purge_key`: the right-to-be-forgotten procedure — same
+    * bloom+RLI lifecycle as [[rliLookup]], then
+    * `CALL purge_key('t', 7)` erases [[LookupUser]] from the data
+    * files (candidate-region rewrite) AND the record index (stale-key
+    * shard refresh) in one statement. The query returns the final
+    * table state, so a surviving row for the purged key — or any
+    * collateral damage to other keys — hash-mismatches; `SqlCallSpec`
+    * pins the index-side erasure (fresh-index lookup of the purged key
+    * is provably absent, no bloom fallback).
+    */
+  def purgeKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "pk")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.RecordIndex.build(spark, path, numShards = 4)
+    graft.etl.BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("user_id") < 100))
+    graft.etl.RecordIndex.refresh(spark, path)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_purge_t", "bloom", path)
+    graft.etl.SqlCall.exec(spark,
+      s"CALL purge_key('graft_purge_t', $LookupUser)").collect()
+    graft.etl.BloomTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** `p_commit_validator`: the pre-commit validation gate
+    * ([[graft.etl.PreCommit]], Hudi's `hoodie.precommit.validators`)
+    * in the write path — a clean post-split batch commits under the
+    * rules, then a poisoned batch (negative values, timestamps far in
+    * the future: it would WIN every key it touches if it leaked) is
+    * rejected atomically inside the table lock. The oracle replays
+    * only the clean lifecycle, so a single leaked row — data file,
+    * manifest entry, or index row — hash-mismatches. `PreCommitSpec`
+    * pins the byte-identical-abort contract file by file.
+    */
+  def commitValidator(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "pcv")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val rules = Seq(
+      graft.etl.PreCommit.Rule("negative_value", col("value") < 0),
+      graft.etl.PreCommit.Rule("null_key", col("user_id").isNull))
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("user_id") <= 9),
+      validators = rules)
+    val poisoned = ev
+      .withColumn("value", lit(-1.0))
+      .withColumn("ts_us", col("ts_us") + lit(10000000000000L))
+    val rejected =
+      try { graft.etl.BloomTable.upsertInto(spark, path, poisoned,
+        validators = rules); false }
+      catch { case _: graft.etl.PreCommit.ValidationException => true }
+    require(rejected, "poisoned batch must fail pre-commit validation")
+    graft.etl.BloomTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** `p_bloom_lookup`: point read through the bloom index — the probe
     * tags the one file whose key range + bloom can hold the key, and
     * the scan reads only it (`BloomTableSpec` asserts the file count;
@@ -1195,6 +1264,39 @@ object PipelineQueries {
     graft.etl.RecordIndex.lookup(spark, path, Seq(LookupUser))
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"))
+  }
+
+  /** `p_sql_point_read`: the SQL front door serving `WHERE key = k`
+    * through the record-level index — `SELECT ... FROM t WHERE
+    * user_id = 7` plans as one index-shard read + ONE data-file read
+    * ([[graft.etl.SqlRead]] routes full-key equality predicates on
+    * layout-bound tables to the layout's point lookup), never the
+    * manifest-wide snapshot scan. Same lifecycle as [[rliLookup]]
+    * (create as of [[SplitUs]], trickle upsert, index refresh), built
+    * once per JVM — serving is read-only. `SqlReadSpec` pins the
+    * one-data-file plan and the fall-through for partial-key
+    * predicates.
+    */
+  def sqlPointRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = memoFixture("sqlPointRead", sfDir) {
+      val p = java.nio.file.Files.createTempDirectory(morScratch, "spr")
+        .toString + "/t"
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), p,
+        keys = Seq("user_id"), precombine = "ts_us",
+        tieBreak = Seq("event_id"), numFiles = 8)
+      graft.etl.RecordIndex.build(spark, p, numShards = 4)
+      graft.etl.BloomTable.upsertInto(spark, p,
+        ev.filter(col("ts_us") > SplitUs && col("user_id") < 100))
+      graft.etl.RecordIndex.refresh(spark, p)
+      p
+    }
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_pr", "bloom", path)
+    graft.etl.SqlRead.select(spark,
+      s"""SELECT user_id, event_id, event_type, value, ts_us
+         |FROM graft_pr WHERE user_id = $LookupUser""".stripMargin)
   }
 
   /** Stage the events table as three single-file time slices — a
@@ -1795,6 +1897,9 @@ object PipelineQueries {
     "p_bloom_upsert" -> (bloomUpsert(_, _)),
     "p_bloom_lookup" -> (bloomLookup(_, _)),
     "p_rli_lookup" -> (rliLookup(_, _)),
+    "p_sql_point_read" -> (sqlPointRead(_, _)),
+    "p_commit_validator" -> (commitValidator(_, _)),
+    "p_purge_key" -> (purgeKey(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
     "p_sql_ctas" -> (sqlCtas(_, _)),
@@ -1918,6 +2023,24 @@ object PipelineQueries {
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1 AND user_id NOT BETWEEN 10 AND 19""".stripMargin,
     "p_bloom_upsert" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE epoch_us(ts) <= $SplitUs
+         |    OR (epoch_us(ts) > $SplitUs AND user_id <= 9)) t
+         |WHERE rn = 1""".stripMargin,
+    "p_purge_key" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE user_id <> $LookupUser
+         |  AND (epoch_us(ts) <= $SplitUs OR user_id < 100)) t
+         |WHERE rn = 1""".stripMargin,
+    "p_commit_validator" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id
@@ -2086,6 +2209,14 @@ object PipelineQueries {
         | FROM events) t
         |WHERE rn = 1""".stripMargin,
     "p_rli_lookup" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE user_id = $LookupUser
+         |  AND (epoch_us(ts) <= $SplitUs OR user_id < 100)) t
+         |WHERE rn = 1""".stripMargin,
+    "p_sql_point_read" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id

@@ -1,0 +1,86 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Pre-commit validation: a rejected batch aborts BEFORE any write —
+  * every file under the table dir stays byte-identical — while a clean
+  * batch under the same rules commits normally; null predicate results
+  * count as violations; the exception carries per-rule counts.
+  */
+class PreCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (relative path, size, mtime) of every regular file under `root` —
+    * the byte-identical-abort fingerprint. */
+  private def fingerprint(root: Path): Set[(String, Long, Long)] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+      (root.relativize(p).toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis)
+    }.toSet
+    finally s.close()
+  }
+
+  private def mkRules = Seq(
+    PreCommit.Rule("negative_v", col("v") < 0),
+    PreCommit.Rule("null_key", col("k").isNull))
+
+  test("bloom upsert: rejected batch leaves every file byte-identical") {
+    val root = Files.createTempDirectory("precommit")
+    val p = root.resolve("t").toString
+    BloomTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numFiles = 2)
+    val before = fingerprint(root)
+    val e = intercept[PreCommit.ValidationException] {
+      BloomTable.upsertInto(spark, p,
+        Seq((1L, 2L, -5.0), (3L, 1L, -1.0), (4L, 1L, 40.0)).toDF("k", "pc", "v"),
+        validators = mkRules)
+    }
+    assert(e.counts == Map("negative_v" -> 2L))
+    assert(fingerprint(root) == before)
+    // the same rules let a clean batch through
+    BloomTable.upsertInto(spark, p,
+      Seq((3L, 1L, 30.0)).toDF("k", "pc", "v"), validators = mkRules)
+    assert(BloomTable.read(spark, p).count() == 3)
+  }
+
+  test("bucket upsert gates too; null predicate results are violations") {
+    val root = Files.createTempDirectory("precommitb")
+    val p = root.resolve("t").toString
+    BucketTable.create(
+      Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    val before = fingerprint(root)
+    // v = null → (v < 0) is NULL → counted as a violation, not waved on
+    val e = intercept[PreCommit.ValidationException] {
+      BucketTable.upsertInto(spark, p,
+        Seq((2L, 1L, null.asInstanceOf[java.lang.Double]))
+          .toDF("k", "pc", "v"),
+        validators = mkRules)
+    }
+    assert(e.counts == Map("negative_v" -> 1L))
+    assert(fingerprint(root) == before)
+    BucketTable.upsertInto(spark, p,
+      Seq((2L, 1L, 2.0)).toDF("k", "pc", "v"), validators = mkRules)
+    assert(BucketTable.read(spark, p).count() == 2)
+  }
+
+  test("precombine dedup runs before the gate: a superseded bad row cannot veto") {
+    val root = Files.createTempDirectory("precommitc")
+    val p = root.resolve("t").toString
+    BloomTable.create(Seq((1L, 1L, 1.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numFiles = 1)
+    // key 5 arrives twice: the stale duplicate is negative, the latest
+    // is clean — precombine picks the latest, so the batch passes
+    BloomTable.upsertInto(spark, p,
+      Seq((5L, 1L, -9.0), (5L, 2L, 50.0)).toDF("k", "pc", "v"),
+      validators = mkRules)
+    val got = BloomTable.read(spark, p).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 1.0, 5L -> 50.0))
+  }
+}

@@ -47,6 +47,58 @@ class SqlCallSpec extends SparkSpec {
     assert(Timeline.versions(p) == Seq(4L, 5L))
   }
 
+  test("purge_key on a bloom+RLI table erases the row AND its index entry") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("sqlcallpk").toString + "/t"
+    val rows = (1L to 50L).map(k => (k, 1L, k * 1.0))
+    BloomTable.create(rows.toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numFiles = 4)
+    RecordIndex.build(spark, p, numShards = 4)
+    Catalog.registerLayoutTable(spark, "sqlcall_pk", "bloom", p)
+    val report = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk', 7)")
+      .as[(String, String)].collect().toMap
+    assert(report.keySet == Set("table", "record_index"))
+    // row gone; everyone else intact
+    assert(BloomTable.read(spark, p).filter(col("k") === 7L).count() == 0)
+    assert(BloomTable.read(spark, p).count() == 49)
+    // the INDEX was purged, not left to lazy self-heal: the covered
+    // set matches the live manifest, so an absent entry is proof of
+    // absence (lookup short-circuits without a bloom fallback)
+    assert(RecordIndex.coveredFiles(p) == BloomTable.manifest(p).toSet)
+    assert(RecordIndex.lookup(spark, p, Seq(7L)).count() == 0)
+    assert(RecordIndex.lookup(spark, p, Seq(8L)).count() == 1)
+  }
+
+  test("purge_key on a bucket table tombstones the secondary-index mapping") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("sqlcallpk2")
+    val p = base.resolve("t").toString
+    val idx = base.resolve("idx").toString
+    val rows = (1L to 40L).map(k => (k, 1L, s"u${k % 10}", k * 1.0))
+    BucketTable.create(rows.toDF("k", "pc", "email", "v"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    SecondaryIndex.create(spark, p, idx, secCols = Seq("email"),
+      numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sqlcall_pk2", "bucket", p,
+      secondaryIndex = Some((Seq("email"), idx)))
+    val report = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk2', 17)")
+      .as[(String, String)].collect().toMap
+    assert(report == Map("table" -> "buckets_rewritten=1",
+      "secondary_index" -> "tombstoned=1"))
+    assert(BucketTable.read(spark, p).filter(col("k") === 17L).count() == 0)
+    // the email u7 mapping for key 17 is tombstoned AT THE INDEX: the
+    // lookup resolves the remaining u7 keys without probing for 17
+    val got = SecondaryIndex.lookup(spark, p, idx, Seq("u7"))
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(7L, 27L, 37L))
+    assert(SecondaryIndex.lookupKeys(spark, p, idx, Seq("u7"))
+      .as[Long].collect().toSet == Set(7L, 27L, 37L))
+    // purging a key absent from the table is a no-op, not an error
+    val rep2 = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk2', 999)")
+      .as[(String, String)].collect().toMap
+    assert(rep2("secondary_index") == "tombstoned=0")
+  }
+
   test("file-level clean for the bucket layout; wrong shapes fail loudly") {
     val p = Files.createTempDirectory("sqlcallb").toString + "/t"
     BucketTable.create(

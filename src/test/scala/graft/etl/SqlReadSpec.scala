@@ -112,6 +112,56 @@ class SqlReadSpec extends SparkSpec {
     assert(e.getMessage.contains("'bucket' layouts"))
   }
 
+  test("full-key equality SELECT is index-served: one data file, never a scan") {
+    val p = Files.createTempDirectory("sqlreadpr").toString + "/t"
+    val rows = (1L to 200L).map(k => (k, 1L, k * 1.0))
+    BloomTable.create(rows.toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numFiles = 8)
+    RecordIndex.build(spark, p, numShards = 4)
+    Catalog.registerLayoutTable(spark, "sqlread_pr", "bloom", p)
+    val snapshotFiles = Catalog.readTable(spark, "sqlread_pr")
+      .inputFiles.length
+    assert(snapshotFiles == 8)
+    val served = SqlRead.select(spark,
+      "SELECT k, v FROM sqlread_pr WHERE k = 42")
+    assert(served.as[(Long, Double)].collect().toSeq == Seq((42L, 42.0)))
+    // the record index resolved the key to exactly one data file — the
+    // snapshot scan (8 files) never happened
+    assert(served.inputFiles.length == 1)
+    // residual conjuncts still apply on top of the served file
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sqlread_pr WHERE k = 42 AND v > 100").count() == 0)
+    // reversed operand order and qualified references route too
+    assert(SqlRead.select(spark,
+      "SELECT t.v FROM sqlread_pr t WHERE 42 = t.k")
+      .inputFiles.length == 1)
+    // a non-key predicate falls through to the manifest-wide snapshot
+    val full = SqlRead.select(spark,
+      "SELECT k FROM sqlread_pr WHERE v = 42.0")
+    assert(full.inputFiles.length == snapshotFiles)
+    assert(full.as[Long].collect().toSeq == Seq(42L))
+  }
+
+  test("bucket-layout point SELECT reads only the key's bucket") {
+    val p = Files.createTempDirectory("sqlreadpb").toString + "/t"
+    val rows = (1L to 200L).map(k => (k, 1L, k * 1.0))
+    BucketTable.create(rows.toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 8)
+    Catalog.registerLayoutTable(spark, "sqlread_pb", "bucket", p)
+    val served = SqlRead.select(spark,
+      "SELECT k, v FROM sqlread_pb WHERE k = 7")
+    assert(served.as[(Long, Double)].collect().toSeq == Seq((7L, 7.0)))
+    val bucket = BucketTable.bucketOf(spark, p, Seq(7L))
+    assert(served.inputFiles.nonEmpty &&
+      served.inputFiles.forall(_.contains(s"__bucket=$bucket/")))
+    // joins over the served relation still compose as plain SQL
+    Seq((7L, "hit")).toDF("k", "tag").createOrReplaceTempView("sqlread_pb_dim")
+    assert(SqlRead.select(spark,
+      """SELECT d.tag FROM sqlread_pb t JOIN sqlread_pb_dim d ON t.k = d.k
+        |WHERE t.k = 7""".stripMargin).as[String].collect().toSeq ==
+      Seq("hit"))
+  }
+
   test("SQL DML on a timeline table lands as new commits, history intact") {
     val p = mkTimeline()
     Catalog.registerTimelineTable(spark, "sqlread_dml", p,

@@ -5,6 +5,37 @@ import graft.SparkSpec
 class IvfIndexSpec extends SparkSpec {
   import spark.implicits._
 
+  test("takedown delete: O(deletes) tombstone artifact, assignments untouched, " +
+    "no deleted id ever served") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val served = IvfIndex.searchFixedAfterDelete(spark, sf0001)
+    // no tombstoned vector appears in any top-5
+    assert(served.filter(col("vec_id") % IvfIndex.TakedownMod === 0).count() == 0)
+    assert(served.count() > 0)
+    // the delete wrote a tombstone table only: assignments artifact is
+    // byte-identical to a fresh assignment of the same corpus (the
+    // takedown never rewrites the corpus-sized artifact)
+    // the memoized staged dir (same one the served query read)
+    val dir = IvfIndex.stagedDeleteIndex(spark, sf0001)
+    def bytesUnder(rel: String): Long = {
+      val s = Files.walk(Paths.get(dir, rel).toRealPath())
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size(_)).sum
+      finally s.close()
+    }
+    assert(bytesUnder("tombstones") < bytesUnder("assignments") / 4)
+    // deletes are incremental: a second deleteCommit unions in (an id
+    // absent from the corpus, so the shared staged fixture's served
+    // results are unchanged for any later reader in this JVM)
+    val extra = Seq(999999L).toDF("vec_id")
+    IvfIndex.deleteCommit(spark, dir, extra)
+    val tomb = spark.read.parquet(s"$dir/tombstones")
+    assert(tomb.filter(col("vec_id") === 999999L).count() == 1)
+    assert(tomb.filter(col("vec_id") % IvfIndex.TakedownMod === 0).count() > 0)
+  }
+
   test("index build partitions the corpus into at most adaptiveK non-empty cells") {
     val n = graft.Tables.embeddings(spark, sf0001).count()
     val cells = IvfIndex.cellStats(spark, sf0001)
