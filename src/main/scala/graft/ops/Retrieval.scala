@@ -455,6 +455,65 @@ object Retrieval {
     graft.etl.BucketTable.upsertInto(spark, dir, merged)
   }
 
+  /** Remove documents from the inverted index — the text-retrieval
+    * half of right-to-be-forgotten (`CALL purge_key` is the table
+    * half): tokenize ONLY the deleted docs (a takedown request carries
+    * them), point-read only their touched (term, shard) rows, filter
+    * the doc out of each posting array, and write back through the
+    * partial-rewrite upsert; a posting row emptied entirely is deleted
+    * from the index, not left as a zero-length array. Cost is
+    * O(deleted docs' terms) — never a corpus re-tokenize, never an
+    * index rebuild.
+    */
+  private[ops] def deleteDocsFromIndex(spark: SparkSession, dir: String,
+      docs: DataFrame): Unit = {
+    val pd = postingsOf(docs)
+    val touched = graft.etl.BucketTable
+      .lookupMany(spark, dir, pd.select(col("term"), col("shard")))
+      .select(col("term"), col("shard"), col("postings").as("old"))
+    val upd = touched.join(
+        pd.selectExpr("term", "shard",
+          "transform(postings, x -> x.doc_id) AS gone"),
+        Seq("term", "shard"))
+      .selectExpr("term", "shard",
+        "filter(old, x -> NOT array_contains(gone, x.doc_id)) AS postings",
+        // strictly above every build/maintain version, so the upsert wins
+        "CAST(9 AS BIGINT) AS ver")
+    graft.etl.BucketTable.upsertInto(spark, dir,
+      upd.filter(size(col("postings")) > 0))
+    graft.etl.BucketTable.deleteFrom(spark, dir,
+      upd.filter(size(col("postings")) === 0).select(col("term"), col("shard")))
+    ()
+  }
+
+  /** Deterministic takedown set for `tx_keyword_delete`. */
+  val DocTakedownMod = 13
+
+  /** `tx_keyword_delete`: serve the keyword query AFTER a document
+    * takedown — build from the full corpus, erase every
+    * `doc_id % [[DocTakedownMod]] == 0` document via
+    * [[deleteDocsFromIndex]] (touched posting rows only), then serve.
+    * The oracle recomputes the triples from the corpus minus the
+    * deleted docs, so a purged document leaking back into ANY posting
+    * list hash-mismatches; `RetrievalSpec` pins that untouched buckets
+    * keep their build-time generation.
+    */
+  def keywordDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = indexCache.computeIfAbsent("del|" + sfDir, _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory(indexScratch, "kd").toString + "/t"
+      val docs = Tables.documents(spark, sfDir)
+      buildIndexFrom(d, docs)
+      deleteDocsFromIndex(spark, d,
+        docs.filter(pmod(col("doc_id"), lit(DocTakedownMod)) === 0))
+      d
+    })
+    QueryTerms.map(t => graft.etl.BucketTable.lookup(spark, dir, Seq(t)))
+      .reduce(_ unionByName _)
+      .select(col("term"), explode(col("postings")).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+  }
+
   /** The build-then-maintain lifecycle behind [[keywordIncremental]]
     * (returns the table dir so specs can inspect bucket generations).
     */
@@ -506,6 +565,7 @@ object Retrieval {
     "tx_bm25_served" -> (bm25Served(_, _)),
     "tx_keyword_lookup" -> (keywordLookup(_, _)),
     "tx_keyword_incremental" -> (keywordIncremental(_, _)),
+    "tx_keyword_delete" -> (keywordDelete(_, _)),
     "tx_phrase_search" -> (phraseSearch(_, _)),
     "sim_hybrid_rrf" -> (hybridRrf(_, _)),
     "sim_mmr_rerank" -> (mmrRerank(_, _)))
@@ -560,6 +620,13 @@ object Retrieval {
     "tx_keyword_lookup" -> keywordLookupSql,
     // maintained index must serve the SAME triples as a fresh build
     "tx_keyword_incremental" -> keywordLookupSql,
+    // takedown-purged index == fresh build over the surviving corpus
+    "tx_keyword_delete" ->
+      s"""SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |      FROM documents WHERE doc_id % $DocTakedownMod <> 0) t
+         |WHERE w IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |GROUP BY w, doc_id""".stripMargin,
     // recount adjacent pairs from raw text (DuckDB lists are 1-based:
     // i runs over 1..len-1, pairing t[i] with t[i+1])
     "tx_phrase_search" ->

@@ -168,6 +168,39 @@ class RetrievalSpec extends SparkSpec {
     assert(maintained == served)
   }
 
+  test("document takedown purges postings via touched buckets only; " +
+    "emptied rows leave the index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kd-spec").toString + "/t"
+    // doc 0's vocabulary is confined: "only0" appears ONLY in doc 0, so
+    // its posting row must disappear outright; "w1" is shared
+    val corpus = Seq(
+      (0L, "only0 w1"),
+      (1L, "w1 w1 w2"),
+      (2L, "w2 w3")).toDF("doc_id", "text")
+      .unionByName(
+        (10 until 60).map(i => (i.toLong, s"v$i v$i")).toDF("doc_id", "text"))
+    Retrieval.buildIndexFrom(dir, corpus)
+    val gensBefore = graft.etl.BucketTable.manifest(dir)
+    Retrieval.deleteDocsFromIndex(spark, dir,
+      corpus.filter($"doc_id" === 0L))
+    val gens = graft.etl.BucketTable.manifest(dir)
+    assert(gens.values.count(_ == 0L) > 0,
+      s"every bucket was rewritten ($gens) — takedown is not partial")
+    assert(gens != gensBefore, "the takedown produced a commit")
+    // the term unique to the deleted doc is GONE, not an empty array
+    assert(graft.etl.BucketTable.lookup(spark, dir, Seq("only0")).count() == 0)
+    // shared terms keep every other doc's postings
+    val w1 = graft.etl.BucketTable.lookup(spark, dir, Seq("w1"))
+      .selectExpr("explode(postings) AS p").select($"p.doc_id", $"p.tf")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == Map(1L -> 2L))
+    val w2 = graft.etl.BucketTable.lookup(spark, dir, Seq("w2"))
+      .selectExpr("explode(postings) AS p").select($"p.doc_id")
+      .as[Long].collect().toSet
+    assert(w2 == Set(1L, 2L))
+  }
+
   test("index-served BM25 equals the corpus-scan ranking without reading documents") {
     val scan = Retrieval.bm25TopK(spark, sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
