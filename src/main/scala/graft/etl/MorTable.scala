@@ -192,7 +192,27 @@ object MorTable {
     * dropped. One union (no shuffle) + one per-key window — the merge
     * cost MOR moves from every write to each read.
     */
-  def readSnapshot(spark: SparkSession, tablePath: String): DataFrame = {
+  def readSnapshot(spark: SparkSession, tablePath: String): DataFrame =
+    mergedSnapshot(spark, tablePath).drop(SeqCol, DelCol)
+
+  /** Snapshot with Hudi-style META COLUMNS (the `_hoodie_commit_seqno`
+    * / `_hoodie_record_key` surface every Hudi reader gets for free):
+    * `_commit_seq` — the commit that wrote each SURVIVING row (0 = the
+    * compacted base, N = delta log N), `_record_key` — the record key
+    * as one string (composite keys comma-joined, Hudi's own encoding).
+    * Same merge plan as [[readSnapshot]]; the provenance columns are
+    * carried, not recomputed.
+    */
+  def readSnapshotWithMeta(spark: SparkSession, tablePath: String): DataFrame = {
+    val p = props(tablePath)
+    mergedSnapshot(spark, tablePath)
+      .withColumn("_record_key",
+        concat_ws(",", p.keys.map(k => col(k).cast("string")): _*))
+      .withColumnRenamed(SeqCol, "_commit_seq")
+      .drop(DelCol)
+  }
+
+  private def mergedSnapshot(spark: SparkSession, tablePath: String): DataFrame = {
     val p = props(tablePath)
     val (base, deltas) = state(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
@@ -208,7 +228,6 @@ object MorTable {
     HudiLike.precombineLatest(merged, p.keys, p.precombine,
       SeqCol +: p.tieBreak)
       .filter(!col(DelCol))
-      .drop(SeqCol, DelCol)
   }
 
   /** Read-optimized query: the base alone — no merge, no window, stale

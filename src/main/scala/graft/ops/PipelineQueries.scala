@@ -1452,6 +1452,22 @@ object PipelineQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"))
 
+  /** `p_mor_meta`: the snapshot WITH Hudi-style meta columns —
+    * `_commit_seq` names the commit that wrote each surviving row
+    * (0 = base, 1/2 = the upsert logs; tombstoned users are gone), and
+    * `_record_key` is the stringified record key. Because the
+    * scenario's log windows partition the timeline, each winner's
+    * commit is a pure function of its timestamp — the oracle replays
+    * provenance as a CASE over the same cuts, so a row attributed to
+    * the wrong commit hash-mismatches.
+    */
+  def morMeta(spark: SparkSession, sfDir: String): DataFrame =
+    MorTable.readSnapshotWithMeta(spark, morScenario(spark, sfDir))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"),
+        col("_commit_seq").as("commit_seq"),
+        col("_record_key").as("record_key"))
+
   /** MOR read-optimized query: the compacted base only — deliberately
     * stale (none of the three logs applied), no merge window in the
     * plan.
@@ -1919,6 +1935,7 @@ object PipelineQueries {
     "p_stream_join" -> (streamJoin(_, _)),
     "p_ivm_rollup" -> (ivmRollup(_, _)),
     "p_mor_snapshot" -> (morSnapshot(_, _)),
+    "p_mor_meta" -> (morMeta(_, _)),
     "p_mor_read_optimized" -> (morReadOptimized(_, _)),
     "p_mor_incremental" -> (morIncremental(_, _)),
     "p_mor_stream_read" -> (morStreamRead(_, _)),
@@ -2438,6 +2455,18 @@ object PipelineQueries {
          |WHERE rn = 1""".stripMargin,
     "p_mor_snapshot" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
+    "p_mor_meta" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us,
+         |  CAST(CASE WHEN ts_us <= $SplitUs THEN 0
+         |            WHEN ts_us <= $Split2Us THEN 1
+         |            ELSE 2 END AS BIGINT) AS commit_seq,
+         |  CAST(user_id AS VARCHAR) AS record_key
+         |FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn

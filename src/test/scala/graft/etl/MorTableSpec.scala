@@ -28,6 +28,26 @@ class MorTableSpec extends SparkSpec {
     assert(MorTable.state(dir).contains((0L, 2L)))
   }
 
+  test("meta columns carry the writing commit and the record key") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0), ("d", 1L, 4.0))) // seq 1
+    MorTable.upsertInto(dir, rows(("d", 2L, 40.0)))                 // seq 2
+    MorTable.deleteFrom(dir, Seq(("c", 9L)).toDF("k", "pc"))        // seq 3
+    val got = MorTable.readSnapshotWithMeta(spark, dir)
+      .selectExpr("k", "v", "_commit_seq", "_record_key")
+      .as[(String, Double, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      ("a", 1.0, 0L, "a"),   // untouched base row → commit 0
+      ("b", 20.0, 1L, "b"),  // superseded in log 1
+      ("d", 40.0, 2L, "d"))) // inserted log 1, superseded log 2
+    // composite keys join with a comma (Hudi's record-key encoding)
+    val dir2 = Files.createTempDirectory("morm").toString + "/t"
+    MorTable.create(Seq(("x", 7L, 1L, 1.0)).toDF("k", "k2", "pc", "v"),
+      dir2, keys = Seq("k", "k2"), precombine = "pc")
+    assert(MorTable.readSnapshotWithMeta(spark, dir2)
+      .selectExpr("_record_key").as[String].head() == "x,7")
+  }
+
   test("on a precombine tie the later commit wins (delta shadows base)") {
     val dir = freshTable()
     MorTable.upsertInto(dir, rows(("a", 1L, 100.0)))
