@@ -203,6 +203,22 @@ object Catalog {
       (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, path)
     }
 
+  /** Pre-commit validators declared on the table:
+    * `graft.table.validator.<name> = '<SQL boolean expr flagging a
+    * VIOLATION>'` — Hudi's `hoodie.precommit.validators` carried the
+    * same way its writer options are: as table config, so EVERY write
+    * route (API or SQL DML) can enforce them without the caller
+    * re-stating the rules.
+    */
+  def validatorsOf(spark: SparkSession, table: String): Seq[PreCommit.Rule] = {
+    val prefix = "graft.table.validator."
+    tblProps(spark, table).collect {
+      case (k, v) if k.startsWith(prefix) && v.trim.nonEmpty =>
+        PreCommit.Rule(k.drop(prefix.length),
+          org.apache.spark.sql.functions.expr(v))
+    }.toSeq.sortBy(_.name)
+  }
+
   /** Register a catalog entry bound to an engine-managed layout at
     * `path` (already created via `BucketTable.create` /
     * `BloomTable.create`). The entry carries the layout's schema and
@@ -212,7 +228,8 @@ object Catalog {
     * generation — layout-aware reads go through [[readTable]].
     */
   def registerLayoutTable(spark: SparkSession, name: String, kind: String,
-      path: String, secondaryIndex: Option[(Seq[String], String)] = None): Unit = {
+      path: String, secondaryIndex: Option[(Seq[String], String)] = None,
+      validators: Seq[(String, String)] = Nil): Unit = {
     val (schema, keys, precombine, tieBreak) = kind match {
       case "bucket" =>
         val p = BucketTable.props(path)
@@ -228,7 +245,7 @@ object Catalog {
         s"unknown layout kind '$other' (expected bucket | bloom | partitioned)")
     }
     writeLayoutEntry(spark, name, kind, path, schema, keys, precombine,
-      tieBreak, secondaryIndex)
+      tieBreak, secondaryIndex, validators)
   }
 
   /** Register a catalog entry bound to a [[Timeline]] table — the
@@ -247,12 +264,15 @@ object Catalog {
   private def writeLayoutEntry(spark: SparkSession, name: String,
       kind: String, path: String, schema: org.apache.spark.sql.types.StructType,
       keys: Seq[String], precombine: String, tieBreak: Seq[String],
-      secondaryIndex: Option[(Seq[String], String)]): Unit = {
+      secondaryIndex: Option[(Seq[String], String)],
+      validators: Seq[(String, String)] = Nil): Unit = {
     val stub = Paths.get(path, "_catalog_stub")
     java.nio.file.Files.createDirectories(stub)
     val secProp = secondaryIndex.map { case (cols, idxPath) =>
       s",\n  'graft.table.secondaryIndex' = '${cols.mkString(",")}:$idxPath'"
-    }.getOrElse("")
+    }.getOrElse("") + validators.map { case (n, sql) =>
+      s",\n  'graft.table.validator.$n' = '$sql'"
+    }.mkString
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
       s"""CREATE TABLE $name (${schema.toDDL})

@@ -295,6 +295,10 @@ object SqlMerge {
         val src = graftbridgeOfRows(spark, i.query)
         val shaped = shapeForInsert(src, Catalog.readTable(spark, target).schema,
           i.userSpecifiedCols, i.byName, identity :+ precombine, target)
+        // table-declared pre-commit validators gate the SQL ingest verb
+        // exactly as they gate the API upserts: a violation aborts here,
+        // before any layout write (the table stays byte-identical)
+        PreCommit.validate(shaped, Catalog.validatorsOf(spark, target))
         (kind, i.overwrite) match {
           case ("partitioned", true) =>
             PartitionedTable.insertOverwrite(spark, path, shaped)

@@ -26,6 +26,29 @@ class SqlMergeSpec extends SparkSpec {
   private def contents(t: String): Seq[(Long, Long, Double)] =
     spark.table(t).as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
 
+  test("table-declared validators gate SQL INSERT; a clean batch passes") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("sqlmergeval").toString + "/t"
+    BucketTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_merge_val", "bucket", p,
+      validators = Seq("negative_v" -> "v < 0", "null_key" -> "k IS NULL"))
+    Seq((2L, 1L, -5.0), (3L, 1L, 3.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_merge_val_bad")
+    val e = intercept[PreCommit.ValidationException] {
+      SqlMerge.exec(spark,
+        "INSERT INTO sql_merge_val SELECT * FROM sql_merge_val_bad")
+    }
+    assert(e.counts == Map("negative_v" -> 1L))
+    assert(BucketTable.read(spark, p).count() == 1)
+    Seq((3L, 1L, 3.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_merge_val_ok")
+    SqlMerge.exec(spark,
+      "INSERT INTO sql_merge_val SELECT * FROM sql_merge_val_ok")
+    assert(BucketTable.read(spark, p).count() == 2)
+    assert(BucketTable.read(spark, p).filter(col("v") < 0).count() == 0)
+  }
+
   test("UPDATE SET * + INSERT * is the keyed precombine upsert") {
     val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)))
     Seq((2L, 20L, 22.0), (3L, 5L, 33.0), (4L, 10L, 4.0))
