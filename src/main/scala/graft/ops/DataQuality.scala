@@ -109,6 +109,27 @@ object DataQuality {
     }: _*)).as("m")).select("m.*")
   }
 
+  /** Split a batch on pre-commit rules — the DEAD-LETTER alternative
+    * to [[graft.etl.PreCommit]]'s abort: instead of vetoing the whole
+    * batch, the clean rows proceed to the target and every violating
+    * row is returned tagged with the comma-joined names of the rules
+    * it tripped (`violated`), ready to land in a quarantine table for
+    * replay after a fix. A NULL rule result counts as a violation,
+    * same as the abort path. Pure projections + filters — one codegen
+    * pass, no shuffle, O(batch) at any scale.
+    */
+  def splitByRules(batch: DataFrame,
+      rules: Seq[graft.etl.PreCommit.Rule]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "splitByRules needs at least one rule")
+    val flags = rules.map(r =>
+      coalesce(r.violation.cast("boolean"), lit(true)))
+    val anyBad = flags.reduce(_ || _)
+    val violated = concat_ws(",",
+      rules.zip(flags).map { case (r, f) => when(f, lit(r.name)) }: _*)
+    (batch.filter(!anyBad),
+      batch.filter(anyBad).withColumn("violated", violated))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> (profile(_, _)),
     "dq_drift_psi" -> (driftPsi(_, _)),

@@ -776,6 +776,47 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_quarantine_split`: dead-letter ingest — every load passes the
+    * table's rules ([[graft.ops.DataQuality.splitByRules]]); clean rows
+    * upsert into the target, each violating row lands in a QUARANTINE
+    * table tagged with the rules it tripped — nothing is silently
+    * dropped, and a fixed batch can replay from the quarantine (the
+    * error-table discipline of production ingest, vs [[commitValidator]]'s
+    * whole-batch abort). Both sinks are O(batch) bucket upserts. The
+    * query returns target ∪ quarantine tagged by sink; the oracle
+    * replays the split, the per-row violation names, and the target's
+    * latest-per-key state in one text.
+    */
+  def quarantineSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(morScratch, "qr")
+    val target = base.toString + "/t"
+    val quarantine = base.toString + "/q"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val rules = Seq(
+      graft.etl.PreCommit.Rule("low_value", col("value") < 2),
+      graft.etl.PreCommit.Rule("error_event", col("event_type") === "error"))
+    val (clean1, bad1) = DataQuality.splitByRules(
+      ev.filter(col("ts_us") <= SplitUs), rules)
+    val (clean2, bad2) = DataQuality.splitByRules(
+      ev.filter(col("ts_us") > SplitUs), rules)
+    graft.etl.BucketTable.create(clean1, target,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.BucketTable.create(bad1, quarantine,
+      keys = Seq("event_id"), precombine = "ts_us", numBuckets = 16)
+    graft.etl.BucketTable.upsertInto(spark, target, clean2)
+    graft.etl.BucketTable.upsertInto(spark, quarantine, bad2)
+    graft.etl.BucketTable.read(spark, target)
+      .withColumn("sink", lit("target"))
+      .withColumn("violated", lit(null).cast("string"))
+      .unionByName(graft.etl.BucketTable.read(spark, quarantine)
+        .withColumn("sink", lit("quarantine")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"), col("sink"), col("violated"))
+  }
+
   /** `p_purge_key`: the right-to-be-forgotten procedure — same
     * bloom+RLI lifecycle as [[rliLookup]], then
     * `CALL purge_key('t', 7)` erases [[LookupUser]] from the data
@@ -1916,6 +1957,7 @@ object PipelineQueries {
     "p_sql_point_read" -> (sqlPointRead(_, _)),
     "p_commit_validator" -> (commitValidator(_, _)),
     "p_purge_key" -> (purgeKey(_, _)),
+    "p_quarantine_split" -> (quarantineSplit(_, _)),
     "p_bucket_rescale" -> (bucketRescale(_, _)),
     "p_sql_merge" -> (sqlMerge(_, _)),
     "p_sql_ctas" -> (sqlCtas(_, _)),
@@ -2048,6 +2090,26 @@ object PipelineQueries {
          | WHERE epoch_us(ts) <= $SplitUs
          |    OR (epoch_us(ts) > $SplitUs AND user_id <= 9)) t
          |WHERE rn = 1""".stripMargin,
+    "p_quarantine_split" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |    coalesce(value < 2, TRUE) AS f1,
+         |    coalesce(event_type = 'error', TRUE) AS f2
+         |  FROM events)
+         |SELECT user_id, event_id, event_type, value, ts_us,
+         |  'target' AS sink, CAST(NULL AS VARCHAR) AS violated
+         |FROM (
+         |  SELECT user_id, event_id, event_type, value, ts_us,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM ev WHERE NOT (f1 OR f2)) t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT user_id, event_id, event_type, value, ts_us,
+         |  'quarantine' AS sink,
+         |  concat_ws(',', CASE WHEN f1 THEN 'low_value' END,
+         |    CASE WHEN f2 THEN 'error_event' END) AS violated
+         |FROM ev WHERE f1 OR f2""".stripMargin,
     "p_purge_key" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

@@ -49,8 +49,21 @@ object Privacy {
     detect(Tables.documents(spark, sfDir), "text")
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"), col("has_pii"))
 
+  /** `tx_pii_redact`: the redaction WRITE path over the corpus —
+    * every PII span replaced with its typed placeholder, fingerprinted
+    * (md5) so the oracle pins the redacted BYTES per document without
+    * shipping the text. Spark's `regexp_replace` is replace-all;
+    * DuckDB needs the explicit 'g' flag — the twin uses it, so a
+    * first-match-only regression on either side hash-mismatches.
+    * `PrivacySpec` plants real positives (the driver corpus has none).
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(redact(col("text"))).as("redacted_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_pii_scan" -> (piiScan(_, _)))
+    "tx_pii_scan" -> (piiScan(_, _)),
+    "tx_pii_redact" -> (piiRedact(_, _)))
 
   val oracles: Map[String, String] = Map(
     "tx_pii_scan" ->
@@ -61,5 +74,12 @@ object Privacy {
          | CAST((len(regexp_extract_all(text, '$EmailPattern'))
          |   + len(regexp_extract_all(text, '$PhonePattern'))
          |   + len(regexp_extract_all(text, '$Ipv4Pattern'))) > 0 AS INT) AS has_pii
+         |FROM documents""".stripMargin,
+    "tx_pii_redact" ->
+      s"""SELECT doc_id,
+         | md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$EmailPattern', '<EMAIL>', 'g'),
+         |   '$PhonePattern', '<PHONE>', 'g'),
+         |   '$Ipv4Pattern', '<IP>', 'g')) AS redacted_md5
          |FROM documents""".stripMargin)
 }
