@@ -1396,6 +1396,40 @@ object PipelineQueries {
         col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
   }
 
+  /** `p_stream_quarantine`: the dead-letter discipline under
+    * exactly-once streaming — every micro-batch passes the table's
+    * rules ([[graft.streaming.StreamingPipeline.runIngestQuarantined]]);
+    * clean rows upsert into the target, violating rows land in the
+    * quarantine table tagged with what they tripped. Three real
+    * micro-batches (the staged time slices); the final states must be
+    * independent of micro-batch boundaries — exactly the one-pass
+    * split the oracle replays (the streaming twin of
+    * [[quarantineSplit]]).
+    */
+  def streamQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    val target = base.resolve("qtbl").toString
+    val quarantine = base.resolve("qbad").toString
+    val rules = Seq(
+      graft.etl.PreCommit.Rule("low_value", col("value") < 2),
+      graft.etl.PreCommit.Rule("error_event", col("event_type") === "error"))
+    graft.streaming.StreamingPipeline.runIngestQuarantined(spark,
+      src.toString, target, quarantine, base.resolve("qckpt").toString,
+      rules, maxFilesPerTrigger = 1, keys = Seq("entity_id"),
+      precombine = "event_timestamp", tieBreak = Seq("event_id"))
+    val outCols = Seq(col("entity_id"), col("event_id"), col("event_type"),
+      col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
+    graft.etl.BucketTable.read(spark, target)
+      .select(outCols: _*)
+      .withColumn("sink", lit("target"))
+      .withColumn("violated", lit(null).cast("string"))
+      .unionByName(graft.etl.BucketTable.read(spark, quarantine)
+        .select((outCols :+ col("violated")): _*)
+        .withColumn("sink", lit("quarantine")))
+      .select(col("entity_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"), col("sink"), col("violated"))
+  }
+
   /** `p_stream_window_agg`: streaming tumbling-window rollup as an
     * oracle-checked query. Stages the same three time-sliced source
     * files as [[streamIngest]], runs
@@ -1929,6 +1963,7 @@ object PipelineQueries {
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_timeline_incr_archived" -> (timelineIncrArchived(_, _)),
     "p_stream_ingest" -> (streamIngest(_, _)),
+    "p_stream_quarantine" -> (streamQuarantine(_, _)),
     "p_stream_window_agg" -> (streamWindowAgg(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
     "p_part_upsert" -> (partUpsert(_, _)),
@@ -2047,6 +2082,27 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    "p_stream_quarantine" ->
+      s"""WITH ev AS (
+         |  SELECT user_id AS entity_id, event_id, event_type, value,
+         |    epoch_us(ts) AS ts_us,
+         |    coalesce(value < 2, TRUE) AS f1,
+         |    coalesce(event_type = 'error', TRUE) AS f2
+         |  FROM events WHERE ts IS NOT NULL)
+         |SELECT entity_id, event_id, event_type, value, ts_us,
+         |  'target' AS sink, CAST(NULL AS VARCHAR) AS violated
+         |FROM (
+         |  SELECT entity_id, event_id, event_type, value, ts_us,
+         |    row_number() OVER (PARTITION BY entity_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM ev WHERE NOT (f1 OR f2)) t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT entity_id, event_id, event_type, value, ts_us,
+         |  'quarantine' AS sink,
+         |  concat_ws(',', CASE WHEN f1 THEN 'low_value' END,
+         |    CASE WHEN f2 THEN 'error_event' END) AS violated
+         |FROM ev WHERE f1 OR f2""".stripMargin,
     "p_upsert_partial" ->
       s"""WITH all_rows AS (
          |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us

@@ -631,6 +631,50 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming DEAD-LETTER ingest — [[runIngestBucketed]] with the
+    * table's pre-commit rules applied to EVERY micro-batch
+    * ([[graft.ops.DataQuality.splitByRules]]): clean rows upsert into
+    * the target, each violating row lands in the quarantine
+    * BucketTable tagged with the rules it tripped — the error-table
+    * discipline under exactly-once streaming, vs the batch gate's
+    * whole-batch abort. A replayed micro-batch (crash between a table
+    * commit and the checkpoint commit) is idempotent on BOTH sinks
+    * because each is a keyed upsert.
+    */
+  def runIngestQuarantined(spark: SparkSession, sourceDir: String,
+      targetPath: String, quarantinePath: String, checkpoint: String,
+      rules: Seq[graft.etl.PreCommit.Rule],
+      maxFilesPerTrigger: Int = 1,
+      keys: Seq[String] = Seq("record_id"),
+      precombine: String = "event_timestamp",
+      tieBreak: Seq[String] = Seq("event_id"),
+      quarantineKeys: Seq[String] = Seq("event_id"),
+      stateParts: Int = StateParts): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir,
+      Some(maxFilesPerTrigger)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (clean, bad) = graft.ops.DataQuality.splitByRules(batch, rules)
+        def sink(path: String, df: DataFrame, ks: Seq[String],
+            tb: Seq[String]): Unit =
+          if (!df.isEmpty) {
+            if (!graft.etl.BucketTable.exists(path))
+              graft.etl.BucketTable.create(df, path, keys = ks,
+                precombine = precombine, tieBreak = tb)
+            else {
+              graft.etl.BucketTable.upsertInto(df.sparkSession, path, df)
+              ()
+            }
+          }
+        sink(targetPath, clean, keys, tieBreak)
+        sink(quarantinePath, bad, quarantineKeys, Nil)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def runIngestBucketed(spark: SparkSession, sourceDir: String,
       targetPath: String, checkpoint: String,
       maxFilesPerTrigger: Int = 1,

@@ -49,6 +49,32 @@ class SqlMergeSpec extends SparkSpec {
     assert(BucketTable.read(spark, p).filter(col("v") < 0).count() == 0)
   }
 
+  test("validators added via native ALTER TABLE SET TBLPROPERTIES take effect") {
+    val p = Files.createTempDirectory("sqlmergealter").toString + "/t"
+    BucketTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_merge_alter", "bucket", p)
+    Seq((2L, 1L, -7.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_merge_alter_src")
+    // no validators yet → the bad row sails through
+    SqlMerge.exec(spark,
+      "INSERT INTO sql_merge_alter SELECT * FROM sql_merge_alter_src")
+    assert(BucketTable.read(spark, p).count() == 2)
+    // declare the rule with PLAIN Spark SQL — no engine API needed
+    spark.sql("ALTER TABLE sql_merge_alter SET TBLPROPERTIES " +
+      "('graft.table.validator.negative_v' = 'v < 0')")
+    val e = intercept[PreCommit.ValidationException] {
+      SqlMerge.exec(spark,
+        "INSERT INTO sql_merge_alter SELECT * FROM sql_merge_alter_src")
+    }
+    assert(e.counts == Map("negative_v" -> 1L))
+    // and UNSET lifts the gate again
+    spark.sql("ALTER TABLE sql_merge_alter UNSET TBLPROPERTIES " +
+      "('graft.table.validator.negative_v')")
+    SqlMerge.exec(spark,
+      "INSERT INTO sql_merge_alter SELECT * FROM sql_merge_alter_src")
+  }
+
   test("UPDATE SET * + INSERT * is the keyed precombine upsert") {
     val t = freshTable(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0)))
     Seq((2L, 20L, 22.0), (3L, 5L, 33.0), (4L, 10L, 4.0))
