@@ -695,6 +695,53 @@ object Dedup {
     ()
   }
 
+  /** Deterministic takedown set for `dd_lsh_delete`. */
+  val TakedownMod = 13
+
+  /** TAKEDOWN from the persisted LSH index — the near-dup-index half of
+    * right-to-be-forgotten (`CALL purge_key` erases the table row;
+    * this erases the doc's fingerprints so it can never surface as a
+    * near-dup verdict again): delete the signature row and the doc's
+    * [[NumBands]] band rows through the bucket tables' keyed delete —
+    * O(deleted docs), only the touched buckets rewrite, the index
+    * never rebuilds. Ids absent from the index cost only their
+    * bucket's membership check.
+    */
+  def deleteFromLshIndex(spark: SparkSession, indexDir: String,
+      docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    graft.etl.BucketTable.deleteFrom(spark, s"$indexDir/sig", ids)
+    // band rows are keyed (doc_id, band) with band ∈ 0..NumBands-1 by
+    // construction (bandedOf), so the key set is the cross product —
+    // IntegerType to match the stored band column (xxhash64 routing is
+    // type-sensitive)
+    val bandKeys = ids.crossJoin(
+      spark.range(NumBands).select(col("id").cast("int").as("band")))
+    graft.etl.BucketTable.deleteFrom(spark, s"$indexDir/bands", bandKeys)
+    ()
+  }
+
+  /** `dd_lsh_delete`: the [[incrementalLsh]] scenario AFTER a takedown —
+    * stand up the index over the corpus split, erase every
+    * `doc_id % [[TakedownMod]] == 0` document from it, then look up the
+    * incoming split. A purged document surfacing in any verdict
+    * hash-mismatches (the oracle bakes the takedown into the corpus
+    * side of the band join); `LshIndexSpec` pins the partial-bucket
+    * rewrite and that non-deleted verdicts are untouched.
+    */
+  def lshDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshdel")
+    initLshIndex(d.filter(col("doc_id") % IncomingMod =!= 0), dir.toString)
+    deleteFromLshIndex(spark, dir.toString,
+      d.filter(col("doc_id") % TakedownMod === 0).select(col("doc_id")))
+    val out = lshAgainstIndex(spark,
+      d.filter(col("doc_id") % IncomingMod === 0), dir.toString)
+      .localCheckpoint()
+    deleteRecursively(dir)
+    out
+  }
+
   /** Near-dup lookup of an incoming batch against the PERSISTED LSH
     * index: batch signatures (one pass over the batch only), band join
     * against the standing band table, estimate from the two signature
@@ -799,6 +846,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_incremental_lsh" -> (incrementalLsh(_, _)),
+    "dd_lsh_delete" -> (lshDelete(_, _)),
     "dd_exact_groups" -> (exactGroups(_, _)),
     "dd_exact_survivors" -> (exactSurvivors(_, _)),
     "dd_normalized" -> (normalizedGroups(_, _)),
@@ -870,6 +918,20 @@ object Dedup {
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bh = b.bh
          |   AND a.doc_id % $IncomingMod = 0 AND b.doc_id % $IncomingMod <> 0)
+         |SELECT cand.doc_id, cand.corpus_id,
+         |  round($sigMatches / $NumPerms.0, 6) AS est_jaccard
+         |FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_id
+         |JOIN sig sb ON sb.doc_id = cand.corpus_id
+         |WHERE round($sigMatches / $NumPerms.0, 6) >= $JaccardThreshold""".stripMargin,
+    "dd_lsh_delete" ->
+      s"""WITH $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh
+         |   AND a.doc_id % $IncomingMod = 0 AND b.doc_id % $IncomingMod <> 0
+         |   AND b.doc_id % $TakedownMod <> 0)
          |SELECT cand.doc_id, cand.corpus_id,
          |  round($sigMatches / $NumPerms.0, 6) AS est_jaccard
          |FROM cand

@@ -41,6 +41,31 @@ class LshIndexSpec extends SparkSpec {
       "incremental band table diverged from from-scratch build")
   }
 
+  test("takedown deletes a doc's fingerprints via touched buckets only") {
+    val d = graft.Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("lsh-del").toString
+    Dedup.initLshIndex(d, dir)
+    val gensBefore = graft.etl.BucketTable.manifest(s"$dir/sig")
+    val victim = d.select($"doc_id").as[Long].head()
+    Dedup.deleteFromLshIndex(spark, dir,
+      Seq(victim).toDF("doc_id"))
+    // every fingerprint of the victim is gone — signature and all bands
+    assert(graft.etl.BucketTable.lookup(spark, s"$dir/sig", Seq(victim))
+      .count() == 0)
+    assert(graft.etl.BucketTable.read(spark, s"$dir/bands")
+      .filter($"doc_id" === victim).count() == 0)
+    // one doc's takedown rewrites at most a handful of buckets
+    val gens = graft.etl.BucketTable.manifest(s"$dir/sig")
+    assert(gens.count { case (b, g) => g != gensBefore(b) } <= 1,
+      s"sig takedown rewrote more than the victim's bucket: $gens")
+    // other docs' fingerprints are intact (count dropped by exactly one
+    // signature row and at most NumBands band rows)
+    assert(graft.etl.BucketTable.read(spark, s"$dir/sig").count() ==
+      d.count() - 1)
+    // absent ids are a no-op, not an error
+    Dedup.deleteFromLshIndex(spark, dir, Seq(Long.MaxValue).toDF("doc_id"))
+  }
+
   test("dedupIngestBatch replay is a no-op (crash-safe re-ingest)") {
     val d = graft.Tables.documents(spark, sf0001)
     val batch0 = d.filter($"doc_id" % 3 === 0)
