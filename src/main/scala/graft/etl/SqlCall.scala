@@ -150,15 +150,23 @@ object SqlCall {
         (Seq("table" -> s"files_rewritten=${rewritten.size}") ++ rli)
           .toDF("artifact", "detail")
       case "bucket" =>
-        val sec = Catalog.secondaryIndexOf(spark, t).toSeq.flatMap {
+        // resolve the row's secondary values BEFORE the delete (they
+        // are unreachable after), but tombstone the index AFTER it:
+        // a crash between delete and tombstone leaves a dangling
+        // index entry whose primary probe finds no row — self-healing
+        // under-is-absent — whereas tombstone-first would hide a row
+        // that still exists (silent under-serving, unrecoverable)
+        val resolved = Catalog.secondaryIndexOf(spark, t).map {
           case (secCols, idxPath) =>
-            val tuples = BucketTable.lookupMany(spark, path, keysDf)
-              .select(secCols.map(col): _*).distinct().collect()
-            tuples.foreach(r => SecondaryIndex.tombstone(
-              spark, path, idxPath, r.toSeq, keysDf))
-            Seq("secondary_index" -> s"tombstoned=${tuples.length}")
+            (idxPath, BucketTable.lookupMany(spark, path, keysDf)
+              .select(secCols.map(col): _*).distinct().collect())
         }
         val buckets = BucketTable.deleteFrom(spark, path, keysDf)
+        val sec = resolved.toSeq.map { case (idxPath, tuples) =>
+          tuples.foreach(r => SecondaryIndex.tombstone(
+            spark, path, idxPath, r.toSeq, keysDf))
+          "secondary_index" -> s"tombstoned=${tuples.length}"
+        }
         (Seq("table" -> s"buckets_rewritten=${buckets.size}") ++ sec)
           .toDF("artifact", "detail")
       case other => throw new IllegalArgumentException(

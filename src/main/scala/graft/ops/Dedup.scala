@@ -710,6 +710,10 @@ object Dedup {
   def deleteFromLshIndex(spark: SparkSession, indexDir: String,
       docIds: DataFrame): Unit = {
     val ids = docIds.select(col("doc_id")).distinct().localCheckpoint()
+    // sig FIRST: verdicts inner-join the signature table, so a crash
+    // between the two deletes (bands still present, sig gone) can
+    // never surface the purged doc — the dangling band rows are inert
+    // and the retried takedown removes them
     graft.etl.BucketTable.deleteFrom(spark, s"$indexDir/sig", ids)
     // band rows are keyed (doc_id, band) with band ∈ 0..NumBands-1 by
     // construction (bandedOf), so the key set is the cross product —

@@ -470,14 +470,19 @@ object IvfIndex {
     * happens at the next full rebuild, Hudi's delete-then-compact
     * discipline applied to the ANN index.
     */
-  def deleteCommit(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
-    val path = s"$dir/tombstones"
-    val cur =
-      if (Files.exists(Paths.get(path))) spark.read.parquet(path)
-      else ids.select(col("vec_id")).limit(0)
-    HudiLike.commit(
-      cur.unionByName(ids.select(col("vec_id"))).distinct(), path)
-  }
+  def deleteCommit(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    // read-union-commit is a read-modify-write: two concurrent
+    // takedowns without the lock would each union against the same
+    // base and the second swap would silently drop the first's ids —
+    // the same single-writer discipline every table mutator here keeps
+    graft.etl.FsLock.withTableLock(dir, graft.etl.FsLock.QueueWaitMs) {
+      val path = s"$dir/tombstones"
+      val cur =
+        if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+        else ids.select(col("vec_id")).limit(0)
+      HudiLike.commit(
+        cur.unionByName(ids.select(col("vec_id"))).distinct(), path)
+    }
 
   /** Per-JVM staged fixed-codebook index + tombstones for
     * `sim_ivf_delete` — build once, serve read-only (the memoFixture
