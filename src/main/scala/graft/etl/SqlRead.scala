@@ -38,12 +38,12 @@ object SqlRead {
       // conjuncts still apply, and re-checking the key equalities over
       // the one resolved file is free.
       case f @ Filter(cond, r: UnresolvedRelation) =>
-        pointRead(spark, r, cond)
+        routedRead(spark, r, cond)
           .map(plan => Filter(cond,
             SubqueryAlias(r.multipartIdentifier.last, plan)))
           .getOrElse(f)
       case f @ Filter(cond, sa @ SubqueryAlias(_, r: UnresolvedRelation)) =>
-        pointRead(spark, r, cond)
+        routedRead(spark, r, cond)
           .map(plan => Filter(cond, SubqueryAlias(sa.identifier, plan)))
           .getOrElse(f)
       case tt: RelationTimeTravel =>
@@ -78,6 +78,58 @@ object SqlRead {
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       substituted)
+  }
+
+  /** Predicate-aware substitution for a filtered graft relation:
+    * full-key equality on bucket/bloom → the index point lookup
+    * ([[pointRead]]); partition-column conjuncts on a partitioned
+    * layout → the partition-pruned scan ([[prunedScan]]). Either way
+    * the original filter stays on top of the substituted plan.
+    */
+  private def routedRead(spark: SparkSession, rel: UnresolvedRelation,
+      cond: Expression): Option[LogicalPlan] =
+    pointRead(spark, rel, cond).orElse(prunedScan(spark, rel, cond))
+
+  /** Partition pruning through the SQL front door: conjuncts of the
+    * filter that reference ONLY the table's partition columns (and no
+    * subquery) prune the manifest's partition directories before any
+    * file is listed — `SELECT ... WHERE event_date = X` at 100 TB
+    * scans one day, not the table. Data-column conjuncts stay in the
+    * retained filter; a predicate with no partition-only conjunct
+    * falls through to the snapshot read.
+    */
+  private def prunedScan(spark: SparkSession, rel: UnresolvedRelation,
+      cond: Expression): Option[LogicalPlan] = {
+    val name = rel.multipartIdentifier.mkString(".")
+    layoutOf(spark, name).flatMap {
+      case ("partitioned", path) =>
+        val pcols = PartitionedTable.props(path).partitionCols
+          .map(_.toLowerCase).toSet
+        val partOnly = conjuncts(cond).filter { e =>
+          val refs = e.collect {
+            case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+          }
+          refs.nonEmpty && refs.toSet.subsetOf(pcols) &&
+            e.find(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+              .isEmpty
+        }
+        if (partOnly.isEmpty) None
+        else {
+          // strip qualifiers (t.event_date → event_date): the pruning
+          // predicate resolves against the manifest's partition-value
+          // frame, which has no alias
+          val unqualified = partOnly.map(_.transform {
+            case a: UnresolvedAttribute =>
+              UnresolvedAttribute(Seq(a.nameParts.last))
+          }).reduce(And(_, _))
+          val pred = org.apache.spark.sql.graftbridge.Bridge
+            .column(unqualified)
+          Some(PartitionedTable.prunedRead(spark, path, pred)
+            .queryExecution.analyzed)
+        }
+      case _ => None
+    }
   }
 
   /** The point-lookup plan for `rel` under `cond`, when (a) the table

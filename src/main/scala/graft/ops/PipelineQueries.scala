@@ -380,6 +380,26 @@ object PipelineQueries {
     graft.etl.PartitionedTable.read(spark, partUpsertTable(spark, sfDir))
       .select(PartCols: _*)
 
+  /** `p_sql_part_prune`: [[partPrune]]'s pruned scan reached through
+    * the SQL front door — `SELECT ... WHERE event_date BETWEEN ...`
+    * on a partitioned catalog table routes to
+    * `PartitionedTable.prunedRead` (partition-only conjuncts prune the
+    * manifest's directories before any file is listed; data-column
+    * conjuncts stay as residual row filters). `SqlReadSpec` pins the
+    * pruned file set; the oracle pins the rows.
+    */
+  def sqlPartPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = partUpsertTable(spark, sfDir)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_pp", "partitioned",
+      path)
+    graft.etl.SqlRead.select(spark,
+      """SELECT CAST(event_date AS STRING) AS event_date, user_id, event_id,
+        |  event_type, value, ts_us
+        |FROM graft_pp
+        |WHERE event_date BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+        |""".stripMargin)
+  }
+
   /** `p_part_prune`: partition-pruned read over the table
     * [[partUpsert]] builds — only the six January days in the range
     * are scanned (`PartitionedTableSpec` asserts the input-file
@@ -1990,6 +2010,7 @@ object PipelineQueries {
     "p_bloom_lookup" -> (bloomLookup(_, _)),
     "p_rli_lookup" -> (rliLookup(_, _)),
     "p_sql_point_read" -> (sqlPointRead(_, _)),
+    "p_sql_part_prune" -> (sqlPartPrune(_, _)),
     "p_commit_validator" -> (commitValidator(_, _)),
     "p_purge_key" -> (purgeKey(_, _)),
     "p_quarantine_split" -> (quarantineSplit(_, _)),
@@ -2532,6 +2553,16 @@ object PipelineQueries {
          |  SELECT DISTINCT CAST(ts AS DATE) FROM events
          |  WHERE ts IS NOT NULL AND epoch_us(ts) > $SplitUs)""".stripMargin,
     "p_part_prune" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND event_date
+         |  BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'""".stripMargin,
+    "p_sql_part_prune" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (
          | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,

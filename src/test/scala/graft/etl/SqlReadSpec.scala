@@ -142,6 +142,35 @@ class SqlReadSpec extends SparkSpec {
     assert(full.as[Long].collect().toSeq == Seq(42L))
   }
 
+  test("partition-column SELECT through SQL prunes to the matching partitions") {
+    val p = Files.createTempDirectory("sqlreadpp").toString + "/t"
+    val rows = (1L to 120L).map(k =>
+      (s"d${(k % 4) + 1}", k, 1L, k * 1.0))
+    PartitionedTable.create(rows.toDF("day", "k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    Catalog.registerLayoutTable(spark, "sqlread_pp", "partitioned", p)
+    val allFiles = Catalog.readTable(spark, "sqlread_pp").inputFiles.length
+    val served = SqlRead.select(spark,
+      "SELECT k, v FROM sqlread_pp WHERE day = 'd2' AND v > 50")
+    // only d2's partition dir is listed; the data-column conjunct is a
+    // residual row filter, not a pruning blocker
+    assert(served.inputFiles.nonEmpty &&
+      served.inputFiles.forall(_.contains("=d2")))
+    assert(served.inputFiles.length < allFiles)
+    assert(served.as[(Long, Double)].collect().forall {
+      case (k, v) => k % 4 == 1 && v > 50 })
+    // qualified references prune too
+    assert(SqlRead.select(spark,
+      "SELECT t.k FROM sqlread_pp t WHERE t.day = 'd1'")
+      .inputFiles.forall(_.contains("=d1")))
+    // a data-only predicate falls through to the full snapshot
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sqlread_pp WHERE v = 7.0").inputFiles.length == allFiles)
+    // a predicate matching no partition is an empty scan, not an error
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sqlread_pp WHERE day = 'zz'").count() == 0)
+  }
+
   test("bucket-layout point SELECT reads only the key's bucket") {
     val p = Files.createTempDirectory("sqlreadpb").toString + "/t"
     val rows = (1L to 200L).map(k => (k, 1L, k * 1.0))
