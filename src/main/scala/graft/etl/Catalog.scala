@@ -203,6 +203,15 @@ object Catalog {
       (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, path)
     }
 
+  /** Column-stats index bound to the table:
+    * `graft.table.statsIndex = '<statsPath>'` — the zone-map sidecar
+    * ([[StatsIndex]]) the SQL read route consults for data skipping on
+    * range predicates (Hudi's metadata-table column_stats partition,
+    * carried as table config like every other binding here).
+    */
+  def statsIndexOf(spark: SparkSession, table: String): Option[String] =
+    tblProps(spark, table).get("graft.table.statsIndex").filter(_.nonEmpty)
+
   /** Pre-commit validators declared on the table:
     * `graft.table.validator.<name> = '<SQL boolean expr flagging a
     * VIOLATION>'` — Hudi's `hoodie.precommit.validators` carried the
@@ -229,7 +238,8 @@ object Catalog {
     */
   def registerLayoutTable(spark: SparkSession, name: String, kind: String,
       path: String, secondaryIndex: Option[(Seq[String], String)] = None,
-      validators: Seq[(String, String)] = Nil): Unit = {
+      validators: Seq[(String, String)] = Nil,
+      statsIndex: Option[String] = None): Unit = {
     val (schema, keys, precombine, tieBreak) = kind match {
       case "bucket" =>
         val p = BucketTable.props(path)
@@ -245,7 +255,7 @@ object Catalog {
         s"unknown layout kind '$other' (expected bucket | bloom | partitioned)")
     }
     writeLayoutEntry(spark, name, kind, path, schema, keys, precombine,
-      tieBreak, secondaryIndex, validators)
+      tieBreak, secondaryIndex, validators, statsIndex)
   }
 
   /** Register a catalog entry bound to a [[Timeline]] table — the
@@ -265,14 +275,16 @@ object Catalog {
       kind: String, path: String, schema: org.apache.spark.sql.types.StructType,
       keys: Seq[String], precombine: String, tieBreak: Seq[String],
       secondaryIndex: Option[(Seq[String], String)],
-      validators: Seq[(String, String)] = Nil): Unit = {
+      validators: Seq[(String, String)] = Nil,
+      statsIndex: Option[String] = None): Unit = {
     val stub = Paths.get(path, "_catalog_stub")
     java.nio.file.Files.createDirectories(stub)
     val secProp = secondaryIndex.map { case (cols, idxPath) =>
       s",\n  'graft.table.secondaryIndex' = '${cols.mkString(",")}:$idxPath'"
     }.getOrElse("") + validators.map { case (n, sql) =>
       s",\n  'graft.table.validator.$n' = '$sql'"
-    }.mkString
+    }.mkString + statsIndex.map(sp =>
+      s",\n  'graft.table.statsIndex' = '$sp'").getOrElse("")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
       s"""CREATE TABLE $name (${schema.toDDL})

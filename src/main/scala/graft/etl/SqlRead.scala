@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,7 +88,74 @@ object SqlRead {
     */
   private def routedRead(spark: SparkSession, rel: UnresolvedRelation,
       cond: Expression): Option[LogicalPlan] =
-    pointRead(spark, rel, cond).orElse(prunedScan(spark, rel, cond))
+    pointRead(spark, rel, cond)
+      .orElse(prunedScan(spark, rel, cond))
+      .orElse(skippingScan(spark, rel, cond))
+
+  /** Zone-map data skipping through the SQL front door: when the table
+    * binds a [[StatsIndex]] (`graft.table.statsIndex`) and the filter
+    * carries literal range conjuncts on indexed columns, the scan
+    * plans ONLY the files whose min/max can satisfy them — after a
+    * metadata sync covering any files the index hasn't seen, so
+    * correctness never rests on index freshness. Strict bounds are
+    * relaxed to closed ranges for pruning (sound: a superset) — the
+    * retained filter restores exactness. No indexed-column range →
+    * fall through.
+    */
+  private def skippingScan(spark: SparkSession, rel: UnresolvedRelation,
+      cond: Expression): Option[LogicalPlan] = {
+    val name = rel.multipartIdentifier.mkString(".")
+    layoutOf(spark, name).flatMap {
+      case (kind, path) if kind == "bloom" || kind == "bucket" =>
+        Catalog.statsIndexOf(spark, name).flatMap { statsPath =>
+          val idx = StatsIndex.columns(statsPath)
+            .map(c => c.toLowerCase -> c).toMap
+          def scalar(l: Literal): Any =
+            CatalystTypeConverters.convertToScala(l.value, l.dataType)
+          def named(a: UnresolvedAttribute): Option[String] =
+            idx.get(a.nameParts.last.toLowerCase)
+          val ranges = conjuncts(cond).flatMap {
+            case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+              named(a).map(c => StatsIndex.ColRange(c,
+                Some(scalar(l)), Some(scalar(l))))
+            case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+              named(a).map(c => StatsIndex.ColRange(c,
+                Some(scalar(l)), Some(scalar(l))))
+            case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+              named(a).map(c => StatsIndex.ColRange(c, lo = Some(scalar(l))))
+            case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+              named(a).map(c => StatsIndex.ColRange(c, lo = Some(scalar(l))))
+            case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+              named(a).map(c => StatsIndex.ColRange(c, hi = Some(scalar(l))))
+            case LessThan(a: UnresolvedAttribute, l: Literal) =>
+              named(a).map(c => StatsIndex.ColRange(c, hi = Some(scalar(l))))
+            case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+              named(a).map(c => StatsIndex.ColRange(c, hi = Some(scalar(l))))
+            case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+              named(a).map(c => StatsIndex.ColRange(c, hi = Some(scalar(l))))
+            case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+              named(a).map(c => StatsIndex.ColRange(c, lo = Some(scalar(l))))
+            case LessThan(l: Literal, a: UnresolvedAttribute) =>
+              named(a).map(c => StatsIndex.ColRange(c, lo = Some(scalar(l))))
+            case _ => None
+          }
+          if (ranges.isEmpty) None
+          else {
+            val live = (kind match {
+              case "bloom" => BloomTable.read(spark, path)
+              case _ => BucketTable.read(spark, path)
+            }).inputFiles.toSeq
+            if (live.isEmpty) None // empty table: snapshot read handles it
+            else {
+              StatsIndex.syncToFiles(spark, live, statsPath)
+              Some(StatsIndex.scanFiles(spark, live, statsPath, ranges)
+                .queryExecution.analyzed)
+            }
+          }
+        }
+      case _ => None
+    }
+  }
 
   /** Partition pruning through the SQL front door: conjuncts of the
     * filter that reference ONLY the table's partition columns (and no

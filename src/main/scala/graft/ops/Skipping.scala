@@ -81,6 +81,34 @@ object Skipping {
         col("value"), col("ts_us"))
   }
 
+  /** `p_sql_skipping`: zone-map data skipping reached through the SQL
+    * front door — a bloom-layout catalog table binds its stats index
+    * via `graft.table.statsIndex`, and `SELECT ... WHERE ts_us
+    * BETWEEN ...` plans only the files whose min/max survive
+    * ([[graft.etl.SqlRead]] syncs the index to the live manifest
+    * first, so a file the index has not seen can never be skipped).
+    * The table is keyed on `event_id` — time-correlated, so the
+    * range-clustered data files are also time-clustered and the
+    * `ts_us` zone maps actually prune. `SqlReadSpec` pins the file
+    * subset; the oracle pins the rows (identical to
+    * `p_stats_skipping`'s — same slice, different route).
+    */
+  def sqlSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(scratch, "sq").toString
+    val table = s"$base/t"; val stats = s"$base/stats"
+    graft.etl.BloomTable.create(eventsSlim(spark, sfDir), table,
+      keys = Seq("event_id"), precombine = "ts_us",
+      numFiles = LayoutFiles)
+    val live = graft.etl.BloomTable.read(spark, table).inputFiles.toSeq
+    StatsIndex.buildFromFiles(spark, live, Seq("ts_us", "user_id"), stats)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_sqlskip", "bloom",
+      table, statsIndex = Some(stats))
+    graft.etl.SqlRead.select(spark,
+      s"""SELECT event_id, user_id, event_type, value, ts_us
+         |FROM graft_sqlskip
+         |WHERE ts_us BETWEEN $TsLoUs AND $TsHiUs""".stripMargin)
+  }
+
   /** Z-order layout: cluster on the Morton curve of (user_id, day) so
     * per-file min/max stay tight on BOTH columns, then scan a 2-D box
     * through the index — the multi-dimensional data-skipping pattern
@@ -209,6 +237,7 @@ object Skipping {
     "p_stats_count_meta" -> (statsCountMeta(_, _)),
     "p_stats_minmax_meta" -> (statsMinMaxMeta(_, _)),
     "p_stats_skipping" -> (statsSkipping(_, _)),
+    "p_sql_skipping" -> (sqlSkipping(_, _)),
     "p_stats_skipping_zorder" -> (statsSkippingZorder(_, _)),
     "p_stats_skipping_update" -> (statsSkippingUpdate(_, _)))
 
@@ -226,6 +255,10 @@ object Skipping {
         | max(value) AS value_max
         |FROM events""".stripMargin,
     "p_stats_skipping" ->
+      s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+         |FROM events
+         |WHERE epoch_us(ts) BETWEEN $TsLoUs AND $TsHiUs""".stripMargin,
+    "p_sql_skipping" ->
       s"""SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
          |FROM events
          |WHERE epoch_us(ts) BETWEEN $TsLoUs AND $TsHiUs""".stripMargin,

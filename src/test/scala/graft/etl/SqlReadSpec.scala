@@ -171,6 +171,33 @@ class SqlReadSpec extends SparkSpec {
       "SELECT k FROM sqlread_pp WHERE day = 'zz'").count() == 0)
   }
 
+  test("range SELECT on a stats-indexed table skips files and survives staleness") {
+    val base = Files.createTempDirectory("sqlreadsk")
+    val p = base.resolve("t").toString
+    val stats = base.resolve("stats").toString
+    val rows = (1L to 200L).map(k => (k, 1L, k * 1.0))
+    BloomTable.create(rows.toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numFiles = 8)
+    val live = BloomTable.read(spark, p).inputFiles.toSeq
+    StatsIndex.buildFromFiles(spark, live, Seq("v"), stats)
+    Catalog.registerLayoutTable(spark, "sqlread_sk", "bloom", p,
+      statsIndex = Some(stats))
+    val served = SqlRead.select(spark,
+      "SELECT k FROM sqlread_sk WHERE v <= 25.0")
+    // the zone maps prune: far fewer files planned than the manifest
+    assert(served.inputFiles.nonEmpty && served.inputFiles.length < live.size)
+    assert(served.as[Long].collect().toSet == (1L to 25L).toSet)
+    // files the index has NOT seen are synced in, never skipped: the
+    // upserted in-range row must appear through the same SQL route
+    BloomTable.upsertInto(spark, p, Seq((500L, 1L, 10.5)).toDF("k", "pc", "v"))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sqlread_sk WHERE v <= 25.0")
+      .as[Long].collect().toSet == ((1L to 25L).toSet + 500L))
+    // a predicate on an un-indexed column falls through to the snapshot
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sqlread_sk WHERE pc <= 1").count() == 201)
+  }
+
   test("bucket-layout point SELECT reads only the key's bucket") {
     val p = Files.createTempDirectory("sqlreadpb").toString + "/t"
     val rows = (1L to 200L).map(k => (k, 1L, k * 1.0))
