@@ -33,6 +33,12 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *     record from the table AND every bound index artifact (record
   *     index / secondary index), each via its targeted rewrite;
   *     returns one row per artifact touched
+  *   - `create_savepoint('t', name)` / `show_savepoints('t')` /
+  *     `rollback_to_savepoint('t', name)` / `delete_savepoint('t',
+  *     name)` — Hudi's savepoint procedure family over bucket-layout
+  *     tables: pin the current state, list pins, restore one as a new
+  *     commit (pin-aware cleaning keeps pinned generations readable),
+  *     release a pin
   */
 object SqlCall {
 
@@ -52,6 +58,14 @@ object SqlCall {
         run(spark, name, argv)
       case other => throw new IllegalArgumentException(
         s"not a CALL statement: ${other.getClass.getSimpleName}")
+    }
+
+  private def bucketPathOf(spark: SparkSession, table: String): String =
+    Catalog.layoutOf(spark, table) match {
+      case Some(("bucket", p)) => p
+      case other => throw new IllegalArgumentException(
+        s"$table is not a bucket-layout table (savepoints pin bucket " +
+          "generations)" + other.fold("")(kp => s"; layout: ${kp._1}"))
     }
 
   private def timelinePathOf(spark: SparkSession, table: String): String =
@@ -103,10 +117,22 @@ object SqlCall {
       case ("purge_key", args) if args.length >= 2 &&
           args.head.isInstanceOf[String] =>
         purgeKey(spark, args.head.asInstanceOf[String], args.tail)
+      case ("create_savepoint", Seq(t: String, sp: String)) =>
+        BucketTable.savepoint(bucketPathOf(spark, t), sp)
+        Seq(sp).toDF("savepoint")
+      case ("show_savepoints", Seq(t: String)) =>
+        BucketTable.savepoints(bucketPathOf(spark, t)).toDF("savepoint")
+      case ("rollback_to_savepoint", Seq(t: String, sp: String)) =>
+        BucketTable.restoreSavepoint(bucketPathOf(spark, t), sp)
+        Seq(sp).toDF("savepoint")
+      case ("delete_savepoint", Seq(t: String, sp: String)) =>
+        BucketTable.dropSavepoint(bucketPathOf(spark, t), sp)
+        Seq(sp).toDF("savepoint")
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
-          "rollback_to_version, clean, purge_key)")
+          "rollback_to_version, clean, purge_key, create_savepoint, " +
+          "show_savepoints, rollback_to_savepoint, delete_savepoint)")
     }
   }
 

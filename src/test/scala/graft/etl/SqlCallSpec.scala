@@ -99,6 +99,31 @@ class SqlCallSpec extends SparkSpec {
     assert(rep2("secondary_index") == "tombstoned=0")
   }
 
+  test("savepoint procedures: pin, list, restore as a new commit, release") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("sqlcallsp").toString + "/t"
+    BucketTable.create(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sqlcall_sp", "bucket", p)
+    SqlCall.exec(spark, "CALL create_savepoint('sqlcall_sp', 'prerun')")
+    BucketTable.upsertInto(spark, p, Seq((1L, 2L, 99.0)).toDF("k", "pc", "v"))
+    assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_sp')")
+      .as[String].collect().toSeq == Seq("prerun"))
+    SqlCall.exec(spark, "CALL rollback_to_savepoint('sqlcall_sp', 'prerun')")
+    val got = BucketTable.read(spark, p).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0))
+    SqlCall.exec(spark, "CALL delete_savepoint('sqlcall_sp', 'prerun')")
+    assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_sp')")
+      .count() == 0)
+    // savepoints are a bucket-layout service: other layouts say so
+    val tl = mkTimeline("sqlcall_sp_tl")
+    val e = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL create_savepoint('sqlcall_sp_tl', 'x')")
+    }
+    assert(e.getMessage.contains("bucket-layout"))
+  }
+
   test("file-level clean for the bucket layout; wrong shapes fail loudly") {
     val p = Files.createTempDirectory("sqlcallb").toString + "/t"
     BucketTable.create(
