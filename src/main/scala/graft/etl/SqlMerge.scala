@@ -408,11 +408,19 @@ object SqlMerge {
           case None => col(c)
         }
       }: _*)
+    // gate the post-image the statement writes (the touched region on
+    // layout tables, the projected table otherwise)
+    val rules = Catalog.validatorsOf(spark, target)
+    def gated(df: DataFrame): DataFrame = {
+      PreCommit.validate(df, rules)
+      df
+    }
     layout match {
       case None =>
         val cond = u.condition.map(render).getOrElse(lit(true))
         val t = spark.table(target).alias(alias)
-        writeBack(spark, target, projected(t, cond, resolveAssigned(render)))
+        writeBack(spark, target,
+          gated(projected(t, cond, resolveAssigned(render))))
       case Some((kind, path)) =>
         val (keys, _, _) = dmlConfig(spark, target, layout)
         val identity = dmlIdentity(keys, layout)
@@ -426,16 +434,16 @@ object SqlMerge {
         kind match {
           case "bucket" =>
             BucketTable.rewriteWhere(spark, path, cond)(
-              projected(_, cond, assigned))
+              d => gated(projected(d, cond, assigned)))
           case "bloom" =>
             BloomTable.rewriteWhere(spark, path, cond)(
-              projected(_, cond, assigned))
+              d => gated(projected(d, cond, assigned)))
           case "partitioned" =>
             PartitionedTable.rewriteWhere(spark, path, cond)(
-              projected(_, cond, assigned))
+              d => gated(projected(d, cond, assigned)))
           case "timeline" =>
-            Timeline.commit(projected(current, cond, assigned), path,
-              action = "update")
+            Timeline.commit(gated(projected(current, cond, assigned)),
+              path, action = "update")
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
         }
@@ -461,28 +469,42 @@ object SqlMerge {
     val source = graftbridgeOfRows(spark, m.sourceTable)
     val existing = Catalog.readTable(spark, target)
     val cols = existing.columns.toSeq
+    // table-declared pre-commit validators gate what the statement
+    // WRITES: the deduped inbound batch for the star-star upsert, the
+    // touched region's post-image for conditional actions. DELETE
+    // writes no rows and is never gated.
+    val rules = Catalog.validatorsOf(spark, target)
     require(m.notMatchedBySourceActions.isEmpty,
       "WHEN NOT MATCHED BY SOURCE is not supported")
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
         // Hudi's canonical MERGE: the keyed precombine upsert
         val src = source.select(cols.map(col): _*)
+        // bucket/bloom gate inside upsertInto (after their precombine
+        // dedup — a superseded duplicate cannot veto); the other
+        // routes dedup here first for the same semantics
+        def dedupedSrc = HudiLike.precombineLatest(src, identity,
+          precombine, tieBreak)
         layout match {
           case Some(("bucket", path)) =>
-            BucketTable.upsertInto(spark, path, src); ()
+            BucketTable.upsertInto(spark, path, src, rules); ()
           case Some(("bloom", path)) =>
-            BloomTable.upsertInto(spark, path, src); ()
+            BloomTable.upsertInto(spark, path, src, rules); ()
           case Some(("partitioned", path)) =>
+            PreCommit.validate(dedupedSrc, rules)
             PartitionedTable.upsertInto(spark, path, src); ()
           case Some(("timeline", path)) =>
+            PreCommit.validate(dedupedSrc, rules)
             // versioned snapshots: the MERGE lands as a new commit,
             // immediately visible to VERSION/TIMESTAMP AS OF readers
             Timeline.upsertInto(spark, path, src, keys, precombine,
               tieBreak)
             ()
-          case _ => writeBack(spark, target,
-            HudiLike.upsert(existing, src, keys, precombine, tieBreak)
-              .select(cols.map(col): _*))
+          case _ =>
+            PreCommit.validate(dedupedSrc, rules)
+            writeBack(spark, target,
+              HudiLike.upsert(existing, src, keys, precombine, tieBreak)
+                .select(cols.map(col): _*))
         }
       case (Seq(DeleteAction(None)), Seq()) =>
         // the partitioned layout deletes by full identity (a key
@@ -510,9 +532,12 @@ object SqlMerge {
         val sAlias = sourceAliasOf(m.sourceTable)
         // joined/deduped on the full identity: partition cols + keys
         // for the partitioned layout, the keys elsewhere
-        def merged(cur: DataFrame): DataFrame =
-          applyMerge(cur, source, m, identity, precombine, tieBreak,
-            tAlias, sAlias)
+        def merged(cur: DataFrame): DataFrame = {
+          val out = applyMerge(cur, source, m, identity, precombine,
+            tieBreak, tAlias, sAlias)
+          PreCommit.validate(out, rules)
+          out
+        }
         layout match {
           case Some(("bucket", path)) =>
             BucketTable.rewriteKeys(spark, path,

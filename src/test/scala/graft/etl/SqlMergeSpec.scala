@@ -49,6 +49,40 @@ class SqlMergeSpec extends SparkSpec {
     assert(BucketTable.read(spark, p).filter(col("v") < 0).count() == 0)
   }
 
+  test("validators gate MERGE and UPDATE post-images, not just INSERT") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("sqlmergevmu").toString + "/t"
+    BucketTable.create(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_merge_vmu", "bucket", p,
+      validators = Seq("negative_v" -> "v < 0"))
+    Seq((1L, 2L, -3.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_merge_vmu_src")
+    // star-star MERGE carrying a bad row aborts; table untouched
+    intercept[PreCommit.ValidationException] {
+      SqlMerge.exec(spark,
+        """MERGE INTO sql_merge_vmu t USING sql_merge_vmu_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // UPDATE whose post-image violates aborts before any rewrite
+    intercept[PreCommit.ValidationException] {
+      SqlMerge.exec(spark, "UPDATE sql_merge_vmu SET v = v - 100 WHERE k = 1")
+    }
+    // conditional MERGE is gated on the region's post-image too
+    intercept[PreCommit.ValidationException] {
+      SqlMerge.exec(spark,
+        """MERGE INTO sql_merge_vmu t USING sql_merge_vmu_src s ON t.k = s.k
+          |WHEN MATCHED AND s.pc > t.pc THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    val got = BucketTable.read(spark, p).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0))
+    // a clean UPDATE under the same rules proceeds
+    SqlMerge.exec(spark, "UPDATE sql_merge_vmu SET v = v + 1 WHERE k = 1")
+    assert(BucketTable.read(spark, p).filter(col("v") === 11.0).count() == 1)
+  }
+
   test("validators added via native ALTER TABLE SET TBLPROPERTIES take effect") {
     val p = Files.createTempDirectory("sqlmergealter").toString + "/t"
     BucketTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), p,
