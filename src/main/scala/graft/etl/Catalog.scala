@@ -251,8 +251,21 @@ object Catalog {
         val p = PartitionedTable.props(path)
         (PartitionedTable.read(spark, path).schema,
           p.keys, p.precombine, p.tieBreak)
+      case "mor" =>
+        val p = MorTable.props(path)
+        (MorTable.readSnapshot(spark, path).schema,
+          p.keys, p.precombine, p.tieBreak)
+      case "mor_ro" =>
+        // Hudi's `_ro` companion table: the SAME MOR path registered
+        // read-only — SELECT serves the compacted base alone (stale by
+        // up to the compaction lag, zero merge cost); DML must go
+        // through the snapshot-view entry
+        val p = MorTable.props(path)
+        (MorTable.readOptimized(spark, path).schema,
+          p.keys, p.precombine, p.tieBreak)
       case other => throw new IllegalArgumentException(
-        s"unknown layout kind '$other' (expected bucket | bloom | partitioned)")
+        s"unknown layout kind '$other' (expected bucket | bloom | " +
+          "partitioned | mor | mor_ro)")
     }
     writeLayoutEntry(spark, name, kind, path, schema, keys, precombine,
       tieBreak, secondaryIndex, validators, statsIndex)
@@ -306,6 +319,8 @@ object Catalog {
       case Some(("bloom", path)) => BloomTable.read(spark, path)
       case Some(("partitioned", path)) => PartitionedTable.read(spark, path)
       case Some(("timeline", path)) => Timeline.read(spark, path)
+      case Some(("mor", path)) => MorTable.readSnapshot(spark, path)
+      case Some(("mor_ro", path)) => MorTable.readOptimized(spark, path)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $table")
       case None => spark.table(table)

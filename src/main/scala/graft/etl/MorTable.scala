@@ -150,6 +150,10 @@ object MorTable {
     * then reclaims the orphan safely because it, too, holds the lock.
     */
   private def appendDelta(tablePath: String, batch: DataFrame, deleted: Boolean): Long =
+    appendFlagged(tablePath, batch.withColumn(DelCol, lit(deleted)))
+
+  /** Append a batch already carrying `_deleted` as one delta log. */
+  private def appendFlagged(tablePath: String, flagged: DataFrame): Long =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val (base, deltas) = state(tablePath).getOrElse(
         throw new IllegalStateException(s"no MOR table at $tablePath"))
@@ -160,9 +164,8 @@ object MorTable {
       // lazy rollback as BucketTable.rollbackOrphan)
       val logDir = Paths.get(tablePath, s"log=$base.$seq")
       if (Files.exists(logDir)) deleteRecursively(logDir)
-      batch
+      flagged
         .withColumn(SeqCol, lit(seq))
-        .withColumn(DelCol, lit(deleted))
         .write.mode("errorifexists").parquet(logDir.toString)
       writePointer(tablePath, base, seq)
       seq
@@ -187,6 +190,23 @@ object MorTable {
     */
   def deleteFrom(tablePath: String, deletes: DataFrame): Long =
     appendDelta(tablePath, deletes, deleted = true)
+
+  /** Upserts AND tombstones as ONE delta log — one seq, one pointer
+    * swing, so a statement carrying both (a conditional SQL MERGE with
+    * a DELETE action) commits atomically: a reader sees all of it or
+    * none of it, and a crash can never land the updates without the
+    * deletes. Either side may be empty; tombstones' absent payload
+    * columns null-fill exactly as [[deleteFrom]]'s do.
+    */
+  def upsertAndDelete(tablePath: String, upserts: DataFrame,
+      deletes: DataFrame): Long = {
+    val p = props(tablePath)
+    appendFlagged(tablePath,
+      HudiLike.precombineLatest(upserts, p.keys, p.precombine, p.tieBreak)
+        .withColumn(DelCol, lit(false))
+        .unionByName(deletes.withColumn(DelCol, lit(true)),
+          allowMissingColumns = true))
+  }
 
   /** Snapshot query: base ∪ logs, latest-per-key merge, tombstones
     * dropped. One union (no shuffle) + one per-key window — the merge

@@ -27,8 +27,10 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *   - `rollback_to_version('t', v)` — restore: make `v`'s contents
   *     the newest commit (history stays append-only); returns the
   *     new version
+  *   - `run_compaction('t')` — fold a MOR table's delta logs into a
+  *     new base generation; returns the new base version
   *   - `clean('t')` — file-level retention for bucket / bloom /
-  *     partitioned layouts; returns the data files removed
+  *     partitioned / mor layouts; returns the data files/dirs removed
   *   - `purge_key('t', k, ...)` — right-to-be-forgotten: erase one
   *     record from the table AND every bound index artifact (record
   *     index / secondary index), each via its targeted rewrite;
@@ -101,11 +103,23 @@ object SqlCall {
       case ("rollback_to_version", Seq(t: String, v)) =>
         Seq(Timeline.restore(spark, timelinePathOf(spark, t),
           toInt(v, "version").toLong)).toDF("version")
+      case ("run_compaction", Seq(t: String)) =>
+        // Hudi's compaction procedure: fold a MOR table's delta logs
+        // into a new base generation; readers holding the old pointer
+        // keep working off the immutable old dirs until clean()
+        val path = Catalog.layoutOf(spark, t) match {
+          case Some(("mor", p)) => p
+          case other => throw new IllegalArgumentException(
+            s"run_compaction('$t'): not a MOR-layout table" +
+              other.fold("")(kp => s" (layout: ${kp._1})"))
+        }
+        Seq(MorTable.compact(spark, path)).toDF("base_version")
       case ("clean", Seq(t: String)) =>
         val removed = Catalog.layoutOf(spark, t) match {
           case Some(("bucket", p)) => BucketTable.clean(p)
           case Some(("bloom", p)) => BloomTable.clean(p)
           case Some(("partitioned", p)) => PartitionedTable.clean(p)
+          case Some(("mor", p)) => MorTable.clean(p)
           case Some(("timeline", _)) => throw new IllegalArgumentException(
             s"clean('$t'): timeline tables clean by version — use " +
               "clean_commits(table, retain)")
@@ -131,8 +145,9 @@ object SqlCall {
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
-          "rollback_to_version, clean, purge_key, create_savepoint, " +
-          "show_savepoints, rollback_to_savepoint, delete_savepoint)")
+          "run_compaction, rollback_to_version, clean, purge_key, " +
+          "create_savepoint, show_savepoints, rollback_to_savepoint, " +
+          "delete_savepoint)")
     }
   }
 

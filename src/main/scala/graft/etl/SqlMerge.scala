@@ -170,6 +170,9 @@ object SqlMerge {
         // the timeline persists no key config — registration declared
         // it in TBLPROPERTIES (Catalog.registerTimelineTable)
         Catalog.upsertConfigFull(spark, target)
+      case Some(("mor", path)) =>
+        val p = MorTable.props(path); (p.keys, p.precombine, p.tieBreak)
+      case Some(("mor_ro", _)) => throw readOnlyView(target)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $target")
       case None => Catalog.upsertConfigFull(spark, target)
@@ -251,10 +254,29 @@ object SqlMerge {
           PartitionedTable.rewriteWhere(spark, path, cond)(
             _.filter(not(cond) || cond.isNull))
         ()
+      case Some(("mor", path)) =>
+        // MOR delete = tombstone append, O(matched) written, base and
+        // earlier logs untouched. The tombstone carries the victim's
+        // own precombine value: on the snapshot merge an equal
+        // precombine falls to the commit sequence, where the (later)
+        // tombstone wins — Hudi's _hoodie_is_deleted payload contract.
+        val cond = unqualified(d.condition, alias, target)
+        val p = MorTable.props(path)
+        val victims = MorTable.readSnapshot(spark, path)
+          .filter(cond)
+          .select((p.keys :+ p.precombine).map(col): _*)
+        MorTable.deleteFrom(path, victims)
+        ()
+      case Some(("mor_ro", _)) => throw readOnlyView(target)
       case Some((other, _)) => throw new IllegalArgumentException(
         s"unknown layout kind '$other' on $target")
     }
   }
+
+  private def readOnlyView(target: String): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$target is the read-optimized view of a MOR table — it is " +
+        "read-only; run DML against the snapshot-view entry")
 
   /** Lower-cased bare column names a parsed predicate references. */
   private def referencedColumns(e: Expression): Set[String] =
@@ -315,6 +337,11 @@ object SqlMerge {
               dmlConfig(spark, target, layout)
             Timeline.upsertInto(spark, path, shaped, keys2, precombine2,
               tieBreak2)
+            ()
+          case ("mor", false) =>
+            // the MOR headline: SQL INSERT appends the batch as a
+            // delta log — O(batch) regardless of table size
+            MorTable.upsertInto(path, shaped)
             ()
           case (k, true) => throw new IllegalArgumentException(
             s"INSERT OVERWRITE on '$k' layout $target is not supported — " +
@@ -422,7 +449,7 @@ object SqlMerge {
         writeBack(spark, target,
           gated(projected(t, cond, resolveAssigned(render))))
       case Some((kind, path)) =>
-        val (keys, _, _) = dmlConfig(spark, target, layout)
+        val (keys, precombine, _) = dmlConfig(spark, target, layout)
         val identity = dmlIdentity(keys, layout)
         val assigned = resolveAssigned(unqualified(_, alias, target))
         assigned.keys.find(c => identity.exists(_.equalsIgnoreCase(c)))
@@ -444,6 +471,28 @@ object SqlMerge {
           case "timeline" =>
             Timeline.commit(gated(projected(current, cond, assigned)),
               path, action = "update")
+          case "mor" =>
+            // post-images of ONLY the touched rows, appended as one
+            // delta log: the snapshot merge replaces the old versions
+            // (equal precombine → later commit wins), so an UPDATE
+            // writes O(matched), never the table
+            val touched = current.filter(cond)
+            // a post-image whose precombine DROPPED would lose the
+            // snapshot merge to the row it claims to replace — the
+            // statement would silently no-op for that row. Fail loudly
+            // instead (one aggregate over the already-read touched
+            // region; equal precombine is fine, seq breaks the tie).
+            assigned.keys.find(_.equalsIgnoreCase(precombine)).foreach { pc =>
+              val demoted = touched
+                .filter(assigned(pc) < col(precombine)).limit(1).count()
+              require(demoted == 0L,
+                s"UPDATE $target: SET $pc would lower the precombine " +
+                  "on matched rows — on a MOR table the appended " +
+                  "post-image would lose the snapshot merge to the row " +
+                  "it replaces; assign a non-decreasing precombine")
+            }
+            MorTable.upsertInto(path,
+              gated(projected(touched, cond, assigned)))
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
         }
@@ -500,6 +549,13 @@ object SqlMerge {
             Timeline.upsertInto(spark, path, src, keys, precombine,
               tieBreak)
             ()
+          case Some(("mor", path)) =>
+            PreCommit.validate(dedupedSrc, rules)
+            // the MOR trade in one line: MERGE appends the batch as a
+            // delta log — write cost O(batch) at any table size; the
+            // per-key resolution is deferred to the snapshot read
+            MorTable.upsertInto(path, src)
+            ()
           case _ =>
             PreCommit.validate(dedupedSrc, rules)
             writeBack(spark, target,
@@ -520,6 +576,13 @@ object SqlMerge {
           case Some(("timeline", path)) =>
             Timeline.commit(existing.join(delKeys, identity, "left_anti"),
               path, action = "delete")
+            ()
+          case Some(("mor", path)) =>
+            // tombstones carrying each victim's own precombine (equal
+            // precombine → the later commit wins the snapshot merge)
+            val victims = existing.join(delKeys, identity, "left_semi")
+              .select((keys :+ precombine).map(col): _*)
+            MorTable.deleteFrom(path, victims)
             ()
           case _ => writeBack(spark, target,
             existing.join(delKeys, identity, "left_anti"))
@@ -553,6 +616,33 @@ object SqlMerge {
             ()
           case Some(("timeline", path)) =>
             Timeline.commit(merged(existing), path, action = "merge")
+            ()
+          case Some(("mor", path)) =>
+            // touched region = snapshot rows whose key appears in the
+            // source (plus source-only inserts from applyMerge). The
+            // post-image appends as ONE mixed delta log — updates,
+            // inserts, AND the statement's deletes as tombstones —
+            // atomic under a single pointer swing, O(touched) written.
+            val touched = existing.join(
+              source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            val out = merged(touched).localCheckpoint()
+            // an explicit SET that lowers the precombine would lose the
+            // snapshot merge to the row it replaces (silent no-op) —
+            // fail loudly, as the MOR UPDATE route does
+            val oldPc = touched.select(
+              (keys.map(col) :+ col(precombine).as("__old_pc")): _*)
+            val demoted = out
+              .select((keys.map(col) :+ col(precombine).as("__new_pc")): _*)
+              .join(oldPc, keys)
+              .filter(col("__new_pc") < col("__old_pc")).limit(1).count()
+            require(demoted == 0L,
+              s"MERGE into $target: an UPDATE action lowers the " +
+                "precombine on matched rows — on a MOR table the " +
+                "appended post-image would lose the snapshot merge")
+            val deletedKeys = touched
+              .select((keys :+ precombine).map(col): _*)
+              .join(out.select(keys.map(col): _*), keys, "left_anti")
+            MorTable.upsertAndDelete(path, out, deletedKeys)
             ()
           case _ => writeBack(spark, target, merged(existing))
         }

@@ -1122,6 +1122,78 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_sql_mor_dml`: the full DML verb set routed to the MOR layout —
+    * the one table type where every statement lands as an O(batch)
+    * delta-log APPEND, never a rewrite (`SqlMorSpec` pins the base
+    * files byte-identical across all three statements). MERGE appends
+    * the post-split batch, UPDATE appends post-images of only the
+    * touched rows, DELETE appends tombstones carrying each victim's
+    * own precombine; the snapshot read resolves latest-per-key across
+    * base ∪ logs. The oracle replays the statement sequence over the
+    * merged end state.
+    */
+  def sqlMorDml(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "smd")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mor_dml", "mor", path)
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_mor_dml_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_mor_dml t USING graft_mor_dml_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_mor_dml
+        |SET value = round(value * 1.1, 2)
+        |WHERE event_type = 'click'""".stripMargin)
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_mor_dml WHERE user_id % 7 = 0")
+    graft.etl.Catalog.readTable(spark, "graft_mor_dml")
+  }
+
+  /** `p_sql_mor_ro`: the read-optimized companion (`mor_ro` layout —
+    * Hudi's `_ro` table) and the compaction procedure, end to end in
+    * SQL: after a MERGE lands as a delta log, the `_ro` entry still
+    * serves the COMPACTED BASE (stale by the compaction lag, zero
+    * merge cost — the trade the `_ro` view exists to make); `CALL
+    * run_compaction` folds the logs into a new base and the same
+    * query catches up. Returns the aggregate at both phases; the
+    * oracle computes each phase's state independently.
+    */
+  def sqlMorRoLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "smr")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mor_ro_t", "mor", path)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mor_ro_v", "mor_ro", path)
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_mor_ro_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_mor_ro_t t USING graft_mor_ro_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    def roAgg(phase: String): DataFrame = graft.etl.SqlRead.select(spark,
+      s"""SELECT '$phase' AS phase, CAST(count(*) AS BIGINT) AS n_users,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0D, 2)
+         |    AS total
+         |FROM graft_mor_ro_v""".stripMargin)
+    // materialize BEFORE compaction swings the base pointer
+    val stale = roAgg("ro_stale").localCheckpoint()
+    graft.etl.SqlCall.exec(spark, "CALL run_compaction('graft_mor_ro_t')")
+    stale.unionByName(roAgg("ro_compacted"))
+  }
+
   /** `p_sql_ctas`: the full SQL lifecycle on a graft-managed table —
     * `CREATE TABLE ... TBLPROPERTIES('graft.table.layout'='bucket')
     * AS SELECT` stands the layout up ([[graft.etl.SqlDdl]]), then
@@ -2023,6 +2095,8 @@ object PipelineQueries {
     "p_sql_merge_timeline" -> (sqlMergeTimeline(_, _)),
     "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
     "p_sql_merge_partial" -> (sqlMergePartial(_, _)),
+    "p_sql_mor_dml" -> (sqlMorDml(_, _)),
+    "p_sql_mor_ro" -> (sqlMorRoLag(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
@@ -2331,6 +2405,39 @@ object PipelineQueries {
          |WHERE NOT (tu IS NOT NULL AND su IS NOT NULL AND NOT upd
          |           AND COALESCE(st = 'click', FALSE))
          |  AND NOT (tu IS NULL AND NOT COALESCE(sv > 0, FALSE))""".stripMargin,
+    // MERGE ∘ UPDATE ∘ DELETE on the MOR layout ≡ the same statement
+    // sequence over the merged end state: latest per user over all
+    // events, clicks uplifted, every 7th user removed
+    "p_sql_mor_dml" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  CASE WHEN event_type = 'click' THEN round(value * 1.1, 2)
+         |       ELSE value END AS value, ts_us
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id % 7 <> 0""".stripMargin,
+    // the _ro view's two phases: stale = the pre-split base alone,
+    // compacted = the merged end state after CALL run_compaction
+    "p_sql_mor_ro" ->
+      s"""SELECT 'ro_stale' AS phase, CAST(count(*) AS BIGINT) AS n_users,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+         |    AS total
+         |FROM (
+         | SELECT value, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT 'ro_compacted' AS phase, CAST(count(*) AS BIGINT) AS n_users,
+         |  round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2)
+         |    AS total
+         |FROM (
+         | SELECT value, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1""".stripMargin,
     "p_sql_delete_indexed" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
