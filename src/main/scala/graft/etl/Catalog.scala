@@ -212,6 +212,21 @@ object Catalog {
   def statsIndexOf(spark: SparkSession, table: String): Option[String] =
     tblProps(spark, table).get("graft.table.statsIndex").filter(_.nonEmpty)
 
+  /** Named index registry on the table: `graft.index.<name> =
+    * '<type>:<artifact>'` — one entry per index created through the
+    * SQL DDL front door ([[SqlIndex]]); `DROP INDEX` resolves against
+    * it and `CALL show_indexes` lists it.
+    */
+  def indexesOf(spark: SparkSession,
+      table: String): Map[String, (String, String)] = {
+    val prefix = "graft.index."
+    tblProps(spark, table).collect {
+      case (k, v) if k.startsWith(prefix) =>
+        val Array(tpe, artifact) = v.split(":", 2)
+        k.drop(prefix.length) -> (tpe, artifact)
+    }
+  }
+
   /** Pre-commit validators declared on the table:
     * `graft.table.validator.<name> = '<SQL boolean expr flagging a
     * VIOLATION>'` — Hudi's `hoodie.precommit.validators` carried the

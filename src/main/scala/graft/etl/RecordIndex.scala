@@ -47,6 +47,15 @@ object RecordIndex {
 
   def exists(tablePath: String): Boolean = Files.exists(manifestPath(tablePath))
 
+  /** Drop the index: delete `_rli/` under the table lock (the same
+    * serialization build/refresh take). The table itself is untouched;
+    * point reads fall back to the bloom route.
+    */
+  def drop(tablePath: String): Unit =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      FsUtil.deleteRecursively(rliDir(tablePath))
+    }
+
   def shards(tablePath: String): Int =
     Files.readAllLines(propsPath(tablePath)).asScala
       .map(_.split('=')).collectFirst { case Array("shards", v) => v.toInt }.get

@@ -107,6 +107,38 @@ object SecondaryIndex {
       .select(p.keys.map(col): _*)
   }
 
+  /** Index entries (secondary cols + keys) of the CURRENT primary rows
+    * for `keysDf` — an O(touched buckets) point read, materialized so
+    * a caller can capture the pre-image BEFORE a mutation and the
+    * post-image after, then [[reconcile]] the difference. The generic
+    * maintenance primitive the SQL DML routes use for statements
+    * [[upsertThrough]]'s batch shape doesn't fit (predicate UPDATE,
+    * keyed DELETE, conditional MERGE).
+    */
+  def entriesForKeys(spark: SparkSession, primaryPath: String,
+      indexPath: String, keysDf: DataFrame): DataFrame = {
+    val p = BucketTable.props(primaryPath)
+    val secCols = BucketTable.props(indexPath).bucketBy
+    BucketTable.lookupMany(spark, primaryPath, keysDf)
+      .select((secCols ++ p.keys).map(col): _*)
+      .localCheckpoint()
+  }
+
+  /** Commit the delta between two [[entriesForKeys]] snapshots of the
+    * SAME key set: mappings present before and gone after flip dead,
+    * every post-mutation mapping upserts live — one O(touched) index
+    * upsert, the same delta [[upsertThrough]] computes for its batch.
+    */
+  def reconcile(spark: SparkSession, indexPath: String,
+      pre: DataFrame, post: DataFrame): Unit = {
+    val dead = pre.except(post).withColumn(Live, lit(false))
+    val live = post.withColumn(Live, lit(true))
+    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    BucketTable.upsertInto(spark, indexPath,
+      dead.unionByName(live).withColumn(Commit, lit(commit)))
+    ()
+  }
+
   /** Tombstone the index mappings `(secValues, key ∈ keys)` — the
     * maintenance half of a routed DELETE: the deleted keys' entries
     * flip to `__live = false` so later lookups skip them at the index,

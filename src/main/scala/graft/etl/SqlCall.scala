@@ -131,6 +131,10 @@ object SqlCall {
       case ("purge_key", args) if args.length >= 2 &&
           args.head.isInstanceOf[String] =>
         purgeKey(spark, args.head.asInstanceOf[String], args.tail)
+      case ("show_indexes", Seq(t: String)) =>
+        Catalog.indexesOf(spark, t).toSeq.sortBy(_._1)
+          .map { case (n, (tpe, artifact)) => (n, tpe, artifact) }
+          .toDF("index_name", "index_type", "artifact")
       case ("create_savepoint", Seq(t: String, sp: String)) =>
         BucketTable.savepoint(bucketPathOf(spark, t), sp)
         Seq(sp).toDF("savepoint")
@@ -146,6 +150,7 @@ object SqlCall {
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
+          "show_indexes, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint)")
     }

@@ -1,0 +1,168 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateIndex, DropIndex, LogicalPlan}
+
+/** SQL index DDL — `CREATE INDEX` / `DROP INDEX` parsed by Spark's own
+  * parser (the DSv2 index grammar) and dispatched to the engine's
+  * index kinds over layout-registered catalog tables, the analog of
+  * Hudi's `CREATE INDEX ... USING ...` SQL surface. A created index is
+  * BOUND on the table's TBLPROPERTIES, so the existing read/DML routes
+  * pick it up with no further user action: a secondary index serves
+  * equality SELECTs and index-composed DELETEs and is maintained by
+  * every front-door write; a record index serves SQL point reads; a
+  * column-stats index drives zone-map data skipping.
+  *
+  * Index types (USING clause):
+  *   - `SECONDARY (cols...)` on a bucket-layout table →
+  *     [[SecondaryIndex.create]]; bound via
+  *     `graft.table.secondaryIndex`. One per table.
+  *   - `RECORD (key cols)` on a bloom-layout table →
+  *     [[RecordIndex.build]] (the listed columns must be the table's
+  *     primary key — the RLI maps record key → file).
+  *   - `COLUMN_STATS (cols...)` on a bucket/bloom-layout table →
+  *     [[StatsIndex.buildFromFiles]] over the live manifest; bound via
+  *     `graft.table.statsIndex`. A column may carry
+  *     `OPTIONS (expr '<sql>')` to index a derived value — the
+  *     functional index (`name:=expr` entries). One per table.
+  *
+  * Every created index is also recorded as
+  * `graft.index.<name> = '<type>:<artifact>'` — the registry `DROP
+  * INDEX` resolves (unbind + delete the artifact) and
+  * `CALL show_indexes('t')` lists.
+  */
+object SqlIndex {
+
+  def exec(spark: SparkSession, sqlText: String): DataFrame =
+    spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case c: CreateIndex => createIndex(spark, c)
+      case d: DropIndex => dropIndex(spark, d)
+      case other => throw new IllegalArgumentException(
+        s"not an index DDL statement: ${other.getClass.getSimpleName}")
+    }
+
+  private def tableOf(plan: LogicalPlan): String = plan.collectFirst {
+    case t: UnresolvedTable => t.multipartIdentifier.mkString(".")
+    case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+  }.getOrElse(throw new IllegalArgumentException(
+    s"cannot resolve the index's target table from: $plan"))
+
+  private def report(spark: SparkSession,
+      rows: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("index_name", "index_type", "artifact")
+  }
+
+  private def createIndex(spark: SparkSession, c: CreateIndex): DataFrame = {
+    val target = tableOf(c.table)
+    val (kind, path) = Catalog.layoutOf(spark, target).getOrElse(
+      throw new IllegalArgumentException(
+        s"$target is not a layout-registered table — indexes attach to " +
+          "engine-managed layouts"))
+    Catalog.indexesOf(spark, target).get(c.indexName) match {
+      case Some((tpe, artifact)) =>
+        if (c.ignoreIfExists) return report(spark,
+          Seq((c.indexName, tpe, artifact)))
+        throw new IllegalArgumentException(
+          s"index '${c.indexName}' already exists on $target (type $tpe)")
+      case None => ()
+    }
+    // a column may carry OPTIONS (expr '<sql>') → functional entry
+    val cols = c.columns.map { case (f, opts) =>
+      val name = f.name.mkString(".")
+      opts.get("expr").fold(name)(e => s"$name:=$e")
+    }
+    require(cols.nonEmpty, s"CREATE INDEX ${c.indexName}: no columns listed")
+    val tpe = c.indexType.toLowerCase
+    val artifact = tpe match {
+      case "secondary" =>
+        require(kind == "bucket",
+          s"USING SECONDARY needs a bucket-layout table; $target is '$kind'")
+        require(Catalog.secondaryIndexOf(spark, target).isEmpty,
+          s"$target already binds a secondary index")
+        require(cols.forall(!_.contains(":=")),
+          "a secondary index takes plain columns, not expressions")
+        val idxPath = s"${path}_idx_${c.indexName}"
+        SecondaryIndex.create(spark, path, idxPath, cols)
+        setProps(spark, target,
+          "graft.table.secondaryIndex" -> s"${cols.mkString(",")}:$idxPath")
+        idxPath
+      case "record" =>
+        require(kind == "bloom",
+          s"USING RECORD needs a bloom-layout table; $target is '$kind' " +
+            "(the RLI maps record key -> data file over bloom commits)")
+        val keys = BloomTable.props(path).keys
+        require(cols.map(_.toLowerCase).sorted ==
+          keys.map(_.toLowerCase).sorted,
+          s"USING RECORD indexes the primary key (${keys.mkString(",")}); " +
+            s"got (${cols.mkString(",")})")
+        require(!RecordIndex.exists(path),
+          s"$target already has a record index")
+        RecordIndex.build(spark, path)
+        path
+      case "column_stats" =>
+        require(kind == "bucket" || kind == "bloom",
+          s"USING COLUMN_STATS needs a bucket/bloom-layout table; " +
+            s"$target is '$kind'")
+        require(Catalog.statsIndexOf(spark, target).isEmpty,
+          s"$target already binds a column-stats index")
+        val statsPath = s"${path}_stats_${c.indexName}"
+        val live = (kind match {
+          case "bloom" => BloomTable.read(spark, path)
+          case _ => BucketTable.read(spark, path)
+        }).inputFiles.toSeq
+        require(live.nonEmpty,
+          s"no committed data to index at $target (upsert a batch first)")
+        StatsIndex.buildFromFiles(spark, live, cols, statsPath)
+        setProps(spark, target, "graft.table.statsIndex" -> statsPath)
+        statsPath
+      case other => throw new IllegalArgumentException(
+        s"unsupported index type '$other' (supported: SECONDARY | " +
+          "RECORD | COLUMN_STATS)")
+    }
+    setProps(spark, target, s"graft.index.${c.indexName}" -> s"$tpe:$artifact")
+    report(spark, Seq((c.indexName, tpe, artifact)))
+  }
+
+  private def dropIndex(spark: SparkSession, d: DropIndex): DataFrame = {
+    val target = tableOf(d.table)
+    Catalog.indexesOf(spark, target).get(d.indexName) match {
+      case None =>
+        if (d.ignoreIfNotExists) report(spark, Nil)
+        else throw new IllegalArgumentException(
+          s"no index '${d.indexName}' on $target " +
+            s"(indexes: ${Catalog.indexesOf(spark, target).keys.toSeq.sorted
+              .mkString(", ")})")
+      case Some((tpe, artifact)) =>
+        tpe match {
+          case "secondary" =>
+            unsetProps(spark, target, "graft.table.secondaryIndex")
+            FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))
+          case "record" =>
+            RecordIndex.drop(artifact)
+          case "column_stats" =>
+            unsetProps(spark, target, "graft.table.statsIndex")
+            FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))
+          case other => throw new IllegalStateException(
+            s"unknown index type '$other' recorded for '${d.indexName}'")
+        }
+        unsetProps(spark, target, s"graft.index.${d.indexName}")
+        report(spark, Seq((d.indexName, tpe, artifact)))
+    }
+  }
+
+  private def setProps(spark: SparkSession, table: String,
+      kvs: (String, String)*): Unit = {
+    val props = kvs.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($props)")
+    ()
+  }
+
+  private def unsetProps(spark: SparkSession, table: String,
+      keys: String*): Unit = {
+    val props = keys.map(k => s"'$k'").mkString(", ")
+    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES ($props)")
+    ()
+  }
+}

@@ -225,8 +225,26 @@ object SqlMerge {
             SecondaryIndex.tombstone(spark, path, idxPath, secValues, keys)
           case None =>
             val cond = unqualified(d.condition, alias, target)
+            // with a bound index, retire the victims' mappings too —
+            // dangling entries would self-heal on serve (the primary
+            // probe misses), but the index shouldn't accrete them
+            val sec = Catalog.secondaryIndexOf(spark, target)
+            val victimKeys = sec.map { _ =>
+              val keys = BucketTable.props(path).keys
+              Catalog.readTable(spark, target).filter(cond)
+                .select(keys.map(col): _*).distinct().localCheckpoint()
+            }
+            val pre = sec.map { case (_, idxPath) =>
+              SecondaryIndex.entriesForKeys(spark, path, idxPath,
+                victimKeys.get)
+            }
             BucketTable.rewriteWhere(spark, path, cond)(
               _.filter(not(cond) || cond.isNull))
+            sec.foreach { case (_, idxPath) =>
+              SecondaryIndex.reconcile(spark, idxPath, pre.get,
+                SecondaryIndex.entriesForKeys(spark, path, idxPath,
+                  victimKeys.get))
+            }
             ()
         }
       case Some(("bloom", path)) =>
@@ -328,7 +346,12 @@ object SqlMerge {
             PartitionedTable.upsertInto(spark, path, shaped)
             ()
           case ("bucket", false) =>
-            BucketTable.upsertInto(spark, path, shaped)
+            Catalog.secondaryIndexOf(spark, target) match {
+              case Some((_, idxPath)) =>
+                SecondaryIndex.upsertThrough(spark, path, idxPath, shaped)
+              case None =>
+                BucketTable.upsertInto(spark, path, shaped)
+            }
             ()
           case ("bloom", false) =>
             BloomTable.upsertInto(spark, path, shaped)
@@ -460,8 +483,29 @@ object SqlMerge {
           .getOrElse(lit(true))
         kind match {
           case "bucket" =>
+            // an UPDATE that assigns a secondary-indexed column moves
+            // mappings; capture the touched keys' entries before the
+            // rewrite and reconcile after (assignments that don't
+            // touch indexed columns leave the index untouched)
+            val sec = Catalog.secondaryIndexOf(spark, target).filter {
+              case (secCols, _) => secCols.exists(sc =>
+                assigned.keys.exists(_.equalsIgnoreCase(sc)))
+            }
+            val touchedKeys = sec.map { _ =>
+              Catalog.readTable(spark, target).filter(cond)
+                .select(keys.map(col): _*).distinct().localCheckpoint()
+            }
+            val pre = sec.map { case (_, idxPath) =>
+              SecondaryIndex.entriesForKeys(spark, path, idxPath,
+                touchedKeys.get)
+            }
             BucketTable.rewriteWhere(spark, path, cond)(
               d => gated(projected(d, cond, assigned)))
+            sec.foreach { case (_, idxPath) =>
+              SecondaryIndex.reconcile(spark, idxPath, pre.get,
+                SecondaryIndex.entriesForKeys(spark, path, idxPath,
+                  touchedKeys.get))
+            }
           case "bloom" =>
             BloomTable.rewriteWhere(spark, path, cond)(
               d => gated(projected(d, cond, assigned)))
@@ -536,7 +580,17 @@ object SqlMerge {
           precombine, tieBreak)
         layout match {
           case Some(("bucket", path)) =>
-            BucketTable.upsertInto(spark, path, src, rules); ()
+            Catalog.secondaryIndexOf(spark, target) match {
+              case Some((_, idxPath)) =>
+                // a bound secondary index must see every front-door
+                // write: an upsert that moves a row's indexed value
+                // would otherwise leave a live stale mapping, and a
+                // later index-served DELETE would remove the wrong row
+                PreCommit.validate(dedupedSrc, rules)
+                SecondaryIndex.upsertThrough(spark, path, idxPath, src)
+              case None =>
+                BucketTable.upsertInto(spark, path, src, rules); ()
+            }
           case Some(("bloom", path)) =>
             BloomTable.upsertInto(spark, path, src, rules); ()
           case Some(("partitioned", path)) =>
@@ -568,7 +622,21 @@ object SqlMerge {
         val delKeys = source.select(identity.map(col): _*).distinct()
         layout match {
           case Some(("bucket", path)) =>
-            BucketTable.deleteFrom(spark, path, delKeys); ()
+            Catalog.secondaryIndexOf(spark, target) match {
+              case Some((_, idxPath)) =>
+                // capture the victims' index entries BEFORE the delete
+                // (unreachable after), tombstone them after it — the
+                // dangling-entry window self-heals (primary probe
+                // misses), the reverse order would hide live rows
+                val pre = SecondaryIndex.entriesForKeys(
+                  spark, path, idxPath, delKeys)
+                BucketTable.deleteFrom(spark, path, delKeys)
+                SecondaryIndex.reconcile(spark, idxPath, pre,
+                  SecondaryIndex.entriesForKeys(spark, path, idxPath, delKeys))
+              case None =>
+                BucketTable.deleteFrom(spark, path, delKeys); ()
+            }
+            ()
           case Some(("bloom", path)) =>
             BloomTable.deleteFrom(spark, path, delKeys); ()
           case Some(("partitioned", path)) =>
@@ -603,8 +671,20 @@ object SqlMerge {
         }
         layout match {
           case Some(("bucket", path)) =>
-            BucketTable.rewriteKeys(spark, path,
-              source.select(keys.map(col): _*))(merged)
+            val srcKeys = source.select(keys.map(col): _*).distinct()
+              .localCheckpoint()
+            val sec = Catalog.secondaryIndexOf(spark, target)
+            val pre = sec.map { case (_, idxPath) =>
+              SecondaryIndex.entriesForKeys(spark, path, idxPath, srcKeys)
+            }
+            BucketTable.rewriteKeys(spark, path, srcKeys)(merged)
+            // updates may move indexed values, deletes retire
+            // mappings, inserts add them — one pre/post reconcile
+            // covers all three action kinds
+            sec.foreach { case (_, idxPath) =>
+              SecondaryIndex.reconcile(spark, idxPath, pre.get,
+                SecondaryIndex.entriesForKeys(spark, path, idxPath, srcKeys))
+            }
             ()
           case Some(("bloom", path)) =>
             BloomTable.rewriteKeys(spark, path,

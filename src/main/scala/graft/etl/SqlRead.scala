@@ -89,8 +89,44 @@ object SqlRead {
   private def routedRead(spark: SparkSession, rel: UnresolvedRelation,
       cond: Expression): Option[LogicalPlan] =
     pointRead(spark, rel, cond)
+      .orElse(secondaryRead(spark, rel, cond))
       .orElse(prunedScan(spark, rel, cond))
       .orElse(skippingScan(spark, rel, cond))
+
+  /** Secondary-index-served SELECT: when the table binds a secondary
+    * index (`graft.table.secondaryIndex`) and the filter's equality
+    * conjuncts cover every indexed column with literals, the scan is
+    * one index-bucket read + the hit rows' primary buckets — Hudi's
+    * secondary-index query path, no table scan. The retained filter on
+    * top re-checks the equalities (free over the served rows) and
+    * applies any residual conjuncts.
+    */
+  private def secondaryRead(spark: SparkSession, rel: UnresolvedRelation,
+      cond: Expression): Option[LogicalPlan] = {
+    val name = rel.multipartIdentifier.mkString(".")
+    layoutOf(spark, name).flatMap {
+      case ("bucket", path) =>
+        Catalog.secondaryIndexOf(spark, name).flatMap {
+          case (secCols, idxPath) =>
+            val eqs = conjuncts(cond).collect {
+              case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+                a.nameParts.last.toLowerCase -> l
+              case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+                a.nameParts.last.toLowerCase -> l
+            }.toMap
+            if (!secCols.forall(c => eqs.contains(c.toLowerCase))) None
+            else {
+              val secValues = secCols.map { c =>
+                val l = eqs(c.toLowerCase)
+                CatalystTypeConverters.convertToScala(l.value, l.dataType)
+              }
+              Some(SecondaryIndex.lookup(spark, path, idxPath, secValues)
+                .queryExecution.analyzed)
+            }
+        }
+      case _ => None
+    }
+  }
 
   /** Zone-map data skipping through the SQL front door: when the table
     * binds a [[StatsIndex]] (`graft.table.statsIndex`) and the filter

@@ -1194,6 +1194,73 @@ object PipelineQueries {
     stale.unionByName(roAgg("ro_compacted"))
   }
 
+  /** `p_sql_create_index`: the index DDL front door end to end —
+    * `CREATE INDEX ... USING SECONDARY` ([[graft.etl.SqlIndex]]) on a
+    * bucket-backed catalog table, then a MERGE that MOVES indexed
+    * values, then an index-served `DELETE WHERE event_type = 'click'`.
+    * The oracle replays the end state over the merged events: rows
+    * whose CURRENT type is click are gone, rows whose type moved away
+    * from click survive — which is exactly what a stale index would
+    * get wrong in both directions, so the hash check proves the DML
+    * routes maintain the SQL-created index.
+    */
+  def sqlCreateIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "sci")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cidx_target",
+      "bucket", path)
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX by_type ON graft_cidx_target USING SECONDARY (event_type)")
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_cidx_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_cidx_target t USING graft_cidx_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_cidx_target WHERE event_type = 'click'")
+    graft.etl.Catalog.readTable(spark, "graft_cidx_target")
+  }
+
+  /** `p_sql_index_select`: the secondary-index-served SELECT route —
+    * `WHERE event_type = 'purchase'` over the same post-merge state
+    * resolves through one index-bucket read + the hit rows' primary
+    * buckets ([[graft.etl.SqlRead]] `secondaryRead`), no table scan.
+    * Same maintenance dependency as [[sqlCreateIndex]]: served rows
+    * are exactly the CURRENT purchases.
+    */
+  def sqlIndexSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "sis")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_sidx_target",
+      "bucket", path)
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX by_type ON graft_sidx_target USING SECONDARY (event_type)")
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_sidx_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_sidx_target t USING graft_sidx_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.SqlRead.select(spark,
+      """SELECT user_id, event_id, event_type, value, ts_us
+        |FROM graft_sidx_target WHERE event_type = 'purchase'""".stripMargin)
+  }
+
   /** `p_sql_ctas`: the full SQL lifecycle on a graft-managed table —
     * `CREATE TABLE ... TBLPROPERTIES('graft.table.layout'='bucket')
     * AS SELECT` stands the layout up ([[graft.etl.SqlDdl]]), then
@@ -2097,6 +2164,8 @@ object PipelineQueries {
     "p_sql_merge_partial" -> (sqlMergePartial(_, _)),
     "p_sql_mor_dml" -> (sqlMorDml(_, _)),
     "p_sql_mor_ro" -> (sqlMorRoLag(_, _)),
+    "p_sql_create_index" -> (sqlCreateIndex(_, _)),
+    "p_sql_index_select" -> (sqlIndexSelect(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
@@ -2405,6 +2474,25 @@ object PipelineQueries {
          |WHERE NOT (tu IS NOT NULL AND su IS NOT NULL AND NOT upd
          |           AND COALESCE(st = 'click', FALSE))
          |  AND NOT (tu IS NULL AND NOT COALESCE(sv > 0, FALSE))""".stripMargin,
+    // CREATE INDEX ∘ MERGE ∘ indexed DELETE ≡ merged end state minus
+    // rows whose CURRENT type is click (stale-index failures diverge
+    // in both directions — moved-from-click wrongly deleted,
+    // moved-to-click wrongly kept — so the hash pins maintenance)
+    "p_sql_create_index" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 AND event_type <> 'click'""".stripMargin,
+    // the index-served SELECT ≡ current purchases in the merged state
+    "p_sql_index_select" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 AND event_type = 'purchase'""".stripMargin,
     // MERGE ∘ UPDATE ∘ DELETE on the MOR layout ≡ the same statement
     // sequence over the merged end state: latest per user over all
     // events, clicks uplifted, every 7th user removed

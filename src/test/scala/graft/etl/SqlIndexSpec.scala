@@ -1,0 +1,158 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
+
+/** `CREATE INDEX` / `DROP INDEX` through Spark's own parser, dispatched
+  * to the engine's index kinds — and the load-bearing part: a
+  * SQL-created secondary index stays CORRECT under every front-door
+  * write (the upsert-moves-indexed-value → index-served-DELETE
+  * composition that silently deleted wrong rows before the SQL DML
+  * routes maintained the index).
+  */
+class SqlIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  private def rows(t: (Long, Long, String, Double)*) =
+    t.toSeq.toDF("k", "pc", "etype", "v")
+
+  private def bucketBacked(name: String): String = {
+    val path = fresh("sqlidx")
+    BucketTable.create(rows((1 to 16).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      path, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, name, "bucket", path)
+    path
+  }
+
+  private def contents(path: String): Map[Long, (String, Double)] =
+    BucketTable.read(spark, path).as[(Long, Long, String, Double)]
+      .collect().map(r => r._1 -> (r._3, r._4)).toMap
+
+  test("secondary index: create, serve SELECT, registry, drop") {
+    val path = bucketBacked("sql_idx_sec")
+    val rep = SqlIndex.exec(spark,
+      "CREATE INDEX sec1 ON sql_idx_sec USING SECONDARY (etype)")
+    assert(rep.as[(String, String, String)].collect().toSeq ==
+      Seq(("sec1", "secondary", s"${path}_idx_sec1")))
+    // the SELECT route serves the equality through the index
+    val served = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_sec WHERE etype = 'click' AND k <= 8")
+      .as[Long].collect().toSet
+    assert(served == Set(2L, 4L, 6L, 8L))
+    // registry lists it; duplicate names rejected; IF NOT EXISTS no-ops
+    assert(SqlCall.exec(spark, "CALL show_indexes('sql_idx_sec')")
+      .as[(String, String, String)].collect().map(_._1).toSeq == Seq("sec1"))
+    intercept[IllegalArgumentException] {
+      SqlIndex.exec(spark,
+        "CREATE INDEX sec1 ON sql_idx_sec USING SECONDARY (etype)")
+    }
+    SqlIndex.exec(spark,
+      "CREATE INDEX IF NOT EXISTS sec1 ON sql_idx_sec USING SECONDARY (etype)")
+    // drop removes binding + artifact
+    SqlIndex.exec(spark, "DROP INDEX sec1 ON sql_idx_sec")
+    assert(Catalog.secondaryIndexOf(spark, "sql_idx_sec").isEmpty)
+    assert(!Files.exists(Paths.get(s"${path}_idx_sec1")))
+    assert(SqlCall.exec(spark, "CALL show_indexes('sql_idx_sec')").count() == 0)
+    intercept[IllegalArgumentException] {
+      SqlIndex.exec(spark, "DROP INDEX sec1 ON sql_idx_sec")
+    }
+    SqlIndex.exec(spark, "DROP INDEX IF EXISTS sec1 ON sql_idx_sec")
+  }
+
+  test("front-door writes maintain a SQL-created secondary index") {
+    val path = bucketBacked("sql_idx_maint")
+    SqlIndex.exec(spark,
+      "CREATE INDEX m1 ON sql_idx_maint USING SECONDARY (etype)")
+    // MERGE moves k=2's indexed value click -> view
+    Seq((2L, 2L, "view", 20.0)).toDF("k", "pc", "etype", "v")
+      .createOrReplaceTempView("idx_m_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_idx_maint t USING idx_m_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // UPDATE moves k=4 the same way through the predicate route
+    SqlMerge.exec(spark,
+      "UPDATE sql_idx_maint SET etype = 'view' WHERE k = 4")
+    // the index-served DELETE must NOT remove the moved rows
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_maint WHERE etype = 'click'")
+    val got = contents(path)
+    assert(got.contains(2L) && got(2L)._1 == "view")
+    assert(got.contains(4L) && got(4L)._1 == "view")
+    assert(got.keySet.filter(_ % 2 == 0) == Set(2L, 4L)) // clicks gone
+    // and the index itself serves the current state
+    val viewsNow = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_maint WHERE etype = 'view'")
+      .as[Long].collect().toSet
+    assert(viewsNow == got.keySet)
+  }
+
+  test("record index on a bloom table: create serves point reads; drop") {
+    val path = fresh("sqlidxr")
+    BloomTable.create(rows((1 to 32).map(i =>
+      (i.toLong, 1L, "e", i.toDouble)): _*), path,
+      keys = Seq("k"), precombine = "pc", numFiles = 8)
+    Catalog.registerLayoutTable(spark, "sql_idx_rli", "bloom", path)
+    // wrong columns rejected: the RLI maps the PRIMARY KEY
+    intercept[IllegalArgumentException] {
+      SqlIndex.exec(spark,
+        "CREATE INDEX r1 ON sql_idx_rli USING RECORD (etype)")
+    }
+    SqlIndex.exec(spark, "CREATE INDEX r1 ON sql_idx_rli USING RECORD (k)")
+    assert(RecordIndex.exists(path))
+    val got = SqlRead.select(spark,
+      "SELECT v FROM sql_idx_rli WHERE k = 7").as[Double].collect()
+    assert(got.toSeq == Seq(7.0))
+    SqlIndex.exec(spark, "DROP INDEX r1 ON sql_idx_rli")
+    assert(!RecordIndex.exists(path))
+    // reads fall back to the bloom route
+    val fallback = SqlRead.select(spark,
+      "SELECT v FROM sql_idx_rli WHERE k = 7").as[Double].collect()
+    assert(fallback.toSeq == Seq(7.0))
+  }
+
+  test("column-stats index: create binds skipping; functional expr option") {
+    val path = fresh("sqlidxs")
+    BucketTable.create(rows((1 to 64).map(i =>
+      (i.toLong, 1L, "e", i.toDouble)): _*), path,
+      keys = Seq("k"), precombine = "pc", numBuckets = 8)
+    Catalog.registerLayoutTable(spark, "sql_idx_stats", "bucket", path)
+    SqlIndex.exec(spark,
+      """CREATE INDEX s1 ON sql_idx_stats USING COLUMN_STATS
+        |(v, vneg OPTIONS (expr '0 - v'))""".stripMargin)
+    assert(Catalog.statsIndexOf(spark, "sql_idx_stats")
+      .contains(s"${path}_stats_s1"))
+    assert(StatsIndex.columns(s"${path}_stats_s1").toSet == Set("v", "vneg"))
+    // the SQL read route consults it (correctness; the skip itself is
+    // pinned by StatsIndexSpec/PlanAssertSpec machinery)
+    val got = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_stats WHERE v >= 63.0").as[Long].collect().toSet
+    assert(got == Set(63L, 64L))
+    SqlIndex.exec(spark, "DROP INDEX s1 ON sql_idx_stats")
+    assert(Catalog.statsIndexOf(spark, "sql_idx_stats").isEmpty)
+    assert(!Files.exists(Paths.get(s"${path}_stats_s1")))
+  }
+
+  test("index DDL on unregistered / wrong-layout tables fails loudly") {
+    spark.range(2).toDF("x").createOrReplaceTempView("sql_idx_plainv")
+    intercept[Exception] {
+      SqlIndex.exec(spark,
+        "CREATE INDEX z ON sql_idx_plainv USING SECONDARY (x)")
+    }
+    val path = bucketBacked("sql_idx_wrongkind")
+    intercept[IllegalArgumentException] {
+      // record index needs a bloom layout
+      SqlIndex.exec(spark,
+        "CREATE INDEX z ON sql_idx_wrongkind USING RECORD (k)")
+    }
+    intercept[IllegalArgumentException] {
+      // unknown type
+      SqlIndex.exec(spark,
+        "CREATE INDEX z ON sql_idx_wrongkind USING BTREE (k)")
+    }
+  }
+}
