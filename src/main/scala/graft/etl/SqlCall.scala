@@ -131,6 +131,28 @@ object SqlCall {
       case ("purge_key", args) if args.length >= 2 &&
           args.head.isInstanceOf[String] =>
         purgeKey(spark, args.head.asInstanceOf[String], args.tail)
+      case ("run_clustering", Seq(t: String, sortCols: String)) =>
+        // Hudi's clustering procedure: rewrite the partitioned layout
+        // sorted by the given columns so file-level zone maps tighten
+        // (the replacecommit generation is returned; superseded files
+        // stay readable until clean)
+        val path = Catalog.layoutOf(spark, t) match {
+          case Some(("partitioned", p)) => p
+          case other => throw new IllegalArgumentException(
+            s"run_clustering('$t'): not a partitioned-layout table" +
+              other.fold("")(kp => s" (layout: ${kp._1})"))
+        }
+        val cols = sortCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(PartitionedTable.cluster(spark, path, cols)).toDF("generation")
+      case ("run_bootstrap",
+          Seq(t: String, src: String, dst: String, keys: String, pc: String)) =>
+        // Hudi's METADATA_ONLY bootstrap as a procedure: onboard an
+        // existing parquet directory as a MOR table (no data rewrite)
+        // and register it in the catalog in one CALL
+        MorTable.bootstrap(spark, src, dst,
+          keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq, pc)
+        Catalog.registerLayoutTable(spark, t, "mor", dst)
+        Seq((t, dst)).toDF("table", "path")
       case ("show_indexes", Seq(t: String)) =>
         Catalog.indexesOf(spark, t).toSeq.sortBy(_._1)
           .map { case (n, (tpe, artifact)) => (n, tpe, artifact) }
@@ -150,7 +172,7 @@ object SqlCall {
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
-          "show_indexes, " +
+          "show_indexes, run_clustering, run_bootstrap, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint)")
     }

@@ -567,10 +567,10 @@ object SqlMerge {
     // touched region's post-image for conditional actions. DELETE
     // writes no rows and is never gated.
     val rules = Catalog.validatorsOf(spark, target)
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported")
-    (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+    (m.matchedActions, m.notMatchedActions,
+        m.notMatchedBySourceActions) match {
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+          Seq()) =>
         // Hudi's canonical MERGE: the keyed precombine upsert
         val src = source.select(cols.map(col): _*)
         // bucket/bloom gate inside upsertInto (after their precombine
@@ -616,7 +616,7 @@ object SqlMerge {
               HudiLike.upsert(existing, src, keys, precombine, tieBreak)
                 .select(cols.map(col): _*))
         }
-      case (Seq(DeleteAction(None)), Seq()) =>
+      case (Seq(DeleteAction(None)), Seq(), Seq()) =>
         // the partitioned layout deletes by full identity (a key
         // repeats across partitions); the rest by key
         val delKeys = source.select(identity.map(col): _*).distinct()
@@ -669,10 +669,31 @@ object SqlMerge {
           PreCommit.validate(out, rules)
           out
         }
+        // rows a NOT MATCHED BY SOURCE action may touch: none without
+        // such actions; the rows satisfying SOME action's condition
+        // when every action is conditional (the targeted-rewrite
+        // region stays bounded); every row when one is unconditional
+        // (the semantics genuinely require the whole table — same in
+        // Hudi)
+        val bySourceSel: Option[Column] =
+          if (m.notMatchedBySourceActions.isEmpty) None
+          else {
+            val conds = m.notMatchedBySourceActions.map(_.condition)
+            if (conds.exists(_.isEmpty)) Some(lit(true))
+            else Some(conds.flatten.map(unqualified(_, tAlias, target))
+              .reduce(_ || _))
+          }
+        def touchedIdentity(idCols: Seq[String]): DataFrame = {
+          val srcIds = source.select(idCols.map(col): _*).distinct()
+          bySourceSel.fold(srcIds)(sel =>
+            srcIds.unionByName(
+              existing.filter(sel).select(idCols.map(col): _*))
+              .distinct())
+            .localCheckpoint()
+        }
         layout match {
           case Some(("bucket", path)) =>
-            val srcKeys = source.select(keys.map(col): _*).distinct()
-              .localCheckpoint()
+            val srcKeys = touchedIdentity(keys)
             val sec = Catalog.secondaryIndexOf(spark, target)
             val pre = sec.map { case (_, idxPath) =>
               SecondaryIndex.entriesForKeys(spark, path, idxPath, srcKeys)
@@ -687,12 +708,11 @@ object SqlMerge {
             }
             ()
           case Some(("bloom", path)) =>
-            BloomTable.rewriteKeys(spark, path,
-              source.select(keys.map(col): _*))(merged)
+            BloomTable.rewriteKeys(spark, path, touchedIdentity(keys))(merged)
             ()
           case Some(("partitioned", path)) =>
             PartitionedTable.rewriteKeys(spark, path,
-              source.select(identity.map(col): _*))(merged)
+              touchedIdentity(identity))(merged)
             ()
           case Some(("timeline", path)) =>
             Timeline.commit(merged(existing), path, action = "merge")
@@ -704,7 +724,7 @@ object SqlMerge {
             // inserts, AND the statement's deletes as tombstones —
             // atomic under a single pointer swing, O(touched) written.
             val touched = existing.join(
-              source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+              touchedIdentity(keys), keys, "left_semi")
             val out = merged(touched).localCheckpoint()
             // an explicit SET that lowers the precombine would lose the
             // snapshot merge to the row it replaces (silent no-op) —
@@ -746,7 +766,9 @@ object SqlMerge {
     * precombine-deduped) source on the keys, then per row apply the
     * FIRST action in statement order whose condition holds — matched
     * rows with no applicable action pass through, source-only rows
-    * with no applicable insert are dropped. Executes as one
+    * with no applicable insert are dropped, target-only rows run the
+    * NOT MATCHED BY SOURCE actions (target-only resolution; no
+    * applicable action keeps the row). Executes as one
     * join + one projection: no per-action passes, no driver loops,
     * whatever the action count.
     */
@@ -802,6 +824,32 @@ object SqlMerge {
       })
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"MERGE: $msg")
+    // NOT MATCHED BY SOURCE context: the source row does not exist, so
+    // references resolve ONLY against the target — a source reference
+    // is a loud failure, not a silent NULL
+    def rewriteTargetOnly(e: Expression): Column =
+      render(e.transformUp {
+        case a: UnresolvedAttribute =>
+          val c = a.nameParts.last.toLowerCase
+          val resolved = a.nameParts match {
+            case parts if parts.length >= 2 &&
+                parts(parts.length - 2).equalsIgnoreCase(s.alias) &&
+                !parts(parts.length - 2).equalsIgnoreCase(t.alias) =>
+              fail(s"NOT MATCHED BY SOURCE cannot reference the source " +
+                s"(${s.alias}.$c)")
+            case parts if parts.length >= 2 &&
+                parts(parts.length - 2).equalsIgnoreCase(t.alias) =>
+              t.renamed.getOrElse(c,
+                fail(s"${t.alias}.$c: no such target column"))
+            case parts if parts.length >= 2 =>
+              fail(s"unknown qualifier '${parts(parts.length - 2)}' " +
+                s"(target is ${t.alias})")
+            case _ => t.renamed.getOrElse(c,
+              fail(s"column '$c' is not a target column (NOT MATCHED BY " +
+                "SOURCE resolves only the target)"))
+          }
+          UnresolvedAttribute(Seq(resolved))
+      })
     def actCond(a: MergeAction, insertCtx: Boolean): Column =
       a.condition.map(rewrite(_, insertCtx)).getOrElse(lit(true))
     def assignmentMap(assigns: Seq[Assignment],
@@ -843,6 +891,27 @@ object SqlMerge {
           (100 + i, am)
         case (other, _) => fail(s"unsupported not-matched action $other")
       }
+    // target-only rows: 200+i codes, target-only resolution, the same
+    // key-assignment rejection as matched updates
+    val bySourceVals: Seq[(Int, Map[String, Column], Boolean)] =
+      m.notMatchedBySourceActions.zipWithIndex.map {
+        case (a: UpdateAction, i) =>
+          val am = a.assignments.map { as =>
+            val written = as.key match {
+              case ua: UnresolvedAttribute => ua.nameParts.last
+              case other => fail(s"unsupported assignment target ${other.sql}")
+            }
+            val resolved = cols.find(_.equalsIgnoreCase(written))
+              .getOrElse(fail(s"no such target column '$written'"))
+            if (keys.exists(_.equalsIgnoreCase(resolved)))
+              fail(s"cannot UPDATE key column '$resolved'")
+            resolved -> rewriteTargetOnly(as.value)
+          }.toMap
+          (200 + i, am, false)
+        case (_: DeleteAction, i) => (200 + i, Map.empty[String, Column], true)
+        case (other, _) =>
+          fail(s"unsupported not-matched-by-source action $other")
+      }
     val matchedDec = m.matchedActions.zipWithIndex
       .foldRight(lit(-1)) { case ((a, i), els) =>
         when(actCond(a, insertCtx = false), lit(i)).otherwise(els)
@@ -851,16 +920,21 @@ object SqlMerge {
       .foldRight(lit(-2)) { case ((a, i), els) =>
         when(actCond(a, insertCtx = true), lit(100 + i)).otherwise(els)
       }
+    val bySourceDec = m.notMatchedBySourceActions.zipWithIndex
+      .foldRight(lit(-1)) { case ((a, i), els) =>
+        when(a.condition.map(rewriteTargetOnly).getOrElse(lit(true)),
+          lit(200 + i)).otherwise(els)
+      }
     val dec =
       when(col("__t_present").isNotNull && col("__s_present").isNotNull,
         matchedDec)
-        .when(col("__s_present").isNull, lit(-1))
+        .when(col("__s_present").isNull, bySourceDec)
         .otherwise(insertDec)
 
     val out = cols.map { c =>
       val dt = existing.schema(c).dataType
       val base: Column = col(t.renamed(c.toLowerCase)) // keep target value
-      val withMatched = matchedVals.filterNot(_._3)
+      val withMatched = (matchedVals ++ bySourceVals).filterNot(_._3)
         .foldLeft(base) { case (acc, (i, vals, _)) =>
           when(col("__dec") === i,
             vals.getOrElse(c, col(t.renamed(c.toLowerCase)))).otherwise(acc)
@@ -870,7 +944,9 @@ object SqlMerge {
           vals.getOrElse(c, lit(null))).otherwise(acc)
       }.cast(dt).as(c)
     }
-    val deleteCodes = matchedVals.collect { case (i, _, true) => i }
+    val deleteCodes = (matchedVals ++ bySourceVals).collect {
+      case (i, _, true) => i
+    }
     val dropped = deleteCodes.map(col("__dec") === _)
       .foldLeft(col("__dec") === -2)(_ || _)
     joined.withColumn("__dec", dec).filter(!dropped).select(out: _*)

@@ -1194,6 +1194,41 @@ object PipelineQueries {
     stale.unionByName(roAgg("ro_compacted"))
   }
 
+  /** `p_sql_merge_by_source`: the full ANSI MERGE surface — `WHEN NOT
+    * MATCHED BY SOURCE` actions (conditional DELETE + conditional
+    * UPDATE, target-only resolution) alongside the star-star matched/
+    * insert pair, routed to the bucket layout. Because every by-source
+    * action is conditional, the rewrite region stays TARGETED: source
+    * keys ∪ rows satisfying some by-source condition (SqlMergeSpec
+    * pins untouched buckets byte-identical). The oracle replays the
+    * decision table: users with post-split events get their overall
+    * latest row; stranded users are deleted when their row is a click,
+    * zeroed when a view, kept otherwise.
+    */
+  def sqlMergeBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "sbs")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_bysrc_target",
+      "bucket", path)
+    ev.filter(col("ts_us") > SplitUs)
+      .createOrReplaceTempView("graft_bysrc_src")
+    graft.etl.SqlMerge.merge(spark,
+      """MERGE INTO graft_bysrc_target t USING graft_bysrc_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'click' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'view'
+        |  THEN UPDATE SET value = 0""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_bysrc_target")
+  }
+
   /** `p_sql_create_index`: the index DDL front door end to end —
     * `CREATE INDEX ... USING SECONDARY` ([[graft.etl.SqlIndex]]) on a
     * bucket-backed catalog table, then a MERGE that MOVES indexed
@@ -1551,6 +1586,27 @@ object PipelineQueries {
       maxFilesPerTrigger = 1, keys = Seq("entity_id"),
       precombine = "event_timestamp", tieBreak = Seq("event_id"))
     graft.etl.BucketTable.read(spark, base.resolve("tbl").toString)
+      .select(col("entity_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
+  }
+
+  /** `p_stream_mor_ingest`: streaming ingest into the MOR layout —
+    * the write-optimized pairing ([[graft.streaming.StreamingPipeline
+    * .runIngestMor]]): every micro-batch appends one delta log
+    * (O(batch) at any table size; the CoW/bucket sinks rewrite file
+    * groups instead), the snapshot read resolves latest-per-key across
+    * base ∪ logs. Same micro-batch slices and same oracle as
+    * `p_stream_ingest` — batch-boundary independence is the contract,
+    * only the sink's write cost differs.
+    */
+  def streamMorIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src) = stageEventSlices(spark, sfDir)
+    graft.streaming.StreamingPipeline.runIngestMor(spark,
+      src.toString, base.resolve("mtbl").toString,
+      base.resolve("mckpt").toString,
+      maxFilesPerTrigger = 1, keys = Seq("entity_id"),
+      precombine = "event_timestamp", tieBreak = Seq("event_id"))
+    graft.etl.MorTable.readSnapshot(spark, base.resolve("mtbl").toString)
       .select(col("entity_id"), col("event_id"), col("event_type"),
         col("value"), unix_micros(col("event_timestamp")).as("ts_us"))
   }
@@ -2122,6 +2178,7 @@ object PipelineQueries {
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_timeline_incr_archived" -> (timelineIncrArchived(_, _)),
     "p_stream_ingest" -> (streamIngest(_, _)),
+    "p_stream_mor_ingest" -> (streamMorIngest(_, _)),
     "p_stream_quarantine" -> (streamQuarantine(_, _)),
     "p_stream_window_agg" -> (streamWindowAgg(_, _)),
     "p_bucket_upsert" -> (bucketUpsert(_, _)),
@@ -2166,6 +2223,7 @@ object PipelineQueries {
     "p_sql_mor_ro" -> (sqlMorRoLag(_, _)),
     "p_sql_create_index" -> (sqlCreateIndex(_, _)),
     "p_sql_index_select" -> (sqlIndexSelect(_, _)),
+    "p_sql_merge_by_source" -> (sqlMergeBySource(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
@@ -2239,6 +2297,17 @@ object PipelineQueries {
          |FROM events WHERE ts IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
     "p_stream_ingest" ->
+      s"""SELECT entity_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id AS entity_id, event_id, event_type, value,
+         |  epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
+    // identical contract to p_stream_ingest — only the sink's write
+    // cost differs (delta-log append vs file-group rewrite), which is
+    // exactly what sharing the oracle proves
+    "p_stream_mor_ingest" ->
       s"""SELECT entity_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id AS entity_id, event_id, event_type, value,
          |  epoch_us(ts) AS ts_us,
@@ -2474,6 +2543,26 @@ object PipelineQueries {
          |WHERE NOT (tu IS NOT NULL AND su IS NOT NULL AND NOT upd
          |           AND COALESCE(st = 'click', FALSE))
          |  AND NOT (tu IS NULL AND NOT COALESCE(sv > 0, FALSE))""".stripMargin,
+    // the BY SOURCE decision table: post-split users get their overall
+    // latest; stranded users delete on click, zero on view, else keep
+    "p_sql_merge_by_source" ->
+      s"""WITH all_latest AS (
+         | SELECT user_id, event_id, event_type, value, ts_us FROM (
+         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |   row_number() OVER (PARTITION BY user_id
+         |     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |  FROM events) x WHERE rn = 1
+         |), post AS (
+         | SELECT DISTINCT user_id FROM events WHERE epoch_us(ts) > $SplitUs
+         |)
+         |SELECT user_id, event_id, event_type,
+         |  CASE WHEN user_id NOT IN (SELECT user_id FROM post)
+         |        AND event_type = 'view'
+         |       THEN CAST(0 AS DOUBLE) ELSE value END AS value,
+         |  ts_us
+         |FROM all_latest
+         |WHERE user_id IN (SELECT user_id FROM post)
+         |   OR event_type <> 'click'""".stripMargin,
     // CREATE INDEX ∘ MERGE ∘ indexed DELETE ≡ merged end state minus
     // rows whose CURRENT type is click (stale-index failures diverge
     // in both directions — moved-from-click wrongly deleted,

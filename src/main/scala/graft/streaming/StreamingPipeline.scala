@@ -713,6 +713,47 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Streaming ingest into a MOR table — the Hudi pairing for
+    * high-frequency ingest: each micro-batch APPENDS as a delta log,
+    * O(batch) write regardless of table size; the merge cost moves to
+    * snapshot readers and compaction, not the ingest path. A replayed
+    * micro-batch (crash between the log append and the checkpoint
+    * commit — the [[runIngestBucketed]] crash window) appends a
+    * DUPLICATE log whose rows carry identical key/precombine/payload;
+    * the snapshot merge resolves every key to the same row, so the
+    * RESULT is exactly-once even though the storage is at-least-once
+    * (Hudi's MOR streaming sink makes the same trade — compaction
+    * folds the duplicate away). `StreamingSpec` proves the replayed
+    * snapshot byte-equals the clean run's.
+    */
+  def runIngestMor(spark: SparkSession, sourceDir: String,
+      targetPath: String, checkpoint: String,
+      maxFilesPerTrigger: Int = 1,
+      keys: Seq[String] = Seq("record_id"),
+      precombine: String = "event_timestamp",
+      tieBreak: Seq[String] = Seq("event_id"),
+      stateParts: Int = StateParts,
+      afterTableCommit: Long => Unit = _ => ()): Unit = {
+    val q = extractStream(streamSession(spark, stateParts), sourceDir,
+      Some(maxFilesPerTrigger)).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (graft.etl.MorTable.state(targetPath).isEmpty)
+            graft.etl.MorTable.create(batch, targetPath,
+              keys = keys, precombine = precombine, tieBreak = tieBreak)
+          else
+            graft.etl.MorTable.upsertInto(targetPath, batch)
+          afterTableCommit(batchId)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming incremental read of a MOR table — Hudi's "streaming
     * query" on the read side: the delta log is an append-only sequence
     * of immutable parquet dirs (`log=base.seq/`), so Spark's file-stream

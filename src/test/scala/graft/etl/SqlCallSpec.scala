@@ -2,6 +2,7 @@ package graft.etl
 
 import graft.SparkSpec
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** The CALL procedure surface: each procedure parses through Spark's
   * parser, dispatches to the right table service, and returns a frame
@@ -146,5 +147,47 @@ class SqlCallSpec extends SparkSpec {
       SqlCall.exec(spark, "CALL clean_commits('call_b', 1 + 1)")
     }
     assert(nonLiteral.getMessage.contains("literal"))
+  }
+
+  test("run_clustering rewrites the partitioned layout sorted; data intact") {
+    val p = Files.createTempDirectory("sqlcallcl").toString + "/t"
+    val df = (1 to 200).map(i =>
+      (i.toLong, 1L, s"d${i % 2}", (i * 37 % 200).toDouble))
+      .toDF("k", "pc", "part", "v")
+    PartitionedTable.create(df, p, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("part"))
+    Catalog.registerLayoutTable(spark, "call_cl", "partitioned", p)
+    val gen = SqlCall.exec(spark, "CALL run_clustering('call_cl', 'v')")
+      .as[Long].head()
+    assert(gen >= 1L)
+    val got = PartitionedTable.read(spark, p)
+      .as[(Long, Long, String, Double)].collect()
+    assert(got.length == 200 && got.map(_._1).toSet == (1 to 200).map(_.toLong).toSet)
+    val wrong = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL run_clustering('call_b', 'v')")
+    }
+    assert(wrong.getMessage.contains("partitioned"))
+  }
+
+  test("run_bootstrap onboards a parquet dir as a registered MOR table") {
+    val base = Files.createTempDirectory("sqlcallbs").toString
+    val src = s"$base/src"
+    (1 to 20).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v")
+      .write.parquet(src)
+    SqlCall.exec(spark,
+      s"CALL run_bootstrap('call_bs', '$src', '$base/t', 'k', 'pc')")
+    // zero data rewrite: the table dir holds only metadata, reads
+    // resolve the source in place
+    assert(!Files.list(java.nio.file.Paths.get(s"$base/t")).iterator()
+      .asScala.exists(_.getFileName.toString.startsWith("base=")))
+    val n = SqlRead.select(spark, "SELECT count(*) AS n FROM call_bs")
+      .as[Long].head()
+    assert(n == 20L)
+    // and it is a live MOR table: DML appends, compaction owns the data
+    SqlMerge.exec(spark, "DELETE FROM call_bs WHERE k > 15")
+    assert(SqlRead.select(spark, "SELECT count(*) AS n FROM call_bs")
+      .as[Long].head() == 15L)
+    SqlCall.exec(spark, "CALL run_compaction('call_bs')")
+    assert(MorTable.readOptimized(spark, s"$base/t").count() == 15L)
   }
 }

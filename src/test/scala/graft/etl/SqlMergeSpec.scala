@@ -83,6 +83,72 @@ class SqlMergeSpec extends SparkSpec {
     assert(BucketTable.read(spark, p).filter(col("v") === 11.0).count() == 1)
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: update, delete, target-only resolution") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("sqlmergebs").toString + "/t"
+    BucketTable.create(
+      (1 to 8).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_merge_bs", "bucket", p)
+    Seq((1L, 2L, 100.0), (9L, 1L, 9.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_merge_bs_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_merge_bs t USING sql_merge_bs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 7 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0 THEN UPDATE SET v = 0
+        |""".stripMargin)
+    val got = BucketTable.read(spark, p).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    // 1 updated via source; 9 inserted; 7,8 deleted (>=7, not in src);
+    // 2,4,6 zeroed (even, not in src); 3,5 untouched
+    assert(got == Map(1L -> 100.0, 2L -> 0.0, 3L -> 3.0, 4L -> 0.0,
+      5L -> 5.0, 6L -> 0.0, 9L -> 9.0))
+    // a source reference inside a by-source action is a loud failure
+    val ex = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        """MERGE INTO sql_merge_bs t USING sql_merge_bs_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin)
+    }
+    assert(ex.getMessage.contains("cannot reference the source"))
+    assert(BucketTable.read(spark, p).filter(col("k") === 3L)
+      .as[(Long, Long, Double)].head()._3 == 3.0)
+  }
+
+  test("conditional BY SOURCE actions keep the rewrite targeted") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val p = Files.createTempDirectory("sqlmergebst").toString + "/t"
+    BucketTable.create(
+      (1 to 64).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 8)
+    Catalog.registerLayoutTable(spark, "sql_merge_bst", "bucket", p)
+    def files(): Set[(String, Any)] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => (f.toString, Files.getLastModifiedTime(f))).toSet
+    val before = files()
+    Seq((7L, 2L, 70.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_merge_bst_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_merge_bst t USING sql_merge_bst_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v = 33 THEN DELETE""".stripMargin)
+    val got = BucketTable.read(spark, p).as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(got(7L) == 70.0 && !got.contains(33L) && got.size == 63)
+    // only the buckets of k=7 and k=33 were rewritten: every other
+    // bucket's files carry their exact previous bytes
+    val touched = Set(7L, 33L).map(k =>
+      BucketTable.bucketOf(spark, p, Seq(k)))
+    val untouchedBefore = before.filterNot { case (f, _) =>
+      touched.exists(b => f.contains(s"b=$b/")) }
+    assert(untouchedBefore.subsetOf(files()))
+    assert(untouchedBefore.nonEmpty)
+  }
+
   test("validators added via native ALTER TABLE SET TBLPROPERTIES take effect") {
     val p = Files.createTempDirectory("sqlmergealter").toString + "/t"
     BucketTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), p,
@@ -213,10 +279,16 @@ class SqlMergeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SqlMerge.merge(spark,
         s"""MERGE INTO $t t USING merge_shape s ON t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin)
     }
     assert(contents(t) == before)
+    // star-star + unconditional BY SOURCE DELETE now runs: matched
+    // rows upsert, target-only rows go — "mirror the source"
+    SqlMerge.merge(spark,
+      s"""MERGE INTO $t t USING merge_shape s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(contents(t) == Seq((1L, 20L, 11.0)))
   }
 
   test("conditional MERGE: first matching action wins, unmatched rows keep/drop") {

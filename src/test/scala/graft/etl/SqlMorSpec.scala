@@ -181,6 +181,24 @@ class SqlMorSpec extends SparkSpec {
     assert(contents(path) == Map(1L -> 10.0))
   }
 
+  test("BY SOURCE actions land in the same single mixed delta log") {
+    val path = morBacked("sql_mor_bs")
+    Seq((1L, 2L, 10.5)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("mor_bs_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_mor_bs t USING mor_bs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v, pc = s.pc
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 15 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.v >= 13 THEN UPDATE SET v = 0
+        |""".stripMargin)
+    assert(MorTable.state(path).contains((0L, 1L))) // one atomic commit
+    val got = contents(path)
+    assert(got(1L) == 10.5)                       // matched update
+    assert((15 to 16).forall(i => !got.contains(i.toLong))) // deleted
+    assert(got(13L) == 0.0 && got(14L) == 0.0)    // by-source update
+    assert(got(12L) == 12.0)                      // untouched
+  }
+
   test("purge-style keyed MERGE DELETE tombstones via snapshot semi-join") {
     val path = morBacked("sql_mor_mdel")
     Seq(Tuple1(2L), Tuple1(4L), Tuple1(888L)).toDF("k")

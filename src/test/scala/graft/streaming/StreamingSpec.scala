@@ -365,6 +365,41 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must be absorbed idempotently by the keyed upsert")
   }
 
+  test("MOR streaming sink: log-per-batch, crash replay converges to parity") {
+    val base = Files.createTempDirectory("streammor").toString
+    val raw = graft.Tables.eventsRaw(spark, s"$sf0001/events.parquet")
+    stageOneFile(raw.filter($"event_id" % 2 === 0), base, "half0", s"$base/src")
+    // run 1 dies in the worst window: the delta log is appended, the
+    // checkpoint never hears of the batch
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingPipeline.runIngestMor(spark, s"$base/src",
+        s"$base/target", s"$base/ckpt",
+        afterTableCommit = _ => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage.contains("injected crash") ||
+      Option(boom.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(graft.etl.MorTable.readSnapshot(spark, s"$base/target")
+      .count() == 500)
+    // recovery replays the batch as a DUPLICATE log (MOR storage is
+    // at-least-once); the snapshot merge must still resolve every key
+    // to one row — result exactly-once
+    stageOneFile(raw.filter($"event_id" % 2 =!= 0), base, "half1", s"$base/src")
+    StreamingPipeline.runIngestMor(spark, s"$base/src",
+      s"$base/target", s"$base/ckpt")
+    val snap = graft.etl.MorTable.readSnapshot(spark, s"$base/target")
+    assert(snap.count() == 1000, "replay lost or duplicated rows")
+    assert(snap.select("record_id").distinct().count() == 1000)
+    // every micro-batch appended O(batch): base holds only the create
+    // batch, everything since is delta logs
+    val (b, deltas) = graft.etl.MorTable.state(s"$base/target").get
+    assert(b == 0L && deltas >= 2L,
+      s"expected log-per-batch appends, got base=$b deltas=$deltas")
+    // compaction folds the at-least-once logs into an owned base
+    graft.etl.MorTable.compact(spark, s"$base/target")
+    assert(graft.etl.MorTable.readOptimized(spark, s"$base/target")
+      .count() == 1000)
+  }
+
   test("streaming windowed rollup accumulates across micro-batches to the batch answer") {
     val base = Files.createTempDirectory("streamw").toString
     // two files → two micro-batches: hour windows receiving rows in
