@@ -325,10 +325,100 @@ object Catalog {
          |  'graft.table.tieBreak' = '${tieBreak.mkString(",")}'$secProp)""".stripMargin)
   }
 
-  /** Layout-aware table read: the layout's manifest-resolved snapshot
-    * for bound tables, the plain catalog read otherwise.
+  // ---- schema-on-read mapping -------------------------------------------
+  // DROP COLUMNS / RENAME COLUMN are metadata-only: data files are
+  // immutable, so the catalog carries a name mapping (logical → physical;
+  // Iceberg's name mapping, Hudi's schema-on-read) plus a tombstone list
+  // of dropped PHYSICAL columns. Writers keep physical names stable
+  // forever — new data for a renamed column lands under its ORIGINAL
+  // physical name ([[toPhysical]]) so a snapshot never mixes two spellings
+  // of one column across files — and readers reconcile through
+  // [[alignToDeclared]]. At 100 TB either statement costs one catalog
+  // write and zero file rewrites.
+
+  private def parseRenames(props: Map[String, String]): Map[String, String] =
+    props.get("graft.schema.renames").filter(_.nonEmpty)
+      .fold(Map.empty[String, String]) { v =>
+        v.split(";").filter(_.nonEmpty).map { pair =>
+          val Array(log, phys) = pair.split(":", 2)
+          log.toLowerCase -> phys
+        }.toMap
+      }
+
+  private def parseDropped(props: Map[String, String]): Set[String] =
+    props.get("graft.schema.dropped").filter(_.nonEmpty)
+      .fold(Set.empty[String])(_.split(",").map(_.trim.toLowerCase)
+        .filter(_.nonEmpty).toSet)
+
+  private def safeProps(spark: SparkSession,
+      table: String): Map[String, String] =
+    scala.util.Try(tblProps(spark, table)).getOrElse(Map.empty)
+
+  /** Rename map from `graft.schema.renames` (`logical:physical;...`):
+    * lower-cased LOGICAL name → physical column name.
     */
-  def readTable(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame =
+  def renamesOf(spark: SparkSession, table: String): Map[String, String] =
+    parseRenames(safeProps(spark, table))
+
+  /** Lower-cased PHYSICAL names retired by `DROP COLUMNS`
+    * (`graft.schema.dropped`) — projected away on read, rejected on
+    * re-ADD (resurfacing the old file data under a fresh declaration
+    * would silently resurrect dropped values).
+    */
+  def droppedOf(spark: SparkSession, table: String): Set[String] =
+    parseDropped(safeProps(spark, table))
+
+  /** The write half of schema-on-read: map a LOGICAL frame (what
+    * [[readTable]] serves, what DML statements compute) back to the
+    * table's stable PHYSICAL column names before any layout write.
+    */
+  def toPhysical(spark: SparkSession, table: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    renamesOf(spark, table).foldLeft(df) { case (d, (logLower, phys)) =>
+      d.columns.find(_.toLowerCase == logLower)
+        .fold(d)(actual => d.withColumnRenamed(actual, phys))
+    }
+
+  /** Hudi's schema-on-read, the read half: reconcile a physically-read
+    * frame with the table's DECLARED catalog schema — rename mapped
+    * physical columns to their logical names, project away dropped
+    * physicals, then widen: a column added via `ALTER TABLE ... ADD
+    * COLUMNS` exists in the catalog before any data file carries it and
+    * reads as a typed NULL until a write materializes it (exactly what
+    * Spark's parquet reader does for plain tables; layout reads bypass
+    * the catalog schema, so the reconcile happens here). Otherwise
+    * append-only: physical columns the catalog doesn't know keep
+    * flowing, nothing else is projected away.
+    */
+  def alignToDeclared(spark: SparkSession, table: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scala.util.Try(spark.table(table).schema).toOption.fold(df) { sch =>
+      val props = safeProps(spark, table) // ONE catalog fetch per align
+      val renamed = parseRenames(props).foldLeft(df) {
+        case (d, (logLower, phys)) =>
+          val hasLog = d.columns.exists(_.toLowerCase == logLower)
+          if (hasLog) d
+          else d.columns.find(_.equalsIgnoreCase(phys)).fold(d) { actual =>
+            val declared = sch.fields.find(_.name.toLowerCase == logLower)
+              .map(_.name).getOrElse(logLower)
+            d.withColumnRenamed(actual, declared)
+          }
+      }
+      val pruned = parseDropped(props).foldLeft(renamed)((d, p) =>
+        d.columns.find(_.toLowerCase == p).fold(d)(d.drop(_)))
+      val have = pruned.columns.map(_.toLowerCase).toSet
+      sch.fields.filterNot(f => have(f.name.toLowerCase))
+        .foldLeft(pruned)((d, f) => d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+    }
+
+  /** The layout's manifest-resolved PHYSICAL snapshot, un-reconciled —
+    * what the files actually say. DML routes consult its schema to
+    * decide whether a predicate can run layout-side (see
+    * [[graft.etl.SqlMerge]]).
+    */
+  private[etl] def readPhysical(spark: SparkSession,
+      table: String): org.apache.spark.sql.DataFrame =
     layoutOf(spark, table) match {
       case Some(("bucket", path)) => BucketTable.read(spark, path)
       case Some(("bloom", path)) => BloomTable.read(spark, path)
@@ -340,4 +430,42 @@ object Catalog {
         s"unknown layout kind '$other' on $table")
       case None => spark.table(table)
     }
+
+  /** Layout-aware table read: the layout's manifest-resolved snapshot
+    * for bound tables (reconciled with the declared schema — see
+    * [[alignToDeclared]]), the plain catalog read otherwise.
+    */
+  def readTable(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame =
+    layoutOf(spark, table) match {
+      case None => spark.table(table)
+      case Some(_) => alignToDeclared(spark, table, readPhysical(spark, table))
+    }
+
+  /** Raw `graft.*` TBLPROPERTIES of a catalog entry. */
+  private[etl] def graftProps(spark: SparkSession,
+      table: String): Map[String, String] =
+    tblProps(spark, table).filter(_._1.startsWith("graft."))
+
+  /** Replace a layout-bound catalog entry's declared schema and
+    * `graft.*` properties in one drop+create (v1 catalog tables cannot
+    * ALTER-drop/rename a column; the entry is pure metadata over a stub
+    * location, so recreating it touches no data). Single-session
+    * catalog mutation — the same isolation Spark's own ALTER gives.
+    */
+  private[etl] def replaceEntry(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      props: Map[String, String]): Unit = {
+    val path = props.getOrElse("graft.table.path",
+      throw new IllegalArgumentException(
+        s"$table is not a layout-bound table"))
+    val propsSql = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"'$k' = '${v.replace("'", "''")}'"
+    }.mkString(",\n  ")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (${schema.toDDL})
+         |USING PARQUET LOCATION '$path/_catalog_stub'
+         |TBLPROPERTIES (
+         |  $propsSql)""".stripMargin)
+  }
 }

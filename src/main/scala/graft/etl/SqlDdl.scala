@@ -1,9 +1,10 @@
 package graft.etl
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, TableSpec, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, CreateTableAsSelect, DropColumns, LogicalPlan, RenameColumn, TableSpec, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
 
 /** SQL DDL front door: `CREATE TABLE ... TBLPROPERTIES(
   * 'graft.table.layout' = ...) AS SELECT ...` parsed by Spark's own
@@ -22,9 +23,210 @@ object SqlDdl {
   def exec(spark: SparkSession, sqlText: String): Unit =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case c: CreateTableAsSelect => createParsed(spark, c, sqlText)
+      case a: AddColumns => addColumnsParsed(spark, a, sqlText)
+      case d: DropColumns => dropColumnsParsed(spark, d)
+      case r: RenameColumn => renameColumnParsed(spark, r)
       case other => throw new IllegalArgumentException(
         s"unsupported DDL: ${other.getClass.getSimpleName}")
     }
+
+  /** `ALTER TABLE t ADD COLUMNS (...)` — Hudi's metadata-only schema
+    * evolution (`hoodie.schema.on.read.enable`, reference py:54):
+    * Spark's own ALTER widens the DECLARED catalog schema and no data
+    * file is touched — at 100 TB the statement costs one catalog
+    * write. Reads reconcile through [[Catalog.alignToDeclared]] (the
+    * added column is a typed NULL until a write materializes it), and
+    * every DML route accepts the column immediately: INSERT null-fills
+    * it, UPDATE/MERGE assign it on the targeted rewrite region only.
+    * DEFAULT expressions are rejected loudly — an added column reads
+    * as NULL, and a default that only future readers synthesize would
+    * diverge from what the files say.
+    */
+  private def addColumnsParsed(spark: SparkSession, a: AddColumns,
+      sqlText: String): Unit = {
+    a.columnsToAdd.foreach { c =>
+      require(c.default.isEmpty,
+        s"ALTER TABLE ADD COLUMNS: DEFAULT on '${c.colName}' is not " +
+          "supported — added columns read as NULL (schema-on-read)")
+      require(c.position.isEmpty,
+        s"ALTER TABLE ADD COLUMNS: FIRST/AFTER on '${c.colName}' is not " +
+          "supported — added columns append to the schema")
+    }
+    // a name physically retired by DROP / RENAME may still live in data
+    // files — re-declaring it would resurrect the old values on read
+    val table = alterTarget(a.table)
+    val retired = Catalog.droppedOf(spark, table) ++
+      Catalog.renamesOf(spark, table).values.map(_.toLowerCase)
+    a.columnsToAdd.map(_.colName).find(n => retired(n.toLowerCase))
+      .foreach(n => throw new IllegalArgumentException(
+        s"ALTER TABLE $table ADD COLUMNS: '$n' is a retired physical " +
+          "column name (dropped or renamed-from) still present in data " +
+          "files — adding it would resurrect the old values; choose " +
+          "another name"))
+    spark.sql(sqlText)
+    ()
+  }
+
+  /** `ALTER TABLE t DROP COLUMNS (c, ...)` — metadata-only, like ADD:
+    * the declared schema narrows and the column's PHYSICAL name is
+    * tombstoned in `graft.schema.dropped`; data files are immutable and
+    * never rewritten (at 100 TB the statement is one catalog write).
+    * Reads project the physical column away
+    * ([[Catalog.alignToDeclared]]); targeted DML rewrites drop it from
+    * the file groups they touch as a side effect. Structural columns
+    * (key / precombine / tieBreak / partition / indexed /
+    * validator-referenced) are rejected loudly — they route rows and
+    * gate commits, so dropping them cannot be metadata-only.
+    */
+  private def dropColumnsParsed(spark: SparkSession, d: DropColumns): Unit = {
+    val table = alterTarget(d.table)
+    val layout = requireLayout(spark, table, "DROP COLUMNS")
+    val sch = spark.table(table).schema
+    val names = d.columnsToDrop.map { f =>
+      require(f.name.length == 1,
+        s"DROP COLUMNS $table: nested field '${f.name.mkString(".")}' " +
+          "is not supported")
+      f.name.head
+    }
+    val resolved = names.flatMap { n =>
+      sch.fields.find(_.name.equalsIgnoreCase(n)) match {
+        case some @ Some(_) => some
+        case None if d.ifExists => None
+        case None => throw new IllegalArgumentException(
+          s"DROP COLUMNS $table: no such column '$n' " +
+            s"(columns: ${sch.fieldNames.mkString(", ")})")
+      }
+    }
+    if (resolved.isEmpty) return
+    val prot = protectedColumns(spark, table, layout)
+    resolved.foreach(f => prot.get(f.name.toLowerCase).foreach(reason =>
+      throw new IllegalArgumentException(
+        s"DROP COLUMNS $table: '${f.name}' is $reason — structural " +
+          "columns cannot be dropped metadata-only")))
+    val renames = Catalog.renamesOf(spark, table)
+    val victims = resolved.map(_.name.toLowerCase).toSet
+    val physNames = resolved.map(f =>
+      renames.getOrElse(f.name.toLowerCase, f.name).toLowerCase)
+    val newSchema = StructType(
+      sch.fields.filterNot(f => victims(f.name.toLowerCase)).toIndexedSeq)
+    writeSchemaState(spark, table, newSchema,
+      renames -- victims,
+      Catalog.droppedOf(spark, table) ++ physNames)
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only via a name
+    * mapping (Iceberg's name mapping / Hudi's schema-on-read rename):
+    * the declared schema renames the field and `graft.schema.renames`
+    * records logical `b` → physical `a`. Files are never rewritten and
+    * WRITES keep using the physical name forever
+    * ([[Catalog.toPhysical]]) so a snapshot never mixes two spellings
+    * of one column across files; reads rename physical → logical
+    * ([[Catalog.alignToDeclared]]). Structural columns are rejected
+    * (they route rows / gate commits under their physical names), as is
+    * a new name that collides with a declared column or a retired
+    * physical name still present in files.
+    */
+  private def renameColumnParsed(spark: SparkSession,
+      r: RenameColumn): Unit = {
+    val table = alterTarget(r.table)
+    val layout = requireLayout(spark, table, "RENAME COLUMN")
+    val sch = spark.table(table).schema
+    require(r.column.name.length == 1,
+      s"RENAME COLUMN $table: nested field " +
+        s"'${r.column.name.mkString(".")}' is not supported")
+    val oldName = r.column.name.head
+    val fld = sch.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN $table: no such column '$oldName' " +
+          s"(columns: ${sch.fieldNames.mkString(", ")})"))
+    protectedColumns(spark, table, layout).get(fld.name.toLowerCase)
+      .foreach(reason => throw new IllegalArgumentException(
+        s"RENAME COLUMN $table: '${fld.name}' is $reason — structural " +
+          "columns cannot be renamed metadata-only"))
+    val newName = r.newName
+    require(!sch.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"RENAME COLUMN $table: column '$newName' already exists")
+    val renames = Catalog.renamesOf(spark, table)
+    val phys = renames.getOrElse(fld.name.toLowerCase, fld.name)
+    // renaming back to the column's OWN physical name is the collapse
+    // case — only OTHER retired physicals collide
+    val retired = Catalog.droppedOf(spark, table) ++
+      renames.values.map(_.toLowerCase) - phys.toLowerCase
+    require(!retired(newName.toLowerCase),
+      s"RENAME COLUMN $table: '$newName' is a retired physical column " +
+        "name (dropped or renamed-from) still present in data files — " +
+        "writes under it would collide; choose another name")
+    // renaming BACK to the physical name collapses the mapping
+    val newRenames = (renames - fld.name.toLowerCase) ++
+      (if (newName.equalsIgnoreCase(phys)) Nil
+       else Seq(newName.toLowerCase -> phys))
+    val newSchema = StructType(sch.fields.map(f =>
+      if (f.name == fld.name) f.copy(name = newName) else f).toIndexedSeq)
+    writeSchemaState(spark, table, newSchema, newRenames,
+      Catalog.droppedOf(spark, table))
+  }
+
+  /** Persist a new declared schema + schema-on-read state as ONE
+    * catalog-entry replacement (all other `graft.*` props carried
+    * over verbatim).
+    */
+  private def writeSchemaState(spark: SparkSession, table: String,
+      schema: StructType, renames: Map[String, String],
+      dropped: Set[String]): Unit = {
+    val base = Catalog.graftProps(spark, table) -
+      "graft.schema.renames" - "graft.schema.dropped"
+    val mapping =
+      (if (renames.isEmpty) Map.empty[String, String]
+       else Map("graft.schema.renames" -> renames.toSeq.sorted
+         .map { case (l, p) => s"$l:$p" }.mkString(";"))) ++
+      (if (dropped.isEmpty) Map.empty[String, String]
+       else Map("graft.schema.dropped" -> dropped.toSeq.sorted.mkString(",")))
+    Catalog.replaceEntry(spark, table, schema, base ++ mapping)
+  }
+
+  private def alterTarget(plan: LogicalPlan): String =
+    plan.collectFirst { case t: UnresolvedTable =>
+      t.multipartIdentifier.mkString(".")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"cannot resolve ALTER TABLE target from ${plan.getClass.getSimpleName}"))
+
+  private def requireLayout(spark: SparkSession, table: String,
+      what: String): (String, String) =
+    Catalog.layoutOf(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what $table: metadata-only schema evolution needs a " +
+          "layout-bound table (the schema-on-read reconcile lives in " +
+          "the layout read; plain parquet tables have no such layer)"))
+
+  /** Columns DROP/RENAME must refuse, with the reason: they route rows
+    * to buckets/files/partitions, version them, serve index lookups, or
+    * appear in table-declared validators — all under their PHYSICAL
+    * names, so a metadata-only remap would silently break routing.
+    */
+  private def protectedColumns(spark: SparkSession, table: String,
+      layout: (String, String)): Map[String, String] = {
+    val (kind, path) = layout
+    val (keys, pc, tieBreak) = Catalog.upsertConfigFull(spark, table)
+    val structural =
+      keys.map(_ -> "a primary-key column") ++
+      Seq(pc -> "the precombine column") ++
+      tieBreak.map(_ -> "a tieBreak column") ++
+      (if (kind == "partitioned")
+        PartitionedTable.props(path).partitionCols
+          .map(_ -> "a partition column")
+       else Nil) ++
+      Catalog.secondaryIndexOf(spark, table).toSeq
+        .flatMap(_._1.map(_ -> "a secondary-indexed column")) ++
+      Catalog.graftProps(spark, table).toSeq.collect {
+        case (k, v) if k.startsWith("graft.table.validator.") =>
+          spark.sessionState.sqlParser.parseExpression(v).collect {
+            case a: UnresolvedAttribute => a.nameParts.last ->
+              ("referenced by validator '" +
+                k.stripPrefix("graft.table.validator.") + "'")
+          }
+      }.flatten
+    structural.map { case (n, r) => n.toLowerCase -> r }.toMap
+  }
 
   private def createParsed(spark: SparkSession, c: CreateTableAsSelect,
       sqlText: String): Unit = {

@@ -74,6 +74,26 @@ object SqlIndex {
       opts.get("expr").fold(name)(e => s"$name:=$e")
     }
     require(cols.nonEmpty, s"CREATE INDEX ${c.indexName}: no columns listed")
+    // index build + every maintenance pass evaluate over PHYSICAL
+    // frames — a column living behind the schema-on-read rename map
+    // (or a dropped one) cannot be indexed under its logical name
+    val remapped = Catalog.renamesOf(spark, target).keySet ++
+      Catalog.droppedOf(spark, target)
+    val referenced = c.columns.flatMap { case (f, opts) =>
+      opts.get("expr") match {
+        case Some(e) => spark.sessionState.sqlParser.parseExpression(e)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }
+        case None => Seq(f.name.mkString("."))
+      }
+    }
+    referenced.map(_.toLowerCase).find(remapped).foreach(cn =>
+      throw new IllegalArgumentException(
+        s"CREATE INDEX ${c.indexName}: column '$cn' is schema-on-read " +
+          s"remapped (renamed or dropped) on $target — indexes bind " +
+          "physical columns; rename it back before indexing"))
     val tpe = c.indexType.toLowerCase
     val artifact = tpe match {
       case "secondary" =>

@@ -103,14 +103,53 @@ object SqlMerge {
     * reference would fail resolution. An unknown qualifier stays and
     * fails analysis loudly with Spark's own error.
     */
-  private def unqualified(e: Expression, alias: String, table: String): Column =
-    render(e.transformUp {
+  private def unqualifiedExpr(e: Expression, alias: String,
+      table: String): Expression =
+    e.transformUp {
       case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
           (a.nameParts(a.nameParts.length - 2).equalsIgnoreCase(alias) ||
             a.nameParts(a.nameParts.length - 2)
               .equalsIgnoreCase(table.split('.').last)) =>
         UnresolvedAttribute(Seq(a.nameParts.last))
-    })
+    }
+
+  private def unqualified(e: Expression, alias: String, table: String): Column =
+    render(unqualifiedExpr(e, alias, table))
+
+  /** Map renamed LOGICAL column references back to their PHYSICAL
+    * names ([[Catalog.renamesOf]]) — the layouts' touched-region
+    * selection filters PHYSICAL frames.
+    */
+  private def physicalized(e: Expression,
+      renames: Map[String, String]): Expression =
+    if (renames.isEmpty) e
+    else e.transformUp {
+      case a: UnresolvedAttribute =>
+        renames.get(a.nameParts.last.toLowerCase)
+          .map(p => UnresolvedAttribute(a.nameParts.init :+ p))
+          .getOrElse(a)
+    }
+
+  /** The two faces of a layout DML predicate under schema-on-read:
+    * `_1` is the LOGICAL condition (applies to declared-aligned frames
+    * — the callback's projections and survivor filters); `_2` is the
+    * SELECTION condition the layout runs over PHYSICAL files to find
+    * the touched region — renamed references mapped back to physical
+    * names, degrading to `true` (every file a candidate; correct, just
+    * untargeted, and it self-narrows once the column materializes) when
+    * the predicate references a declared column no file carries yet
+    * (freshly ADDed).
+    */
+  private def layoutConds(spark: SparkSession, target: String,
+      e: Expression): (Column, Column) = {
+    val physExpr = physicalized(e, Catalog.renamesOf(spark, target))
+    val physCols = Catalog.readPhysical(spark, target)
+      .columns.map(_.toLowerCase).toSet
+    val select =
+      if (referencedColumns(physExpr).subsetOf(physCols)) render(physExpr)
+      else lit(true)
+    (render(e), select)
+  }
 
   /** Unqualified table name from the parsed target (possibly aliased). */
   private def tableName(plan: LogicalPlan): String =
@@ -224,7 +263,8 @@ object SqlMerge {
             BucketTable.deleteFrom(spark, path, keys)
             SecondaryIndex.tombstone(spark, path, idxPath, secValues, keys)
           case None =>
-            val cond = unqualified(d.condition, alias, target)
+            val (cond, sel) = layoutConds(spark, target,
+              unqualifiedExpr(d.condition, alias, target))
             // with a bound index, retire the victims' mappings too —
             // dangling entries would self-heal on serve (the primary
             // probe misses), but the index shouldn't accrete them
@@ -238,8 +278,10 @@ object SqlMerge {
               SecondaryIndex.entriesForKeys(spark, path, idxPath,
                 victimKeys.get)
             }
-            BucketTable.rewriteWhere(spark, path, cond)(
-              _.filter(not(cond) || cond.isNull))
+            BucketTable.rewriteWhere(spark, path, sel)(t =>
+              Catalog.toPhysical(spark, target,
+                Catalog.alignToDeclared(spark, target, t)
+                  .filter(not(cond) || cond.isNull)))
             sec.foreach { case (_, idxPath) =>
               SecondaryIndex.reconcile(spark, idxPath, pre.get,
                 SecondaryIndex.entriesForKeys(spark, path, idxPath,
@@ -248,29 +290,38 @@ object SqlMerge {
             ()
         }
       case Some(("bloom", path)) =>
-        val cond = unqualified(d.condition, alias, target)
-        BloomTable.rewriteWhere(spark, path, cond)(
-          _.filter(not(cond) || cond.isNull))
+        val (cond, sel) = layoutConds(spark, target,
+          unqualifiedExpr(d.condition, alias, target))
+        BloomTable.rewriteWhere(spark, path, sel)(t =>
+          Catalog.toPhysical(spark, target,
+            Catalog.alignToDeclared(spark, target, t)
+              .filter(not(cond) || cond.isNull)))
         ()
       case Some(("timeline", path)) =>
         val cond = unqualified(d.condition, alias, target)
         Timeline.commit(
-          Timeline.read(spark, path).filter(not(cond) || cond.isNull),
+          Catalog.toPhysical(spark, target,
+            Catalog.readTable(spark, target)
+              .filter(not(cond) || cond.isNull)),
           path, action = "delete")
         ()
       case Some(("partitioned", path)) =>
-        val cond = unqualified(d.condition, alias, target)
+        val (cond, sel) = layoutConds(spark, target,
+          unqualifiedExpr(d.condition, alias, target))
         val partCols = PartitionedTable.props(path).partitionCols
           .map(_.toLowerCase).toSet
         if (referencedColumns(d.condition).subsetOf(partCols))
           // partition-only predicate → Hudi's drop-partition fast
           // path: METADATA-ONLY (manifest + delta-log shrink), zero
           // data read or written — the reason date-partitioned
-          // retention deletes are free at 100 TB
+          // retention deletes are free at 100 TB. (Partition columns
+          // are rename-protected, so logical == physical here.)
           PartitionedTable.dropPartitions(spark, path, cond)
         else
-          PartitionedTable.rewriteWhere(spark, path, cond)(
-            _.filter(not(cond) || cond.isNull))
+          PartitionedTable.rewriteWhere(spark, path, sel)(t =>
+            Catalog.toPhysical(spark, target,
+              Catalog.alignToDeclared(spark, target, t)
+                .filter(not(cond) || cond.isNull)))
         ()
       case Some(("mor", path)) =>
         // MOR delete = tombstone append, O(matched) written, base and
@@ -280,7 +331,7 @@ object SqlMerge {
         // tombstone wins — Hudi's _hoodie_is_deleted payload contract.
         val cond = unqualified(d.condition, alias, target)
         val p = MorTable.props(path)
-        val victims = MorTable.readSnapshot(spark, path)
+        val victims = Catalog.readTable(spark, target)
           .filter(cond)
           .select((p.keys :+ p.precombine).map(col): _*)
         MorTable.deleteFrom(path, victims)
@@ -339,32 +390,35 @@ object SqlMerge {
         // exactly as they gate the API upserts: a violation aborts here,
         // before any layout write (the table stays byte-identical)
         PreCommit.validate(shaped, Catalog.validatorsOf(spark, target))
+        // shaped to the DECLARED (logical) schema; written under the
+        // stable physical names (Catalog's schema-on-read mapping)
+        val batch = Catalog.toPhysical(spark, target, shaped)
         (kind, i.overwrite) match {
           case ("partitioned", true) =>
-            PartitionedTable.insertOverwrite(spark, path, shaped)
+            PartitionedTable.insertOverwrite(spark, path, batch)
           case ("partitioned", false) =>
-            PartitionedTable.upsertInto(spark, path, shaped)
+            PartitionedTable.upsertInto(spark, path, batch)
             ()
           case ("bucket", false) =>
             Catalog.secondaryIndexOf(spark, target) match {
               case Some((_, idxPath)) =>
-                SecondaryIndex.upsertThrough(spark, path, idxPath, shaped)
+                SecondaryIndex.upsertThrough(spark, path, idxPath, batch)
               case None =>
-                BucketTable.upsertInto(spark, path, shaped)
+                BucketTable.upsertInto(spark, path, batch)
             }
             ()
           case ("bloom", false) =>
-            BloomTable.upsertInto(spark, path, shaped)
+            BloomTable.upsertInto(spark, path, batch)
           case ("timeline", false) =>
             val (keys2, precombine2, tieBreak2) =
               dmlConfig(spark, target, layout)
-            Timeline.upsertInto(spark, path, shaped, keys2, precombine2,
+            Timeline.upsertInto(spark, path, batch, keys2, precombine2,
               tieBreak2)
             ()
           case ("mor", false) =>
             // the MOR headline: SQL INSERT appends the batch as a
             // delta log — O(batch) regardless of table size
-            MorTable.upsertInto(path, shaped)
+            MorTable.upsertInto(path, batch)
             ()
           case (k, true) => throw new IllegalArgumentException(
             s"INSERT OVERWRITE on '$k' layout $target is not supported — " +
@@ -479,8 +533,16 @@ object SqlMerge {
           .foreach(k => throw new IllegalArgumentException(
             s"UPDATE $target: cannot assign identity column '$k' on a " +
               "layout-backed table (it routes rows to buckets/files/partitions)"))
-        val cond = u.condition.map(unqualified(_, alias, target))
-          .getOrElse(lit(true))
+        val (cond, sel) = u.condition
+          .map(c => layoutConds(spark, target,
+            unqualifiedExpr(c, alias, target)))
+          .getOrElse((lit(true), lit(true)))
+        // post-images compute on declared-aligned (logical) frames and
+        // write back under stable physical names — see Catalog's
+        // schema-on-read mapping
+        def writeImage(t: DataFrame): DataFrame =
+          Catalog.toPhysical(spark, target, gated(projected(
+            Catalog.alignToDeclared(spark, target, t), cond, assigned)))
         kind match {
           case "bucket" =>
             // an UPDATE that assigns a secondary-indexed column moves
@@ -499,21 +561,24 @@ object SqlMerge {
               SecondaryIndex.entriesForKeys(spark, path, idxPath,
                 touchedKeys.get)
             }
-            BucketTable.rewriteWhere(spark, path, cond)(
-              d => gated(projected(d, cond, assigned)))
+            // align the physical frame to the declared schema first: a
+            // column added by ALTER TABLE exists in the catalog before
+            // any file carries it, and an UPDATE assigning it must not
+            // silently drop (projected() iterates the frame's columns)
+            BucketTable.rewriteWhere(spark, path, sel)(writeImage)
             sec.foreach { case (_, idxPath) =>
               SecondaryIndex.reconcile(spark, idxPath, pre.get,
                 SecondaryIndex.entriesForKeys(spark, path, idxPath,
                   touchedKeys.get))
             }
           case "bloom" =>
-            BloomTable.rewriteWhere(spark, path, cond)(
-              d => gated(projected(d, cond, assigned)))
+            BloomTable.rewriteWhere(spark, path, sel)(writeImage)
           case "partitioned" =>
-            PartitionedTable.rewriteWhere(spark, path, cond)(
-              d => gated(projected(d, cond, assigned)))
+            PartitionedTable.rewriteWhere(spark, path, sel)(writeImage)
           case "timeline" =>
-            Timeline.commit(gated(projected(current, cond, assigned)),
+            Timeline.commit(
+              Catalog.toPhysical(spark, target,
+                gated(projected(current, cond, assigned))),
               path, action = "update")
           case "mor" =>
             // post-images of ONLY the touched rows, appended as one
@@ -536,7 +601,8 @@ object SqlMerge {
                   "it replaces; assign a non-decreasing precombine")
             }
             MorTable.upsertInto(path,
-              gated(projected(touched, cond, assigned)))
+              Catalog.toPhysical(spark, target,
+                gated(projected(touched, cond, assigned))))
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
         }
@@ -573,9 +639,14 @@ object SqlMerge {
           Seq()) =>
         // Hudi's canonical MERGE: the keyed precombine upsert
         val src = source.select(cols.map(col): _*)
+        // the batch arrives in LOGICAL column names (it was shaped to
+        // the declared schema); layouts write stable physical names
+        lazy val srcP = Catalog.toPhysical(spark, target, src)
         // bucket/bloom gate inside upsertInto (after their precombine
         // dedup — a superseded duplicate cannot veto); the other
-        // routes dedup here first for the same semantics
+        // routes dedup here first for the same semantics. Validators
+        // reference only rename-protected columns, so gating the
+        // physical frame sees the same names.
         def dedupedSrc = HudiLike.precombineLatest(src, identity,
           precombine, tieBreak)
         layout match {
@@ -587,20 +658,20 @@ object SqlMerge {
                 // would otherwise leave a live stale mapping, and a
                 // later index-served DELETE would remove the wrong row
                 PreCommit.validate(dedupedSrc, rules)
-                SecondaryIndex.upsertThrough(spark, path, idxPath, src)
+                SecondaryIndex.upsertThrough(spark, path, idxPath, srcP)
               case None =>
-                BucketTable.upsertInto(spark, path, src, rules); ()
+                BucketTable.upsertInto(spark, path, srcP, rules); ()
             }
           case Some(("bloom", path)) =>
-            BloomTable.upsertInto(spark, path, src, rules); ()
+            BloomTable.upsertInto(spark, path, srcP, rules); ()
           case Some(("partitioned", path)) =>
             PreCommit.validate(dedupedSrc, rules)
-            PartitionedTable.upsertInto(spark, path, src); ()
+            PartitionedTable.upsertInto(spark, path, srcP); ()
           case Some(("timeline", path)) =>
             PreCommit.validate(dedupedSrc, rules)
             // versioned snapshots: the MERGE lands as a new commit,
             // immediately visible to VERSION/TIMESTAMP AS OF readers
-            Timeline.upsertInto(spark, path, src, keys, precombine,
+            Timeline.upsertInto(spark, path, srcP, keys, precombine,
               tieBreak)
             ()
           case Some(("mor", path)) =>
@@ -608,7 +679,7 @@ object SqlMerge {
             // the MOR trade in one line: MERGE appends the batch as a
             // delta log — write cost O(batch) at any table size; the
             // per-key resolution is deferred to the snapshot read
-            MorTable.upsertInto(path, src)
+            MorTable.upsertInto(path, srcP)
             ()
           case _ =>
             PreCommit.validate(dedupedSrc, rules)
@@ -663,11 +734,16 @@ object SqlMerge {
         val sAlias = sourceAliasOf(m.sourceTable)
         // joined/deduped on the full identity: partition cols + keys
         // for the partitioned layout, the keys elsewhere
-        def merged(cur: DataFrame): DataFrame = {
+        def merged(cur0: DataFrame): DataFrame = {
+          // the layout hands back the PHYSICAL touched region — align
+          // it to the declared schema (rename map + dropped columns +
+          // typed NULLs for freshly ADDed ones) so actions resolve
+          // logical names, then write back under stable physical names
+          val cur = Catalog.alignToDeclared(spark, target, cur0)
           val out = applyMerge(cur, source, m, identity, precombine,
             tieBreak, tAlias, sAlias)
           PreCommit.validate(out, rules)
-          out
+          Catalog.toPhysical(spark, target, out)
         }
         // rows a NOT MATCHED BY SOURCE action may touch: none without
         // such actions; the rows satisfying SOME action's condition

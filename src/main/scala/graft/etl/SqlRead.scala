@@ -63,7 +63,9 @@ object SqlRead {
               case (None, None) => throw new IllegalArgumentException(
                 s"time travel over $name needs VERSION AS OF or TIMESTAMP AS OF")
             }
-            Timeline.readVersion(spark, path, version).queryExecution.analyzed
+            Catalog.alignToDeclared(spark, name,
+              Timeline.readVersion(spark, path, version))
+              .queryExecution.analyzed
         }
       case r: UnresolvedRelation =>
         // ANY graft layout resolves to its manifest-aware read — a
@@ -120,7 +122,8 @@ object SqlRead {
                 val l = eqs(c.toLowerCase)
                 CatalystTypeConverters.convertToScala(l.value, l.dataType)
               }
-              Some(SecondaryIndex.lookup(spark, path, idxPath, secValues)
+              Some(Catalog.alignToDeclared(spark, name,
+                SecondaryIndex.lookup(spark, path, idxPath, secValues))
                 .queryExecution.analyzed)
             }
         }
@@ -184,7 +187,8 @@ object SqlRead {
             if (live.isEmpty) None // empty table: snapshot read handles it
             else {
               StatsIndex.syncToFiles(spark, live, statsPath)
-              Some(StatsIndex.scanFiles(spark, live, statsPath, ranges)
+              Some(Catalog.alignToDeclared(spark, name,
+                StatsIndex.scanFiles(spark, live, statsPath, ranges))
                 .queryExecution.analyzed)
             }
           }
@@ -228,7 +232,8 @@ object SqlRead {
           }).reduce(And(_, _))
           val pred = org.apache.spark.sql.graftbridge.Bridge
             .column(unqualified)
-          Some(PartitionedTable.prunedRead(spark, path, pred)
+          Some(Catalog.alignToDeclared(spark, name,
+            PartitionedTable.prunedRead(spark, path, pred))
             .queryExecution.analyzed)
         }
       case _ => None
@@ -267,7 +272,8 @@ object SqlRead {
             case "bloom" => BloomTable.lookup(spark, path, keyValues)
             case "bucket" => BucketTable.lookup(spark, path, keyValues)
           }
-          Some(served.queryExecution.analyzed)
+          Some(Catalog.alignToDeclared(spark, name, served)
+            .queryExecution.analyzed)
         }
       case _ => None
     }

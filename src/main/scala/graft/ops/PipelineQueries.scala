@@ -1229,6 +1229,95 @@ object PipelineQueries {
     graft.etl.Catalog.readTable(spark, "graft_bysrc_target")
   }
 
+  /** `p_sql_add_column`: schema evolution through the SQL front door —
+    * `ALTER TABLE ... ADD COLUMNS` ([[graft.etl.SqlDdl]]) widens the
+    * DECLARED catalog schema only (Hudi's metadata-only evolution: at
+    * 100 TB the statement costs one catalog write, zero file
+    * rewrites); the layout read reconciles via
+    * [[graft.etl.Catalog.alignToDeclared]] so the new column is a
+    * typed NULL everywhere, and a subsequent UPDATE assigns it on the
+    * targeted rewrite region only — untouched buckets still have no
+    * physical `score`, and keep reading NULL. The oracle replays the
+    * latest-per-key base state plus the CASE the UPDATE wrote.
+    */
+  def sqlAddColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "addcol")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_addcol_target",
+      "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_addcol_target ADD COLUMNS (score DOUBLE)")
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_addcol_target
+        |SET score = round(value * 2, 2)
+        |WHERE event_type = 'purchase'""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_addcol_target")
+  }
+
+  /** `p_sql_rename_column`: the rename half of metadata-only schema
+    * evolution — `ALTER TABLE ... RENAME COLUMN` records a logical →
+    * physical name mapping (Iceberg's name mapping; data files are
+    * immutable and keep the original name forever), reads reconcile
+    * through [[graft.etl.Catalog.alignToDeclared]], and DML speaks the
+    * LOGICAL name while the targeted rewrites keep writing the stable
+    * PHYSICAL one ([[graft.etl.Catalog.toPhysical]]) so a snapshot
+    * never mixes two spellings of one column across files. The oracle
+    * replays latest-per-key with the UPDATE's arithmetic under the new
+    * name.
+    */
+  def sqlRenameColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "rencol")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_rencol_target",
+      "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_rencol_target RENAME COLUMN value TO amount")
+    // 0.5 is binary-exact, so no rounding hedge is needed on either side
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_rencol_target
+        |SET amount = amount * 0.5D
+        |WHERE event_type = 'purchase'""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_rencol_target")
+  }
+
+  /** `p_sql_drop_column`: the drop half — `ALTER TABLE ... DROP
+    * COLUMNS` narrows the declared schema and tombstones the PHYSICAL
+    * name (`graft.schema.dropped`); files are never rewritten, reads
+    * project the column away, and subsequent targeted DML (here a
+    * predicate DELETE) rewrites its touched region without it. The
+    * oracle replays latest-per-key minus current clicks, without the
+    * column.
+    */
+  def sqlDropColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "dropcol")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_dropcol_target",
+      "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_dropcol_target DROP COLUMNS (value)")
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_dropcol_target WHERE event_type = 'click'")
+    graft.etl.Catalog.readTable(spark, "graft_dropcol_target")
+  }
+
   /** `p_sql_create_index`: the index DDL front door end to end —
     * `CREATE INDEX ... USING SECONDARY` ([[graft.etl.SqlIndex]]) on a
     * bucket-backed catalog table, then a MERGE that MOVES indexed
@@ -2224,6 +2313,9 @@ object PipelineQueries {
     "p_sql_create_index" -> (sqlCreateIndex(_, _)),
     "p_sql_index_select" -> (sqlIndexSelect(_, _)),
     "p_sql_merge_by_source" -> (sqlMergeBySource(_, _)),
+    "p_sql_add_column" -> (sqlAddColumn(_, _)),
+    "p_sql_rename_column" -> (sqlRenameColumn(_, _)),
+    "p_sql_drop_column" -> (sqlDropColumn(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
@@ -2563,6 +2655,41 @@ object PipelineQueries {
          |FROM all_latest
          |WHERE user_id IN (SELECT user_id FROM post)
          |   OR event_type <> 'click'""".stripMargin,
+    // ALTER adds a catalog-only column; the UPDATE materializes it on
+    // purchase rows' buckets; every other row reads a typed NULL
+    "p_sql_add_column" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us,
+         |  CASE WHEN event_type = 'purchase' THEN round(value * 2, 2)
+         |  END AS score
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) x
+         |WHERE rn = 1""".stripMargin,
+    // RENAME is a pure name mapping: the data is the base state with
+    // the UPDATE's arithmetic, served under the new logical name
+    "p_sql_rename_column" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  CASE WHEN event_type = 'purchase' THEN value * 0.5
+         |       ELSE value END AS amount,
+         |  ts_us
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) x
+         |WHERE rn = 1""".stripMargin,
+    // DROP projects the column away everywhere; the DELETE then removes
+    // current clicks through the targeted rewrite
+    "p_sql_drop_column" ->
+      s"""SELECT user_id, event_id, event_type, ts_us
+         |FROM (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) x
+         |WHERE rn = 1 AND event_type <> 'click'""".stripMargin,
     // CREATE INDEX ∘ MERGE ∘ indexed DELETE ≡ merged end state minus
     // rows whose CURRENT type is click (stale-index failures diverge
     // in both directions — moved-from-click wrongly deleted,

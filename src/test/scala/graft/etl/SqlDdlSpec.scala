@@ -78,4 +78,217 @@ class SqlDdlSpec extends SparkSpec {
          |AS SELECT k, v FROM ctas_src_e""".stripMargin)
     assert(spark.table("ctas_plain").count() == 3)
   }
+
+  test("ALTER TABLE ADD COLUMNS is metadata-only; reads widen with typed NULLs") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val p = Files.createTempDirectory("alterb").toString + "/t"
+    BucketTable.create(
+      (1 to 16).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "alter_bucket", "bucket", p)
+    def files(): Set[(String, Any)] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => (f.toString, Files.getLastModifiedTime(f))).toSet
+    val before = files()
+    SqlDdl.exec(spark,
+      "ALTER TABLE alter_bucket ADD COLUMNS (score DOUBLE, tag STRING)")
+    // zero file writes — the statement is one catalog mutation
+    assert(files() == before)
+    val widened = Catalog.readTable(spark, "alter_bucket")
+    assert(widened.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(widened.schema("tag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(widened.filter("score IS NOT NULL OR tag IS NOT NULL").count() == 0)
+    assert(widened.count() == 16)
+  }
+
+  test("added column flows through every DML route on the targeted region") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val p = Files.createTempDirectory("alterdml").toString + "/t"
+    BucketTable.create(
+      (1 to 32).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 8)
+    Catalog.registerLayoutTable(spark, "alter_dml", "bucket", p)
+    SqlDdl.exec(spark, "ALTER TABLE alter_dml ADD COLUMNS (score DOUBLE)")
+    def files(): Set[(String, Any)] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => (f.toString, Files.getLastModifiedTime(f))).toSet
+    val before = files()
+    // UPDATE assigns the declared-only column: k=5's bucket rewrites,
+    // the rest keep their exact previous bytes
+    SqlMerge.exec(spark, "UPDATE alter_dml SET score = v * 10 WHERE k = 5")
+    val b5 = BucketTable.bucketOf(spark, p, Seq(5L))
+    val untouched = before.filterNot(_._1.contains(s"b=$b5/"))
+    assert(untouched.subsetOf(files()) && untouched.nonEmpty)
+    // INSERT without the column null-fills it; MERGE assigns it
+    SqlMerge.exec(spark,
+      "INSERT INTO alter_dml (k, pc, v) VALUES (100, 1, 1.0)")
+    Seq((6L, 2L, 60.0)).toDF("k", "pc", "s")
+      .createOrReplaceTempView("alter_dml_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO alter_dml t USING alter_dml_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET score = s.s""".stripMargin)
+    val got = Catalog.readTable(spark, "alter_dml")
+      .select($"k", $"score").as[(Long, Option[Double])].collect().toMap
+    assert(got(5L).contains(50.0) && got(6L).contains(60.0) &&
+      got(100L).isEmpty && got(1L).isEmpty && got.size == 33)
+  }
+
+  test("ALTER on a MOR table widens the snapshot; DEFAULT/position rejected") {
+    val p = Files.createTempDirectory("altermor").toString + "/t"
+    MorTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "alter_mor", "mor", p)
+    SqlDdl.exec(spark, "ALTER TABLE alter_mor ADD COLUMNS (score DOUBLE)")
+    // the UPDATE's post-image delta log carries the column; the base
+    // file never rewrites and the snapshot merge still resolves
+    SqlMerge.exec(spark, "UPDATE alter_mor SET score = 99.0 WHERE k = 1")
+    val got = Catalog.readTable(spark, "alter_mor")
+      .select($"k", $"score").as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(99.0)))
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE alter_mor ADD COLUMNS (bad INT DEFAULT 7)")
+    }
+    assert(e1.getMessage.contains("DEFAULT"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE alter_mor ADD COLUMNS (bad INT FIRST)")
+    }
+    assert(e2.getMessage.contains("FIRST/AFTER"))
+  }
+
+  test("RENAME COLUMN is metadata-only; files keep the physical name forever") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val p = Files.createTempDirectory("renameb").toString + "/t"
+    BucketTable.create(
+      (1 to 16).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "ren_bucket", "bucket", p)
+    def files(): Set[(String, Any)] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => (f.toString, Files.getLastModifiedTime(f))).toSet
+    val before = files()
+    SqlDdl.exec(spark, "ALTER TABLE ren_bucket RENAME COLUMN v TO amount")
+    assert(files() == before) // one catalog write, zero file writes
+    val widened = Catalog.readTable(spark, "ren_bucket")
+    assert(widened.columns.toSeq == Seq("k", "pc", "amount"))
+    assert(widened.filter("amount = 7.0").count() == 1)
+    // DML speaks the logical name; the touched bucket's NEW file still
+    // carries the PHYSICAL name (snapshots never mix spellings)
+    SqlMerge.exec(spark,
+      "UPDATE ren_bucket SET amount = amount * 10 WHERE k = 5")
+    SqlMerge.exec(spark,
+      "INSERT INTO ren_bucket (k, pc, amount) VALUES (100, 1, 1.5)")
+    val got = Catalog.readTable(spark, "ren_bucket")
+      .select($"k", $"amount").as[(Long, Double)].collect().toMap
+    assert(got(5L) == 50.0 && got(100L) == 1.5 && got(7L) == 7.0 &&
+      got.size == 17)
+    val physical = spark.read.parquet(
+      files().map(_._1).toSeq: _*)
+    assert(physical.columns.contains("v") &&
+      !physical.columns.contains("amount"))
+    // DELETE through the renamed predicate (k=5 carries 50.0);
+    // rename back collapses the map
+    SqlMerge.exec(spark, "DELETE FROM ren_bucket WHERE amount > 40")
+    assert(Catalog.readTable(spark, "ren_bucket").count() == 16)
+    SqlDdl.exec(spark, "ALTER TABLE ren_bucket RENAME COLUMN amount TO v")
+    assert(Catalog.renamesOf(spark, "ren_bucket").isEmpty)
+    assert(Catalog.readTable(spark, "ren_bucket").columns.contains("v"))
+  }
+
+  test("DROP COLUMNS is metadata-only; dropped data never resurrects") {
+    import java.nio.file.Paths
+    import scala.jdk.CollectionConverters._
+    val p = Files.createTempDirectory("dropb").toString + "/t"
+    BucketTable.create(
+      (1 to 16).map(i => (i.toLong, 1L, i.toDouble, s"t$i"))
+        .toDF("k", "pc", "v", "tag"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "drop_bucket", "bucket", p)
+    def files(): Set[(String, Any)] =
+      Files.walk(Paths.get(p)).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".parquet"))
+        .map(f => (f.toString, Files.getLastModifiedTime(f))).toSet
+    val before = files()
+    SqlDdl.exec(spark, "ALTER TABLE drop_bucket DROP COLUMNS (tag)")
+    assert(files() == before)
+    assert(Catalog.readTable(spark, "drop_bucket").columns.toSeq ==
+      Seq("k", "pc", "v"))
+    // DML keeps working; the rewrite drops the column from touched files
+    SqlMerge.exec(spark, "DELETE FROM drop_bucket WHERE v > 15")
+    assert(Catalog.readTable(spark, "drop_bucket").count() == 15)
+    // IF EXISTS tolerates a missing column; plain DROP fails loudly
+    SqlDdl.exec(spark,
+      "ALTER TABLE drop_bucket DROP COLUMNS IF EXISTS (ghost)")
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE drop_bucket DROP COLUMNS (ghost)")
+    }
+    assert(e.getMessage.contains("no such column"))
+    // re-ADD of the retired physical name would resurrect old values
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE drop_bucket ADD COLUMNS (tag STRING)")
+    }
+    assert(e2.getMessage.contains("retired"))
+  }
+
+  test("structural columns refuse metadata-only DROP/RENAME") {
+    val p = Files.createTempDirectory("guardb").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    Catalog.registerLayoutTable(spark, "guard_bucket", "bucket", p,
+      validators = Seq("v_pos" -> "v < 0"))
+    val eKey = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard_bucket RENAME COLUMN k TO id")
+    }
+    assert(eKey.getMessage.contains("primary-key"))
+    val ePc = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard_bucket DROP COLUMNS (pc)")
+    }
+    assert(ePc.getMessage.contains("precombine"))
+    val eVal = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard_bucket RENAME COLUMN v TO w")
+    }
+    assert(eVal.getMessage.contains("validator"))
+    // plain (non-layout) tables have no schema-on-read layer
+    spark.sql("CREATE TABLE IF NOT EXISTS guard_plain (a INT) USING PARQUET " +
+      s"LOCATION '${Files.createTempDirectory("guardp")}/p'")
+    val ePlain = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard_plain RENAME COLUMN a TO b")
+    }
+    assert(ePlain.getMessage.contains("layout-bound"))
+  }
+
+  test("renamed column through conditional MERGE and MOR routes") {
+    val p = Files.createTempDirectory("renmor").toString + "/t"
+    MorTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "ren_mor", "mor", p)
+    SqlDdl.exec(spark, "ALTER TABLE ren_mor RENAME COLUMN v TO score")
+    Seq((1L, 2L, 100.0), (3L, 2L, 30.0)).toDF("k", "pc", "score")
+      .createOrReplaceTempView("ren_mor_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO ren_mor t USING ren_mor_src s ON t.k = s.k
+        |WHEN MATCHED AND s.score > t.score THEN UPDATE SET score = s.score
+        |WHEN NOT MATCHED THEN INSERT (k, pc, score) VALUES (s.k, s.pc, s.score)
+        |""".stripMargin)
+    val got = Catalog.readTable(spark, "ren_mor")
+      .select($"k", $"score").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 100.0, 2L -> 20.0, 3L -> 30.0))
+    // the delta logs carry the physical name: SELECT through the SQL
+    // front door still resolves the logical one
+    val sel = SqlRead.select(spark,
+      "SELECT k, score FROM ren_mor WHERE score >= 30 ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(sel == Seq(1L -> 100.0, 3L -> 30.0))
+  }
 }

@@ -128,6 +128,27 @@ class PlanAssertSpec extends SparkSpec {
       s"event_type missing from PartitionFilters:\n${plans("q_partition_prune")}")
   }
 
+  test("schema-on-read rename keeps predicate pushdown to the scan") {
+    // alignToDeclared wraps every layout read in rename/null-add
+    // projections; Catalyst must still push a predicate on the LOGICAL
+    // name through them onto the PHYSICAL parquet column — otherwise
+    // every renamed-column filter becomes a post-scan filter at 100 TB
+    import graft.etl.{BucketTable, Catalog, SqlDdl}
+    val p = java.nio.file.Files.createTempDirectory("planren").toString + "/t"
+    import spark.implicits._
+    BucketTable.create(
+      (1 to 64).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "plan_ren", "bucket", p)
+    SqlDdl.exec(spark, "ALTER TABLE plan_ren RENAME COLUMN v TO amount")
+    val df = Catalog.readTable(spark, "plan_ren").filter(col("amount") > 40.0)
+    assert(df.count() == 24)
+    val pushed = scansUnder(finalPlan(df))
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("GreaterThan(v,")),
+      s"renamed-column predicate missing from PushedFilters; got $pushed")
+  }
+
   test("star join prunes fact partitions with a runtime DPP filter") {
     // the dim filter is on a DERIVED quarter column, so only dynamic
     // partition pruning can turn it into a partition predicate: the
