@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedTable}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, CreateTableAsSelect, DropColumns, LogicalPlan, RenameColumn, TableSpec, UnresolvedTableSpec}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, CreateTableAsSelect, DropColumns, LogicalPlan, RenameColumn, RenameTable, TableSpec, UnresolvedTableSpec}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 
@@ -26,6 +26,13 @@ object SqlDdl {
       case a: AddColumns => addColumnsParsed(spark, a, sqlText)
       case d: DropColumns => dropColumnsParsed(spark, d)
       case r: RenameColumn => renameColumnParsed(spark, r)
+      case _: RenameTable =>
+        // table rename is already metadata-only in the session catalog
+        // and carries TBLPROPERTIES (so the layout binding, key config,
+        // schema-on-read mapping, validators, and index registry all
+        // move with the entry); the external LOCATION stub is untouched
+        spark.sql(sqlText)
+        ()
       case other => throw new IllegalArgumentException(
         s"unsupported DDL: ${other.getClass.getSimpleName}")
     }

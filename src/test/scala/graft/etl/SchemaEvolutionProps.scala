@@ -1,0 +1,161 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Model-based ScalaCheck over metadata-only schema evolution: an
+  * arbitrary interleaving of SQL INSERTs, predicate UPDATEs, and
+  * `ALTER TABLE ADD / RENAME / DROP COLUMN` against a bucket-backed
+  * catalog table must agree with a driver-side model after EVERY step.
+  * This pins the interactions the example-based specs cannot
+  * enumerate: update-through-rename-through-drop chains, predicates on
+  * freshly-added (physically absent) columns taking the scan-all
+  * selection fallback, writes landing under stable physical names
+  * while the logical schema keeps shifting, and reads reconciling all
+  * of it per ALTER history.
+  *
+  * Determinism: precombine strictly increases per statement, every
+  * batch carries distinct keys, and all values are integral doubles —
+  * so the model needs no tie-break or rounding reasoning.
+  */
+object SchemaEvolutionProps extends Properties("SchemaEvolution") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkSpec.session
+
+  // one evolving-schema operation; column indices are resolved against
+  // the LIVE logical column list at apply time (modulo its size), so a
+  // generated sequence is always applicable
+  private sealed trait Op
+  private case class Insert(keys: List[Long]) extends Op
+  private case class Update(colIdx: Int, mult: Long, condIdx: Int,
+      threshold: Long) extends Op
+  private case object AddCol extends Op
+  private case class RenameCol(colIdx: Int) extends Op
+  private case class DropCol(colIdx: Int) extends Op
+
+  private val op: Gen[Op] = Gen.frequency(
+    4 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(ks => Insert(ks.distinct)),
+    4 -> (for {
+      c <- Gen.chooseNum(0, 7); m <- Gen.chooseNum(2L, 9L)
+      pc <- Gen.chooseNum(0, 8); t <- Gen.chooseNum(0L, 14L)
+    } yield Update(c, m, pc, t)),
+    2 -> Gen.const(AddCol),
+    2 -> Gen.chooseNum(0, 7).map(RenameCol(_)),
+    1 -> Gen.chooseNum(0, 7).map(DropCol(_)))
+
+  private val scenario: Gen[(List[Long], List[Op])] = for {
+    first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(_.distinct)
+    n <- Gen.choose(3, 7)
+    ops <- Gen.listOfN(n, op)
+  } yield (first, ops)
+
+  private var run = 0
+
+  property("SQL DML+DDL interleaving matches the driver-side model") =
+    Prop.forAllNoShrink(scenario) { case (first, ops) =>
+      run += 1
+      val table = s"schevo_prop_$run"
+      val path = java.nio.file.Files
+        .createTempDirectory("schevo").toString + "/t"
+      var pcTick = 0L
+      var fresh = 0
+      // model state: live logical value columns (insertion-ordered) and
+      // per-key (pc, values by logical column; None = NULL)
+      var cols = Vector("v")
+      val rows = scala.collection.mutable.Map[Long, (Long, Map[String, Option[Double]])]()
+
+      def seed(v: Long, k: Long, ci: Int): Double =
+        (v * 16 + k + ci * 1000).toDouble
+      def insert(keys: List[Long]): Unit = {
+        pcTick += 1
+        val colList = ("k" +: "pc" +: cols).mkString(", ")
+        val values = keys.map(k => s"(${k}L, ${pcTick}L, " +
+          cols.indices.map(i => s"${seed(pcTick, k, i)}D").mkString(", ") +
+          ")").mkString(", ")
+        SqlMerge.exec(spark, s"INSERT INTO $table ($colList) VALUES $values")
+        keys.foreach(k => rows(k) = (pcTick,
+          cols.zipWithIndex.map { case (c, i) =>
+            c -> Some(seed(pcTick, k, i))
+          }.toMap))
+      }
+
+      // create through the SQL front door, then evolve
+      val firstRows = first.map(k => s"(${k}L, 0L, ${seed(0, k, 0)}D)")
+        .mkString(", ")
+      SqlDdl.exec(spark,
+        s"""CREATE TABLE $table TBLPROPERTIES (
+           |  'graft.table.layout' = 'bucket',
+           |  'graft.table.path' = '$path',
+           |  'graft.table.primaryKey' = 'k',
+           |  'graft.table.preCombineField' = 'pc',
+           |  'graft.table.numBuckets' = '4')
+           |AS SELECT * FROM VALUES $firstRows AS t(k, pc, v)""".stripMargin)
+      first.foreach(k => rows(k) = (0L, Map("v" -> Some(seed(0, k, 0)))))
+
+      def check(after: String): Prop = {
+        val got = Catalog.readTable(spark, table).collect().map { r =>
+          val k = r.getLong(r.fieldIndex("k"))
+          k -> (r.getLong(r.fieldIndex("pc")),
+            cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) None
+              else Some(r.getDouble(r.fieldIndex(c))))).toMap)
+        }.toMap
+        val want = rows.toMap
+        Prop(got == want) :| s"after $after:\n  got  $got\n  want $want" :|
+          s"cols=$cols"
+      }
+
+      val steps: Seq[Prop] = ops.map { o =>
+        val applied: String = o match {
+          case Insert(ks) =>
+            insert(ks); s"INSERT(${ks.mkString(",")})"
+          case Update(ci, m, pci, t) =>
+            val target = cols(ci % cols.size)
+            // predicate column: k (always live) or any logical column —
+            // including freshly-added ones with no physical presence,
+            // which must take the scan-all selection fallback
+            val pred = ("k" +: cols)((pci % (cols.size + 1)))
+            SqlMerge.exec(spark,
+              s"UPDATE $table SET $target = CAST(k * $m AS DOUBLE) " +
+                s"WHERE $pred >= $t")
+            rows.mapValuesInPlace { case (k, (pc, vs)) =>
+              val hit =
+                if (pred == "k") k >= t
+                else vs(pred).exists(_ >= t) // NULL comparison: no hit
+              (pc, if (hit) vs + (target -> Some((k * m).toDouble)) else vs)
+            }
+            s"UPDATE $target WHERE $pred>=$t *$m"
+          case AddCol =>
+            fresh += 1
+            val c = s"c$fresh"
+            SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS ($c DOUBLE)")
+            cols = cols :+ c
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs + (c -> None))
+            }
+            s"ADD $c"
+          case RenameCol(ci) =>
+            fresh += 1
+            val from = cols(ci % cols.size); val to = s"c$fresh"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table RENAME COLUMN $from TO $to")
+            cols = cols.updated(cols.indexOf(from), to)
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - from + (to -> vs(from)))
+            }
+            s"RENAME $from->$to"
+          case DropCol(ci) if cols.size > 1 =>
+            val victim = cols(ci % cols.size)
+            SqlDdl.exec(spark, s"ALTER TABLE $table DROP COLUMNS ($victim)")
+            cols = cols.filterNot(_ == victim)
+            rows.mapValuesInPlace { case (_, (pc, vs)) => (pc, vs - victim) }
+            s"DROP $victim"
+          case DropCol(_) => "DROP skipped (last column)"
+        }
+        check(applied)
+      }
+      steps.foldLeft(check("CREATE"))(_ && _)
+    }
+}

@@ -267,6 +267,23 @@ class SqlDdlSpec extends SparkSpec {
     assert(ePlain.getMessage.contains("layout-bound"))
   }
 
+  test("ALTER TABLE RENAME TO carries the layout binding and schema state") {
+    val p = Files.createTempDirectory("rentab").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    Catalog.registerLayoutTable(spark, "rt_before", "bucket", p)
+    SqlDdl.exec(spark, "ALTER TABLE rt_before RENAME COLUMN v TO amount")
+    SqlDdl.exec(spark, "ALTER TABLE rt_before RENAME TO rt_after")
+    // binding, key config, AND the rename map all moved with the entry
+    assert(Catalog.layoutOf(spark, "rt_after").contains(("bucket", p)))
+    assert(Catalog.renamesOf(spark, "rt_after") == Map("amount" -> "v"))
+    SqlMerge.exec(spark, "UPDATE rt_after SET amount = 99.0 WHERE k = 2")
+    val got = Catalog.readTable(spark, "rt_after")
+      .select($"k", $"amount").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0))
+  }
+
   test("renamed column through conditional MERGE and MOR routes") {
     val p = Files.createTempDirectory("renmor").toString + "/t"
     MorTable.create(
