@@ -284,6 +284,41 @@ class SqlDdlSpec extends SparkSpec {
     assert(got == Map(1L -> 10.0, 2L -> 99.0))
   }
 
+  test("rename on timeline and partitioned layouts; time travel re-reads history under the new name") {
+    // timeline: the rename applies to EVERY version on read (schema-on-
+    // read reconciles historic snapshots to the current declared schema)
+    val tp = Files.createTempDirectory("rentl").toString + "/t"
+    Timeline.upsertInto(spark, tp,
+      Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), Seq("k"), "pc")
+    Catalog.registerTimelineTable(spark, "ren_tl", tp, Seq("k"), "pc")
+    SqlDdl.exec(spark, "ALTER TABLE ren_tl RENAME COLUMN v TO score")
+    SqlMerge.exec(spark,
+      "INSERT INTO ren_tl (k, pc, score) VALUES (2, 2, 20.0)")
+    assert(SqlRead.select(spark,
+      "SELECT k, score FROM ren_tl ORDER BY k").as[(Long, Double)]
+      .collect().toSeq == Seq(1L -> 10.0, 2L -> 20.0))
+    // version 0 predates the rename; it reads under the CURRENT name
+    assert(SqlRead.select(spark,
+      "SELECT k, score FROM ren_tl VERSION AS OF 0")
+      .as[(Long, Double)].collect().toSeq == Seq(1L -> 10.0))
+    // partitioned: partition columns are protected, value columns remap
+    val pp = Files.createTempDirectory("renpart").toString + "/t"
+    PartitionedTable.create(
+      Seq((1L, 1L, 10.0, "a"), (2L, 1L, 20.0, "b")).toDF("k", "pc", "v", "part"),
+      pp, keys = Seq("k"), precombine = "pc", tieBreak = Nil,
+      partitionCols = Seq("part"))
+    Catalog.registerLayoutTable(spark, "ren_part", "partitioned", pp)
+    val ePart = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE ren_part RENAME COLUMN part TO p2")
+    }
+    assert(ePart.getMessage.contains("partition"))
+    SqlDdl.exec(spark, "ALTER TABLE ren_part RENAME COLUMN v TO score")
+    SqlMerge.exec(spark,
+      "UPDATE ren_part SET score = 99.0 WHERE part = 'b'")
+    assert(Catalog.readTable(spark, "ren_part").select($"k", $"score")
+      .as[(Long, Double)].collect().toMap == Map(1L -> 10.0, 2L -> 99.0))
+  }
+
   test("renamed column through conditional MERGE and MOR routes") {
     val p = Files.createTempDirectory("renmor").toString + "/t"
     MorTable.create(
