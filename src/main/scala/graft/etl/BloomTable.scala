@@ -357,6 +357,33 @@ object BloomTable {
     withTableLock(tablePath)(
       upsertIntoLocked(spark, tablePath, incoming, validators))
 
+  /** Hudi's `insert_overwrite_table` (the replacecommit): the
+    * precombine-deduped batch replaces the table — one fresh commit's
+    * files become the entire manifest, and the range/bloom index is
+    * rebuilt from exactly those files (tiny: O(new files) rows).
+    * Previous commits' files are untouched until [[clean]]; O(batch)
+    * written, zero old data read.
+    */
+  def overwriteTable(spark: SparkSession, tablePath: String,
+      incoming: DataFrame,
+      validators: Seq[PreCommit.Rule] = Nil): Seq[String] =
+    withTableLock(tablePath) {
+      val p = props(tablePath)
+      val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
+        p.tieBreak).localCheckpoint()
+      require(!batch.isEmpty,
+        s"INSERT OVERWRITE with an empty batch at $tablePath — an empty " +
+          "manifest would brick reads; DELETE the rows instead")
+      PreCommit.validate(batch, validators)
+      val commit = nextCommit(tablePath)
+      val written = writeCommit(batch, tablePath, commit, p, p.numFiles)
+      writeManifest(tablePath, written)
+      writeIndex(tablePath,
+        indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
+        nextIndexVersion(tablePath))
+      written
+    }
+
   private def upsertIntoLocked(spark: SparkSession, tablePath: String,
       incoming: DataFrame, validators: Seq[PreCommit.Rule]): Seq[String] = {
     val p = props(tablePath)

@@ -289,6 +289,31 @@ object BucketTable {
     written
   }
 
+  /** Hudi's `insert_overwrite_table` (the replacecommit): the
+    * precombine-deduped batch REPLACES the whole table as one new
+    * generation + one manifest swing — buckets the batch does not hit
+    * leave the manifest, so the live state is exactly the batch.
+    * Previous generations' files are untouched: concurrent readers
+    * keep their snapshot and [[clean]] reclaims them later. Cost is
+    * O(batch) written, zero old data read — the difference from a
+    * DELETE-then-INSERT, which reads and rewrites survivors.
+    */
+  def overwriteTable(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, validators: Seq[PreCommit.Rule] = Nil): Seq[Int] = {
+    val p = props(tablePath)
+    val tagged = withBucket(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    require(!tagged.isEmpty,
+      s"INSERT OVERWRITE with an empty batch at $tablePath — an empty " +
+        "manifest would brick reads; DELETE the rows instead")
+    PreCommit.validate(tagged, validators)
+    val gen = nextGen(tablePath)
+    val written = writeGen(tagged, tablePath, gen)
+    writeManifest(tablePath, written.map(_ -> gen).toMap, p)
+    written
+  }
+
   /** One bucket-level optimistic-concurrency attempt: merge `tagged`
     * against the `m0` view of its touched buckets and write the new
     * generation OUTSIDE any lock; inside the short [[FsLock]] critical

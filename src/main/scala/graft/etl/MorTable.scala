@@ -298,6 +298,25 @@ object MorTable {
       next
     }
 
+  /** Hudi's `insert_overwrite_table` on a MOR table: the
+    * precombine-deduped batch becomes a NEW base generation with zero
+    * delta logs — one pointer swing. Same lock discipline as
+    * [[compact]] (an append landing between the write and the swing
+    * would be dropped by the new pointer); the previous base + logs
+    * stay immutable for in-flight readers until [[clean]].
+    */
+  def overwriteTable(tablePath: String, incoming: DataFrame): Long =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val (base, _) = state(tablePath).getOrElse(
+        throw new IllegalStateException(s"no MOR table at $tablePath"))
+      val p = props(tablePath)
+      val next = base + 1
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak)
+        .write.mode("overwrite").parquet(s"$tablePath/base=$next")
+      writePointer(tablePath, next, 0L)
+      next
+    }
+
   /** Retention: delete base/log dirs of generations older than the
     * current base. Never touches the live generation.
     */

@@ -33,6 +33,17 @@ object SqlDdl {
         // move with the entry); the external LOCATION stub is untouched
         spark.sql(sqlText)
         ()
+      case _: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        // the one deliberate schema-evolution gap: layout reads infer
+        // each snapshot's schema from its own immutable files, so a
+        // declared-only type change would leave mixed-width files that
+        // a single inferred read schema cannot serve (the add/drop/
+        // rename mappings never change a column's physical type, which
+        // is why THEY can be metadata-only)
+        throw new IllegalArgumentException(
+          "ALTER COLUMN (type/nullability change) is not supported: " +
+            "data files are immutable and keep their written types — " +
+            "add a new column and backfill it instead")
       case other => throw new IllegalArgumentException(
         s"unsupported DDL: ${other.getClass.getSimpleName}")
     }

@@ -420,10 +420,37 @@ object SqlMerge {
             // delta log — O(batch) regardless of table size
             MorTable.upsertInto(path, batch)
             ()
-          case (k, true) => throw new IllegalArgumentException(
-            s"INSERT OVERWRITE on '$k' layout $target is not supported — " +
-              "overwrite is a partition-level operation; use MERGE or " +
-              "UPDATE for keyed rewrites")
+          // Hudi's insert_overwrite_table on the other layouts: the
+          // batch REPLACES the table as one commit (new generation /
+          // manifest / base / version), O(batch) written, old files
+          // kept immutable for readers until clean. Bound indexes are
+          // rebuilt from the new state — proportionate, since the verb
+          // itself replaces the whole table.
+          case ("bucket", true) =>
+            BucketTable.overwriteTable(spark, path, batch)
+            Catalog.secondaryIndexOf(spark, target).foreach {
+              case (secCols, idxPath) =>
+                FsUtil.deleteRecursively(java.nio.file.Paths.get(idxPath))
+                SecondaryIndex.create(spark, path, idxPath, secCols)
+            }
+            ()
+          case ("bloom", true) =>
+            BloomTable.overwriteTable(spark, path, batch)
+            if (RecordIndex.exists(path)) {
+              RecordIndex.drop(path)
+              RecordIndex.build(spark, path)
+            }
+            ()
+          case ("mor", true) =>
+            MorTable.overwriteTable(path, batch)
+            ()
+          case ("timeline", true) =>
+            val (keys2, precombine2, tieBreak2) =
+              dmlConfig(spark, target, layout)
+            Timeline.commit(
+              HudiLike.precombineLatest(batch, keys2, precombine2, tieBreak2),
+              path, action = "overwrite")
+            ()
           case (other, _) => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
         }

@@ -1443,6 +1443,33 @@ object PipelineQueries {
     graft.etl.Catalog.readTable(spark, "graft_insert_target")
   }
 
+  /** `p_sql_overwrite_table`: Hudi's `insert_overwrite_table` through
+    * the SQL front door — on a non-partitioned layout, `INSERT
+    * OVERWRITE` REPLACES the table with the (precombine-deduped) batch
+    * as ONE commit ([[graft.etl.BucketTable.overwriteTable]]): a new
+    * generation becomes the entire manifest, O(batch) written, zero
+    * old data read, superseded generations immutable until clean. The
+    * oracle is simply the second window's latest-per-key — nothing of
+    * the first load may survive.
+    */
+  def sqlOverwriteTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "ovwtab")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_ovwtab_target",
+      "bucket", path)
+    ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us)
+      .createOrReplaceTempView("graft_ovwtab_src")
+    graft.etl.SqlMerge.exec(spark,
+      "INSERT OVERWRITE graft_ovwtab_target SELECT * FROM graft_ovwtab_src")
+    graft.etl.Catalog.readTable(spark, "graft_ovwtab_target")
+  }
+
   /** `p_sql_insert_overwrite`: `INSERT OVERWRITE` routed to the
     * partitioned layout's `insertOverwrite` — the [[partOverwrite]]
     * contract (replace exactly the partitions present in the batch,
@@ -2304,6 +2331,7 @@ object PipelineQueries {
     "p_sql_ctas" -> (sqlCtas(_, _)),
     "p_sql_insert" -> (sqlInsert(_, _)),
     "p_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
+    "p_sql_overwrite_table" -> (sqlOverwriteTable(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
     "p_sql_merge_timeline" -> (sqlMergeTimeline(_, _)),
     "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
@@ -2561,6 +2589,17 @@ object PipelineQueries {
         | FROM events) t
         |WHERE rn = 1""".stripMargin,
     // INSERT OVERWRITE replays p_part_overwrite's contract through SQL
+    // insert_overwrite_table: nothing of the first load survives — the
+    // live state IS the second window's latest-per-key
+    "p_sql_overwrite_table" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events
+         | WHERE epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) x
+         |WHERE rn = 1""".stripMargin,
     "p_sql_insert_overwrite" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

@@ -510,6 +510,44 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** CCNet-style LM quality scoring, upgraded from the unigram proxy
+    * ([[unigramLogprob]]) to a corpus-trained BIGRAM model with add-k
+    * smoothing (Wenzek et al. 2020 filter on LM perplexity; Jurafsky &
+    * Martin ch. 3 for the estimator): each document's mean negative
+    * log-likelihood over its bigrams,
+    * `p(w|prev) = (c(prev,w) + k) / (c(prev) + k·V)`, k = 0.5 — low
+    * `avg_nll` = formulaic/boilerplate text, high = rare-continuation
+    * text; curation thresholds on it exactly as CCNet buckets on
+    * perplexity (a monotone transform of this score). Training IS the
+    * two count aggregations (map-side combinable), scoring is two
+    * token-keyed equi-joins (AQE splits stopword-skewed buckets) and
+    * the vocabulary size broadcasts as one row — no driver-side model
+    * object at any scale. Parity hygiene: per-bigram `ln` rounded at
+    * 8dp BEFORE the mean, mean rounded at 4dp (same discipline as
+    * [[unigramLogprob]]).
+    */
+  def bigramNll(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val pairs = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> named_struct('prev', t[i], 'w', t[i+1]))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+    val cPw = pairs.groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("c_pw"))
+    val cCtx = pairs.groupBy(col("prev")).agg(count(lit(1)).as("c_ctx"))
+    val vocab = d.select(explode(expr(wsSplitSpark)).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs.join(cPw, Seq("prev", "w"))
+      .join(cCtx, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("round(avg(round(-ln((CAST(c_pw AS DOUBLE) + 0.5) / " +
+          "(CAST(c_ctx AS DOUBLE) + 0.5 * v)), 8)), 4)").as("avg_nll"))
+  }
+
   /** Count-min sketch geometry: [[CmsD]] hash rows of [[CmsW]] counters
     * (16 KiB of longs). Estimate error is bounded by ε·N with
     * ε = e/CmsW ≈ 0.5% of total token mass at fixture sizing, with
@@ -633,6 +671,7 @@ object TextOps {
     "tx_decontaminate_bloom" -> (decontaminateBloom(_, _)),
     "tx_filter_verdict" -> (filterVerdict(_, _)),
     "tx_unigram_logprob" -> (unigramLogprob(_, _)),
+    "tx_bigram_nll" -> (bigramNll(_, _)),
     "tx_heavy_hitters_cms" -> (heavyHittersCms(_, _)),
     "tx_curation_pipeline" -> (curationPipeline(_, _)),
     "tx_corpus_stats" -> (corpusStats(_, _)))
@@ -714,6 +753,24 @@ object TextOps {
            |SELECT doc_id, count(*) AS n_tokens,
            |  round(avg(round(ln(CAST(cf AS DOUBLE) / n_total), 8)), 4) AS avg_logprob
            |FROM tok JOIN freq USING (w), tot
+           |GROUP BY doc_id""".stripMargin,
+      // the smoothed-bigram estimator replayed verbatim: counts are
+      // integers, the per-bigram ln is 8dp-rounded before the 4dp mean
+      "tx_bigram_nll" ->
+        s"""WITH pairs AS (
+           |  SELECT doc_id, b['prev'] AS prev, b['w'] AS w FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |      range(len($wsSplitDuck) - 1),
+           |      i -> {'prev': $wsSplitDuck[i+1], 'w': $wsSplitDuck[i+2]})) AS b
+           |    FROM documents WHERE len($wsSplitDuck) >= 2) t),
+           |cpw AS (SELECT prev, w, count(*) AS c_pw FROM pairs GROUP BY 1, 2),
+           |cctx AS (SELECT prev, count(*) AS c_ctx FROM pairs GROUP BY 1),
+           |vocab AS (SELECT count(DISTINCT w) AS v FROM (
+           |  SELECT unnest($wsSplitDuck) AS w FROM documents) u)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  round(avg(round(-ln((CAST(c_pw AS DOUBLE) + 0.5) /
+           |    (CAST(c_ctx AS DOUBLE) + 0.5 * v)), 8)), 4) AS avg_nll
+           |FROM pairs JOIN cpw USING (prev, w) JOIN cctx USING (prev), vocab
            |GROUP BY doc_id""".stripMargin,
       "tx_quality" ->
         s"""SELECT doc_id,

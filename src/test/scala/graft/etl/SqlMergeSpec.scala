@@ -339,4 +339,73 @@ class SqlMergeSpec extends SparkSpec {
     }
     assert(contents(t) == Seq((1L, 10L, 1.0)))
   }
+
+  test("INSERT OVERWRITE replaces bucket/mor/timeline tables as one commit") {
+    import scala.jdk.CollectionConverters._
+    // bucket: batch replaces the table; untouched old generation's
+    // files survive on disk (readers/clean contract) but leave the view
+    val bp = Files.createTempDirectory("ovwb").toString + "/t"
+    BucketTable.create(
+      (1 to 8).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v"),
+      bp, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "ovw_bucket", "bucket", bp)
+    val before = Files.walk(java.nio.file.Paths.get(bp)).iterator().asScala
+      .count(f => f.toString.endsWith(".parquet"))
+    SqlMerge.exec(spark,
+      "INSERT OVERWRITE ovw_bucket VALUES (100L, 2L, 1.0D), (101L, 2L, 2.0D)")
+    assert(Catalog.readTable(spark, "ovw_bucket")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      .map(r => (r._1, r._3)) == Seq(100L -> 1.0, 101L -> 2.0))
+    val after = Files.walk(java.nio.file.Paths.get(bp)).iterator().asScala
+      .count(f => f.toString.endsWith(".parquet"))
+    assert(after > before) // old generation untouched, not deleted
+    // empty overwrite is a loud failure, not a bricked manifest
+    spark.emptyDataset[(Long, Long, Double)].toDF("k", "pc", "v")
+      .createOrReplaceTempView("ovw_empty")
+    val e = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        "INSERT OVERWRITE ovw_bucket SELECT * FROM ovw_empty")
+    }
+    assert(e.getMessage.contains("empty batch"))
+    // mor: the overwrite is a fresh base with zero logs
+    val mp = Files.createTempDirectory("ovwm").toString + "/t"
+    MorTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), mp,
+      keys = Seq("k"), precombine = "pc")
+    MorTable.upsertInto(mp, Seq((2L, 2L, 20.0)).toDF("k", "pc", "v"))
+    Catalog.registerLayoutTable(spark, "ovw_mor", "mor", mp)
+    SqlMerge.exec(spark, "INSERT OVERWRITE ovw_mor VALUES (7L, 3L, 70.0D)")
+    assert(MorTable.state(mp).exists(_._2 == 0L)) // zero delta logs
+    assert(Catalog.readTable(spark, "ovw_mor")
+      .as[(Long, Long, Double)].collect().toSeq == Seq((7L, 3L, 70.0)))
+    // timeline: overwrite is one more VERSION; the old state time-travels
+    val tp = Files.createTempDirectory("ovwt").toString + "/t"
+    Timeline.upsertInto(spark, tp,
+      Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), Seq("k"), "pc")
+    Catalog.registerTimelineTable(spark, "ovw_tl", tp, Seq("k"), "pc")
+    SqlMerge.exec(spark, "INSERT OVERWRITE ovw_tl VALUES (9L, 2L, 90.0D)")
+    assert(SqlRead.select(spark, "SELECT k, v FROM ovw_tl")
+      .as[(Long, Double)].collect().toSeq == Seq(9L -> 90.0))
+    assert(SqlRead.select(spark, "SELECT k, v FROM ovw_tl VERSION AS OF 0")
+      .as[(Long, Double)].collect().toSeq == Seq(1L -> 10.0))
+  }
+
+  test("INSERT OVERWRITE rebuilds a bound secondary index from the new state") {
+    val bp = Files.createTempDirectory("ovwsi").toString + "/t"
+    val ip = Files.createTempDirectory("ovwsi").toString + "/idx"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0, "red"), (2L, 1L, 20.0, "blue"))
+        .toDF("k", "pc", "v", "color"),
+      bp, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    SecondaryIndex.create(spark, bp, ip, Seq("color"))
+    Catalog.registerLayoutTable(spark, "ovw_sec", "bucket", bp,
+      secondaryIndex = Some((Seq("color"), ip)))
+    SqlMerge.exec(spark,
+      "INSERT OVERWRITE ovw_sec VALUES (5L, 2L, 50.0D, 'green'), " +
+        "(6L, 2L, 60.0D, 'red')")
+    // index-served DELETE must resolve against the POST-overwrite rows:
+    // a stale index would delete nothing (old keys are gone) or wrong
+    SqlMerge.exec(spark, "DELETE FROM ovw_sec WHERE color = 'red'")
+    assert(Catalog.readTable(spark, "ovw_sec").select($"k", $"color")
+      .as[(Long, String)].collect().toMap == Map(5L -> "green"))
+  }
 }

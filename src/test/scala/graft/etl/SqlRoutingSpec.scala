@@ -96,11 +96,12 @@ class SqlRoutingSpec extends SparkSpec {
       SqlMerge.exec(spark, "INSERT INTO sql_rt_ins (k, v) SELECT 67, 1.0")
     }
     assert(e.getMessage.contains("precombine"))
-    // INSERT OVERWRITE is partition-level — rejected on a bucket layout
-    intercept[IllegalArgumentException] {
-      SqlMerge.exec(spark,
-        "INSERT OVERWRITE sql_rt_ins SELECT k, pc, v FROM rt_ins_src")
-    }
+    // INSERT OVERWRITE is Hudi's insert_overwrite_table here: the
+    // batch REPLACES the table as one commit (precombine-deduped)
+    SqlMerge.exec(spark,
+      "INSERT OVERWRITE sql_rt_ins SELECT k, pc, v FROM rt_ins_src")
+    val replaced = contents(path).map(r => r._1 -> r._3).toMap
+    assert(replaced == Map(7L -> 77.0, 65L -> 65.0))
   }
 
   test("conditional MERGE routes through rewriteKeys, inserts included") {
