@@ -153,6 +153,15 @@ object SqlCall {
           keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq, pc)
         Catalog.registerLayoutTable(spark, t, "mor", dst)
         Seq((t, dst)).toDF("table", "path")
+      case ("show_schema_state", Seq(t: String)) =>
+        // the schema-on-read mapping, human-readable: which logical
+        // columns live under another physical name, and which physical
+        // names are tombstoned (still in files, projected away on read)
+        val renames = Catalog.renamesOf(spark, t).toSeq.sorted
+          .map { case (log, phys) => ("renamed", log, phys) }
+        val dropped = Catalog.droppedOf(spark, t).toSeq.sorted
+          .map(p => ("dropped", "", p))
+        (renames ++ dropped).toDF("kind", "logical", "physical")
       case ("show_indexes", Seq(t: String)) =>
         Catalog.indexesOf(spark, t).toSeq.sortBy(_._1)
           .map { case (n, (tpe, artifact)) => (n, tpe, artifact) }
@@ -172,7 +181,7 @@ object SqlCall {
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
-          "show_indexes, run_clustering, run_bootstrap, " +
+          "show_indexes, show_schema_state, run_clustering, run_bootstrap, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint)")
     }

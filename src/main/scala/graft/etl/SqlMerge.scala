@@ -143,11 +143,15 @@ object SqlMerge {
   private def layoutConds(spark: SparkSession, target: String,
       e: Expression): (Column, Column) = {
     val physExpr = physicalized(e, Catalog.renamesOf(spark, target))
-    val physCols = Catalog.readPhysical(spark, target)
-      .columns.map(_.toLowerCase).toSet
-    val select =
-      if (referencedColumns(physExpr).subsetOf(physCols)) render(physExpr)
-      else lit(true)
+    // an empty table has no physical schema to consult — any selection
+    // works there, since the layouts short-circuit on an empty manifest
+    val physCols = scala.util.Try(Catalog.readPhysical(spark, target)
+      .columns.map(_.toLowerCase).toSet)
+    val select = physCols match {
+      case scala.util.Success(cs)
+          if !referencedColumns(physExpr).subsetOf(cs) => lit(true)
+      case _ => render(physExpr)
+    }
     (render(e), select)
   }
 

@@ -190,4 +190,19 @@ class SqlCallSpec extends SparkSpec {
     SqlCall.exec(spark, "CALL run_compaction('call_bs')")
     assert(MorTable.readOptimized(spark, s"$base/t").count() == 15L)
   }
+
+  test("show_schema_state lists the rename map and dropped tombstones") {
+    val p = Files.createTempDirectory("callsch").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0, "x")).toDF("k", "pc", "v", "tag"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    Catalog.registerLayoutTable(spark, "call_sch", "bucket", p)
+    assert(SqlCall.exec(spark, "CALL show_schema_state('call_sch')")
+      .count() == 0)
+    SqlDdl.exec(spark, "ALTER TABLE call_sch RENAME COLUMN v TO amount")
+    SqlDdl.exec(spark, "ALTER TABLE call_sch DROP COLUMNS (tag)")
+    val got = SqlCall.exec(spark, "CALL show_schema_state('call_sch')")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("renamed", "amount", "v"), ("dropped", "", "tag")))
+  }
 }
