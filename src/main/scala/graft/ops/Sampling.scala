@@ -179,6 +179,44 @@ object Sampling {
     * against the corpus; the propagation itself is the measured cost),
     * and the md5 bucket split replays exactly in the oracle.
     */
+  /** Token-budget source mixing — the data-recipe step of LLM corpus
+    * assembly (set per-source TOKEN shares, not row shares: a source of
+    * long documents must not dominate by row-sampling alone). Budget:
+    * 1/4 of the corpus's total tokens, split across sources by the
+    * [[MixtureWeights]]; each source contributes its docs in the
+    * deterministic content-hash order until its token budget is hit.
+    *
+    * The 100 TB shape is the whole point: NO per-document window. A
+    * per-source running token cumsum over documents would put an
+    * entire source in one window task. Instead the cumsum runs over
+    * the (source, bucket16) HISTOGRAM — at most |sources|·65536 rows
+    * whatever the corpus size — and whole buckets are kept while the
+    * budget lasts (granularity ≈ corpus/65536 tokens per source, the
+    * same lattice every sampler here draws from). Docs re-attach by a
+    * broadcast join on (source, bucket16). All arithmetic is integer
+    * (BIGINT multiply/divide), so the oracle replays bit-for-bit.
+    */
+  def tokenBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = md5Bucket16Sql("concat('tb|', text)")
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", expr(mixtureWeightCaseSql))
+      .filter(col("w") > 0)
+      .withColumn("n_tokens", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("bucket16", expr(bucket))
+    val total = d.agg(sum(col("n_tokens")).as("total_tokens"))
+    val kept = d.groupBy(col("source"), col("w"), col("bucket16"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+      .withColumn("cum_tokens", sum(col("bucket_tokens"))
+        .over(Window.partitionBy(col("source")).orderBy(col("bucket16"))))
+      .crossJoin(broadcast(total))
+      .filter(expr(
+        s"cum_tokens <= (total_tokens * w) DIV ${MixtureSumW * 4}"))
+      .select(col("source"), col("bucket16"))
+    d.join(broadcast(kept), Seq("source", "bucket16"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("bucket16"))
+  }
+
   def leakFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = md5Bucket16Sql("CAST(cluster_id AS STRING)")
     Tables.documents(spark, sfDir).select(col("doc_id"))
@@ -196,6 +234,7 @@ object Sampling {
     "samp_stratified" -> (stratifiedByLang(_, _)),
     "samp_mixture" -> (mixtureSample(_, _)),
     "samp_temperature" -> (temperatureSample(_, _)),
+    "samp_token_budget" -> (tokenBudgetMix(_, _)),
     "samp_leakfree_split" -> (leakFreeSplit(_, _)),
     "samp_shuffle_shards" -> (shuffleShards(_, _)),
     "samp_shuffle_shards_fixed" -> (shuffleShardsFixed(_, _)))
@@ -338,6 +377,31 @@ object Sampling {
          |  ${md5Bucket16Sql("concat('mx|', text)")} AS bucket16
          |FROM documents d JOIN thr t ON d.source = t.source
          |WHERE ${md5Bucket16Sql("concat('mx|', text)")} < t.thr""".stripMargin,
+    // token-budget mix: integer arithmetic end to end; DuckDB's sum()
+    // returns HUGEINT, which multiplies/divides exactly like the
+    // Spark-side BIGINTs
+    "samp_token_budget" -> {
+      val bucket = md5Bucket16Sql("concat('tb|', text)")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $mixtureWeightCaseSql AS w,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $bucket AS bucket16
+         |  FROM documents),
+         |d2 AS (SELECT * FROM d WHERE w > 0),
+         |tot AS (SELECT sum(n_tokens) AS total_tokens FROM d2),
+         |histo AS (
+         |  SELECT source, w, bucket16, sum(n_tokens) AS bucket_tokens
+         |  FROM d2 GROUP BY 1, 2, 3),
+         |kept AS (
+         |  SELECT source, bucket16 FROM (
+         |    SELECT source, w, bucket16,
+         |      sum(bucket_tokens) OVER (PARTITION BY source
+         |        ORDER BY bucket16) AS cum_tokens
+         |    FROM histo) h, tot
+         |  WHERE cum_tokens <= (total_tokens * w) // ${MixtureSumW * 4})
+         |SELECT doc_id, source, n_tokens, bucket16
+         |FROM d2 JOIN kept USING (source, bucket16)""".stripMargin
+    },
     "samp_temperature" ->
       s"""WITH cnt AS (
          |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
