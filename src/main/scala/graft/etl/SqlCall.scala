@@ -153,6 +153,21 @@ object SqlCall {
           keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq, pc)
         Catalog.registerLayoutTable(spark, t, "mor", dst)
         Seq((t, dst)).toDF("table", "path")
+      case ("show_partitions", Seq(t: String)) =>
+        // Hudi's SHOW PARTITIONS: the manifest's live slices with the
+        // generation that last rewrote each — metadata only, no listing
+        val path = Catalog.layoutOf(spark, t) match {
+          case Some(("partitioned", p)) => p
+          case other => throw new IllegalArgumentException(
+            s"show_partitions('$t'): not a partitioned-layout table" +
+              other.fold("")(kp => s" (layout: ${kp._1})"))
+        }
+        PartitionedTable.manifest(path).toSeq.sorted
+          .toDF("partition", "generation")
+      case ("show_files", Seq(t: String)) =>
+        // Hudi's show_fsview: the file set the CURRENT snapshot
+        // resolves to (any layout) — what a reader would actually open
+        Catalog.readPhysical(spark, t).inputFiles.sorted.toSeq.toDF("file")
       case ("show_schema_state", Seq(t: String)) =>
         // the schema-on-read mapping, human-readable: which logical
         // columns live under another physical name, and which physical
@@ -181,7 +196,8 @@ object SqlCall {
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
-          "show_indexes, show_schema_state, run_clustering, run_bootstrap, " +
+          "show_indexes, show_schema_state, show_partitions, show_files, "
+          + "run_clustering, run_bootstrap, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint)")
     }

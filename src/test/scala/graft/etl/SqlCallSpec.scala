@@ -204,5 +204,26 @@ class SqlCallSpec extends SparkSpec {
     val got = SqlCall.exec(spark, "CALL show_schema_state('call_sch')")
       .as[(String, String, String)].collect().toSet
     assert(got == Set(("renamed", "amount", "v"), ("dropped", "", "tag")))
+    // show_files resolves the live snapshot's file set for any layout
+    val files = SqlCall.exec(spark, "CALL show_files('call_sch')")
+      .as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("gen=")))
+  }
+
+  test("show_partitions lists the manifest's live slices") {
+    val p = Files.createTempDirectory("callpart").toString + "/t"
+    PartitionedTable.create(
+      Seq((1L, 1L, 10.0, "a"), (2L, 1L, 20.0, "b")).toDF("k", "pc", "v", "part"),
+      p, keys = Seq("k"), precombine = "pc", tieBreak = Nil,
+      partitionCols = Seq("part"))
+    Catalog.registerLayoutTable(spark, "call_parts", "partitioned", p)
+    val got = SqlCall.exec(spark, "CALL show_partitions('call_parts')")
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet.exists(_.contains("part=a")) &&
+      got.keySet.exists(_.contains("part=b")) && got.size == 2)
+    val e = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL show_partitions('call_sch')")
+    }
+    assert(e.getMessage.contains("not a partitioned-layout"))
   }
 }
