@@ -1470,6 +1470,40 @@ object PipelineQueries {
     graft.etl.Catalog.readTable(spark, "graft_ovwtab_target")
   }
 
+  /** `p_stream_schema_evolution`: the streaming half of metadata-only
+    * schema evolution, end to end — a generic table ingest
+    * ([[graft.streaming.StreamingPipeline.runIngestTable]]) streams
+    * window 1, the table is `ALTER TABLE ... ADD COLUMNS`ed, the
+    * SOURCE gains the column, and the stream restarts on the SAME
+    * checkpoint: only window 2's files replay, their batches carry the
+    * new column (merge-sniffed stream schema), and the layout's
+    * schema-on-read union serves pre-evolution rows as typed NULLs.
+    * The oracle replays latest-per-key over both windows with the
+    * column present exactly when the winning row arrived post-ALTER.
+    */
+  def streamSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory(morScratch, "evostr").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    ev.filter(col("ts_us") <= SplitUs).write.parquet(s"$base/src")
+    graft.streaming.StreamingPipeline.runIngestTable(spark, s"$base/src",
+      s"$base/t", s"$base/cp", keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), maxFilesPerTrigger = 64)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_evostr_target",
+      "bucket", s"$base/t")
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_evostr_target ADD COLUMNS (score DOUBLE)")
+    ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us)
+      .withColumn("score", expr("round(value * 2, 2)"))
+      .write.mode("append").parquet(s"$base/src")
+    graft.streaming.StreamingPipeline.runIngestTable(spark, s"$base/src",
+      s"$base/t", s"$base/cp", keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), maxFilesPerTrigger = 64)
+    graft.etl.Catalog.readTable(spark, "graft_evostr_target")
+  }
+
   /** `p_sql_insert_overwrite`: `INSERT OVERWRITE` routed to the
     * partitioned layout's `insertOverwrite` — the [[partOverwrite]]
     * contract (replace exactly the partitions present in the batch,
@@ -2332,6 +2366,7 @@ object PipelineQueries {
     "p_sql_insert" -> (sqlInsert(_, _)),
     "p_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "p_sql_overwrite_table" -> (sqlOverwriteTable(_, _)),
+    "p_stream_schema_evolution" -> (streamSchemaEvolution(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
     "p_sql_merge_timeline" -> (sqlMergeTimeline(_, _)),
     "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
@@ -2589,6 +2624,18 @@ object PipelineQueries {
         | FROM events) t
         |WHERE rn = 1""".stripMargin,
     // INSERT OVERWRITE replays p_part_overwrite's contract through SQL
+    // streamed evolution: the winner's arrival window decides whether
+    // the added column is populated (post-ALTER batches carry it)
+    "p_stream_schema_evolution" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us,
+         |  CASE WHEN ts_us > $SplitUs THEN round(value * 2, 2)
+         |  END AS score
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $Split2Us) x
+         |WHERE rn = 1""".stripMargin,
     // insert_overwrite_table: nothing of the first load survives — the
     // live state IS the second window's latest-per-key
     "p_sql_overwrite_table" ->

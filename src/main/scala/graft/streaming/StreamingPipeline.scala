@@ -237,9 +237,15 @@ object StreamingPipeline {
     * force.
     */
   private def fileStream(spark: SparkSession, sourceDir: String,
-      fallback: StructType, maxFilesPerTrigger: Option[Int]): DataFrame = {
+      fallback: StructType, maxFilesPerTrigger: Option[Int],
+      mergeSniff: Boolean = false): DataFrame = {
+    // mergeSniff: union the schemas of ALL source footers instead of
+    // one file's — the generic-ingest path needs it so a source that
+    // gained a column mid-stream presents the WIDENED schema on
+    // restart (a single-footer sniff could pick an old narrow file)
     val schema =
-      try spark.read.parquet(sourceDir).schema
+      try spark.read.option("mergeSchema", mergeSniff.toString)
+        .parquet(sourceDir).schema
       catch {
         // only an empty or not-yet-created source dir has nothing to
         // sniff — start from the fallback schema. Any OTHER failure
@@ -670,6 +676,51 @@ object StreamingPipeline {
           }
         sink(targetPath, clean, keys, tieBreak)
         sink(quarantinePath, bad, quarantineKeys, Nil)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Generic streaming TABLE ingest — the schema-flexible sibling of
+    * [[runIngestBucketed]]: file-stream `sourceDir` AS-IS (no
+    * events-specific projection; the stream schema is the merged union
+    * of the source's current footers) and upsert each micro-batch into
+    * the bucket table at `targetPath`, creating it on the first
+    * non-empty batch. Because the schema is re-sniffed at every START,
+    * a source that gained a column between runs presents it on
+    * restart — the streaming half of metadata-only schema evolution:
+    * `ALTER TABLE ... ADD COLUMNS`, restart the stream on the SAME
+    * checkpoint, and the widened batches upsert while old rows read as
+    * typed NULLs (the layout's schema-on-read union). Replay safety is
+    * [[runIngestBucketed]]'s: the keyed precombine upsert makes a
+    * redelivered batch idempotent.
+    */
+  def runIngestTable(spark: SparkSession, sourceDir: String,
+      targetPath: String, checkpoint: String,
+      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil,
+      maxFilesPerTrigger: Int = 1, stateParts: Int = StateParts): Unit = {
+    val ss = streamSession(spark, stateParts)
+    // the source must exist to sniff — a generic ingest has no
+    // canonical fallback schema to start from
+    val schema = ss.read.option("mergeSchema", "true")
+      .parquet(sourceDir).schema
+    val q = fileStream(ss, sourceDir, schema, Some(maxFilesPerTrigger),
+      mergeSniff = true).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!graft.etl.BucketTable.exists(targetPath))
+            graft.etl.BucketTable.create(batch, targetPath,
+              keys = keys, precombine = precombine, tieBreak = tieBreak)
+          else {
+            graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath,
+              batch)
+            ()
+          }
+        }
+        ()
       }
       .start()
     q.awaitTermination()

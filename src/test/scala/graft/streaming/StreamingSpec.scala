@@ -519,4 +519,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamKeys == batchKeys,
       "raw-directory stream must reach batch-extract key parity")
   }
+
+  test("generic table ingest restarts onto a widened source (streaming schema evolution)") {
+    import graft.etl.{Catalog, SqlDdl}
+    val base = Files.createTempDirectory("evostream").toString
+    Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v")
+      .write.parquet(s"$base/src")
+    StreamingPipeline.runIngestTable(spark, s"$base/src", s"$base/t",
+      s"$base/cp", keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "evo_stream_t", "bucket", s"$base/t")
+    assert(Catalog.readTable(spark, "evo_stream_t").columns.toSeq ==
+      Seq("k", "pc", "v"))
+    // the source gains a column mid-pipeline: declare it on the table,
+    // append wider files, restart the stream on the SAME checkpoint —
+    // only the new files replay, and they carry the new column
+    SqlDdl.exec(spark, "ALTER TABLE evo_stream_t ADD COLUMNS (w DOUBLE)")
+    Seq((2L, 2L, 22.0, 2.0), (3L, 1L, 30.0, 3.0)).toDF("k", "pc", "v", "w")
+      .write.mode("append").parquet(s"$base/src")
+    StreamingPipeline.runIngestTable(spark, s"$base/src", s"$base/t",
+      s"$base/cp", keys = Seq("k"), precombine = "pc")
+    val got = Catalog.readTable(spark, "evo_stream_t")
+      .select($"k", $"v", $"w").as[(Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> (10.0, None),          // pre-evolution row: typed NULL
+      2L -> (22.0, Some(2.0)),     // upserted by the widened batch
+      3L -> (30.0, Some(3.0))))
+  }
 }
