@@ -59,6 +59,8 @@ object PlanAudit {
     audit("q13_cust_distribution", Relational.q13CustomerDistribution(spark, sf))
     audit("q21_waiting_suppliers", Relational.q21WaitingSuppliers(spark, sf))
     audit("q22_global_sales", Relational.q22GlobalSales(spark, sf))
+    audit("tx_bigram_nll", TextOps.bigramNll(spark, sf))
+    audit("samp_token_budget", Sampling.tokenBudgetMix(spark, sf))
     spark.stop()
   }
 }
