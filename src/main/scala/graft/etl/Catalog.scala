@@ -368,16 +368,31 @@ object Catalog {
   def droppedOf(spark: SparkSession, table: String): Set[String] =
     parseDropped(safeProps(spark, table))
 
+  /** Both halves of the schema-on-read mapping in ONE catalog fetch:
+    * (rename map, dropped set). DML statements fetch this once and
+    * thread it through their read/write reconciliations instead of
+    * re-running SHOW TBLPROPERTIES per call.
+    */
+  private[etl] def schemaMapping(spark: SparkSession,
+      table: String): (Map[String, String], Set[String]) = {
+    val props = safeProps(spark, table)
+    (parseRenames(props), parseDropped(props))
+  }
+
   /** The write half of schema-on-read: map a LOGICAL frame (what
     * [[readTable]] serves, what DML statements compute) back to the
     * table's stable PHYSICAL column names before any layout write.
     */
-  def toPhysical(spark: SparkSession, table: String,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    renamesOf(spark, table).foldLeft(df) { case (d, (logLower, phys)) =>
+  def toPhysical(df: org.apache.spark.sql.DataFrame,
+      renames: Map[String, String]): org.apache.spark.sql.DataFrame =
+    renames.foldLeft(df) { case (d, (logLower, phys)) =>
       d.columns.find(_.toLowerCase == logLower)
         .fold(d)(actual => d.withColumnRenamed(actual, phys))
     }
+
+  def toPhysical(spark: SparkSession, table: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    toPhysical(df, renamesOf(spark, table))
 
   /** Hudi's schema-on-read, the read half: reconcile a physically-read
     * frame with the table's DECLARED catalog schema — rename mapped
@@ -391,10 +406,20 @@ object Catalog {
     * flowing, nothing else is projected away.
     */
   def alignToDeclared(spark: SparkSession, table: String,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (renames, dropped) = schemaMapping(spark, table)
+    alignToDeclared(spark, table, df, renames, dropped)
+  }
+
+  /** [[alignToDeclared]] with the schema mapping already in hand — the
+    * variant DML statements use so one catalog fetch serves every
+    * reconciliation in the statement.
+    */
+  private[etl] def alignToDeclared(spark: SparkSession, table: String,
+      df: org.apache.spark.sql.DataFrame, renames: Map[String, String],
+      dropped: Set[String]): org.apache.spark.sql.DataFrame =
     scala.util.Try(spark.table(table).schema).toOption.fold(df) { sch =>
-      val props = safeProps(spark, table) // ONE catalog fetch per align
-      val renamed = parseRenames(props).foldLeft(df) {
+      val renamed = renames.foldLeft(df) {
         case (d, (logLower, phys)) =>
           val hasLog = d.columns.exists(_.toLowerCase == logLower)
           if (hasLog) d
@@ -404,7 +429,7 @@ object Catalog {
             d.withColumnRenamed(actual, declared)
           }
       }
-      val pruned = parseDropped(props).foldLeft(renamed)((d, p) =>
+      val pruned = dropped.foldLeft(renamed)((d, p) =>
         d.columns.find(_.toLowerCase == p).fold(d)(d.drop(_)))
       val have = pruned.columns.map(_.toLowerCase).toSet
       sch.fields.filterNot(f => have(f.name.toLowerCase))
@@ -441,10 +466,15 @@ object Catalog {
       case Some(_) => alignToDeclared(spark, table, readPhysical(spark, table))
     }
 
-  /** Raw `graft.*` TBLPROPERTIES of a catalog entry. */
+  /** The TBLPROPERTIES a catalog-entry rewrite must carry over: every
+    * stored property — engine bindings AND user-set ones — minus the
+    * keys engines auto-stamp (a Hive-ism here, but cheap insurance).
+    */
   private[etl] def graftProps(spark: SparkSession,
       table: String): Map[String, String] =
-    tblProps(spark, table).filter(_._1.startsWith("graft."))
+    tblProps(spark, table).filterNot { case (k, _) =>
+      k.startsWith("option.") || k == "transient_lastDdlTime"
+    }
 
   /** Replace a layout-bound catalog entry's declared schema and
     * `graft.*` properties in one drop+create (v1 catalog tables cannot
@@ -458,14 +488,24 @@ object Catalog {
     val path = props.getOrElse("graft.table.path",
       throw new IllegalArgumentException(
         s"$table is not a layout-bound table"))
+    // stored values must round-trip VERBATIM: Spark's string literals
+    // process backslash escapes too, so both quote-doubling and
+    // backslash-doubling are required (a validator regex like `\d+`
+    // would otherwise lose one escape level per ALTER)
+    def lit(v: String): String =
+      v.replace("\\", "\\\\").replace("'", "''")
     val propsSql = props.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"'$k' = '${v.replace("'", "''")}'"
+      s"'${lit(k)}' = '${lit(v)}'"
     }.mkString(",\n  ")
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(
+    val create =
       s"""CREATE TABLE $table (${schema.toDDL})
-         |USING PARQUET LOCATION '$path/_catalog_stub'
+         |USING PARQUET LOCATION '${lit(s"$path/_catalog_stub")}'
          |TBLPROPERTIES (
-         |  $propsSql)""".stripMargin)
+         |  $propsSql)""".stripMargin
+    // parse BEFORE dropping: a malformed statement must fail with the
+    // old entry intact, not after the DROP has deregistered the table
+    spark.sessionState.sqlParser.parsePlan(create)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(create)
   }
 }

@@ -310,9 +310,16 @@ object MorTable {
       val (base, _) = state(tablePath).getOrElse(
         throw new IllegalStateException(s"no MOR table at $tablePath"))
       val p = props(tablePath)
+      val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
+        p.tieBreak).localCheckpoint()
+      // same guard as the bucket/bloom overwrites: the statement must
+      // behave identically across layouts, and a pipeline bug producing
+      // an empty batch must not silently empty the table
+      require(!batch.isEmpty,
+        s"INSERT OVERWRITE with an empty batch at $tablePath — " +
+          "DELETE the rows instead")
       val next = base + 1
-      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak)
-        .write.mode("overwrite").parquet(s"$tablePath/base=$next")
+      batch.write.mode("overwrite").parquet(s"$tablePath/base=$next")
       writePointer(tablePath, next, 0L)
       next
     }

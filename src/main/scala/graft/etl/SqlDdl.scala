@@ -174,6 +174,16 @@ object SqlDdl {
       s"RENAME COLUMN $table: '$newName' is a retired physical column " +
         "name (dropped or renamed-from) still present in data files — " +
         "writes under it would collide; choose another name")
+    // UNDECLARED physical columns flow through reads (schema-on-read is
+    // append-only) — a logical name shadowing one would serve the wrong
+    // column's data, and toPhysical would write duplicate columns
+    val physicalNow = scala.util.Try(
+      Catalog.readPhysical(spark, table).columns.toSeq).getOrElse(Nil)
+    require(!physicalNow.exists(c => c.equalsIgnoreCase(newName) &&
+        !c.equalsIgnoreCase(phys)),
+      s"RENAME COLUMN $table: data files already carry a column " +
+        s"'$newName' (undeclared, flowing through schema-on-read) — " +
+        "the new name would shadow it; choose another name")
     // renaming BACK to the physical name collapses the mapping
     val newRenames = (renames - fld.name.toLowerCase) ++
       (if (newName.equalsIgnoreCase(phys)) Nil
@@ -235,6 +245,19 @@ object SqlDdl {
        else Nil) ++
       Catalog.secondaryIndexOf(spark, table).toSeq
         .flatMap(_._1.map(_ -> "a secondary-indexed column")) ++
+      Catalog.statsIndexOf(spark, table).toSeq.flatMap { statsPath =>
+        // both plain stats columns and the columns a functional
+        // entry's expression references: the index maintenance
+        // evaluates these over physical frames, and a remap would
+        // brick every stats-routed SELECT on the next sync
+        StatsIndex.entries(statsPath).flatMap { e =>
+          scala.util.Try(
+            spark.sessionState.sqlParser.parseExpression(e.sqlExpr)
+              .collect { case a: UnresolvedAttribute => a.nameParts.last })
+            .getOrElse(Seq(e.name))
+            .map(_ -> "covered by the column-stats index")
+        }
+      } ++
       Catalog.graftProps(spark, table).toSeq.collect {
         case (k, v) if k.startsWith("graft.table.validator.") =>
           spark.sessionState.sqlParser.parseExpression(v).collect {

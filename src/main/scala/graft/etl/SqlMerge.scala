@@ -46,12 +46,18 @@ import org.apache.spark.sql.functions.{col, lit, not, when}
   *     pre-deduped per key by the precombine when it carries that
   *     column (Hudi's dedupe; write `AND s.ts > t.ts` for
   *     newer-only updates).
-  *   - `WHEN NOT MATCHED BY SOURCE` is not supported (fails loudly).
+  *   - `WHEN NOT MATCHED BY SOURCE [AND pred] THEN UPDATE/DELETE` —
+  *     target-only resolution; conditional by-source actions keep the
+  *     rewrite region bounded, an unconditional one genuinely touches
+  *     the whole table (same in Hudi).
   *
   * The ON condition must be the key-equality conjunction over exactly
-  * the table's primary-key columns. Tables keep their declared schema
-  * (SQL MERGE never widens it; schema evolution is the API path's
-  * job).
+  * the table's primary-key columns. Statements never widen the
+  * declared schema implicitly — schema evolution is explicit
+  * (`ALTER TABLE ADD/DROP/RENAME COLUMN`, [[SqlDdl]]), and every DML
+  * route reconciles through Catalog's schema-on-read mapping: reads
+  * and post-images compute on declared-aligned (logical) frames,
+  * writes land under the table's stable physical column names.
   */
 object SqlMerge {
 
@@ -141,8 +147,8 @@ object SqlMerge {
     * (freshly ADDed).
     */
   private def layoutConds(spark: SparkSession, target: String,
-      e: Expression): (Column, Column) = {
-    val physExpr = physicalized(e, Catalog.renamesOf(spark, target))
+      e: Expression, renames: Map[String, String]): (Column, Column) = {
+    val physExpr = physicalized(e, renames)
     // an empty table has no physical schema to consult — any selection
     // works there, since the layouts short-circuit on an empty manifest
     val physCols = scala.util.Try(Catalog.readPhysical(spark, target)
@@ -244,6 +250,15 @@ object SqlMerge {
   private def deleteParsed(spark: SparkSession, d: DeleteFromTable): Unit = {
     val target = tableName(d.table)
     val alias = frameAlias(d.table, target)
+    // ONE catalog fetch serves every reconciliation in the statement
+    lazy val mapping = Catalog.schemaMapping(spark, target)
+    // survivors of the predicate (three-valued: NULL rows survive),
+    // computed on the declared-aligned frame and written back under
+    // stable physical names — shared by every layout branch
+    def survivors(cond: Column)(t: DataFrame): DataFrame =
+      Catalog.toPhysical(
+        Catalog.alignToDeclared(spark, target, t, mapping._1, mapping._2)
+          .filter(not(cond) || cond.isNull), mapping._1)
     Catalog.layoutOf(spark, target) match {
       case None =>
         // DeleteFromTable's condition is non-optional (a bare DELETE
@@ -268,7 +283,7 @@ object SqlMerge {
             SecondaryIndex.tombstone(spark, path, idxPath, secValues, keys)
           case None =>
             val (cond, sel) = layoutConds(spark, target,
-              unqualifiedExpr(d.condition, alias, target))
+              unqualifiedExpr(d.condition, alias, target), mapping._1)
             // with a bound index, retire the victims' mappings too —
             // dangling entries would self-heal on serve (the primary
             // probe misses), but the index shouldn't accrete them
@@ -282,10 +297,7 @@ object SqlMerge {
               SecondaryIndex.entriesForKeys(spark, path, idxPath,
                 victimKeys.get)
             }
-            BucketTable.rewriteWhere(spark, path, sel)(t =>
-              Catalog.toPhysical(spark, target,
-                Catalog.alignToDeclared(spark, target, t)
-                  .filter(not(cond) || cond.isNull)))
+            BucketTable.rewriteWhere(spark, path, sel)(survivors(cond))
             sec.foreach { case (_, idxPath) =>
               SecondaryIndex.reconcile(spark, idxPath, pre.get,
                 SecondaryIndex.entriesForKeys(spark, path, idxPath,
@@ -295,23 +307,20 @@ object SqlMerge {
         }
       case Some(("bloom", path)) =>
         val (cond, sel) = layoutConds(spark, target,
-          unqualifiedExpr(d.condition, alias, target))
-        BloomTable.rewriteWhere(spark, path, sel)(t =>
-          Catalog.toPhysical(spark, target,
-            Catalog.alignToDeclared(spark, target, t)
-              .filter(not(cond) || cond.isNull)))
+          unqualifiedExpr(d.condition, alias, target), mapping._1)
+        BloomTable.rewriteWhere(spark, path, sel)(survivors(cond))
         ()
       case Some(("timeline", path)) =>
         val cond = unqualified(d.condition, alias, target)
         Timeline.commit(
-          Catalog.toPhysical(spark, target,
+          Catalog.toPhysical(
             Catalog.readTable(spark, target)
-              .filter(not(cond) || cond.isNull)),
+              .filter(not(cond) || cond.isNull), mapping._1),
           path, action = "delete")
         ()
       case Some(("partitioned", path)) =>
         val (cond, sel) = layoutConds(spark, target,
-          unqualifiedExpr(d.condition, alias, target))
+          unqualifiedExpr(d.condition, alias, target), mapping._1)
         val partCols = PartitionedTable.props(path).partitionCols
           .map(_.toLowerCase).toSet
         if (referencedColumns(d.condition).subsetOf(partCols))
@@ -322,10 +331,7 @@ object SqlMerge {
           // are rename-protected, so logical == physical here.)
           PartitionedTable.dropPartitions(spark, path, cond)
         else
-          PartitionedTable.rewriteWhere(spark, path, sel)(t =>
-            Catalog.toPhysical(spark, target,
-              Catalog.alignToDeclared(spark, target, t)
-                .filter(not(cond) || cond.isNull)))
+          PartitionedTable.rewriteWhere(spark, path, sel)(survivors(cond))
         ()
       case Some(("mor", path)) =>
         // MOR delete = tombstone append, O(matched) written, base and
@@ -396,7 +402,8 @@ object SqlMerge {
         PreCommit.validate(shaped, Catalog.validatorsOf(spark, target))
         // shaped to the DECLARED (logical) schema; written under the
         // stable physical names (Catalog's schema-on-read mapping)
-        val batch = Catalog.toPhysical(spark, target, shaped)
+        val batch = Catalog.toPhysical(shaped,
+          Catalog.schemaMapping(spark, target)._1)
         (kind, i.overwrite) match {
           case ("partitioned", true) =>
             PartitionedTable.insertOverwrite(spark, path, batch)
@@ -451,9 +458,13 @@ object SqlMerge {
           case ("timeline", true) =>
             val (keys2, precombine2, tieBreak2) =
               dmlConfig(spark, target, layout)
-            Timeline.commit(
-              HudiLike.precombineLatest(batch, keys2, precombine2, tieBreak2),
-              path, action = "overwrite")
+            val deduped = HudiLike.precombineLatest(batch, keys2,
+              precombine2, tieBreak2).localCheckpoint()
+            // same guard as every other layout's overwrite
+            require(!deduped.isEmpty,
+              s"INSERT OVERWRITE $target with an empty batch — " +
+                "DELETE the rows instead")
+            Timeline.commit(deduped, path, action = "overwrite")
             ()
           case (other, _) => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
@@ -564,16 +575,18 @@ object SqlMerge {
           .foreach(k => throw new IllegalArgumentException(
             s"UPDATE $target: cannot assign identity column '$k' on a " +
               "layout-backed table (it routes rows to buckets/files/partitions)"))
+        val mapping = Catalog.schemaMapping(spark, target)
         val (cond, sel) = u.condition
           .map(c => layoutConds(spark, target,
-            unqualifiedExpr(c, alias, target)))
+            unqualifiedExpr(c, alias, target), mapping._1))
           .getOrElse((lit(true), lit(true)))
         // post-images compute on declared-aligned (logical) frames and
         // write back under stable physical names — see Catalog's
         // schema-on-read mapping
         def writeImage(t: DataFrame): DataFrame =
-          Catalog.toPhysical(spark, target, gated(projected(
-            Catalog.alignToDeclared(spark, target, t), cond, assigned)))
+          Catalog.toPhysical(gated(projected(
+            Catalog.alignToDeclared(spark, target, t, mapping._1,
+              mapping._2), cond, assigned)), mapping._1)
         kind match {
           case "bucket" =>
             // an UPDATE that assigns a secondary-indexed column moves
@@ -608,8 +621,8 @@ object SqlMerge {
             PartitionedTable.rewriteWhere(spark, path, sel)(writeImage)
           case "timeline" =>
             Timeline.commit(
-              Catalog.toPhysical(spark, target,
-                gated(projected(current, cond, assigned))),
+              Catalog.toPhysical(
+                gated(projected(current, cond, assigned)), mapping._1),
               path, action = "update")
           case "mor" =>
             // post-images of ONLY the touched rows, appended as one
@@ -632,8 +645,8 @@ object SqlMerge {
                   "it replaces; assign a non-decreasing precombine")
             }
             MorTable.upsertInto(path,
-              Catalog.toPhysical(spark, target,
-                gated(projected(touched, cond, assigned))))
+              Catalog.toPhysical(
+                gated(projected(touched, cond, assigned)), mapping._1))
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")
         }
@@ -646,6 +659,8 @@ object SqlMerge {
   private def mergeParsed(spark: SparkSession, m: MergeIntoTable): Unit = {
     val target = tableName(m.targetTable)
     val layout = Catalog.layoutOf(spark, target)
+    // ONE catalog fetch serves every reconciliation in the statement
+    val mapping = Catalog.schemaMapping(spark, target)
     val (keys, precombine, tieBreak) = dmlConfig(spark, target, layout)
     val identity = dmlIdentity(keys, layout)
     val condKeys = keyEqualities(m.mergeCondition)
@@ -672,7 +687,7 @@ object SqlMerge {
         val src = source.select(cols.map(col): _*)
         // the batch arrives in LOGICAL column names (it was shaped to
         // the declared schema); layouts write stable physical names
-        lazy val srcP = Catalog.toPhysical(spark, target, src)
+        lazy val srcP = Catalog.toPhysical(src, mapping._1)
         // bucket/bloom gate inside upsertInto (after their precombine
         // dedup — a superseded duplicate cannot veto); the other
         // routes dedup here first for the same semantics. Validators
@@ -770,11 +785,12 @@ object SqlMerge {
           // it to the declared schema (rename map + dropped columns +
           // typed NULLs for freshly ADDed ones) so actions resolve
           // logical names, then write back under stable physical names
-          val cur = Catalog.alignToDeclared(spark, target, cur0)
+          val cur = Catalog.alignToDeclared(spark, target, cur0,
+            mapping._1, mapping._2)
           val out = applyMerge(cur, source, m, identity, precombine,
             tieBreak, tAlias, sAlias)
           PreCommit.validate(out, rules)
-          Catalog.toPhysical(spark, target, out)
+          Catalog.toPhysical(out, mapping._1)
         }
         // rows a NOT MATCHED BY SOURCE action may touch: none without
         // such actions; the rows satisfying SOME action's condition

@@ -238,14 +238,12 @@ object StreamingPipeline {
     */
   private def fileStream(spark: SparkSession, sourceDir: String,
       fallback: StructType, maxFilesPerTrigger: Option[Int],
-      mergeSniff: Boolean = false): DataFrame = {
-    // mergeSniff: union the schemas of ALL source footers instead of
-    // one file's — the generic-ingest path needs it so a source that
-    // gained a column mid-stream presents the WIDENED schema on
-    // restart (a single-footer sniff could pick an old narrow file)
-    val schema =
-      try spark.read.option("mergeSchema", mergeSniff.toString)
-        .parquet(sourceDir).schema
+      presniffed: Option[StructType] = None): DataFrame = {
+    // a caller that already sniffed the source (runIngestTable's
+    // merged-union sniff) passes the schema in — re-listing every
+    // footer here would double the stream's startup cost
+    val schema = presniffed.getOrElse(
+      try spark.read.parquet(sourceDir).schema
       catch {
         // only an empty or not-yet-created source dir has nothing to
         // sniff — start from the fallback schema. Any OTHER failure
@@ -255,7 +253,7 @@ object StreamingPipeline {
             if Seq("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND")
               .exists(c => Option(e.getCondition).exists(_.contains(c))) =>
           fallback
-      }
+      })
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val hp = new org.apache.hadoop.fs.Path(sourceDir)
@@ -700,12 +698,15 @@ object StreamingPipeline {
       keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil,
       maxFilesPerTrigger: Int = 1, stateParts: Int = StateParts): Unit = {
     val ss = streamSession(spark, stateParts)
-    // the source must exist to sniff — a generic ingest has no
-    // canonical fallback schema to start from
+    // ONE sniff per start, as the merged union of ALL source footers —
+    // a single-footer sniff could pick a stale narrow file after the
+    // source gained a column. The source must exist (a generic ingest
+    // has no canonical fallback schema), so this throws loudly on an
+    // empty directory.
     val schema = ss.read.option("mergeSchema", "true")
       .parquet(sourceDir).schema
     val q = fileStream(ss, sourceDir, schema, Some(maxFilesPerTrigger),
-      mergeSniff = true).writeStream
+      presniffed = Some(schema)).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

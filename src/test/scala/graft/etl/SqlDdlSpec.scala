@@ -284,6 +284,50 @@ class SqlDdlSpec extends SparkSpec {
     assert(got == Map(1L -> 10.0, 2L -> 99.0))
   }
 
+  test("stats-index columns, physical shadows, and prop escapes survive ALTER") {
+    val p = Files.createTempDirectory("guard2").toString + "/t"
+    BucketTable.create(
+      (1 to 8).map(i => (i.toLong, 1L, i.toDouble, i * 100L))
+        .toDF("k", "pc", "v", "ts"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    val statsPath = Files.createTempDirectory("guard2s").toString + "/stats"
+    StatsIndex.buildFromFiles(spark,
+      BucketTable.read(spark, p).inputFiles.toSeq,
+      Seq("v", "day:=ts div 100"), statsPath)
+    Catalog.registerLayoutTable(spark, "guard2_t", "bucket", p,
+      statsIndex = Some(statsPath))
+    // a column-stats index protects its plain columns AND the columns
+    // its functional entries reference — a remap would brick every
+    // stats-routed SELECT at the next sync
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard2_t RENAME COLUMN v TO w")
+    }
+    assert(e1.getMessage.contains("column-stats"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard2_t DROP COLUMNS (ts)")
+    }
+    assert(e2.getMessage.contains("column-stats"))
+    // an UNDECLARED physical column (API upsert widened the files)
+    // cannot be shadowed by a rename — it would serve the wrong data
+    BucketTable.upsertInto(spark, p,
+      Seq((9L, 2L, 9.0, 900L, "x")).toDF("k", "pc", "v", "ts", "extra"))
+    SqlDdl.exec(spark, "ALTER TABLE guard2_t ADD COLUMNS (score DOUBLE)")
+    val e3 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE guard2_t RENAME COLUMN score TO extra")
+    }
+    assert(e3.getMessage.contains("shadow"))
+    // backslash-carrying prop values round-trip the catalog-entry
+    // rewrite VERBATIM (an escape level must not be lost per ALTER),
+    // and user-set properties survive alongside the graft.* bindings
+    spark.sql(
+      """ALTER TABLE guard2_t SET TBLPROPERTIES ('user.note' = 'v RLIKE \\d+')""")
+    SqlDdl.exec(spark, "ALTER TABLE guard2_t RENAME COLUMN score TO points")
+    val note = spark.sql("SHOW TBLPROPERTIES guard2_t ('user.note')")
+      .collect()(0).getString(1)
+    assert(note == "v RLIKE \\d+")
+    assert(Catalog.readTable(spark, "guard2_t").columns.contains("points"))
+  }
+
   test("rename on timeline and partitioned layouts; time travel re-reads history under the new name") {
     // timeline: the rename applies to EVERY version on read (schema-on-
     // read reconciles historic snapshots to the current declared schema)
