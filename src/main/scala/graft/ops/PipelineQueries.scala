@@ -1470,6 +1470,43 @@ object PipelineQueries {
     graft.etl.Catalog.readTable(spark, "graft_ovwtab_target")
   }
 
+  /** `p_sql_schema_chain`: a CHAINED evolution history through the SQL
+    * front door — ADD a column, materialize it on a targeted region,
+    * RENAME an original column, DROP another — with DML before and
+    * after each step, all metadata-only. What it pins that the single
+    * ALTER queries can't: the mappings COMPOSE (the rename map and the
+    * dropped tombstone are consulted together on every read and write),
+    * and a post-rename UPDATE through the new name still lands under
+    * the original physical name while the dropped column stays gone.
+    */
+  def sqlSchemaChain(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "chain")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_chain_target",
+      "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_chain_target ADD COLUMNS (score DOUBLE)")
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_chain_target SET score = round(value * 2, 2)
+        |WHERE event_type = 'purchase'""".stripMargin)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_chain_target RENAME COLUMN value TO amount")
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_chain_target DROP COLUMNS (event_type)")
+    // post-evolution DML: the predicate and assignment speak the NEW
+    // name; the write lands under the ORIGINAL physical name
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_chain_target SET amount = amount + 1000
+        |WHERE score IS NOT NULL""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_chain_target")
+  }
+
   /** `p_stream_schema_evolution`: the streaming half of metadata-only
     * schema evolution, end to end — a generic table ingest
     * ([[graft.streaming.StreamingPipeline.runIngestTable]]) streams
@@ -2367,6 +2404,7 @@ object PipelineQueries {
     "p_sql_insert_overwrite" -> (sqlInsertOverwrite(_, _)),
     "p_sql_overwrite_table" -> (sqlOverwriteTable(_, _)),
     "p_stream_schema_evolution" -> (streamSchemaEvolution(_, _)),
+    "p_sql_schema_chain" -> (sqlSchemaChain(_, _)),
     "p_sql_merge_bucketed" -> (sqlMergeBucketed(_, _)),
     "p_sql_merge_timeline" -> (sqlMergeTimeline(_, _)),
     "p_sql_merge_partitioned" -> (sqlMergePartitioned(_, _)),
@@ -2624,6 +2662,21 @@ object PipelineQueries {
         | FROM events) t
         |WHERE rn = 1""".stripMargin,
     // INSERT OVERWRITE replays p_part_overwrite's contract through SQL
+    // chained evolution: purchases carry score AND the +1000 bump under
+    // the renamed column; event_type is projected away everywhere
+    "p_sql_schema_chain" ->
+      s"""SELECT user_id, event_id,
+         |  CASE WHEN event_type = 'purchase' THEN value + 1000
+         |       ELSE value END AS amount,
+         |  ts_us,
+         |  CASE WHEN event_type = 'purchase' THEN round(value * 2, 2)
+         |  END AS score
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) x
+         |WHERE rn = 1""".stripMargin,
     // streamed evolution: the winner's arrival window decides whether
     // the added column is populated (post-ALTER batches carry it)
     "p_stream_schema_evolution" ->
