@@ -307,23 +307,39 @@ object Catalog {
       statsIndex: Option[String] = None): Unit = {
     val stub = Paths.get(path, "_catalog_stub")
     java.nio.file.Files.createDirectories(stub)
-    val secProp = secondaryIndex.map { case (cols, idxPath) =>
-      s",\n  'graft.table.secondaryIndex' = '${cols.mkString(",")}:$idxPath'"
-    }.getOrElse("") + validators.map { case (n, sql) =>
-      s",\n  'graft.table.validator.$n' = '$sql'"
-    }.mkString + statsIndex.map(sp =>
-      s",\n  'graft.table.statsIndex' = '$sp'").getOrElse("")
+    // same escaping discipline as replaceEntry: a validator expression
+    // like `status != 'ok'` (or a regex with backslashes) must survive
+    // the INITIAL registration verbatim, not just later ALTERs
+    val props: Seq[(String, String)] =
+      Seq(
+        "graft.table.layout" -> kind,
+        "graft.table.path" -> path,
+        "graft.table.primaryKey" -> keys.mkString(","),
+        "graft.table.preCombineField" -> precombine,
+        "graft.table.tieBreak" -> tieBreak.mkString(",")) ++
+      secondaryIndex.map { case (cols, idxPath) =>
+        "graft.table.secondaryIndex" -> s"${cols.mkString(",")}:$idxPath"
+      } ++
+      validators.map { case (n, sql) => s"graft.table.validator.$n" -> sql } ++
+      statsIndex.map("graft.table.statsIndex" -> _)
+    val propsSql = props.map { case (k, v) =>
+      s"'${sqlLit(k)}' = '${sqlLit(v)}'"
+    }.mkString(",\n  ")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
       s"""CREATE TABLE $name (${schema.toDDL})
-         |USING PARQUET LOCATION '$stub'
+         |USING PARQUET LOCATION '${sqlLit(stub.toString)}'
          |TBLPROPERTIES (
-         |  'graft.table.layout' = '$kind',
-         |  'graft.table.path' = '$path',
-         |  'graft.table.primaryKey' = '${keys.mkString(",")}',
-         |  'graft.table.preCombineField' = '$precombine',
-         |  'graft.table.tieBreak' = '${tieBreak.mkString(",")}'$secProp)""".stripMargin)
+         |  $propsSql)""".stripMargin)
   }
+
+  /** SQL string-literal escaping for TBLPROPERTIES values: Spark's
+    * string literals process backslash escapes too, so both
+    * quote-doubling and backslash-doubling are required for a stored
+    * value to round-trip verbatim.
+    */
+  private def sqlLit(v: String): String =
+    v.replace("\\", "\\\\").replace("'", "''")
 
   // ---- schema-on-read mapping -------------------------------------------
   // DROP COLUMNS / RENAME COLUMN are metadata-only: data files are
@@ -488,18 +504,15 @@ object Catalog {
     val path = props.getOrElse("graft.table.path",
       throw new IllegalArgumentException(
         s"$table is not a layout-bound table"))
-    // stored values must round-trip VERBATIM: Spark's string literals
-    // process backslash escapes too, so both quote-doubling and
-    // backslash-doubling are required (a validator regex like `\d+`
-    // would otherwise lose one escape level per ALTER)
-    def lit(v: String): String =
-      v.replace("\\", "\\\\").replace("'", "''")
+    // stored values must round-trip VERBATIM — see [[sqlLit]] (a
+    // validator regex like `\d+` would otherwise lose one escape level
+    // per ALTER)
     val propsSql = props.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"'${lit(k)}' = '${lit(v)}'"
+      s"'${sqlLit(k)}' = '${sqlLit(v)}'"
     }.mkString(",\n  ")
     val create =
       s"""CREATE TABLE $table (${schema.toDDL})
-         |USING PARQUET LOCATION '${lit(s"$path/_catalog_stub")}'
+         |USING PARQUET LOCATION '${sqlLit(s"$path/_catalog_stub")}'
          |TBLPROPERTIES (
          |  $propsSql)""".stripMargin
     // parse BEFORE dropping: a malformed statement must fail with the

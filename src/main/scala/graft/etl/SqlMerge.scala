@@ -187,7 +187,15 @@ object SqlMerge {
   private def equalityLiterals(e: Expression,
       wanted: Seq[String]): Option[Seq[Any]] = {
     def walk(x: Expression): Option[Map[String, Any]] = x match {
-      case And(l, r) => for { a <- walk(l); b <- walk(r) } yield a ++ b
+      // two equalities binding the SAME column to DIFFERENT literals
+      // (col='a' AND col='b') is an always-false predicate, not a point
+      // lookup — merging with `a ++ b` would let the LAST literal win
+      // and the index route would then act on rows the statement never
+      // selected. Bail to the predicate-rewrite path instead.
+      case And(l, r) => for {
+        a <- walk(l); b <- walk(r)
+        if a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
+      } yield a ++ b
       case EqualTo(a: UnresolvedAttribute, Literal(v, dt)) =>
         Some(Map(a.nameParts.last.toLowerCase ->
           CatalystTypeConverters.convertToScala(v, dt)))
@@ -636,8 +644,13 @@ object SqlMerge {
             // instead (one aggregate over the already-read touched
             // region; equal precombine is fine, seq breaks the tie).
             assigned.keys.find(_.equalsIgnoreCase(precombine)).foreach { pc =>
+              // `SET pc = NULL` is also a violation: the comparison below
+              // is NULL (filtered out) for it, yet a NULL-precombine
+              // post-image makes the snapshot merge undefined — the very
+              // silent no-op this guard exists to prevent
               val demoted = touched
-                .filter(assigned(pc) < col(precombine)).limit(1).count()
+                .filter(assigned(pc).isNull ||
+                  assigned(pc) < col(precombine)).limit(1).count()
               require(demoted == 0L,
                 s"UPDATE $target: SET $pc would lower the precombine " +
                   "on matched rows — on a MOR table the appended " +
@@ -854,10 +867,15 @@ object SqlMerge {
             // fail loudly, as the MOR UPDATE route does
             val oldPc = touched.select(
               (keys.map(col) :+ col(precombine).as("__old_pc")): _*)
+            // a post-image that NULLs the precombine is as fatal as one
+            // that lowers it (the `<` comparison is NULL for it, so it
+            // would slip through); a row whose precombine was already
+            // NULL and stays NULL changed nothing and passes
             val demoted = out
               .select((keys.map(col) :+ col(precombine).as("__new_pc")): _*)
               .join(oldPc, keys)
-              .filter(col("__new_pc") < col("__old_pc")).limit(1).count()
+              .filter((col("__new_pc").isNull && col("__old_pc").isNotNull) ||
+                col("__new_pc") < col("__old_pc")).limit(1).count()
             require(demoted == 0L,
               s"MERGE into $target: an UPDATE action lowers the " +
                 "precombine on matched rows — on a MOR table the " +
@@ -903,11 +921,14 @@ object SqlMerge {
     require(keys.forall(k => srcCols.exists(_.equalsIgnoreCase(k))),
       s"MERGE source must carry the key columns ${keys.mkString(",")}")
     // Hudi's dedupe: latest row per key by precombine, when the source
-    // carries the precombine column (an INSERT-only source may not)
+    // carries the precombine column (an INSERT-only source may not).
+    // Resolution is case-INsensitive like every other column lookup in
+    // this file — a source exposing `TS` for precombine `ts` must not
+    // silently skip the dedup and fan duplicate keys through the join.
     val deduped =
-      if (srcCols.contains(precombine))
+      if (srcCols.exists(_.equalsIgnoreCase(precombine)))
         HudiLike.precombineLatest(source, keys, precombine,
-          tieBreak.filter(srcCols.contains))
+          tieBreak.filter(t => srcCols.exists(_.equalsIgnoreCase(t))))
       else source
     val t = Side(tAlias, cols.map(c => c.toLowerCase -> s"__t_$c").toMap)
     val s = Side(sAlias, srcCols.map(c => c.toLowerCase -> s"__s_$c").toMap)

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, In, InSet}
+import org.apache.spark.sql.catalyst.expressions.{Expression, In, InSet, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -31,8 +31,16 @@ object InListCheck {
         Some(s"InSet over ${s.child.sql} with ${s.hset.size} values")
       case _ => None
     }
-    plan.flatMap(node => node.expressions.flatMap(_.collect(Function
-      .unlift(bad))))
+    // a node's expression tree does not descend into SubqueryExpression's
+    // nested LogicalPlan — an oversized In inside `WHERE x IN (SELECT …
+    // WHERE path IN (…))` would otherwise escape the guard; recurse
+    plan.flatMap { node =>
+      val own = node.expressions.flatMap(_.collect(Function.unlift(bad)))
+      val nested = node.expressions.flatMap(_.collect {
+        case s: SubqueryExpression => offendingIn(s.plan)
+      }.flatten)
+      own ++ nested
+    }
   }
 
   /** A registered listener plus a drain-and-report handle. Offender

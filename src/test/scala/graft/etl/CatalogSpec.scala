@@ -95,4 +95,28 @@ class CatalogSpec extends SparkSpec {
     Catalog.unregisterView("sync_tl_view")
     spark.catalog.dropTempView("sync_tl_view")
   }
+
+  test("registration escapes quoted/backslashed validator expressions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("catesc").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, "ok")).toDF("k", "pc", "status"), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    // a validator carrying a single quote AND a regex backslash must
+    // survive the INITIAL registration verbatim — the same round-trip
+    // replaceEntry already guarantees for later ALTERs
+    Catalog.registerLayoutTable(spark, "cat_escaped", "bucket", dir,
+      validators = Seq(
+        "bad_status" -> "status != 'ok'",
+        "digit_status" -> "status rlike '^\\\\d+$'"))
+    val rules = Catalog.validatorsOf(spark, "cat_escaped")
+    assert(rules.map(_.name) == Seq("bad_status", "digit_status"))
+    // the stored expressions evaluate with their original semantics
+    val probe = Seq(("ok", false, false), ("nope", true, false),
+      ("42", true, true)).toDF("status", "expect_bad", "expect_digit")
+    val got = rules.map { r =>
+      probe.filter(r.violation).select($"status").as[String].collect().toSet
+    }
+    assert(got == Seq(Set("nope", "42"), Set("42")))
+  }
 }

@@ -389,6 +389,42 @@ class SqlMergeSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq == Seq(1L -> 10.0))
   }
 
+  test("DELETE with conflicting equalities on an indexed column deletes nothing") {
+    val bp = Files.createTempDirectory("delconf").toString + "/t"
+    val ip = Files.createTempDirectory("delconf").toString + "/idx"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0, "red"), (2L, 1L, 20.0, "blue"))
+        .toDF("k", "pc", "v", "color"),
+      bp, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    SecondaryIndex.create(spark, bp, ip, Seq("color"))
+    Catalog.registerLayoutTable(spark, "del_conflict", "bucket", bp,
+      secondaryIndex = Some((Seq("color"), ip)))
+    // color='red' AND color='blue' is always false: the index route must
+    // NOT collapse it to a point lookup on the last literal and delete
+    // the blue row the statement never selected
+    SqlMerge.exec(spark,
+      "DELETE FROM del_conflict WHERE color = 'red' AND color = 'blue'")
+    assert(Catalog.readTable(spark, "del_conflict").count() == 2)
+    // a repeated SAME literal is still a valid point lookup
+    SqlMerge.exec(spark,
+      "DELETE FROM del_conflict WHERE color = 'red' AND color = 'red'")
+    assert(Catalog.readTable(spark, "del_conflict").select($"color")
+      .as[String].collect().toSeq == Seq("blue"))
+  }
+
+  test("conditional MERGE dedups a source exposing the precombine in another case") {
+    val t = freshTable(Seq((1L, 10L, 1.0)))
+    // source column is `PC`: resolution must stay case-insensitive, so
+    // the per-key precombine dedup still runs — without it both source
+    // rows fan through the full-outer join and write duplicate k=1 rows
+    Seq((1L, 20L, 2.0), (1L, 30L, 3.0)).toDF("k", "PC", "v")
+      .createOrReplaceTempView("merge_cased_pc")
+    SqlMerge.merge(spark,
+      s"""MERGE INTO $t t USING merge_cased_pc s ON t.k = s.k
+         |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v, pc = s.PC""".stripMargin)
+    assert(contents(t) == Seq((1L, 30L, 3.0)))
+  }
+
   test("INSERT OVERWRITE rebuilds a bound secondary index from the new state") {
     val bp = Files.createTempDirectory("ovwsi").toString + "/t"
     val ip = Files.createTempDirectory("ovwsi").toString + "/idx"

@@ -87,6 +87,31 @@ class SqlMorSpec extends SparkSpec {
     assert(contents(path)(1L) == 7.0)
   }
 
+  test("UPDATE/MERGE that NULLs the precombine fail loudly, write nothing") {
+    val path = morBacked("sql_mor_pcnull")
+    // SET pc = NULL makes the `<` demotion comparison NULL — it must be
+    // flagged as a violation, not slip past the guard and append a
+    // post-image whose merge outcome is undefined
+    val ex = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        "UPDATE sql_mor_pcnull SET pc = NULL, v = 0 WHERE k = 1")
+    }
+    assert(ex.getMessage.contains("precombine"))
+    assert(MorTable.state(path).contains((0L, 0L))) // no new log
+    assert(contents(path)(1L) == 1.0)
+    // the conditional-MERGE twin has the same hole closed
+    Seq((1L, 2L, 50.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("mor_pcnull_src")
+    val ex2 = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        """MERGE INTO sql_mor_pcnull t USING mor_pcnull_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET pc = NULL, v = s.v""".stripMargin)
+    }
+    assert(ex2.getMessage.contains("precombine"))
+    assert(MorTable.state(path).contains((0L, 0L)))
+    assert(contents(path)(1L) == 1.0)
+  }
+
   test("DELETE appends tombstones; base bytes untouched") {
     val path = morBacked("sql_mor_del")
     val before = baseFiles(path)

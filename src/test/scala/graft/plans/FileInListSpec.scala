@@ -65,4 +65,25 @@ class FileInListSpec extends SparkSpec {
       assert(captured.asScala.nonEmpty, "listener captured no executions")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("the guard sees In-lists hidden inside subquery plans") {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "tag")
+      .createOrReplaceTempView("inlist_outer")
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("inlist_inner")
+    val big = (1 to InListCheck.MaxLiterals + 6).mkString(", ")
+    // the oversized In sits in the SUBQUERY's plan — node-local
+    // expression walks never reach it, the guard must recurse
+    val hidden = spark.sql(
+      s"""SELECT * FROM inlist_outer
+         |WHERE k IN (SELECT k FROM inlist_inner WHERE k IN ($big))""".stripMargin)
+      .queryExecution.analyzed
+    assert(InListCheck.offendingIn(hidden).nonEmpty,
+      "oversized In inside a subquery escaped the guard")
+    // a bounded subquery In-list stays clean
+    val ok = spark.sql(
+      """SELECT * FROM inlist_outer
+        |WHERE k IN (SELECT k FROM inlist_inner WHERE k IN (1, 2, 3))""".stripMargin)
+      .queryExecution.analyzed
+    assert(InListCheck.offendingIn(ok).isEmpty)
+  }
 }
