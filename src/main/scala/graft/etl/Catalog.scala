@@ -447,10 +447,27 @@ object Catalog {
       }
       val pruned = dropped.foldLeft(renamed)((d, p) =>
         d.columns.find(_.toLowerCase == p).fold(d)(d.drop(_)))
-      val have = pruned.columns.map(_.toLowerCase).toSet
-      sch.fields.filterNot(f => have(f.name.toLowerCase))
-        .foldLeft(pruned)((d, f) => d.withColumn(f.name,
-          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      sch.fields.foldLeft(pruned) { (d, f) =>
+        d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+          // ADDed via ALTER before any file carries it: typed NULL
+          case None => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+          // WIDENed via ALTER COLUMN TYPE: files keep their written
+          // (narrower) type forever — cast up to the declared type
+          // (only when Spark deems it a safe up-cast; an unexpected
+          // mismatch flows through untouched, append-only as before).
+          // Filter pushdown survives: the optimizer's
+          // UnwrapCastInBinaryComparison strips the cast off
+          // comparisons against the scan column, so predicates still
+          // reach PushedFilters at the narrow file's type.
+          case Some(p) if p.dataType != f.dataType &&
+              org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(p.dataType, f.dataType) =>
+            d.withColumn(p.name,
+              org.apache.spark.sql.functions.col(p.name).cast(f.dataType))
+          case _ => d
+        }
+      }
     }
 
   /** The layout's manifest-resolved PHYSICAL snapshot, un-reconciled —

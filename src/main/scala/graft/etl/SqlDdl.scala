@@ -33,17 +33,8 @@ object SqlDdl {
         // move with the entry); the external LOCATION stub is untouched
         spark.sql(sqlText)
         ()
-      case _: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
-        // the one deliberate schema-evolution gap: layout reads infer
-        // each snapshot's schema from its own immutable files, so a
-        // declared-only type change would leave mixed-width files that
-        // a single inferred read schema cannot serve (the add/drop/
-        // rename mappings never change a column's physical type, which
-        // is why THEY can be metadata-only)
-        throw new IllegalArgumentException(
-          "ALTER COLUMN (type/nullability change) is not supported: " +
-            "data files are immutable and keep their written types — " +
-            "add a new column and backfill it instead")
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        alterColumnsParsed(spark, ac)
       case other => throw new IllegalArgumentException(
         s"unsupported DDL: ${other.getClass.getSimpleName}")
     }
@@ -192,6 +183,90 @@ object SqlDdl {
       if (f.name == fld.name) f.copy(name = newName) else f).toIndexedSeq)
     writeSchemaState(spark, table, newSchema, newRenames,
       Catalog.droppedOf(spark, table))
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the type half of
+    * Hudi's schema-on-read evolution (`hoodie.schema.on.read.enable`,
+    * reference py:54): the DECLARED type widens in the catalog and no
+    * data file is touched — at 100 TB the statement is one catalog
+    * write. Files keep their written (narrower) types forever; reads
+    * reconcile in [[Catalog.alignToDeclared]], which casts a physical
+    * column UP to its declared type — the same reconcile point that
+    * serves ADDed columns as typed NULLs. New writes land at the wide
+    * type (DML post-images are computed on the aligned frame), so a
+    * table legitimately carries files at BOTH widths; per-commit scan
+    * groups are uniform and the cross-commit unions widen by Spark's
+    * own set-operation coercion.
+    *
+    * Only LOSSLESS widenings are accepted ([[isWidening]]): integral
+    * up the byte→short→int→long chain, float→double, sub-int integrals
+    * →float, sub-long→double, and decimal precision growth that keeps
+    * every old value representable. Narrowing (or any lossy cast) is
+    * rejected loudly — old files hold values the new type cannot
+    * carry. Structural columns are rejected like DROP/RENAME: layouts
+    * hash keys / compare precombines over the WRITTEN values, and
+    * mixed-width files would route one logical key to two buckets.
+    */
+  private def alterColumnsParsed(spark: SparkSession,
+      a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns): Unit = {
+    val table = alterTarget(a.table)
+    val layout = requireLayout(spark, table, "ALTER COLUMN")
+    val sch = spark.table(table).schema
+    val prot = protectedColumns(spark, table, layout)
+    val updated = a.specs.foldLeft(sch.fields.toIndexedSeq) { (fields, spec) =>
+      require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
+        spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+        spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+        s"ALTER COLUMN $table: only TYPE widening is supported " +
+          "(nullability/comment/position/default changes are not " +
+          "metadata-only over immutable files)")
+      require(spec.column.name.length == 1,
+        s"ALTER COLUMN $table: nested field " +
+          s"'${spec.column.name.mkString(".")}' is not supported")
+      val colName = spec.column.name.head
+      val idx = fields.indexWhere(_.name.equalsIgnoreCase(colName))
+      require(idx >= 0,
+        s"ALTER COLUMN $table: no such column '$colName' " +
+          s"(columns: ${fields.map(_.name).mkString(", ")})")
+      val fld = fields(idx)
+      prot.get(fld.name.toLowerCase).foreach(reason =>
+        throw new IllegalArgumentException(
+          s"ALTER COLUMN $table: '${fld.name}' is $reason — layouts " +
+            "route and version rows by the WRITTEN values, so its type " +
+            "cannot change metadata-only"))
+      val to = spec.newDataType.get
+      require(isWidening(fld.dataType, to),
+        s"ALTER COLUMN $table: ${fld.dataType.sql} -> ${to.sql} is not " +
+          "a lossless widening — data files are immutable and keep " +
+          "their written types; only INT->BIGINT-style up-casts, " +
+          "FLOAT->DOUBLE, and DECIMAL precision growth are metadata-only")
+      fields.updated(idx, fld.copy(dataType = to))
+    }
+    writeSchemaState(spark, table, StructType(updated),
+      Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table))
+  }
+
+  /** Lossless type widenings: every value representable in `from` is
+    * exactly representable in `to`. Deliberately NARROWER than Spark's
+    * `Cast.canUpCast` (which admits long→float/double — lossy past
+    * 2^24/2^53): the declared type must be able to serve every value an
+    * immutable file already holds, bit-exactly.
+    */
+  private[etl] def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType, FloatType | DoubleType) => true
+      case (IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale &&
+          t.scale >= f.scale && (t.precision > f.precision || t.scale > f.scale)
+      case _ => false
+    }
   }
 
   /** Persist a new declared schema + schema-on-read state as ONE

@@ -1318,6 +1318,37 @@ object PipelineQueries {
     graft.etl.Catalog.readTable(spark, "graft_dropcol_target")
   }
 
+  /** `p_sql_widen_column`: the type half of metadata-only schema
+    * evolution — `ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT`
+    * ([[graft.etl.SqlDdl]]) widens the DECLARED type only (one catalog
+    * write, zero file rewrites at any scale); data files keep their
+    * written INT width forever and reads cast up in
+    * [[graft.etl.Catalog.alignToDeclared]]. The subsequent UPDATE
+    * writes values only BIGINT can carry into the touched buckets'
+    * new generation, so the final table holds files at BOTH widths and
+    * the hash check proves one declared read serves them. The oracle
+    * replays latest-per-key with the same arithmetic in 64-bit.
+    */
+  def sqlWidenColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "widcol")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(FLOOR(value) AS INT)").as("cents"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_widcol_target",
+      "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_widcol_target ALTER COLUMN cents TYPE BIGINT")
+    graft.etl.SqlMerge.exec(spark,
+      """UPDATE graft_widcol_target
+        |SET cents = cents + 3000000000
+        |WHERE event_type = 'purchase'""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_widcol_target")
+  }
+
   /** `p_sql_create_index`: the index DDL front door end to end —
     * `CREATE INDEX ... USING SECONDARY` ([[graft.etl.SqlIndex]]) on a
     * bucket-backed catalog table, then a MERGE that MOVES indexed
@@ -2417,6 +2448,7 @@ object PipelineQueries {
     "p_sql_add_column" -> (sqlAddColumn(_, _)),
     "p_sql_rename_column" -> (sqlRenameColumn(_, _)),
     "p_sql_drop_column" -> (sqlDropColumn(_, _)),
+    "p_sql_widen_column" -> (sqlWidenColumn(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
@@ -2829,6 +2861,21 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $SplitUs) x
          |WHERE rn = 1 AND event_type <> 'click'""".stripMargin,
+    // WIDEN is catalog-only: the data is the base state in 64-bit with
+    // the UPDATE's +3e9 on purchase rows (a value INT cannot carry —
+    // the entry proves mixed-width files serve one declared type)
+    "p_sql_widen_column" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  CAST(CASE WHEN event_type = 'purchase'
+         |       THEN CAST(FLOOR(value) AS BIGINT) + 3000000000
+         |       ELSE CAST(FLOOR(value) AS BIGINT) END AS BIGINT) AS cents,
+         |  ts_us
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) x
+         |WHERE rn = 1""".stripMargin,
     // CREATE INDEX ∘ MERGE ∘ indexed DELETE ≡ merged end state minus
     // rows whose CURRENT type is click (stale-index failures diverge
     // in both directions — moved-from-click wrongly deleted,

@@ -5,18 +5,21 @@ import org.scalacheck.{Gen, Prop, Properties}
 
 /** Model-based ScalaCheck over metadata-only schema evolution: an
   * arbitrary interleaving of SQL INSERTs, predicate UPDATEs, and
-  * `ALTER TABLE ADD / RENAME / DROP COLUMN` against a bucket-backed
-  * catalog table must agree with a driver-side model after EVERY step.
-  * This pins the interactions the example-based specs cannot
-  * enumerate: update-through-rename-through-drop chains, predicates on
-  * freshly-added (physically absent) columns taking the scan-all
-  * selection fallback, writes landing under stable physical names
-  * while the logical schema keeps shifting, and reads reconciling all
-  * of it per ALTER history.
+  * `ALTER TABLE ADD / RENAME / DROP / WIDEN COLUMN` against a
+  * bucket-backed catalog table must agree with a driver-side model
+  * after EVERY step. This pins the interactions the example-based
+  * specs cannot enumerate: update-through-rename-through-drop chains,
+  * predicates on freshly-added (physically absent) columns taking the
+  * scan-all selection fallback, writes landing under stable physical
+  * names while the logical schema keeps shifting, TYPE widenings
+  * leaving older files at their written width while newer commits land
+  * wide, and reads reconciling all of it per ALTER history.
   *
   * Determinism: precombine strictly increases per statement, every
-  * batch carries distinct keys, and all values are integral doubles —
-  * so the model needs no tie-break or rounding reasoning.
+  * batch carries distinct keys, and all values are integral (exact in
+  * every numeric width used) — so the model needs no tie-break,
+  * rounding, or width reasoning: it tracks plain doubles and the check
+  * casts the engine's columns to double.
   */
 object SchemaEvolutionProps extends Properties("SchemaEvolution") {
 
@@ -32,9 +35,10 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
   private case class Insert(keys: List[Long]) extends Op
   private case class Update(colIdx: Int, mult: Long, condIdx: Int,
       threshold: Long) extends Op
-  private case object AddCol extends Op
+  private case class AddCol(asInt: Boolean) extends Op
   private case class RenameCol(colIdx: Int) extends Op
   private case class DropCol(colIdx: Int) extends Op
+  private case class WidenCol(colIdx: Int, toDouble: Boolean) extends Op
 
   private val op: Gen[Op] = Gen.frequency(
     4 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(ks => Insert(ks.distinct)),
@@ -42,13 +46,16 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
       c <- Gen.chooseNum(0, 7); m <- Gen.chooseNum(2L, 9L)
       pc <- Gen.chooseNum(0, 8); t <- Gen.chooseNum(0L, 14L)
     } yield Update(c, m, pc, t)),
-    2 -> Gen.const(AddCol),
+    2 -> Gen.oneOf(true, false).map(AddCol(_)),
     2 -> Gen.chooseNum(0, 7).map(RenameCol(_)),
-    1 -> Gen.chooseNum(0, 7).map(DropCol(_)))
+    1 -> Gen.chooseNum(0, 7).map(DropCol(_)),
+    2 -> (for {
+      c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
+    } yield WidenCol(c, d)))
 
   private val scenario: Gen[(List[Long], List[Op])] = for {
     first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(_.distinct)
-    n <- Gen.choose(3, 7)
+    n <- Gen.choose(3, 8)
     ops <- Gen.listOfN(n, op)
   } yield (first, ops)
 
@@ -62,19 +69,28 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         .createTempDirectory("schevo").toString + "/t"
       var pcTick = 0L
       var fresh = 0
-      // model state: live logical value columns (insertion-ordered) and
-      // per-key (pc, values by logical column; None = NULL)
+      // model state: live logical value columns (insertion-ordered),
+      // their declared SQL type, and per-key (pc, values by logical
+      // column; None = NULL). Values are integral, exact in every
+      // width, so widening never changes the model.
       var cols = Vector("v")
+      var types = Map("v" -> "DOUBLE")
       val rows = scala.collection.mutable.Map[Long, (Long, Map[String, Option[Double]])]()
 
       def seed(v: Long, k: Long, ci: Int): Double =
         (v * 16 + k + ci * 1000).toDouble
+      def sqlLit(d: Double, tpe: String): String = tpe match {
+        case "INT" => s"${d.toInt}"
+        case "BIGINT" => s"${d.toLong}L"
+        case _ => s"${d}D"
+      }
       def insert(keys: List[Long]): Unit = {
         pcTick += 1
         val colList = ("k" +: "pc" +: cols).mkString(", ")
         val values = keys.map(k => s"(${k}L, ${pcTick}L, " +
-          cols.indices.map(i => s"${seed(pcTick, k, i)}D").mkString(", ") +
-          ")").mkString(", ")
+          cols.zipWithIndex.map { case (c, i) =>
+            sqlLit(seed(pcTick, k, i), types(c))
+          }.mkString(", ") + ")").mkString(", ")
         SqlMerge.exec(spark, s"INSERT INTO $table ($colList) VALUES $values")
         keys.foreach(k => rows(k) = (pcTick,
           cols.zipWithIndex.map { case (c, i) =>
@@ -96,7 +112,14 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
       first.foreach(k => rows(k) = (0L, Map("v" -> Some(seed(0, k, 0)))))
 
       def check(after: String): Prop = {
-        val got = Catalog.readTable(spark, table).collect().map { r =>
+        import org.apache.spark.sql.functions.col
+        // cast every value column to double so the model never reasons
+        // about widths; the declared-type plumbing itself is pinned by
+        // the engine accepting the typed literals/updates above
+        val frame = Catalog.readTable(spark, table).select(
+          col("k") +: col("pc") +:
+            cols.map(c => col(c).cast("double").as(c)): _*)
+        val got = frame.collect().map { r =>
           val k = r.getLong(r.fieldIndex("k"))
           k -> (r.getLong(r.fieldIndex("pc")),
             cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) None
@@ -104,7 +127,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         }.toMap
         val want = rows.toMap
         Prop(got == want) :| s"after $after:\n  got  $got\n  want $want" :|
-          s"cols=$cols"
+          s"cols=$cols types=$types"
       }
 
       val steps: Seq[Prop] = ops.map { o =>
@@ -118,7 +141,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
             // which must take the scan-all selection fallback
             val pred = ("k" +: cols)((pci % (cols.size + 1)))
             SqlMerge.exec(spark,
-              s"UPDATE $table SET $target = CAST(k * $m AS DOUBLE) " +
+              s"UPDATE $table SET $target = CAST(k * $m AS ${types(target)}) " +
                 s"WHERE $pred >= $t")
             rows.mapValuesInPlace { case (k, (pc, vs)) =>
               val hit =
@@ -127,21 +150,24 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
               (pc, if (hit) vs + (target -> Some((k * m).toDouble)) else vs)
             }
             s"UPDATE $target WHERE $pred>=$t *$m"
-          case AddCol =>
+          case AddCol(asInt) =>
             fresh += 1
             val c = s"c$fresh"
-            SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS ($c DOUBLE)")
+            val tpe = if (asInt) "INT" else "DOUBLE"
+            SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS ($c $tpe)")
             cols = cols :+ c
+            types = types + (c -> tpe)
             rows.mapValuesInPlace { case (_, (pc, vs)) =>
               (pc, vs + (c -> None))
             }
-            s"ADD $c"
+            s"ADD $c $tpe"
           case RenameCol(ci) =>
             fresh += 1
             val from = cols(ci % cols.size); val to = s"c$fresh"
             SqlDdl.exec(spark,
               s"ALTER TABLE $table RENAME COLUMN $from TO $to")
             cols = cols.updated(cols.indexOf(from), to)
+            types = types - from + (to -> types(from))
             rows.mapValuesInPlace { case (_, (pc, vs)) =>
               (pc, vs - from + (to -> vs(from)))
             }
@@ -150,9 +176,21 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
             val victim = cols(ci % cols.size)
             SqlDdl.exec(spark, s"ALTER TABLE $table DROP COLUMNS ($victim)")
             cols = cols.filterNot(_ == victim)
+            types = types - victim
             rows.mapValuesInPlace { case (_, (pc, vs)) => (pc, vs - victim) }
             s"DROP $victim"
           case DropCol(_) => "DROP skipped (last column)"
+          case WidenCol(ci, toDouble) =>
+            val target = cols(ci % cols.size)
+            // INT widens (to BIGINT or DOUBLE); wider types have no
+            // lossless widening in this model and skip
+            if (types(target) == "INT") {
+              val to = if (toDouble) "DOUBLE" else "BIGINT"
+              SqlDdl.exec(spark,
+                s"ALTER TABLE $table ALTER COLUMN $target TYPE $to")
+              types = types + (target -> to)
+              s"WIDEN $target INT->$to"
+            } else s"WIDEN skipped ($target is ${types(target)})"
         }
         check(applied)
       }

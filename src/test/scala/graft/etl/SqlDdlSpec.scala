@@ -387,4 +387,74 @@ class SqlDdlSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(sel == Seq(1L -> 100.0, 3L -> 30.0))
   }
+
+  test("ALTER COLUMN TYPE widens metadata-only; mixed-width files serve the declared type") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val p = Files.createTempDirectory("widen").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10, "a"), (2L, 1L, 20, "b"), (3L, 1L, 30, "c"))
+        .toDF("k", "pc", "n", "tag"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "widen_t", "bucket", p)
+    assert(spark.table("widen_t").schema("n").dataType == IntegerType)
+    SqlDdl.exec(spark, "ALTER TABLE widen_t ALTER COLUMN n TYPE BIGINT")
+    // metadata-only: files still carry INT, reads serve BIGINT
+    assert(Catalog.readPhysical(spark, "widen_t")
+      .schema("n").dataType == IntegerType)
+    val aligned = Catalog.readTable(spark, "widen_t")
+    assert(aligned.schema("n").dataType == LongType)
+    assert(aligned.select($"k", $"n").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // a value only BIGINT can carry flows through DML: the touched
+    // bucket's new generation is written WIDE, untouched buckets stay
+    // at their narrow files — both widths now coexist in one table
+    SqlMerge.exec(spark, "UPDATE widen_t SET n = 3000000000 WHERE k = 1")
+    SqlMerge.exec(spark,
+      "INSERT INTO widen_t VALUES (9L, 2L, 4000000000, 'd')")
+    val got = Catalog.readTable(spark, "widen_t").select($"k", $"n")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3000000000L, 2L -> 20L, 3L -> 30L,
+      9L -> 4000000000L))
+    // SQL reads resolve predicates over the widened column
+    assert(SqlRead.select(spark,
+      "SELECT k FROM widen_t WHERE n > 2500000000 ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 9L))
+  }
+
+  test("ALTER COLUMN TYPE composes with RENAME; rejects narrowing/lossy/structural") {
+    val p = Files.createTempDirectory("widenr").toString + "/t"
+    BucketTable.create(
+      Seq((1, 1L, 1.5f, 7L), (2, 1L, 2.5f, 8L))
+        .toDF("k", "pc", "ratio", "cnt"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "widen_r", "bucket", p)
+    // rename then widen under the LOGICAL name: the file keeps the
+    // physical name AND the narrow type; reads reconcile both
+    SqlDdl.exec(spark, "ALTER TABLE widen_r RENAME COLUMN ratio TO rate")
+    SqlDdl.exec(spark, "ALTER TABLE widen_r ALTER COLUMN rate TYPE DOUBLE")
+    SqlMerge.exec(spark, "UPDATE widen_r SET rate = 9.25D WHERE k = 2")
+    assert(Catalog.readTable(spark, "widen_r").select($"k", $"rate")
+      .as[(Int, Double)].collect().toMap == Map(1 -> 1.5, 2 -> 9.25))
+    // narrowing: old files hold values the new type cannot carry
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE widen_r ALTER COLUMN rate TYPE FLOAT")
+    }
+    assert(e1.getMessage.contains("lossless widening"))
+    // lossy "up"-cast (BIGINT -> DOUBLE loses past 2^53): rejected
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE widen_r ALTER COLUMN cnt TYPE DOUBLE")
+    }
+    assert(e2.getMessage.contains("lossless widening"))
+    // structural: the key routes rows by its WRITTEN values
+    val e3 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE widen_r ALTER COLUMN k TYPE BIGINT")
+    }
+    assert(e3.getMessage.contains("primary-key"))
+    // non-type ALTER COLUMN shapes are not metadata-only
+    val e4 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE widen_r ALTER COLUMN rate COMMENT 'nope'")
+    }
+    assert(e4.getMessage.contains("only TYPE widening"))
+  }
 }

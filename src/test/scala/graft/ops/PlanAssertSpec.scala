@@ -149,6 +149,30 @@ class PlanAssertSpec extends SparkSpec {
       s"renamed-column predicate missing from PushedFilters; got $pushed")
   }
 
+  test("widened-column predicate still reaches PushedFilters at the file's type") {
+    // ALTER COLUMN TYPE leaves files at their written width and
+    // alignToDeclared casts up — a filter on the wide declared type
+    // becomes cast(n as bigint) > lit over the narrow scan, and the
+    // optimizer's UnwrapCastInBinaryComparison must strip the cast so
+    // the comparison pushes down to the INT parquet column; a post-scan
+    // filter here means every widened-column predicate reads 100 TB
+    import graft.etl.{BucketTable, Catalog, SqlDdl}
+    val p = java.nio.file.Files.createTempDirectory("planwid").toString + "/t"
+    import spark.implicits._
+    BucketTable.create(
+      (1 to 64).map(i => (i.toLong, 1L, i)).toDF("k", "pc", "n"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "plan_widen", "bucket", p)
+    SqlDdl.exec(spark, "ALTER TABLE plan_widen ALTER COLUMN n TYPE BIGINT")
+    val df = Catalog.readTable(spark, "plan_widen")
+      .filter(col("n") > 40L)
+    assert(df.count() == 24)
+    val pushed = scansUnder(finalPlan(df))
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("GreaterThan(n,")),
+      s"widened-column predicate missing from PushedFilters; got $pushed")
+  }
+
   test("star join prunes fact partitions with a runtime DPP filter") {
     // the dim filter is on a DERIVED quarter column, so only dynamic
     // partition pruning can turn it into a partition predicate: the
