@@ -181,6 +181,11 @@ object SqlCall {
         Catalog.indexesOf(spark, t).toSeq.sortBy(_._1)
           .map { case (n, (tpe, artifact)) => (n, tpe, artifact) }
           .toDF("index_name", "index_type", "artifact")
+      case ("incremental_read", Seq(t: String, from)) =>
+        incrementalRead(spark, t, toLongArg(from, "from"), None)
+      case ("incremental_read", Seq(t: String, from, to)) =>
+        incrementalRead(spark, t, toLongArg(from, "from"),
+          Some(toLongArg(to, "to")))
       case ("create_savepoint", Seq(t: String, sp: String)) =>
         BucketTable.savepoint(bucketPathOf(spark, t), sp)
         Seq(sp).toDF("savepoint")
@@ -197,11 +202,62 @@ object SqlCall {
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
           "show_indexes, show_schema_state, show_partitions, show_files, "
-          + "run_clustering, run_bootstrap, " +
+          + "run_clustering, run_bootstrap, incremental_read, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint)")
     }
   }
+
+  private def toLongArg(x: Any, what: String): Long = x match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer, got: $other")
+  }
+
+  /** `CALL incremental_read('t', from[, to])` — the SQL front door for
+    * the engine's incremental pulls (Hudi's `hudi_table_changes` /
+    * incremental-query surface), dispatched by layout:
+    *   - timeline: row-level change set between commits — with `to`,
+    *     the explicit window `[from, to]`
+    *     ([[Timeline.incrementalRead]]); without, a checkpointed
+    *     consumer's catch-up `from → latest`
+    *     ([[Timeline.incrementalPull]]), which resolves through the
+    *     FULL history so a checkpoint behind an archive boundary still
+    *     works. Returns `(keys..., change_type)`.
+    *   - mor: the records appended after log sequence `from` — reads
+    *     only the new logs, O(changes), no base scan
+    *     ([[MorTable.incrementalRead]]; tombstones exposed).
+    *   - partitioned: the current content of every partition rewritten
+    *     after generation `from` — O(changed partitions)
+    *     ([[PartitionedTable.incrementalRead]]).
+    * Data-bearing results reconcile through the schema-on-read mapping
+    * like every other front-door read.
+    */
+  private def incrementalRead(spark: SparkSession, t: String,
+      from: Long, to: Option[Long]): DataFrame =
+    Catalog.layoutOf(spark, t) match {
+      case Some(("timeline", p)) =>
+        val keys = Catalog.upsertConfigFull(spark, t)._1
+        to match {
+          case Some(v) => Timeline.incrementalRead(spark, p, keys, from, v)
+          case None => Timeline.incrementalPull(spark, p, keys, from)
+        }
+      case Some(("mor", p)) =>
+        require(to.isEmpty,
+          s"incremental_read('$t'): a MOR pull reads from a log " +
+            "sequence to latest — pass only the checkpointed sequence")
+        Catalog.alignToDeclared(spark, t, MorTable.incrementalRead(spark, p, from))
+      case Some(("partitioned", p)) =>
+        require(to.isEmpty,
+          s"incremental_read('$t'): a partitioned pull reads from a " +
+            "generation to latest — pass only the checkpointed generation")
+        Catalog.alignToDeclared(spark, t,
+          PartitionedTable.incrementalRead(spark, p, from))
+      case other => throw new IllegalArgumentException(
+        s"incremental_read('$t'): supported layouts are timeline | mor " +
+          "| partitioned" + other.fold("")(kp => s"; layout: ${kp._1}"))
+    }
 
   /** `purge_key('t', k, ...)` — the right-to-be-forgotten procedure a
     * training-data lake runs on a removal request: erase one record

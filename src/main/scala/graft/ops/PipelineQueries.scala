@@ -2334,6 +2334,32 @@ object PipelineQueries {
       keys = Seq("user_id"), sinceVersion = 0L)
   }
 
+  /** `p_sql_incremental`: the incremental pull through the SQL front
+    * door — `CALL incremental_read('t', from[, to])`
+    * ([[graft.etl.SqlCall]], Hudi's incremental-query surface) replays
+    * a consumer catching up in TWO windows: the explicit window
+    * `[v0, v1]`, then — after `CALL archive_commits` folds the older
+    * instants into a batch log — the checkpointed catch-up `v1 →
+    * latest` ACROSS the archive boundary. The union (tagged by window)
+    * must equal the two change sets the snapshots define; archival is
+    * metadata-only and never loses a consumer. Private build: archival
+    * mutates the timeline.
+    */
+  def sqlIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = timelineScenario(spark, sfDir)
+    graft.etl.Catalog.registerTimelineTable(spark, "graft_incr_table", path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val w1 = graft.etl.SqlCall.exec(spark,
+      "CALL incremental_read('graft_incr_table', 0, 1)")
+    graft.etl.SqlCall.exec(spark,
+      "CALL archive_commits('graft_incr_table', 1)")
+    val w2 = graft.etl.SqlCall.exec(spark,
+      "CALL incremental_read('graft_incr_table', 1)")
+    w1.withColumn("pull_window", lit(1))
+      .unionByName(w2.withColumn("pull_window", lit(2)))
+      .select(col("pull_window"), col("user_id"), col("change_type"))
+  }
+
   /** The three-slice ingest run through [[graft.etl.Timeline.upsertIntoOcc]]
     * (the optimistic-concurrency front door) instead of the plain
     * upsert: each batch merges lock-free and validates at the swing.
@@ -2395,6 +2421,7 @@ object PipelineQueries {
     "p_timeline_restore" -> (timelineRestore(_, _)),
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_timeline_incr_archived" -> (timelineIncrArchived(_, _)),
+    "p_sql_incremental" -> (sqlIncremental(_, _)),
     "p_stream_ingest" -> (streamIngest(_, _)),
     "p_stream_mor_ingest" -> (streamMorIngest(_, _)),
     "p_stream_quarantine" -> (streamQuarantine(_, _)),
@@ -3417,6 +3444,49 @@ object PipelineQueries {
          |         WHEN a.event_id = b.event_id AND a.ts_us = b.ts_us THEN 'unchanged'
          |         ELSE 'update' END AS change_type
          |  FROM before b FULL OUTER JOIN after a ON b.user_id = a.user_id) d
+         |WHERE change_type <> 'unchanged'""".stripMargin,
+    // the SQL-front-door pull in two windows: [v0,v1] explicit, then
+    // v1->latest across the archive boundary — each window's change
+    // set equals the diff of its cumulative snapshots
+    "p_sql_incremental" ->
+      s"""WITH s0 AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE epoch_us(ts) <= $SplitUs) t WHERE rn = 1),
+         |s1 AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events WHERE epoch_us(ts) <= $Split2Us) t WHERE rn = 1),
+         |s2 AS (
+         |  SELECT user_id, event_id, ts_us FROM (
+         |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |      row_number() OVER (PARTITION BY user_id
+         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |    FROM events) t WHERE rn = 1),
+         |w1 AS (
+         |  SELECT CAST(1 AS INTEGER) AS pull_window,
+         |    coalesce(b.user_id, a.user_id) AS user_id,
+         |    CASE WHEN b.user_id IS NULL THEN 'insert'
+         |         WHEN a.user_id IS NULL THEN 'delete'
+         |         WHEN a.event_id = b.event_id AND a.ts_us = b.ts_us THEN 'unchanged'
+         |         ELSE 'update' END AS change_type
+         |  FROM s0 b FULL OUTER JOIN s1 a ON b.user_id = a.user_id),
+         |w2 AS (
+         |  SELECT CAST(2 AS INTEGER) AS pull_window,
+         |    coalesce(b.user_id, a.user_id) AS user_id,
+         |    CASE WHEN b.user_id IS NULL THEN 'insert'
+         |         WHEN a.user_id IS NULL THEN 'delete'
+         |         WHEN a.event_id = b.event_id AND a.ts_us = b.ts_us THEN 'unchanged'
+         |         ELSE 'update' END AS change_type
+         |  FROM s1 b FULL OUTER JOIN s2 a ON b.user_id = a.user_id)
+         |SELECT pull_window, user_id, change_type FROM w1
+         |WHERE change_type <> 'unchanged'
+         |UNION ALL
+         |SELECT pull_window, user_id, change_type FROM w2
          |WHERE change_type <> 'unchanged'""".stripMargin,
     "p_cdc_diff" ->
       s"""WITH before AS (

@@ -48,6 +48,54 @@ class SqlCallSpec extends SparkSpec {
     assert(Timeline.versions(p) == Seq(4L, 5L))
   }
 
+  test("incremental_read pulls per layout: timeline windows, MOR logs, partition gens") {
+    import org.apache.spark.sql.functions.col
+    // timeline: explicit window + checkpointed catch-up across archive
+    val p = mkTimeline("call_incr_tl")
+    val w = SqlCall.exec(spark, "CALL incremental_read('call_incr_tl', 0, 2)")
+      .as[(Long, String)].collect().toMap
+    assert(w == Map(2L -> "insert", 3L -> "insert")) // v0={1}, v2={1,2,3}
+    Timeline.archive(p, keepLatest = 1)
+    val catchUp = SqlCall.exec(spark, "CALL incremental_read('call_incr_tl', 1)")
+      .as[(Long, String)].collect().toMap
+    assert(catchUp == Map(3L -> "insert", 4L -> "insert"))
+    // mor: only the logs after the checkpointed sequence are read
+    val mp = Files.createTempDirectory("sqlcallim").toString + "/t"
+    MorTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), mp,
+      keys = Seq("k"), precombine = "pc")
+    MorTable.upsertInto(mp, Seq((2L, 1L, 20.0)).toDF("k", "pc", "v"))
+    MorTable.upsertInto(mp, Seq((3L, 1L, 30.0)).toDF("k", "pc", "v"))
+    Catalog.registerLayoutTable(spark, "call_incr_mor", "mor", mp)
+    assert(SqlCall.exec(spark, "CALL incremental_read('call_incr_mor', 1)")
+      .select("k").as[Long].collect().toSeq == Seq(3L))
+    // mor rejects an explicit upper bound
+    val e1 = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL incremental_read('call_incr_mor', 1, 2)")
+    }
+    assert(e1.getMessage.contains("log"))
+    // partitioned: only partitions rewritten after the generation
+    val pp = Files.createTempDirectory("sqlcallip").toString + "/t"
+    PartitionedTable.create(
+      Seq((1L, 1L, 1.0, "a"), (2L, 1L, 2.0, "b")).toDF("k", "pc", "v", "d"),
+      pp, keys = Seq("k"), precombine = "pc", partitionCols = Seq("d"))
+    PartitionedTable.upsertInto(spark, pp,
+      Seq((3L, 2L, 3.0, "b")).toDF("k", "pc", "v", "d"))
+    Catalog.registerLayoutTable(spark, "call_incr_part", "partitioned", pp)
+    val gotPart = SqlCall.exec(spark,
+      "CALL incremental_read('call_incr_part', 0)")
+      .select(col("k")).as[Long].collect().toSet
+    assert(gotPart == Set(2L, 3L)) // partition b's full current content
+    // non-incremental layouts fail loudly
+    val bp = Files.createTempDirectory("sqlcallib").toString + "/t"
+    BucketTable.create(Seq((1L, 1L, 1.0)).toDF("k", "pc", "v"), bp,
+      keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    Catalog.registerLayoutTable(spark, "call_incr_bk", "bucket", bp)
+    val e2 = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL incremental_read('call_incr_bk', 0)")
+    }
+    assert(e2.getMessage.contains("timeline | mor | partitioned"))
+  }
+
   test("purge_key on a bloom+RLI table erases the row AND its index entry") {
     import org.apache.spark.sql.functions.col
     val p = Files.createTempDirectory("sqlcallpk").toString + "/t"
