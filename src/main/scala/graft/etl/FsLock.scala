@@ -1,6 +1,6 @@
 package graft.etl
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Filesystem lock provider shared by the table-format mutators
   * (Hudi's `FileSystemBasedLockProvider`: exclusive-create of a lock
@@ -13,8 +13,29 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * therefore hold the lock for the duration of their critical section;
   * a second writer fails loudly with `ConcurrentModificationException`
   * (retry after the holder finishes) instead of corrupting the table.
-  * A crashed holder's lock is stolen after [[LockExpiryMs]]; the steal
-  * itself races through exclusive-create, so exactly one stealer wins.
+  * A crashed holder's lock is stolen after [[LockExpiryMs]].
+  *
+  * Correctness notes, each one a bug class this implementation closed
+  * (FsLockSpec hammers the exclusion; MorConcurrencyStress hits the
+  * integration path):
+  *   - Staleness is judged by the lock FILE's mtime — set atomically
+  *     with creation — never by reading back written content: a
+  *     content probe has an unavoidable window (creator between create
+  *     and write, or holder releasing between the prober's exists-check
+  *     and read) where the read fails, and mapping that failure to
+  *     "infinitely stale" steals a LIVE holder's lock. An unreadable
+  *     or vanished lock probes as FRESH (-1): the prober just retries.
+  *   - A steal first CLAIMS the stale lock by atomically renaming it
+  *     to a unique name; only the single winner of the rename deletes
+  *     it and contends for a fresh acquire. Delete-then-create stealing
+  *     lets a second stealer delete the first stealer's brand-new lock.
+  *   - Release deletes the lock only if it still carries this
+  *     acquisition's token — a holder that overran [[LockExpiryMs]]
+  *     and was stolen from must not evict the stealer.
+  *  The residual TOCTOU (a lock going stale and being re-created in
+  *  the instruction gap between a stealer's age re-probe and its
+  *  rename) needs a 10-minute-stale lock plus a microsecond
+  *  coincidence — the same exposure Hudi's FS lock provider accepts.
   */
 object FsLock {
 
@@ -41,21 +62,32 @@ object FsLock {
   def withTableLock[T](tablePath: String, waitMs: Long = 0L)(body: => T): T = {
     Files.createDirectories(Paths.get(tablePath))
     val lock = Paths.get(tablePath, "_lock")
+    val token = s"${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}"
     def tryAcquire(): Boolean =
       try {
-        Files.writeString(lock, System.currentTimeMillis().toString,
-          StandardOpenOption.CREATE_NEW)
+        Files.createFile(lock) // atomic create; mtime IS the birth time
+        // token written after the fact is fine: probers judge by mtime,
+        // the token only guards release ownership
+        Files.writeString(lock, token)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    def tryOnce(): Boolean = tryAcquire() || {
-      val age =
-        try System.currentTimeMillis() - Files.readString(lock).trim.toLong
-        catch { case _: Exception => Long.MaxValue }
-      age > LockExpiryMs && {
-        Files.deleteIfExists(lock)
-        tryAcquire()
+    def ageMs(): Long =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+      catch { case _: Exception => -1L } // gone/unreadable = fresh; retry
+    def steal(): Boolean = {
+      // re-probe immediately before the claim so a just-created lock
+      // is never renamed away
+      ageMs() > LockExpiryMs && {
+        val claim = Paths.get(tablePath, s"_lock.stale.$token")
+        val won =
+          try { Files.move(lock, claim, StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: Exception => false }
+        if (won) Files.deleteIfExists(claim)
+        won && tryAcquire()
       }
     }
+    def tryOnce(): Boolean = tryAcquire() || steal()
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = tryOnce()
     while (!acquired && System.currentTimeMillis() < deadline) {
@@ -66,6 +98,12 @@ object FsLock {
       throw new java.util.ConcurrentModificationException(
         s"another writer holds $lock — retry after it commits " +
           s"(or after ${LockExpiryMs / 1000}s if it died)")
-    try body finally Files.deleteIfExists(lock)
+    try body
+    finally {
+      val owned =
+        try Files.readString(lock) == token
+        catch { case _: Exception => false }
+      if (owned) Files.deleteIfExists(lock)
+    }
   }
 }

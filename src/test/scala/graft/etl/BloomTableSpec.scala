@@ -251,9 +251,12 @@ class BloomTableSpec extends SparkSpec {
       BloomTable.upsertInto(spark, path, batch)
     }
     assert(BloomTable.manifest(path) == before, "failed writer must not commit")
-    // a lock older than the expiry is a dead writer's: steal and proceed
-    Files.writeString(Paths.get(path, "_lock"),
-      (System.currentTimeMillis() - graft.etl.FsLock.LockExpiryMs - 1000).toString)
+    // a lock older than the expiry is a dead writer's: steal and
+    // proceed (staleness is judged by the lock file's MTIME — atomic
+    // with creation — never by content, which has read windows)
+    Files.setLastModifiedTime(Paths.get(path, "_lock"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.etl.FsLock.LockExpiryMs - 1000))
     BloomTable.upsertInto(spark, path, batch)
     assert(BloomTable.read(spark, path).count() == 13)
     assert(!Files.exists(Paths.get(path, "_lock")), "lock must release")
