@@ -366,6 +366,13 @@ object Catalog {
       .fold(Set.empty[String])(_.split(",").map(_.trim.toLowerCase)
         .filter(_.nonEmpty).toSet)
 
+  private def parseDefaults(props: Map[String, String]): Map[String, String] = {
+    val prefix = "graft.schema.default."
+    props.collect { case (k, v) if k.startsWith(prefix) && v.trim.nonEmpty =>
+      k.drop(prefix.length).toLowerCase -> v
+    }
+  }
+
   private def safeProps(spark: SparkSession,
       table: String): Map[String, String] =
     scala.util.Try(tblProps(spark, table)).getOrElse(Map.empty)
@@ -384,15 +391,25 @@ object Catalog {
   def droppedOf(spark: SparkSession, table: String): Set[String] =
     parseDropped(safeProps(spark, table))
 
-  /** Both halves of the schema-on-read mapping in ONE catalog fetch:
-    * (rename map, dropped set). DML statements fetch this once and
-    * thread it through their read/write reconciliations instead of
-    * re-running SHOW TBLPROPERTIES per call.
+  /** Constant column defaults declared via `ALTER TABLE ... ADD COLUMNS
+    * (c T DEFAULT expr)` — `graft.schema.default.<col>` TBLPROPERTIES,
+    * lower-cased LOGICAL column name → the default's SQL text. A
+    * defaulted column has `NOT NULL DEFAULT` semantics on read: absent
+    * or NULL values serve the default ([[alignToDeclared]]'s coalesce),
+    * metadata-only until a write materializes the column.
+    */
+  def defaultsOf(spark: SparkSession, table: String): Map[String, String] =
+    parseDefaults(safeProps(spark, table))
+
+  /** All three parts of the schema-on-read mapping in ONE catalog
+    * fetch: (rename map, dropped set, defaults map). DML statements
+    * fetch this once and thread it through their read/write
+    * reconciliations instead of re-running SHOW TBLPROPERTIES per call.
     */
   private[etl] def schemaMapping(spark: SparkSession,
-      table: String): (Map[String, String], Set[String]) = {
+      table: String): (Map[String, String], Set[String], Map[String, String]) = {
     val props = safeProps(spark, table)
-    (parseRenames(props), parseDropped(props))
+    (parseRenames(props), parseDropped(props), parseDefaults(props))
   }
 
   /** The write half of schema-on-read: map a LOGICAL frame (what
@@ -423,8 +440,8 @@ object Catalog {
     */
   def alignToDeclared(spark: SparkSession, table: String,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val (renames, dropped) = schemaMapping(spark, table)
-    alignToDeclared(spark, table, df, renames, dropped)
+    val (renames, dropped, defaults) = schemaMapping(spark, table)
+    alignToDeclared(spark, table, df, renames, dropped, defaults)
   }
 
   /** [[alignToDeclared]] with the schema mapping already in hand — the
@@ -433,8 +450,10 @@ object Catalog {
     */
   private[etl] def alignToDeclared(spark: SparkSession, table: String,
       df: org.apache.spark.sql.DataFrame, renames: Map[String, String],
-      dropped: Set[String]): org.apache.spark.sql.DataFrame =
+      dropped: Set[String],
+      defaults: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame =
     scala.util.Try(spark.table(table).schema).toOption.fold(df) { sch =>
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
       val renamed = renames.foldLeft(df) {
         case (d, (logLower, phys)) =>
           val hasLog = d.columns.exists(_.toLowerCase == logLower)
@@ -447,11 +466,20 @@ object Catalog {
       }
       val pruned = dropped.foldLeft(renamed)((d, p) =>
         d.columns.find(_.toLowerCase == p).fold(d)(d.drop(_)))
+      // a constant DEFAULT declared at ADD time gives the column
+      // NOT-NULL-DEFAULT read semantics: absent (pre-ADD files) and
+      // NULL values both serve the default, metadata-only
+      def defaulted(f: org.apache.spark.sql.types.StructField,
+          base: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        defaults.get(f.name.toLowerCase)
+          .map(d => coalesce(base, expr(d).cast(f.dataType)))
+          .getOrElse(base)
       sch.fields.foldLeft(pruned) { (d, f) =>
         d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
           // ADDed via ALTER before any file carries it: typed NULL
+          // (or the declared constant default)
           case None => d.withColumn(f.name,
-            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+            defaulted(f, lit(null).cast(f.dataType)))
           // WIDENed via ALTER COLUMN TYPE: files keep their written
           // (narrower) type forever — cast up to the declared type
           // (only when Spark deems it a safe up-cast; an unexpected
@@ -464,7 +492,9 @@ object Catalog {
               org.apache.spark.sql.catalyst.expressions.Cast
                 .canUpCast(p.dataType, f.dataType) =>
             d.withColumn(p.name,
-              org.apache.spark.sql.functions.col(p.name).cast(f.dataType))
+              defaulted(f, col(p.name).cast(f.dataType)))
+          case Some(p) if defaults.contains(f.name.toLowerCase) =>
+            d.withColumn(p.name, defaulted(f, col(p.name)))
           case _ => d
         }
       }

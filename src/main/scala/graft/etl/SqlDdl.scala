@@ -47,19 +47,27 @@ object SqlDdl {
     * added column is a typed NULL until a write materializes it), and
     * every DML route accepts the column immediately: INSERT null-fills
     * it, UPDATE/MERGE assign it on the targeted rewrite region only.
-    * DEFAULT expressions are rejected loudly — an added column reads
-    * as NULL, and a default that only future readers synthesize would
-    * diverge from what the files say.
+    *
+    * `DEFAULT <constant>` is accepted on layout-bound tables and is
+    * metadata-only too: the constant's SQL is stored as
+    * `graft.schema.default.<col>` and reads serve
+    * `coalesce(c, default)` ([[Catalog.alignToDeclared]]) — the column
+    * behaves as `NOT NULL DEFAULT`: pre-ADD rows AND null values both
+    * read as the default, exactly like the typed-NULL widening but
+    * with a constant. Non-constant defaults are rejected loudly (a
+    * per-read-evaluated expression would give two readers two
+    * different tables).
     */
   private def addColumnsParsed(spark: SparkSession, a: AddColumns,
       sqlText: String): Unit = {
     a.columnsToAdd.foreach { c =>
-      require(c.default.isEmpty,
-        s"ALTER TABLE ADD COLUMNS: DEFAULT on '${c.colName}' is not " +
-          "supported — added columns read as NULL (schema-on-read)")
       require(c.position.isEmpty,
         s"ALTER TABLE ADD COLUMNS: FIRST/AFTER on '${c.colName}' is not " +
           "supported — added columns append to the schema")
+      c.default.foreach(d => require(d.child.foldable,
+        s"ALTER TABLE ADD COLUMNS: DEFAULT on '${c.colName}' must be a " +
+          s"constant expression (got: ${d.originalSQL}) — a " +
+          "non-constant default would evaluate per read"))
     }
     // a name physically retired by DROP / RENAME may still live in data
     // files — re-declaring it would resurrect the old values on read
@@ -72,8 +80,29 @@ object SqlDdl {
           "column name (dropped or renamed-from) still present in data " +
           "files — adding it would resurrect the old values; choose " +
           "another name"))
-    spark.sql(sqlText)
-    ()
+    val withDefaults = a.columnsToAdd.filter(_.default.isDefined)
+    if (withDefaults.isEmpty) {
+      spark.sql(sqlText)
+      ()
+    } else {
+      // defaults are served by the layout read's declared-schema
+      // reconcile — a plain parquet table has no such layer
+      requireLayout(spark, table, "ADD COLUMNS ... DEFAULT")
+      val sch = spark.table(table).schema
+      a.columnsToAdd.map(_.colName)
+        .find(n => sch.fields.exists(_.name.equalsIgnoreCase(n)))
+        .foreach(n => throw new IllegalArgumentException(
+          s"ALTER TABLE $table ADD COLUMNS: column '$n' already exists"))
+      val appended = StructType(sch.fields.toIndexedSeq ++
+        a.columnsToAdd.map(c => org.apache.spark.sql.types.StructField(
+          c.colName, c.dataType, nullable = true)))
+      val defaults = Catalog.defaultsOf(spark, table) ++
+        withDefaults.map(c =>
+          c.colName.toLowerCase -> c.default.get.originalSQL)
+      writeSchemaState(spark, table, appended,
+        Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table),
+        defaults)
+    }
   }
 
   /** `ALTER TABLE t DROP COLUMNS (c, ...)` — metadata-only, like ADD:
@@ -120,7 +149,8 @@ object SqlDdl {
       sch.fields.filterNot(f => victims(f.name.toLowerCase)).toIndexedSeq)
     writeSchemaState(spark, table, newSchema,
       renames -- victims,
-      Catalog.droppedOf(spark, table) ++ physNames)
+      Catalog.droppedOf(spark, table) ++ physNames,
+      Catalog.defaultsOf(spark, table) -- victims)
   }
 
   /** `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only via a name
@@ -181,8 +211,14 @@ object SqlDdl {
        else Seq(newName.toLowerCase -> phys))
     val newSchema = StructType(sch.fields.map(f =>
       if (f.name == fld.name) f.copy(name = newName) else f).toIndexedSeq)
+    // a default follows its column's LOGICAL name through the rename
+    val defaults = Catalog.defaultsOf(spark, table)
+    val movedDefaults = defaults.get(fld.name.toLowerCase) match {
+      case Some(d) => defaults - fld.name.toLowerCase + (newName.toLowerCase -> d)
+      case None => defaults
+    }
     writeSchemaState(spark, table, newSchema, newRenames,
-      Catalog.droppedOf(spark, table))
+      Catalog.droppedOf(spark, table), movedDefaults)
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the type half of
@@ -243,7 +279,8 @@ object SqlDdl {
       fields.updated(idx, fld.copy(dataType = to))
     }
     writeSchemaState(spark, table, StructType(updated),
-      Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table))
+      Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table),
+      Catalog.defaultsOf(spark, table))
   }
 
   /** Lossless type widenings: every value representable in `from` is
@@ -271,19 +308,25 @@ object SqlDdl {
 
   /** Persist a new declared schema + schema-on-read state as ONE
     * catalog-entry replacement (all other `graft.*` props carried
-    * over verbatim).
+    * over verbatim). `defaults` is the FINAL defaults map — callers
+    * thread it through so DROP retires a dropped column's default and
+    * RENAME moves it under the new logical name.
     */
   private def writeSchemaState(spark: SparkSession, table: String,
       schema: StructType, renames: Map[String, String],
-      dropped: Set[String]): Unit = {
-    val base = Catalog.graftProps(spark, table) -
-      "graft.schema.renames" - "graft.schema.dropped"
+      dropped: Set[String], defaults: Map[String, String]): Unit = {
+    val base = Catalog.graftProps(spark, table)
+      .filterNot { case (k, _) =>
+        k == "graft.schema.renames" || k == "graft.schema.dropped" ||
+          k.startsWith("graft.schema.default.")
+      }
     val mapping =
       (if (renames.isEmpty) Map.empty[String, String]
        else Map("graft.schema.renames" -> renames.toSeq.sorted
          .map { case (l, p) => s"$l:$p" }.mkString(";"))) ++
       (if (dropped.isEmpty) Map.empty[String, String]
-       else Map("graft.schema.dropped" -> dropped.toSeq.sorted.mkString(",")))
+       else Map("graft.schema.dropped" -> dropped.toSeq.sorted.mkString(","))) ++
+      defaults.map { case (c, d) => s"graft.schema.default.$c" -> d }
     Catalog.replaceEntry(spark, table, schema, base ++ mapping)
   }
 

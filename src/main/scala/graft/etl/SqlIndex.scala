@@ -94,6 +94,15 @@ object SqlIndex {
         s"CREATE INDEX ${c.indexName}: column '$cn' is schema-on-read " +
           s"remapped (renamed or dropped) on $target — indexes bind " +
           "physical columns; rename it back before indexing"))
+    // a DEFAULTed column's logical value can differ from its physical
+    // one (NULL/absent cells read as the default) — an index built over
+    // physical values would miss every defaulted row on serve
+    val defaulted = Catalog.defaultsOf(spark, target).keySet
+    referenced.map(_.toLowerCase).find(defaulted).foreach(cn =>
+      throw new IllegalArgumentException(
+        s"CREATE INDEX ${c.indexName}: column '$cn' carries a declared " +
+          s"DEFAULT on $target — physical values diverge from the " +
+          "served (coalesced) ones; materialize the column first"))
     val tpe = c.indexType.toLowerCase
     val artifact = tpe match {
       case "secondary" =>

@@ -147,13 +147,22 @@ object SqlMerge {
     * (freshly ADDed).
     */
   private def layoutConds(spark: SparkSession, target: String,
-      e: Expression, renames: Map[String, String]): (Column, Column) = {
+      e: Expression, renames: Map[String, String],
+      defaults: Map[String, String] = Map.empty): (Column, Column) = {
     val physExpr = physicalized(e, renames)
     // an empty table has no physical schema to consult — any selection
     // works there, since the layouts short-circuit on an empty manifest
     val physCols = scala.util.Try(Catalog.readPhysical(spark, target)
       .columns.map(_.toLowerCase).toSet)
+    // a predicate over a DEFAULTED column must not narrow by physical
+    // values: a physically-NULL (or absent) cell logically holds the
+    // default, so a physical filter would exclude files whose rows the
+    // statement actually selects — degrade to scan-all, like the
+    // freshly-ADDed-column fallback
+    val touchesDefaulted =
+      referencedColumns(e).exists(defaults.contains)
     val select = physCols match {
+      case _ if touchesDefaulted => lit(true)
       case scala.util.Success(cs)
           if !referencedColumns(physExpr).subsetOf(cs) => lit(true)
       case _ => render(physExpr)
@@ -265,7 +274,8 @@ object SqlMerge {
     // stable physical names — shared by every layout branch
     def survivors(cond: Column)(t: DataFrame): DataFrame =
       Catalog.toPhysical(
-        Catalog.alignToDeclared(spark, target, t, mapping._1, mapping._2)
+        Catalog.alignToDeclared(spark, target, t, mapping._1, mapping._2,
+          mapping._3)
           .filter(not(cond) || cond.isNull), mapping._1)
     Catalog.layoutOf(spark, target) match {
       case None =>
@@ -291,7 +301,8 @@ object SqlMerge {
             SecondaryIndex.tombstone(spark, path, idxPath, secValues, keys)
           case None =>
             val (cond, sel) = layoutConds(spark, target,
-              unqualifiedExpr(d.condition, alias, target), mapping._1)
+              unqualifiedExpr(d.condition, alias, target), mapping._1,
+              mapping._3)
             // with a bound index, retire the victims' mappings too —
             // dangling entries would self-heal on serve (the primary
             // probe misses), but the index shouldn't accrete them
@@ -315,7 +326,8 @@ object SqlMerge {
         }
       case Some(("bloom", path)) =>
         val (cond, sel) = layoutConds(spark, target,
-          unqualifiedExpr(d.condition, alias, target), mapping._1)
+          unqualifiedExpr(d.condition, alias, target), mapping._1,
+          mapping._3)
         BloomTable.rewriteWhere(spark, path, sel)(survivors(cond))
         ()
       case Some(("timeline", path)) =>
@@ -328,7 +340,8 @@ object SqlMerge {
         ()
       case Some(("partitioned", path)) =>
         val (cond, sel) = layoutConds(spark, target,
-          unqualifiedExpr(d.condition, alias, target), mapping._1)
+          unqualifiedExpr(d.condition, alias, target), mapping._1,
+          mapping._3)
         val partCols = PartitionedTable.props(path).partitionCols
           .map(_.toLowerCase).toSet
         if (referencedColumns(d.condition).subsetOf(partCols))
@@ -586,7 +599,7 @@ object SqlMerge {
         val mapping = Catalog.schemaMapping(spark, target)
         val (cond, sel) = u.condition
           .map(c => layoutConds(spark, target,
-            unqualifiedExpr(c, alias, target), mapping._1))
+            unqualifiedExpr(c, alias, target), mapping._1, mapping._3))
           .getOrElse((lit(true), lit(true)))
         // post-images compute on declared-aligned (logical) frames and
         // write back under stable physical names — see Catalog's
@@ -594,7 +607,7 @@ object SqlMerge {
         def writeImage(t: DataFrame): DataFrame =
           Catalog.toPhysical(gated(projected(
             Catalog.alignToDeclared(spark, target, t, mapping._1,
-              mapping._2), cond, assigned)), mapping._1)
+              mapping._2, mapping._3), cond, assigned)), mapping._1)
         kind match {
           case "bucket" =>
             // an UPDATE that assigns a secondary-indexed column moves
@@ -799,7 +812,7 @@ object SqlMerge {
           // typed NULLs for freshly ADDed ones) so actions resolve
           // logical names, then write back under stable physical names
           val cur = Catalog.alignToDeclared(spark, target, cur0,
-            mapping._1, mapping._2)
+            mapping._1, mapping._2, mapping._3)
           val out = applyMerge(cur, source, m, identity, precombine,
             tieBreak, tAlias, sAlias)
           PreCommit.validate(out, rules)

@@ -1318,6 +1318,38 @@ object PipelineQueries {
     graft.etl.Catalog.readTable(spark, "graft_dropcol_target")
   }
 
+  /** `p_sql_add_column_default`: `ALTER TABLE ... ADD COLUMNS (c T
+    * DEFAULT const)` ([[graft.etl.SqlDdl]]) — metadata-only like the
+    * plain ADD, but every pre-ADD row reads the CONSTANT instead of
+    * NULL (`graft.schema.default.<col>` + the coalesce in
+    * [[graft.etl.Catalog.alignToDeclared]]; NOT-NULL-DEFAULT
+    * semantics). The UPDATE materializes real values on its touched
+    * buckets only, and the DELETE then selects THROUGH the default —
+    * rows whose cells are physically absent must still match
+    * `tier = 'base'`, which is exactly what a physical-value route
+    * would get wrong. The oracle replays the same CASE + filter.
+    */
+  def sqlAddColumnDefault(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "defcol")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_defcol_target",
+      "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE graft_defcol_target ADD COLUMNS (tier STRING DEFAULT 'base')")
+    graft.etl.SqlMerge.exec(spark,
+      "UPDATE graft_defcol_target SET tier = 'vip' WHERE event_type = 'purchase'")
+    graft.etl.SqlMerge.exec(spark,
+      "DELETE FROM graft_defcol_target " +
+        "WHERE tier = 'base' AND event_type = 'click'")
+    graft.etl.Catalog.readTable(spark, "graft_defcol_target")
+  }
+
   /** `p_sql_widen_column`: the type half of metadata-only schema
     * evolution — `ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT`
     * ([[graft.etl.SqlDdl]]) widens the DECLARED type only (one catalog
@@ -2476,6 +2508,7 @@ object PipelineQueries {
     "p_sql_rename_column" -> (sqlRenameColumn(_, _)),
     "p_sql_drop_column" -> (sqlDropColumn(_, _)),
     "p_sql_widen_column" -> (sqlWidenColumn(_, _)),
+    "p_sql_add_column_default" -> (sqlAddColumnDefault(_, _)),
     "p_sql_delete_partition" -> (sqlDeletePartition(_, _)),
     "p_sql_update" -> (sqlUpdate(_, _)),
     "p_sql_delete" -> (sqlDelete(_, _)),
@@ -2888,6 +2921,20 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $SplitUs) x
          |WHERE rn = 1 AND event_type <> 'click'""".stripMargin,
+    // ADD DEFAULT is catalog-only: pre-ADD rows read the constant, the
+    // UPDATE rewrites purchase buckets, the DELETE selects through the
+    // default (absent cells logically = 'base')
+    "p_sql_add_column_default" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us,
+         |  CASE WHEN event_type = 'purchase' THEN 'vip'
+         |       ELSE 'base' END AS tier
+         |FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) x
+         |WHERE rn = 1
+         |  AND (event_type = 'purchase' OR event_type <> 'click')""".stripMargin,
     // WIDEN is catalog-only: the data is the base state in 64-bit with
     // the UPDATE's +3e9 on purchase rows (a value INT cannot carry —
     // the entry proves mixed-width files serve one declared type)

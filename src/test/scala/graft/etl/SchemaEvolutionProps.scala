@@ -35,7 +35,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
   private case class Insert(keys: List[Long]) extends Op
   private case class Update(colIdx: Int, mult: Long, condIdx: Int,
       threshold: Long) extends Op
-  private case class AddCol(asInt: Boolean) extends Op
+  private case class AddCol(asInt: Boolean, default: Option[Long]) extends Op
   private case class RenameCol(colIdx: Int) extends Op
   private case class DropCol(colIdx: Int) extends Op
   private case class WidenCol(colIdx: Int, toDouble: Boolean) extends Op
@@ -46,7 +46,10 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
       c <- Gen.chooseNum(0, 7); m <- Gen.chooseNum(2L, 9L)
       pc <- Gen.chooseNum(0, 8); t <- Gen.chooseNum(0L, 14L)
     } yield Update(c, m, pc, t)),
-    2 -> Gen.oneOf(true, false).map(AddCol(_)),
+    2 -> (for {
+      asInt <- Gen.oneOf(true, false)
+      d <- Gen.option(Gen.chooseNum(1L, 99L))
+    } yield AddCol(asInt, d)),
     2 -> Gen.chooseNum(0, 7).map(RenameCol(_)),
     1 -> Gen.chooseNum(0, 7).map(DropCol(_)),
     2 -> (for {
@@ -150,17 +153,22 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
               (pc, if (hit) vs + (target -> Some((k * m).toDouble)) else vs)
             }
             s"UPDATE $target WHERE $pred>=$t *$m"
-          case AddCol(asInt) =>
+          case AddCol(asInt, default) =>
             fresh += 1
             val c = s"c$fresh"
             val tpe = if (asInt) "INT" else "DOUBLE"
-            SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS ($c $tpe)")
+            // a constant DEFAULT gives the column NOT-NULL-DEFAULT
+            // semantics: every pre-ADD row reads the default
+            val defSql = default.map(d =>
+              if (asInt) s" DEFAULT $d" else s" DEFAULT $d.0").getOrElse("")
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table ADD COLUMNS ($c $tpe$defSql)")
             cols = cols :+ c
             types = types + (c -> tpe)
             rows.mapValuesInPlace { case (_, (pc, vs)) =>
-              (pc, vs + (c -> None))
+              (pc, vs + (c -> default.map(_.toDouble)))
             }
-            s"ADD $c $tpe"
+            s"ADD $c $tpe$defSql"
           case RenameCol(ci) =>
             fresh += 1
             val from = cols(ci % cols.size); val to = s"c$fresh"

@@ -151,11 +151,11 @@ class SqlDdlSpec extends SparkSpec {
     val got = Catalog.readTable(spark, "alter_mor")
       .select($"k", $"score").as[(Long, Option[Double])].collect().toMap
     assert(got == Map(1L -> Some(99.0)))
-    val e1 = intercept[IllegalArgumentException] {
-      SqlDdl.exec(spark,
-        "ALTER TABLE alter_mor ADD COLUMNS (bad INT DEFAULT 7)")
-    }
-    assert(e1.getMessage.contains("DEFAULT"))
+    // a constant DEFAULT is metadata-only on MOR too: absent in the
+    // base and logs, served by the snapshot's declared-schema reconcile
+    SqlDdl.exec(spark, "ALTER TABLE alter_mor ADD COLUMNS (n INT DEFAULT 7)")
+    assert(Catalog.readTable(spark, "alter_mor").select($"n")
+      .as[Int].head() == 7)
     val e2 = intercept[IllegalArgumentException] {
       SqlDdl.exec(spark,
         "ALTER TABLE alter_mor ADD COLUMNS (bad INT FIRST)")
@@ -386,6 +386,62 @@ class SqlDdlSpec extends SparkSpec {
       "SELECT k, score FROM ren_mor WHERE score >= 30 ORDER BY k")
       .as[(Long, Double)].collect().toSeq
     assert(sel == Seq(1L -> 100.0, 3L -> 30.0))
+  }
+
+  test("ADD COLUMNS with DEFAULT is metadata-only; rename moves it, drop retires it") {
+    val p = Files.createTempDirectory("adddef").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "add_def", "bucket", p)
+    SqlDdl.exec(spark,
+      "ALTER TABLE add_def ADD COLUMNS (tier STRING DEFAULT 'bronze')")
+    // no file rewrite; every pre-ADD row reads the default
+    assert(!Catalog.readPhysical(spark, "add_def").columns.contains("tier"))
+    assert(Catalog.readTable(spark, "add_def").select($"k", $"tier")
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "bronze", 2L -> "bronze"))
+    // a DML write materializes real values on its touched region only;
+    // a predicate ON the defaulted column selects logically (the
+    // physical cells are NULL/absent) — scan-all selection fallback
+    SqlMerge.exec(spark,
+      "UPDATE add_def SET tier = 'gold' WHERE k = 1")
+    SqlMerge.exec(spark,
+      "UPDATE add_def SET v = v + 1 WHERE tier = 'bronze'")
+    assert(Catalog.readTable(spark, "add_def").select($"k", $"tier", $"v")
+      .as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "gold", 10.0), (2L, "bronze", 21.0)))
+    // DELETE through the default: only the bronze row goes
+    SqlMerge.exec(spark, "DELETE FROM add_def WHERE tier = 'bronze'")
+    assert(Catalog.readTable(spark, "add_def").select($"k")
+      .as[Long].collect().toSeq == Seq(1L))
+    // RENAME carries the default to the new logical name
+    SqlDdl.exec(spark, "ALTER TABLE add_def RENAME COLUMN tier TO level")
+    assert(Catalog.defaultsOf(spark, "add_def") == Map("level" -> "'bronze'"))
+    // INSERT omitting nothing — but a NULL write reads back as the
+    // default: the column has NOT NULL DEFAULT semantics
+    SqlMerge.exec(spark, "INSERT INTO add_def VALUES (9L, 1L, 90.0D, NULL)")
+    assert(Catalog.readTable(spark, "add_def").filter($"k" === 9L)
+      .select($"level").as[String].head() == "bronze")
+    // DROP retires the default with the column
+    SqlDdl.exec(spark, "ALTER TABLE add_def DROP COLUMNS (level)")
+    assert(Catalog.defaultsOf(spark, "add_def").isEmpty)
+    // non-constant defaults are rejected — by Spark's own parser
+    // (rand()) or by our foldability guard (current_timestamp());
+    // either way the statement dies loudly
+    val e1 = intercept[Exception] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE add_def ADD COLUMNS (bad TIMESTAMP DEFAULT current_timestamp())")
+    }
+    assert(e1.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException]
+      || e1.getMessage.contains("constant"))
+    SqlDdl.exec(spark,
+      "ALTER TABLE add_def ADD COLUMNS (grade STRING DEFAULT 'c')")
+    val e2 = intercept[IllegalArgumentException] {
+      SqlIndex.exec(spark,
+        "CREATE INDEX g_idx ON add_def USING SECONDARY (grade)")
+    }
+    assert(e2.getMessage.contains("DEFAULT"))
   }
 
   test("ALTER COLUMN TYPE widens metadata-only; mixed-width files serve the declared type") {
