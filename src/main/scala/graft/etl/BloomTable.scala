@@ -592,6 +592,43 @@ object BloomTable {
     commit
   }
 
+  /** The CURRENT data files (manifest-resolved, absolute) — the file
+    * list a [[StatsIndex]] over the table must index.
+    */
+  def liveFiles(tablePath: String): Seq[String] =
+    absFiles(tablePath, manifest(tablePath)).sorted
+
+  /** Sort-clustering replacecommit for the bloom layout: rewrite the
+    * live table into files RANGE-PARTITIONED by `sortCols` (instead of
+    * [[writeCommit]]'s key ranges), rebuild the file index over the new
+    * commit, swing the manifest. Key-range tagging across the new files
+    * degrades (every file may span the key domain) but the bloom
+    * filters keep point tagging exact; what the trade buys is that a
+    * column-stats index over the table prunes `sortCols` range
+    * predicates to a few files — Hudi's clustering trade precisely.
+    * Old commits stay readable until [[clean]]. Returns the commit id.
+    */
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFileRows: Long = 4000000L): Long =
+    withTableLock(tablePath) {
+      require(sortCols.nonEmpty, "at least one clustering sort column")
+      val p = props(tablePath)
+      val data = read(spark, tablePath)
+      val rows = data.count()
+      val files = math.max(p.numFiles.toLong,
+        (rows + targetFileRows - 1) / targetFileRows).toInt
+      val commit = nextCommit(tablePath)
+      data.repartitionByRange(files, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("errorifexists").parquet(s"$tablePath/c=$commit")
+      val written = listCommitFiles(tablePath, commit)
+      writeManifest(tablePath, written)
+      writeIndex(tablePath,
+        indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
+        nextIndexVersion(tablePath))
+      commit
+    }
+
   /** Inline compaction trigger (Hudi's
     * `hoodie.compact.inline.max.delta.commits` analog, applied to
     * file-count drift): every pure-append trickle commit adds a file,

@@ -568,6 +568,68 @@ object BucketTable {
     gen
   }
 
+  /** The CURRENT data files, manifest-resolved: each live bucket's
+    * parquet files at its committed generation — the file list a
+    * [[StatsIndex]] over the table must index. Superseded generations
+    * still on disk (pre-[[clean]]) are excluded.
+    */
+  def liveFiles(tablePath: String): Seq[String] =
+    manifest(tablePath).toSeq.flatMap { case (b, g) =>
+      val dir = Paths.get(tablePath, s"gen=$g", s"$BucketCol=$b")
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq
+      finally s.close()
+    }.sorted
+
+  /** Sort-clustering replacecommit (Hudi's clustering service on a
+    * bucket table): rewrite every bucket's rows ordered by `sortCols`,
+    * splitting oversized buckets into RANGE-DISJOINT files, with
+    * routing untouched (same bucket count, same hash — a record's
+    * bucket never moves, so point reads and upserts are unaffected).
+    * What changes is within-bucket file layout: each file now covers a
+    * tight `sortCols` range, so a column-stats index over the table
+    * ([[StatsIndex]]) prunes range predicates to a few files instead
+    * of every file a scattered write left behind — at 100 TB the
+    * difference between opening a handful of footers and all of them.
+    * Old generations stay on disk immutable until [[clean]]; the
+    * commit is one atomic manifest swing. Returns the new generation.
+    */
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFileRows: Long = 4000000L): Long =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val p = props(tablePath)
+      val m = manifest(tablePath)
+      require(m.nonEmpty, s"no bucket table at $tablePath")
+      require(sortCols.nonEmpty, "at least one clustering sort column")
+      val gen = nextGen(tablePath)
+      rollbackOrphan(tablePath, gen)
+      val dir = Paths.get(tablePath, s"gen=$gen")
+      val data = readBuckets(spark, tablePath, m.keySet)
+      val rows = data.count()
+      // at least one range partition per bucket (partitionBy still
+      // splits by bucket dir); more when buckets exceed the file target
+      val numParts = math.max(p.numBuckets.toLong,
+        (rows + targetFileRows - 1) / targetFileRows).toInt
+      val layout = (BucketCol +: sortCols).map(col)
+      // bucket leads the range layout: each task holds one bucket's
+      // contiguous sort range → range-disjoint files per bucket dir
+      data.repartitionByRange(numParts, layout: _*)
+        .sortWithinPartitions(layout: _*)
+        .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+      val written = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .collect { case n if n.startsWith(s"$BucketCol=") =>
+            n.drop(BucketCol.length + 1).toInt }
+          .toSeq.sorted
+        finally s.close()
+      }
+      writeManifest(tablePath, written.map(_ -> gen).toMap, p)
+      gen
+    }
+
   /** Grow the bucket count by an integer `factor` — the bucket index's
     * classic operational fix (Hudi's bucket-rescale clustering): a
     * fixed bucket count sized for last year's volume eventually leaves

@@ -132,18 +132,23 @@ object SqlCall {
           args.head.isInstanceOf[String] =>
         purgeKey(spark, args.head.asInstanceOf[String], args.tail)
       case ("run_clustering", Seq(t: String, sortCols: String)) =>
-        // Hudi's clustering procedure: rewrite the partitioned layout
-        // sorted by the given columns so file-level zone maps tighten
-        // (the replacecommit generation is returned; superseded files
-        // stay readable until clean)
-        val path = Catalog.layoutOf(spark, t) match {
-          case Some(("partitioned", p)) => p
-          case other => throw new IllegalArgumentException(
-            s"run_clustering('$t'): not a partitioned-layout table" +
-              other.fold("")(kp => s" (layout: ${kp._1})"))
-        }
+        // Hudi's clustering procedure: rewrite the layout sorted by the
+        // given columns so file-level zone maps tighten (the
+        // replacecommit generation is returned; superseded files stay
+        // readable until clean). Partitioned: range files per slice;
+        // bucket: range-disjoint files per bucket, routing untouched;
+        // bloom: sort-range files, filter index rebuilt.
         val cols = sortCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        Seq(PartitionedTable.cluster(spark, path, cols)).toDF("generation")
+        val gen = Catalog.layoutOf(spark, t) match {
+          case Some(("partitioned", p)) =>
+            PartitionedTable.cluster(spark, p, cols)
+          case Some(("bucket", p)) => BucketTable.cluster(spark, p, cols)
+          case Some(("bloom", p)) => BloomTable.cluster(spark, p, cols)
+          case other => throw new IllegalArgumentException(
+            s"run_clustering('$t'): supported layouts are partitioned " +
+              "| bucket | bloom" + other.fold("")(kp => s"; layout: ${kp._1}"))
+        }
+        Seq(gen).toDF("generation")
       case ("run_bootstrap",
           Seq(t: String, src: String, dst: String, keys: String, pc: String)) =>
         // Hudi's METADATA_ONLY bootstrap as a procedure: onboard an

@@ -727,6 +727,36 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_bucket_cluster`: the clustering service on the BUCKET layout,
+    * reached through `CALL run_clustering` ([[graft.etl.SqlCall]] →
+    * [[graft.etl.BucketTable.cluster]]) — every bucket rewritten as
+    * `ts_us`-sorted range files with ROUTING untouched (same bucket
+    * count, same hash: point reads and upserts unaffected). The oracle
+    * pins that the physical rewrite changed nothing logically;
+    * `BucketTableSpec` asserts what it changed physically (a
+    * column-stats range scan prunes to a fraction of the files).
+    * Built once per JVM: later reads are read-only.
+    */
+  def bucketCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = memoFixture("clusteredBucket", sfDir) {
+      val p = java.nio.file.Files.createTempDirectory(morScratch, "bcl")
+        .toString + "/t"
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us"))
+      graft.etl.BucketTable.create(ev, p, keys = Seq("user_id"),
+        precombine = "ts_us", tieBreak = Seq("event_id"), numBuckets = 16)
+      graft.etl.Catalog.registerLayoutTable(spark, "graft_bcl_target",
+        "bucket", p)
+      graft.etl.SqlCall.exec(spark,
+        "CALL run_clustering('graft_bcl_target', 'ts_us')")
+      p
+    }
+    graft.etl.BucketTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** `p_part_stream_ingest`: the streaming front door of the
     * partitioned table ([[graft.streaming.StreamingPipeline
     * .runIngestPartitioned]]) — the staged three-slice event stream
@@ -2476,6 +2506,7 @@ object PipelineQueries {
     "p_part_drop" -> (partDrop(_, _)),
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
+    "p_bucket_cluster" -> (bucketCluster(_, _)),
     "p_part_stream_ingest" -> (partStreamIngest(_, _)),
     "p_bucket_lookup" -> (bucketLookup(_, _)),
     "p_upsert_partial" -> (upsertPartialQ(_, _)),
@@ -3089,6 +3120,14 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    // bucket clustering is a pure physical rewrite: contents = the
+    // latest-per-user upsert state, byte-for-byte
+    "p_bucket_cluster" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
     "p_part_stream_ingest" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, entity_id, event_id,
          |  event_type, value, ts_us FROM (

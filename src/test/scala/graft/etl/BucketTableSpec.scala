@@ -358,4 +358,70 @@ class BucketTableSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 2L, 70.0)))
     assert(contents(dir).size == 40)
   }
+
+  test("cluster: range files tighten zone maps; routing and data intact") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("bucketcl").toString + "/t"
+    val stats = Files.createTempDirectory("bucketcl").toString + "/s"
+    val stats2 = stats + "2"
+    // v is scattered so each bucket's single create-file spans nearly
+    // the whole domain — a range predicate can prune NOTHING
+    val df = (1 to 512).map(i => (s"k$i", 1L, ((i * 199) % 512).toDouble))
+      .toDF("k", "pc", "v")
+    BucketTable.create(df, dir, keys = Seq("k"), precombine = "pc",
+      numBuckets = 4)
+    val before = contents(dir)
+    StatsIndex.buildFromFiles(spark, BucketTable.liveFiles(dir),
+      Seq("v"), stats)
+    val range = Seq(StatsIndex.ColRange("v", Some(100.0), Some(130.0)))
+    val (preCand, preTotal) = StatsIndex.prune(spark, stats, range)
+    assert(preCand.size == preTotal,
+      s"scattered layout should prune nothing: ${preCand.size}/$preTotal")
+    // cluster: sort-range files inside each bucket, small target so
+    // buckets split into several range-disjoint files
+    BucketTable.cluster(spark, dir, sortCols = Seq("v"),
+      targetFileRows = 64L)
+    StatsIndex.buildFromFiles(spark, BucketTable.liveFiles(dir),
+      Seq("v"), stats2)
+    val (postCand, postTotal) = StatsIndex.prune(spark, stats2, range)
+    assert(postTotal >= preTotal, "clustering should split files")
+    assert(postCand.size.toDouble / postTotal < 0.5,
+      s"clustered layout must prune the range scan: ${postCand.size}/$postTotal")
+    // logical contents identical; hash routing untouched: point reads
+    // still resolve through bucketOf
+    assert(contents(dir) == before)
+    assert(BucketTable.lookup(spark, dir, Seq("k7"))
+      .as[(String, Long, Double)].collect().toSeq ==
+      Seq(("k7", 1L, ((7 * 199) % 512).toDouble)))
+    // the skipped scan returns exactly the range's rows
+    val got = StatsIndex.scanFiles(spark, BucketTable.liveFiles(dir),
+      stats2, range).select(col("v")).as[Double].collect()
+    assert(got.forall(v => v >= 100.0 && v <= 130.0) && got.length == 31)
+  }
+
+  test("bloom cluster: sort-range files; point tagging stays exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("bloomcl").toString + "/t"
+    val stats = Files.createTempDirectory("bloomcl").toString + "/s"
+    val df = (1L to 512L).map(i => (i, 1L, ((i * 199) % 512).toDouble))
+      .toDF("k", "pc", "v")
+    BloomTable.create(df, dir, keys = Seq("k"), precombine = "pc",
+      numFiles = 4)
+    val before = BloomTable.read(spark, dir).as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    BloomTable.cluster(spark, dir, sortCols = Seq("v"), targetFileRows = 64L)
+    assert(BloomTable.read(spark, dir).as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._1) == before)
+    // the rebuilt filter index still serves exact point lookups
+    assert(BloomTable.lookup(spark, dir, Seq(7L))
+      .as[(Long, Long, Double)].collect().toSeq ==
+      Seq((7L, 1L, ((7 * 199) % 512).toDouble)))
+    // zone maps over the clustered files prune a v-range scan
+    StatsIndex.buildFromFiles(spark, BloomTable.liveFiles(dir),
+      Seq("v"), stats)
+    val (cand, total) = StatsIndex.prune(spark, stats,
+      Seq(StatsIndex.ColRange("v", Some(100.0), Some(130.0))))
+    assert(cand.size.toDouble / total < 0.5,
+      s"clustered bloom layout must prune: ${cand.size}/$total")
+  }
 }

@@ -211,10 +211,13 @@ class SqlCallSpec extends SparkSpec {
     val got = PartitionedTable.read(spark, p)
       .as[(Long, Long, String, Double)].collect()
     assert(got.length == 200 && got.map(_._1).toSet == (1 to 200).map(_.toLong).toSet)
+    // bucket/bloom layouts cluster too now — the rejection case is a
+    // layout with no file-level clustering unit (timeline snapshots)
+    mkTimeline("call_cl_tl")
     val wrong = intercept[IllegalArgumentException] {
-      SqlCall.exec(spark, "CALL run_clustering('call_b', 'v')")
+      SqlCall.exec(spark, "CALL run_clustering('call_cl_tl', 'v')")
     }
-    assert(wrong.getMessage.contains("partitioned"))
+    assert(wrong.getMessage.contains("partitioned | bucket | bloom"))
   }
 
   test("run_bootstrap onboards a parquet dir as a registered MOR table") {
