@@ -332,7 +332,7 @@ object BucketTable {
     * it would sweep a staged-but-not-yet-committed generation (same
     * rule as Hudi cleaning vs inflight instants).
     */
-  private[etl] def attemptOcc(spark: SparkSession, tablePath: String,
+  private[graft] def attemptOcc(spark: SparkSession, tablePath: String,
       tagged: DataFrame, touched: Set[Int], p: Props,
       m0: Map[Int, Long]): Option[Seq[Int]] = {
     val existing =
@@ -342,17 +342,96 @@ object BucketTable {
       p.keys, p.precombine, p.tieBreak)
     val gen = System.nanoTime()
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
-    val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+    val outcome = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
-      val conflict = touched.exists(b => m1.get(b) != m0.get(b))
-      if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen), p)
-      !conflict
+      val repointed = touched.filter(b => m1.get(b) != m0.get(b))
+      if (repointed.isEmpty) {
+        writeManifest(tablePath, m1 ++ written.map(_ -> gen), p)
+        Committed(written, stagedLive = true)
+      } else salvageOrRetry(spark, tablePath, tagged, p, m1, m0,
+        repointed, written, gen)
     }
-    if (committed) Some(written)
-    else {
-      deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
-      None
+    outcome match {
+      case Committed(buckets, stagedLive) =>
+        // a salvage that superseded EVERY staged bucket leaves the
+        // staged gen as pure debris; a partially-live staged gen keeps
+        // its dead bucket dirs until clean, like any superseded gen
+        if (!stagedLive) deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
+        Some(buckets)
+      case Retry =>
+        deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
+        None
     }
+  }
+
+  /** Hudi's KEY-RANGE conflict refinement on top of the
+    * bucket-granular check (in-lock continuation of [[attemptOcc]]):
+    * intervening commits repointed buckets we also touch, but if the
+    * KEYS they actually changed are disjoint from our batch's, the two
+    * writers did not conflict semantically — salvage by re-merging
+    * ONLY the repointed buckets' rows onto the fresh manifest, so both
+    * writers commit without a full retry. Overlapping keys are a
+    * genuine race (two jobs writing one record): the caller gets
+    * `Retry` and re-merges outside the lock as before. The salvage
+    * reads/writes just the conflicted buckets — bounded work in a lock
+    * MOR compaction already holds for comparable spans. Any failure to
+    * even DECIDE (e.g. mid-flight schema drift between the two
+    * manifest views) degrades to the conservative full retry.
+    */
+  private sealed trait OccOutcome
+  private case class Committed(buckets: Seq[Int],
+      stagedLive: Boolean) extends OccOutcome
+  private case object Retry extends OccOutcome
+
+  private def salvageOrRetry(spark: SparkSession, tablePath: String,
+      tagged: DataFrame, p: Props, m1: Map[Int, Long], m0: Map[Int, Long],
+      repointed: Set[Int], written: Seq[Int], gen: Long): OccOutcome =
+    scala.util.Try[OccOutcome] {
+      // bucket-id In-lists are bounded by numBuckets (config, not data)
+      val ourRows = tagged.filter(col(BucketCol).isInCollection(repointed))
+      val ourKeys = ourRows.select(p.keys.map(col): _*)
+      val theirsNow = readBuckets(spark, tablePath, repointed, m1)
+        .drop(BucketCol)
+      val theirsThen =
+        if (m0.isEmpty) theirsNow.limit(0)
+        else readBuckets(spark, tablePath,
+          repointed.filter(m0.contains), m0).drop(BucketCol)
+          .select(theirsNow.columns.map(col): _*)
+      val changedKeys = theirsNow.exceptAll(theirsThen)
+        .select(p.keys.map(col): _*)
+      val overlap = !ourKeys.join(changedKeys, p.keys.toSeq, "left_semi")
+        .isEmpty
+      if (overlap) Retry
+      else {
+        val fixGen = System.nanoTime()
+        val fixed = HudiLike.upsert(theirsNow, ourRows.drop(BucketCol),
+          p.keys, p.precombine, p.tieBreak)
+        val fixWritten = writeGen(withBucket(fixed, p), tablePath, fixGen)
+        val keepStaged = written.filterNot(repointed)
+        writeManifest(tablePath,
+          m1 ++ keepStaged.map(_ -> gen) ++ fixWritten.map(_ -> fixGen), p)
+        Committed((keepStaged ++ fixWritten).sorted,
+          stagedLive = keepStaged.nonEmpty)
+      }
+    }.getOrElse(Retry)
+
+  /** One OCC attempt from a raw batch against an EXPLICIT manifest
+    * snapshot `m0` — the deterministic entry point for exercising the
+    * conflict paths without real thread races: a caller holding a
+    * stale `m0` is exactly a writer that staged before another writer
+    * committed. Returns the committed buckets, or None on a
+    * key-overlapping conflict (retry with a fresh manifest).
+    */
+  private[graft] def attemptOccFrom(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, m0: Map[Int, Long]): Option[Seq[Int]] = {
+    val p = props(tablePath)
+    val tagged = withBucket(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
+      .localCheckpoint()
+    val touched = tagged.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) Some(Seq.empty)
+    else attemptOcc(spark, tablePath, tagged, touched, p, m0)
   }
 
   /** Multi-writer upsert under optimistic concurrency control: the

@@ -727,6 +727,42 @@ object PipelineQueries {
       .select(PartCols: _*)
   }
 
+  /** `p_bucket_occ_keyrange`: the KEY-RANGE refinement of bucket OCC
+    * ([[graft.etl.BucketTable.attemptOccFrom]] →
+    * `salvageOrRetry`) driven deterministically: writer B commits the
+    * EVEN users' post-split events while writer A is still staged
+    * against the pre-commit manifest with the ODD users' — the two
+    * collide on buckets but not on keys, so A's attempt must SALVAGE
+    * (in-lock partial re-merge of just the conflicted buckets) rather
+    * than retry, and the final table must carry both writers' rows
+    * plus the base. A salvage that dropped either side's rows — or a
+    * refinement that let the writers clobber each other — fails the
+    * hash. Oracle = latest-per-user over all events.
+    */
+  def bucketOccKeyrange(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "bkr")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    val m0 = graft.etl.BucketTable.manifest(path)
+    // writer B commits the even users first
+    graft.etl.BucketTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("user_id") % 2 === 0))
+    // writer A, staged against m0, carries ONLY odd users — bucket
+    // collisions with B are key-disjoint, so the attempt must commit
+    val salvaged = graft.etl.BucketTable.attemptOccFrom(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("user_id") % 2 === 1), m0)
+    require(salvaged.nonEmpty,
+      "key-disjoint stale writer must salvage, not retry")
+    graft.etl.BucketTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
   /** `p_bucket_cluster`: the clustering service on the BUCKET layout,
     * reached through `CALL run_clustering` ([[graft.etl.SqlCall]] →
     * [[graft.etl.BucketTable.cluster]]) — every bucket rewritten as
@@ -2507,6 +2543,7 @@ object PipelineQueries {
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
     "p_bucket_cluster" -> (bucketCluster(_, _)),
+    "p_bucket_occ_keyrange" -> (bucketOccKeyrange(_, _)),
     "p_part_stream_ingest" -> (partStreamIngest(_, _)),
     "p_bucket_lookup" -> (bucketLookup(_, _)),
     "p_upsert_partial" -> (upsertPartialQ(_, _)),
@@ -3120,6 +3157,14 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1""".stripMargin,
+    // both OCC writers' rows plus the base survive the salvage:
+    // final state = the plain latest-per-user upsert over everything
+    "p_bucket_occ_keyrange" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
     // bucket clustering is a pure physical rewrite: contents = the
     // latest-per-user upsert state, byte-for-byte
     "p_bucket_cluster" ->

@@ -239,9 +239,10 @@ class BucketTableSpec extends SparkSpec {
     val gotFull = contents(dir).map(t => t._1 -> t._3).toMap
     assert(gotFull(keysA.head) == -1.0 && gotFull(keysB.head) == -2.0)
 
-    // same-bucket staleness DOES conflict: a second attempt against the
-    // original m0 touching bB must abort cleanly
-    val taggedC = rows((keysB.last, 2L, -3.0))
+    // same-bucket staleness on the SAME KEY writer B changed is a
+    // genuine conflict: the attempt must abort cleanly (a same-bucket
+    // DIFFERENT-key attempt now salvages — see the key-range test)
+    val taggedC = rows((keysB.head, 3L, -3.0))
       .withColumn("__bucket", org.apache.spark.sql.functions.lit(bB))
     val before = contents(dir)
     assert(BucketTable.attemptOcc(spark, dir, taggedC, Set(bB), p, m0).isEmpty)
@@ -357,6 +358,41 @@ class BucketTableSpec extends SparkSpec {
     assert(BucketTable.lookup(spark, dir, Seq("k7"))
       .as[(String, Long, Double)].collect().toSeq == Seq(("k7", 2L, 70.0)))
     assert(contents(dir).size == 40)
+  }
+
+  test("OCC key-range refinement: disjoint-key bucket collisions salvage, overlaps retry") {
+    val dir = Files.createTempDirectory("bucketkr").toString + "/t"
+    BucketTable.create(rows(("seed", 1L, 0.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    // two DISTINCT keys hashing to the SAME bucket — the shape the
+    // bucket-granular check calls a conflict even though the writers
+    // never touch one another's records
+    val byBucket = (1 to 50).map(i => s"k$i")
+      .groupBy(k => BucketTable.bucketOf(spark, dir, Seq(k)))
+    val shared = byBucket.values.find(_.size >= 2).get
+    val (ka, kb) = (shared(0), shared(1))
+    val m0 = BucketTable.manifest(dir)
+    // writer B commits kb while writer A (staged against m0) holds ka
+    BucketTable.upsertIntoOcc(spark, dir, rows((kb, 1L, 2.0)))
+    val salvaged = BucketTable.attemptOccFrom(spark, dir,
+      rows((ka, 1L, 1.0)), m0)
+    assert(salvaged.nonEmpty,
+      "disjoint-key writers sharing a bucket must both commit")
+    assert(contents(dir).filter(r => r._1 == ka || r._1 == kb) ==
+      Seq((ka, 1L, 1.0), (kb, 1L, 2.0)).sortBy(_._1),
+      "the salvage must keep BOTH writers' rows")
+    // overlapping keys are a genuine race: the stale writer retries
+    val m1 = BucketTable.manifest(dir)
+    BucketTable.upsertIntoOcc(spark, dir, rows((ka, 2L, 10.0)))
+    val conflicted = BucketTable.attemptOccFrom(spark, dir,
+      rows((ka, 3L, 99.0)), m1)
+    assert(conflicted.isEmpty,
+      "a writer whose key the intervening commit changed must retry")
+    assert(contents(dir).find(_._1 == ka).get == ((ka, 2L, 10.0)),
+      "the conflicted attempt must not have written anything")
+    // and the ordinary retry loop still lands it
+    BucketTable.upsertIntoOcc(spark, dir, rows((ka, 3L, 99.0)))
+    assert(contents(dir).find(_._1 == ka).get == ((ka, 3L, 99.0)))
   }
 
   test("cluster: range files tighten zone maps; routing and data intact") {
