@@ -344,8 +344,16 @@ object BucketTable {
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
     val outcome = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
+      val routingNow = props(tablePath)
       val repointed = touched.filter(b => m1.get(b) != m0.get(b))
-      if (repointed.isEmpty) {
+      if (routingNow.numBuckets != p.numBuckets ||
+          routingNow.bucketBy != p.bucketBy)
+        // an intervening RESCALE changed the routing our staged gen was
+        // hashed by — contents-based salvage would commit rows under
+        // dead bucket ids AND writeManifest(p) would revert the
+        // routing header; always retry against the fresh table
+        Retry
+      else if (repointed.isEmpty) {
         writeManifest(tablePath, m1 ++ written.map(_ -> gen), p)
         Committed(written, stagedLive = true)
       } else salvageOrRetry(spark, tablePath, tagged, p, m1, m0,
@@ -443,15 +451,19 @@ object BucketTable {
     */
   def upsertIntoOcc(spark: SparkSession, tablePath: String,
       incoming: DataFrame, maxRetries: Int = 5): Seq[Int] = {
-    val p = props(tablePath)
-    val tagged = withBucket(
-      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
-    val touched = tagged.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return Seq.empty
+    val deduped = HudiLike.precombineLatest(incoming,
+      props(tablePath).keys, props(tablePath).precombine,
+      props(tablePath).tieBreak).localCheckpoint()
     var attempt = 0
     while (attempt <= maxRetries) {
+      // routing re-read PER ATTEMPT: an intervening rescale changes the
+      // bucket count, and a retry tagged under the old routing would
+      // conflict forever (attemptOcc rejects stale-routing commits)
+      val p = props(tablePath)
+      val tagged = withBucket(deduped, p)
+      val touched = tagged.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return Seq.empty
       attemptOcc(spark, tablePath, tagged, touched, p, manifest(tablePath)) match {
         case Some(written) => return written
         case None => attempt += 1

@@ -477,6 +477,27 @@ class SqlDdlSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 9L))
   }
 
+  test("ALTER COLUMN TYPE on MOR: narrow base + wide delta logs merge") {
+    import org.apache.spark.sql.types.LongType
+    val p = Files.createTempDirectory("widenm").toString + "/t"
+    MorTable.create(
+      Seq((1L, 1L, 10), (2L, 1L, 20)).toDF("k", "pc", "n"), p,
+      keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "widen_mor", "mor", p)
+    SqlDdl.exec(spark, "ALTER TABLE widen_mor ALTER COLUMN n TYPE BIGINT")
+    // the UPDATE's post-image delta log lands WIDE while the base file
+    // keeps INT; the snapshot merge unions across the widths and the
+    // declared read serves BIGINT everywhere
+    SqlMerge.exec(spark,
+      "UPDATE widen_mor SET n = 3000000000 WHERE k = 1")
+    val got = Catalog.readTable(spark, "widen_mor")
+    assert(got.schema("n").dataType == LongType)
+    assert(got.select($"k", $"n").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 3000000000L, 2L -> 20L))
+    // base bytes untouched: still one base generation, one delta log
+    assert(MorTable.state(p).contains((0L, 1L)))
+  }
+
   test("ALTER COLUMN TYPE composes with RENAME; rejects narrowing/lossy/structural") {
     val p = Files.createTempDirectory("widenr").toString + "/t"
     BucketTable.create(
