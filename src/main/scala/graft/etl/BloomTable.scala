@@ -321,7 +321,13 @@ object BloomTable {
     val missing = live.filterNot(indexed)
     if (missing.isEmpty) idx
     else idx.unionByName(
-      indexRows(spark.read.parquet(missing: _*), p))
+      // the missing files may span commits whose schemas differ
+      // (evolution, type widening); index rows have a fixed shape, so
+      // compute per commit dir and union the RESULTS (indexRows needs
+      // each group's own `_metadata.file_path`, which unions drop)
+      missing.groupBy(f => f.substring(0, f.lastIndexOf('/'))).values
+        .map(fs => indexRows(spark.read.parquet(fs.toSeq.sorted: _*), p))
+        .reduce(_.unionByName(_)))
   }
 
   /** Relative paths of live files that MAY contain at least one key of
@@ -567,7 +573,9 @@ object BloomTable {
       reconcileIndex(spark, tablePath, p), p)
     if (candidates.isEmpty)
       return read(spark, tablePath).limit(0)
-    val base = spark.read.parquet(absFiles(tablePath, candidates): _*)
+    // candidates may span commits whose schemas differ (evolution,
+    // type widening) — group per commit dir like every other read
+    val base = readFiles(spark, tablePath, candidates)
     p.keys.zip(keyValues).foldLeft(base) { case (df, (k, v)) =>
       df.filter(col(k) === lit(v).cast(schema(k).dataType))
     }

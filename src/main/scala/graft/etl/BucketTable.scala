@@ -178,6 +178,15 @@ object BucketTable {
     // (tasks × buckets small files — the classic partitionBy blowup)
     df.repartition(col(BucketCol))
       .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
+    listWrittenBuckets(dir)
+  }
+
+  /** The bucket ids a partitioned write actually produced, read back
+    * from the directory names — never inferred from the input, so a
+    * skipped empty bucket can't desync the manifest. Shared by every
+    * full-generation writer (writeGen / rescale / cluster).
+    */
+  private def listWrittenBuckets(dir: Path): Seq[Int] = {
     val s = Files.list(dir)
     try s.iterator().asScala.map(_.getFileName.toString)
       .collect { case n if n.startsWith(s"$BucketCol=") =>
@@ -395,8 +404,19 @@ object BucketTable {
       tagged: DataFrame, p: Props, m1: Map[Int, Long], m0: Map[Int, Long],
       repointed: Set[Int], written: Seq[Int], gen: Long): OccOutcome =
     scala.util.Try[OccOutcome] {
-      // bucket-id In-lists are bounded by numBuckets (config, not data)
-      val ourRows = tagged.filter(col(BucketCol).isInCollection(repointed))
+      // bucket-id membership: a literal In up to the plan-size bound
+      // (numBuckets is config, but a 1000-bucket table conflicting
+      // broadly would still inflate the plan), broadcast semi-join past
+      // it — the same hybrid BloomTable.filesIn uses for file paths
+      val ourRows =
+        if (repointed.size <= BloomTable.InListMax)
+          tagged.filter(col(BucketCol).isInCollection(repointed))
+        else {
+          import spark.implicits._
+          tagged.join(
+            broadcast(repointed.toSeq.toDF(BucketCol)), Seq(BucketCol),
+            "left_semi")
+        }
       val ourKeys = ourRows.select(p.keys.map(col): _*)
       val theirsNow = readBuckets(spark, tablePath, repointed, m1)
         .drop(BucketCol)
@@ -451,9 +471,9 @@ object BucketTable {
     */
   def upsertIntoOcc(spark: SparkSession, tablePath: String,
       incoming: DataFrame, maxRetries: Int = 5): Seq[Int] = {
+    val p0 = props(tablePath)
     val deduped = HudiLike.precombineLatest(incoming,
-      props(tablePath).keys, props(tablePath).precombine,
-      props(tablePath).tieBreak).localCheckpoint()
+      p0.keys, p0.precombine, p0.tieBreak).localCheckpoint()
     var attempt = 0
     while (attempt <= maxRetries) {
       // routing re-read PER ATTEMPT: an intervening rescale changes the
@@ -709,14 +729,7 @@ object BucketTable {
       data.repartitionByRange(numParts, layout: _*)
         .sortWithinPartitions(layout: _*)
         .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
-      val written = {
-        val s = Files.list(dir)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.startsWith(s"$BucketCol=") =>
-            n.drop(BucketCol.length + 1).toInt }
-          .toSeq.sorted
-        finally s.close()
-      }
+      val written = listWrittenBuckets(dir)
       writeManifest(tablePath, written.map(_ -> gen).toMap, p)
       gen
     }
@@ -761,14 +774,7 @@ object BucketTable {
         .withColumn(BucketCol,
           pmod(xxhash64(np.bucketBy.map(col): _*), lit(np.numBuckets)).cast("int"))
         .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
-      val written = {
-        val s = Files.list(dir)
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .collect { case n if n.startsWith(s"$BucketCol=") =>
-            n.drop(BucketCol.length + 1).toInt }
-          .toSeq.sorted
-        finally s.close()
-      }
+      val written = listWrittenBuckets(dir)
       // ONE atomic commit carries both the new routing (manifest props
       // header) and the new bucket map — a crash can never durably
       // leave numBuckets pointing at the old generation's layout.

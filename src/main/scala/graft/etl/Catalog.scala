@@ -551,6 +551,13 @@ object Catalog {
     val path = props.getOrElse("graft.table.path",
       throw new IllegalArgumentException(
         s"$table is not a layout-bound table"))
+    // parse-before-drop (below) only catches SYNTAX errors; a duplicate
+    // column is an ANALYSIS error that would fire after the DROP and
+    // lose the entry — reject it here
+    val lower = schema.fieldNames.map(_.toLowerCase)
+    require(lower.distinct.length == lower.length,
+      s"$table: duplicate column in replacement schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
     // stored values must round-trip VERBATIM — see [[sqlLit]] (a
     // validator regex like `\d+` would otherwise lose one escape level
     // per ALTER)

@@ -64,11 +64,30 @@ object SqlDdl {
       require(c.position.isEmpty,
         s"ALTER TABLE ADD COLUMNS: FIRST/AFTER on '${c.colName}' is not " +
           "supported — added columns append to the schema")
-      c.default.foreach(d => require(d.child.foldable,
-        s"ALTER TABLE ADD COLUMNS: DEFAULT on '${c.colName}' must be a " +
-          s"constant expression (got: ${d.originalSQL}) — a " +
-          "non-constant default would evaluate per read"))
+      c.default.foreach { d =>
+        require(d.child.foldable,
+          s"ALTER TABLE ADD COLUMNS: DEFAULT on '${c.colName}' must be a " +
+            s"constant expression (got: ${d.originalSQL}) — a " +
+            "non-constant default would evaluate per read")
+        // the constant must actually be servable AT THE COLUMN'S TYPE:
+        // a mismatched default would otherwise throw on every later
+        // read (ANSI cast) or silently serve NULL — probe it now
+        val servable = scala.util.Try(
+          !spark.range(1).select(org.apache.spark.sql.functions
+            .expr(d.originalSQL).cast(c.dataType).as("v"))
+            .head().isNullAt(0)).getOrElse(false)
+        require(servable,
+          s"ALTER TABLE ADD COLUMNS: DEFAULT ${d.originalSQL} does not " +
+            s"cast to ${c.dataType.sql} for column '${c.colName}'")
+      }
     }
+    // one statement declaring a column twice would pass the
+    // vs-existing-schema check and then die INSIDE replaceEntry's
+    // drop+create, losing the whole catalog entry — reject up front
+    val newLower = a.columnsToAdd.map(_.colName.toLowerCase)
+    require(newLower.distinct.size == newLower.size,
+      s"ALTER TABLE ADD COLUMNS: duplicate column in " +
+        s"(${a.columnsToAdd.map(_.colName).mkString(", ")})")
     // a name physically retired by DROP / RENAME may still live in data
     // files — re-declaring it would resurrect the old values on read
     val table = alterTarget(a.table)
@@ -249,38 +268,51 @@ object SqlDdl {
     val layout = requireLayout(spark, table, "ALTER COLUMN")
     val sch = spark.table(table).schema
     val prot = protectedColumns(spark, table, layout)
-    val updated = a.specs.foldLeft(sch.fields.toIndexedSeq) { (fields, spec) =>
-      require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
-        spec.newComment.isEmpty && spec.newPosition.isEmpty &&
-        spec.newDefaultExpression.isEmpty && !spec.dropDefault,
-        s"ALTER COLUMN $table: only TYPE widening is supported " +
-          "(nullability/comment/position/default changes are not " +
-          "metadata-only over immutable files)")
-      require(spec.column.name.length == 1,
-        s"ALTER COLUMN $table: nested field " +
-          s"'${spec.column.name.mkString(".")}' is not supported")
-      val colName = spec.column.name.head
-      val idx = fields.indexWhere(_.name.equalsIgnoreCase(colName))
-      require(idx >= 0,
-        s"ALTER COLUMN $table: no such column '$colName' " +
-          s"(columns: ${fields.map(_.name).mkString(", ")})")
-      val fld = fields(idx)
-      prot.get(fld.name.toLowerCase).foreach(reason =>
-        throw new IllegalArgumentException(
-          s"ALTER COLUMN $table: '${fld.name}' is $reason — layouts " +
-            "route and version rows by the WRITTEN values, so its type " +
-            "cannot change metadata-only"))
-      val to = spec.newDataType.get
-      require(isWidening(fld.dataType, to),
-        s"ALTER COLUMN $table: ${fld.dataType.sql} -> ${to.sql} is not " +
-          "a lossless widening — data files are immutable and keep " +
-          "their written types; only INT->BIGINT-style up-casts, " +
-          "FLOAT->DOUBLE, and DECIMAL precision growth are metadata-only")
-      fields.updated(idx, fld.copy(dataType = to))
+    val start = (sch.fields.toIndexedSeq, Catalog.defaultsOf(spark, table))
+    val (updated, defaults) = a.specs.foldLeft(start) {
+      case ((fields, defs), spec) =>
+        require(spec.column.name.length == 1,
+          s"ALTER COLUMN $table: nested field " +
+            s"'${spec.column.name.mkString(".")}' is not supported")
+        val colName = spec.column.name.head
+        val idx = fields.indexWhere(_.name.equalsIgnoreCase(colName))
+        require(idx >= 0,
+          s"ALTER COLUMN $table: no such column '$colName' " +
+            s"(columns: ${fields.map(_.name).mkString(", ")})")
+        val fld = fields(idx)
+        if (spec.dropDefault) {
+          // ALTER COLUMN c DROP DEFAULT — metadata-only like the ADD:
+          // absent/NULL cells go back to reading NULL
+          require(spec.newDataType.isEmpty && spec.newNullability.isEmpty &&
+            spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+            spec.newDefaultExpression.isEmpty,
+            s"ALTER COLUMN $table: DROP DEFAULT cannot combine with " +
+              "other column changes")
+          (fields, defs - fld.name.toLowerCase)
+        } else {
+          require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
+            spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+            spec.newDefaultExpression.isEmpty,
+            s"ALTER COLUMN $table: only TYPE widening and DROP DEFAULT " +
+              "are supported (nullability/comment/position/default " +
+              "changes are not metadata-only over immutable files)")
+          prot.get(fld.name.toLowerCase).foreach(reason =>
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN $table: '${fld.name}' is $reason — layouts " +
+                "route and version rows by the WRITTEN values, so its " +
+                "type cannot change metadata-only"))
+          val to = spec.newDataType.get
+          require(isWidening(fld.dataType, to),
+            s"ALTER COLUMN $table: ${fld.dataType.sql} -> ${to.sql} is not " +
+              "a lossless widening — data files are immutable and keep " +
+              "their written types; only INT->BIGINT-style up-casts, " +
+              "FLOAT->DOUBLE, and DECIMAL precision growth are metadata-only")
+          (fields.updated(idx, fld.copy(dataType = to)), defs)
+        }
     }
     writeSchemaState(spark, table, StructType(updated),
       Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table),
-      Catalog.defaultsOf(spark, table))
+      defaults)
   }
 
   /** Lossless type widenings: every value representable in `from` is

@@ -882,12 +882,13 @@ object SqlMerge {
               (keys.map(col) :+ col(precombine).as("__old_pc")): _*)
             // a post-image that NULLs the precombine is as fatal as one
             // that lowers it (the `<` comparison is NULL for it, so it
-            // would slip through); a row whose precombine was already
-            // NULL and stays NULL changed nothing and passes
+            // would slip through) — flagged REGARDLESS of the old
+            // value, matching the UPDATE route's guard: a NULL
+            // precombine makes the snapshot merge undefined either way
             val demoted = out
               .select((keys.map(col) :+ col(precombine).as("__new_pc")): _*)
               .join(oldPc, keys)
-              .filter((col("__new_pc").isNull && col("__old_pc").isNotNull) ||
+              .filter(col("__new_pc").isNull ||
                 col("__new_pc") < col("__old_pc")).limit(1).count()
             require(demoted == 0L,
               s"MERGE into $target: an UPDATE action lowers the " +

@@ -124,6 +124,30 @@ object StatsIndex {
   private def udfFreeStrip(c: Column): Column =
     regexp_replace(c, "^file:/+", "/")
 
+  /** [[computeStats]] over an explicit file list, computed PER PARENT
+    * DIRECTORY and unioned: files sharing a directory were written by
+    * one job and share a schema, while cross-directory widths may
+    * legitimately differ after `ALTER COLUMN TYPE` widening — a single
+    * flat read would infer one footer's schema and fail on the other
+    * width. Each group's stats rows are fixed-shape scalars, so the
+    * union is exact (numeric min/max widen by set-op coercion).
+    */
+  private def statsForFiles(spark: SparkSession, files: Seq[String],
+      es: Seq[Entry]): DataFrame =
+    files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).values
+      .map(fs => computeStats(spark.read.parquet(fs.toSeq.sorted: _*), es))
+      .reduce(_.unionByName(_))
+
+  /** Row read of an explicit file list, grouped by parent directory
+    * for the same mixed-width reason as [[statsForFiles]]; the
+    * cross-group union widens to the declared-side type.
+    */
+  private def readGrouped(spark: SparkSession,
+      files: Seq[String]): DataFrame =
+    files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).values
+      .map(fs => spark.read.parquet(fs.toSeq.sorted: _*))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
   private def writeVersion(spark: SparkSession, statsPath: String,
       stats: DataFrame, v: Long): Unit = {
     // coalesce(1): the stats relation is O(files) rows of scalars — at a
@@ -165,7 +189,7 @@ object StatsIndex {
     Files.writeString(propsPath(statsPath), cols.mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     writeVersion(spark, statsPath,
-      computeStats(spark.read.parquet(files: _*), cols.map(parseEntry)), 0L)
+      statsForFiles(spark, files, cols.map(parseEntry)), 0L)
   }
 
   /** Sync the index to an explicit CURRENT file list: stats rows of
@@ -188,7 +212,7 @@ object StatsIndex {
     val next =
       if (fresh.isEmpty) keep
       else keep.unionByName(
-        computeStats(spark.read.parquet(fresh: _*), entries(statsPath)))
+        statsForFiles(spark, fresh, entries(statsPath)))
     writeVersion(spark, statsPath, next, currentVersion(statsPath) + 1)
     fresh
   }
@@ -203,8 +227,8 @@ object StatsIndex {
     val (survivors, _) = prune(spark, statsPath, ranges)
     val live = files.map(stripScheme).toSet
     val keep = survivors.filter(live)
-    if (keep.isEmpty) spark.read.parquet(files: _*).filter(lit(false))
-    else spark.read.parquet(keep: _*)
+    if (keep.isEmpty) readGrouped(spark, files).filter(lit(false))
+    else readGrouped(spark, keep)
       .filter(rangesFilter(ranges, entries(statsPath)))
   }
 
@@ -218,8 +242,7 @@ object StatsIndex {
       .collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(dataDir).filterNot(indexed)
     if (fresh.isEmpty) return Seq.empty
-    val freshStats = computeStats(
-      spark.read.parquet(fresh: _*), entries(statsPath))
+    val freshStats = statsForFiles(spark, fresh, entries(statsPath))
     writeVersion(spark, statsPath,
       statsDf(spark, statsPath).unionByName(freshStats),
       currentVersion(statsPath) + 1)
@@ -276,7 +299,7 @@ object StatsIndex {
     if (files.isEmpty)
       spark.read.parquet(dataDir).filter(lit(false))
     else
-      spark.read.parquet(files: _*).filter(residual)
+      readGrouped(spark, files).filter(residual)
   }
 
   /** [[update]] then [[scan]]: the read-side contract Hudi's metadata
@@ -343,7 +366,7 @@ object StatsIndex {
       .map(_.getString(0)).toSeq.sorted
     val scanned =
       if (boundary.isEmpty) 0L
-      else spark.read.parquet(boundary: _*)
+      else readGrouped(spark, boundary)
         .filter(rangesFilter(ranges, entries(statsPath))).count()
     CountBreakdown(metaRows + scanned, metaRows, containedFiles, boundary,
       rows.length.toLong)

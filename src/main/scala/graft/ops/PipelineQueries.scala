@@ -788,6 +788,12 @@ object PipelineQueries {
         "CALL run_clustering('graft_bcl_target', 'ts_us')")
       p
     }
+    // registration is session-scoped — refresh on memo hits from a
+    // session that never ran the build (the read below goes by path,
+    // but the entry should exist for SQL-front-door consumers)
+    if (!spark.catalog.tableExists("graft_bcl_target"))
+      graft.etl.Catalog.registerLayoutTable(spark, "graft_bcl_target",
+        "bucket", path)
     graft.etl.BucketTable.read(spark, path)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"))
@@ -1466,8 +1472,8 @@ object PipelineQueries {
     * (`graft_cidx_target` + its index TBLPROPERTIES) is session-scoped
     * and survives within the verify/bench JVM's single session.
     */
-  private def sqlIndexedShared(spark: SparkSession, sfDir: String): String =
-    memoFixture("sqlIndexedLifecycle", sfDir) {
+  private def sqlIndexedShared(spark: SparkSession, sfDir: String): String = {
+    val path = memoFixture("sqlIndexedLifecycle", sfDir) {
       val path = java.nio.file.Files.createTempDirectory(morScratch, "sci")
         .toString + "/t"
       val ev = Tables.events(spark, sfDir)
@@ -1491,6 +1497,15 @@ object PipelineQueries {
         "DELETE FROM graft_cidx_target WHERE event_type = 'click'")
       path
     }
+    // registration is session-scoped: a memo hit from a session that
+    // never ran the build must re-register (index artifact path is
+    // deterministic: SqlIndex puts it at <path>_idx_<name>)
+    if (!spark.catalog.tableExists("graft_cidx_target"))
+      graft.etl.Catalog.registerLayoutTable(spark, "graft_cidx_target",
+        "bucket", path,
+        secondaryIndex = Some((Seq("event_type"), s"${path}_idx_by_type")))
+    path
+  }
 
   def sqlCreateIndex(spark: SparkSession, sfDir: String): DataFrame = {
     sqlIndexedShared(spark, sfDir)

@@ -477,6 +477,69 @@ class SqlDdlSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L, 9L))
   }
 
+  test("widened bloom table: point lookup and stats scans span mixed-width files") {
+    import org.apache.spark.sql.types.LongType
+    val p = Files.createTempDirectory("widenb").toString + "/t"
+    val stats = Files.createTempDirectory("widenb").toString + "/s"
+    BloomTable.create(
+      (1L to 100L).map(k => (k, 1L, (k * 3).toInt)).toDF("k", "pc", "n"),
+      p, keys = Seq("k"), precombine = "pc", numFiles = 4)
+    Catalog.registerLayoutTable(spark, "widen_bloom", "bloom", p)
+    SqlDdl.exec(spark, "ALTER TABLE widen_bloom ALTER COLUMN n TYPE BIGINT")
+    // the upsert writes a WIDE commit; key 1's candidates now span the
+    // narrow create commit AND the wide one — the lookup's file read
+    // must group per commit, not infer one footer's width
+    SqlMerge.exec(spark,
+      "INSERT INTO widen_bloom VALUES (1L, 2L, 3000000000)")
+    val got = BloomTable.lookup(spark, p, Seq(1L))
+    assert(got.schema("n").dataType == LongType)
+    assert(got.select($"n").as[Long].head() == 3000000000L)
+    assert(Catalog.readTable(spark, "widen_bloom")
+      .filter($"k" === 2L).select($"n").as[Long].head() == 6L)
+    // a stats index over the mixed-width live files builds and scans
+    StatsIndex.buildFromFiles(spark, BloomTable.liveFiles(p), Seq("n"), stats)
+    val wide = StatsIndex.scanFiles(spark, BloomTable.liveFiles(p), stats,
+      Seq(StatsIndex.ColRange("n", Some(1000000000L), None)))
+    assert(wide.select($"k").as[Long].collect().toSeq == Seq(1L))
+    val narrow = StatsIndex.scanFiles(spark, BloomTable.liveFiles(p), stats,
+      Seq(StatsIndex.ColRange("n", Some(6L), Some(6L))))
+    assert(narrow.select($"k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("ADD COLUMNS guards: duplicate names and unservable defaults leave the entry intact") {
+    val p = Files.createTempDirectory("adddup").toString + "/t"
+    BucketTable.create(Seq((1L, 1L, 10.0)).toDF("k", "pc", "v"), p,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "add_dup", "bucket", p)
+    // one statement declaring a column twice must die BEFORE the
+    // drop+create entry replacement, never after
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE add_dup ADD COLUMNS (a INT DEFAULT 1, a INT DEFAULT 2)")
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    // a default that cannot be served AT THE COLUMN'S TYPE dies now,
+    // not on every later read
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE add_dup ADD COLUMNS (n INT DEFAULT 'abc')")
+    }
+    assert(e2.getMessage.contains("does not cast"))
+    // the entry survived both rejections with its binding intact
+    assert(Catalog.layoutOf(spark, "add_dup").exists(_._1 == "bucket"))
+    assert(Catalog.readTable(spark, "add_dup").count() == 1)
+    // DROP DEFAULT is the metadata-only escape hatch: values revert to
+    // NULL reads where no file carries the column
+    SqlDdl.exec(spark,
+      "ALTER TABLE add_dup ADD COLUMNS (tier STRING DEFAULT 'base')")
+    assert(Catalog.readTable(spark, "add_dup").select($"tier")
+      .as[String].head() == "base")
+    SqlDdl.exec(spark, "ALTER TABLE add_dup ALTER COLUMN tier DROP DEFAULT")
+    assert(Catalog.defaultsOf(spark, "add_dup").isEmpty)
+    assert(Catalog.readTable(spark, "add_dup").select($"tier")
+      .as[Option[String]].head().isEmpty)
+  }
+
   test("ALTER COLUMN TYPE on MOR: narrow base + wide delta logs merge") {
     import org.apache.spark.sql.types.LongType
     val p = Files.createTempDirectory("widenm").toString + "/t"
