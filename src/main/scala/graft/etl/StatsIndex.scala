@@ -124,27 +124,44 @@ object StatsIndex {
   private def udfFreeStrip(c: Column): Column =
     regexp_replace(c, "^file:/+", "/")
 
-  /** [[computeStats]] over an explicit file list, computed PER PARENT
-    * DIRECTORY and unioned: files sharing a directory were written by
-    * one job and share a schema, while cross-directory widths may
-    * legitimately differ after `ALTER COLUMN TYPE` widening — a single
-    * flat read would infer one footer's schema and fail on the other
-    * width. Each group's stats rows are fixed-shape scalars, so the
-    * union is exact (numeric min/max widen by set-op coercion).
+  /** The schema-uniform group a file belongs to: everything up to and
+    * including its last COMMIT segment (`gen=` / `c=` / `base=` /
+    * `log=` / `v=` — every engine layout writes one commit as one such
+    * dir in one job, so its files share a schema), falling back to the
+    * parent directory for paths outside any layout. Grouping by commit
+    * — not by leaf dir — keeps the union width O(live commits), which
+    * table services re-level, instead of O(directories) (a partitioned
+    * table has one leaf dir per slice PER GENERATION).
+    */
+  private def schemaGroup(f: String): String = {
+    val cut = f.lastIndexOf('/')
+    val parent = if (cut <= 0) f else f.substring(0, cut)
+    val segs = parent.split('/')
+    val idx = segs.lastIndexWhere(_.matches("(gen|c|base|log|v)=.+"))
+    if (idx < 0) parent else segs.take(idx + 1).mkString("/")
+  }
+
+  /** [[computeStats]] over an explicit file list, computed PER COMMIT
+    * GROUP ([[schemaGroup]]) and unioned: files in one commit share a
+    * schema, while cross-commit widths may legitimately differ after
+    * `ALTER COLUMN TYPE` widening — a single flat read would infer one
+    * footer's schema and fail on the other width. Each group's stats
+    * rows are fixed-shape scalars, so the union is exact (numeric
+    * min/max widen by set-op coercion).
     */
   private def statsForFiles(spark: SparkSession, files: Seq[String],
       es: Seq[Entry]): DataFrame =
-    files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).values
+    files.groupBy(schemaGroup).values
       .map(fs => computeStats(spark.read.parquet(fs.toSeq.sorted: _*), es))
       .reduce(_.unionByName(_))
 
-  /** Row read of an explicit file list, grouped by parent directory
-    * for the same mixed-width reason as [[statsForFiles]]; the
-    * cross-group union widens to the declared-side type.
+  /** Row read of an explicit file list, grouped per commit for the
+    * same mixed-width reason as [[statsForFiles]]; the cross-group
+    * union widens to the declared-side type.
     */
   private def readGrouped(spark: SparkSession,
       files: Seq[String]): DataFrame =
-    files.groupBy(f => f.substring(0, f.lastIndexOf('/'))).values
+    files.groupBy(schemaGroup).values
       .map(fs => spark.read.parquet(fs.toSeq.sorted: _*))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
