@@ -62,12 +62,17 @@ object SqlCall {
         s"not a CALL statement: ${other.getClass.getSimpleName}")
     }
 
-  private def bucketPathOf(spark: SparkSession, table: String): String =
+  /** Savepoints pin committed generations; both generation-manifest
+    * layouts support the full lifecycle — dispatch by layout.
+    */
+  private def savepointOp[T](spark: SparkSession, table: String)(
+      bucket: String => T, partitioned: String => T): T =
     Catalog.layoutOf(spark, table) match {
-      case Some(("bucket", p)) => p
+      case Some(("bucket", p)) => bucket(p)
+      case Some(("partitioned", p)) => partitioned(p)
       case other => throw new IllegalArgumentException(
-        s"$table is not a bucket-layout table (savepoints pin bucket " +
-          "generations)" + other.fold("")(kp => s"; layout: ${kp._1}"))
+        s"$table: savepoints pin bucket | partitioned generations" +
+          other.fold("")(kp => s"; layout: ${kp._1}"))
     }
 
   private def timelinePathOf(spark: SparkSession, table: String): String =
@@ -192,15 +197,23 @@ object SqlCall {
         incrementalRead(spark, t, toLongArg(from, "from"),
           Some(toLongArg(to, "to")))
       case ("create_savepoint", Seq(t: String, sp: String)) =>
-        BucketTable.savepoint(bucketPathOf(spark, t), sp)
+        savepointOp(spark, t)(
+          p => BucketTable.savepoint(p, sp),
+          p => PartitionedTable.savepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case ("show_savepoints", Seq(t: String)) =>
-        BucketTable.savepoints(bucketPathOf(spark, t)).toDF("savepoint")
+        savepointOp(spark, t)(
+          BucketTable.savepoints(_), PartitionedTable.savepoints(_))
+          .toDF("savepoint")
       case ("rollback_to_savepoint", Seq(t: String, sp: String)) =>
-        BucketTable.restoreSavepoint(bucketPathOf(spark, t), sp)
+        savepointOp(spark, t)(
+          p => BucketTable.restoreSavepoint(p, sp),
+          p => PartitionedTable.restoreSavepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case ("delete_savepoint", Seq(t: String, sp: String)) =>
-        BucketTable.dropSavepoint(bucketPathOf(spark, t), sp)
+        savepointOp(spark, t)(
+          p => BucketTable.dropSavepoint(p, sp),
+          p => PartitionedTable.dropSavepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +

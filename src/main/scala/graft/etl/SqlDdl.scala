@@ -484,9 +484,14 @@ object SqlDdl {
             Catalog.registerTimelineTable(spark, name, path, keys,
               precombine, tieBreak)
             ()
+          case "mor" =>
+            // the CTAS batch becomes base version 0; later DML appends
+            // delta logs through the MOR routes
+            MorTable.create(df, path, keys, precombine, tieBreak)
+            Catalog.registerLayoutTable(spark, name, "mor", path)
           case other => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $name " +
-              "(expected bucket | bloom | partitioned | timeline)")
+              "(expected bucket | bloom | partitioned | timeline | mor)")
         }
     }
   }

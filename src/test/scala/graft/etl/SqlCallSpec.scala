@@ -165,12 +165,31 @@ class SqlCallSpec extends SparkSpec {
     SqlCall.exec(spark, "CALL delete_savepoint('sqlcall_sp', 'prerun')")
     assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_sp')")
       .count() == 0)
-    // savepoints are a bucket-layout service: other layouts say so
+    // savepoints pin generation manifests: layouts without one say so
     val tl = mkTimeline("sqlcall_sp_tl")
     val e = intercept[IllegalArgumentException] {
       SqlCall.exec(spark, "CALL create_savepoint('sqlcall_sp_tl', 'x')")
     }
-    assert(e.getMessage.contains("bucket-layout"))
+    assert(e.getMessage.contains("bucket | partitioned"))
+  }
+
+  test("savepoint procedures on the partitioned layout") {
+    val p = Files.createTempDirectory("sqlcallspp").toString + "/t"
+    PartitionedTable.create(
+      Seq((1L, 1L, 1.0, "a"), (2L, 1L, 2.0, "b")).toDF("k", "pc", "v", "d"),
+      p, keys = Seq("k"), precombine = "pc", partitionCols = Seq("d"))
+    Catalog.registerLayoutTable(spark, "sqlcall_spp", "partitioned", p)
+    SqlCall.exec(spark, "CALL create_savepoint('sqlcall_spp', 'preload')")
+    PartitionedTable.upsertInto(spark, p,
+      Seq((1L, 2L, 99.0, "a"), (3L, 1L, 3.0, "b")).toDF("k", "pc", "v", "d"))
+    assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_spp')")
+      .as[String].collect().toSeq == Seq("preload"))
+    SqlCall.exec(spark, "CALL rollback_to_savepoint('sqlcall_spp', 'preload')")
+    assert(PartitionedTable.read(spark, p).as[(Long, Long, Double, String)]
+      .collect().map(r => r._1 -> r._3).toMap == Map(1L -> 1.0, 2L -> 2.0))
+    SqlCall.exec(spark, "CALL delete_savepoint('sqlcall_spp', 'preload')")
+    assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_spp')")
+      .count() == 0)
   }
 
   test("file-level clean for the bucket layout; wrong shapes fail loudly") {

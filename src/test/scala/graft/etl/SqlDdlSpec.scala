@@ -62,6 +62,28 @@ class SqlDdlSpec extends SparkSpec {
       "SELECT * FROM ctas_tl VERSION AS OF 0").count() == 2)
   }
 
+  test("CTAS mor layout: batch becomes base v0, DML appends delta logs") {
+    val path = Files.createTempDirectory("ctasm").toString + "/t"
+    src("ctas_src_m")
+    SqlDdl.exec(spark,
+      s"""CREATE TABLE ctas_mor TBLPROPERTIES (
+         |  'graft.table.layout' = 'mor',
+         |  'graft.table.path' = '$path',
+         |  'graft.table.primaryKey' = 'k',
+         |  'graft.table.preCombineField' = 'pc')
+         |AS SELECT k, pc, v FROM ctas_src_m""".stripMargin)
+    // precombine applied at create: k=2 keeps pc=2
+    val got = Catalog.readTable(spark, "ctas_mor")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 22.0))
+    assert(MorTable.state(path).contains((0L, 0L)))
+    // DML through the front door appends a log, never rewrites the base
+    SqlMerge.exec(spark, "UPDATE ctas_mor SET v = 0.0 WHERE k = 1")
+    assert(MorTable.state(path).contains((0L, 1L)))
+    assert(Catalog.readTable(spark, "ctas_mor").filter($"k" === 1L)
+      .select($"v").as[Double].head() == 0.0)
+  }
+
   test("missing config fails loudly; plain CTAS falls through to Spark") {
     src("ctas_src_e")
     val e = intercept[IllegalArgumentException] {
