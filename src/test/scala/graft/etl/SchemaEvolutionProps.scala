@@ -64,10 +64,18 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
 
   private var run = 0
 
-  property("SQL DML+DDL interleaving matches the driver-side model") =
-    Prop.forAllNoShrink(scenario) { case (first, ops) =>
+  /** The whole scenario runner, parameterized by LAYOUT: the same
+    * random interleaving must hold on the copy-on-write bucket path
+    * (targeted generation rewrites) AND the merge-on-read path (every
+    * statement an O(batch) delta-log append resolved by the snapshot
+    * merge) — the two write disciplines reconcile schema-on-read at
+    * different points, and only the property can sweep their
+    * interaction space.
+    */
+  private def scenarioProp(layout: String)(
+      first: List[Long], ops: List[Op]): Prop = {
       run += 1
-      val table = s"schevo_prop_$run"
+      val table = s"schevo_prop_${layout}_$run"
       val path = java.nio.file.Files
         .createTempDirectory("schevo").toString + "/t"
       var pcTick = 0L
@@ -106,7 +114,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         .mkString(", ")
       SqlDdl.exec(spark,
         s"""CREATE TABLE $table TBLPROPERTIES (
-           |  'graft.table.layout' = 'bucket',
+           |  'graft.table.layout' = '$layout',
            |  'graft.table.path' = '$path',
            |  'graft.table.primaryKey' = 'k',
            |  'graft.table.preCombineField' = 'pc',
@@ -203,5 +211,15 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         check(applied)
       }
       steps.foldLeft(check("CREATE"))(_ && _)
+  }
+
+  property("SQL DML+DDL interleaving matches the model (bucket CoW)") =
+    Prop.forAllNoShrink(scenario) { case (first, ops) =>
+      scenarioProp("bucket")(first, ops)
+    }
+
+  property("SQL DML+DDL interleaving matches the model (MOR delta logs)") =
+    Prop.forAllNoShrink(scenario) { case (first, ops) =>
+      scenarioProp("mor")(first, ops)
     }
 }
