@@ -196,6 +196,25 @@ object SqlCall {
       case ("incremental_read", Seq(t: String, from, to)) =>
         incrementalRead(spark, t, toLongArg(from, "from"),
           Some(toLongArg(to, "to")))
+      case ("table_changes", Seq(t: String, since)) =>
+        // Hudi's hudi_table_changes: row-LEVEL CDC from the delta log —
+        // each changed row stamped with its commit seq and tombstone
+        // flag, O(changes) read, no base scan. Log-backed layouts only
+        // (a CoW layout has no row-level change log; use
+        // incremental_read's diff/partition pulls there).
+        val sinceSeq = toLongArg(since, "since")
+        Catalog.layoutOf(spark, t) match {
+          case Some(("partitioned", p)) =>
+            Catalog.alignToDeclared(spark, t,
+              PartitionedTable.changesSince(spark, p, sinceSeq))
+          case Some(("mor", p)) =>
+            Catalog.alignToDeclared(spark, t,
+              MorTable.incrementalRead(spark, p, sinceSeq))
+          case other => throw new IllegalArgumentException(
+            s"table_changes('$t'): row-level CDC needs a delta-log " +
+              "layout (partitioned | mor)" +
+              other.fold("")(kp => s"; layout: ${kp._1}"))
+        }
       case ("create_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.savepoint(p, sp),
@@ -221,6 +240,7 @@ object SqlCall {
           "run_compaction, rollback_to_version, clean, purge_key, " +
           "show_indexes, show_schema_state, show_partitions, show_files, "
           + "run_clustering, run_bootstrap, incremental_read, " +
+          "table_changes, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint)")
     }

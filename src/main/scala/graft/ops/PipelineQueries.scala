@@ -466,6 +466,20 @@ object PipelineQueries {
     graft.etl.PartitionedTable.changesSince(spark, partMorTable(spark, sfDir), 0L)
       .select(col("change_seq") +: col("deleted") +: PartCols: _*)
 
+  /** `p_sql_table_changes`: the same row-level CDC pull through the
+    * SQL front door — `CALL table_changes('t', 0)`
+    * ([[graft.etl.SqlCall]], Hudi's `hudi_table_changes`) over the
+    * registered partitioned-MOR table must serve exactly what the API
+    * pull serves; same oracle as `p_part_mor_changes`.
+    */
+  def sqlTableChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = partMorTable(spark, sfDir)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_tc_table",
+      "partitioned", path)
+    graft.etl.SqlCall.exec(spark, "CALL table_changes('graft_tc_table', 0)")
+      .select(col("change_seq") +: col("deleted") +: PartCols: _*)
+  }
+
   /** `p_part_mor_delete`: row-level delete through the delta log —
     * tombstone every (day, user) identity whose user id is divisible
     * by 7 (a far-future precombine outranks every live row), then
@@ -2545,6 +2559,7 @@ object PipelineQueries {
     "p_part_mor_snapshot" -> (partMorSnapshot(_, _)),
     "p_part_mor_read_optimized" -> (partMorReadOptimized(_, _)),
     "p_part_mor_changes" -> (partMorChanges(_, _)),
+    "p_sql_table_changes" -> (sqlTableChanges(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
@@ -3282,6 +3297,26 @@ object PipelineQueries {
          | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
     "p_part_mor_changes" ->
+      s"""SELECT CAST(1 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
+         |  user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL
+         |  AND epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
+         |  user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > $Split2Us) t
+         |WHERE rn = 1""".stripMargin,
+    // the SQL front door serves the identical CDC feed
+    "p_sql_table_changes" ->
       s"""SELECT CAST(1 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
          |  user_id, event_id, event_type, value, ts_us FROM (
          | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,

@@ -94,6 +94,13 @@ class SqlCallSpec extends SparkSpec {
       SqlCall.exec(spark, "CALL incremental_read('call_incr_bk', 0)")
     }
     assert(e2.getMessage.contains("timeline | mor | partitioned"))
+    // table_changes: the row-level CDC twin, log-backed layouts only
+    val tc = SqlCall.exec(spark, "CALL table_changes('call_incr_mor', 1)")
+    assert(tc.select(col("k")).as[Long].collect().toSeq == Seq(3L))
+    val e3 = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL table_changes('call_incr_bk', 0)")
+    }
+    assert(e3.getMessage.contains("partitioned | mor"))
   }
 
   test("purge_key on a bloom+RLI table erases the row AND its index entry") {
