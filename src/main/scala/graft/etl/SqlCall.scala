@@ -37,10 +37,15 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *     returns one row per artifact touched
   *   - `create_savepoint('t', name)` / `show_savepoints('t')` /
   *     `rollback_to_savepoint('t', name)` / `delete_savepoint('t',
-  *     name)` — Hudi's savepoint procedure family over bucket-layout
-  *     tables: pin the current state, list pins, restore one as a new
-  *     commit (pin-aware cleaning keeps pinned generations readable),
-  *     release a pin
+  *     name)` / `read_savepoint('t', name)` — Hudi's savepoint
+  *     procedure family over bucket / partitioned tables: pin the
+  *     current state, list pins, restore one as a new commit
+  *     (pin-aware cleaning keeps pinned generations readable),
+  *     release a pin, or time-travel-read a pin without restoring
+  *   - `incremental_read('t', from[, to])` — the incremental pull per
+  *     layout (timeline change set / MOR log pull / partition pull)
+  *   - `table_changes('t', since)` — row-level CDC from the delta log
+  *     (partitioned | mor), each row stamped with commit seq + deleted
   */
 object SqlCall {
 
@@ -234,6 +239,13 @@ object SqlCall {
           p => BucketTable.dropSavepoint(p, sp),
           p => PartitionedTable.dropSavepoint(p, sp))
         Seq(sp).toDF("savepoint")
+      case ("read_savepoint", Seq(t: String, sp: String)) =>
+        // time-travel read of a pinned state WITHOUT restoring it —
+        // the live table is untouched (pin-aware cleaning keeps the
+        // pinned generations readable)
+        Catalog.alignToDeclared(spark, t, savepointOp(spark, t)(
+          p => BucketTable.readSavepoint(spark, p, sp),
+          p => PartitionedTable.readSavepoint(spark, p, sp)))
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
@@ -242,7 +254,7 @@ object SqlCall {
           + "run_clustering, run_bootstrap, incremental_read, " +
           "table_changes, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
-          "delete_savepoint)")
+          "delete_savepoint, read_savepoint)")
     }
   }
 

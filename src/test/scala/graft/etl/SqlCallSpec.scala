@@ -181,6 +181,7 @@ class SqlCallSpec extends SparkSpec {
   }
 
   test("savepoint procedures on the partitioned layout") {
+    import org.apache.spark.sql.functions.col
     val p = Files.createTempDirectory("sqlcallspp").toString + "/t"
     PartitionedTable.create(
       Seq((1L, 1L, 1.0, "a"), (2L, 1L, 2.0, "b")).toDF("k", "pc", "v", "d"),
@@ -191,9 +192,15 @@ class SqlCallSpec extends SparkSpec {
       Seq((1L, 2L, 99.0, "a"), (3L, 1L, 3.0, "b")).toDF("k", "pc", "v", "d"))
     assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_spp')")
       .as[String].collect().toSeq == Seq("preload"))
+    // time-travel read of the pin BEFORE restoring: live table keeps
+    // the post-upsert state, the savepoint serves the pinned one
+    assert(SqlCall.exec(spark, "CALL read_savepoint('sqlcall_spp', 'preload')")
+      .select(col("k"), col("v"))
+      .as[(Long, Double)].collect().toMap == Map(1L -> 1.0, 2L -> 2.0))
+    assert(PartitionedTable.read(spark, p).count() == 3)
     SqlCall.exec(spark, "CALL rollback_to_savepoint('sqlcall_spp', 'preload')")
-    assert(PartitionedTable.read(spark, p).as[(Long, Long, Double, String)]
-      .collect().map(r => r._1 -> r._3).toMap == Map(1L -> 1.0, 2L -> 2.0))
+    assert(PartitionedTable.read(spark, p).select(col("k"), col("v"))
+      .as[(Long, Double)].collect().toMap == Map(1L -> 1.0, 2L -> 2.0))
     SqlCall.exec(spark, "CALL delete_savepoint('sqlcall_spp', 'preload')")
     assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_spp')")
       .count() == 0)

@@ -562,6 +562,36 @@ class SqlDdlSpec extends SparkSpec {
       .as[Option[String]].head().isEmpty)
   }
 
+  test("ALTER COLUMN TYPE: DECIMAL precision growth keeps every old value") {
+    import org.apache.spark.sql.types.DecimalType
+    val p = Files.createTempDirectory("widend").toString + "/t"
+    BucketTable.create(
+      spark.sql("SELECT 1L AS k, 1L AS pc, CAST(12345678.99 AS DECIMAL(10,2)) AS amt"),
+      p, keys = Seq("k"), precombine = "pc", numBuckets = 2)
+    Catalog.registerLayoutTable(spark, "widen_dec", "bucket", p)
+    // precision growth with the integral part preserved: allowed
+    SqlDdl.exec(spark,
+      "ALTER TABLE widen_dec ALTER COLUMN amt TYPE DECIMAL(14, 4)")
+    val got = Catalog.readTable(spark, "widen_dec")
+    assert(got.schema("amt").dataType == DecimalType(14, 4))
+    assert(got.select($"amt").as[java.math.BigDecimal].head()
+      .compareTo(new java.math.BigDecimal("12345678.99")) == 0)
+    // a wide value only the new precision can carry round-trips
+    SqlMerge.exec(spark,
+      "INSERT INTO widen_dec VALUES (2L, 1L, CAST(999999999.1234 AS DECIMAL(14,4)))")
+    assert(Catalog.readTable(spark, "widen_dec").filter($"k" === 2L)
+      .select($"amt").as[java.math.BigDecimal].head()
+      .compareTo(new java.math.BigDecimal("999999999.1234")) == 0)
+    // shrinking the INTEGRAL capacity is lossy even when precision
+    // grows: DECIMAL(14,4) holds 10 integral digits, DECIMAL(15,6)
+    // only 9
+    val e = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE widen_dec ALTER COLUMN amt TYPE DECIMAL(15, 6)")
+    }
+    assert(e.getMessage.contains("lossless widening"))
+  }
+
   test("ALTER COLUMN TYPE on MOR: narrow base + wide delta logs merge") {
     import org.apache.spark.sql.types.LongType
     val p = Files.createTempDirectory("widenm").toString + "/t"
