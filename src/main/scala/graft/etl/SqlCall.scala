@@ -203,18 +203,36 @@ object SqlCall {
           Some(toLongArg(to, "to")))
       case ("table_changes", Seq(t: String, since)) =>
         // Hudi's hudi_table_changes: row-LEVEL CDC from the delta log —
-        // each changed row stamped with its commit seq and tombstone
-        // flag, O(changes) read, no base scan. Log-backed layouts only
-        // (a CoW layout has no row-level change log; use
-        // incremental_read's diff/partition pulls there).
+        // each changed row stamped with its commit seq (`change_seq`)
+        // and tombstone flag (`deleted`), the SAME output contract on
+        // every layout; O(changes) read, no base scan. A checkpoint
+        // past the current delta head means compaction folded the
+        // consumer's unseen window into the base — fail loudly toward
+        // a snapshot re-sync instead of silently serving an empty (or
+        // worse, re-numbered) feed. Log-backed layouts only (a CoW
+        // layout has no row-level change log; use incremental_read's
+        // diff/partition pulls there).
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
         val sinceSeq = toLongArg(since, "since")
+        def requireLive(head: Long): Unit = require(sinceSeq <= head,
+          s"table_changes('$t', $sinceSeq): the delta window past " +
+            s"sequence $head was compacted into the base — re-sync " +
+            "from a snapshot read and checkpoint the new head")
         Catalog.layoutOf(spark, t) match {
           case Some(("partitioned", p)) =>
+            requireLive(PartitionedTable.deltas(p)
+              .map(_._2).maxOption.getOrElse(0L))
             Catalog.alignToDeclared(spark, t,
               PartitionedTable.changesSince(spark, p, sinceSeq))
           case Some(("mor", p)) =>
-            Catalog.alignToDeclared(spark, t,
-              MorTable.incrementalRead(spark, p, sinceSeq))
+            val (_, deltaHead) = MorTable.state(p).getOrElse(
+              throw new IllegalArgumentException(s"no MOR table at $p"))
+            requireLive(deltaHead)
+            val raw = MorTable.incrementalRead(spark, p, sinceSeq)
+            Catalog.alignToDeclared(spark, t, raw
+              .withColumnRenamed("_seq", "change_seq")
+              .withColumn("deleted", coalesce(col("_deleted"), lit(false)))
+              .drop("_deleted"))
           case other => throw new IllegalArgumentException(
             s"table_changes('$t'): row-level CDC needs a delta-log " +
               "layout (partitioned | mor)" +

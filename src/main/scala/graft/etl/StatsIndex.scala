@@ -133,11 +133,16 @@ object StatsIndex {
     * table services re-level, instead of O(directories) (a partitioned
     * table has one leaf dir per slice PER GENERATION).
     */
+  // precompiled: schemaGroup runs once per FILE per index sync, and
+  // String.matches would re-compile the pattern per segment
+  private val CommitSeg =
+    java.util.regex.Pattern.compile("(gen|c|base|log|v)=.+")
+
   private def schemaGroup(f: String): String = {
     val cut = f.lastIndexOf('/')
     val parent = if (cut <= 0) f else f.substring(0, cut)
     val segs = parent.split('/')
-    val idx = segs.lastIndexWhere(_.matches("(gen|c|base|log|v)=.+"))
+    val idx = segs.lastIndexWhere(s => CommitSeg.matcher(s).matches())
     if (idx < 0) parent else segs.take(idx + 1).mkString("/")
   }
 

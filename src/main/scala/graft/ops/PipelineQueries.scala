@@ -2641,6 +2641,31 @@ object PipelineQueries {
       | event_type, value, props
       |FROM events WHERE ts IS NOT NULL""".stripMargin
 
+  /** One oracle for the CDC pair: `p_part_mor_changes` (API) and
+    * `p_sql_table_changes` (CALL front door) must verify against the
+    * SAME replay — a drift between two copies would defeat the
+    * parity the pair exists to prove.
+    */
+  private val partMorChangesOracle: String =
+    s"""SELECT CAST(1 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
+         |  user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL
+         |  AND epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) t
+         |WHERE rn = 1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
+         |  user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > $Split2Us) t
+         |WHERE rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p_stream_session" ->
       """WITH marked AS (
@@ -3296,45 +3321,9 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
-    "p_part_mor_changes" ->
-      s"""SELECT CAST(1 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
-         |  user_id, event_id, event_type, value, ts_us FROM (
-         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
-         |  event_type, value, epoch_us(ts) AS ts_us,
-         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
-         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         | FROM events WHERE ts IS NOT NULL
-         |  AND epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) t
-         |WHERE rn = 1
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
-         |  user_id, event_id, event_type, value, ts_us FROM (
-         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
-         |  event_type, value, epoch_us(ts) AS ts_us,
-         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
-         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > $Split2Us) t
-         |WHERE rn = 1""".stripMargin,
-    // the SQL front door serves the identical CDC feed
-    "p_sql_table_changes" ->
-      s"""SELECT CAST(1 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
-         |  user_id, event_id, event_type, value, ts_us FROM (
-         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
-         |  event_type, value, epoch_us(ts) AS ts_us,
-         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
-         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         | FROM events WHERE ts IS NOT NULL
-         |  AND epoch_us(ts) > $SplitUs AND epoch_us(ts) <= $Split2Us) t
-         |WHERE rn = 1
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT) AS change_seq, false AS deleted, CAST(event_date AS VARCHAR) AS event_date,
-         |  user_id, event_id, event_type, value, ts_us FROM (
-         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
-         |  event_type, value, epoch_us(ts) AS ts_us,
-         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
-         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-         | FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > $Split2Us) t
-         |WHERE rn = 1""".stripMargin,
+    "p_part_mor_changes" -> partMorChangesOracle,
+    // the SQL front door serves the IDENTICAL CDC feed: one oracle
+    "p_sql_table_changes" -> partMorChangesOracle,
     "p_part_group_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

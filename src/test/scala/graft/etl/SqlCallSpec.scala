@@ -94,13 +94,31 @@ class SqlCallSpec extends SparkSpec {
       SqlCall.exec(spark, "CALL incremental_read('call_incr_bk', 0)")
     }
     assert(e2.getMessage.contains("timeline | mor | partitioned"))
-    // table_changes: the row-level CDC twin, log-backed layouts only
+    // table_changes: the row-level CDC twin, log-backed layouts only,
+    // with ONE output contract across layouts (change_seq + deleted)
     val tc = SqlCall.exec(spark, "CALL table_changes('call_incr_mor', 1)")
-    assert(tc.select(col("k")).as[Long].collect().toSeq == Seq(3L))
+    assert(Set("change_seq", "deleted").subsetOf(tc.columns.toSet),
+      s"MOR feed must carry the cross-layout CDC columns: ${tc.columns.toSeq}")
+    assert(tc.select(col("k"), col("change_seq"), col("deleted"))
+      .as[(Long, Long, Boolean)].collect().toSeq == Seq((3L, 2L, false)))
+    val tcp = SqlCall.exec(spark, "CALL table_changes('call_incr_part', 0)")
+    assert(Set("change_seq", "deleted").subsetOf(tcp.columns.toSet))
     val e3 = intercept[IllegalArgumentException] {
       SqlCall.exec(spark, "CALL table_changes('call_incr_bk', 0)")
     }
     assert(e3.getMessage.contains("partitioned | mor"))
+    // a checkpoint past the delta head means compaction folded the
+    // consumer's unseen window into the base: loud re-sync on BOTH
+    // layouts, never a silent empty (or re-numbered) feed
+    MorTable.compact(spark, mp)
+    val e4 = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL table_changes('call_incr_mor', 2)")
+    }
+    assert(e4.getMessage.contains("re-sync"))
+    val e5 = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL table_changes('call_incr_part', 9)")
+    }
+    assert(e5.getMessage.contains("re-sync"))
   }
 
   test("purge_key on a bloom+RLI table erases the row AND its index entry") {
