@@ -24,7 +24,11 @@ import org.scalacheck.{Gen, Prop, Properties}
 object SchemaEvolutionProps extends Properties("SchemaEvolution") {
 
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
-    p.withMinSuccessfulTests(6)
+    // 6 scenarios per layout in the default suite; SPARK_GRAFT_STRESS
+    // widens the sweep for dedicated hunts (same knob as the
+    // concurrency stress specs)
+    p.withMinSuccessfulTests(
+      sys.env.get("SPARK_GRAFT_STRESS").map(_ => 20).getOrElse(6))
 
   private lazy val spark = SparkSpec.session
 
