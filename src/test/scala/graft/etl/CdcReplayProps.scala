@@ -1,0 +1,85 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Differential property for the CDC surface: for ANY random sequence
+  * of MOR upserts and tombstone deletes, a consumer that checkpointed
+  * a snapshot mid-history and then applies the `CALL table_changes`
+  * feed (latest-per-key by precombine then commit seq, tombstones
+  * removing) must reconstruct the live snapshot EXACTLY. This is the
+  * contract an incremental downstream pipeline actually relies on —
+  * row-identical reconstruction, not just "some rows arrived" — and
+  * it exercises the normalized cross-layout feed columns
+  * (change_seq / deleted) end to end through the SQL front door.
+  */
+object CdcReplayProps extends Properties("CdcReplay") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(
+      sys.env.get("SPARK_GRAFT_STRESS").map(_ => 15).getOrElse(5))
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class Up(keys: List[Long]) extends Op
+  private case class Del(keys: List[Long]) extends Op
+
+  private val op: Gen[Op] = Gen.frequency(
+    3 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(ks => Up(ks.distinct)),
+    1 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(ks => Del(ks.distinct)))
+
+  private val scenario: Gen[(List[Long], List[Op], List[Op])] = for {
+    first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(_.distinct)
+    before <- Gen.listOfN(3, op) // ops the consumer has already seen
+    after <- Gen.choose(1, 4).flatMap(Gen.listOfN(_, op)) // the catch-up window
+  } yield (first, before, after)
+
+  private var run = 0
+
+  property("snapshot(checkpoint) + table_changes feed == snapshot(now)") =
+    Prop.forAllNoShrink(scenario) { case (first, before, after) =>
+      run += 1
+      val table = s"cdc_replay_$run"
+      val path = java.nio.file.Files
+        .createTempDirectory("cdcreplay").toString + "/t"
+      var pc = 0L
+      def rows(ks: Seq[Long]) = {
+        pc += 1
+        ks.map(k => (k, pc, (pc * 100 + k).toDouble)).toDF("k", "pc", "v")
+      }
+      def apply(o: Op): Unit = o match {
+        case Up(ks) => MorTable.upsertInto(path, rows(ks)); ()
+        case Del(ks) =>
+          pc += 1
+          MorTable.deleteFrom(path,
+            ks.map(k => (k, pc)).toDF("k", "pc"))
+          ()
+      }
+      MorTable.create(rows(first), path, keys = Seq("k"), precombine = "pc")
+      Catalog.registerLayoutTable(spark, table, "mor", path)
+      before.foreach(apply)
+      // the consumer's checkpoint: snapshot + the delta head it has seen
+      val checkpointSeq = MorTable.state(path).get._2
+      val snap0 = MorTable.readSnapshot(spark, path)
+        .as[(Long, Long, Double)].collect().toSeq
+      after.foreach(apply)
+      val snap1 = MorTable.readSnapshot(spark, path)
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      // catch up through the SQL front door and replay onto snap0:
+      // latest per key by (pc, change_seq), tombstones removing
+      val feed = SqlCall.exec(spark,
+        s"CALL table_changes('$table', $checkpointSeq)")
+        .select($"k", $"pc", $"v", $"change_seq", $"deleted")
+        .as[(Long, Long, Option[Double], Long, Boolean)].collect().toSeq
+      val replayed = (snap0.map(r => (r._1, r._2, Option(r._3), 0L, false))
+        ++ feed)
+        .groupBy(_._1).values.map(_.maxBy(r => (r._2, r._4)))
+        .filterNot(_._5)
+        .map(r => (r._1, r._2, r._3.getOrElse(Double.NaN)))
+        .toSeq.sortBy(_._1)
+      Prop(replayed == snap1) :|
+        s"checkpoint=$checkpointSeq\n  replayed $replayed\n  snapshot $snap1"
+    }
+}
