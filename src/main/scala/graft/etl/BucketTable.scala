@@ -363,9 +363,13 @@ object BucketTable {
         // routing header; always retry against the fresh table
         Retry
       else if (repointed.isEmpty) {
-        writeManifest(tablePath, m1 ++ written.map(_ -> gen), p)
+        // commit with the IN-LOCK header (routingNow, asserted equal on
+        // the routing fields above) — never the staged-time p, so an
+        // intervening commit's change to any OTHER header field is not
+        // silently rolled back by this writer's manifest swing
+        writeManifest(tablePath, m1 ++ written.map(_ -> gen), routingNow)
         Committed(written, stagedLive = true)
-      } else salvageOrRetry(spark, tablePath, tagged, p, m1, m0,
+      } else salvageOrRetry(spark, tablePath, tagged, routingNow, m1, m0,
         repointed, written, gen)
     }
     outcome match {

@@ -481,16 +481,19 @@ object Catalog {
           case None => d.withColumn(f.name,
             defaulted(f, lit(null).cast(f.dataType)))
           // WIDENed via ALTER COLUMN TYPE: files keep their written
-          // (narrower) type forever — cast up to the declared type
-          // (only when Spark deems it a safe up-cast; an unexpected
-          // mismatch flows through untouched, append-only as before).
+          // (narrower) type forever — cast up to the declared type.
+          // The SAME lossless predicate as the DDL gate
+          // (SqlDdl.isWidening, stricter than Cast.canUpCast which
+          // admits lossy long→float/double): a physical/declared
+          // divergence introduced outside ALTER COLUMN (bootstrap of
+          // external files, hand-edited catalog) must flow through
+          // untouched rather than be silently lossy-cast.
           // Filter pushdown survives: the optimizer's
           // UnwrapCastInBinaryComparison strips the cast off
           // comparisons against the scan column, so predicates still
           // reach PushedFilters at the narrow file's type.
           case Some(p) if p.dataType != f.dataType &&
-              org.apache.spark.sql.catalyst.expressions.Cast
-                .canUpCast(p.dataType, f.dataType) =>
+              SqlDdl.isWidening(p.dataType, f.dataType) =>
             d.withColumn(p.name,
               defaulted(f, col(p.name).cast(f.dataType)))
           case Some(p) if defaults.contains(f.name.toLowerCase) =>

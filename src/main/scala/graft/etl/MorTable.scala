@@ -22,11 +22,14 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under `tablePath/`:
   *   - `base=N/`    compacted parquet snapshot (no meta columns)
-  *   - `log=N.S/`   delta batches appended since base N (S = 1, 2, …),
+  *   - `log=N.S/`   delta batches appended since base N, S the GLOBAL
+  *                  change sequence (monotonic across compactions),
   *                  carrying `_seq` (commit sequence) and `_deleted`
   *                  (tombstone flag) meta columns
-  *   - `_latest`    pointer `"N S"`, swung by atomic rename — readers
-  *                  resolve it once and then touch only immutable dirs
+  *   - `_latest`    pointer `"N H F"` (base, change-seq head, compaction
+  *                  floor), swung by atomic rename — readers resolve it
+  *                  once and then touch only immutable dirs; live logs
+  *                  are exactly seqs (F, H]
   *   - `_props`     record key / precombine / tie-break config, written
   *                  at create time (Hudi's `hoodie.properties`), so
   *                  readers need no out-of-band schema knowledge
@@ -48,14 +51,50 @@ object MorTable {
   /** Table key configuration, persisted at create time. */
   final case class Props(keys: Seq[String], precombine: String, tieBreak: Seq[String])
 
-  /** Current `(baseVersion, deltaCount)`, or None if uninitialized. */
-  def state(tablePath: String): Option[(Long, Long)] = {
+  /** Full pointer state `(baseVersion, head, floor)`:
+    *   - `head`  — the GLOBALLY MONOTONIC change sequence of the newest
+    *     commit. Never resets: compaction and overwrite carry it
+    *     forward, so a CDC cursor (`= the highest seq a consumer has
+    *     seen`) can never alias into a later epoch's renumbered feed.
+    *   - `floor` — `compactedThrough`: the highest seq whose delta log
+    *     is no longer individually addressable (folded by [[compact]]
+    *     or superseded by [[overwriteTable]]). Live log dirs are
+    *     exactly `log=base.s` for `s` in `(floor, head]`; a cursor
+    *     `< floor` must fail loudly toward a snapshot re-sync.
+    */
+  def fullState(tablePath: String): Option[(Long, Long, Long)] = {
     val p = pointer(tablePath)
     if (!Files.exists(p)) None
     else Files.readString(p).trim.split(' ') match {
-      case Array(b, s) => Some((b.toLong, s.toLong))
+      case Array(b, h, f) => Some((b.toLong, h.toLong, f.toLong))
+      // pre-monotonic pointer: deltas were per-epoch, floor unknown —
+      // treat the epoch-local count as the head with floor 0 (correct
+      // for any table that never compacted under the old format)
+      case Array(b, s) => Some((b.toLong, s.toLong, 0L))
     }
   }
+
+  /** Current `(baseVersion, liveDeltaCount)`, or None if uninitialized.
+    * The second field is the number of UNCOMPACTED delta logs (`head -
+    * floor`), i.e. the merge fan-in a snapshot read pays — use
+    * [[changeHead]] for CDC checkpoints.
+    */
+  def state(tablePath: String): Option[(Long, Long)] =
+    fullState(tablePath).map { case (b, h, f) => (b, h - f) }
+
+  /** The newest commit's global change sequence — what an incremental
+    * consumer checkpoints after a pull or a snapshot re-sync.
+    */
+  def changeHead(tablePath: String): Long =
+    fullState(tablePath).map(_._2).getOrElse(
+      throw new IllegalStateException(s"no MOR table at $tablePath"))
+
+  /** The compaction floor: cursors below it are invalid (their unseen
+    * window was folded into the base).
+    */
+  def compactedThrough(tablePath: String): Long =
+    fullState(tablePath).map(_._3).getOrElse(
+      throw new IllegalStateException(s"no MOR table at $tablePath"))
 
   def props(tablePath: String): Props = {
     val m = Files.readAllLines(propsPath(tablePath)).asScala
@@ -66,9 +105,10 @@ object MorTable {
       m.getOrElse("tieBreak", "").split(',').toSeq.filter(_.nonEmpty))
   }
 
-  private def writePointer(tablePath: String, base: Long, deltas: Long): Unit = {
+  private def writePointer(tablePath: String, base: Long, head: Long,
+      floor: Long): Unit = {
     val tmp = Paths.get(tablePath, s"_latest.tmp${System.nanoTime()}")
-    Files.writeString(tmp, s"$base $deltas",
+    Files.writeString(tmp, s"$base $head $floor",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, pointer(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -84,7 +124,7 @@ object MorTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     HudiLike.precombineLatest(df, keys, precombine, tieBreak)
       .write.mode("overwrite").parquet(s"$tablePath/base=0")
-    writePointer(tablePath, 0L, 0L)
+    writePointer(tablePath, 0L, 0L, 0L)
   }
 
   /** Metadata-only bootstrap — Hudi's `METADATA_ONLY` bootstrap mode:
@@ -122,7 +162,7 @@ object MorTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.writeString(bootstrapPath(tablePath), sourceDir,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    writePointer(tablePath, 0L, 0L)
+    writePointer(tablePath, 0L, 0L, 0L)
   }
 
   /** Base generation as a frame: generation 0 of a bootstrapped table
@@ -155,9 +195,9 @@ object MorTable {
   /** Append a batch already carrying `_deleted` as one delta log. */
   private def appendFlagged(tablePath: String, flagged: DataFrame): Long =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
-      val (base, deltas) = state(tablePath).getOrElse(
+      val (base, head, floor) = fullState(tablePath).getOrElse(
         throw new IllegalStateException(s"no MOR table at $tablePath"))
-      val seq = deltas + 1
+      val seq = head + 1 // globally monotonic: head survives compaction
       // roll back debris from a writer that died between the log write
       // and the pointer swing: the pointer never referenced log seq, so
       // readers never saw the dir and the retry may reclaim it (same
@@ -167,7 +207,7 @@ object MorTable {
       flagged
         .withColumn(SeqCol, lit(seq))
         .write.mode("errorifexists").parquet(logDir.toString)
-      writePointer(tablePath, base, seq)
+      writePointer(tablePath, base, seq, floor)
       seq
     }
 
@@ -234,11 +274,11 @@ object MorTable {
 
   private def mergedSnapshot(spark: SparkSession, tablePath: String): DataFrame = {
     val p = props(tablePath)
-    val (base, deltas) = state(tablePath).getOrElse(
+    val (base, head, floor) = fullState(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
     val baseDf = baseFrame(spark, tablePath, base)
       .withColumn(SeqCol, lit(0L)).withColumn(DelCol, lit(false))
-    val merged = (1L to deltas).foldLeft(baseDf) { (acc, s) =>
+    val merged = ((floor + 1) to head).foldLeft(baseDf) { (acc, s) =>
       // logs may be schema-sparse (tombstones carry NULL payload cols)
       acc.unionByName(
         spark.read.parquet(s"$tablePath/log=$base.$s"), allowMissingColumns = true)
@@ -266,10 +306,18 @@ object MorTable {
     * pipeline.
     */
   def incrementalRead(spark: SparkSession, tablePath: String, sinceSeq: Long): DataFrame = {
-    val (base, deltas) = state(tablePath).getOrElse(
+    val (base, head, floor) = fullState(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
-    require(sinceSeq <= deltas, s"sinceSeq $sinceSeq > latest delta $deltas")
-    val logs = ((sinceSeq + 1) to deltas).map(s =>
+    require(sinceSeq <= head, s"sinceSeq $sinceSeq > latest change seq $head")
+    // the cursor's unseen window was folded into the base (compaction)
+    // or superseded wholesale (insert overwrite): the per-commit feed
+    // for (sinceSeq, floor] no longer exists — fail loudly toward a
+    // snapshot re-sync instead of silently skipping the folded window
+    require(sinceSeq >= floor,
+      s"incremental cursor $sinceSeq predates the compaction floor " +
+        s"$floor at $tablePath — the unseen window was folded into the " +
+        "base; re-sync from a snapshot read and checkpoint changeHead")
+    val logs = ((sinceSeq + 1) to head).map(s =>
       spark.read.parquet(s"$tablePath/log=$base.$s"))
     logs.reduceLeftOption((a, b) => a.unionByName(b, allowMissingColumns = true))
       .getOrElse(readOptimized(spark, tablePath).limit(0)
@@ -277,9 +325,14 @@ object MorTable {
   }
 
   /** Compaction: fold the logs into a new base (snapshot read → write
-    * `base=N+1`, delta count resets to 0). Old base + logs stay on disk
-    * immutable until [[clean]] — a reader holding the old pointer keeps
-    * working, as in Hudi. Returns the new base version.
+    * `base=N+1`, live delta count resets to 0). Old base + logs stay on
+    * disk immutable until [[clean]] — a reader holding the old pointer
+    * keeps working, as in Hudi. The change-seq HEAD is carried forward
+    * and the floor ratchets to it: seq numbering NEVER restarts, so a
+    * consumer checkpointed at the pre-compaction head pulls an empty
+    * (correct) window, and one checkpointed below it fails loudly in
+    * [[incrementalRead]] instead of silently receiving a renumbered
+    * feed. Returns the new base version.
     */
   def compact(spark: SparkSession, tablePath: String): Long =
     // same lock as appendDelta: an append landing between the snapshot
@@ -289,12 +342,12 @@ object MorTable {
     // exactly as they do behind Hudi's table-level lock when inline
     // compaction runs
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
-      val (base, _) = state(tablePath).getOrElse(
+      val (base, head, _) = fullState(tablePath).getOrElse(
         throw new IllegalStateException(s"no MOR table at $tablePath"))
       val next = base + 1
       readSnapshot(spark, tablePath).write.mode("overwrite")
         .parquet(s"$tablePath/base=$next")
-      writePointer(tablePath, next, 0L)
+      writePointer(tablePath, next, head, head)
       next
     }
 
@@ -307,7 +360,7 @@ object MorTable {
     */
   def overwriteTable(tablePath: String, incoming: DataFrame): Long =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
-      val (base, _) = state(tablePath).getOrElse(
+      val (base, head, _) = fullState(tablePath).getOrElse(
         throw new IllegalStateException(s"no MOR table at $tablePath"))
       val p = props(tablePath)
       val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
@@ -320,7 +373,12 @@ object MorTable {
           "DELETE the rows instead")
       val next = base + 1
       batch.write.mode("overwrite").parquet(s"$tablePath/base=$next")
-      writePointer(tablePath, next, 0L)
+      // the overwrite CONSUMES a change seq and ratchets the floor past
+      // every pre-overwrite cursor: a full restate invalidates the
+      // row-level feed (no per-commit diff exists for it), so even a
+      // consumer checkpointed at the old head must re-sync loudly
+      // rather than silently miss the restatement
+      writePointer(tablePath, next, head + 1, head + 1)
       next
     }
 

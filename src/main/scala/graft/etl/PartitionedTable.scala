@@ -485,9 +485,11 @@ object PartitionedTable {
     // the restated partitions' pending delta commits are superseded
     // wholesale too — an overwrite is a full restate, not a merge
     val d = deltas(tablePath)
-    if (d.exists(e => overwritten(partitionPrefix(p, e._1))))
-      writeDeltas(tablePath,
-        d.filterNot(e => overwritten(partitionPrefix(p, e._1))))
+    val (gone, keptD) = d.partition(e => overwritten(partitionPrefix(p, e._1)))
+    if (gone.nonEmpty) {
+      writeDeltas(tablePath, keptD)
+      retireDeltas(tablePath, gone)
+    }
     written
   }
 
@@ -503,8 +505,11 @@ object PartitionedTable {
       writeManifest(tablePath, manifest(tablePath) -- drop)
       // dropped rows must not resurrect through the delta log
       val d = deltas(tablePath)
-      if (d.exists(e => dropSet(e._1)))
-        writeDeltas(tablePath, d.filterNot(e => dropSet(e._1)))
+      val (gone, keptD) = d.partition(e => dropSet(e._1))
+      if (gone.nonEmpty) {
+        writeDeltas(tablePath, keptD)
+        retireDeltas(tablePath, gone)
+      }
     }
     drop
   }
@@ -544,8 +549,10 @@ object PartitionedTable {
     // the rewrite absorbed these slices' deltas — retire them so a
     // deleted row can't resurrect through the log (same
     // manifest-then-deltas ordering as dropPartitions)
-    if (touchedDeltas.nonEmpty)
+    if (touchedDeltas.nonEmpty) {
       writeDeltas(tablePath, d.filterNot(e => touched(e._1)))
+      retireDeltas(tablePath, touchedDeltas)
+    }
     written
   }
 
@@ -636,6 +643,49 @@ object PartitionedTable {
     Files.move(tmp, deltasPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def floorPath(tablePath: String): Path = Paths.get(tablePath, "_dfloor")
+
+  /** The CDC floor (`compactedThrough`): the highest delta seq whose
+    * per-commit feed is no longer addressable — folded by
+    * [[compactDeltas]] or retired wholesale by an overwrite / partition
+    * drop / targeted rewrite. [[nextDeltaSeq]] allocates PAST it, so
+    * change seqs are globally monotonic across compactions, and
+    * [[changesSince]] rejects cursors below it loudly instead of
+    * silently serving a renumbered feed.
+    */
+  def compactedThrough(tablePath: String): Long = {
+    val p = floorPath(tablePath)
+    if (!Files.exists(p)) 0L else Files.readString(p).trim.toLong
+  }
+
+  /** The newest change seq a consumer can checkpoint: max over the live
+    * delta log and the floor (after a compaction the log is empty but
+    * the head does NOT reset).
+    */
+  def changeHead(tablePath: String): Long =
+    (deltas(tablePath).map(_._2) :+ compactedThrough(tablePath)).max
+
+  /** Ratchet the floor UP to `seq` — never down (monotonic, so a
+    * savepoint restore cannot re-validate cursors the compactor already
+    * invalidated).
+    */
+  private def ratchetFloor(tablePath: String, seq: Long): Unit =
+    if (seq > compactedThrough(tablePath)) {
+      val tmp = Paths.get(tablePath, s"_dfloor.tmp${System.nanoTime()}")
+      Files.writeString(tmp, seq.toString,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, floorPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Every removal of delta-log entries must ratchet the floor to the
+    * highest seq it removed: those commits' row-level feed is gone, so
+    * any cursor below them must fail loudly toward a re-sync.
+    */
+  private def retireDeltas(tablePath: String,
+      removed: Seq[(String, Long)]): Unit =
+    removed.map(_._2).maxOption.foreach(ratchetFloor(tablePath, _))
 
   /** MERGE-ON-READ upsert: append the precombined batch as a delta
     * commit — one partitioned write of O(batch) rows, NO base read,
@@ -768,6 +818,7 @@ object PartitionedTable {
         val written = writeGen(withShadow(merged, p), tablePath, gen, p)
         writeManifest(tablePath, m ++ written.map(_ -> gen))
         writeDeltas(tablePath, Seq.empty)
+        retireDeltas(tablePath, d) // floor = last folded seq: numbering never restarts
         Some(gen)
       }
     }
@@ -795,6 +846,15 @@ object PartitionedTable {
   def changesSince(spark: SparkSession, tablePath: String,
       sinceSeq: Long): DataFrame = {
     val p = props(tablePath)
+    // the cursor's unseen window was folded (compaction) or retired
+    // wholesale (overwrite / drop / targeted rewrite): its per-commit
+    // feed no longer exists — fail loudly toward a snapshot re-sync
+    // instead of silently skipping it
+    val floor = compactedThrough(tablePath)
+    require(sinceSeq >= floor,
+      s"incremental cursor $sinceSeq predates the compaction floor " +
+        s"$floor at $tablePath — the unseen window was folded into the " +
+        "base; re-sync from a snapshot read and checkpoint changeHead")
     val d = deltas(tablePath).filter(_._2 > sinceSeq)
     if (d.isEmpty) readOptimized(spark, tablePath).limit(0)
       .withColumn("change_seq", lit(0L))
@@ -986,10 +1046,14 @@ object PartitionedTable {
   private def nextGen(tablePath: String): Long =
     ((manifest(tablePath).values ++ pinnedGens(tablePath)) ++ Seq(-1L)).max + 1
 
-  /** Next delta commit seq: past everything live AND pinned. */
+  /** Next delta commit seq: past everything live, pinned, AND the
+    * compaction floor — seqs retired by compaction/overwrite are never
+    * reissued, so a CDC cursor can never alias into a renumbered feed.
+    */
   private def nextDeltaSeq(tablePath: String,
       existing: Seq[(String, Long)]): Long =
-    ((existing.map(_._2) ++ pinnedDgens(tablePath)) ++ Seq(0L)).max + 1
+    ((existing.map(_._2) ++ pinnedDgens(tablePath)) ++
+      Seq(0L, compactedThrough(tablePath))).max + 1
 
   /** Read the table AS OF a savepoint — the pinned base merged with
     * the pinned delta log, live state untouched.
@@ -1010,8 +1074,13 @@ object PartitionedTable {
   def restoreSavepoint(tablePath: String, name: String): Unit = {
     val (m, d) = savepointState(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      // post-savepoint delta commits vanish from the feed — ratchet the
+      // floor over them so a consumer checkpointed in the abandoned
+      // window re-syncs loudly instead of replaying a diverged history
+      val abandoned = deltas(tablePath).filterNot(d.toSet)
       writeManifest(tablePath, m)
       writeDeltas(tablePath, d)
+      retireDeltas(tablePath, abandoned)
     }
     ()
   }

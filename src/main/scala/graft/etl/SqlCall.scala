@@ -205,29 +205,28 @@ object SqlCall {
         // Hudi's hudi_table_changes: row-LEVEL CDC from the delta log —
         // each changed row stamped with its commit seq (`change_seq`)
         // and tombstone flag (`deleted`), the SAME output contract on
-        // every layout; O(changes) read, no base scan. A checkpoint
-        // past the current delta head means compaction folded the
-        // consumer's unseen window into the base — fail loudly toward
-        // a snapshot re-sync instead of silently serving an empty (or
-        // worse, re-numbered) feed. Log-backed layouts only (a CoW
-        // layout has no row-level change log; use incremental_read's
-        // diff/partition pulls there).
+        // every layout; O(changes) read, no base scan. Change seqs are
+        // GLOBALLY MONOTONIC (they survive compaction on both layouts),
+        // so a cursor is valid iff it sits in [compactedThrough, head]:
+        // above the head it's from the future (reject), below the floor
+        // its unseen window was folded into the base — both fail loudly
+        // toward a snapshot re-sync (the floor check lives in
+        // changesSince / incrementalRead so programmatic consumers get
+        // it too). Log-backed layouts only (a CoW layout has no
+        // row-level change log; use incremental_read's diff/partition
+        // pulls there).
         import org.apache.spark.sql.functions.{coalesce, col, lit}
         val sinceSeq = toLongArg(since, "since")
-        def requireLive(head: Long): Unit = require(sinceSeq <= head,
-          s"table_changes('$t', $sinceSeq): the delta window past " +
-            s"sequence $head was compacted into the base — re-sync " +
-            "from a snapshot read and checkpoint the new head")
+        def requireNotFuture(head: Long): Unit = require(sinceSeq <= head,
+          s"table_changes('$t', $sinceSeq): cursor past the change head " +
+            s"$head — checkpoint only sequences the feed has served")
         Catalog.layoutOf(spark, t) match {
           case Some(("partitioned", p)) =>
-            requireLive(PartitionedTable.deltas(p)
-              .map(_._2).maxOption.getOrElse(0L))
+            requireNotFuture(PartitionedTable.changeHead(p))
             Catalog.alignToDeclared(spark, t,
               PartitionedTable.changesSince(spark, p, sinceSeq))
           case Some(("mor", p)) =>
-            val (_, deltaHead) = MorTable.state(p).getOrElse(
-              throw new IllegalArgumentException(s"no MOR table at $p"))
-            requireLive(deltaHead)
+            requireNotFuture(MorTable.changeHead(p))
             val raw = MorTable.incrementalRead(spark, p, sinceSeq)
             Catalog.alignToDeclared(spark, t, raw
               .withColumnRenamed("_seq", "change_seq")

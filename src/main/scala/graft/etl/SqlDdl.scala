@@ -60,10 +60,26 @@ object SqlDdl {
     */
   private def addColumnsParsed(spark: SparkSession, a: AddColumns,
       sqlText: String): Unit = {
+    // an explicit `DEFAULT NULL` is equivalent to no default (pre-ADD
+    // and absent cells read NULL anyway) — accepted, but no default
+    // entry is stored, so it must be distinguished from a constant
+    // that merely FAILS to cast (rejected loudly below)
+    def isNullDefault(sql: String): Boolean = scala.util.Try(
+      spark.range(1).select(org.apache.spark.sql.functions
+        .expr(sql).as("v")).head().isNullAt(0)).getOrElse(false)
     a.columnsToAdd.foreach { c =>
       require(c.position.isEmpty,
         s"ALTER TABLE ADD COLUMNS: FIRST/AFTER on '${c.colName}' is not " +
           "supported — added columns append to the schema")
+      // NOT NULL is only honorable when a non-null constant DEFAULT
+      // backs it: data files are immutable, so pre-ADD rows can satisfy
+      // the constraint only through the coalesce-to-default read — an
+      // undefaulted NOT NULL column would serve NULLs while claiming it
+      // can't, so reject it instead of silently declaring nullable
+      require(c.nullable || c.default.exists(d => !isNullDefault(d.originalSQL)),
+        s"ALTER TABLE ADD COLUMNS: '${c.colName}' NOT NULL needs a " +
+          "non-null constant DEFAULT — pre-ADD rows in immutable files " +
+          "have no value to satisfy the constraint otherwise")
       c.default.foreach { d =>
         require(d.child.foldable,
           s"ALTER TABLE ADD COLUMNS: DEFAULT on '${c.colName}' must be a " +
@@ -72,7 +88,7 @@ object SqlDdl {
         // the constant must actually be servable AT THE COLUMN'S TYPE:
         // a mismatched default would otherwise throw on every later
         // read (ANSI cast) or silently serve NULL — probe it now
-        val servable = scala.util.Try(
+        val servable = isNullDefault(d.originalSQL) || scala.util.Try(
           !spark.range(1).select(org.apache.spark.sql.functions
             .expr(d.originalSQL).cast(c.dataType).as("v"))
             .head().isNullAt(0)).getOrElse(false)
@@ -112,12 +128,19 @@ object SqlDdl {
         .find(n => sch.fields.exists(_.name.equalsIgnoreCase(n)))
         .foreach(n => throw new IllegalArgumentException(
           s"ALTER TABLE $table ADD COLUMNS: column '$n' already exists"))
+      // NOT NULL is honored SEMANTICALLY when a non-null default backs
+      // it (the guard above): the coalesce-to-default read never serves
+      // NULL. The catalog field itself stays nullable — Spark's v1
+      // session catalog normalizes external-table fields to nullable on
+      // the round-trip, so declaring false here would not persist
       val appended = StructType(sch.fields.toIndexedSeq ++
         a.columnsToAdd.map(c => org.apache.spark.sql.types.StructField(
           c.colName, c.dataType, nullable = true)))
+      // an explicit DEFAULT NULL stores NO default entry: it is the
+      // nullable column's natural read already
       val defaults = Catalog.defaultsOf(spark, table) ++
-        withDefaults.map(c =>
-          c.colName.toLowerCase -> c.default.get.originalSQL)
+        withDefaults.filter(c => !isNullDefault(c.default.get.originalSQL))
+          .map(c => c.colName.toLowerCase -> c.default.get.originalSQL)
       writeSchemaState(spark, table, appended,
         Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table),
         defaults)

@@ -823,6 +823,7 @@ object StreamingPipeline {
     */
   def runTableChangeStream(spark: SparkSession, tablePath: String,
       outPath: String, checkpoint: String): Unit = {
+    requireWindowStillOnDisk(spark, tablePath, outPath)
     val q = changeStream(spark, tablePath)
       .writeStream.format("parquet")
       .option("path", outPath)
@@ -830,6 +831,48 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The silent-skip guard for a change stream that straddles
+    * compaction: change seqs are globally monotonic, so a compaction
+    * BETWEEN two checkpointed passes is harmless as long as the folded
+    * log dirs still exist — the file source reads the unconsumed ones
+    * on the next pass, correctly numbered. But once `clean` removes a
+    * folded log this consumer never read, the commit is gone and the
+    * glob would simply not match it — the pass would succeed while
+    * silently missing data. Detect exactly that (consumer's delivered
+    * head < compaction floor AND a seq in between has no log dir left)
+    * and fail the pass loudly toward a snapshot re-sync. A fresh
+    * consumer (no output yet) seeds from a snapshot by contract, so the
+    * guard does not apply.
+    */
+  private def requireWindowStillOnDisk(spark: SparkSession,
+      tablePath: String, outPath: String): Unit = {
+    val floor = graft.etl.MorTable.compactedThrough(tablePath)
+    if (floor == 0L) return // never compacted: every commit is live
+    val consumed: Option[Long] =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) None
+      else spark.read.parquet(outPath).agg(max(col("_seq")))
+        .head.getAs[Any](0) match {
+          case l: Long => Some(l)
+          case _ => None
+        }
+    consumed.foreach { c =>
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(tablePath))
+      val onDisk =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("log="))
+          .map(_.drop(4).dropWhile(_ != '.').drop(1).toLong) // "log=B.S" -> S
+          .toSet
+        finally s.close()
+      val missing = ((c + 1) to floor).filterNot(onDisk)
+      require(missing.isEmpty,
+        s"MOR change stream at $tablePath: commits ${missing.mkString(",")} " +
+          "were folded by compaction and cleaned before this consumer " +
+          "read them — re-sync the downstream from a snapshot and " +
+          "restart with a fresh checkpoint")
+    }
   }
 
   /** The MOR delta log as a streaming DataFrame (see

@@ -25,10 +25,12 @@ object CdcReplayProps extends Properties("CdcReplay") {
   private sealed trait Op
   private case class Up(keys: List[Long]) extends Op
   private case class Del(keys: List[Long]) extends Op
+  private case object Compact extends Op
 
   private val op: Gen[Op] = Gen.frequency(
     3 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(ks => Up(ks.distinct)),
-    1 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(ks => Del(ks.distinct)))
+    1 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(ks => Del(ks.distinct)),
+    1 -> Gen.const(Compact))
 
   private val scenario: Gen[(List[Long], List[Op], List[Op])] = for {
     first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(_.distinct)
@@ -56,30 +58,49 @@ object CdcReplayProps extends Properties("CdcReplay") {
           MorTable.deleteFrom(path,
             ks.map(k => (k, pc)).toDF("k", "pc"))
           ()
+        case Compact => MorTable.compact(spark, path); ()
       }
       MorTable.create(rows(first), path, keys = Seq("k"), precombine = "pc")
       Catalog.registerLayoutTable(spark, table, "mor", path)
       before.foreach(apply)
-      // the consumer's checkpoint: snapshot + the delta head it has seen
-      val checkpointSeq = MorTable.state(path).get._2
+      // the consumer's checkpoint: snapshot + the change head it has
+      // seen (GLOBAL seq — compactions anywhere in `before` must not
+      // perturb it; `state._2` would alias, which is the exact bug the
+      // monotonic head fixes)
+      val checkpointSeq = MorTable.changeHead(path)
       val snap0 = MorTable.readSnapshot(spark, path)
         .as[(Long, Long, Double)].collect().toSeq
       after.foreach(apply)
       val snap1 = MorTable.readSnapshot(spark, path)
         .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
       // catch up through the SQL front door and replay onto snap0:
-      // latest per key by (pc, change_seq), tombstones removing
-      val feed = SqlCall.exec(spark,
-        s"CALL table_changes('$table', $checkpointSeq)")
-        .select($"k", $"pc", $"v", $"change_seq", $"deleted")
-        .as[(Long, Long, Option[Double], Long, Boolean)].collect().toSeq
-      val replayed = (snap0.map(r => (r._1, r._2, Option(r._3), 0L, false))
-        ++ feed)
-        .groupBy(_._1).values.map(_.maxBy(r => (r._2, r._4)))
-        .filterNot(_._5)
-        .map(r => (r._1, r._2, r._3.getOrElse(Double.NaN)))
-        .toSeq.sortBy(_._1)
-      Prop(replayed == snap1) :|
-        s"checkpoint=$checkpointSeq\n  replayed $replayed\n  snapshot $snap1"
+      // latest per key by (pc, change_seq), tombstones removing. A
+      // compaction in the catch-up window may have FOLDED part of it —
+      // then the pull must fail LOUDLY toward a re-sync (and only
+      // then), never serve a renumbered feed
+      try {
+        val feed = SqlCall.exec(spark,
+          s"CALL table_changes('$table', $checkpointSeq)")
+          .select($"k", $"pc", $"v", $"change_seq", $"deleted")
+          .as[(Long, Long, Option[Double], Long, Boolean)].collect().toSeq
+        val replayed = (snap0.map(r => (r._1, r._2, Option(r._3), 0L, false))
+          ++ feed)
+          .groupBy(_._1).values.map(_.maxBy(r => (r._2, r._4)))
+          .filterNot(_._5)
+          .map(r => (r._1, r._2, r._3.getOrElse(Double.NaN)))
+          .toSeq.sortBy(_._1)
+        Prop(replayed == snap1) :|
+          s"checkpoint=$checkpointSeq\n  replayed $replayed\n  snapshot $snap1"
+      } catch {
+        case e: IllegalArgumentException if e.getMessage.contains("re-sync") =>
+          // the refusal is legitimate ONLY when a compaction (or
+          // overwrite) actually folded commits past the checkpoint;
+          // after the demanded re-sync the new cursor must be servable
+          val floor = MorTable.compactedThrough(path)
+          val resynced = SqlCall.exec(spark,
+            s"CALL table_changes('$table', ${MorTable.changeHead(path)})")
+          Prop(floor > checkpointSeq && resynced.count() == 0L) :|
+            s"loud re-sync with floor=$floor <= checkpoint=$checkpointSeq"
+      }
     }
 }

@@ -109,6 +109,54 @@ class MorTableSpec extends SparkSpec {
     assert(snapshot(dir) == before)
   }
 
+  test("change seqs survive compaction: the stale-cursor aliasing window raises") {
+    // the r12 hole: checkpoint seq 3 → compaction → new deltas land.
+    // Under per-epoch numbering the new epoch's seqs 1.. re-passed the
+    // since<=head guard and the consumer silently received seqs 4..5 of
+    // a RENUMBERED feed — missing both the folded window and the new
+    // epoch's 1..3. With the monotonic head the new deltas continue at
+    // 5.. and a cursor below the floor fails loudly.
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0))) // seq 1
+    MorTable.upsertInto(dir, rows(("d", 1L, 4.0))) // seq 2
+    MorTable.upsertInto(dir, rows(("e", 1L, 5.0))) // seq 3
+    MorTable.upsertInto(dir, rows(("f", 1L, 6.0))) // seq 4
+    val checkpoint = 3L // consumer has pulled through seq 3
+    MorTable.compact(spark, dir) // folds 1..4; floor = head = 4
+    MorTable.upsertInto(dir, rows(("g", 1L, 7.0))) // seq 5, NOT 1
+    MorTable.upsertInto(dir, rows(("h", 1L, 8.0))) // seq 6
+    assert(MorTable.changeHead(dir) == 6L)
+    assert(MorTable.compactedThrough(dir) == 4L)
+    // the stale cursor sits inside the folded window: loud re-sync,
+    // never the new epoch's renumbered rows
+    val err = intercept[IllegalArgumentException] {
+      MorTable.incrementalRead(spark, dir, sinceSeq = checkpoint)
+    }
+    assert(err.getMessage.contains("re-sync"))
+    // a cursor AT the floor is current through the fold: it gets
+    // exactly the post-compaction commits, globally numbered
+    val caught = MorTable.incrementalRead(spark, dir, sinceSeq = 4L)
+      .select("k", "_seq").as[(String, Long)].collect().toSeq.sortBy(_._2)
+    assert(caught == Seq(("g", 5L), ("h", 6L)))
+    // live delta count (merge fan-in) still reads as 2, not 6
+    assert(MorTable.state(dir).contains((1L, 2L)))
+  }
+
+  test("insert overwrite invalidates every pre-overwrite cursor loudly") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0))) // seq 1
+    val head = MorTable.changeHead(dir)
+    MorTable.overwriteTable(dir, rows(("z", 1L, 99.0)))
+    // the restate consumed a seq and ratcheted the floor past the old
+    // head: even a consumer current as of the overwrite must re-sync
+    val err = intercept[IllegalArgumentException] {
+      MorTable.incrementalRead(spark, dir, sinceSeq = head)
+    }
+    assert(err.getMessage.contains("re-sync"))
+    assert(MorTable.incrementalRead(spark, dir,
+      sinceSeq = MorTable.changeHead(dir)).count() == 0)
+  }
+
   test("props persist the key configuration across readers") {
     val dir = freshTable()
     val p = MorTable.props(dir)

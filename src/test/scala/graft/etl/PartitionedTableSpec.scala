@@ -397,6 +397,43 @@ class PartitionedTableSpec extends SparkSpec {
       .select("k").as[String].collect().toSeq == Seq("x"))
   }
 
+  test("change seqs survive compaction; retired windows fail loudly (no aliasing)") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "a", 2L, 10.0))) // seq 1
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "c", 1L, 3.0))) // seq 2
+    val checkpoint = 1L // consumer pulled through seq 1 only
+    PartitionedTable.compactDeltas(spark, dir) // folds 1..2; floor = 2
+    assert(PartitionedTable.compactedThrough(dir) == 2L)
+    // post-compaction commits continue the GLOBAL numbering (3, not 1)
+    PartitionedTable.upsertDelta(spark, dir, rows(("d2", "e", 1L, 5.0)))
+    assert(PartitionedTable.deltas(dir).map(_._2).distinct == Seq(3L))
+    assert(PartitionedTable.changeHead(dir) == 3L)
+    // the r12 aliasing window: the stale cursor would have matched the
+    // renumbered feed — now it raises toward a re-sync
+    val err = intercept[IllegalArgumentException] {
+      PartitionedTable.changesSince(spark, dir, checkpoint)
+    }
+    assert(err.getMessage.contains("re-sync"))
+    // a cursor AT the floor is valid and sees exactly the new commits
+    assert(PartitionedTable.changesSince(spark, dir, 2L)
+      .select("change_seq", "k").as[(Long, String)].collect().toSeq ==
+      Seq((3L, "e")))
+    // retiring deltas wholesale (overwrite) ratchets the floor too:
+    // seq 3's feed is gone, so cursor 2 now raises instead of silently
+    // skipping the restated partition
+    PartitionedTable.insertOverwrite(spark, dir, rows(("d2", "x", 9L, 9.0)))
+    assert(PartitionedTable.compactedThrough(dir) == 3L)
+    val err2 = intercept[IllegalArgumentException] {
+      PartitionedTable.changesSince(spark, dir, 2L)
+    }
+    assert(err2.getMessage.contains("re-sync"))
+    // and the next delta commit still never reuses a retired seq
+    PartitionedTable.upsertDelta(spark, dir, rows(("d1", "f", 1L, 6.0)))
+    assert(PartitionedTable.deltas(dir).map(_._2).distinct == Seq(4L))
+  }
+
   test("OCC: disjoint-partition writers both commit despite a stale base") {
     val dir = freshDir()
     PartitionedTable.create(

@@ -107,18 +107,37 @@ class SqlCallSpec extends SparkSpec {
       SqlCall.exec(spark, "CALL table_changes('call_incr_bk', 0)")
     }
     assert(e3.getMessage.contains("partitioned | mor"))
-    // a checkpoint past the delta head means compaction folded the
-    // consumer's unseen window into the base: loud re-sync on BOTH
-    // layouts, never a silent empty (or re-numbered) feed
+    // change seqs are globally monotonic across compaction: a consumer
+    // checkpointed AT the pre-compaction head stays valid (empty feed —
+    // it has seen everything the compactor folded), one checkpointed
+    // BELOW it fails loudly toward a re-sync (its unseen window was
+    // folded), and a future cursor is rejected — never a silently
+    // re-numbered feed
     MorTable.compact(spark, mp)
+    assert(MorTable.changeHead(mp) == 2L &&
+      MorTable.compactedThrough(mp) == 2L)
+    assert(SqlCall.exec(spark,
+      "CALL table_changes('call_incr_mor', 2)").count() == 0)
     val e4 = intercept[IllegalArgumentException] {
-      SqlCall.exec(spark, "CALL table_changes('call_incr_mor', 2)")
+      SqlCall.exec(spark, "CALL table_changes('call_incr_mor', 1)")
     }
     assert(e4.getMessage.contains("re-sync"))
     val e5 = intercept[IllegalArgumentException] {
       SqlCall.exec(spark, "CALL table_changes('call_incr_part', 9)")
     }
-    assert(e5.getMessage.contains("re-sync"))
+    assert(e5.getMessage.contains("past the change head"))
+    // the folded window is gone on the partitioned layout too
+    PartitionedTable.upsertDelta(spark, pp,
+      Seq((4L, 3L, 4.0, "b")).toDF("k", "pc", "v", "d"))
+    PartitionedTable.compactDeltas(spark, pp)
+    assert(PartitionedTable.compactedThrough(pp) > 0L)
+    assert(SqlCall.exec(spark,
+      s"CALL table_changes('call_incr_part', " +
+        s"${PartitionedTable.changeHead(pp)})").count() == 0)
+    val e6 = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL table_changes('call_incr_part', 0)")
+    }
+    assert(e6.getMessage.contains("re-sync"))
   }
 
   test("purge_key on a bloom+RLI table erases the row AND its index entry") {

@@ -560,6 +560,33 @@ class SqlDdlSpec extends SparkSpec {
     assert(Catalog.defaultsOf(spark, "add_dup").isEmpty)
     assert(Catalog.readTable(spark, "add_dup").select($"tier")
       .as[Option[String]].head().isEmpty)
+    // an explicit DEFAULT NULL is the nullable column's natural read —
+    // accepted, but NO default entry is stored (it is not a cast error)
+    SqlDdl.exec(spark,
+      "ALTER TABLE add_dup ADD COLUMNS (note STRING DEFAULT NULL)")
+    assert(!Catalog.defaultsOf(spark, "add_dup").contains("note"))
+    assert(Catalog.readTable(spark, "add_dup").select($"note")
+      .as[Option[String]].head().isEmpty)
+    // NOT NULL without a backing default is unsatisfiable over
+    // immutable pre-ADD files: rejected loudly, not silently nullable
+    val e3 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE add_dup ADD COLUMNS (m INT NOT NULL)")
+    }
+    assert(e3.getMessage.contains("NOT NULL"))
+    val e4 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE add_dup ADD COLUMNS (m INT NOT NULL DEFAULT NULL)")
+    }
+    assert(e4.getMessage.contains("NOT NULL"))
+    // NOT NULL WITH a non-null default is honored semantically: the
+    // coalesce-to-default read never serves NULL (the catalog field
+    // itself stays nullable — Spark's v1 catalog normalizes it)
+    SqlDdl.exec(spark,
+      "ALTER TABLE add_dup ADD COLUMNS (lvl INT NOT NULL DEFAULT 3)")
+    assert(Catalog.readTable(spark, "add_dup").select($"lvl")
+      .as[Int].head() == 3)
+    assert(Catalog.readTable(spark, "add_dup")
+      .filter($"lvl".isNull).count() == 0)
   }
 
   test("ALTER COLUMN TYPE: DECIMAL precision growth keeps every old value") {

@@ -300,6 +300,57 @@ class StreamingSpec extends SparkSpec {
     assert(n2 > n1, "commits after compaction are delivered")
   }
 
+  test("change stream straddling inline compaction: exact delivery, or loud failure after clean") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("morstraddle")
+    val path = base.resolve("t").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val split = graft.ops.PipelineQueries.SplitUs
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= split), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.MorTable.upsertInto(path, // seq 1 — consumed by pass 1
+      ev.filter(col("ts_us") > split && col("user_id") % 3 === 0))
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    // seq 2 lands UNCONSUMED, inline compaction folds 1..2 (floor=2),
+    // seq 3 lands in the new epoch — the straddling pass must deliver
+    // exactly seqs 2 and 3, globally numbered (never a renumbered or
+    // partial feed)
+    graft.etl.MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > split && col("user_id") % 3 === 1))
+    graft.etl.MorTable.compact(spark, path)
+    graft.etl.MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > split && col("user_id") % 3 === 2))
+    assert(graft.etl.MorTable.compactedThrough(path) == 2L &&
+      graft.etl.MorTable.changeHead(path) == 3L)
+    StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    val all = spark.read.parquet(out)
+    val delivered = all.select("_seq").distinct()
+      .as[Long].collect().toSeq.sorted
+    assert(delivered == Seq(1L, 2L, 3L),
+      s"straddling pass must deliver the folded-but-on-disk commit AND " +
+        s"the new epoch's, got seqs $delivered")
+    assert(all.filter(col("_seq") === 1L).count() == n1,
+      "no re-emission of the consumed commit")
+    // seq 4 lands unconsumed, compaction folds it AND clean removes the
+    // folded log before this consumer read it: the next pass must fail
+    // LOUDLY, never silently skip the vanished commit
+    graft.etl.MorTable.upsertInto(path,
+      ev.filter(col("ts_us") > split && col("user_id") % 7 === 0))
+    graft.etl.MorTable.compact(spark, path)
+    graft.etl.MorTable.clean(path)
+    val err = intercept[IllegalArgumentException] {
+      StreamingPipeline.runTableChangeStream(spark, path, out, ckpt)
+    }
+    assert(err.getMessage.contains("re-sync"), err.getMessage)
+    assert(spark.read.parquet(out).count() == all.count(),
+      "the refused pass must not write a partial feed")
+  }
+
   test("table-to-table replication converges to the source snapshot; empty pass is a no-op") {
     import org.apache.spark.sql.functions.{col, lit}
     val base = Files.createTempDirectory("t2t")
