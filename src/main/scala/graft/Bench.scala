@@ -47,6 +47,37 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+    // ---- Host-speed calibration -------------------------------------------
+    // Round-12 lesson: byte-identical, lock-free queries swung +8–36%
+    // between rounds on host load alone, so raw cross-round deltas
+    // cannot gate regressions. A fixed PURE-CPU workload (no I/O, no
+    // table state, no locks) is timed at bench start AND end; its ratio
+    // to the pinned reference (CalibRef, measured on an idle host at
+    // round 13) is the host-speed factor of THIS run. The JSON line
+    // carries calib_sec; the per-query dump carries raw and
+    // calib-normalized times, so a real regression is a query whose
+    // NORMALIZED time moved — host weather divides out.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(512L << 20) // bit_xor: overflow-free under ANSI
+        .selectExpr("bit_xor(xxhash64(id))", "sum(id % 97)").collect()
+      spark.sql(
+        """SELECT count(*) FROM (
+          |  SELECT id % 9973 AS g, max(md5(cast(id AS string))) AS m
+          |  FROM range(2500000) GROUP BY g)""".stripMargin).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val CalibRef = 1.00 // seconds, idle-host reference (round 13)
+    calibrate() // discarded: JIT-warms the calibration expressions themselves
+    // min of repeats: a transient spike during one calibration must not
+    // masquerade as a slow host and over-correct every normalized time
+    // (the min is the host's observed speed CEILING — normalizing by it
+    // under-corrects, so a planted regression still shows)
+    val calibStart = (1 to 2).map(_ => calibrate()).min
+    // deliberate-slowdown plant (test of the calibration test): inflate
+    // the named query's wall time by 30% INSIDE the timed window so the
+    // round note can prove a 1.3× regression clears the normalized band
+    val plant = sys.env.get("SPARK_GRAFT_BENCH_PLANT")
     // ---- Timed runs -------------------------------------------------------
     // dev: bench only a comma-separated subset of query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -99,6 +130,8 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false
           }
+        if (plant.contains(name)) // see calibration block above
+          Thread.sleep(((System.nanoTime() - t0) / 1e6 * 0.3).toLong)
         val dt = (System.nanoTime() - t0) / 1e9
         // queries cache intermediates (shingle/signature reuse); drop them
         // between runs so blocks don't accrete into GC pressure.
@@ -116,6 +149,9 @@ object Bench {
       // and reported explicitly in the JSON line below
       (name, times.minOption, diag)
     }
+    val calibEnd = (1 to 2).map(_ => calibrate()).min
+    val calib = math.min(calibStart, calibEnd)
+    val hostFactor = calib / CalibRef // >1 = host slower than reference
     val failed = results.collect { case (name, None, _) => name }
     val timed = results.collect { case (name, Some(t), _) => name -> t }
     val diags = results.map { case (name, _, d) => name -> d }.toMap
@@ -139,9 +175,13 @@ object Bench {
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       val lines = (s"# sf=$sfDir reps=$reps n_queries=${results.size} " +
         s"n_failed=${failed.size} total=${fmt(timed.map(_._2).sum)}s " +
-        s"gc_total=${gcMillis()}ms") +:
+        s"gc_total=${gcMillis()}ms " +
+        s"calib_start=${fmt(calibStart)}s calib_end=${fmt(calibEnd)}s " +
+        s"host_factor=${fmt(hostFactor)} " +
+        s"norm_total=${fmt(timed.map(_._2).sum / hostFactor)}s") +:
         (failed.map(k => s"FAILED $k  ${diags(k)}") ++
-          timed.sortBy(-_._2).map { case (k, v) => s"${fmt(v)}  $k  ${diags(k)}" })
+          timed.sortBy(-_._2).map { case (k, v) =>
+            s"${fmt(v)}  norm=${fmt(v / hostFactor)}  $k  ${diags(k)}" })
       java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -152,7 +192,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"calib_sec":${fmt(calib)},"calib_ref":${fmt(CalibRef)},"host_factor":${fmt(hostFactor)},"norm_total":${fmt(total / hostFactor)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
