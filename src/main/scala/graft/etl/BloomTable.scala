@@ -86,12 +86,80 @@ object BloomTable {
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
   }
 
-  private def writeManifest(tablePath: String, files: Seq[String]): Unit = {
+  private def commitsPath(t: String): Path = Paths.get(t, "_commits")
+
+  /** Append-only commit log: one line `no kind` per manifest swing.
+    * `kind` classifies what the commit could have done to EXISTING
+    * rows — `write` (pure upsert/append: adds files, removes only
+    * files it rewrote with every surviving row), `delete` / `rewrite`
+    * / `overwrite` (may remove rows without a replacement file), and
+    * `cluster` (full content-preserving rewrite). [[changedSince]]
+    * serves a file-ADD feed, which cannot express a deletion — so a
+    * destructive kind inside the pull window fails loudly toward a
+    * snapshot re-sync instead of silently leaving the consumer with
+    * rows the table no longer has.
+    */
+  def commitLog(tablePath: String): Seq[(Long, String)] = {
+    val p = commitsPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
+      l.split(' ') match {
+        case Array(no, kind) if no.nonEmpty && no.forall(_.isDigit) =>
+          Some((no.toLong, kind))
+        case _ => None // torn trailing line from a crashed append
+      }
+    }
+  }
+
+  /** The newest commit number — the incremental consumer's checkpoint. */
+  def latestCommit(tablePath: String): Long =
+    commitLog(tablePath).map(_._1).maxOption.getOrElse(0L)
+
+  /** Appended BEFORE the manifest swing (same reasoning as
+    * `BucketTable.writeManifest`: a phantom entry re-serves unchanged
+    * content, a missing one hides a commit).
+    */
+  private def writeManifest(tablePath: String, files: Seq[String],
+      commit: Long, kind: String): Unit = {
+    Files.writeString(commitsPath(tablePath), s"$commit $kind\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp, files.sorted.mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Hudi-style incremental query on the bloom CoW layout: the rows of
+    * every LIVE file written by a commit after `sinceCommit` —
+    * O(changes), no diff join. `write` commits compose exactly (a
+    * rewritten file's surviving rows re-deliver as upserts, keyed
+    * downstream converges); a destructive commit (delete / predicate
+    * rewrite / overwrite) in the window raises loudly — see
+    * [[commitLog]].
+    */
+  def changedSince(spark: SparkSession, tablePath: String,
+      sinceCommit: Long): DataFrame = {
+    require(Files.exists(commitsPath(tablePath)),
+      s"no commit log at $tablePath (table created before incremental " +
+        "reads existed) — full-read and checkpoint latestCommit after " +
+        "the next commit")
+    val log = commitLog(tablePath)
+    val head = log.map(_._1).maxOption.getOrElse(0L)
+    require(sinceCommit <= head,
+      s"incremental cursor $sinceCommit past the commit head $head at " +
+        s"$tablePath — checkpoint only commits the log has served")
+    val destructive = log.filter(e =>
+      e._1 > sinceCommit && Set("delete", "rewrite", "overwrite")(e._2))
+    require(destructive.isEmpty,
+      s"incremental window ($sinceCommit, $head] at $tablePath contains " +
+        s"row-removing commit(s) ${destructive.map(_._1).mkString(",")} — " +
+        "a file-add feed cannot express deletions; re-sync from a " +
+        "snapshot read and checkpoint latestCommit")
+    val files = manifest(tablePath).filter(f =>
+      "^c=(\\d+)/".r.findFirstMatchIn(f).exists(_.group(1).toLong > sinceCommit))
+    if (files.isEmpty) read(spark, tablePath).limit(0)
+    else readFiles(spark, tablePath, files)
   }
 
   // ---- key hashing (same Kirsch–Mitzenmacher md5 family as
@@ -278,7 +346,7 @@ object BloomTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val p = Props(keys, precombine, tieBreak, sizedBits, numFiles)
     val written = writeCommit(deduped, tablePath, 0L, p, numFiles)
-    writeManifest(tablePath, written)
+    writeManifest(tablePath, written, 0L, "write")
     val spark = df.sparkSession
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p), 0L)
@@ -383,7 +451,7 @@ object BloomTable {
       PreCommit.validate(batch, validators)
       val commit = nextCommit(tablePath)
       val written = writeCommit(batch, tablePath, commit, p, p.numFiles)
-      writeManifest(tablePath, written)
+      writeManifest(tablePath, written, commit, "overwrite")
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
@@ -414,7 +482,7 @@ object BloomTable {
     val written = writeCommit(merged, tablePath, commit, p,
       math.max(1, touched.size))
     val newManifest = (manifest(tablePath).toSet -- touched) ++ written
-    writeManifest(tablePath, newManifest.toSeq)
+    writeManifest(tablePath, newManifest.toSeq, commit, "write")
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
     writeIndex(tablePath,
@@ -454,7 +522,8 @@ object BloomTable {
       if (remaining.isEmpty) Seq.empty
       else writeCommit(remaining, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
-      ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
+      ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
+      commit, "delete")
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
     val nextIdx =
@@ -497,7 +566,8 @@ object BloomTable {
         if (next.isEmpty) Seq.empty
         else writeCommit(next, tablePath, commit, p, math.max(1, touched.size))
       writeManifest(tablePath,
-        ((manifest(tablePath).toSet -- touched) ++ written).toSeq)
+        ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
+        commit, "rewrite")
       val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
         keep = false)
       val nextIdx =
@@ -545,7 +615,7 @@ object BloomTable {
       if (next.isEmpty) Seq.empty
       else writeCommit(next, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
-      ((live.toSet -- touched) ++ written).toSeq)
+      ((live.toSet -- touched) ++ written).toSeq, commit, "rewrite")
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
     val nextIdx =
@@ -593,7 +663,7 @@ object BloomTable {
     val commit = nextCommit(tablePath)
     val written = writeCommit(read(spark, tablePath), tablePath, commit, p,
       p.numFiles)
-    writeManifest(tablePath, written)
+    writeManifest(tablePath, written, commit, "cluster")
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
       nextIndexVersion(tablePath))
@@ -630,7 +700,7 @@ object BloomTable {
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("errorifexists").parquet(s"$tablePath/c=$commit")
       val written = listCommitFiles(tablePath, commit)
-      writeManifest(tablePath, written)
+      writeManifest(tablePath, written, commit, "cluster")
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))

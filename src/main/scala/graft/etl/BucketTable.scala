@@ -130,11 +130,57 @@ object BucketTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def commitsPath(tablePath: String): Path =
+    Paths.get(tablePath, "_commits")
+
+  /** Append-only commit log: one line `no b1,b2,...` per manifest
+    * swing, listing the buckets whose generation pointer CHANGED in
+    * that commit (rewritten, first written, or retired). This is what
+    * makes the CoW layout incrementally consumable (Hudi's commit
+    * timeline role): [[changedSince]] resolves "commits after c" to a
+    * bucket set without diffing generations — generation ids
+    * themselves cannot order commits (OCC generations are
+    * nanotime-unique and allocated BEFORE the commit point, so a
+    * smaller gen can commit later). Commit numbers are allocated at
+    * the manifest swing, strictly monotonic, never reused.
+    */
+  def commitLog(tablePath: String): Seq[(Long, Set[Int])] = {
+    val p = commitsPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
+      l.split(' ') match {
+        // a torn trailing line from a crashed append parses to None —
+        // the retry re-appends a complete one
+        case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
+          Some((no.toLong,
+            bs.split(',').filter(_.nonEmpty).map(_.toInt).toSet))
+        case _ => None
+      }
+    }
+  }
+
+  /** The newest commit number — what an incremental consumer
+    * checkpoints after a pull or a full-read seed.
+    */
+  def latestCommit(tablePath: String): Long =
+    commitLog(tablePath).map(_._1).maxOption.getOrElse(0L)
+
   /** One atomic rename commits BOTH the bucket→generation map and the
-    * routing that addresses it (the `props` header line).
+    * routing that addresses it (the `props` header line). The commit
+    * log line is appended BEFORE the swing: a crash in between leaves
+    * a phantom entry whose buckets re-serve their (unchanged) current
+    * content — idempotent — whereas the reverse order could commit a
+    * change no log line records, silently invisible to incremental
+    * consumers.
     */
   private def writeManifest(tablePath: String, m: Map[Int, Long],
       p: Props): Unit = {
+    val old = manifest(tablePath)
+    val changed = (m.keySet ++ old.keySet).filter(b => m.get(b) != old.get(b))
+    if (changed.nonEmpty)
+      Files.writeString(commitsPath(tablePath),
+        s"${latestCommit(tablePath) + 1} ${changed.toSeq.sorted.mkString(",")}\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp,
       (s"props numBuckets=${p.numBuckets} bucketBy=${p.bucketBy.mkString(",")}" +:
@@ -142,6 +188,46 @@ object BucketTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Hudi-style incremental query on the CoW bucket layout: the
+    * CURRENT content of every bucket some commit AFTER `sinceCommit`
+    * rewrote — O(changed buckets) read, never O(table). Like
+    * [[PartitionedTable.incrementalRead]]'s partition restatement
+    * contract, a changed bucket re-delivers its full current content
+    * (a bucket is the layout's rewrite unit, so that IS the commit's
+    * post-image); `clean` never invalidates the feed because the
+    * manifest always resolves current files. A rescale/cluster commit
+    * lists every bucket — the consumer re-reads the table, which is
+    * correct (routing changed under it). Fails loudly on a
+    * from-the-future cursor and on a table created before the commit
+    * log existed.
+    */
+  def changedSince(spark: SparkSession, tablePath: String,
+      sinceCommit: Long): DataFrame = {
+    require(Files.exists(commitsPath(tablePath)),
+      s"no commit log at $tablePath (table created before incremental " +
+        "reads existed) — full-read and checkpoint latestCommit after " +
+        "the next commit")
+    val log = commitLog(tablePath)
+    val head = log.map(_._1).maxOption.getOrElse(0L)
+    require(sinceCommit <= head,
+      s"incremental cursor $sinceCommit past the commit head $head at " +
+        s"$tablePath — checkpoint only commits the log has served")
+    val changed = log.filter(_._1 > sinceCommit).flatMap(_._2).toSet
+    val live = manifest(tablePath).keySet.intersect(changed)
+    // a bucket RETIRED in the window (every row deleted / overwritten
+    // away) has an empty current content a row feed cannot express —
+    // serving nothing would leave the consumer holding rows the table
+    // no longer has, so fail loudly toward a snapshot re-sync
+    val retired = changed -- manifest(tablePath).keySet
+    require(retired.isEmpty,
+      s"incremental window ($sinceCommit, $head] at $tablePath retired " +
+        s"bucket(s) ${retired.toSeq.sorted.mkString(",")} — an empty " +
+        "restatement is not expressible in a row feed; re-sync from a " +
+        "snapshot read and checkpoint latestCommit")
+    if (live.isEmpty) read(spark, tablePath).limit(0)
+    else readBuckets(spark, tablePath, live).drop(BucketCol)
   }
 
   private def withBucket(df: DataFrame, p: Props): DataFrame =

@@ -43,7 +43,8 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *     (pin-aware cleaning keeps pinned generations readable),
   *     release a pin, or time-travel-read a pin without restoring
   *   - `incremental_read('t', from[, to])` — the incremental pull per
-  *     layout (timeline change set / MOR log pull / partition pull)
+  *     layout (timeline change set / MOR log pull / partition pull /
+  *     bucket commit-log pull / bloom file-add pull)
   *   - `table_changes('t', since)` — row-level CDC from the delta log
   *     (partitioned | mor), each row stamped with commit seq + deleted
   */
@@ -321,9 +322,28 @@ object SqlCall {
             "generation to latest — pass only the checkpointed generation")
         Catalog.alignToDeclared(spark, t,
           PartitionedTable.incrementalRead(spark, p, from))
+      case Some(("bucket", p)) =>
+        // the CoW bucket layout's commit-log pull: current content of
+        // every bucket rewritten after commit `from` (the bucket twin
+        // of the partitioned generation pull) — O(changed buckets)
+        require(to.isEmpty,
+          s"incremental_read('$t'): a bucket pull reads from a commit " +
+            "number to latest — pass only the checkpointed commit")
+        Catalog.alignToDeclared(spark, t,
+          BucketTable.changedSince(spark, p, from))
+      case Some(("bloom", p)) =>
+        // file-add feed over the bloom layout's commit dirs; a
+        // row-removing commit in the window raises loudly (see
+        // BloomTable.changedSince)
+        require(to.isEmpty,
+          s"incremental_read('$t'): a bloom pull reads from a commit " +
+            "number to latest — pass only the checkpointed commit")
+        Catalog.alignToDeclared(spark, t,
+          BloomTable.changedSince(spark, p, from))
       case other => throw new IllegalArgumentException(
         s"incremental_read('$t'): supported layouts are timeline | mor " +
-          "| partitioned" + other.fold("")(kp => s"; layout: ${kp._1}"))
+          "| partitioned | bucket | bloom" +
+          other.fold("")(kp => s"; layout: ${kp._1}"))
     }
 
   /** `purge_key('t', k, ...)` — the right-to-be-forgotten procedure a

@@ -685,6 +685,45 @@ object PipelineQueries {
         col("value"), col("ts_us"))
   }
 
+  /** `p_bucket_incremental`: the commit-log incremental pull on the
+    * CoW bucket layout ([[graft.etl.BucketTable.changedSince]] — the
+    * bucket twin of the partitioned generation pull): seed the table
+    * pre-[[SplitUs]], checkpoint the commit head, ingest the rest, and
+    * pull — the feed is the full current content of every bucket the
+    * post-checkpoint commit rewrote, O(changed buckets). Bucket
+    * routing (xxhash64 % n) is not expressible in the oracle's SQL, so
+    * exactness is pinned SPARK-SIDE (the pull must equal the changed
+    * buckets' current content, both directions) and the ORACLE checks
+    * the routing-independent projection: every post-split user's
+    * current row flows, latest-per-key correct.
+    */
+  def bucketIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "bi").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)
+    val checkpoint = graft.etl.BucketTable.latestCommit(path)
+    graft.etl.BucketTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs))
+    val pull = graft.etl.BucketTable.changedSince(spark, path, checkpoint)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us")).localCheckpoint()
+    // Spark-side exactness pin: same routing function as the layout
+    val bucketOf = pmod(xxhash64(col("user_id")), lit(16))
+    val changedBuckets = ev.filter(col("ts_us") > SplitUs)
+      .select(bucketOf.as("b")).distinct().collect().map(_.getLong(0)).toSeq
+    val expected = graft.etl.BucketTable.read(spark, path)
+      .filter(bucketOf.isin(changedBuckets: _*))
+      .select(pull.columns.map(col): _*)
+    require(pull.exceptAll(expected).isEmpty && expected.exceptAll(pull).isEmpty,
+      s"p_bucket_incremental: pull != changed buckets' current content")
+    pull.join(ev.filter(col("ts_us") > SplitUs).select("user_id").distinct(),
+      Seq("user_id"), "left_semi")
+  }
+
   /** `p_part_cluster`: the clustering table service — build the daily
     * table, rewrite it range-clustered on `ts_us` within each day
     * ([[graft.etl.PartitionedTable.cluster]]), read it back. The
@@ -2565,6 +2604,7 @@ object PipelineQueries {
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
+    "p_bucket_incremental" -> (bucketIncremental(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_skipping" -> (partSkipping(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
@@ -3192,6 +3232,14 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events) t
          |WHERE rn = 1""".stripMargin,
+    "p_bucket_incremental" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id IN (
+         |  SELECT DISTINCT user_id FROM events WHERE epoch_us(ts) > $SplitUs)""".stripMargin,
     "p_part_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

@@ -38,6 +38,45 @@ class BloomTableSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("changedSince serves new commits' rows; row-removing windows fail loudly") {
+    import spark.implicits._
+    val path = scratch()
+    val b0 = ev.filter(col("ts_us") <= split)
+    BloomTable.create(b0, path, keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 8)
+    val ck = BloomTable.latestCommit(path)
+    assert(BloomTable.changedSince(spark, path, ck).count() == 0)
+    // an upsert window composes as a file-add feed: every row written
+    // since the checkpoint flows (rewritten files' survivors included),
+    // so a keyed downstream converges by upserting the feed
+    val b1 = ev.filter(col("ts_us") > split)
+    BloomTable.upsertInto(spark, path, b1)
+    val feed = BloomTable.changedSince(spark, path, ck)
+    // the batch is precombined before the write, so what must flow is
+    // every touched user's CURRENT row
+    val want = HudiLike.precombineLatest(b0.unionByName(b1),
+      Seq("user_id"), "ts_us", Seq("event_id"))
+      .join(b1.select("user_id").distinct(), Seq("user_id"), "left_semi")
+    assert(want.exceptAll(feed.select(want.columns.map(col): _*)).isEmpty,
+      "every touched user's current row must flow")
+    // a delete commit inside the window: the feed cannot express it —
+    // loud failure, and a re-sync'd checkpoint pulls cleanly again
+    val ck2 = BloomTable.latestCommit(path)
+    BloomTable.deleteFrom(spark, path,
+      b0.select("user_id").distinct().limit(1))
+    val e = intercept[IllegalArgumentException] {
+      BloomTable.changedSince(spark, path, ck2)
+    }
+    assert(e.getMessage.contains("re-sync"), e.getMessage)
+    assert(BloomTable.changedSince(spark, path,
+      BloomTable.latestCommit(path)).count() == 0)
+    // a future cursor is rejected
+    val e2 = intercept[IllegalArgumentException] {
+      BloomTable.changedSince(spark, path, 99L)
+    }
+    assert(e2.getMessage.contains("past the commit head"))
+  }
+
   test("key-local batch rewrites only the files owning those keys") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,

@@ -215,6 +215,47 @@ class BucketTableSpec extends SparkSpec {
   private def keysByBucket(dir: String, ks: Seq[String]): Map[Int, Seq[String]] =
     ks.groupBy(k => BucketTable.bucketOf(spark, dir, Seq(k)))
 
+  test("changedSince serves exactly the changed buckets; retirement fails loudly") {
+    val dir = Files.createTempDirectory("bucketinc").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0)),
+      dir, keys = Seq("k"), precombine = "pc", numBuckets = 8)
+    val ck0 = BucketTable.latestCommit(dir)
+    assert(ck0 == 1L) // create is commit 1
+    assert(BucketTable.changedSince(spark, dir, ck0).count() == 0)
+    // pull since 0 bootstraps the full table (create's commit in window)
+    assert(BucketTable.changedSince(spark, dir, 0L)
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1) == contents(dir))
+    // rewrite ONLY a's bucket: the pull re-delivers that bucket's full
+    // current content — a and any co-bucketed keys, nothing else
+    BucketTable.upsertInto(spark, dir, rows(("a", 2L, 9.0)))
+    val pulled = BucketTable.changedSince(spark, dir, ck0)
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(pulled.contains(("a", 2L, 9.0)) && pulled.size < contents(dir).size,
+      s"pull must be the changed bucket only, got $pulled")
+    // OCC commits log too (the manifest swing is the single choke point)
+    BucketTable.upsertIntoOcc(spark, dir, rows(("d", 1L, 4.0)))
+    val ck1 = BucketTable.latestCommit(dir)
+    assert(ck1 == 3L)
+    assert(BucketTable.changedSince(spark, dir, 2L)
+      .as[(String, Long, Double)].collect().toSeq.exists(_._1 == "d"))
+    // a future cursor is rejected
+    val e1 = intercept[IllegalArgumentException] {
+      BucketTable.changedSince(spark, dir, 99L)
+    }
+    assert(e1.getMessage.contains("past the commit head"))
+    // retiring a bucket (overwrite that misses it) is not expressible
+    // in a row feed: the pull across that window must fail loudly
+    val ck2 = BucketTable.latestCommit(dir)
+    BucketTable.overwriteTable(spark, dir, rows(("a", 3L, 1.0)))
+    val e2 = intercept[IllegalArgumentException] {
+      BucketTable.changedSince(spark, dir, ck2)
+    }
+    assert(e2.getMessage.contains("re-sync"), e2.getMessage)
+    // a re-sync'd consumer (fresh checkpoint) pulls cleanly again
+    assert(BucketTable.changedSince(spark, dir,
+      BucketTable.latestCommit(dir)).count() == 0)
+  }
+
   test("OCC: disjoint-bucket writers both commit despite a stale base") {
     val dir = Files.createTempDirectory("occ-bkt").toString + "/t"
     val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))

@@ -85,15 +85,25 @@ class SqlCallSpec extends SparkSpec {
       "CALL incremental_read('call_incr_part', 0)")
       .select(col("k")).as[Long].collect().toSet
     assert(gotPart == Set(2L, 3L)) // partition b's full current content
-    // non-incremental layouts fail loudly
+    // bucket: the commit-log pull serves the changed buckets' current
+    // content — a consumer checkpointed at the head pulls nothing, one
+    // behind it re-reads only the rewritten bucket
     val bp = Files.createTempDirectory("sqlcallib").toString + "/t"
     BucketTable.create(Seq((1L, 1L, 1.0)).toDF("k", "pc", "v"), bp,
       keys = Seq("k"), precombine = "pc", numBuckets = 2)
     Catalog.registerLayoutTable(spark, "call_incr_bk", "bucket", bp)
+    val ck = BucketTable.latestCommit(bp)
+    assert(SqlCall.exec(spark,
+      s"CALL incremental_read('call_incr_bk', $ck)").count() == 0)
+    BucketTable.upsertInto(spark, bp, Seq((9L, 1L, 9.0)).toDF("k", "pc", "v"))
+    val pulled = SqlCall.exec(spark,
+      s"CALL incremental_read('call_incr_bk', $ck)")
+      .select(col("k")).as[Long].collect().toSet
+    assert(pulled.contains(9L), s"changed bucket's content must flow: $pulled")
     val e2 = intercept[IllegalArgumentException] {
-      SqlCall.exec(spark, "CALL incremental_read('call_incr_bk', 0)")
+      SqlCall.exec(spark, "CALL incremental_read('call_incr_bk', 99)")
     }
-    assert(e2.getMessage.contains("timeline | mor | partitioned"))
+    assert(e2.getMessage.contains("past the commit head"))
     // table_changes: the row-level CDC twin, log-backed layouts only,
     // with ONE output contract across layouts (change_seq + deleted)
     val tc = SqlCall.exec(spark, "CALL table_changes('call_incr_mor', 1)")
