@@ -624,7 +624,10 @@ object BucketTable {
     require(keyValues.length == cols.length,
       s"expected values for ${p.bucketBy.mkString(",")} or ${p.keys.mkString(",")}")
     cols.zip(keyValues).foldLeft(filtered) { case (df, (k, v)) =>
-      df.filter(col(k) === lit(v))
+      // null-safe: a NULL bucket value (xxhash64 hashes nulls to a
+      // deterministic bucket, so NULL entries are routable) must match
+      // with IS NULL, never the always-false `=== NULL`
+      df.filter(if (v == null) col(k).isNull else col(k) === lit(v))
     }
   }
 

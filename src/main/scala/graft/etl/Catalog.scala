@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
 import java.nio.file.Paths
 import java.util.concurrent.ConcurrentHashMap
 
@@ -415,13 +416,38 @@ object Catalog {
   /** The write half of schema-on-read: map a LOGICAL frame (what
     * [[readTable]] serves, what DML statements compute) back to the
     * table's stable PHYSICAL column names before any layout write.
+    * Nested entries (dotted keys `parent.sub -> physSub`, one struct
+    * level) rewrite the subfield INSIDE the parent struct — processed
+    * FIRST, while the frame still carries the logical parent name the
+    * dotted key addresses (the parent's own top-level rename, if any,
+    * applies after).
     */
   def toPhysical(df: org.apache.spark.sql.DataFrame,
-      renames: Map[String, String]): org.apache.spark.sql.DataFrame =
-    renames.foldLeft(df) { case (d, (logLower, phys)) =>
+      renames: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (nested, plain) = renames.partition(_._1.contains('.'))
+    val n = nested.foldLeft(df) { case (d, (dotted, physSub)) =>
+      val Array(parLower, subLower) = dotted.split('.')
+      d.columns.find(_.toLowerCase == parLower) match {
+        case Some(par) if d.schema(par).dataType
+            .isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          val st = d.schema(par).dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          st.fields.find(_.name.toLowerCase == subLower) match {
+            case Some(sub) if !sub.name.equalsIgnoreCase(physSub) =>
+              d.withColumn(par, col(par)
+                .withField(physSub, col(s"$par.${sub.name}"))
+                .dropFields(sub.name))
+            case _ => d
+          }
+        case _ => d
+      }
+    }
+    plain.foldLeft(n) { case (d, (logLower, phys)) =>
       d.columns.find(_.toLowerCase == logLower)
         .fold(d)(actual => d.withColumnRenamed(actual, phys))
     }
+  }
 
   def toPhysical(spark: SparkSession, table: String,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -454,7 +480,13 @@ object Catalog {
       defaults: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame =
     scala.util.Try(spark.table(table).schema).toOption.fold(df) { sch =>
       import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
-      val renamed = renames.foldLeft(df) {
+      // nested entries (dotted keys, one struct level) reconcile INSIDE
+      // their parent struct below; only plain entries may touch
+      // top-level columns (a dotted entry's bare physical sub-name must
+      // never capture an unrelated top-level column of the same name)
+      val (nestedRenames, plainRenames) = renames.partition(_._1.contains('.'))
+      val (nestedDropped, plainDropped) = dropped.partition(_.contains('.'))
+      val renamed = plainRenames.foldLeft(df) {
         case (d, (logLower, phys)) =>
           val hasLog = d.columns.exists(_.toLowerCase == logLower)
           if (hasLog) d
@@ -464,8 +496,9 @@ object Catalog {
             d.withColumnRenamed(actual, declared)
           }
       }
-      val pruned = dropped.foldLeft(renamed)((d, p) =>
+      val prunedTop = plainDropped.foldLeft(renamed)((d, p) =>
         d.columns.find(_.toLowerCase == p).fold(d)(d.drop(_)))
+      val pruned = reconcileNested(prunedTop, sch, nestedRenames, nestedDropped)
       // a constant DEFAULT declared at ADD time gives the column
       // NOT-NULL-DEFAULT read semantics: absent (pre-ADD files) and
       // NULL values both serve the default, metadata-only
@@ -502,6 +535,80 @@ object Catalog {
         }
       }
     }
+
+  /** The nested half of [[alignToDeclared]] — one-level struct
+    * reconcile, run AFTER top-level renames (the dotted state keys on
+    * the parent's LOGICAL name) and before the top-level add/widen
+    * fold (which then sees an already-conforming struct type). Per
+    * declared struct column: map physical sub-names to logical
+    * (nested RENAME), project away tombstoned subfields (nested
+    * DROP), serve declared-but-absent subfields as typed NULLs
+    * (nested ADD) and cast narrower subfields up (nested WIDEN, same
+    * lossless predicate as everywhere). Files whose struct predates
+    * everything — or that lack the parent column entirely — reconcile
+    * the same way; unknown extra subfields flow through untouched
+    * (append-only, as at the top level).
+    */
+  private def reconcileNested(df: org.apache.spark.sql.DataFrame,
+      sch: StructType, nestedRenames: Map[String, String],
+      nestedDropped: Set[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val declaredStructs = sch.fields.filter(_.dataType.isInstanceOf[StructType])
+    if (declaredStructs.isEmpty) df
+    else declaredStructs.foldLeft(df) { (d, f) =>
+      d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(p) if p.dataType.isInstanceOf[StructType] =>
+          val par = p.name
+          val parLower = f.name.toLowerCase + "."
+          val declared = f.dataType.asInstanceOf[StructType]
+          val phys = p.dataType.asInstanceOf[StructType]
+          // each declared subfield resolves to: its physical source
+          // (renamed sub-names map back), a widening cast when the file
+          // is narrower, or a typed NULL when no file carries it yet
+          val resolved = declared.fields.map { sf =>
+            val physSub = nestedRenames
+              .getOrElse(parLower + sf.name.toLowerCase, sf.name)
+            val src = phys.fields.find(_.name.equalsIgnoreCase(physSub))
+              // a frame already carrying the LOGICAL sub-name (e.g. an
+              // aligned frame re-aligned) serves it directly
+              .orElse(phys.fields.find(_.name.equalsIgnoreCase(sf.name)))
+            val e = src match {
+              case None => lit(null).cast(sf.dataType)
+              case Some(ps) if ps.dataType != sf.dataType &&
+                  SqlDdl.isWidening(ps.dataType, sf.dataType) =>
+                col(s"$par.${ps.name}").cast(sf.dataType)
+              case Some(ps) => col(s"$par.${ps.name}")
+            }
+            (e.as(sf.name), src.map(_.name.toLowerCase), src.exists(ps =>
+              ps.name == sf.name && ps.dataType == sf.dataType))
+          }
+          // append-only: physical subfields no declared field claims
+          // and no tombstone retires keep flowing
+          val claimed = resolved.flatMap(_._2).toSet
+          val tombstoned = nestedDropped.filter(_.startsWith(parLower))
+            .map(_.drop(parLower.length))
+          val extras = phys.fields.filter(ps =>
+            !claimed(ps.name.toLowerCase) && !tombstoned(ps.name.toLowerCase))
+          val conforming = extras.isEmpty && resolved.forall(_._3) &&
+            phys.length == declared.length
+          if (conforming) d // files already match: leave the scan column alone
+          else {
+            // rebuild in DECLARED order (positional struct casts
+            // downstream — INSERT shaping, set operations — depend on
+            // it); when() keeps NULL structs null, which withField would
+            // have silently un-nulled
+            val rebuilt = struct(
+              (resolved.map(_._1) ++
+                extras.map(ps => col(s"$par.${ps.name}").as(ps.name))).toIndexedSeq: _*)
+            d.withColumn(par,
+              when(col(par).isNull, lit(null)).otherwise(rebuilt))
+          }
+        case _ => d // parent absent (old files: whole-column NULL comes
+          // from the top-level add fold) or not a struct — append-only,
+          // flow through
+      }
+    }
+  }
 
   /** The layout's manifest-resolved PHYSICAL snapshot, un-reconciled —
     * what the files actually say. DML routes consult its schema to

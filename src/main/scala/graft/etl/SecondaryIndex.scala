@@ -107,6 +107,22 @@ object SecondaryIndex {
       .select(p.keys.map(col): _*)
   }
 
+  /** Multi-value lookup — the `sec IN (a, b, ...)` / `sec IS NULL`
+    * serving path: one index-bucket probe per combination (N bounded by
+    * the caller, the same `InListMax` discipline as
+    * [[BloomTable.filesIn]]), the resolved keys unioned, then ONE
+    * multi-bucket primary fetch. NULL combinations are first-class:
+    * the index stores NULL secondary values (xxhash64 hashes them to a
+    * deterministic bucket) and [[BucketTable.lookup]] probes them
+    * null-safely, so `IS NULL` is an indexed point read, not a scan.
+    */
+  def lookupMulti(spark: SparkSession, primaryPath: String,
+      indexPath: String, combos: Seq[Seq[Any]]): DataFrame = {
+    val keySets = combos.map(lookupKeys(spark, primaryPath, indexPath, _))
+    val keys = keySets.reduceLeft(_.unionByName(_)).distinct()
+    BucketTable.lookupMany(spark, primaryPath, keys)
+  }
+
   /** Index entries (secondary cols + keys) of the CURRENT primary rows
     * for `keysDf` — an O(touched buckets) point read, materialized so
     * a caller can capture the pre-image BEFORE a mutation and the

@@ -71,6 +71,21 @@ object SqlDdl {
       require(c.position.isEmpty,
         s"ALTER TABLE ADD COLUMNS: FIRST/AFTER on '${c.colName}' is not " +
           "supported — added columns append to the schema")
+      c.path.foreach { p =>
+        // nested ADD: one struct level, no default (the coalesce read
+        // serves top-level columns only), plain nullable
+        require(p.name.length == 1,
+          s"ALTER TABLE ADD COLUMNS: '${c.name.mkString(".")}' nests " +
+            "more than one struct level — only top-level struct fields " +
+            "evolve metadata-only")
+        require(c.default.isEmpty,
+          s"ALTER TABLE ADD COLUMNS: DEFAULT on nested field " +
+            s"'${c.name.mkString(".")}' is not supported")
+        require(c.nullable,
+          s"ALTER TABLE ADD COLUMNS: NOT NULL on nested field " +
+            s"'${c.name.mkString(".")}' is not supported — pre-ADD rows " +
+            "have no value for it")
+      }
       // NOT NULL is only honorable when a non-null constant DEFAULT
       // backs it: data files are immutable, so pre-ADD rows can satisfy
       // the constraint only through the coalesce-to-default read — an
@@ -100,31 +115,45 @@ object SqlDdl {
     // one statement declaring a column twice would pass the
     // vs-existing-schema check and then die INSIDE replaceEntry's
     // drop+create, losing the whole catalog entry — reject up front
-    val newLower = a.columnsToAdd.map(_.colName.toLowerCase)
+    val newLower = a.columnsToAdd.map(_.name.mkString(".").toLowerCase)
     require(newLower.distinct.size == newLower.size,
       s"ALTER TABLE ADD COLUMNS: duplicate column in " +
-        s"(${a.columnsToAdd.map(_.colName).mkString(", ")})")
+        s"(${a.columnsToAdd.map(_.name.mkString(".")).mkString(", ")})")
     // a name physically retired by DROP / RENAME may still live in data
-    // files — re-declaring it would resurrect the old values on read
+    // files — re-declaring it would resurrect the old values on read.
+    // Top-level names check against the PLAIN mapping only (a nested
+    // rename's bare sub-name must not block an unrelated top-level add);
+    // nested names check the dotted entries under their parent.
     val table = alterTarget(a.table)
-    val retired = Catalog.droppedOf(spark, table) ++
-      Catalog.renamesOf(spark, table).values.map(_.toLowerCase)
-    a.columnsToAdd.map(_.colName).find(n => retired(n.toLowerCase))
-      .foreach(n => throw new IllegalArgumentException(
-        s"ALTER TABLE $table ADD COLUMNS: '$n' is a retired physical " +
-          "column name (dropped or renamed-from) still present in data " +
-          "files — adding it would resurrect the old values; choose " +
-          "another name"))
-    val withDefaults = a.columnsToAdd.filter(_.default.isDefined)
-    if (withDefaults.isEmpty) {
+    val allRenames = Catalog.renamesOf(spark, table)
+    val allDropped = Catalog.droppedOf(spark, table)
+    val retired = allDropped.filterNot(_.contains('.')) ++
+      allRenames.filterNot(_._1.contains('.')).values.map(_.toLowerCase)
+    val retiredNested = allDropped.filter(_.contains('.')) ++
+      allRenames.collect { case (k, v) if k.contains('.') =>
+        k.takeWhile(_ != '.') + "." + v.toLowerCase }
+    a.columnsToAdd.find { c =>
+      if (c.path.isEmpty) retired(c.colName.toLowerCase)
+      else retiredNested(c.name.mkString(".").toLowerCase)
+    }.foreach(c => throw new IllegalArgumentException(
+      s"ALTER TABLE $table ADD COLUMNS: '${c.name.mkString(".")}' is a " +
+        "retired physical column name (dropped or renamed-from) still " +
+        "present in data files — adding it would resurrect the old " +
+        "values; choose another name"))
+    val (nested, top) = a.columnsToAdd.partition(_.path.isDefined)
+    val withDefaults = top.filter(_.default.isDefined)
+    if (withDefaults.isEmpty && nested.isEmpty) {
       spark.sql(sqlText)
       ()
     } else {
-      // defaults are served by the layout read's declared-schema
-      // reconcile — a plain parquet table has no such layer
-      requireLayout(spark, table, "ADD COLUMNS ... DEFAULT")
+      // defaults and nested fields are served by the layout read's
+      // declared-schema reconcile — a plain parquet table has no such
+      // layer
+      requireLayout(spark, table,
+        if (nested.nonEmpty) "ADD COLUMNS (struct field)"
+        else "ADD COLUMNS ... DEFAULT")
       val sch = spark.table(table).schema
-      a.columnsToAdd.map(_.colName)
+      top.map(_.colName)
         .find(n => sch.fields.exists(_.name.equalsIgnoreCase(n)))
         .foreach(n => throw new IllegalArgumentException(
           s"ALTER TABLE $table ADD COLUMNS: column '$n' already exists"))
@@ -133,16 +162,37 @@ object SqlDdl {
       // NULL. The catalog field itself stays nullable — Spark's v1
       // session catalog normalizes external-table fields to nullable on
       // the round-trip, so declaring false here would not persist
-      val appended = StructType(sch.fields.toIndexedSeq ++
-        a.columnsToAdd.map(c => org.apache.spark.sql.types.StructField(
-          c.colName, c.dataType, nullable = true)))
+      val appendedTop = sch.fields.toIndexedSeq ++
+        top.map(c => org.apache.spark.sql.types.StructField(
+          c.colName, c.dataType, nullable = true))
+      // nested adds rebuild their parent struct (declared only — files
+      // are untouched; reads serve the new subfield as a typed NULL)
+      val appended = StructType(nested.foldLeft(appendedTop) { (fields, c) =>
+        val parent = c.path.get.name.head
+        val idx = fields.indexWhere(_.name.equalsIgnoreCase(parent))
+        require(idx >= 0, s"ALTER TABLE $table ADD COLUMNS: no such " +
+          s"column '$parent' (columns: ${fields.map(_.name).mkString(", ")})")
+        val fld = fields(idx)
+        val st = fld.dataType match {
+          case s: StructType => s
+          case other => throw new IllegalArgumentException(
+            s"ALTER TABLE $table ADD COLUMNS: '$parent' is " +
+              s"${other.sql}, not a STRUCT — only one-level struct " +
+              "fields evolve metadata-only (arrays/maps do not)")
+        }
+        require(!st.fields.exists(_.name.equalsIgnoreCase(c.colName)),
+          s"ALTER TABLE $table ADD COLUMNS: field '$parent.${c.colName}' " +
+            "already exists")
+        fields.updated(idx, fld.copy(dataType = StructType(
+          st.fields.toIndexedSeq :+ org.apache.spark.sql.types.StructField(
+            c.colName, c.dataType, nullable = true))))
+      })
       // an explicit DEFAULT NULL stores NO default entry: it is the
       // nullable column's natural read already
       val defaults = Catalog.defaultsOf(spark, table) ++
         withDefaults.filter(c => !isNullDefault(c.default.get.originalSQL))
           .map(c => c.colName.toLowerCase -> c.default.get.originalSQL)
-      writeSchemaState(spark, table, appended,
-        Catalog.renamesOf(spark, table), Catalog.droppedOf(spark, table),
+      writeSchemaState(spark, table, appended, allRenames, allDropped,
         defaults)
     }
   }
@@ -162,13 +212,13 @@ object SqlDdl {
     val table = alterTarget(d.table)
     val layout = requireLayout(spark, table, "DROP COLUMNS")
     val sch = spark.table(table).schema
-    val names = d.columnsToDrop.map { f =>
-      require(f.name.length == 1,
-        s"DROP COLUMNS $table: nested field '${f.name.mkString(".")}' " +
-          "is not supported")
-      f.name.head
-    }
-    val resolved = names.flatMap { n =>
+    d.columnsToDrop.foreach(f => require(f.name.length <= 2,
+      s"DROP COLUMNS $table: '${f.name.mkString(".")}' nests more than " +
+        "one struct level — only top-level struct fields evolve " +
+        "metadata-only"))
+    val (nestedNames, names) = d.columnsToDrop.map(_.name)
+      .partition(_.length == 2)
+    val resolved = names.map(_.head).flatMap { n =>
       sch.fields.find(_.name.equalsIgnoreCase(n)) match {
         case some @ Some(_) => some
         case None if d.ifExists => None
@@ -177,21 +227,74 @@ object SqlDdl {
             s"(columns: ${sch.fieldNames.mkString(", ")})")
       }
     }
-    if (resolved.isEmpty) return
+    // nested drops resolve (parent struct field, subfield); IF EXISTS
+    // tolerates a missing SUBFIELD, a missing/non-struct parent is
+    // always loud (the statement is addressing something else entirely)
+    val resolvedNested = nestedNames.flatMap { case Seq(par, sub) =>
+      val fld = sch.fields.find(_.name.equalsIgnoreCase(par)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DROP COLUMNS $table: no such column '$par' " +
+            s"(columns: ${sch.fieldNames.mkString(", ")})"))
+      val st = fld.dataType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"DROP COLUMNS $table: '$par' is ${other.sql}, not a STRUCT")
+      }
+      st.fields.find(_.name.equalsIgnoreCase(sub)) match {
+        case Some(sf) => Some((fld, sf))
+        case None if d.ifExists => None
+        case None => throw new IllegalArgumentException(
+          s"DROP COLUMNS $table: no such field '$par.$sub' " +
+            s"(fields: ${st.fieldNames.mkString(", ")})")
+      }
+    }
+    if (resolved.isEmpty && resolvedNested.isEmpty) return
     val prot = protectedColumns(spark, table, layout)
     resolved.foreach(f => prot.get(f.name.toLowerCase).foreach(reason =>
       throw new IllegalArgumentException(
         s"DROP COLUMNS $table: '${f.name}' is $reason — structural " +
           "columns cannot be dropped metadata-only")))
+    resolvedNested.groupBy(_._1.name).foreach { case (par, subs) =>
+      val st = sch.fields.find(_.name == par).get
+        .dataType.asInstanceOf[StructType]
+      require(subs.size < st.fields.length,
+        s"DROP COLUMNS $table: dropping every field of '$par' would " +
+          "leave an empty struct — drop the column itself instead")
+    }
     val renames = Catalog.renamesOf(spark, table)
     val victims = resolved.map(_.name.toLowerCase).toSet
     val physNames = resolved.map(f =>
       renames.getOrElse(f.name.toLowerCase, f.name).toLowerCase)
+    // dropping a struct column wholesale retires its dotted state too —
+    // the entries are unreachable once the parent is projected away
+    val dottedUnderVictims = (k: String) =>
+      k.contains('.') && victims(k.takeWhile(_ != '.'))
+    // nested drop: tombstone the subfield's PHYSICAL name under the
+    // parent's logical name (alignToDeclared prunes it after the
+    // top-level rename pass)
+    val nestedTombstones = resolvedNested.map { case (fld, sf) =>
+      val dotted = s"${fld.name.toLowerCase}.${sf.name.toLowerCase}"
+      fld.name.toLowerCase + "." +
+        renames.getOrElse(dotted, sf.name).toLowerCase
+    }
+    val nestedVictims = resolvedNested
+      .map { case (fld, sf) => s"${fld.name.toLowerCase}.${sf.name.toLowerCase}" }
+      .toSet
+    val droppedSubs = resolvedNested.groupBy(_._1.name).view
+      .mapValues(_.map(_._2.name.toLowerCase).toSet).toMap
     val newSchema = StructType(
-      sch.fields.filterNot(f => victims(f.name.toLowerCase)).toIndexedSeq)
+      sch.fields.filterNot(f => victims(f.name.toLowerCase))
+        .map { f =>
+          droppedSubs.get(f.name).fold(f) { subs =>
+            val st = f.dataType.asInstanceOf[StructType]
+            f.copy(dataType = StructType(
+              st.fields.filterNot(s => subs(s.name.toLowerCase)).toIndexedSeq))
+          }
+        }.toIndexedSeq)
     writeSchemaState(spark, table, newSchema,
-      renames -- victims,
-      Catalog.droppedOf(spark, table) ++ physNames,
+      (renames -- victims -- nestedVictims).filterNot(e => dottedUnderVictims(e._1)),
+      Catalog.droppedOf(spark, table).filterNot(dottedUnderVictims) ++
+        physNames ++ nestedTombstones,
       Catalog.defaultsOf(spark, table) -- victims)
   }
 
@@ -212,10 +315,28 @@ object SqlDdl {
     val table = alterTarget(r.table)
     val layout = requireLayout(spark, table, "RENAME COLUMN")
     val sch = spark.table(table).schema
-    require(r.column.name.length == 1,
-      s"RENAME COLUMN $table: nested field " +
-        s"'${r.column.name.mkString(".")}' is not supported")
+    require(r.column.name.length <= 2,
+      s"RENAME COLUMN $table: '${r.column.name.mkString(".")}' nests " +
+        "more than one struct level — only top-level struct fields " +
+        "evolve metadata-only")
+    if (r.column.name.length == 2) {
+      renameNestedParsed(spark, table, sch, r.column.name.head,
+        r.column.name(1), r.newName)
+      return
+    }
     val oldName = r.column.name.head
+    // a struct column carrying nested schema state cannot itself be
+    // renamed: its dotted mapping/tombstone keys are addressed by this
+    // logical name, and rekeying them atomically with the rename is
+    // not worth the matrix — evolve subfields OR rename the parent,
+    // not both
+    val dottedState = (Catalog.renamesOf(spark, table).keySet ++
+      Catalog.droppedOf(spark, table))
+      .exists(_.startsWith(oldName.toLowerCase + "."))
+    require(!dottedState,
+      s"RENAME COLUMN $table: '$oldName' carries nested schema-on-read " +
+        "state (subfield renames/drops) — renaming the parent is not " +
+        "supported; create a new column and migrate instead")
     val fld = sch.fields.find(_.name.equalsIgnoreCase(oldName)).getOrElse(
       throw new IllegalArgumentException(
         s"RENAME COLUMN $table: no such column '$oldName' " +
@@ -230,9 +351,12 @@ object SqlDdl {
     val renames = Catalog.renamesOf(spark, table)
     val phys = renames.getOrElse(fld.name.toLowerCase, fld.name)
     // renaming back to the column's OWN physical name is the collapse
-    // case — only OTHER retired physicals collide
-    val retired = Catalog.droppedOf(spark, table) ++
-      renames.values.map(_.toLowerCase) - phys.toLowerCase
+    // case — only OTHER retired physicals collide. Plain entries only:
+    // a nested mapping's bare sub-name lives inside its struct and
+    // cannot collide with a top-level name.
+    val retired = Catalog.droppedOf(spark, table).filterNot(_.contains('.')) ++
+      renames.filterNot(_._1.contains('.')).values.map(_.toLowerCase) -
+      phys.toLowerCase
     require(!retired(newName.toLowerCase),
       s"RENAME COLUMN $table: '$newName' is a retired physical column " +
         "name (dropped or renamed-from) still present in data files — " +
@@ -261,6 +385,71 @@ object SqlDdl {
     }
     writeSchemaState(spark, table, newSchema, newRenames,
       Catalog.droppedOf(spark, table), movedDefaults)
+  }
+
+  /** Nested RENAME (one struct level): the same name-mapping trick as
+    * the top level, scoped inside the parent — `graft.schema.renames`
+    * gains `parent.newlower -> oldPhysicalSub`, writes keep using the
+    * physical sub-name forever ([[Catalog.toPhysical]]'s nested pass),
+    * reads map it back ([[Catalog.reconcileNested]]). The parent's
+    * own name must be stable (renaming a parent with nested state is
+    * rejected above), so the dotted keys never dangle.
+    */
+  private def renameNestedParsed(spark: SparkSession, table: String,
+      sch: StructType, parent: String, oldSub: String,
+      newName: String): Unit = {
+    val fld = sch.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN $table: no such column '$parent' " +
+          s"(columns: ${sch.fieldNames.mkString(", ")})"))
+    val st = fld.dataType match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"RENAME COLUMN $table: '$parent' is ${other.sql}, not a STRUCT " +
+          "— only one-level struct fields evolve metadata-only")
+    }
+    val sub = st.fields.find(_.name.equalsIgnoreCase(oldSub)).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN $table: no such field '$parent.$oldSub' " +
+          s"(fields: ${st.fieldNames.mkString(", ")})"))
+    require(!st.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"RENAME COLUMN $table: field '$parent.$newName' already exists")
+    val renames = Catalog.renamesOf(spark, table)
+    val parLower = fld.name.toLowerCase
+    val oldKey = s"$parLower.${sub.name.toLowerCase}"
+    val phys = renames.getOrElse(oldKey, sub.name)
+    // other retired sub-physicals under THIS parent collide; renaming
+    // back to the field's own physical name collapses the mapping
+    val retired = Catalog.droppedOf(spark, table)
+      .filter(_.startsWith(parLower + "."))
+      .map(_.drop(parLower.length + 1)) ++
+      renames.collect { case (k, v) if k.startsWith(parLower + ".") =>
+        v.toLowerCase } - phys.toLowerCase
+    require(!retired(newName.toLowerCase),
+      s"RENAME COLUMN $table: '$parent.$newName' is a retired physical " +
+        "field name (dropped or renamed-from) still present in data " +
+        "files — choose another name")
+    // undeclared physical subfields flow through reads — a logical name
+    // shadowing one would serve the wrong field's data
+    val physicalSubs = scala.util.Try(
+      Catalog.readPhysical(spark, table).schema
+        .fields.find(_.name.equalsIgnoreCase(fld.name))
+        .map(_.dataType).collect { case s: StructType => s.fieldNames.toSeq }
+        .getOrElse(Nil)).getOrElse(Nil)
+    require(!physicalSubs.exists(c => c.equalsIgnoreCase(newName) &&
+        !c.equalsIgnoreCase(phys)),
+      s"RENAME COLUMN $table: data files already carry a field " +
+        s"'$parent.$newName' (undeclared, flowing through " +
+        "schema-on-read) — the new name would shadow it")
+    val newRenames = (renames - oldKey) ++
+      (if (newName.equalsIgnoreCase(phys)) Nil
+       else Seq(s"$parLower.${newName.toLowerCase}" -> phys))
+    val newSchema = StructType(sch.fields.map(f =>
+      if (f.name == fld.name) f.copy(dataType = StructType(st.fields.map(s =>
+        if (s.name == sub.name) s.copy(name = newName) else s).toIndexedSeq))
+      else f).toIndexedSeq)
+    writeSchemaState(spark, table, newSchema, newRenames,
+      Catalog.droppedOf(spark, table), Catalog.defaultsOf(spark, table))
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the type half of
@@ -293,10 +482,42 @@ object SqlDdl {
     val prot = protectedColumns(spark, table, layout)
     val start = (sch.fields.toIndexedSeq, Catalog.defaultsOf(spark, table))
     val (updated, defaults) = a.specs.foldLeft(start) {
+      case ((fields, defs), spec) if spec.column.name.length == 2 =>
+        // nested WIDEN (one struct level): same lossless gate, the
+        // parent struct's declared type rebuilds with the wider field;
+        // reads cast up in Catalog.reconcileNested
+        require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
+          spec.newComment.isEmpty && spec.newPosition.isEmpty &&
+          spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+          s"ALTER COLUMN $table: only TYPE widening is supported on " +
+            s"nested field '${spec.column.name.mkString(".")}'")
+        val Seq(parent, subName) = spec.column.name.toSeq
+        val idx = fields.indexWhere(_.name.equalsIgnoreCase(parent))
+        require(idx >= 0, s"ALTER COLUMN $table: no such column " +
+          s"'$parent' (columns: ${fields.map(_.name).mkString(", ")})")
+        val fld = fields(idx)
+        val st = fld.dataType match {
+          case s: org.apache.spark.sql.types.StructType => s
+          case other => throw new IllegalArgumentException(
+            s"ALTER COLUMN $table: '$parent' is ${other.sql}, not a " +
+              "STRUCT — only one-level struct fields evolve metadata-only")
+        }
+        val sidx = st.fields.indexWhere(_.name.equalsIgnoreCase(subName))
+        require(sidx >= 0, s"ALTER COLUMN $table: no such field " +
+          s"'$parent.$subName' (fields: ${st.fieldNames.mkString(", ")})")
+        val to = spec.newDataType.get
+        require(isWidening(st.fields(sidx).dataType, to),
+          s"ALTER COLUMN $table: ${st.fields(sidx).dataType.sql} -> " +
+            s"${to.sql} on '$parent.$subName' is not a lossless widening")
+        (fields.updated(idx, fld.copy(
+          dataType = org.apache.spark.sql.types.StructType(st.fields
+            .updated(sidx, st.fields(sidx).copy(dataType = to)).toIndexedSeq))),
+          defs)
       case ((fields, defs), spec) =>
         require(spec.column.name.length == 1,
-          s"ALTER COLUMN $table: nested field " +
-            s"'${spec.column.name.mkString(".")}' is not supported")
+          s"ALTER COLUMN $table: '${spec.column.name.mkString(".")}' " +
+            "nests more than one struct level — only top-level struct " +
+            "fields evolve metadata-only")
         val colName = spec.column.name.head
         val idx = fields.indexWhere(_.name.equalsIgnoreCase(colName))
         require(idx >= 0,

@@ -3,7 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -96,12 +96,16 @@ object SqlRead {
       .orElse(skippingScan(spark, rel, cond))
 
   /** Secondary-index-served SELECT: when the table binds a secondary
-    * index (`graft.table.secondaryIndex`) and the filter's equality
-    * conjuncts cover every indexed column with literals, the scan is
-    * one index-bucket read + the hit rows' primary buckets — Hudi's
-    * secondary-index query path, no table scan. The retained filter on
-    * top re-checks the equalities (free over the served rows) and
-    * applies any residual conjuncts.
+    * index (`graft.table.secondaryIndex`) and the filter's conjuncts
+    * pin every indexed column to a bounded literal VALUE SET —
+    * equality, `IN (literals...)`, `IS NULL` / null-safe equality —
+    * the scan is one index-bucket probe per value combination (the
+    * cartesian across indexed columns, capped at
+    * [[BloomTable.InListMax]]; larger sets fall through to the scan
+    * routes rather than inflate the plan) + ONE multi-bucket fetch of
+    * the hit rows — Hudi's secondary-index query path, no table scan.
+    * The retained filter on top re-checks the predicates (free over
+    * the served rows) and applies any residual conjuncts.
     */
   private def secondaryRead(spark: SparkSession, rel: UnresolvedRelation,
       cond: Expression): Option[LogicalPlan] = {
@@ -110,20 +114,37 @@ object SqlRead {
       case ("bucket", path) =>
         Catalog.secondaryIndexOf(spark, name).flatMap {
           case (secCols, idxPath) =>
-            val eqs = conjuncts(cond).collect {
+            def cvt(l: Literal): Any =
+              CatalystTypeConverters.convertToScala(l.value, l.dataType)
+            // per-column bounded value sets; a column constrained by
+            // several conjuncts keeps the FIRST set (the retained
+            // filter restores exactness — serving a superset is sound)
+            val sets = conjuncts(cond).flatMap {
               case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-                a.nameParts.last.toLowerCase -> l
+                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
               case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-                a.nameParts.last.toLowerCase -> l
-            }.toMap
-            if (!secCols.forall(c => eqs.contains(c.toLowerCase))) None
+                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+              case EqualNullSafe(a: UnresolvedAttribute, l: Literal) =>
+                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+              case EqualNullSafe(l: Literal, a: UnresolvedAttribute) =>
+                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+              case In(a: UnresolvedAttribute, vs)
+                  if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+                Some(a.nameParts.last.toLowerCase ->
+                  vs.map(v => cvt(v.asInstanceOf[Literal])).distinct)
+              case IsNull(a: UnresolvedAttribute) =>
+                Some(a.nameParts.last.toLowerCase -> Seq(null))
+              case _ => None
+            }.groupBy(_._1).view.mapValues(_.head._2).toMap
+            if (!secCols.forall(c => sets.contains(c.toLowerCase))) None
             else {
-              val secValues = secCols.map { c =>
-                val l = eqs(c.toLowerCase)
-                CatalystTypeConverters.convertToScala(l.value, l.dataType)
+              val combos = secCols.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+                for (prefix <- acc; v <- sets(c.toLowerCase))
+                  yield prefix :+ v
               }
-              Some(Catalog.alignToDeclared(spark, name,
-                SecondaryIndex.lookup(spark, path, idxPath, secValues))
+              if (combos.size > BloomTable.InListMax) None
+              else Some(Catalog.alignToDeclared(spark, name,
+                SecondaryIndex.lookupMulti(spark, path, idxPath, combos))
                 .queryExecution.analyzed)
             }
         }

@@ -724,6 +724,60 @@ object PipelineQueries {
       Seq("user_id"), "left_semi")
   }
 
+  /** `p_sql_nested_evolution`: one-level struct schema evolution, the
+    * full lifecycle over a layout table — ADD a subfield (typed-NULL
+    * reads), RENAME one (name mapping; writes keep the physical
+    * sub-name), WIDEN one (lossless INT→BIGINT inside the struct),
+    * DROP one (tombstoned, projected away) — every statement
+    * metadata-only over immutable files, then a SQL MERGE lands
+    * post-[[SplitUs]] rows at the NEW logical shape so the final read
+    * reconciles genuinely mixed-shape files
+    * ([[graft.etl.Catalog]].reconcileNested). The oracle replays the
+    * same latest-per-user state flat from the raw events: `kind` is
+    * the row's event_type, `tag` its event_id % 1000 (widened), and
+    * `score` carries value only for rows written AFTER the ADD (the
+    * pre-ADD files have no such field — NULL, exactly the
+    * schema-on-read contract).
+    */
+  def sqlNestedEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "ne").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("event_type"), col("ts_us"))
+    graft.etl.BucketTable.create(
+      ev.filter(col("ts_us") <= SplitUs)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          struct(col("event_type").as("etype"),
+            pmod(col("event_id"), lit(1000L)).cast("int").as("tag"),
+            lit("legacy").as("junk")).as("meta")),
+      path, keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numBuckets = 16)
+    graft.etl.Catalog.registerLayoutTable(spark, "nested_evo", "bucket", path)
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE nested_evo ADD COLUMNS (meta.score DOUBLE)")
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE nested_evo RENAME COLUMN meta.etype TO kind")
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE nested_evo ALTER COLUMN meta.tag TYPE BIGINT")
+    graft.etl.SqlDdl.exec(spark,
+      "ALTER TABLE nested_evo DROP COLUMNS (meta.junk)")
+    ev.filter(col("ts_us") > SplitUs)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        struct(col("event_type").as("kind"),
+          pmod(col("event_id"), lit(1000L)).as("tag"),
+          col("value").as("score")).as("meta"))
+      .createOrReplaceTempView("nested_evo_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO nested_evo t USING nested_evo_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "nested_evo")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("meta.kind").as("kind"), col("meta.tag").as("tag"),
+        col("meta.score").as("score"))
+  }
+
   /** `p_part_cluster`: the clustering table service — build the daily
     * table, rewrite it range-clustered on `ts_us` within each day
     * ([[graft.etl.PartitionedTable.cluster]]), read it back. The
@@ -1578,6 +1632,22 @@ object PipelineQueries {
     graft.etl.SqlRead.select(spark,
       """SELECT user_id, event_id, event_type, value, ts_us
         |FROM graft_cidx_target WHERE event_type = 'purchase'""".stripMargin)
+  }
+
+  /** `p_sql_index_in`: the IN-list twin of [[sqlIndexSelect]] — a
+    * governance user's second query, `WHERE sec IN (a, b)`, served as
+    * one index-bucket probe PER VALUE + one multi-bucket primary
+    * fetch (`SecondaryIndex.lookupMulti`; bounded by InListMax,
+    * falling through to the scan routes past it — `SqlIndexSpec` pins
+    * the probe counts and the IS NULL variant). Shares the memoized
+    * lifecycle: reads the same final state, cannot perturb it.
+    */
+  def sqlIndexIn(spark: SparkSession, sfDir: String): DataFrame = {
+    sqlIndexedShared(spark, sfDir)
+    graft.etl.SqlRead.select(spark,
+      """SELECT user_id, event_id, event_type, value, ts_us
+        |FROM graft_cidx_target
+        |WHERE event_type IN ('purchase', 'view')""".stripMargin)
   }
 
   /** `p_sql_ctas`: the full SQL lifecycle on a graft-managed table —
@@ -2605,6 +2675,7 @@ object PipelineQueries {
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
     "p_bucket_incremental" -> (bucketIncremental(_, _)),
+    "p_sql_nested_evolution" -> (sqlNestedEvolution(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_skipping" -> (partSkipping(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
@@ -2639,6 +2710,7 @@ object PipelineQueries {
     "p_sql_mor_ro" -> (sqlMorRoLag(_, _)),
     "p_sql_create_index" -> (sqlCreateIndex(_, _)),
     "p_sql_index_select" -> (sqlIndexSelect(_, _)),
+    "p_sql_index_in" -> (sqlIndexIn(_, _)),
     "p_sql_merge_by_source" -> (sqlMergeBySource(_, _)),
     "p_sql_add_column" -> (sqlAddColumn(_, _)),
     "p_sql_rename_column" -> (sqlRenameColumn(_, _)),
@@ -3130,6 +3202,13 @@ object PipelineQueries {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         | FROM events) t
         |WHERE rn = 1 AND event_type = 'purchase'""".stripMargin,
+    "p_sql_index_in" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 AND event_type IN ('purchase', 'view')""".stripMargin,
     // MERGE ∘ UPDATE ∘ DELETE on the MOR layout ≡ the same statement
     // sequence over the merged end state: latest per user over all
     // events, clicks uplifted, every 7th user removed
@@ -3228,6 +3307,16 @@ object PipelineQueries {
     "p_bucket_upsert" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1""".stripMargin,
+    "p_sql_nested_evolution" ->
+      s"""SELECT user_id, event_id, ts_us, kind, tag, score FROM (
+         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  event_type AS kind,
+         |  CAST(event_id % 1000 AS BIGINT) AS tag,
+         |  CASE WHEN epoch_us(ts) > $SplitUs THEN value END AS score,
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events) t

@@ -5,15 +5,18 @@ import org.scalacheck.{Gen, Prop, Properties}
 
 /** Model-based ScalaCheck over metadata-only schema evolution: an
   * arbitrary interleaving of SQL INSERTs, predicate UPDATEs, and
-  * `ALTER TABLE ADD / RENAME / DROP / WIDEN COLUMN` against a
-  * bucket-backed catalog table must agree with a driver-side model
-  * after EVERY step. This pins the interactions the example-based
-  * specs cannot enumerate: update-through-rename-through-drop chains,
-  * predicates on freshly-added (physically absent) columns taking the
-  * scan-all selection fallback, writes landing under stable physical
-  * names while the logical schema keeps shifting, TYPE widenings
-  * leaving older files at their written width while newer commits land
-  * wide, and reads reconciling all of it per ALTER history.
+  * `ALTER TABLE ADD / RENAME / DROP / WIDEN COLUMN` — at the TOP level
+  * and one struct level down (the fixed struct column `m`'s subfields
+  * evolve through the same four shapes) — against a bucket-backed
+  * catalog table must agree with a driver-side model after EVERY step.
+  * This pins the interactions the example-based specs cannot
+  * enumerate: update-through-rename-through-drop chains, predicates on
+  * freshly-added (physically absent) columns taking the scan-all
+  * selection fallback, writes landing under stable physical names
+  * (sub-names included) while the logical schema keeps shifting, TYPE
+  * widenings leaving older files at their written width while newer
+  * commits land wide, mixed-shape structs reconciling in declared
+  * order, and reads reconciling all of it per ALTER history.
   *
   * Determinism: precombine strictly increases per statement, every
   * batch carries distinct keys, and all values are integral (exact in
@@ -43,6 +46,12 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
   private case class RenameCol(colIdx: Int) extends Op
   private case class DropCol(colIdx: Int) extends Op
   private case class WidenCol(colIdx: Int, toDouble: Boolean) extends Op
+  // one-level struct evolution: the same four shapes applied to the
+  // subfields of the fixed struct column `m`
+  private case class NestedAdd(asInt: Boolean) extends Op
+  private case class NestedRename(subIdx: Int) extends Op
+  private case class NestedDrop(subIdx: Int) extends Op
+  private case class NestedWiden(subIdx: Int, toDouble: Boolean) extends Op
 
   private val op: Gen[Op] = Gen.frequency(
     4 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(ks => Insert(ks.distinct)),
@@ -58,7 +67,13 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
     1 -> Gen.chooseNum(0, 7).map(DropCol(_)),
     2 -> (for {
       c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
-    } yield WidenCol(c, d)))
+    } yield WidenCol(c, d)),
+    1 -> Gen.oneOf(true, false).map(NestedAdd(_)),
+    1 -> Gen.chooseNum(0, 7).map(NestedRename(_)),
+    1 -> Gen.chooseNum(0, 7).map(NestedDrop(_)),
+    1 -> (for {
+      c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
+    } yield NestedWiden(c, d)))
 
   private val scenario: Gen[(List[Long], List[Op])] = for {
     first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(_.distinct)
@@ -90,6 +105,10 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
       // width, so widening never changes the model.
       var cols = Vector("v")
       var types = Map("v" -> "DOUBLE")
+      // the struct column `m`'s live subfields, same bookkeeping; model
+      // values live under "m." prefixed names
+      var subs = Vector("s0")
+      var subTypes = Map("s0" -> "DOUBLE")
       val rows = scala.collection.mutable.Map[Long, (Long, Map[String, Option[Double]])]()
 
       def seed(v: Long, k: Long, ci: Int): Double =
@@ -99,22 +118,29 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         case "BIGINT" => s"${d.toLong}L"
         case _ => s"${d}D"
       }
+      def structLit(k: Long): String =
+        "named_struct(" + subs.zipWithIndex.map { case (c, i) =>
+          s"'$c', ${sqlLit(seed(pcTick, k, 100 + i), subTypes(c))}"
+        }.mkString(", ") + ")"
       def insert(keys: List[Long]): Unit = {
         pcTick += 1
-        val colList = ("k" +: "pc" +: cols).mkString(", ")
+        val colList = ("k" +: "pc" +: cols :+ "m").mkString(", ")
         val values = keys.map(k => s"(${k}L, ${pcTick}L, " +
           cols.zipWithIndex.map { case (c, i) =>
             sqlLit(seed(pcTick, k, i), types(c))
-          }.mkString(", ") + ")").mkString(", ")
+          }.mkString(", ") + s", ${structLit(k)})").mkString(", ")
         SqlMerge.exec(spark, s"INSERT INTO $table ($colList) VALUES $values")
         keys.foreach(k => rows(k) = (pcTick,
           cols.zipWithIndex.map { case (c, i) =>
             c -> Some(seed(pcTick, k, i))
+          }.toMap ++ subs.zipWithIndex.map { case (c, i) =>
+            s"m.$c" -> Some(seed(pcTick, k, 100 + i))
           }.toMap))
       }
 
       // create through the SQL front door, then evolve
-      val firstRows = first.map(k => s"(${k}L, 0L, ${seed(0, k, 0)}D)")
+      val firstRows = first.map(k =>
+        s"(${k}L, 0L, ${seed(0, k, 0)}D, ${seed(0, k, 100)}D)")
         .mkString(", ")
       SqlDdl.exec(spark,
         s"""CREATE TABLE $table TBLPROPERTIES (
@@ -123,26 +149,30 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
            |  'graft.table.primaryKey' = 'k',
            |  'graft.table.preCombineField' = 'pc',
            |  'graft.table.numBuckets' = '4')
-           |AS SELECT * FROM VALUES $firstRows AS t(k, pc, v)""".stripMargin)
-      first.foreach(k => rows(k) = (0L, Map("v" -> Some(seed(0, k, 0)))))
+           |AS SELECT k, pc, v, named_struct('s0', s0) AS m
+           |FROM VALUES $firstRows AS t(k, pc, v, s0)""".stripMargin)
+      first.foreach(k => rows(k) = (0L,
+        Map("v" -> Some(seed(0, k, 0)), "m.s0" -> Some(seed(0, k, 100)))))
 
       def check(after: String): Prop = {
         import org.apache.spark.sql.functions.col
         // cast every value column to double so the model never reasons
         // about widths; the declared-type plumbing itself is pinned by
         // the engine accepting the typed literals/updates above
+        val flat = cols.map(c => c -> col(c)) ++
+          subs.map(c => s"m.$c" -> col(s"m.$c"))
         val frame = Catalog.readTable(spark, table).select(
           col("k") +: col("pc") +:
-            cols.map(c => col(c).cast("double").as(c)): _*)
+            flat.map { case (n, c) => c.cast("double").as(n) }: _*)
         val got = frame.collect().map { r =>
           val k = r.getLong(r.fieldIndex("k"))
           k -> (r.getLong(r.fieldIndex("pc")),
-            cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) None
+            flat.map(_._1).map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) None
               else Some(r.getDouble(r.fieldIndex(c))))).toMap)
         }.toMap
         val want = rows.toMap
         Prop(got == want) :| s"after $after:\n  got  $got\n  want $want" :|
-          s"cols=$cols types=$types"
+          s"cols=$cols types=$types subs=$subs subTypes=$subTypes"
       }
 
       val steps: Seq[Prop] = ops.map { o =>
@@ -211,6 +241,47 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
               types = types + (target -> to)
               s"WIDEN $target INT->$to"
             } else s"WIDEN skipped ($target is ${types(target)})"
+          case NestedAdd(asInt) =>
+            fresh += 1
+            val c = s"s$fresh"
+            val tpe = if (asInt) "INT" else "DOUBLE"
+            SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS (m.$c $tpe)")
+            subs = subs :+ c
+            subTypes = subTypes + (c -> tpe)
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs + (s"m.$c" -> None))
+            }
+            s"NESTED ADD m.$c $tpe"
+          case NestedRename(si) =>
+            fresh += 1
+            val from = subs(si % subs.size); val to = s"s$fresh"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table RENAME COLUMN m.$from TO $to")
+            subs = subs.updated(subs.indexOf(from), to)
+            subTypes = subTypes - from + (to -> subTypes(from))
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"m.$from" + (s"m.$to" -> vs(s"m.$from")))
+            }
+            s"NESTED RENAME m.$from->m.$to"
+          case NestedDrop(si) if subs.size > 1 =>
+            val victim = subs(si % subs.size)
+            SqlDdl.exec(spark, s"ALTER TABLE $table DROP COLUMNS (m.$victim)")
+            subs = subs.filterNot(_ == victim)
+            subTypes = subTypes - victim
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"m.$victim")
+            }
+            s"NESTED DROP m.$victim"
+          case NestedDrop(_) => "NESTED DROP skipped (last subfield)"
+          case NestedWiden(si, toDouble) =>
+            val target = subs(si % subs.size)
+            if (subTypes(target) == "INT") {
+              val to = if (toDouble) "DOUBLE" else "BIGINT"
+              SqlDdl.exec(spark,
+                s"ALTER TABLE $table ALTER COLUMN m.$target TYPE $to")
+              subTypes = subTypes + (target -> to)
+              s"NESTED WIDEN m.$target INT->$to"
+            } else s"NESTED WIDEN skipped (m.$target is ${subTypes(target)})"
         }
         check(applied)
       }

@@ -589,6 +589,91 @@ class SqlDdlSpec extends SparkSpec {
       .filter($"lvl".isNull).count() == 0)
   }
 
+  test("nested struct evolution: ADD / RENAME / WIDEN / DROP inside a struct, metadata-only") {
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val p = Files.createTempDirectory("nested").toString + "/t"
+    val base = Seq((1L, 1L, 10, "x"), (2L, 1L, 20, "y"))
+      .toDF("k", "pc", "a", "b")
+      .select(col("k"), col("pc"), struct(col("a"), col("b")).as("meta"))
+    BucketTable.create(base, p, keys = Seq("k"), precombine = "pc",
+      numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "nested_ev", "bucket", p)
+    val files0 = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      .iterator()
+    val count0 = { var n = 0; while (files0.hasNext) { files0.next(); n += 1 }; n }
+
+    // ADD a subfield: declared only, reads serve typed NULL
+    SqlDdl.exec(spark, "ALTER TABLE nested_ev ADD COLUMNS (meta.score DOUBLE)")
+    val afterAdd = Catalog.readTable(spark, "nested_ev")
+      .select($"k", $"meta.a", $"meta.score")
+      .as[(Long, Int, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(afterAdd == Seq((1L, 10, None), (2L, 20, None)))
+
+    // RENAME a subfield: reads serve the logical name; the physical
+    // files still carry 'a' and a DML write keeps using it
+    SqlDdl.exec(spark, "ALTER TABLE nested_ev RENAME COLUMN meta.a TO alpha")
+    assert(Catalog.readTable(spark, "nested_ev")
+      .select($"meta.alpha").as[Int].collect().toSet == Set(10, 20))
+    // WIDEN the renamed subfield: INT -> BIGINT, lossless gate
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested_ev ALTER COLUMN meta.alpha TYPE BIGINT")
+    assert(spark.table("nested_ev").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("alpha")
+      .dataType == org.apache.spark.sql.types.LongType)
+    // a write THROUGH the SQL front door lands at the physical
+    // sub-name; mixed-shape files then merge on read
+    SqlMerge.exec(spark,
+      "INSERT INTO nested_ev VALUES (3, 1, named_struct(" +
+        "'alpha', CAST(30 AS BIGINT), 'b', 'z', 'score', CAST(3.5 AS DOUBLE)))")
+    val merged = Catalog.readTable(spark, "nested_ev")
+      .select($"k", $"meta.alpha", $"meta.b", $"meta.score")
+      .as[(Long, Long, String, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(merged == Seq((1L, 10L, "x", None), (2L, 20L, "y", None),
+      (3L, 30L, "z", Some(3.5))))
+    // the new file physically carries 'a' (the stable physical name),
+    // never 'alpha' — one spelling across every file
+    val physical = BucketTable.read(spark, p).schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(physical.contains("a") && !physical.exists(_.equalsIgnoreCase("alpha")),
+      s"physical subfields: $physical")
+
+    // DROP a subfield: tombstoned, projected away, old files untouched
+    SqlDdl.exec(spark, "ALTER TABLE nested_ev DROP COLUMNS (meta.b)")
+    assert(!spark.table("nested_ev").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.exists(_.equalsIgnoreCase("b")))
+    assert(Catalog.readTable(spark, "nested_ev")
+      .select($"k", $"meta.alpha", $"meta.score")
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some(3.5))))
+
+    // loud rejections: two levels, non-struct parents, parent rename
+    // with nested state, empty-struct drop
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE nested_ev ADD COLUMNS (meta.x.y INT)")
+    }
+    assert(e1.getMessage.contains("struct level"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE nested_ev ADD COLUMNS (k.sub INT)")
+    }
+    assert(e2.getMessage.contains("STRUCT"))
+    val e3 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE nested_ev RENAME COLUMN meta TO info")
+    }
+    assert(e3.getMessage.contains("nested schema-on-read state"))
+    val e4 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE nested_ev DROP COLUMNS (meta.alpha, meta.score)")
+    }
+    assert(e4.getMessage.contains("empty struct"))
+    // re-adding the dropped subfield's physical name would resurrect
+    // old file data — rejected like the top-level rule
+    val e5 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE nested_ev ADD COLUMNS (meta.b INT)")
+    }
+    assert(e5.getMessage.contains("retired"))
+  }
+
   test("ALTER COLUMN TYPE: DECIMAL precision growth keeps every old value") {
     import org.apache.spark.sql.types.DecimalType
     val p = Files.createTempDirectory("widend").toString + "/t"

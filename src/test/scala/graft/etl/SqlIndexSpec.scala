@@ -64,6 +64,63 @@ class SqlIndexSpec extends SparkSpec {
     SqlIndex.exec(spark, "DROP INDEX IF EXISTS sec1 ON sql_idx_sec")
   }
 
+  test("IN-list and IS NULL SELECTs are index-served with bounded probes") {
+    val path = fresh("sqlidxin")
+    // 16 keys; two rare values on single keys (so primary pruning is
+    // observable) and NULLs on k%4==3 (nulls are indexable: xxhash64
+    // routes them to a deterministic bucket)
+    def etypeOf(i: Int): String =
+      if (i == 5) "rare" else if (i == 9) "rare2"
+      else if (i % 4 == 3) null else "common"
+    BucketTable.create(
+      (1 to 16).map(i => (i.toLong, 1L, etypeOf(i), i.toDouble))
+        .toDF("k", "pc", "etype", "v"),
+      path, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_idx_in", "bucket", path)
+    SqlIndex.exec(spark,
+      "CREATE INDEX in1 ON sql_idx_in USING SECONDARY (etype)")
+    val idxPath = s"${path}_idx_in1"
+
+    // probe-count pin at the probe level (the route's key resolution is
+    // checkpointed, so the final plan's lineage can't show it): ONE
+    // index bucket per combination — equality, and NULL alike
+    def idxBucketsOf(values: Seq[Any]): Set[String] =
+      SecondaryIndex.lookupKeys(spark, path, idxPath, values).inputFiles
+        .flatMap("__bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+        .toSet
+    assert(idxBucketsOf(Seq("rare")).size == 1)
+    assert(idxBucketsOf(Seq(null)).size == 1,
+      "IS NULL must probe exactly one index bucket")
+
+    // IN-list through the SQL route: correct rows, and the PRIMARY read
+    // touches only the hit keys' buckets (a scan would read all 4)
+    val inDf = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_in WHERE etype IN ('rare', 'rare2')")
+    assert(inDf.as[Long].collect().toSet == Set(5L, 9L))
+    val primaryBuckets = inDf.inputFiles.filterNot(_.contains("_idx_in1"))
+      .flatMap("__bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(primaryBuckets.nonEmpty && primaryBuckets.size <= 2,
+      s"expected <=2 primary buckets for 2 hit keys, read $primaryBuckets")
+
+    // IS NULL through the SQL route: an indexed point read
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_in WHERE etype IS NULL")
+      .as[Long].collect().toSet == Set(3L, 7L, 11L, 15L))
+
+    // beyond InListMax combinations the route falls through to the
+    // scan paths — still correct, just not index-served
+    val bigList = (1 to 70).map(i => s"'t$i'").mkString(", ") + ", 'rare'"
+    assert(SqlRead.select(spark,
+      s"SELECT k FROM sql_idx_in WHERE etype IN ($bigList)")
+      .as[Long].collect().toSet == Set(5L))
+    // a residual conjunct still applies on top of the served rows
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_in WHERE etype IN ('rare', 'rare2') AND k <= 8")
+      .as[Long].collect().toSet == Set(5L))
+    ()
+  }
+
   test("front-door writes maintain a SQL-created secondary index") {
     val path = bucketBacked("sql_idx_maint")
     SqlIndex.exec(spark,
