@@ -47,6 +47,9 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *     bucket commit-log pull / bloom file-add pull)
   *   - `table_changes('t', since)` — row-level CDC from the delta log
   *     (partitioned | mor), each row stamped with commit seq + deleted
+  *   - `show_fsview('t')` — one-stop table health: live/pinned/
+  *     history/debris file counts and bytes, delta-log depth, CDC
+  *     head/floor, savepoint and index counts (Hudi's show_fsview_all)
   */
 object SqlCall {
 
@@ -180,6 +183,8 @@ object SqlCall {
         }
         PartitionedTable.manifest(path).toSeq.sorted
           .toDF("partition", "generation")
+      case ("show_fsview", Seq(t: String)) =>
+        fsView(spark, t)
       case ("show_files", Seq(t: String)) =>
         // Hudi's show_fsview: the file set the CURRENT snapshot
         // resolves to (any layout) — what a reader would actually open
@@ -268,7 +273,8 @@ object SqlCall {
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
-          "show_indexes, show_schema_state, show_partitions, show_files, "
+          "show_indexes, show_schema_state, show_partitions, show_files, " +
+          "show_fsview, "
           + "run_clustering, run_bootstrap, incremental_read, " +
           "table_changes, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
@@ -345,6 +351,96 @@ object SqlCall {
           "| partitioned | bucket | bloom" +
           other.fold("")(kp => s"; layout: ${kp._1}"))
     }
+
+  /** `CALL show_fsview('t')` — the operator's one-stop table health
+    * view (Hudi's `show_fsview_all` role): file counts and bytes split
+    * into LIVE (what the current snapshot resolves), PINNED (referenced
+    * only by savepoints — retained, not reclaimable) and DEBRIS
+    * (superseded or orphaned — what `clean` would reclaim), plus the
+    * delta-log depth (pending commits a snapshot read must merge — the
+    * compaction-scheduling signal), the CDC head/floor, savepoint and
+    * index counts. Metadata-plane only: one directory walk + the
+    * manifests already in hand, no data read. On a timeline layout the
+    * non-current versions are HISTORY (addressable via time travel /
+    * `show_commits`), reported under `history_*`, never debris.
+    */
+  private def fsView(spark: SparkSession, t: String): DataFrame = {
+    import spark.implicits._
+    val (kind, path) = Catalog.layoutOf(spark, t).getOrElse(
+      throw new IllegalArgumentException(
+        s"show_fsview('$t'): not a layout-registered table"))
+    def walk(dir: String): Seq[(String, Long)] = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(f => java.nio.file.Files.isRegularFile(f) &&
+              f.toString.endsWith(".parquet"))
+            .map(f => (f.toAbsolutePath.toString, java.nio.file.Files.size(f)))
+            .toSeq
+        } finally s.close()
+      }
+    }
+    def norm(f: String): String =
+      f.replaceFirst("^file:/+", "/")
+    val all = walk(path)
+    val live = Catalog.readPhysical(spark, t).inputFiles.map(norm).toSet
+    // savepoint-pinned state: readable via read_savepoint, kept by clean
+    val pinned: Set[String] = (kind match {
+      case "bucket" => BucketTable.savepoints(path)
+        .flatMap(sp => BucketTable.readSavepoint(spark, path, sp).inputFiles)
+      case "partitioned" => PartitionedTable.savepoints(path)
+        .flatMap(sp => PartitionedTable.readSavepoint(spark, path, sp).inputFiles)
+      case _ => Seq.empty
+    }).map(norm).toSet -- live
+    val history: Set[String] = kind match {
+      case "timeline" => all.map(_._1).toSet -- live
+      case _ => Set.empty
+    }
+    val debris = all.filterNot(f =>
+      live(f._1) || pinned(f._1) || history(f._1))
+    def bytes(fs: Seq[(String, Long)]) = fs.map(_._2).sum
+    val liveFs = all.filter(f => live(f._1))
+    val pinnedFs = all.filter(f => pinned(f._1))
+    val historyFs = all.filter(f => history(f._1))
+    val (pending, head, floor) = kind match {
+      case "mor" =>
+        val (_, h, fl) = MorTable.fullState(path).getOrElse((0L, 0L, 0L))
+        (h - fl, h, fl)
+      case "partitioned" =>
+        (PartitionedTable.deltas(path).map(_._2).distinct.size.toLong,
+          PartitionedTable.changeHead(path),
+          PartitionedTable.compactedThrough(path))
+      case "bucket" => (0L, BucketTable.latestCommit(path), 0L)
+      case "bloom" => (0L, BloomTable.latestCommit(path), 0L)
+      case "timeline" => (0L, Timeline.versions(path).maxOption.getOrElse(0L), 0L)
+      case _ => (0L, 0L, 0L)
+    }
+    val savepoints = kind match {
+      case "bucket" => BucketTable.savepoints(path).size.toLong
+      case "partitioned" => PartitionedTable.savepoints(path).size.toLong
+      case _ => 0L
+    }
+    val indexes = Catalog.indexesOf(spark, t).size.toLong
+    Seq(
+      "live_files" -> liveFs.size.toLong,
+      "live_bytes" -> bytes(liveFs),
+      "pinned_files" -> pinnedFs.size.toLong,
+      "pinned_bytes" -> bytes(pinnedFs),
+      "history_files" -> historyFs.size.toLong,
+      "history_bytes" -> bytes(historyFs),
+      "debris_files" -> debris.size.toLong,
+      "debris_bytes" -> bytes(debris),
+      "delta_commits_pending" -> pending,
+      "change_head" -> head,
+      "compacted_through" -> floor,
+      "savepoints" -> savepoints,
+      "indexes" -> indexes
+    ).toDF("metric", "value")
+  }
 
   /** `purge_key('t', k, ...)` — the right-to-be-forgotten procedure a
     * training-data lake runs on a removal request: erase one record

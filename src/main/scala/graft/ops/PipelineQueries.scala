@@ -2517,6 +2517,37 @@ object PipelineQueries {
         col("archived"), col("ts_ms"))
   }
 
+  /** `p_sql_fsview`: `CALL show_fsview('t')` — the operator health
+    * view over a deterministic bucket-table lifecycle: create (8
+    * buckets, one file each — writeGen's one-task-per-bucket
+    * discipline), savepoint, then two upserts. The metrics are then
+    * structurally determined: the create generation is PINNED (8
+    * files, savepoint-retained), the first upsert's generation is
+    * DEBRIS (superseded, unpinned), the second is LIVE, the commit
+    * head is 3, and nothing is pending on a CoW layout. Byte metrics
+    * (encoding-dependent) are projected out; the counts are pinned
+    * against a literal oracle. Every count is sf-independent because
+    * each write touches all 8 buckets at any tested scale.
+    */
+  def sqlFsView(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "fsv")
+      .toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 8)
+    graft.etl.BucketTable.savepoint(path, "pre")
+    graft.etl.BucketTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.BucketTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > Split2Us))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_fsview", "bucket", path)
+    graft.etl.SqlCall.exec(spark, "CALL show_fsview('graft_fsview')")
+      .filter(!col("metric").endsWith("_bytes"))
+  }
+
   /** Time-travel read of commit v1 — the table as of [[Split2Us]],
     * even though v2 has since been committed. Readers resolve an
     * immutable snapshot directory, so this is a metadata-only choice:
@@ -2652,6 +2683,7 @@ object PipelineQueries {
     "p_sql_time_travel" -> (sqlTimeTravel(_, _)),
     "p_sql_asof_ts" -> (sqlAsOfTs(_, _)),
     "p_sql_call_commits" -> (sqlCallCommits(_, _)),
+    "p_sql_fsview" -> (sqlFsView(_, _)),
     "p_timeline_restore" -> (timelineRestore(_, _)),
     "p_timeline_incremental" -> (timelineIncremental(_, _)),
     "p_timeline_incr_archived" -> (timelineIncrArchived(_, _)),
@@ -3676,6 +3708,12 @@ object PipelineQueries {
          | FROM events WHERE epoch_us(ts) <= $Split2Us) t
          |WHERE rn = 1""".stripMargin,
     // the instant log replayed from the events table + pinned clocks
+    "p_sql_fsview" ->
+      """SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+        |  ('live_files', 8), ('pinned_files', 8), ('history_files', 0),
+        |  ('debris_files', 8), ('delta_commits_pending', 0),
+        |  ('change_head', 3), ('compacted_through', 0),
+        |  ('savepoints', 1), ('indexes', 0)) AS t(metric, value)""".stripMargin,
     "p_sql_call_commits" ->
       s"""SELECT CAST(0 AS BIGINT) AS version, 'commit' AS action,
          | (SELECT count(DISTINCT user_id) FROM events

@@ -150,6 +150,36 @@ class SqlCallSpec extends SparkSpec {
     assert(e6.getMessage.contains("re-sync"))
   }
 
+  test("show_fsview reports delta depth, CDC head/floor, and debris per layout") {
+    val mp = Files.createTempDirectory("fsvm").toString + "/t"
+    MorTable.create(Seq((1L, 1L, 1.0)).toDF("k", "pc", "v"), mp,
+      keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "fsv_mor", "mor", mp)
+    MorTable.upsertInto(mp, Seq((2L, 1L, 2.0)).toDF("k", "pc", "v"))
+    MorTable.upsertInto(mp, Seq((3L, 1L, 3.0)).toDF("k", "pc", "v"))
+    def metrics(t: String): Map[String, Long] =
+      SqlCall.exec(spark, s"CALL show_fsview('$t')")
+        .as[(String, Long)].collect().toMap
+    val m1 = metrics("fsv_mor")
+    assert(m1("delta_commits_pending") == 2 && m1("change_head") == 2 &&
+      m1("compacted_through") == 0 && m1("debris_files") == 0,
+      s"pre-compaction view: $m1")
+    MorTable.compact(spark, mp)
+    val m2 = metrics("fsv_mor")
+    assert(m2("delta_commits_pending") == 0 && m2("change_head") == 2 &&
+      m2("compacted_through") == 2, s"post-compaction view: $m2")
+    assert(m2("debris_files") > 0,
+      "the folded base+logs are reclaimable debris until clean")
+    SqlCall.exec(spark, "CALL clean('fsv_mor')")
+    assert(metrics("fsv_mor")("debris_files") == 0)
+    // unknown tables fail loudly (nonexistent → analysis error; a
+    // registered-but-unbound table → the layout-registration message)
+    intercept[Exception] {
+      SqlCall.exec(spark, "CALL show_fsview('nope_fsv')")
+    }
+    ()
+  }
+
   test("purge_key on a bloom+RLI table erases the row AND its index entry") {
     import org.apache.spark.sql.functions.col
     val p = Files.createTempDirectory("sqlcallpk").toString + "/t"
