@@ -67,7 +67,7 @@ object Bench {
           |  FROM range(2500000) GROUP BY g)""".stripMargin).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val CalibRef = 1.00 // seconds, idle-host reference (round 13)
+    val CalibRef = 0.75 // seconds, idle-host reference (round 13)
     calibrate() // discarded: JIT-warms the calibration expressions themselves
     // min of repeats: a transient spike during one calibration must not
     // masquerade as a slow host and over-correct every normalized time

@@ -852,10 +852,11 @@ object StreamingPipeline {
     if (floor == 0L) return // never compacted: every commit is live
     val consumed: Option[Long] =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) None
-      else spark.read.parquet(outPath).agg(max(col("_seq")))
-        .head.getAs[Any](0) match {
-          case l: Long => Some(l)
-          case _ => None
+      else scala.util.Try(spark.read.parquet(outPath).agg(max(col("_seq")))
+        .head.getAs[Any](0)).toOption.collect {
+          // no files yet / no rows → no cursor established (fresh
+          // consumer: seeds from a snapshot by contract)
+          case l: Long => l
         }
     consumed.foreach { c =>
       import scala.jdk.CollectionConverters._
