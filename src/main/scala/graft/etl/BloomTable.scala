@@ -309,7 +309,12 @@ object BloomTable {
         .collect { case n if n.startsWith("c=") => n.drop(2).toLong }.toSeq
       finally s.close()
     }
-    (live ++ onDisk).maxOption.getOrElse(-1L) + 1
+    // the commit LOG must participate: a pure-retirement delete commits
+    // a number with NO c=N dir, and reissuing it to the next write
+    // would alias the incremental feed (a cursor at the delete's number
+    // would silently skip the write that reused it)
+    val logged = commitLog(tablePath).map(_._1)
+    (live ++ onDisk ++ logged).maxOption.getOrElse(-1L) + 1
   }
 
   /** `mBits = AutoSize` at [[create]]: size each file's filter from

@@ -378,7 +378,14 @@ object SqlCall {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala
             .filter(f => java.nio.file.Files.isRegularFile(f) &&
-              f.toString.endsWith(".parquet"))
+              f.toString.endsWith(".parquet") &&
+              // exclude internal artifacts co-located under the table
+              // (_rli record index, _index bloom sidecar): they are
+              // index state accounted by `indexes`, never data debris.
+              // Partition-value dirs (`__bucket=N`, shadow cols) carry
+              // '=' and are data — only bare underscore dirs are internal
+              !p.relativize(f).iterator().asScala.exists(seg =>
+                seg.toString.startsWith("_") && !seg.toString.contains('=')))
             .map(f => (f.toAbsolutePath.toString, java.nio.file.Files.size(f)))
             .toSeq
         } finally s.close()

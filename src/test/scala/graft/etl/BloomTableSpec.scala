@@ -77,6 +77,29 @@ class BloomTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("past the commit head"))
   }
 
+  test("a dirless pure-retirement delete never reissues its commit number") {
+    import spark.implicits._
+    val path = scratch()
+    // two key-disjoint files so deleting one file's keys retires it
+    // wholesale: that commit writes NO c=N dir
+    BloomTable.create((1L to 40L).map(k => (k, 1L, k.toDouble))
+      .toDF("user_id", "ts_us", "value"),
+      path, keys = Seq("user_id"), precombine = "ts_us", numFiles = 2)
+    BloomTable.deleteFrom(spark, path,
+      (1L to 20L).map(k => (k, 2L)).toDF("user_id", "ts_us"))
+    val checkpoint = BloomTable.latestCommit(path)
+    assert(checkpoint == 1L)
+    // the next write MUST take a fresh number — reissuing 1 would make
+    // a cursor at the delete silently skip this commit's files
+    BloomTable.upsertInto(spark, path,
+      Seq((100L, 3L, 100.0)).toDF("user_id", "ts_us", "value"))
+    assert(BloomTable.latestCommit(path) == 2L)
+    assert(BloomTable.commitLog(path).map(_._1) == Seq(0L, 1L, 2L))
+    assert(BloomTable.changedSince(spark, path, checkpoint)
+      .select("user_id").as[Long].collect().toSet.contains(100L),
+      "the post-retirement commit must flow to a cursor at the delete")
+  }
+
   test("key-local batch rewrites only the files owning those keys") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,
