@@ -143,6 +143,14 @@ object BucketTable {
     * nanotime-unique and allocated BEFORE the commit point, so a
     * smaller gen can commit later). Commit numbers are allocated at
     * the manifest swing, strictly monotonic, never reused.
+    *
+    * Growth bound: one short line per commit (~tens of bytes), read
+    * once per commit and per incremental pull — at a minute-cadence
+    * ingest for a year that is ~500k lines / ~10 MB, the same order as
+    * Hudi's active timeline; should it ever matter, the archival move
+    * is the Timeline one (fold a prefix into a batch file and ratchet
+    * a floor), which the loud pre-log guard in [[changedSince]] already
+    * anticipates.
     */
   def commitLog(tablePath: String): Seq[(Long, Set[Int])] = {
     val p = commitsPath(tablePath)

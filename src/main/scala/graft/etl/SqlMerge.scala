@@ -554,19 +554,65 @@ object SqlMerge {
     // unknown columns loudly — a silently dropped `SET typo = ...`
     // would make the whole statement a no-op
     val byLower = current.columns.map(c => c.toLowerCase -> c).toMap
-    def resolveAssigned(render: Expression => Column): Map[String, Column] =
-      u.assignments.map { a =>
-        val written = a.key match {
-          case attr: UnresolvedAttribute => attr.nameParts.last
-          case other => throw new IllegalArgumentException(
-            s"unsupported assignment target: ${other.sql}")
-        }
+    def resolveAssigned(render: Expression => Column): Map[String, Column] = {
+      def parts(a: org.apache.spark.sql.catalyst.plans.logical.Assignment):
+          Seq[String] = a.key match {
+        case attr: UnresolvedAttribute => attr.nameParts
+        case other => throw new IllegalArgumentException(
+          s"unsupported assignment target: ${other.sql}")
+      }
+      // the alias/table qualifier is not a struct path: `t.c` is column
+      // c of t, `m.sub` is a struct field only when m is a COLUMN
+      def strip(ps: Seq[String]): Seq[String] =
+        if (ps.length >= 2 && (ps.head.equalsIgnoreCase(alias) ||
+            ps.head.equalsIgnoreCase(target))) ps.tail else ps
+      val (nested, plain) = u.assignments.map(a => strip(parts(a)) -> a)
+        .partition(_._1.length == 2)
+      plain.find(_._1.length > 2).foreach { case (ps, _) =>
+        throw new IllegalArgumentException(
+          s"UPDATE $target: '${ps.mkString(".")}' nests more than one " +
+            "struct level — only top-level struct fields are assignable")
+      }
+      val plainMap = plain.map { case (ps, a) =>
+        val written = ps.last
         val resolved = byLower.getOrElse(written.toLowerCase,
           throw new IllegalArgumentException(
             s"UPDATE $target: no such column '$written' " +
               s"(columns: ${current.columns.mkString(", ")})"))
         resolved -> render(a.value)
       }.toMap
+      // nested SET m.sub = e: the parent column is reassigned to itself
+      // with the subfield replaced under the statement's condition —
+      // multiple subfields of one parent chain withField; a NULL struct
+      // row stays NULL (no field to update), Spark's own UPDATE
+      // semantics on nested fields
+      val nestedMap = nested.groupBy(e => byLower.getOrElse(
+        e._1.head.toLowerCase,
+        throw new IllegalArgumentException(
+          s"UPDATE $target: no such column '${e._1.head}' " +
+            s"(columns: ${current.columns.mkString(", ")})")))
+        .map { case (parent, as) =>
+          require(!plainMap.contains(parent),
+            s"UPDATE $target: cannot assign both '$parent' and its " +
+              "subfields in one statement")
+          val st = current.schema(parent).dataType match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => throw new IllegalArgumentException(
+              s"UPDATE $target: '$parent' is ${other.sql}, not a STRUCT " +
+                "— subfield assignment needs a struct column")
+          }
+          parent -> as.foldLeft(col(parent)) { case (acc, (ps, a)) =>
+            val sub = st.fields.find(_.name.equalsIgnoreCase(ps(1)))
+              .getOrElse(throw new IllegalArgumentException(
+                s"UPDATE $target: no such field '$parent.${ps(1)}' " +
+                  s"(fields: ${st.fieldNames.mkString(", ")})"))
+            // cast to the declared subfield type: a drifted struct type
+            // would scramble downstream positional struct casts
+            acc.withField(sub.name, render(a.value).cast(sub.dataType))
+          }
+        }
+      plainMap ++ nestedMap
+    }
     def projected(df: DataFrame, cond: Column,
         assigned: Map[String, Column]): DataFrame =
       df.select(df.columns.toSeq.map { c =>

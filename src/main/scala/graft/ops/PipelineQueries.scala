@@ -772,6 +772,12 @@ object PipelineQueries {
         |ON t.user_id = s.user_id
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // nested-field UPDATE over the mixed-shape table: pre-split-only
+    // users (score never materialized) backfill it from the tag — a
+    // predicate ON a subfield assigning INTO a subfield
+    graft.etl.SqlMerge.exec(spark,
+      "UPDATE nested_evo SET meta.score = meta.tag * 1.0 " +
+        "WHERE meta.score IS NULL")
     graft.etl.Catalog.readTable(spark, "nested_evo")
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("meta.kind").as("kind"), col("meta.tag").as("tag"),
@@ -3348,7 +3354,8 @@ object PipelineQueries {
          | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |  event_type AS kind,
          |  CAST(event_id % 1000 AS BIGINT) AS tag,
-         |  CASE WHEN epoch_us(ts) > $SplitUs THEN value END AS score,
+         |  CASE WHEN epoch_us(ts) > $SplitUs THEN value
+         |       ELSE CAST(event_id % 1000 AS DOUBLE) END AS score,
          |  row_number() OVER (PARTITION BY user_id
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events) t

@@ -647,6 +647,26 @@ class SqlDdlSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1) ==
       Seq((1L, 10L, None), (2L, 20L, None), (3L, 30L, Some(3.5))))
 
+    // UPDATE on a nested field — through the rename, under a predicate,
+    // on genuinely mixed-shape files; other subfields untouched
+    SqlMerge.exec(spark,
+      "UPDATE nested_ev SET meta.score = meta.alpha * 2.0 WHERE k <= 2")
+    assert(Catalog.readTable(spark, "nested_ev")
+      .select($"k", $"meta.alpha", $"meta.score")
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, 10L, Some(20.0)), (2L, 20L, Some(40.0)), (3L, 30L, Some(3.5))))
+    // assigning a parent AND its subfield in one statement is ambiguous
+    val eu = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        "UPDATE nested_ev SET meta = named_struct('alpha', CAST(1 AS BIGINT)," +
+          " 'score', CAST(1.0 AS DOUBLE)), meta.score = 2.0 WHERE k = 1")
+    }
+    assert(eu.getMessage.contains("subfields"))
+    val eu2 = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark, "UPDATE nested_ev SET meta.nope = 1.0 WHERE k = 1")
+    }
+    assert(eu2.getMessage.contains("no such field"))
+
     // loud rejections: two levels, non-struct parents, parent rename
     // with nested state, empty-struct drop
     val e1 = intercept[IllegalArgumentException] {
