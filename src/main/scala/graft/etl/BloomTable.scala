@@ -350,8 +350,12 @@ object BloomTable {
         s"tieBreak=${tieBreak.mkString(",")}\nmBits=$sizedBits\nnumFiles=$numFiles\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val p = Props(keys, precombine, tieBreak, sizedBits, numFiles)
-    val written = writeCommit(deduped, tablePath, 0L, p, numFiles)
-    writeManifest(tablePath, written, 0L, "write")
+    // the create is COMMIT 1 (like BucketTable's), so cursor 0 means
+    // "before anything" on every layout: incremental_read('t', 0)
+    // bootstraps the full table instead of silently skipping the
+    // create's files
+    val written = writeCommit(deduped, tablePath, 1L, p, numFiles)
+    writeManifest(tablePath, written, 1L, "write")
     val spark = df.sparkSession
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p), 0L)

@@ -210,6 +210,18 @@ object BucketTable {
     * correct (routing changed under it). Fails loudly on a
     * from-the-future cursor and on a table created before the commit
     * log existed.
+    *
+    * CONSUMER CONTRACT — restatement, not a change log: apply the feed
+    * by REPLACING each changed bucket wholesale (recompute a row's
+    * bucket as `pmod(xxhash64(bucketBy cols), numBuckets)` from
+    * [[props]] — a pure function of the row), i.e. drop local rows of
+    * the changed buckets, then insert the feed. That is what makes
+    * in-bucket DELETIONS visible: a deleted key simply isn't in its
+    * bucket's restated content (a keyed UPSERT of the feed would miss
+    * it). The changed-bucket set is exactly the feed rows' buckets —
+    * a bucket emptied entirely has no row to say so, which is why that
+    * case raises below instead. `BucketTableSpec` replays a
+    * delete-in-window through this discipline.
     */
   def changedSince(spark: SparkSession, tablePath: String,
       sinceCommit: Long): DataFrame = {

@@ -487,8 +487,8 @@ object PartitionedTable {
     val d = deltas(tablePath)
     val (gone, keptD) = d.partition(e => overwritten(partitionPrefix(p, e._1)))
     if (gone.nonEmpty) {
+      retireDeltas(tablePath, gone) // ratchet-then-remove, see retireDeltas
       writeDeltas(tablePath, keptD)
-      retireDeltas(tablePath, gone)
     }
     written
   }
@@ -507,8 +507,8 @@ object PartitionedTable {
       val d = deltas(tablePath)
       val (gone, keptD) = d.partition(e => dropSet(e._1))
       if (gone.nonEmpty) {
+        retireDeltas(tablePath, gone) // ratchet-then-remove
         writeDeltas(tablePath, keptD)
-        retireDeltas(tablePath, gone)
       }
     }
     drop
@@ -550,8 +550,8 @@ object PartitionedTable {
     // deleted row can't resurrect through the log (same
     // manifest-then-deltas ordering as dropPartitions)
     if (touchedDeltas.nonEmpty) {
+      retireDeltas(tablePath, touchedDeltas) // ratchet-then-remove
       writeDeltas(tablePath, d.filterNot(e => touched(e._1)))
-      retireDeltas(tablePath, touchedDeltas)
     }
     written
   }
@@ -681,7 +681,13 @@ object PartitionedTable {
 
   /** Every removal of delta-log entries must ratchet the floor to the
     * highest seq it removed: those commits' row-level feed is gone, so
-    * any cursor below them must fail loudly toward a re-sync.
+    * any cursor below them must fail loudly toward a re-sync. Callers
+    * ratchet BEFORE rewriting the delta log — a crash (or a lock-free
+    * [[changesSince]] reader) between the two steps then sees at worst
+    * a floor ahead of a still-intact log, which forces a spurious loud
+    * re-sync; the reverse order has a window where the folded commits
+    * are gone but the floor still admits the cursor — exactly the
+    * silent skip the floor exists to prevent.
     */
   private def retireDeltas(tablePath: String,
       removed: Seq[(String, Long)]): Unit =
@@ -817,8 +823,10 @@ object PartitionedTable {
         val gen = nextGen(tablePath)
         val written = writeGen(withShadow(merged, p), tablePath, gen, p)
         writeManifest(tablePath, m ++ written.map(_ -> gen))
+        // floor = last folded seq (numbering never restarts), ratcheted
+        // BEFORE the log empties — see retireDeltas
+        retireDeltas(tablePath, d)
         writeDeltas(tablePath, Seq.empty)
-        retireDeltas(tablePath, d) // floor = last folded seq: numbering never restarts
         Some(gen)
       }
     }
@@ -1075,12 +1083,12 @@ object PartitionedTable {
     val (m, d) = savepointState(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       // post-savepoint delta commits vanish from the feed — ratchet the
-      // floor over them so a consumer checkpointed in the abandoned
-      // window re-syncs loudly instead of replaying a diverged history
-      val abandoned = deltas(tablePath).filterNot(d.toSet)
+      // floor over them (BEFORE the rewrite, see retireDeltas) so a
+      // consumer checkpointed in the abandoned window re-syncs loudly
+      // instead of replaying a diverged history
+      retireDeltas(tablePath, deltas(tablePath).filterNot(d.toSet))
       writeManifest(tablePath, m)
       writeDeltas(tablePath, d)
-      retireDeltas(tablePath, abandoned)
     }
     ()
   }

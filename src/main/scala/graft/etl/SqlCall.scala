@@ -394,7 +394,16 @@ object SqlCall {
     def norm(f: String): String =
       f.replaceFirst("^file:/+", "/")
     val all = walk(path)
-    val live = Catalog.readPhysical(spark, t).inputFiles.map(norm).toSet
+    // live = what the TABLE's current state references. For MOR that is
+    // the SNAPSHOT's file set (base + live logs) even under a `mor_ro`
+    // registration: the RO binding narrows the read, not the table —
+    // classifying live delta logs as debris would invite an operator to
+    // reclaim unconsumed data
+    val live = (Catalog.layoutOf(spark, t) match {
+      case Some(("mor" | "mor_ro", p)) =>
+        MorTable.readSnapshot(spark, p).inputFiles
+      case _ => Catalog.readPhysical(spark, t).inputFiles
+    }).map(norm).toSet
     // savepoint-pinned state: readable via read_savepoint, kept by clean
     val pinned: Set[String] = (kind match {
       case "bucket" => BucketTable.savepoints(path)
@@ -414,7 +423,7 @@ object SqlCall {
     val pinnedFs = all.filter(f => pinned(f._1))
     val historyFs = all.filter(f => history(f._1))
     val (pending, head, floor) = kind match {
-      case "mor" =>
+      case "mor" | "mor_ro" =>
         val (_, h, fl) = MorTable.fullState(path).getOrElse((0L, 0L, 0L))
         (h - fl, h, fl)
       case "partitioned" =>

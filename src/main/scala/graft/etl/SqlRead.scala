@@ -138,14 +138,21 @@ object SqlRead {
             }.groupBy(_._1).view.mapValues(_.head._2).toMap
             if (!secCols.forall(c => sets.contains(c.toLowerCase))) None
             else {
-              val combos = secCols.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
-                for (prefix <- acc; v <- sets(c.toLowerCase))
-                  yield prefix :+ v
+              // bound-check on the SIZES before materializing the
+              // cartesian: two 10k-literal IN lists must fall through
+              // without allocating 100M combination rows first
+              val product = secCols.map(c =>
+                sets(c.toLowerCase).size.toLong).product
+              if (product > BloomTable.InListMax) None
+              else {
+                val combos = secCols.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+                  for (prefix <- acc; v <- sets(c.toLowerCase))
+                    yield prefix :+ v
+                }
+                Some(Catalog.alignToDeclared(spark, name,
+                  SecondaryIndex.lookupMulti(spark, path, idxPath, combos))
+                  .queryExecution.analyzed)
               }
-              if (combos.size > BloomTable.InListMax) None
-              else Some(Catalog.alignToDeclared(spark, name,
-                SecondaryIndex.lookupMulti(spark, path, idxPath, combos))
-                .queryExecution.analyzed)
             }
         }
       case _ => None

@@ -774,10 +774,12 @@ object PipelineQueries {
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     // nested-field UPDATE over the mixed-shape table: pre-split-only
     // users (score never materialized) backfill it from the tag — a
-    // predicate ON a subfield assigning INTO a subfield
+    // predicate ON a subfield assigning INTO a subfield. The ts guard
+    // keeps the backfill to genuinely pre-ADD rows: a post-split row
+    // whose SOURCE value was NULL must stay NULL, as the oracle says
     graft.etl.SqlMerge.exec(spark,
       "UPDATE nested_evo SET meta.score = meta.tag * 1.0 " +
-        "WHERE meta.score IS NULL")
+        s"WHERE meta.score IS NULL AND ts_us <= $SplitUs")
     graft.etl.Catalog.readTable(spark, "nested_evo")
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("meta.kind").as("kind"), col("meta.tag").as("tag"),

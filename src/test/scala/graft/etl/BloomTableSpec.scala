@@ -85,16 +85,19 @@ class BloomTableSpec extends SparkSpec {
     BloomTable.create((1L to 40L).map(k => (k, 1L, k.toDouble))
       .toDF("user_id", "ts_us", "value"),
       path, keys = Seq("user_id"), precombine = "ts_us", numFiles = 2)
+    // bootstrap symmetry with the bucket layout: cursor 0 = everything
+    assert(BloomTable.latestCommit(path) == 1L)
+    assert(BloomTable.changedSince(spark, path, 0L).count() == 40L)
     BloomTable.deleteFrom(spark, path,
       (1L to 20L).map(k => (k, 2L)).toDF("user_id", "ts_us"))
     val checkpoint = BloomTable.latestCommit(path)
-    assert(checkpoint == 1L)
-    // the next write MUST take a fresh number — reissuing 1 would make
+    assert(checkpoint == 2L)
+    // the next write MUST take a fresh number — reissuing it would make
     // a cursor at the delete silently skip this commit's files
     BloomTable.upsertInto(spark, path,
       Seq((100L, 3L, 100.0)).toDF("user_id", "ts_us", "value"))
-    assert(BloomTable.latestCommit(path) == 2L)
-    assert(BloomTable.commitLog(path).map(_._1) == Seq(0L, 1L, 2L))
+    assert(BloomTable.latestCommit(path) == 3L)
+    assert(BloomTable.commitLog(path).map(_._1) == Seq(1L, 2L, 3L))
     assert(BloomTable.changedSince(spark, path, checkpoint)
       .select("user_id").as[Long].collect().toSet.contains(100L),
       "the post-retirement commit must flow to a cursor at the delete")

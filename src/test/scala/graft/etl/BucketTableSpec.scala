@@ -238,6 +238,29 @@ class BucketTableSpec extends SparkSpec {
     assert(ck1 == 3L)
     assert(BucketTable.changedSince(spark, dir, 2L)
       .as[(String, Long, Double)].collect().toSeq.exists(_._1 == "d"))
+    // the restatement contract makes an IN-BUCKET DELETION visible: a
+    // consumer that replaces changed buckets wholesale (bucket
+    // recomputed from the routing props — a pure function of the row)
+    // reconstructs the post-delete table exactly; a keyed upsert of the
+    // feed would have kept the deleted row forever
+    def bucketOfKey(k: String): Int =
+      BucketTable.bucketOf(spark, dir, Seq(k))
+    // plant a co-resident in b's bucket so the delete leaves it LIVE
+    // (an emptied bucket is the loud-retirement case proven above)
+    val mate = (1 to 64).map(i => s"m$i")
+      .find(m => bucketOfKey(m) == bucketOfKey("b")).get
+    BucketTable.upsertInto(spark, dir, rows((mate, 1L, 42.0)))
+    val ckDel = BucketTable.latestCommit(dir)
+    val local = contents(dir) // consumer's replica at the checkpoint
+    BucketTable.deleteFrom(spark, dir, Seq(("b", 9L)).toDF("k", "pc"))
+    val feedRows = BucketTable.changedSince(spark, dir, ckDel)
+      .as[(String, Long, Double)].collect().toSeq
+    val changedBuckets = feedRows.map(r => bucketOfKey(r._1)).toSet
+    val replayed = (local.filterNot(r => changedBuckets(bucketOfKey(r._1)))
+      ++ feedRows).sortBy(_._1)
+    assert(replayed == contents(dir),
+      s"restatement replay diverged: $replayed vs ${contents(dir)}")
+    assert(!replayed.exists(_._1 == "b"), "the deleted key must vanish")
     // a future cursor is rejected
     val e1 = intercept[IllegalArgumentException] {
       BucketTable.changedSince(spark, dir, 99L)
