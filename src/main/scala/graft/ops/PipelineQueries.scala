@@ -724,6 +724,36 @@ object PipelineQueries {
       Seq("user_id"), "left_semi")
   }
 
+  /** `p_bloom_incremental`: the bloom-layout incremental pull
+    * ([[graft.etl.BloomTable.changedSince]] — live files of commit
+    * dirs after the checkpoint, an upsert feed): seed pre-[[SplitUs]],
+    * checkpoint, upsert the rest, pull. The feed is the post-split
+    * batch's precombined rows PLUS any co-located survivors the
+    * key-range/bloom-tagged rewrite carried into the new files — so,
+    * like the bucket twin, the oracle checks the routing-independent
+    * projection: every post-split user's current row flows,
+    * latest-per-key correct (under-delivery = a missed file; wrong
+    * merge = a stale row). `BloomTableSpec` pins the file-level feed
+    * semantics and the loud destructive-window refusals.
+    */
+  def bloomIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "bli").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    val checkpoint = graft.etl.BloomTable.latestCommit(path)
+    graft.etl.BloomTable.upsertInto(spark, path,
+      ev.filter(col("ts_us") > SplitUs))
+    val pull = graft.etl.BloomTable.changedSince(spark, path, checkpoint)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    pull.join(ev.filter(col("ts_us") > SplitUs).select("user_id").distinct(),
+      Seq("user_id"), "left_semi")
+  }
+
   /** `p_sql_nested_evolution`: one-level struct schema evolution, the
     * full lifecycle over a layout table — ADD a subfield (typed-NULL
     * reads), RENAME one (name mapping; writes keep the physical
@@ -2715,6 +2745,7 @@ object PipelineQueries {
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
     "p_bucket_incremental" -> (bucketIncremental(_, _)),
+    "p_bloom_incremental" -> (bloomIncremental(_, _)),
     "p_sql_nested_evolution" -> (sqlNestedEvolution(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_skipping" -> (partSkipping(_, _)),
@@ -3363,6 +3394,14 @@ object PipelineQueries {
          | FROM events) t
          |WHERE rn = 1""".stripMargin,
     "p_bucket_incremental" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id IN (
+         |  SELECT DISTINCT user_id FROM events WHERE epoch_us(ts) > $SplitUs)""".stripMargin,
+    "p_bloom_incremental" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id

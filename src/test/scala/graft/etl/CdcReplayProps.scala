@@ -4,14 +4,18 @@ import graft.SparkSpec
 import org.scalacheck.{Gen, Prop, Properties}
 
 /** Differential property for the CDC surface: for ANY random sequence
-  * of MOR upserts and tombstone deletes, a consumer that checkpointed
-  * a snapshot mid-history and then applies the `CALL table_changes`
+  * of upserts, tombstone deletes, AND COMPACTIONS — on BOTH log-backed
+  * layouts (MOR and partitioned) — a consumer that checkpointed a
+  * snapshot mid-history and then applies the `CALL table_changes`
   * feed (latest-per-key by precombine then commit seq, tombstones
-  * removing) must reconstruct the live snapshot EXACTLY. This is the
-  * contract an incremental downstream pipeline actually relies on —
-  * row-identical reconstruction, not just "some rows arrived" — and
-  * it exercises the normalized cross-layout feed columns
-  * (change_seq / deleted) end to end through the SQL front door.
+  * removing) must either reconstruct the live snapshot EXACTLY or be
+  * refused LOUDLY (only when a compaction genuinely folded its unseen
+  * window — and then the demanded re-sync cursor must be servable).
+  * This is the contract an incremental downstream pipeline actually
+  * relies on — row-identical reconstruction, never a silently
+  * renumbered feed — and it exercises the normalized cross-layout
+  * feed columns (change_seq / deleted) end to end through the SQL
+  * front door.
   */
 object CdcReplayProps extends Properties("CdcReplay") {
 
@@ -99,6 +103,69 @@ object CdcReplayProps extends Properties("CdcReplay") {
           val floor = MorTable.compactedThrough(path)
           val resynced = SqlCall.exec(spark,
             s"CALL table_changes('$table', ${MorTable.changeHead(path)})")
+          Prop(floor > checkpointSeq && resynced.count() == 0L) :|
+            s"loud re-sync with floor=$floor <= checkpoint=$checkpointSeq"
+      }
+    }
+
+  /** The partitioned layout's twin: same random histories (keys pin
+    * their partition, so identity ≡ key), same replay contract, same
+    * loud-or-exact dichotomy across [[PartitionedTable.compactDeltas]]
+    * — the feed flows through the OTHER delta-log implementation
+    * (per-slice dgen dirs, `_dfloor` ratchet) and the SAME
+    * `table_changes` front door.
+    */
+  property("partitioned: snapshot(checkpoint) + table_changes feed == snapshot(now)") =
+    Prop.forAllNoShrink(scenario) { case (first, before, after) =>
+      run += 1
+      val table = s"cdc_replay_part_$run"
+      val path = java.nio.file.Files
+        .createTempDirectory("cdcreplayp").toString + "/t"
+      var pc = 0L
+      def rows(ks: Seq[Long]) = {
+        pc += 1
+        ks.map(k => (s"d${k % 3}", k, pc, (pc * 100 + k).toDouble))
+          .toDF("day", "k", "pc", "v")
+      }
+      def apply(o: Op): Unit = o match {
+        case Up(ks) => PartitionedTable.upsertDelta(spark, path, rows(ks)); ()
+        case Del(ks) =>
+          pc += 1
+          PartitionedTable.deleteDelta(spark, path,
+            ks.map(k => (s"d${k % 3}", k, pc)).toDF("day", "k", "pc"))
+          ()
+        case Compact => PartitionedTable.compactDeltas(spark, path); ()
+      }
+      PartitionedTable.create(rows(first), path,
+        keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+      Catalog.registerLayoutTable(spark, table, "partitioned", path)
+      before.foreach(apply)
+      val checkpointSeq = PartitionedTable.changeHead(path)
+      val snap0 = PartitionedTable.read(spark, path)
+        .select($"k", $"pc", $"v")
+        .as[(Long, Long, Double)].collect().toSeq
+      after.foreach(apply)
+      val snap1 = PartitionedTable.read(spark, path)
+        .select($"k", $"pc", $"v")
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      try {
+        val feed = SqlCall.exec(spark,
+          s"CALL table_changes('$table', $checkpointSeq)")
+          .select($"k", $"pc", $"v", $"change_seq", $"deleted")
+          .as[(Long, Long, Option[Double], Long, Boolean)].collect().toSeq
+        val replayed = (snap0.map(r => (r._1, r._2, Option(r._3), 0L, false))
+          ++ feed)
+          .groupBy(_._1).values.map(_.maxBy(r => (r._2, r._4)))
+          .filterNot(_._5)
+          .map(r => (r._1, r._2, r._3.getOrElse(Double.NaN)))
+          .toSeq.sortBy(_._1)
+        Prop(replayed == snap1) :|
+          s"checkpoint=$checkpointSeq\n  replayed $replayed\n  snapshot $snap1"
+      } catch {
+        case e: IllegalArgumentException if e.getMessage.contains("re-sync") =>
+          val floor = PartitionedTable.compactedThrough(path)
+          val resynced = SqlCall.exec(spark,
+            s"CALL table_changes('$table', ${PartitionedTable.changeHead(path)})")
           Prop(floor > checkpointSeq && resynced.count() == 0L) :|
             s"loud re-sync with floor=$floor <= checkpoint=$checkpointSeq"
       }
