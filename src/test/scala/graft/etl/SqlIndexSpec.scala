@@ -118,6 +118,18 @@ class SqlIndexSpec extends SparkSpec {
     assert(SqlRead.select(spark,
       "SELECT k FROM sql_idx_in WHERE etype IN ('rare', 'rare2') AND k <= 8")
       .as[Long].collect().toSet == Set(5L))
+
+    // maintenance keeps NULL mappings honest in BOTH directions: an
+    // UPDATE moving a value to NULL must serve through IS NULL, and
+    // one moving a NULL away must stop serving it
+    SqlMerge.exec(spark, "UPDATE sql_idx_in SET etype = NULL WHERE k = 1")
+    SqlMerge.exec(spark, "UPDATE sql_idx_in SET etype = 'woken' WHERE k = 3")
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_in WHERE etype IS NULL")
+      .as[Long].collect().toSet == Set(1L, 7L, 11L, 15L))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_in WHERE etype IN ('woken')")
+      .as[Long].collect().toSet == Set(3L))
     ()
   }
 
