@@ -1056,19 +1056,67 @@ object SqlMerge {
       })
     def actCond(a: MergeAction, insertCtx: Boolean): Column =
       a.condition.map(rewrite(_, insertCtx)).getOrElse(lit(true))
-    def assignmentMap(assigns: Seq[Assignment],
-        updateCtx: Boolean): Map[String, Column] =
-      assigns.map { a =>
-        val written = a.key match {
-          case ua: UnresolvedAttribute => ua.nameParts.last
+    /** Resolve assignment targets — plain columns, and (in UPDATE
+      * contexts) one-level struct subfields, which reassign the parent
+      * to itself with the subfield replaced via withField (same
+      * semantics and declared-type cast as the UPDATE statement's
+      * nested SET). INSERT actions assign whole columns only: there is
+      * no target row whose struct a subfield could patch.
+      */
+    def combineAssignments(assigns: Seq[Assignment],
+        valueOf: Expression => Column, updateCtx: Boolean,
+        ctx: String): Map[String, Column] = {
+      val parsed = assigns.map { a =>
+        val ps0 = a.key match {
+          case ua: UnresolvedAttribute => ua.nameParts
           case other => fail(s"unsupported assignment target ${other.sql}")
         }
-        val resolved = cols.find(_.equalsIgnoreCase(written))
-          .getOrElse(fail(s"no such target column '$written'"))
+        val ps = if (ps0.length >= 2 && ps0.head.equalsIgnoreCase(t.alias))
+          ps0.tail else ps0
+        if (ps.length > 2)
+          fail(s"'${ps.mkString(".")}' nests more than one struct " +
+            "level — only top-level struct fields are assignable")
+        if (ps.length == 2 && !updateCtx)
+          fail(s"$ctx assigns whole columns — nested field " +
+            s"'${ps.mkString(".")}' has no target row to patch")
+        (ps, a.value)
+      }
+      val (nested, plain) = parsed.partition(_._1.length == 2)
+      val plainMap = plain.map { case (ps, v) =>
+        val resolved = cols.find(_.equalsIgnoreCase(ps.last))
+          .getOrElse(fail(s"no such target column '${ps.last}'"))
         if (updateCtx && keys.exists(_.equalsIgnoreCase(resolved)))
           fail(s"cannot UPDATE key column '$resolved'")
-        resolved -> rewrite(a.value, insertCtx = !updateCtx)
+        resolved -> valueOf(v)
       }.toMap
+      val nestedMap = nested
+        .groupBy(e => cols.find(_.equalsIgnoreCase(e._1.head))
+          .getOrElse(fail(s"no such target column '${e._1.head}'")))
+        .map { case (parent, as) =>
+          if (plainMap.contains(parent))
+            fail(s"cannot assign both '$parent' and its subfields " +
+              "in one action")
+          val st = existing.schema(parent).dataType match {
+            case s: org.apache.spark.sql.types.StructType => s
+            case other => fail(s"'$parent' is ${other.sql}, not a " +
+              "STRUCT — subfield assignment needs a struct column")
+          }
+          parent -> as.foldLeft(col(t.renamed(parent.toLowerCase))) {
+            case (acc, (ps, v)) =>
+              val sub = st.fields.find(_.name.equalsIgnoreCase(ps(1)))
+                .getOrElse(fail(s"no such field '$parent.${ps(1)}' " +
+                  s"(fields: ${st.fieldNames.mkString(", ")})"))
+              // declared-type cast: a drifted struct type would
+              // scramble downstream positional struct casts
+              acc.withField(sub.name, valueOf(v).cast(sub.dataType))
+          }
+        }
+      plainMap ++ nestedMap
+    }
+    def assignmentMap(assigns: Seq[Assignment],
+        updateCtx: Boolean): Map[String, Column] =
+      combineAssignments(assigns, rewrite(_, insertCtx = !updateCtx),
+        updateCtx, if (updateCtx) "UPDATE" else "INSERT")
     def starMap: Map[String, Column] = cols.map { c =>
       val sc = s.renamed.getOrElse(c.toLowerCase,
         fail(s"SET * / INSERT * needs source column '$c'"))
@@ -1100,17 +1148,8 @@ object SqlMerge {
     val bySourceVals: Seq[(Int, Map[String, Column], Boolean)] =
       m.notMatchedBySourceActions.zipWithIndex.map {
         case (a: UpdateAction, i) =>
-          val am = a.assignments.map { as =>
-            val written = as.key match {
-              case ua: UnresolvedAttribute => ua.nameParts.last
-              case other => fail(s"unsupported assignment target ${other.sql}")
-            }
-            val resolved = cols.find(_.equalsIgnoreCase(written))
-              .getOrElse(fail(s"no such target column '$written'"))
-            if (keys.exists(_.equalsIgnoreCase(resolved)))
-              fail(s"cannot UPDATE key column '$resolved'")
-            resolved -> rewriteTargetOnly(as.value)
-          }.toMap
+          val am = combineAssignments(a.assignments, rewriteTargetOnly,
+            updateCtx = true, "UPDATE")
           (200 + i, am, false)
         case (_: DeleteAction, i) => (200 + i, Map.empty[String, Column], true)
         case (other, _) =>

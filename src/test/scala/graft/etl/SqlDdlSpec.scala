@@ -655,6 +655,33 @@ class SqlDdlSpec extends SparkSpec {
       .select($"k", $"meta.alpha", $"meta.score")
       .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1) ==
       Seq((1L, 10L, Some(20.0)), (2L, 20L, Some(40.0)), (3L, 30L, Some(3.5))))
+    // MERGE with nested assignment targets: matched rows patch the
+    // subfield from the SOURCE, unmatched insert whole rows
+    Seq((2L, 2L, 99.0), (4L, 1L, 44.0)).toDF("k", "pc", "nv")
+      .createOrReplaceTempView("nested_ev_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO nested_ev t USING nested_ev_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.pc = s.pc, meta.score = s.nv
+        |WHEN NOT MATCHED THEN INSERT (k, pc, meta) VALUES (s.k, s.pc,
+        |  named_struct('alpha', CAST(s.k * 10 AS BIGINT),
+        |               'score', CAST(s.nv AS DOUBLE)))""".stripMargin)
+    assert(Catalog.readTable(spark, "nested_ev")
+      .select($"k", $"meta.alpha", $"meta.score")
+      .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, 10L, Some(20.0)), (2L, 20L, Some(99.0)),
+        (3L, 30L, Some(3.5)), (4L, 40L, Some(44.0))))
+    // nested targets are UPDATE-only: an INSERT action has no target
+    // row whose struct a subfield could patch
+    val em = intercept[IllegalArgumentException] {
+      SqlMerge.exec(spark,
+        """MERGE INTO nested_ev t USING nested_ev_src s
+          |ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT (k, pc, meta.score)
+          |  VALUES (s.k, s.pc, s.nv)""".stripMargin)
+    }
+    assert(em.getMessage.contains("whole columns"))
+
     // assigning a parent AND its subfield in one statement is ambiguous
     val eu = intercept[IllegalArgumentException] {
       SqlMerge.exec(spark,
