@@ -69,11 +69,6 @@ object Bench {
     }
     val CalibRef = 0.75 // seconds, idle-host reference (round 13)
     calibrate() // discarded: JIT-warms the calibration expressions themselves
-    // min of repeats: a transient spike during one calibration must not
-    // masquerade as a slow host and over-correct every normalized time
-    // (the min is the host's observed speed CEILING — normalizing by it
-    // under-corrects, so a planted regression still shows)
-    val calibStart = (1 to 2).map(_ => calibrate()).min
     // deliberate-slowdown plant (test of the calibration test): inflate
     // the named query's wall time by 30% INSIDE the timed window so the
     // round note can prove a 1.3× regression clears the normalized band
@@ -117,7 +112,55 @@ object Bench {
     def heapMb(): Long = java.lang.management.ManagementFactory
       .getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
     val benchT0 = System.nanoTime()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // ---- Interleaved calibration (round-13 lesson: end-point-only
+    // sampling missed a mid-run load burst, and the driver artifact
+    // published a norm_total wrong by ~2×). A probe runs every
+    // ProbeEvery queries; each query is normalized by the MIN of its
+    // two bracketing probes (min = the host's observed speed ceiling
+    // around that moment — under-corrects, so a planted regression
+    // still shows). When ADJACENT probes disagree >20% the run's
+    // normalization is self-declared unreliable (`norm_valid: false`
+    // in the JSON line): a burst faster than the probe cadence can
+    // still hide between two calm probes, and the flag is what keeps
+    // such a run from being read as ground truth.
+    val ProbeEvery = 25
+    val probes = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    def probe(minOf: Int): Unit = {
+      val at = (System.nanoTime() - benchT0) / 1e9
+      probes += ((at, (1 to minOf).map(_ => calibrate()).min))
+    }
+    probe(minOf = 2) // start: min-of-2 (a cold spike must not anchor the run)
+    // ---- Synthetic mid-run load (test of the calibration test):
+    // SPARK_GRAFT_BENCH_BURN=<threads> spins that many busy threads for
+    // the MIDDLE THIRD of the query list — the run-4/round-13 failure
+    // shape. With interleaved probes the burst must either divide out
+    // of the affected queries' norm= or flip norm_valid to false;
+    // combined with SPARK_GRAFT_BENCH_PLANT it demonstrates a real
+    // regression is still detected under load.
+    val burnThreads = sys.env.get("SPARK_GRAFT_BENCH_BURN")
+      .flatMap(_.toIntOption).getOrElse(0)
+    val burnOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val burners = (1 to burnThreads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        while (!Thread.currentThread().isInterrupted) {
+          if (burnOn.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+          else Thread.sleep(5)
+        }
+        if (x == 42L) System.err.println("") // keep x live
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    val nSel = selected.size
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
+      if (idx > 0 && idx % ProbeEvery == 0) probe(minOf = 1)
+      if (burnThreads > 0) {
+        if (idx == nSel / 3) { burnOn.set(true)
+          System.err.println(s"[bench] burner ON ($burnThreads threads) at query $idx") }
+        if (idx == 2 * nSel / 3) { burnOn.set(false)
+          System.err.println(s"[bench] burner OFF at query $idx") }
+      }
       val atSec = (System.nanoTime() - benchT0) / 1e9
       val gc0 = gcMillis()
       // a failed rep records None — a near-zero failure elapsed must never
@@ -147,14 +190,33 @@ object Bench {
       // every rep failed → None: kept OUT of the total (a -1.0 sentinel
       // summed in would make a broken query IMPROVE the headline number)
       // and reported explicitly in the JSON line below
-      (name, times.minOption, diag)
+      (name, times.minOption, diag, atSec)
     }
-    val calibEnd = (1 to 2).map(_ => calibrate()).min
-    val calib = math.min(calibStart, calibEnd)
+    burnOn.set(false); burners.foreach(_.interrupt())
+    probe(minOf = 2) // end: min-of-2, symmetric with the start anchor
+    // per-query local host factor: MIN of the two probes bracketing its
+    // start offset, over the pinned reference
+    def localFactor(atSec: Double): Double = {
+      val before = probes.filter(_._1 <= atSec).map(_._2).lastOption
+      val after = probes.find(_._1 > atSec).map(_._2)
+      val c = (before.toSeq ++ after.toSeq).min
+      c / CalibRef
+    }
+    val calib = probes.map(_._2).min
     val hostFactor = calib / CalibRef // >1 = host slower than reference
-    val failed = results.collect { case (name, None, _) => name }
-    val timed = results.collect { case (name, Some(t), _) => name -> t }
-    val diags = results.map { case (name, _, d) => name -> d }.toMap
+    // adjacent probes disagreeing >20% = a load edge the cadence caught
+    // only partially — the normalized numbers of the queries between
+    // them are interpolations at best; say so in the artifact
+    val normValid = probes.map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => math.max(a: Double, b: Double) /
+        math.min(a: Double, b: Double) <= 1.2
+      case _ => true
+    }
+    val failed = results.collect { case (name, None, _, _) => name }
+    val timed = results.collect { case (name, Some(t), _, _) => name -> t }
+    val norms = results.collect { case (name, Some(t), _, at) =>
+      name -> t / localFactor(at) }.toMap
+    val diags = results.map { case (name, _, d, _) => name -> d }.toMap
     // The driver captures only the tail of stdout (~2 KB): a per-query map
     // over all ~130 queries overflows it and the JSON line never parses
     // (round-1 lesson). Emit the 15 slowest queries only, rounded, and keep
@@ -166,23 +228,32 @@ object Bench {
     // full per-query history: always dumped so round N+1 can diff every
     // query, not just the 15 the driver line carries (committed as
     // bench/rN.txt at round end)
-    // default is cwd-relative (sbt forks in the project root), so any
-    // checkout location keeps its history
+    // default is ROUND-STAMPED (wall-clock UTC) so an adjudication rerun
+    // can never clobber the artifact run's dump (round-13 lesson);
+    // bench/last_run.txt is maintained as a convenience mirror
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
     val dumpPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUMP",
-      "bench/last_run.txt")
+      s"bench/run_$stamp.txt")
+    val normTotal = norms.values.sum
     try {
-      val p = java.nio.file.Paths.get(dumpPath)
-      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val probesStr = probes.map { case (at, c) =>
+        f"$at%.0f:${fmt(c)}" }.mkString(",")
       val lines = (s"# sf=$sfDir reps=$reps n_queries=${results.size} " +
         s"n_failed=${failed.size} total=${fmt(timed.map(_._2).sum)}s " +
         s"gc_total=${gcMillis()}ms " +
-        s"calib_start=${fmt(calibStart)}s calib_end=${fmt(calibEnd)}s " +
-        s"host_factor=${fmt(hostFactor)} " +
-        s"norm_total=${fmt(timed.map(_._2).sum / hostFactor)}s") +:
+        s"host_factor=${fmt(hostFactor)} norm_valid=$normValid " +
+        s"norm_total=${fmt(normTotal)}s " +
+        s"probes(at:sec)=$probesStr") +:
         (failed.map(k => s"FAILED $k  ${diags(k)}") ++
           timed.sortBy(-_._2).map { case (k, v) =>
-            s"${fmt(v)}  norm=${fmt(v / hostFactor)}  $k  ${diags(k)}" })
-      java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
+            s"${fmt(v)}  norm=${fmt(norms(k))}  $k  ${diags(k)}" })
+      for (path <- Seq(dumpPath, "bench/last_run.txt").distinct) {
+        val p = java.nio.file.Paths.get(path)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, lines.mkString("", "\n", "\n"))
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] dump failed: ${e.getMessage}")
@@ -191,8 +262,9 @@ object Bench {
     val qs = slowest.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val probesJson = probes.map(p => fmt(p._2)).mkString("[", ",", "]")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"calib_sec":${fmt(calib)},"calib_ref":${fmt(CalibRef)},"host_factor":${fmt(hostFactor)},"norm_total":${fmt(total / hostFactor)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"calib_sec":${fmt(calib)},"calib_ref":${fmt(CalibRef)},"host_factor":${fmt(hostFactor)},"calib_probes":$probesJson,"norm_valid":$normValid,"norm_total":${fmt(normTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -149,6 +149,16 @@ object BloomTable {
     require(sinceCommit <= head,
       s"incremental cursor $sinceCommit past the commit head $head at " +
         s"$tablePath — checkpoint only commits the log has served")
+    // lazily-created log on an upgraded table starts past the
+    // pre-existing commits (create-is-commit-1 tables have
+    // minLogged == 1): cursors below its first entry would silently
+    // skip the uncovered files — same guard as BucketTable.changedSince
+    val minLogged = log.map(_._1).minOption.getOrElse(1L)
+    require(sinceCommit >= minLogged - 1,
+      s"incremental cursor $sinceCommit predates the commit log at " +
+        s"$tablePath (first logged commit $minLogged — table upgraded " +
+        "after creation); re-sync from a snapshot read and checkpoint " +
+        "latestCommit")
     val destructive = log.filter(e =>
       e._1 > sinceCommit && Set("delete", "rewrite", "overwrite")(e._2))
     require(destructive.isEmpty,

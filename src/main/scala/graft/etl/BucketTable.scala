@@ -182,12 +182,39 @@ object BucketTable {
     * consumers.
     */
   private def writeManifest(tablePath: String, m: Map[Int, Long],
-      p: Props): Unit = {
+      p: Props, cdc: CdcLog.Action): Unit =
+    // the commit-number allocation below is a read-modify-write on the
+    // shared `_commits` log — the single-writer paths (create /
+    // upsertInto / overwriteTable / compact) must serialize it against
+    // concurrent OCC writers (whose writeManifestLocked runs in-lock),
+    // or two commits can log the same number and corrupt changedSince's
+    // window semantics
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      writeManifestLocked(tablePath, m, p, cdc)
+    }
+
+  /** The commit point — caller MUST hold the table lock (commit-number
+    * allocation reads `_commits` then appends). When cdc is enabled,
+    * the commit's images follow [[CdcLog]]'s two-phase discipline:
+    * staged before the log append, published only after the manifest
+    * swing — a crash in between leaves a commit whose images are
+    * missing (served loudly), never published images of a commit that
+    * didn't happen.
+    */
+  private def writeManifestLocked(tablePath: String, m: Map[Int, Long],
+      p: Props, cdc: CdcLog.Action): Unit = {
     val old = manifest(tablePath)
     val changed = (m.keySet ++ old.keySet).filter(b => m.get(b) != old.get(b))
+    val commit = latestCommit(tablePath) + 1
+    val cdcLive = changed.nonEmpty && CdcLog.enabled(tablePath)
+    if (cdcLive) cdc match {
+      case CdcLog.Action.Changes(rows) => CdcLog.stage(tablePath, commit, rows())
+      case CdcLog.Action.Preserving => CdcLog.stageEmpty(tablePath, commit)
+      case CdcLog.Action.Destructive => CdcLog.ratchet(tablePath, commit)
+    }
     if (changed.nonEmpty)
       Files.writeString(commitsPath(tablePath),
-        s"${latestCommit(tablePath) + 1} ${changed.toSeq.sorted.mkString(",")}\n",
+        s"$commit ${changed.toSeq.sorted.mkString(",")}\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp,
@@ -196,7 +223,20 @@ object BucketTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    if (cdcLive) CdcLog.publish(tablePath, commit)
   }
+
+  /** Fresh parquet read of specific buckets at one (possibly not yet
+    * committed) generation — the post-image side of a commit's cdc
+    * diff, read back from the just-written files instead of
+    * recomputing the merge.
+    */
+  private def readGenBuckets(spark: SparkSession, tablePath: String,
+      gen: Long, buckets: Seq[Int], schemaOf: DataFrame): DataFrame =
+    if (buckets.isEmpty) schemaOf.limit(0)
+    else spark.read.option("basePath", s"$tablePath/gen=$gen")
+      .parquet(buckets.sorted.map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
+      .drop(BucketCol)
 
   /** Hudi-style incremental query on the CoW bucket layout: the
     * CURRENT content of every bucket some commit AFTER `sinceCommit`
@@ -234,6 +274,18 @@ object BucketTable {
     require(sinceCommit <= head,
       s"incremental cursor $sinceCommit past the commit head $head at " +
         s"$tablePath — checkpoint only commits the log has served")
+    // a table UPGRADED to the commit log (created before it existed)
+    // gets the log lazily on its first post-upgrade write, numbered
+    // past the pre-existing commits — the log does NOT cover those, so
+    // a cursor below its first entry (create-is-commit-1 tables have
+    // minLogged == 1, unaffected) would silently under-deliver the
+    // bootstrap
+    val minLogged = log.map(_._1).minOption.getOrElse(1L)
+    require(sinceCommit >= minLogged - 1,
+      s"incremental cursor $sinceCommit predates the commit log at " +
+        s"$tablePath (first logged commit $minLogged — table upgraded " +
+        "after creation); re-sync from a snapshot read and checkpoint " +
+        "latestCommit")
     val changed = log.filter(_._1 > sinceCommit).flatMap(_._2).toSet
     val live = manifest(tablePath).keySet.intersect(changed)
     // a bucket RETIRED in the window (every row deleted / overwritten
@@ -249,6 +301,28 @@ object BucketTable {
     if (live.isEmpty) read(spark, tablePath).limit(0)
     else readBuckets(spark, tablePath, live).drop(BucketCol)
   }
+
+  /** Turn on row-level CDC (before/after images per commit — the Hudi
+    * 0.13 `hoodie.table.cdc.enabled` surface): commits AFTER the
+    * current head get images, served by [[changesCdc]]. A consumer
+    * seeds from a snapshot and checkpoints [[latestCommit]]. Unlike
+    * [[changedSince]]'s restatements, the image feed expresses
+    * deletions and update priors exactly, and a content-preserving
+    * rescale/cluster/compact contributes zero rows instead of a
+    * whole-table restate.
+    */
+  def enableCdc(tablePath: String): Unit =
+    CdcLog.enable(tablePath, latestCommit(tablePath))
+
+  /** The row-level CDC feed for `(sinceCommit, head]`: `_op` ∈ {i,u,d},
+    * `_before_<c>`/`_after_<c>` images, `_change_seq` = the commit
+    * number. Loud on cursors below the cdc floor (enabled later, or a
+    * destructive overwrite/restore in between) and on windows with
+    * missing images — see [[CdcLog.changes]].
+    */
+  def changesCdc(spark: SparkSession, tablePath: String,
+      sinceCommit: Long): DataFrame =
+    CdcLog.changes(spark, tablePath, sinceCommit, latestCommit(tablePath))
 
   private def withBucket(df: DataFrame, p: Props): DataFrame =
     df.withColumn(BucketCol,
@@ -313,17 +387,27 @@ object BucketTable {
     */
   def create(df: DataFrame, tablePath: String, keys: Seq[String],
       precombine: String, tieBreak: Seq[String] = Nil,
-      numBuckets: Int = 16, bucketBy: Seq[String] = Nil): Unit = {
+      numBuckets: Int = 16, bucketBy: Seq[String] = Nil,
+      cdc: Boolean = false): Unit = {
     require(!Files.exists(manifestPath(tablePath)),
       s"table already exists at $tablePath")
     Files.createDirectories(Paths.get(tablePath))
     val by = if (bucketBy.isEmpty) keys else bucketBy
     val p = Props(keys, precombine, tieBreak, numBuckets, by)
     writeProps(tablePath, p)
+    // cdc-at-create: floor 0 makes cursor 0 a FULL image bootstrap —
+    // the create commit's images are every row as an insert
+    if (cdc) CdcLog.enable(tablePath, 0L)
     val written = writeGen(
       withBucket(HudiLike.precombineLatest(df, keys, precombine, tieBreak), p),
       tablePath, 0L)
-    writeManifest(tablePath, written.map(_ -> 0L).toMap, p)
+    writeManifest(tablePath, written.map(_ -> 0L).toMap, p,
+      CdcLog.Action.Changes { () =>
+        val spark = df.sparkSession
+        val content = readGenBuckets(spark, tablePath, 0L, written,
+          df.limit(0))
+        CdcLog.diff(content.limit(0), content, keys)
+      })
   }
 
   /** Read the live table (all buckets at their manifest generation).
@@ -400,7 +484,12 @@ object BucketTable {
       // recompute instead of carrying: upsert projects to the data
       // columns of both sides; bucket is a pure function of the keys
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
-    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p)
+    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
+      CdcLog.Action.Changes { () =>
+        val before = existing.drop(BucketCol)
+        CdcLog.diff(before,
+          readGenBuckets(spark, tablePath, gen, written, before), p.keys)
+      })
     written
   }
 
@@ -425,7 +514,10 @@ object BucketTable {
     PreCommit.validate(tagged, validators)
     val gen = nextGen(tablePath)
     val written = writeGen(tagged, tablePath, gen)
-    writeManifest(tablePath, written.map(_ -> gen).toMap, p)
+    // a full restate has no row-level diff — the cdc floor ratchets
+    // past every cursor (consumers re-sync loudly from a snapshot)
+    writeManifest(tablePath, written.map(_ -> gen).toMap, p,
+      CdcLog.Action.Destructive)
     written
   }
 
@@ -473,7 +565,12 @@ object BucketTable {
         // the routing fields above) — never the staged-time p, so an
         // intervening commit's change to any OTHER header field is not
         // silently rolled back by this writer's manifest swing
-        writeManifest(tablePath, m1 ++ written.map(_ -> gen), routingNow)
+        writeManifestLocked(tablePath, m1 ++ written.map(_ -> gen), routingNow,
+          CdcLog.Action.Changes { () =>
+            val before = existing.drop(BucketCol)
+            CdcLog.diff(before,
+              readGenBuckets(spark, tablePath, gen, written, before), p.keys)
+          })
         Committed(written, stagedLive = true)
       } else salvageOrRetry(spark, tablePath, tagged, routingNow, m1, m0,
         repointed, written, gen)
@@ -546,8 +643,17 @@ object BucketTable {
           p.keys, p.precombine, p.tieBreak)
         val fixWritten = writeGen(withBucket(fixed, p), tablePath, fixGen)
         val keepStaged = written.filterNot(repointed)
-        writeManifest(tablePath,
-          m1 ++ keepStaged.map(_ -> gen) ++ fixWritten.map(_ -> fixGen), p)
+        writeManifestLocked(tablePath,
+          m1 ++ keepStaged.map(_ -> gen) ++ fixWritten.map(_ -> fixGen), p,
+          CdcLog.Action.Changes { () =>
+            val all = (keepStaged ++ fixWritten).toSet
+            val before = readBuckets(spark, tablePath, all, m1).drop(BucketCol)
+            val after = readGenBuckets(spark, tablePath, gen, keepStaged, before)
+              .unionByName(
+                readGenBuckets(spark, tablePath, fixGen, fixWritten, before),
+                allowMissingColumns = true)
+            CdcLog.diff(before, after, p.keys)
+          })
         Committed((keepStaged ++ fixWritten).sorted,
           stagedLive = keepStaged.nonEmpty)
       }
@@ -706,8 +812,16 @@ object BucketTable {
       s"targeted rewrite produced rows outside its touched buckets " +
         s"(${written.toSet -- touched}) — transform changed key columns?")
     // emptied buckets leave the manifest
-    writeManifest(tablePath,
-      (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen), p)
+    writeManifestLocked(tablePath,
+      (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen), p,
+      // before = the touched buckets' pre-rewrite content (their dirs
+      // are immutable until clean); after = the just-written files — a
+      // bucket the transform emptied simply has no after rows, so its
+      // victims diff to `d`
+      CdcLog.Action.Changes { () =>
+        CdcLog.diff(current,
+          readGenBuckets(spark, tablePath, gen, written, current), p.keys)
+      })
     written
   }
 
@@ -788,7 +902,8 @@ object BucketTable {
     val gen = nextGen(tablePath)
     val written = writeGen(
       readBuckets(spark, tablePath, m.keySet), tablePath, gen)
-    writeManifest(tablePath, written.map(_ -> gen).toMap, props(tablePath))
+    writeManifest(tablePath, written.map(_ -> gen).toMap, props(tablePath),
+      CdcLog.Action.Preserving)
     gen
   }
 
@@ -843,7 +958,8 @@ object BucketTable {
         .sortWithinPartitions(layout: _*)
         .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
       val written = listWrittenBuckets(dir)
-      writeManifest(tablePath, written.map(_ -> gen).toMap, p)
+      writeManifestLocked(tablePath, written.map(_ -> gen).toMap, p,
+        CdcLog.Action.Preserving)
       gen
     }
 
@@ -893,7 +1009,8 @@ object BucketTable {
       // leave numBuckets pointing at the old generation's layout.
       // The `_props` mirror follows; losing it to a crash is harmless
       // (props() prefers the manifest header).
-      writeManifest(tablePath, written.map(_ -> gen).toMap, np)
+      writeManifestLocked(tablePath, written.map(_ -> gen).toMap, np,
+        CdcLog.Action.Preserving)
       writeProps(tablePath, np)
       gen
     }
@@ -1001,7 +1118,7 @@ object BucketTable {
           bucketBy = if (by.isEmpty) cur.bucketBy else by)
         case None => cur
       }
-      writeManifest(tablePath, m, restored)
+      writeManifestLocked(tablePath, m, restored, CdcLog.Action.Destructive)
       writeProps(tablePath, restored)
     }
     ()

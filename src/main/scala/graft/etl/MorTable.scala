@@ -67,10 +67,16 @@ object MorTable {
     if (!Files.exists(p)) None
     else Files.readString(p).trim.split(' ') match {
       case Array(b, h, f) => Some((b.toLong, h.toLong, f.toLong))
-      // pre-monotonic pointer: deltas were per-epoch, floor unknown —
-      // treat the epoch-local count as the head with floor 0 (correct
-      // for any table that never compacted under the old format)
-      case Array(b, s) => Some((b.toLong, s.toLong, 0L))
+      // pre-monotonic pointer: deltas were per-epoch, floor unknown.
+      // base == 0 means the table never compacted/overwrote under the
+      // old numbering, so its seqs ARE monotonic — adopt them (floor 0).
+      // base > 0 means deltas reset to 0 at least once, so any
+      // pre-existing cursor may alias into the renumbered feed — set
+      // floor = head to force every such cursor through the loud
+      // re-sync exactly once.
+      case Array(b, s) =>
+        val (base, head) = (b.toLong, s.toLong)
+        Some((base, head, if (base > 0L) head else 0L))
     }
   }
 
@@ -116,7 +122,8 @@ object MorTable {
 
   /** Initialize the table: `df` becomes base version 0. */
   def create(df: DataFrame, tablePath: String, keys: Seq[String],
-      precombine: String, tieBreak: Seq[String] = Nil): Unit = {
+      precombine: String, tieBreak: Seq[String] = Nil,
+      cdc: Boolean = false): Unit = {
     require(state(tablePath).isEmpty, s"table already exists at $tablePath")
     Files.createDirectories(Paths.get(tablePath))
     Files.writeString(propsPath(tablePath),
@@ -125,6 +132,9 @@ object MorTable {
     HudiLike.precombineLatest(df, keys, precombine, tieBreak)
       .write.mode("overwrite").parquet(s"$tablePath/base=0")
     writePointer(tablePath, 0L, 0L, 0L)
+    // base rows get no images (seq 0 IS the snapshot a consumer seeds
+    // from); commits 1.. are captured
+    if (cdc) CdcLog.enable(tablePath, 0L)
   }
 
   /** Metadata-only bootstrap — Hudi's `METADATA_ONLY` bootstrap mode:
@@ -193,7 +203,7 @@ object MorTable {
     appendFlagged(tablePath, batch.withColumn(DelCol, lit(deleted)))
 
   /** Append a batch already carrying `_deleted` as one delta log. */
-  private def appendFlagged(tablePath: String, flagged: DataFrame): Long =
+  private def appendFlagged(tablePath: String, flagged0: DataFrame): Long =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val (base, head, floor) = fullState(tablePath).getOrElse(
         throw new IllegalStateException(s"no MOR table at $tablePath"))
@@ -201,15 +211,80 @@ object MorTable {
       // roll back debris from a writer that died between the log write
       // and the pointer swing: the pointer never referenced log seq, so
       // readers never saw the dir and the retry may reclaim it (same
-      // lazy rollback as BucketTable.rollbackOrphan)
+      // lazy rollback as BucketTable.rollbackOrphan); staged or
+      // published cdc images at the dead writer's seq go with it
       val logDir = Paths.get(tablePath, s"log=$base.$seq")
       if (Files.exists(logDir)) deleteRecursively(logDir)
+      CdcLog.discard(tablePath, seq)
+      // cdc images are STAGED before the log write and published only
+      // after the pointer swing (CdcLog's two-phase contract): a crash
+      // anywhere in between leaves a real commit with missing images
+      // (served loudly) — never published images of a commit that
+      // didn't happen
+      val flagged =
+        if (!CdcLog.enabled(tablePath)) flagged0
+        else {
+          val f = flagged0.localCheckpoint()
+          stageCdc(tablePath, seq, f)
+          f
+        }
       flagged
         .withColumn(SeqCol, lit(seq))
         .write.mode("errorifexists").parquet(logDir.toString)
       writePointer(tablePath, base, seq, floor)
+      CdcLog.publish(tablePath, seq)
       seq
     }
+
+  /** Compute and stage commit `seq`'s before/after images: the
+    * PRE-COMMIT merged snapshot restricted (null-safe) to the batch's
+    * keys is the before side; replaying the MOR merge over it plus the
+    * batch yields the after side — exactly what [[mergedSnapshot]]
+    * will serve, including an upsert losing its precombine race
+    * (emits nothing) and a tombstone retiring a live row (emits `d`
+    * with the victim as the before image). Caller holds the table
+    * lock with the pointer NOT yet swung. Cost: one keyed probe of the
+    * merged snapshot per commit — the price of exact images on a
+    * layout whose plain upsert never reads (Hudi pays it in the same
+    * place, tagging the batch during its cdc write).
+    */
+  private def stageCdc(tablePath: String, seq: Long,
+      flagged: DataFrame): Unit = {
+    val spark = flagged.sparkSession
+    val p = props(tablePath)
+    val keyset = flagged.select(p.keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val merged = mergedSnapshot(spark, tablePath)
+    val cond = p.keys.map(k => merged(k) <=> keyset(k)).reduce(_ && _)
+    val before = merged.join(keyset, cond, "left_semi").localCheckpoint()
+    val after = HudiLike.precombineLatest(
+      before.unionByName(flagged.withColumn(SeqCol, lit(seq)),
+        allowMissingColumns = true),
+      p.keys, p.precombine, SeqCol +: p.tieBreak)
+      .filter(!col(DelCol))
+    CdcLog.stage(tablePath, seq,
+      CdcLog.diff(before.drop(SeqCol, DelCol), after.drop(SeqCol, DelCol),
+        p.keys))
+  }
+
+  /** Turn on row-level CDC (Hudi 0.13 `hoodie.table.cdc.enabled`):
+    * commits AFTER the current head get before/after images, served by
+    * [[changesCdc]]. The consumer seeds from a snapshot and
+    * checkpoints [[changeHead]] — images for older commits don't exist
+    * and their window is refused loudly.
+    */
+  def enableCdc(tablePath: String): Unit =
+    CdcLog.enable(tablePath, changeHead(tablePath))
+
+  /** The row-level CDC feed for `(sinceSeq, head]`: `_op` ∈ {i,u,d},
+    * `_before_<c>`/`_after_<c>` images, `_change_seq`. Survives
+    * compaction (images live outside the delta log) and fails loudly
+    * on a cursor below the cdc floor or a window with missing images —
+    * see [[CdcLog.changes]].
+    */
+  def changesCdc(spark: SparkSession, tablePath: String,
+      sinceSeq: Long): DataFrame =
+    CdcLog.changes(spark, tablePath, sinceSeq, changeHead(tablePath))
 
   /** Upsert = append the batch as a delta log. Only the batch is
     * written — the base and earlier logs are untouched (the whole point

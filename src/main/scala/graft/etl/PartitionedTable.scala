@@ -482,14 +482,13 @@ object PartitionedTable {
     val kept = manifest(tablePath)
       .filterNot { case (d, _) => overwritten(partitionPrefix(p, d)) }
     writeManifest(tablePath, kept ++ written.map(_ -> gen))
-    // the restated partitions' pending delta commits are superseded
-    // wholesale too — an overwrite is a full restate, not a merge
+    // the restate is invisible to the change feed — every cursor dies
+    // (even if the touched partitions had no pending deltas), and the
+    // superseded delta commits retire with it
+    retireDestructive(tablePath) // ratchet-then-remove
     val d = deltas(tablePath)
     val (gone, keptD) = d.partition(e => overwritten(partitionPrefix(p, e._1)))
-    if (gone.nonEmpty) {
-      retireDeltas(tablePath, gone) // ratchet-then-remove, see retireDeltas
-      writeDeltas(tablePath, keptD)
-    }
+    if (gone.nonEmpty) writeDeltas(tablePath, keptD)
     written
   }
 
@@ -502,14 +501,14 @@ object PartitionedTable {
     val drop = prunePartitions(spark, tablePath, pred)
     if (drop.nonEmpty) {
       val dropSet = drop.toSet
+      // the drop is invisible to the change feed — every cursor dies
+      // (deltas pending or not); ratchet BEFORE either rewrite
+      retireDestructive(tablePath)
       writeManifest(tablePath, manifest(tablePath) -- drop)
       // dropped rows must not resurrect through the delta log
       val d = deltas(tablePath)
       val (gone, keptD) = d.partition(e => dropSet(e._1))
-      if (gone.nonEmpty) {
-        retireDeltas(tablePath, gone) // ratchet-then-remove
-        writeDeltas(tablePath, keptD)
-      }
+      if (gone.nonEmpty) writeDeltas(tablePath, keptD)
     }
     drop
   }
@@ -544,15 +543,14 @@ object PartitionedTable {
     require(written.toSet.subsetOf(touched),
       s"targeted rewrite produced rows outside its touched slices " +
         s"(${written.toSet -- touched}) — transform changed identity columns?")
+    // the rewrite is invisible to the change feed — every cursor dies
+    // (deltas pending or not); ratchet BEFORE either rewrite, and the
+    // absorbed delta entries retire so a deleted row can't resurrect
+    retireDestructive(tablePath)
     writeManifest(tablePath,
       (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen))
-    // the rewrite absorbed these slices' deltas — retire them so a
-    // deleted row can't resurrect through the log (same
-    // manifest-then-deltas ordering as dropPartitions)
-    if (touchedDeltas.nonEmpty) {
-      retireDeltas(tablePath, touchedDeltas) // ratchet-then-remove
+    if (touchedDeltas.nonEmpty)
       writeDeltas(tablePath, d.filterNot(e => touched(e._1)))
-    }
     written
   }
 
@@ -692,6 +690,21 @@ object PartitionedTable {
   private def retireDeltas(tablePath: String,
       removed: Seq[(String, Long)]): Unit =
     removed.map(_._2).maxOption.foreach(ratchetFloor(tablePath, _))
+
+  /** Destructive retirement: the op restated or abandoned content
+    * WITHOUT a delta commit recording the change (overwrite / drop /
+    * targeted rewrite / savepoint restore), so NO existing cursor can
+    * reconstruct it from the feed — consume a change seq and floor past
+    * every cursor ([[MorTable.overwriteTable]]'s move: head+1). Unlike
+    * [[retireDeltas]]' compaction path — where a cursor AT the floor
+    * has genuinely seen everything and max-removed-seq is the right
+    * ratchet — this fires even when the restated slices had NO pending
+    * deltas: it is the invisible content change that invalidates the
+    * cursors, not the log removal. Same ratchet-BEFORE-rewrite ordering
+    * discipline as [[retireDeltas]].
+    */
+  private def retireDestructive(tablePath: String): Unit =
+    ratchetFloor(tablePath, changeHead(tablePath) + 1L)
 
   /** MERGE-ON-READ upsert: append the precombined batch as a delta
     * commit — one partitioned write of O(batch) rows, NO base read,
@@ -1082,11 +1095,13 @@ object PartitionedTable {
   def restoreSavepoint(tablePath: String, name: String): Unit = {
     val (m, d) = savepointState(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
-      // post-savepoint delta commits vanish from the feed — ratchet the
-      // floor over them (BEFORE the rewrite, see retireDeltas) so a
-      // consumer checkpointed in the abandoned window re-syncs loudly
-      // instead of replaying a diverged history
-      retireDeltas(tablePath, deltas(tablePath).filterNot(d.toSet))
+      // the restore rewrites history invisibly to the change feed —
+      // EVERY cursor dies (whether or not post-savepoint delta commits
+      // existed), because rows the consumer already integrated may now
+      // be gone; ratchet past the head BEFORE the rewrite (see
+      // retireDestructive) so re-sync is loud, never a silent replay
+      // of a diverged history
+      retireDestructive(tablePath)
       writeManifest(tablePath, m)
       writeDeltas(tablePath, d)
     }

@@ -243,6 +243,35 @@ object SqlCall {
               "layout (partitioned | mor)" +
               other.fold("")(kp => s"; layout: ${kp._1}"))
         }
+      case ("table_changes", Seq(t: String, since, mode: String)) =>
+        // Hudi 0.13 cdc mode (`hoodie.table.cdc.enabled`): before/after
+        // IMAGES with an op column — exact deletes and update priors,
+        // on MOR and bucket alike (the post-image/restatement gap the
+        // plain feeds have). Images are written at commit time
+        // (CdcLog's two-phase stage/publish), so the feed survives
+        // compaction/clustering and fails loudly on destructive
+        // windows. Served in the WRITE schema, like Hudi's cdc log.
+        require(mode == "cdc",
+          s"table_changes('$t', ..., '$mode'): the only mode is 'cdc'")
+        val sinceSeq2 = toLongArg(since, "since")
+        Catalog.layoutOf(spark, t) match {
+          case Some(("mor", p)) => MorTable.changesCdc(spark, p, sinceSeq2)
+          case Some(("bucket", p)) => BucketTable.changesCdc(spark, p, sinceSeq2)
+          case other => throw new IllegalArgumentException(
+            s"table_changes('$t', ..., 'cdc'): image-logging is " +
+              "implemented for mor | bucket layouts" +
+              other.fold("")(kp => s"; layout: ${kp._1}"))
+        }
+      case ("enable_cdc", Seq(t: String)) =>
+        Catalog.layoutOf(spark, t) match {
+          case Some(("mor", p)) => MorTable.enableCdc(p)
+          case Some(("bucket", p)) => BucketTable.enableCdc(p)
+          case other => throw new IllegalArgumentException(
+            s"enable_cdc('$t'): image-logging is implemented for " +
+              "mor | bucket layouts" +
+              other.fold("")(kp => s"; layout: ${kp._1}"))
+        }
+        Seq(t).toDF("cdc_enabled")
       case ("create_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.savepoint(p, sp),
@@ -276,7 +305,7 @@ object SqlCall {
           "show_indexes, show_schema_state, show_partitions, show_files, " +
           "show_fsview, "
           + "run_clustering, run_bootstrap, incremental_read, " +
-          "table_changes, " +
+          "table_changes, enable_cdc, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +
           "delete_savepoint, read_savepoint)")
     }

@@ -480,6 +480,74 @@ object PipelineQueries {
       .select(col("change_seq") +: col("deleted") +: PartCols: _*)
   }
 
+  /** `p_sql_cdc_images`: row-level CDC with BEFORE/AFTER images (Hudi
+    * 0.13 `hoodie.table.cdc.enabled`, served as
+    * `CALL table_changes(t, since, 'cdc')`) across upsert, delete and
+    * compaction windows on BOTH image-logging layouts. One scripted
+    * lifecycle per layout over `orders` (key = o_orderkey, all keys
+    * unique):
+    *
+    *   create   keys k%10 < 8, v = o_totalprice          (bucket: all `i`)
+    *   upsert   k%10 ∈ {6,7} → v+100 (wins) · k%10 = 8 → insert ·
+    *            k%10 = 0 → STALE precombine (loses: NO image — the feed
+    *            describes snapshot transitions, not write attempts)
+    *   delete   k%10 ∈ {7,9} — 7 exists (`d` with the UPDATED value as
+    *            its before image), 9 was never live (no image)
+    *   compact  fold (MOR) / restate (bucket): zero image rows, yet the
+    *            bucket window stays exact (the commit's dir exists)
+    *   upsert   k%10 = 6 → v+200 (`u` whose before is the PREVIOUS
+    *            update's after — images chain across the compaction)
+    *
+    * The oracle reconstructs every image arithmetically from `orders`.
+    * O(changes) serving: the pull reads only `cdc=` dirs, never the
+    * base — the same reason Hudi writes a supplemental cdc log instead
+    * of diffing snapshots at query time.
+    */
+  def sqlCdcImages(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val base = src.filter(col("k") % 10 < 8)
+    val up1 = src.filter(col("k") % 10 === 6 || col("k") % 10 === 7)
+      .withColumn("pc", lit(2L)).withColumn("v", col("v") + 100)
+      .unionByName(src.filter(col("k") % 10 === 8).withColumn("pc", lit(2L)))
+      .unionByName(src.filter(col("k") % 10 === 0)
+        .withColumn("pc", lit(0L)).withColumn("v", lit(-1.0)))
+    val delKeys = src.filter(col("k") % 10 === 7 || col("k") % 10 === 9)
+      .select(col("k"))
+    val up2 = src.filter(col("k") % 10 === 6)
+      .withColumn("pc", lit(3L)).withColumn("v", col("v") + 200)
+
+    val morPath = java.nio.file.Files
+      .createTempDirectory(morScratch, "cdci").toString + "/t"
+    graft.etl.MorTable.create(base, morPath,
+      keys = Seq("k"), precombine = "pc", cdc = true)
+    graft.etl.MorTable.upsertInto(morPath, up1)                     // seq 1
+    graft.etl.MorTable.deleteFrom(morPath,
+      delKeys.withColumn("pc", lit(9L)))                            // seq 2
+    graft.etl.MorTable.compact(spark, morPath)                      // no seq
+    graft.etl.MorTable.upsertInto(morPath, up2)                     // seq 3
+
+    val bkPath = java.nio.file.Files
+      .createTempDirectory(morScratch, "cdci").toString + "/t"
+    graft.etl.BucketTable.create(base, bkPath,
+      keys = Seq("k"), precombine = "pc", numBuckets = 8, cdc = true) // commit 1
+    graft.etl.BucketTable.upsertInto(spark, bkPath, up1)              // commit 2
+    graft.etl.BucketTable.deleteFrom(spark, bkPath, delKeys)          // commit 3
+    graft.etl.BucketTable.compact(spark, bkPath)                      // commit 4
+    graft.etl.BucketTable.upsertInto(spark, bkPath, up2)              // commit 5
+
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_mor", "mor", morPath)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bk", "bucket", bkPath)
+    def feed(table: String, layout: String): DataFrame =
+      graft.etl.SqlCall.exec(spark,
+        s"CALL table_changes('$table', 0, 'cdc')")
+        .select(lit(layout).as("layout"), col("k"),
+          col("_op").as("op"), col("_change_seq").as("change_seq"),
+          col("_before_v").as("before_v"), col("_after_v").as("after_v"))
+    feed("graft_cdc_mor", "mor").unionByName(feed("graft_cdc_bk", "bucket"))
+  }
+
   /** `p_part_mor_delete`: row-level delete through the delta log —
     * tombstone every (day, user) identity whose user id is divisible
     * by 7 (a far-future precombine outranks every live row), then
@@ -2739,6 +2807,7 @@ object PipelineQueries {
     "p_part_mor_read_optimized" -> (partMorReadOptimized(_, _)),
     "p_part_mor_changes" -> (partMorChanges(_, _)),
     "p_sql_table_changes" -> (sqlTableChanges(_, _)),
+    "p_sql_cdc_images" -> (sqlCdcImages(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
@@ -3541,6 +3610,32 @@ object PipelineQueries {
     "p_part_mor_changes" -> partMorChangesOracle,
     // the SQL front door serves the IDENTICAL CDC feed: one oracle
     "p_sql_table_changes" -> partMorChangesOracle,
+    // every image is reconstructable arithmetically from orders: the
+    // scripted lifecycle (see sqlCdcImages) only ever adds 100/200 to
+    // o_totalprice, so op, before and after are pure CASE algebra
+    "p_sql_cdc_images" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+         |mor AS (
+         |  SELECT 'mor' AS layout, k, 'u' AS op, CAST(1 AS BIGINT) AS change_seq,
+         |         v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
+         |  UNION ALL SELECT 'mor', k, 'i', 1, CAST(NULL AS DOUBLE), v
+         |    FROM src WHERE k%10 = 8
+         |  UNION ALL SELECT 'mor', k, 'd', 2, v+100, CAST(NULL AS DOUBLE)
+         |    FROM src WHERE k%10 = 7
+         |  UNION ALL SELECT 'mor', k, 'u', 3, v+100, v+200
+         |    FROM src WHERE k%10 = 6),
+         |bk AS (
+         |  SELECT 'bucket' AS layout, k, 'i' AS op, CAST(1 AS BIGINT) AS change_seq,
+         |         CAST(NULL AS DOUBLE) AS before_v, v AS after_v
+         |    FROM src WHERE k%10 < 8
+         |  UNION ALL SELECT 'bucket', k, 'u', 2, v, v+100 FROM src WHERE k%10 IN (6,7)
+         |  UNION ALL SELECT 'bucket', k, 'i', 2, CAST(NULL AS DOUBLE), v
+         |    FROM src WHERE k%10 = 8
+         |  UNION ALL SELECT 'bucket', k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
+         |    FROM src WHERE k%10 = 7
+         |  UNION ALL SELECT 'bucket', k, 'u', 5, v+100, v+200
+         |    FROM src WHERE k%10 = 6)
+         |SELECT * FROM mor UNION ALL SELECT * FROM bk""".stripMargin,
     "p_part_group_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

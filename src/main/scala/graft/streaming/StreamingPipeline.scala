@@ -848,8 +848,6 @@ object StreamingPipeline {
     */
   private def requireWindowStillOnDisk(spark: SparkSession,
       tablePath: String, outPath: String): Unit = {
-    val floor = graft.etl.MorTable.compactedThrough(tablePath)
-    if (floor == 0L) return // never compacted: every commit is live
     val consumed: Option[Long] =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) None
       else scala.util.Try(spark.read.parquet(outPath).agg(max(col("_seq")))
@@ -858,6 +856,13 @@ object StreamingPipeline {
           // consumer: seeds from a snapshot by contract)
           case l: Long => l
         }
+    requireWindowStillOnDisk(tablePath, consumed)
+  }
+
+  private def requireWindowStillOnDisk(tablePath: String,
+      consumed: Option[Long]): Unit = {
+    val floor = graft.etl.MorTable.compactedThrough(tablePath)
+    if (floor == 0L) return // never compacted: every commit is live
     consumed.foreach { c =>
       import scala.jdk.CollectionConverters._
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(tablePath))
@@ -874,6 +879,36 @@ object StreamingPipeline {
           "read them — re-sync the downstream from a snapshot and " +
           "restart with a fresh checkpoint")
     }
+  }
+
+  /** The consumer's delivered head derived from the file-source
+    * CHECKPOINT (not from output rows): the highest log seq among
+    * files the source has committed to a micro-batch. This is the
+    * cursor for consumers whose sink drops `_seq` (e.g.
+    * [[runTableToTable]]'s keyed target) — the divergence after a
+    * silent skip would otherwise be undetectable downstream. Reads the
+    * source's `sources/0` offset files (v1 file-source format: one
+    * JSON entry per discovered file, including `.compact` folds).
+    */
+  private def consumedHeadFromCheckpoint(checkpoint: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(checkpoint, "sources", "0")
+    if (!java.nio.file.Files.exists(dir)) return None
+    val seqRe = "log=\\d+\\.(\\d+)/".r
+    val s = java.nio.file.Files.list(dir)
+    val seqs =
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.endsWith(".tmp"))
+        // lenient decode: offset files are JSON text, but Spark may mix
+        // in non-text artifacts (CRCs, compaction headers) — malformed
+        // bytes must not fail the guard, they just can't contribute a seq
+        .map(p => new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .flatMap(t => seqRe.findAllMatchIn(t).map(_.group(1).toLong))
+        .toSeq
+      finally s.close()
+    seqs.maxOption
   }
 
   /** The MOR delta log as a streaming DataFrame (see
@@ -904,6 +939,11 @@ object StreamingPipeline {
   def runTableToTable(spark: SparkSession, sourceMorPath: String,
       targetPath: String, checkpoint: String, keys: Seq[String],
       precombine: String, tieBreak: Seq[String]): Unit = {
+    // same silent-skip exposure as runTableChangeStream (shared log=*
+    // glob) — but the target drops _seq, so the consumed head comes
+    // from the checkpoint's committed file list instead of output rows
+    requireWindowStillOnDisk(sourceMorPath,
+      consumedHeadFromCheckpoint(checkpoint))
     val q = changeStream(spark, sourceMorPath).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

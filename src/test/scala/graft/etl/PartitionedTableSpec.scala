@@ -420,18 +420,25 @@ class PartitionedTableSpec extends SparkSpec {
     assert(PartitionedTable.changesSince(spark, dir, 2L)
       .select("change_seq", "k").as[(Long, String)].collect().toSeq ==
       Seq((3L, "e")))
-    // retiring deltas wholesale (overwrite) ratchets the floor too:
-    // seq 3's feed is gone, so cursor 2 now raises instead of silently
-    // skipping the restated partition
+    // a DESTRUCTIVE retirement (overwrite) consumes a seq and floors
+    // past EVERY cursor — the restate is invisible to the feed, so even
+    // the consumer checkpointed at the pre-overwrite head (3) must
+    // re-sync loudly, not just the one below it
     PartitionedTable.insertOverwrite(spark, dir, rows(("d2", "x", 9L, 9.0)))
-    assert(PartitionedTable.compactedThrough(dir) == 3L)
-    val err2 = intercept[IllegalArgumentException] {
-      PartitionedTable.changesSince(spark, dir, 2L)
+    assert(PartitionedTable.compactedThrough(dir) == 4L)
+    for (stale <- Seq(2L, 3L)) {
+      val err2 = intercept[IllegalArgumentException] {
+        PartitionedTable.changesSince(spark, dir, stale)
+      }
+      assert(err2.getMessage.contains("re-sync"))
     }
-    assert(err2.getMessage.contains("re-sync"))
+    // a post-overwrite re-synced consumer checkpoints the new head (=
+    // the floor) and pulls a valid empty window
+    assert(PartitionedTable.changeHead(dir) == 4L)
+    assert(PartitionedTable.changesSince(spark, dir, 4L).isEmpty)
     // and the next delta commit still never reuses a retired seq
     PartitionedTable.upsertDelta(spark, dir, rows(("d1", "f", 1L, 6.0)))
-    assert(PartitionedTable.deltas(dir).map(_._2).distinct == Seq(4L))
+    assert(PartitionedTable.deltas(dir).map(_._2).distinct == Seq(5L))
   }
 
   test("OCC: disjoint-partition writers both commit despite a stale base") {
