@@ -220,36 +220,44 @@ object MorTable {
       // after the pointer swing (CdcLog's two-phase contract): a crash
       // anywhere in between leaves a real commit with missing images
       // (served loudly) — never published images of a commit that
-      // didn't happen
-      val flagged =
-        if (!CdcLog.enabled(tablePath)) flagged0
+      // didn't happen. The covering-index delta shares the same keyed
+      // probe and reconciles AFTER the swing (an index ahead of the
+      // commit would serve uncommitted rows; behind is merely stale).
+      val cdcOn = CdcLog.enabled(tablePath)
+      val idx = boundCoveringIndex(tablePath)
+      val (flagged, images) =
+        if (!cdcOn && idx.isEmpty) (flagged0, None)
         else {
           val f = flagged0.localCheckpoint()
-          stageCdc(tablePath, seq, f)
-          f
+          val ba = beforeAfter(tablePath, seq, f)
+          if (cdcOn) CdcLog.stage(tablePath, seq,
+            CdcLog.diff(ba._1, ba._2, props(tablePath).keys))
+          (f, Some(ba))
         }
       flagged
         .withColumn(SeqCol, lit(seq))
         .write.mode("errorifexists").parquet(logDir.toString)
       writePointer(tablePath, base, seq, floor)
       CdcLog.publish(tablePath, seq)
+      for (((secCols, idxPath), (before, after)) <- idx.zip(images))
+        SecondaryIndex.reconcileCovering(flagged.sparkSession, idxPath,
+          before, after, secCols, props(tablePath).keys)
       seq
     }
 
-  /** Compute and stage commit `seq`'s before/after images: the
+  /** One commit's (before, after) row states for its touched keys: the
     * PRE-COMMIT merged snapshot restricted (null-safe) to the batch's
-    * keys is the before side; replaying the MOR merge over it plus the
-    * batch yields the after side — exactly what [[mergedSnapshot]]
-    * will serve, including an upsert losing its precombine race
-    * (emits nothing) and a tombstone retiring a live row (emits `d`
-    * with the victim as the before image). Caller holds the table
+    * keys, and the MOR merge replayed over it plus the batch — exactly
+    * what [[mergedSnapshot]] will serve, including an upsert losing
+    * its precombine race (no change) and a tombstone retiring a live
+    * row (the victim leaves the after side). Caller holds the table
     * lock with the pointer NOT yet swung. Cost: one keyed probe of the
-    * merged snapshot per commit — the price of exact images on a
-    * layout whose plain upsert never reads (Hudi pays it in the same
-    * place, tagging the batch during its cdc write).
+    * merged snapshot per commit — the price of exact cdc images and a
+    * current covering index on a layout whose plain upsert never reads
+    * (Hudi pays it in the same place, tagging the batch at write).
     */
-  private def stageCdc(tablePath: String, seq: Long,
-      flagged: DataFrame): Unit = {
+  private def beforeAfter(tablePath: String, seq: Long,
+      flagged: DataFrame): (DataFrame, DataFrame) = {
     val spark = flagged.sparkSession
     val p = props(tablePath)
     val keyset = flagged.select(p.keys.map(col): _*).distinct()
@@ -262,9 +270,40 @@ object MorTable {
         allowMissingColumns = true),
       p.keys, p.precombine, SeqCol +: p.tieBreak)
       .filter(!col(DelCol))
-    CdcLog.stage(tablePath, seq,
-      CdcLog.diff(before.drop(SeqCol, DelCol), after.drop(SeqCol, DelCol),
-        p.keys))
+      .localCheckpoint()
+    (before.drop(SeqCol, DelCol), after.drop(SeqCol, DelCol))
+  }
+
+  // ---- covering secondary index binding (see SecondaryIndex) --------
+
+  private def secIdxPath(tablePath: String): Path =
+    Paths.get(tablePath, "_secidx")
+
+  /** The bound covering index, if any: (secondary cols, index path).
+    * Engine-level (a table-dir file, not catalog state) so EVERY write
+    * path maintains it — programmatic upserts included.
+    */
+  def boundCoveringIndex(tablePath: String): Option[(Seq[String], String)] = {
+    val p = secIdxPath(tablePath)
+    if (!Files.exists(p)) None
+    else {
+      val l = Files.readString(p).trim
+      val i = l.indexOf(' ')
+      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
+    }
+  }
+
+  def bindCoveringIndex(tablePath: String, secCols: Seq[String],
+      indexPath: String): Unit = {
+    Files.writeString(secIdxPath(tablePath),
+      s"${secCols.mkString(",")} $indexPath",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  def unbindCoveringIndex(tablePath: String): Unit = {
+    Files.deleteIfExists(secIdxPath(tablePath))
+    ()
   }
 
   /** Turn on row-level CDC (Hudi 0.13 `hoodie.table.cdc.enabled`):
@@ -452,8 +491,16 @@ object MorTable {
       // every pre-overwrite cursor: a full restate invalidates the
       // row-level feed (no per-commit diff exists for it), so even a
       // consumer checkpointed at the old head must re-sync loudly
-      // rather than silently miss the restatement
+      // rather than silently miss the restatement — the cdc image
+      // floor ratchets with it
+      CdcLog.ratchet(tablePath, head + 1)
       writePointer(tablePath, next, head + 1, head + 1)
+      // a bound covering index is rebuilt from the replacement —
+      // proportionate, the verb itself replaced the whole table
+      boundCoveringIndex(tablePath).foreach { case (_, idxPath) =>
+        SecondaryIndex.rebuildMorCovering(incoming.sparkSession, tablePath,
+          idxPath)
+      }
       next
     }
 

@@ -171,4 +171,78 @@ object SecondaryIndex {
     BucketTable.upsertInto(spark, indexPath, dead)
     ()
   }
+
+  // ---- COVERING variant (MOR primaries) ------------------------------
+  //
+  // A bucket primary serves an index hit with an O(probed buckets)
+  // keyed fetch, so its index stores only (sec, key) mappings. A MOR
+  // primary is ONE file group — any keyed fetch is a full merge scan —
+  // so its secondary index is COVERING: entries carry the whole row,
+  // and an equality SELECT is served ENTIRELY from the index's probed
+  // bucket, zero primary access (the sorted-projection trade every
+  // database covering index makes; Hudi 1.0 reaches the same end via
+  // secondary index → RLI → file-group pruning, which needs the
+  // multi-file-group layouts our bucket/partitioned tables already
+  // serve). Maintenance rides the ENGINE write path
+  // ([[MorTable.appendFlagged]]'s keyed probe, shared with the cdc
+  // image writer) — programmatic and SQL writes alike keep it current.
+
+  /** Bootstrap a covering index from the MOR primary's snapshot. */
+  def createMorCovering(spark: SparkSession, primaryPath: String,
+      indexPath: String, secCols: Seq[String], numBuckets: Int = 16): Unit = {
+    val p = MorTable.props(primaryPath)
+    require(secCols.nonEmpty && secCols.forall(!p.keys.contains(_)),
+      s"secondary columns ($secCols) must not overlap the primary key (${p.keys})")
+    val entries = MorTable.readSnapshot(spark, primaryPath)
+      .withColumn(Live, lit(true))
+      .withColumn(Commit, lit(0L))
+    BucketTable.create(entries, indexPath,
+      keys = secCols ++ p.keys, precombine = Commit,
+      numBuckets = numBuckets, bucketBy = secCols)
+    MorTable.bindCoveringIndex(primaryPath, secCols, indexPath)
+  }
+
+  /** Commit the delta between the pre/post FULL-ROW states of one
+    * commit's touched keys: mappings that vanished tombstone (payload
+    * nulled — a dead entry is never served), every post row upserts
+    * live. Disjoint by construction (a mapping is gone or present,
+    * never both), so one index upsert per primary commit.
+    */
+  def reconcileCovering(spark: SparkSession, indexPath: String,
+      pre: DataFrame, post: DataFrame, secCols: Seq[String],
+      keys: Seq[String]): Unit = {
+    val mapCols = (secCols ++ keys).map(col)
+    val deadMaps = pre.select(mapCols: _*).except(post.select(mapCols: _*))
+    val dead = deadMaps.withColumn(Live, lit(false))
+    val live = post.withColumn(Live, lit(true))
+    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    BucketTable.upsertInto(spark, indexPath,
+      dead.unionByName(live, allowMissingColumns = true)
+        .withColumn(Commit, lit(commit)))
+    ()
+  }
+
+  /** Serve `sec = v` / `IN` / `IS NULL` combinations from a covering
+    * index: one index-bucket probe per combination, live rows only,
+    * full primary rows out — NO primary-table access.
+    */
+  def lookupMultiCovering(spark: SparkSession, indexPath: String,
+      combos: Seq[Seq[Any]]): DataFrame =
+    combos.map(vals => BucketTable.lookup(spark, indexPath, vals))
+      .reduceLeft(_.unionByName(_))
+      .filter(col(Live))
+      .drop(Live, Commit)
+
+  /** Rebuild after a destructive primary restate (insert-overwrite):
+    * the verb replaced the whole table, so the index is rebuilt from
+    * the replacement — proportionate, like the bucket layout's
+    * overwrite handling.
+    */
+  def rebuildMorCovering(spark: SparkSession, primaryPath: String,
+      indexPath: String): Unit = {
+    val secCols = BucketTable.props(indexPath).bucketBy
+    val numBuckets = BucketTable.props(indexPath).numBuckets
+    FsUtil.deleteRecursively(java.nio.file.Paths.get(indexPath))
+    createMorCovering(spark, primaryPath, indexPath, secCols, numBuckets)
+  }
 }

@@ -106,14 +106,22 @@ object SqlIndex {
     val tpe = c.indexType.toLowerCase
     val artifact = tpe match {
       case "secondary" =>
-        require(kind == "bucket",
-          s"USING SECONDARY needs a bucket-layout table; $target is '$kind'")
+        require(kind == "bucket" || kind == "mor",
+          s"USING SECONDARY needs a bucket- or mor-layout table; " +
+            s"$target is '$kind'")
         require(Catalog.secondaryIndexOf(spark, target).isEmpty,
           s"$target already binds a secondary index")
         require(cols.forall(!_.contains(":=")),
           "a secondary index takes plain columns, not expressions")
         val idxPath = s"${path}_idx_${c.indexName}"
-        SecondaryIndex.create(spark, path, idxPath, cols)
+        // bucket primaries keep the (sec, key) mapping index (hits are
+        // an O(probed buckets) keyed fetch); a MOR primary is one file
+        // group — any keyed fetch is a merge scan — so its index is
+        // COVERING and maintained on the engine write path (see
+        // SecondaryIndex.createMorCovering)
+        if (kind == "mor")
+          SecondaryIndex.createMorCovering(spark, path, idxPath, cols)
+        else SecondaryIndex.create(spark, path, idxPath, cols)
         setProps(spark, target,
           "graft.table.secondaryIndex" -> s"${cols.mkString(",")}:$idxPath")
         idxPath
@@ -167,6 +175,12 @@ object SqlIndex {
         tpe match {
           case "secondary" =>
             unsetProps(spark, target, "graft.table.secondaryIndex")
+            // a MOR primary also carries the engine-level binding that
+            // drives write-path maintenance — unbind it with the drop
+            Catalog.layoutOf(spark, target).foreach {
+              case ("mor", path) => MorTable.unbindCoveringIndex(path)
+              case _ => ()
+            }
             FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))
           case "record" =>
             RecordIndex.drop(artifact)

@@ -362,9 +362,24 @@ object SqlMerge {
         // tombstone wins — Hudi's _hoodie_is_deleted payload contract.
         val cond = unqualified(d.condition, alias, target)
         val p = MorTable.props(path)
-        val victims = Catalog.readTable(spark, target)
-          .filter(cond)
-          .select((p.keys :+ p.precombine).map(col): _*)
+        val indexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+          case (secCols, idxPath) =>
+            equalityLiterals(d.condition, secCols).map((idxPath, _))
+        }
+        val victims = indexed match {
+          case Some((idxPath, secValues)) =>
+            // covering-index route: the victims come from ONE probed
+            // index bucket — no merge scan of the primary; the index's
+            // own maintenance rides the tombstone append (the engine
+            // write path reconciles it)
+            SecondaryIndex.lookupMultiCovering(spark, idxPath,
+              Seq(secValues))
+              .select((p.keys :+ p.precombine).map(col): _*)
+          case None =>
+            Catalog.readTable(spark, target)
+              .filter(cond)
+              .select((p.keys :+ p.precombine).map(col): _*)
+        }
         MorTable.deleteFrom(path, victims)
         ()
       case Some(("mor_ro", _)) => throw readOnlyView(target)

@@ -111,7 +111,11 @@ object SqlRead {
       cond: Expression): Option[LogicalPlan] = {
     val name = rel.multipartIdentifier.mkString(".")
     layoutOf(spark, name).flatMap {
-      case ("bucket", path) =>
+      // bucket: index resolves keys, one multi-bucket primary fetch.
+      // mor: the index is COVERING (one file group — a keyed fetch
+      // would be a merge scan), so the probe serves the rows itself
+      // with zero primary access.
+      case (kind, path) if kind == "bucket" || kind == "mor" =>
         Catalog.secondaryIndexOf(spark, name).flatMap {
           case (secCols, idxPath) =>
             def cvt(l: Literal): Any =
@@ -149,8 +153,11 @@ object SqlRead {
                   for (prefix <- acc; v <- sets(c.toLowerCase))
                     yield prefix :+ v
                 }
-                Some(Catalog.alignToDeclared(spark, name,
-                  SecondaryIndex.lookupMulti(spark, path, idxPath, combos))
+                val served =
+                  if (kind == "mor")
+                    SecondaryIndex.lookupMultiCovering(spark, idxPath, combos)
+                  else SecondaryIndex.lookupMulti(spark, path, idxPath, combos)
+                Some(Catalog.alignToDeclared(spark, name, served)
                   .queryExecution.analyzed)
               }
             }

@@ -548,6 +548,40 @@ object PipelineQueries {
     feed("graft_cdc_mor", "mor").unionByName(feed("graft_cdc_bk", "bucket"))
   }
 
+  /** `p_sql_index_mor`: a COVERING secondary index on a MOR table —
+    * the layout-independent index serving a 100 TB lake needs (a MOR
+    * table is one file group, so without the index every point read is
+    * a merge scan). Lifecycle over `orders` (key = o_orderkey):
+    * `CREATE INDEX ... USING SECONDARY (st)`, a MERGE that MOVES the
+    * indexed value on k%10=3 (the old mapping must die), an
+    * index-served `DELETE WHERE st = 'O'` (victims resolved from one
+    * probed index bucket, no table scan — `SqlIndexSpec` pins the
+    * zero-primary-access plan), then an index-served `IN` SELECT as
+    * the result. The oracle replays the state algebra directly.
+    */
+  def sqlIndexMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "simor").toString + "/t"
+    graft.etl.MorTable.create(src, path, keys = Seq("k"), precombine = "pc")
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_simor", "mor", path)
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX simor1 ON graft_simor USING SECONDARY (st)")
+    src.filter(col("k") % 10 === 3)
+      .withColumn("pc", lit(2L)).withColumn("st", lit("X"))
+      .withColumn("v", col("v") + 1000)
+      .createOrReplaceTempView("graft_simor_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO graft_simor t USING graft_simor_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    graft.etl.SqlMerge.exec(spark, "DELETE FROM graft_simor WHERE st = 'O'")
+    graft.etl.SqlRead.select(spark,
+      "SELECT k, st, v FROM graft_simor WHERE st IN ('F', 'X')")
+  }
+
   /** `p_part_mor_delete`: row-level delete through the delta log —
     * tombstone every (day, user) identity whose user id is divisible
     * by 7 (a far-future precombine outranks every live row), then
@@ -2808,6 +2842,7 @@ object PipelineQueries {
     "p_part_mor_changes" -> (partMorChanges(_, _)),
     "p_sql_table_changes" -> (sqlTableChanges(_, _)),
     "p_sql_cdc_images" -> (sqlCdcImages(_, _)),
+    "p_sql_index_mor" -> (sqlIndexMor(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
@@ -3610,6 +3645,14 @@ object PipelineQueries {
     "p_part_mor_changes" -> partMorChangesOracle,
     // the SQL front door serves the IDENTICAL CDC feed: one oracle
     "p_sql_table_changes" -> partMorChangesOracle,
+    // MERGE moved k%10=3 to status X (v+1000); the index-served DELETE
+    // removed the still-'O' rows; the IN ('F','X') SELECT is the feed
+    "p_sql_index_mor" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                    o_totalprice AS v FROM orders)
+        |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
+        |UNION ALL
+        |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,
     // every image is reconstructable arithmetically from orders: the
     // scripted lifecycle (see sqlCdcImages) only ever adds 100/200 to
     // o_totalprice, so op, before and after are pure CASE algebra

@@ -170,4 +170,125 @@ object CdcReplayProps extends Properties("CdcReplay") {
             s"loud re-sync with floor=$floor <= checkpoint=$checkpointSeq"
       }
     }
+
+  /** Fold a cdc-image feed over the checkpoint state, asserting at
+    * EVERY image that its before side equals the folded state of that
+    * key (None for an insert) — the before-image contract under
+    * arbitrary histories — and that the final folded state is the live
+    * snapshot. Image feeds survive compaction (images live outside the
+    * delta log), so unlike the post-image feeds above there is no
+    * legitimate refusal in these histories (no destructive ops).
+    */
+  private def checkImageFold(
+      feed: Seq[(Long, String, Long, Option[Long], Option[Double],
+        Option[Long], Option[Double])],
+      snap0: Map[Long, (Long, Double)],
+      snap1: Seq[(Long, Long, Double)]): Prop = {
+    var state = snap0
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    feed.sortBy(_._3).foreach { case (k, op, seq, bpc, bv, apc, av) =>
+      val cur = state.get(k)
+      op match {
+        case "i" =>
+          if (cur.nonEmpty || bpc.nonEmpty || bv.nonEmpty)
+            bad += s"i@$seq k=$k cur=$cur before=($bpc,$bv)"
+          state += k -> ((apc.get, av.get))
+        case "u" =>
+          if (!cur.contains((bpc.getOrElse(-1L), bv.getOrElse(Double.NaN))))
+            bad += s"u@$seq k=$k cur=$cur before=($bpc,$bv)"
+          state += k -> ((apc.get, av.get))
+        case "d" =>
+          if (!cur.contains((bpc.getOrElse(-1L), bv.getOrElse(Double.NaN))))
+            bad += s"d@$seq k=$k cur=$cur before=($bpc,$bv)"
+          if (apc.nonEmpty || av.nonEmpty) bad += s"d@$seq k=$k after nonnull"
+          state -= k
+        case other => bad += s"op '$other'@$seq k=$k"
+      }
+    }
+    val folded = state.toSeq.map { case (k, (p, v)) => (k, p, v) }.sortBy(_._1)
+    Prop(bad.isEmpty && folded == snap1) :|
+      s"violations=${bad.mkString("; ")}\n  folded $folded\n  snapshot $snap1"
+  }
+
+  private val imageCols = Seq("k", "_op", "_change_seq",
+    "_before_pc", "_before_v", "_after_pc", "_after_v")
+
+  /** MOR cdc-image arm: before/after images under random
+    * upsert/delete/compact histories — images must chain exactly
+    * (every before equals the folded prior state) and the fold must
+    * land on the live snapshot, including windows that STRADDLE a
+    * compaction (where the post-image feed above goes loud).
+    */
+  property("mor cdc images: befores chain, fold == snapshot") =
+    Prop.forAllNoShrink(scenario) { case (first, before, after) =>
+      run += 1
+      val path = java.nio.file.Files
+        .createTempDirectory("cdcimg").toString + "/t"
+      var pc = 0L
+      def rows(ks: Seq[Long]) = {
+        pc += 1
+        ks.map(k => (k, pc, (pc * 100 + k).toDouble)).toDF("k", "pc", "v")
+      }
+      def apply(o: Op): Unit = o match {
+        case Up(ks) => MorTable.upsertInto(path, rows(ks)); ()
+        case Del(ks) =>
+          pc += 1
+          MorTable.deleteFrom(path, ks.map(k => (k, pc)).toDF("k", "pc"))
+          ()
+        case Compact => MorTable.compact(spark, path); ()
+      }
+      MorTable.create(rows(first), path,
+        keys = Seq("k"), precombine = "pc", cdc = true)
+      before.foreach(apply)
+      val checkpointSeq = MorTable.changeHead(path)
+      val snap0 = MorTable.readSnapshot(spark, path)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      after.foreach(apply)
+      val snap1 = MorTable.readSnapshot(spark, path)
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      val feed = MorTable.changesCdc(spark, path, checkpointSeq)
+        .select(imageCols.head, imageCols.tail: _*)
+        .as[(Long, String, Long, Option[Long], Option[Double],
+          Option[Long], Option[Double])].collect().toSeq
+      checkImageFold(feed, snap0, snap1)
+    }
+
+  /** Bucket cdc-image arm: same contract through the OTHER image
+    * writer (commit-time key-diff on a CoW layout, staged inside the
+    * manifest swing) — with content-preserving compactions in the
+    * history contributing zero image rows.
+    */
+  property("bucket cdc images: befores chain, fold == snapshot") =
+    Prop.forAllNoShrink(scenario) { case (first, before, after) =>
+      run += 1
+      val path = java.nio.file.Files
+        .createTempDirectory("cdcimgb").toString + "/t"
+      var pc = 0L
+      def rows(ks: Seq[Long]) = {
+        pc += 1
+        ks.map(k => (k, pc, (pc * 100 + k).toDouble)).toDF("k", "pc", "v")
+      }
+      def apply(o: Op): Unit = o match {
+        case Up(ks) => BucketTable.upsertInto(spark, path, rows(ks)); ()
+        case Del(ks) =>
+          BucketTable.deleteFrom(spark, path, ks.toDF("k")); ()
+        case Compact => BucketTable.compact(spark, path); ()
+      }
+      BucketTable.create(rows(first), path,
+        keys = Seq("k"), precombine = "pc", numBuckets = 4, cdc = true)
+      before.foreach(apply)
+      val checkpointSeq = BucketTable.latestCommit(path)
+      val snap0 = BucketTable.read(spark, path)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      after.foreach(apply)
+      val snap1 = BucketTable.read(spark, path)
+        .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      val feed = BucketTable.changesCdc(spark, path, checkpointSeq)
+        .select(imageCols.head, imageCols.tail: _*)
+        .as[(Long, String, Long, Option[Long], Option[Double],
+          Option[Long], Option[Double])].collect().toSeq
+      checkImageFold(feed, snap0, snap1)
+    }
 }
