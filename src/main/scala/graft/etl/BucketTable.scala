@@ -158,13 +158,95 @@ object BucketTable {
     else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
       l.split(' ') match {
         // a torn trailing line from a crashed append parses to None —
-        // the retry re-appends a complete one
+        // the retry re-appends a complete one. Entries may carry a
+        // generation suffix (`b:g` / `b:-`, see commitLogFull) — the
+        // bucket id is the prefix either way.
         case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
           Some((no.toLong,
-            bs.split(',').filter(_.nonEmpty).map(_.toInt).toSet))
+            bs.split(',').filter(_.nonEmpty)
+              .map(_.takeWhile(_ != ':').toInt).toSet))
         case _ => None
       }
     }
+  }
+
+  /** The commit log WITH generation info: commit → (bucket →
+    * Some(generation) for a repoint, None for a retirement). Lines
+    * written before generations were recorded (pre-upgrade tables)
+    * parse as `None` — [[manifestAsOf]] refuses histories containing
+    * them rather than reconstruct a wrong snapshot.
+    */
+  def commitLogFull(tablePath: String)
+      : Seq[(Long, Option[Map[Int, Option[Long]]])] = {
+    val p = commitsPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
+      l.split(' ') match {
+        case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
+          val entries = bs.split(',').filter(_.nonEmpty).toSeq
+          val parsed =
+            if (entries.forall(_.contains(':')))
+              Some(entries.map { e =>
+                val Array(b, g) = e.split(':')
+                b.toInt -> (if (g == "-") None else Some(g.toLong))
+              }.toMap)
+            else None // legacy line: buckets only, generations unknown
+          Some((no.toLong, parsed))
+        case _ => None
+      }
+    }
+  }
+
+  /** The bucket→generation map AS OF `commit`: fold every logged
+    * repointing through it. Loud on upgraded tables (log doesn't
+    * cover birth), legacy bucket-only lines in range, and
+    * out-of-range commits.
+    */
+  def manifestAsOf(tablePath: String, commit: Long): Map[Int, Long] = {
+    val full = commitLogFull(tablePath)
+    val head = full.map(_._1).maxOption.getOrElse(0L)
+    require(commit >= 1 && commit <= head,
+      s"VERSION AS OF $commit at $tablePath: commits run 1..$head")
+    require(full.map(_._1).minOption.contains(1L),
+      s"the commit log at $tablePath does not cover the table's birth " +
+        "(created before commit logging) — historical reads need a " +
+        "from-birth log")
+    val upTo = full.filter(_._1 <= commit)
+    val legacy = upTo.collect { case (no, None) => no }
+    require(legacy.isEmpty,
+      s"commit(s) ${legacy.mkString(",")} at $tablePath were logged " +
+        "without generation info (pre-upgrade writes) — versions at or " +
+        "after them are reconstructable, earlier ones are not")
+    upTo.sortBy(_._1).foldLeft(Map.empty[Int, Long]) {
+      case (m, (_, Some(reps))) =>
+        reps.foldLeft(m) {
+          case (m2, (b, Some(g))) => m2 + (b -> g)
+          case (m2, (b, None)) => m2 - b
+        }
+      case (m, _) => m
+    }
+  }
+
+  /** Read the table AS OF commit `commit` — `SELECT ... VERSION AS OF`
+    * on the bucket layout: the historical bucket→generation map
+    * reconstructed from the commit log, served from the (immutable)
+    * generation dirs it references. Works for any commit whose
+    * generations [[clean]] hasn't reclaimed — pin a [[savepoint]]
+    * before cleaning to keep a version readable; a reclaimed version
+    * fails loudly, never serves a partial snapshot.
+    */
+  def readVersion(spark: SparkSession, tablePath: String,
+      commit: Long): DataFrame = {
+    val m = manifestAsOf(tablePath, commit)
+    val missing = m.filter { case (b, g) =>
+      !Files.exists(Paths.get(tablePath, s"gen=$g", s"$BucketCol=$b")) }
+    require(missing.isEmpty,
+      s"VERSION AS OF $commit at $tablePath: generation dir(s) " +
+        s"${missing.toSeq.sorted.map { case (b, g) => s"gen=$g/$b" }
+          .mkString(",")} were reclaimed by clean — create a savepoint " +
+        "before cleaning to keep historical versions readable")
+    if (m.isEmpty) read(spark, tablePath).limit(0)
+    else readBuckets(spark, tablePath, m.keySet, m).drop(BucketCol)
   }
 
   /** The newest commit number — what an incremental consumer
@@ -213,8 +295,13 @@ object BucketTable {
       case CdcLog.Action.Destructive => CdcLog.ratchet(tablePath, commit)
     }
     if (changed.nonEmpty)
+      // each changed bucket logs its NEW generation (`b:g`) or its
+      // retirement (`b:-`) — the per-commit repointing record that
+      // makes manifestAsOf/readVersion possible; changedSince reads
+      // just the bucket ids
       Files.writeString(commitsPath(tablePath),
-        s"$commit ${changed.toSeq.sorted.mkString(",")}\n",
+        s"$commit ${changed.toSeq.sorted
+          .map(b => m.get(b).fold(s"$b:-")(g => s"$b:$g")).mkString(",")}\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp,

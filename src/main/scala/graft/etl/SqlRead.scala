@@ -50,13 +50,8 @@ object SqlRead {
         val name = relationName(tt.relation).getOrElse(
           throw new IllegalArgumentException(
             s"cannot resolve time-travel target: ${tt.relation}"))
-        timelinePath(spark, name) match {
-          case None => throw new IllegalArgumentException(
-            s"$name is not a timeline-registered table — time travel " +
-              "needs a versioned layout (Catalog.registerTimelineTable)" +
-              layoutKind(spark, name).fold("")(k =>
-                s"; '$k' layouts serve only the latest snapshot"))
-          case Some(path) =>
+        layoutOf(spark, name) match {
+          case Some(("timeline", path)) =>
             val version = (tt.version, tt.timestamp) match {
               case (Some(v), _) => v.toLong
               case (None, Some(ts)) => Timeline.resolveAsOf(path, epochMs(ts))
@@ -66,6 +61,26 @@ object SqlRead {
             Catalog.alignToDeclared(spark, name,
               Timeline.readVersion(spark, path, version))
               .queryExecution.analyzed
+          case Some(("bucket", path)) =>
+            // bucket versions are COMMIT NUMBERS (the monotonic
+            // `_commits` log); the historical snapshot is the folded
+            // bucket→generation map served from immutable generation
+            // dirs — any commit clean hasn't reclaimed (savepoints pin)
+            val version = (tt.version, tt.timestamp) match {
+              case (Some(v), _) => v.toLong
+              case _ => throw new IllegalArgumentException(
+                s"bucket-layout time travel over $name is by commit " +
+                  "number — use VERSION AS OF <commit> (commit numbers " +
+                  "are not timestamps)")
+            }
+            Catalog.alignToDeclared(spark, name,
+              BucketTable.readVersion(spark, path, version))
+              .queryExecution.analyzed
+          case other => throw new IllegalArgumentException(
+            s"$name is not a versioned-layout table — time travel " +
+              "needs a timeline or bucket layout" +
+              other.fold("")(kp =>
+                s"; '${kp._1}' layouts serve only the latest snapshot"))
         }
       case r: UnresolvedRelation =>
         // ANY graft layout resolves to its manifest-aware read — a

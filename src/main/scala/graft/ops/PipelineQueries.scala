@@ -548,6 +548,38 @@ object PipelineQueries {
     feed("graft_cdc_mor", "mor").unionByName(feed("graft_cdc_bk", "bucket"))
   }
 
+  /** `p_sql_bucket_time_travel`: `SELECT ... VERSION AS OF c` on the
+    * BUCKET layout — versions are commit numbers from the monotonic
+    * `_commits` log, whose entries now record each changed bucket's
+    * new generation, so any historical bucket→generation map folds
+    * back out and is served from the immutable generation dirs
+    * ([[graft.etl.BucketTable.readVersion]]; `clean` reclaims
+    * unpinned history loudly, savepoints pin). One lifecycle, three
+    * versions read back through the SQL front door: the create, the
+    * post-upsert state, and the post-delete head.
+    */
+  def sqlBucketTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "btt").toString + "/t"
+    graft.etl.BucketTable.create(src.filter(col("k") % 10 < 8), path,
+      keys = Seq("k"), precombine = "pc", numBuckets = 8)      // commit 1
+    graft.etl.BucketTable.upsertInto(spark, path,               // commit 2
+      src.filter(col("k") % 10 === 6 || col("k") % 10 === 7)
+        .withColumn("pc", lit(2L)).withColumn("v", col("v") + 100)
+        .unionByName(src.filter(col("k") % 10 === 8).withColumn("pc", lit(2L)))
+        .unionByName(src.filter(col("k") % 10 === 0)
+          .withColumn("pc", lit(0L)).withColumn("v", lit(-1.0))))
+    graft.etl.BucketTable.deleteFrom(spark, path,               // commit 3
+      src.filter(col("k") % 10 === 7).select(col("k")))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_btt", "bucket", path)
+    def asOf(c: Int): DataFrame = graft.etl.SqlRead.select(spark,
+      s"SELECT CAST($c AS BIGINT) AS ver, k, v FROM graft_btt VERSION AS OF $c")
+    asOf(1).unionByName(asOf(2)).unionByName(asOf(3))
+  }
+
   /** `p_sql_index_mor`: a COVERING secondary index on a MOR table —
     * the layout-independent index serving a 100 TB lake needs (a MOR
     * table is one file group, so without the index every point read is
@@ -2843,6 +2875,7 @@ object PipelineQueries {
     "p_sql_table_changes" -> (sqlTableChanges(_, _)),
     "p_sql_cdc_images" -> (sqlCdcImages(_, _)),
     "p_sql_index_mor" -> (sqlIndexMor(_, _)),
+    "p_sql_bucket_time_travel" -> (sqlBucketTimeTravel(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
@@ -3645,6 +3678,16 @@ object PipelineQueries {
     "p_part_mor_changes" -> partMorChangesOracle,
     // the SQL front door serves the IDENTICAL CDC feed: one oracle
     "p_sql_table_changes" -> partMorChangesOracle,
+    // three reconstructed versions: create / post-upsert / post-delete
+    "p_sql_bucket_time_travel" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k%10 IN (6,7) THEN v+100 ELSE v END AS v
+        |    FROM src WHERE k%10 < 8
+        |  UNION ALL SELECT k, v FROM src WHERE k%10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS ver, k, v FROM src WHERE k%10 < 8
+        |UNION ALL SELECT 2, k, v FROM v2
+        |UNION ALL SELECT 3, k, v FROM v2 WHERE k%10 <> 7""".stripMargin,
     // MERGE moved k%10=3 to status X (v+1000); the index-served DELETE
     // removed the still-'O' rows; the IN ('F','X') SELECT is the feed
     "p_sql_index_mor" ->

@@ -279,6 +279,36 @@ class BucketTableSpec extends SparkSpec {
       BucketTable.latestCommit(dir)).count() == 0)
   }
 
+  test("readVersion reconstructs any logged commit; reclaimed history is loud") {
+    val dir = Files.createTempDirectory("bucketver").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)      // commit 1
+    BucketTable.savepoint(dir, "v1") // pin commit 1's generations
+    BucketTable.upsertInto(spark, dir,
+      rows(("a", 2L, 9.0), ("c", 1L, 3.0)))                    // commit 2
+    BucketTable.deleteFrom(spark, dir, Seq("b").toDF("k"))     // commit 3
+    def ver(c: Long): Seq[(String, Long, Double)] =
+      BucketTable.readVersion(spark, dir, c)
+        .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(ver(1L) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+    assert(ver(2L) == Seq(("a", 2L, 9.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+    assert(ver(3L) == contents(dir))
+    // out-of-range commits are loud in both directions
+    intercept[IllegalArgumentException] { ver(0L) }
+    intercept[IllegalArgumentException] { ver(4L) }
+    // a RETIRED bucket in history folds back out: commit 2's map still
+    // holds b's bucket, commit 3's no longer does — and after clean,
+    // versions whose generations were reclaimed fail loudly while the
+    // savepoint-pinned one stays readable
+    BucketTable.compact(spark, dir)                            // commit 4
+    BucketTable.clean(dir)
+    assert(ver(1L) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0)),
+      "savepoint-pinned version must survive clean")
+    val err = intercept[IllegalArgumentException] { ver(2L) }
+    assert(err.getMessage.contains("savepoint"))
+    assert(ver(4L) == contents(dir))
+  }
+
   test("OCC: disjoint-bucket writers both commit despite a stale base") {
     val dir = Files.createTempDirectory("occ-bkt").toString + "/t"
     val base = (1 to 64).map(i => (s"k$i", 1L, i.toDouble))
