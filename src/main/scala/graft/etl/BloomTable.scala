@@ -99,17 +99,31 @@ object BloomTable {
     * snapshot re-sync instead of silently leaving the consumer with
     * rows the table no longer has.
     */
+  private def parseCommitLine(l: String): Option[(Long, String)] =
+    l.split(' ') match {
+      case Array(no, kind) if no.nonEmpty && no.forall(_.isDigit) =>
+        Some((no.toLong, kind))
+      case _ => None // torn trailing line from a crashed append
+    }
+
+  /** The ACTIVE commit log (bounded once [[archiveCommits]] runs). */
   def commitLog(tablePath: String): Seq[(Long, String)] = {
     val p = commitsPath(tablePath)
     if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
-      l.split(' ') match {
-        case Array(no, kind) if no.nonEmpty && no.forall(_.isDigit) =>
-          Some((no.toLong, kind))
-        case _ => None // torn trailing line from a crashed append
-      }
-    }
+    else Files.readAllLines(p).asScala.toSeq.flatMap(parseCommitLine)
   }
+
+  /** Archived + active history — the old-cursor cold path. */
+  def fullCommitLog(tablePath: String): Seq[(Long, String)] =
+    CommitLogFile.fullLines(tablePath).flatMap(parseCommitLine)
+
+  /** Fold all but the newest `keepLatest` active `_commits` lines into
+    * `_commits_archive` — same move as [[BucketTable.archiveCommits]].
+    */
+  def archiveCommits(tablePath: String, keepLatest: Int): Seq[Long] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      CommitLogFile.archive(tablePath, keepLatest)
+    }
 
   /** The newest commit number — the incremental consumer's checkpoint. */
   def latestCommit(tablePath: String): Long =
@@ -144,11 +158,17 @@ object BloomTable {
       s"no commit log at $tablePath (table created before incremental " +
         "reads existed) — full-read and checkpoint latestCommit after " +
         "the next commit")
-    val log = commitLog(tablePath)
-    val head = log.map(_._1).maxOption.getOrElse(0L)
+    val active = commitLog(tablePath)
+    val head = active.map(_._1).maxOption.getOrElse(0L)
     require(sinceCommit <= head,
       s"incremental cursor $sinceCommit past the commit head $head at " +
         s"$tablePath — checkpoint only commits the log has served")
+    // cursors behind the archival boundary resolve through the archive
+    // (bounded hot path, complete cold path) — same move as
+    // BucketTable.changedSince
+    val activeMin = active.map(_._1).minOption.getOrElse(1L)
+    val log =
+      if (sinceCommit >= activeMin - 1) active else fullCommitLog(tablePath)
     // lazily-created log on an upgraded table starts past the
     // pre-existing commits (create-is-commit-1 tables have
     // minLogged == 1): cursors below its first entry would silently

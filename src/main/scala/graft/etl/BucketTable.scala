@@ -152,35 +152,55 @@ object BucketTable {
     * a floor), which the loud pre-log guard in [[changedSince]] already
     * anticipates.
     */
+  // a torn trailing line from a crashed append parses to None — the
+  // retry re-appends a complete one. Entries may carry a generation
+  // suffix (`b:g` / `b:-`, see commitLogFull) — the bucket id is the
+  // prefix either way.
+  private def parseCommitLine(l: String): Option[(Long, Set[Int])] =
+    l.split(' ') match {
+      case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
+        Some((no.toLong,
+          bs.split(',').filter(_.nonEmpty)
+            .map(_.takeWhile(_ != ':').toInt).toSet))
+      case _ => None
+    }
+
+  /** The ACTIVE commit log — the hot-path read (one short file however
+    * old the table, once [[archiveCommits]] runs periodically).
+    */
   def commitLog(tablePath: String): Seq[(Long, Set[Int])] = {
     val p = commitsPath(tablePath)
     if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
-      l.split(' ') match {
-        // a torn trailing line from a crashed append parses to None —
-        // the retry re-appends a complete one. Entries may carry a
-        // generation suffix (`b:g` / `b:-`, see commitLogFull) — the
-        // bucket id is the prefix either way.
-        case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
-          Some((no.toLong,
-            bs.split(',').filter(_.nonEmpty)
-              .map(_.takeWhile(_ != ':').toInt).toSet))
-        case _ => None
-      }
-    }
+    else Files.readAllLines(p).asScala.toSeq.flatMap(parseCommitLine)
   }
+
+  /** Archived + active commit history — the cold path old cursors and
+    * historical reads resolve through.
+    */
+  def fullCommitLog(tablePath: String): Seq[(Long, Set[Int])] =
+    CommitLogFile.fullLines(tablePath).flatMap(parseCommitLine)
+
+  /** Fold all but the newest `keepLatest` active `_commits` lines into
+    * `_commits_archive` ([[CommitLogFile]] — the Timeline.archive move
+    * on a line log): bounds the active log every commit and pull
+    * reads; cursors behind the boundary resolve through the archive.
+    * Locked: the active-log rewrite would race writers' appends.
+    */
+  def archiveCommits(tablePath: String, keepLatest: Int): Seq[Long] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      CommitLogFile.archive(tablePath, keepLatest)
+    }
 
   /** The commit log WITH generation info: commit → (bucket →
     * Some(generation) for a repoint, None for a retirement). Lines
     * written before generations were recorded (pre-upgrade tables)
     * parse as `None` — [[manifestAsOf]] refuses histories containing
-    * them rather than reconstruct a wrong snapshot.
+    * them rather than reconstruct a wrong snapshot. Reads the FULL
+    * history (historical reads are the cold path archival exists for).
     */
   def commitLogFull(tablePath: String)
-      : Seq[(Long, Option[Map[Int, Option[Long]]])] = {
-    val p = commitsPath(tablePath)
-    if (!Files.exists(p)) Seq.empty
-    else Files.readAllLines(p).asScala.toSeq.flatMap { l =>
+      : Seq[(Long, Option[Map[Int, Option[Long]]])] =
+    CommitLogFile.fullLines(tablePath).flatMap { l =>
       l.split(' ') match {
         case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
           val entries = bs.split(',').filter(_.nonEmpty).toSeq
@@ -195,7 +215,6 @@ object BucketTable {
         case _ => None
       }
     }
-  }
 
   /** The bucket→generation map AS OF `commit`: fold every logged
     * repointing through it. Loud on upgraded tables (log doesn't
@@ -356,11 +375,18 @@ object BucketTable {
       s"no commit log at $tablePath (table created before incremental " +
         "reads existed) — full-read and checkpoint latestCommit after " +
         "the next commit")
-    val log = commitLog(tablePath)
-    val head = log.map(_._1).maxOption.getOrElse(0L)
+    val active = commitLog(tablePath)
+    val head = active.map(_._1).maxOption.getOrElse(0L)
     require(sinceCommit <= head,
       s"incremental cursor $sinceCommit past the commit head $head at " +
         s"$tablePath — checkpoint only commits the log has served")
+    // archival keeps the active log a SUFFIX of the history: a cursor
+    // at or past its first entry minus one is fully served by it;
+    // older cursors resolve through the archive — bounded hot path,
+    // complete cold path, never a silent skip
+    val activeMin = active.map(_._1).minOption.getOrElse(1L)
+    val log =
+      if (sinceCommit >= activeMin - 1) active else fullCommitLog(tablePath)
     // a table UPGRADED to the commit log (created before it existed)
     // gets the log lazily on its first post-upgrade write, numbered
     // past the pre-existing commits — the log does NOT cover those, so

@@ -109,8 +109,19 @@ object SqlCall {
         Timeline.clean(timelinePathOf(spark, t),
           toInt(retain, "retain")).toDF("version")
       case ("archive_commits", Seq(t: String, keep)) =>
-        Timeline.archive(timelinePathOf(spark, t),
-          toInt(keep, "keep")).toDF("version")
+        // timeline: fold instant FILES into a batch log; bucket/bloom:
+        // fold the `_commits` LINE log into `_commits_archive` — either
+        // way the active metadata a commit/pull reads stays bounded and
+        // old cursors resolve through the archive
+        Catalog.layoutOf(spark, t) match {
+          case Some(("bucket", p)) =>
+            BucketTable.archiveCommits(p, toInt(keep, "keep")).toDF("version")
+          case Some(("bloom", p)) =>
+            BloomTable.archiveCommits(p, toInt(keep, "keep")).toDF("version")
+          case _ =>
+            Timeline.archive(timelinePathOf(spark, t),
+              toInt(keep, "keep")).toDF("version")
+        }
       case ("compact", Seq(t: String, n)) =>
         Seq(Timeline.compact(spark, timelinePathOf(spark, t),
           toInt(n, "num_files"))).toDF("version")

@@ -858,6 +858,46 @@ object PipelineQueries {
       Seq("user_id"), "left_semi")
   }
 
+  /** `p_bucket_incr_archived`: the bucket incremental pull ACROSS a
+    * `_commits` archival boundary — `CALL archive_commits` folds all
+    * but the newest line into `_commits_archive`
+    * ([[graft.etl.CommitLogFile]], the Timeline.archive move on a line
+    * log), then a consumer checkpointed BEFORE the boundary pulls: the
+    * old cursor resolves through the archive, the feed equals the
+    * unarchived pull, and the active log every commit reads stays
+    * bounded — mirroring `p_timeline_incr_archived`. Same
+    * routing-independent oracle projection as `p_bucket_incremental`.
+    */
+  def bucketIncrArchived(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "bia").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numBuckets = 16)                                          // commit 1
+    val checkpoint = graft.etl.BucketTable.latestCommit(path)
+    graft.etl.BucketTable.upsertInto(spark, path,               // commit 2
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.BucketTable.upsertInto(spark, path,               // commit 3
+      ev.filter(col("ts_us") > Split2Us))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_bia", "bucket", path)
+    val archived = graft.etl.SqlCall.exec(spark,
+      "CALL archive_commits('graft_bia', 1)")
+      .collect().map(_.getLong(0)).toSeq
+    require(archived == Seq(1L, 2L),
+      s"p_bucket_incr_archived: expected commits 1,2 archived, got $archived")
+    require(graft.etl.BucketTable.commitLog(path).map(_._1) == Seq(3L),
+      "active log must hold only the kept suffix")
+    // the pre-boundary cursor crosses the archive and serves BOTH
+    // post-checkpoint commits' buckets
+    val pull = graft.etl.BucketTable.changedSince(spark, path, checkpoint)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    pull.join(ev.filter(col("ts_us") > SplitUs).select("user_id").distinct(),
+      Seq("user_id"), "left_semi")
+  }
+
   /** `p_bloom_incremental`: the bloom-layout incremental pull
     * ([[graft.etl.BloomTable.changedSince]] — live files of commit
     * dirs after the checkpoint, an upsert feed): seed pre-[[SplitUs]],
@@ -2882,6 +2922,7 @@ object PipelineQueries {
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
     "p_bucket_incremental" -> (bucketIncremental(_, _)),
+    "p_bucket_incr_archived" -> (bucketIncrArchived(_, _)),
     "p_bloom_incremental" -> (bloomIncremental(_, _)),
     "p_sql_nested_evolution" -> (sqlNestedEvolution(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
@@ -3531,6 +3572,16 @@ object PipelineQueries {
          | FROM events) t
          |WHERE rn = 1""".stripMargin,
     "p_bucket_incremental" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events) t
+         |WHERE rn = 1 AND user_id IN (
+         |  SELECT DISTINCT user_id FROM events WHERE epoch_us(ts) > $SplitUs)""".stripMargin,
+    // archival is metadata-only: the archived-boundary pull serves the
+    // SAME set as the unarchived one
+    "p_bucket_incr_archived" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id
