@@ -424,23 +424,42 @@ object Catalog {
     */
   def toPhysical(df: org.apache.spark.sql.DataFrame,
       renames: Map[String, String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, struct, transform, when}
+    import org.apache.spark.sql.types.ArrayType
     val (nested, plain) = renames.partition(_._1.contains('.'))
-    val n = nested.foldLeft(df) { case (d, (dotted, physSub)) =>
-      val Array(parLower, subLower) = dotted.split('.')
-      d.columns.find(_.toLowerCase == parLower) match {
-        case Some(par) if d.schema(par).dataType
-            .isInstanceOf[org.apache.spark.sql.types.StructType] =>
-          val st = d.schema(par).dataType
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-          st.fields.find(_.name.toLowerCase == subLower) match {
-            case Some(sub) if !sub.name.equalsIgnoreCase(physSub) =>
-              d.withColumn(par, col(par)
-                .withField(physSub, col(s"$par.${sub.name}"))
-                .dropFields(sub.name))
-            case _ => d
+    // recursive rename-to-physical at any depth, descending
+    // array<struct> elements via the "element" path component; the
+    // rebuild preserves field ORDER (withField would append) and None
+    // means nothing under this path needs rewriting
+    def rewrite(pathLower: String, typ: org.apache.spark.sql.types.DataType,
+        src: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
+      typ match {
+        case st: StructType =>
+          val fields = st.fields.map { f =>
+            val subPath = s"$pathLower.${f.name.toLowerCase}"
+            val physName = nested.get(subPath)
+              .filterNot(_.equalsIgnoreCase(f.name)).getOrElse(f.name)
+            val inner = rewrite(subPath, f.dataType, src.getField(f.name))
+            (inner.getOrElse(src.getField(f.name)).as(physName),
+              inner.nonEmpty || physName != f.name)
           }
-        case _ => d
+          if (!fields.exists(_._2)) None
+          else Some(when(src.isNull, lit(null)).otherwise(
+            struct(fields.map(_._1).toIndexedSeq: _*)))
+        case at: ArrayType =>
+          val elemPath = s"$pathLower.element"
+          if (!nested.keys.exists(_.startsWith(elemPath + "."))) None
+          else Some(transform(src, x =>
+            rewrite(elemPath, at.elementType, x).getOrElse(x)))
+        case _ => None
+      }
+    val parents = nested.keySet.map(_.takeWhile(_ != '.'))
+    val n = parents.foldLeft(df) { (d, parLower) =>
+      d.columns.find(_.toLowerCase == parLower) match {
+        case Some(par) =>
+          rewrite(parLower, d.schema(par).dataType, col(par))
+            .fold(d)(c => d.withColumn(par, c))
+        case None => d
       }
     }
     plain.foldLeft(n) { case (d, (logLower, phys)) =>
@@ -552,60 +571,104 @@ object Catalog {
   private def reconcileNested(df: org.apache.spark.sql.DataFrame,
       sch: StructType, nestedRenames: Map[String, String],
       nestedDropped: Set[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, struct, when}
-    val declaredStructs = sch.fields.filter(_.dataType.isInstanceOf[StructType])
-    if (declaredStructs.isEmpty) df
-    else declaredStructs.foldLeft(df) { (d, f) =>
-      d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-        case Some(p) if p.dataType.isInstanceOf[StructType] =>
-          val par = p.name
-          val parLower = f.name.toLowerCase + "."
-          val declared = f.dataType.asInstanceOf[StructType]
-          val phys = p.dataType.asInstanceOf[StructType]
-          // each declared subfield resolves to: its physical source
-          // (renamed sub-names map back), a widening cast when the file
-          // is narrower, or a typed NULL when no file carries it yet
-          val resolved = declared.fields.map { sf =>
-            val physSub = nestedRenames
-              .getOrElse(parLower + sf.name.toLowerCase, sf.name)
-            val src = phys.fields.find(_.name.equalsIgnoreCase(physSub))
-              // a frame already carrying the LOGICAL sub-name (e.g. an
-              // aligned frame re-aligned) serves it directly
-              .orElse(phys.fields.find(_.name.equalsIgnoreCase(sf.name)))
-            val e = src match {
+    import org.apache.spark.sql.functions.{col, lit, struct, transform, when}
+    import org.apache.spark.sql.types.ArrayType
+    // RECURSIVE conform (any struct depth, descending array<struct>
+    // elements via the path component "element"): each declared
+    // subfield resolves to its physical source (renamed sub-names map
+    // back), a widening cast when the file is narrower, or a typed
+    // NULL when no file carries it yet; undeclared physical subfields
+    // no tombstone retires keep flowing (append-only). Split into a
+    // type-only NEED check and a column BUILD so the array case can
+    // decide before entering the lambda.
+    def subTomb(pathLower: String): Set[String] =
+      nestedDropped.filter(_.startsWith(pathLower + "."))
+        .map(_.drop(pathLower.length + 1)).filterNot(_.contains('.'))
+    def resolveSrc(pathLower: String, sfName: String,
+        phys: StructType): Option[org.apache.spark.sql.types.StructField] = {
+      val physSub = nestedRenames
+        .getOrElse(s"$pathLower.${sfName.toLowerCase}", sfName)
+      phys.fields.find(_.name.equalsIgnoreCase(physSub))
+        // a frame already carrying the LOGICAL sub-name (e.g. an
+        // aligned frame re-aligned) serves it directly
+        .orElse(phys.fields.find(_.name.equalsIgnoreCase(sfName)))
+    }
+    def needs(pathLower: String,
+        declared: org.apache.spark.sql.types.DataType,
+        phys: org.apache.spark.sql.types.DataType): Boolean =
+      (declared, phys) match {
+      case (d: StructType, p: StructType) =>
+        val exactAll = d.fields.forall { sf =>
+          resolveSrc(pathLower, sf.name, p).exists(ps =>
+            ps.name == sf.name &&
+              (ps.dataType == sf.dataType ||
+                !needs(s"$pathLower.${sf.name.toLowerCase}",
+                  sf.dataType, ps.dataType)))
+        }
+        val claimed = d.fields.flatMap(sf =>
+          resolveSrc(pathLower, sf.name, p)).map(_.name.toLowerCase).toSet
+        val unclaimed = p.fields.filterNot(ps => claimed(ps.name.toLowerCase))
+        // any unclaimed physical field forces a rebuild: an extra must
+        // be re-placed after the declared fields, a tombstoned one
+        // projected away
+        !(exactAll && unclaimed.isEmpty && p.length == d.length)
+      case (d: ArrayType, p: ArrayType) =>
+        needs(s"$pathLower.element", d.elementType, p.elementType)
+      case (d, p) => d != p && SqlDdl.isWidening(p, d)
+    }
+    def build(pathLower: String,
+        declared: org.apache.spark.sql.types.DataType,
+        src: org.apache.spark.sql.Column,
+        phys: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+      (declared, phys) match {
+        case (d: StructType, p: StructType) =>
+          val resolved = d.fields.map { sf =>
+            val subPath = s"$pathLower.${sf.name.toLowerCase}"
+            val e = resolveSrc(pathLower, sf.name, p) match {
               case None => lit(null).cast(sf.dataType)
-              case Some(ps) if ps.dataType != sf.dataType &&
-                  SqlDdl.isWidening(ps.dataType, sf.dataType) =>
-                col(s"$par.${ps.name}").cast(sf.dataType)
-              case Some(ps) => col(s"$par.${ps.name}")
+              case Some(ps) if needs(subPath, sf.dataType, ps.dataType) =>
+                build(subPath, sf.dataType, src.getField(ps.name), ps.dataType)
+              case Some(ps) => src.getField(ps.name)
             }
-            (e.as(sf.name), src.map(_.name.toLowerCase), src.exists(ps =>
-              ps.name == sf.name && ps.dataType == sf.dataType))
+            (e.as(sf.name), resolveSrc(pathLower, sf.name, p)
+              .map(_.name.toLowerCase))
           }
-          // append-only: physical subfields no declared field claims
-          // and no tombstone retires keep flowing
           val claimed = resolved.flatMap(_._2).toSet
-          val tombstoned = nestedDropped.filter(_.startsWith(parLower))
-            .map(_.drop(parLower.length))
-          val extras = phys.fields.filter(ps =>
-            !claimed(ps.name.toLowerCase) && !tombstoned(ps.name.toLowerCase))
-          val conforming = extras.isEmpty && resolved.forall(_._3) &&
-            phys.length == declared.length
-          if (conforming) d // files already match: leave the scan column alone
-          else {
-            // rebuild in DECLARED order (positional struct casts
-            // downstream — INSERT shaping, set operations — depend on
-            // it); when() keeps NULL structs null, which withField would
-            // have silently un-nulled
-            val rebuilt = struct(
-              (resolved.map(_._1) ++
-                extras.map(ps => col(s"$par.${ps.name}").as(ps.name))).toIndexedSeq: _*)
-            d.withColumn(par,
-              when(col(par).isNull, lit(null)).otherwise(rebuilt))
-          }
+          val tomb = subTomb(pathLower)
+          val extras = p.fields.filter(ps =>
+            !claimed(ps.name.toLowerCase) && !tomb(ps.name.toLowerCase))
+          // rebuild in DECLARED order (positional struct casts
+          // downstream — INSERT shaping, set operations — depend on
+          // it); when() keeps NULL structs null, which withField would
+          // have silently un-nulled
+          val rebuilt = struct(
+            (resolved.map(_._1) ++
+              extras.map(ps => src.getField(ps.name).as(ps.name)))
+              .toIndexedSeq: _*)
+          when(src.isNull, lit(null)).otherwise(rebuilt)
+        case (d: ArrayType, p: ArrayType) =>
+          // transform() rebuilds each element lazily and preserves
+          // NULL arrays; NULL elements stay null through the struct
+          // case's own when() guard
+          transform(src, x =>
+            build(s"$pathLower.element", d.elementType, x, p.elementType))
+        case (d, _) => src.cast(d) // lossless widening (gated by needs)
+      }
+    val declaredNested = sch.fields.filter(f =>
+      f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType])
+    if (declaredNested.isEmpty) df
+    else declaredNested.foldLeft(df) { (d, f) =>
+      d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(p) if needs(f.name.toLowerCase, f.dataType, p.dataType) &&
+            ((p.dataType.isInstanceOf[StructType] &&
+              f.dataType.isInstanceOf[StructType]) ||
+             (p.dataType.isInstanceOf[ArrayType] &&
+              f.dataType.isInstanceOf[ArrayType])) =>
+          d.withColumn(p.name,
+            build(f.name.toLowerCase, f.dataType, col(p.name), p.dataType))
         case _ => d // parent absent (old files: whole-column NULL comes
-          // from the top-level add fold) or not a struct — append-only,
-          // flow through
+          // from the top-level add fold) or shape mismatch —
+          // append-only, flow through
       }
     }
   }

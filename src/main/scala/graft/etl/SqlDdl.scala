@@ -20,6 +20,79 @@ import org.apache.spark.sql.types.StructType
   */
 object SqlDdl {
 
+  /** Navigate the declared schema along a nested column path (struct
+    * fields by case-insensitive name, `element` descending an
+    * array<struct>), returning the canonical-case parent path, the
+    * parent STRUCT the leaf lives in, and the leaf name. Loud on every
+    * wrong shape — maps, bare arrays without `.element.`, non-struct
+    * descent — so the four ALTER verbs share one error surface.
+    */
+  private def parentAndLeaf(table: String, verb: String, sch: StructType,
+      path: Seq[String]): (Seq[String], StructType, String) = {
+    var canonical = Vector.empty[String]
+    var cur: org.apache.spark.sql.types.DataType = sch
+    path.dropRight(1).foreach { comp =>
+      cur match {
+        case at: org.apache.spark.sql.types.ArrayType
+            if comp.equalsIgnoreCase("element") =>
+          canonical :+= "element"; cur = at.elementType
+        case _: org.apache.spark.sql.types.ArrayType =>
+          throw new IllegalArgumentException(
+            s"$verb $table: '$comp' in '${path.mkString(".")}' is under " +
+              "an ARRAY — address element fields through '.element.'")
+        case st: StructType =>
+          val f = st.fields.find(_.name.equalsIgnoreCase(comp)).getOrElse(
+            throw new IllegalArgumentException(
+              s"$verb $table: no such field '$comp' in " +
+                s"'${path.mkString(".")}' (fields: " +
+                s"${st.fieldNames.mkString(", ")})"))
+          canonical :+= f.name; cur = f.dataType
+        case other =>
+          throw new IllegalArgumentException(
+            s"$verb $table: '$comp' in '${path.mkString(".")}' descends " +
+              s"${other.sql} — only STRUCT fields and ARRAY elements " +
+              "(via '.element.') evolve metadata-only (maps do not)")
+      }
+    }
+    cur match {
+      case st: StructType => (canonical, st, path.last)
+      case _: org.apache.spark.sql.types.ArrayType =>
+        throw new IllegalArgumentException(
+          s"$verb $table: '${path.dropRight(1).mkString(".")}' is an " +
+            "ARRAY — address its element fields through '.element.'")
+      case other => throw new IllegalArgumentException(
+        s"$verb $table: '${path.dropRight(1).mkString(".")}' is " +
+          s"${other.sql}, not a STRUCT")
+    }
+  }
+
+  /** Rebuild the declared schema with the STRUCT at `parentPath`
+    * (canonical components from [[parentAndLeaf]]) transformed.
+    */
+  private def rebuildAt(sch: StructType, parentPath: Seq[String])(
+      f: StructType => StructType): StructType = {
+    def go(t: org.apache.spark.sql.types.DataType,
+        rest: Seq[String]): org.apache.spark.sql.types.DataType =
+      (t, rest) match {
+        case (st: StructType, Seq()) => f(st)
+        case (at: org.apache.spark.sql.types.ArrayType, comps)
+            if comps.head == "element" =>
+          at.copy(elementType = go(at.elementType, comps.tail))
+        case (st: StructType, comps) =>
+          StructType(st.fields.map(fl =>
+            if (fl.name.equalsIgnoreCase(comps.head))
+              fl.copy(dataType = go(fl.dataType, comps.tail))
+            else fl).toIndexedSeq)
+        case (other, _) => throw new IllegalStateException(
+          s"rebuildAt: cannot descend ${other.sql} at $rest")
+      }
+    go(sch, parentPath).asInstanceOf[StructType]
+  }
+
+  /** The dotted schema-on-read state key for a nested field. */
+  private def dottedKey(parentPath: Seq[String], leaf: String): String =
+    (parentPath.map(_.toLowerCase) :+ leaf.toLowerCase).mkString(".")
+
   def exec(spark: SparkSession, sqlText: String): Unit =
     spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case c: CreateTableAsSelect => createParsed(spark, c, sqlText)
@@ -71,13 +144,10 @@ object SqlDdl {
       require(c.position.isEmpty,
         s"ALTER TABLE ADD COLUMNS: FIRST/AFTER on '${c.colName}' is not " +
           "supported — added columns append to the schema")
-      c.path.foreach { p =>
-        // nested ADD: one struct level, no default (the coalesce read
-        // serves top-level columns only), plain nullable
-        require(p.name.length == 1,
-          s"ALTER TABLE ADD COLUMNS: '${c.name.mkString(".")}' nests " +
-            "more than one struct level — only top-level struct fields " +
-            "evolve metadata-only")
+      c.path.foreach { _ =>
+        // nested ADD (any struct depth, array<struct> elements via
+        // '.element.'): no default (the coalesce read serves top-level
+        // columns only), plain nullable
         require(c.default.isEmpty,
           s"ALTER TABLE ADD COLUMNS: DEFAULT on nested field " +
             s"'${c.name.mkString(".")}' is not supported")
@@ -131,7 +201,7 @@ object SqlDdl {
       allRenames.filterNot(_._1.contains('.')).values.map(_.toLowerCase)
     val retiredNested = allDropped.filter(_.contains('.')) ++
       allRenames.collect { case (k, v) if k.contains('.') =>
-        k.takeWhile(_ != '.') + "." + v.toLowerCase }
+        k.substring(0, k.lastIndexOf('.') + 1) + v.toLowerCase }
     a.columnsToAdd.find { c =>
       if (c.path.isEmpty) retired(c.colName.toLowerCase)
       else retiredNested(c.name.mkString(".").toLowerCase)
@@ -165,28 +235,19 @@ object SqlDdl {
       val appendedTop = sch.fields.toIndexedSeq ++
         top.map(c => org.apache.spark.sql.types.StructField(
           c.colName, c.dataType, nullable = true))
-      // nested adds rebuild their parent struct (declared only — files
-      // are untouched; reads serve the new subfield as a typed NULL)
-      val appended = StructType(nested.foldLeft(appendedTop) { (fields, c) =>
-        val parent = c.path.get.name.head
-        val idx = fields.indexWhere(_.name.equalsIgnoreCase(parent))
-        require(idx >= 0, s"ALTER TABLE $table ADD COLUMNS: no such " +
-          s"column '$parent' (columns: ${fields.map(_.name).mkString(", ")})")
-        val fld = fields(idx)
-        val st = fld.dataType match {
-          case s: StructType => s
-          case other => throw new IllegalArgumentException(
-            s"ALTER TABLE $table ADD COLUMNS: '$parent' is " +
-              s"${other.sql}, not a STRUCT — only one-level struct " +
-              "fields evolve metadata-only (arrays/maps do not)")
-        }
-        require(!st.fields.exists(_.name.equalsIgnoreCase(c.colName)),
-          s"ALTER TABLE $table ADD COLUMNS: field '$parent.${c.colName}' " +
-            "already exists")
-        fields.updated(idx, fld.copy(dataType = StructType(
-          st.fields.toIndexedSeq :+ org.apache.spark.sql.types.StructField(
-            c.colName, c.dataType, nullable = true))))
-      })
+      // nested adds rebuild their parent struct at ANY depth (declared
+      // only — files are untouched; reads serve the new subfield as a
+      // typed NULL, inside array elements via the transform() rebuild)
+      val appended = nested.foldLeft(StructType(appendedTop)) { (s, c) =>
+        val (parentPath, parentSt, leaf) = parentAndLeaf(table,
+          "ALTER TABLE ADD COLUMNS", s, c.name)
+        require(!parentSt.fields.exists(_.name.equalsIgnoreCase(leaf)),
+          s"ALTER TABLE $table ADD COLUMNS: field " +
+            s"'${c.name.mkString(".")}' already exists")
+        rebuildAt(s, parentPath)(st => StructType(st.fields.toIndexedSeq :+
+          org.apache.spark.sql.types.StructField(leaf, c.dataType,
+            nullable = true)))
+      }
       // an explicit DEFAULT NULL stores NO default entry: it is the
       // nullable column's natural read already
       val defaults = Catalog.defaultsOf(spark, table) ++
@@ -212,12 +273,8 @@ object SqlDdl {
     val table = alterTarget(d.table)
     val layout = requireLayout(spark, table, "DROP COLUMNS")
     val sch = spark.table(table).schema
-    d.columnsToDrop.foreach(f => require(f.name.length <= 2,
-      s"DROP COLUMNS $table: '${f.name.mkString(".")}' nests more than " +
-        "one struct level — only top-level struct fields evolve " +
-        "metadata-only"))
     val (nestedNames, names) = d.columnsToDrop.map(_.name)
-      .partition(_.length == 2)
+      .partition(_.length >= 2)
     val resolved = names.map(_.head).flatMap { n =>
       sch.fields.find(_.name.equalsIgnoreCase(n)) match {
         case some @ Some(_) => some
@@ -227,70 +284,63 @@ object SqlDdl {
             s"(columns: ${sch.fieldNames.mkString(", ")})")
       }
     }
-    // nested drops resolve (parent struct field, subfield); IF EXISTS
-    // tolerates a missing SUBFIELD, a missing/non-struct parent is
-    // always loud (the statement is addressing something else entirely)
-    val resolvedNested = nestedNames.flatMap { case Seq(par, sub) =>
-      val fld = sch.fields.find(_.name.equalsIgnoreCase(par)).getOrElse(
-        throw new IllegalArgumentException(
-          s"DROP COLUMNS $table: no such column '$par' " +
-            s"(columns: ${sch.fieldNames.mkString(", ")})"))
-      val st = fld.dataType match {
-        case s: StructType => s
-        case other => throw new IllegalArgumentException(
-          s"DROP COLUMNS $table: '$par' is ${other.sql}, not a STRUCT")
+    val victims = resolved.map(_.name.toLowerCase).toSet
+    // nested drops resolve (canonical parent path, parent struct,
+    // leaf) at ANY depth; IF EXISTS tolerates a missing LEAF, a
+    // missing/mis-shaped path is always loud (the statement is
+    // addressing something else entirely). A nested drop whose
+    // top-level column is itself a victim is subsumed by it.
+    val resolvedNested = nestedNames
+      .filterNot(p => victims(p.head.toLowerCase)).flatMap { path =>
+        val (parentPath, parentSt, leafName) =
+          parentAndLeaf(table, "DROP COLUMNS", sch, path)
+        parentSt.fields.find(_.name.equalsIgnoreCase(leafName)) match {
+          case Some(sf) => Some((parentPath, parentSt, sf))
+          case None if d.ifExists => None
+          case None => throw new IllegalArgumentException(
+            s"DROP COLUMNS $table: no such field '${path.mkString(".")}' " +
+              s"(fields: ${parentSt.fieldNames.mkString(", ")})")
+        }
       }
-      st.fields.find(_.name.equalsIgnoreCase(sub)) match {
-        case Some(sf) => Some((fld, sf))
-        case None if d.ifExists => None
-        case None => throw new IllegalArgumentException(
-          s"DROP COLUMNS $table: no such field '$par.$sub' " +
-            s"(fields: ${st.fieldNames.mkString(", ")})")
-      }
-    }
     if (resolved.isEmpty && resolvedNested.isEmpty) return
     val prot = protectedColumns(spark, table, layout)
     resolved.foreach(f => prot.get(f.name.toLowerCase).foreach(reason =>
       throw new IllegalArgumentException(
         s"DROP COLUMNS $table: '${f.name}' is $reason — structural " +
           "columns cannot be dropped metadata-only")))
-    resolvedNested.groupBy(_._1.name).foreach { case (par, subs) =>
-      val st = sch.fields.find(_.name == par).get
-        .dataType.asInstanceOf[StructType]
-      require(subs.size < st.fields.length,
-        s"DROP COLUMNS $table: dropping every field of '$par' would " +
-          "leave an empty struct — drop the column itself instead")
+    resolvedNested.groupBy(_._1).foreach { case (parentPath, subs) =>
+      require(subs.size < subs.head._2.fields.length,
+        s"DROP COLUMNS $table: dropping every field of " +
+          s"'${parentPath.mkString(".")}' would leave an empty struct — " +
+          "drop the column itself instead")
     }
     val renames = Catalog.renamesOf(spark, table)
-    val victims = resolved.map(_.name.toLowerCase).toSet
     val physNames = resolved.map(f =>
       renames.getOrElse(f.name.toLowerCase, f.name).toLowerCase)
     // dropping a struct column wholesale retires its dotted state too —
-    // the entries are unreachable once the parent is projected away
-    val dottedUnderVictims = (k: String) =>
-      k.contains('.') && victims(k.takeWhile(_ != '.'))
-    // nested drop: tombstone the subfield's PHYSICAL name under the
-    // parent's logical name (alignToDeclared prunes it after the
-    // top-level rename pass)
-    val nestedTombstones = resolvedNested.map { case (fld, sf) =>
-      val dotted = s"${fld.name.toLowerCase}.${sf.name.toLowerCase}"
-      fld.name.toLowerCase + "." +
-        renames.getOrElse(dotted, sf.name).toLowerCase
-    }
+    // the entries are unreachable once the parent is projected away;
+    // same for state strictly BENEATH a dropped nested field
     val nestedVictims = resolvedNested
-      .map { case (fld, sf) => s"${fld.name.toLowerCase}.${sf.name.toLowerCase}" }
-      .toSet
-    val droppedSubs = resolvedNested.groupBy(_._1.name).view
-      .mapValues(_.map(_._2.name.toLowerCase).toSet).toMap
-    val newSchema = StructType(
-      sch.fields.filterNot(f => victims(f.name.toLowerCase))
-        .map { f =>
-          droppedSubs.get(f.name).fold(f) { subs =>
-            val st = f.dataType.asInstanceOf[StructType]
-            f.copy(dataType = StructType(
-              st.fields.filterNot(s => subs(s.name.toLowerCase)).toIndexedSeq))
-          }
-        }.toIndexedSeq)
+      .map { case (pp, _, sf) => dottedKey(pp, sf.name) }.toSet
+    val dottedUnderVictims = (k: String) =>
+      k.contains('.') && (victims(k.takeWhile(_ != '.')) ||
+        nestedVictims.exists(v => k.startsWith(v + ".")))
+    // nested drop: tombstone the leaf's PHYSICAL name under the
+    // parent's logical path (alignToDeclared prunes it after the
+    // top-level rename pass)
+    val nestedTombstones = resolvedNested.map { case (pp, _, sf) =>
+      (pp.map(_.toLowerCase) :+
+        renames.getOrElse(dottedKey(pp, sf.name), sf.name).toLowerCase)
+        .mkString(".")
+    }
+    val topDropped = StructType(
+      sch.fields.filterNot(f => victims(f.name.toLowerCase)).toIndexedSeq)
+    val newSchema = resolvedNested.groupBy(_._1)
+      .foldLeft(topDropped) { case (s, (parentPath, group)) =>
+        val gone = group.map(_._3.name.toLowerCase).toSet
+        rebuildAt(s, parentPath)(st => StructType(
+          st.fields.filterNot(f => gone(f.name.toLowerCase)).toIndexedSeq))
+      }
     writeSchemaState(spark, table, newSchema,
       (renames -- victims -- nestedVictims).filterNot(e => dottedUnderVictims(e._1)),
       Catalog.droppedOf(spark, table).filterNot(dottedUnderVictims) ++
@@ -315,13 +365,8 @@ object SqlDdl {
     val table = alterTarget(r.table)
     val layout = requireLayout(spark, table, "RENAME COLUMN")
     val sch = spark.table(table).schema
-    require(r.column.name.length <= 2,
-      s"RENAME COLUMN $table: '${r.column.name.mkString(".")}' nests " +
-        "more than one struct level — only top-level struct fields " +
-        "evolve metadata-only")
-    if (r.column.name.length == 2) {
-      renameNestedParsed(spark, table, sch, r.column.name.head,
-        r.column.name(1), r.newName)
+    if (r.column.name.length >= 2) {
+      renameNestedParsed(spark, table, sch, r.column.name, r.newName)
       return
     }
     val oldName = r.column.name.head
@@ -396,58 +441,77 @@ object SqlDdl {
     * rejected above), so the dotted keys never dangle.
     */
   private def renameNestedParsed(spark: SparkSession, table: String,
-      sch: StructType, parent: String, oldSub: String,
-      newName: String): Unit = {
-    val fld = sch.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
+      sch: StructType, path: Seq[String], newName: String): Unit = {
+    val (parentPath, st, leafName) =
+      parentAndLeaf(table, "RENAME COLUMN", sch, path)
+    val sub = st.fields.find(_.name.equalsIgnoreCase(leafName)).getOrElse(
       throw new IllegalArgumentException(
-        s"RENAME COLUMN $table: no such column '$parent' " +
-          s"(columns: ${sch.fieldNames.mkString(", ")})"))
-    val st = fld.dataType match {
-      case s: StructType => s
-      case other => throw new IllegalArgumentException(
-        s"RENAME COLUMN $table: '$parent' is ${other.sql}, not a STRUCT " +
-          "— only one-level struct fields evolve metadata-only")
-    }
-    val sub = st.fields.find(_.name.equalsIgnoreCase(oldSub)).getOrElse(
-      throw new IllegalArgumentException(
-        s"RENAME COLUMN $table: no such field '$parent.$oldSub' " +
+        s"RENAME COLUMN $table: no such field '${path.mkString(".")}' " +
           s"(fields: ${st.fieldNames.mkString(", ")})"))
     require(!st.fields.exists(_.name.equalsIgnoreCase(newName)),
-      s"RENAME COLUMN $table: field '$parent.$newName' already exists")
+      s"RENAME COLUMN $table: field " +
+        s"'${(parentPath :+ newName).mkString(".")}' already exists")
     val renames = Catalog.renamesOf(spark, table)
-    val parLower = fld.name.toLowerCase
-    val oldKey = s"$parLower.${sub.name.toLowerCase}"
+    val ppLower = parentPath.map(_.toLowerCase).mkString(".")
+    val oldKey = dottedKey(parentPath, sub.name)
+    // a field carrying dotted state strictly BENEATH it cannot itself
+    // be renamed — its descendants' keys are addressed through this
+    // logical name (same rule as the top level)
+    val deeperState = (renames.keySet ++ Catalog.droppedOf(spark, table))
+      .exists(_.startsWith(oldKey + "."))
+    require(!deeperState,
+      s"RENAME COLUMN $table: '${path.mkString(".")}' carries nested " +
+        "schema-on-read state beneath it — renaming an ancestor is not " +
+        "supported; create a new column and migrate instead")
     val phys = renames.getOrElse(oldKey, sub.name)
-    // other retired sub-physicals under THIS parent collide; renaming
-    // back to the field's own physical name collapses the mapping
-    val retired = Catalog.droppedOf(spark, table)
-      .filter(_.startsWith(parLower + "."))
-      .map(_.drop(parLower.length + 1)) ++
-      renames.collect { case (k, v) if k.startsWith(parLower + ".") =>
+    // other retired sub-physicals DIRECTLY under this parent collide;
+    // renaming back to the field's own physical name collapses the
+    // mapping
+    def directChild(k: String): Option[String] =
+      if (k.startsWith(ppLower + ".") &&
+          !k.drop(ppLower.length + 1).contains('.'))
+        Some(k.drop(ppLower.length + 1))
+      else None
+    val retired = Catalog.droppedOf(spark, table).flatMap(directChild) ++
+      renames.collect { case (k, v) if directChild(k).nonEmpty =>
         v.toLowerCase } - phys.toLowerCase
     require(!retired(newName.toLowerCase),
-      s"RENAME COLUMN $table: '$parent.$newName' is a retired physical " +
-        "field name (dropped or renamed-from) still present in data " +
-        "files — choose another name")
+      s"RENAME COLUMN $table: '${(parentPath :+ newName).mkString(".")}' " +
+        "is a retired physical field name (dropped or renamed-from) " +
+        "still present in data files — choose another name")
     // undeclared physical subfields flow through reads — a logical name
-    // shadowing one would serve the wrong field's data
-    val physicalSubs = scala.util.Try(
-      Catalog.readPhysical(spark, table).schema
-        .fields.find(_.name.equalsIgnoreCase(fld.name))
-        .map(_.dataType).collect { case s: StructType => s.fieldNames.toSeq }
-        .getOrElse(Nil)).getOrElse(Nil)
+    // shadowing one would serve the wrong field's data. Navigate the
+    // PHYSICAL schema along the same path (intermediates keep their
+    // logical names: renaming an ancestor with state is rejected above)
+    val physicalSubs = scala.util.Try {
+      var cur: org.apache.spark.sql.types.DataType =
+        Catalog.readPhysical(spark, table).schema
+      parentPath.foreach { comp =>
+        cur = cur match {
+          case at: org.apache.spark.sql.types.ArrayType
+              if comp == "element" => at.elementType
+          case s: StructType =>
+            s.fields.find(_.name.equalsIgnoreCase(comp)).map(_.dataType)
+              .getOrElse(org.apache.spark.sql.types.NullType)
+          case _ => org.apache.spark.sql.types.NullType
+        }
+      }
+      cur match {
+        case s: StructType => s.fieldNames.toSeq
+        case _ => Nil
+      }
+    }.getOrElse(Nil)
     require(!physicalSubs.exists(c => c.equalsIgnoreCase(newName) &&
         !c.equalsIgnoreCase(phys)),
       s"RENAME COLUMN $table: data files already carry a field " +
-        s"'$parent.$newName' (undeclared, flowing through " +
-        "schema-on-read) — the new name would shadow it")
+        s"'${(parentPath :+ newName).mkString(".")}' (undeclared, " +
+        "flowing through schema-on-read) — the new name would shadow it")
     val newRenames = (renames - oldKey) ++
       (if (newName.equalsIgnoreCase(phys)) Nil
-       else Seq(s"$parLower.${newName.toLowerCase}" -> phys))
-    val newSchema = StructType(sch.fields.map(f =>
-      if (f.name == fld.name) f.copy(dataType = StructType(st.fields.map(s =>
-        if (s.name == sub.name) s.copy(name = newName) else s).toIndexedSeq))
-      else f).toIndexedSeq)
+       else Seq(s"$ppLower.${newName.toLowerCase}" -> phys))
+    val newSchema = rebuildAt(sch, parentPath)(s =>
+      StructType(s.fields.map(f =>
+        if (f.name == sub.name) f.copy(name = newName) else f).toIndexedSeq))
     writeSchemaState(spark, table, newSchema, newRenames,
       Catalog.droppedOf(spark, table), Catalog.defaultsOf(spark, table))
   }
@@ -482,37 +546,32 @@ object SqlDdl {
     val prot = protectedColumns(spark, table, layout)
     val start = (sch.fields.toIndexedSeq, Catalog.defaultsOf(spark, table))
     val (updated, defaults) = a.specs.foldLeft(start) {
-      case ((fields, defs), spec) if spec.column.name.length == 2 =>
-        // nested WIDEN (one struct level): same lossless gate, the
-        // parent struct's declared type rebuilds with the wider field;
-        // reads cast up in Catalog.reconcileNested
+      case ((fields, defs), spec) if spec.column.name.length >= 2 =>
+        // nested WIDEN (any struct depth, array<struct> elements via
+        // '.element.'): same lossless gate, the declared schema
+        // rebuilds with the wider leaf; reads cast up in
+        // Catalog.reconcileNested's recursion
         require(spec.newDataType.isDefined && spec.newNullability.isEmpty &&
           spec.newComment.isEmpty && spec.newPosition.isEmpty &&
           spec.newDefaultExpression.isEmpty && !spec.dropDefault,
           s"ALTER COLUMN $table: only TYPE widening is supported on " +
             s"nested field '${spec.column.name.mkString(".")}'")
-        val Seq(parent, subName) = spec.column.name.toSeq
-        val idx = fields.indexWhere(_.name.equalsIgnoreCase(parent))
-        require(idx >= 0, s"ALTER COLUMN $table: no such column " +
-          s"'$parent' (columns: ${fields.map(_.name).mkString(", ")})")
-        val fld = fields(idx)
-        val st = fld.dataType match {
-          case s: org.apache.spark.sql.types.StructType => s
-          case other => throw new IllegalArgumentException(
-            s"ALTER COLUMN $table: '$parent' is ${other.sql}, not a " +
-              "STRUCT — only one-level struct fields evolve metadata-only")
-        }
-        val sidx = st.fields.indexWhere(_.name.equalsIgnoreCase(subName))
-        require(sidx >= 0, s"ALTER COLUMN $table: no such field " +
-          s"'$parent.$subName' (fields: ${st.fieldNames.mkString(", ")})")
+        val cur = StructType(fields.toIndexedSeq)
+        val (parentPath, st, leafName) =
+          parentAndLeaf(table, "ALTER COLUMN", cur, spec.column.name)
+        val sub = st.fields.find(_.name.equalsIgnoreCase(leafName)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER COLUMN $table: no such field " +
+              s"'${spec.column.name.mkString(".")}' (fields: " +
+              s"${st.fieldNames.mkString(", ")})"))
         val to = spec.newDataType.get
-        require(isWidening(st.fields(sidx).dataType, to),
-          s"ALTER COLUMN $table: ${st.fields(sidx).dataType.sql} -> " +
-            s"${to.sql} on '$parent.$subName' is not a lossless widening")
-        (fields.updated(idx, fld.copy(
-          dataType = org.apache.spark.sql.types.StructType(st.fields
-            .updated(sidx, st.fields(sidx).copy(dataType = to)).toIndexedSeq))),
-          defs)
+        require(isWidening(sub.dataType, to),
+          s"ALTER COLUMN $table: ${sub.dataType.sql} -> ${to.sql} on " +
+            s"'${spec.column.name.mkString(".")}' is not a lossless " +
+            "widening")
+        (rebuildAt(cur, parentPath)(s => StructType(s.fields.map(f =>
+          if (f.name == sub.name) f.copy(dataType = to) else f)
+          .toIndexedSeq)).fields.toIndexedSeq, defs)
       case ((fields, defs), spec) =>
         require(spec.column.name.length == 1,
           s"ALTER COLUMN $table: '${spec.column.name.mkString(".")}' " +

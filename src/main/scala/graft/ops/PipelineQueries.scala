@@ -990,6 +990,70 @@ object PipelineQueries {
         col("meta.score").as("score"))
   }
 
+  /** `p_sql_nested2_evolution`: DEPTH-2 struct evolution and
+    * array<struct> ELEMENT evolution through SQL DDL on a MOR table —
+    * `ADD/RENAME/WIDEN/DROP` addressed by recursive paths
+    * (`doc.stats.hits`, `tags.element.name`), all metadata-only
+    * (files immutable; reads rebuild the nested shapes in declared
+    * order via [[graft.etl.Catalog]]'s recursive reconcile, arrays
+    * through `transform()`). Pre-split rows land the ORIGINAL shape;
+    * the evolved logical shape then MERGEs the post-split window in,
+    * and the flat projection must agree with the oracle's latest-per-
+    * user replay — old files serve renamed/widened/added fields
+    * correctly at every depth, new files land at the stable physical
+    * names. SchemaEvolutionProps sweeps the op space on bucket AND MOR.
+    */
+  def sqlNested2Evolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(morScratch, "n2").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("event_type"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    def shaped(df: DataFrame, evolved: Boolean): DataFrame = {
+      val cnt = pmod(col("event_id"), lit(1000L))
+      val wtNarrow = pmod(col("event_id"), lit(100L))
+      val stats =
+        if (evolved) struct(cnt.as("hits"), col("value").as("score"))
+        else struct(cnt.cast("int").as("cnt"), col("event_type").as("tag"))
+      val elem =
+        if (evolved) struct(col("event_type").as("name"), wtNarrow.as("wt"),
+          lit("w2").as("src"))
+        else struct(col("event_type").as("nm"),
+          wtNarrow.cast("int").as("wt"))
+      df.select(col("user_id"), col("ts_us"), col("event_id"),
+        struct(stats.as("stats"), col("event_type").as("title")).as("doc"),
+        array(elem).as("tags"))
+    }
+    graft.etl.MorTable.create(shaped(ev.filter(col("ts_us") <= SplitUs),
+      evolved = false), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.Catalog.registerLayoutTable(spark, "nested2_evo", "mor", path)
+    for (ddl <- Seq(
+      "ALTER TABLE nested2_evo RENAME COLUMN doc.stats.cnt TO hits",
+      "ALTER TABLE nested2_evo ALTER COLUMN doc.stats.hits TYPE BIGINT",
+      "ALTER TABLE nested2_evo ADD COLUMNS (doc.stats.score DOUBLE)",
+      "ALTER TABLE nested2_evo DROP COLUMNS (doc.stats.tag)",
+      "ALTER TABLE nested2_evo RENAME COLUMN tags.element.nm TO name",
+      "ALTER TABLE nested2_evo ALTER COLUMN tags.element.wt TYPE BIGINT",
+      "ALTER TABLE nested2_evo ADD COLUMNS (tags.element.src STRING)"))
+      graft.etl.SqlDdl.exec(spark, ddl)
+    shaped(ev.filter(col("ts_us") > SplitUs), evolved = true)
+      .createOrReplaceTempView("nested2_evo_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO nested2_evo t USING nested2_evo_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "nested2_evo")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("doc.stats.hits").as("hits"),
+        col("doc.stats.score").as("score"),
+        col("doc.title").as("title"),
+        col("tags").getItem(0).getField("name").as("name"),
+        col("tags").getItem(0).getField("wt").as("wt"),
+        col("tags").getItem(0).getField("src").as("src"))
+  }
+
   /** `p_part_cluster`: the clustering table service — build the daily
     * table, rewrite it range-clustered on `ts_us` within each day
     * ([[graft.etl.PartitionedTable.cluster]]), read it back. The
@@ -2925,6 +2989,7 @@ object PipelineQueries {
     "p_bucket_incr_archived" -> (bucketIncrArchived(_, _)),
     "p_bloom_incremental" -> (bloomIncremental(_, _)),
     "p_sql_nested_evolution" -> (sqlNestedEvolution(_, _)),
+    "p_sql_nested2_evolution" -> (sqlNested2Evolution(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_skipping" -> (partSkipping(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
@@ -3579,6 +3644,21 @@ object PipelineQueries {
          | FROM events) t
          |WHERE rn = 1 AND user_id IN (
          |  SELECT DISTINCT user_id FROM events WHERE epoch_us(ts) > $SplitUs)""".stripMargin,
+    // depth-2 + array<struct> evolution: every evolved field is pure
+    // algebra over events; old rows serve NULL for post-evolution adds
+    "p_sql_nested2_evolution" ->
+      s"""SELECT user_id, event_id, ts_us, hits, score, title, name, wt, src
+         |FROM (
+         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  event_id % 1000 AS hits,
+         |  CASE WHEN epoch_us(ts) > $SplitUs THEN value END AS score,
+         |  event_type AS title, event_type AS name,
+         |  event_id % 100 AS wt,
+         |  CASE WHEN epoch_us(ts) > $SplitUs THEN 'w2' END AS src,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
     // archival is metadata-only: the archived-boundary pull serves the
     // SAME set as the unarchived one
     "p_bucket_incr_archived" ->

@@ -52,6 +52,17 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
   private case class NestedRename(subIdx: Int) extends Op
   private case class NestedDrop(subIdx: Int) extends Op
   private case class NestedWiden(subIdx: Int, toDouble: Boolean) extends Op
+  // DEPTH-2 struct evolution (the fixed struct `m.d`'s subfields) and
+  // array<struct> ELEMENT evolution (the fixed array column `els`) —
+  // the same four shapes through recursive paths
+  private case class DeepAdd(asInt: Boolean) extends Op
+  private case class DeepRename(subIdx: Int) extends Op
+  private case class DeepDrop(subIdx: Int) extends Op
+  private case class DeepWiden(subIdx: Int, toDouble: Boolean) extends Op
+  private case class ArrAdd(asInt: Boolean) extends Op
+  private case class ArrRename(subIdx: Int) extends Op
+  private case class ArrDrop(subIdx: Int) extends Op
+  private case class ArrWiden(subIdx: Int, toDouble: Boolean) extends Op
 
   private val op: Gen[Op] = Gen.frequency(
     4 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(ks => Insert(ks.distinct)),
@@ -73,7 +84,19 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
     1 -> Gen.chooseNum(0, 7).map(NestedDrop(_)),
     1 -> (for {
       c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
-    } yield NestedWiden(c, d)))
+    } yield NestedWiden(c, d)),
+    1 -> Gen.oneOf(true, false).map(DeepAdd(_)),
+    1 -> Gen.chooseNum(0, 7).map(DeepRename(_)),
+    1 -> Gen.chooseNum(0, 7).map(DeepDrop(_)),
+    1 -> (for {
+      c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
+    } yield DeepWiden(c, d)),
+    1 -> Gen.oneOf(true, false).map(ArrAdd(_)),
+    1 -> Gen.chooseNum(0, 7).map(ArrRename(_)),
+    1 -> Gen.chooseNum(0, 7).map(ArrDrop(_)),
+    1 -> (for {
+      c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
+    } yield ArrWiden(c, d)))
 
   private val scenario: Gen[(List[Long], List[Op])] = for {
     first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(_.distinct)
@@ -109,6 +132,17 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
       // values live under "m." prefixed names
       var subs = Vector("s0")
       var subTypes = Map("s0" -> "DOUBLE")
+      // depth-2: the fixed struct `m.d`'s subfields ("m.d." names);
+      // array<struct>: the fixed one-element array `els`'s element
+      // fields ("els." names — one element per row keeps the model flat)
+      var deeps = Vector("t0")
+      var deepTypes = Map("t0" -> "DOUBLE")
+      var arrs = Vector("a0")
+      var arrTypes = Map("a0" -> "DOUBLE")
+      // m's DECLARED field order (scalar subs interleaved with the
+      // fixed nested struct 'd') — INSERT literals must follow it, the
+      // same discipline a SQL user owes any struct-typed VALUES
+      var mOrder = Vector("s0", "d")
       val rows = scala.collection.mutable.Map[Long, (Long, Map[String, Option[Double]])]()
 
       def seed(v: Long, k: Long, ci: Int): Double =
@@ -119,28 +153,43 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         case _ => s"${d}D"
       }
       def structLit(k: Long): String =
-        "named_struct(" + subs.zipWithIndex.map { case (c, i) =>
-          s"'$c', ${sqlLit(seed(pcTick, k, 100 + i), subTypes(c))}"
+        "named_struct(" + mOrder.map {
+          case "d" =>
+            "'d', named_struct(" + deeps.zipWithIndex.map { case (c, i) =>
+              s"'$c', ${sqlLit(seed(pcTick, k, 200 + i), deepTypes(c))}"
+            }.mkString(", ") + ")"
+          case c =>
+            s"'$c', ${sqlLit(seed(pcTick, k, 100 + subs.indexOf(c)), subTypes(c))}"
         }.mkString(", ") + ")"
+      def arrLit(k: Long): String =
+        "array(named_struct(" + arrs.zipWithIndex.map { case (c, i) =>
+          s"'$c', ${sqlLit(seed(pcTick, k, 300 + i), arrTypes(c))}"
+        }.mkString(", ") + "))"
       def insert(keys: List[Long]): Unit = {
         pcTick += 1
-        val colList = ("k" +: "pc" +: cols :+ "m").mkString(", ")
+        val colList = ("k" +: "pc" +: cols :+ "m" :+ "els").mkString(", ")
         val values = keys.map(k => s"(${k}L, ${pcTick}L, " +
           cols.zipWithIndex.map { case (c, i) =>
             sqlLit(seed(pcTick, k, i), types(c))
-          }.mkString(", ") + s", ${structLit(k)})").mkString(", ")
+          }.mkString(", ") + s", ${structLit(k)}, ${arrLit(k)})")
+          .mkString(", ")
         SqlMerge.exec(spark, s"INSERT INTO $table ($colList) VALUES $values")
         keys.foreach(k => rows(k) = (pcTick,
           cols.zipWithIndex.map { case (c, i) =>
             c -> Some(seed(pcTick, k, i))
           }.toMap ++ subs.zipWithIndex.map { case (c, i) =>
             s"m.$c" -> Some(seed(pcTick, k, 100 + i))
+          }.toMap ++ deeps.zipWithIndex.map { case (c, i) =>
+            s"m.d.$c" -> Some(seed(pcTick, k, 200 + i))
+          }.toMap ++ arrs.zipWithIndex.map { case (c, i) =>
+            s"els.$c" -> Some(seed(pcTick, k, 300 + i))
           }.toMap))
       }
 
       // create through the SQL front door, then evolve
       val firstRows = first.map(k =>
-        s"(${k}L, 0L, ${seed(0, k, 0)}D, ${seed(0, k, 100)}D)")
+        s"(${k}L, 0L, ${seed(0, k, 0)}D, ${seed(0, k, 100)}D, " +
+          s"${seed(0, k, 200)}D, ${seed(0, k, 300)}D)")
         .mkString(", ")
       SqlDdl.exec(spark,
         s"""CREATE TABLE $table TBLPROPERTIES (
@@ -149,10 +198,14 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
            |  'graft.table.primaryKey' = 'k',
            |  'graft.table.preCombineField' = 'pc',
            |  'graft.table.numBuckets' = '4')
-           |AS SELECT k, pc, v, named_struct('s0', s0) AS m
-           |FROM VALUES $firstRows AS t(k, pc, v, s0)""".stripMargin)
+           |AS SELECT k, pc, v,
+           |  named_struct('s0', s0, 'd', named_struct('t0', t0)) AS m,
+           |  array(named_struct('a0', a0)) AS els
+           |FROM VALUES $firstRows AS t(k, pc, v, s0, t0, a0)""".stripMargin)
       first.foreach(k => rows(k) = (0L,
-        Map("v" -> Some(seed(0, k, 0)), "m.s0" -> Some(seed(0, k, 100)))))
+        Map("v" -> Some(seed(0, k, 0)), "m.s0" -> Some(seed(0, k, 100)),
+          "m.d.t0" -> Some(seed(0, k, 200)),
+          "els.a0" -> Some(seed(0, k, 300)))))
 
       def check(after: String): Prop = {
         import org.apache.spark.sql.functions.col
@@ -160,7 +213,9 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         // about widths; the declared-type plumbing itself is pinned by
         // the engine accepting the typed literals/updates above
         val flat = cols.map(c => c -> col(c)) ++
-          subs.map(c => s"m.$c" -> col(s"m.$c"))
+          subs.map(c => s"m.$c" -> col(s"m.$c")) ++
+          deeps.map(c => s"m.d.$c" -> col(s"m.d.$c")) ++
+          arrs.map(c => s"els.$c" -> col("els").getItem(0).getField(c))
         val frame = Catalog.readTable(spark, table).select(
           col("k") +: col("pc") +:
             flat.map { case (n, c) => c.cast("double").as(n) }: _*)
@@ -247,6 +302,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
             val tpe = if (asInt) "INT" else "DOUBLE"
             SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS (m.$c $tpe)")
             subs = subs :+ c
+            mOrder = mOrder :+ c
             subTypes = subTypes + (c -> tpe)
             rows.mapValuesInPlace { case (_, (pc, vs)) =>
               (pc, vs + (s"m.$c" -> None))
@@ -258,6 +314,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
             SqlDdl.exec(spark,
               s"ALTER TABLE $table RENAME COLUMN m.$from TO $to")
             subs = subs.updated(subs.indexOf(from), to)
+            mOrder = mOrder.updated(mOrder.indexOf(from), to)
             subTypes = subTypes - from + (to -> subTypes(from))
             rows.mapValuesInPlace { case (_, (pc, vs)) =>
               (pc, vs - s"m.$from" + (s"m.$to" -> vs(s"m.$from")))
@@ -267,6 +324,7 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
             val victim = subs(si % subs.size)
             SqlDdl.exec(spark, s"ALTER TABLE $table DROP COLUMNS (m.$victim)")
             subs = subs.filterNot(_ == victim)
+            mOrder = mOrder.filterNot(_ == victim)
             subTypes = subTypes - victim
             rows.mapValuesInPlace { case (_, (pc, vs)) =>
               (pc, vs - s"m.$victim")
@@ -282,6 +340,90 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
               subTypes = subTypes + (target -> to)
               s"NESTED WIDEN m.$target INT->$to"
             } else s"NESTED WIDEN skipped (m.$target is ${subTypes(target)})"
+          case DeepAdd(asInt) =>
+            fresh += 1
+            val c = s"t$fresh"
+            val tpe = if (asInt) "INT" else "DOUBLE"
+            SqlDdl.exec(spark, s"ALTER TABLE $table ADD COLUMNS (m.d.$c $tpe)")
+            deeps = deeps :+ c
+            deepTypes = deepTypes + (c -> tpe)
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs + (s"m.d.$c" -> None))
+            }
+            s"DEEP ADD m.d.$c $tpe"
+          case DeepRename(si) =>
+            fresh += 1
+            val from = deeps(si % deeps.size); val to = s"t$fresh"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table RENAME COLUMN m.d.$from TO $to")
+            deeps = deeps.updated(deeps.indexOf(from), to)
+            deepTypes = deepTypes - from + (to -> deepTypes(from))
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"m.d.$from" + (s"m.d.$to" -> vs(s"m.d.$from")))
+            }
+            s"DEEP RENAME m.d.$from->m.d.$to"
+          case DeepDrop(si) if deeps.size > 1 =>
+            val victim = deeps(si % deeps.size)
+            SqlDdl.exec(spark, s"ALTER TABLE $table DROP COLUMNS (m.d.$victim)")
+            deeps = deeps.filterNot(_ == victim)
+            deepTypes = deepTypes - victim
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"m.d.$victim")
+            }
+            s"DEEP DROP m.d.$victim"
+          case DeepDrop(_) => "DEEP DROP skipped (last subfield)"
+          case DeepWiden(si, toDouble) =>
+            val target = deeps(si % deeps.size)
+            if (deepTypes(target) == "INT") {
+              val to = if (toDouble) "DOUBLE" else "BIGINT"
+              SqlDdl.exec(spark,
+                s"ALTER TABLE $table ALTER COLUMN m.d.$target TYPE $to")
+              deepTypes = deepTypes + (target -> to)
+              s"DEEP WIDEN m.d.$target INT->$to"
+            } else s"DEEP WIDEN skipped (m.d.$target is ${deepTypes(target)})"
+          case ArrAdd(asInt) =>
+            fresh += 1
+            val c = s"a$fresh"
+            val tpe = if (asInt) "INT" else "DOUBLE"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table ADD COLUMNS (els.element.$c $tpe)")
+            arrs = arrs :+ c
+            arrTypes = arrTypes + (c -> tpe)
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs + (s"els.$c" -> None))
+            }
+            s"ARR ADD els.element.$c $tpe"
+          case ArrRename(si) =>
+            fresh += 1
+            val from = arrs(si % arrs.size); val to = s"a$fresh"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table RENAME COLUMN els.element.$from TO $to")
+            arrs = arrs.updated(arrs.indexOf(from), to)
+            arrTypes = arrTypes - from + (to -> arrTypes(from))
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"els.$from" + (s"els.$to" -> vs(s"els.$from")))
+            }
+            s"ARR RENAME els.element.$from->$to"
+          case ArrDrop(si) if arrs.size > 1 =>
+            val victim = arrs(si % arrs.size)
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table DROP COLUMNS (els.element.$victim)")
+            arrs = arrs.filterNot(_ == victim)
+            arrTypes = arrTypes - victim
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"els.$victim")
+            }
+            s"ARR DROP els.element.$victim"
+          case ArrDrop(_) => "ARR DROP skipped (last element field)"
+          case ArrWiden(si, toDouble) =>
+            val target = arrs(si % arrs.size)
+            if (arrTypes(target) == "INT") {
+              val to = if (toDouble) "DOUBLE" else "BIGINT"
+              SqlDdl.exec(spark,
+                s"ALTER TABLE $table ALTER COLUMN els.element.$target TYPE $to")
+              arrTypes = arrTypes + (target -> to)
+              s"ARR WIDEN els.element.$target INT->$to"
+            } else s"ARR WIDEN skipped (els.$target is ${arrTypes(target)})"
         }
         check(applied)
       }

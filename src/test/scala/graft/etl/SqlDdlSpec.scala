@@ -694,12 +694,15 @@ class SqlDdlSpec extends SparkSpec {
     }
     assert(eu2.getMessage.contains("no such field"))
 
-    // loud rejections: two levels, non-struct parents, parent rename
-    // with nested state, empty-struct drop
+    // loud rejections: a path through a nonexistent intermediate,
+    // non-struct parents, parent rename with nested state,
+    // empty-struct drop (two-level paths themselves are now supported
+    // — SqlDdlSpec's depth-2 test and p_sql_nested2_evolution cover
+    // the positive side)
     val e1 = intercept[IllegalArgumentException] {
       SqlDdl.exec(spark, "ALTER TABLE nested_ev ADD COLUMNS (meta.x.y INT)")
     }
-    assert(e1.getMessage.contains("struct level"))
+    assert(e1.getMessage.contains("no such field 'x'"))
     val e2 = intercept[IllegalArgumentException] {
       SqlDdl.exec(spark, "ALTER TABLE nested_ev ADD COLUMNS (k.sub INT)")
     }
@@ -807,5 +810,96 @@ class SqlDdlSpec extends SparkSpec {
         "ALTER TABLE widen_r ALTER COLUMN rate COMMENT 'nope'")
     }
     assert(e4.getMessage.contains("only TYPE widening"))
+  }
+
+  test("depth-2 and array<struct> evolution: ADD/RENAME/WIDEN/DROP through paths") {
+    import org.apache.spark.sql.functions.{array, col, lit, struct}
+    val p = Files.createTempDirectory("nested2").toString + "/t"
+    val base = Seq((1L, 1L)).toDF("k", "pc")
+      .withColumn("doc", struct(
+        struct(lit(10).as("cnt"), lit("en").as("lang")).as("stats"),
+        lit("t1").as("title")))
+      .withColumn("tags", array(
+        struct(lit("a").as("nm"), lit(1).as("wt")),
+        struct(lit("b").as("nm"), lit(2).as("wt"))))
+    BucketTable.create(base, p, keys = Seq("k"), precombine = "pc",
+      numBuckets = 2)
+    Catalog.registerLayoutTable(spark, "nested2_ev", "bucket", p)
+
+    // depth-2 ADD + array-element ADD: declared only, reads serve NULLs
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested2_ev ADD COLUMNS (doc.stats.score DOUBLE)")
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested2_ev ADD COLUMNS (tags.element.src STRING)")
+    val afterAdd = Catalog.readTable(spark, "nested2_ev")
+      .selectExpr("doc.stats.score", "tags[0].src", "tags[0].nm")
+      .as[(Option[Double], Option[String], String)].head()
+    assert(afterAdd == ((None, None, "a")))
+
+    // depth-2 RENAME + array-element RENAME: logical names serve,
+    // physical files keep cnt/nm
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested2_ev RENAME COLUMN doc.stats.cnt TO hits")
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested2_ev RENAME COLUMN tags.element.nm TO name")
+    // depth-2 WIDEN + array-element WIDEN: lossless gate at the leaf
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested2_ev ALTER COLUMN doc.stats.hits TYPE BIGINT")
+    SqlDdl.exec(spark,
+      "ALTER TABLE nested2_ev ALTER COLUMN tags.element.wt TYPE BIGINT")
+    assert(Catalog.readTable(spark, "nested2_ev")
+      .selectExpr("doc.stats.hits", "tags[1].name", "tags[1].wt")
+      .as[(Long, String, Long)].head() == ((10L, "b", 2L)))
+
+    // a write through the SQL front door uses the LOGICAL shape and
+    // lands at the PHYSICAL names at every depth (one spelling per
+    // file family) — mixed-shape files then merge on read
+    SqlMerge.exec(spark,
+      """INSERT INTO nested2_ev VALUES (2, 1,
+        |  named_struct('stats', named_struct('hits', CAST(20 AS BIGINT),
+        |    'lang', 'fr', 'score', CAST(2.5 AS DOUBLE)), 'title', 't2'),
+        |  array(named_struct('name', 'c', 'wt', CAST(3 AS BIGINT),
+        |    'src', 's2')))""".stripMargin)
+    val stats = BucketTable.read(spark, p).schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("stats").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(stats.contains("cnt") && !stats.exists(_.equalsIgnoreCase("hits")),
+      s"physical depth-2 fields: $stats")
+    val elem = BucketTable.read(spark, p).schema("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(elem.contains("nm") && !elem.exists(_.equalsIgnoreCase("name")),
+      s"physical element fields: $elem")
+    val merged = Catalog.readTable(spark, "nested2_ev")
+      .selectExpr("k", "doc.stats.hits", "doc.stats.score",
+        "tags[0].name", "tags[0].src")
+      .as[(Long, Long, Option[Double], String, Option[String])]
+      .collect().toSeq.sortBy(_._1)
+    assert(merged == Seq((1L, 10L, None, "a", None),
+      (2L, 20L, Some(2.5), "c", Some("s2"))))
+
+    // depth-2 DROP + array-element DROP: tombstoned, projected away
+    SqlDdl.exec(spark, "ALTER TABLE nested2_ev DROP COLUMNS (doc.stats.lang)")
+    SqlDdl.exec(spark, "ALTER TABLE nested2_ev DROP COLUMNS (tags.element.src)")
+    val statsNow = spark.table("nested2_ev").schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("stats").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(!statsNow.exists(_.equalsIgnoreCase("lang")))
+    assert(Catalog.readTable(spark, "nested2_ev")
+      .selectExpr("k", "doc.stats.hits", "tags[0].name")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, 10L, "a"), (2L, 20L, "c")))
+
+    // loud: renaming an ANCESTOR carrying state beneath it; maps and
+    // bare-array descent stay rejected
+    val e1 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark,
+        "ALTER TABLE nested2_ev RENAME COLUMN doc.stats TO s2")
+    }
+    assert(e1.getMessage.contains("state"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlDdl.exec(spark, "ALTER TABLE nested2_ev ADD COLUMNS (tags.x INT)")
+    }
+    assert(e2.getMessage.contains("element"))
   }
 }
