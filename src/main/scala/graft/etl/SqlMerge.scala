@@ -1071,12 +1071,15 @@ object SqlMerge {
       })
     def actCond(a: MergeAction, insertCtx: Boolean): Column =
       a.condition.map(rewrite(_, insertCtx)).getOrElse(lit(true))
-    /** Resolve assignment targets — plain columns, and (in UPDATE
-      * contexts) one-level struct subfields, which reassign the parent
-      * to itself with the subfield replaced via withField (same
+    /** Resolve assignment targets — plain columns, and one-level
+      * struct subfields. In UPDATE contexts a subfield reassigns the
+      * parent to itself with the field replaced via withField (same
       * semantics and declared-type cast as the UPDATE statement's
-      * nested SET). INSERT actions assign whole columns only: there is
-      * no target row whose struct a subfield could patch.
+      * nested SET); in INSERT contexts there is no target row to
+      * patch, so the parent struct is BUILT from its declared fields —
+      * assigned subfields take their values, the rest land typed NULL
+      * (named assignment, the struct twin of an INSERT column list's
+      * null-fill).
       */
     def combineAssignments(assigns: Seq[Assignment],
         valueOf: Expression => Column, updateCtx: Boolean,
@@ -1091,9 +1094,6 @@ object SqlMerge {
         if (ps.length > 2)
           fail(s"'${ps.mkString(".")}' nests more than one struct " +
             "level — only top-level struct fields are assignable")
-        if (ps.length == 2 && !updateCtx)
-          fail(s"$ctx assigns whole columns — nested field " +
-            s"'${ps.mkString(".")}' has no target row to patch")
         (ps, a.value)
       }
       val (nested, plain) = parsed.partition(_._1.length == 2)
@@ -1116,15 +1116,32 @@ object SqlMerge {
             case other => fail(s"'$parent' is ${other.sql}, not a " +
               "STRUCT — subfield assignment needs a struct column")
           }
-          parent -> as.foldLeft(col(t.renamed(parent.toLowerCase))) {
-            case (acc, (ps, v)) =>
-              val sub = st.fields.find(_.name.equalsIgnoreCase(ps(1)))
-                .getOrElse(fail(s"no such field '$parent.${ps(1)}' " +
-                  s"(fields: ${st.fieldNames.mkString(", ")})"))
-              // declared-type cast: a drifted struct type would
-              // scramble downstream positional struct casts
-              acc.withField(sub.name, valueOf(v).cast(sub.dataType))
+          val bySub = as.map { case (ps, v) =>
+            val sub = st.fields.find(_.name.equalsIgnoreCase(ps(1)))
+              .getOrElse(fail(s"no such field '$parent.${ps(1)}' " +
+                s"(fields: ${st.fieldNames.mkString(", ")})"))
+            sub.name.toLowerCase -> v
           }
+          if (bySub.map(_._1).distinct.size != bySub.size)
+            fail(s"duplicate subfield assignment under '$parent'")
+          val valueBySub = bySub.toMap
+          parent -> (if (updateCtx)
+            // patch the target row's struct in place
+            valueBySub.foldLeft(col(t.renamed(parent.toLowerCase))) {
+              case (acc, (subLower, v)) =>
+                val sub = st.fields.find(_.name.toLowerCase == subLower).get
+                // declared-type cast: a drifted struct type would
+                // scramble downstream positional struct casts
+                acc.withField(sub.name, valueOf(v).cast(sub.dataType))
+            }
+          else
+            // INSERT: no target row — build the struct in DECLARED
+            // order from named assignments, unassigned fields NULL
+            org.apache.spark.sql.functions.struct(st.fields.map(f =>
+              valueBySub.get(f.name.toLowerCase)
+                .map(v => valueOf(v).cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType)).as(f.name))
+              .toIndexedSeq: _*))
         }
       plainMap ++ nestedMap
     }

@@ -990,6 +990,39 @@ object PipelineQueries {
         col("meta.score").as("score"))
   }
 
+  /** `p_sql_merge_nested_insert`: MERGE INSERT actions with
+    * STRUCT-FIELD assignment — `INSERT (k, pc, meta.price)` builds the
+    * struct by NAMED assignment (assigned subfields take values, the
+    * rest land typed NULL, declared order), while the matched branch
+    * patches the same subfield in place. The oracle replays the split:
+    * untouched / updated-in-place / inserted-with-null-sibling.
+    */
+  def sqlMergeNestedInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        struct(col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status")).as("meta"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "mni").toString + "/t"
+    graft.etl.BucketTable.create(src.filter(col("k") % 10 < 5), path,
+      keys = Seq("k"), precombine = "pc", numBuckets = 8)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mni", "bucket", path)
+    graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(2L).as("pc"),
+        (col("o_totalprice") + 500).as("p"))
+      .filter(col("k") % 10 >= 3)
+      .createOrReplaceTempView("graft_mni_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO graft_mni t USING graft_mni_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET pc = s.pc, meta.price = s.p
+        |WHEN NOT MATCHED THEN INSERT (k, pc, meta.price)
+        |  VALUES (s.k, s.pc, s.p)""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "graft_mni")
+      .select(col("k"), col("meta.price").as("price"),
+        col("meta.status").as("status"))
+  }
+
   /** `p_sql_nested2_evolution`: DEPTH-2 struct evolution and
     * array<struct> ELEMENT evolution through SQL DDL on a MOR table —
     * `ADD/RENAME/WIDEN/DROP` addressed by recursive paths
@@ -2990,6 +3023,7 @@ object PipelineQueries {
     "p_bloom_incremental" -> (bloomIncremental(_, _)),
     "p_sql_nested_evolution" -> (sqlNestedEvolution(_, _)),
     "p_sql_nested2_evolution" -> (sqlNested2Evolution(_, _)),
+    "p_sql_merge_nested_insert" -> (sqlMergeNestedInsert(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_skipping" -> (partSkipping(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
@@ -3644,6 +3678,15 @@ object PipelineQueries {
          | FROM events) t
          |WHERE rn = 1 AND user_id IN (
          |  SELECT DISTINCT user_id FROM events WHERE epoch_us(ts) > $SplitUs)""".stripMargin,
+    // untouched (k%10<3) / updated in place (3,4) / inserted with the
+    // unassigned sibling NULL (>=5)
+    "p_sql_merge_nested_insert" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v,
+         |                    o_orderstatus AS st FROM orders)
+         |SELECT k, v AS price, st AS status FROM src WHERE k%10 < 3
+         |UNION ALL SELECT k, v+500, st FROM src WHERE k%10 IN (3,4)
+         |UNION ALL SELECT k, v+500, CAST(NULL AS VARCHAR)
+         |  FROM src WHERE k%10 >= 5""".stripMargin,
     // depth-2 + array<struct> evolution: every evolved field is pure
     // algebra over events; old rows serve NULL for post-evolution adds
     "p_sql_nested2_evolution" ->

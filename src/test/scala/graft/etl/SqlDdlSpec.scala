@@ -671,16 +671,19 @@ class SqlDdlSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].collect().toSeq.sortBy(_._1) ==
       Seq((1L, 10L, Some(20.0)), (2L, 20L, Some(99.0)),
         (3L, 30L, Some(3.5)), (4L, 40L, Some(44.0))))
-    // nested targets are UPDATE-only: an INSERT action has no target
-    // row whose struct a subfield could patch
-    val em = intercept[IllegalArgumentException] {
-      SqlMerge.exec(spark,
-        """MERGE INTO nested_ev t USING nested_ev_src s
-          |ON t.k = s.k
-          |WHEN NOT MATCHED THEN INSERT (k, pc, meta.score)
-          |  VALUES (s.k, s.pc, s.nv)""".stripMargin)
-    }
-    assert(em.getMessage.contains("whole columns"))
+    // nested INSERT targets BUILD the struct by named assignment:
+    // assigned subfields take their values, the rest land typed NULL
+    // (the struct twin of an INSERT column list's null-fill)
+    Seq((5L, 1L, 55.0)).toDF("k", "pc", "nv")
+      .createOrReplaceTempView("nested_ev_src2")
+    SqlMerge.exec(spark,
+      """MERGE INTO nested_ev t USING nested_ev_src2 s
+        |ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, pc, meta.score)
+        |  VALUES (s.k, s.pc, s.nv)""".stripMargin)
+    assert(Catalog.readTable(spark, "nested_ev").filter($"k" === 5L)
+      .select($"meta.alpha", $"meta.score")
+      .as[(Option[Long], Option[Double])].head() == ((None, Some(55.0))))
 
     // assigning a parent AND its subfield in one statement is ambiguous
     val eu = intercept[IllegalArgumentException] {
