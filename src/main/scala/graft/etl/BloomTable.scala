@@ -131,10 +131,21 @@ object BloomTable {
 
   /** Appended BEFORE the manifest swing (same reasoning as
     * `BucketTable.writeManifest`: a phantom entry re-serves unchanged
-    * content, a missing one hides a commit).
+    * content, a missing one hides a commit). When cdc is enabled, the
+    * commit's row-level images follow [[CdcLog]]'s two-phase
+    * discipline: staged before the log append, published after the
+    * swing — a crash in between leaves a commit whose images are
+    * missing (served loudly), never images of a commit that didn't
+    * happen.
     */
   private def writeManifest(tablePath: String, files: Seq[String],
-      commit: Long, kind: String): Unit = {
+      commit: Long, kind: String, cdc: CdcLog.Action): Unit = {
+    val cdcLive = CdcLog.enabled(tablePath)
+    if (cdcLive) cdc match {
+      case CdcLog.Action.Changes(rows) => CdcLog.stage(tablePath, commit, rows())
+      case CdcLog.Action.Preserving => CdcLog.stageEmpty(tablePath, commit)
+      case CdcLog.Action.Destructive => CdcLog.ratchet(tablePath, commit)
+    }
     Files.writeString(commitsPath(tablePath), s"$commit $kind\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
@@ -142,7 +153,24 @@ object BloomTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    if (cdcLive) CdcLog.publish(tablePath, commit)
   }
+
+  /** Turn on row-level CDC images (see [[CdcLog]]); commits AFTER the
+    * current head get images, served by [[changesCdc]]. Unlike
+    * [[changedSince]]'s file-add feed — which must refuse row-removing
+    * windows — the image feed expresses deletions and update priors
+    * exactly on every commit kind.
+    */
+  def enableCdc(tablePath: String): Unit =
+    CdcLog.enable(tablePath, latestCommit(tablePath))
+
+  /** The row-level CDC feed for `(sinceCommit, head]` — op ∈ {i,u,d},
+    * before/after images, `_change_seq` = the commit number.
+    */
+  def changesCdc(spark: SparkSession, tablePath: String,
+      sinceCommit: Long): DataFrame =
+    CdcLog.changes(spark, tablePath, sinceCommit, latestCommit(tablePath))
 
   /** Hudi-style incremental query on the bloom CoW layout: the rows of
     * every LIVE file written by a commit after `sinceCommit` —
@@ -336,7 +364,9 @@ object BloomTable {
     val onDisk = {
       val s = Files.list(Paths.get(tablePath))
       try s.iterator().asScala.map(_.getFileName.toString)
-        .collect { case n if n.startsWith("c=") => n.drop(2).toLong }.toSeq
+        // strict c=<digits>: the cdc image dirs (cdc=N) share the
+        // prefix and must not parse (or clean) as commit dirs
+        .collect { case n if n.matches("c=\\d+") => n.drop(2).toLong }.toSeq
       finally s.close()
     }
     // the commit LOG must participate: a pure-retirement delete commits
@@ -385,8 +415,12 @@ object BloomTable {
     // bootstraps the full table instead of silently skipping the
     // create's files
     val written = writeCommit(deduped, tablePath, 1L, p, numFiles)
-    writeManifest(tablePath, written, 1L, "write")
     val spark = df.sparkSession
+    writeManifest(tablePath, written, 1L, "write",
+      CdcLog.Action.Changes { () =>
+        val content = readFiles(spark, tablePath, written)
+        CdcLog.diff(content.limit(0), content, keys)
+      })
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p), 0L)
   }
@@ -490,7 +524,8 @@ object BloomTable {
       PreCommit.validate(batch, validators)
       val commit = nextCommit(tablePath)
       val written = writeCommit(batch, tablePath, commit, p, p.numFiles)
-      writeManifest(tablePath, written, commit, "overwrite")
+      writeManifest(tablePath, written, commit, "overwrite",
+        CdcLog.Action.Destructive)
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
@@ -521,7 +556,10 @@ object BloomTable {
     val written = writeCommit(merged, tablePath, commit, p,
       math.max(1, touched.size))
     val newManifest = (manifest(tablePath).toSet -- touched) ++ written
-    writeManifest(tablePath, newManifest.toSeq, commit, "write")
+    writeManifest(tablePath, newManifest.toSeq, commit, "write",
+      CdcLog.Action.Changes { () =>
+        CdcLog.diff(existing, readFiles(spark, tablePath, written), p.keys)
+      })
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
     writeIndex(tablePath,
@@ -562,7 +600,13 @@ object BloomTable {
       else writeCommit(remaining, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
       ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
-      commit, "delete")
+      commit, "delete",
+      CdcLog.Action.Changes { () =>
+        val after =
+          if (written.isEmpty) existing.limit(0)
+          else readFiles(spark, tablePath, written)
+        CdcLog.diff(existing, after, p.keys)
+      })
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
     val nextIdx =
@@ -606,7 +650,13 @@ object BloomTable {
         else writeCommit(next, tablePath, commit, p, math.max(1, touched.size))
       writeManifest(tablePath,
         ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
-        commit, "rewrite")
+        commit, "rewrite",
+        CdcLog.Action.Changes { () =>
+          val after =
+            if (written.isEmpty) existing.limit(0)
+            else readFiles(spark, tablePath, written)
+          CdcLog.diff(existing, after, p.keys)
+        })
       val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
         keep = false)
       val nextIdx =
@@ -654,7 +704,14 @@ object BloomTable {
       if (next.isEmpty) Seq.empty
       else writeCommit(next, tablePath, commit, p, touched.size)
     writeManifest(tablePath,
-      ((live.toSet -- touched) ++ written).toSeq, commit, "rewrite")
+      ((live.toSet -- touched) ++ written).toSeq, commit, "rewrite",
+      CdcLog.Action.Changes { () =>
+        val before = readFiles(spark, tablePath, touched)
+        val after =
+          if (written.isEmpty) before.limit(0)
+          else readFiles(spark, tablePath, written)
+        CdcLog.diff(before, after, p.keys)
+      })
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
     val nextIdx =
@@ -702,7 +759,8 @@ object BloomTable {
     val commit = nextCommit(tablePath)
     val written = writeCommit(read(spark, tablePath), tablePath, commit, p,
       p.numFiles)
-    writeManifest(tablePath, written, commit, "cluster")
+    writeManifest(tablePath, written, commit, "cluster",
+      CdcLog.Action.Preserving)
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
       nextIndexVersion(tablePath))
@@ -739,7 +797,8 @@ object BloomTable {
         .sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("errorifexists").parquet(s"$tablePath/c=$commit")
       val written = listCommitFiles(tablePath, commit)
-      writeManifest(tablePath, written, commit, "cluster")
+      writeManifest(tablePath, written, commit, "cluster",
+        CdcLog.Action.Preserving)
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
@@ -774,7 +833,7 @@ object BloomTable {
       try s.iterator().asScala.toSeq finally s.close()
     }
     val removedData = listDir(base)
-      .filter(_.getFileName.toString.startsWith("c="))
+      .filter(_.getFileName.toString.matches("c=\\d+"))
       .flatMap { cdir =>
         val parts = listDir(cdir)
           .filter(_.getFileName.toString.endsWith(".parquet"))

@@ -346,6 +346,10 @@ object PartitionedTable {
       tagged.drop(p.dirCols: _*),
       p.identity, p.precombine, p.tieBreak)
     val written = writeGen(withShadow(merged, p), tablePath, gen, p)
+    // a CoW upsert changes content with NO change seq — the cdc image
+    // feed cannot represent it, so every cursor dies (ratchet BEFORE
+    // the swing: a crash leaves a spurious loud, never a silent gap)
+    CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
     writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
     written
   }
@@ -377,7 +381,12 @@ object PartitionedTable {
     val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
       val conflict = touched.exists(d => m1.get(d) != m0.get(d))
-      if (!conflict) writeManifest(tablePath, m1 ++ written.map(_ -> gen))
+      if (!conflict) {
+        // seq-less content change: the cdc image feed dies (same as
+        // the plain CoW upsert route)
+        CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
+        writeManifest(tablePath, m1 ++ written.map(_ -> gen))
+      }
       !conflict
     }
     if (committed) Some(written)
@@ -703,8 +712,68 @@ object PartitionedTable {
     * cursors, not the log removal. Same ratchet-BEFORE-rewrite ordering
     * discipline as [[retireDeltas]].
     */
-  private def retireDestructive(tablePath: String): Unit =
-    ratchetFloor(tablePath, changeHead(tablePath) + 1L)
+  private def retireDestructive(tablePath: String): Unit = {
+    val past = changeHead(tablePath) + 1L
+    // the cdc IMAGE feed dies with the post-image feed: a restate no
+    // delta commit records has no images either
+    CdcLog.ratchet(tablePath, past)
+    ratchetFloor(tablePath, past)
+  }
+
+  // ---- row-level CDC images (see CdcLog) ------------------------------
+
+  /** Turn on before/after image capture for the DELTA routes
+    * ([[upsertDelta]] / [[deleteDelta]] — the high-frequency ingest
+    * path CDC consumers follow). CoW writes ([[upsertInto]] /
+    * [[attemptOcc]]) change content without a change seq, so they
+    * ratchet the cdc floor: a mixed workload re-syncs loudly, never
+    * reads a feed with invisible gaps.
+    */
+  def enableCdc(tablePath: String): Unit =
+    CdcLog.enable(tablePath, changeHead(tablePath))
+
+  /** The image feed for `(sinceSeq, head]` — op ∈ {i,u,d}, flat
+    * before/after columns, `_change_seq`. Survives [[compactDeltas]]
+    * (images live outside the delta log); destructive ops and CoW
+    * writes floor every cursor.
+    */
+  def changesCdc(spark: SparkSession, tablePath: String,
+      sinceSeq: Long): DataFrame =
+    CdcLog.changes(spark, tablePath, sinceSeq,
+      math.max(changeHead(tablePath), CdcLog.floor(tablePath)))
+
+  /** Compute and stage delta commit `seq`'s images: the merged CURRENT
+    * rows of the batch's identities are the before side; the read
+    * merge replayed over them plus the batch is the after side —
+    * exactly what [[read]] will serve, including precombine losers
+    * (no image) and tombstones (a `d` with the victim as before).
+    * Caller holds the table lock, delta log not yet swung. Cost: one
+    * keyed probe of the merged snapshot per cdc-enabled commit (the
+    * price MOR pays in the same place).
+    */
+  private def stageCdcDelta(spark: SparkSession, tablePath: String,
+      seq: Long, tagged: DataFrame, p: Props): Unit = {
+    val clean0 = tagged.drop(p.partitionCols.map(Shadow + _) :+ Group: _*)
+    // upsert batches carry no tombstone flag — materialize it so the
+    // merge filter below always resolves (delete batches already have it)
+    val clean =
+      (if (clean0.columns.contains(Deleted)) clean0
+       else clean0.withColumn(Deleted, lit(false)))
+        .localCheckpoint()
+    val keyset = clean.select(p.identity.map(col): _*).distinct()
+      .localCheckpoint()
+    val snap = read(spark, tablePath)
+    val cond = p.identity.map(k => snap(k) <=> keyset(k)).reduce(_ && _)
+    val before = snap.join(keyset, cond, "left_semi").localCheckpoint()
+    val after = HudiLike.precombineLatest(
+      before.withColumn(DSeq, lit(0L))
+        .unionByName(clean.withColumn(DSeq, lit(seq)),
+          allowMissingColumns = true),
+      p.identity, p.precombine, DSeq +: p.tieBreak)
+      .filter(!coalesce(col(Deleted), lit(false)))
+      .drop(DSeq, Deleted)
+    CdcLog.stage(tablePath, seq, CdcLog.diff(before, after, p.identity))
+  }
 
   /** MERGE-ON-READ upsert: append the precombined batch as a delta
     * commit — one partitioned write of O(batch) rows, NO base read,
@@ -727,11 +796,17 @@ object PartitionedTable {
       val seq = nextDeltaSeq(tablePath, existing)
       val dir = Paths.get(tablePath, s"dgen=$seq")
       if (Files.exists(dir)) deleteRecursively(dir) // crashed writer's orphan
+      CdcLog.discard(tablePath, seq)
+      // images staged pre-swing, published post-swing (CdcLog's
+      // two-phase contract — a crash loses images loudly, never
+      // publishes images of a commit that didn't happen)
+      if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
+      CdcLog.publish(tablePath, seq)
       written
     }
   }
@@ -758,11 +833,17 @@ object PartitionedTable {
       val seq = nextDeltaSeq(tablePath, existing)
       val dir = Paths.get(tablePath, s"dgen=$seq")
       if (Files.exists(dir)) deleteRecursively(dir)
+      CdcLog.discard(tablePath, seq)
+      // images staged pre-swing, published post-swing (CdcLog's
+      // two-phase contract — a crash loses images loudly, never
+      // publishes images of a commit that didn't happen)
+      if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
+      CdcLog.publish(tablePath, seq)
       written
     }
   }
@@ -1074,7 +1155,11 @@ object PartitionedTable {
   private def nextDeltaSeq(tablePath: String,
       existing: Seq[(String, Long)]): Long =
     ((existing.map(_._2) ++ pinnedDgens(tablePath)) ++
-      Seq(0L, compactedThrough(tablePath))).max + 1
+      Seq(0L, compactedThrough(tablePath)) ++
+      // the cdc floor participates: a destructive ratchet past the
+      // head must never be aliased by the next delta seq
+      (if (CdcLog.enabled(tablePath)) Seq(CdcLog.floor(tablePath))
+       else Nil)).max + 1
 
   /** Read the table AS OF a savepoint — the pinned base merged with
     * the pinned delta log, live state untouched.

@@ -268,18 +268,23 @@ object SqlCall {
         Catalog.layoutOf(spark, t) match {
           case Some(("mor", p)) => MorTable.changesCdc(spark, p, sinceSeq2)
           case Some(("bucket", p)) => BucketTable.changesCdc(spark, p, sinceSeq2)
+          case Some(("bloom", p)) => BloomTable.changesCdc(spark, p, sinceSeq2)
+          case Some(("partitioned", p)) =>
+            PartitionedTable.changesCdc(spark, p, sinceSeq2)
           case other => throw new IllegalArgumentException(
             s"table_changes('$t', ..., 'cdc'): image-logging is " +
-              "implemented for mor | bucket layouts" +
-              other.fold("")(kp => s"; layout: ${kp._1}"))
+              "implemented for mor | bucket | bloom | partitioned " +
+              "layouts" + other.fold("")(kp => s"; layout: ${kp._1}"))
         }
       case ("enable_cdc", Seq(t: String)) =>
         Catalog.layoutOf(spark, t) match {
           case Some(("mor", p)) => MorTable.enableCdc(p)
           case Some(("bucket", p)) => BucketTable.enableCdc(p)
+          case Some(("bloom", p)) => BloomTable.enableCdc(p)
+          case Some(("partitioned", p)) => PartitionedTable.enableCdc(p)
           case other => throw new IllegalArgumentException(
             s"enable_cdc('$t'): image-logging is implemented for " +
-              "mor | bucket layouts" +
+              "mor | bucket | bloom | partitioned layouts" +
               other.fold("")(kp => s"; layout: ${kp._1}"))
         }
         Seq(t).toDF("cdc_enabled")

@@ -537,15 +537,48 @@ object PipelineQueries {
     graft.etl.BucketTable.compact(spark, bkPath)                      // commit 4
     graft.etl.BucketTable.upsertInto(spark, bkPath, up2)              // commit 5
 
+    // bloom: same script, images from mid-life enablement (after the
+    // create commit) — the feed that serves i/u/d exactly where
+    // changedSince must refuse row-removing windows
+    val blPath = java.nio.file.Files
+      .createTempDirectory(morScratch, "cdci").toString + "/t"
+    graft.etl.BloomTable.create(base, blPath,
+      keys = Seq("k"), precombine = "pc", numFiles = 8)               // commit 1
+    graft.etl.BloomTable.enableCdc(blPath)
+    graft.etl.BloomTable.upsertInto(spark, blPath, up1)               // commit 2
+    graft.etl.BloomTable.deleteFrom(spark, blPath, delKeys)           // commit 3
+    graft.etl.BloomTable.compact(spark, blPath)                       // commit 4
+    graft.etl.BloomTable.upsertInto(spark, blPath, up2)               // commit 5
+
+    // partitioned: the delta (MOR-per-slice) route, identity =
+    // (day, k); images chain across compactDeltas exactly like MOR's
+    def withDay(df: DataFrame): DataFrame =
+      df.withColumn("day", (col("k") % 3).cast("string"))
+    val ptPath = java.nio.file.Files
+      .createTempDirectory(morScratch, "cdci").toString + "/t"
+    graft.etl.PartitionedTable.create(withDay(base), ptPath,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    graft.etl.PartitionedTable.enableCdc(ptPath)
+    graft.etl.PartitionedTable.upsertDelta(spark, ptPath, withDay(up1)) // seq 1
+    graft.etl.PartitionedTable.deleteDelta(spark, ptPath,
+      withDay(delKeys.withColumn("pc", lit(9L))))                       // seq 2
+    graft.etl.PartitionedTable.compactDeltas(spark, ptPath)             // no seq
+    graft.etl.PartitionedTable.upsertDelta(spark, ptPath, withDay(up2)) // seq 3
+
     graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_mor", "mor", morPath)
     graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bk", "bucket", bkPath)
-    def feed(table: String, layout: String): DataFrame =
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bl", "bloom", blPath)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_pt", "partitioned", ptPath)
+    def feed(table: String, layout: String, since: Long): DataFrame =
       graft.etl.SqlCall.exec(spark,
-        s"CALL table_changes('$table', 0, 'cdc')")
+        s"CALL table_changes('$table', $since, 'cdc')")
         .select(lit(layout).as("layout"), col("k"),
           col("_op").as("op"), col("_change_seq").as("change_seq"),
           col("_before_v").as("before_v"), col("_after_v").as("after_v"))
-    feed("graft_cdc_mor", "mor").unionByName(feed("graft_cdc_bk", "bucket"))
+    feed("graft_cdc_mor", "mor", 0L)
+      .unionByName(feed("graft_cdc_bk", "bucket", 0L))
+      .unionByName(feed("graft_cdc_bl", "bloom", 1L))
+      .unionByName(feed("graft_cdc_pt", "partitioned", 0L))
   }
 
   /** `p_sql_bucket_time_travel`: `SELECT ... VERSION AS OF c` on the
@@ -3894,8 +3927,28 @@ object PipelineQueries {
          |  UNION ALL SELECT 'bucket', k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
          |    FROM src WHERE k%10 = 7
          |  UNION ALL SELECT 'bucket', k, 'u', 5, v+100, v+200
+         |    FROM src WHERE k%10 = 6),
+         |bl AS (
+         |  SELECT 'bloom' AS layout, k, 'u' AS op, CAST(2 AS BIGINT) AS change_seq,
+         |         v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
+         |  UNION ALL SELECT 'bloom', k, 'i', 2, CAST(NULL AS DOUBLE), v
+         |    FROM src WHERE k%10 = 8
+         |  UNION ALL SELECT 'bloom', k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
+         |    FROM src WHERE k%10 = 7
+         |  UNION ALL SELECT 'bloom', k, 'u', 5, v+100, v+200
+         |    FROM src WHERE k%10 = 6),
+         |pt AS (
+         |  SELECT 'partitioned' AS layout, k, 'u' AS op,
+         |         CAST(1 AS BIGINT) AS change_seq, v AS before_v,
+         |         v+100 AS after_v FROM src WHERE k%10 IN (6,7)
+         |  UNION ALL SELECT 'partitioned', k, 'i', 1, CAST(NULL AS DOUBLE), v
+         |    FROM src WHERE k%10 = 8
+         |  UNION ALL SELECT 'partitioned', k, 'd', 2, v+100, CAST(NULL AS DOUBLE)
+         |    FROM src WHERE k%10 = 7
+         |  UNION ALL SELECT 'partitioned', k, 'u', 3, v+100, v+200
          |    FROM src WHERE k%10 = 6)
-         |SELECT * FROM mor UNION ALL SELECT * FROM bk""".stripMargin,
+         |SELECT * FROM mor UNION ALL SELECT * FROM bk
+         |UNION ALL SELECT * FROM bl UNION ALL SELECT * FROM pt""".stripMargin,
     "p_part_group_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

@@ -152,6 +152,85 @@ class CdcLogSpec extends SparkSpec {
       Seq((5L, "i", "d", None, Some(4.0))))
   }
 
+  test("bloom: i/u/d images exact where changedSince must refuse; restatements empty") {
+    val dir = Files.createTempDirectory("cdcbl").toString + "/t"
+    BloomTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numFiles = 2)
+    BloomTable.enableCdc(dir) // commit 1 = create; images from here on
+    // commit 2: update a (wins), insert c, stale b (loses)
+    BloomTable.upsertInto(spark, dir,
+      rows(("a", 2L, 10.0), ("c", 1L, 3.0), ("b", 0L, 99.0)))
+    assert(feed(BloomTable.changesCdc(spark, dir, 1L)) == Seq(
+      (2L, "u", "a", Some(1.0), Some(10.0)),
+      (2L, "i", "c", None, Some(3.0))))
+    // commit 3: keyed delete — the window changedSince refuses loudly
+    // (row-removing) serves exact victim images here
+    BloomTable.deleteFrom(spark, dir, Seq("b").toDF("k"))
+    assert(feed(BloomTable.changesCdc(spark, dir, 2L)) ==
+      Seq((3L, "d", "b", Some(2.0), None)))
+    intercept[IllegalArgumentException] {
+      BloomTable.changedSince(spark, dir, 2L).collect()
+    }
+    // commit 4: compact = content-preserving, zero image rows
+    BloomTable.compact(spark, dir)
+    // commit 5: predicate rewrite (SQL UPDATE route)
+    BloomTable.rewriteWhere(spark, dir, col("v") > 5.0)(
+      _.withColumn("v", col("v") * 2))
+    assert(feed(BloomTable.changesCdc(spark, dir, 3L)) ==
+      Seq((5L, "u", "a", Some(10.0), Some(20.0))))
+    // overwrite = destructive: floor past every cursor
+    BloomTable.overwriteTable(spark, dir, rows(("z", 1L, 9.0)))
+    val err = intercept[IllegalArgumentException] {
+      BloomTable.changesCdc(spark, dir, 5L)
+    }
+    assert(err.getMessage.contains("re-sync"))
+  }
+
+  test("partitioned: delta-route images chain across compaction; CoW writes floor") {
+    val dir = Files.createTempDirectory("cdcpt").toString + "/t"
+    def prows(t: (String, String, Long, Double)*) =
+      t.toSeq.toDF("day", "k", "pc", "v")
+    PartitionedTable.create(
+      prows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.enableCdc(dir)
+    // seq 1: update a (wins), insert c into d2, stale b (loses)
+    PartitionedTable.upsertDelta(spark, dir,
+      prows(("d1", "a", 2L, 10.0), ("d2", "c", 1L, 3.0), ("d2", "b", 0L, 99.0)))
+    // seq 2: tombstone b
+    PartitionedTable.deleteDelta(spark, dir,
+      Seq(("d2", "b", 9L)).toDF("day", "k", "pc"))
+    def pfeed(since: Long) =
+      PartitionedTable.changesCdc(spark, dir, since)
+        .select(col("_change_seq"), col("_op"), col("day"), col("k"),
+          col("_before_v"), col("_after_v"))
+        .as[(Long, String, String, String, Option[Double], Option[Double])]
+        .collect().toSeq.sortBy(r => (r._1, r._4))
+    assert(pfeed(0L) == Seq(
+      (1L, "u", "d1", "a", Some(1.0), Some(10.0)),
+      (1L, "i", "d2", "c", None, Some(3.0)),
+      (2L, "d", "d2", "b", Some(2.0), None)))
+    // images straddle compactDeltas (which truncates the post-image feed)
+    PartitionedTable.compactDeltas(spark, dir)
+    PartitionedTable.upsertDelta(spark, dir, prows(("d1", "a", 3L, 5.0)))
+    assert(pfeed(0L).size == 4)
+    intercept[IllegalArgumentException] {
+      PartitionedTable.changesSince(spark, dir, 0L).collect()
+    }
+    // a CoW upsert has no change seq — the image feed dies loudly, and
+    // the re-synced head (= the ratcheted floor) is valid and empty
+    PartitionedTable.upsertInto(spark, dir, prows(("d1", "x", 1L, 7.0)))
+    val err = intercept[IllegalArgumentException] { pfeed(3L) }
+    assert(err.getMessage.contains("re-sync"))
+    val head = math.max(PartitionedTable.changeHead(dir), CdcLog.floor(dir))
+    assert(PartitionedTable.changesCdc(spark, dir, head).isEmpty)
+    // and the NEXT delta commit allocates past the ratcheted floor —
+    // its images land in the re-synced consumer's window
+    PartitionedTable.upsertDelta(spark, dir, prows(("d2", "n", 1L, 8.0)))
+    assert(PartitionedTable.changesCdc(spark, dir, head)
+      .select(col("k")).as[String].collect().toSeq == Seq("n"))
+  }
+
   test("mid-life enablement serves only post-enable commits, loudly below") {
     val dir = Files.createTempDirectory("cdcbk4").toString + "/t"
     BucketTable.create(rows(("a", 1L, 1.0)), dir,

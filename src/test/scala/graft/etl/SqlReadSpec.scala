@@ -68,7 +68,7 @@ class SqlReadSpec extends SparkSpec {
       SqlRead.select(spark, "SELECT * FROM sqlread_plain VERSION AS OF 1")
         .collect()
     }
-    assert(notTl.getMessage.contains("not a timeline-registered"))
+    assert(notTl.getMessage.contains("not a versioned-layout"))
     val computed = intercept[IllegalArgumentException] {
       SqlRead.select(spark,
         "SELECT * FROM sqlread_e TIMESTAMP AS OF (1000 + 1000)").collect()
@@ -104,12 +104,21 @@ class SqlReadSpec extends SparkSpec {
     assert(spark.table("sqlread_b").count() == 0)
     assert(SqlRead.select(spark,
       "SELECT sum(v) AS s FROM sqlread_b").as[Double].head() == 30.0)
-    // ...and time travel on it names the layout in the error
+    // ...and time travel on it now WORKS by commit number (create is
+    // commit 1); out-of-range and timestamp specs are loud
+    assert(SqlRead.select(spark,
+      "SELECT sum(v) AS s FROM sqlread_b VERSION AS OF 1")
+      .as[Double].head() == 30.0)
     val e = intercept[IllegalArgumentException] {
       SqlRead.select(spark, "SELECT * FROM sqlread_b VERSION AS OF 0")
         .collect()
     }
-    assert(e.getMessage.contains("'bucket' layouts"))
+    assert(e.getMessage.contains("commits run 1..1"))
+    val e2 = intercept[IllegalArgumentException] {
+      SqlRead.select(spark, "SELECT * FROM sqlread_b TIMESTAMP AS OF 999")
+        .collect()
+    }
+    assert(e2.getMessage.contains("commit number"))
   }
 
   test("full-key equality SELECT is index-served: one data file, never a scan") {
