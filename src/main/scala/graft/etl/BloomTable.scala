@@ -56,6 +56,35 @@ object BloomTable {
 
   private def manifestPath(t: String): Path = Paths.get(t, "_manifest")
   private def propsPath(t: String): Path = Paths.get(t, "_props")
+  private def schemaPath(t: String): Path = Paths.get(t, "_schema")
+
+  /** Persist the committed snapshot schema: the shape a read must
+    * still serve once a delete has emptied the manifest — an emptied
+    * table is a legitimate state, not a missing one (same contract as
+    * `BucketTable`'s `_schema`; Hudi records schema in commit
+    * metadata). Refreshed on every schema-bearing commit.
+    */
+  private def writeSchema(tablePath: String, df: DataFrame): Unit = {
+    val tmp = Paths.get(tablePath, s"_schema.tmp${System.nanoTime()}")
+    Files.writeString(tmp, df.schema.toDDL,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, schemaPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Zero-row snapshot of an emptied table at the recorded schema —
+    * loud when no commit ever recorded one (pre-upgrade tables).
+    */
+  private def emptySnapshot(spark: SparkSession, tablePath: String): DataFrame = {
+    val sp = schemaPath(tablePath)
+    require(Files.exists(sp),
+      s"bloom table at $tablePath has no committed data and no recorded " +
+        "schema (last written before schema recording); upsert a " +
+        "non-empty batch first")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(Files.readString(sp)))
+  }
   private def indexLatest(t: String): Path = Paths.get(t, "_index", "_latest")
 
   final case class Props(keys: Seq[String], precombine: String,
@@ -101,7 +130,7 @@ object BloomTable {
     */
   private def parseCommitLine(l: String): Option[(Long, String)] =
     l.split(' ') match {
-      case Array(no, kind) if no.nonEmpty && no.forall(_.isDigit) =>
+      case Array(no, kind, _*) if no.nonEmpty && no.forall(_.isDigit) =>
         Some((no.toLong, kind))
       case _ => None // torn trailing line from a crashed append
     }
@@ -116,6 +145,78 @@ object BloomTable {
   /** Archived + active history — the old-cursor cold path. */
   def fullCommitLog(tablePath: String): Seq[(Long, String)] =
     CommitLogFile.fullLines(tablePath).flatMap(parseCommitLine)
+
+  /** The commit log WITH file-delta info: commit → (kind,
+    * Some((removed, added)) relative files) — `None` for lines written
+    * before deltas were recorded (pre-upgrade tables), which
+    * [[manifestAsOf]] refuses rather than reconstruct a wrong
+    * snapshot. Reads the FULL history (historical reads are the cold
+    * path archival exists for). A no-change commit logs `.` so it
+    * stays distinguishable from a legacy two-token line.
+    */
+  def commitLogFull(tablePath: String)
+      : Seq[(Long, String, Option[(Seq[String], Seq[String])])] =
+    CommitLogFile.fullLines(tablePath).flatMap { l =>
+      l.split(' ') match {
+        case Array(no, kind, delta) if no.nonEmpty && no.forall(_.isDigit) =>
+          val d =
+            if (delta == ".") Some((Seq.empty[String], Seq.empty[String]))
+            else {
+              val es = delta.split(',').filter(_.nonEmpty).toSeq
+              Some((es.filter(_.startsWith("-")).map(_.drop(1)),
+                es.filter(_.startsWith("+")).map(_.drop(1))))
+            }
+          Some((no.toLong, kind, d))
+        case Array(no, kind) if no.nonEmpty && no.forall(_.isDigit) =>
+          Some((no.toLong, kind, None)) // legacy: deltas unknown
+        case _ => None
+      }
+    }
+
+  /** The live-file set AS OF `commit`: fold every logged file delta
+    * through it. Loud on upgraded tables (log doesn't cover birth),
+    * legacy delta-less lines in range, and out-of-range commits —
+    * same contract as [[BucketTable.manifestAsOf]].
+    */
+  def manifestAsOf(tablePath: String, commit: Long): Seq[String] = {
+    val full = commitLogFull(tablePath)
+    val head = full.map(_._1).maxOption.getOrElse(0L)
+    require(commit >= 1 && commit <= head,
+      s"VERSION AS OF $commit at $tablePath: commits run 1..$head")
+    require(full.map(_._1).minOption.contains(1L),
+      s"the commit log at $tablePath does not cover the table's birth " +
+        "(created before commit logging) — historical reads need a " +
+        "from-birth log")
+    val upTo = full.filter(_._1 <= commit)
+    val legacy = upTo.collect { case (no, _, None) => no }
+    require(legacy.isEmpty,
+      s"commit(s) ${legacy.mkString(",")} at $tablePath were logged " +
+        "without file-delta info (pre-upgrade writes) — versions at or " +
+        "after them are reconstructable, earlier ones are not")
+    upTo.sortBy(_._1).foldLeft(Set.empty[String]) {
+      case (fs, (_, _, Some((removed, added)))) => fs -- removed ++ added
+      case (fs, _) => fs
+    }.toSeq.sorted
+  }
+
+  /** Read the table AS OF commit `commit` — `SELECT ... VERSION AS OF`
+    * on the bloom layout: the historical file set folded back out of
+    * the commit log's deltas, served from the (immutable) per-commit
+    * file dirs. Works for any commit whose files [[clean]] hasn't
+    * reclaimed; a reclaimed version fails loudly, never serves a
+    * partial snapshot.
+    */
+  def readVersion(spark: SparkSession, tablePath: String,
+      commit: Long): DataFrame = {
+    val files = manifestAsOf(tablePath, commit)
+    val missing = files.filterNot(f => Files.exists(Paths.get(tablePath, f)))
+    require(missing.isEmpty,
+      s"VERSION AS OF $commit at $tablePath: file(s) " +
+        s"${missing.mkString(",")} were reclaimed by clean — keep " +
+        "historical versions readable by cleaning less aggressively")
+    if (files.isEmpty) read(spark, tablePath).limit(0)
+    else readFiles(spark, tablePath, files)
+  }
 
   /** Fold all but the newest `keepLatest` active `_commits` lines into
     * `_commits_archive` — same move as [[BucketTable.archiveCommits]].
@@ -146,7 +247,15 @@ object BloomTable {
       case CdcLog.Action.Preserving => CdcLog.stageEmpty(tablePath, commit)
       case CdcLog.Action.Destructive => CdcLog.ratchet(tablePath, commit)
     }
-    Files.writeString(commitsPath(tablePath), s"$commit $kind\n",
+    // each commit logs its file DELTAS (`-retired,+added`, `.` when
+    // none) — the per-commit repointing record that makes
+    // manifestAsOf/readVersion possible, exactly BucketTable's `b:g`
+    val oldFiles = manifest(tablePath).toSet
+    val newFiles = files.toSet
+    val delta = ((oldFiles -- newFiles).toSeq.sorted.map("-" + _) ++
+      (newFiles -- oldFiles).toSeq.sorted.map("+" + _)).mkString(",")
+    Files.writeString(commitsPath(tablePath),
+      s"$commit $kind ${if (delta.isEmpty) "." else delta}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp, files.sorted.mkString("\n"),
@@ -416,6 +525,7 @@ object BloomTable {
     // create's files
     val written = writeCommit(deduped, tablePath, 1L, p, numFiles)
     val spark = df.sparkSession
+    writeSchema(tablePath, deduped)
     writeManifest(tablePath, written, 1L, "write",
       CdcLog.Action.Changes { () =>
         val content = readFiles(spark, tablePath, written)
@@ -430,7 +540,12 @@ object BloomTable {
     */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val files = manifest(tablePath)
-    require(files.nonEmpty, s"no bloom table at $tablePath")
+    if (files.isEmpty) {
+      require(exists(tablePath), s"no bloom table at $tablePath")
+      // a delete can legitimately empty the whole table — serve the
+      // zero-row snapshot at the recorded schema, not an error
+      return emptySnapshot(spark, tablePath)
+    }
     readFiles(spark, tablePath, files)
   }
 
@@ -524,6 +639,7 @@ object BloomTable {
       PreCommit.validate(batch, validators)
       val commit = nextCommit(tablePath)
       val written = writeCommit(batch, tablePath, commit, p, p.numFiles)
+      writeSchema(tablePath, batch)
       writeManifest(tablePath, written, commit, "overwrite",
         CdcLog.Action.Destructive)
       writeIndex(tablePath,
@@ -556,6 +672,7 @@ object BloomTable {
     val written = writeCommit(merged, tablePath, commit, p,
       math.max(1, touched.size))
     val newManifest = (manifest(tablePath).toSet -- touched) ++ written
+    writeSchema(tablePath, merged)
     writeManifest(tablePath, newManifest.toSeq, commit, "write",
       CdcLog.Action.Changes { () =>
         CdcLog.diff(existing, readFiles(spark, tablePath, written), p.keys)
@@ -598,6 +715,7 @@ object BloomTable {
     val written =
       if (remaining.isEmpty) Seq.empty
       else writeCommit(remaining, tablePath, commit, p, touched.size)
+    writeSchema(tablePath, remaining)
     writeManifest(tablePath,
       ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
       commit, "delete",
@@ -703,6 +821,7 @@ object BloomTable {
     val written =
       if (next.isEmpty) Seq.empty
       else writeCommit(next, tablePath, commit, p, touched.size)
+    writeSchema(tablePath, next)
     writeManifest(tablePath,
       ((live.toSet -- touched) ++ written).toSeq, commit, "rewrite",
       CdcLog.Action.Changes { () =>
@@ -756,6 +875,11 @@ object BloomTable {
 
   private def compactLocked(spark: SparkSession, tablePath: String): Long = {
     val p = props(tablePath)
+    if (manifest(tablePath).isEmpty) {
+      // an emptied table has nothing to re-level — no-op, no commit
+      require(exists(tablePath), s"no bloom table at $tablePath")
+      return -1L
+    }
     val commit = nextCommit(tablePath)
     val written = writeCommit(read(spark, tablePath), tablePath, commit, p,
       p.numFiles)

@@ -48,6 +48,39 @@ object BucketTable {
 
   private def manifestPath(tablePath: String): Path = Paths.get(tablePath, "_manifest")
   private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
+  private def schemaPath(tablePath: String): Path = Paths.get(tablePath, "_schema")
+
+  /** Persist the committed snapshot schema (sans the routing shadow):
+    * the shape a read must still serve once every row has been
+    * deleted — an EMPTIED table is a legitimate state, not a missing
+    * one (Hudi keeps the latest schema in commit metadata for exactly
+    * this). Refreshed on every schema-bearing commit; absent only on
+    * tables last written before the upgrade, where the empty read
+    * stays loud until the next commit records it.
+    */
+  private def writeSchema(tablePath: String, df: DataFrame): Unit = {
+    val ddl = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name == BucketCol)).toDDL
+    val tmp = Paths.get(tablePath, s"_schema.tmp${System.nanoTime()}")
+    Files.writeString(tmp, ddl,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, schemaPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The zero-row snapshot of an empty-manifest table, shaped by the
+    * recorded `_schema` — loud when no commit ever recorded one.
+    */
+  private def emptySnapshot(spark: SparkSession, tablePath: String): DataFrame = {
+    val sp = schemaPath(tablePath)
+    require(Files.exists(sp),
+      s"bucket table at $tablePath has no committed data and no recorded " +
+        "schema (created empty before schema recording); upsert a " +
+        "non-empty batch first")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(Files.readString(sp)))
+  }
 
   final case class Props(keys: Seq[String], precombine: String,
       tieBreak: Seq[String], numBuckets: Int, bucketBy: Seq[String]) {
@@ -511,9 +544,9 @@ object BucketTable {
     // cdc-at-create: floor 0 makes cursor 0 a FULL image bootstrap —
     // the create commit's images are every row as an insert
     if (cdc) CdcLog.enable(tablePath, 0L)
-    val written = writeGen(
-      withBucket(HudiLike.precombineLatest(df, keys, precombine, tieBreak), p),
-      tablePath, 0L)
+    val deduped = HudiLike.precombineLatest(df, keys, precombine, tieBreak)
+    val written = writeGen(withBucket(deduped, p), tablePath, 0L)
+    writeSchema(tablePath, deduped)
     writeManifest(tablePath, written.map(_ -> 0L).toMap, p,
       CdcLog.Action.Changes { () =>
         val spark = df.sparkSession
@@ -532,11 +565,12 @@ object BucketTable {
     */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val m = manifest(tablePath)
-    require(m.nonEmpty,
-      if (exists(tablePath))
-        s"bucket table at $tablePath has no committed data yet (created " +
-          "from an empty frame; upsert a non-empty batch first)"
-      else s"no bucket table at $tablePath")
+    if (m.isEmpty) {
+      require(exists(tablePath), s"no bucket table at $tablePath")
+      // a delete can legitimately empty the whole table — serve the
+      // zero-row snapshot at the recorded schema, not an error
+      return emptySnapshot(spark, tablePath)
+    }
     readBuckets(spark, tablePath, m.keySet).drop(BucketCol)
   }
 
@@ -597,6 +631,7 @@ object BucketTable {
       // recompute instead of carrying: upsert projects to the data
       // columns of both sides; bucket is a pure function of the keys
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
+    writeSchema(tablePath, merged)
     writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
       CdcLog.Action.Changes { () =>
         val before = existing.drop(BucketCol)
@@ -627,6 +662,7 @@ object BucketTable {
     PreCommit.validate(tagged, validators)
     val gen = nextGen(tablePath)
     val written = writeGen(tagged, tablePath, gen)
+    writeSchema(tablePath, tagged)
     // a full restate has no row-level diff — the cdc floor ratchets
     // past every cursor (consumers re-sync loudly from a snapshot)
     writeManifest(tablePath, written.map(_ -> gen).toMap, p,
@@ -678,6 +714,7 @@ object BucketTable {
         // the routing fields above) — never the staged-time p, so an
         // intervening commit's change to any OTHER header field is not
         // silently rolled back by this writer's manifest swing
+        writeSchema(tablePath, merged)
         writeManifestLocked(tablePath, m1 ++ written.map(_ -> gen), routingNow,
           CdcLog.Action.Changes { () =>
             val before = existing.drop(BucketCol)
@@ -903,16 +940,15 @@ object BucketTable {
       transform: DataFrame => DataFrame): Seq[Int] = {
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
-    require(committed.nonEmpty,
-      s"no committed data at $tablePath — targeted DML needs an existing " +
-        "table (create/upsertInto first)")
     // a touched bucket with no manifest entry is currently EMPTY — the
     // transform may still WRITE into it (a MERGE inserting keys that
-    // hash there), it just has nothing to read
+    // hash there), it just has nothing to read; a fully EMPTIED table
+    // (all rows deleted) reads as the recorded-schema zero-row frame
     val liveTouched = touched.intersect(committed.keySet)
     val gen = nextGen(tablePath)
     val current =
-      if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
+      if (committed.isEmpty) emptySnapshot(spark, tablePath)
+      else if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
       else readBuckets(spark, tablePath, liveTouched).drop(BucketCol)
     // localCheckpoint decouples the result from the files about to be
     // superseded, same discipline as every other rewrite path
@@ -925,6 +961,7 @@ object BucketTable {
       s"targeted rewrite produced rows outside its touched buckets " +
         s"(${written.toSet -- touched}) — transform changed key columns?")
     // emptied buckets leave the manifest
+    writeSchema(tablePath, next)
     writeManifestLocked(tablePath,
       (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen), p,
       // before = the touched buckets' pre-rewrite content (their dirs
@@ -1011,7 +1048,11 @@ object BucketTable {
     */
   def compact(spark: SparkSession, tablePath: String): Long = {
     val m = manifest(tablePath)
-    require(m.nonEmpty, s"no bucket table at $tablePath")
+    if (m.isEmpty) {
+      // an emptied table has nothing to collapse — no-op, no commit
+      require(exists(tablePath), s"no bucket table at $tablePath")
+      return -1L
+    }
     val gen = nextGen(tablePath)
     val written = writeGen(
       readBuckets(spark, tablePath, m.keySet), tablePath, gen)

@@ -54,6 +54,40 @@ object PartitionedTable {
 
   private def manifestPath(tablePath: String): Path = Paths.get(tablePath, "_manifest")
   private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
+  private def schemaPath(tablePath: String): Path = Paths.get(tablePath, "_schema")
+
+  /** Persist the committed snapshot schema (sans routing shadows): the
+    * shape a read must still serve once a rewrite or partition drop
+    * has emptied the manifest — an emptied table is a legitimate
+    * state, not a missing one (same contract as `BucketTable`'s
+    * `_schema`; Hudi records schema in commit metadata). Refreshed on
+    * every schema-bearing CoW commit; delta appends skip it (they
+    * never shrink the manifest, and the read-side by-name union
+    * surfaces their columns regardless).
+    */
+  private def writeSchema(tablePath: String, df: DataFrame): Unit = {
+    val ddl = org.apache.spark.sql.types.StructType(df.schema.filterNot(f =>
+      f.name.startsWith(Shadow) || f.name == Group)).toDDL
+    val tmp = Paths.get(tablePath, s"_schema.tmp${System.nanoTime()}")
+    Files.writeString(tmp, ddl,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, schemaPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Zero-row snapshot of an emptied table at the recorded schema —
+    * loud when no commit ever recorded one (pre-upgrade tables).
+    */
+  private def emptySnapshot(spark: SparkSession, tablePath: String): DataFrame = {
+    val sp = schemaPath(tablePath)
+    require(Files.exists(sp),
+      s"partitioned table at $tablePath has no committed data and no " +
+        "recorded schema (last written before schema recording); upsert " +
+        "a non-empty batch first")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(Files.readString(sp)))
+  }
 
   final case class Props(keys: Seq[String], precombine: String,
       tieBreak: Seq[String], partitionCols: Seq[String],
@@ -243,6 +277,7 @@ object PartitionedTable {
     val p = Props(keys, precombine, tieBreak, partitionCols, types, numGroups)
     val deduped = HudiLike.precombineLatest(df, p.identity, precombine, tieBreak)
     val written = writeGen(withShadow(deduped, p), tablePath, 0L, p)
+    writeSchema(tablePath, deduped)
     writeManifest(tablePath, written.map(_ -> 0L).toMap)
   }
 
@@ -338,6 +373,8 @@ object PartitionedTable {
     val touched = touchedDirs(tagged, p)
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
+    val bound = boundSecondaryIndex(tablePath)
+    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
     val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
@@ -350,7 +387,13 @@ object PartitionedTable {
     // feed cannot represent it, so every cursor dies (ratchet BEFORE
     // the swing: a crash leaves a spurious loud, never a silent gap)
     CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
+    writeSchema(tablePath, merged)
     writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    // the post side re-probes what readers now see for the batch's
+    // identities — by construction the served merge, never a replay
+    // of the merge algebra that could drift from it
+    maintainBound(spark, tablePath, bound, pre,
+      lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
     written
   }
 
@@ -373,6 +416,12 @@ object PartitionedTable {
     val existing =
       if (m0.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
       else readDirs(spark, tablePath, touched, m0, p)
+    // pre-probe OUTSIDE the lock: a concurrent writer that re-points
+    // one of OUR touched slices fails the commit below (probe
+    // discarded, retry re-probes) — disjoint-slice writers can't
+    // change these identities' rows, so the probe stays valid
+    val bound = boundSecondaryIndex(tablePath)
+    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
     val merged = HudiLike.upsert(existing,
       tagged.drop(p.dirCols: _*),
       p.identity, p.precombine, p.tieBreak)
@@ -385,12 +434,16 @@ object PartitionedTable {
         // seq-less content change: the cdc image feed dies (same as
         // the plain CoW upsert route)
         CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
+        writeSchema(tablePath, merged)
         writeManifest(tablePath, m1 ++ written.map(_ -> gen))
       }
       !conflict
     }
-    if (committed) Some(written)
-    else {
+    if (committed) {
+      maintainBound(spark, tablePath, bound, pre,
+        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
+      Some(written)
+    } else {
       deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
       None
     }
@@ -488,8 +541,25 @@ object PartitionedTable {
     // slices must go too — drop every manifest entry whose partition
     // prefix was overwritten, then add what was written
     val overwritten = written.map(partitionPrefix(p, _)).toSet
+    // pre-image of the restated PARTITIONS (wholesale — every group,
+    // plus their pending deltas), pinned before the swing: the index
+    // reconcile tombstones every mapping the overwrite displaced
+    val bound = boundSecondaryIndex(tablePath)
+    val pre = bound.map { _ =>
+      val m0 = manifest(tablePath)
+      val dirs = m0.keySet.filter(d => overwritten(partitionPrefix(p, d)))
+      val dPre = deltas(tablePath)
+        .filter(e => overwritten(partitionPrefix(p, e._1)))
+      val b =
+        if (dirs.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
+        else readDirs(spark, tablePath, dirs, m0, p)
+      (if (dPre.isEmpty) b
+       else mergeDeltas(b, deltaFrame(spark, tablePath, dPre, p), p))
+        .localCheckpoint()
+    }
     val kept = manifest(tablePath)
       .filterNot { case (d, _) => overwritten(partitionPrefix(p, d)) }
+    writeSchema(tablePath, tagged.drop(p.dirCols: _*))
     writeManifest(tablePath, kept ++ written.map(_ -> gen))
     // the restate is invisible to the change feed — every cursor dies
     // (even if the touched partitions had no pending deltas), and the
@@ -498,6 +568,7 @@ object PartitionedTable {
     val d = deltas(tablePath)
     val (gone, keptD) = d.partition(e => overwritten(partitionPrefix(p, e._1)))
     if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+    maintainBound(spark, tablePath, bound, pre, tagged.drop(p.dirCols: _*), p)
     written
   }
 
@@ -510,6 +581,21 @@ object PartitionedTable {
     val drop = prunePartitions(spark, tablePath, pred)
     if (drop.nonEmpty) {
       val dropSet = drop.toSet
+      val p = props(tablePath)
+      // pre-image of the dropped partitions pinned before the edit:
+      // every mapping they held flips dead in the index reconcile
+      val bound = boundSecondaryIndex(tablePath)
+      val pre = bound.map { _ =>
+        val m0 = manifest(tablePath)
+        val dirs = m0.keySet.intersect(dropSet)
+        val dPre = deltas(tablePath).filter(e => dropSet(e._1))
+        val b =
+          if (dirs.isEmpty) readOptimized(spark, tablePath).limit(0)
+          else readDirs(spark, tablePath, dirs, m0, p)
+        (if (dPre.isEmpty) b
+         else mergeDeltas(b, deltaFrame(spark, tablePath, dPre, p), p))
+          .localCheckpoint()
+      }
       // the drop is invisible to the change feed — every cursor dies
       // (deltas pending or not); ratchet BEFORE either rewrite
       retireDestructive(tablePath)
@@ -518,6 +604,8 @@ object PartitionedTable {
       val d = deltas(tablePath)
       val (gone, keptD) = d.partition(e => dropSet(e._1))
       if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+      for (preDf <- pre)
+        maintainBound(spark, tablePath, bound, pre, preDf.limit(0), p)
     }
     drop
   }
@@ -536,17 +624,25 @@ object PartitionedTable {
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
     val d = deltas(tablePath)
-    require(committed.nonEmpty || d.nonEmpty,
-      s"no committed data at $tablePath — targeted DML needs an existing table")
+    // an EMPTIED table (committed and delta logs both empty) is still a
+    // valid DML target: `read` serves the recorded-schema zero-row
+    // frame, and the transform may INSERT (the MERGE-into-empty case)
     val liveTouched = touched.intersect(committed.keySet)
     val touchedDeltas = d.filter(e => touched(e._1))
     val gen = nextGen(tablePath)
     val base =
       if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
       else readDirs(spark, tablePath, liveTouched, committed, p)
-    val current =
+    val bound = boundSecondaryIndex(tablePath)
+    val current0 =
       if (touchedDeltas.isEmpty) base
       else mergeDeltas(base, deltaFrame(spark, tablePath, touchedDeltas, p), p)
+    // pinned pre-image when an index is bound: the touched slices'
+    // rows as they were (a superset of what changed — except() in the
+    // reconcile drops the unchanged ones, and re-upserting their live
+    // mappings is an idempotent O(touched slices) write, the same
+    // scale as the rewrite itself)
+    val current = if (bound.isEmpty) current0 else current0.localCheckpoint()
     val next = transform(current).localCheckpoint()
     val written = writeGen(withShadow(next, p), tablePath, gen, p)
     require(written.toSet.subsetOf(touched),
@@ -556,10 +652,12 @@ object PartitionedTable {
     // (deltas pending or not); ratchet BEFORE either rewrite, and the
     // absorbed delta entries retire so a deleted row can't resurrect
     retireDestructive(tablePath)
+    writeSchema(tablePath, next)
     writeManifest(tablePath,
       (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen))
     if (touchedDeltas.nonEmpty)
       writeDeltas(tablePath, d.filterNot(e => touched(e._1)))
+    maintainBound(spark, tablePath, bound, Some(current), next, p)
     written
   }
 
@@ -612,7 +710,11 @@ object PartitionedTable {
     */
   def compact(spark: SparkSession, tablePath: String): Long = {
     val m = manifest(tablePath)
-    require(m.nonEmpty, s"no partitioned table at $tablePath")
+    if (m.isEmpty) {
+      // an emptied table has nothing to collapse — no-op, no commit
+      require(exists(tablePath), s"no partitioned table at $tablePath")
+      return -1L
+    }
     val p = props(tablePath)
     val gen = nextGen(tablePath)
     val written = writeGen(
@@ -801,12 +903,16 @@ object PartitionedTable {
       // two-phase contract — a crash loses images loudly, never
       // publishes images of a commit that didn't happen)
       if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
+      val bound = boundSecondaryIndex(tablePath)
+      val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
+      maintainBound(spark, tablePath, bound, pre,
+        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
       written
     }
   }
@@ -838,12 +944,18 @@ object PartitionedTable {
       // two-phase contract — a crash loses images loudly, never
       // publishes images of a commit that didn't happen)
       if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
+      val bound = boundSecondaryIndex(tablePath)
+      val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
+      // post-probe sees the tombstones applied: vanished identities'
+      // mappings flip dead in the reconcile
+      maintainBound(spark, tablePath, bound, pre,
+        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
       written
     }
   }
@@ -853,10 +965,12 @@ object PartitionedTable {
     */
   def readOptimized(spark: SparkSession, tablePath: String): DataFrame = {
     val m = manifest(tablePath)
-    require(m.nonEmpty,
-      if (exists(tablePath))
-        s"partitioned table at $tablePath has no committed data yet"
-      else s"no partitioned table at $tablePath")
+    if (m.isEmpty) {
+      require(exists(tablePath), s"no partitioned table at $tablePath")
+      // a rewrite/drop can legitimately empty every partition — serve
+      // the zero-row snapshot at the recorded schema, not an error
+      return emptySnapshot(spark, tablePath)
+    }
     readDirs(spark, tablePath, m.keySet, m, props(tablePath))
   }
 
@@ -1086,6 +1200,99 @@ object PartitionedTable {
 
   private val SavepointPrefix = "_savepoint_"
 
+  // ---- bound secondary index (see SecondaryIndex.createPartitioned) --
+
+  private def secIdxPath(tablePath: String): Path =
+    Paths.get(tablePath, "_secidx")
+
+  /** The bound mapping index, if any: (secondary cols, index path).
+    * Engine-level (a table-dir file, not catalog state) so EVERY
+    * mutation primitive maintains it — programmatic writers included,
+    * which is what lets the SQL DML routes stay hook-free here.
+    */
+  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] = {
+    val p = secIdxPath(tablePath)
+    if (!Files.exists(p)) None
+    else {
+      val l = Files.readString(p).trim
+      val i = l.indexOf(' ')
+      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
+    }
+  }
+
+  def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
+      indexPath: String): Unit = {
+    Files.writeString(secIdxPath(tablePath),
+      s"${secCols.mkString(",")} $indexPath",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  def unbindSecondaryIndex(tablePath: String): Unit = {
+    Files.deleteIfExists(secIdxPath(tablePath))
+    ()
+  }
+
+  /** Current rows for the given identities (partition cols + keys):
+    * route each identity through the same shadow/group expressions
+    * records are written by, and read ONLY the slices they land in —
+    * base generations merged with those slices' pending deltas. The
+    * multi-row analog of [[lookup]]: O(touched slices) at any table
+    * size. `idRows` may carry extra columns; only the identity
+    * columns participate (null-safely, like every merge here).
+    */
+  def lookupMany(spark: SparkSession, tablePath: String,
+      idRows: DataFrame): DataFrame = {
+    val p = props(tablePath)
+    val wanted = idRows.select(p.identity.map(col): _*).distinct()
+      .localCheckpoint()
+    val touched = touchedDirs(withShadow(wanted, p), p).toSet
+    val m = manifest(tablePath)
+    val baseKeep = m.keySet.intersect(touched)
+    val dKeep = deltas(tablePath).filter(e => touched(e._1))
+    val base =
+      if (baseKeep.nonEmpty) readDirs(spark, tablePath, baseKeep, m, p)
+      else if (dKeep.nonEmpty)
+        deltaFrame(spark, tablePath, dKeep, p).drop(DSeq, Deleted).limit(0)
+      else return readOptimized(spark, tablePath).limit(0)
+    val slice =
+      if (dKeep.isEmpty) base
+      else mergeDeltas(base, deltaFrame(spark, tablePath, dKeep, p), p)
+    val cond = p.identity.map(k => slice(k) <=> wanted(k)).reduce(_ && _)
+    slice.join(wanted, cond, "left_semi")
+  }
+
+  /** The (sec ++ identity) mapping projection the index stores. */
+  private def idxMappings(df: DataFrame, secCols: Seq[String],
+      p: Props): DataFrame =
+    df.select((secCols ++ p.identity).map(col): _*)
+
+  /** Pre-commit full-row state of a batch's identities — the before
+    * side of an index reconcile (and empty-table-safe, unlike a bare
+    * [[lookupMany]] on a table whose manifest hasn't been written).
+    */
+  private def preBatchState(spark: SparkSession, tablePath: String,
+      tagged: DataFrame, p: Props): DataFrame =
+    (if (manifest(tablePath).isEmpty && deltas(tablePath).isEmpty)
+       tagged.drop(p.dirCols: _*).limit(0)
+     else lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)))
+      .localCheckpoint()
+
+  /** Reconcile the bound index from pre/post FULL-ROW states of a
+    * commit's touched rows. Runs AFTER the metadata swing (the MOR
+    * covering discipline: an index ahead of the commit would serve
+    * uncommitted rows; behind — the crash window between swing and
+    * reconcile — is one commit stale, and the SQL route's retained
+    * filter re-checks served rows). Index-lock only, so the caller may
+    * hold the table lock (ordering: table → index, never the reverse).
+    */
+  private def maintainBound(spark: SparkSession, tablePath: String,
+      bound: Option[(Seq[String], String)], pre: Option[DataFrame],
+      post: DataFrame, p: Props): Unit =
+    for ((secCols, idxPath) <- bound; preDf <- pre)
+      SecondaryIndex.reconcileLocked(spark, idxPath,
+        idxMappings(preDf, secCols, p), idxMappings(post, secCols, p))
+
   private def savepointPath(tablePath: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
     Paths.get(tablePath, SavepointPrefix + name)
@@ -1178,6 +1385,12 @@ object PartitionedTable {
     * commits become debris for [[clean]].
     */
   def restoreSavepoint(tablePath: String, name: String): Unit = {
+    // a restore rewrites table state with no per-row diff to reconcile
+    // the index by (and no SparkSession here to rebuild it) — refuse
+    // loudly rather than leave the index diverged from restored state
+    require(boundSecondaryIndex(tablePath).isEmpty,
+      s"restore at $tablePath with a bound secondary index would leave " +
+        "the index diverged — DROP INDEX first, restore, then re-create")
     val (m, d) = savepointState(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       // the restore rewrites history invisibly to the change feed —

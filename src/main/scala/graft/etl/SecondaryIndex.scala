@@ -245,4 +245,81 @@ object SecondaryIndex {
     FsUtil.deleteRecursively(java.nio.file.Paths.get(indexPath))
     createMorCovering(spark, primaryPath, indexPath, secCols, numBuckets)
   }
+
+  // ---- partitioned-layout variant (mapping index over identities) ----
+  //
+  // A partitioned primary already serves an O(touched slices) keyed
+  // fetch ([[PartitionedTable.lookupMany]]) — so like the bucket
+  // variant its index stores only MAPPINGS, here
+  // (sec → identity = partition cols + keys): Hudi 1.0's secondary
+  // index resolving record keys for file-group pruning, expressed over
+  // our slice routing. Maintenance is ENGINE-level (bound via a table-
+  // dir `_secidx` file, same as the MOR covering binding): every
+  // PartitionedTable mutation primitive reconciles the (sec, identity)
+  // delta of its touched rows, so SQL routes and programmatic writers
+  // alike keep it current, at O(touched slices) per commit — the price
+  // the cdc image writer pays in the same place. As with the MOR
+  // binding, the index commits AFTER the primary swing: a crash in
+  // between leaves the index one commit stale (served rows re-checked
+  // by the retained SQL filter; never ahead of the table).
+
+  /** Bootstrap a mapping index from the partitioned primary's current
+    * snapshot and bind it for engine-level maintenance.
+    */
+  def createPartitioned(spark: SparkSession, primaryPath: String,
+      indexPath: String, secCols: Seq[String], numBuckets: Int = 16): Unit = {
+    val p = PartitionedTable.props(primaryPath)
+    require(secCols.nonEmpty && secCols.forall(!p.identity.contains(_)),
+      s"secondary columns ($secCols) must not overlap the record " +
+        s"identity (${p.identity.mkString(",")})")
+    val entries = PartitionedTable.read(spark, primaryPath)
+      .select((secCols ++ p.identity).map(col): _*)
+      .withColumn(Live, lit(true))
+      .withColumn(Commit, lit(0L))
+    BucketTable.create(entries, indexPath,
+      keys = secCols ++ p.identity, precombine = Commit,
+      numBuckets = numBuckets, bucketBy = secCols)
+    PartitionedTable.bindSecondaryIndex(primaryPath, secCols, indexPath)
+  }
+
+  /** [[reconcile]] serialized across concurrent PRIMARY writers — the
+    * partitioned layout's OCC front door admits writers on disjoint
+    * partitions, and both maintain the one index, whose commit-counter
+    * read and manifest merge are read-modify-write. The serialization
+    * lock lives in a SIBLING dir (`<index>_maint`), not the index
+    * table itself: [[FsLock]] is non-reentrant and the inner
+    * [[BucketTable.upsertInto]] takes the index's own lock for its
+    * manifest swing.
+    */
+  def reconcileLocked(spark: SparkSession, indexPath: String,
+      pre: DataFrame, post: DataFrame): Unit =
+    FsLock.withTableLock(s"${indexPath}_maint", FsLock.QueueWaitMs) {
+      reconcile(spark, indexPath, pre, post)
+    }
+
+  /** Live identities (partition cols + keys) currently mapped to the
+    * secondary value — one index-bucket read, no primary access. The
+    * index-composed DML route resolves its victims here.
+    */
+  def lookupPartitionedIds(spark: SparkSession, primaryPath: String,
+      indexPath: String, secValues: Seq[Any]): DataFrame = {
+    val p = PartitionedTable.props(primaryPath)
+    BucketTable.lookup(spark, indexPath, secValues)
+      .filter(col(Live))
+      .select(p.identity.map(col): _*)
+  }
+
+  /** Serve `sec = v` / `IN` / `IS NULL` combinations against a
+    * partitioned primary: one index-bucket probe per combination
+    * resolves the live identities, then ONE
+    * [[PartitionedTable.lookupMany]] reads only the slices those
+    * identities route to — no table scan at any size.
+    */
+  def lookupMultiPartitioned(spark: SparkSession, primaryPath: String,
+      indexPath: String, combos: Seq[Seq[Any]]): DataFrame = {
+    val ids = combos
+      .map(lookupPartitionedIds(spark, primaryPath, indexPath, _))
+      .reduceLeft(_.unionByName(_)).distinct()
+    PartitionedTable.lookupMany(spark, primaryPath, ids)
+  }
 }

@@ -106,9 +106,9 @@ object SqlIndex {
     val tpe = c.indexType.toLowerCase
     val artifact = tpe match {
       case "secondary" =>
-        require(kind == "bucket" || kind == "mor",
-          s"USING SECONDARY needs a bucket- or mor-layout table; " +
-            s"$target is '$kind'")
+        require(kind == "bucket" || kind == "mor" || kind == "partitioned",
+          s"USING SECONDARY needs a bucket-, mor- or partitioned-layout " +
+            s"table; $target is '$kind'")
         require(Catalog.secondaryIndexOf(spark, target).isEmpty,
           s"$target already binds a secondary index")
         require(cols.forall(!_.contains(":=")),
@@ -118,9 +118,14 @@ object SqlIndex {
         // an O(probed buckets) keyed fetch); a MOR primary is one file
         // group — any keyed fetch is a merge scan — so its index is
         // COVERING and maintained on the engine write path (see
-        // SecondaryIndex.createMorCovering)
+        // SecondaryIndex.createMorCovering); a partitioned primary
+        // keeps a (sec, identity) mapping index, also engine-bound
+        // (SecondaryIndex.createPartitioned) — hits resolve identities
+        // and one lookupMany reads only the slices they route to
         if (kind == "mor")
           SecondaryIndex.createMorCovering(spark, path, idxPath, cols)
+        else if (kind == "partitioned")
+          SecondaryIndex.createPartitioned(spark, path, idxPath, cols)
         else SecondaryIndex.create(spark, path, idxPath, cols)
         setProps(spark, target,
           "graft.table.secondaryIndex" -> s"${cols.mkString(",")}:$idxPath")
@@ -139,14 +144,19 @@ object SqlIndex {
         RecordIndex.build(spark, path)
         path
       case "column_stats" =>
-        require(kind == "bucket" || kind == "bloom",
-          s"USING COLUMN_STATS needs a bucket/bloom-layout table; " +
-            s"$target is '$kind'")
+        require(kind == "bucket" || kind == "bloom" || kind == "partitioned",
+          s"USING COLUMN_STATS needs a bucket/bloom/partitioned-layout " +
+            s"table; $target is '$kind'")
         require(Catalog.statsIndexOf(spark, target).isEmpty,
           s"$target already binds a column-stats index")
         val statsPath = s"${path}_stats_${c.indexName}"
         val live = (kind match {
           case "bloom" => BloomTable.read(spark, path)
+          case "partitioned" =>
+            // index the manifest-live BASE files; pending deltas don't
+            // matter at build time — the serve path re-syncs and
+            // refuses to skip while a delta log is pending
+            PartitionedTable.readOptimized(spark, path)
           case _ => BucketTable.read(spark, path)
         }).inputFiles.toSeq
         require(live.nonEmpty,
@@ -179,6 +189,11 @@ object SqlIndex {
             // drives write-path maintenance — unbind it with the drop
             Catalog.layoutOf(spark, target).foreach {
               case ("mor", path) => MorTable.unbindCoveringIndex(path)
+              case ("partitioned", path) =>
+                PartitionedTable.unbindSecondaryIndex(path)
+                // the reconcile-serialization scope goes with the index
+                FsUtil.deleteRecursively(
+                  java.nio.file.Paths.get(s"${artifact}_maint"))
               case _ => ()
             }
             FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))

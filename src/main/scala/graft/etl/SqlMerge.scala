@@ -344,6 +344,10 @@ object SqlMerge {
           mapping._3)
         val partCols = PartitionedTable.props(path).partitionCols
           .map(_.toLowerCase).toSet
+        val indexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+          case (secCols, idxPath) =>
+            equalityLiterals(d.condition, secCols).map((idxPath, _))
+        }
         if (referencedColumns(d.condition).subsetOf(partCols))
           // partition-only predicate → Hudi's drop-partition fast
           // path: METADATA-ONLY (manifest + delta-log shrink), zero
@@ -351,8 +355,18 @@ object SqlMerge {
           // retention deletes are free at 100 TB. (Partition columns
           // are rename-protected, so logical == physical here.)
           PartitionedTable.dropPartitions(spark, path, cond)
-        else
-          PartitionedTable.rewriteWhere(spark, path, sel)(survivors(cond))
+        else indexed match {
+          case Some((idxPath, secValues)) =>
+            // index-composed route: ONE probed index bucket resolves
+            // the victims' identities, the delete rewrites only the
+            // slices they route to — no discovery scan; the engine
+            // binding tombstones the served mappings in the same pass
+            val ids = SecondaryIndex.lookupPartitionedIds(
+              spark, path, idxPath, secValues).localCheckpoint()
+            PartitionedTable.deleteFrom(spark, path, ids)
+          case None =>
+            PartitionedTable.rewriteWhere(spark, path, sel)(survivors(cond))
+        }
         ()
       case Some(("mor", path)) =>
         // MOR delete = tombstone append, O(matched) written, base and

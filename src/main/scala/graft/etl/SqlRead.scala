@@ -76,9 +76,25 @@ object SqlRead {
             Catalog.alignToDeclared(spark, name,
               BucketTable.readVersion(spark, path, version))
               .queryExecution.analyzed
+          case Some(("bloom", path)) =>
+            // bloom versions are the same monotonic commit numbers;
+            // the historical snapshot is the file set folded out of
+            // the commit log's file deltas, served from immutable
+            // per-commit file dirs (clean reclaims unpinned history
+            // loudly)
+            val version = (tt.version, tt.timestamp) match {
+              case (Some(v), _) => v.toLong
+              case _ => throw new IllegalArgumentException(
+                s"bloom-layout time travel over $name is by commit " +
+                  "number — use VERSION AS OF <commit> (commit numbers " +
+                  "are not timestamps)")
+            }
+            Catalog.alignToDeclared(spark, name,
+              BloomTable.readVersion(spark, path, version))
+              .queryExecution.analyzed
           case other => throw new IllegalArgumentException(
             s"$name is not a versioned-layout table — time travel " +
-              "needs a timeline or bucket layout" +
+              "needs a timeline, bucket or bloom layout" +
               other.fold("")(kp =>
                 s"; '${kp._1}' layouts serve only the latest snapshot"))
         }
@@ -130,7 +146,10 @@ object SqlRead {
       // mor: the index is COVERING (one file group — a keyed fetch
       // would be a merge scan), so the probe serves the rows itself
       // with zero primary access.
-      case (kind, path) if kind == "bucket" || kind == "mor" =>
+      // partitioned: index resolves identities (partition cols +
+      // keys), one lookupMany reads only the slices they route to.
+      case (kind, path)
+          if kind == "bucket" || kind == "mor" || kind == "partitioned" =>
         Catalog.secondaryIndexOf(spark, name).flatMap {
           case (secCols, idxPath) =>
             def cvt(l: Literal): Any =
@@ -171,6 +190,9 @@ object SqlRead {
                 val served =
                   if (kind == "mor")
                     SecondaryIndex.lookupMultiCovering(spark, idxPath, combos)
+                  else if (kind == "partitioned")
+                    SecondaryIndex.lookupMultiPartitioned(
+                      spark, path, idxPath, combos)
                   else SecondaryIndex.lookupMulti(spark, path, idxPath, combos)
                 Some(Catalog.alignToDeclared(spark, name, served)
                   .queryExecution.analyzed)
@@ -195,7 +217,8 @@ object SqlRead {
       cond: Expression): Option[LogicalPlan] = {
     val name = rel.multipartIdentifier.mkString(".")
     layoutOf(spark, name).flatMap {
-      case (kind, path) if kind == "bloom" || kind == "bucket" =>
+      case (kind, path)
+          if kind == "bloom" || kind == "bucket" || kind == "partitioned" =>
         Catalog.statsIndexOf(spark, name).flatMap { statsPath =>
           val idx = StatsIndex.columns(statsPath)
             .map(c => c.toLowerCase -> c).toMap
@@ -230,16 +253,24 @@ object SqlRead {
           }
           if (ranges.isEmpty) None
           else {
-            val live = (kind match {
-              case "bloom" => BloomTable.read(spark, path)
-              case _ => BucketTable.read(spark, path)
-            }).inputFiles.toSeq
-            if (live.isEmpty) None // empty table: snapshot read handles it
-            else {
+            val liveOpt: Option[Seq[String]] = kind match {
+              case "bloom" => Some(BloomTable.read(spark, path).inputFiles.toSeq)
+              case "partitioned" =>
+                // a pending delta log means raw file rows ≠ snapshot
+                // (the merge applies precombine winners + tombstones):
+                // refuse to skip, fall through to the merged read —
+                // compaction restores the fast path
+                if (PartitionedTable.deltas(path).nonEmpty) None
+                else Some(PartitionedTable.readOptimized(spark, path)
+                  .inputFiles.toSeq)
+              case _ => Some(BucketTable.read(spark, path).inputFiles.toSeq)
+            }
+            // empty table: the snapshot read handles it
+            liveOpt.filter(_.nonEmpty).map { live =>
               StatsIndex.syncToFiles(spark, live, statsPath)
-              Some(Catalog.alignToDeclared(spark, name,
+              Catalog.alignToDeclared(spark, name,
                 StatsIndex.scanFiles(spark, live, statsPath, ranges))
-                .queryExecution.analyzed)
+                .queryExecution.analyzed
             }
           }
         }

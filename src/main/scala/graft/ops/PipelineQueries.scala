@@ -613,6 +613,35 @@ object PipelineQueries {
     asOf(1).unionByName(asOf(2)).unionByName(asOf(3))
   }
 
+  /** `p_sql_bloom_time_travel`: the BLOOM layout's twin of
+    * `p_sql_bucket_time_travel` — its `_commits` lines now record each
+    * commit's FILE deltas (`-retired,+added`), so any historical file
+    * set folds back out and is served from the immutable per-commit
+    * file dirs ([[graft.etl.BloomTable.readVersion]]). Identical
+    * lifecycle and algebra: the two versioned CoW layouts must agree.
+    */
+  def sqlBloomTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "bltt").toString + "/t"
+    graft.etl.BloomTable.create(src.filter(col("k") % 10 < 8), path,
+      keys = Seq("k"), precombine = "pc", numFiles = 8)        // commit 1
+    graft.etl.BloomTable.upsertInto(spark, path,               // commit 2
+      src.filter(col("k") % 10 === 6 || col("k") % 10 === 7)
+        .withColumn("pc", lit(2L)).withColumn("v", col("v") + 100)
+        .unionByName(src.filter(col("k") % 10 === 8).withColumn("pc", lit(2L)))
+        .unionByName(src.filter(col("k") % 10 === 0)
+          .withColumn("pc", lit(0L)).withColumn("v", lit(-1.0))))
+    graft.etl.BloomTable.deleteFrom(spark, path,               // commit 3
+      src.filter(col("k") % 10 === 7).select(col("k")))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_bltt", "bloom", path)
+    def asOf(c: Int): DataFrame = graft.etl.SqlRead.select(spark,
+      s"SELECT CAST($c AS BIGINT) AS ver, k, v FROM graft_bltt VERSION AS OF $c")
+    asOf(1).unionByName(asOf(2)).unionByName(asOf(3))
+  }
+
   /** `p_sql_index_mor`: a COVERING secondary index on a MOR table —
     * the layout-independent index serving a 100 TB lake needs (a MOR
     * table is one file group, so without the index every point read is
@@ -645,6 +674,46 @@ object PipelineQueries {
     graft.etl.SqlMerge.exec(spark, "DELETE FROM graft_simor WHERE st = 'O'")
     graft.etl.SqlRead.select(spark,
       "SELECT k, st, v FROM graft_simor WHERE st IN ('F', 'X')")
+  }
+
+  /** `p_sql_index_part`: a MAPPING secondary index on a PARTITIONED
+    * table — with the MOR covering twin, this closes the layout silo
+    * on index-served SQL (Hudi's metadata-table secondary index is
+    * layout-independent; ours now serves bucket, MOR and partitioned).
+    * The index stores (sec → identity = partition cols + keys) and is
+    * ENGINE-bound: every [[graft.etl.PartitionedTable]] mutation
+    * primitive reconciles it, so the SQL routes carry no hooks
+    * (`SqlIndexSpec` pins maintenance across all of them and the
+    * slice-confined serve plan). Same lifecycle as the MOR twin over
+    * `orders` partitioned by order YEAR: CREATE INDEX on st, a MERGE
+    * that MOVES the indexed value on k%10=3, an index-composed
+    * `DELETE WHERE st = 'O'` (victims from ONE probed index bucket,
+    * only their slices rewritten), then the index-served IN SELECT.
+    */
+  def sqlIndexPart(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("yr"),
+        col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "sipart").toString + "/t"
+    graft.etl.PartitionedTable.create(src, path, keys = Seq("k"),
+      precombine = "pc", partitionCols = Seq("yr"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_sipart",
+      "partitioned", path)
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX sipart1 ON graft_sipart USING SECONDARY (st)")
+    src.filter(col("k") % 10 === 3)
+      .withColumn("pc", lit(2L)).withColumn("st", lit("X"))
+      .withColumn("v", col("v") + 1000)
+      .createOrReplaceTempView("graft_sipart_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO graft_sipart t USING graft_sipart_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    graft.etl.SqlMerge.exec(spark, "DELETE FROM graft_sipart WHERE st = 'O'")
+    graft.etl.SqlRead.select(spark,
+      "SELECT k, st, v FROM graft_sipart WHERE st IN ('F', 'X')")
   }
 
   /** `p_part_mor_delete`: row-level delete through the delta log —
@@ -1173,6 +1242,31 @@ object PipelineQueries {
     graft.etl.StatsIndex.scanFiles(spark,
       graft.etl.PartitionedTable.liveFiles(spark, path), s"$base/stats",
       Seq(graft.etl.StatsIndex.ColRange("ts_us", Some(SplitUs), Some(Split2Us))))
+      .select(PartCols: _*)
+  }
+
+  /** `p_sql_part_skipping`: the SAME zone-map skipping reached through
+    * the SQL front door on the PARTITIONED layout — `CREATE INDEX ...
+    * USING COLUMN_STATS` now spans bucket, bloom AND partitioned
+    * (closing the stats-index layout silo), and a literal time-range
+    * SELECT plans only the clustered files whose [min,max] intersect
+    * it ([[graft.etl.SqlRead]]'s skippingScan). Merge safety: the
+    * serve path refuses to skip while a delta log is pending (raw
+    * file rows ≠ merged snapshot) and falls through to the snapshot
+    * read — here the fixture is compacted, so the skip serves.
+    * `IF NOT EXISTS` makes re-invocation over the shared per-JVM
+    * fixture idempotent.
+    */
+  def sqlPartSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = clusteredDailyBase(spark, sfDir)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_psk", "partitioned",
+      s"$base/t")
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX IF NOT EXISTS psk1 ON graft_psk USING COLUMN_STATS (ts_us)")
+    graft.etl.SqlRead.select(spark,
+      s"""SELECT event_date, user_id, event_id, event_type, value, ts_us
+         |FROM graft_psk
+         |WHERE ts_us >= $SplitUs AND ts_us <= ${Split2Us}""".stripMargin)
       .select(PartCols: _*)
   }
 
@@ -3045,7 +3139,9 @@ object PipelineQueries {
     "p_sql_table_changes" -> (sqlTableChanges(_, _)),
     "p_sql_cdc_images" -> (sqlCdcImages(_, _)),
     "p_sql_index_mor" -> (sqlIndexMor(_, _)),
+    "p_sql_index_part" -> (sqlIndexPart(_, _)),
     "p_sql_bucket_time_travel" -> (sqlBucketTimeTravel(_, _)),
+    "p_sql_bloom_time_travel" -> (sqlBloomTimeTravel(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
@@ -3059,6 +3155,7 @@ object PipelineQueries {
     "p_sql_merge_nested_insert" -> (sqlMergeNestedInsert(_, _)),
     "p_part_occ_upsert" -> (partOccUpsert(_, _)),
     "p_part_skipping" -> (partSkipping(_, _)),
+    "p_sql_part_skipping" -> (sqlPartSkipping(_, _)),
     "p_part_drop" -> (partDrop(_, _)),
     "p_part_overwrite" -> (partOverwrite(_, _)),
     "p_part_cluster" -> (partCluster(_, _)),
@@ -3805,6 +3902,16 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE ts IS NOT NULL) t
          |WHERE rn = 1 AND ts_us BETWEEN $SplitUs AND $Split2Us""".stripMargin,
+    // the SQL front door serves the IDENTICAL skipped range: one oracle
+    "p_sql_part_skipping" ->
+      s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
+         |  event_type, value, ts_us FROM (
+         | SELECT CAST(ts AS DATE) AS event_date, user_id, event_id,
+         |  event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1 AND ts_us BETWEEN $SplitUs AND $Split2Us""".stripMargin,
     "p_part_occ_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (
@@ -3895,9 +4002,27 @@ object PipelineQueries {
         |SELECT CAST(1 AS BIGINT) AS ver, k, v FROM src WHERE k%10 < 8
         |UNION ALL SELECT 2, k, v FROM v2
         |UNION ALL SELECT 3, k, v FROM v2 WHERE k%10 <> 7""".stripMargin,
+    // the bloom twin runs the IDENTICAL lifecycle — same oracle algebra
+    "p_sql_bloom_time_travel" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k%10 IN (6,7) THEN v+100 ELSE v END AS v
+        |    FROM src WHERE k%10 < 8
+        |  UNION ALL SELECT k, v FROM src WHERE k%10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS ver, k, v FROM src WHERE k%10 < 8
+        |UNION ALL SELECT 2, k, v FROM v2
+        |UNION ALL SELECT 3, k, v FROM v2 WHERE k%10 <> 7""".stripMargin,
     // MERGE moved k%10=3 to status X (v+1000); the index-served DELETE
     // removed the still-'O' rows; the IN ('F','X') SELECT is the feed
     "p_sql_index_mor" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                    o_totalprice AS v FROM orders)
+        |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
+        |UNION ALL
+        |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,
+    // same algebra as the MOR twin — the layouts must agree on the
+    // statement sequence's outcome, index serving notwithstanding
+    "p_sql_index_part" ->
       """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |                    o_totalprice AS v FROM orders)
         |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3

@@ -327,6 +327,54 @@ class BloomTableSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(path, "_lock")), "lock must release")
   }
 
+  test("versioned reads: any commit's file set folds back out of the log") {
+    val path = scratch()
+    def rows(t: (Long, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+    BloomTable.create(rows((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0),
+      (4L, 1L, 4.0)), path, keys = Seq("k"), precombine = "pc",
+      numFiles = 2)                                            // commit 1
+    BloomTable.upsertInto(spark, path, rows((2L, 2L, 12.0)))   // commit 2
+    BloomTable.deleteFrom(spark, path, Seq(3L).toDF("k"))      // commit 3
+    def asOf(c: Long): Map[Long, Double] =
+      BloomTable.readVersion(spark, path, c)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(asOf(1L) == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    assert(asOf(2L) == Map(1L -> 1.0, 2L -> 12.0, 3L -> 3.0, 4L -> 4.0))
+    assert(asOf(3L) == Map(1L -> 1.0, 2L -> 12.0, 4L -> 4.0))
+    // head version == live read
+    assert(asOf(3L) == BloomTable.read(spark, path)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap)
+    // out-of-range commits are loud
+    intercept[IllegalArgumentException] { asOf(0L) }
+    intercept[IllegalArgumentException] { asOf(9L) }
+    // a legacy delta-less line inside the range refuses loudly rather
+    // than reconstruct a wrong snapshot (pre-upgrade table simulation)
+    val commits = Paths.get(path, "_commits")
+    val lines = Files.readAllLines(commits)
+    val legacy = lines.get(0).split(' ').take(2).mkString(" ")
+    Files.writeString(commits,
+      (legacy +: (1 until lines.size).map(lines.get))
+        .mkString("", "\n", "\n"))
+    val e = intercept[IllegalArgumentException] { asOf(2L) }
+    assert(e.getMessage.contains("without file-delta info"))
+  }
+
+  test("a delete that empties the table leaves it readable at the recorded schema") {
+    val path = scratch()
+    def rows(t: (Long, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+    BloomTable.create(rows((1L, 1L, 1.0), (2L, 1L, 2.0)), path,
+      keys = Seq("k"), precombine = "pc", numFiles = 2)
+    BloomTable.deleteFrom(spark, path, Seq(1L, 2L).toDF("k"))
+    assert(BloomTable.manifest(path).isEmpty)
+    val snap = BloomTable.read(spark, path)
+    assert(snap.columns.toSeq == Seq("k", "pc", "v") && snap.count() == 0L)
+    // compact is a no-op, not an error; the next upsert revives it
+    assert(BloomTable.compact(spark, path) == -1L)
+    BloomTable.upsertInto(spark, path, rows((5L, 1L, 5.0)))
+    assert(BloomTable.read(spark, path).as[(Long, Long, Double)]
+      .collect().toSeq == Seq((5L, 1L, 5.0)))
+  }
+
   test("empty batch is a no-op") {
     val path = scratch()
     BloomTable.create(ev.filter(col("ts_us") <= split), path,

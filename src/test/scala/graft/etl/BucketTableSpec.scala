@@ -554,4 +554,20 @@ class BucketTableSpec extends SparkSpec {
     assert(cand.size.toDouble / total < 0.5,
       s"clustered bloom layout must prune: ${cand.size}/$total")
   }
+
+  test("a delete that empties the table leaves it readable at the recorded schema") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.deleteFrom(spark, dir, Seq("a", "b").toDF("k"))
+    assert(BucketTable.manifest(dir).isEmpty)
+    val snap = BucketTable.read(spark, dir)
+    assert(snap.columns.toSeq == Seq("k", "pc", "v") && snap.count() == 0L)
+    // compact is a no-op, not an error; targeted DML proceeds from the
+    // empty state; the next upsert revives the table
+    assert(BucketTable.compact(spark, dir) == -1L)
+    BucketTable.deleteFrom(spark, dir, Seq("zz").toDF("k"))
+    BucketTable.upsertInto(spark, dir, rows(("c", 1L, 3.0)))
+    assert(contents(dir) == Seq(("c", 1L, 3.0)))
+  }
 }

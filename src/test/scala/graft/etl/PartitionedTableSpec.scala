@@ -620,4 +620,20 @@ class PartitionedTableSpec extends SparkSpec {
       .collect().toSet == Set("a", "c"))
     assert(PartitionedTable.clean(dir).exists(_.contains("__p_region=eu")))
   }
+
+  test("a rewrite that empties every partition leaves the table readable") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.deleteFrom(spark, dir,
+      Seq(("d1", "a"), ("d2", "b")).toDF("day", "k"))
+    assert(PartitionedTable.manifest(dir).isEmpty)
+    val snap = PartitionedTable.read(spark, dir)
+    assert(snap.columns.toSeq == Seq("day", "k", "pc", "v") &&
+      snap.count() == 0L)
+    // compact is a no-op, not an error; the next upsert revives it
+    assert(PartitionedTable.compact(spark, dir) == -1L)
+    PartitionedTable.upsertInto(spark, dir, rows(("d3", "c", 1L, 3.0)))
+    assert(contents(dir) == Seq(("d3", "c", 1L, 3.0)))
+  }
 }

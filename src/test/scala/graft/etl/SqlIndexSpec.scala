@@ -206,6 +206,44 @@ class SqlIndexSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"${path}_stats_s1")))
   }
 
+  test("column-stats index on a partitioned table: skip serves, deltas fall through") {
+    val path = fresh("sqlidxps")
+    // two partitions, values clustered so file min/max prune cleanly
+    (1 to 64).map(i => (s"d${i % 2}", i.toLong, 1L, i.toDouble))
+      .toDF("day", "k", "pc", "v")
+      .createOrReplaceTempView("sql_idx_ps_src")
+    PartitionedTable.create(spark.table("sql_idx_ps_src"), path,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    PartitionedTable.cluster(spark, path, sortCols = Seq("v"),
+      targetFileRows = 8L)
+    Catalog.registerLayoutTable(spark, "sql_idx_ps", "partitioned", path)
+    SqlIndex.exec(spark,
+      "CREATE INDEX ps1 ON sql_idx_ps USING COLUMN_STATS (v)")
+    val q = SqlRead.select(spark, "SELECT k FROM sql_idx_ps WHERE v >= 61.0")
+    assert(q.as[Long].collect().toSet == Set(61L, 62L, 63L, 64L))
+    // the plan reads FEWER files than the live set — the skip is real
+    val live = PartitionedTable.read(spark, path).inputFiles.toSet
+    val planned = q.inputFiles.toSet
+    assert(planned.subsetOf(live) && planned.size < live.size,
+      s"expected a pruned file set, got ${planned.size} of ${live.size}")
+    // a pending delta makes raw file rows diverge from the snapshot —
+    // the route must fall through to the MERGED read (correct rows,
+    // no skip), not serve the stale base version
+    PartitionedTable.upsertDelta(spark, path,
+      Seq(("d0", 62L, 2L, 0.5)).toDF("day", "k", "pc", "v"))
+    val got2 = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_ps WHERE v >= 61.0").as[Long].collect().toSet
+    assert(got2 == Set(61L, 63L, 64L))
+    // compaction folds the log and the skip path resumes
+    PartitionedTable.compactDeltas(spark, path)
+    val q3 = SqlRead.select(spark, "SELECT k FROM sql_idx_ps WHERE v >= 61.0")
+    assert(q3.as[Long].collect().toSet == Set(61L, 63L, 64L))
+    assert(q3.inputFiles.toSet.size <
+      PartitionedTable.read(spark, path).inputFiles.toSet.size)
+    SqlIndex.exec(spark, "DROP INDEX ps1 ON sql_idx_ps")
+    assert(Catalog.statsIndexOf(spark, "sql_idx_ps").isEmpty)
+  }
+
   test("MOR covering index: zero-primary-access serving, every write path maintains") {
     val path = fresh("sqlidxmor")
     MorTable.create(rows((1 to 16).map(i =>
@@ -260,6 +298,79 @@ class SqlIndexSpec extends SparkSpec {
     SqlIndex.exec(spark, "DROP INDEX m1 ON sql_idx_mor")
     assert(MorTable.boundCoveringIndex(path).isEmpty)
     assert(!Files.exists(Paths.get(s"${path}_idx_m1")))
+  }
+
+  test("partitioned secondary index: slice-confined serving, every write path maintains") {
+    val path = fresh("sqlidxpart")
+    def prows(t: (String, Long, Long, String, Double)*) =
+      t.toSeq.toDF("day", "k", "pc", "etype", "v")
+    // 3 day-partitions; 'rare' only on k=5 (day d2), so the serve plan
+    // has exactly one slice to touch
+    PartitionedTable.create(prows((1 to 12).map(i =>
+      (s"d${i % 3}", i.toLong, 1L,
+        if (i == 5) "rare" else if (i % 2 == 0) "click" else "view",
+        i.toDouble)): _*),
+      path, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    Catalog.registerLayoutTable(spark, "sql_idx_part", "partitioned", path)
+    SqlIndex.exec(spark,
+      "CREATE INDEX p1 ON sql_idx_part USING SECONDARY (etype)")
+    def served(sql: String): Set[Long] =
+      SqlRead.select(spark, sql).as[Long].collect().toSet
+    // served SELECT: correct rows AND the primary files the plan reads
+    // are confined to the ONE slice the hit identity routes to
+    val q = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_part WHERE etype = 'rare'")
+    assert(q.as[Long].collect().toSeq == Seq(5L))
+    val primary = q.inputFiles.toSeq.filterNot(_.contains("_idx_p1"))
+    assert(primary.nonEmpty && primary.forall(_.contains("__p_day=d2")),
+      s"serve must read only the routed slice, got $primary")
+    // SQL UPDATE moves the indexed value (rewriteWhere route → the
+    // engine binding reconciles): old mapping dies, new one serves
+    SqlMerge.exec(spark, "UPDATE sql_idx_part SET etype = 'click' WHERE k = 5")
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'rare'").isEmpty)
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'click'") ==
+      Set(2L, 4L, 5L, 6L, 8L, 10L, 12L))
+    // programmatic writes maintain it too (engine-level binding):
+    // CoW upsert, OCC upsert, delta append, delta tombstone
+    PartitionedTable.upsertInto(spark, path, prows(("d0", 99L, 1L, "rare", 9.9)))
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'rare'") == Set(99L))
+    PartitionedTable.upsertIntoOcc(spark, path, prows(("d2", 300L, 1L, "occ", 3.0)))
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'occ'") == Set(300L))
+    PartitionedTable.upsertDelta(spark, path, prows(("d0", 99L, 2L, "view", 9.9)))
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'rare'").isEmpty)
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'view'") ==
+      Set(1L, 3L, 7L, 9L, 11L, 99L))
+    PartitionedTable.deleteDelta(spark, path, prows(("d0", 99L, 3L, "view", 0.0)))
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'view'") ==
+      Set(1L, 3L, 7L, 9L, 11L))
+    // index-composed DELETE: victims resolve from ONE probed index
+    // bucket, only their slices rewrite, mappings tombstone in-pass
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_part WHERE etype = 'view'")
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'view'").isEmpty)
+    assert(PartitionedTable.read(spark, path)
+      .select("etype").as[String].collect().toSet == Set("click", "occ"))
+    // partition overwrite: displaced mappings die wholesale
+    PartitionedTable.insertOverwrite(spark, path,
+      prows(("d1", 200L, 1L, "ow", 1.0)))
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'ow'") == Set(200L))
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'click'") ==
+      Set(2L, 5L, 6L, 8L, 12L))
+    // partition-only DELETE routes to dropPartitions — metadata-only,
+    // but the dropped rows' mappings still die
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_part WHERE day = 'd0'")
+    assert(served("SELECT k FROM sql_idx_part WHERE etype = 'click'") ==
+      Set(2L, 5L, 8L))
+    // restore under a bound index refuses loudly (no per-row diff to
+    // reconcile by) — DROP INDEX first is the documented path
+    PartitionedTable.savepoint(path, "s1")
+    intercept[IllegalArgumentException] {
+      PartitionedTable.restoreSavepoint(path, "s1")
+    }
+    // drop unbinds the engine-level maintenance hook with the artifact
+    SqlIndex.exec(spark, "DROP INDEX p1 ON sql_idx_part")
+    assert(PartitionedTable.boundSecondaryIndex(path).isEmpty)
+    assert(!Files.exists(Paths.get(s"${path}_idx_p1")))
+    PartitionedTable.restoreSavepoint(path, "s1") // unbound: allowed
   }
 
   test("index DDL on unregistered / wrong-layout tables fails loudly") {
