@@ -947,10 +947,25 @@ object BloomTable {
   }
 
   /** Remove data files no longer in the manifest and index versions
-    * before the latest. Returns removed paths (table-relative).
+    * before the latest. `keepVersions > 0` additionally retains every
+    * file the newest `keepVersions` commits' snapshots reference
+    * (Hudi's KEEP_LATEST_COMMITS cleaner policy) — `VERSION AS OF` is
+    * then GUARANTEED within the retention window, loud outside it.
+    * Returns removed paths (table-relative).
     */
-  def clean(tablePath: String): Seq[String] = {
-    val live = manifest(tablePath).toSet
+  def clean(tablePath: String, keepVersions: Int = 0): Seq[String] = {
+    val head = latestCommit(tablePath)
+    val retained: Set[String] =
+      if (keepVersions <= 0) Set.empty
+      else {
+        require(head >= 1,
+          s"clean($tablePath, keepVersions=$keepVersions): no commit " +
+            "log (table predates commit logging) — retention needs " +
+            "logged history")
+        (math.max(1L, head - keepVersions + 1) to head)
+          .flatMap(manifestAsOf(tablePath, _)).toSet
+      }
+    val live = manifest(tablePath).toSet ++ retained
     val base = Paths.get(tablePath)
     def listDir(p: Path): Seq[Path] = {
       val s = Files.list(p)

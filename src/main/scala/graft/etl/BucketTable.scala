@@ -1289,16 +1289,33 @@ object BucketTable {
 
   /** Drop generation dirs no manifest entry references (aborted writers,
     * superseded buckets). Generations referenced by a [[savepoint]]
-    * count as live. Returns removed dir names.
+    * count as live, and `keepVersions > 0` additionally retains every
+    * generation the newest `keepVersions` commits' snapshots reference
+    * (Hudi's KEEP_LATEST_COMMITS cleaner policy) — `VERSION AS OF` is
+    * then GUARANTEED within the retention window, loud outside it.
+    * Loud when retention is requested on a table whose commit log
+    * cannot reconstruct those snapshots (pre-upgrade history).
+    * Returns removed dir names.
     */
-  def clean(tablePath: String): Seq[String] = {
+  def clean(tablePath: String, keepVersions: Int = 0): Seq[String] = {
     def listDir(p: Path): Seq[Path] = {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close()
     }
+    val head = latestCommit(tablePath)
+    val retained =
+      if (keepVersions <= 0) Seq.empty
+      else {
+        require(head >= 1,
+          s"clean($tablePath, keepVersions=$keepVersions): no commit " +
+            "log (table predates commit logging) — retention needs " +
+            "logged history")
+        (math.max(1L, head - keepVersions + 1) to head)
+          .flatMap(c => manifestAsOf(tablePath, c).toSeq)
+      }
     val pinned = savepoints(tablePath)
       .map(savepointManifest(tablePath, _))
-      .foldLeft(manifest(tablePath).toSeq)(_ ++ _.toSeq)
+      .foldLeft(manifest(tablePath).toSeq ++ retained)(_ ++ _.toSeq)
     val live: Map[Long, Set[Int]] = pinned
       .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     listDir(Paths.get(tablePath))

@@ -45,6 +45,34 @@ object MorTable {
   private val DelCol = "_deleted"
 
   private def pointer(tablePath: String): Path = Paths.get(tablePath, "_latest")
+  private def historyPath(tablePath: String): Path =
+    Paths.get(tablePath, "_history")
+
+  /** Append-only base-generation history: one `base floor kind` line
+    * per event that CHANGES the base (create / bootstrap / compact /
+    * overwrite). With it, any change seq resolves to the base that was
+    * current then — `readVersion`'s lookup. Appended BEFORE the
+    * pointer swing: a crash in between leaves a line whose base dir is
+    * already written and whose folded content equals the predecessor
+    * state at that floor — idempotent, never a swing no line records.
+    */
+  private def logBase(tablePath: String, base: Long, floor: Long,
+      kind: String): Unit = {
+    Files.writeString(historyPath(tablePath), s"$base $floor $kind\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** (base, floor, kind) history lines, oldest first. */
+  def baseHistory(tablePath: String): Seq[(Long, Long, String)] = {
+    val p = historyPath(tablePath)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.flatMap(_.split(' ') match {
+      case Array(b, f, k) if b.forall(_.isDigit) && f.forall(_.isDigit) =>
+        Some((b.toLong, f.toLong, k))
+      case _ => None // torn trailing line from a crashed append
+    })
+  }
   private def propsPath(tablePath: String): Path = Paths.get(tablePath, "_props")
   private def bootstrapPath(tablePath: String): Path = Paths.get(tablePath, "_bootstrap")
 
@@ -131,6 +159,7 @@ object MorTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     HudiLike.precombineLatest(df, keys, precombine, tieBreak)
       .write.mode("overwrite").parquet(s"$tablePath/base=0")
+    logBase(tablePath, 0L, 0L, "create")
     writePointer(tablePath, 0L, 0L, 0L)
     // base rows get no images (seq 0 IS the snapshot a consumer seeds
     // from); commits 1.. are captured
@@ -172,6 +201,7 @@ object MorTable {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.writeString(bootstrapPath(tablePath), sourceDir,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    logBase(tablePath, 0L, 0L, "bootstrap")
     writePointer(tablePath, 0L, 0L, 0L)
   }
 
@@ -387,12 +417,21 @@ object MorTable {
   }
 
   private def mergedSnapshot(spark: SparkSession, tablePath: String): DataFrame = {
-    val p = props(tablePath)
     val (base, head, floor) = fullState(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
+    mergedRange(spark, tablePath, base, floor, head)
+  }
+
+  /** The merge plan over ONE base generation and its logs in
+    * `(floor, to]` — [[mergedSnapshot]] instantiates it at the live
+    * pointer, [[readVersion]] at a historical (base, seq) resolution.
+    */
+  private def mergedRange(spark: SparkSession, tablePath: String,
+      base: Long, floor: Long, to: Long): DataFrame = {
+    val p = props(tablePath)
     val baseDf = baseFrame(spark, tablePath, base)
       .withColumn(SeqCol, lit(0L)).withColumn(DelCol, lit(false))
-    val merged = ((floor + 1) to head).foldLeft(baseDf) { (acc, s) =>
+    val merged = ((floor + 1) to to).foldLeft(baseDf) { (acc, s) =>
       // logs may be schema-sparse (tombstones carry NULL payload cols)
       acc.unionByName(
         spark.read.parquet(s"$tablePath/log=$base.$s"), allowMissingColumns = true)
@@ -402,6 +441,53 @@ object MorTable {
     HudiLike.precombineLatest(merged, p.keys, p.precombine,
       SeqCol +: p.tieBreak)
       .filter(!col(DelCol))
+  }
+
+  /** Read the snapshot AS OF change sequence `seq` — `SELECT ...
+    * VERSION AS OF` on the MOR layout, and deliberately in the SAME
+    * domain as [[incrementalRead]]'s cursors: `readVersion(c)` is
+    * exactly the snapshot a consumer checkpointed at `c` holds, so
+    * `readVersion(c)` + the `(c, head]` feed replays to the live
+    * snapshot (CdcReplayProps pins it). Resolution: the base
+    * generation current at `seq` (the newest `_history` line with
+    * floor <= seq) merged with its logs in `(floor, seq]` — all
+    * immutable dirs, readable until [[clean]] reclaims them; a
+    * reclaimed version fails loudly, never serves a partial snapshot.
+    */
+  def readVersion(spark: SparkSession, tablePath: String,
+      seq: Long): DataFrame = {
+    val (_, head, _) = fullState(tablePath).getOrElse(
+      throw new IllegalStateException(s"no MOR table at $tablePath"))
+    require(seq >= 0 && seq <= head,
+      s"VERSION AS OF $seq at $tablePath: change seqs run 0..$head")
+    val hist0 = baseHistory(tablePath)
+    require(hist0.exists(h => h._1 == 0L && h._2 == 0L),
+      s"the base history at $tablePath does not cover the table's " +
+        "birth (created before history logging) — historical reads " +
+        "need a from-birth record")
+    // a compact that crashed between its history append and pointer
+    // swing leaves a line whose base dir a LATER retry overwrote —
+    // keep only the LAST line per base (it describes the dir's current
+    // content); the abandoned window resolves through the predecessor
+    // base, whose log dirs kept accumulating until the retry's swing
+    val hist = hist0.zipWithIndex
+      .groupBy { case ((b, _, _), _) => b }
+      .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSeq
+    val (base, floor, _) = hist.filter(_._2 <= seq)
+      .maxBy(h => (h._2, h._1))
+    val missing =
+      (if (base == 0L && Files.exists(bootstrapPath(tablePath))) Seq.empty
+       else if (!Files.exists(Paths.get(tablePath, s"base=$base")))
+         Seq(s"base=$base")
+       else Seq.empty) ++
+        ((floor + 1) to seq).filterNot(s =>
+          Files.exists(Paths.get(tablePath, s"log=$base.$s")))
+          .map(s => s"log=$base.$s")
+    require(missing.isEmpty,
+      s"VERSION AS OF $seq at $tablePath: dir(s) ${missing.mkString(",")} " +
+        "were reclaimed by clean — clean less aggressively to keep " +
+        "historical versions readable")
+    mergedRange(spark, tablePath, base, floor, seq).drop(SeqCol, DelCol)
   }
 
   /** Read-optimized query: the base alone — no merge, no window, stale
@@ -461,6 +547,7 @@ object MorTable {
       val next = base + 1
       readSnapshot(spark, tablePath).write.mode("overwrite")
         .parquet(s"$tablePath/base=$next")
+      logBase(tablePath, next, head, "compact")
       writePointer(tablePath, next, head, head)
       next
     }
@@ -494,6 +581,7 @@ object MorTable {
       // rather than silently miss the restatement — the cdc image
       // floor ratchets with it
       CdcLog.ratchet(tablePath, head + 1)
+      logBase(tablePath, next, head + 1, "overwrite")
       writePointer(tablePath, next, head + 1, head + 1)
       // a bound covering index is rebuilt from the replacement —
       // proportionate, the verb itself replaced the whole table
@@ -505,16 +593,41 @@ object MorTable {
     }
 
   /** Retention: delete base/log dirs of generations older than the
-    * current base. Never touches the live generation.
+    * current base. Never touches the live generation. `keepVersions >
+    * 0` additionally retains every base+log dir the newest
+    * `keepVersions` change seqs' snapshots resolve through (Hudi's
+    * KEEP_LATEST_COMMITS cleaner policy) — `VERSION AS OF` is then
+    * GUARANTEED inside the retention window, loud outside it.
     */
-  def clean(tablePath: String): Seq[String] = {
+  def clean(tablePath: String, keepVersions: Int = 0): Seq[String] = {
     val (base, _) = state(tablePath).getOrElse(return Seq.empty)
+    val head = changeHead(tablePath)
+    // resolve each retained seq the way readVersion does: the newest
+    // deduped history line with floor <= seq names the base; the logs
+    // (floor, seq] ride it
+    val keep: Set[String] =
+      if (keepVersions <= 0) Set.empty
+      else {
+        val hist0 = baseHistory(tablePath)
+        require(hist0.exists(h => h._1 == 0L && h._2 == 0L),
+          s"clean($tablePath, keepVersions=$keepVersions): the base " +
+            "history does not cover the table's birth (created before " +
+            "history logging) — retention needs a from-birth record")
+        val hist = hist0.zipWithIndex
+          .groupBy { case ((b, _, _), _) => b }
+          .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSeq
+        (math.max(0L, head - keepVersions + 1) to head).flatMap { c =>
+          val (b, f, _) = hist.filter(_._2 <= c).maxBy(h => (h._2, h._1))
+          s"base=$b" +: ((f + 1) to c).map(sq => s"log=$b.$sq")
+        }.toSet
+      }
     val s = Files.list(Paths.get(tablePath))
     val stale =
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith("base=") && n.drop(5).toLong < base) ||
-          (n.startsWith("log=") && n.drop(4).takeWhile(_ != '.').toLong < base)
+        ((n.startsWith("base=") && n.drop(5).toLong < base) ||
+          (n.startsWith("log=") && n.drop(4).takeWhile(_ != '.').toLong < base)) &&
+          !keep(n)
       }.toSeq
       finally s.close()
     stale.foreach(deleteRecursively)

@@ -89,6 +89,141 @@ object PartitionedTable {
       org.apache.spark.sql.types.StructType.fromDDL(Files.readString(sp)))
   }
 
+  // ---- versioned commit log (VERSION AS OF) --------------------------
+  //
+  // One `_commits` line per LOGICAL commit (CommitLogFile-backed, so
+  // archival and crash-dedup work exactly as on bucket/bloom):
+  //   `<no> <kind> <payload>`
+  // payload = comma list of entries, `.` when none:
+  //   `M:<enc(dir)>:<gen>`  manifest repoint   `M:<enc(dir)>:-` retire
+  //   `D:<enc(dir)>:<seq>`  delta entry added  `R:<enc(dir)>:<seq>` retired
+  // Dir names are URL-encoded: hive path escaping leaves spaces and
+  // commas intact in partition values, and those would break the line
+  // grammar (the `_manifest` file survives them only because its
+  // parser splits on the LAST space). Encoding also eliminates ':'.
+  //
+  // This numbering is INDEPENDENT of the CDC change-seq domain: delta
+  // seqs number the change feed (`table_changes`), commit numbers
+  // number SNAPSHOTS (`VERSION AS OF`) — one covers only log appends,
+  // the other every manifest swing too, so they cannot share a counter.
+
+  private def enc(dir: String): String =
+    java.net.URLEncoder.encode(dir, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The newest commit number (0 before any logged commit). */
+  def latestCommit(tablePath: String): Long =
+    CommitLogFile.fullLines(tablePath)
+      .flatMap(_.split(' ').headOption)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).maxOption.getOrElse(0L)
+
+  /** Append one commit line recording the manifest and delta-log diffs
+    * of a logical commit. Caller holds the table lock (the number
+    * allocation is a read-modify-write on the shared log) and appends
+    * BEFORE the metadata swing — a crash in between leaves a phantom
+    * line whose state equals its predecessor's (idempotent), never a
+    * swing no line records.
+    */
+  private def logCommit(tablePath: String, kind: String,
+      mBefore: Map[String, Long], mAfter: Map[String, Long],
+      dBefore: Seq[(String, Long)], dAfter: Seq[(String, Long)]): Long = {
+    val no = latestCommit(tablePath) + 1
+    val mEntries = (mBefore.keySet ++ mAfter.keySet).toSeq.sorted.flatMap { d =>
+      (mBefore.get(d), mAfter.get(d)) match {
+        case (b, Some(g)) if !b.contains(g) => Some(s"M:${enc(d)}:$g")
+        case (Some(_), None) => Some(s"M:${enc(d)}:-")
+        case _ => None
+      }
+    }
+    val bSet = dBefore.toSet
+    val aSet = dAfter.toSet
+    val dEntries = (aSet -- bSet).toSeq.sorted
+      .map { case (d, s) => s"D:${enc(d)}:$s" } ++
+      (bSet -- aSet).toSeq.sorted.map { case (d, s) => s"R:${enc(d)}:$s" }
+    val payload = (mEntries ++ dEntries).mkString(",")
+    Files.writeString(Paths.get(tablePath, "_commits"),
+      s"$no $kind ${if (payload.isEmpty) "." else payload}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    no
+  }
+
+  /** Fold all but the newest `keepLatest` active `_commits` lines into
+    * `_commits_archive` — same move as [[BucketTable.archiveCommits]].
+    */
+  def archiveCommits(tablePath: String, keepLatest: Int): Seq[Long] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      CommitLogFile.archive(tablePath, keepLatest)
+    }
+
+  /** The (manifest, delta log) AS OF `commit`: fold every logged diff
+    * through. Loud on upgraded tables (log doesn't cover birth) and
+    * out-of-range commits.
+    */
+  def stateAsOf(tablePath: String,
+      commit: Long): (Map[String, Long], Seq[(String, Long)]) = {
+    val lines = CommitLogFile.fullLines(tablePath).flatMap { l =>
+      l.split(" ", 3) match {
+        case Array(no, kind, payload)
+            if no.nonEmpty && no.forall(_.isDigit) =>
+          Some((no.toLong, kind, payload))
+        case _ => None
+      }
+    }
+    val head = lines.map(_._1).maxOption.getOrElse(0L)
+    require(commit >= 1 && commit <= head,
+      s"VERSION AS OF $commit at $tablePath: commits run 1..$head")
+    require(lines.map(_._1).minOption.contains(1L),
+      s"the commit log at $tablePath does not cover the table's birth " +
+        "(created before commit logging) — historical reads need a " +
+        "from-birth log")
+    lines.filter(_._1 <= commit).sortBy(_._1)
+      .foldLeft((Map.empty[String, Long], Set.empty[(String, Long)])) {
+        case ((m, d), (_, _, payload)) =>
+          payload.split(',').filter(e => e.nonEmpty && e != ".")
+            .foldLeft((m, d)) { case ((m2, d2), e) =>
+              e.split(':') match {
+                case Array("M", ed, "-") => (m2 - dec(ed), d2)
+                case Array("M", ed, g) => (m2 + (dec(ed) -> g.toLong), d2)
+                case Array("D", ed, s) => (m2, d2 + ((dec(ed), s.toLong)))
+                case Array("R", ed, s) => (m2, d2 - ((dec(ed), s.toLong)))
+                case _ => throw new IllegalStateException(
+                  s"unparseable commit-log entry '$e' at $tablePath")
+              }
+            }
+      } match { case (m, d) => (m, d.toSeq.sortBy(e => (e._2, e._1))) }
+  }
+
+  /** Read the table AS OF commit `commit` — `SELECT ... VERSION AS OF`
+    * on the partitioned layout: the historical manifest and delta log
+    * folded back out of the commit log, served from the immutable
+    * generation and delta dirs they reference. Works for any commit
+    * whose dirs [[clean]] hasn't reclaimed (savepoints pin); a
+    * reclaimed version fails loudly, never serves a partial snapshot.
+    */
+  def readVersion(spark: SparkSession, tablePath: String,
+      commit: Long): DataFrame = {
+    val p = props(tablePath)
+    val (m, d) = stateAsOf(tablePath, commit)
+    val missingM = m.filter { case (dir, g) =>
+      !Files.exists(Paths.get(tablePath, s"gen=$g", dir)) }
+    val missingD = d.filterNot { case (dir, s) =>
+      Files.exists(Paths.get(tablePath, s"dgen=$s", dir)) }
+    require(missingM.isEmpty && missingD.isEmpty,
+      s"VERSION AS OF $commit at $tablePath: dir(s) " +
+        s"${(missingM.toSeq.map { case (dir, g) => s"gen=$g/$dir" } ++
+          missingD.map { case (dir, s) => s"dgen=$s/$dir" }).sorted
+          .mkString(",")} were reclaimed by clean — create a savepoint " +
+        "before cleaning to keep historical versions readable")
+    if (m.isEmpty && d.isEmpty) return read(spark, tablePath).limit(0)
+    val base =
+      if (m.isEmpty) read(spark, tablePath).limit(0)
+      else readDirs(spark, tablePath, m.keySet, m, p)
+    if (d.isEmpty) base
+    else mergeDeltas(base, deltaFrame(spark, tablePath, d, p), p)
+  }
+
   final case class Props(keys: Seq[String], precombine: String,
       tieBreak: Seq[String], partitionCols: Seq[String],
       partitionTypes: Seq[String], numGroups: Int) {
@@ -278,6 +413,9 @@ object PartitionedTable {
     val deduped = HudiLike.precombineLatest(df, p.identity, precombine, tieBreak)
     val written = writeGen(withShadow(deduped, p), tablePath, 0L, p)
     writeSchema(tablePath, deduped)
+    // the create is COMMIT 1, like every layout with a commit log
+    logCommit(tablePath, "create",
+      Map.empty, written.map(_ -> 0L).toMap, Seq.empty, Seq.empty)
     writeManifest(tablePath, written.map(_ -> 0L).toMap)
   }
 
@@ -385,10 +523,19 @@ object PartitionedTable {
     val written = writeGen(withShadow(merged, p), tablePath, gen, p)
     // a CoW upsert changes content with NO change seq — the cdc image
     // feed cannot represent it, so every cursor dies (ratchet BEFORE
-    // the swing: a crash leaves a spurious loud, never a silent gap)
-    CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
-    writeSchema(tablePath, merged)
-    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen))
+    // the swing: a crash leaves a spurious loud, never a silent gap).
+    // The metadata swing runs under the table lock: commit-number
+    // allocation is a read-modify-write on the shared `_commits` log,
+    // and this single-writer path must serialize it against OCC
+    // writers (BucketTable's identical discipline)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
+      writeSchema(tablePath, merged)
+      val m0 = manifest(tablePath)
+      val d0 = deltas(tablePath)
+      logCommit(tablePath, "write", m0, m0 ++ written.map(_ -> gen), d0, d0)
+      writeManifest(tablePath, m0 ++ written.map(_ -> gen))
+    }
     // the post side re-probes what readers now see for the batch's
     // identities — by construction the served merge, never a replay
     // of the merge algebra that could drift from it
@@ -435,6 +582,8 @@ object PartitionedTable {
         // the plain CoW upsert route)
         CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
         writeSchema(tablePath, merged)
+        val d1 = deltas(tablePath)
+        logCommit(tablePath, "occ", m1, m1 ++ written.map(_ -> gen), d1, d1)
         writeManifest(tablePath, m1 ++ written.map(_ -> gen))
       }
       !conflict
@@ -557,17 +706,23 @@ object PartitionedTable {
        else mergeDeltas(b, deltaFrame(spark, tablePath, dPre, p), p))
         .localCheckpoint()
     }
-    val kept = manifest(tablePath)
-      .filterNot { case (d, _) => overwritten(partitionPrefix(p, d)) }
-    writeSchema(tablePath, tagged.drop(p.dirCols: _*))
-    writeManifest(tablePath, kept ++ written.map(_ -> gen))
-    // the restate is invisible to the change feed — every cursor dies
-    // (even if the touched partitions had no pending deltas), and the
-    // superseded delta commits retire with it
-    retireDestructive(tablePath) // ratchet-then-remove
-    val d = deltas(tablePath)
-    val (gone, keptD) = d.partition(e => overwritten(partitionPrefix(p, e._1)))
-    if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val m0 = manifest(tablePath)
+      val kept = m0.filterNot { case (d, _) =>
+        overwritten(partitionPrefix(p, d)) }
+      val d = deltas(tablePath)
+      val (gone, keptD) =
+        d.partition(e => overwritten(partitionPrefix(p, e._1)))
+      writeSchema(tablePath, tagged.drop(p.dirCols: _*))
+      logCommit(tablePath, "overwrite",
+        m0, kept ++ written.map(_ -> gen), d, keptD)
+      writeManifest(tablePath, kept ++ written.map(_ -> gen))
+      // the restate is invisible to the change feed — every cursor dies
+      // (even if the touched partitions had no pending deltas), and the
+      // superseded delta commits retire with it
+      retireDestructive(tablePath) // ratchet-then-remove
+      if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+    }
     maintainBound(spark, tablePath, bound, pre, tagged.drop(p.dirCols: _*), p)
     written
   }
@@ -598,12 +753,16 @@ object PartitionedTable {
       }
       // the drop is invisible to the change feed — every cursor dies
       // (deltas pending or not); ratchet BEFORE either rewrite
-      retireDestructive(tablePath)
-      writeManifest(tablePath, manifest(tablePath) -- drop)
-      // dropped rows must not resurrect through the delta log
-      val d = deltas(tablePath)
-      val (gone, keptD) = d.partition(e => dropSet(e._1))
-      if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+      FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+        retireDestructive(tablePath)
+        val m0 = manifest(tablePath)
+        val d = deltas(tablePath)
+        val (gone, keptD) = d.partition(e => dropSet(e._1))
+        logCommit(tablePath, "drop", m0, m0 -- drop, d, keptD)
+        writeManifest(tablePath, m0 -- drop)
+        // dropped rows must not resurrect through the delta log
+        if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+      }
       for (preDf <- pre)
         maintainBound(spark, tablePath, bound, pre, preDf.limit(0), p)
     }
@@ -653,10 +812,12 @@ object PartitionedTable {
     // absorbed delta entries retire so a deleted row can't resurrect
     retireDestructive(tablePath)
     writeSchema(tablePath, next)
-    writeManifest(tablePath,
-      (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen))
-    if (touchedDeltas.nonEmpty)
-      writeDeltas(tablePath, d.filterNot(e => touched(e._1)))
+    val mNext = (committed -- (liveTouched -- written.toSet)) ++
+      written.map(_ -> gen)
+    val dNext = d.filterNot(e => touched(e._1))
+    logCommit(tablePath, "rewrite", committed, mNext, d, dNext)
+    writeManifest(tablePath, mNext)
+    if (touchedDeltas.nonEmpty) writeDeltas(tablePath, dNext)
     maintainBound(spark, tablePath, bound, Some(current), next, p)
     written
   }
@@ -720,7 +881,12 @@ object PartitionedTable {
     val written = writeGen(
       withShadow(readDirs(spark, tablePath, m.keySet, m, p), p),
       tablePath, gen, p)
-    writeManifest(tablePath, written.map(_ -> gen).toMap)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val m1 = manifest(tablePath)
+      val d1 = deltas(tablePath)
+      logCommit(tablePath, "compact", m1, written.map(_ -> gen).toMap, d1, d1)
+      writeManifest(tablePath, written.map(_ -> gen).toMap)
+    }
     gen
   }
 
@@ -909,6 +1075,9 @@ object PartitionedTable {
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
+      val m0 = manifest(tablePath)
+      logCommit(tablePath, "delta",
+        m0, m0, existing, existing ++ written.map(_ -> seq))
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
       maintainBound(spark, tablePath, bound, pre,
@@ -950,6 +1119,9 @@ object PartitionedTable {
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
+      val m0 = manifest(tablePath)
+      logCommit(tablePath, "ddelete",
+        m0, m0, existing, existing ++ written.map(_ -> seq))
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
       // post-probe sees the tombstones applied: vanished identities'
@@ -1030,7 +1202,15 @@ object PartitionedTable {
         val merged = mergeDeltas(base, deltaFrame(spark, tablePath, d, p), p)
         val gen = nextGen(tablePath)
         val written = writeGen(withShadow(merged, p), tablePath, gen, p)
-        writeManifest(tablePath, m ++ written.map(_ -> gen))
+        // a delta-bearing slice whose merged content is EMPTY (every
+        // row tombstoned) produces no output dir — its old manifest
+        // entry must RETIRE with the fold, or the pre-delete rows
+        // resurrect (the rewriteDirsLocked discipline; CdcReplayProps
+        // caught the miss here)
+        val mNext = (m -- (baseSlices -- written.toSet)) ++
+          written.map(_ -> gen)
+        logCommit(tablePath, "dcompact", m, mNext, d, Seq.empty)
+        writeManifest(tablePath, mNext)
         // floor = last folded seq (numbering never restarts), ratcheted
         // BEFORE the log empties — see retireDeltas
         retireDeltas(tablePath, d)
@@ -1192,7 +1372,12 @@ object PartitionedTable {
       .sortWithinPartitions(layout: _*)
       .drop(sortNames: _*)
     val written = writeGenPrepared(arranged, tablePath, gen, p)
-    writeManifest(tablePath, written.map(_ -> gen).toMap)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val m1 = manifest(tablePath)
+      val d1 = deltas(tablePath)
+      logCommit(tablePath, "cluster", m1, written.map(_ -> gen).toMap, d1, d1)
+      writeManifest(tablePath, written.map(_ -> gen).toMap)
+    }
     gen
   }
 
@@ -1400,6 +1585,8 @@ object PartitionedTable {
       // retireDestructive) so re-sync is loud, never a silent replay
       // of a diverged history
       retireDestructive(tablePath)
+      logCommit(tablePath, "restore",
+        manifest(tablePath), m, deltas(tablePath), d)
       writeManifest(tablePath, m)
       writeDeltas(tablePath, d)
     }
@@ -1418,15 +1605,30 @@ object PartitionedTable {
     * commits referenced by a [[savepoint]] count as live. Returns
     * removed paths.
     */
-  def clean(tablePath: String): Seq[String] = {
+  def clean(tablePath: String, keepVersions: Int = 0): Seq[String] = {
     def listDir(path: Path): Seq[Path] = {
       val s = Files.list(path)
       try s.iterator().asScala.toSeq finally s.close()
     }
     val p = props(tablePath)
+    // KEEP_LATEST_COMMITS retention: the newest `keepVersions` commits'
+    // (manifest, delta) states stay readable — VERSION AS OF is
+    // guaranteed inside the window, loud outside it
+    val head = latestCommit(tablePath)
+    val retained =
+      if (keepVersions <= 0) Seq.empty
+      else {
+        require(head >= 1,
+          s"clean($tablePath, keepVersions=$keepVersions): no commit " +
+            "log (table predates commit logging) — retention needs " +
+            "logged history")
+        (math.max(1L, head - keepVersions + 1) to head)
+          .map(stateAsOf(tablePath, _))
+      }
     val pins = savepoints(tablePath).map(savepointState(tablePath, _))
-    val pinnedManifest = pins.flatMap(_._1.toSeq)
-    val pinnedDeltas = pins.flatMap(_._2)
+    val pinnedManifest = pins.flatMap(_._1.toSeq) ++
+      retained.flatMap(_._1.toSeq)
+    val pinnedDeltas = pins.flatMap(_._2) ++ retained.flatMap(_._2)
     val live: Map[Long, Set[String]] = (manifest(tablePath).toSeq ++ pinnedManifest)
       .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     // delta generations: a dgen dir is live while ANY _deltas entry —

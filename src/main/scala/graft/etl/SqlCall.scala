@@ -118,6 +118,9 @@ object SqlCall {
             BucketTable.archiveCommits(p, toInt(keep, "keep")).toDF("version")
           case Some(("bloom", p)) =>
             BloomTable.archiveCommits(p, toInt(keep, "keep")).toDF("version")
+          case Some(("partitioned", p)) =>
+            PartitionedTable.archiveCommits(p, toInt(keep, "keep"))
+              .toDF("version")
           case _ =>
             Timeline.archive(timelinePathOf(spark, t),
               toInt(keep, "keep")).toDF("version")
@@ -140,19 +143,11 @@ object SqlCall {
         }
         Seq(MorTable.compact(spark, path)).toDF("base_version")
       case ("clean", Seq(t: String)) =>
-        val removed = Catalog.layoutOf(spark, t) match {
-          case Some(("bucket", p)) => BucketTable.clean(p)
-          case Some(("bloom", p)) => BloomTable.clean(p)
-          case Some(("partitioned", p)) => PartitionedTable.clean(p)
-          case Some(("mor", p)) => MorTable.clean(p)
-          case Some(("timeline", _)) => throw new IllegalArgumentException(
-            s"clean('$t'): timeline tables clean by version — use " +
-              "clean_commits(table, retain)")
-          case other => throw new IllegalArgumentException(
-            s"$t is not layout-registered" +
-              other.fold("")(kp => s" (layout: ${kp._1})"))
-        }
-        removed.toDF("file")
+        cleanTable(spark, t, 0)
+      case ("clean", Seq(t: String, keep)) =>
+        // KEEP_LATEST_COMMITS retention: the newest `keep` versions
+        // stay VERSION AS OF-readable after the sweep, loud outside
+        cleanTable(spark, t, toInt(keep, "keep"))
       case ("purge_key", args) if args.length >= 2 &&
           args.head.isInstanceOf[String] =>
         purgeKey(spark, args.head.asInstanceOf[String], args.tail)
@@ -396,6 +391,24 @@ object SqlCall {
           "| partitioned | bucket | bloom" +
           other.fold("")(kp => s"; layout: ${kp._1}"))
     }
+
+  private def cleanTable(spark: SparkSession, t: String,
+      keep: Int): DataFrame = {
+    import spark.implicits._
+    val removed = Catalog.layoutOf(spark, t) match {
+      case Some(("bucket", p)) => BucketTable.clean(p, keep)
+      case Some(("bloom", p)) => BloomTable.clean(p, keep)
+      case Some(("partitioned", p)) => PartitionedTable.clean(p, keep)
+      case Some(("mor", p)) => MorTable.clean(p, keep)
+      case Some(("timeline", _)) => throw new IllegalArgumentException(
+        s"clean('$t'): timeline tables clean by version — use " +
+          "clean_commits(table, retain)")
+      case other => throw new IllegalArgumentException(
+        s"$t is not layout-registered" +
+          other.fold("")(kp => s" (layout: ${kp._1})"))
+    }
+    removed.toDF("file")
+  }
 
   /** `CALL show_fsview('t')` — the operator's one-stop table health
     * view (Hudi's `show_fsview_all` role): file counts and bytes split

@@ -92,9 +92,39 @@ object SqlRead {
             Catalog.alignToDeclared(spark, name,
               BloomTable.readVersion(spark, path, version))
               .queryExecution.analyzed
+          case Some(("partitioned", path)) =>
+            // partitioned versions are commit numbers from the layout's
+            // own `_commits` log (manifest repointings + delta-log
+            // add/retire per logical commit) — the historical snapshot
+            // is the folded (manifest, delta) pair, base dirs merged
+            // with that version's pending deltas
+            val version = (tt.version, tt.timestamp) match {
+              case (Some(v), _) => v.toLong
+              case _ => throw new IllegalArgumentException(
+                s"partitioned-layout time travel over $name is by " +
+                  "commit number — use VERSION AS OF <commit> (commit " +
+                  "numbers are not timestamps)")
+            }
+            Catalog.alignToDeclared(spark, name,
+              PartitionedTable.readVersion(spark, path, version))
+              .queryExecution.analyzed
+          case Some(("mor", path)) =>
+            // MOR versions are CHANGE SEQUENCES — the same domain
+            // incremental cursors live in, so VERSION AS OF <cursor>
+            // is exactly the snapshot that cursor's consumer holds
+            val version = (tt.version, tt.timestamp) match {
+              case (Some(v), _) => v.toLong
+              case _ => throw new IllegalArgumentException(
+                s"mor-layout time travel over $name is by change " +
+                  "sequence — use VERSION AS OF <seq> (sequences are " +
+                  "not timestamps)")
+            }
+            Catalog.alignToDeclared(spark, name,
+              MorTable.readVersion(spark, path, version))
+              .queryExecution.analyzed
           case other => throw new IllegalArgumentException(
             s"$name is not a versioned-layout table — time travel " +
-              "needs a timeline, bucket or bloom layout" +
+              "needs a timeline, bucket, bloom, partitioned or mor layout" +
               other.fold("")(kp =>
                 s"; '${kp._1}' layouts serve only the latest snapshot"))
         }

@@ -642,6 +642,81 @@ object PipelineQueries {
     asOf(1).unionByName(asOf(2)).unionByName(asOf(3))
   }
 
+  /** `p_sql_part_time_travel`: `SELECT ... VERSION AS OF c` on the
+    * PARTITIONED layout — with the bucket and bloom twins this makes
+    * time travel layout-independent across the CoW family. The
+    * layout's new `_commits` log records each logical commit's
+    * manifest repointings AND delta-log add/retires, so any commit's
+    * (manifest, delta) pair folds back out and serves from immutable
+    * gen/dgen dirs ([[graft.etl.PartitionedTable.readVersion]]).
+    * Same lifecycle and algebra as the twins, with the DELETE routed
+    * through the delta log (a `ddelete` commit) so the version fold
+    * exercises base + pending-delta reconstruction, not just manifest
+    * swings.
+    */
+  def sqlPartTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("yr"),
+        col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "pttt").toString + "/t"
+    graft.etl.PartitionedTable.create(src.filter(col("k") % 10 < 8), path,
+      keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("yr"))                               // commit 1
+    graft.etl.PartitionedTable.upsertInto(spark, path,         // commit 2
+      src.filter(col("k") % 10 === 6 || col("k") % 10 === 7)
+        .withColumn("pc", lit(2L)).withColumn("v", col("v") + 100)
+        .unionByName(src.filter(col("k") % 10 === 8).withColumn("pc", lit(2L)))
+        .unionByName(src.filter(col("k") % 10 === 0)
+          .withColumn("pc", lit(0L)).withColumn("v", lit(-1.0))))
+    graft.etl.PartitionedTable.deleteDelta(spark, path,        // commit 3
+      src.filter(col("k") % 10 === 7)
+        .select(col("yr"), col("k")).distinct()
+        .withColumn("pc", lit(9L)))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_pttt",
+      "partitioned", path)
+    def asOf(c: Int): DataFrame = graft.etl.SqlRead.select(spark,
+      s"SELECT CAST($c AS BIGINT) AS ver, k, v FROM graft_pttt VERSION AS OF $c")
+    asOf(1).unionByName(asOf(2)).unionByName(asOf(3))
+  }
+
+  /** `p_sql_mor_time_travel`: `SELECT ... VERSION AS OF c` on the MOR
+    * layout — the last layout silo on time travel, and deliberately in
+    * the CHANGE-SEQ domain: `VERSION AS OF c` is exactly the snapshot
+    * an incremental consumer checkpointed at cursor `c` holds, so
+    * snapshot(c) + table_changes(c, head] replays to the live table
+    * (CdcReplayProps pins that identity). A `_history` log records
+    * each base generation's compaction floor, so any seq resolves to
+    * the base current then plus its logs in `(floor, seq]`
+    * ([[graft.etl.MorTable.readVersion]]). Same lifecycle/algebra as
+    * the bucket/bloom/partitioned twins: create (seq 0), one upsert
+    * delta commit (seq 1), one tombstone commit (seq 2).
+    */
+  def sqlMorTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "mttt").toString + "/t"
+    graft.etl.MorTable.create(src.filter(col("k") % 10 < 8), path,
+      keys = Seq("k"), precombine = "pc")                      // seq 0
+    graft.etl.MorTable.upsertInto(path,                        // seq 1
+      src.filter(col("k") % 10 === 6 || col("k") % 10 === 7)
+        .withColumn("pc", lit(2L)).withColumn("v", col("v") + 100)
+        .unionByName(src.filter(col("k") % 10 === 8).withColumn("pc", lit(2L)))
+        .unionByName(src.filter(col("k") % 10 === 0)
+          .withColumn("pc", lit(0L)).withColumn("v", lit(-1.0))))
+    graft.etl.MorTable.deleteFrom(path,                        // seq 2
+      src.filter(col("k") % 10 === 7)
+        .select(col("k")).withColumn("pc", lit(9L)))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mttt", "mor", path)
+    def asOf(ver: Int, seq: Int): DataFrame = graft.etl.SqlRead.select(spark,
+      s"SELECT CAST($ver AS BIGINT) AS ver, k, v FROM graft_mttt " +
+        s"VERSION AS OF $seq")
+    asOf(1, 0).unionByName(asOf(2, 1)).unionByName(asOf(3, 2))
+  }
+
   /** `p_sql_index_mor`: a COVERING secondary index on a MOR table —
     * the layout-independent index serving a 100 TB lake needs (a MOR
     * table is one file group, so without the index every point read is
@@ -3142,6 +3217,8 @@ object PipelineQueries {
     "p_sql_index_part" -> (sqlIndexPart(_, _)),
     "p_sql_bucket_time_travel" -> (sqlBucketTimeTravel(_, _)),
     "p_sql_bloom_time_travel" -> (sqlBloomTimeTravel(_, _)),
+    "p_sql_part_time_travel" -> (sqlPartTimeTravel(_, _)),
+    "p_sql_mor_time_travel" -> (sqlMorTimeTravel(_, _)),
     "p_part_mor_compact" -> (partMorCompact(_, _)),
     "p_part_mor_delete" -> (partMorDelete(_, _)),
     "p_part_incremental" -> (partIncremental(_, _)),
@@ -3994,6 +4071,26 @@ object PipelineQueries {
     "p_sql_table_changes" -> partMorChangesOracle,
     // three reconstructed versions: create / post-upsert / post-delete
     "p_sql_bucket_time_travel" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k%10 IN (6,7) THEN v+100 ELSE v END AS v
+        |    FROM src WHERE k%10 < 8
+        |  UNION ALL SELECT k, v FROM src WHERE k%10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS ver, k, v FROM src WHERE k%10 < 8
+        |UNION ALL SELECT 2, k, v FROM v2
+        |UNION ALL SELECT 3, k, v FROM v2 WHERE k%10 <> 7""".stripMargin,
+    // the MOR twin: versions ARE change seqs (0=create,1=upsert,2=delete)
+    "p_sql_mor_time_travel" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k%10 IN (6,7) THEN v+100 ELSE v END AS v
+        |    FROM src WHERE k%10 < 8
+        |  UNION ALL SELECT k, v FROM src WHERE k%10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS ver, k, v FROM src WHERE k%10 < 8
+        |UNION ALL SELECT 2, k, v FROM v2
+        |UNION ALL SELECT 3, k, v FROM v2 WHERE k%10 <> 7""".stripMargin,
+    // the partitioned twin: same algebra, DELETE via the delta log
+    "p_sql_part_time_travel" ->
       """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
         |v2 AS (
         |  SELECT k, CASE WHEN k%10 IN (6,7) THEN v+100 ELSE v END AS v

@@ -347,6 +347,11 @@ class BloomTableSpec extends SparkSpec {
     // out-of-range commits are loud
     intercept[IllegalArgumentException] { asOf(0L) }
     intercept[IllegalArgumentException] { asOf(9L) }
+    // KEEP_LATEST_COMMITS retention: keep=2 guarantees commits 2..3
+    // stay readable across the sweep
+    BloomTable.clean(path, keepVersions = 2)
+    assert(asOf(2L) == Map(1L -> 1.0, 2L -> 12.0, 3L -> 3.0, 4L -> 4.0))
+    assert(asOf(3L) == Map(1L -> 1.0, 2L -> 12.0, 4L -> 4.0))
     // a legacy delta-less line inside the range refuses loudly rather
     // than reconstruct a wrong snapshot (pre-upgrade table simulation)
     val commits = Paths.get(path, "_commits")

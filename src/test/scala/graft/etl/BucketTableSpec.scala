@@ -570,4 +570,26 @@ class BucketTableSpec extends SparkSpec {
     BucketTable.upsertInto(spark, dir, rows(("c", 1L, 3.0)))
     assert(contents(dir) == Seq(("c", 1L, 3.0)))
   }
+
+  test("retention-aware clean keeps the newest versions readable") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)        // commit 1
+    BucketTable.upsertInto(spark, dir, rows(("a", 2L, 9.0)))     // commit 2
+    BucketTable.deleteFrom(spark, dir, Seq("a").toDF("k"))       // commit 3
+    def asOf(c: Long): Map[String, Double] =
+      BucketTable.readVersion(spark, dir, c)
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // KEEP_LATEST_COMMITS: keep=2 guarantees commits 2..3 survive the
+    // sweep (commit 2's superseded bucket generation stays on disk)
+    BucketTable.clean(dir, keepVersions = 2)
+    assert(asOf(2L) == Map("a" -> 9.0, "b" -> 2.0))
+    assert(asOf(3L) == Map("b" -> 2.0))
+    // an unretained clean reclaims commit 2's superseded generation —
+    // the historical read refuses loudly, never a partial snapshot
+    BucketTable.clean(dir)
+    val e = intercept[IllegalArgumentException] { asOf(2L) }
+    assert(e.getMessage.contains("reclaimed by clean"))
+    assert(asOf(3L) == Map("b" -> 2.0))
+  }
 }

@@ -77,6 +77,15 @@ object CdcReplayProps extends Properties("CdcReplay") {
       after.foreach(apply)
       val snap1 = MorTable.readSnapshot(spark, path)
         .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      // versions and cursors share the change-seq domain: VERSION AS OF
+      // the checkpoint must BE the checkpointed snapshot — even when a
+      // later compaction folded the feed window (history, not the log,
+      // resolves it; only clean retires history)
+      val atCursor = MorTable.readVersion(spark, path, checkpointSeq)
+        .as[(Long, Long, Double)].collect().toSeq
+      val asOfOk = Prop(atCursor.sortBy(_._1) == snap0.sortBy(_._1)) :|
+        s"readVersion($checkpointSeq) ${atCursor.sortBy(_._1)} != " +
+          s"checkpointed snapshot ${snap0.sortBy(_._1)}"
       // catch up through the SQL front door and replay onto snap0:
       // latest per key by (pc, change_seq), tombstones removing. A
       // compaction in the catch-up window may have FOLDED part of it —
@@ -93,8 +102,8 @@ object CdcReplayProps extends Properties("CdcReplay") {
           .filterNot(_._5)
           .map(r => (r._1, r._2, r._3.getOrElse(Double.NaN)))
           .toSeq.sortBy(_._1)
-        Prop(replayed == snap1) :|
-          s"checkpoint=$checkpointSeq\n  replayed $replayed\n  snapshot $snap1"
+        asOfOk && (Prop(replayed == snap1) :|
+          s"checkpoint=$checkpointSeq\n  replayed $replayed\n  snapshot $snap1")
       } catch {
         case e: IllegalArgumentException if e.getMessage.contains("re-sync") =>
           // the refusal is legitimate ONLY when a compaction (or
@@ -103,8 +112,8 @@ object CdcReplayProps extends Properties("CdcReplay") {
           val floor = MorTable.compactedThrough(path)
           val resynced = SqlCall.exec(spark,
             s"CALL table_changes('$table', ${MorTable.changeHead(path)})")
-          Prop(floor > checkpointSeq && resynced.count() == 0L) :|
-            s"loud re-sync with floor=$floor <= checkpoint=$checkpointSeq"
+          asOfOk && (Prop(floor > checkpointSeq && resynced.count() == 0L) :|
+            s"loud re-sync with floor=$floor <= checkpoint=$checkpointSeq")
       }
     }
 

@@ -189,7 +189,7 @@ class MorTableSpec extends SparkSpec {
     // the table dir holds ONLY metadata — no parquet anywhere
     val tableFiles = Files.walk(Paths.get(dir)).iterator().asScala
       .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSet
-    assert(tableFiles == Set("_latest", "_props", "_bootstrap"))
+    assert(tableFiles == Set("_latest", "_props", "_bootstrap", "_history"))
     // snapshot resolves the source's duplicate key in place
     assert(snapshot(dir) == Seq(("a", 2L, 10.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
     // upserts + deletes layer over the in-place source, never mutating it
@@ -240,5 +240,36 @@ class MorTableSpec extends SparkSpec {
     assert(MorTable.state(dir).contains((0L, 4L)))
     val keys = snapshot(dir).map(_._1)
     assert(keys == Seq("a", "b", "c", "w1", "w2", "w3", "w4"))
+  }
+
+  test("versioned reads resolve any change seq across compactions") {
+    val dir = freshTable()                                      // seq 0
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0), ("d", 1L, 4.0))) // 1
+    MorTable.deleteFrom(dir, Seq(("c", 9L)).toDF("k", "pc"))    // seq 2
+    MorTable.compact(spark, dir)                                // folds 1-2
+    MorTable.upsertInto(dir, rows(("e", 1L, 5.0)))              // seq 3
+    def asOf(c: Long): Seq[(String, Long, Double)] =
+      MorTable.readVersion(spark, dir, c).as[(String, Long, Double)]
+        .collect().toSeq.sortBy(_._1)
+    assert(asOf(0L) == Seq(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
+    assert(asOf(1L) == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 3.0),
+      ("d", 1L, 4.0)))
+    // seq 2 resolves through the OLD base + logs even though the live
+    // pointer moved to the compacted base
+    assert(asOf(2L) == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("d", 1L, 4.0)))
+    assert(asOf(3L) == snapshot(dir))
+    intercept[IllegalArgumentException] { asOf(4L) }
+    intercept[IllegalArgumentException] { asOf(-1L) }
+    // KEEP_LATEST_COMMITS retention: keep=3 guarantees seqs 1..3 stay
+    // readable across the sweep (base0 + its logs survive)
+    MorTable.clean(dir, keepVersions = 3)
+    assert(asOf(1L) == Seq(("a", 1L, 1.0), ("b", 2L, 20.0), ("c", 1L, 3.0),
+      ("d", 1L, 4.0)))
+    // an unretained clean retires the pre-compaction dirs: history
+    // reads fail loudly
+    MorTable.clean(dir)
+    val e = intercept[IllegalArgumentException] { asOf(1L) }
+    assert(e.getMessage.contains("reclaimed by clean"))
+    assert(asOf(3L) == snapshot(dir)) // the live window stays readable
   }
 }

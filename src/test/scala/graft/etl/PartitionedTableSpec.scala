@@ -636,4 +636,59 @@ class PartitionedTableSpec extends SparkSpec {
     PartitionedTable.upsertInto(spark, dir, rows(("d3", "c", 1L, 3.0)))
     assert(contents(dir) == Seq(("d3", "c", 1L, 3.0)))
   }
+
+  test("versioned reads fold manifest swings AND delta commits back out") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))                               // commit 1
+    PartitionedTable.upsertInto(spark, dir,
+      rows(("d1", "a", 2L, 11.0), ("d1", "c", 1L, 3.0)))        // commit 2
+    PartitionedTable.upsertDelta(spark, dir,
+      rows(("d2", "b", 2L, 22.0)))                              // commit 3
+    PartitionedTable.deleteDelta(spark, dir,
+      Seq(("d1", "c", 9L)).toDF("day", "k", "pc"))              // commit 4
+    PartitionedTable.compactDeltas(spark, dir)                  // commit 5
+    PartitionedTable.dropPartitions(spark, dir,
+      col("day") === "d1")                                      // commit 6
+    assert(PartitionedTable.latestCommit(dir) == 6L)
+    def asOf(c: Long): Set[(String, String, Double)] =
+      PartitionedTable.readVersion(spark, dir, c)
+        .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(asOf(1L) == Set(("d1", "a", 1.0), ("d2", "b", 2.0)))
+    assert(asOf(2L) == Set(("d1", "a", 11.0), ("d1", "c", 3.0),
+      ("d2", "b", 2.0)))
+    assert(asOf(3L) == Set(("d1", "a", 11.0), ("d1", "c", 3.0),
+      ("d2", "b", 22.0)))
+    assert(asOf(4L) == Set(("d1", "a", 11.0), ("d2", "b", 22.0)))
+    // delta compaction is row-preserving: same rows, folded layout
+    assert(asOf(5L) == asOf(4L))
+    assert(asOf(6L) == Set(("d2", "b", 22.0)))
+    // head version == live read
+    assert(asOf(6L) == contents(dir).map(r => (r._1, r._2, r._4)).toSet)
+    // out-of-range commits are loud
+    intercept[IllegalArgumentException] {
+      PartitionedTable.readVersion(spark, dir, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      PartitionedTable.readVersion(spark, dir, 7L)
+    }
+    // archival folds the active log but history stays resolvable:
+    // a pre-boundary version reads through `_commits_archive`
+    PartitionedTable.archiveCommits(dir, 2)
+    assert(asOf(2L) == Set(("d1", "a", 11.0), ("d1", "c", 3.0),
+      ("d2", "b", 2.0)))
+    // KEEP_LATEST_COMMITS retention: keep=3 guarantees commits 4..6
+    // stay readable across the sweep
+    PartitionedTable.clean(dir, keepVersions = 3)
+    assert(asOf(4L) == Set(("d1", "a", 11.0), ("d2", "b", 22.0)))
+    // an unretained clean reclaims history: loud, never partial
+    PartitionedTable.clean(dir)
+    val e = intercept[IllegalArgumentException] {
+      PartitionedTable.readVersion(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("reclaimed by clean"))
+    // the head stays readable after clean
+    assert(asOf(6L) == Set(("d2", "b", 22.0)))
+  }
 }
