@@ -158,7 +158,7 @@ object BloomTable {
       : Seq[(Long, String, Option[(Seq[String], Seq[String])])] =
     CommitLogFile.fullLines(tablePath).flatMap { l =>
       l.split(' ') match {
-        case Array(no, kind, delta) if no.nonEmpty && no.forall(_.isDigit) =>
+        case Array(no, kind, delta, _*) if no.nonEmpty && no.forall(_.isDigit) =>
           val d =
             if (delta == ".") Some((Seq.empty[String], Seq.empty[String]))
             else {
@@ -172,6 +172,37 @@ object BloomTable {
         case _ => None
       }
     }
+
+  /** Commit wall-clock times from the `ts=` token (None on lines
+    * written before timestamps were recorded).
+    */
+  private def commitTimes(tablePath: String): Seq[(Long, Option[Long])] =
+    CommitLogFile.fullLines(tablePath).flatMap(_.split(' ') match {
+      case Array(no, _, rest @ _*) if no.nonEmpty && no.forall(_.isDigit) =>
+        Some((no.toLong, rest.collectFirst {
+          case t if t.startsWith("ts=") && t.drop(3).forall(_.isDigit) =>
+            t.drop(3).toLong
+        }))
+      case _ => None
+    })
+
+  /** `TIMESTAMP AS OF` resolution — the Timeline.resolveAsOf contract
+    * over the bloom commit log: newest commit at or before `tsMs`,
+    * loud earlier (with a hint for pre-timestamp commits).
+    */
+  def resolveAsOf(tablePath: String, tsMs: Long): Long = {
+    val timed = commitTimes(tablePath)
+    require(timed.nonEmpty, s"no commits at $tablePath")
+    val candidates = timed.collect { case (no, Some(t)) if t <= tsMs => no }
+    if (candidates.isEmpty) {
+      val untimed = timed.count(_._2.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit at or before $tsMs at $tablePath" +
+          (if (untimed > 0) s" ($untimed commits predate timestamps — " +
+            "resolve those with VERSION AS OF)" else ""))
+    }
+    candidates.max
+  }
 
   /** The live-file set AS OF `commit`: fold every logged file delta
     * through it. Loud on upgraded tables (log doesn't cover birth),
@@ -255,7 +286,8 @@ object BloomTable {
     val delta = ((oldFiles -- newFiles).toSeq.sorted.map("-" + _) ++
       (newFiles -- oldFiles).toSeq.sorted.map("+" + _)).mkString(",")
     Files.writeString(commitsPath(tablePath),
-      s"$commit $kind ${if (delta.isEmpty) "." else delta}\n",
+      s"$commit $kind ${if (delta.isEmpty) "." else delta} " +
+        s"ts=${System.currentTimeMillis()}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp, files.sorted.mkString("\n"),

@@ -191,12 +191,44 @@ object BucketTable {
   // prefix either way.
   private def parseCommitLine(l: String): Option[(Long, Set[Int])] =
     l.split(' ') match {
-      case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
+      case Array(no, bs, _*) if no.nonEmpty && no.forall(_.isDigit) =>
         Some((no.toLong,
           bs.split(',').filter(_.nonEmpty)
             .map(_.takeWhile(_ != ':').toInt).toSet))
       case _ => None
     }
+
+  /** Commit wall-clock times from the `ts=` token (None on lines
+    * written before timestamps were recorded).
+    */
+  private def commitTimes(tablePath: String): Seq[(Long, Option[Long])] =
+    CommitLogFile.fullLines(tablePath).flatMap(_.split(' ') match {
+      case Array(no, _, rest @ _*) if no.nonEmpty && no.forall(_.isDigit) =>
+        Some((no.toLong, rest.collectFirst {
+          case t if t.startsWith("ts=") && t.drop(3).forall(_.isDigit) =>
+            t.drop(3).toLong
+        }))
+      case _ => None
+    })
+
+  /** `TIMESTAMP AS OF` resolution: the newest commit whose recorded
+    * wall clock is at or before `tsMs` (Timeline.resolveAsOf's exact
+    * contract) — earlier timestamps are loud, with a hint when
+    * pre-upgrade commits simply predate timestamp recording.
+    */
+  def resolveAsOf(tablePath: String, tsMs: Long): Long = {
+    val timed = commitTimes(tablePath)
+    require(timed.nonEmpty, s"no commits at $tablePath")
+    val candidates = timed.collect { case (no, Some(t)) if t <= tsMs => no }
+    if (candidates.isEmpty) {
+      val untimed = timed.count(_._2.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit at or before $tsMs at $tablePath" +
+          (if (untimed > 0) s" ($untimed commits predate timestamps — " +
+            "resolve those with VERSION AS OF)" else ""))
+    }
+    candidates.max
+  }
 
   /** The ACTIVE commit log — the hot-path read (one short file however
     * old the table, once [[archiveCommits]] runs periodically).
@@ -235,7 +267,7 @@ object BucketTable {
       : Seq[(Long, Option[Map[Int, Option[Long]]])] =
     CommitLogFile.fullLines(tablePath).flatMap { l =>
       l.split(' ') match {
-        case Array(no, bs) if no.nonEmpty && no.forall(_.isDigit) =>
+        case Array(no, bs, _*) if no.nonEmpty && no.forall(_.isDigit) =>
           val entries = bs.split(',').filter(_.nonEmpty).toSeq
           val parsed =
             if (entries.forall(_.contains(':')))
@@ -353,7 +385,8 @@ object BucketTable {
       // just the bucket ids
       Files.writeString(commitsPath(tablePath),
         s"$commit ${changed.toSeq.sorted
-          .map(b => m.get(b).fold(s"$b:-")(g => s"$b:$g")).mkString(",")}\n",
+          .map(b => m.get(b).fold(s"$b:-")(g => s"$b:$g")).mkString(",")} " +
+          s"ts=${System.currentTimeMillis()}\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     val tmp = Paths.get(tablePath, s"_manifest.tmp${System.nanoTime()}")
     Files.writeString(tmp,

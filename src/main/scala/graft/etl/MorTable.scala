@@ -63,6 +63,47 @@ object MorTable {
     ()
   }
 
+  private def commitsTsPath(tablePath: String): Path =
+    Paths.get(tablePath, "_commits")
+
+  /** Record a commit seq's wall clock (`seq ts` line) — appended under
+    * the table lock before the pointer swing; powers `TIMESTAMP AS OF`
+    * over the change-seq version domain. Growth: ~20 bytes/commit
+    * (≈10 MB/year at minute cadence) and read only by the cold
+    * resolve path — fold through [[CommitLogFile.archive]] when a
+    * deployment outgrows that, exactly the bucket/bloom move.
+    */
+  private def logSeqTime(tablePath: String, seq: Long): Unit = {
+    Files.writeString(commitsTsPath(tablePath),
+      s"$seq ${System.currentTimeMillis()}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** `TIMESTAMP AS OF` resolution — the Timeline.resolveAsOf contract
+    * over the seq-time log: newest change seq at or before `tsMs`,
+    * loud earlier (with a hint when the table predates timestamps).
+    */
+  def resolveAsOf(tablePath: String, tsMs: Long): Long = {
+    val p = commitsTsPath(tablePath)
+    val timed =
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p).asScala.toSeq.flatMap(_.split(' ') match {
+        case Array(sq, t) if sq.forall(_.isDigit) && t.forall(_.isDigit) =>
+          Some((sq.toLong, t.toLong))
+        case _ => None // torn trailing line
+      })
+    val candidates = timed.collect { case (sq, t) if t <= tsMs => sq }
+    if (candidates.isEmpty) {
+      val head = changeHead(tablePath)
+      throw new IllegalArgumentException(
+        s"no commit at or before $tsMs at $tablePath" +
+          (if (timed.size < head + 1) " (commits predate timestamps — " +
+            "resolve those with VERSION AS OF)" else ""))
+    }
+    candidates.max
+  }
+
   /** (base, floor, kind) history lines, oldest first. */
   def baseHistory(tablePath: String): Seq[(Long, Long, String)] = {
     val p = historyPath(tablePath)
@@ -160,6 +201,7 @@ object MorTable {
     HudiLike.precombineLatest(df, keys, precombine, tieBreak)
       .write.mode("overwrite").parquet(s"$tablePath/base=0")
     logBase(tablePath, 0L, 0L, "create")
+    logSeqTime(tablePath, 0L)
     writePointer(tablePath, 0L, 0L, 0L)
     // base rows get no images (seq 0 IS the snapshot a consumer seeds
     // from); commits 1.. are captured
@@ -202,6 +244,7 @@ object MorTable {
     Files.writeString(bootstrapPath(tablePath), sourceDir,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     logBase(tablePath, 0L, 0L, "bootstrap")
+    logSeqTime(tablePath, 0L)
     writePointer(tablePath, 0L, 0L, 0L)
   }
 
@@ -267,6 +310,7 @@ object MorTable {
       flagged
         .withColumn(SeqCol, lit(seq))
         .write.mode("errorifexists").parquet(logDir.toString)
+      logSeqTime(tablePath, seq)
       writePointer(tablePath, base, seq, floor)
       CdcLog.publish(tablePath, seq)
       for (((secCols, idxPath), (before, after)) <- idx.zip(images))
@@ -582,6 +626,7 @@ object MorTable {
       // floor ratchets with it
       CdcLog.ratchet(tablePath, head + 1)
       logBase(tablePath, next, head + 1, "overwrite")
+      logSeqTime(tablePath, head + 1)
       writePointer(tablePath, next, head + 1, head + 1)
       // a bound covering index is rebuilt from the replacement —
       // proportionate, the verb itself replaced the whole table

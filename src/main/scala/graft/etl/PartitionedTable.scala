@@ -112,12 +112,19 @@ object PartitionedTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** The newest commit number (0 before any logged commit). */
-  def latestCommit(tablePath: String): Long =
-    CommitLogFile.fullLines(tablePath)
+  /** The newest commit number (0 before any logged commit). Reads the
+    * ACTIVE log only — archival always keeps the newest lines active,
+    * so allocation never pays the archive read (the per-commit hot
+    * path; history folds are the cold path that does).
+    */
+  def latestCommit(tablePath: String): Long = {
+    val p = Paths.get(tablePath, "_commits")
+    if (!Files.exists(p)) 0L
+    else Files.readAllLines(p).asScala
       .flatMap(_.split(' ').headOption)
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toLong).maxOption.getOrElse(0L)
+  }
 
   /** Append one commit line recording the manifest and delta-log diffs
     * of a logical commit. Caller holds the table lock (the number
@@ -144,9 +151,37 @@ object PartitionedTable {
       (bSet -- aSet).toSeq.sorted.map { case (d, s) => s"R:${enc(d)}:$s" }
     val payload = (mEntries ++ dEntries).mkString(",")
     Files.writeString(Paths.get(tablePath, "_commits"),
-      s"$no $kind ${if (payload.isEmpty) "." else payload}\n",
+      s"$no $kind ${if (payload.isEmpty) "." else payload} " +
+        s"ts=${System.currentTimeMillis()}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     no
+  }
+
+  /** `TIMESTAMP AS OF` resolution — the Timeline.resolveAsOf contract
+    * over the partitioned commit log: newest commit at or before
+    * `tsMs`, loud earlier (with a hint for pre-timestamp commits).
+    */
+  def resolveAsOf(tablePath: String, tsMs: Long): Long = {
+    val timed = CommitLogFile.fullLines(tablePath).flatMap(_.split(' ') match {
+      case Array(no, _, _, rest @ _*) if no.nonEmpty && no.forall(_.isDigit) =>
+        Some((no.toLong, rest.collectFirst {
+          case t if t.startsWith("ts=") && t.drop(3).forall(_.isDigit) =>
+            t.drop(3).toLong
+        }))
+      case Array(no, _, _*) if no.nonEmpty && no.forall(_.isDigit) =>
+        Some((no.toLong, Option.empty[Long]))
+      case _ => None
+    })
+    require(timed.nonEmpty, s"no commits at $tablePath")
+    val candidates = timed.collect { case (no, Some(t)) if t <= tsMs => no }
+    if (candidates.isEmpty) {
+      val untimed = timed.count(_._2.isEmpty)
+      throw new IllegalArgumentException(
+        s"no commit at or before $tsMs at $tablePath" +
+          (if (untimed > 0) s" ($untimed commits predate timestamps — " +
+            "resolve those with VERSION AS OF)" else ""))
+    }
+    candidates.max
   }
 
   /** Fold all but the newest `keepLatest` active `_commits` lines into
@@ -164,8 +199,8 @@ object PartitionedTable {
   def stateAsOf(tablePath: String,
       commit: Long): (Map[String, Long], Seq[(String, Long)]) = {
     val lines = CommitLogFile.fullLines(tablePath).flatMap { l =>
-      l.split(" ", 3) match {
-        case Array(no, kind, payload)
+      l.split(' ') match {
+        case Array(no, kind, payload, _*)
             if no.nonEmpty && no.forall(_.isDigit) =>
           Some((no.toLong, kind, payload))
         case _ => None

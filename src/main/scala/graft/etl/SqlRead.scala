@@ -68,10 +68,13 @@ object SqlRead {
             // dirs — any commit clean hasn't reclaimed (savepoints pin)
             val version = (tt.version, tt.timestamp) match {
               case (Some(v), _) => v.toLong
-              case _ => throw new IllegalArgumentException(
-                s"bucket-layout time travel over $name is by commit " +
-                  "number — use VERSION AS OF <commit> (commit numbers " +
-                  "are not timestamps)")
+              case (None, Some(ts)) =>
+                // commit lines record wall clock: TIMESTAMP AS OF is
+                // the newest commit at or before it (Timeline contract)
+                BucketTable.resolveAsOf(path, epochMs(ts))
+              case (None, None) => throw new IllegalArgumentException(
+                s"time travel over $name needs VERSION AS OF or " +
+                  "TIMESTAMP AS OF")
             }
             Catalog.alignToDeclared(spark, name,
               BucketTable.readVersion(spark, path, version))
@@ -84,10 +87,11 @@ object SqlRead {
             // loudly)
             val version = (tt.version, tt.timestamp) match {
               case (Some(v), _) => v.toLong
-              case _ => throw new IllegalArgumentException(
-                s"bloom-layout time travel over $name is by commit " +
-                  "number — use VERSION AS OF <commit> (commit numbers " +
-                  "are not timestamps)")
+              case (None, Some(ts)) =>
+                BloomTable.resolveAsOf(path, epochMs(ts))
+              case (None, None) => throw new IllegalArgumentException(
+                s"time travel over $name needs VERSION AS OF or " +
+                  "TIMESTAMP AS OF")
             }
             Catalog.alignToDeclared(spark, name,
               BloomTable.readVersion(spark, path, version))
@@ -100,10 +104,11 @@ object SqlRead {
             // with that version's pending deltas
             val version = (tt.version, tt.timestamp) match {
               case (Some(v), _) => v.toLong
-              case _ => throw new IllegalArgumentException(
-                s"partitioned-layout time travel over $name is by " +
-                  "commit number — use VERSION AS OF <commit> (commit " +
-                  "numbers are not timestamps)")
+              case (None, Some(ts)) =>
+                PartitionedTable.resolveAsOf(path, epochMs(ts))
+              case (None, None) => throw new IllegalArgumentException(
+                s"time travel over $name needs VERSION AS OF or " +
+                  "TIMESTAMP AS OF")
             }
             Catalog.alignToDeclared(spark, name,
               PartitionedTable.readVersion(spark, path, version))
@@ -114,10 +119,11 @@ object SqlRead {
             // is exactly the snapshot that cursor's consumer holds
             val version = (tt.version, tt.timestamp) match {
               case (Some(v), _) => v.toLong
-              case _ => throw new IllegalArgumentException(
-                s"mor-layout time travel over $name is by change " +
-                  "sequence — use VERSION AS OF <seq> (sequences are " +
-                  "not timestamps)")
+              case (None, Some(ts)) =>
+                MorTable.resolveAsOf(path, epochMs(ts))
+              case (None, None) => throw new IllegalArgumentException(
+                s"time travel over $name needs VERSION AS OF or " +
+                  "TIMESTAMP AS OF")
             }
             Catalog.alignToDeclared(spark, name,
               MorTable.readVersion(spark, path, version))

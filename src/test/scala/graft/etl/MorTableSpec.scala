@@ -189,7 +189,8 @@ class MorTableSpec extends SparkSpec {
     // the table dir holds ONLY metadata — no parquet anywhere
     val tableFiles = Files.walk(Paths.get(dir)).iterator().asScala
       .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSet
-    assert(tableFiles == Set("_latest", "_props", "_bootstrap", "_history"))
+    assert(tableFiles ==
+      Set("_latest", "_props", "_bootstrap", "_history", "_commits"))
     // snapshot resolves the source's duplicate key in place
     assert(snapshot(dir) == Seq(("a", 2L, 10.0), ("b", 1L, 2.0), ("c", 1L, 3.0)))
     // upserts + deletes layer over the in-place source, never mutating it

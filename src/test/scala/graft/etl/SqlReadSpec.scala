@@ -114,11 +114,13 @@ class SqlReadSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("commits run 1..1"))
+    // timestamps resolve now (commit lines record wall clock); one
+    // from before the table's birth is loud
     val e2 = intercept[IllegalArgumentException] {
       SqlRead.select(spark, "SELECT * FROM sqlread_b TIMESTAMP AS OF 999")
         .collect()
     }
-    assert(e2.getMessage.contains("commit number"))
+    assert(e2.getMessage.contains("no commit at or before"))
   }
 
   test("full-key equality SELECT is index-served: one data file, never a scan") {
@@ -266,5 +268,58 @@ class SqlReadSpec extends SparkSpec {
         .collect()
     }
     assert(e.getMessage.contains("no commit at or before"))
+  }
+
+  test("TIMESTAMP AS OF resolves wall clock on every commit-logged layout") {
+    def rows(t: (Long, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+    def vOf(sql: String): Seq[Double] =
+      SqlRead.select(spark, sql).as[Double].collect().toSeq.sorted
+
+    val bp = Files.createTempDirectory("tsb").toString + "/t"
+    BucketTable.create(rows((1L, 1L, 1.0)), bp, keys = Seq("k"),
+      precombine = "pc", numBuckets = 2)
+    Thread.sleep(5); val tB = System.currentTimeMillis(); Thread.sleep(5)
+    BucketTable.upsertInto(spark, bp, rows((1L, 2L, 9.0)))
+    Catalog.registerLayoutTable(spark, "ts_bk", "bucket", bp)
+    assert(vOf(s"SELECT v FROM ts_bk TIMESTAMP AS OF $tB") == Seq(1.0))
+    assert(vOf(s"SELECT v FROM ts_bk TIMESTAMP AS OF " +
+      s"${System.currentTimeMillis()}") == Seq(9.0))
+    // pre-birth timestamps are loud (epoch 1s predates everything)
+    intercept[IllegalArgumentException] {
+      SqlRead.select(spark, "SELECT v FROM ts_bk TIMESTAMP AS OF 1000")
+        .collect()
+    }
+
+    val lp = Files.createTempDirectory("tsl").toString + "/t"
+    BloomTable.create(rows((1L, 1L, 1.0)), lp, keys = Seq("k"),
+      precombine = "pc", numFiles = 2)
+    Thread.sleep(5); val tL = System.currentTimeMillis(); Thread.sleep(5)
+    BloomTable.upsertInto(spark, lp, rows((1L, 2L, 9.0)))
+    Catalog.registerLayoutTable(spark, "ts_bl", "bloom", lp)
+    assert(vOf(s"SELECT v FROM ts_bl TIMESTAMP AS OF $tL") == Seq(1.0))
+    assert(vOf(s"SELECT v FROM ts_bl TIMESTAMP AS OF " +
+      s"${System.currentTimeMillis()}") == Seq(9.0))
+
+    val pp = Files.createTempDirectory("tsp").toString + "/t"
+    PartitionedTable.create(
+      Seq(("d1", 1L, 1L, 1.0)).toDF("day", "k", "pc", "v"), pp,
+      keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    Thread.sleep(5); val tP = System.currentTimeMillis(); Thread.sleep(5)
+    PartitionedTable.upsertInto(spark, pp,
+      Seq(("d1", 1L, 2L, 9.0)).toDF("day", "k", "pc", "v"))
+    Catalog.registerLayoutTable(spark, "ts_pt", "partitioned", pp)
+    assert(vOf(s"SELECT v FROM ts_pt TIMESTAMP AS OF $tP") == Seq(1.0))
+    assert(vOf(s"SELECT v FROM ts_pt TIMESTAMP AS OF " +
+      s"${System.currentTimeMillis()}") == Seq(9.0))
+
+    val mp = Files.createTempDirectory("tsm").toString + "/t"
+    MorTable.create(rows((1L, 1L, 1.0)), mp, keys = Seq("k"),
+      precombine = "pc")
+    Thread.sleep(5); val tM = System.currentTimeMillis(); Thread.sleep(5)
+    MorTable.upsertInto(mp, rows((1L, 2L, 9.0)))
+    Catalog.registerLayoutTable(spark, "ts_mr", "mor", mp)
+    assert(vOf(s"SELECT v FROM ts_mr TIMESTAMP AS OF $tM") == Seq(1.0))
+    assert(vOf(s"SELECT v FROM ts_mr TIMESTAMP AS OF " +
+      s"${System.currentTimeMillis()}") == Seq(9.0))
   }
 }
