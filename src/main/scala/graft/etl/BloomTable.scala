@@ -158,7 +158,14 @@ object BloomTable {
       : Seq[(Long, String, Option[(Seq[String], Seq[String])])] =
     CommitLogFile.fullLines(tablePath).flatMap { l =>
       l.split(' ') match {
-        case Array(no, kind, delta, _*) if no.nonEmpty && no.forall(_.isDigit) =>
+        // a VALID delta-bearing line ends with its ts= token — a torn
+        // append truncated mid-delta (possibly at a comma boundary,
+        // where the remainder would parse as a smaller-but-wrong diff)
+        // loses it, so torn lines classify as TORN (excluded; the head
+        // validation below catches the fold gap loudly), never as a
+        // legitimate smaller commit and never as pre-upgrade legacy
+        case Array(no, kind, delta, ts)
+            if no.nonEmpty && no.forall(_.isDigit) && ts.startsWith("ts=") =>
           val d =
             if (delta == ".") Some((Seq.empty[String], Seq.empty[String]))
             else {
@@ -168,8 +175,8 @@ object BloomTable {
             }
           Some((no.toLong, kind, d))
         case Array(no, kind) if no.nonEmpty && no.forall(_.isDigit) =>
-          Some((no.toLong, kind, None)) // legacy: deltas unknown
-        case _ => None
+          Some((no.toLong, kind, None)) // legacy two-token: deltas unknown
+        case _ => None // torn append
       }
     }
 
@@ -224,10 +231,34 @@ object BloomTable {
       s"commit(s) ${legacy.mkString(",")} at $tablePath were logged " +
         "without file-delta info (pre-upgrade writes) — versions at or " +
         "after them are reconstructable, earlier ones are not")
-    upTo.sortBy(_._1).foldLeft(Set.empty[String]) {
-      case (fs, (_, _, Some((removed, added)))) => fs -- removed ++ added
-      case (fs, _) => fs
-    }.toSeq.sorted
+    def fold(entries: Seq[(Long, String, Option[(Seq[String], Seq[String])])])
+        : Set[String] =
+      entries.sortBy(_._1).foldLeft(Set.empty[String]) {
+        // a full restate (overwrite / cluster-compact) REPLACES the
+        // file set — folding it as a reset (not a diff) means one
+        // maintenance compaction repairs any residue an earlier torn
+        // or phantom line left behind
+        case (_, (_, kind, Some((_, added))))
+            if kind == "overwrite" || kind == "cluster" => added.toSet
+        case (fs, (_, _, Some((removed, added)))) => fs -- removed ++ added
+        case (fs, _) => fs
+      }
+    // crash-window guard: the log line is appended BEFORE the manifest
+    // swing (the incremental feed needs that order), so a crash in
+    // between leaves a PHANTOM line whose diff no swing applied — and
+    // a set-diff fold cannot self-heal from it. Detect: the fold at
+    // the HEAD must reproduce the live manifest, else every historical
+    // read refuses loudly (run a compacting `cluster` commit to reset
+    // history) rather than serve a silently wrong snapshot.
+    if (full.forall(_._3.isDefined)) {
+      val atHead = fold(full)
+      val live = manifest(tablePath).toSet
+      require(atHead == live,
+        s"the commit log at $tablePath does not fold to the live " +
+          "manifest (a crash-torn or phantom line) — historical reads " +
+          "are unreliable until a compaction resets history")
+    }
+    fold(upTo).toSeq.sorted
   }
 
   /** Read the table AS OF commit `commit` — `SELECT ... VERSION AS OF`

@@ -301,14 +301,31 @@ object BucketTable {
       s"commit(s) ${legacy.mkString(",")} at $tablePath were logged " +
         "without generation info (pre-upgrade writes) — versions at or " +
         "after them are reconstructable, earlier ones are not")
-    upTo.sortBy(_._1).foldLeft(Map.empty[Int, Long]) {
-      case (m, (_, Some(reps))) =>
-        reps.foldLeft(m) {
-          case (m2, (b, Some(g))) => m2 + (b -> g)
-          case (m2, (b, None)) => m2 - b
-        }
-      case (m, _) => m
+    def fold(entries: Seq[(Long, Option[Map[Int, Option[Long]]])])
+        : Map[Int, Long] =
+      entries.sortBy(_._1).foldLeft(Map.empty[Int, Long]) {
+        case (m, (_, Some(reps))) =>
+          reps.foldLeft(m) {
+            case (m2, (b, Some(g))) => m2 + (b -> g)
+            case (m2, (b, None)) => m2 - b
+          }
+        case (m, _) => m
+      }
+    // crash-window guard: log lines precede the manifest swing (the
+    // incremental feed needs that order), so a crash in between leaves
+    // a PHANTOM line whose repointing no swing applied. Per-bucket
+    // entries are last-wins, so the next write to the same bucket
+    // heals — but an un-rewritten phantom would serve the crashed
+    // commit's data as history. Detect at the head: the full fold must
+    // reproduce the live manifest, else refuse loudly (a compaction —
+    // which re-points every live bucket — resets history).
+    if (full.forall(_._2.isDefined)) {
+      require(fold(full) == manifest(tablePath),
+        s"the commit log at $tablePath does not fold to the live " +
+          "manifest (a crash-torn or phantom line) — historical reads " +
+          "are unreliable until a compaction resets history")
     }
+    fold(upTo)
   }
 
   /** Read the table AS OF commit `commit` — `SELECT ... VERSION AS OF`
@@ -1089,8 +1106,21 @@ object BucketTable {
     val gen = nextGen(tablePath)
     val written = writeGen(
       readBuckets(spark, tablePath, m.keySet), tablePath, gen)
-    writeManifest(tablePath, written.map(_ -> gen).toMap, props(tablePath),
-      CdcLog.Action.Preserving)
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val m1 = manifest(tablePath)
+      // the restate ran outside the lock: an OCC writer's re-points
+      // inside our read set would silently revert to the stale content
+      // we read — refuse toward a retry; buckets it committed outside
+      // the read set merge through untouched
+      val repointed = m.keySet.filter(b => m1.get(b) != m.get(b))
+      if (repointed.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"compaction at $tablePath raced a writer on buckets " +
+            s"${repointed.toSeq.sorted.take(8).mkString(",")} — retry")
+      writeManifestLocked(tablePath,
+        (m1 -- m.keySet) ++ written.map(_ -> gen).toMap, props(tablePath),
+        CdcLog.Action.Preserving)
+    }
     gen
   }
 

@@ -93,9 +93,14 @@ object MorTable {
           Some((sq.toLong, t.toLong))
         case _ => None // torn trailing line
       })
-    val candidates = timed.collect { case (sq, t) if t <= tsMs => sq }
+    val head = changeHead(tablePath)
+    // clamp to the COMMITTED head: a crash between the ts append and
+    // the pointer swing leaves a line for a seq that never committed,
+    // and resolution must never point past what readVersion can serve
+    val candidates = timed.collect {
+      case (sq, t) if t <= tsMs && sq <= head => sq
+    }
     if (candidates.isEmpty) {
-      val head = changeHead(tablePath)
       throw new IllegalArgumentException(
         s"no commit at or before $tsMs at $tablePath" +
           (if (timed.size < head + 1) " (commits predate timestamps — " +

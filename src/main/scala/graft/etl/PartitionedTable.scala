@@ -129,9 +129,13 @@ object PartitionedTable {
   /** Append one commit line recording the manifest and delta-log diffs
     * of a logical commit. Caller holds the table lock (the number
     * allocation is a read-modify-write on the shared log) and appends
-    * BEFORE the metadata swing — a crash in between leaves a phantom
-    * line whose state equals its predecessor's (idempotent), never a
-    * swing no line records.
+    * AFTER the metadata swings: this log serves ONLY versioned reads
+    * (the change feed runs on the independent delta-seq domain), and
+    * after-swing is the crash-sound order for a diff log — a lost line
+    * simply merges its commit into the NEXT line's diff (which is
+    * computed against the live state), so every NUMBERED version stays
+    * exact; the before-swing order would instead fold a phantom diff
+    * no swing ever applied, silently corrupting later versions.
     */
   private def logCommit(tablePath: String, kind: String,
       mBefore: Map[String, Long], mAfter: Map[String, Long],
@@ -200,8 +204,15 @@ object PartitionedTable {
       commit: Long): (Map[String, Long], Seq[(String, Long)]) = {
     val lines = CommitLogFile.fullLines(tablePath).flatMap { l =>
       l.split(' ') match {
-        case Array(no, kind, payload, _*)
-            if no.nonEmpty && no.forall(_.isDigit) =>
+        // a valid line ends with its ts= token: a torn append cut at a
+        // comma boundary would otherwise parse as a smaller-but-wrong
+        // diff. Torn lines are EXCLUDED — sound here because the line
+        // is appended AFTER the swings, so the next commit's live-state
+        // diff absorbs the lost one and every numbered version stays
+        // consistent (the torn number itself serves its predecessor's
+        // snapshot — stale, never mixed)
+        case Array(no, kind, payload, ts)
+            if no.nonEmpty && no.forall(_.isDigit) && ts.startsWith("ts=") =>
           Some((no.toLong, kind, payload))
         case _ => None
       }
@@ -448,10 +459,10 @@ object PartitionedTable {
     val deduped = HudiLike.precombineLatest(df, p.identity, precombine, tieBreak)
     val written = writeGen(withShadow(deduped, p), tablePath, 0L, p)
     writeSchema(tablePath, deduped)
+    writeManifest(tablePath, written.map(_ -> 0L).toMap)
     // the create is COMMIT 1, like every layout with a commit log
     logCommit(tablePath, "create",
       Map.empty, written.map(_ -> 0L).toMap, Seq.empty, Seq.empty)
-    writeManifest(tablePath, written.map(_ -> 0L).toMap)
   }
 
   /** Read the given partition dirs at an explicit manifest snapshot —
@@ -568,8 +579,8 @@ object PartitionedTable {
       writeSchema(tablePath, merged)
       val m0 = manifest(tablePath)
       val d0 = deltas(tablePath)
-      logCommit(tablePath, "write", m0, m0 ++ written.map(_ -> gen), d0, d0)
       writeManifest(tablePath, m0 ++ written.map(_ -> gen))
+      logCommit(tablePath, "write", m0, m0 ++ written.map(_ -> gen), d0, d0)
     }
     // the post side re-probes what readers now see for the batch's
     // identities — by construction the served merge, never a replay
@@ -618,8 +629,8 @@ object PartitionedTable {
         CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
         writeSchema(tablePath, merged)
         val d1 = deltas(tablePath)
-        logCommit(tablePath, "occ", m1, m1 ++ written.map(_ -> gen), d1, d1)
         writeManifest(tablePath, m1 ++ written.map(_ -> gen))
+        logCommit(tablePath, "occ", m1, m1 ++ written.map(_ -> gen), d1, d1)
       }
       !conflict
     }
@@ -749,14 +760,14 @@ object PartitionedTable {
       val (gone, keptD) =
         d.partition(e => overwritten(partitionPrefix(p, e._1)))
       writeSchema(tablePath, tagged.drop(p.dirCols: _*))
-      logCommit(tablePath, "overwrite",
-        m0, kept ++ written.map(_ -> gen), d, keptD)
       writeManifest(tablePath, kept ++ written.map(_ -> gen))
       // the restate is invisible to the change feed — every cursor dies
       // (even if the touched partitions had no pending deltas), and the
       // superseded delta commits retire with it
       retireDestructive(tablePath) // ratchet-then-remove
       if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+      logCommit(tablePath, "overwrite",
+        m0, kept ++ written.map(_ -> gen), d, keptD)
     }
     maintainBound(spark, tablePath, bound, pre, tagged.drop(p.dirCols: _*), p)
     written
@@ -793,10 +804,10 @@ object PartitionedTable {
         val m0 = manifest(tablePath)
         val d = deltas(tablePath)
         val (gone, keptD) = d.partition(e => dropSet(e._1))
-        logCommit(tablePath, "drop", m0, m0 -- drop, d, keptD)
         writeManifest(tablePath, m0 -- drop)
         // dropped rows must not resurrect through the delta log
         if (gone.nonEmpty) writeDeltas(tablePath, keptD)
+        logCommit(tablePath, "drop", m0, m0 -- drop, d, keptD)
       }
       for (preDf <- pre)
         maintainBound(spark, tablePath, bound, pre, preDf.limit(0), p)
@@ -850,9 +861,9 @@ object PartitionedTable {
     val mNext = (committed -- (liveTouched -- written.toSet)) ++
       written.map(_ -> gen)
     val dNext = d.filterNot(e => touched(e._1))
-    logCommit(tablePath, "rewrite", committed, mNext, d, dNext)
     writeManifest(tablePath, mNext)
     if (touchedDeltas.nonEmpty) writeDeltas(tablePath, dNext)
+    logCommit(tablePath, "rewrite", committed, mNext, d, dNext)
     maintainBound(spark, tablePath, bound, Some(current), next, p)
     written
   }
@@ -918,9 +929,19 @@ object PartitionedTable {
       tablePath, gen, p)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
+      // the restate ran OUTSIDE the lock: an OCC writer may have
+      // committed meanwhile. Its re-points inside our read set would
+      // silently revert to the stale content we read — refuse toward a
+      // retry; slices it ADDED outside the read set merge through
+      val repointed = m.keySet.filter(dir => m1.get(dir) != m.get(dir))
+      if (repointed.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"compaction at $tablePath raced a writer on slices " +
+            s"${repointed.toSeq.sorted.take(4).mkString(",")} — retry")
+      val mNext = (m1 -- m.keySet) ++ written.map(_ -> gen).toMap
       val d1 = deltas(tablePath)
-      logCommit(tablePath, "compact", m1, written.map(_ -> gen).toMap, d1, d1)
-      writeManifest(tablePath, written.map(_ -> gen).toMap)
+      writeManifest(tablePath, mNext)
+      logCommit(tablePath, "compact", m1, mNext, d1, d1)
     }
     gen
   }
@@ -1111,10 +1132,10 @@ object PartitionedTable {
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
       val m0 = manifest(tablePath)
-      logCommit(tablePath, "delta",
-        m0, m0, existing, existing ++ written.map(_ -> seq))
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
+      logCommit(tablePath, "delta",
+        m0, m0, existing, existing ++ written.map(_ -> seq))
       maintainBound(spark, tablePath, bound, pre,
         lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
       written
@@ -1155,10 +1176,10 @@ object PartitionedTable {
         .parquet(dir.toString)
       val written = leafDirs(dir, p)
       val m0 = manifest(tablePath)
-      logCommit(tablePath, "ddelete",
-        m0, m0, existing, existing ++ written.map(_ -> seq))
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
+      logCommit(tablePath, "ddelete",
+        m0, m0, existing, existing ++ written.map(_ -> seq))
       // post-probe sees the tombstones applied: vanished identities'
       // mappings flip dead in the reconcile
       maintainBound(spark, tablePath, bound, pre,
@@ -1244,12 +1265,12 @@ object PartitionedTable {
         // caught the miss here)
         val mNext = (m -- (baseSlices -- written.toSet)) ++
           written.map(_ -> gen)
-        logCommit(tablePath, "dcompact", m, mNext, d, Seq.empty)
         writeManifest(tablePath, mNext)
         // floor = last folded seq (numbering never restarts), ratcheted
         // BEFORE the log empties — see retireDeltas
         retireDeltas(tablePath, d)
         writeDeltas(tablePath, Seq.empty)
+        logCommit(tablePath, "dcompact", m, mNext, d, Seq.empty)
         Some(gen)
       }
     }
@@ -1409,9 +1430,16 @@ object PartitionedTable {
     val written = writeGenPrepared(arranged, tablePath, gen, p)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
+      // same race as compact: the sort rewrite ran outside the lock
+      val repointed = m.keySet.filter(dir => m1.get(dir) != m.get(dir))
+      if (repointed.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"clustering at $tablePath raced a writer on slices " +
+            s"${repointed.toSeq.sorted.take(4).mkString(",")} — retry")
+      val mNext = (m1 -- m.keySet) ++ written.map(_ -> gen).toMap
       val d1 = deltas(tablePath)
-      logCommit(tablePath, "cluster", m1, written.map(_ -> gen).toMap, d1, d1)
-      writeManifest(tablePath, written.map(_ -> gen).toMap)
+      writeManifest(tablePath, mNext)
+      logCommit(tablePath, "cluster", m1, mNext, d1, d1)
     }
     gen
   }
@@ -1620,10 +1648,10 @@ object PartitionedTable {
       // retireDestructive) so re-sync is loud, never a silent replay
       // of a diverged history
       retireDestructive(tablePath)
-      logCommit(tablePath, "restore",
-        manifest(tablePath), m, deltas(tablePath), d)
+      val (m0, d0) = (manifest(tablePath), deltas(tablePath))
       writeManifest(tablePath, m)
       writeDeltas(tablePath, d)
+      logCommit(tablePath, "restore", m0, m, d0, d)
     }
     ()
   }

@@ -51,88 +51,55 @@ object SqlRead {
           throw new IllegalArgumentException(
             s"cannot resolve time-travel target: ${tt.relation}"))
         layoutOf(spark, name) match {
-          case Some(("timeline", path)) =>
-            val version = (tt.version, tt.timestamp) match {
-              case (Some(v), _) => v.toLong
-              case (None, Some(ts)) => Timeline.resolveAsOf(path, epochMs(ts))
-              case (None, None) => throw new IllegalArgumentException(
-                s"time travel over $name needs VERSION AS OF or TIMESTAMP AS OF")
+          case Some((kind, path)) =>
+            // one travel surface, five version domains:
+            //   timeline    — instant versions, wall clock on instants
+            //   bucket      — commit numbers; the folded bucket→gen map
+            //                 served from immutable generation dirs
+            //   bloom       — commit numbers; the folded file set from
+            //                 the log's file deltas
+            //   partitioned — commit numbers; the folded (manifest,
+            //                 delta) pair, base merged with that
+            //                 version's pending deltas
+            //   mor         — CHANGE SEQS (the cursor domain, so
+            //                 VERSION AS OF <cursor> is exactly that
+            //                 consumer's snapshot)
+            // every TIMESTAMP resolves by the same contract: newest
+            // commit at or before the instant, loud earlier
+            val travel: Option[(Long => Long, Long => DataFrame)] =
+              kind match {
+                case "timeline" => Some((Timeline.resolveAsOf(path, _),
+                  Timeline.readVersion(spark, path, _)))
+                case "bucket" => Some((BucketTable.resolveAsOf(path, _),
+                  BucketTable.readVersion(spark, path, _)))
+                case "bloom" => Some((BloomTable.resolveAsOf(path, _),
+                  BloomTable.readVersion(spark, path, _)))
+                case "partitioned" =>
+                  Some((PartitionedTable.resolveAsOf(path, _),
+                    PartitionedTable.readVersion(spark, path, _)))
+                case "mor" => Some((MorTable.resolveAsOf(path, _),
+                  MorTable.readVersion(spark, path, _)))
+                case _ => None
+              }
+            travel match {
+              case Some((resolve, readVersion)) =>
+                val version = (tt.version, tt.timestamp) match {
+                  case (Some(v), _) => v.toLong
+                  case (None, Some(ts)) => resolve(epochMs(ts))
+                  case (None, None) => throw new IllegalArgumentException(
+                    s"time travel over $name needs VERSION AS OF or " +
+                      "TIMESTAMP AS OF")
+                }
+                Catalog.alignToDeclared(spark, name, readVersion(version))
+                  .queryExecution.analyzed
+              case None => throw new IllegalArgumentException(
+                s"$name is not a versioned-layout table — time travel " +
+                  "needs a timeline, bucket, bloom, partitioned or mor " +
+                  s"layout; '$kind' layouts serve only the latest snapshot")
             }
-            Catalog.alignToDeclared(spark, name,
-              Timeline.readVersion(spark, path, version))
-              .queryExecution.analyzed
-          case Some(("bucket", path)) =>
-            // bucket versions are COMMIT NUMBERS (the monotonic
-            // `_commits` log); the historical snapshot is the folded
-            // bucket→generation map served from immutable generation
-            // dirs — any commit clean hasn't reclaimed (savepoints pin)
-            val version = (tt.version, tt.timestamp) match {
-              case (Some(v), _) => v.toLong
-              case (None, Some(ts)) =>
-                // commit lines record wall clock: TIMESTAMP AS OF is
-                // the newest commit at or before it (Timeline contract)
-                BucketTable.resolveAsOf(path, epochMs(ts))
-              case (None, None) => throw new IllegalArgumentException(
-                s"time travel over $name needs VERSION AS OF or " +
-                  "TIMESTAMP AS OF")
-            }
-            Catalog.alignToDeclared(spark, name,
-              BucketTable.readVersion(spark, path, version))
-              .queryExecution.analyzed
-          case Some(("bloom", path)) =>
-            // bloom versions are the same monotonic commit numbers;
-            // the historical snapshot is the file set folded out of
-            // the commit log's file deltas, served from immutable
-            // per-commit file dirs (clean reclaims unpinned history
-            // loudly)
-            val version = (tt.version, tt.timestamp) match {
-              case (Some(v), _) => v.toLong
-              case (None, Some(ts)) =>
-                BloomTable.resolveAsOf(path, epochMs(ts))
-              case (None, None) => throw new IllegalArgumentException(
-                s"time travel over $name needs VERSION AS OF or " +
-                  "TIMESTAMP AS OF")
-            }
-            Catalog.alignToDeclared(spark, name,
-              BloomTable.readVersion(spark, path, version))
-              .queryExecution.analyzed
-          case Some(("partitioned", path)) =>
-            // partitioned versions are commit numbers from the layout's
-            // own `_commits` log (manifest repointings + delta-log
-            // add/retire per logical commit) — the historical snapshot
-            // is the folded (manifest, delta) pair, base dirs merged
-            // with that version's pending deltas
-            val version = (tt.version, tt.timestamp) match {
-              case (Some(v), _) => v.toLong
-              case (None, Some(ts)) =>
-                PartitionedTable.resolveAsOf(path, epochMs(ts))
-              case (None, None) => throw new IllegalArgumentException(
-                s"time travel over $name needs VERSION AS OF or " +
-                  "TIMESTAMP AS OF")
-            }
-            Catalog.alignToDeclared(spark, name,
-              PartitionedTable.readVersion(spark, path, version))
-              .queryExecution.analyzed
-          case Some(("mor", path)) =>
-            // MOR versions are CHANGE SEQUENCES — the same domain
-            // incremental cursors live in, so VERSION AS OF <cursor>
-            // is exactly the snapshot that cursor's consumer holds
-            val version = (tt.version, tt.timestamp) match {
-              case (Some(v), _) => v.toLong
-              case (None, Some(ts)) =>
-                MorTable.resolveAsOf(path, epochMs(ts))
-              case (None, None) => throw new IllegalArgumentException(
-                s"time travel over $name needs VERSION AS OF or " +
-                  "TIMESTAMP AS OF")
-            }
-            Catalog.alignToDeclared(spark, name,
-              MorTable.readVersion(spark, path, version))
-              .queryExecution.analyzed
-          case other => throw new IllegalArgumentException(
+          case None => throw new IllegalArgumentException(
             s"$name is not a versioned-layout table — time travel " +
-              "needs a timeline, bucket, bloom, partitioned or mor layout" +
-              other.fold("")(kp =>
-                s"; '${kp._1}' layouts serve only the latest snapshot"))
+              "needs a timeline, bucket, bloom, partitioned or mor layout")
         }
       case r: UnresolvedRelation =>
         // ANY graft layout resolves to its manifest-aware read — a

@@ -389,4 +389,23 @@ class BloomTableSpec extends SparkSpec {
     assert(BloomTable.upsertInto(spark, path, ev.limit(0)).isEmpty)
     assert(BloomTable.manifest(path) == before)
   }
+
+  test("a phantom bloom commit line refuses history loudly; compaction resets") {
+    val path = scratch()
+    def rows(t: (Long, Long, Double)*) = t.toSeq.toDF("k", "pc", "v")
+    BloomTable.create(rows((1L, 1L, 1.0), (2L, 1L, 2.0)), path,
+      keys = Seq("k"), precombine = "pc", numFiles = 2)
+    // a line whose manifest swing never happened (phantom +file)
+    Files.writeString(Paths.get(path, "_commits"),
+      s"2 write +c=2/part-phantom.parquet ts=${System.currentTimeMillis()}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalArgumentException] {
+      BloomTable.readVersion(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("does not fold to the live manifest"))
+    // the compacting commit is a RESET in the fold — history serves again
+    BloomTable.compact(spark, path)
+    assert(BloomTable.readVersion(spark, path,
+      BloomTable.latestCommit(path)).count() == 2L)
+  }
 }

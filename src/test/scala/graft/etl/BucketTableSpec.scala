@@ -592,4 +592,26 @@ class BucketTableSpec extends SparkSpec {
     assert(e.getMessage.contains("reclaimed by clean"))
     assert(asOf(3L) == Map("b" -> 2.0))
   }
+
+  test("a phantom commit line refuses history loudly; compaction resets it") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    BucketTable.upsertInto(spark, dir, rows(("a", 2L, 9.0)))
+    // simulate the crash window: a line appended whose manifest swing
+    // never happened (repointing bucket 0 to a generation dir that
+    // does exist on disk but was never committed)
+    java.nio.file.Files.writeString(Paths.get(dir, "_commits"),
+      s"3 0:0 ts=${System.currentTimeMillis()}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val e = intercept[IllegalArgumentException] {
+      BucketTable.readVersion(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("does not fold to the live manifest"))
+    // compaction re-points every live bucket — history folds again and
+    // serves the compacted head
+    BucketTable.compact(spark, dir)
+    assert(BucketTable.readVersion(spark, dir,
+      BucketTable.latestCommit(dir)).count() == 2L)
+  }
 }

@@ -261,6 +261,12 @@ class MorTableSpec extends SparkSpec {
     assert(asOf(3L) == snapshot(dir))
     intercept[IllegalArgumentException] { asOf(4L) }
     intercept[IllegalArgumentException] { asOf(-1L) }
+    // a ts line whose pointer swing crashed (seq past the head) must
+    // never be resolved by wall clock — clamp to the committed head
+    Files.writeString(Paths.get(dir, "_commits"),
+      s"9 ${System.currentTimeMillis()}\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(MorTable.resolveAsOf(dir, System.currentTimeMillis() + 1000) == 3L)
     // KEEP_LATEST_COMMITS retention: keep=3 guarantees seqs 1..3 stay
     // readable across the sweep (base0 + its logs survive)
     MorTable.clean(dir, keepVersions = 3)

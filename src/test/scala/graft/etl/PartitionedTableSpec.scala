@@ -673,6 +673,17 @@ class PartitionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       PartitionedTable.readVersion(spark, dir, 7L)
     }
+    // a TORN trailing line (append crashed mid-write, no ts= token)
+    // is excluded: numbered versions stay consistent and the next
+    // commit's live-state diff would absorb the gap
+    Files.writeString(Paths.get(dir, "_commits"),
+      "99 write M:__p_day%3Dd9:7",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(asOf(6L) == Set(("d2", "b", 22.0)))
+    // strip the torn line again so archival below sees a clean log
+    val cl = Paths.get(dir, "_commits")
+    Files.writeString(cl, Files.readAllLines(cl).asScala
+      .filterNot(_.startsWith("99 ")).mkString("", "\n", "\n"))
     // archival folds the active log but history stays resolvable:
     // a pre-boundary version reads through `_commits_archive`
     PartitionedTable.archiveCommits(dir, 2)
