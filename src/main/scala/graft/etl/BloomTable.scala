@@ -249,11 +249,22 @@ object BloomTable {
     // a set-diff fold cannot self-heal from it. Detect: the fold at
     // the HEAD must reproduce the live manifest, else every historical
     // read refuses loudly (run a compacting `cluster` commit to reset
-    // history) rather than serve a silently wrong snapshot.
-    if (full.forall(_._3.isDefined)) {
-      val atHead = fold(full)
-      val live = manifest(tablePath).toSet
-      require(atHead == live,
+    // history) rather than serve a silently wrong snapshot. The log
+    // legitimately LEADS the manifest between a live writer's
+    // pre-swing append and its swing — both run under the table lock —
+    // so a mismatch re-reads ONCE under the lock (draining any
+    // in-flight writer) before declaring the history unreliable.
+    if (full.forall(_._3.isDefined) &&
+        fold(full) != manifest(tablePath).toSet) {
+      val consistent =
+        try withTableLock(tablePath) {
+          val f2 = commitLogFull(tablePath)
+          !f2.forall(_._3.isDefined) ||
+            fold(f2) == manifest(tablePath).toSet
+        } catch {
+          case _: java.util.ConcurrentModificationException => false
+        }
+      require(consistent,
         s"the commit log at $tablePath does not fold to the live " +
           "manifest (a crash-torn or phantom line) — historical reads " +
           "are unreliable until a compaction resets history")
@@ -623,7 +634,7 @@ object BloomTable {
       rel: Seq[String]): DataFrame =
     rel.groupBy(f => f.takeWhile(_ != '/'))
       .values.map(fs => spark.read.parquet(absFiles(tablePath, fs.toSeq): _*))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .reduce(SchemaShim.unionByName)
 
   /** Index rows reconciled to the CURRENT manifest: rows for retired
     * files dropped; live files the index has not seen (a writer that
@@ -708,6 +719,15 @@ object BloomTable {
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
+      // a bound secondary index is rebuilt from the replacement —
+      // proportionate, the verb itself replaced the whole table
+      // (createBloom re-binds and records the covered head itself)
+      boundSecondaryIndex(tablePath).foreach { case (secCols, idxPath) =>
+        val numBuckets = BucketTable.props(idxPath).numBuckets
+        FsUtil.deleteRecursively(Paths.get(idxPath))
+        SecondaryIndex.createBloom(spark, tablePath, idxPath, secCols,
+          numBuckets)
+      }
       written
     }
 
@@ -728,6 +748,7 @@ object BloomTable {
     val existing =
       if (touched.isEmpty) batch.limit(0)
       else readFiles(spark, tablePath, touched)
+    val bound = boundSecondaryIndex(tablePath)
     val merged = HudiLike.upsert(existing, batch, p.keys, p.precombine, p.tieBreak)
     // file budget for the rewritten region: keep the region's file
     // count (+1 when pure append) so file sizes stay level without a
@@ -746,6 +767,10 @@ object BloomTable {
       keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
       nextIndexVersion(tablePath))
+    // pre = the rewritten region's old rows, post = its new files — a
+    // superset of the batch's keys; untouched files' mappings unmoved
+    maintainBound(spark, tablePath, bound, Some(existing),
+      readFiles(spark, tablePath, written), p, commit)
     touched
   }
 
@@ -771,6 +796,7 @@ object BloomTable {
     val touched = candidateFiles(tablePath, keyRel, idx, p)
     if (touched.isEmpty) return Seq.empty
     val existing = readFiles(spark, tablePath, touched)
+    val bound = boundSecondaryIndex(tablePath)
     val remaining = existing.join(keyRel, p.keys, "left_anti")
     val commit = nextCommit(tablePath)
     // the whole candidate region may empty out — then the commit is
@@ -795,6 +821,9 @@ object BloomTable {
       else keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
     writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
+    maintainBound(spark, tablePath, bound, Some(existing),
+      if (written.isEmpty) existing.limit(0)
+      else readFiles(spark, tablePath, written), p, commit)
     touched
   }
 
@@ -824,6 +853,7 @@ object BloomTable {
       val existing =
         if (touched.isEmpty) read(spark, tablePath).limit(0)
         else readFiles(spark, tablePath, touched)
+      val bound = boundSecondaryIndex(tablePath)
       val next = transform(existing).localCheckpoint()
       val commit = nextCommit(tablePath)
       val written =
@@ -845,6 +875,7 @@ object BloomTable {
         else keptIdx.unionByName(
           indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
       writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
+      maintainBound(spark, tablePath, bound, Some(existing), next, p, commit)
       touched
     }
   }
@@ -874,10 +905,11 @@ object BloomTable {
       spark.read.parquet(absFiles(tablePath, fs.toSeq): _*)
         .withColumn("__fp",
           regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce(SchemaShim.unionByName)
       .filter(pred).select("__fp").distinct()
       .collect().map(r => relFile(tablePath, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
+    val bound = boundSecondaryIndex(tablePath)
     val next = transform(readFiles(spark, tablePath, touched))
       .localCheckpoint()
     val commit = nextCommit(tablePath)
@@ -901,8 +933,77 @@ object BloomTable {
       else keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
     writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
+    maintainBound(spark, tablePath, bound,
+      Some(readFiles(spark, tablePath, touched)), next, p, commit)
     touched
   }
+
+  /** Multi-key point lookup: tag ALL requested keys to their candidate
+    * files in one index probe, read only those files, semi-join back to
+    * the requested keys — O(candidate files), never the table (the
+    * [[SecondaryIndex]] second hop and the reconcile pre-probe).
+    */
+  def lookupMany(spark: SparkSession, tablePath: String,
+      keyRows: DataFrame): DataFrame = {
+    val p = props(tablePath)
+    val wanted = keyRows.select(p.keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val candidates = candidateFiles(tablePath, wanted,
+      reconcileIndex(spark, tablePath, p), p)
+    if (candidates.isEmpty) read(spark, tablePath).limit(0)
+    else readFiles(spark, tablePath, candidates)
+      .join(broadcast(wanted), p.keys, "left_semi")
+  }
+
+  // ---- bound secondary index (see SecondaryIndex.createBloom) --------
+
+  private def secIdxPath(tablePath: String): Path =
+    Paths.get(tablePath, "_secidx")
+
+  /** The bound mapping index, if any: (secondary cols, index path) —
+    * engine-level (a table-dir file), so every mutation primitive
+    * maintains it, programmatic writers included (the discipline shared
+    * by every layout's secondary-index binding).
+    */
+  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] = {
+    val p = secIdxPath(tablePath)
+    if (!Files.exists(p)) None
+    else {
+      val l = Files.readString(p).trim
+      val i = l.indexOf(' ')
+      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
+    }
+  }
+
+  def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
+      indexPath: String): Unit = {
+    Files.writeString(secIdxPath(tablePath),
+      s"${secCols.mkString(",")} $indexPath",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  def unbindSecondaryIndex(tablePath: String): Unit = {
+    Files.deleteIfExists(secIdxPath(tablePath))
+    ()
+  }
+
+  /** Reconcile the bound index from pre/post row states of a commit's
+    * touched region (a superset of what changed — except() drops the
+    * unchanged mappings), then record the commit covered. Runs after
+    * the manifest swing; the crash window is caught by the
+    * covered-head serve check ([[SecondaryIndex.ensureCurrent]]).
+    */
+  private def maintainBound(spark: SparkSession, tablePath: String,
+      bound: Option[(Seq[String], String)], pre: Option[DataFrame],
+      post: DataFrame, p: Props, commitNo: Long): Unit =
+    for ((secCols, idxPath) <- bound; preDf <- pre)
+      SecondaryIndex.withMaintLock(idxPath) {
+        val mapCols = (secCols ++ p.keys).map(col)
+        SecondaryIndex.reconcile(spark, idxPath,
+          preDf.select(mapCols: _*), post.select(mapCols: _*))
+        SecondaryIndex.markCoveredLocked(idxPath, commitNo)
+      }
 
   /** Point lookup by full key: probe the index, read only candidate
     * files (usually one: ranges are non-overlapping per commit and the
@@ -951,6 +1052,10 @@ object BloomTable {
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
       nextIndexVersion(tablePath))
+    // content-preserving commit: mappings unchanged, head advances
+    boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+      SecondaryIndex.markCovered(idxPath, commit)
+    }
     commit
   }
 
@@ -989,6 +1094,9 @@ object BloomTable {
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
+      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+        SecondaryIndex.markCovered(idxPath, commit)
+      }
       commit
     }
 

@@ -262,21 +262,44 @@ object BucketTable {
     * parse as `None` — [[manifestAsOf]] refuses histories containing
     * them rather than reconstruct a wrong snapshot. Reads the FULL
     * history (historical reads are the cold path archival exists for).
+    *
+    * STRICT line acceptance: a generation-bearing line is valid only
+    * as exactly `no entries ts=...` — a torn append truncated
+    * mid-payload (e.g. `3:17` cut to `3:1`) would otherwise parse as a
+    * well-formed smaller-but-wrong diff and, once a later commit
+    * repoints the same buckets, silently serve the wrong generation to
+    * intermediate historical reads. Exact 2-token lines are the
+    * pre-timestamp legacy shape; anything else (including a ts-era
+    * line cut before its terminator, which collapses to the legacy
+    * shape and is treated as generation-unknown) classifies as
+    * non-reconstructable, which [[manifestAsOf]] refuses in range.
     */
   def commitLogFull(tablePath: String)
       : Seq[(Long, Option[Map[Int, Option[Long]]])] =
     CommitLogFile.fullLines(tablePath).flatMap { l =>
+      def entriesOf(bs: String): Option[Map[Int, Option[Long]]] = {
+        val entries = bs.split(',').filter(_.nonEmpty).toSeq
+        if (entries.forall(_.contains(':')))
+          Some(entries.map { e =>
+            val Array(b, g) = e.split(':')
+            b.toInt -> (if (g == "-") None else Some(g.toLong))
+          }.toMap)
+        else None // legacy line: buckets only, generations unknown
+      }
       l.split(' ') match {
-        case Array(no, bs, _*) if no.nonEmpty && no.forall(_.isDigit) =>
-          val entries = bs.split(',').filter(_.nonEmpty).toSeq
-          val parsed =
-            if (entries.forall(_.contains(':')))
-              Some(entries.map { e =>
-                val Array(b, g) = e.split(':')
-                b.toInt -> (if (g == "-") None else Some(g.toLong))
-              }.toMap)
-            else None // legacy line: buckets only, generations unknown
-          Some((no.toLong, parsed))
+        case Array(no, bs, ts)
+            if no.nonEmpty && no.forall(_.isDigit) && ts.startsWith("ts=") =>
+          Some((no.toLong, entriesOf(bs)))
+        case Array(no, _) if no.nonEmpty && no.forall(_.isDigit) =>
+          // pre-timestamp legacy line — generations unknowable from
+          // here (a ts-era line torn down to this shape is
+          // indistinguishable and equally non-reconstructable);
+          // manifestAsOf refuses these in range
+          Some((no.toLong, None))
+        // any other shape (≥3 tokens without the ts= terminator — a
+        // torn append) is EXCLUDED, like the bloom twin: the gap then
+        // trips manifestAsOf's fold-to-live head guard loudly instead
+        // of parsing as a smaller-but-wrong diff
         case _ => None
       }
     }
@@ -318,9 +341,20 @@ object BucketTable {
     // heals — but an un-rewritten phantom would serve the crashed
     // commit's data as history. Detect at the head: the full fold must
     // reproduce the live manifest, else refuse loudly (a compaction —
-    // which re-points every live bucket — resets history).
-    if (full.forall(_._2.isDefined)) {
-      require(fold(full) == manifest(tablePath),
+    // which re-points every live bucket — resets history). The log
+    // legitimately LEADS the manifest between a live writer's
+    // pre-swing append and its swing — both run under the table lock —
+    // so a mismatch re-reads ONCE under the lock (draining any
+    // in-flight writer) before declaring the history unreliable.
+    if (full.forall(_._2.isDefined) && fold(full) != manifest(tablePath)) {
+      val consistent =
+        try FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+          val f2 = commitLogFull(tablePath)
+          !f2.forall(_._2.isDefined) || fold(f2) == manifest(tablePath)
+        } catch {
+          case _: java.util.ConcurrentModificationException => false
+        }
+      require(consistent,
         s"the commit log at $tablePath does not fold to the live " +
           "manifest (a crash-torn or phantom line) — historical reads " +
           "are unreliable until a compaction resets history")
@@ -365,7 +399,7 @@ object BucketTable {
     * consumers.
     */
   private def writeManifest(tablePath: String, m: Map[Int, Long],
-      p: Props, cdc: CdcLog.Action): Unit =
+      p: Props, cdc: CdcLog.Action): Long =
     // the commit-number allocation below is a read-modify-write on the
     // shared `_commits` log — the single-writer paths (create /
     // upsertInto / overwriteTable / compact) must serialize it against
@@ -382,10 +416,12 @@ object BucketTable {
     * staged before the log append, published only after the manifest
     * swing — a crash in between leaves a commit whose images are
     * missing (served loudly), never published images of a commit that
-    * didn't happen.
+    * didn't happen. Returns the commit number now heading the log (a
+    * no-op swing allocates none and returns the unchanged head) — what
+    * index maintenance records as covered.
     */
   private def writeManifestLocked(tablePath: String, m: Map[Int, Long],
-      p: Props, cdc: CdcLog.Action): Unit = {
+      p: Props, cdc: CdcLog.Action): Long = {
     val old = manifest(tablePath)
     val changed = (m.keySet ++ old.keySet).filter(b => m.get(b) != old.get(b))
     val commit = latestCommit(tablePath) + 1
@@ -413,7 +449,71 @@ object BucketTable {
     Files.move(tmp, manifestPath(tablePath), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     if (cdcLive) CdcLog.publish(tablePath, commit)
+    if (changed.nonEmpty) commit else commit - 1
   }
+
+  // ---- bound secondary index (see SecondaryIndex.create) -------------
+
+  private def secIdxPath(tablePath: String): Path =
+    Paths.get(tablePath, "_secidx")
+
+  /** The bound mapping index, if any: (secondary cols, index path).
+    * Engine-level (a table-dir file, not catalog state) so EVERY
+    * mutation primitive maintains it — programmatic writers included,
+    * which keeps the SQL DML routes hook-free here (the partitioned
+    * and MOR layouts' existing discipline, adopted by bucket so a
+    * direct `BucketTable.upsertInto` can no longer silently strand
+    * the index; any historical gap heals on serve via
+    * [[SecondaryIndex.ensureCurrent]]).
+    */
+  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] = {
+    val p = secIdxPath(tablePath)
+    if (!Files.exists(p)) None
+    else {
+      val l = Files.readString(p).trim
+      val i = l.indexOf(' ')
+      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
+    }
+  }
+
+  def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
+      indexPath: String): Unit = {
+    Files.writeString(secIdxPath(tablePath),
+      s"${secCols.mkString(",")} $indexPath",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  def unbindSecondaryIndex(tablePath: String): Unit = {
+    Files.deleteIfExists(secIdxPath(tablePath))
+    ()
+  }
+
+  /** Pre-commit full-row state of a batch's keys — the before side of
+    * an index reconcile (empty-table-safe).
+    */
+  private def preBatchState(spark: SparkSession, tablePath: String,
+      tagged: DataFrame, p: Props): DataFrame =
+    (if (manifest(tablePath).isEmpty) tagged.drop(BucketCol).limit(0)
+     else lookupMany(spark, tablePath, tagged.drop(BucketCol)))
+      .localCheckpoint()
+
+  /** Reconcile the bound index from pre/post full-row states of a
+    * commit's touched rows, then record the commit as covered — runs
+    * AFTER the commit point (an index ahead of the commit would serve
+    * uncommitted rows; the crash window between commit and reconcile
+    * is exactly what the covered-head serve check catches).
+    */
+  private def maintainBound(spark: SparkSession, tablePath: String,
+      bound: Option[(Seq[String], String)], pre: Option[DataFrame],
+      post: DataFrame, p: Props, commitNo: Long): Unit =
+    for ((secCols, idxPath) <- bound; preDf <- pre)
+      SecondaryIndex.withMaintLock(idxPath) {
+        val mapCols = (secCols ++ p.keys).map(col)
+        SecondaryIndex.reconcile(spark, idxPath,
+          preDf.select(mapCols: _*), post.select(mapCols: _*))
+        SecondaryIndex.markCoveredLocked(idxPath, commitNo)
+      }
 
   /** Fresh parquet read of specific buckets at one (possibly not yet
     * committed) generation — the post-image side of a commit's cdc
@@ -639,7 +739,7 @@ object BucketTable {
       spark.read.option("basePath", s"$tablePath/gen=$gen")
         .parquet(entries.keys.toSeq.sorted
           .map(b => s"$tablePath/gen=$gen/$BucketCol=$b"): _*)
-    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+    }.reduceOption(SchemaShim.unionByName)
       .getOrElse(read(spark, tablePath).limit(0).withColumn(BucketCol, lit(0)))
   }
 
@@ -672,6 +772,8 @@ object BucketTable {
     // empty manifest — the first non-empty upsert merges against
     // nothing and commits generation 0
     val committed = manifest(tablePath)
+    val bound = boundSecondaryIndex(tablePath)
+    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
     val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.limit(0)
@@ -682,12 +784,17 @@ object BucketTable {
       // columns of both sides; bucket is a pure function of the keys
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
     writeSchema(tablePath, merged)
-    writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
+    val c = writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
       CdcLog.Action.Changes { () =>
         val before = existing.drop(BucketCol)
         CdcLog.diff(before,
           readGenBuckets(spark, tablePath, gen, written, before), p.keys)
       })
+    // the post side re-probes what readers now see for the batch's
+    // keys — by construction the served merge, never a replay of the
+    // merge algebra that could drift from it
+    maintainBound(spark, tablePath, bound, pre,
+      lookupMany(spark, tablePath, tagged.drop(BucketCol)), p, c)
     written
   }
 
@@ -717,6 +824,14 @@ object BucketTable {
     // past every cursor (consumers re-sync loudly from a snapshot)
     writeManifest(tablePath, written.map(_ -> gen).toMap, p,
       CdcLog.Action.Destructive)
+    // a bound secondary index is rebuilt from the replacement —
+    // proportionate, the verb itself replaced the whole table (create
+    // re-binds and records the covered head itself)
+    boundSecondaryIndex(tablePath).foreach { case (secCols, idxPath) =>
+      val numBuckets = props(idxPath).numBuckets
+      FsUtil.deleteRecursively(Paths.get(idxPath))
+      SecondaryIndex.create(spark, tablePath, idxPath, secCols, numBuckets)
+    }
     written
   }
 
@@ -744,6 +859,12 @@ object BucketTable {
     val existing =
       if (m0.isEmpty) tagged.limit(0)
       else readBuckets(spark, tablePath, touched, m0)
+    // pre-probe OUTSIDE the lock: a concurrent writer that re-points
+    // one of OUR touched buckets fails the commit below (probe
+    // discarded, retry re-probes) — disjoint-bucket writers can't
+    // change these keys' rows, so the probe stays valid
+    val bound = boundSecondaryIndex(tablePath)
+    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
     val merged = HudiLike.upsert(existing, tagged,
       p.keys, p.precombine, p.tieBreak)
     val gen = System.nanoTime()
@@ -765,22 +886,25 @@ object BucketTable {
         // intervening commit's change to any OTHER header field is not
         // silently rolled back by this writer's manifest swing
         writeSchema(tablePath, merged)
-        writeManifestLocked(tablePath, m1 ++ written.map(_ -> gen), routingNow,
+        val c = writeManifestLocked(tablePath, m1 ++ written.map(_ -> gen),
+          routingNow,
           CdcLog.Action.Changes { () =>
             val before = existing.drop(BucketCol)
             CdcLog.diff(before,
               readGenBuckets(spark, tablePath, gen, written, before), p.keys)
           })
-        Committed(written, stagedLive = true)
+        Committed(written, stagedLive = true, c)
       } else salvageOrRetry(spark, tablePath, tagged, routingNow, m1, m0,
         repointed, written, gen)
     }
     outcome match {
-      case Committed(buckets, stagedLive) =>
+      case Committed(buckets, stagedLive, c) =>
         // a salvage that superseded EVERY staged bucket leaves the
         // staged gen as pure debris; a partially-live staged gen keeps
         // its dead bucket dirs until clean, like any superseded gen
         if (!stagedLive) deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
+        maintainBound(spark, tablePath, bound, pre,
+          lookupMany(spark, tablePath, tagged.drop(BucketCol)), p, c)
         Some(buckets)
       case Retry =>
         deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
@@ -804,7 +928,7 @@ object BucketTable {
     */
   private sealed trait OccOutcome
   private case class Committed(buckets: Seq[Int],
-      stagedLive: Boolean) extends OccOutcome
+      stagedLive: Boolean, commitNo: Long) extends OccOutcome
   private case object Retry extends OccOutcome
 
   private def salvageOrRetry(spark: SparkSession, tablePath: String,
@@ -843,7 +967,7 @@ object BucketTable {
           p.keys, p.precombine, p.tieBreak)
         val fixWritten = writeGen(withBucket(fixed, p), tablePath, fixGen)
         val keepStaged = written.filterNot(repointed)
-        writeManifestLocked(tablePath,
+        val c = writeManifestLocked(tablePath,
           m1 ++ keepStaged.map(_ -> gen) ++ fixWritten.map(_ -> fixGen), p,
           CdcLog.Action.Changes { () =>
             val all = (keepStaged ++ fixWritten).toSet
@@ -855,7 +979,7 @@ object BucketTable {
             CdcLog.diff(before, after, p.keys)
           })
         Committed((keepStaged ++ fixWritten).sorted,
-          stagedLive = keepStaged.nonEmpty)
+          stagedLive = keepStaged.nonEmpty, c)
       }
     }.getOrElse(Retry)
 
@@ -996,10 +1120,15 @@ object BucketTable {
     // (all rows deleted) reads as the recorded-schema zero-row frame
     val liveTouched = touched.intersect(committed.keySet)
     val gen = nextGen(tablePath)
-    val current =
+    val bound = boundSecondaryIndex(tablePath)
+    val current0 =
       if (committed.isEmpty) emptySnapshot(spark, tablePath)
       else if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
       else readBuckets(spark, tablePath, liveTouched).drop(BucketCol)
+    // pinned pre-image when an index is bound: the touched buckets'
+    // rows as they were — a superset of what changed; except() in the
+    // reconcile drops the unchanged mappings
+    val current = if (bound.isEmpty) current0 else current0.localCheckpoint()
     // localCheckpoint decouples the result from the files about to be
     // superseded, same discipline as every other rewrite path
     val next = transform(current).localCheckpoint()
@@ -1012,7 +1141,7 @@ object BucketTable {
         s"(${written.toSet -- touched}) — transform changed key columns?")
     // emptied buckets leave the manifest
     writeSchema(tablePath, next)
-    writeManifestLocked(tablePath,
+    val c = writeManifestLocked(tablePath,
       (committed -- (liveTouched -- written.toSet)) ++ written.map(_ -> gen), p,
       // before = the touched buckets' pre-rewrite content (their dirs
       // are immutable until clean); after = the just-written files — a
@@ -1022,6 +1151,7 @@ object BucketTable {
         CdcLog.diff(current,
           readGenBuckets(spark, tablePath, gen, written, current), p.keys)
       })
+    maintainBound(spark, tablePath, bound, Some(current), next, p, c)
     written
   }
 
@@ -1113,13 +1243,22 @@ object BucketTable {
       // we read — refuse toward a retry; buckets it committed outside
       // the read set merge through untouched
       val repointed = m.keySet.filter(b => m1.get(b) != m.get(b))
-      if (repointed.nonEmpty)
+      if (repointed.nonEmpty) {
+        // the freshly written gen is pure debris on a conflict — remove
+        // it here rather than leave a full-table rewrite for clean
+        // (the OCC route's own discipline)
+        deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
         throw new java.util.ConcurrentModificationException(
           s"compaction at $tablePath raced a writer on buckets " +
             s"${repointed.toSeq.sorted.take(8).mkString(",")} — retry")
-      writeManifestLocked(tablePath,
+      }
+      val c = writeManifestLocked(tablePath,
         (m1 -- m.keySet) ++ written.map(_ -> gen).toMap, props(tablePath),
         CdcLog.Action.Preserving)
+      // content-preserving commit: mappings unchanged, head advances
+      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+        SecondaryIndex.markCovered(idxPath, c)
+      }
     }
     gen
   }
@@ -1175,8 +1314,11 @@ object BucketTable {
         .sortWithinPartitions(layout: _*)
         .write.mode("errorifexists").partitionBy(BucketCol).parquet(dir.toString)
       val written = listWrittenBuckets(dir)
-      writeManifestLocked(tablePath, written.map(_ -> gen).toMap, p,
+      val c = writeManifestLocked(tablePath, written.map(_ -> gen).toMap, p,
         CdcLog.Action.Preserving)
+      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+        SecondaryIndex.markCovered(idxPath, c)
+      }
       gen
     }
 
@@ -1226,9 +1368,12 @@ object BucketTable {
       // leave numBuckets pointing at the old generation's layout.
       // The `_props` mirror follows; losing it to a crash is harmless
       // (props() prefers the manifest header).
-      writeManifestLocked(tablePath, written.map(_ -> gen).toMap, np,
+      val c = writeManifestLocked(tablePath, written.map(_ -> gen).toMap, np,
         CdcLog.Action.Preserving)
       writeProps(tablePath, np)
+      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+        SecondaryIndex.markCovered(idxPath, c)
+      }
       gen
     }
 
@@ -1323,6 +1468,13 @@ object BucketTable {
     * savepoint become unreferenced debris for [[clean]].
     */
   def restoreSavepoint(tablePath: String, name: String): Unit = {
+    // a restore rewrites table state with no per-row diff to reconcile
+    // the index by (and no SparkSession here to rebuild it) — refuse
+    // loudly rather than leave the index diverged from restored state
+    // (the PartitionedTable.restoreSavepoint contract)
+    require(boundSecondaryIndex(tablePath).isEmpty,
+      s"restore at $tablePath with a bound secondary index would leave " +
+        "the index diverged — DROP INDEX first, restore, then re-create")
     val m = savepointManifest(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       // the restored manifest carries the savepoint's ROUTING in its

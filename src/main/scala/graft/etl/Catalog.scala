@@ -424,13 +424,14 @@ object Catalog {
     */
   def toPhysical(df: org.apache.spark.sql.DataFrame,
       renames: Map[String, String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, struct, transform, when}
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_values, when}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
     val (nested, plain) = renames.partition(_._1.contains('.'))
     // recursive rename-to-physical at any depth, descending
-    // array<struct> elements via the "element" path component; the
-    // rebuild preserves field ORDER (withField would append) and None
-    // means nothing under this path needs rewriting
+    // array<struct> elements via the "element" path component and
+    // map<_, struct> values via "value"; the rebuild preserves field
+    // ORDER (withField would append) and None means nothing under this
+    // path needs rewriting
     def rewrite(pathLower: String, typ: org.apache.spark.sql.types.DataType,
         src: org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
       typ match {
@@ -451,6 +452,11 @@ object Catalog {
           if (!nested.keys.exists(_.startsWith(elemPath + "."))) None
           else Some(transform(src, x =>
             rewrite(elemPath, at.elementType, x).getOrElse(x)))
+        case mt: MapType =>
+          val valPath = s"$pathLower.value"
+          if (!nested.keys.exists(_.startsWith(valPath + "."))) None
+          else Some(transform_values(src, (_, v) =>
+            rewrite(valPath, mt.valueType, v).getOrElse(v)))
         case _ => None
       }
     val parents = nested.keySet.map(_.takeWhile(_ != '.'))
@@ -571,10 +577,12 @@ object Catalog {
   private def reconcileNested(df: org.apache.spark.sql.DataFrame,
       sch: StructType, nestedRenames: Map[String, String],
       nestedDropped: Set[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, struct, transform, when}
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.functions.{col, lit, struct, transform, transform_values, when}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
     // RECURSIVE conform (any struct depth, descending array<struct>
-    // elements via the path component "element"): each declared
+    // elements via the path component "element" and map<_, struct>
+    // values via "value" — map KEYS are lookup identity and never
+    // evolve): each declared
     // subfield resolves to its physical source (renamed sub-names map
     // back), a widening cast when the file is narrower, or a typed
     // NULL when no file carries it yet; undeclared physical subfields
@@ -614,6 +622,8 @@ object Catalog {
         !(exactAll && unclaimed.isEmpty && p.length == d.length)
       case (d: ArrayType, p: ArrayType) =>
         needs(s"$pathLower.element", d.elementType, p.elementType)
+      case (d: MapType, p: MapType) if d.keyType == p.keyType =>
+        needs(s"$pathLower.value", d.valueType, p.valueType)
       case (d, p) => d != p && SqlDdl.isWidening(p, d)
     }
     def build(pathLower: String,
@@ -652,10 +662,17 @@ object Catalog {
           // case's own when() guard
           transform(src, x =>
             build(s"$pathLower.element", d.elementType, x, p.elementType))
+        case (d: MapType, p: MapType) =>
+          // transform_values rebuilds each value lazily and preserves
+          // NULL maps; keys flow untouched (identity, never evolved)
+          transform_values(src, (_, v) =>
+            build(s"$pathLower.value", d.valueType, v, p.valueType))
         case (d, _) => src.cast(d) // lossless widening (gated by needs)
       }
     val declaredNested = sch.fields.filter(f =>
-      f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType])
+      f.dataType.isInstanceOf[StructType] ||
+        f.dataType.isInstanceOf[ArrayType] ||
+        f.dataType.isInstanceOf[MapType])
     if (declaredNested.isEmpty) df
     else declaredNested.foldLeft(df) { (d, f) =>
       d.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
@@ -663,7 +680,9 @@ object Catalog {
             ((p.dataType.isInstanceOf[StructType] &&
               f.dataType.isInstanceOf[StructType]) ||
              (p.dataType.isInstanceOf[ArrayType] &&
-              f.dataType.isInstanceOf[ArrayType])) =>
+              f.dataType.isInstanceOf[ArrayType]) ||
+             (p.dataType.isInstanceOf[MapType] &&
+              f.dataType.isInstanceOf[MapType])) =>
           d.withColumn(p.name,
             build(f.name.toLowerCase, f.dataType, col(p.name), p.dataType))
         case _ => d // parent absent (old files: whole-column NULL comes

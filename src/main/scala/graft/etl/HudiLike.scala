@@ -67,8 +67,9 @@ object HudiLike {
     // replaced rows — Hudi's schema-on-read semantics.
     val cols = existing.columns.toSeq ++
       incoming.columns.toSeq.filterNot(existing.columns.contains)
-    val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val tagged = SchemaShim.unionByName(
+      existing.withColumn("__src", lit(0)),
+      incoming.withColumn("__src", lit(1)))
     val ordering =
       (Seq(col(precombine).desc, col("__src").desc) ++ tieBreak.map(col(_).desc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
@@ -97,8 +98,9 @@ object HudiLike {
       tieBreak: Seq[String] = Nil): DataFrame = {
     val cols = existing.columns.toSeq ++
       incoming.columns.toSeq.filterNot(existing.columns.contains)
-    val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(incoming.withColumn("__src", lit(1)), allowMissingColumns = true)
+    val tagged = SchemaShim.unionByName(
+      existing.withColumn("__src", lit(0)),
+      incoming.withColumn("__src", lit(1)))
     val asc = (Seq(col(precombine).asc, col("__src").asc) ++
       tieBreak.map(col(_).asc))
     val full = Window.partitionBy(keys.map(col): _*).orderBy(asc: _*)

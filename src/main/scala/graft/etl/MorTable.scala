@@ -70,8 +70,8 @@ object MorTable {
     * the table lock before the pointer swing; powers `TIMESTAMP AS OF`
     * over the change-seq version domain. Growth: ~20 bytes/commit
     * (≈10 MB/year at minute cadence) and read only by the cold
-    * resolve path — fold through [[CommitLogFile.archive]] when a
-    * deployment outgrows that, exactly the bucket/bloom move.
+    * resolve path; [[archiveCommits]] folds old lines through
+    * [[CommitLogFile.archive]], exactly the bucket/bloom move.
     */
   private def logSeqTime(tablePath: String, seq: Long): Unit = {
     Files.writeString(commitsTsPath(tablePath),
@@ -80,15 +80,26 @@ object MorTable {
     ()
   }
 
+  /** Fold all but the newest `keepLatest` active seq-ts lines into
+    * `_commits_archive` ([[CommitLogFile]]) — bounds the ACTIVE log a
+    * writer appends to; [[resolveAsOf]] resolves pre-boundary
+    * timestamps through the archive. Locked: the active-log rewrite
+    * would race writers' appends.
+    */
+  def archiveCommits(tablePath: String, keepLatest: Int): Seq[Long] =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      CommitLogFile.archive(tablePath, keepLatest)
+    }
+
   /** `TIMESTAMP AS OF` resolution — the Timeline.resolveAsOf contract
     * over the seq-time log: newest change seq at or before `tsMs`,
     * loud earlier (with a hint when the table predates timestamps).
+    * Reads the FULL (archive + active) history — the cold path
+    * archival exists for.
     */
   def resolveAsOf(tablePath: String, tsMs: Long): Long = {
-    val p = commitsTsPath(tablePath)
     val timed =
-      if (!Files.exists(p)) Seq.empty
-      else Files.readAllLines(p).asScala.toSeq.flatMap(_.split(' ') match {
+      CommitLogFile.fullLines(tablePath).flatMap(_.split(' ') match {
         case Array(sq, t) if sq.forall(_.isDigit) && t.forall(_.isDigit) =>
           Some((sq.toLong, t.toLong))
         case _ => None // torn trailing line
@@ -319,8 +330,14 @@ object MorTable {
       writePointer(tablePath, base, seq, floor)
       CdcLog.publish(tablePath, seq)
       for (((secCols, idxPath), (before, after)) <- idx.zip(images))
-        SecondaryIndex.reconcileCovering(flagged.sparkSession, idxPath,
-          before, after, secCols, props(tablePath).keys)
+        SecondaryIndex.withMaintLock(idxPath) {
+          SecondaryIndex.reconcileCovering(flagged.sparkSession, idxPath,
+            before, after, secCols, props(tablePath).keys)
+          // the crash window between the pointer swing above and this
+          // reconcile is caught by the covered-head serve check
+          // (SecondaryIndex.ensureCurrent) — never a silent miss
+          SecondaryIndex.markCoveredLocked(idxPath, seq)
+        }
       seq
     }
 
@@ -345,8 +362,8 @@ object MorTable {
     val cond = p.keys.map(k => merged(k) <=> keyset(k)).reduce(_ && _)
     val before = merged.join(keyset, cond, "left_semi").localCheckpoint()
     val after = HudiLike.precombineLatest(
-      before.unionByName(flagged.withColumn(SeqCol, lit(seq)),
-        allowMissingColumns = true),
+      SchemaShim.unionByName(before,
+        flagged.withColumn(SeqCol, lit(seq))),
       p.keys, p.precombine, SeqCol +: p.tieBreak)
       .filter(!col(DelCol))
       .localCheckpoint()
@@ -435,10 +452,10 @@ object MorTable {
       deletes: DataFrame): Long = {
     val p = props(tablePath)
     appendFlagged(tablePath,
-      HudiLike.precombineLatest(upserts, p.keys, p.precombine, p.tieBreak)
-        .withColumn(DelCol, lit(false))
-        .unionByName(deletes.withColumn(DelCol, lit(true)),
-          allowMissingColumns = true))
+      SchemaShim.unionByName(
+        HudiLike.precombineLatest(upserts, p.keys, p.precombine, p.tieBreak)
+          .withColumn(DelCol, lit(false)),
+        deletes.withColumn(DelCol, lit(true))))
   }
 
   /** Snapshot query: base ∪ logs, latest-per-key merge, tombstones
@@ -482,8 +499,8 @@ object MorTable {
       .withColumn(SeqCol, lit(0L)).withColumn(DelCol, lit(false))
     val merged = ((floor + 1) to to).foldLeft(baseDf) { (acc, s) =>
       // logs may be schema-sparse (tombstones carry NULL payload cols)
-      acc.unionByName(
-        spark.read.parquet(s"$tablePath/log=$base.$s"), allowMissingColumns = true)
+      SchemaShim.unionByName(acc,
+        spark.read.parquet(s"$tablePath/log=$base.$s"))
     }
     // _seq as the leading tie-break: on equal precombine the later
     // commit wins, so deltas shadow the base rows they replace
@@ -568,7 +585,7 @@ object MorTable {
         "base; re-sync from a snapshot read and checkpoint changeHead")
     val logs = ((sinceSeq + 1) to head).map(s =>
       spark.read.parquet(s"$tablePath/log=$base.$s"))
-    logs.reduceLeftOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+    logs.reduceLeftOption(SchemaShim.unionByName)
       .getOrElse(readOptimized(spark, tablePath).limit(0)
         .withColumn(SeqCol, lit(0L)).withColumn(DelCol, lit(false)))
   }

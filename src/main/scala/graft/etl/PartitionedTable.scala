@@ -126,29 +126,46 @@ object PartitionedTable {
       .map(_.toLong).maxOption.getOrElse(0L)
   }
 
+  /** Kinds whose commit restates the WHOLE live manifest (every live
+    * slice repointed / the state wholesale replaced). Their log lines
+    * carry the FULL post-commit state and [[stateAsOf]]'s fold RESETS
+    * on them — which is what lets a maintenance compaction repair the
+    * history after a crash lost a line (a pure diff fold can never
+    * heal a lost per-dir diff; the bloom layout's overwrite/cluster
+    * reset is the same move).
+    */
+  private val ResetKinds = Set("compact", "cluster", "restore")
+
   /** Append one commit line recording the manifest and delta-log diffs
-    * of a logical commit. Caller holds the table lock (the number
-    * allocation is a read-modify-write on the shared log) and appends
-    * AFTER the metadata swings: this log serves ONLY versioned reads
-    * (the change feed runs on the independent delta-seq domain), and
-    * after-swing is the crash-sound order for a diff log — a lost line
-    * simply merges its commit into the NEXT line's diff (which is
-    * computed against the live state), so every NUMBERED version stays
-    * exact; the before-swing order would instead fold a phantom diff
-    * no swing ever applied, silently corrupting later versions.
+    * of a logical commit ([[ResetKinds]] log the full post state
+    * instead). Caller holds the table lock (the number allocation is a
+    * read-modify-write on the shared log) and appends AFTER the
+    * metadata swings: this log serves ONLY versioned reads (the change
+    * feed runs on the independent delta-seq domain), and after-swing
+    * never folds a phantom diff no swing applied. A line LOST to a
+    * crash between swing and append leaves a log that no longer folds
+    * to the live state — per-dir diffs cannot absorb it — so
+    * [[stateAsOf]] guards with a fold-to-live check and refuses
+    * historical reads loudly until a [[compact]]/[[cluster]] reset
+    * line re-anchors the fold.
     */
   private def logCommit(tablePath: String, kind: String,
       mBefore: Map[String, Long], mAfter: Map[String, Long],
       dBefore: Seq[(String, Long)], dAfter: Seq[(String, Long)]): Long = {
     val no = latestCommit(tablePath) + 1
-    val mEntries = (mBefore.keySet ++ mAfter.keySet).toSeq.sorted.flatMap { d =>
-      (mBefore.get(d), mAfter.get(d)) match {
+    // a reset line's payload IS the full after state (fold starts from
+    // empty at it), so diff against nothing and list every live entry
+    val (mb, db) =
+      if (ResetKinds(kind)) (Map.empty[String, Long], Seq.empty[(String, Long)])
+      else (mBefore, dBefore)
+    val mEntries = (mb.keySet ++ mAfter.keySet).toSeq.sorted.flatMap { d =>
+      (mb.get(d), mAfter.get(d)) match {
         case (b, Some(g)) if !b.contains(g) => Some(s"M:${enc(d)}:$g")
         case (Some(_), None) => Some(s"M:${enc(d)}:-")
         case _ => None
       }
     }
-    val bSet = dBefore.toSet
+    val bSet = db.toSet
     val aSet = dAfter.toSet
     val dEntries = (aSet -- bSet).toSeq.sorted
       .map { case (d, s) => s"D:${enc(d)}:$s" } ++
@@ -202,21 +219,45 @@ object PartitionedTable {
     */
   def stateAsOf(tablePath: String,
       commit: Long): (Map[String, Long], Seq[(String, Long)]) = {
-    val lines = CommitLogFile.fullLines(tablePath).flatMap { l =>
-      l.split(' ') match {
-        // a valid line ends with its ts= token: a torn append cut at a
-        // comma boundary would otherwise parse as a smaller-but-wrong
-        // diff. Torn lines are EXCLUDED — sound here because the line
-        // is appended AFTER the swings, so the next commit's live-state
-        // diff absorbs the lost one and every numbered version stays
-        // consistent (the torn number itself serves its predecessor's
-        // snapshot — stale, never mixed)
-        case Array(no, kind, payload, ts)
-            if no.nonEmpty && no.forall(_.isDigit) && ts.startsWith("ts=") =>
-          Some((no.toLong, kind, payload))
-        case _ => None
+    // a valid line ends with its ts= token: a torn append cut at a
+    // comma boundary would otherwise parse as a smaller-but-wrong
+    // diff. Torn lines are EXCLUDED — and, like a line lost entirely
+    // to a crash between swing and append, caught by the fold-to-live
+    // guard below (per-dir diffs cannot absorb a lost repointing; the
+    // guard refuses loudly until a compact/cluster RESET line
+    // re-anchors the fold)
+    def parsed(): Seq[(Long, String, String)] =
+      CommitLogFile.fullLines(tablePath).flatMap { l =>
+        l.split(' ') match {
+          case Array(no, kind, payload, ts)
+              if no.nonEmpty && no.forall(_.isDigit) && ts.startsWith("ts=") =>
+            Some((no.toLong, kind, payload))
+          case _ => None
+        }
       }
-    }
+    def fold(entries: Seq[(Long, String, String)])
+        : (Map[String, Long], Set[(String, Long)]) =
+      entries.sortBy(_._1)
+        .foldLeft((Map.empty[String, Long], Set.empty[(String, Long)])) {
+          case ((m0, d0), (_, kind, payload)) =>
+            // a reset line carries the FULL state — fold from empty
+            val (m, d) =
+              if (ResetKinds(kind))
+                (Map.empty[String, Long], Set.empty[(String, Long)])
+              else (m0, d0)
+            payload.split(',').filter(e => e.nonEmpty && e != ".")
+              .foldLeft((m, d)) { case ((m2, d2), e) =>
+                e.split(':') match {
+                  case Array("M", ed, "-") => (m2 - dec(ed), d2)
+                  case Array("M", ed, g) => (m2 + (dec(ed) -> g.toLong), d2)
+                  case Array("D", ed, s) => (m2, d2 + ((dec(ed), s.toLong)))
+                  case Array("R", ed, s) => (m2, d2 - ((dec(ed), s.toLong)))
+                  case _ => throw new IllegalStateException(
+                    s"unparseable commit-log entry '$e' at $tablePath")
+                }
+              }
+        }
+    var lines = parsed()
     val head = lines.map(_._1).maxOption.getOrElse(0L)
     require(commit >= 1 && commit <= head,
       s"VERSION AS OF $commit at $tablePath: commits run 1..$head")
@@ -224,21 +265,32 @@ object PartitionedTable {
       s"the commit log at $tablePath does not cover the table's birth " +
         "(created before commit logging) — historical reads need a " +
         "from-birth log")
-    lines.filter(_._1 <= commit).sortBy(_._1)
-      .foldLeft((Map.empty[String, Long], Set.empty[(String, Long)])) {
-        case ((m, d), (_, _, payload)) =>
-          payload.split(',').filter(e => e.nonEmpty && e != ".")
-            .foldLeft((m, d)) { case ((m2, d2), e) =>
-              e.split(':') match {
-                case Array("M", ed, "-") => (m2 - dec(ed), d2)
-                case Array("M", ed, g) => (m2 + (dec(ed) -> g.toLong), d2)
-                case Array("D", ed, s) => (m2, d2 + ((dec(ed), s.toLong)))
-                case Array("R", ed, s) => (m2, d2 - ((dec(ed), s.toLong)))
-                case _ => throw new IllegalStateException(
-                  s"unparseable commit-log entry '$e' at $tablePath")
-              }
-            }
-      } match { case (m, d) => (m, d.toSeq.sortBy(e => (e._2, e._1))) }
+    // crash-window guard (the bucket/bloom twins' discipline): the full
+    // fold must reproduce the live (manifest, delta log) pair, else a
+    // line was lost/torn and every later version would silently serve a
+    // wrong snapshot. The log legitimately lags the metadata only while
+    // a writer is between its swing and its append — and writers hold
+    // the table lock across both — so a mismatch re-reads ONCE under
+    // the lock (draining any in-flight writer) before declaring the
+    // history unreliable.
+    def liveState() = (manifest(tablePath), deltas(tablePath).toSet)
+    if (fold(lines) != liveState()) {
+      val consistent =
+        try FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+          lines = parsed()
+          fold(lines) == liveState()
+        } catch {
+          case _: java.util.ConcurrentModificationException => false
+        }
+      require(consistent,
+        s"the commit log at $tablePath does not fold to the live " +
+          "(manifest, delta log) state (a crash-torn or lost line) — " +
+          "historical reads are unreliable until a compaction resets " +
+          "history")
+    }
+    fold(lines.filter(_._1 <= commit)) match {
+      case (m, d) => (m, d.toSeq.sortBy(e => (e._2, e._1)))
+    }
   }
 
   /** Read the table AS OF commit `commit` — `SELECT ... VERSION AS OF`
@@ -477,7 +529,7 @@ object PartitionedTable {
       spark.read.option("basePath", s"$tablePath/gen=$gen")
         .parquet(entries.keys.toSeq.sorted
           .map(d => s"$tablePath/gen=$gen/$d"): _*)
-    }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+    }.reduceOption(SchemaShim.unionByName)
       .map(_.drop(p.partitionCols.map(Shadow + _) :+ Group: _*))
       .getOrElse(read(spark, tablePath).limit(0))
   }
@@ -557,8 +609,8 @@ object PartitionedTable {
     val touched = touchedDirs(tagged, p)
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
-    val bound = boundSecondaryIndex(tablePath)
-    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
+    val bound = boundIndexes(tablePath, p)
+    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
     val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
@@ -574,7 +626,7 @@ object PartitionedTable {
     // allocation is a read-modify-write on the shared `_commits` log,
     // and this single-writer path must serialize it against OCC
     // writers (BucketTable's identical discipline)
-    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+    val c = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
       writeSchema(tablePath, merged)
       val m0 = manifest(tablePath)
@@ -586,7 +638,7 @@ object PartitionedTable {
     // identities — by construction the served merge, never a replay
     // of the merge algebra that could drift from it
     maintainBound(spark, tablePath, bound, pre,
-      lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
+      lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
     written
   }
 
@@ -613,8 +665,8 @@ object PartitionedTable {
     // one of OUR touched slices fails the commit below (probe
     // discarded, retry re-probes) — disjoint-slice writers can't
     // change these identities' rows, so the probe stays valid
-    val bound = boundSecondaryIndex(tablePath)
-    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
+    val bound = boundIndexes(tablePath, p)
+    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
     val merged = HudiLike.upsert(existing,
       tagged.drop(p.dirCols: _*),
       p.identity, p.precombine, p.tieBreak)
@@ -623,24 +675,26 @@ object PartitionedTable {
     val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
       val conflict = touched.exists(d => m1.get(d) != m0.get(d))
-      if (!conflict) {
+      if (conflict) None
+      else {
         // seq-less content change: the cdc image feed dies (same as
         // the plain CoW upsert route)
         CdcLog.ratchet(tablePath, changeHead(tablePath) + 1L)
         writeSchema(tablePath, merged)
         val d1 = deltas(tablePath)
         writeManifest(tablePath, m1 ++ written.map(_ -> gen))
-        logCommit(tablePath, "occ", m1, m1 ++ written.map(_ -> gen), d1, d1)
+        Some(logCommit(tablePath, "occ",
+          m1, m1 ++ written.map(_ -> gen), d1, d1))
       }
-      !conflict
     }
-    if (committed) {
-      maintainBound(spark, tablePath, bound, pre,
-        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
-      Some(written)
-    } else {
-      deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
-      None
+    committed match {
+      case Some(c) =>
+        maintainBound(spark, tablePath, bound, pre,
+          lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
+        Some(written)
+      case None =>
+        deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
+        None
     }
   }
 
@@ -739,8 +793,8 @@ object PartitionedTable {
     // pre-image of the restated PARTITIONS (wholesale — every group,
     // plus their pending deltas), pinned before the swing: the index
     // reconcile tombstones every mapping the overwrite displaced
-    val bound = boundSecondaryIndex(tablePath)
-    val pre = bound.map { _ =>
+    val bound = boundIndexes(tablePath, p)
+    val pre = bound.headOption.map { _ =>
       val m0 = manifest(tablePath)
       val dirs = m0.keySet.filter(d => overwritten(partitionPrefix(p, d)))
       val dPre = deltas(tablePath)
@@ -752,7 +806,7 @@ object PartitionedTable {
        else mergeDeltas(b, deltaFrame(spark, tablePath, dPre, p), p))
         .localCheckpoint()
     }
-    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+    val c = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m0 = manifest(tablePath)
       val kept = m0.filterNot { case (d, _) =>
         overwritten(partitionPrefix(p, d)) }
@@ -769,7 +823,7 @@ object PartitionedTable {
       logCommit(tablePath, "overwrite",
         m0, kept ++ written.map(_ -> gen), d, keptD)
     }
-    maintainBound(spark, tablePath, bound, pre, tagged.drop(p.dirCols: _*), p)
+    maintainBound(spark, tablePath, bound, pre, tagged.drop(p.dirCols: _*), p, c)
     written
   }
 
@@ -785,8 +839,8 @@ object PartitionedTable {
       val p = props(tablePath)
       // pre-image of the dropped partitions pinned before the edit:
       // every mapping they held flips dead in the index reconcile
-      val bound = boundSecondaryIndex(tablePath)
-      val pre = bound.map { _ =>
+      val bound = boundIndexes(tablePath, p)
+      val pre = bound.headOption.map { _ =>
         val m0 = manifest(tablePath)
         val dirs = m0.keySet.intersect(dropSet)
         val dPre = deltas(tablePath).filter(e => dropSet(e._1))
@@ -799,7 +853,7 @@ object PartitionedTable {
       }
       // the drop is invisible to the change feed — every cursor dies
       // (deltas pending or not); ratchet BEFORE either rewrite
-      FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val c = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
         retireDestructive(tablePath)
         val m0 = manifest(tablePath)
         val d = deltas(tablePath)
@@ -810,7 +864,7 @@ object PartitionedTable {
         logCommit(tablePath, "drop", m0, m0 -- drop, d, keptD)
       }
       for (preDf <- pre)
-        maintainBound(spark, tablePath, bound, pre, preDf.limit(0), p)
+        maintainBound(spark, tablePath, bound, pre, preDf.limit(0), p, c)
     }
     drop
   }
@@ -838,7 +892,7 @@ object PartitionedTable {
     val base =
       if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
       else readDirs(spark, tablePath, liveTouched, committed, p)
-    val bound = boundSecondaryIndex(tablePath)
+    val bound = boundIndexes(tablePath, p)
     val current0 =
       if (touchedDeltas.isEmpty) base
       else mergeDeltas(base, deltaFrame(spark, tablePath, touchedDeltas, p), p)
@@ -863,8 +917,8 @@ object PartitionedTable {
     val dNext = d.filterNot(e => touched(e._1))
     writeManifest(tablePath, mNext)
     if (touchedDeltas.nonEmpty) writeDeltas(tablePath, dNext)
-    logCommit(tablePath, "rewrite", committed, mNext, d, dNext)
-    maintainBound(spark, tablePath, bound, Some(current), next, p)
+    val c = logCommit(tablePath, "rewrite", committed, mNext, d, dNext)
+    maintainBound(spark, tablePath, bound, Some(current), next, p, c)
     written
   }
 
@@ -934,14 +988,22 @@ object PartitionedTable {
       // silently revert to the stale content we read — refuse toward a
       // retry; slices it ADDED outside the read set merge through
       val repointed = m.keySet.filter(dir => m1.get(dir) != m.get(dir))
-      if (repointed.nonEmpty)
+      if (repointed.nonEmpty) {
+        // the freshly written gen is pure debris on a conflict — remove
+        // it here rather than leave a full-table rewrite for clean
+        deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
         throw new java.util.ConcurrentModificationException(
           s"compaction at $tablePath raced a writer on slices " +
             s"${repointed.toSeq.sorted.take(4).mkString(",")} — retry")
+      }
       val mNext = (m1 -- m.keySet) ++ written.map(_ -> gen).toMap
       val d1 = deltas(tablePath)
       writeManifest(tablePath, mNext)
-      logCommit(tablePath, "compact", m1, mNext, d1, d1)
+      val c = logCommit(tablePath, "compact", m1, mNext, d1, d1)
+      // content-preserving commit: mappings unchanged, head advances
+      boundIndexes(tablePath, p).foreach { case (_, idxPath) =>
+        SecondaryIndex.markCovered(idxPath, c)
+      }
     }
     gen
   }
@@ -1090,9 +1152,8 @@ object PartitionedTable {
     val cond = p.identity.map(k => snap(k) <=> keyset(k)).reduce(_ && _)
     val before = snap.join(keyset, cond, "left_semi").localCheckpoint()
     val after = HudiLike.precombineLatest(
-      before.withColumn(DSeq, lit(0L))
-        .unionByName(clean.withColumn(DSeq, lit(seq)),
-          allowMissingColumns = true),
+      SchemaShim.unionByName(before.withColumn(DSeq, lit(0L)),
+        clean.withColumn(DSeq, lit(seq))),
       p.identity, p.precombine, DSeq +: p.tieBreak)
       .filter(!coalesce(col(Deleted), lit(false)))
       .drop(DSeq, Deleted)
@@ -1125,8 +1186,8 @@ object PartitionedTable {
       // two-phase contract — a crash loses images loudly, never
       // publishes images of a commit that didn't happen)
       if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
-      val bound = boundSecondaryIndex(tablePath)
-      val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
+      val bound = boundIndexes(tablePath, p)
+      val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
@@ -1134,10 +1195,10 @@ object PartitionedTable {
       val m0 = manifest(tablePath)
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
-      logCommit(tablePath, "delta",
+      val c = logCommit(tablePath, "delta",
         m0, m0, existing, existing ++ written.map(_ -> seq))
       maintainBound(spark, tablePath, bound, pre,
-        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
+        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
       written
     }
   }
@@ -1169,8 +1230,8 @@ object PartitionedTable {
       // two-phase contract — a crash loses images loudly, never
       // publishes images of a commit that didn't happen)
       if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
-      val bound = boundSecondaryIndex(tablePath)
-      val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
+      val bound = boundIndexes(tablePath, p)
+      val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
@@ -1178,12 +1239,12 @@ object PartitionedTable {
       val m0 = manifest(tablePath)
       writeDeltas(tablePath, existing ++ written.map(_ -> seq))
       CdcLog.publish(tablePath, seq)
-      logCommit(tablePath, "ddelete",
+      val c = logCommit(tablePath, "ddelete",
         m0, m0, existing, existing ++ written.map(_ -> seq))
       // post-probe sees the tombstones applied: vanished identities'
       // mappings flip dead in the reconcile
       maintainBound(spark, tablePath, bound, pre,
-        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p)
+        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
       written
     }
   }
@@ -1214,7 +1275,7 @@ object PartitionedTable {
       // the merge can always reference it
       if (df.columns.contains(Deleted)) df
       else df.withColumn(Deleted, lit(false))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce(SchemaShim.unionByName)
 
   /** Merge base and delta rows: latest per identity by (precombine,
     * commit seq, tieBreak) — on a precombine tie the LATER commit
@@ -1224,8 +1285,7 @@ object PartitionedTable {
   private def mergeDeltas(base: DataFrame, deltaDf: DataFrame,
       p: Props): DataFrame =
     HudiLike.precombineLatest(
-      base.withColumn(DSeq, lit(0L))
-        .unionByName(deltaDf, allowMissingColumns = true),
+      SchemaShim.unionByName(base.withColumn(DSeq, lit(0L)), deltaDf),
       p.identity, p.precombine, DSeq +: p.tieBreak)
       // an identity whose winning version is a tombstone is deleted;
       // base rows and plain delta rows carry no flag (null -> false)
@@ -1270,7 +1330,11 @@ object PartitionedTable {
         // BEFORE the log empties — see retireDeltas
         retireDeltas(tablePath, d)
         writeDeltas(tablePath, Seq.empty)
-        logCommit(tablePath, "dcompact", m, mNext, d, Seq.empty)
+        val c = logCommit(tablePath, "dcompact", m, mNext, d, Seq.empty)
+        // the fold preserves the merged content (mappings unchanged)
+        boundIndexes(tablePath, p).foreach { case (_, idxPath) =>
+          SecondaryIndex.markCovered(idxPath, c)
+        }
         Some(gen)
       }
     }
@@ -1432,14 +1496,20 @@ object PartitionedTable {
       val m1 = manifest(tablePath)
       // same race as compact: the sort rewrite ran outside the lock
       val repointed = m.keySet.filter(dir => m1.get(dir) != m.get(dir))
-      if (repointed.nonEmpty)
+      if (repointed.nonEmpty) {
+        // conflicted full-table rewrite = debris; remove before retry
+        deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
         throw new java.util.ConcurrentModificationException(
           s"clustering at $tablePath raced a writer on slices " +
             s"${repointed.toSeq.sorted.take(4).mkString(",")} — retry")
+      }
       val mNext = (m1 -- m.keySet) ++ written.map(_ -> gen).toMap
       val d1 = deltas(tablePath)
       writeManifest(tablePath, mNext)
-      logCommit(tablePath, "cluster", m1, mNext, d1, d1)
+      val c = logCommit(tablePath, "cluster", m1, mNext, d1, d1)
+      boundIndexes(tablePath, p).foreach { case (_, idxPath) =>
+        SecondaryIndex.markCovered(idxPath, c)
+      }
     }
     gen
   }
@@ -1481,6 +1551,48 @@ object PartitionedTable {
     ()
   }
 
+  // ---- bound GLOBAL record-level index (Hudi 0.14 RLI) ----------------
+  //
+  // The partitioned layout's identity is partition-scoped — a key
+  // lookup WITHOUT the partition value would otherwise scan every
+  // partition's slices. The RLI maps key → identity (partition values)
+  // from one probed bucket, so `WHERE key = v` and a global purge read
+  // ONE slice at any table size. It is a BucketTable of
+  // (keys ++ partitionCols, __live, __commit) entries bucketed by the
+  // key columns, maintained by the same engine binding discipline as
+  // the secondary index (every mutation primitive reconciles it, the
+  // covered-head serve check catches crash-torn maintenance).
+
+  private def rliPath(tablePath: String): Path = Paths.get(tablePath, "_rli")
+
+  /** The bound record-level index's path, if any. */
+  def boundRecordIndex(tablePath: String): Option[String] = {
+    val p = rliPath(tablePath)
+    if (!Files.exists(p)) None else Some(Files.readString(p).trim)
+  }
+
+  def bindRecordIndex(tablePath: String, indexPath: String): Unit = {
+    Files.writeString(rliPath(tablePath), indexPath,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  def unbindRecordIndex(tablePath: String): Unit = {
+    Files.deleteIfExists(rliPath(tablePath))
+    ()
+  }
+
+  /** Every engine-bound index artifact as (mapping projection, path):
+    * the secondary index stores (sec, identity) mappings, the RLI
+    * (key, partition) mappings — both reconcile from the same pre/post
+    * full-row states, each through its own projection.
+    */
+  private def boundIndexes(tablePath: String,
+      p: Props): Seq[(Seq[String], String)] =
+    boundSecondaryIndex(tablePath).map { case (sec, idx) =>
+      (sec ++ p.identity, idx) }.toSeq ++
+      boundRecordIndex(tablePath).map(rli => (p.keys ++ p.partitionCols, rli))
+
   /** Current rows for the given identities (partition cols + keys):
     * route each identity through the same shadow/group expressions
     * records are written by, and read ONLY the slices they land in —
@@ -1510,11 +1622,6 @@ object PartitionedTable {
     slice.join(wanted, cond, "left_semi")
   }
 
-  /** The (sec ++ identity) mapping projection the index stores. */
-  private def idxMappings(df: DataFrame, secCols: Seq[String],
-      p: Props): DataFrame =
-    df.select((secCols ++ p.identity).map(col): _*)
-
   /** Pre-commit full-row state of a batch's identities — the before
     * side of an index reconcile (and empty-table-safe, unlike a bare
     * [[lookupMany]] on a table whose manifest hasn't been written).
@@ -1527,19 +1634,26 @@ object PartitionedTable {
       .localCheckpoint()
 
   /** Reconcile the bound index from pre/post FULL-ROW states of a
-    * commit's touched rows. Runs AFTER the metadata swing (the MOR
-    * covering discipline: an index ahead of the commit would serve
-    * uncommitted rows; behind — the crash window between swing and
-    * reconcile — is one commit stale, and the SQL route's retained
-    * filter re-checks served rows). Index-lock only, so the caller may
-    * hold the table lock (ordering: table → index, never the reverse).
+    * commit's touched rows, then record `commitNo` as covered. Runs
+    * AFTER the metadata swing (the MOR covering discipline: an index
+    * ahead of the commit would serve uncommitted rows); the crash
+    * window between swing and reconcile is caught by the covered-head
+    * serve check ([[SecondaryIndex.ensureCurrent]]) — the head only
+    * advances through a contiguous covered prefix, so out-of-order OCC
+    * reconciles park until the gap closes. Index-maint-lock only, so
+    * the caller may hold the table lock (ordering: table → index,
+    * never the reverse).
     */
   private def maintainBound(spark: SparkSession, tablePath: String,
-      bound: Option[(Seq[String], String)], pre: Option[DataFrame],
-      post: DataFrame, p: Props): Unit =
-    for ((secCols, idxPath) <- bound; preDf <- pre)
-      SecondaryIndex.reconcileLocked(spark, idxPath,
-        idxMappings(preDf, secCols, p), idxMappings(post, secCols, p))
+      bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
+      post: DataFrame, p: Props, commitNo: Long): Unit =
+    for (preDf <- pre; (projCols, idxPath) <- bound)
+      SecondaryIndex.withMaintLock(idxPath) {
+        SecondaryIndex.reconcile(spark, idxPath,
+          preDf.select(projCols.map(col): _*),
+          post.select(projCols.map(col): _*))
+        SecondaryIndex.markCoveredLocked(idxPath, commitNo)
+      }
 
   private def savepointPath(tablePath: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
@@ -1636,8 +1750,9 @@ object PartitionedTable {
     // a restore rewrites table state with no per-row diff to reconcile
     // the index by (and no SparkSession here to rebuild it) — refuse
     // loudly rather than leave the index diverged from restored state
-    require(boundSecondaryIndex(tablePath).isEmpty,
-      s"restore at $tablePath with a bound secondary index would leave " +
+    require(boundSecondaryIndex(tablePath).isEmpty &&
+        boundRecordIndex(tablePath).isEmpty,
+      s"restore at $tablePath with a bound index would leave " +
         "the index diverged — DROP INDEX first, restore, then re-create")
     val (m, d) = savepointState(tablePath, name)
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {

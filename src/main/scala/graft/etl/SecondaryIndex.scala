@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 /** Secondary index over a [[BucketTable]] primary — point lookups by a
   * NON-key column (Hudi 1.0's secondary index / record-level index
@@ -32,6 +33,193 @@ object SecondaryIndex {
   private val Live = "__live"
   private val Commit = "__commit"
 
+  // ---- covered-head bookkeeping (crash-loud serving) -----------------
+  //
+  // Every reconcile runs AFTER the primary's commit point (an index
+  // ahead of the commit would serve uncommitted rows), so a writer that
+  // crashes in between leaves the index missing that commit's mappings.
+  // A stale mapping only FALSE-POSITIVES (the retained SQL filter
+  // re-checks served rows), but a MISSING mapping under-serves
+  // SILENTLY — the one failure mode this engine's loudness discipline
+  // otherwise forbids (CdcLog.changes, changedSince floors, the
+  // fold-to-live head guards all refuse rather than under-deliver).
+  //
+  // Fix: the index records which primary commits its mappings cover, in
+  // a sibling state file `<index>_phead` holding the highest CONTIGUOUS
+  // covered commit plus any out-of-order completions above it (the
+  // partitioned layout's OCC front door admits disjoint writers whose
+  // reconciles can finish out of commit order — a plain max-ratchet
+  // would claim coverage of a commit whose reconcile hasn't run).
+  // Serve time compares the covered head to the primary's current
+  // commit head; a mismatch (crash-torn maintenance, or a programmatic
+  // writer that bypassed it) triggers a reconcile-on-read under the
+  // `_maint` lock — a full mapping diff whose index WRITE is
+  // O(discrepancy) — so an index-served read never silently misses.
+
+  private def headStatePath(indexPath: String) =
+    Paths.get(s"${indexPath}_phead")
+
+  /** (highest contiguous covered commit, out-of-order completions). */
+  private def coveredState(indexPath: String): (Long, Set[Long]) = {
+    val p = headStatePath(indexPath)
+    if (!Files.exists(p)) (-1L, Set.empty)
+    else {
+      val lines = Files.readAllLines(p)
+      val h = lines.get(0).trim.toLong
+      val done =
+        if (lines.size < 2) Set.empty[Long]
+        else lines.get(1).split(',').filter(_.nonEmpty).map(_.toLong).toSet
+      (h, done)
+    }
+  }
+
+  private def writeCoveredState(indexPath: String, h: Long,
+      done: Set[Long]): Unit = {
+    val tmp = Paths.get(s"${indexPath}_phead.tmp${System.nanoTime()}")
+    Files.writeString(tmp, s"$h\n${done.toSeq.sorted.mkString(",")}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, headStatePath(indexPath), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The highest primary commit whose mappings the index is KNOWN to
+    * carry (every commit at or below it reconciled). -1 on indexes
+    * created before head recording — the serve-time check treats that
+    * as a mismatch, heals once, and the file exists from then on.
+    */
+  def coveredHead(indexPath: String): Long = coveredState(indexPath)._1
+
+  /** The maintenance-serialization lock scope (a SIBLING dir — FsLock
+    * is non-reentrant and the index's own lock is taken by the inner
+    * BucketTable upserts).
+    */
+  private def maintScope(indexPath: String): String = s"${indexPath}_maint"
+
+  /** Run `body` under the index's maintenance lock. */
+  def withMaintLock[T](indexPath: String)(body: => T): T =
+    FsLock.withTableLock(maintScope(indexPath), FsLock.QueueWaitMs)(body)
+
+  /** Record that primary commit `commit`'s mappings are reconciled.
+    * The head only advances through a CONTIGUOUS prefix; completions
+    * above a gap park in the done-set until the gap closes — so a
+    * crashed writer's missing reconcile keeps the head short of the
+    * primary head and the serve-time check stays loud. Locked.
+    */
+  def markCovered(indexPath: String, commit: Long): Unit =
+    withMaintLock(indexPath)(markCoveredLocked(indexPath, commit))
+
+  /** [[markCovered]] body — caller holds the `_maint` lock. */
+  def markCoveredLocked(indexPath: String, commit: Long): Unit = {
+    val (h0, done0) = coveredState(indexPath)
+    if (commit > h0) {
+      var h = h0
+      var done = done0 + commit
+      while (done(h + 1)) { h += 1; done -= h }
+      writeCoveredState(indexPath, h, done)
+    }
+  }
+
+  /** Hard-set the covered head to `h` (index bootstrap / rebuild /
+    * heal — the index state was just derived from a primary snapshot
+    * at that head, which subsumes every earlier completion). Locked.
+    */
+  def setCoveredHead(indexPath: String, h: Long): Unit =
+    withMaintLock(indexPath)(setCoveredHeadLocked(indexPath, h))
+
+  def setCoveredHeadLocked(indexPath: String, h: Long): Unit = {
+    val (_, done) = coveredState(indexPath)
+    writeCoveredState(indexPath, h, done.filter(_ > h))
+  }
+
+  /** The primary's current commit head in the layout's own version
+    * domain (bucket/bloom/partitioned commit numbers; MOR change seqs —
+    * the only MOR events that change mappings are seq-consuming).
+    */
+  private def primaryHead(kind: String, primaryPath: String): Long =
+    kind match {
+      case "bucket" => BucketTable.latestCommit(primaryPath)
+      case "bloom" => BloomTable.latestCommit(primaryPath)
+      case "partitioned" => PartitionedTable.latestCommit(primaryPath)
+      case "mor" => MorTable.changeHead(primaryPath)
+      case other => throw new IllegalArgumentException(
+        s"no secondary-index binding for layout '$other'")
+    }
+
+  /** Serve-time freshness gate: every index-served read (equality
+    * SELECT, index-composed DELETE victims, purge resolution) calls
+    * this first. Cost on the hot path is ONE metadata read per side
+    * (the primary's commit head, the index's covered head). On a
+    * mismatch — a writer crashed between its primary commit and its
+    * reconcile, or a programmatic writer bypassed maintenance — the
+    * index reconciles ON READ under the `_maint` lock (which also
+    * drains any in-flight reconcile first, so racing a LIVE writer's
+    * post-swing window converges instead of failing spuriously): a
+    * full mapping diff against the primary snapshot whose index write
+    * is O(discrepancy). An index-served read can therefore never
+    * silently miss rows — the discipline CdcLog.changes and the
+    * commit-log fold guards already enforce on their feeds.
+    */
+  def ensureCurrent(spark: SparkSession, kind: String, primaryPath: String,
+      indexPath: String): Unit = {
+    if (coveredHead(indexPath) == primaryHead(kind, primaryPath)) return
+    withMaintLock(indexPath) {
+      // re-read under the lock: a live writer's reconcile (serialized
+      // on this same lock) may have closed the gap while we waited
+      val ph = primaryHead(kind, primaryPath)
+      if (coveredHead(indexPath) != ph)
+        healLocked(spark, kind, primaryPath, indexPath)
+    }
+  }
+
+  /** Reconcile-on-read — caller holds the `_maint` lock. Re-derives
+    * the index delta from the live primary snapshot: mappings the
+    * index serves that the primary no longer carries flip dead,
+    * mappings the primary carries that the index lacks upsert live
+    * (for a covering index every primary row re-asserts, payload
+    * included). The primary head is read BEFORE its content, so a
+    * commit landing mid-heal is never claimed covered — its own
+    * reconcile (or the next serve) picks it up.
+    */
+  private def healLocked(spark: SparkSession, kind: String,
+      primaryPath: String, indexPath: String): Unit = {
+    val h = primaryHead(kind, primaryPath)
+    // the index's own key columns ARE the mapping — (sec ++ keys) for a
+    // secondary index, (keys ++ partitionCols) for a partitioned RLI
+    val mapCols = BucketTable.props(indexPath).keys.map(col)
+    val delta = kind match {
+      case "mor" =>
+        val prim = MorTable.readSnapshot(spark, primaryPath).localCheckpoint()
+        val idxLive = BucketTable.read(spark, indexPath)
+          .filter(col(Live)).drop(Live, Commit)
+        // full re-assert of every primary row (the index is COVERING:
+        // an evolved payload column re-serves correctly) + tombstones
+        // for vanished mappings
+        idxLive.select(mapCols: _*).except(prim.select(mapCols: _*))
+          .withColumn(Live, lit(false))
+          .unionByName(prim.withColumn(Live, lit(true)),
+            allowMissingColumns = true)
+      case _ =>
+        val prim = (kind match {
+          case "partitioned" => PartitionedTable.read(spark, primaryPath)
+          case "bloom" => BloomTable.read(spark, primaryPath)
+          case _ => BucketTable.read(spark, primaryPath)
+        }).select(mapCols: _*).localCheckpoint()
+        val idxLive = BucketTable.read(spark, indexPath)
+          .filter(col(Live)).select(mapCols: _*)
+        // O(discrepancy) index write: only missing / stale mappings move
+        idxLive.except(prim).withColumn(Live, lit(false))
+          .unionByName(prim.except(idxLive).withColumn(Live, lit(true)))
+    }
+    val staged = delta.localCheckpoint()
+    if (!staged.isEmpty) {
+      val commit = BucketTable.manifest(indexPath).values.maxOption
+        .getOrElse(-1L) + 1
+      BucketTable.upsertInto(spark, indexPath,
+        staged.withColumn(Commit, lit(commit)))
+    }
+    setCoveredHeadLocked(indexPath, h)
+  }
+
   /** Bootstrap the index from the primary's current snapshot: one scan
     * of the primary, every live row contributing `(sec, key, live)`.
     */
@@ -40,6 +228,10 @@ object SecondaryIndex {
     val p = BucketTable.props(primaryPath)
     require(secCols.nonEmpty && secCols.forall(!p.keys.contains(_)),
       s"secondary columns ($secCols) must not overlap the primary key (${p.keys})")
+    // head read BEFORE the snapshot scan: a commit landing mid-build is
+    // not claimed covered — its own reconcile (or serve-time heal)
+    // picks it up
+    val h = BucketTable.latestCommit(primaryPath)
     val entries = BucketTable.read(spark, primaryPath)
       .select((secCols ++ p.keys).map(col): _*)
       .withColumn(Live, lit(true))
@@ -47,38 +239,26 @@ object SecondaryIndex {
     BucketTable.create(entries, indexPath,
       keys = secCols ++ p.keys, precombine = Commit,
       numBuckets = numBuckets, bucketBy = secCols)
+    BucketTable.bindSecondaryIndex(primaryPath, secCols, indexPath)
+    setCoveredHead(indexPath, h)
   }
 
-  /** Upsert `batch` into the primary AND maintain the index in the
-    * same pass. The pre-merge state of the batch's keys is read first
-    * (a [[BucketTable.lookupMany]] — O(touched buckets)); after the
-    * primary merge, the index receives one tombstone per mapping the
-    * merge invalidated and one live entry per current mapping — an
-    * O(batch) delta, exactly what Hudi's metadata-table writer commits
-    * alongside each instant.
+  /** Upsert `batch` into the primary; the engine binding ([[create]]
+    * wrote it) maintains the index inside the same call — one tombstone
+    * per mapping the merge invalidated, one live entry per current
+    * mapping, an O(batch) delta, exactly what Hudi's metadata-table
+    * writer commits alongside each instant. Kept as the historical
+    * programmatic front door; since the binding moved engine-level it
+    * simply asserts the wiring and delegates.
     */
   def upsertThrough(spark: SparkSession, primaryPath: String,
       indexPath: String, batch: DataFrame): Unit = {
-    val p = BucketTable.props(primaryPath)
-    val secCols = BucketTable.props(indexPath).bucketBy
-    val entryCols = (secCols ++ p.keys).map(col)
-    val batchKeyed = HudiLike.precombineLatest(batch, p.keys, p.precombine,
-      p.tieBreak).localCheckpoint()
-    val oldState = BucketTable.lookupMany(spark, primaryPath, batchKeyed)
-      .localCheckpoint()
-    BucketTable.upsertInto(spark, primaryPath, batchKeyed)
-    val newState = HudiLike.upsert(oldState, batchKeyed,
-      p.keys, p.precombine, p.tieBreak)
-    val oldEntries = oldState.select(entryCols: _*)
-    val newEntries = newState.select(entryCols: _*)
-    // mappings the merge invalidated (key kept, secondary value moved)
-    val dead = oldEntries.except(newEntries).withColumn(Live, lit(false))
-    val live = newEntries.withColumn(Live, lit(true))
-    // manifest generations only grow, so the current max is a monotone
-    // commit counter for the precombine
-    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
-    BucketTable.upsertInto(spark, indexPath,
-      dead.unionByName(live).withColumn(Commit, lit(commit)))
+    require(BucketTable.boundSecondaryIndex(primaryPath)
+        .exists(_._2 == indexPath),
+      s"$primaryPath does not bind the secondary index at $indexPath — " +
+        "create it with SecondaryIndex.create first")
+    BucketTable.upsertInto(spark, primaryPath, batch)
+    ()
   }
 
   /** Point lookup by secondary value: one index-bucket read resolves
@@ -161,15 +341,72 @@ object SecondaryIndex {
     * not by probing the primary for rows that no longer exist.
     */
   def tombstone(spark: SparkSession, primaryPath: String, indexPath: String,
-      secValues: Seq[Any], keys: DataFrame): Unit = {
-    val p = BucketTable.props(primaryPath)
-    val secCols = BucketTable.props(indexPath).bucketBy
-    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
-    val dead = secCols.zip(secValues).foldLeft(keys.select(p.keys.map(col): _*)) {
-      case (df, (c, v)) => df.withColumn(c, lit(v))
-    }.withColumn(Live, lit(false)).withColumn(Commit, lit(commit))
-    BucketTable.upsertInto(spark, indexPath, dead)
-    ()
+      secValues: Seq[Any], keys: DataFrame): Unit =
+    withMaintLock(indexPath) {
+      val p = BucketTable.props(primaryPath)
+      val secCols = BucketTable.props(indexPath).bucketBy
+      val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+      val dead = secCols.zip(secValues).foldLeft(keys.select(p.keys.map(col): _*)) {
+        case (df, (c, v)) => df.withColumn(c, lit(v))
+      }.withColumn(Live, lit(false)).withColumn(Commit, lit(commit))
+      BucketTable.upsertInto(spark, indexPath, dead)
+      ()
+    }
+
+  // ---- bloom-layout variant (mapping index over keys) ----------------
+  //
+  // A bloom primary serves a keyed fetch at O(candidate files)
+  // ([[BloomTable.lookupMany]] — range ∩ bloom tagging), so like the
+  // bucket variant its index stores only (sec, key) MAPPINGS: an
+  // equality SELECT probes one index bucket for the keys, then one
+  // candidate-file fetch reads the rows — never a manifest-wide scan.
+  // Maintenance is ENGINE-level (a `_secidx` table-dir file, the same
+  // binding every other layout uses): every BloomTable mutation
+  // primitive reconciles the (sec, key) delta of its touched region.
+
+  /** Bootstrap a mapping index from the bloom primary's snapshot and
+    * bind it for engine-level maintenance.
+    */
+  def createBloom(spark: SparkSession, primaryPath: String,
+      indexPath: String, secCols: Seq[String], numBuckets: Int = 16): Unit = {
+    val p = BloomTable.props(primaryPath)
+    require(secCols.nonEmpty && secCols.forall(!p.keys.contains(_)),
+      s"secondary columns ($secCols) must not overlap the primary key (${p.keys})")
+    val h = BloomTable.latestCommit(primaryPath) // before the scan
+    val entries = BloomTable.read(spark, primaryPath)
+      .select((secCols ++ p.keys).map(col): _*)
+      .withColumn(Live, lit(true))
+      .withColumn(Commit, lit(0L))
+    BucketTable.create(entries, indexPath,
+      keys = secCols ++ p.keys, precombine = Commit,
+      numBuckets = numBuckets, bucketBy = secCols)
+    BloomTable.bindSecondaryIndex(primaryPath, secCols, indexPath)
+    setCoveredHead(indexPath, h)
+  }
+
+  /** Live primary keys currently mapped to the secondary value — one
+    * index-bucket read, no primary access (the index-composed DML
+    * route's victim resolution on a bloom primary).
+    */
+  def lookupBloomKeys(spark: SparkSession, primaryPath: String,
+      indexPath: String, secValues: Seq[Any]): DataFrame = {
+    val p = BloomTable.props(primaryPath)
+    BucketTable.lookup(spark, indexPath, secValues)
+      .filter(col(Live))
+      .select(p.keys.map(col): _*)
+  }
+
+  /** Serve `sec = v` / `IN` / `IS NULL` combinations against a bloom
+    * primary: one index-bucket probe per combination resolves the live
+    * keys, then ONE [[BloomTable.lookupMany]] reads only their
+    * candidate files — no table scan at any size.
+    */
+  def lookupMultiBloom(spark: SparkSession, primaryPath: String,
+      indexPath: String, combos: Seq[Seq[Any]]): DataFrame = {
+    val keys = combos
+      .map(lookupBloomKeys(spark, primaryPath, indexPath, _))
+      .reduceLeft(_.unionByName(_)).distinct()
+    BloomTable.lookupMany(spark, primaryPath, keys)
   }
 
   // ---- COVERING variant (MOR primaries) ------------------------------
@@ -193,6 +430,7 @@ object SecondaryIndex {
     val p = MorTable.props(primaryPath)
     require(secCols.nonEmpty && secCols.forall(!p.keys.contains(_)),
       s"secondary columns ($secCols) must not overlap the primary key (${p.keys})")
+    val h = MorTable.changeHead(primaryPath) // before the snapshot scan
     val entries = MorTable.readSnapshot(spark, primaryPath)
       .withColumn(Live, lit(true))
       .withColumn(Commit, lit(0L))
@@ -200,6 +438,7 @@ object SecondaryIndex {
       keys = secCols ++ p.keys, precombine = Commit,
       numBuckets = numBuckets, bucketBy = secCols)
     MorTable.bindCoveringIndex(primaryPath, secCols, indexPath)
+    setCoveredHead(indexPath, h)
   }
 
   /** Commit the delta between the pre/post FULL-ROW states of one
@@ -259,9 +498,11 @@ object SecondaryIndex {
   // delta of its touched rows, so SQL routes and programmatic writers
   // alike keep it current, at O(touched slices) per commit — the price
   // the cdc image writer pays in the same place. As with the MOR
-  // binding, the index commits AFTER the primary swing: a crash in
-  // between leaves the index one commit stale (served rows re-checked
-  // by the retained SQL filter; never ahead of the table).
+  // binding, the index commits AFTER the primary swing (an index ahead
+  // of the commit would serve uncommitted rows); the crash window in
+  // between is caught by the covered-head serve check
+  // ([[ensureCurrent]]), which reconciles on read rather than silently
+  // under-serving.
 
   /** Bootstrap a mapping index from the partitioned primary's current
     * snapshot and bind it for engine-level maintenance.
@@ -272,6 +513,7 @@ object SecondaryIndex {
     require(secCols.nonEmpty && secCols.forall(!p.identity.contains(_)),
       s"secondary columns ($secCols) must not overlap the record " +
         s"identity (${p.identity.mkString(",")})")
+    val h = PartitionedTable.latestCommit(primaryPath) // before the scan
     val entries = PartitionedTable.read(spark, primaryPath)
       .select((secCols ++ p.identity).map(col): _*)
       .withColumn(Live, lit(true))
@@ -280,6 +522,31 @@ object SecondaryIndex {
       keys = secCols ++ p.identity, precombine = Commit,
       numBuckets = numBuckets, bucketBy = secCols)
     PartitionedTable.bindSecondaryIndex(primaryPath, secCols, indexPath)
+    setCoveredHead(indexPath, h)
+  }
+
+  /** Bootstrap a GLOBAL record-level index over a partitioned primary
+    * (Hudi 0.14's RLI): key → (partition values) mappings in a
+    * BucketTable bucketed by the KEY columns, so a key lookup without
+    * the partition value probes ONE index bucket, resolves the
+    * identities, and reads only the slices they route to. Bound for
+    * engine-level maintenance like the secondary index (every mutation
+    * primitive reconciles the (key, partition) delta; covered-head
+    * serve check catches crash-torn maintenance).
+    */
+  def createPartitionedRecord(spark: SparkSession, primaryPath: String,
+      indexPath: String, numBuckets: Int = 16): Unit = {
+    val p = PartitionedTable.props(primaryPath)
+    val h = PartitionedTable.latestCommit(primaryPath) // before the scan
+    val entries = PartitionedTable.read(spark, primaryPath)
+      .select((p.keys ++ p.partitionCols).map(col): _*)
+      .withColumn(Live, lit(true))
+      .withColumn(Commit, lit(0L))
+    BucketTable.create(entries, indexPath,
+      keys = p.keys ++ p.partitionCols, precombine = Commit,
+      numBuckets = numBuckets, bucketBy = p.keys)
+    PartitionedTable.bindRecordIndex(primaryPath, indexPath)
+    setCoveredHead(indexPath, h)
   }
 
   /** [[reconcile]] serialized across concurrent PRIMARY writers — the

@@ -121,6 +121,10 @@ object SqlCall {
           case Some(("partitioned", p)) =>
             PartitionedTable.archiveCommits(p, toInt(keep, "keep"))
               .toDF("version")
+          case Some(("mor", p)) =>
+            // fold the seq-ts log's old lines (TIMESTAMP AS OF resolves
+            // pre-boundary instants through the archive)
+            MorTable.archiveCommits(p, toInt(keep, "keep")).toDF("version")
           case _ =>
             Timeline.archive(timelinePathOf(spark, t),
               toInt(keep, "keep")).toDF("version")
@@ -208,6 +212,33 @@ object SqlCall {
         Catalog.indexesOf(spark, t).toSeq.sortBy(_._1)
           .map { case (n, (tpe, artifact)) => (n, tpe, artifact) }
           .toDF("index_name", "index_type", "artifact")
+      case ("reconcile_index", Seq(t: String)) =>
+        // force the covered-head check + reconcile-on-read that every
+        // index-served route runs implicitly (SecondaryIndex
+        // .ensureCurrent) — the operator's explicit repair verb after
+        // a writer crash or a bypassing bulk load
+        val (kind, path) = Catalog.layoutOf(spark, t).getOrElse(
+          throw new IllegalArgumentException(
+            s"reconcile_index('$t'): not a layout-registered table"))
+        val artifacts: Seq[(String, String)] = kind match {
+          case "bucket" => BucketTable.boundSecondaryIndex(path).toSeq
+            .map { case (_, idx) => ("secondary", idx) }
+          case "bloom" => BloomTable.boundSecondaryIndex(path).toSeq
+            .map { case (_, idx) => ("secondary", idx) }
+          case "mor" => MorTable.boundCoveringIndex(path).toSeq
+            .map { case (_, idx) => ("secondary", idx) }
+          case "partitioned" =>
+            PartitionedTable.boundSecondaryIndex(path).toSeq
+              .map { case (_, idx) => ("secondary", idx) } ++
+              PartitionedTable.boundRecordIndex(path).toSeq
+                .map(idx => ("record", idx))
+          case other => throw new IllegalArgumentException(
+            s"reconcile_index('$t'): no index bindings on layout '$other'")
+        }
+        artifacts.map { case (tpe, idx) =>
+          SecondaryIndex.ensureCurrent(spark, kind, path, idx)
+          (tpe, idx, SecondaryIndex.coveredHead(idx))
+        }.toDF("index_type", "artifact", "covered_head")
       case ("incremental_read", Seq(t: String, from)) =>
         incrementalRead(spark, t, toLongArg(from, "from"), None)
       case ("incremental_read", Seq(t: String, from, to)) =>
@@ -313,7 +344,8 @@ object SqlCall {
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
           "run_compaction, rollback_to_version, clean, purge_key, " +
-          "show_indexes, show_schema_state, show_partitions, show_files, " +
+          "show_indexes, reconcile_index, show_schema_state, " +
+          "show_partitions, show_files, " +
           "show_fsview, "
           + "run_clustering, run_bootstrap, incremental_read, " +
           "table_changes, enable_cdc, " +
@@ -545,6 +577,8 @@ object SqlCall {
     }.select(keys.map(col): _*)
     kind match {
       case "bloom" =>
+        // the engine-bound secondary index (when any) retires the key's
+        // mappings inside the delete commit
         val rewritten = BloomTable.deleteFrom(spark, path, keysDf)
         val rli =
           if (!RecordIndex.exists(path)) Nil
@@ -553,31 +587,56 @@ object SqlCall {
               staleKeys = Some(keysDf))
             Seq("record_index" -> s"shards_refreshed=${shards.size}")
           }
-        (Seq("table" -> s"files_rewritten=${rewritten.size}") ++ rli)
+        val sec = BloomTable.boundSecondaryIndex(path).toSeq.map {
+          case (_, idxPath) =>
+            "secondary_index" -> s"reconciled=$idxPath"
+        }
+        (Seq("table" -> s"files_rewritten=${rewritten.size}") ++ rli ++ sec)
           .toDF("artifact", "detail")
       case "bucket" =>
-        // resolve the row's secondary values BEFORE the delete (they
-        // are unreachable after), but tombstone the index AFTER it:
-        // a crash between delete and tombstone leaves a dangling
-        // index entry whose primary probe finds no row — self-healing
-        // under-is-absent — whereas tombstone-first would hide a row
-        // that still exists (silent under-serving, unrecoverable)
-        val resolved = Catalog.secondaryIndexOf(spark, t).map {
-          case (secCols, idxPath) =>
-            (idxPath, BucketTable.lookupMany(spark, path, keysDf)
-              .select(secCols.map(col): _*).distinct().collect())
-        }
+        // the engine binding captures the row's mappings in its
+        // pre-probe and retires them inside the delete commit — no
+        // SQL-layer resolve-then-tombstone dance (and no crash window
+        // between the two: a torn maintenance pass is caught by the
+        // covered-head serve check)
         val buckets = BucketTable.deleteFrom(spark, path, keysDf)
-        val sec = resolved.toSeq.map { case (idxPath, tuples) =>
-          tuples.foreach(r => SecondaryIndex.tombstone(
-            spark, path, idxPath, r.toSeq, keysDf))
-          "secondary_index" -> s"tombstoned=${tuples.length}"
+        val sec = BucketTable.boundSecondaryIndex(path).toSeq.map {
+          case (_, idxPath) =>
+            "secondary_index" -> s"reconciled=$idxPath"
         }
         (Seq("table" -> s"buckets_rewritten=${buckets.size}") ++ sec)
           .toDF("artifact", "detail")
+      case "partitioned" =>
+        // the key arrives WITHOUT its partition value (that is the
+        // point of a global purge) — the record-level index resolves
+        // key → identity from one probed bucket, and the delete
+        // rewrites only the slices those identities route to; without
+        // an RLI the resolution is a discovery scan (loud in the
+        // report), the delete itself stays O(touched slices)
+        val (ids, how) = PartitionedTable.boundRecordIndex(path) match {
+          case Some(rliPath) =>
+            SecondaryIndex.ensureCurrent(spark, "partitioned", path, rliPath)
+            (SecondaryIndex.lookupPartitionedIds(spark, path, rliPath,
+              keyArgs).localCheckpoint(), s"rli=$rliPath")
+          case None =>
+            val p = PartitionedTable.props(path)
+            (Catalog.readPhysical(spark, t)
+              .filter(keys.zip(keyArgs).map { case (k, v) =>
+                col(k) === lit(v) }.reduce(_ && _))
+              .select(p.identity.map(col): _*).distinct().localCheckpoint(),
+              "full_scan")
+        }
+        val rewritten = PartitionedTable.deleteFrom(spark, path, ids)
+        val sec = PartitionedTable.boundSecondaryIndex(path).toSeq.map {
+          case (_, idxPath) =>
+            "secondary_index" -> s"reconciled=$idxPath"
+        }
+        (Seq("table" -> s"slices_rewritten=${rewritten.size}",
+          "resolution" -> how) ++ sec)
+          .toDF("artifact", "detail")
       case other => throw new IllegalArgumentException(
-        s"purge_key('$t'): supported layouts are bucket | bloom, " +
-          s"got '$other'")
+        s"purge_key('$t'): supported layouts are bucket | bloom | " +
+          s"partitioned, got '$other'")
     }
   }
 }

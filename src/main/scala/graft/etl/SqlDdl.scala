@@ -22,10 +22,12 @@ object SqlDdl {
 
   /** Navigate the declared schema along a nested column path (struct
     * fields by case-insensitive name, `element` descending an
-    * array<struct>), returning the canonical-case parent path, the
-    * parent STRUCT the leaf lives in, and the leaf name. Loud on every
-    * wrong shape — maps, bare arrays without `.element.`, non-struct
-    * descent — so the four ALTER verbs share one error surface.
+    * array<struct>, `value` descending a map<_, struct>), returning
+    * the canonical-case parent path, the parent STRUCT the leaf lives
+    * in, and the leaf name. Loud on every wrong shape — bare arrays
+    * without `.element.`, bare maps without `.value.`, map KEYS
+    * (join-identity semantics; never evolved), non-struct descent —
+    * so the four ALTER verbs share one error surface.
     */
   private def parentAndLeaf(table: String, verb: String, sch: StructType,
       path: Seq[String]): (Seq[String], StructType, String) = {
@@ -40,6 +42,19 @@ object SqlDdl {
           throw new IllegalArgumentException(
             s"$verb $table: '$comp' in '${path.mkString(".")}' is under " +
               "an ARRAY — address element fields through '.element.'")
+        case mt: org.apache.spark.sql.types.MapType
+            if comp.equalsIgnoreCase("value") =>
+          canonical :+= "value"; cur = mt.valueType
+        case _: org.apache.spark.sql.types.MapType
+            if comp.equalsIgnoreCase("key") =>
+          throw new IllegalArgumentException(
+            s"$verb $table: map KEYS in '${path.mkString(".")}' never " +
+              "evolve (they are lookup identity) — only '.value.' " +
+              "fields do")
+        case _: org.apache.spark.sql.types.MapType =>
+          throw new IllegalArgumentException(
+            s"$verb $table: '$comp' in '${path.mkString(".")}' is under " +
+              "a MAP — address value fields through '.value.'")
         case st: StructType =>
           val f = st.fields.find(_.name.equalsIgnoreCase(comp)).getOrElse(
             throw new IllegalArgumentException(
@@ -50,8 +65,9 @@ object SqlDdl {
         case other =>
           throw new IllegalArgumentException(
             s"$verb $table: '$comp' in '${path.mkString(".")}' descends " +
-              s"${other.sql} — only STRUCT fields and ARRAY elements " +
-              "(via '.element.') evolve metadata-only (maps do not)")
+              s"${other.sql} — only STRUCT fields, ARRAY elements " +
+              "(via '.element.') and MAP values (via '.value.') evolve " +
+              "metadata-only")
       }
     }
     cur match {
@@ -60,6 +76,10 @@ object SqlDdl {
         throw new IllegalArgumentException(
           s"$verb $table: '${path.dropRight(1).mkString(".")}' is an " +
             "ARRAY — address its element fields through '.element.'")
+      case _: org.apache.spark.sql.types.MapType =>
+        throw new IllegalArgumentException(
+          s"$verb $table: '${path.dropRight(1).mkString(".")}' is a " +
+            "MAP — address its value fields through '.value.'")
       case other => throw new IllegalArgumentException(
         s"$verb $table: '${path.dropRight(1).mkString(".")}' is " +
           s"${other.sql}, not a STRUCT")
@@ -78,6 +98,9 @@ object SqlDdl {
         case (at: org.apache.spark.sql.types.ArrayType, comps)
             if comps.head == "element" =>
           at.copy(elementType = go(at.elementType, comps.tail))
+        case (mt: org.apache.spark.sql.types.MapType, comps)
+            if comps.head == "value" =>
+          mt.copy(valueType = go(mt.valueType, comps.tail))
         case (st: StructType, comps) =>
           StructType(st.fields.map(fl =>
             if (fl.name.equalsIgnoreCase(comps.head))

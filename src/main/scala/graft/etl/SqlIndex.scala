@@ -106,47 +106,70 @@ object SqlIndex {
     val tpe = c.indexType.toLowerCase
     val artifact = tpe match {
       case "secondary" =>
-        require(kind == "bucket" || kind == "mor" || kind == "partitioned",
-          s"USING SECONDARY needs a bucket-, mor- or partitioned-layout " +
-            s"table; $target is '$kind'")
+        require(kind == "bucket" || kind == "mor" || kind == "partitioned" ||
+            kind == "bloom",
+          s"USING SECONDARY needs a bucket-, bloom-, mor- or " +
+            s"partitioned-layout table; $target is '$kind'")
         require(Catalog.secondaryIndexOf(spark, target).isEmpty,
           s"$target already binds a secondary index")
         require(cols.forall(!_.contains(":=")),
           "a secondary index takes plain columns, not expressions")
         val idxPath = s"${path}_idx_${c.indexName}"
-        // bucket primaries keep the (sec, key) mapping index (hits are
-        // an O(probed buckets) keyed fetch); a MOR primary is one file
-        // group — any keyed fetch is a merge scan — so its index is
-        // COVERING and maintained on the engine write path (see
-        // SecondaryIndex.createMorCovering); a partitioned primary
-        // keeps a (sec, identity) mapping index, also engine-bound
-        // (SecondaryIndex.createPartitioned) — hits resolve identities
-        // and one lookupMany reads only the slices they route to
+        // bucket/bloom primaries keep a (sec, key) mapping index (hits
+        // are an O(probed buckets) / O(candidate files) keyed fetch); a
+        // MOR primary is one file group — any keyed fetch is a merge
+        // scan — so its index is COVERING; a partitioned primary keeps
+        // a (sec, identity) mapping index — hits resolve identities and
+        // one lookupMany reads only the slices they route to. Every
+        // variant is ENGINE-bound (a table-dir `_secidx` file), so
+        // programmatic writers maintain it too, and every variant
+        // records the covered commit head the serve-time crash check
+        // compares (SecondaryIndex.ensureCurrent).
         if (kind == "mor")
           SecondaryIndex.createMorCovering(spark, path, idxPath, cols)
         else if (kind == "partitioned")
           SecondaryIndex.createPartitioned(spark, path, idxPath, cols)
+        else if (kind == "bloom")
+          SecondaryIndex.createBloom(spark, path, idxPath, cols)
         else SecondaryIndex.create(spark, path, idxPath, cols)
         setProps(spark, target,
           "graft.table.secondaryIndex" -> s"${cols.mkString(",")}:$idxPath")
         idxPath
       case "record" =>
-        require(kind == "bloom",
-          s"USING RECORD needs a bloom-layout table; $target is '$kind' " +
-            "(the RLI maps record key -> data file over bloom commits)")
-        val keys = BloomTable.props(path).keys
-        require(cols.map(_.toLowerCase).sorted ==
-          keys.map(_.toLowerCase).sorted,
-          s"USING RECORD indexes the primary key (${keys.mkString(",")}); " +
-            s"got (${cols.mkString(",")})")
-        require(!RecordIndex.exists(path),
-          s"$target already has a record index")
-        RecordIndex.build(spark, path)
-        path
+        require(kind == "bloom" || kind == "partitioned",
+          s"USING RECORD needs a bloom- or partitioned-layout table; " +
+            s"$target is '$kind' (the RLI maps record key -> data file " +
+            "over bloom commits, or key -> partition on the " +
+            "partitioned layout)")
+        if (kind == "partitioned") {
+          // GLOBAL record index (Hudi 0.14 RLI): key → partition, so a
+          // key lookup without the partition value reads ONE slice
+          val keys = PartitionedTable.props(path).keys
+          require(cols.map(_.toLowerCase).sorted ==
+            keys.map(_.toLowerCase).sorted,
+            s"USING RECORD indexes the record key (${keys.mkString(",")}); " +
+              s"got (${cols.mkString(",")})")
+          require(PartitionedTable.boundRecordIndex(path).isEmpty,
+            s"$target already binds a record index")
+          val rli = s"${path}_rli_${c.indexName}"
+          SecondaryIndex.createPartitionedRecord(spark, path, rli)
+          rli
+        } else {
+          val keys = BloomTable.props(path).keys
+          require(cols.map(_.toLowerCase).sorted ==
+            keys.map(_.toLowerCase).sorted,
+            s"USING RECORD indexes the primary key (${keys.mkString(",")}); " +
+              s"got (${cols.mkString(",")})")
+          require(!RecordIndex.exists(path),
+            s"$target already has a record index")
+          RecordIndex.build(spark, path)
+          path
+        }
       case "column_stats" =>
-        require(kind == "bucket" || kind == "bloom" || kind == "partitioned",
-          s"USING COLUMN_STATS needs a bucket/bloom/partitioned-layout " +
-            s"table; $target is '$kind'")
+        require(kind == "bucket" || kind == "bloom" ||
+            kind == "partitioned" || kind == "mor",
+          s"USING COLUMN_STATS needs a bucket/bloom/partitioned/mor-" +
+            s"layout table; $target is '$kind'")
         require(Catalog.statsIndexOf(spark, target).isEmpty,
           s"$target already binds a column-stats index")
         val statsPath = s"${path}_stats_${c.indexName}"
@@ -157,6 +180,12 @@ object SqlIndex {
             // matter at build time — the serve path re-syncs and
             // refuses to skip while a delta log is pending
             PartitionedTable.readOptimized(spark, path)
+          case "mor" =>
+            // the BASE generation's files (zone maps have nothing to
+            // skip inside pending logs — the serve path refuses to
+            // skip until compaction folds them; stats re-sync to the
+            // new base there)
+            MorTable.readOptimized(spark, path)
           case _ => BucketTable.read(spark, path)
         }).inputFiles.toSeq
         require(live.nonEmpty,
@@ -185,20 +214,34 @@ object SqlIndex {
         tpe match {
           case "secondary" =>
             unsetProps(spark, target, "graft.table.secondaryIndex")
-            // a MOR primary also carries the engine-level binding that
-            // drives write-path maintenance — unbind it with the drop
+            // every layout carries the engine-level binding that drives
+            // write-path maintenance — unbind it with the drop
             Catalog.layoutOf(spark, target).foreach {
               case ("mor", path) => MorTable.unbindCoveringIndex(path)
               case ("partitioned", path) =>
                 PartitionedTable.unbindSecondaryIndex(path)
-                // the reconcile-serialization scope goes with the index
-                FsUtil.deleteRecursively(
-                  java.nio.file.Paths.get(s"${artifact}_maint"))
+              case ("bucket", path) => BucketTable.unbindSecondaryIndex(path)
+              case ("bloom", path) => BloomTable.unbindSecondaryIndex(path)
               case _ => ()
             }
+            // the reconcile-serialization scope and covered-head state
+            // go with the index
+            FsUtil.deleteRecursively(
+              java.nio.file.Paths.get(s"${artifact}_maint"))
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(s"${artifact}_phead"))
             FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))
           case "record" =>
-            RecordIndex.drop(artifact)
+            Catalog.layoutOf(spark, target) match {
+              case Some(("partitioned", path)) =>
+                PartitionedTable.unbindRecordIndex(path)
+                FsUtil.deleteRecursively(
+                  java.nio.file.Paths.get(s"${artifact}_maint"))
+                java.nio.file.Files.deleteIfExists(
+                  java.nio.file.Paths.get(s"${artifact}_phead"))
+                FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))
+              case _ => RecordIndex.drop(artifact)
+            }
           case "column_stats" =>
             unsetProps(spark, target, "graft.table.statsIndex")
             FsUtil.deleteRecursively(java.nio.file.Paths.get(artifact))

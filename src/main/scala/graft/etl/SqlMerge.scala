@@ -293,43 +293,47 @@ object SqlMerge {
           case Some((_, idxPath, secValues)) =>
             // index-composed route: the predicate is an equality over
             // the indexed columns — resolve keys through ONE index
-            // bucket, delete through the keys' buckets, tombstone the
-            // served mappings; no scan of the primary at any point
+            // bucket (after the crash-loudness gate: a stale index must
+            // never under-resolve the victims), delete through the
+            // keys' buckets; the engine binding reconciles the served
+            // mappings inside the delete commit
+            SecondaryIndex.ensureCurrent(spark, "bucket", path, idxPath)
             val keys = SecondaryIndex.lookupKeys(spark, path, idxPath, secValues)
               .localCheckpoint()
             BucketTable.deleteFrom(spark, path, keys)
-            SecondaryIndex.tombstone(spark, path, idxPath, secValues, keys)
+            ()
           case None =>
             val (cond, sel) = layoutConds(spark, target,
               unqualifiedExpr(d.condition, alias, target), mapping._1,
               mapping._3)
-            // with a bound index, retire the victims' mappings too —
-            // dangling entries would self-heal on serve (the primary
-            // probe misses), but the index shouldn't accrete them
-            val sec = Catalog.secondaryIndexOf(spark, target)
-            val victimKeys = sec.map { _ =>
-              val keys = BucketTable.props(path).keys
-              Catalog.readTable(spark, target).filter(cond)
-                .select(keys.map(col): _*).distinct().localCheckpoint()
-            }
-            val pre = sec.map { case (_, idxPath) =>
-              SecondaryIndex.entriesForKeys(spark, path, idxPath,
-                victimKeys.get)
-            }
+            // the engine binding retires the victims' mappings inside
+            // the rewrite commit — no SQL-layer hook needed
             BucketTable.rewriteWhere(spark, path, sel)(survivors(cond))
-            sec.foreach { case (_, idxPath) =>
-              SecondaryIndex.reconcile(spark, idxPath, pre.get,
-                SecondaryIndex.entriesForKeys(spark, path, idxPath,
-                  victimKeys.get))
-            }
             ()
         }
       case Some(("bloom", path)) =>
-        val (cond, sel) = layoutConds(spark, target,
-          unqualifiedExpr(d.condition, alias, target), mapping._1,
-          mapping._3)
-        BloomTable.rewriteWhere(spark, path, sel)(survivors(cond))
-        ()
+        val bloomIndexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+          case (secCols, idxPath) =>
+            equalityLiterals(d.condition, secCols).map((idxPath, _))
+        }
+        bloomIndexed match {
+          case Some((idxPath, secValues)) =>
+            // index-composed route: ONE probed index bucket resolves
+            // the victims' keys, the delete rewrites only their
+            // candidate files — no discovery scan; the engine binding
+            // reconciles the served mappings in the same pass
+            SecondaryIndex.ensureCurrent(spark, "bloom", path, idxPath)
+            val keys = SecondaryIndex.lookupBloomKeys(
+              spark, path, idxPath, secValues).localCheckpoint()
+            BloomTable.deleteFrom(spark, path, keys)
+            ()
+          case None =>
+            val (cond, sel) = layoutConds(spark, target,
+              unqualifiedExpr(d.condition, alias, target), mapping._1,
+              mapping._3)
+            BloomTable.rewriteWhere(spark, path, sel)(survivors(cond))
+            ()
+        }
       case Some(("timeline", path)) =>
         val cond = unqualified(d.condition, alias, target)
         Timeline.commit(
@@ -358,9 +362,11 @@ object SqlMerge {
         else indexed match {
           case Some((idxPath, secValues)) =>
             // index-composed route: ONE probed index bucket resolves
-            // the victims' identities, the delete rewrites only the
-            // slices they route to — no discovery scan; the engine
-            // binding tombstones the served mappings in the same pass
+            // the victims' identities (after the crash-loudness gate),
+            // the delete rewrites only the slices they route to — no
+            // discovery scan; the engine binding tombstones the served
+            // mappings in the same pass
+            SecondaryIndex.ensureCurrent(spark, "partitioned", path, idxPath)
             val ids = SecondaryIndex.lookupPartitionedIds(
               spark, path, idxPath, secValues).localCheckpoint()
             PartitionedTable.deleteFrom(spark, path, ids)
@@ -383,9 +389,10 @@ object SqlMerge {
         val victims = indexed match {
           case Some((idxPath, secValues)) =>
             // covering-index route: the victims come from ONE probed
-            // index bucket — no merge scan of the primary; the index's
-            // own maintenance rides the tombstone append (the engine
-            // write path reconciles it)
+            // index bucket (after the crash-loudness gate) — no merge
+            // scan of the primary; the index's own maintenance rides
+            // the tombstone append (the engine write path reconciles it)
+            SecondaryIndex.ensureCurrent(spark, "mor", path, idxPath)
             SecondaryIndex.lookupMultiCovering(spark, idxPath,
               Seq(secValues))
               .select((p.keys :+ p.precombine).map(col): _*)
@@ -461,12 +468,8 @@ object SqlMerge {
             PartitionedTable.upsertInto(spark, path, batch)
             ()
           case ("bucket", false) =>
-            Catalog.secondaryIndexOf(spark, target) match {
-              case Some((_, idxPath)) =>
-                SecondaryIndex.upsertThrough(spark, path, idxPath, batch)
-              case None =>
-                BucketTable.upsertInto(spark, path, batch)
-            }
+            // the engine-bound secondary index (when any) rides inside
+            BucketTable.upsertInto(spark, path, batch)
             ()
           case ("bloom", false) =>
             BloomTable.upsertInto(spark, path, batch)
@@ -488,12 +491,8 @@ object SqlMerge {
           // rebuilt from the new state — proportionate, since the verb
           // itself replaces the whole table.
           case ("bucket", true) =>
+            // a bound secondary index is rebuilt inside overwriteTable
             BucketTable.overwriteTable(spark, path, batch)
-            Catalog.secondaryIndexOf(spark, target).foreach {
-              case (secCols, idxPath) =>
-                FsUtil.deleteRecursively(java.nio.file.Paths.get(idxPath))
-                SecondaryIndex.create(spark, path, idxPath, secCols)
-            }
             ()
           case ("bloom", true) =>
             BloomTable.overwriteTable(spark, path, batch)
@@ -686,31 +685,14 @@ object SqlMerge {
         kind match {
           case "bucket" =>
             // an UPDATE that assigns a secondary-indexed column moves
-            // mappings; capture the touched keys' entries before the
-            // rewrite and reconcile after (assignments that don't
-            // touch indexed columns leave the index untouched)
-            val sec = Catalog.secondaryIndexOf(spark, target).filter {
-              case (secCols, _) => secCols.exists(sc =>
-                assigned.keys.exists(_.equalsIgnoreCase(sc)))
-            }
-            val touchedKeys = sec.map { _ =>
-              Catalog.readTable(spark, target).filter(cond)
-                .select(keys.map(col): _*).distinct().localCheckpoint()
-            }
-            val pre = sec.map { case (_, idxPath) =>
-              SecondaryIndex.entriesForKeys(spark, path, idxPath,
-                touchedKeys.get)
-            }
-            // align the physical frame to the declared schema first: a
-            // column added by ALTER TABLE exists in the catalog before
-            // any file carries it, and an UPDATE assigning it must not
-            // silently drop (projected() iterates the frame's columns)
+            // mappings; the engine binding reconciles the touched
+            // region's pre/post inside the rewrite commit.
+            // (writeImage aligns the physical frame to the declared
+            // schema first: a column added by ALTER TABLE exists in
+            // the catalog before any file carries it, and an UPDATE
+            // assigning it must not silently drop.)
             BucketTable.rewriteWhere(spark, path, sel)(writeImage)
-            sec.foreach { case (_, idxPath) =>
-              SecondaryIndex.reconcile(spark, idxPath, pre.get,
-                SecondaryIndex.entriesForKeys(spark, path, idxPath,
-                  touchedKeys.get))
-            }
+            ()
           case "bloom" =>
             BloomTable.rewriteWhere(spark, path, sel)(writeImage)
           case "partitioned" =>
@@ -798,17 +780,10 @@ object SqlMerge {
           precombine, tieBreak)
         layout match {
           case Some(("bucket", path)) =>
-            Catalog.secondaryIndexOf(spark, target) match {
-              case Some((_, idxPath)) =>
-                // a bound secondary index must see every front-door
-                // write: an upsert that moves a row's indexed value
-                // would otherwise leave a live stale mapping, and a
-                // later index-served DELETE would remove the wrong row
-                PreCommit.validate(dedupedSrc, rules)
-                SecondaryIndex.upsertThrough(spark, path, idxPath, srcP)
-              case None =>
-                BucketTable.upsertInto(spark, path, srcP, rules); ()
-            }
+            // the engine-bound secondary index (when any) sees every
+            // front-door write inside upsertInto — an upsert that moves
+            // a row's indexed value tombstones the stale mapping there
+            BucketTable.upsertInto(spark, path, srcP, rules); ()
           case Some(("bloom", path)) =>
             BloomTable.upsertInto(spark, path, srcP, rules); ()
           case Some(("partitioned", path)) =>
@@ -840,20 +815,9 @@ object SqlMerge {
         val delKeys = source.select(identity.map(col): _*).distinct()
         layout match {
           case Some(("bucket", path)) =>
-            Catalog.secondaryIndexOf(spark, target) match {
-              case Some((_, idxPath)) =>
-                // capture the victims' index entries BEFORE the delete
-                // (unreachable after), tombstone them after it — the
-                // dangling-entry window self-heals (primary probe
-                // misses), the reverse order would hide live rows
-                val pre = SecondaryIndex.entriesForKeys(
-                  spark, path, idxPath, delKeys)
-                BucketTable.deleteFrom(spark, path, delKeys)
-                SecondaryIndex.reconcile(spark, idxPath, pre,
-                  SecondaryIndex.entriesForKeys(spark, path, idxPath, delKeys))
-              case None =>
-                BucketTable.deleteFrom(spark, path, delKeys); ()
-            }
+            // the engine binding captures pre/post around the delete
+            // commit and retires the victims' mappings there
+            BucketTable.deleteFrom(spark, path, delKeys)
             ()
           case Some(("bloom", path)) =>
             BloomTable.deleteFrom(spark, path, delKeys); ()
@@ -917,19 +881,10 @@ object SqlMerge {
         }
         layout match {
           case Some(("bucket", path)) =>
-            val srcKeys = touchedIdentity(keys)
-            val sec = Catalog.secondaryIndexOf(spark, target)
-            val pre = sec.map { case (_, idxPath) =>
-              SecondaryIndex.entriesForKeys(spark, path, idxPath, srcKeys)
-            }
-            BucketTable.rewriteKeys(spark, path, srcKeys)(merged)
-            // updates may move indexed values, deletes retire
-            // mappings, inserts add them — one pre/post reconcile
-            // covers all three action kinds
-            sec.foreach { case (_, idxPath) =>
-              SecondaryIndex.reconcile(spark, idxPath, pre.get,
-                SecondaryIndex.entriesForKeys(spark, path, idxPath, srcKeys))
-            }
+            // updates may move indexed values, deletes retire mappings,
+            // inserts add them — the engine binding's one pre/post
+            // reconcile inside the rewrite commit covers all three
+            BucketTable.rewriteKeys(spark, path, touchedIdentity(keys))(merged)
             ()
           case Some(("bloom", path)) =>
             BloomTable.rewriteKeys(spark, path, touchedIdentity(keys))(merged)

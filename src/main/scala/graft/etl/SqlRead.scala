@@ -125,9 +125,80 @@ object SqlRead {
   private def routedRead(spark: SparkSession, rel: UnresolvedRelation,
       cond: Expression): Option[LogicalPlan] =
     pointRead(spark, rel, cond)
+      .orElse(rliRead(spark, rel, cond))
       .orElse(secondaryRead(spark, rel, cond))
       .orElse(prunedScan(spark, rel, cond))
       .orElse(skippingScan(spark, rel, cond))
+
+  /** Global record-index-served point read on the PARTITIONED layout
+    * (Hudi 0.14's RLI query path): when the table binds a record index
+    * (`_rli`) and the filter pins every KEY column to bounded literal
+    * value sets — partition value unknown, the case the layout's own
+    * routing can't serve — ONE probed index bucket per combination
+    * resolves the identities (key → partition values) and one
+    * [[PartitionedTable.lookupMany]] reads only the slices they route
+    * to. Without this route the same query scans every partition.
+    */
+  private def rliRead(spark: SparkSession, rel: UnresolvedRelation,
+      cond: Expression): Option[LogicalPlan] = {
+    val name = rel.multipartIdentifier.mkString(".")
+    layoutOf(spark, name).flatMap {
+      case ("partitioned", path) =>
+        PartitionedTable.boundRecordIndex(path).flatMap { rliPath =>
+          val keys = PartitionedTable.props(path).keys
+          val sets = literalValueSets(cond)
+          if (!keys.forall(k => sets.contains(k.toLowerCase))) None
+          else {
+            val product = keys.map(k =>
+              sets(k.toLowerCase).size.toLong).product
+            if (product > BloomTable.InListMax) None
+            else {
+              val combos = keys.foldLeft(Seq(Seq.empty[Any])) { (acc, k) =>
+                for (prefix <- acc; v <- sets(k.toLowerCase))
+                  yield prefix :+ v
+              }
+              SecondaryIndex.ensureCurrent(spark, "partitioned", path, rliPath)
+              val ids = combos
+                .map(SecondaryIndex.lookupPartitionedIds(
+                  spark, path, rliPath, _))
+                .reduceLeft(_.unionByName(_)).distinct()
+              Some(Catalog.alignToDeclared(spark, name,
+                PartitionedTable.lookupMany(spark, path, ids))
+                .queryExecution.analyzed)
+            }
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Per-column bounded literal value sets from the filter's top-level
+    * conjuncts — equality, `IN (literals...)`, `IS NULL` / null-safe
+    * equality. A column constrained by several conjuncts keeps the
+    * FIRST set (the retained filter restores exactness — serving a
+    * superset is sound).
+    */
+  private def literalValueSets(cond: Expression): Map[String, Seq[Any]] = {
+    def cvt(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    conjuncts(cond).flatMap {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+      case EqualNullSafe(a: UnresolvedAttribute, l: Literal) =>
+        Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+      case EqualNullSafe(l: Literal, a: UnresolvedAttribute) =>
+        Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
+      case In(a: UnresolvedAttribute, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.nameParts.last.toLowerCase ->
+          vs.map(v => cvt(v.asInstanceOf[Literal])).distinct)
+      case IsNull(a: UnresolvedAttribute) =>
+        Some(a.nameParts.last.toLowerCase -> Seq(null))
+      case _ => None
+    }.groupBy(_._1).view.mapValues(_.head._2).toMap
+  }
 
   /** Secondary-index-served SELECT: when the table binds a secondary
     * index (`graft.table.secondaryIndex`) and the filter's conjuncts
@@ -151,32 +222,13 @@ object SqlRead {
       // with zero primary access.
       // partitioned: index resolves identities (partition cols +
       // keys), one lookupMany reads only the slices they route to.
+      // bloom: index resolves keys, one candidate-file fetch.
       case (kind, path)
-          if kind == "bucket" || kind == "mor" || kind == "partitioned" =>
+          if kind == "bucket" || kind == "mor" || kind == "partitioned" ||
+            kind == "bloom" =>
         Catalog.secondaryIndexOf(spark, name).flatMap {
           case (secCols, idxPath) =>
-            def cvt(l: Literal): Any =
-              CatalystTypeConverters.convertToScala(l.value, l.dataType)
-            // per-column bounded value sets; a column constrained by
-            // several conjuncts keeps the FIRST set (the retained
-            // filter restores exactness — serving a superset is sound)
-            val sets = conjuncts(cond).flatMap {
-              case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
-              case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
-              case EqualNullSafe(a: UnresolvedAttribute, l: Literal) =>
-                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
-              case EqualNullSafe(l: Literal, a: UnresolvedAttribute) =>
-                Some(a.nameParts.last.toLowerCase -> Seq(cvt(l)))
-              case In(a: UnresolvedAttribute, vs)
-                  if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-                Some(a.nameParts.last.toLowerCase ->
-                  vs.map(v => cvt(v.asInstanceOf[Literal])).distinct)
-              case IsNull(a: UnresolvedAttribute) =>
-                Some(a.nameParts.last.toLowerCase -> Seq(null))
-              case _ => None
-            }.groupBy(_._1).view.mapValues(_.head._2).toMap
+            val sets = literalValueSets(cond)
             if (!secCols.forall(c => sets.contains(c.toLowerCase))) None
             else {
               // bound-check on the SIZES before materializing the
@@ -190,12 +242,19 @@ object SqlRead {
                   for (prefix <- acc; v <- sets(c.toLowerCase))
                     yield prefix :+ v
                 }
+                // crash-loudness gate: the index's covered head must
+                // match the primary's commit head, else reconcile on
+                // read — an index-served SELECT never silently misses
+                // rows a crashed (or bypassing) writer left unindexed
+                SecondaryIndex.ensureCurrent(spark, kind, path, idxPath)
                 val served =
                   if (kind == "mor")
                     SecondaryIndex.lookupMultiCovering(spark, idxPath, combos)
                   else if (kind == "partitioned")
                     SecondaryIndex.lookupMultiPartitioned(
                       spark, path, idxPath, combos)
+                  else if (kind == "bloom")
+                    SecondaryIndex.lookupMultiBloom(spark, path, idxPath, combos)
                   else SecondaryIndex.lookupMulti(spark, path, idxPath, combos)
                 Some(Catalog.alignToDeclared(spark, name, served)
                   .queryExecution.analyzed)
@@ -221,7 +280,8 @@ object SqlRead {
     val name = rel.multipartIdentifier.mkString(".")
     layoutOf(spark, name).flatMap {
       case (kind, path)
-          if kind == "bloom" || kind == "bucket" || kind == "partitioned" =>
+          if kind == "bloom" || kind == "bucket" ||
+            kind == "partitioned" || kind == "mor" =>
         Catalog.statsIndexOf(spark, name).flatMap { statsPath =>
           val idx = StatsIndex.columns(statsPath)
             .map(c => c.toLowerCase -> c).toMap
@@ -266,6 +326,15 @@ object SqlRead {
                 if (PartitionedTable.deltas(path).nonEmpty) None
                 else Some(PartitionedTable.readOptimized(spark, path)
                   .inputFiles.toSeq)
+              case "mor" =>
+                // same contract: pending delta logs make raw base rows
+                // ≠ the merged snapshot — skip only between compactions
+                MorTable.fullState(path) match {
+                  case Some((_, h, f)) if h <= f =>
+                    Some(MorTable.readOptimized(spark, path)
+                      .inputFiles.toSeq)
+                  case _ => None
+                }
               case _ => Some(BucketTable.read(spark, path).inputFiles.toSeq)
             }
             // empty table: the snapshot read handles it

@@ -480,12 +480,14 @@ object PipelineQueries {
       .select(col("change_seq") +: col("deleted") +: PartCols: _*)
   }
 
-  /** `p_sql_cdc_images`: row-level CDC with BEFORE/AFTER images (Hudi
-    * 0.13 `hoodie.table.cdc.enabled`, served as
-    * `CALL table_changes(t, since, 'cdc')`) across upsert, delete and
-    * compaction windows on BOTH image-logging layouts. One scripted
-    * lifecycle per layout over `orders` (key = o_orderkey, all keys
-    * unique):
+  /** `p_sql_cdc_images_{mor,bucket,bloom,part}`: row-level CDC with
+    * BEFORE/AFTER images (Hudi 0.13 `hoodie.table.cdc.enabled`, served
+    * as `CALL table_changes(t, since, 'cdc')`) across upsert, delete
+    * and compaction windows — ONE oracle/bench entry per image-logging
+    * layout, so a regression inside one layout's image path moves its
+    * own number instead of hiding in a four-lifecycle aggregate. The
+    * shared scripted lifecycle over `orders` (key = o_orderkey, all
+    * keys unique):
     *
     *   create   keys k%10 < 8, v = o_totalprice          (bucket: all `i`)
     *   upsert   k%10 ∈ {6,7} → v+100 (wins) · k%10 = 8 → insert ·
@@ -503,7 +505,12 @@ object PipelineQueries {
     * base — the same reason Hudi writes a supplemental cdc log instead
     * of diffing snapshots at query time.
     */
-  def sqlCdcImages(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared lifecycle batches of the four per-layout cdc-image
+    * queries: (base, first upsert incl. a precombine loser, delete
+    * keys incl. a never-live one, post-compaction upsert).
+    */
+  private def cdcImageBatches(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val src = graft.Tables.orders(spark, sfDir)
       .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
         col("o_totalprice").as("v"))
@@ -517,7 +524,22 @@ object PipelineQueries {
       .select(col("k"))
     val up2 = src.filter(col("k") % 10 === 6)
       .withColumn("pc", lit(3L)).withColumn("v", col("v") + 200)
+    (base, up1, delKeys, up2)
+  }
 
+  private def cdcImageFeed(spark: SparkSession, table: String,
+      since: Long): DataFrame =
+    graft.etl.SqlCall.exec(spark,
+      s"CALL table_changes('$table', $since, 'cdc')")
+      .select(col("k"),
+        col("_op").as("op"), col("_change_seq").as("change_seq"),
+        col("_before_v").as("before_v"), col("_after_v").as("after_v"))
+
+  /** `p_sql_cdc_images_mor`: the MOR arm of the split (one bench entry
+    * per layout so a regression inside one image path is attributable).
+    */
+  def sqlCdcImagesMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, up1, delKeys, up2) = cdcImageBatches(spark, sfDir)
     val morPath = java.nio.file.Files
       .createTempDirectory(morScratch, "cdci").toString + "/t"
     graft.etl.MorTable.create(base, morPath,
@@ -527,7 +549,16 @@ object PipelineQueries {
       delKeys.withColumn("pc", lit(9L)))                            // seq 2
     graft.etl.MorTable.compact(spark, morPath)                      // no seq
     graft.etl.MorTable.upsertInto(morPath, up2)                     // seq 3
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_mor", "mor", morPath)
+    cdcImageFeed(spark, "graft_cdc_mor", 0L)
+  }
 
+  /** `p_sql_cdc_images_bucket`: the bucket arm — images from creation
+    * (cdc = true at create), compaction mid-window leaves zero image
+    * rows yet the window stays exact.
+    */
+  def sqlCdcImagesBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, up1, delKeys, up2) = cdcImageBatches(spark, sfDir)
     val bkPath = java.nio.file.Files
       .createTempDirectory(morScratch, "cdci").toString + "/t"
     graft.etl.BucketTable.create(base, bkPath,
@@ -536,10 +567,16 @@ object PipelineQueries {
     graft.etl.BucketTable.deleteFrom(spark, bkPath, delKeys)          // commit 3
     graft.etl.BucketTable.compact(spark, bkPath)                      // commit 4
     graft.etl.BucketTable.upsertInto(spark, bkPath, up2)              // commit 5
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bk", "bucket", bkPath)
+    cdcImageFeed(spark, "graft_cdc_bk", 0L)
+  }
 
-    // bloom: same script, images from mid-life enablement (after the
-    // create commit) — the feed that serves i/u/d exactly where
-    // changedSince must refuse row-removing windows
+  /** `p_sql_cdc_images_bloom`: the bloom arm — images from MID-LIFE
+    * enablement (after the create commit), the feed that serves i/u/d
+    * exactly where changedSince must refuse row-removing windows.
+    */
+  def sqlCdcImagesBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, up1, delKeys, up2) = cdcImageBatches(spark, sfDir)
     val blPath = java.nio.file.Files
       .createTempDirectory(morScratch, "cdci").toString + "/t"
     graft.etl.BloomTable.create(base, blPath,
@@ -549,9 +586,16 @@ object PipelineQueries {
     graft.etl.BloomTable.deleteFrom(spark, blPath, delKeys)           // commit 3
     graft.etl.BloomTable.compact(spark, blPath)                       // commit 4
     graft.etl.BloomTable.upsertInto(spark, blPath, up2)               // commit 5
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bl", "bloom", blPath)
+    cdcImageFeed(spark, "graft_cdc_bl", 1L)
+  }
 
-    // partitioned: the delta (MOR-per-slice) route, identity =
-    // (day, k); images chain across compactDeltas exactly like MOR's
+  /** `p_sql_cdc_images_part`: the partitioned arm — the delta
+    * (MOR-per-slice) route, identity = (day, k); images chain across
+    * compactDeltas exactly like MOR's.
+    */
+  def sqlCdcImagesPart(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, up1, delKeys, up2) = cdcImageBatches(spark, sfDir)
     def withDay(df: DataFrame): DataFrame =
       df.withColumn("day", (col("k") % 3).cast("string"))
     val ptPath = java.nio.file.Files
@@ -564,21 +608,9 @@ object PipelineQueries {
       withDay(delKeys.withColumn("pc", lit(9L))))                       // seq 2
     graft.etl.PartitionedTable.compactDeltas(spark, ptPath)             // no seq
     graft.etl.PartitionedTable.upsertDelta(spark, ptPath, withDay(up2)) // seq 3
-
-    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_mor", "mor", morPath)
-    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bk", "bucket", bkPath)
-    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_bl", "bloom", blPath)
-    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_pt", "partitioned", ptPath)
-    def feed(table: String, layout: String, since: Long): DataFrame =
-      graft.etl.SqlCall.exec(spark,
-        s"CALL table_changes('$table', $since, 'cdc')")
-        .select(lit(layout).as("layout"), col("k"),
-          col("_op").as("op"), col("_change_seq").as("change_seq"),
-          col("_before_v").as("before_v"), col("_after_v").as("after_v"))
-    feed("graft_cdc_mor", "mor", 0L)
-      .unionByName(feed("graft_cdc_bk", "bucket", 0L))
-      .unionByName(feed("graft_cdc_bl", "bloom", 1L))
-      .unionByName(feed("graft_cdc_pt", "partitioned", 0L))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_cdc_pt",
+      "partitioned", ptPath)
+    cdcImageFeed(spark, "graft_cdc_pt", 0L)
   }
 
   /** `p_sql_bucket_time_travel`: `SELECT ... VERSION AS OF c` on the
@@ -789,6 +821,79 @@ object PipelineQueries {
     graft.etl.SqlMerge.exec(spark, "DELETE FROM graft_sipart WHERE st = 'O'")
     graft.etl.SqlRead.select(spark,
       "SELECT k, st, v FROM graft_sipart WHERE st IN ('F', 'X')")
+  }
+
+  /** `p_sql_index_bloom`: a MAPPING secondary index on a BLOOM table —
+    * the LAST `USING SECONDARY` layout silo. The index stores
+    * (sec → key) and is ENGINE-bound like every other layout's
+    * binding: each [[graft.etl.BloomTable]] mutation primitive
+    * reconciles it, and the covered-head serve check catches a
+    * crash-torn maintenance pass. Same lifecycle/algebra as the
+    * MOR/partitioned twins: CREATE INDEX on st, a MERGE that MOVES the
+    * indexed value on k%10=3, an index-composed `DELETE WHERE st='O'`
+    * (victims from ONE probed index bucket, only their candidate files
+    * rewritten), then the index-served IN SELECT.
+    */
+  def sqlIndexBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "sibl").toString + "/t"
+    graft.etl.BloomTable.create(src, path, keys = Seq("k"),
+      precombine = "pc", numFiles = 8)
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_sibl", "bloom", path)
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX sibl1 ON graft_sibl USING SECONDARY (st)")
+    src.filter(col("k") % 10 === 3)
+      .withColumn("pc", lit(2L)).withColumn("st", lit("X"))
+      .withColumn("v", col("v") + 1000)
+      .createOrReplaceTempView("graft_sibl_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO graft_sibl t USING graft_sibl_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    graft.etl.SqlMerge.exec(spark, "DELETE FROM graft_sibl WHERE st = 'O'")
+    graft.etl.SqlRead.select(spark,
+      "SELECT k, st, v FROM graft_sibl WHERE st IN ('F', 'X')")
+  }
+
+  /** `p_rli_part`: the GLOBAL record-level index on the partitioned
+    * layout (Hudi 0.14's RLI) — key → partition from ONE probed index
+    * bucket, so a key lookup WITHOUT the partition value reads one
+    * slice instead of scanning every partition (`SqlIndexSpec` pins
+    * the one-slice plan). Lifecycle over `orders` partitioned by
+    * order year: `CREATE INDEX ... USING RECORD (k)`, a MERGE the
+    * engine binding reconciles through, a global
+    * `CALL purge_key('t', 1)` resolved THROUGH the index, then the
+    * RLI-served key-set SELECT.
+    */
+  def rliPart(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(substring(col("o_orderdate").cast("string"), 1, 4).as("yr"),
+        col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "rlip").toString + "/t"
+    graft.etl.PartitionedTable.create(src, path, keys = Seq("k"),
+      precombine = "pc", partitionCols = Seq("yr"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_rlip",
+      "partitioned", path)
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX rlip1 ON graft_rlip USING RECORD (k)")
+    src.filter(col("k") % 10 === 3)
+      .withColumn("pc", lit(2L)).withColumn("v", col("v") + 1000)
+      .createOrReplaceTempView("graft_rlip_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO graft_rlip t USING graft_rlip_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    // right-to-be-forgotten WITHOUT the partition value: the RLI
+    // resolves key 1's identity, the delete rewrites one slice
+    graft.etl.SqlCall.exec(spark, "CALL purge_key('graft_rlip', 1)")
+    graft.etl.SqlRead.select(spark,
+      "SELECT k, v FROM graft_rlip " +
+        "WHERE k IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35)")
   }
 
   /** `p_part_mor_delete`: row-level delete through the delta log —
@@ -1262,6 +1367,57 @@ object PipelineQueries {
         col("tags").getItem(0).getField("name").as("name"),
         col("tags").getItem(0).getField("wt").as("wt"),
         col("tags").getItem(0).getField("src").as("src"))
+  }
+
+  /** `p_sql_map_evolution`: MAP-VALUE struct evolution through SQL DDL
+    * — `map<string, struct<...>>` value fields addressed by the
+    * `.value.` path component (`attrs.value.cnt`), evolving
+    * metadata-only exactly like struct fields and array elements: the
+    * recursive reconcile rebuilds each map VALUE through
+    * `transform_values` in declared order (keys are lookup identity
+    * and never evolve — the DDL refuses `.key.` loudly). Pre-split
+    * rows land the ORIGINAL value shape; after RENAME/WIDEN/ADD/DROP
+    * the evolved shape MERGEs the post-split window in, and the flat
+    * `element_at` projection must agree with the oracle's
+    * latest-per-user replay. SchemaEvolutionProps sweeps the map op
+    * space on bucket AND MOR.
+    */
+  def sqlMapEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "mapevo").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("event_type"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    def shaped(df: DataFrame, evolved: Boolean): DataFrame = {
+      val cnt = pmod(col("event_id"), lit(1000L))
+      val inner =
+        if (evolved) struct(cnt.as("hits"), col("value").as("score"))
+        else struct(cnt.cast("int").as("cnt"), col("event_type").as("tag"))
+      df.select(col("user_id"), col("ts_us"), col("event_id"),
+        map(lit("m"), inner).as("attrs"))
+    }
+    graft.etl.MorTable.create(shaped(ev.filter(col("ts_us") <= SplitUs),
+      evolved = false), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.Catalog.registerLayoutTable(spark, "map_evo", "mor", path)
+    for (ddl <- Seq(
+      "ALTER TABLE map_evo RENAME COLUMN attrs.value.cnt TO hits",
+      "ALTER TABLE map_evo ALTER COLUMN attrs.value.hits TYPE BIGINT",
+      "ALTER TABLE map_evo ADD COLUMNS (attrs.value.score DOUBLE)",
+      "ALTER TABLE map_evo DROP COLUMNS (attrs.value.tag)"))
+      graft.etl.SqlDdl.exec(spark, ddl)
+    shaped(ev.filter(col("ts_us") > SplitUs), evolved = true)
+      .createOrReplaceTempView("map_evo_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO map_evo t USING map_evo_src s
+        |ON t.user_id = s.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    graft.etl.Catalog.readTable(spark, "map_evo")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        element_at(col("attrs"), "m").getField("hits").as("hits"),
+        element_at(col("attrs"), "m").getField("score").as("score"))
   }
 
   /** `p_part_cluster`: the clustering table service — build the daily
@@ -3212,9 +3368,15 @@ object PipelineQueries {
     "p_part_mor_read_optimized" -> (partMorReadOptimized(_, _)),
     "p_part_mor_changes" -> (partMorChanges(_, _)),
     "p_sql_table_changes" -> (sqlTableChanges(_, _)),
-    "p_sql_cdc_images" -> (sqlCdcImages(_, _)),
+    "p_sql_cdc_images_mor" -> (sqlCdcImagesMor(_, _)),
+    "p_sql_cdc_images_bucket" -> (sqlCdcImagesBucket(_, _)),
+    "p_sql_cdc_images_bloom" -> (sqlCdcImagesBloom(_, _)),
+    "p_sql_cdc_images_part" -> (sqlCdcImagesPart(_, _)),
     "p_sql_index_mor" -> (sqlIndexMor(_, _)),
     "p_sql_index_part" -> (sqlIndexPart(_, _)),
+    "p_sql_index_bloom" -> (sqlIndexBloom(_, _)),
+    "p_rli_part" -> (rliPart(_, _)),
+    "p_sql_map_evolution" -> (sqlMapEvolution(_, _)),
     "p_sql_bucket_time_travel" -> (sqlBucketTimeTravel(_, _)),
     "p_sql_bloom_time_travel" -> (sqlBloomTimeTravel(_, _)),
     "p_sql_part_time_travel" -> (sqlPartTimeTravel(_, _)),
@@ -4109,6 +4271,25 @@ object PipelineQueries {
         |SELECT CAST(1 AS BIGINT) AS ver, k, v FROM src WHERE k%10 < 8
         |UNION ALL SELECT 2, k, v FROM v2
         |UNION ALL SELECT 3, k, v FROM v2 WHERE k%10 <> 7""".stripMargin,
+    // MERGE updated k%10=3 (v+1000); purge_key removed key 1 through
+    // the RLI; the IN SELECT is served key→partition from one probe
+    "p_rli_part" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+        |SELECT k, CASE WHEN k%10 = 3 THEN v+1000 ELSE v END AS v
+        |FROM src
+        |WHERE k IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35) AND k <> 1""".stripMargin,
+    // map<K, struct> value evolution: hits (renamed+widened cnt) on
+    // every row, score only where the evolved window wrote it
+    "p_sql_map_evolution" ->
+      s"""SELECT user_id, event_id, ts_us, hits, score
+         |FROM (
+         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |  event_id % 1000 AS hits,
+         |  CASE WHEN epoch_us(ts) > $SplitUs THEN value END AS score,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE ts IS NOT NULL) t
+         |WHERE rn = 1""".stripMargin,
     // MERGE moved k%10=3 to status X (v+1000); the index-served DELETE
     // removed the still-'O' rows; the IN ('F','X') SELECT is the feed
     "p_sql_index_mor" ->
@@ -4125,52 +4306,59 @@ object PipelineQueries {
         |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
         |UNION ALL
         |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,
+    // the bloom twin runs the identical statement sequence
+    "p_sql_index_bloom" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                    o_totalprice AS v FROM orders)
+        |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
+        |UNION ALL
+        |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,
     // every image is reconstructable arithmetically from orders: the
-    // scripted lifecycle (see sqlCdcImages) only ever adds 100/200 to
-    // o_totalprice, so op, before and after are pure CASE algebra
-    "p_sql_cdc_images" ->
-      s"""WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
-         |mor AS (
-         |  SELECT 'mor' AS layout, k, 'u' AS op, CAST(1 AS BIGINT) AS change_seq,
-         |         v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
-         |  UNION ALL SELECT 'mor', k, 'i', 1, CAST(NULL AS DOUBLE), v
-         |    FROM src WHERE k%10 = 8
-         |  UNION ALL SELECT 'mor', k, 'd', 2, v+100, CAST(NULL AS DOUBLE)
-         |    FROM src WHERE k%10 = 7
-         |  UNION ALL SELECT 'mor', k, 'u', 3, v+100, v+200
-         |    FROM src WHERE k%10 = 6),
-         |bk AS (
-         |  SELECT 'bucket' AS layout, k, 'i' AS op, CAST(1 AS BIGINT) AS change_seq,
-         |         CAST(NULL AS DOUBLE) AS before_v, v AS after_v
-         |    FROM src WHERE k%10 < 8
-         |  UNION ALL SELECT 'bucket', k, 'u', 2, v, v+100 FROM src WHERE k%10 IN (6,7)
-         |  UNION ALL SELECT 'bucket', k, 'i', 2, CAST(NULL AS DOUBLE), v
-         |    FROM src WHERE k%10 = 8
-         |  UNION ALL SELECT 'bucket', k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
-         |    FROM src WHERE k%10 = 7
-         |  UNION ALL SELECT 'bucket', k, 'u', 5, v+100, v+200
-         |    FROM src WHERE k%10 = 6),
-         |bl AS (
-         |  SELECT 'bloom' AS layout, k, 'u' AS op, CAST(2 AS BIGINT) AS change_seq,
-         |         v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
-         |  UNION ALL SELECT 'bloom', k, 'i', 2, CAST(NULL AS DOUBLE), v
-         |    FROM src WHERE k%10 = 8
-         |  UNION ALL SELECT 'bloom', k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
-         |    FROM src WHERE k%10 = 7
-         |  UNION ALL SELECT 'bloom', k, 'u', 5, v+100, v+200
-         |    FROM src WHERE k%10 = 6),
-         |pt AS (
-         |  SELECT 'partitioned' AS layout, k, 'u' AS op,
-         |         CAST(1 AS BIGINT) AS change_seq, v AS before_v,
-         |         v+100 AS after_v FROM src WHERE k%10 IN (6,7)
-         |  UNION ALL SELECT 'partitioned', k, 'i', 1, CAST(NULL AS DOUBLE), v
-         |    FROM src WHERE k%10 = 8
-         |  UNION ALL SELECT 'partitioned', k, 'd', 2, v+100, CAST(NULL AS DOUBLE)
-         |    FROM src WHERE k%10 = 7
-         |  UNION ALL SELECT 'partitioned', k, 'u', 3, v+100, v+200
-         |    FROM src WHERE k%10 = 6)
-         |SELECT * FROM mor UNION ALL SELECT * FROM bk
-         |UNION ALL SELECT * FROM bl UNION ALL SELECT * FROM pt""".stripMargin,
+    // scripted lifecycle (see sqlCdcImages*) only ever adds 100/200 to
+    // o_totalprice, so op, before and after are pure CASE algebra —
+    // one oracle per layout, one bench entry per layout
+    "p_sql_cdc_images_mor" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+        |SELECT k, 'u' AS op, CAST(1 AS BIGINT) AS change_seq,
+        |       v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
+        |UNION ALL SELECT k, 'i', 1, CAST(NULL AS DOUBLE), v
+        |  FROM src WHERE k%10 = 8
+        |UNION ALL SELECT k, 'd', 2, v+100, CAST(NULL AS DOUBLE)
+        |  FROM src WHERE k%10 = 7
+        |UNION ALL SELECT k, 'u', 3, v+100, v+200
+        |  FROM src WHERE k%10 = 6""".stripMargin,
+    "p_sql_cdc_images_bucket" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+        |SELECT k, 'i' AS op, CAST(1 AS BIGINT) AS change_seq,
+        |       CAST(NULL AS DOUBLE) AS before_v, v AS after_v
+        |  FROM src WHERE k%10 < 8
+        |UNION ALL SELECT k, 'u', 2, v, v+100 FROM src WHERE k%10 IN (6,7)
+        |UNION ALL SELECT k, 'i', 2, CAST(NULL AS DOUBLE), v
+        |  FROM src WHERE k%10 = 8
+        |UNION ALL SELECT k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
+        |  FROM src WHERE k%10 = 7
+        |UNION ALL SELECT k, 'u', 5, v+100, v+200
+        |  FROM src WHERE k%10 = 6""".stripMargin,
+    "p_sql_cdc_images_bloom" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+        |SELECT k, 'u' AS op, CAST(2 AS BIGINT) AS change_seq,
+        |       v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
+        |UNION ALL SELECT k, 'i', 2, CAST(NULL AS DOUBLE), v
+        |  FROM src WHERE k%10 = 8
+        |UNION ALL SELECT k, 'd', 3, v+100, CAST(NULL AS DOUBLE)
+        |  FROM src WHERE k%10 = 7
+        |UNION ALL SELECT k, 'u', 5, v+100, v+200
+        |  FROM src WHERE k%10 = 6""".stripMargin,
+    "p_sql_cdc_images_part" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders)
+        |SELECT k, 'u' AS op, CAST(1 AS BIGINT) AS change_seq,
+        |       v AS before_v, v+100 AS after_v FROM src WHERE k%10 IN (6,7)
+        |UNION ALL SELECT k, 'i', 1, CAST(NULL AS DOUBLE), v
+        |  FROM src WHERE k%10 = 8
+        |UNION ALL SELECT k, 'd', 2, v+100, CAST(NULL AS DOUBLE)
+        |  FROM src WHERE k%10 = 7
+        |UNION ALL SELECT k, 'u', 3, v+100, v+200
+        |  FROM src WHERE k%10 = 6""".stripMargin,
     "p_part_group_upsert" ->
       s"""SELECT CAST(event_date AS VARCHAR) AS event_date, user_id, event_id,
          |  event_type, value, ts_us FROM (

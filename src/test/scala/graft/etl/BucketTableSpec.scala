@@ -614,4 +614,36 @@ class BucketTableSpec extends SparkSpec {
     assert(BucketTable.readVersion(spark, dir,
       BucketTable.latestCommit(dir)).count() == 2L)
   }
+
+  test("torn commit lines never parse as a smaller-but-wrong diff") {
+    val dir = Files.createTempDirectory("bucket").toString + "/t"
+    BucketTable.create(rows(("a", 1L, 1.0), ("b", 1L, 2.0)), dir,
+      keys = Seq("k"), precombine = "pc", numBuckets = 4)     // commit 1
+    BucketTable.upsertInto(spark, dir, rows(("a", 2L, 9.0))) // commit 2
+    val head = BucketTable.latestCommit(dir)
+    def asOfHead(): Long = BucketTable.readVersion(spark, dir, head).count()
+    assert(asOfHead() == 2L)
+    // a torn append cut INSIDE its ts token: only `no entries garbage`
+    // survives — strict acceptance EXCLUDES it wholesale (it must never
+    // parse as a well-formed smaller diff whose phantom repointing a
+    // later rewrite would quietly legitimize); the swing never
+    // happened, so the fold still matches the live manifest and every
+    // numbered version stays exact
+    val cl = Paths.get(dir, "_commits")
+    java.nio.file.Files.writeString(cl, "9 0:0,1:0 notats\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(asOfHead() == 2L)
+    assert(BucketTable.readVersion(spark, dir, 1L).count() == 2L)
+    // a line torn down to the two-token LEGACY shape is generation-
+    // unknowable: versions at or past it refuse loudly, earlier ones
+    // keep serving
+    java.nio.file.Files.writeString(cl,
+      java.nio.file.Files.readAllLines(cl).asScala
+        .filterNot(_.startsWith("9 ")).mkString("", "\n", "\n") + "9 0:0\n")
+    assert(asOfHead() == 2L)
+    val e = intercept[IllegalArgumentException] {
+      BucketTable.readVersion(spark, dir, 9L)
+    }
+    assert(e.getMessage.contains("without generation info"))
+  }
 }

@@ -702,4 +702,33 @@ class PartitionedTableSpec extends SparkSpec {
     // the head stays readable after clean
     assert(asOf(6L) == Set(("d2", "b", 22.0)))
   }
+
+  test("a lost commit line refuses partitioned history loudly; compaction resets it") {
+    val dir = freshDir()
+    PartitionedTable.create(rows(("d1", "a", 1L, 1.0), ("d2", "b", 1L, 2.0)),
+      dir, keys = Seq("k"), precombine = "pc",
+      partitionCols = Seq("day"))                               // commit 1
+    PartitionedTable.upsertInto(spark, dir,
+      rows(("d1", "a", 2L, 11.0)))                              // commit 2
+    // simulate a crash between the metadata swing and the log append:
+    // the LAST line vanishes — the live state now carries a commit the
+    // log never recorded, and per-dir diffs cannot absorb it (the next
+    // commit's diff baselines on the post-crash live state, so the lost
+    // repointings would silently corrupt every later version)
+    val cl = Paths.get(dir, "_commits")
+    Files.writeString(cl, Files.readAllLines(cl).asScala
+      .dropRight(1).mkString("", "\n", "\n"))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedTable.readVersion(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("does not fold to the live"))
+    // a maintenance compaction logs a RESET line carrying the FULL
+    // post state — the fold re-anchors and history serves again
+    PartitionedTable.compact(spark, dir)                        // commit 2'
+    def asOf(c: Long): Set[(String, String, Double)] =
+      PartitionedTable.readVersion(spark, dir, c)
+        .select("day", "k", "v").as[(String, String, Double)].collect().toSet
+    assert(asOf(1L) == Set(("d1", "a", 1.0), ("d2", "b", 2.0)))
+    assert(asOf(2L) == Set(("d1", "a", 11.0), ("d2", "b", 2.0)))
+  }
 }

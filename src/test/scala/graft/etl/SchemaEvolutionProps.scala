@@ -63,6 +63,12 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
   private case class ArrRename(subIdx: Int) extends Op
   private case class ArrDrop(subIdx: Int) extends Op
   private case class ArrWiden(subIdx: Int, toDouble: Boolean) extends Op
+  // map<string, struct> VALUE evolution (the fixed single-entry map
+  // column `mp`, addressed via '.value.' — keys never evolve)
+  private case class MapAdd(asInt: Boolean) extends Op
+  private case class MapRename(subIdx: Int) extends Op
+  private case class MapDrop(subIdx: Int) extends Op
+  private case class MapWiden(subIdx: Int, toDouble: Boolean) extends Op
 
   private val op: Gen[Op] = Gen.frequency(
     4 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(ks => Insert(ks.distinct)),
@@ -96,7 +102,13 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
     1 -> Gen.chooseNum(0, 7).map(ArrDrop(_)),
     1 -> (for {
       c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
-    } yield ArrWiden(c, d)))
+    } yield ArrWiden(c, d)),
+    1 -> Gen.oneOf(true, false).map(MapAdd(_)),
+    1 -> Gen.chooseNum(0, 7).map(MapRename(_)),
+    1 -> Gen.chooseNum(0, 7).map(MapDrop(_)),
+    1 -> (for {
+      c <- Gen.chooseNum(0, 7); d <- Gen.oneOf(true, false)
+    } yield MapWiden(c, d)))
 
   private val scenario: Gen[(List[Long], List[Op])] = for {
     first <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)).map(_.distinct)
@@ -139,6 +151,10 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
       var deepTypes = Map("t0" -> "DOUBLE")
       var arrs = Vector("a0")
       var arrTypes = Map("a0" -> "DOUBLE")
+      // map<string, struct> value fields ("mp." names — one fixed key
+      // 'x' per row keeps the model flat, like the one-element array)
+      var maps = Vector("p0")
+      var mapTypes = Map("p0" -> "DOUBLE")
       // m's DECLARED field order (scalar subs interleaved with the
       // fixed nested struct 'd') — INSERT literals must follow it, the
       // same discipline a SQL user owes any struct-typed VALUES
@@ -165,13 +181,18 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
         "array(named_struct(" + arrs.zipWithIndex.map { case (c, i) =>
           s"'$c', ${sqlLit(seed(pcTick, k, 300 + i), arrTypes(c))}"
         }.mkString(", ") + "))"
+      def mapLit(k: Long): String =
+        "map('x', named_struct(" + maps.zipWithIndex.map { case (c, i) =>
+          s"'$c', ${sqlLit(seed(pcTick, k, 400 + i), mapTypes(c))}"
+        }.mkString(", ") + "))"
       def insert(keys: List[Long]): Unit = {
         pcTick += 1
-        val colList = ("k" +: "pc" +: cols :+ "m" :+ "els").mkString(", ")
+        val colList = ("k" +: "pc" +: cols :+ "m" :+ "els" :+ "mp")
+          .mkString(", ")
         val values = keys.map(k => s"(${k}L, ${pcTick}L, " +
           cols.zipWithIndex.map { case (c, i) =>
             sqlLit(seed(pcTick, k, i), types(c))
-          }.mkString(", ") + s", ${structLit(k)}, ${arrLit(k)})")
+          }.mkString(", ") + s", ${structLit(k)}, ${arrLit(k)}, ${mapLit(k)})")
           .mkString(", ")
         SqlMerge.exec(spark, s"INSERT INTO $table ($colList) VALUES $values")
         keys.foreach(k => rows(k) = (pcTick,
@@ -183,13 +204,15 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
             s"m.d.$c" -> Some(seed(pcTick, k, 200 + i))
           }.toMap ++ arrs.zipWithIndex.map { case (c, i) =>
             s"els.$c" -> Some(seed(pcTick, k, 300 + i))
+          }.toMap ++ maps.zipWithIndex.map { case (c, i) =>
+            s"mp.$c" -> Some(seed(pcTick, k, 400 + i))
           }.toMap))
       }
 
       // create through the SQL front door, then evolve
       val firstRows = first.map(k =>
         s"(${k}L, 0L, ${seed(0, k, 0)}D, ${seed(0, k, 100)}D, " +
-          s"${seed(0, k, 200)}D, ${seed(0, k, 300)}D)")
+          s"${seed(0, k, 200)}D, ${seed(0, k, 300)}D, ${seed(0, k, 400)}D)")
         .mkString(", ")
       SqlDdl.exec(spark,
         s"""CREATE TABLE $table TBLPROPERTIES (
@@ -200,22 +223,27 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
            |  'graft.table.numBuckets' = '4')
            |AS SELECT k, pc, v,
            |  named_struct('s0', s0, 'd', named_struct('t0', t0)) AS m,
-           |  array(named_struct('a0', a0)) AS els
-           |FROM VALUES $firstRows AS t(k, pc, v, s0, t0, a0)""".stripMargin)
+           |  array(named_struct('a0', a0)) AS els,
+           |  map('x', named_struct('p0', p0)) AS mp
+           |FROM VALUES $firstRows AS t(k, pc, v, s0, t0, a0, p0)""".stripMargin)
       first.foreach(k => rows(k) = (0L,
         Map("v" -> Some(seed(0, k, 0)), "m.s0" -> Some(seed(0, k, 100)),
           "m.d.t0" -> Some(seed(0, k, 200)),
-          "els.a0" -> Some(seed(0, k, 300)))))
+          "els.a0" -> Some(seed(0, k, 300)),
+          "mp.p0" -> Some(seed(0, k, 400)))))
 
       def check(after: String): Prop = {
         import org.apache.spark.sql.functions.col
         // cast every value column to double so the model never reasons
         // about widths; the declared-type plumbing itself is pinned by
         // the engine accepting the typed literals/updates above
+        import org.apache.spark.sql.functions.element_at
         val flat = cols.map(c => c -> col(c)) ++
           subs.map(c => s"m.$c" -> col(s"m.$c")) ++
           deeps.map(c => s"m.d.$c" -> col(s"m.d.$c")) ++
-          arrs.map(c => s"els.$c" -> col("els").getItem(0).getField(c))
+          arrs.map(c => s"els.$c" -> col("els").getItem(0).getField(c)) ++
+          maps.map(c => s"mp.$c" ->
+            element_at(col("mp"), "x").getField(c))
         val frame = Catalog.readTable(spark, table).select(
           col("k") +: col("pc") +:
             flat.map { case (n, c) => c.cast("double").as(n) }: _*)
@@ -424,6 +452,49 @@ object SchemaEvolutionProps extends Properties("SchemaEvolution") {
               arrTypes = arrTypes + (target -> to)
               s"ARR WIDEN els.element.$target INT->$to"
             } else s"ARR WIDEN skipped (els.$target is ${arrTypes(target)})"
+          case MapAdd(asInt) =>
+            fresh += 1
+            val c = s"p$fresh"
+            val tpe = if (asInt) "INT" else "DOUBLE"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table ADD COLUMNS (mp.value.$c $tpe)")
+            maps = maps :+ c
+            mapTypes = mapTypes + (c -> tpe)
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs + (s"mp.$c" -> None))
+            }
+            s"MAP ADD mp.value.$c $tpe"
+          case MapRename(si) =>
+            fresh += 1
+            val from = maps(si % maps.size); val to = s"p$fresh"
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table RENAME COLUMN mp.value.$from TO $to")
+            maps = maps.updated(maps.indexOf(from), to)
+            mapTypes = mapTypes - from + (to -> mapTypes(from))
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"mp.$from" + (s"mp.$to" -> vs(s"mp.$from")))
+            }
+            s"MAP RENAME mp.value.$from->$to"
+          case MapDrop(si) if maps.size > 1 =>
+            val victim = maps(si % maps.size)
+            SqlDdl.exec(spark,
+              s"ALTER TABLE $table DROP COLUMNS (mp.value.$victim)")
+            maps = maps.filterNot(_ == victim)
+            mapTypes = mapTypes - victim
+            rows.mapValuesInPlace { case (_, (pc, vs)) =>
+              (pc, vs - s"mp.$victim")
+            }
+            s"MAP DROP mp.value.$victim"
+          case MapDrop(_) => "MAP DROP skipped (last value field)"
+          case MapWiden(si, toDouble) =>
+            val target = maps(si % maps.size)
+            if (mapTypes(target) == "INT") {
+              val to = if (toDouble) "DOUBLE" else "BIGINT"
+              SqlDdl.exec(spark,
+                s"ALTER TABLE $table ALTER COLUMN mp.value.$target TYPE $to")
+              mapTypes = mapTypes + (target -> to)
+              s"MAP WIDEN mp.value.$target INT->$to"
+            } else s"MAP WIDEN skipped (mp.$target is ${mapTypes(target)})"
         }
         check(applied)
       }

@@ -217,9 +217,10 @@ class SqlCallSpec extends SparkSpec {
     val report = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk2', 17)")
       .as[(String, String)].collect().toMap
     assert(report == Map("table" -> "buckets_rewritten=1",
-      "secondary_index" -> "tombstoned=1"))
+      "secondary_index" -> s"reconciled=$idx"))
     assert(BucketTable.read(spark, p).filter(col("k") === 17L).count() == 0)
-    // the email u7 mapping for key 17 is tombstoned AT THE INDEX: the
+    // the email u7 mapping for key 17 is tombstoned AT THE INDEX (the
+    // engine binding reconciled it inside the delete commit): the
     // lookup resolves the remaining u7 keys without probing for 17
     val got = SecondaryIndex.lookup(spark, p, idx, Seq("u7"))
       .select("k").as[Long].collect().toSet
@@ -229,7 +230,35 @@ class SqlCallSpec extends SparkSpec {
     // purging a key absent from the table is a no-op, not an error
     val rep2 = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk2', 999)")
       .as[(String, String)].collect().toMap
-    assert(rep2("secondary_index") == "tombstoned=0")
+    assert(rep2("secondary_index") == s"reconciled=$idx")
+  }
+
+  test("archive_commits folds a MOR seq-ts log; pre-boundary TIMESTAMP AS OF resolves") {
+    val p = Files.createTempDirectory("sqlcallmarch").toString + "/t"
+    MorTable.create((1L to 4L).map(k => (k, 1L, k * 1.0)).toDF("k", "pc", "v"),
+      p, keys = Seq("k"), precombine = "pc")                         // seq 0
+    val afterCreate = System.currentTimeMillis()
+    Thread.sleep(5)
+    MorTable.upsertInto(p, Seq((5L, 1L, 5.0)).toDF("k", "pc", "v")) // seq 1
+    Thread.sleep(5)
+    val afterSeq1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    MorTable.upsertInto(p, Seq((6L, 1L, 6.0)).toDF("k", "pc", "v")) // seq 2
+    MorTable.upsertInto(p, Seq((7L, 1L, 7.0)).toDF("k", "pc", "v")) // seq 3
+    Catalog.registerLayoutTable(spark, "sqlcall_march", "mor", p)
+    // fold all but the newest line into `_commits_archive` — the last
+    // unbounded commit-metadata log any layout carried
+    val archived = SqlCall.exec(spark,
+      "CALL archive_commits('sqlcall_march', 1)").as[Long].collect().toSeq
+    assert(archived == Seq(0L, 1L, 2L))
+    // pre-boundary instants resolve THROUGH the archive
+    assert(MorTable.resolveAsOf(p, afterSeq1) == 1L)
+    assert(MorTable.resolveAsOf(p, afterCreate) == 0L)
+    assert(SqlRead.select(spark,
+      s"SELECT k FROM sqlcall_march TIMESTAMP AS OF $afterSeq1").count() == 5)
+    // nothing left to fold → empty report, not an error
+    assert(SqlCall.exec(spark,
+      "CALL archive_commits('sqlcall_march', 4)").count() == 0)
   }
 
   test("savepoint procedures: pin, list, restore as a new commit, release") {

@@ -373,6 +373,200 @@ class SqlIndexSpec extends SparkSpec {
     PartitionedTable.restoreSavepoint(path, "s1") // unbound: allowed
   }
 
+  test("bloom secondary index: index-composed serving, every write path maintains") {
+    val path = fresh("sqlidxbl")
+    BloomTable.create(rows((1 to 16).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      path, keys = Seq("k"), precombine = "pc", numFiles = 4)
+    Catalog.registerLayoutTable(spark, "sql_idx_bl", "bloom", path)
+    SqlIndex.exec(spark,
+      "CREATE INDEX b1 ON sql_idx_bl USING SECONDARY (etype)")
+    def served(sql: String): Set[Long] =
+      SqlRead.select(spark, sql).as[Long].collect().toSet
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'click'") ==
+      (2 to 16 by 2).map(_.toLong).toSet)
+    // SQL UPDATE moves the indexed value: the engine binding reconciles
+    // inside the rewrite commit — old mapping dies, new one serves
+    SqlMerge.exec(spark, "UPDATE sql_idx_bl SET etype = 'view' WHERE k = 2")
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'click'") ==
+      (4 to 16 by 2).map(_.toLong).toSet)
+    // programmatic writes maintain it too (engine-level binding)
+    BloomTable.upsertInto(spark, path, rows((99L, 1L, "click", 9.9)))
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'click'") ==
+      ((4 to 16 by 2).map(_.toLong).toSet + 99L))
+    BloomTable.deleteFrom(spark, path, Seq(99L).toDF("k"))
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'click'") ==
+      (4 to 16 by 2).map(_.toLong).toSet)
+    // index-composed DELETE: victims from ONE probed index bucket, only
+    // their candidate files rewritten, mappings reconciled in-pass
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_bl WHERE etype = 'view'")
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'view'").isEmpty)
+    assert(BloomTable.read(spark, path)
+      .select("etype").as[String].collect().toSet == Set("click"))
+    // overwrite rebuilds the index from the replacement
+    BloomTable.overwriteTable(spark, path, rows((500L, 1L, "ow", 5.0)))
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'ow'") == Set(500L))
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'click'").isEmpty)
+    // drop unbinds the engine-level maintenance hook with the artifact
+    SqlIndex.exec(spark, "DROP INDEX b1 ON sql_idx_bl")
+    assert(BloomTable.boundSecondaryIndex(path).isEmpty)
+    assert(!Files.exists(Paths.get(s"${path}_idx_b1")))
+  }
+
+  test("record index on a partitioned table: one-slice key lookup, purge routes through") {
+    val path = fresh("sqlrli")
+    def prows(t: (String, Long, Long, String, Double)*) =
+      t.toSeq.toDF("day", "k", "pc", "etype", "v")
+    PartitionedTable.create(prows((1 to 12).map(i =>
+      (s"d${i % 3}", i.toLong, 1L, "e", i.toDouble)): _*),
+      path, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    Catalog.registerLayoutTable(spark, "sql_idx_rli", "partitioned", path)
+    val rep = SqlIndex.exec(spark,
+      "CREATE INDEX r1 ON sql_idx_rli USING RECORD (k)")
+    assert(rep.as[(String, String, String)].collect().toSeq ==
+      Seq(("r1", "record", s"${path}_rli_r1")))
+    // a key lookup WITHOUT the partition value: the RLI resolves
+    // key → partition from one probed bucket, and the primary files
+    // the plan reads are confined to the ONE slice it routes to —
+    // without the index this query scans every partition
+    val q = SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 5")
+    assert(q.as[Double].collect().toSeq == Seq(5.0))
+    val primary = q.inputFiles.toSeq.filterNot(_.contains("_rli_r1"))
+    assert(primary.nonEmpty && primary.forall(_.contains("__p_day=d2")),
+      s"RLI serve must read only the routed slice, got $primary")
+    // every mutation primitive maintains the key→partition mappings
+    PartitionedTable.upsertInto(spark, path, prows(("d0", 99L, 1L, "x", 9.9)))
+    assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 99")
+      .as[Double].collect().toSeq == Seq(9.9))
+    PartitionedTable.deleteDelta(spark, path,
+      prows(("d0", 99L, 2L, "x", 0.0)))
+    assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 99")
+      .count() == 0)
+    // right-to-be-forgotten WITHOUT the partition value: purge_key
+    // resolves the identity through the RLI (one probed bucket), the
+    // delete rewrites one slice
+    val purged = SqlCall.exec(spark, "CALL purge_key('sql_idx_rli', 5)")
+      .as[(String, String)].collect().toMap
+    assert(purged("resolution") == s"rli=${path}_rli_r1")
+    assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 5")
+      .count() == 0)
+    // 12 created, 99 inserted then tombstoned, 5 purged → 11 live
+    assert(PartitionedTable.read(spark, path).count() == 11)
+    // drop unbinds + removes the artifact and its head/maint state
+    SqlIndex.exec(spark, "DROP INDEX r1 ON sql_idx_rli")
+    assert(PartitionedTable.boundRecordIndex(path).isEmpty)
+    assert(!Files.exists(Paths.get(s"${path}_rli_r1")))
+  }
+
+  test("crash-torn index maintenance heals on serve — never a silent miss") {
+    // a writer that commits the primary and dies before its reconcile
+    // leaves the index missing that commit's mappings; the covered-head
+    // gate must catch it at serve time and reconcile on read. The torn
+    // window is simulated faithfully: unbind → programmatic write
+    // (exactly a commit whose maintenance never ran) → re-bind.
+
+    // bucket
+    val bp = fresh("tornbk")
+    BucketTable.create(rows((1 to 8).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      bp, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_idx_tornbk", "bucket", bp)
+    SqlIndex.exec(spark,
+      "CREATE INDEX tb1 ON sql_idx_tornbk USING SECONDARY (etype)")
+    val bIdx = s"${bp}_idx_tb1"
+    BucketTable.unbindSecondaryIndex(bp)
+    BucketTable.upsertInto(spark, bp,
+      rows((99L, 1L, "click", 9.9), (2L, 5L, "view", 2.5)))
+    BucketTable.bindSecondaryIndex(bp, Seq("etype"), bIdx)
+    assert(SecondaryIndex.coveredHead(bIdx) < BucketTable.latestCommit(bp))
+    // the serve heals: the NEW mapping (99) serves, the MOVED one
+    // (k=2 click→view) dies — a pre-fix index would miss 99 silently
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tornbk WHERE etype = 'click'")
+      .as[Long].collect().toSet == Set(4L, 6L, 8L, 99L))
+    assert(SecondaryIndex.coveredHead(bIdx) == BucketTable.latestCommit(bp))
+    // the index-composed DELETE after the heal sees every victim
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_tornbk WHERE etype = 'view'")
+    assert(BucketTable.read(spark, bp)
+      .select("etype").as[String].collect().toSet == Set("click"))
+
+    // mor (covering)
+    val mp = fresh("tornmor")
+    MorTable.create(rows((1 to 8).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      mp, keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "sql_idx_tornmor", "mor", mp)
+    SqlIndex.exec(spark,
+      "CREATE INDEX tm1 ON sql_idx_tornmor USING SECONDARY (etype)")
+    val mIdx = s"${mp}_idx_tm1"
+    MorTable.unbindCoveringIndex(mp)
+    MorTable.upsertInto(mp,
+      rows((99L, 1L, "click", 9.9), (2L, 5L, "view", 2.5)))
+    MorTable.bindCoveringIndex(mp, Seq("etype"), mIdx)
+    assert(SecondaryIndex.coveredHead(mIdx) < MorTable.changeHead(mp))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tornmor WHERE etype = 'click'")
+      .as[Long].collect().toSet == Set(4L, 6L, 8L, 99L))
+    // the healed covering payload serves the moved row's NEW value
+    assert(SqlRead.select(spark,
+      "SELECT v FROM sql_idx_tornmor WHERE etype = 'view' AND k = 2")
+      .as[Double].collect().toSeq == Seq(2.5))
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_tornmor WHERE etype = 'view'")
+    assert(MorTable.readSnapshot(spark, mp)
+      .select("etype").as[String].collect().toSet == Set("click"))
+
+    // partitioned (mapping over identities)
+    val pp = fresh("tornpart")
+    def prows(t: (String, Long, Long, String, Double)*) =
+      t.toSeq.toDF("day", "k", "pc", "etype", "v")
+    PartitionedTable.create(prows((1 to 8).map(i =>
+      (s"d${i % 2}", i.toLong, 1L,
+        if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      pp, keys = Seq("k"), precombine = "pc", partitionCols = Seq("day"))
+    Catalog.registerLayoutTable(spark, "sql_idx_tornpt", "partitioned", pp)
+    SqlIndex.exec(spark,
+      "CREATE INDEX tp1 ON sql_idx_tornpt USING SECONDARY (etype)")
+    val pIdx = s"${pp}_idx_tp1"
+    PartitionedTable.unbindSecondaryIndex(pp)
+    PartitionedTable.upsertInto(spark, pp,
+      prows(("d1", 99L, 1L, "click", 9.9), ("d0", 2L, 5L, "view", 2.5)))
+    PartitionedTable.bindSecondaryIndex(pp, Seq("etype"), pIdx)
+    assert(SecondaryIndex.coveredHead(pIdx) <
+      PartitionedTable.latestCommit(pp))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tornpt WHERE etype = 'click'")
+      .as[Long].collect().toSet == Set(4L, 6L, 8L, 99L))
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_tornpt WHERE etype = 'view'")
+    assert(PartitionedTable.read(spark, pp)
+      .select("etype").as[String].collect().toSet == Set("click"))
+
+    // bloom (mapping over keys)
+    val lp = fresh("tornbl")
+    BloomTable.create(rows((1 to 8).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      lp, keys = Seq("k"), precombine = "pc", numFiles = 2)
+    Catalog.registerLayoutTable(spark, "sql_idx_tornbl", "bloom", lp)
+    SqlIndex.exec(spark,
+      "CREATE INDEX tl1 ON sql_idx_tornbl USING SECONDARY (etype)")
+    val lIdx = s"${lp}_idx_tl1"
+    BloomTable.unbindSecondaryIndex(lp)
+    BloomTable.upsertInto(spark, lp,
+      rows((99L, 1L, "click", 9.9), (2L, 5L, "view", 2.5)))
+    BloomTable.bindSecondaryIndex(lp, Seq("etype"), lIdx)
+    assert(SecondaryIndex.coveredHead(lIdx) < BloomTable.latestCommit(lp))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tornbl WHERE etype = 'click'")
+      .as[Long].collect().toSet == Set(4L, 6L, 8L, 99L))
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_tornbl WHERE etype = 'view'")
+    assert(BloomTable.read(spark, lp)
+      .select("etype").as[String].collect().toSet == Set("click"))
+
+    // CALL reconcile_index: the explicit repair verb reports heads
+    val rep = SqlCall.exec(spark, "CALL reconcile_index('sql_idx_tornbk')")
+      .as[(String, String, Long)].collect()
+    assert(rep.map(_._2).toSeq == Seq(bIdx))
+  }
+
   test("index DDL on unregistered / wrong-layout tables fails loudly") {
     spark.range(2).toDF("x").createOrReplaceTempView("sql_idx_plainv")
     intercept[Exception] {
