@@ -320,18 +320,27 @@ object SecondaryIndex {
       .localCheckpoint()
   }
 
-  /** Commit the delta between two [[entriesForKeys]] snapshots of the
-    * SAME key set: mappings present before and gone after flip dead,
-    * every post-mutation mapping upserts live — one O(touched) index
-    * upsert, the same delta [[upsertThrough]] computes for its batch.
+  /** Commit the delta between the pre/post mapping states of a
+    * commit's touched region: mappings present before and gone after
+    * flip dead, mappings present after and absent before upsert live —
+    * one O(CHANGED mappings) index write, NOT O(region). Mappings in
+    * both sides are untouched: the covered-head discipline guarantees
+    * the index carried them live before this commit (a crash-torn gap
+    * heals on serve), so re-asserting them would only re-write
+    * unchanged rows — at a region of millions with a thousand changed
+    * mappings, the difference between a thousand-row index commit and
+    * a region-sized one.
     */
   def reconcile(spark: SparkSession, indexPath: String,
       pre: DataFrame, post: DataFrame): Unit = {
     val dead = pre.except(post).withColumn(Live, lit(false))
-    val live = post.withColumn(Live, lit(true))
-    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
-    BucketTable.upsertInto(spark, indexPath,
-      dead.unionByName(live).withColumn(Commit, lit(commit)))
+    val live = post.except(pre).withColumn(Live, lit(true))
+    val delta = dead.unionByName(live).localCheckpoint()
+    if (!delta.isEmpty) {
+      val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+      BucketTable.upsertInto(spark, indexPath,
+        delta.withColumn(Commit, lit(commit)))
+    }
     ()
   }
 
@@ -443,9 +452,10 @@ object SecondaryIndex {
 
   /** Commit the delta between the pre/post FULL-ROW states of one
     * commit's touched keys: mappings that vanished tombstone (payload
-    * nulled — a dead entry is never served), every post row upserts
-    * live. Disjoint by construction (a mapping is gone or present,
-    * never both), so one index upsert per primary commit.
+    * nulled — a dead entry is never served), every CHANGED post row
+    * upserts live (the full-row except catches moved mappings AND
+    * payload-only updates; rows untouched by the commit are already
+    * live in a covered-head-consistent index and write nothing).
     */
   def reconcileCovering(spark: SparkSession, indexPath: String,
       pre: DataFrame, post: DataFrame, secCols: Seq[String],
@@ -453,11 +463,18 @@ object SecondaryIndex {
     val mapCols = (secCols ++ keys).map(col)
     val deadMaps = pre.select(mapCols: _*).except(post.select(mapCols: _*))
     val dead = deadMaps.withColumn(Live, lit(false))
-    val live = post.withColumn(Live, lit(true))
-    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
-    BucketTable.upsertInto(spark, indexPath,
-      dead.unionByName(live, allowMissingColumns = true)
-        .withColumn(Commit, lit(commit)))
+    // align pre to post's (possibly evolved) schema before the
+    // full-row except: a batch-added column pads NULL on the pre side,
+    // so every post row carrying a real value there counts as changed
+    val preAligned = SchemaShim.unionByName(post.limit(0), pre)
+    val live = post.except(preAligned).withColumn(Live, lit(true))
+    val delta = dead.unionByName(live, allowMissingColumns = true)
+      .localCheckpoint()
+    if (!delta.isEmpty) {
+      val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+      BucketTable.upsertInto(spark, indexPath,
+        delta.withColumn(Commit, lit(commit)))
+    }
     ()
   }
 

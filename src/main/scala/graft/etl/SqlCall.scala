@@ -33,8 +33,14 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *     partitioned / mor layouts; returns the data files/dirs removed
   *   - `purge_key('t', k, ...)` — right-to-be-forgotten: erase one
   *     record from the table AND every bound index artifact (record
-  *     index / secondary index), each via its targeted rewrite;
-  *     returns one row per artifact touched
+  *     index / secondary index), each via its targeted rewrite; on a
+  *     partitioned table the key's identity resolves THROUGH the
+  *     record-level index (no partition value needed); returns one
+  *     row per artifact touched
+  *   - `reconcile_index('t')` — force the covered-head check +
+  *     reconcile-on-read every index-served route runs implicitly;
+  *     the operator's explicit repair verb after a writer crash or a
+  *     bypassing bulk load
   *   - `create_savepoint('t', name)` / `show_savepoints('t')` /
   *     `rollback_to_savepoint('t', name)` / `delete_savepoint('t',
   *     name)` / `read_savepoint('t', name)` — Hudi's savepoint
@@ -564,7 +570,7 @@ object SqlCall {
   private def purgeKey(spark: SparkSession, t: String,
       keyArgs: Seq[Any]): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val (kind, path) = Catalog.layoutOf(spark, t).getOrElse(
       throw new IllegalArgumentException(s"$t is not a layout-registered table"))
     val keys = Catalog.upsertConfigFull(spark, t)._1
@@ -634,9 +640,30 @@ object SqlCall {
         (Seq("table" -> s"slices_rewritten=${rewritten.size}",
           "resolution" -> how) ++ sec)
           .toDF("artifact", "detail")
+      case "mor" =>
+        // MOR purge = a tombstone append carrying the victim's own
+        // precombine (equal precombine → the later commit wins the
+        // snapshot merge, Hudi's _hoodie_is_deleted contract). The
+        // victim resolution is one keyed probe of the merged snapshot —
+        // the price ANY point read pays on a one-file-group layout —
+        // and the physical bytes leave at the next compaction; a bound
+        // covering index reconciles inside the append
+        val p = MorTable.props(path)
+        val victims = MorTable.readSnapshot(spark, path)
+          .join(broadcast(keysDf), keys.toSeq, "left_semi")
+          .select((p.keys :+ p.precombine).map(col): _*)
+          .localCheckpoint()
+        val n = victims.count()
+        if (n > 0) MorTable.deleteFrom(path, victims)
+        val sec = MorTable.boundCoveringIndex(path).toSeq.map {
+          case (_, idxPath) =>
+            "secondary_index" -> s"reconciled=$idxPath"
+        }
+        (Seq("table" -> s"tombstoned=$n") ++ sec)
+          .toDF("artifact", "detail")
       case other => throw new IllegalArgumentException(
         s"purge_key('$t'): supported layouts are bucket | bloom | " +
-          s"partitioned, got '$other'")
+          s"partitioned | mor, got '$other'")
     }
   }
 }

@@ -233,6 +233,36 @@ class SqlCallSpec extends SparkSpec {
     assert(rep2("secondary_index") == s"reconciled=$idx")
   }
 
+  test("purge_key on a MOR table appends a winning tombstone; covering index follows") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("sqlcallpk3")
+    val p = base.resolve("t").toString
+    val idx = base.resolve("idx").toString
+    MorTable.create((1L to 20L).map(k => (k, 5L, s"u${k % 4}", k * 1.0))
+      .toDF("k", "pc", "email", "v"), p, keys = Seq("k"), precombine = "pc")
+    SecondaryIndex.createMorCovering(spark, p, idx, secCols = Seq("email"))
+    Catalog.registerLayoutTable(spark, "sqlcall_pk3", "mor", p,
+      secondaryIndex = Some((Seq("email"), idx)))
+    val report = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk3', 9)")
+      .as[(String, String)].collect().toMap
+    assert(report == Map("table" -> "tombstoned=1",
+      "secondary_index" -> s"reconciled=$idx"))
+    // the tombstone carries the victim's own precombine: equal
+    // precombine → later commit wins the merge, the row is gone
+    assert(MorTable.readSnapshot(spark, p).filter(col("k") === 9L).count() == 0)
+    assert(MorTable.readSnapshot(spark, p).count() == 19)
+    // the covering index retired the mapping in the same pass
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sqlcall_pk3 WHERE email = 'u1'")
+      .as[Long].collect().toSet == Set(1L, 5L, 13L, 17L))
+    // absent key: a no-op report, not an error (and no empty commit)
+    val head = MorTable.changeHead(p)
+    val rep2 = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk3', 999)")
+      .as[(String, String)].collect().toMap
+    assert(rep2("table") == "tombstoned=0")
+    assert(MorTable.changeHead(p) == head)
+  }
+
   test("archive_commits folds a MOR seq-ts log; pre-boundary TIMESTAMP AS OF resolves") {
     val p = Files.createTempDirectory("sqlcallmarch").toString + "/t"
     MorTable.create((1L to 4L).map(k => (k, 1L, k * 1.0)).toDF("k", "pc", "v"),
