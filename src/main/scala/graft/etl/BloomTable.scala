@@ -719,10 +719,10 @@ object BloomTable {
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
-      // a bound secondary index is rebuilt from the replacement —
+      // bound secondary indexes are rebuilt from the replacement —
       // proportionate, the verb itself replaced the whole table
-      // (createBloom re-binds and records the covered head itself)
-      boundSecondaryIndex(tablePath).foreach { case (secCols, idxPath) =>
+      // (createBloom re-binds and records each covered head itself)
+      boundSecondaryIndexes(tablePath).foreach { case (secCols, idxPath) =>
         val numBuckets = BucketTable.props(idxPath).numBuckets
         FsUtil.deleteRecursively(Paths.get(idxPath))
         SecondaryIndex.createBloom(spark, tablePath, idxPath, secCols,
@@ -748,7 +748,7 @@ object BloomTable {
     val existing =
       if (touched.isEmpty) batch.limit(0)
       else readFiles(spark, tablePath, touched)
-    val bound = boundSecondaryIndex(tablePath)
+    val bound = boundSecondaryIndexes(tablePath)
     val merged = HudiLike.upsert(existing, batch, p.keys, p.precombine, p.tieBreak)
     // file budget for the rewritten region: keep the region's file
     // count (+1 when pure append) so file sizes stay level without a
@@ -796,7 +796,7 @@ object BloomTable {
     val touched = candidateFiles(tablePath, keyRel, idx, p)
     if (touched.isEmpty) return Seq.empty
     val existing = readFiles(spark, tablePath, touched)
-    val bound = boundSecondaryIndex(tablePath)
+    val bound = boundSecondaryIndexes(tablePath)
     val remaining = existing.join(keyRel, p.keys, "left_anti")
     val commit = nextCommit(tablePath)
     // the whole candidate region may empty out — then the commit is
@@ -853,7 +853,7 @@ object BloomTable {
       val existing =
         if (touched.isEmpty) read(spark, tablePath).limit(0)
         else readFiles(spark, tablePath, touched)
-      val bound = boundSecondaryIndex(tablePath)
+      val bound = boundSecondaryIndexes(tablePath)
       val next = transform(existing).localCheckpoint()
       val commit = nextCommit(tablePath)
       val written =
@@ -909,7 +909,7 @@ object BloomTable {
       .filter(pred).select("__fp").distinct()
       .collect().map(r => relFile(tablePath, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
-    val bound = boundSecondaryIndex(tablePath)
+    val bound = boundSecondaryIndexes(tablePath)
     val next = transform(readFiles(spark, tablePath, touched))
       .localCheckpoint()
     val commit = nextCommit(tablePath)
@@ -960,44 +960,42 @@ object BloomTable {
   private def secIdxPath(tablePath: String): Path =
     Paths.get(tablePath, "_secidx")
 
-  /** The bound mapping index, if any: (secondary cols, index path) —
-    * engine-level (a table-dir file), so every mutation primitive
-    * maintains it, programmatic writers included (the discipline shared
-    * by every layout's secondary-index binding).
+  /** The bound mapping indexes: (secondary cols, index path) per
+    * index — a table may bind several, one per query pattern.
+    * Engine-level (a table-dir file), so every mutation primitive
+    * maintains them, programmatic writers included (the discipline
+    * shared by every layout's secondary-index binding).
     */
-  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] = {
-    val p = secIdxPath(tablePath)
-    if (!Files.exists(p)) None
-    else {
-      val l = Files.readString(p).trim
-      val i = l.indexOf(' ')
-      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
-    }
-  }
+  def boundSecondaryIndexes(tablePath: String): Seq[(Seq[String], String)] =
+    SecondaryIndex.readBindings(secIdxPath(tablePath))
+
+  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] =
+    boundSecondaryIndexes(tablePath).headOption
 
   def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
-      indexPath: String): Unit = {
-    Files.writeString(secIdxPath(tablePath),
-      s"${secCols.mkString(",")} $indexPath",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    ()
-  }
+      indexPath: String): Unit =
+    SecondaryIndex.addBinding(secIdxPath(tablePath), secCols, indexPath)
 
+  /** Unbind every index (test/repair helper). */
   def unbindSecondaryIndex(tablePath: String): Unit = {
     Files.deleteIfExists(secIdxPath(tablePath))
     ()
   }
 
-  /** Reconcile the bound index from pre/post row states of a commit's
-    * touched region (a superset of what changed — except() drops the
-    * unchanged mappings), then record the commit covered. Runs after
-    * the manifest swing; the crash window is caught by the
+  /** Unbind one index by its artifact path (DROP INDEX). */
+  def unbindSecondaryIndex(tablePath: String, indexPath: String): Unit =
+    SecondaryIndex.removeBinding(secIdxPath(tablePath), indexPath)
+
+  /** Reconcile every bound index from the SAME pre/post row states of
+    * a commit's touched region (a superset of what changed — except()
+    * drops the unchanged mappings), then record the commit covered.
+    * Runs after the manifest swing; the crash window is caught by the
     * covered-head serve check ([[SecondaryIndex.ensureCurrent]]).
     */
   private def maintainBound(spark: SparkSession, tablePath: String,
-      bound: Option[(Seq[String], String)], pre: Option[DataFrame],
+      bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
       post: DataFrame, p: Props, commitNo: Long): Unit =
-    for ((secCols, idxPath) <- bound; preDf <- pre)
+    for (preDf <- pre; (secCols, idxPath) <- bound)
       SecondaryIndex.withMaintLock(idxPath) {
         val mapCols = (secCols ++ p.keys).map(col)
         SecondaryIndex.reconcile(spark, idxPath,
@@ -1053,7 +1051,7 @@ object BloomTable {
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
       nextIndexVersion(tablePath))
     // content-preserving commit: mappings unchanged, head advances
-    boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+    boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
       SecondaryIndex.markCovered(idxPath, commit)
     }
     commit
@@ -1094,7 +1092,7 @@ object BloomTable {
       writeIndex(tablePath,
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p),
         nextIndexVersion(tablePath))
-      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+      boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
         SecondaryIndex.markCovered(idxPath, commit)
       }
       commit

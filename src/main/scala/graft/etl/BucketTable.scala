@@ -457,37 +457,35 @@ object BucketTable {
   private def secIdxPath(tablePath: String): Path =
     Paths.get(tablePath, "_secidx")
 
-  /** The bound mapping index, if any: (secondary cols, index path).
+  /** The bound mapping indexes: (secondary cols, index path) per
+    * index — a table may bind several, one per query pattern.
     * Engine-level (a table-dir file, not catalog state) so EVERY
-    * mutation primitive maintains it — programmatic writers included,
-    * which keeps the SQL DML routes hook-free here (the partitioned
-    * and MOR layouts' existing discipline, adopted by bucket so a
-    * direct `BucketTable.upsertInto` can no longer silently strand
-    * the index; any historical gap heals on serve via
+    * mutation primitive maintains them — programmatic writers
+    * included, which keeps the SQL DML routes hook-free here (the
+    * partitioned and MOR layouts' existing discipline, adopted by
+    * bucket so a direct `BucketTable.upsertInto` can no longer
+    * silently strand an index; any historical gap heals on serve via
     * [[SecondaryIndex.ensureCurrent]]).
     */
-  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] = {
-    val p = secIdxPath(tablePath)
-    if (!Files.exists(p)) None
-    else {
-      val l = Files.readString(p).trim
-      val i = l.indexOf(' ')
-      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
-    }
-  }
+  def boundSecondaryIndexes(tablePath: String): Seq[(Seq[String], String)] =
+    SecondaryIndex.readBindings(secIdxPath(tablePath))
+
+  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] =
+    boundSecondaryIndexes(tablePath).headOption
 
   def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
-      indexPath: String): Unit = {
-    Files.writeString(secIdxPath(tablePath),
-      s"${secCols.mkString(",")} $indexPath",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    ()
-  }
+      indexPath: String): Unit =
+    SecondaryIndex.addBinding(secIdxPath(tablePath), secCols, indexPath)
 
+  /** Unbind every index (test/repair helper). */
   def unbindSecondaryIndex(tablePath: String): Unit = {
     Files.deleteIfExists(secIdxPath(tablePath))
     ()
   }
+
+  /** Unbind one index by its artifact path (DROP INDEX). */
+  def unbindSecondaryIndex(tablePath: String, indexPath: String): Unit =
+    SecondaryIndex.removeBinding(secIdxPath(tablePath), indexPath)
 
   /** Pre-commit full-row state of a batch's keys — the before side of
     * an index reconcile (empty-table-safe).
@@ -498,16 +496,18 @@ object BucketTable {
      else lookupMany(spark, tablePath, tagged.drop(BucketCol)))
       .localCheckpoint()
 
-  /** Reconcile the bound index from pre/post full-row states of a
-    * commit's touched rows, then record the commit as covered — runs
-    * AFTER the commit point (an index ahead of the commit would serve
-    * uncommitted rows; the crash window between commit and reconcile
-    * is exactly what the covered-head serve check catches).
+  /** Reconcile every bound index from the SAME pre/post full-row
+    * states of a commit's touched rows (one probe serves them all,
+    * each through its own mapping projection), then record the commit
+    * as covered — runs AFTER the commit point (an index ahead of the
+    * commit would serve uncommitted rows; the crash window between
+    * commit and reconcile is exactly what the covered-head serve
+    * check catches).
     */
   private def maintainBound(spark: SparkSession, tablePath: String,
-      bound: Option[(Seq[String], String)], pre: Option[DataFrame],
+      bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
       post: DataFrame, p: Props, commitNo: Long): Unit =
-    for ((secCols, idxPath) <- bound; preDf <- pre)
+    for (preDf <- pre; (secCols, idxPath) <- bound)
       SecondaryIndex.withMaintLock(idxPath) {
         val mapCols = (secCols ++ p.keys).map(col)
         SecondaryIndex.reconcile(spark, idxPath,
@@ -772,8 +772,8 @@ object BucketTable {
     // empty manifest — the first non-empty upsert merges against
     // nothing and commits generation 0
     val committed = manifest(tablePath)
-    val bound = boundSecondaryIndex(tablePath)
-    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
+    val bound = boundSecondaryIndexes(tablePath)
+    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
     val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.limit(0)
@@ -824,10 +824,10 @@ object BucketTable {
     // past every cursor (consumers re-sync loudly from a snapshot)
     writeManifest(tablePath, written.map(_ -> gen).toMap, p,
       CdcLog.Action.Destructive)
-    // a bound secondary index is rebuilt from the replacement —
+    // bound secondary indexes are rebuilt from the replacement —
     // proportionate, the verb itself replaced the whole table (create
-    // re-binds and records the covered head itself)
-    boundSecondaryIndex(tablePath).foreach { case (secCols, idxPath) =>
+    // re-binds and records each covered head itself)
+    boundSecondaryIndexes(tablePath).foreach { case (secCols, idxPath) =>
       val numBuckets = props(idxPath).numBuckets
       FsUtil.deleteRecursively(Paths.get(idxPath))
       SecondaryIndex.create(spark, tablePath, idxPath, secCols, numBuckets)
@@ -863,8 +863,8 @@ object BucketTable {
     // one of OUR touched buckets fails the commit below (probe
     // discarded, retry re-probes) — disjoint-bucket writers can't
     // change these keys' rows, so the probe stays valid
-    val bound = boundSecondaryIndex(tablePath)
-    val pre = bound.map(_ => preBatchState(spark, tablePath, tagged, p))
+    val bound = boundSecondaryIndexes(tablePath)
+    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
     val merged = HudiLike.upsert(existing, tagged,
       p.keys, p.precombine, p.tieBreak)
     val gen = System.nanoTime()
@@ -1120,7 +1120,7 @@ object BucketTable {
     // (all rows deleted) reads as the recorded-schema zero-row frame
     val liveTouched = touched.intersect(committed.keySet)
     val gen = nextGen(tablePath)
-    val bound = boundSecondaryIndex(tablePath)
+    val bound = boundSecondaryIndexes(tablePath)
     val current0 =
       if (committed.isEmpty) emptySnapshot(spark, tablePath)
       else if (liveTouched.isEmpty) read(spark, tablePath).limit(0)
@@ -1256,7 +1256,7 @@ object BucketTable {
         (m1 -- m.keySet) ++ written.map(_ -> gen).toMap, props(tablePath),
         CdcLog.Action.Preserving)
       // content-preserving commit: mappings unchanged, head advances
-      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+      boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
         SecondaryIndex.markCovered(idxPath, c)
       }
     }
@@ -1316,7 +1316,7 @@ object BucketTable {
       val written = listWrittenBuckets(dir)
       val c = writeManifestLocked(tablePath, written.map(_ -> gen).toMap, p,
         CdcLog.Action.Preserving)
-      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+      boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
         SecondaryIndex.markCovered(idxPath, c)
       }
       gen
@@ -1371,7 +1371,7 @@ object BucketTable {
       val c = writeManifestLocked(tablePath, written.map(_ -> gen).toMap, np,
         CdcLog.Action.Preserving)
       writeProps(tablePath, np)
-      boundSecondaryIndex(tablePath).foreach { case (_, idxPath) =>
+      boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
         SecondaryIndex.markCovered(idxPath, c)
       }
       gen
@@ -1472,7 +1472,7 @@ object BucketTable {
     // the index by (and no SparkSession here to rebuild it) — refuse
     // loudly rather than leave the index diverged from restored state
     // (the PartitionedTable.restoreSavepoint contract)
-    require(boundSecondaryIndex(tablePath).isEmpty,
+    require(boundSecondaryIndexes(tablePath).isEmpty,
       s"restore at $tablePath with a bound secondary index would leave " +
         "the index diverged — DROP INDEX first, restore, then re-create")
     val m = savepointManifest(tablePath, name)

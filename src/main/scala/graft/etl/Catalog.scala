@@ -191,18 +191,26 @@ object Catalog {
     } yield (kind, path)
   }
 
-  /** Secondary-index binding declared on the table:
-    * `graft.table.secondaryIndex = 'col1,col2:indexPath'` → the
-    * indexed columns and the index table's path. The DML front door
-    * consults it to resolve equality predicates on the indexed columns
-    * into primary keys WITHOUT a table scan.
+  /** Secondary-index bindings declared on the table:
+    * `graft.table.secondaryIndex = 'col1,col2:idxPath1;col3:idxPath2'`
+    * — a semicolon-joined list of (indexed columns, index table path)
+    * entries, one per secondary index (a table may bind several, each
+    * over a different column set). The DML front door consults them to
+    * resolve equality predicates on indexed columns into primary keys
+    * WITHOUT a table scan.
     */
+  def secondaryIndexesOf(spark: SparkSession,
+      table: String): Seq[(Seq[String], String)] =
+    tblProps(spark, table).get("graft.table.secondaryIndex").toSeq
+      .flatMap(_.split(";").toSeq).filter(_.nonEmpty).map { v =>
+        val Array(cols, path) = v.split(":", 2)
+        (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, path)
+      }
+
+  /** The FIRST secondary-index binding (legacy single-index callers). */
   def secondaryIndexOf(spark: SparkSession,
       table: String): Option[(Seq[String], String)] =
-    tblProps(spark, table).get("graft.table.secondaryIndex").map { v =>
-      val Array(cols, path) = v.split(":", 2)
-      (cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq, path)
-    }
+    secondaryIndexesOf(spark, table).headOption
 
   /** Column-stats index bound to the table:
     * `graft.table.statsIndex = '<statsPath>'` — the zone-map sidecar

@@ -313,7 +313,7 @@ object MorTable {
       // probe and reconciles AFTER the swing (an index ahead of the
       // commit would serve uncommitted rows; behind is merely stale).
       val cdcOn = CdcLog.enabled(tablePath)
-      val idx = boundCoveringIndex(tablePath)
+      val idx = boundCoveringIndexes(tablePath)
       val (flagged, images) =
         if (!cdcOn && idx.isEmpty) (flagged0, None)
         else {
@@ -329,7 +329,7 @@ object MorTable {
       logSeqTime(tablePath, seq)
       writePointer(tablePath, base, seq, floor)
       CdcLog.publish(tablePath, seq)
-      for (((secCols, idxPath), (before, after)) <- idx.zip(images))
+      for ((before, after) <- images; (secCols, idxPath) <- idx)
         SecondaryIndex.withMaintLock(idxPath) {
           SecondaryIndex.reconcileCovering(flagged.sparkSession, idxPath,
             before, after, secCols, props(tablePath).keys)
@@ -375,32 +375,30 @@ object MorTable {
   private def secIdxPath(tablePath: String): Path =
     Paths.get(tablePath, "_secidx")
 
-  /** The bound covering index, if any: (secondary cols, index path).
+  /** The bound covering indexes: (secondary cols, index path) per
+    * index — a table may bind several, one per query pattern.
     * Engine-level (a table-dir file, not catalog state) so EVERY write
-    * path maintains it — programmatic upserts included.
+    * path maintains them — programmatic upserts included.
     */
-  def boundCoveringIndex(tablePath: String): Option[(Seq[String], String)] = {
-    val p = secIdxPath(tablePath)
-    if (!Files.exists(p)) None
-    else {
-      val l = Files.readString(p).trim
-      val i = l.indexOf(' ')
-      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
-    }
-  }
+  def boundCoveringIndexes(tablePath: String): Seq[(Seq[String], String)] =
+    SecondaryIndex.readBindings(secIdxPath(tablePath))
+
+  def boundCoveringIndex(tablePath: String): Option[(Seq[String], String)] =
+    boundCoveringIndexes(tablePath).headOption
 
   def bindCoveringIndex(tablePath: String, secCols: Seq[String],
-      indexPath: String): Unit = {
-    Files.writeString(secIdxPath(tablePath),
-      s"${secCols.mkString(",")} $indexPath",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    ()
-  }
+      indexPath: String): Unit =
+    SecondaryIndex.addBinding(secIdxPath(tablePath), secCols, indexPath)
 
+  /** Unbind every index (test/repair helper). */
   def unbindCoveringIndex(tablePath: String): Unit = {
     Files.deleteIfExists(secIdxPath(tablePath))
     ()
   }
+
+  /** Unbind one index by its artifact path (DROP INDEX). */
+  def unbindCoveringIndex(tablePath: String, indexPath: String): Unit =
+    SecondaryIndex.removeBinding(secIdxPath(tablePath), indexPath)
 
   /** Turn on row-level CDC (Hudi 0.13 `hoodie.table.cdc.enabled`):
     * commits AFTER the current head get before/after images, served by
@@ -650,9 +648,9 @@ object MorTable {
       logBase(tablePath, next, head + 1, "overwrite")
       logSeqTime(tablePath, head + 1)
       writePointer(tablePath, next, head + 1, head + 1)
-      // a bound covering index is rebuilt from the replacement —
+      // bound covering indexes are rebuilt from the replacement —
       // proportionate, the verb itself replaced the whole table
-      boundCoveringIndex(tablePath).foreach { case (_, idxPath) =>
+      boundCoveringIndexes(tablePath).foreach { case (_, idxPath) =>
         SecondaryIndex.rebuildMorCovering(incoming.sparkSession, tablePath,
           idxPath)
       }

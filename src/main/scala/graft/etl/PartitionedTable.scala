@@ -1523,33 +1523,32 @@ object PartitionedTable {
   private def secIdxPath(tablePath: String): Path =
     Paths.get(tablePath, "_secidx")
 
-  /** The bound mapping index, if any: (secondary cols, index path).
+  /** The bound mapping indexes: (secondary cols, index path) per
+    * index — a table may bind several, one per query pattern.
     * Engine-level (a table-dir file, not catalog state) so EVERY
-    * mutation primitive maintains it — programmatic writers included,
-    * which is what lets the SQL DML routes stay hook-free here.
+    * mutation primitive maintains them — programmatic writers
+    * included, which is what lets the SQL DML routes stay hook-free
+    * here.
     */
-  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] = {
-    val p = secIdxPath(tablePath)
-    if (!Files.exists(p)) None
-    else {
-      val l = Files.readString(p).trim
-      val i = l.indexOf(' ')
-      Some((l.substring(0, i).split(',').toSeq, l.substring(i + 1)))
-    }
-  }
+  def boundSecondaryIndexes(tablePath: String): Seq[(Seq[String], String)] =
+    SecondaryIndex.readBindings(secIdxPath(tablePath))
+
+  def boundSecondaryIndex(tablePath: String): Option[(Seq[String], String)] =
+    boundSecondaryIndexes(tablePath).headOption
 
   def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
-      indexPath: String): Unit = {
-    Files.writeString(secIdxPath(tablePath),
-      s"${secCols.mkString(",")} $indexPath",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    ()
-  }
+      indexPath: String): Unit =
+    SecondaryIndex.addBinding(secIdxPath(tablePath), secCols, indexPath)
 
+  /** Unbind every index (test/repair helper). */
   def unbindSecondaryIndex(tablePath: String): Unit = {
     Files.deleteIfExists(secIdxPath(tablePath))
     ()
   }
+
+  /** Unbind one index by its artifact path (DROP INDEX). */
+  def unbindSecondaryIndex(tablePath: String, indexPath: String): Unit =
+    SecondaryIndex.removeBinding(secIdxPath(tablePath), indexPath)
 
   // ---- bound GLOBAL record-level index (Hudi 0.14 RLI) ----------------
   //
@@ -1589,8 +1588,8 @@ object PartitionedTable {
     */
   private def boundIndexes(tablePath: String,
       p: Props): Seq[(Seq[String], String)] =
-    boundSecondaryIndex(tablePath).map { case (sec, idx) =>
-      (sec ++ p.identity, idx) }.toSeq ++
+    boundSecondaryIndexes(tablePath).map { case (sec, idx) =>
+      (sec ++ p.identity, idx) } ++
       boundRecordIndex(tablePath).map(rli => (p.keys ++ p.partitionCols, rli))
 
   /** Current rows for the given identities (partition cols + keys):
@@ -1750,7 +1749,7 @@ object PartitionedTable {
     // a restore rewrites table state with no per-row diff to reconcile
     // the index by (and no SparkSession here to rebuild it) — refuse
     // loudly rather than leave the index diverged from restored state
-    require(boundSecondaryIndex(tablePath).isEmpty &&
+    require(boundSecondaryIndexes(tablePath).isEmpty &&
         boundRecordIndex(tablePath).isEmpty,
       s"restore at $tablePath with a bound index would leave " +
         "the index diverged — DROP INDEX first, restore, then re-create")

@@ -56,6 +56,48 @@ object SecondaryIndex {
   // `_maint` lock — a full mapping diff whose index WRITE is
   // O(discrepancy) — so an index-served read never silently misses.
 
+  // ---- engine binding files (shared by every layout) -----------------
+  //
+  // A layout's `_secidx` file lists its bound indexes, one per line:
+  // `col1,col2 <indexPath>`. Multi-line so a table can bind SEVERAL
+  // secondary indexes (one per query pattern — Hudi allows the same);
+  // every mutation primitive iterates the list.
+
+  private[etl] def readBindings(p: java.nio.file.Path): Seq[(Seq[String], String)] =
+    if (!Files.exists(p)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).map { l =>
+        val i = l.indexOf(' ')
+        (l.substring(0, i).split(',').toSeq, l.substring(i + 1))
+      }.toSeq
+    }
+
+  private def writeBindings(p: java.nio.file.Path,
+      entries: Seq[(Seq[String], String)]): Unit =
+    if (entries.isEmpty) { Files.deleteIfExists(p); () }
+    else {
+      val tmp = p.resolveSibling(s"${p.getFileName}.tmp${System.nanoTime()}")
+      Files.writeString(tmp,
+        entries.map { case (cols, idx) => s"${cols.mkString(",")} $idx" }
+          .mkString("", "\n", "\n"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  /** Add (or replace, keyed by index path) one binding line. */
+  private[etl] def addBinding(p: java.nio.file.Path, secCols: Seq[String],
+      indexPath: String): Unit =
+    writeBindings(p,
+      readBindings(p).filterNot(_._2 == indexPath) :+ (secCols, indexPath))
+
+  /** Remove the binding for `indexPath` (others stay). */
+  private[etl] def removeBinding(p: java.nio.file.Path,
+      indexPath: String): Unit =
+    writeBindings(p, readBindings(p).filterNot(_._2 == indexPath))
+
   private def headStatePath(indexPath: String) =
     Paths.get(s"${indexPath}_phead")
 

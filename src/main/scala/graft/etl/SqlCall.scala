@@ -227,14 +227,14 @@ object SqlCall {
           throw new IllegalArgumentException(
             s"reconcile_index('$t'): not a layout-registered table"))
         val artifacts: Seq[(String, String)] = kind match {
-          case "bucket" => BucketTable.boundSecondaryIndex(path).toSeq
+          case "bucket" => BucketTable.boundSecondaryIndexes(path)
             .map { case (_, idx) => ("secondary", idx) }
-          case "bloom" => BloomTable.boundSecondaryIndex(path).toSeq
+          case "bloom" => BloomTable.boundSecondaryIndexes(path)
             .map { case (_, idx) => ("secondary", idx) }
-          case "mor" => MorTable.boundCoveringIndex(path).toSeq
+          case "mor" => MorTable.boundCoveringIndexes(path)
             .map { case (_, idx) => ("secondary", idx) }
           case "partitioned" =>
-            PartitionedTable.boundSecondaryIndex(path).toSeq
+            PartitionedTable.boundSecondaryIndexes(path)
               .map { case (_, idx) => ("secondary", idx) } ++
               PartitionedTable.boundRecordIndex(path).toSeq
                 .map(idx => ("record", idx))
@@ -577,8 +577,11 @@ object SqlCall {
     require(keyArgs.length == keys.length,
       s"purge_key('$t', ...) needs ${keys.length} key values " +
         s"(${keys.mkString(",")}), got ${keyArgs.length}")
-    val schema = Catalog.readTable(spark, t).schema
-    val keysDf = keys.zip(keyArgs).foldLeft(spark.range(1).toDF()) {
+    // LAZY: the timeline branch must not read the table before its
+    // purge has repaired an interrupted swap (the read would fail on
+    // the absent live dir the repair is about to restore)
+    lazy val schema = Catalog.readTable(spark, t).schema
+    lazy val keysDf = keys.zip(keyArgs).foldLeft(spark.range(1).toDF()) {
       case (df, (k, v)) => df.withColumn(k, lit(v).cast(schema(k).dataType))
     }.select(keys.map(col): _*)
     kind match {
@@ -593,7 +596,7 @@ object SqlCall {
               staleKeys = Some(keysDf))
             Seq("record_index" -> s"shards_refreshed=${shards.size}")
           }
-        val sec = BloomTable.boundSecondaryIndex(path).toSeq.map {
+        val sec = BloomTable.boundSecondaryIndexes(path).map {
           case (_, idxPath) =>
             "secondary_index" -> s"reconciled=$idxPath"
         }
@@ -606,7 +609,7 @@ object SqlCall {
         // between the two: a torn maintenance pass is caught by the
         // covered-head serve check)
         val buckets = BucketTable.deleteFrom(spark, path, keysDf)
-        val sec = BucketTable.boundSecondaryIndex(path).toSeq.map {
+        val sec = BucketTable.boundSecondaryIndexes(path).map {
           case (_, idxPath) =>
             "secondary_index" -> s"reconciled=$idxPath"
         }
@@ -633,7 +636,7 @@ object SqlCall {
               "full_scan")
         }
         val rewritten = PartitionedTable.deleteFrom(spark, path, ids)
-        val sec = PartitionedTable.boundSecondaryIndex(path).toSeq.map {
+        val sec = PartitionedTable.boundSecondaryIndexes(path).map {
           case (_, idxPath) =>
             "secondary_index" -> s"reconciled=$idxPath"
         }
@@ -655,15 +658,26 @@ object SqlCall {
           .localCheckpoint()
         val n = victims.count()
         if (n > 0) MorTable.deleteFrom(path, victims)
-        val sec = MorTable.boundCoveringIndex(path).toSeq.map {
+        val sec = MorTable.boundCoveringIndexes(path).map {
           case (_, idxPath) =>
             "secondary_index" -> s"reconciled=$idxPath"
         }
         (Seq("table" -> s"tombstoned=$n") ++ sec)
           .toDF("artifact", "detail")
+      case "timeline" =>
+        // the VERSIONED layout's purge is a HISTORY rewrite: the key
+        // leaves every retained snapshot (Timeline.purgeKey — versions
+        // it never reached stay byte-identical), because a versioned
+        // lake that cannot purge PII from history cannot lawfully hold
+        // it; instant row counts refresh so show_commits stays truthful
+        val rewritten = Timeline.purgeKey(spark, path, keys, keyArgs)
+        Seq("table" -> ("versions_rewritten=" + rewritten.size +
+          (if (rewritten.isEmpty) ""
+           else s" (${rewritten.mkString(",")})")))
+          .toDF("artifact", "detail")
       case other => throw new IllegalArgumentException(
         s"purge_key('$t'): supported layouts are bucket | bloom | " +
-          s"partitioned | mor, got '$other'")
+          s"partitioned | mor | timeline, got '$other'")
     }
   }
 }

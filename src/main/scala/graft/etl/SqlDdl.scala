@@ -719,7 +719,7 @@ object SqlDdl {
         PartitionedTable.props(path).partitionCols
           .map(_ -> "a partition column")
        else Nil) ++
-      Catalog.secondaryIndexOf(spark, table).toSeq
+      Catalog.secondaryIndexesOf(spark, table)
         .flatMap(_._1.map(_ -> "a secondary-indexed column")) ++
       Catalog.statsIndexOf(spark, table).toSeq.flatMap { statsPath =>
         // both plain stats columns and the columns a functional

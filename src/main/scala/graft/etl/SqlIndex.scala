@@ -15,12 +15,17 @@ import org.apache.spark.sql.catalyst.plans.logical.{CreateIndex, DropIndex, Logi
   * column-stats index drives zone-map data skipping.
   *
   * Index types (USING clause):
-  *   - `SECONDARY (cols...)` on a bucket-layout table →
-  *     [[SecondaryIndex.create]]; bound via
-  *     `graft.table.secondaryIndex`. One per table.
+  *   - `SECONDARY (cols...)` on a bucket/bloom/mor/partitioned-layout
+  *     table → the layout's [[SecondaryIndex]] variant; bound via
+  *     `graft.table.secondaryIndex` (a LIST — a table may bind several
+  *     secondary indexes, one per query pattern; only a duplicate
+  *     column set is refused).
   *   - `RECORD (key cols)` on a bloom-layout table →
-  *     [[RecordIndex.build]] (the listed columns must be the table's
-  *     primary key — the RLI maps record key → file).
+  *     [[RecordIndex.build]] (the RLI maps record key → file), or on
+  *     a partitioned-layout table →
+  *     [[SecondaryIndex.createPartitionedRecord]] (the GLOBAL key →
+  *     partition index; the listed columns must be the table's
+  *     primary key).
   *   - `COLUMN_STATS (cols...)` on a bucket/bloom-layout table →
   *     [[StatsIndex.buildFromFiles]] over the live manifest; bound via
   *     `graft.table.statsIndex`. A column may carry
@@ -110,8 +115,13 @@ object SqlIndex {
             kind == "bloom",
           s"USING SECONDARY needs a bucket-, bloom-, mor- or " +
             s"partitioned-layout table; $target is '$kind'")
-        require(Catalog.secondaryIndexOf(spark, target).isEmpty,
-          s"$target already binds a secondary index")
+        // a table may bind SEVERAL secondary indexes (one per query
+        // pattern) — only an exact-duplicate column set is refused
+        val existingSec = Catalog.secondaryIndexesOf(spark, target)
+        require(!existingSec.exists(_._1.map(_.toLowerCase).toSet ==
+            cols.map(_.toLowerCase).toSet),
+          s"$target already binds a secondary index over " +
+            s"(${cols.mkString(",")})")
         require(cols.forall(!_.contains(":=")),
           "a secondary index takes plain columns, not expressions")
         val idxPath = s"${path}_idx_${c.indexName}"
@@ -132,15 +142,19 @@ object SqlIndex {
         else if (kind == "bloom")
           SecondaryIndex.createBloom(spark, path, idxPath, cols)
         else SecondaryIndex.create(spark, path, idxPath, cols)
-        setProps(spark, target,
-          "graft.table.secondaryIndex" -> s"${cols.mkString(",")}:$idxPath")
+        setProps(spark, target, "graft.table.secondaryIndex" ->
+          (existingSec :+ (cols, idxPath)).map { case (cs, ip) =>
+            s"${cs.mkString(",")}:$ip" }.mkString(";"))
         idxPath
       case "record" =>
         require(kind == "bloom" || kind == "partitioned",
           s"USING RECORD needs a bloom- or partitioned-layout table; " +
             s"$target is '$kind' (the RLI maps record key -> data file " +
             "over bloom commits, or key -> partition on the " +
-            "partitioned layout)")
+            "partitioned layout; a bucket table needs none — its key " +
+            "HASH already routes a point read to one bucket — and a " +
+            "MOR table's point read is a merge scan by design, served " +
+            "instead by a covering SECONDARY index)")
         if (kind == "partitioned") {
           // GLOBAL record index (Hudi 0.14 RLI): key → partition, so a
           // key lookup without the partition value reads ONE slice
@@ -213,15 +227,26 @@ object SqlIndex {
       case Some((tpe, artifact)) =>
         tpe match {
           case "secondary" =>
-            unsetProps(spark, target, "graft.table.secondaryIndex")
+            // only THIS index's entry leaves the binding list — other
+            // secondary indexes on the table keep serving
+            val remaining = Catalog.secondaryIndexesOf(spark, target)
+              .filterNot(_._2 == artifact)
+            if (remaining.isEmpty)
+              unsetProps(spark, target, "graft.table.secondaryIndex")
+            else setProps(spark, target, "graft.table.secondaryIndex" ->
+              remaining.map { case (cs, ip) =>
+                s"${cs.mkString(",")}:$ip" }.mkString(";"))
             // every layout carries the engine-level binding that drives
-            // write-path maintenance — unbind it with the drop
+            // write-path maintenance — unbind this artifact with the drop
             Catalog.layoutOf(spark, target).foreach {
-              case ("mor", path) => MorTable.unbindCoveringIndex(path)
+              case ("mor", path) =>
+                MorTable.unbindCoveringIndex(path, artifact)
               case ("partitioned", path) =>
-                PartitionedTable.unbindSecondaryIndex(path)
-              case ("bucket", path) => BucketTable.unbindSecondaryIndex(path)
-              case ("bloom", path) => BloomTable.unbindSecondaryIndex(path)
+                PartitionedTable.unbindSecondaryIndex(path, artifact)
+              case ("bucket", path) =>
+                BucketTable.unbindSecondaryIndex(path, artifact)
+              case ("bloom", path) =>
+                BloomTable.unbindSecondaryIndex(path, artifact)
               case _ => ()
             }
             // the reconcile-serialization scope and covered-head state

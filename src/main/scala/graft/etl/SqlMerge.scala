@@ -285,10 +285,10 @@ object SqlMerge {
         val t = spark.table(target).alias(alias)
         writeBack(spark, target, t.filter(not(cond) || cond.isNull))
       case Some(("bucket", path)) =>
-        val indexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+        val indexed = Catalog.secondaryIndexesOf(spark, target).flatMap {
           case (secCols, idxPath) =>
             equalityLiterals(d.condition, secCols).map((secCols, idxPath, _))
-        }
+        }.headOption
         indexed match {
           case Some((_, idxPath, secValues)) =>
             // index-composed route: the predicate is an equality over
@@ -312,10 +312,10 @@ object SqlMerge {
             ()
         }
       case Some(("bloom", path)) =>
-        val bloomIndexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+        val bloomIndexed = Catalog.secondaryIndexesOf(spark, target).flatMap {
           case (secCols, idxPath) =>
             equalityLiterals(d.condition, secCols).map((idxPath, _))
-        }
+        }.headOption
         bloomIndexed match {
           case Some((idxPath, secValues)) =>
             // index-composed route: ONE probed index bucket resolves
@@ -348,10 +348,10 @@ object SqlMerge {
           mapping._3)
         val partCols = PartitionedTable.props(path).partitionCols
           .map(_.toLowerCase).toSet
-        val indexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+        val indexed = Catalog.secondaryIndexesOf(spark, target).flatMap {
           case (secCols, idxPath) =>
             equalityLiterals(d.condition, secCols).map((idxPath, _))
-        }
+        }.headOption
         if (referencedColumns(d.condition).subsetOf(partCols))
           // partition-only predicate → Hudi's drop-partition fast
           // path: METADATA-ONLY (manifest + delta-log shrink), zero
@@ -382,10 +382,10 @@ object SqlMerge {
         // tombstone wins — Hudi's _hoodie_is_deleted payload contract.
         val cond = unqualified(d.condition, alias, target)
         val p = MorTable.props(path)
-        val indexed = Catalog.secondaryIndexOf(spark, target).flatMap {
+        val indexed = Catalog.secondaryIndexesOf(spark, target).flatMap {
           case (secCols, idxPath) =>
             equalityLiterals(d.condition, secCols).map((idxPath, _))
-        }
+        }.headOption
         val victims = indexed match {
           case Some((idxPath, secValues)) =>
             // covering-index route: the victims come from ONE probed

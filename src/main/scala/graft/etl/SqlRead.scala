@@ -226,7 +226,11 @@ object SqlRead {
       case (kind, path)
           if kind == "bucket" || kind == "mor" || kind == "partitioned" ||
             kind == "bloom" =>
-        Catalog.secondaryIndexOf(spark, name).flatMap {
+        // several indexes may be bound — serve from the first whose
+        // indexed columns the filter fully pins (any fully-pinned
+        // index is sound; the retained filter restores exactness)
+        val candidates = Catalog.secondaryIndexesOf(spark, name)
+        candidates.view.flatMap {
           case (secCols, idxPath) =>
             val sets = literalValueSets(cond)
             if (!secCols.forall(c => sets.contains(c.toLowerCase))) None
@@ -260,7 +264,7 @@ object SqlRead {
                   .queryExecution.analyzed)
               }
             }
-        }
+        }.headOption
       case _ => None
     }
   }

@@ -241,6 +241,119 @@ object Timeline {
     commit(merged, tablePath, atMs = atMs)
   }
 
+  /** Right-to-be-forgotten on the VERSIONED layout: erase every row
+    * whose key columns equal `keyValues` from EVERY retained version —
+    * a HISTORY rewrite, the one sanctioned break of snapshot
+    * immutability (a versioned lake that cannot purge PII from its
+    * history cannot lawfully hold PII; Delta and Iceberg deployments
+    * run the same rewrite-the-retained-snapshots procedure). Versions
+    * the key never reached are detected by one predicate-pushdown
+    * probe and stay byte-identical; each HIT version's survivors land
+    * in a staging dir and swap in via two atomic renames — a crash
+    * between them leaves the version dir ABSENT (readVersion fails
+    * LOUDLY, never serves a half-purged snapshot as whole), and
+    * re-running the purge completes the interrupted swap first. The
+    * instant's recorded row count refreshes so `history()` stays
+    * truthful. O(hit versions) rewrite — inherent to a history purge.
+    * Must not race a concurrent [[clean]]/[[archive]] (the same
+    * single-operator rule those services already carry).
+    */
+  def purgeKey(spark: SparkSession, tablePath: String, keys: Seq[String],
+      keyValues: Seq[Any]): Seq[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(keys.nonEmpty && keys.length == keyValues.length,
+      s"purge needs one value per key column (${keys.mkString(",")})")
+    repairInterruptedPurge(tablePath)
+    val pred = keys.zip(keyValues).map { case (k, x) =>
+      if (x == null) col(k).isNull else col(k) === lit(x)
+    }.reduce(_ && _)
+    versions(tablePath).filter { v =>
+      val df = readVersion(spark, tablePath, v)
+      val hit = !df.filter(pred).isEmpty
+      if (hit) {
+        val staged = Paths.get(tablePath, s"_purge_v$v")
+        FsUtil.deleteRecursively(staged) // stale staging from a crash
+        // null-safe keep: a row whose key column is NULL against a
+        // non-null purge value survives
+        df.filter(!coalesce(pred, lit(false)))
+          .write.parquet(staged.toString)
+        val live = Paths.get(tablePath, s"v=$v")
+        val trash = Paths.get(tablePath, s"_trash_v$v")
+        FsUtil.deleteRecursively(trash)
+        Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+        FsUtil.deleteRecursively(trash)
+        refreshInstantCount(spark, tablePath, v)
+      }
+      hit
+    }
+  }
+
+  /** Complete a purge swap a crash interrupted: a staged survivor dir
+    * with its live `v=N` missing moves into place (the purge had
+    * passed its point of no return); a staged dir WITH a live `v=N`
+    * is pre-swap debris and is dropped.
+    */
+  private def repairInterruptedPurge(tablePath: String): Unit = {
+    val dir = Paths.get(tablePath)
+    if (!Files.exists(dir)) return
+    val s = Files.list(dir)
+    val entries = try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    entries.filter(_.startsWith("_purge_v")).foreach { n =>
+      val v = n.stripPrefix("_purge_v")
+      val live = dir.resolve(s"v=$v")
+      if (!Files.exists(live))
+        Files.move(dir.resolve(n), live, StandardCopyOption.ATOMIC_MOVE)
+      else FsUtil.deleteRecursively(dir.resolve(n))
+    }
+    entries.filter(_.startsWith("_trash_v"))
+      .foreach(n => FsUtil.deleteRecursively(dir.resolve(n)))
+    ()
+  }
+
+  /** Re-count a purged version's instant (active `.commit` file or its
+    * archived batch line) so `history()` keeps reporting true row
+    * counts — metadata-only except the footer-count job.
+    */
+  private def refreshInstantCount(spark: SparkSession, tablePath: String,
+      version: Long): Unit = {
+    val n = spark.read.parquet(s"$tablePath/v=$version").count()
+    def rewriteLine(l: String): String = l.trim.split(' ') match {
+      case Array(v, a, _) if v.toLong == version => s"$v $a $n"
+      case Array(v, a, _, ts) if v.toLong == version => s"$v $a $n $ts"
+      case _ => l.trim
+    }
+    val dir = timelineDir(tablePath)
+    if (!Files.exists(dir)) return
+    val active = dir.resolve(s"$version.commit")
+    if (Files.exists(active)) {
+      val tmp = dir.resolve(s".$version.tmp${System.nanoTime()}")
+      Files.writeString(tmp, rewriteLine(Files.readString(active)) + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, active, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val s = Files.list(dir)
+    val logs = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(f => f.startsWith("archived-") && f.endsWith(".log")).toSeq
+      finally s.close()
+    logs.foreach { f =>
+      val p = dir.resolve(f)
+      val lines = Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+      if (lines.exists(_.split(' ').headOption.exists(h =>
+          h.forall(_.isDigit) && h.toLong == version))) {
+        val tmp = dir.resolve(s".$f.tmp${System.nanoTime()}")
+        Files.writeString(tmp,
+          lines.map(rewriteLine).mkString("", "\n", "\n"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    ()
+  }
+
   /** Retention cleaning: drop all but the newest `retain` versions
     * (never the latest). Returns the versions removed.
     */

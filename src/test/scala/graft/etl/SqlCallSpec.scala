@@ -263,6 +263,51 @@ class SqlCallSpec extends SparkSpec {
     assert(MorTable.changeHead(p) == head)
   }
 
+  test("purge_key on a timeline table rewrites history: the key leaves every version") {
+    import org.apache.spark.sql.functions.col
+    val p = Files.createTempDirectory("sqlcallpk4").toString + "/t"
+    def batch(ks: Seq[Long], pc: Long) =
+      ks.map(k => (k, pc, k * pc * 1.0)).toDF("k", "pc", "v")
+    Timeline.upsertInto(spark, p, batch(1L to 6L, 1L),
+      keys = Seq("k"), precombine = "pc")                    // v0: 1..6
+    Timeline.upsertInto(spark, p, batch(Seq(3L, 7L), 2L),
+      keys = Seq("k"), precombine = "pc")                    // v1: +7, 3 updated
+    Timeline.upsertInto(spark, p, batch(Seq(8L), 1L),
+      keys = Seq("k"), precombine = "pc")                    // v2: +8
+    // archive v0's instant so the purge exercises the archived-line
+    // count refresh too
+    Timeline.archive(p, keepLatest = 2)
+    Catalog.registerTimelineTable(spark, "sqlcall_pk4", p,
+      keys = Seq("k"), precombine = "pc")
+    val report = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk4', 3)")
+      .as[(String, String)].collect().toMap
+    // key 3 lived in every version → every version rewrote
+    assert(report("table").startsWith("versions_rewritten=3"))
+    Timeline.versions(p).foreach { v =>
+      assert(Timeline.readVersion(spark, p, v)
+        .filter(col("k") === 3L).count() == 0, s"key 3 survives v=$v")
+    }
+    // everything else is intact, per version
+    assert(Timeline.readVersion(spark, p, 0L).count() == 5)
+    assert(Timeline.readVersion(spark, p, 2L).count() == 7)
+    // history's recorded row counts refreshed (archived line included)
+    val counts = Timeline.instants(p).map(i => i.version -> i.n_rows).toMap
+    assert(counts == Map(0L -> 5L, 1L -> 6L, 2L -> 7L))
+    // a key that never existed: zero rewrites, nothing changes
+    val rep2 = SqlCall.exec(spark, "CALL purge_key('sqlcall_pk4', 999)")
+      .as[(String, String)].collect().toMap
+    assert(rep2("table") == "versions_rewritten=0")
+    // crash repair: simulate a purge that died between its two renames
+    // (live dir gone, staged survivors present) — the next purge
+    // completes the swap before doing anything else
+    val staged = java.nio.file.Paths.get(p, "_purge_v2")
+    val live = java.nio.file.Paths.get(p, "v=2")
+    Files.move(live, staged)
+    SqlCall.exec(spark, "CALL purge_key('sqlcall_pk4', 888)")
+    assert(Files.exists(live) && !Files.exists(staged))
+    assert(Timeline.readVersion(spark, p, 2L).count() == 7)
+  }
+
   test("archive_commits folds a MOR seq-ts log; pre-boundary TIMESTAMP AS OF resolves") {
     val p = Files.createTempDirectory("sqlcallmarch").toString + "/t"
     MorTable.create((1L to 4L).map(k => (k, 1L, k * 1.0)).toDF("k", "pc", "v"),

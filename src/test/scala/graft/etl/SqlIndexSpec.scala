@@ -458,6 +458,58 @@ class SqlIndexSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"${path}_rli_r1")))
   }
 
+  test("several secondary indexes per table: both serve, both maintain, drop one") {
+    val path = fresh("sqlidxmulti")
+    val df = (1 to 16).map(i => (i.toLong, 1L,
+      if (i % 2 == 0) "click" else "view", s"r${i % 4}", i.toDouble))
+      .toDF("k", "pc", "etype", "region", "v")
+    BucketTable.create(df, path, keys = Seq("k"), precombine = "pc",
+      numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_idx_multi", "bucket", path)
+    SqlIndex.exec(spark,
+      "CREATE INDEX m_et ON sql_idx_multi USING SECONDARY (etype)")
+    SqlIndex.exec(spark,
+      "CREATE INDEX m_rg ON sql_idx_multi USING SECONDARY (region)")
+    // an exact-duplicate column set is refused; a different one binds
+    intercept[IllegalArgumentException] {
+      SqlIndex.exec(spark,
+        "CREATE INDEX m_et2 ON sql_idx_multi USING SECONDARY (etype)")
+    }
+    assert(Catalog.secondaryIndexesOf(spark, "sql_idx_multi").size == 2)
+    assert(BucketTable.boundSecondaryIndexes(path).size == 2)
+    def served(sql: String): Set[Long] =
+      SqlRead.select(spark, sql).as[Long].collect().toSet
+    // each index serves its own column's equality
+    assert(served("SELECT k FROM sql_idx_multi WHERE etype = 'click'") ==
+      (2 to 16 by 2).map(_.toLong).toSet)
+    assert(served("SELECT k FROM sql_idx_multi WHERE region = 'r1'") ==
+      Set(1L, 5L, 9L, 13L))
+    // one write maintains BOTH (k=5 moves etype AND region)
+    SqlMerge.exec(spark,
+      "UPDATE sql_idx_multi SET etype = 'click', region = 'r0' WHERE k = 5")
+    assert(served("SELECT k FROM sql_idx_multi WHERE etype = 'click'") ==
+      ((2 to 16 by 2).map(_.toLong).toSet + 5L))
+    assert(served("SELECT k FROM sql_idx_multi WHERE region = 'r1'") ==
+      Set(1L, 9L, 13L))
+    // dropping one leaves the other bound AND serving
+    SqlIndex.exec(spark, "DROP INDEX m_et ON sql_idx_multi")
+    assert(Catalog.secondaryIndexesOf(spark, "sql_idx_multi")
+      .map(_._1) == Seq(Seq("region")))
+    assert(BucketTable.boundSecondaryIndexes(path).map(_._2) ==
+      Seq(s"${path}_idx_m_rg"))
+    assert(!Files.exists(Paths.get(s"${path}_idx_m_et")))
+    assert(served("SELECT k FROM sql_idx_multi WHERE region = 'r0'") ==
+      Set(4L, 5L, 8L, 12L, 16L))
+    // and the survivor still maintains through writes
+    BucketTable.upsertInto(spark, path,
+      Seq((99L, 1L, "view", "r1", 9.9)).toDF("k", "pc", "etype", "region", "v"))
+    assert(served("SELECT k FROM sql_idx_multi WHERE region = 'r1'") ==
+      Set(1L, 9L, 13L, 99L))
+    SqlIndex.exec(spark, "DROP INDEX m_rg ON sql_idx_multi")
+    assert(Catalog.secondaryIndexesOf(spark, "sql_idx_multi").isEmpty)
+    assert(BucketTable.boundSecondaryIndexes(path).isEmpty)
+  }
+
   test("crash-torn index maintenance heals on serve — never a silent miss") {
     // a writer that commits the primary and dies before its reconcile
     // leaves the index missing that commit's mappings; the covered-head
