@@ -345,23 +345,6 @@ object SecondaryIndex {
     BucketTable.lookupMany(spark, primaryPath, keys)
   }
 
-  /** Index entries (secondary cols + keys) of the CURRENT primary rows
-    * for `keysDf` — an O(touched buckets) point read, materialized so
-    * a caller can capture the pre-image BEFORE a mutation and the
-    * post-image after, then [[reconcile]] the difference. The generic
-    * maintenance primitive the SQL DML routes use for statements
-    * [[upsertThrough]]'s batch shape doesn't fit (predicate UPDATE,
-    * keyed DELETE, conditional MERGE).
-    */
-  def entriesForKeys(spark: SparkSession, primaryPath: String,
-      indexPath: String, keysDf: DataFrame): DataFrame = {
-    val p = BucketTable.props(primaryPath)
-    val secCols = BucketTable.props(indexPath).bucketBy
-    BucketTable.lookupMany(spark, primaryPath, keysDf)
-      .select((secCols ++ p.keys).map(col): _*)
-      .localCheckpoint()
-  }
-
   /** Commit the delta between the pre/post mapping states of a
     * commit's touched region: mappings present before and gone after
     * flip dead, mappings present after and absent before upsert live —
@@ -386,23 +369,6 @@ object SecondaryIndex {
     ()
   }
 
-  /** Tombstone the index mappings `(secValues, key ∈ keys)` — the
-    * maintenance half of a routed DELETE: the deleted keys' entries
-    * flip to `__live = false` so later lookups skip them at the index,
-    * not by probing the primary for rows that no longer exist.
-    */
-  def tombstone(spark: SparkSession, primaryPath: String, indexPath: String,
-      secValues: Seq[Any], keys: DataFrame): Unit =
-    withMaintLock(indexPath) {
-      val p = BucketTable.props(primaryPath)
-      val secCols = BucketTable.props(indexPath).bucketBy
-      val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
-      val dead = secCols.zip(secValues).foldLeft(keys.select(p.keys.map(col): _*)) {
-        case (df, (c, v)) => df.withColumn(c, lit(v))
-      }.withColumn(Live, lit(false)).withColumn(Commit, lit(commit))
-      BucketTable.upsertInto(spark, indexPath, dead)
-      ()
-    }
 
   // ---- bloom-layout variant (mapping index over keys) ----------------
   //
@@ -608,20 +574,6 @@ object SecondaryIndex {
     setCoveredHead(indexPath, h)
   }
 
-  /** [[reconcile]] serialized across concurrent PRIMARY writers — the
-    * partitioned layout's OCC front door admits writers on disjoint
-    * partitions, and both maintain the one index, whose commit-counter
-    * read and manifest merge are read-modify-write. The serialization
-    * lock lives in a SIBLING dir (`<index>_maint`), not the index
-    * table itself: [[FsLock]] is non-reentrant and the inner
-    * [[BucketTable.upsertInto]] takes the index's own lock for its
-    * manifest swing.
-    */
-  def reconcileLocked(spark: SparkSession, indexPath: String,
-      pre: DataFrame, post: DataFrame): Unit =
-    FsLock.withTableLock(s"${indexPath}_maint", FsLock.QueueWaitMs) {
-      reconcile(spark, indexPath, pre, post)
-    }
 
   /** Live identities (partition cols + keys) currently mapped to the
     * secondary value — one index-bucket read, no primary access. The

@@ -371,7 +371,25 @@ object SqlMerge {
               spark, path, idxPath, secValues).localCheckpoint()
             PartitionedTable.deleteFrom(spark, path, ids)
           case None =>
-            PartitionedTable.rewriteWhere(spark, path, sel)(survivors(cond))
+            // keyed DELETE without the partition value: when a global
+            // record index is bound, it resolves key → identity from
+            // one probed bucket and the delete rewrites only the
+            // routed slices — no discovery scan of every partition
+            val rliKeyed = PartitionedTable.boundRecordIndex(path)
+              .flatMap { rli =>
+                equalityLiterals(d.condition,
+                  PartitionedTable.props(path).keys).map((rli, _))
+              }
+            rliKeyed match {
+              case Some((rli, keyVals)) =>
+                SecondaryIndex.ensureCurrent(spark, "partitioned", path, rli)
+                val ids = SecondaryIndex.lookupPartitionedIds(
+                  spark, path, rli, keyVals).localCheckpoint()
+                PartitionedTable.deleteFrom(spark, path, ids)
+              case None =>
+                PartitionedTable.rewriteWhere(spark, path, sel)(
+                  survivors(cond))
+            }
         }
         ()
       case Some(("mor", path)) =>

@@ -450,8 +450,14 @@ class SqlIndexSpec extends SparkSpec {
     assert(purged("resolution") == s"rli=${path}_rli_r1")
     assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 5")
       .count() == 0)
-    // 12 created, 99 inserted then tombstoned, 5 purged → 11 live
-    assert(PartitionedTable.read(spark, path).count() == 11)
+    // keyed SQL DELETE without the partition value composes through
+    // the RLI too (victim identity from one probed bucket, one slice
+    // rewritten — no discovery scan)
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_rli WHERE k = 7")
+    assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 7")
+      .count() == 0)
+    // 12 created, 99 inserted then tombstoned, 5 purged, 7 deleted → 10
+    assert(PartitionedTable.read(spark, path).count() == 10)
     // drop unbinds + removes the artifact and its head/maint state
     SqlIndex.exec(spark, "DROP INDEX r1 ON sql_idx_rli")
     assert(PartitionedTable.boundRecordIndex(path).isEmpty)
