@@ -700,21 +700,81 @@ object SqlMerge {
           Catalog.toPhysical(gated(projected(
             Catalog.alignToDeclared(spark, target, t, mapping._1,
               mapping._2, mapping._3), cond, assigned)), mapping._1)
+        // index-composed UPDATE: when the predicate is exactly an
+        // equality over a bound index's columns (or, on partitioned,
+        // the record index's keys), the victims' identities resolve
+        // from ONE probed index bucket and only their buckets/files/
+        // slices rewrite — no discovery scan. The rewriteKeys
+        // transform sees the touched region's FULL rows, and
+        // writeImage's per-row WHEN(cond) leaves co-located
+        // non-matching rows byte-equal, so the semantics are identical
+        // to the scan route. (An UPDATE that assigns an indexed column
+        // moves mappings; the engine binding reconciles the touched
+        // region's pre/post inside the rewrite commit either way.
+        // writeImage aligns the physical frame to the declared schema
+        // first: a column added by ALTER TABLE exists in the catalog
+        // before any file carries it, and an UPDATE assigning it must
+        // not silently drop.)
         kind match {
           case "bucket" =>
-            // an UPDATE that assigns a secondary-indexed column moves
-            // mappings; the engine binding reconciles the touched
-            // region's pre/post inside the rewrite commit.
-            // (writeImage aligns the physical frame to the declared
-            // schema first: a column added by ALTER TABLE exists in
-            // the catalog before any file carries it, and an UPDATE
-            // assigning it must not silently drop.)
-            BucketTable.rewriteWhere(spark, path, sel)(writeImage)
+            val viaIdx = u.condition.flatMap { c =>
+              Catalog.secondaryIndexesOf(spark, target).flatMap {
+                case (secCols, idxPath) =>
+                  equalityLiterals(c, secCols).map((idxPath, _))
+              }.headOption
+            }
+            viaIdx match {
+              case Some((idxPath, secValues)) =>
+                SecondaryIndex.ensureCurrent(spark, "bucket", path, idxPath)
+                val victims = SecondaryIndex.lookupKeys(
+                  spark, path, idxPath, secValues).localCheckpoint()
+                BucketTable.rewriteKeys(spark, path, victims)(writeImage)
+              case None =>
+                BucketTable.rewriteWhere(spark, path, sel)(writeImage)
+            }
             ()
           case "bloom" =>
-            BloomTable.rewriteWhere(spark, path, sel)(writeImage)
+            val viaIdx = u.condition.flatMap { c =>
+              Catalog.secondaryIndexesOf(spark, target).flatMap {
+                case (secCols, idxPath) =>
+                  equalityLiterals(c, secCols).map((idxPath, _))
+              }.headOption
+            }
+            viaIdx match {
+              case Some((idxPath, secValues)) =>
+                SecondaryIndex.ensureCurrent(spark, "bloom", path, idxPath)
+                val victims = SecondaryIndex.lookupBloomKeys(
+                  spark, path, idxPath, secValues).localCheckpoint()
+                BloomTable.rewriteKeys(spark, path, victims)(writeImage)
+              case None =>
+                BloomTable.rewriteWhere(spark, path, sel)(writeImage)
+            }
+            ()
           case "partitioned" =>
-            PartitionedTable.rewriteWhere(spark, path, sel)(writeImage)
+            // secondary index first, then the global record index for
+            // a keyed UPDATE without the partition value
+            val viaIdx = u.condition.flatMap { c =>
+              Catalog.secondaryIndexesOf(spark, target).flatMap {
+                case (secCols, idxPath) =>
+                  equalityLiterals(c, secCols).map((idxPath, _))
+              }.headOption
+                .orElse(PartitionedTable.boundRecordIndex(path).flatMap {
+                  rli =>
+                    equalityLiterals(c,
+                      PartitionedTable.props(path).keys).map((rli, _))
+                })
+            }
+            viaIdx match {
+              case Some((idxPath, vals)) =>
+                SecondaryIndex.ensureCurrent(
+                  spark, "partitioned", path, idxPath)
+                val ids = SecondaryIndex.lookupPartitionedIds(
+                  spark, path, idxPath, vals).localCheckpoint()
+                PartitionedTable.rewriteKeys(spark, path, ids)(writeImage)
+              case None =>
+                PartitionedTable.rewriteWhere(spark, path, sel)(writeImage)
+            }
+            ()
           case "timeline" =>
             Timeline.commit(
               Catalog.toPhysical(

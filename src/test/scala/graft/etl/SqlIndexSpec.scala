@@ -397,6 +397,15 @@ class SqlIndexSpec extends SparkSpec {
     BloomTable.deleteFrom(spark, path, Seq(99L).toDF("k"))
     assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'click'") ==
       (4 to 16 by 2).map(_.toLong).toSet)
+    // index-composed UPDATE: victims resolve from one probed index
+    // bucket, only their candidate files rewrite; the indexed value
+    // moves and the binding reconciles in-pass
+    SqlMerge.exec(spark,
+      "UPDATE sql_idx_bl SET etype = 'seen' WHERE etype = 'click'")
+    assert(served("SELECT k FROM sql_idx_bl WHERE etype = 'seen'") ==
+      (4 to 16 by 2).map(_.toLong).toSet)
+    SqlMerge.exec(spark,
+      "UPDATE sql_idx_bl SET etype = 'click' WHERE etype = 'seen'")
     // index-composed DELETE: victims from ONE probed index bucket, only
     // their candidate files rewritten, mappings reconciled in-pass
     SqlMerge.exec(spark, "DELETE FROM sql_idx_bl WHERE etype = 'view'")
@@ -450,6 +459,14 @@ class SqlIndexSpec extends SparkSpec {
     assert(purged("resolution") == s"rli=${path}_rli_r1")
     assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 5")
       .count() == 0)
+    // keyed SQL UPDATE without the partition value composes through
+    // the RLI (victim identity from one probed bucket, one slice
+    // rewritten); co-located rows in the same slice stay byte-equal
+    SqlMerge.exec(spark, "UPDATE sql_idx_rli SET v = 100.0 WHERE k = 2")
+    assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 2")
+      .as[Double].collect().toSeq == Seq(100.0))
+    assert(SqlRead.select(spark, "SELECT v FROM sql_idx_rli WHERE k = 8")
+      .as[Double].collect().toSeq == Seq(8.0))
     // keyed SQL DELETE without the partition value composes through
     // the RLI too (victim identity from one probed bucket, one slice
     // rewritten — no discovery scan)
