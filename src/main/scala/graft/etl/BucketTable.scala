@@ -320,10 +320,19 @@ object BucketTable {
         "from-birth log")
     val upTo = full.filter(_._1 <= commit)
     val legacy = upTo.collect { case (no, None) => no }
+    // NOT relaxed to "2-token payloads that fully parse as b:g": a
+    // ts-era line torn mid-payload (`0:17,1:18 ts=…` cut to `0:17,1:1`)
+    // is itself a fully-parsing 2-token line — accepting the shape
+    // would readmit exactly the silent-wrong-snapshot bug the strict
+    // parser closed. Legacy histories are contracted unreadable; the
+    // recovery is a compaction, which re-points every live bucket and
+    // restarts reconstructable history from its commit.
     require(legacy.isEmpty,
       s"commit(s) ${legacy.mkString(",")} at $tablePath were logged " +
-        "without generation info (pre-upgrade writes) — versions at or " +
-        "after them are reconstructable, earlier ones are not")
+        "without generation info (pre-upgrade writes, or a torn line " +
+        "collapsed to that shape) — versions before them are not " +
+        "reconstructable; run a compaction to restart historical " +
+        "reads from a fresh full re-point")
     def fold(entries: Seq[(Long, Option[Map[Int, Option[Long]]])])
         : Map[Int, Long] =
       entries.sortBy(_._1).foldLeft(Map.empty[Int, Long]) {
@@ -507,13 +516,18 @@ object BucketTable {
   private def maintainBound(spark: SparkSession, tablePath: String,
       bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
       post: DataFrame, p: Props, commitNo: Long): Unit =
-    for (preDf <- pre; (secCols, idxPath) <- bound)
-      SecondaryIndex.withMaintLock(idxPath) {
-        val mapCols = (secCols ++ p.keys).map(col)
-        SecondaryIndex.reconcile(spark, idxPath,
-          preDf.select(mapCols: _*), post.select(mapCols: _*))
-        SecondaryIndex.markCoveredLocked(idxPath, commitNo)
-      }
+    for (preDf <- pre) {
+      // materialize the post probe once: each index's reconcile excepts
+      // consume it twice (dead + live sides)
+      val postC = post.localCheckpoint()
+      for ((secCols, idxPath) <- bound)
+        SecondaryIndex.withMaintLock(idxPath) {
+          val mapCols = (secCols ++ p.keys).map(col)
+          SecondaryIndex.reconcile(spark, idxPath,
+            preDf.select(mapCols: _*), postC.select(mapCols: _*))
+          SecondaryIndex.markCoveredLocked(idxPath, commitNo)
+        }
+    }
 
   /** Fresh parquet read of specific buckets at one (possibly not yet
     * committed) generation — the post-image side of a commit's cdc

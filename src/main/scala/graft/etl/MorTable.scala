@@ -318,25 +318,27 @@ object MorTable {
         if (!cdcOn && idx.isEmpty) (flagged0, None)
         else {
           val f = flagged0.localCheckpoint()
-          val ba = beforeAfter(tablePath, seq, f)
+          val ba = MaintProf.timed("mor.beforeAfter")(beforeAfter(tablePath, seq, f))
           if (cdcOn) CdcLog.stage(tablePath, seq,
             CdcLog.diff(ba._1, ba._2, props(tablePath).keys))
           (f, Some(ba))
         }
-      flagged
+      MaintProf.timed("mor.logWrite")(flagged
         .withColumn(SeqCol, lit(seq))
-        .write.mode("errorifexists").parquet(logDir.toString)
+        .write.mode("errorifexists").parquet(logDir.toString))
       logSeqTime(tablePath, seq)
       writePointer(tablePath, base, seq, floor)
       CdcLog.publish(tablePath, seq)
       for ((before, after) <- images; (secCols, idxPath) <- idx)
         SecondaryIndex.withMaintLock(idxPath) {
-          SecondaryIndex.reconcileCovering(flagged.sparkSession, idxPath,
-            before, after, secCols, props(tablePath).keys)
+          MaintProf.timed("mor.reconcileCovering")(
+            SecondaryIndex.reconcileCovering(flagged.sparkSession, idxPath,
+              before, after, secCols, props(tablePath).keys))
           // the crash window between the pointer swing above and this
           // reconcile is caught by the covered-head serve check
           // (SecondaryIndex.ensureCurrent) — never a silent miss
-          SecondaryIndex.markCoveredLocked(idxPath, seq)
+          MaintProf.timed("mor.markCovered")(
+            SecondaryIndex.markCoveredLocked(idxPath, seq))
         }
       seq
     }
@@ -358,9 +360,7 @@ object MorTable {
     val p = props(tablePath)
     val keyset = flagged.select(p.keys.map(col): _*).distinct()
       .localCheckpoint()
-    val merged = mergedSnapshot(spark, tablePath)
-    val cond = p.keys.map(k => merged(k) <=> keyset(k)).reduce(_ && _)
-    val before = merged.join(keyset, cond, "left_semi").localCheckpoint()
+    val before = mergedSnapshotFor(spark, tablePath, keyset).localCheckpoint()
     val after = HudiLike.precombineLatest(
       SchemaShim.unionByName(before,
         flagged.withColumn(SeqCol, lit(seq))),
@@ -484,6 +484,33 @@ object MorTable {
     val (base, head, floor) = fullState(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
     mergedRange(spark, tablePath, base, floor, head)
+  }
+
+  /** [[mergedSnapshot]] restricted to `keyset`'s keys BEFORE the merge
+    * window: base and logs semi-join to the batch's keys first (null-
+    * safe, unhinted — AQE broadcasts a small keyset), so the precombine
+    * window runs over O(batch) rows instead of O(table) — the per-commit
+    * probe a 100 TB table can afford. Row-identical to
+    * `mergedSnapshot ⋉ keyset`: the window partitions by exactly the
+    * restriction keys, so dropping other keys' rows changes nothing for
+    * the keys that survive.
+    */
+  private def mergedSnapshotFor(spark: SparkSession, tablePath: String,
+      keyset: DataFrame): DataFrame = {
+    val (base, head, floor) = fullState(tablePath).getOrElse(
+      throw new IllegalStateException(s"no MOR table at $tablePath"))
+    val p = props(tablePath)
+    val baseDf = baseFrame(spark, tablePath, base)
+      .withColumn(SeqCol, lit(0L)).withColumn(DelCol, lit(false))
+    val all = ((floor + 1) to head).foldLeft(baseDf) { (acc, s) =>
+      SchemaShim.unionByName(acc,
+        spark.read.parquet(s"$tablePath/log=$base.$s"))
+    }
+    val cond = p.keys.map(k => all(k) <=> keyset(k)).reduce(_ && _)
+    val restricted = all.join(keyset, cond, "left_semi")
+    HudiLike.precombineLatest(restricted, p.keys, p.precombine,
+      SeqCol +: p.tieBreak)
+      .filter(!col(DelCol))
   }
 
   /** The merge plan over ONE base generation and its logs in
@@ -616,6 +643,36 @@ object MorTable {
       next
     }
 
+  /** Hudi's clustering on a MOR table: the layout is one file group,
+    * so clustering SCHEDULES AS a compaction — fold base + pending
+    * delta logs into a new base generation written range-partitioned
+    * and sorted by `sortCols`, so file-level zone maps tighten exactly
+    * as the bucket/bloom/partitioned `cluster` restates do (Hudi
+    * likewise runs MOR clustering as a replacecommit superseding the
+    * file slices it rewrites; here the base generation IS the file
+    * slice). Content-preserving: no change seq is consumed, cdc
+    * cursors and the covering index's covered head stay valid — the
+    * same contract as [[compact]], which this is, plus the sort.
+    * Returns the new base generation.
+    */
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFileRows: Long = 4000000L): Long =
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      require(sortCols.nonEmpty, "at least one clustering sort column")
+      val (base, head, _) = fullState(tablePath).getOrElse(
+        throw new IllegalStateException(s"no MOR table at $tablePath"))
+      val snap = readSnapshot(spark, tablePath).localCheckpoint()
+      val files = math.max(1L,
+        (snap.count() + targetFileRows - 1) / targetFileRows).toInt
+      val next = base + 1
+      snap.repartitionByRange(files, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(s"$tablePath/base=$next")
+      logBase(tablePath, next, head, "cluster")
+      writePointer(tablePath, next, head, head)
+      next
+    }
+
   /** Hudi's `insert_overwrite_table` on a MOR table: the
     * precombine-deduped batch becomes a NEW base generation with zero
     * delta logs — one pointer swing. Same lock discipline as
@@ -664,6 +721,102 @@ object MorTable {
     * KEEP_LATEST_COMMITS cleaner policy) — `VERSION AS OF` is then
     * GUARANTEED inside the retention window, loud outside it.
     */
+  // ---- savepoints (Hudi's savepoint/restore on the MOR layout) -------
+
+  private val SavepointPrefix = "_savepoint_"
+
+  private def savepointPath(tablePath: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
+    Paths.get(tablePath, SavepointPrefix + name)
+  }
+
+  /** Pin the CURRENT snapshot state under `name`: the (base, head,
+    * floor) triple that resolves it — [[clean]] then keeps the pinned
+    * base generation and the `(floor, head]` delta logs alive however
+    * aggressive retention gets. The [[BucketTable.savepoint]] design
+    * applied to MOR's base-generation + delta-window state.
+    * O(metadata), no data copied.
+    */
+  def savepoint(tablePath: String, name: String): Unit = {
+    val p = savepointPath(tablePath, name)
+    require(!Files.exists(p), s"savepoint $name already exists")
+    val (base, head, floor) = fullState(tablePath).getOrElse(
+      throw new IllegalStateException(s"no MOR table at $tablePath"))
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    Files.writeString(tmp, s"$base $head $floor\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Savepoint names currently pinned. */
+  def savepoints(tablePath: String): Seq[String] = {
+    val s = Files.list(Paths.get(tablePath))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .map(_.drop(SavepointPrefix.length)).toSeq.sorted
+    finally s.close()
+  }
+
+  private def savepointState(tablePath: String,
+      name: String): (Long, Long, Long) = {
+    val p = savepointPath(tablePath, name)
+    require(Files.exists(p), s"no savepoint $name at $tablePath")
+    Files.readString(p).trim.split(' ') match {
+      case Array(b, h, f) => (b.toLong, h.toLong, f.toLong)
+      case _ => throw new IllegalStateException(
+        s"malformed savepoint $name at $tablePath")
+    }
+  }
+
+  /** Read the table AS OF a savepoint: the pinned base merged with the
+    * pinned delta window — no live-pointer involvement. Loud if any
+    * pinned dir vanished (only possible by external deletion —
+    * [[clean]] treats pinned dirs as live).
+    */
+  def readSavepoint(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    val (base, head, floor) = savepointState(tablePath, name)
+    val missing =
+      (if (base == 0L && Files.exists(bootstrapPath(tablePath))) Seq.empty
+       else if (!Files.exists(Paths.get(tablePath, s"base=$base")))
+         Seq(s"base=$base")
+       else Seq.empty) ++
+        ((floor + 1) to head).filterNot(s =>
+          Files.exists(Paths.get(tablePath, s"log=$base.$s")))
+          .map(s => s"log=$base.$s")
+    require(missing.isEmpty,
+      s"savepoint $name at $tablePath: pinned dir(s) " +
+        s"${missing.mkString(",")} are gone — the savepoint no longer " +
+        "resolves")
+    mergedRange(spark, tablePath, base, floor, head).drop(SeqCol, DelCol)
+  }
+
+  /** Roll the table BACK to a savepoint. NOT a metadata truncation:
+    * the change-seq head is globally monotonic by contract (a CDC
+    * cursor must never alias into renumbered commits), and truncating
+    * logs back to the pinned seq would hand the SAME seq numbers to
+    * different future content. The restore therefore RESTATES: the
+    * pinned snapshot becomes a new base generation via
+    * [[overwriteTable]] — one seq consumed, the cdc floor ratcheted
+    * (consumers re-sync loudly, as after any full restate), bound
+    * covering indexes rebuilt inside it. Commits after the savepoint
+    * become unreferenced debris for [[clean]]. Returns the new base
+    * generation.
+    */
+  def restoreSavepoint(spark: SparkSession, tablePath: String,
+      name: String): Long =
+    overwriteTable(tablePath, readSavepoint(spark, tablePath, name)
+      .localCheckpoint())
+
+  /** Unpin a savepoint; its dirs become reclaimable by [[clean]]
+    * unless still referenced by the live pointer or another savepoint.
+    */
+  def dropSavepoint(tablePath: String, name: String): Unit = {
+    Files.deleteIfExists(savepointPath(tablePath, name))
+    ()
+  }
+
   def clean(tablePath: String, keepVersions: Int = 0): Seq[String] = {
     val (base, _) = state(tablePath).getOrElse(return Seq.empty)
     val head = changeHead(tablePath)
@@ -686,13 +839,18 @@ object MorTable {
           s"base=$b" +: ((f + 1) to c).map(sq => s"log=$b.$sq")
         }.toSet
       }
+    // savepoint-pinned dirs count as live — the pin IS the contract
+    val pinned: Set[String] = savepoints(tablePath).flatMap { n =>
+      val (b, h, f) = savepointState(tablePath, n)
+      s"base=$b" +: ((f + 1) to h).map(sq => s"log=$b.$sq")
+    }.toSet
     val s = Files.list(Paths.get(tablePath))
     val stale =
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         ((n.startsWith("base=") && n.drop(5).toLong < base) ||
           (n.startsWith("log=") && n.drop(4).takeWhile(_ != '.').toLong < base)) &&
-          !keep(n)
+          !keep(n) && !pinned(n)
       }.toSeq
       finally s.close()
     stale.foreach(deleteRecursively)

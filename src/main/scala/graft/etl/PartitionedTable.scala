@@ -1626,11 +1626,12 @@ object PartitionedTable {
     * [[lookupMany]] on a table whose manifest hasn't been written).
     */
   private def preBatchState(spark: SparkSession, tablePath: String,
-      tagged: DataFrame, p: Props): DataFrame =
+      tagged: DataFrame, p: Props): DataFrame = MaintProf.timed("part.preBatchState") {
     (if (manifest(tablePath).isEmpty && deltas(tablePath).isEmpty)
        tagged.drop(p.dirCols: _*).limit(0)
      else lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)))
       .localCheckpoint()
+  }
 
   /** Reconcile the bound index from pre/post FULL-ROW states of a
     * commit's touched rows, then record `commitNo` as covered. Runs
@@ -1646,13 +1647,20 @@ object PartitionedTable {
   private def maintainBound(spark: SparkSession, tablePath: String,
       bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
       post: DataFrame, p: Props, commitNo: Long): Unit =
-    for (preDf <- pre; (projCols, idxPath) <- bound)
-      SecondaryIndex.withMaintLock(idxPath) {
-        SecondaryIndex.reconcile(spark, idxPath,
-          preDf.select(projCols.map(col): _*),
-          post.select(projCols.map(col): _*))
-        SecondaryIndex.markCoveredLocked(idxPath, commitNo)
-      }
+    for (preDf <- pre) {
+      // materialize the post probe once: each index's reconcile excepts
+      // consume it twice (dead + live sides)
+      val postC = post.localCheckpoint()
+      for ((projCols, idxPath) <- bound)
+        SecondaryIndex.withMaintLock(idxPath) {
+          MaintProf.timed("part.reconcile")(
+            SecondaryIndex.reconcile(spark, idxPath,
+              preDf.select(projCols.map(col): _*),
+              postC.select(projCols.map(col): _*)))
+          MaintProf.timed("part.markCovered")(
+            SecondaryIndex.markCoveredLocked(idxPath, commitNo))
+        }
+    }
 
   private def savepointPath(tablePath: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")

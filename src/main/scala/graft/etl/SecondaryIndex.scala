@@ -202,14 +202,15 @@ object SecondaryIndex {
     * commit-log fold guards already enforce on their feeds.
     */
   def ensureCurrent(spark: SparkSession, kind: String, primaryPath: String,
-      indexPath: String): Unit = {
+      indexPath: String): Unit = MaintProf.timed("idx.ensureCurrent") {
     if (coveredHead(indexPath) == primaryHead(kind, primaryPath)) return
     withMaintLock(indexPath) {
       // re-read under the lock: a live writer's reconcile (serialized
       // on this same lock) may have closed the gap while we waited
       val ph = primaryHead(kind, primaryPath)
       if (coveredHead(indexPath) != ph)
-        healLocked(spark, kind, primaryPath, indexPath)
+        MaintProf.timed("idx.healLocked")(
+          healLocked(spark, kind, primaryPath, indexPath))
     }
   }
 
@@ -295,7 +296,7 @@ object SecondaryIndex {
     */
   def upsertThrough(spark: SparkSession, primaryPath: String,
       indexPath: String, batch: DataFrame): Unit = {
-    require(BucketTable.boundSecondaryIndex(primaryPath)
+    require(BucketTable.boundSecondaryIndexes(primaryPath)
         .exists(_._2 == indexPath),
       s"$primaryPath does not bind the secondary index at $indexPath — " +
         "create it with SecondaryIndex.create first")
@@ -360,12 +361,14 @@ object SecondaryIndex {
       pre: DataFrame, post: DataFrame): Unit = {
     val dead = pre.except(post).withColumn(Live, lit(false))
     val live = post.except(pre).withColumn(Live, lit(true))
-    val delta = dead.unionByName(live).localCheckpoint()
-    if (!delta.isEmpty) {
-      val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    // single materialization: the index upsert's own checkpoint
+    // computes the excepts exactly once (pre/post are checkpointed by
+    // the caller, so no lineage rides in); an empty delta routes to
+    // zero touched buckets and upsertInto commits nothing
+    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    MaintProf.timed("idx.reconcile.upsert")(
       BucketTable.upsertInto(spark, indexPath,
-        delta.withColumn(Commit, lit(commit)))
-    }
+        dead.unionByName(live).withColumn(Commit, lit(commit))))
     ()
   }
 
@@ -476,13 +479,12 @@ object SecondaryIndex {
     // so every post row carrying a real value there counts as changed
     val preAligned = SchemaShim.unionByName(post.limit(0), pre)
     val live = post.except(preAligned).withColumn(Live, lit(true))
-    val delta = dead.unionByName(live, allowMissingColumns = true)
-      .localCheckpoint()
-    if (!delta.isEmpty) {
-      val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    // single materialization, as in [[reconcile]]
+    val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
+    MaintProf.timed("idx.covering.upsert")(
       BucketTable.upsertInto(spark, indexPath,
-        delta.withColumn(Commit, lit(commit)))
-    }
+        dead.unionByName(live, allowMissingColumns = true)
+          .withColumn(Commit, lit(commit))))
     ()
   }
 
