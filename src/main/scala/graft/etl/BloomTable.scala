@@ -108,6 +108,14 @@ object BloomTable {
       m("mBits").toInt, m("numFiles").toInt)
   }
 
+  /** Existence of a manifest entry on disk — external (bootstrap)
+    * entries are absolute and must not be joined under the table dir
+    * (Paths.get concatenates; only Path.resolve passes absolutes
+    * through).
+    */
+  private def entryExists(tablePath: String, rel: String): Boolean =
+    Files.exists(Paths.get(tablePath).resolve(rel))
+
   /** Live data files (relative paths), in manifest order. */
   def manifest(tablePath: String): Seq[String] = {
     val p = manifestPath(tablePath)
@@ -282,7 +290,7 @@ object BloomTable {
   def readVersion(spark: SparkSession, tablePath: String,
       commit: Long): DataFrame = {
     val files = manifestAsOf(tablePath, commit)
-    val missing = files.filterNot(f => Files.exists(Paths.get(tablePath, f)))
+    val missing = files.filterNot(entryExists(tablePath, _))
     require(missing.isEmpty,
       s"VERSION AS OF $commit at $tablePath: file(s) " +
         s"${missing.mkString(",")} were reclaimed by clean — keep " +
@@ -391,7 +399,7 @@ object BloomTable {
         "after creation); re-sync from a snapshot read and checkpoint " +
         "latestCommit")
     val destructive = log.filter(e =>
-      e._1 > sinceCommit && Set("delete", "rewrite", "overwrite")(e._2))
+      e._1 > sinceCommit && Set("delete", "rewrite", "overwrite", "restore")(e._2))
     require(destructive.isEmpty,
       s"incremental window ($sinceCommit, $head] at $tablePath contains " +
         s"row-removing commit(s) ${destructive.map(_._1).mkString(",")} — " +
@@ -495,7 +503,11 @@ object BloomTable {
 
   private def relFile(tablePath: String, abs: String): String = {
     val base = Paths.get(tablePath).toAbsolutePath.normalize.toString
-    abs.stripPrefix(base).stripPrefix("/")
+    // files outside the table dir (a metadata-only [[bootstrap]]'s
+    // in-place source) keep their absolute identity — Path.resolve
+    // passes an absolute operand through, so every read path serves
+    // them unchanged
+    if (abs.startsWith(base + "/")) abs.stripPrefix(base + "/") else abs
   }
 
   /** A file-path list as a one-column DataFrame for manifest
@@ -607,6 +619,67 @@ object BloomTable {
       })
     writeIndex(tablePath,
       indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p), 0L)
+  }
+
+  /** Hudi's METADATA_ONLY bootstrap on the bloom layout: onboard an
+    * existing parquet directory as a bloom table WITHOUT rewriting it.
+    * The manifest lists the source files IN PLACE (absolute paths —
+    * `Path.resolve` passes an absolute operand through, so every
+    * existing resolution path serves them unchanged), and the
+    * range∩bloom index is built over them with ONE scan and zero data
+    * written — the analog of Hudi's skeleton-file key metadata. From
+    * then on the table behaves like any bloom table: an upsert
+    * rewrites the touched SOURCE files' survivors into owned `c=N`
+    * files and swings the source files out of the manifest — the
+    * source dir is never mutated, and a file is individually
+    * retireable once superseded (Hudi's per-file full-record migration
+    * on first rewrite). [[clean]] never reclaims external files (the
+    * engine does not own them).
+    *
+    * Duplicate keys in the source are refused loudly: a CoW snapshot
+    * read is a plain file union — nothing would merge duplicates away
+    * (unlike [[MorTable.bootstrap]], whose snapshot merge resolves
+    * them). Onboarding such a source needs a full-record mode
+    * (`run_bootstrap(..., 'bucket')` — a keyed rewrite).
+    */
+  def bootstrap(spark: SparkSession, sourceDir: String, tablePath: String,
+      keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil,
+      numFiles: Int = 8): Unit = {
+    require(!exists(tablePath), s"table already exists at $tablePath")
+    val src = spark.read.parquet(sourceDir)
+    val fields = src.schema.fieldNames.toSet
+    val missing = ((keys :+ precombine) ++ tieBreak).filterNot(fields.contains)
+    require(missing.isEmpty,
+      s"source $sourceDir lacks required columns: ${missing.mkString(", ")}")
+    val counts = src.agg(count(lit(1)), count_distinct(
+      struct(keys.map(col): _*))).head()
+    val (total, distinct) = (counts.getLong(0), counts.getLong(1))
+    require(total == distinct,
+      s"source $sourceDir carries ${total - distinct} duplicate key(s) — " +
+        "a metadata-only bloom bootstrap serves files as-is and cannot " +
+        "resolve them; onboard with a full-record bootstrap instead")
+    // normalized to plain absolute paths (inputFiles yields file: URIs)
+    // — the same shape indexRows records, so manifest, index and
+    // candidate tagging all agree on file identity
+    val files = src.inputFiles.toSeq
+      .map(_.replaceFirst("^file:/+", "/")).sorted
+    require(files.nonEmpty, s"source $sourceDir has no parquet files")
+    Files.createDirectories(Paths.get(tablePath))
+    val mBits = graft.functions.BloomAggregator.sizeFor(
+      math.max(1L, (total + files.size - 1) / files.size))
+    Files.writeString(propsPath(tablePath),
+      s"keys=${keys.mkString(",")}\nprecombine=$precombine\n" +
+        s"tieBreak=${tieBreak.mkString(",")}\nmBits=$mBits\nnumFiles=$numFiles\n",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val p = Props(keys, precombine, tieBreak, mBits, numFiles)
+    writeSchema(tablePath, src)
+    // the onboarding is COMMIT 1, like create: incremental_read('t', 0)
+    // bootstraps the full table
+    writeManifest(tablePath, files, 1L, "write",
+      CdcLog.Action.Changes { () =>
+        CdcLog.diff(src.limit(0), src, keys)
+      })
+    writeIndex(tablePath, indexRows(src, p), 0L)
   }
 
   /** Read the live table. Files are grouped by commit dir so commits
@@ -772,6 +845,114 @@ object BloomTable {
     maintainBound(spark, tablePath, bound, Some(existing),
       readFiles(spark, tablePath, written), p, commit)
     touched
+  }
+
+  /** One FILE-level optimistic-concurrency attempt against the `m0`
+    * manifest view — Hudi's file-group conflict detection applied to
+    * the layout closest to vanilla Hudi CoW (the [[BucketTable]] OCC
+    * design with the bucket set replaced by the candidate-file set).
+    * Tag, merge and stage run OUTSIDE the lock; the short in-lock
+    * window commits only if
+    *   (a) every candidate file the merge read is STILL live (a
+    *       concurrent commit re-pointing one means we merged against
+    *       superseded content), and
+    *   (b) no intervening commit ADDED a file that may contain one of
+    *       our batch's keys (probed range∩bloom through the index — a
+    *       false positive costs a spurious retry, never a wrong
+    *       commit; a miss is impossible, the filter is only ever
+    *       definite about ABSENCE). Without (b), two pure appends of
+    *       the same key would both commit and leave two live versions.
+    * Disjoint writers both commit even when fully overlapped in time;
+    * a conflicted one gets None, its staged dir removed, the table
+    * untouched. The staged dir deliberately does NOT match `c=\d+`
+    * until the in-lock rename, so a crashed attempt's debris never
+    * perturbs [[nextCommit]] (clean's debris sweep reclaims it).
+    */
+  private[graft] def attemptOccFrom(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, m0: Seq[String],
+      validators: Seq[PreCommit.Rule] = Nil): Option[Seq[String]] = {
+    val p = props(tablePath)
+    val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
+      p.tieBreak).localCheckpoint()
+    if (batch.isEmpty) return Some(Seq.empty)
+    PreCommit.validate(batch, validators)
+    // tag against the m0 VIEW: live index rows restricted to m0's
+    // files (an m0 file a concurrent commit already retired drops out
+    // here — its rewritten content surfaces as ADDED files, which
+    // check (b) probes)
+    val idx = filesIn(spark, reconcileIndex(spark, tablePath, p),
+      absFiles(tablePath, m0), keep = true).localCheckpoint()
+    val touched = candidateFiles(tablePath, batch, idx, p)
+    val existing =
+      if (touched.isEmpty) batch.limit(0)
+      else readFiles(spark, tablePath, touched)
+    val bound = boundSecondaryIndexes(tablePath)
+    val merged = HudiLike.upsert(existing, batch, p.keys, p.precombine,
+      p.tieBreak)
+    val staged = Paths.get(tablePath, s"_staged-occ${System.nanoTime()}")
+    merged.repartitionByRange(math.max(1, touched.size), col(p.keys.head))
+      .write.mode("errorifexists").parquet(staged.toString)
+    val outcome = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val m1 = manifest(tablePath)
+      val removedSince = m0.toSet -- m1.toSet
+      val addedSince = (m1.toSet -- m0.toSet).toSeq.sorted
+      val readConflict = touched.exists(removedSince)
+      lazy val addConflict = addedSince.nonEmpty && {
+        val addedIdx = filesIn(spark, reconcileIndex(spark, tablePath, p),
+          absFiles(tablePath, addedSince), keep = true)
+        candidateFiles(tablePath, batch, addedIdx, p).nonEmpty
+      }
+      if (readConflict || addConflict) None
+      else {
+        val commit = nextCommit(tablePath)
+        Files.move(staged, Paths.get(tablePath, s"c=$commit"),
+          StandardCopyOption.ATOMIC_MOVE)
+        val written = listCommitFiles(tablePath, commit)
+        writeSchema(tablePath, merged)
+        writeManifest(tablePath,
+          ((m1.toSet -- touched) ++ written).toSeq, commit, "write",
+          CdcLog.Action.Changes { () =>
+            CdcLog.diff(existing, readFiles(spark, tablePath, written), p.keys)
+          })
+        val keptIdx = filesIn(spark, reconcileIndex(spark, tablePath, p),
+          absFiles(tablePath, touched), keep = false)
+        writeIndex(tablePath,
+          keptIdx.unionByName(
+            indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
+          nextIndexVersion(tablePath))
+        Some((commit, written))
+      }
+    }
+    outcome match {
+      case None =>
+        FsUtil.deleteRecursively(staged)
+        None
+      case Some((commit, written)) =>
+        maintainBound(spark, tablePath, bound, Some(existing),
+          readFiles(spark, tablePath, written), p, commit)
+        Some(written)
+    }
+  }
+
+  /** Multi-writer upsert under optimistic concurrency control: only
+    * writers whose batches tag into a COMMON candidate file (or whose
+    * added files may hold a common key) contend; the loser re-merges
+    * just its own batch against the fresh manifest and retries.
+    * Concurrent front door — [[upsertInto]] stays the single-writer
+    * serialized path.
+    */
+  def upsertIntoOcc(spark: SparkSession, tablePath: String,
+      incoming: DataFrame, maxRetries: Int = 5): Seq[String] = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attemptOccFrom(spark, tablePath, incoming, manifest(tablePath)) match {
+        case Some(written) => return written
+        case None => attempt += 1
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"gave up after $maxRetries OCC retries at $tablePath — " +
+        "another writer keeps re-pointing the touched files")
   }
 
   /** Row-level delete by key (Hudi's `delete` operation — the
@@ -1122,6 +1303,107 @@ object BloomTable {
     * then GUARANTEED within the retention window, loud outside it.
     * Returns removed paths (table-relative).
     */
+  // ---- savepoints (Hudi's savepoint/restore on the bloom layout) -----
+
+  private val SavepointPrefix = "_savepoint_"
+
+  private def savepointPath(tablePath: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
+    Paths.get(tablePath, SavepointPrefix + name)
+  }
+
+  /** Pin the CURRENT committed state under `name`: a copy of the
+    * manifest's file list that [[clean]] treats as live, so later
+    * upserts/deletes/clusterings can never reclaim the files this
+    * state reads from — the [[BucketTable.savepoint]] design applied
+    * to a file manifest instead of a bucket→generation map.
+    * O(manifest) metadata, no data copied.
+    */
+  def savepoint(tablePath: String, name: String): Unit = {
+    val p = savepointPath(tablePath, name)
+    require(!Files.exists(p), s"savepoint $name already exists")
+    val m = manifest(tablePath)
+    require(m.nonEmpty, s"no committed state to savepoint at $tablePath")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    Files.writeString(tmp, m.mkString("", "\n", "\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Savepoint names currently pinned. */
+  def savepoints(tablePath: String): Seq[String] = {
+    val s = Files.list(Paths.get(tablePath))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .map(_.drop(SavepointPrefix.length)).toSeq.sorted
+    finally s.close()
+  }
+
+  private def savepointFiles(tablePath: String, name: String): Seq[String] = {
+    val p = savepointPath(tablePath, name)
+    require(Files.exists(p), s"no savepoint $name at $tablePath")
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq
+  }
+
+  /** Read the table AS OF a savepoint — time travel to the pinned file
+    * set, without touching the live manifest. Loud if any pinned file
+    * vanished (only possible by external deletion — [[clean]] treats
+    * pinned files as live).
+    */
+  def readSavepoint(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    val files = savepointFiles(tablePath, name)
+    val missing = files.filterNot(entryExists(tablePath, _))
+    require(missing.isEmpty,
+      s"savepoint $name at $tablePath: pinned file(s) " +
+        s"${missing.mkString(",")} are gone — the savepoint no longer " +
+        "resolves")
+    readFiles(spark, tablePath, files)
+  }
+
+  /** Roll the table BACK to a savepoint: one manifest swing to the
+    * pinned file list (Hudi's restore), logged as its own `restore`
+    * commit — destructive for the incremental feed (rows may vanish
+    * with no per-file ADD to express it), so [[changedSince]] windows
+    * spanning it fail loudly toward a re-sync and the cdc floor
+    * ratchets. The filter index is rebuilt over the restored set (the
+    * current index version describes the superseded live set).
+    * Commits after the savepoint become unreferenced debris for
+    * [[clean]].
+    */
+  def restoreSavepoint(spark: SparkSession, tablePath: String,
+      name: String): Unit = {
+    // same contract as BucketTable.restoreSavepoint: a restore has no
+    // per-row diff to reconcile a bound mapping index by — refuse
+    // loudly rather than leave the index diverged
+    require(boundSecondaryIndexes(tablePath).isEmpty,
+      s"restore at $tablePath with a bound secondary index would leave " +
+        "the index diverged — DROP INDEX first, restore, then re-create")
+    val files = savepointFiles(tablePath, name)
+    val missing = files.filterNot(entryExists(tablePath, _))
+    require(missing.isEmpty,
+      s"restore to $name at $tablePath: pinned file(s) " +
+        s"${missing.mkString(",")} are gone — the savepoint no longer " +
+        "resolves")
+    withTableLock(tablePath) {
+      val commit = nextCommit(tablePath)
+      writeManifest(tablePath, files, commit, "restore",
+        CdcLog.Action.Destructive)
+      writeIndex(tablePath,
+        indexRows(readFiles(spark, tablePath, files), props(tablePath)),
+        nextIndexVersion(tablePath))
+    }
+  }
+
+  /** Unpin a savepoint; its files become reclaimable by [[clean]]
+    * unless still referenced by the live manifest or another savepoint.
+    */
+  def dropSavepoint(tablePath: String, name: String): Unit = {
+    Files.deleteIfExists(savepointPath(tablePath, name))
+    ()
+  }
+
   def clean(tablePath: String, keepVersions: Int = 0): Seq[String] = {
     val head = latestCommit(tablePath)
     val retained: Set[String] =
@@ -1134,7 +1416,10 @@ object BloomTable {
         (math.max(1L, head - keepVersions + 1) to head)
           .flatMap(manifestAsOf(tablePath, _)).toSet
       }
-    val live = manifest(tablePath).toSet ++ retained
+    // savepoint-pinned files count as live — the pin IS the contract
+    val pinned = savepoints(tablePath)
+      .flatMap(savepointFiles(tablePath, _)).toSet
+    val live = manifest(tablePath).toSet ++ retained ++ pinned
     val base = Paths.get(tablePath)
     def listDir(p: Path): Seq[Path] = {
       val s = Files.list(p)
@@ -1171,6 +1456,13 @@ object BloomTable {
         }.toSeq
       finally s.close()
     }
-    removedData ++ removedIdx
+    // crashed OCC attempts' staged dirs (never referenced by any
+    // manifest — the in-lock rename is what publishes them). Clean
+    // must not run concurrent with in-flight writers, same rule as
+    // the bucket layout's staged-generation sweep.
+    val removedStaged = listDir(base)
+      .filter(_.getFileName.toString.startsWith("_staged-occ"))
+      .map { d => FsUtil.deleteRecursively(d); d.getFileName.toString }
+    removedData ++ removedIdx ++ removedStaged
   }
 }

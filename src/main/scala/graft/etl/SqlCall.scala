@@ -44,8 +44,8 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *   - `create_savepoint('t', name)` / `show_savepoints('t')` /
   *     `rollback_to_savepoint('t', name)` / `delete_savepoint('t',
   *     name)` / `read_savepoint('t', name)` — Hudi's savepoint
-  *     procedure family over bucket / partitioned tables: pin the
-  *     current state, list pins, restore one as a new commit
+  *     procedure family over bucket / partitioned / bloom / mor
+  *     tables: pin the current state, list pins, restore one
   *     (pin-aware cleaning keeps pinned generations readable),
   *     release a pin, or time-travel-read a pin without restoring
   *   - `incremental_read('t', from[, to])` — the incremental pull per
@@ -77,17 +77,22 @@ object SqlCall {
         s"not a CALL statement: ${other.getClass.getSimpleName}")
     }
 
-  /** Savepoints pin committed generations; both generation-manifest
-    * layouts support the full lifecycle — dispatch by layout.
+  /** Savepoints pin committed state — generation manifests (bucket /
+    * partitioned), file manifests (bloom), base + delta windows (MOR);
+    * every CoW/MOR layout supports the full lifecycle — dispatch by
+    * layout.
     */
   private def savepointOp[T](spark: SparkSession, table: String)(
-      bucket: String => T, partitioned: String => T): T =
+      bucket: String => T, partitioned: String => T,
+      bloom: String => T, mor: String => T): T =
     Catalog.layoutOf(spark, table) match {
       case Some(("bucket", p)) => bucket(p)
       case Some(("partitioned", p)) => partitioned(p)
+      case Some(("bloom", p)) => bloom(p)
+      case Some(("mor", p)) => mor(p)
       case other => throw new IllegalArgumentException(
-        s"$table: savepoints pin bucket | partitioned generations" +
-          other.fold("")(kp => s"; layout: ${kp._1}"))
+        s"$table: savepoints pin bucket | partitioned | bloom | mor " +
+          "state" + other.fold("")(kp => s"; layout: ${kp._1}"))
     }
 
   private def timelinePathOf(spark: SparkSession, table: String): String =
@@ -167,16 +172,19 @@ object SqlCall {
         // replacecommit generation is returned; superseded files stay
         // readable until clean). Partitioned: range files per slice;
         // bucket: range-disjoint files per bucket, routing untouched;
-        // bloom: sort-range files, filter index rebuilt.
+        // bloom: sort-range files, filter index rebuilt; mor: the
+        // table is one file group, so clustering schedules AS a
+        // compaction that writes the folded base sorted.
         val cols = sortCols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         val gen = Catalog.layoutOf(spark, t) match {
           case Some(("partitioned", p)) =>
             PartitionedTable.cluster(spark, p, cols)
           case Some(("bucket", p)) => BucketTable.cluster(spark, p, cols)
           case Some(("bloom", p)) => BloomTable.cluster(spark, p, cols)
+          case Some(("mor", p)) => MorTable.cluster(spark, p, cols)
           case other => throw new IllegalArgumentException(
             s"run_clustering('$t'): supported layouts are partitioned " +
-              "| bucket | bloom" + other.fold("")(kp => s"; layout: ${kp._1}"))
+              "| bucket | bloom | mor" + other.fold("")(kp => s"; layout: ${kp._1}"))
         }
         Seq(gen).toDF("generation")
       case ("run_bootstrap",
@@ -187,6 +195,41 @@ object SqlCall {
         MorTable.bootstrap(spark, src, dst,
           keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq, pc)
         Catalog.registerLayoutTable(spark, t, "mor", dst)
+        Seq((t, dst)).toDF("table", "path")
+      case ("run_bootstrap", Seq(t: String, src: String, dst: String,
+          keys: String, pc: String, layout: String)) =>
+        // layout-selecting bootstrap (Hudi's modes): METADATA_ONLY
+        // where the layout serves in-place files (mor: source as base
+        // generation 0; bloom: source files in the manifest, index
+        // built with one scan), FULL_RECORD where placement is
+        // prescribed (bucket: hash routing demands the rewrite;
+        // partitioned: takes the partition columns as a 7th argument)
+        val ks = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        layout match {
+          case "mor" => MorTable.bootstrap(spark, src, dst, ks, pc)
+          case "bloom" => BloomTable.bootstrap(spark, src, dst, ks, pc)
+          case "bucket" =>
+            BucketTable.create(spark.read.parquet(src), dst,
+              keys = ks, precombine = pc)
+          case other => throw new IllegalArgumentException(
+            s"run_bootstrap('$t', ..., '$other'): layouts are mor | " +
+              "bloom (metadata-only) | bucket (full-record); " +
+              "partitioned needs the partition columns — " +
+              "run_bootstrap(t, src, dst, keys, pc, 'partitioned', cols)")
+        }
+        Catalog.registerLayoutTable(spark, t, layout, dst)
+        Seq((t, dst)).toDF("table", "path")
+      case ("run_bootstrap", Seq(t: String, src: String, dst: String,
+          keys: String, pc: String, "partitioned", partCols: String)) =>
+        // FULL_RECORD onboarding into the partitioned layout: the
+        // slice routing (partition dirs) is prescribed, so the rewrite
+        // is inherent — Hudi's FULL_RECORD bootstrap mode
+        PartitionedTable.create(spark.read.parquet(src), dst,
+          keys = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          precombine = pc,
+          partitionCols = partCols.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq)
+        Catalog.registerLayoutTable(spark, t, "partitioned", dst)
         Seq((t, dst)).toDF("table", "path")
       case ("show_partitions", Seq(t: String)) =>
         // Hudi's SHOW PARTITIONS: the manifest's live slices with the
@@ -323,21 +366,28 @@ object SqlCall {
       case ("create_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.savepoint(p, sp),
-          p => PartitionedTable.savepoint(p, sp))
+          p => PartitionedTable.savepoint(p, sp),
+          p => BloomTable.savepoint(p, sp),
+          p => MorTable.savepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case ("show_savepoints", Seq(t: String)) =>
         savepointOp(spark, t)(
-          BucketTable.savepoints(_), PartitionedTable.savepoints(_))
+          BucketTable.savepoints(_), PartitionedTable.savepoints(_),
+          BloomTable.savepoints(_), MorTable.savepoints(_))
           .toDF("savepoint")
       case ("rollback_to_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.restoreSavepoint(p, sp),
-          p => PartitionedTable.restoreSavepoint(p, sp))
+          p => PartitionedTable.restoreSavepoint(p, sp),
+          p => BloomTable.restoreSavepoint(spark, p, sp),
+          p => { MorTable.restoreSavepoint(spark, p, sp); () })
         Seq(sp).toDF("savepoint")
       case ("delete_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.dropSavepoint(p, sp),
-          p => PartitionedTable.dropSavepoint(p, sp))
+          p => PartitionedTable.dropSavepoint(p, sp),
+          p => BloomTable.dropSavepoint(p, sp),
+          p => MorTable.dropSavepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case ("read_savepoint", Seq(t: String, sp: String)) =>
         // time-travel read of a pinned state WITHOUT restoring it —
@@ -345,7 +395,9 @@ object SqlCall {
         // pinned generations readable)
         Catalog.alignToDeclared(spark, t, savepointOp(spark, t)(
           p => BucketTable.readSavepoint(spark, p, sp),
-          p => PartitionedTable.readSavepoint(spark, p, sp)))
+          p => PartitionedTable.readSavepoint(spark, p, sp),
+          p => BloomTable.readSavepoint(spark, p, sp),
+          p => MorTable.readSavepoint(spark, p, sp)))
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
@@ -506,6 +558,10 @@ object SqlCall {
         .flatMap(sp => BucketTable.readSavepoint(spark, path, sp).inputFiles)
       case "partitioned" => PartitionedTable.savepoints(path)
         .flatMap(sp => PartitionedTable.readSavepoint(spark, path, sp).inputFiles)
+      case "bloom" => BloomTable.savepoints(path)
+        .flatMap(sp => BloomTable.readSavepoint(spark, path, sp).inputFiles)
+      case "mor" | "mor_ro" => MorTable.savepoints(path)
+        .flatMap(sp => MorTable.readSavepoint(spark, path, sp).inputFiles)
       case _ => Seq.empty
     }).map(norm).toSet -- live
     val history: Set[String] = kind match {
@@ -534,6 +590,8 @@ object SqlCall {
     val savepoints = kind match {
       case "bucket" => BucketTable.savepoints(path).size.toLong
       case "partitioned" => PartitionedTable.savepoints(path).size.toLong
+      case "bloom" => BloomTable.savepoints(path).size.toLong
+      case "mor" | "mor_ro" => MorTable.savepoints(path).size.toLong
       case _ => 0L
     }
     val indexes = Catalog.indexesOf(spark, t).size.toLong

@@ -226,10 +226,14 @@ object SqlRead {
       case (kind, path)
           if kind == "bucket" || kind == "mor" || kind == "partitioned" ||
             kind == "bloom" =>
-        // several indexes may be bound — serve from the first whose
-        // indexed columns the filter fully pins (any fully-pinned
-        // index is sound; the retained filter restores exactness)
+        // several indexes may be bound — serve from the fully-pinned
+        // index with the MOST indexed columns (the narrowest probe: a
+        // wide low-cardinality index must not shadow a sharper one),
+        // tie-breaking by declaration order (sortBy is stable). Any
+        // fully-pinned index is sound; the retained filter restores
+        // exactness — the preference is purely selectivity.
         val candidates = Catalog.secondaryIndexesOf(spark, name)
+          .sortBy(-_._1.size)
         candidates.view.flatMap {
           case (secCols, idxPath) =>
             val sets = literalValueSets(cond)

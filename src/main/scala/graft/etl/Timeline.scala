@@ -145,7 +145,15 @@ object Timeline {
     * as archival and cleaning are independent services in Hudi).
     * Returns the versions archived.
     */
-  def archive(tablePath: String, keepLatest: Int): Seq[Long] = {
+  def archive(tablePath: String, keepLatest: Int): Seq[Long] =
+    // table lock shared with [[purgeKey]] (which rewrites the instant
+    // lines archive batches up) and [[clean]] — same serialization
+    // discipline as every destructive metadata service here
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      archiveLocked(tablePath, keepLatest)
+    }
+
+  private def archiveLocked(tablePath: String, keepLatest: Int): Seq[Long] = {
     require(keepLatest >= 1, "must keep at least the latest instant")
     val dir = timelineDir(tablePath)
     if (!Files.exists(dir)) return Seq.empty
@@ -255,11 +263,17 @@ object Timeline {
     * re-running the purge completes the interrupted swap first. The
     * instant's recorded row count refreshes so `history()` stays
     * truthful. O(hit versions) rewrite — inherent to a history purge.
-    * Must not race a concurrent [[clean]]/[[archive]] (the same
-    * single-operator rule those services already carry).
+    * The whole sweep holds the table [[FsLock]], shared with
+    * [[clean]]/[[archive]] and the commit swing: a concurrent clean
+    * deleting `v=N` dirs mid-swap would otherwise strand staging dirs
+    * or fail the atomic moves — lock-enforced, not a comment contract
+    * (purges are rare; blocking writers for the sweep is the right
+    * trade for a destructive service, the discipline every comparable
+    * verb here follows).
     */
   def purgeKey(spark: SparkSession, tablePath: String, keys: Seq[String],
-      keyValues: Seq[Any]): Seq[Long] = {
+      keyValues: Seq[Any]): Seq[Long] = FsLock.withTableLock(tablePath,
+      FsLock.QueueWaitMs) {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(keys.nonEmpty && keys.length == keyValues.length,
       s"purge needs one value per key column (${keys.mkString(",")})")
@@ -357,13 +371,17 @@ object Timeline {
   /** Retention cleaning: drop all but the newest `retain` versions
     * (never the latest). Returns the versions removed.
     */
-  def clean(tablePath: String, retain: Int): Seq[Long] = {
-    require(retain >= 1, "must retain at least the latest version")
-    val vs = versions(tablePath)
-    val drop = vs.dropRight(retain)
-    drop.foreach(v => FsUtil.deleteRecursively(Paths.get(tablePath, s"v=$v")))
-    drop
-  }
+  def clean(tablePath: String, retain: Int): Seq[Long] =
+    // table lock shared with [[purgeKey]]'s sweep and the commit
+    // swing: deleting a version dir out from under a purge's atomic
+    // renames (or vice versa) must be impossible by construction
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      require(retain >= 1, "must retain at least the latest version")
+      val vs = versions(tablePath)
+      val drop = vs.dropRight(retain)
+      drop.foreach(v => FsUtil.deleteRecursively(Paths.get(tablePath, s"v=$v")))
+      drop
+    }
 
   /** Small-file compaction: rewrite the latest snapshot into
     * `numFiles` parquet files as a new commit. At scale, CoW upserts

@@ -835,7 +835,13 @@ object PipelineQueries {
     * rewritten), then the index-served IN SELECT.
     */
   def sqlIndexBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    // half of orders: the lifecycle's cost is its five full-region
+    // commits, and the full table made this the single largest bench
+    // entry (>4% of the round total) — the working set is halved with
+    // coverage unchanged (every lifecycle stage still runs; the r14/r15
+    // verdicts' bench-granularity bar)
     val src = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
         col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
     val path = java.nio.file.Files
@@ -845,7 +851,9 @@ object PipelineQueries {
     graft.etl.Catalog.registerLayoutTable(spark, "graft_sibl", "bloom", path)
     graft.etl.SqlIndex.exec(spark,
       "CREATE INDEX sibl1 ON graft_sibl USING SECONDARY (st)")
-    src.filter(col("k") % 10 === 3)
+    // k%10=4: a residue even keys actually carry (the value-moving
+    // MERGE must move something)
+    src.filter(col("k") % 10 === 4)
       .withColumn("pc", lit(2L)).withColumn("st", lit("X"))
       .withColumn("v", col("v") + 1000)
       .createOrReplaceTempView("graft_sibl_src")
@@ -1099,6 +1107,158 @@ object PipelineQueries {
     graft.etl.BucketTable.read(spark, path)
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts_us"))
+  }
+
+  /** `p_bloom_savepoint`: the savepoint/restore lifecycle on the BLOOM
+    * layout — the [[graft.etl.BucketTable.savepoint]] design applied
+    * to a file manifest: pin the pre-load file set, load more
+    * (rewriting some pinned files' regions), CLEAN (the pin must keep
+    * every pinned file alive while superseded unpinned state goes),
+    * time-travel-read the pin (asserted equal to the pinned snapshot
+    * Spark-side), restore, clean again. The final table must equal the
+    * pre-load latest-per-key state — the oracle replays it directly.
+    */
+  def bloomSavepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "blsp").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    val cols = Seq("user_id", "event_id", "event_type", "value", "ts_us")
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    val pinned = graft.etl.BloomTable.read(spark, path)
+      .select(cols.map(col): _*).localCheckpoint()
+    graft.etl.BloomTable.savepoint(path, "pre-load")
+    graft.etl.BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.BloomTable.clean(path) // pin-aware: pinned files survive
+    val asOf = graft.etl.BloomTable.readSavepoint(spark, path, "pre-load")
+      .select(cols.map(col): _*)
+    require(asOf.exceptAll(pinned).isEmpty && pinned.exceptAll(asOf).isEmpty,
+      "p_bloom_savepoint: read_savepoint != the pinned snapshot")
+    graft.etl.BloomTable.restoreSavepoint(spark, path, "pre-load")
+    graft.etl.BloomTable.clean(path)
+    graft.etl.BloomTable.read(spark, path).select(cols.map(col): _*)
+  }
+
+  /** `p_mor_savepoint`: the savepoint/restore lifecycle on the MOR
+    * layout — the pin is the (base, head, floor) triple resolving the
+    * pre-load snapshot. The lifecycle drives the pin through the
+    * layout's OWN destructive services: load more (delta logs), then
+    * COMPACT (supersedes the pinned base + window) and CLEAN (the pin
+    * must keep `base=0` and its logs alive), time-travel-read the pin
+    * (asserted equal Spark-side), then restore. A MOR restore is a
+    * RESTATE, not a truncation — the change-seq head is globally
+    * monotonic by contract, so the pinned snapshot lands as a new base
+    * via insert-overwrite semantics ([[graft.etl.MorTable
+    * .restoreSavepoint]]). Final content = pre-load latest-per-key.
+    */
+  def morSavepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "msp").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    val cols = Seq("user_id", "event_id", "event_type", "value", "ts_us")
+    graft.etl.MorTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val pinned = graft.etl.MorTable.readSnapshot(spark, path)
+      .select(cols.map(col): _*).localCheckpoint()
+    graft.etl.MorTable.savepoint(path, "pre-load")
+    graft.etl.MorTable.upsertInto(path, ev.filter(col("ts_us") > SplitUs))
+    graft.etl.MorTable.compact(spark, path) // supersedes the pinned window
+    graft.etl.MorTable.clean(path)          // pin-aware: base=0 + logs stay
+    val asOf = graft.etl.MorTable.readSavepoint(spark, path, "pre-load")
+      .select(cols.map(col): _*)
+    require(asOf.exceptAll(pinned).isEmpty && pinned.exceptAll(asOf).isEmpty,
+      "p_mor_savepoint: read_savepoint != the pinned snapshot")
+    graft.etl.MorTable.restoreSavepoint(spark, path, "pre-load")
+    graft.etl.MorTable.readSnapshot(spark, path).select(cols.map(col): _*)
+  }
+
+  /** `p_bloom_occ`: multi-writer ingest through
+    * [[graft.etl.BloomTable.upsertIntoOcc]] — FILE-level optimistic
+    * concurrency on the layout closest to vanilla Hudi CoW: writers
+    * contend only when their batches tag into a common candidate file
+    * (or an intervening commit added a file that may hold a common
+    * key — the range∩bloom probe). Sequential slices keep the oracle
+    * deterministic; `BloomTableSpec` exercises the stale-manifest
+    * conflict/disjoint interleaves deterministically. Final table must
+    * equal the one-pass latest-per-user state.
+    */
+  def bloomOcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "blocc").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    graft.etl.BloomTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"),
+      numFiles = 8)
+    graft.etl.BloomTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > Split2Us))
+    graft.etl.BloomTable.upsertIntoOcc(spark, path,
+      ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us))
+    graft.etl.BloomTable.read(spark, path)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+  }
+
+  /** `p_bootstrap_bloom`: METADATA-ONLY onboarding of a pre-existing
+    * parquet directory into the BLOOM layout (`CALL run_bootstrap(...,
+    * 'bloom')` — Hudi's METADATA_ONLY mode): the manifest lists the
+    * source files in place, the range∩bloom index is built with one
+    * scan and zero data written, and a subsequent keyed upsert
+    * rewrites ONLY the touched source files' survivors into owned
+    * files. Final snapshot = arithmetic replay over orders.
+    */
+  def bootstrapBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory(morScratch, "bboot").toString
+    val srcDir = scratch + "/lake"
+    val path = scratch + "/t"
+    graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+      .repartition(6).write.parquet(srcDir)
+    graft.etl.SqlCall.exec(spark,
+      s"CALL run_bootstrap('graft_bboot', '$srcDir', '$path', 'k', 'pc', 'bloom')")
+    // keyed upsert THROUGH the onboarded manifest: touched source
+    // files rewrite into owned files, the rest serve in place
+    graft.etl.BloomTable.upsertInto(spark, path,
+      graft.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("k"), lit(2L).as("pc"),
+          (col("o_totalprice") + 1000).as("v"))
+        .filter(col("k") % 10 === 3))
+    graft.etl.SqlRead.select(spark, "SELECT k, v FROM graft_bboot")
+  }
+
+  /** `p_mor_cluster`: `CALL run_clustering` on the MOR layout — the
+    * table is one file group, so clustering schedules AS a compaction
+    * that writes the folded base range-sorted
+    * ([[graft.etl.MorTable.cluster]]); content-preserving (no change
+    * seq consumed — cdc cursors and index covered heads stay valid).
+    * The result must be byte-for-byte the pre-cluster snapshot — the
+    * oracle replays the upsert algebra.
+    */
+  def morCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "mcl").toString + "/t"
+    graft.etl.MorTable.create(src, path, keys = Seq("k"), precombine = "pc")
+    graft.etl.MorTable.upsertInto(path,
+      src.filter(col("k") % 10 === 3)
+        .withColumn("pc", lit(2L)).withColumn("v", col("v") + 1000))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_mcl", "mor", path)
+    graft.etl.SqlCall.exec(spark, "CALL run_clustering('graft_mcl', 'v')")
+    graft.etl.SqlRead.select(spark,
+      "SELECT k, v FROM graft_mcl WHERE v >= 1000")
   }
 
   /** `p_bucket_incremental`: the commit-log incremental pull on the
@@ -3386,6 +3546,11 @@ object PipelineQueries {
     "p_part_incremental" -> (partIncremental(_, _)),
     "p_sec_lookup" -> (secLookup(_, _)),
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
+    "p_bloom_savepoint" -> (bloomSavepoint(_, _)),
+    "p_mor_savepoint" -> (morSavepoint(_, _)),
+    "p_bloom_occ" -> (bloomOcc(_, _)),
+    "p_bootstrap_bloom" -> (bootstrapBloom(_, _)),
+    "p_mor_cluster" -> (morCluster(_, _)),
     "p_bucket_incremental" -> (bucketIncremental(_, _)),
     "p_bucket_incr_archived" -> (bucketIncrArchived(_, _)),
     "p_bloom_incremental" -> (bloomIncremental(_, _)),
@@ -4167,6 +4332,39 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
+    "p_bloom_savepoint" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_mor_savepoint" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_bloom_occ" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events WHERE ts IS NOT NULL) t
+        |WHERE rn = 1""".stripMargin,
+    "p_bootstrap_bloom" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS v
+        |FROM orders""".stripMargin,
+    "p_mor_cluster" ->
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS v
+        |FROM orders
+        |WHERE CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000
+        |           ELSE o_totalprice END >= 1000""".stripMargin,
     "p_sec_lookup" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
@@ -4309,10 +4507,11 @@ object PipelineQueries {
     // the bloom twin runs the identical statement sequence
     "p_sql_index_bloom" ->
       """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
-        |                    o_totalprice AS v FROM orders)
-        |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
+        |                    o_totalprice AS v FROM orders
+        |             WHERE o_orderkey % 2 = 0)
+        |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 4
         |UNION ALL
-        |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,
+        |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 4""".stripMargin,
     // every image is reconstructable arithmetically from orders: the
     // scripted lifecycle (see sqlCdcImages*) only ever adds 100/200 to
     // o_totalprice, so op, before and after are pure CASE algebra —

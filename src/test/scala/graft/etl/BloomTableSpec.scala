@@ -3,6 +3,7 @@ package graft.etl
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Pins what makes the bloom file index an index: merged results equal
   * the plain keyed upsert, key-local batches rewrite only their files,
@@ -407,5 +408,133 @@ class BloomTableSpec extends SparkSpec {
     BloomTable.compact(spark, path)
     assert(BloomTable.readVersion(spark, path,
       BloomTable.latestCommit(path)).count() == 2L)
+  }
+
+  test("file-level OCC: disjoint writers from one stale manifest both commit; overlaps conflict") {
+    val path = scratch()
+    // 64 keys range-clustered into 8 files: file boundaries are key
+    // ranges, so candidate-set disjointness is deterministic (range
+    // checks, no bloom-fp dependence)
+    val df0 = (1 to 64).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v")
+    BloomTable.create(df0, path, keys = Seq("k"), precombine = "pc",
+      numFiles = 8)
+    val m0 = BloomTable.manifest(path)
+    val a = (1 to 8).map(i => (i.toLong, 2L, -1.0)).toDF("k", "pc", "v")
+    val b = (57 to 64).map(i => (i.toLong, 2L, -2.0)).toDF("k", "pc", "v")
+    // A commits; B holds the SAME stale manifest but touches disjoint
+    // candidate files (and A's added files cannot hold B's keys) — both
+    // commit, Hudi's file-group-level conflict granularity
+    assert(BloomTable.attemptOccFrom(spark, path, a, m0).isDefined)
+    assert(BloomTable.attemptOccFrom(spark, path, b, m0).isDefined)
+    // C from the same stale view touches files A re-pointed — loud
+    val c = (1 to 8).map(i => (i.toLong, 3L, -3.0)).toDF("k", "pc", "v")
+    assert(BloomTable.attemptOccFrom(spark, path, c, m0).isEmpty)
+    // pure-append aliasing: D appends a brand-new key; E, staged against
+    // the pre-D manifest, appends the SAME key — without the added-file
+    // probe both would commit and leave two live versions
+    val m1 = BloomTable.manifest(path)
+    assert(BloomTable.attemptOccFrom(spark, path,
+      Seq((1000L, 1L, 1.0)).toDF("k", "pc", "v"), m1).isDefined)
+    assert(BloomTable.attemptOccFrom(spark, path,
+      Seq((1000L, 2L, 2.0)).toDF("k", "pc", "v"), m1).isEmpty)
+    // the retry front door converges the loser
+    BloomTable.upsertIntoOcc(spark, path,
+      Seq((1000L, 2L, 2.0)).toDF("k", "pc", "v"))
+    val want = HudiLike.precombineLatest(
+      df0.unionByName(a).unionByName(b)
+        .unionByName(Seq((1000L, 1L, 1.0), (1000L, 2L, 2.0)).toDF("k", "pc", "v")),
+      Seq("k"), "pc", Nil)
+    val got = BloomTable.read(spark, path)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // conflicted attempts remove their own staged dirs; a CRASHED
+    // writer's dir (simulated) is debris the clean sweep reclaims
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.startsWith("_staged-occ")) == 0)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "_staged-occ99"))
+    BloomTable.clean(path)
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.startsWith("_staged-occ"))
+    assert(after == 0)
+  }
+
+  test("savepoint pins files through clean; read/restore; bound-index restore refused") {
+    val path = scratch()
+    val pre = ev.filter(col("ts_us") <= split)
+    BloomTable.create(pre, path, keys = Seq("user_id"), precombine = "ts_us",
+      tieBreak = Seq("event_id"), numFiles = 8)
+    val pinned = BloomTable.read(spark, path).localCheckpoint()
+    BloomTable.savepoint(path, "pin")
+    assert(BloomTable.savepoints(path) == Seq("pin"))
+    BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > split))
+    // clean reclaims superseded UNPINNED state but every pinned file
+    // survives — read_savepoint still resolves bit-for-bit
+    BloomTable.clean(path)
+    val asOf = BloomTable.readSavepoint(spark, path, "pin")
+    assert(asOf.exceptAll(pinned).isEmpty && pinned.exceptAll(asOf).isEmpty)
+    BloomTable.restoreSavepoint(spark, path, "pin")
+    val got = BloomTable.read(spark, path)
+    assert(got.exceptAll(pinned).isEmpty && pinned.exceptAll(got).isEmpty)
+    // an incremental window spanning the restore fails loudly (rows
+    // vanished with no file-ADD to express it)
+    intercept[IllegalArgumentException] {
+      BloomTable.changedSince(spark, path, 1L).collect()
+    }
+    // post-restore writes still work; the index rebuilt over pinned files
+    BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > split))
+    BloomTable.dropSavepoint(path, "pin")
+    assert(BloomTable.savepoints(path).isEmpty)
+    // a savepointed table with a bound secondary index refuses restore
+    val path2 = scratch()
+    val df2 = (1 to 8).map(i => (i.toLong, 1L, s"s${i % 2}")).toDF("k", "pc", "st")
+    BloomTable.create(df2, path2, keys = Seq("k"), precombine = "pc", numFiles = 2)
+    BloomTable.savepoint(path2, "pin")
+    SecondaryIndex.createBloom(spark, path2, path2 + "_idx", Seq("st"))
+    intercept[IllegalArgumentException] {
+      BloomTable.restoreSavepoint(spark, path2, "pin")
+    }
+  }
+
+  test("metadata-only bootstrap: in-place serve, migrate-on-rewrite, duplicates refused") {
+    val dir = Files.createTempDirectory("bboot")
+    val srcDir = dir.toString + "/lake"
+    val path = dir.toString + "/t"
+    val df0 = (1 to 64).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v")
+    df0.repartitionByRange(4, col("k")).write.parquet(srcDir)
+    BloomTable.bootstrap(spark, srcDir, path, keys = Seq("k"), precombine = "pc")
+    // metadata only: no data dirs under the table, every manifest entry external
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(_.startsWith("c=")) == 0)
+    assert(BloomTable.manifest(path).forall(_.startsWith("/")))
+    val got0 = BloomTable.read(spark, path)
+    assert(got0.exceptAll(df0).isEmpty && df0.exceptAll(got0).isEmpty)
+    // a keyed upsert migrates ONLY the touched source files into owned
+    // c=N files; the untouched source files keep serving in place
+    BloomTable.upsertInto(spark, path,
+      (1 to 8).map(i => (i.toLong, 2L, -1.0)).toDF("k", "pc", "v"))
+    val m = BloomTable.manifest(path)
+    assert(m.exists(_.startsWith("c=")) && m.exists(_.startsWith("/")),
+      s"expected mixed owned+external manifest, got: ${m.mkString(",")}")
+    val want = HudiLike.precombineLatest(
+      df0.unionByName((1 to 8).map(i => (i.toLong, 2L, -1.0)).toDF("k", "pc", "v")),
+      Seq("k"), "pc", Nil)
+    val got = BloomTable.read(spark, path)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a keyed point lookup tags candidate files through the bootstrap index
+    assert(BloomTable.lookup(spark, path, Seq(33L)).count() == 1)
+    // the source dir was never mutated
+    assert(spark.read.parquet(srcDir).count() == 64)
+    // duplicate-keyed sources are refused loudly (a CoW union cannot
+    // resolve them)
+    val dupDir = dir.toString + "/dup"
+    df0.unionByName(df0.limit(4)).write.parquet(dupDir)
+    val e = intercept[IllegalArgumentException] {
+      BloomTable.bootstrap(spark, dupDir, dir.toString + "/t2",
+        keys = Seq("k"), precombine = "pc")
+    }
+    assert(e.getMessage.contains("duplicate"))
   }
 }

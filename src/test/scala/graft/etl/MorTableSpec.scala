@@ -279,4 +279,53 @@ class MorTableSpec extends SparkSpec {
     assert(e.getMessage.contains("reclaimed by clean"))
     assert(asOf(3L) == snapshot(dir)) // the live window stays readable
   }
+
+  test("savepoint pins (base, window) through compact+clean; restore restates") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0)))
+    val pinned = snapshot(dir)
+    MorTable.savepoint(dir, "pin")
+    assert(MorTable.savepoints(dir) == Seq("pin"))
+    MorTable.upsertInto(dir, rows(("d", 1L, 4.0)))
+    MorTable.deleteFrom(dir, Seq(("a", 9L)).toDF("k", "pc"))
+    // compact supersedes the pinned base+window; clean must keep the
+    // pinned base=0 and its log dirs alive
+    MorTable.compact(spark, dir)
+    MorTable.clean(dir)
+    assert(Files.exists(Paths.get(dir, "base=0")) &&
+      Files.exists(Paths.get(dir, "log=0.1")))
+    val asOf = MorTable.readSavepoint(spark, dir, "pin")
+      .as[(String, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(asOf == pinned)
+    // restore RESTATES (head monotonic — never a truncation): a new
+    // base carries the pinned snapshot, one change seq consumed
+    val headBefore = MorTable.changeHead(dir)
+    MorTable.restoreSavepoint(spark, dir, "pin")
+    assert(MorTable.changeHead(dir) == headBefore + 1)
+    assert(snapshot(dir) == pinned)
+    // unpin: clean may now reclaim the old window
+    MorTable.dropSavepoint(dir, "pin")
+    assert(MorTable.savepoints(dir).isEmpty)
+    MorTable.clean(dir)
+    assert(!Files.exists(Paths.get(dir, "base=0")))
+    assert(snapshot(dir) == pinned)
+  }
+
+  test("cluster = compaction that sorts the folded base; content-preserving, no seq consumed") {
+    val dir = freshTable()
+    MorTable.upsertInto(dir, rows(("b", 2L, 20.0), ("d", 1L, 0.5)))
+    val before = snapshot(dir)
+    val head = MorTable.changeHead(dir)
+    val base = MorTable.cluster(spark, dir, Seq("v"))
+    assert(base == 1L && MorTable.changeHead(dir) == head)
+    assert(snapshot(dir) == before)
+    // the folded base is range-sorted by v: each file's rows arrive in
+    // ascending v (one file here, but the ordering contract is pinned)
+    val vs = spark.read.parquet(s"$dir/base=1").select("v")
+      .as[Double].collect().toSeq
+    assert(vs == vs.sorted)
+    // a post-cluster commit continues the same seq domain
+    MorTable.upsertInto(dir, rows(("e", 1L, 9.0)))
+    assert(MorTable.changeHead(dir) == head + 1)
+  }
 }

@@ -491,4 +491,78 @@ class SqlCallSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a partitioned-layout"))
   }
+
+  test("savepoint CALL family on the bloom and mor layouts") {
+    import org.apache.spark.sql.functions.col
+    // bloom
+    val bp = Files.createTempDirectory("sqlcall").toString + "/t"
+    BloomTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      bp, keys = Seq("k"), precombine = "pc", numFiles = 2)
+    Catalog.registerLayoutTable(spark, "call_sp_bl", "bloom", bp)
+    SqlCall.exec(spark, "CALL create_savepoint('call_sp_bl', 'pin')")
+    BloomTable.upsertInto(spark, bp,
+      Seq((1L, 2L, -1.0), (3L, 1L, 30.0)).toDF("k", "pc", "v"))
+    assert(SqlCall.exec(spark, "CALL show_savepoints('call_sp_bl')")
+      .as[String].collect().toSeq == Seq("pin"))
+    assert(SqlCall.exec(spark, "CALL read_savepoint('call_sp_bl', 'pin')")
+      .select(col("v")).as[Double].collect().toSet == Set(10.0, 20.0))
+    SqlCall.exec(spark, "CALL rollback_to_savepoint('call_sp_bl', 'pin')")
+    assert(Catalog.readTable(spark, "call_sp_bl")
+      .select(col("v")).as[Double].collect().toSet == Set(10.0, 20.0))
+    SqlCall.exec(spark, "CALL delete_savepoint('call_sp_bl', 'pin')")
+    assert(BloomTable.savepoints(bp).isEmpty)
+    // mor
+    val mp = Files.createTempDirectory("sqlcall").toString + "/t"
+    MorTable.create(Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      mp, keys = Seq("k"), precombine = "pc")
+    Catalog.registerLayoutTable(spark, "call_sp_mor", "mor", mp)
+    SqlCall.exec(spark, "CALL create_savepoint('call_sp_mor', 'pin')")
+    MorTable.upsertInto(mp, Seq((2L, 2L, -1.0)).toDF("k", "pc", "v"))
+    assert(SqlCall.exec(spark, "CALL read_savepoint('call_sp_mor', 'pin')")
+      .select(col("v")).as[Double].collect().toSet == Set(10.0, 20.0))
+    SqlCall.exec(spark, "CALL rollback_to_savepoint('call_sp_mor', 'pin')")
+    assert(Catalog.readTable(spark, "call_sp_mor")
+      .select(col("v")).as[Double].collect().toSet == Set(10.0, 20.0))
+    // the fsview savepoint counter sees the mor pin
+    val pins = SqlCall.exec(spark, "CALL show_fsview('call_sp_mor')")
+      .filter(col("metric") === "savepoints")
+      .select(col("value")).as[Long].head()
+    assert(pins == 1L)
+    // an unsupported layout still refuses loudly
+    val tl = mkTimeline("call_sp_tl")
+    val e = intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL create_savepoint('call_sp_tl', 'pin')")
+    }
+    assert(e.getMessage.contains("savepoints pin"))
+  }
+
+  test("run_clustering and run_bootstrap cover the mor/bloom silos") {
+    import org.apache.spark.sql.functions.col
+    // mor clustering = sorted compaction (content-preserving)
+    val mp = Files.createTempDirectory("sqlcall").toString + "/t"
+    MorTable.create(
+      Seq((1L, 1L, 30.0), (2L, 1L, 10.0), (3L, 1L, 20.0)).toDF("k", "pc", "v"),
+      mp, keys = Seq("k"), precombine = "pc")
+    MorTable.upsertInto(mp, Seq((1L, 2L, 5.0)).toDF("k", "pc", "v"))
+    Catalog.registerLayoutTable(spark, "call_cl_mor", "mor", mp)
+    val head = MorTable.changeHead(mp)
+    val gen = SqlCall.exec(spark, "CALL run_clustering('call_cl_mor', 'v')")
+      .as[Long].head()
+    assert(gen == 1L && MorTable.changeHead(mp) == head)
+    assert(Catalog.readTable(spark, "call_cl_mor")
+      .select(col("v")).as[Double].collect().toSet == Set(5.0, 10.0, 20.0))
+    // bloom metadata-only bootstrap through the CALL front door
+    val dir = Files.createTempDirectory("sqlcall")
+    Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v")
+      .write.parquet(dir.toString + "/lake")
+    SqlCall.exec(spark,
+      s"CALL run_bootstrap('call_bs_bl', '${dir.toString}/lake', " +
+        s"'${dir.toString}/t', 'k', 'pc', 'bloom')")
+    assert(Catalog.readTable(spark, "call_bs_bl").count() == 2)
+    BloomTable.upsertInto(spark, dir.toString + "/t",
+      Seq((1L, 2L, -1.0)).toDF("k", "pc", "v"))
+    assert(Catalog.readTable(spark, "call_bs_bl")
+      .select(col("v")).as[Double].collect().toSet == Set(-1.0, 20.0))
+  }
 }

@@ -660,4 +660,51 @@ class SqlIndexSpec extends SparkSpec {
         "CREATE INDEX z ON sql_idx_wrongkind USING BTREE (k)")
     }
   }
+
+  test("multi-index serve prefers the fully-pinned index with the most pinned columns") {
+    val path = fresh("sqlidxsel")
+    val df = (1 to 16).map(i => (i.toLong, 1L,
+      if (i % 2 == 0) "click" else "view", s"r${i % 4}", i.toDouble))
+      .toDF("k", "pc", "etype", "region", "v")
+    BucketTable.create(df, path, keys = Seq("k"), precombine = "pc",
+      numBuckets = 8)
+    Catalog.registerLayoutTable(spark, "sql_idx_sel", "bucket", path)
+    // the WIDE low-cardinality index binds FIRST — declaration order
+    // must not let it shadow the narrower two-column probe
+    SqlIndex.exec(spark,
+      "CREATE INDEX s_et ON sql_idx_sel USING SECONDARY (etype)")
+    SqlIndex.exec(spark,
+      "CREATE INDEX s_er ON sql_idx_sel USING SECONDARY (etype, region)")
+    // the probe itself is checkpointed out of the served plan's lineage,
+    // so WHICH index served is pinned behaviorally: a stale live mapping
+    // (click -> poison key) planted in the WIDE index would widen the
+    // primary fetch to the poison key's bucket — IF the wide index were
+    // chosen. Pick a poison key whose bucket is outside the true hits'.
+    val hitBuckets = Seq(4L, 8L, 12L, 16L)
+      .map(k => BucketTable.bucketOf(spark, path, Seq(k))).toSet
+    val poison = (1 to 15 by 2).map(_.toLong)
+      .find(k => !hitBuckets(BucketTable.bucketOf(spark, path, Seq(k))))
+      .getOrElse(fail("no odd key hashes outside the hit buckets"))
+    BucketTable.upsertInto(spark, s"${path}_idx_s_et",
+      Seq(("click", poison, true, 99L)).toDF("etype", "k", "__live", "__commit"))
+    def planned(sql: String): Set[Int] = SqlRead.select(spark, sql).inputFiles
+      .flatMap("__bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+      .toSet
+    val sql = "SELECT k FROM sql_idx_sel WHERE etype = 'click' AND region = 'r0'"
+    // both fully pinned -> the (etype, region) index must win: the scan
+    // stays on the true hits' buckets, the poison bucket untouched
+    assert(SqlRead.select(spark, sql).as[Long].collect().toSet ==
+      Set(4L, 8L, 12L, 16L))
+    val bucketsOfPoison = BucketTable.bucketOf(spark, path, Seq(poison))
+    assert(!planned(sql)(bucketsOfPoison),
+      s"the wide (etype) index served a conjunction the narrower " +
+        "(etype, region) index fully pins")
+    // with the narrow index dropped, the wide one is the only eligible
+    // route — the poison bucket IS read (and the retained filter still
+    // restores exactness)
+    SqlIndex.exec(spark, "DROP INDEX s_er ON sql_idx_sel")
+    assert(SqlRead.select(spark, sql).as[Long].collect().toSet ==
+      Set(4L, 8L, 12L, 16L))
+    assert(planned(sql)(bucketsOfPoison))
+  }
 }

@@ -201,4 +201,34 @@ class TimelineSpec extends SparkSpec {
     // null on both sides (absent == null) -> unchanged
     assert(got == Map("a" -> "update", "b" -> "unchanged"))
   }
+
+  test("purge_key serializes with clean/archive under the table lock") {
+    val dir = Files.createTempDirectory("purgelock").toString + "/t"
+    (1 to 3).foreach(i => Timeline.upsertInto(spark, dir,
+      rows(("u7", i.toLong, i * 1.0), ("u8", i.toLong, i * 2.0)),
+      Seq("k"), "pc", atMs = Some(i * 1000L)))
+    // forced contention: while the test holds the table lock, a purge
+    // must QUEUE (lock-enforced, not a comment contract) and complete
+    // only after release
+    @volatile var purged: Seq[Long] = null
+    val th = new Thread(() => {
+      purged = Timeline.purgeKey(spark, dir, Seq("k"), Seq("u7"))
+    })
+    FsLock.withTableLock(dir) {
+      th.start()
+      Thread.sleep(800)
+      assert(purged == null, "purge_key must queue behind the table lock")
+    }
+    th.join(60000)
+    assert(purged == Seq(0L, 1L, 2L))
+    // interleave the other destructive services — all on the same lock
+    assert(Timeline.clean(dir, retain = 2) == Seq(0L))
+    assert(Timeline.archive(dir, keepLatest = 1) == Seq(0L, 1L))
+    // every retained version is u7-free, u8 intact
+    Timeline.versions(dir).foreach { v =>
+      val rows = Timeline.readVersion(spark, dir, v)
+        .as[(String, Long, Double)].collect().toSeq
+      assert(!rows.exists(_._1 == "u7") && rows.exists(_._1 == "u8"))
+    }
+  }
 }
