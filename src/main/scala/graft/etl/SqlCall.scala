@@ -44,8 +44,8 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *   - `create_savepoint('t', name)` / `show_savepoints('t')` /
   *     `rollback_to_savepoint('t', name)` / `delete_savepoint('t',
   *     name)` / `read_savepoint('t', name)` — Hudi's savepoint
-  *     procedure family over bucket / partitioned / bloom / mor
-  *     tables: pin the current state, list pins, restore one
+  *     procedure family over bucket / partitioned / bloom / mor /
+  *     timeline tables: pin the current state, list pins, restore one
   *     (pin-aware cleaning keeps pinned generations readable),
   *     release a pin, or time-travel-read a pin without restoring
   *   - `incremental_read('t', from[, to])` — the incremental pull per
@@ -78,21 +78,22 @@ object SqlCall {
     }
 
   /** Savepoints pin committed state — generation manifests (bucket /
-    * partitioned), file manifests (bloom), base + delta windows (MOR);
-    * every CoW/MOR layout supports the full lifecycle — dispatch by
-    * layout.
+    * partitioned), file manifests (bloom), base + delta windows (MOR),
+    * snapshot versions (timeline); every layout supports the full
+    * lifecycle — dispatch by layout.
     */
   private def savepointOp[T](spark: SparkSession, table: String)(
       bucket: String => T, partitioned: String => T,
-      bloom: String => T, mor: String => T): T =
+      bloom: String => T, mor: String => T, timeline: String => T): T =
     Catalog.layoutOf(spark, table) match {
       case Some(("bucket", p)) => bucket(p)
       case Some(("partitioned", p)) => partitioned(p)
       case Some(("bloom", p)) => bloom(p)
       case Some(("mor", p)) => mor(p)
+      case Some(("timeline", p)) => timeline(p)
       case other => throw new IllegalArgumentException(
-        s"$table: savepoints pin bucket | partitioned | bloom | mor " +
-          "state" + other.fold("")(kp => s"; layout: ${kp._1}"))
+        s"$table: savepoints pin bucket | partitioned | bloom | mor | " +
+          "timeline state" + other.fold("")(kp => s"; layout: ${kp._1}"))
     }
 
   private def timelinePathOf(spark: SparkSession, table: String): String =
@@ -368,26 +369,30 @@ object SqlCall {
           p => BucketTable.savepoint(p, sp),
           p => PartitionedTable.savepoint(p, sp),
           p => BloomTable.savepoint(p, sp),
-          p => MorTable.savepoint(p, sp))
+          p => MorTable.savepoint(p, sp),
+          p => Timeline.savepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case ("show_savepoints", Seq(t: String)) =>
         savepointOp(spark, t)(
           BucketTable.savepoints(_), PartitionedTable.savepoints(_),
-          BloomTable.savepoints(_), MorTable.savepoints(_))
+          BloomTable.savepoints(_), MorTable.savepoints(_),
+          Timeline.savepoints(_))
           .toDF("savepoint")
       case ("rollback_to_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.restoreSavepoint(p, sp),
           p => PartitionedTable.restoreSavepoint(p, sp),
           p => BloomTable.restoreSavepoint(spark, p, sp),
-          p => { MorTable.restoreSavepoint(spark, p, sp); () })
+          p => { MorTable.restoreSavepoint(spark, p, sp); () },
+          p => { Timeline.restoreSavepoint(spark, p, sp); () })
         Seq(sp).toDF("savepoint")
       case ("delete_savepoint", Seq(t: String, sp: String)) =>
         savepointOp(spark, t)(
           p => BucketTable.dropSavepoint(p, sp),
           p => PartitionedTable.dropSavepoint(p, sp),
           p => BloomTable.dropSavepoint(p, sp),
-          p => MorTable.dropSavepoint(p, sp))
+          p => MorTable.dropSavepoint(p, sp),
+          p => Timeline.dropSavepoint(p, sp))
         Seq(sp).toDF("savepoint")
       case ("read_savepoint", Seq(t: String, sp: String)) =>
         // time-travel read of a pinned state WITHOUT restoring it —
@@ -397,7 +402,8 @@ object SqlCall {
           p => BucketTable.readSavepoint(spark, p, sp),
           p => PartitionedTable.readSavepoint(spark, p, sp),
           p => BloomTable.readSavepoint(spark, p, sp),
-          p => MorTable.readSavepoint(spark, p, sp)))
+          p => MorTable.readSavepoint(spark, p, sp),
+          p => Timeline.readSavepoint(spark, p, sp)))
       case (other, args) => throw new IllegalArgumentException(
         s"unknown procedure '$other'/${args.length} (supported: " +
           "show_commits, clean_commits, archive_commits, compact, " +
@@ -592,6 +598,7 @@ object SqlCall {
       case "partitioned" => PartitionedTable.savepoints(path).size.toLong
       case "bloom" => BloomTable.savepoints(path).size.toLong
       case "mor" | "mor_ro" => MorTable.savepoints(path).size.toLong
+      case "timeline" => Timeline.savepoints(path).size.toLong
       case _ => 0L
     }
     val indexes = Catalog.indexesOf(spark, t).size.toLong

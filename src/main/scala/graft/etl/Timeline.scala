@@ -378,7 +378,9 @@ object Timeline {
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       require(retain >= 1, "must retain at least the latest version")
       val vs = versions(tablePath)
-      val drop = vs.dropRight(retain)
+      // savepoint-pinned versions count as live — the pin IS the contract
+      val pinned = pinnedVersions(tablePath)
+      val drop = vs.dropRight(retain).filterNot(pinned)
       drop.foreach(v => FsUtil.deleteRecursively(Paths.get(tablePath, s"v=$v")))
       drop
     }
@@ -518,4 +520,76 @@ object Timeline {
   def restore(spark: SparkSession, tablePath: String, version: Long): Long =
     commit(readVersion(spark, tablePath, version).localCheckpoint(), tablePath,
       action = "restore")
+
+  // ---- savepoints (pin a version against retention) -------------------
+  //
+  // Hudi's savepoint IS a timeline-level pin — on the snapshot layout
+  // it reduces to "this version is not [[clean]]able": O(1) metadata,
+  // no data copied. read_savepoint = the pinned version's snapshot;
+  // restore = that snapshot as the NEWEST commit (history stays
+  // append-only — same shape as [[restore]] by version number, which
+  // the pin makes safe to use long after retention would have swept
+  // the version away). [[purgeKey]] deliberately rewrites pinned
+  // versions too: right-to-be-forgotten trumps pins, as everywhere.
+
+  private val SavepointPrefix = "_savepoint_"
+
+  private def savepointPath(tablePath: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid savepoint name: $name")
+    Paths.get(tablePath, SavepointPrefix + name)
+  }
+
+  /** Pin the CURRENT version under `name`. */
+  def savepoint(tablePath: String, name: String): Unit = {
+    val p = savepointPath(tablePath, name)
+    require(!Files.exists(p), s"savepoint $name already exists")
+    val v = latestVersion(tablePath).getOrElse(
+      throw new IllegalStateException(s"no commits at $tablePath"))
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    Files.writeString(tmp, v.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Savepoint names currently pinned. */
+  def savepoints(tablePath: String): Seq[String] = {
+    val dir = Paths.get(tablePath)
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .map(_.drop(SavepointPrefix.length)).toSeq.sorted
+    finally s.close()
+  }
+
+  private def savepointVersion(tablePath: String, name: String): Long = {
+    val p = savepointPath(tablePath, name)
+    require(Files.exists(p), s"no savepoint $name at $tablePath")
+    Files.readString(p).trim.toLong
+  }
+
+  /** Versions pinned by any savepoint — [[clean]] keeps them. */
+  private def pinnedVersions(tablePath: String): Set[Long] =
+    savepoints(tablePath).map(savepointVersion(tablePath, _)).toSet
+
+  /** Read the table AS OF a savepoint, without touching the pointer. */
+  def readSavepoint(spark: SparkSession, tablePath: String,
+      name: String): DataFrame =
+    readVersion(spark, tablePath, savepointVersion(tablePath, name))
+
+  /** Roll back to a savepoint: the pinned snapshot becomes the newest
+    * commit (append-only history, like [[restore]]).
+    */
+  def restoreSavepoint(spark: SparkSession, tablePath: String,
+      name: String): Long =
+    restore(spark, tablePath, savepointVersion(tablePath, name))
+
+  /** Unpin; the version becomes cleanable unless it is the latest or
+    * another savepoint still pins it.
+    */
+  def dropSavepoint(tablePath: String, name: String): Unit = {
+    Files.deleteIfExists(savepointPath(tablePath, name))
+    ()
+  }
 }

@@ -1179,6 +1179,39 @@ object PipelineQueries {
     graft.etl.MorTable.readSnapshot(spark, path).select(cols.map(col): _*)
   }
 
+  /** `p_timeline_savepoint`: the savepoint lifecycle on the VERSIONED
+    * layout — the pin is a version number (Hudi's savepoint IS a
+    * timeline pin; on full-snapshot versions it reduces to "not
+    * cleanable"). Pin pre-load, load more, CLEAN to retain 1 (the
+    * pinned version must survive), read the pin (asserted Spark-side),
+    * roll back (the pinned snapshot re-commits as the newest version —
+    * append-only history). Final content = pre-load latest-per-key.
+    */
+  def timelineSavepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "tlsp").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    val cols = Seq("user_id", "event_id", "event_type", "value", "ts_us")
+    graft.etl.Timeline.upsertInto(spark, path,
+      ev.filter(col("ts_us") <= SplitUs),
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    val pinned = graft.etl.Timeline.read(spark, path)
+      .select(cols.map(col): _*).localCheckpoint()
+    graft.etl.Timeline.savepoint(path, "pre-load")
+    graft.etl.Timeline.upsertInto(spark, path, ev.filter(col("ts_us") > SplitUs),
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.Timeline.clean(path, retain = 1) // pin-aware: v0 survives
+    val asOf = graft.etl.Timeline.readSavepoint(spark, path, "pre-load")
+      .select(cols.map(col): _*)
+    require(asOf.exceptAll(pinned).isEmpty && pinned.exceptAll(asOf).isEmpty,
+      "p_timeline_savepoint: read_savepoint != the pinned snapshot")
+    graft.etl.Timeline.restoreSavepoint(spark, path, "pre-load")
+    graft.etl.Timeline.read(spark, path).select(cols.map(col): _*)
+  }
+
   /** `p_bloom_occ`: multi-writer ingest through
     * [[graft.etl.BloomTable.upsertIntoOcc]] — FILE-level optimistic
     * concurrency on the layout closest to vanilla Hudi CoW: writers
@@ -3548,6 +3581,7 @@ object PipelineQueries {
     "p_bucket_savepoint" -> (bucketSavepoint(_, _)),
     "p_bloom_savepoint" -> (bloomSavepoint(_, _)),
     "p_mor_savepoint" -> (morSavepoint(_, _)),
+    "p_timeline_savepoint" -> (timelineSavepoint(_, _)),
     "p_bloom_occ" -> (bloomOcc(_, _)),
     "p_bootstrap_bloom" -> (bootstrapBloom(_, _)),
     "p_mor_cluster" -> (morCluster(_, _)),
@@ -4340,6 +4374,13 @@ object PipelineQueries {
          | FROM events WHERE epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
     "p_mor_savepoint" ->
+      s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
+         | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         | FROM events WHERE epoch_us(ts) <= $SplitUs) t
+         |WHERE rn = 1""".stripMargin,
+    "p_timeline_savepoint" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |  row_number() OVER (PARTITION BY user_id

@@ -353,12 +353,11 @@ class SqlCallSpec extends SparkSpec {
     SqlCall.exec(spark, "CALL delete_savepoint('sqlcall_sp', 'prerun')")
     assert(SqlCall.exec(spark, "CALL show_savepoints('sqlcall_sp')")
       .count() == 0)
-    // savepoints pin generation manifests: layouts without one say so
+    // every layout pins — the timeline pin is covered in the CALL
+    // family arm; here just the dispatch line
     val tl = mkTimeline("sqlcall_sp_tl")
-    val e = intercept[IllegalArgumentException] {
-      SqlCall.exec(spark, "CALL create_savepoint('sqlcall_sp_tl', 'x')")
-    }
-    assert(e.getMessage.contains("bucket | partitioned"))
+    SqlCall.exec(spark, "CALL create_savepoint('sqlcall_sp_tl', 'x')")
+    assert(Timeline.savepoints(tl) == Seq("x"))
   }
 
   test("savepoint procedures on the partitioned layout") {
@@ -529,10 +528,26 @@ class SqlCallSpec extends SparkSpec {
       .filter(col("metric") === "savepoints")
       .select(col("value")).as[Long].head()
     assert(pins == 1L)
-    // an unsupported layout still refuses loudly
-    val tl = mkTimeline("call_sp_tl")
+    // timeline: the pin is a version number; clean keeps it, restore
+    // re-commits it — savepoints are layout-universal
+    val tp = mkTimeline("call_sp_tl")
+    SqlCall.exec(spark, "CALL create_savepoint('call_sp_tl', 'pin')")
+    Timeline.upsertInto(spark, tp, Seq((9L, 1L, 90.0)).toDF("k", "pc", "v"),
+      keys = Seq("k"), precombine = "pc", atMs = Some(9000L))
+    // pin-aware retention: v3 (pinned) survives a clean that would
+    // otherwise sweep it
+    SqlCall.exec(spark, "CALL clean_commits('call_sp_tl', 1)")
+    assert(Timeline.versions(tp).contains(3L))
+    assert(SqlCall.exec(spark, "CALL read_savepoint('call_sp_tl', 'pin')")
+      .count() == 4)
+    SqlCall.exec(spark, "CALL rollback_to_savepoint('call_sp_tl', 'pin')")
+    assert(Catalog.readTable(spark, "call_sp_tl").count() == 4)
+    SqlCall.exec(spark, "CALL delete_savepoint('call_sp_tl', 'pin')")
+    assert(Timeline.savepoints(tp).isEmpty)
+    // the read-only MOR view still refuses loudly (not a writable layout)
+    Catalog.registerLayoutTable(spark, "call_sp_mor_ro", "mor_ro", mp)
     val e = intercept[IllegalArgumentException] {
-      SqlCall.exec(spark, "CALL create_savepoint('call_sp_tl', 'pin')")
+      SqlCall.exec(spark, "CALL create_savepoint('call_sp_mor_ro', 'p')")
     }
     assert(e.getMessage.contains("savepoints pin"))
   }
