@@ -1114,6 +1114,34 @@ object BucketTable {
       .join(broadcast(wanted), p.keys, "leftsemi")
   }
 
+  /** Multi-combination point lookup over the bucketBy prefix: all
+    * combinations probe in ONE plan — the probe values become a local
+    * frame (checkpointed once), route to their buckets in one tiny
+    * job, the touched buckets read as ONE scan, and a null-safe
+    * semi-join keeps exactly the probed combinations' rows. The
+    * `IN (a, b, …)` serving shape: N combos cost one scan of their
+    * distinct buckets, not N unioned plan branches each with its own
+    * file listing ([[SecondaryIndex]]'s multi routes and the SQL RLI
+    * read serve through this).
+    */
+  def lookupCombos(spark: SparkSession, tablePath: String,
+      combos: Seq[Seq[Any]]): DataFrame = {
+    val p = props(tablePath)
+    require(combos.nonEmpty && combos.forall(_.length == p.bucketBy.length),
+      s"each combination must cover ${p.bucketBy.mkString(",")}")
+    val schema = read(spark, tablePath).schema
+    val probe = combos.map { vs =>
+      p.bucketBy.zip(vs).foldLeft(spark.range(1).toDF()) {
+        case (df, (c, v)) => df.withColumn(c, lit(v).cast(schema(c).dataType))
+      }.drop("id")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val buckets = withBucket(probe, p).select(BucketCol)
+      .distinct().collect().map(_.getInt(0)).toSet
+    val base = readBuckets(spark, tablePath, buckets).drop(BucketCol)
+    val cond = p.bucketBy.map(c => base(c) <=> probe(c)).reduce(_ && _)
+    base.join(broadcast(probe), cond, "left_semi")
+  }
+
   /** Rewrite ONLY `touched` buckets: read their current rows, apply
     * `transform` (which sees just those buckets' rows, bucket column
     * dropped), re-bucket the result, and write it as a fresh

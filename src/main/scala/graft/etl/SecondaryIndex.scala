@@ -341,8 +341,9 @@ object SecondaryIndex {
     */
   def lookupMulti(spark: SparkSession, primaryPath: String,
       indexPath: String, combos: Seq[Seq[Any]]): DataFrame = {
-    val keySets = combos.map(lookupKeys(spark, primaryPath, indexPath, _))
-    val keys = keySets.reduceLeft(_.unionByName(_)).distinct()
+    val p = BucketTable.props(primaryPath)
+    val keys = BucketTable.lookupCombos(spark, indexPath, combos)
+      .filter(col(Live)).select(p.keys.map(col): _*).distinct()
     BucketTable.lookupMany(spark, primaryPath, keys)
   }
 
@@ -423,9 +424,9 @@ object SecondaryIndex {
     */
   def lookupMultiBloom(spark: SparkSession, primaryPath: String,
       indexPath: String, combos: Seq[Seq[Any]]): DataFrame = {
-    val keys = combos
-      .map(lookupBloomKeys(spark, primaryPath, indexPath, _))
-      .reduceLeft(_.unionByName(_)).distinct()
+    val p = BloomTable.props(primaryPath)
+    val keys = BucketTable.lookupCombos(spark, indexPath, combos)
+      .filter(col(Live)).select(p.keys.map(col): _*).distinct()
     BloomTable.lookupMany(spark, primaryPath, keys)
   }
 
@@ -494,8 +495,7 @@ object SecondaryIndex {
     */
   def lookupMultiCovering(spark: SparkSession, indexPath: String,
       combos: Seq[Seq[Any]]): DataFrame =
-    combos.map(vals => BucketTable.lookup(spark, indexPath, vals))
-      .reduceLeft(_.unionByName(_))
+    BucketTable.lookupCombos(spark, indexPath, combos)
       .filter(col(Live))
       .drop(Live, Commit)
 
@@ -596,10 +596,19 @@ object SecondaryIndex {
     * identities route to — no table scan at any size.
     */
   def lookupMultiPartitioned(spark: SparkSession, primaryPath: String,
+      indexPath: String, combos: Seq[Seq[Any]]): DataFrame =
+    PartitionedTable.lookupMany(spark, primaryPath,
+      lookupPartitionedIdsMulti(spark, primaryPath, indexPath, combos))
+
+  /** The index half of [[lookupMultiPartitioned]] — live identities
+    * for ALL combinations from one scan of their probed buckets (the
+    * SQL RLI read resolves through this too).
+    */
+  def lookupPartitionedIdsMulti(spark: SparkSession, primaryPath: String,
       indexPath: String, combos: Seq[Seq[Any]]): DataFrame = {
-    val ids = combos
-      .map(lookupPartitionedIds(spark, primaryPath, indexPath, _))
-      .reduceLeft(_.unionByName(_)).distinct()
-    PartitionedTable.lookupMany(spark, primaryPath, ids)
+    val p = PartitionedTable.props(primaryPath)
+    BucketTable.lookupCombos(spark, indexPath, combos)
+      .filter(col(Live))
+      .select(p.identity.map(col): _*).distinct()
   }
 }

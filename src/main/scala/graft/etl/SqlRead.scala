@@ -158,12 +158,9 @@ object SqlRead {
                   yield prefix :+ v
               }
               SecondaryIndex.ensureCurrent(spark, "partitioned", path, rliPath)
-              val ids = combos
-                .map(SecondaryIndex.lookupPartitionedIds(
-                  spark, path, rliPath, _))
-                .reduceLeft(_.unionByName(_)).distinct()
               Some(Catalog.alignToDeclared(spark, name,
-                PartitionedTable.lookupMany(spark, path, ids))
+                SecondaryIndex.lookupMultiPartitioned(
+                  spark, path, rliPath, combos))
                 .queryExecution.analyzed)
             }
           }

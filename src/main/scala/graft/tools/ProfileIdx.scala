@@ -80,6 +80,36 @@ object ProfileIdx {
       time("part: SELECT")(graft.etl.SqlRead.select(spark,
         "SELECT k, st, v FROM prof_sipart WHERE st IN ('F', 'X')").collect())
       graft.etl.MaintProf.dump()
+      graft.etl.MaintProf.reset()
+    }
+
+    // ---- p_rli_part, stage by stage -----------------------------------
+    {
+      val src = graft.Tables.orders(spark, sf)
+        .select(substring(col("o_orderdate").cast("string"), 1, 4).as("yr"),
+          col("o_orderkey").as("k"), lit(1L).as("pc"),
+          col("o_totalprice").as("v"))
+      val path = java.nio.file.Files
+        .createTempDirectory("profrli").toString + "/t"
+      time("rli: create")(graft.etl.PartitionedTable.create(src, path,
+        keys = Seq("k"), precombine = "pc", partitionCols = Seq("yr")))
+      graft.etl.Catalog.registerLayoutTable(spark, "prof_rlip",
+        "partitioned", path)
+      time("rli: CREATE INDEX")(graft.etl.SqlIndex.exec(spark,
+        "CREATE INDEX rlip1 ON prof_rlip USING RECORD (k)"))
+      src.filter(col("k") % 10 === 3)
+        .withColumn("pc", lit(2L)).withColumn("v", col("v") + 1000)
+        .createOrReplaceTempView("prof_rlip_src")
+      time("rli: MERGE")(graft.etl.SqlMerge.exec(spark,
+        """MERGE INTO prof_rlip t USING prof_rlip_src s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+      time("rli: purge_key")(graft.etl.SqlCall.exec(spark,
+        "CALL purge_key('prof_rlip', 1)"))
+      time("rli: SELECT")(graft.etl.SqlRead.select(spark,
+        "SELECT k, v FROM prof_rlip " +
+          "WHERE k IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 34, 35)").collect())
+      graft.etl.MaintProf.dump()
     }
     spark.stop()
   }
