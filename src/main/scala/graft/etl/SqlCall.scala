@@ -222,9 +222,16 @@ object SqlCall {
         Seq((t, dst)).toDF("table", "path")
       case ("run_bootstrap", Seq(t: String, src: String, dst: String,
           keys: String, pc: String, "partitioned", partCols: String)) =>
-        // FULL_RECORD onboarding into the partitioned layout: the
-        // slice routing (partition dirs) is prescribed, so the rewrite
-        // is inherent — Hudi's FULL_RECORD bootstrap mode
+        // FULL_RECORD onboarding into the partitioned layout — a
+        // CONTRACTED design decision, not a gap: this layout's slices
+        // are shadow-named dirs (`__p_col=val`) with the partition
+        // column kept IN-FILE (so renames/typed reads never depend on
+        // dir-name parsing), which an external Hive-layout dir
+        // (`col=val`, column absent from files) structurally is not —
+        // mapping such dirs in place would break every touched-dir
+        // routing join. The rewrite is therefore inherent, exactly
+        // Hudi's FULL_RECORD mode; metadata-only onboarding is the
+        // mor/bloom routes' job.
         PartitionedTable.create(spark.read.parquet(src), dst,
           keys = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
           precombine = pc,
