@@ -221,6 +221,21 @@ object Catalog {
   def statsIndexOf(spark: SparkSession, table: String): Option[String] =
     tblProps(spark, table).get("graft.table.statsIndex").filter(_.nonEmpty)
 
+  /** The table's declared write-concurrency mode
+    * (`graft.table.writeConcurrency` — Hudi's
+    * `hoodie.write.concurrency.mode` as table config): `'occ'` routes
+    * the SQL keyed-ingest verbs (star-star MERGE, INSERT INTO) through
+    * the layout's optimistic front door, so concurrent writers with
+    * disjoint footprints (buckets / candidate files / partitions /
+    * versions) both commit instead of the second failing on the table
+    * lock. Anything else (or unset) is the single-writer default.
+    * Declared with plain SQL:
+    * `ALTER TABLE t SET TBLPROPERTIES ('graft.table.writeConcurrency' = 'occ')`.
+    */
+  def writeConcurrencyOf(spark: SparkSession, table: String): String =
+    tblProps(spark, table)
+      .getOrElse("graft.table.writeConcurrency", "single").toLowerCase
+
   /** Named index registry on the table: `graft.index.<name> =
     * '<type>:<artifact>'` — one entry per index created through the
     * SQL DDL front door ([[SqlIndex]]); `DROP INDEX` resolves against

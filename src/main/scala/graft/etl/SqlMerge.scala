@@ -479,22 +479,31 @@ object SqlMerge {
         // stable physical names (Catalog's schema-on-read mapping)
         val batch = Catalog.toPhysical(shaped,
           Catalog.schemaMapping(spark, target)._1)
+        // 'occ' write concurrency: the keyed APPEND verbs take the
+        // optimistic front door (overwrites stay lock-serialized — a
+        // restate conflicts with everything by construction)
+        val occ = Catalog.writeConcurrencyOf(spark, target) == "occ"
         (kind, i.overwrite) match {
           case ("partitioned", true) =>
             PartitionedTable.insertOverwrite(spark, path, batch)
           case ("partitioned", false) =>
-            PartitionedTable.upsertInto(spark, path, batch)
+            if (occ) PartitionedTable.upsertIntoOcc(spark, path, batch)
+            else PartitionedTable.upsertInto(spark, path, batch)
             ()
           case ("bucket", false) =>
             // the engine-bound secondary index (when any) rides inside
-            BucketTable.upsertInto(spark, path, batch)
+            if (occ) BucketTable.upsertIntoOcc(spark, path, batch)
+            else BucketTable.upsertInto(spark, path, batch)
             ()
           case ("bloom", false) =>
-            BloomTable.upsertInto(spark, path, batch)
+            if (occ) { BloomTable.upsertIntoOcc(spark, path, batch); () }
+            else BloomTable.upsertInto(spark, path, batch)
           case ("timeline", false) =>
             val (keys2, precombine2, tieBreak2) =
               dmlConfig(spark, target, layout)
-            Timeline.upsertInto(spark, path, batch, keys2, precombine2,
+            if (occ) Timeline.upsertIntoOcc(spark, path, batch, keys2,
+              precombine2, tieBreak2)
+            else Timeline.upsertInto(spark, path, batch, keys2, precombine2,
               tieBreak2)
             ()
           case ("mor", false) =>
@@ -856,22 +865,39 @@ object SqlMerge {
         // physical frame sees the same names.
         def dedupedSrc = HudiLike.precombineLatest(src, identity,
           precombine, tieBreak)
+        // declared write-concurrency mode: 'occ' takes the layout's
+        // optimistic front door — disjoint-footprint writers commit
+        // concurrently (MOR stays the plain append: log appends never
+        // conflict on content, only on sequencing, which the short
+        // lock already serializes — the contracted no-OCC design)
+        val occ = layout.isDefined &&
+          Catalog.writeConcurrencyOf(spark, target) == "occ"
         layout match {
+          case Some(("bucket", path)) if occ =>
+            PreCommit.validate(dedupedSrc, rules)
+            BucketTable.upsertIntoOcc(spark, path, srcP); ()
           case Some(("bucket", path)) =>
             // the engine-bound secondary index (when any) sees every
             // front-door write inside upsertInto — an upsert that moves
             // a row's indexed value tombstones the stale mapping there
             BucketTable.upsertInto(spark, path, srcP, rules); ()
+          case Some(("bloom", path)) if occ =>
+            PreCommit.validate(dedupedSrc, rules)
+            BloomTable.upsertIntoOcc(spark, path, srcP); ()
           case Some(("bloom", path)) =>
             BloomTable.upsertInto(spark, path, srcP, rules); ()
           case Some(("partitioned", path)) =>
             PreCommit.validate(dedupedSrc, rules)
-            PartitionedTable.upsertInto(spark, path, srcP); ()
+            if (occ) PartitionedTable.upsertIntoOcc(spark, path, srcP)
+            else PartitionedTable.upsertInto(spark, path, srcP)
+            ()
           case Some(("timeline", path)) =>
             PreCommit.validate(dedupedSrc, rules)
             // versioned snapshots: the MERGE lands as a new commit,
             // immediately visible to VERSION/TIMESTAMP AS OF readers
-            Timeline.upsertInto(spark, path, srcP, keys, precombine,
+            if (occ) Timeline.upsertIntoOcc(spark, path, srcP, keys,
+              precombine, tieBreak)
+            else Timeline.upsertInto(spark, path, srcP, keys, precombine,
               tieBreak)
             ()
           case Some(("mor", path)) =>

@@ -1179,6 +1179,45 @@ object PipelineQueries {
     graft.etl.MorTable.readSnapshot(spark, path).select(cols.map(col): _*)
   }
 
+  /** `p_sql_merge_occ`: declared write concurrency through the SQL
+    * front door — `ALTER TABLE ... SET TBLPROPERTIES
+    * ('graft.table.writeConcurrency' = 'occ')` (Hudi's
+    * `hoodie.write.concurrency.mode` as table config) routes the
+    * star-star MERGE and INSERT INTO through the layout's optimistic
+    * front door, so concurrent writers with disjoint bucket footprints
+    * commit instead of the second failing on the table lock
+    * (`SqlMergeSpec` pins the route via the OCC generation ids and the
+    * validator gate; `BucketTableSpec` exercises the genuinely
+    * concurrent interleaves). Sequential MERGEs keep the oracle
+    * deterministic: final table = one-pass latest-per-user state.
+    */
+  def sqlMergeOcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "smocc").toString + "/t"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .filter(col("ts_us").isNotNull)
+    graft.etl.BucketTable.create(ev.filter(col("ts_us") <= SplitUs), path,
+      keys = Seq("user_id"), precombine = "ts_us", tieBreak = Seq("event_id"))
+    graft.etl.Catalog.registerLayoutTable(spark, "graft_smocc", "bucket", path)
+    spark.sql("ALTER TABLE graft_smocc SET TBLPROPERTIES " +
+      "('graft.table.writeConcurrency' = 'occ')")
+    def mergeSlice(df: DataFrame, view: String): Unit = {
+      df.createOrReplaceTempView(view)
+      graft.etl.SqlMerge.exec(spark,
+        s"""MERGE INTO graft_smocc t USING $view s
+           |ON t.user_id = s.user_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    mergeSlice(ev.filter(col("ts_us") > Split2Us), "graft_smocc_a")
+    mergeSlice(ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us),
+      "graft_smocc_b")
+    graft.etl.SqlRead.select(spark,
+      "SELECT user_id, event_id, event_type, value, ts_us FROM graft_smocc")
+  }
+
   /** `p_timeline_savepoint`: the savepoint lifecycle on the VERSIONED
     * layout — the pin is a version number (Hudi's savepoint IS a
     * timeline pin; on full-snapshot versions it reduces to "not
@@ -3582,6 +3621,7 @@ object PipelineQueries {
     "p_bloom_savepoint" -> (bloomSavepoint(_, _)),
     "p_mor_savepoint" -> (morSavepoint(_, _)),
     "p_timeline_savepoint" -> (timelineSavepoint(_, _)),
+    "p_sql_merge_occ" -> (sqlMergeOcc(_, _)),
     "p_bloom_occ" -> (bloomOcc(_, _)),
     "p_bootstrap_bloom" -> (bootstrapBloom(_, _)),
     "p_mor_cluster" -> (morCluster(_, _)),
@@ -4380,6 +4420,13 @@ object PipelineQueries {
          |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
          | FROM events WHERE epoch_us(ts) <= $SplitUs) t
          |WHERE rn = 1""".stripMargin,
+    "p_sql_merge_occ" ->
+      """SELECT user_id, event_id, event_type, value, ts_us FROM (
+        | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        | FROM events WHERE ts IS NOT NULL) t
+        |WHERE rn = 1""".stripMargin,
     "p_timeline_savepoint" ->
       s"""SELECT user_id, event_id, event_type, value, ts_us FROM (
          | SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

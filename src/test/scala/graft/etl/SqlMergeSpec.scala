@@ -444,4 +444,48 @@ class SqlMergeSpec extends SparkSpec {
     assert(Catalog.readTable(spark, "ovw_sec").select($"k", $"color")
       .as[(Long, String)].collect().toMap == Map(5L -> "green"))
   }
+
+  test("declared 'occ' write concurrency routes SQL ingest through the optimistic front door") {
+    val path = Files.createTempDirectory("sqlocc").toString + "/t"
+    BucketTable.create(
+      Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("k", "pc", "v"),
+      path, keys = Seq("k"), precombine = "pc", numBuckets = 4)
+    Catalog.registerLayoutTable(spark, "sql_occ_t", "bucket", path)
+    spark.sql("ALTER TABLE sql_occ_t SET TBLPROPERTIES " +
+      "('graft.table.writeConcurrency' = 'occ')")
+    Seq((1L, 2L, -1.0), (3L, 1L, 30.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_occ_src")
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_occ_t t USING sql_occ_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    def state(): Map[Long, Double] = Catalog.readTable(spark, "sql_occ_t")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(state() == Map(1L -> -1.0, 2L -> 20.0, 3L -> 30.0))
+    // the commit went through the OCC path: optimistic generations are
+    // nanotime-unique (never the sequential max+1 the single-writer
+    // path allocates)
+    assert(BucketTable.manifest(path).values.max > 1000000L,
+      s"expected a nanotime OCC generation, got ${BucketTable.manifest(path)}")
+    // INSERT INTO routes through the same front door
+    SqlMerge.exec(spark, "INSERT INTO sql_occ_t VALUES (4, 1, 40.0)")
+    assert(state() == Map(1L -> -1.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    // validators still gate the OCC route before any write
+    Catalog.registerLayoutTable(spark, "sql_occ_v", "bucket", path,
+      validators = Seq(("no_neg", "v < 0")))
+    spark.sql("ALTER TABLE sql_occ_v SET TBLPROPERTIES " +
+      "('graft.table.writeConcurrency' = 'occ')")
+    val m0 = BucketTable.manifest(path)
+    Seq((9L, 1L, -9.0)).toDF("k", "pc", "v")
+      .createOrReplaceTempView("sql_occ_bad")
+    intercept[PreCommit.ValidationException] {
+      SqlMerge.exec(spark,
+        """MERGE INTO sql_occ_v t USING sql_occ_bad s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(BucketTable.manifest(path) == m0) // byte-identical table
+  }
 }
