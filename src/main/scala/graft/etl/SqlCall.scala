@@ -183,9 +183,13 @@ object SqlCall {
           case Some(("bucket", p)) => BucketTable.cluster(spark, p, cols)
           case Some(("bloom", p)) => BloomTable.cluster(spark, p, cols)
           case Some(("mor", p)) => MorTable.cluster(spark, p, cols)
+          case Some(("timeline", p)) =>
+            // sorted replacecommit — history untouched, new version out
+            Timeline.cluster(spark, p, cols)
           case other => throw new IllegalArgumentException(
             s"run_clustering('$t'): supported layouts are partitioned " +
-              "| bucket | bloom | mor" + other.fold("")(kp => s"; layout: ${kp._1}"))
+              "| bucket | bloom | mor | timeline" +
+              other.fold("")(kp => s"; layout: ${kp._1}"))
         }
         Seq(gen).toDF("generation")
       case ("run_bootstrap",

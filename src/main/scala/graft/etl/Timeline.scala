@@ -396,6 +396,24 @@ object Timeline {
     commit(read(spark, tablePath).repartition(numFiles), tablePath,
       action = "replacecommit")
 
+  /** Clustering on the versioned layout: the latest snapshot rewritten
+    * range-partitioned and sorted by `sortCols` as a new replacecommit
+    * — content-preserving, history untouched (older versions keep
+    * their files), file-level zone maps tighten exactly as the other
+    * layouts' `cluster` restates do. Returns the new version.
+    */
+  def cluster(spark: SparkSession, tablePath: String, sortCols: Seq[String],
+      targetFileRows: Long = 4000000L): Long = {
+    require(sortCols.nonEmpty, "at least one clustering sort column")
+    import org.apache.spark.sql.functions.col
+    val snap = read(spark, tablePath).localCheckpoint()
+    val files = math.max(1L,
+      (snap.count() + targetFileRows - 1) / targetFileRows).toInt
+    commit(snap.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*),
+      tablePath, action = "replacecommit")
+  }
+
   /** Incremental query between two commits (Hudi's incremental read —
     * the feature that lets a downstream pipeline consume only what
     * changed since the commit it last saw): every key inserted,

@@ -537,4 +537,26 @@ class BloomTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("savepoint on a bootstrapped table pins the in-place source files") {
+    val dir = Files.createTempDirectory("bbsp")
+    val srcDir = dir.toString + "/lake"
+    val path = dir.toString + "/t"
+    val df0 = (1 to 32).map(i => (i.toLong, 1L, i.toDouble)).toDF("k", "pc", "v")
+    df0.repartitionByRange(4, col("k")).write.parquet(srcDir)
+    BloomTable.bootstrap(spark, srcDir, path, keys = Seq("k"), precombine = "pc")
+    BloomTable.savepoint(path, "onboarded")
+    // a rewrite supersedes some source files in the LIVE manifest; the
+    // pin still resolves them (external files are never reclaimed, and
+    // the existence check passes absolute entries through)
+    BloomTable.upsertInto(spark, path,
+      (1 to 8).map(i => (i.toLong, 2L, -1.0)).toDF("k", "pc", "v"))
+    BloomTable.clean(path)
+    val asOf = BloomTable.readSavepoint(spark, path, "onboarded")
+    assert(asOf.exceptAll(df0).isEmpty && df0.exceptAll(asOf).isEmpty)
+    BloomTable.restoreSavepoint(spark, path, "onboarded")
+    val got = BloomTable.read(spark, path)
+    assert(got.exceptAll(df0).isEmpty && df0.exceptAll(got).isEmpty)
+    assert(spark.read.parquet(srcDir).count() == 32) // source never touched
+  }
 }

@@ -424,13 +424,9 @@ class SqlCallSpec extends SparkSpec {
     val got = PartitionedTable.read(spark, p)
       .as[(Long, Long, String, Double)].collect()
     assert(got.length == 200 && got.map(_._1).toSet == (1 to 200).map(_.toLong).toSet)
-    // bucket/bloom layouts cluster too now — the rejection case is a
-    // layout with no file-level clustering unit (timeline snapshots)
-    mkTimeline("call_cl_tl")
-    val wrong = intercept[IllegalArgumentException] {
-      SqlCall.exec(spark, "CALL run_clustering('call_cl_tl', 'v')")
-    }
-    assert(wrong.getMessage.contains("partitioned | bucket | bloom"))
+    // every layout clusters now — the timeline sorted replacecommit is
+    // covered in the mor/bloom CALL arm; no refusal case remains among
+    // the registered layouts
   }
 
   test("run_bootstrap onboards a parquet dir as a registered MOR table") {
@@ -579,5 +575,19 @@ class SqlCallSpec extends SparkSpec {
       Seq((1L, 2L, -1.0)).toDF("k", "pc", "v"))
     assert(Catalog.readTable(spark, "call_bs_bl")
       .select(col("v")).as[Double].collect().toSet == Set(-1.0, 20.0))
+    // timeline clustering = sorted replacecommit: content preserved,
+    // history untouched, a new version appended
+    val tp2 = mkTimeline("call_cl_tl2")
+    val before = Timeline.read(spark, tp2)
+      .as[(Long, Long, Double)].collect().toSet
+    val v = SqlCall.exec(spark, "CALL run_clustering('call_cl_tl2', 'v')")
+      .as[Long].head()
+    assert(v == 4L)
+    assert(Timeline.instants(tp2).last.action == "replacecommit")
+    assert(Timeline.read(spark, tp2)
+      .as[(Long, Long, Double)].collect().toSet == before)
+    val vs = spark.read.parquet(s"$tp2/v=4").select("v")
+      .as[Double].collect().toSeq
+    assert(vs == vs.sorted)
   }
 }
