@@ -33,6 +33,24 @@ object SparkEntry {
     */
   val nonSelectiveQueries: Set[String] = Set("dd_embed_neardup_lsh")
 
+  /** The declared no-oracle entries, each paired with the hash-checked
+    * twin that carries its correctness signal (identical plan shape or
+    * algebra; the variant differs only in an engine-specific model —
+    * sketch estimates, trained codebooks, Lloyd builds — that DuckDB
+    * cannot replay). [[Verify]] validates this map on every run: each
+    * no-oracle query must be declared here and its twin must be a
+    * live, oracle-checked registry entry, so a rename or removal can
+    * never silently orphan a declared exception.
+    */
+  val twinOf: Map[String, String] = Map(
+    "dd_minhash_agg" -> "dd_minhash_lsh",
+    "dd_semdedup_prod" -> "dd_semdedup",
+    "q_approx_distinct" -> "q_count_distinct",
+    "q_approx_percentiles" -> "q_percentiles",
+    "sim_ivf_build" -> "sim_ivf_fixed",
+    "sim_pq_trained" -> "sim_pq_search",
+    "tx_winnow" -> "tx_fingerprint")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.PipelineQueries.queries ++

@@ -30,6 +30,29 @@ object Verify {
     if (only.isDefined)
       System.err.println(s"[verify] SUBSET mode: ${selected.size} of " +
         s"${SparkEntry.queries.size} queries; writing oracle_sql.subset.json")
+    // twin discipline: every no-oracle entry must declare a live,
+    // oracle-checked twin (SparkEntry.twinOf) — fail LOUDLY before any
+    // query runs, so a rename can't silently orphan an exception
+    locally {
+      val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+      val undeclared = noOracle -- SparkEntry.twinOf.keySet
+      val stale = SparkEntry.twinOf.keySet -- noOracle
+      val badTwin = SparkEntry.twinOf.collect {
+        case (k, t) if !SparkEntry.queries.contains(t) ||
+          !SparkEntry.oracleSql.contains(t) => s"$k -> $t"
+      }
+      if (undeclared.nonEmpty || stale.nonEmpty || badTwin.nonEmpty) {
+        System.err.println("[verify] TWIN CHECK FAILED:")
+        if (undeclared.nonEmpty) System.err.println(
+          s"[verify]   no-oracle entries with no declared twin: ${undeclared.toSeq.sorted.mkString(",")}")
+        if (stale.nonEmpty) System.err.println(
+          s"[verify]   twinOf keys that are not no-oracle entries (renamed/removed/now-oracled): ${stale.toSeq.sorted.mkString(",")}")
+        if (badTwin.nonEmpty) System.err.println(
+          s"[verify]   twins missing from queries/oracleSql: ${badTwin.toSeq.sorted.mkString(",")}")
+        spark.stop()
+        sys.exit(4)
+      }
+    }
     // registry-wide plan guard: fail the whole run if ANY query's
     // executed plans carry an In/InSet past the 64-literal bound (the
     // round-10 scale-killer shape) — see plans.InListCheck

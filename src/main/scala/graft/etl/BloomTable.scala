@@ -704,10 +704,21 @@ object BloomTable {
     * as `BucketTable.readBuckets`).
     */
   private def readFiles(spark: SparkSession, tablePath: String,
-      rel: Seq[String]): DataFrame =
+      rel: Seq[String]): DataFrame = {
+    dataScans.increment()
     rel.groupBy(f => f.takeWhile(_ != '/'))
       .values.map(fs => spark.read.parquet(absFiles(tablePath, fs.toSeq): _*))
       .reduce(SchemaShim.unionByName)
+  }
+
+  /** Test seam: counts data-file scan constructions (readFiles, the
+    * OCC staged read, the reconcile fold-in). The OCC spec brackets
+    * the in-lock window with this to pin — timing-free — that the
+    * critical section constructs NO data-file read; metadata reads
+    * (manifest, index parquet) are deliberately not counted.
+    */
+  private[graft] val dataScans = new java.util.concurrent.atomic.LongAdder
+  @volatile private[graft] var lastOccInLockDataScans: Long = -1L
 
   /** Index rows reconciled to the CURRENT manifest: rows for retired
     * files dropped; live files the index has not seen (a writer that
@@ -729,7 +740,10 @@ object BloomTable {
       // compute per commit dir and union the RESULTS (indexRows needs
       // each group's own `_metadata.file_path`, which unions drop)
       missing.groupBy(f => f.substring(0, f.lastIndexOf('/'))).values
-        .map(fs => indexRows(spark.read.parquet(fs.toSeq.sorted: _*), p))
+        .map { fs =>
+          dataScans.increment()
+          indexRows(spark.read.parquet(fs.toSeq.sorted: _*), p)
+        }
         .reduce(_.unionByName(_)))
   }
 
@@ -892,36 +906,65 @@ object BloomTable {
     val staged = Paths.get(tablePath, s"_staged-occ${System.nanoTime()}")
     merged.repartitionByRange(math.max(1, touched.size), col(p.keys.head))
       .write.mode("errorifexists").parquet(staged.toString)
+    // The staged files are IMMUTABLE from here: everything derivable
+    // from them — the CDC row image and the per-file bloom/zone index
+    // rows — is computed and MATERIALIZED before the lock, so the
+    // critical section does no data-file I/O. At 100 TB the lock hold
+    // must not scale with commit size; that is what OCC exists to
+    // avoid, and Hudi's in-lock validation is likewise metadata-only.
+    dataScans.increment()
+    val stagedContent = spark.read.parquet(staged.toString)
+    val cdcRows =
+      if (CdcLog.enabled(tablePath))
+        Some(CdcLog.diff(existing, stagedContent, p.keys).localCheckpoint())
+      else None
+    // index rows carry the staged paths; only the directory segment
+    // changes at the in-lock rename, remapped there as a
+    // one-row-per-file metadata transformation, never a re-scan
+    val stagedIdx = indexRows(stagedContent, p).localCheckpoint()
+    val stagedSeg = "/" + staged.getFileName.toString + "/"
     val outcome = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
-      val m1 = manifest(tablePath)
-      val removedSince = m0.toSet -- m1.toSet
-      val addedSince = (m1.toSet -- m0.toSet).toSeq.sorted
-      val readConflict = touched.exists(removedSince)
-      lazy val addConflict = addedSince.nonEmpty && {
-        val addedIdx = filesIn(spark, reconcileIndex(spark, tablePath, p),
-          absFiles(tablePath, addedSince), keep = true)
-        candidateFiles(tablePath, batch, addedIdx, p).nonEmpty
-      }
-      if (readConflict || addConflict) None
-      else {
-        val commit = nextCommit(tablePath)
-        Files.move(staged, Paths.get(tablePath, s"c=$commit"),
-          StandardCopyOption.ATOMIC_MOVE)
-        val written = listCommitFiles(tablePath, commit)
-        writeSchema(tablePath, merged)
-        writeManifest(tablePath,
-          ((m1.toSet -- touched) ++ written).toSeq, commit, "write",
-          CdcLog.Action.Changes { () =>
-            CdcLog.diff(existing, readFiles(spark, tablePath, written), p.keys)
-          })
-        val keptIdx = filesIn(spark, reconcileIndex(spark, tablePath, p),
-          absFiles(tablePath, touched), keep = false)
-        writeIndex(tablePath,
-          keptIdx.unionByName(
-            indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
-          nextIndexVersion(tablePath))
-        Some((commit, written))
-      }
+      val scans0 = dataScans.sum()
+      try {
+        val m1 = manifest(tablePath)
+        val removedSince = m0.toSet -- m1.toSet
+        val addedSince = (m1.toSet -- m0.toSet).toSeq.sorted
+        val readConflict = touched.exists(removedSince)
+        lazy val addConflict = addedSince.nonEmpty && {
+          val addedIdx = filesIn(spark, reconcileIndex(spark, tablePath, p),
+            absFiles(tablePath, addedSince), keep = true)
+          candidateFiles(tablePath, batch, addedIdx, p).nonEmpty
+        }
+        if (readConflict || addConflict) None
+        else {
+          val commit = nextCommit(tablePath)
+          Files.move(staged, Paths.get(tablePath, s"c=$commit"),
+            StandardCopyOption.ATOMIC_MOVE)
+          val written = listCommitFiles(tablePath, commit)
+          writeSchema(tablePath, merged)
+          // reconcile BEFORE the manifest swing: against m1 every live
+          // file is indexed, so the heal path (which would scan data
+          // files) cannot trigger; after the swing it would "heal" the
+          // just-written files we already have rows for in stagedIdx
+          val keptIdx = filesIn(spark, reconcileIndex(spark, tablePath, p),
+            absFiles(tablePath, touched), keep = false)
+          writeManifest(tablePath,
+            ((m1.toSet -- touched) ++ written).toSeq, commit, "write",
+            CdcLog.Action.Changes { () =>
+              cdcRows.getOrElse(
+                // CDC flipped on between the pre-lock check and here —
+                // the one (rare) case that still diffs in-lock
+                CdcLog.diff(existing, readFiles(spark, tablePath, written),
+                  p.keys))
+            })
+          writeIndex(tablePath,
+            keptIdx.unionByName(stagedIdx.withColumn("file",
+              regexp_replace(col("file"),
+                java.util.regex.Pattern.quote(stagedSeg), s"/c=$commit/"))),
+            nextIndexVersion(tablePath))
+          Some((commit, written))
+        }
+      } finally lastOccInLockDataScans = dataScans.sum() - scans0
     }
     outcome match {
       case None =>
@@ -1324,7 +1367,7 @@ object BloomTable {
     require(!Files.exists(p), s"savepoint $name already exists")
     val m = manifest(tablePath)
     require(m.nonEmpty, s"no committed state to savepoint at $tablePath")
-    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}.tmp${System.nanoTime()}")
     Files.writeString(tmp, m.mkString("", "\n", "\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
@@ -1335,7 +1378,8 @@ object BloomTable {
   def savepoints(tablePath: String): Seq[String] = {
     val s = Files.list(Paths.get(tablePath))
     try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .filter(n => n.startsWith(SavepointPrefix) &&
+        n.drop(SavepointPrefix.length).matches("[A-Za-z0-9_-]+"))
       .map(_.drop(SavepointPrefix.length)).toSeq.sorted
     finally s.close()
   }
@@ -1457,11 +1501,16 @@ object BloomTable {
       finally s.close()
     }
     // crashed OCC attempts' staged dirs (never referenced by any
-    // manifest — the in-lock rename is what publishes them). Clean
-    // must not run concurrent with in-flight writers, same rule as
-    // the bucket layout's staged-generation sweep.
+    // manifest — the in-lock rename is what publishes them).
+    // AGE-GATED: an in-flight writer sits between its stage write and
+    // its in-lock ATOMIC_MOVE for at most the lock-acquire window, so
+    // only dirs older than [[FsLock.LockExpiryMs]] are provably
+    // crashed debris — sweeping younger ones would yank a live
+    // writer's staged snapshot out from under its rename.
+    val stagedCutoffMs = System.currentTimeMillis() - FsLock.LockExpiryMs
     val removedStaged = listDir(base)
       .filter(_.getFileName.toString.startsWith("_staged-occ"))
+      .filter(d => Files.getLastModifiedTime(d).toMillis < stagedCutoffMs)
       .map { d => FsUtil.deleteRecursively(d); d.getFileName.toString }
     removedData ++ removedIdx ++ removedStaged
   }

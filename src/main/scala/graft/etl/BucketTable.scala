@@ -1441,7 +1441,7 @@ object BucketTable {
     // new bucket count would route lookups/upserts to buckets the pinned
     // state never had (empty lookups, split keys)
     val pr = props(tablePath)
-    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}.tmp${System.nanoTime()}")
     Files.writeString(tmp,
       (s"props numBuckets=${pr.numBuckets} bucketBy=${pr.bucketBy.mkString(",")}" +:
         m.toSeq.sorted.map { case (b, g) => s"$b $g" }).mkString("\n"),
@@ -1453,7 +1453,8 @@ object BucketTable {
   def savepoints(tablePath: String): Seq[String] = {
     val s = Files.list(Paths.get(tablePath))
     try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .filter(n => n.startsWith(SavepointPrefix) &&
+        n.drop(SavepointPrefix.length).matches("[A-Za-z0-9_-]+"))
       .map(_.drop(SavepointPrefix.length)).toSeq.sorted
     finally s.close()
   }

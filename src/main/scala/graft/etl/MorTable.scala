@@ -742,7 +742,7 @@ object MorTable {
     require(!Files.exists(p), s"savepoint $name already exists")
     val (base, head, floor) = fullState(tablePath).getOrElse(
       throw new IllegalStateException(s"no MOR table at $tablePath"))
-    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}.tmp${System.nanoTime()}")
     Files.writeString(tmp, s"$base $head $floor\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
@@ -753,7 +753,8 @@ object MorTable {
   def savepoints(tablePath: String): Seq[String] = {
     val s = Files.list(Paths.get(tablePath))
     try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .filter(n => n.startsWith(SavepointPrefix) &&
+        n.drop(SavepointPrefix.length).matches("[A-Za-z0-9_-]+"))
       .map(_.drop(SavepointPrefix.length)).toSeq.sorted
     finally s.close()
   }

@@ -1678,7 +1678,7 @@ object PartitionedTable {
     require(m.nonEmpty, s"no committed state to savepoint at $tablePath")
     val body = (m.toSeq.sorted.map { case (d, g) => s"M $d $g" } ++
       deltas(tablePath).sorted.map { case (d, g) => s"D $d $g" }).mkString("\n")
-    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}.tmp${System.nanoTime()}")
     Files.writeString(tmp, body,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
@@ -1687,7 +1687,8 @@ object PartitionedTable {
   def savepoints(tablePath: String): Seq[String] = {
     val s = Files.list(Paths.get(tablePath))
     try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .filter(n => n.startsWith(SavepointPrefix) &&
+        n.drop(SavepointPrefix.length).matches("[A-Za-z0-9_-]+"))
       .map(_.drop(SavepointPrefix.length)).toSeq.sorted
     finally s.close()
   }

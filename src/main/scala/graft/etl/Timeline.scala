@@ -392,9 +392,16 @@ object Timeline {
     */
   def compact(spark: SparkSession, tablePath: String, numFiles: Int): Long =
     // "replacecommit" — Hudi's action name for commits that rewrite
-    // files without changing contents (clustering/compaction)
-    commit(read(spark, tablePath).repartition(numFiles), tablePath,
-      action = "replacecommit")
+    // files without changing contents (clustering/compaction).
+    // Locked read-to-commit: a declared-OCC writer landing between our
+    // read of the latest version and our commit would be silently
+    // reverted by the rewritten snapshot (and the version number could
+    // collide) — the same maintenance-holds-the-lock shape as
+    // [[MorTable.cluster]].
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      commit(read(spark, tablePath).repartition(numFiles), tablePath,
+        action = "replacecommit")
+    }
 
   /** Clustering on the versioned layout: the latest snapshot rewritten
     * range-partitioned and sorted by `sortCols` as a new replacecommit
@@ -406,12 +413,17 @@ object Timeline {
       targetFileRows: Long = 4000000L): Long = {
     require(sortCols.nonEmpty, "at least one clustering sort column")
     import org.apache.spark.sql.functions.col
-    val snap = read(spark, tablePath).localCheckpoint()
-    val files = math.max(1L,
-      (snap.count() + targetFileRows - 1) / targetFileRows).toInt
-    commit(snap.repartitionByRange(files, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*),
-      tablePath, action = "replacecommit")
+    // Locked read-to-commit, same rationale as [[compact]]: the
+    // clustered rewrite must restate the version it read, and a
+    // concurrent OCC commit in the gap would be reverted without it.
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      val snap = read(spark, tablePath).localCheckpoint()
+      val files = math.max(1L,
+        (snap.count() + targetFileRows - 1) / targetFileRows).toInt
+      commit(snap.repartitionByRange(files, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*),
+        tablePath, action = "replacecommit")
+    }
   }
 
   /** Incremental query between two commits (Hudi's incremental read —
@@ -536,8 +548,13 @@ object Timeline {
     * botched commits remain readable until `clean` retires them.
     */
   def restore(spark: SparkSession, tablePath: String, version: Long): Long =
-    commit(readVersion(spark, tablePath, version).localCheckpoint(), tablePath,
-      action = "restore")
+    // Locked: restore races a declared-OCC writer exactly as
+    // [[compact]] does — an intervening commit between our version
+    // allocation and pointer swing would be clobbered or lost.
+    FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
+      commit(readVersion(spark, tablePath, version).localCheckpoint(),
+        tablePath, action = "restore")
+    }
 
   // ---- savepoints (pin a version against retention) -------------------
   //
@@ -563,7 +580,7 @@ object Timeline {
     require(!Files.exists(p), s"savepoint $name already exists")
     val v = latestVersion(tablePath).getOrElse(
       throw new IllegalStateException(s"no commits at $tablePath"))
-    val tmp = Paths.get(tablePath, s"${SavepointPrefix}tmp${System.nanoTime()}")
+    val tmp = Paths.get(tablePath, s"${SavepointPrefix}.tmp${System.nanoTime()}")
     Files.writeString(tmp, v.toString,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
@@ -576,7 +593,8 @@ object Timeline {
     if (!Files.exists(dir)) return Seq.empty
     val s = Files.list(dir)
     try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith(SavepointPrefix) && !n.contains("tmp"))
+      .filter(n => n.startsWith(SavepointPrefix) &&
+        n.drop(SavepointPrefix.length).matches("[A-Za-z0-9_-]+"))
       .map(_.drop(SavepointPrefix.length)).toSeq.sorted
     finally s.close()
   }

@@ -446,18 +446,47 @@ class BloomTableSpec extends SparkSpec {
       Seq("k"), "pc", Nil)
     val got = BloomTable.read(spark, path)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the lock hold is metadata-only: the committed attempt's critical
+    // section constructed ZERO data-file reads (CDC image and index
+    // rows were materialized from the immutable staged files before
+    // the lock) — timing-free I/O-shape assertion
+    assert(BloomTable.lastOccInLockDataScans == 0L,
+      s"OCC critical section did ${BloomTable.lastOccInLockDataScans} " +
+        "data-file scan(s) — the lock hold must be metadata-only")
+    // and the precomputed CDC image is the image the commit publishes:
+    // enable CDC, OCC-commit an update+insert, read the images back
+    BloomTable.enableCdc(path)
+    val cdcHead = BloomTable.latestCommit(path)
+    BloomTable.upsertIntoOcc(spark, path,
+      Seq((1L, 9L, 99.0), (2000L, 1L, 5.0)).toDF("k", "pc", "v"))
+    assert(BloomTable.lastOccInLockDataScans == 0L)
+    val imgs = BloomTable.changesCdc(spark, path, cdcHead)
+      .select("_op", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(imgs == Set(("u", 1L), ("i", 2000L)),
+      s"unexpected CDC images: $imgs")
     // conflicted attempts remove their own staged dirs; a CRASHED
-    // writer's dir (simulated) is debris the clean sweep reclaims
+    // writer's dir (mtime past the lock-expiry window) is debris the
+    // clean sweep reclaims — but a FRESH dir is an IN-FLIGHT writer
+    // between its stage write and its in-lock rename, and clean must
+    // leave it alone (the age gate)
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(path))
       .iterator().asScala.map(_.getFileName.toString)
       .count(_.startsWith("_staged-occ")) == 0)
-    java.nio.file.Files.createDirectories(
+    val crashed = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(path, "_staged-occ99"))
+    java.nio.file.Files.setLastModifiedTime(crashed,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - FsLock.LockExpiryMs - 60000L))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "_staged-occ100"))
     BloomTable.clean(path)
-    val after = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get(path))
       .iterator().asScala.map(_.getFileName.toString)
-      .count(_.startsWith("_staged-occ"))
-    assert(after == 0)
+      .filter(_.startsWith("_staged-occ")).toSeq
+    assert(left == Seq("_staged-occ100"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "_staged-occ100"))
   }
 
   test("savepoint pins files through clean; read/restore; bound-index restore refused") {
@@ -468,12 +497,22 @@ class BloomTableSpec extends SparkSpec {
     val pinned = BloomTable.read(spark, path).localCheckpoint()
     BloomTable.savepoint(path, "pin")
     assert(BloomTable.savepoints(path) == Seq("pin"))
+    // a name containing 'tmp' is a LEGAL savepoint name and must be
+    // listed (and therefore pinned by clean) — staging files live
+    // outside the name alphabet, not behind a substring filter
+    BloomTable.savepoint(path, "tmp1")
+    assert(BloomTable.savepoints(path) == Seq("pin", "tmp1"))
     BloomTable.upsertInto(spark, path, ev.filter(col("ts_us") > split))
     // clean reclaims superseded UNPINNED state but every pinned file
-    // survives — read_savepoint still resolves bit-for-bit
+    // survives — read_savepoint still resolves bit-for-bit, including
+    // through the tmp-named pin
     BloomTable.clean(path)
     val asOf = BloomTable.readSavepoint(spark, path, "pin")
     assert(asOf.exceptAll(pinned).isEmpty && pinned.exceptAll(asOf).isEmpty)
+    val asOfTmp = BloomTable.readSavepoint(spark, path, "tmp1")
+    assert(asOfTmp.exceptAll(pinned).isEmpty &&
+      pinned.exceptAll(asOfTmp).isEmpty)
+    BloomTable.dropSavepoint(path, "tmp1")
     BloomTable.restoreSavepoint(spark, path, "pin")
     val got = BloomTable.read(spark, path)
     assert(got.exceptAll(pinned).isEmpty && pinned.exceptAll(got).isEmpty)
