@@ -183,6 +183,7 @@ object SecondaryIndex {
       case "bloom" => BloomTable.latestCommit(primaryPath)
       case "partitioned" => PartitionedTable.latestCommit(primaryPath)
       case "mor" => MorTable.changeHead(primaryPath)
+      case "timeline" => Timeline.latestVersion(primaryPath).getOrElse(-1L)
       case other => throw new IllegalArgumentException(
         s"no secondary-index binding for layout '$other'")
     }
@@ -240,6 +241,23 @@ object SecondaryIndex {
         idxLive.select(mapCols: _*).except(prim.select(mapCols: _*))
           .withColumn(Live, lit(false))
           .unionByName(prim.withColumn(Live, lit(true)),
+            allowMissingColumns = true)
+      case "timeline" =>
+        // also COVERING, but here heal IS the per-commit maintenance
+        // (every version is a whole snapshot — there is no smaller
+        // delta feed to ride), so the index write must be
+        // O(discrepancy): tombstone vanished mappings, re-assert only
+        // rows whose FULL payload differs. Align first — a column the
+        // snapshot gained pads NULL on the index side, so every row
+        // carrying a real value there counts as changed.
+        val prim = Timeline.read(spark, primaryPath).localCheckpoint()
+        val idxLive = BucketTable.read(spark, indexPath)
+          .filter(col(Live)).drop(Live, Commit)
+        val idxAligned = SchemaShim.unionByName(prim.limit(0), idxLive)
+        idxLive.select(mapCols: _*).except(prim.select(mapCols: _*))
+          .withColumn(Live, lit(false))
+          .unionByName(
+            prim.except(idxAligned).withColumn(Live, lit(true)),
             allowMissingColumns = true)
       case _ =>
         val prim = (kind match {
@@ -510,6 +528,40 @@ object SecondaryIndex {
     val numBuckets = BucketTable.props(indexPath).numBuckets
     FsUtil.deleteRecursively(java.nio.file.Paths.get(indexPath))
     createMorCovering(spark, primaryPath, indexPath, secCols, numBuckets)
+  }
+
+  /** Bootstrap a covering index over the TIMELINE layout's latest
+    * version — the index the versioned store was missing: without it a
+    * point read scans the whole head snapshot. Maintenance is the
+    * [[healLocked]] reconcile fired on every commit (and force-fired
+    * by [[Timeline.purgeKey]], whose in-place history rewrite moves no
+    * head). Time travel never consults it: the index answers for the
+    * HEAD only, and the covered-head gate keeps even that loud across
+    * crashes.
+    */
+  def createTimelineCovering(spark: SparkSession, primaryPath: String,
+      indexPath: String, secCols: Seq[String], keys: Seq[String],
+      numBuckets: Int = 16): Unit = {
+    require(secCols.nonEmpty && secCols.forall(!keys.contains(_)),
+      s"secondary columns ($secCols) must not overlap the record key ($keys)")
+    val h = Timeline.latestVersion(primaryPath).getOrElse(-1L) // before scan
+    val snap = Timeline.read(spark, primaryPath).localCheckpoint()
+    // the layout itself declares no key, so the caller supplies the
+    // table's record key (the catalog's, for SQL-created indexes) —
+    // and the serve contract needs key-unique snapshots (what every
+    // keyed write route maintains). Loud here, not wrong later.
+    require(snap.count() ==
+      snap.select(keys.map(col): _*).distinct().count(),
+      s"timeline table at $primaryPath holds duplicate record keys " +
+        s"(${keys.mkString(",")}) — a covering index cannot serve it")
+    val entries = snap
+      .withColumn(Live, lit(true))
+      .withColumn(Commit, lit(0L))
+    BucketTable.create(entries, indexPath,
+      keys = secCols ++ keys, precombine = Commit,
+      numBuckets = numBuckets, bucketBy = secCols)
+    Timeline.bindSecondaryIndex(primaryPath, secCols, indexPath)
+    setCoveredHead(indexPath, h)
   }
 
   // ---- partitioned-layout variant (mapping index over identities) ----

@@ -216,13 +216,26 @@ object SqlCall {
           case "bucket" =>
             BucketTable.create(spark.read.parquet(src), dst,
               keys = ks, precombine = pc)
+          case "timeline" =>
+            // FULL_RECORD by contract: every timeline version is a
+            // self-contained snapshot dir (`v=N`) that purge/clean
+            // rewrite IN PLACE — mapping external source files into v0
+            // would leave history mutable from outside the table and
+            // break both verbs. One precombined snapshot commit is the
+            // whole onboarding; the source dir is never touched again.
+            Timeline.upsertInto(spark, dst, spark.read.parquet(src),
+              keys = ks, precombine = pc)
           case other => throw new IllegalArgumentException(
             s"run_bootstrap('$t', ..., '$other'): layouts are mor | " +
-              "bloom (metadata-only) | bucket (full-record); " +
+              "bloom (metadata-only) | bucket | timeline (full-record); " +
               "partitioned needs the partition columns — " +
               "run_bootstrap(t, src, dst, keys, pc, 'partitioned', cols)")
         }
-        Catalog.registerLayoutTable(spark, t, layout, dst)
+        // the timeline layout persists no key config of its own, so its
+        // registration declares it (the other layouts' props carry it)
+        if (layout == "timeline")
+          Catalog.registerTimelineTable(spark, t, dst, ks, pc)
+        else Catalog.registerLayoutTable(spark, t, layout, dst)
         Seq((t, dst)).toDF("table", "path")
       case ("run_bootstrap", Seq(t: String, src: String, dst: String,
           keys: String, pc: String, "partitioned", partCols: String)) =>

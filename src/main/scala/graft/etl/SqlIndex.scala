@@ -15,8 +15,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{CreateIndex, DropIndex, Logi
   * column-stats index drives zone-map data skipping.
   *
   * Index types (USING clause):
-  *   - `SECONDARY (cols...)` on a bucket/bloom/mor/partitioned-layout
-  *     table → the layout's [[SecondaryIndex]] variant; bound via
+  *   - `SECONDARY (cols...)` on a bucket/bloom/mor/partitioned/
+  *     timeline-layout table → the layout's [[SecondaryIndex]]
+  *     variant (covering over the latest version on timeline —
+  *     Hudi tables are timeline-bearing and still serve indexed point
+  *     reads, so must ours); bound via
   *     `graft.table.secondaryIndex` (a LIST — a table may bind several
   *     secondary indexes, one per query pattern; only a duplicate
   *     column set is refused).
@@ -112,9 +115,9 @@ object SqlIndex {
     val artifact = tpe match {
       case "secondary" =>
         require(kind == "bucket" || kind == "mor" || kind == "partitioned" ||
-            kind == "bloom",
-          s"USING SECONDARY needs a bucket-, bloom-, mor- or " +
-            s"partitioned-layout table; $target is '$kind'")
+            kind == "bloom" || kind == "timeline",
+          s"USING SECONDARY needs a bucket-, bloom-, mor-, partitioned- " +
+            s"or timeline-layout table; $target is '$kind'")
         // a table may bind SEVERAL secondary indexes (one per query
         // pattern) — only an exact-duplicate column set is refused
         val existingSec = Catalog.secondaryIndexesOf(spark, target)
@@ -137,7 +140,14 @@ object SqlIndex {
         // compares (SecondaryIndex.ensureCurrent).
         if (kind == "mor")
           SecondaryIndex.createMorCovering(spark, path, idxPath, cols)
-        else if (kind == "partitioned")
+        else if (kind == "timeline") {
+          // the versioned layout declares no layout-level key — the
+          // covering index takes the CATALOG's record key (the one the
+          // table's keyed DML routes already maintain unique)
+          val keys = Catalog.upsertConfigFull(spark, target)._1
+          SecondaryIndex.createTimelineCovering(spark, path, idxPath,
+            cols, keys)
+        } else if (kind == "partitioned")
           SecondaryIndex.createPartitioned(spark, path, idxPath, cols)
         else if (kind == "bloom")
           SecondaryIndex.createBloom(spark, path, idxPath, cols)
@@ -153,8 +163,9 @@ object SqlIndex {
             "over bloom commits, or key -> partition on the " +
             "partitioned layout; a bucket table needs none — its key " +
             "HASH already routes a point read to one bucket — and a " +
-            "MOR table's point read is a merge scan by design, served " +
-            "instead by a covering SECONDARY index)")
+            "MOR or timeline table's point read has no sub-snapshot " +
+            "routing target for a key->file mapping, so both are " +
+            "served by a covering SECONDARY index instead)")
         if (kind == "partitioned") {
           // GLOBAL record index (Hudi 0.14 RLI): key → partition, so a
           // key lookup without the partition value reads ONE slice
@@ -183,7 +194,14 @@ object SqlIndex {
         require(kind == "bucket" || kind == "bloom" ||
             kind == "partitioned" || kind == "mor",
           s"USING COLUMN_STATS needs a bucket/bloom/partitioned/mor-" +
-            s"layout table; $target is '$kind'")
+            s"layout table; $target is '$kind'" +
+            (if (kind == "timeline")
+              " (a timeline commit rewrites the WHOLE snapshot, so " +
+                "file-level zone maps would re-index every file on " +
+                "every commit for skip value bounded by one version's " +
+                "file count — cluster the snapshot instead, or bind a " +
+                "covering SECONDARY index for point reads)"
+            else ""))
         require(Catalog.statsIndexOf(spark, target).isEmpty,
           s"$target already binds a column-stats index")
         val statsPath = s"${path}_stats_${c.indexName}"
@@ -247,6 +265,8 @@ object SqlIndex {
                 BucketTable.unbindSecondaryIndex(path, artifact)
               case ("bloom", path) =>
                 BloomTable.unbindSecondaryIndex(path, artifact)
+              case ("timeline", path) =>
+                Timeline.unbindSecondaryIndex(path, artifact)
               case _ => ()
             }
             // the reconcile-serialization scope and covered-head state

@@ -220,9 +220,11 @@ object SqlRead {
       // partitioned: index resolves identities (partition cols +
       // keys), one lookupMany reads only the slices they route to.
       // bloom: index resolves keys, one candidate-file fetch.
+      // timeline: covering over the LATEST version (a keyed fetch
+      // would scan the whole head snapshot), same serve as mor.
       case (kind, path)
           if kind == "bucket" || kind == "mor" || kind == "partitioned" ||
-            kind == "bloom" =>
+            kind == "bloom" || kind == "timeline" =>
         // several indexes may be bound — serve from the fully-pinned
         // index with the MOST indexed columns (the narrowest probe: a
         // wide low-cardinality index must not shadow a sharper one),
@@ -253,7 +255,7 @@ object SqlRead {
                 // rows a crashed (or bypassing) writer left unindexed
                 SecondaryIndex.ensureCurrent(spark, kind, path, idxPath)
                 val served =
-                  if (kind == "mor")
+                  if (kind == "mor" || kind == "timeline")
                     SecondaryIndex.lookupMultiCovering(spark, idxPath, combos)
                   else if (kind == "partitioned")
                     SecondaryIndex.lookupMultiPartitioned(

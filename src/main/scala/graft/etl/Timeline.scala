@@ -84,6 +84,9 @@ object Timeline {
     swingPointer(tablePath, next)
     // hive-sync analog: tracked latest-version views re-point to v=next
     Catalog.syncViews(df.sparkSession, tablePath)
+    // bound covering indexes reconcile to the new head (see the index
+    // section at the bottom of this file)
+    maintainBound(df.sparkSession, tablePath)
     next
   }
 
@@ -281,7 +284,7 @@ object Timeline {
     val pred = keys.zip(keyValues).map { case (k, x) =>
       if (x == null) col(k).isNull else col(k) === lit(x)
     }.reduce(_ && _)
-    versions(tablePath).filter { v =>
+    val rewritten = versions(tablePath).filter { v =>
       val df = readVersion(spark, tablePath, v)
       val hit = !df.filter(pred).isEmpty
       if (hit) {
@@ -301,6 +304,11 @@ object Timeline {
       }
       hit
     }
+    // an in-place rewrite moves no head, so bound indexes must be
+    // force-reconciled — the purged mappings tombstone out here, never
+    // lingering to be served
+    if (rewritten.nonEmpty) invalidateBound(spark, tablePath)
+    rewritten
   }
 
   /** Complete a purge swap a crash interrupted: a staged survivor dir
@@ -511,7 +519,13 @@ object Timeline {
       }
     }
     if (committed.isEmpty) FsUtil.deleteRecursively(staged)
-    else Catalog.syncViews(spark, tablePath)
+    else {
+      Catalog.syncViews(spark, tablePath)
+      // index reconcile AFTER the lock: the covered-head gate keeps a
+      // crash here loud, and the reconcile is a Spark job no OCC
+      // critical section should pay
+      maintainBound(spark, tablePath)
+    }
     committed
   }
 
@@ -628,4 +642,61 @@ object Timeline {
     Files.deleteIfExists(savepointPath(tablePath, name))
     ()
   }
+
+  // ---- covering secondary index binding (see SecondaryIndex) ---------
+  //
+  // Indexes on the versioned layout track the LATEST version: every
+  // version is a full snapshot, so there is no per-commit delta feed to
+  // ride — maintenance IS the reconcile diff against the new head
+  // (O(snapshot) scan, O(discrepancy) write), proportionate on a layout
+  // whose every commit already writes a full snapshot. Like the MOR
+  // layout, the index is COVERING (a timeline read has no sub-snapshot
+  // routing primitive — any keyed fetch would scan v=head), so an
+  // equality SELECT is served ENTIRELY from the index's probed bucket.
+  // Time-travel reads (VERSION/TIMESTAMP AS OF, savepoint reads) never
+  // consult the index — it answers for the head only.
+
+  private def secIdxPath(tablePath: String): Path =
+    Paths.get(tablePath, "_secidx")
+
+  /** The bound covering indexes: (secondary cols, index path) per
+    * index. Engine-level (a table-dir file, not catalog state) so
+    * programmatic writers maintain them too.
+    */
+  def boundSecondaryIndexes(tablePath: String): Seq[(Seq[String], String)] =
+    SecondaryIndex.readBindings(secIdxPath(tablePath))
+
+  def bindSecondaryIndex(tablePath: String, secCols: Seq[String],
+      indexPath: String): Unit =
+    SecondaryIndex.addBinding(secIdxPath(tablePath), secCols, indexPath)
+
+  /** Unbind every index (test/repair helper). */
+  def unbindSecondaryIndex(tablePath: String): Unit = {
+    Files.deleteIfExists(secIdxPath(tablePath))
+    ()
+  }
+
+  /** Unbind one index by its artifact path (DROP INDEX). */
+  def unbindSecondaryIndex(tablePath: String, indexPath: String): Unit =
+    SecondaryIndex.removeBinding(secIdxPath(tablePath), indexPath)
+
+  /** Reconcile every bound index to the current head — called after
+    * each commit/pointer swing. A crash before this is caught by the
+    * covered-head serve gate, which heals on read.
+    */
+  private def maintainBound(spark: SparkSession, tablePath: String): Unit =
+    boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
+      SecondaryIndex.ensureCurrent(spark, "timeline", tablePath, idxPath)
+    }
+
+  /** Force-invalidate bound indexes after an IN-PLACE history rewrite
+    * ([[purgeKey]] — the head does not move, so the covered-head gate
+    * alone cannot see the change) and reconcile now: the purged
+    * mappings tombstone out of the index in the same call.
+    */
+  private def invalidateBound(spark: SparkSession, tablePath: String): Unit =
+    boundSecondaryIndexes(tablePath).foreach { case (_, idxPath) =>
+      SecondaryIndex.setCoveredHead(idxPath, -1L)
+      SecondaryIndex.ensureCurrent(spark, "timeline", tablePath, idxPath)
+    }
 }

@@ -866,6 +866,48 @@ object PipelineQueries {
       "SELECT k, st, v FROM graft_sibl WHERE st IN ('F', 'X')")
   }
 
+  /** `p_sql_index_timeline`: a COVERING secondary index on the
+    * VERSIONED layout — the LAST index-bindable layout silo (Hudi
+    * tables are all timeline-bearing and still serve indexed point
+    * reads). The index tracks the LATEST version: every commit is a
+    * whole snapshot, so maintenance IS the reconcile diff against the
+    * new head (O(snapshot) scan, O(discrepancy) write — proportionate
+    * on a layout whose every commit already writes a full snapshot),
+    * and an equality SELECT is served entirely from the index's probed
+    * bucket (`SqlIndexSpec` pins the index-files-only plan, plus
+    * restore/cluster/purge maintenance). Half of orders (the bloom
+    * twin's working-set bar): CREATE INDEX on st, a MERGE that MOVES
+    * the indexed value on k%10=3, `DELETE WHERE st='O'` (a new
+    * filtered version — the versioned layout rewrites the snapshot by
+    * contract, no index-composed shortcut exists or helps), then the
+    * index-served IN SELECT.
+    */
+  def sqlIndexTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+    val path = java.nio.file.Files
+      .createTempDirectory(morScratch, "sitl").toString + "/t"
+    graft.etl.Timeline.upsertInto(spark, path, src,
+      keys = Seq("k"), precombine = "pc")
+    graft.etl.Catalog.registerTimelineTable(spark, "graft_sitl", path,
+      keys = Seq("k"), precombine = "pc")
+    graft.etl.SqlIndex.exec(spark,
+      "CREATE INDEX sitl1 ON graft_sitl USING SECONDARY (st)")
+    src.filter(col("k") % 10 === 3)
+      .withColumn("pc", lit(2L)).withColumn("st", lit("X"))
+      .withColumn("v", col("v") + 1000)
+      .createOrReplaceTempView("graft_sitl_src")
+    graft.etl.SqlMerge.exec(spark,
+      """MERGE INTO graft_sitl t USING graft_sitl_src s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    graft.etl.SqlMerge.exec(spark, "DELETE FROM graft_sitl WHERE st = 'O'")
+    graft.etl.SqlRead.select(spark,
+      "SELECT k, st, v FROM graft_sitl WHERE st IN ('F', 'X')")
+  }
+
   /** `p_rli_part`: the GLOBAL record-level index on the partitioned
     * layout (Hudi 0.14's RLI) — key → partition from ONE probed index
     * bucket, so a key lookup WITHOUT the partition value reads one
@@ -1188,7 +1230,10 @@ object PipelineQueries {
     * commit instead of the second failing on the table lock
     * (`SqlMergeSpec` pins the route via the OCC generation ids and the
     * validator gate; `BucketTableSpec` exercises the genuinely
-    * concurrent interleaves). Sequential MERGEs keep the oracle
+    * concurrent interleaves). BOTH routed verbs run: slice A lands by
+    * MERGE, slice B by `INSERT INTO ... SELECT` (the keyed-append verb
+    * the TBLPROPERTY also routes — same precombine upsert algebra, so
+    * the oracle is unchanged). Sequential statements keep the oracle
     * deterministic: final table = one-pass latest-per-user state.
     */
   def sqlMergeOcc(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1212,8 +1257,14 @@ object PipelineQueries {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     mergeSlice(ev.filter(col("ts_us") > Split2Us), "graft_smocc_a")
-    mergeSlice(ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us),
-      "graft_smocc_b")
+    // the INSERT arm of the routed surface: keyed append through the
+    // same optimistic front door
+    ev.filter(col("ts_us") > SplitUs && col("ts_us") <= Split2Us)
+      .createOrReplaceTempView("graft_smocc_b")
+    graft.etl.SqlMerge.exec(spark,
+      """INSERT INTO graft_smocc
+        |SELECT user_id, event_id, event_type, value, ts_us
+        |FROM graft_smocc_b""".stripMargin)
     graft.etl.SqlRead.select(spark,
       "SELECT user_id, event_id, event_type, value, ts_us FROM graft_smocc")
   }
@@ -3605,6 +3656,7 @@ object PipelineQueries {
     "p_sql_cdc_images_bloom" -> (sqlCdcImagesBloom(_, _)),
     "p_sql_cdc_images_part" -> (sqlCdcImagesPart(_, _)),
     "p_sql_index_mor" -> (sqlIndexMor(_, _)),
+    "p_sql_index_timeline" -> (sqlIndexTimeline(_, _)),
     "p_sql_index_part" -> (sqlIndexPart(_, _)),
     "p_sql_index_bloom" -> (sqlIndexBloom(_, _)),
     "p_rli_part" -> (rliPart(_, _)),
@@ -4589,6 +4641,14 @@ object PipelineQueries {
     "p_sql_index_part" ->
       """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |                    o_totalprice AS v FROM orders)
+        |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
+        |UNION ALL
+        |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,
+    // the timeline twin: same algebra on the odd-key half of orders
+    "p_sql_index_timeline" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                    o_totalprice AS v FROM orders
+        |             WHERE o_orderkey % 2 = 1)
         |SELECT k, st, v FROM src WHERE st = 'F' AND k%10 <> 3
         |UNION ALL
         |SELECT k, 'X' AS st, v+1000 AS v FROM src WHERE k%10 = 3""".stripMargin,

@@ -548,7 +548,7 @@ class SqlCallSpec extends SparkSpec {
     assert(e.getMessage.contains("savepoints pin"))
   }
 
-  test("run_clustering and run_bootstrap cover the mor/bloom silos") {
+  test("run_clustering and run_bootstrap cover the mor/bloom/timeline silos") {
     import org.apache.spark.sql.functions.col
     // mor clustering = sorted compaction (content-preserving)
     val mp = Files.createTempDirectory("sqlcall").toString + "/t"
@@ -589,5 +589,29 @@ class SqlCallSpec extends SparkSpec {
     val vs = spark.read.parquet(s"$tp2/v=4").select("v")
       .as[Double].collect().toSeq
     assert(vs == vs.sorted)
+    // timeline bootstrap: one precombined full-snapshot v0 commit
+    // (FULL_RECORD by contract — versions are in-place-rewritable
+    // snapshot dirs, so external files can never serve as history);
+    // the registration carries the declared key config, so keyed DML
+    // and time travel work immediately
+    val dir2 = Files.createTempDirectory("sqlcall")
+    Seq((1L, 1L, 10.0), (1L, 2L, 11.0), (2L, 1L, 20.0)).toDF("k", "pc", "v")
+      .write.parquet(dir2.toString + "/lake")
+    SqlCall.exec(spark,
+      s"CALL run_bootstrap('call_bs_tl', '${dir2.toString}/lake', " +
+        s"'${dir2.toString}/t', 'k', 'pc', 'timeline')")
+    // precombine collapsed the duplicate key at onboarding
+    assert(Catalog.readTable(spark, "call_bs_tl")
+      .select(col("v")).as[Double].collect().toSet == Set(11.0, 20.0))
+    assert(Timeline.latestVersion(dir2.toString + "/t").contains(0L))
+    Timeline.upsertInto(spark, dir2.toString + "/t",
+      Seq((2L, 2L, -2.0)).toDF("k", "pc", "v"),
+      keys = Seq("k"), precombine = "pc")
+    assert(Catalog.readTable(spark, "call_bs_tl")
+      .select(col("v")).as[Double].collect().toSet == Set(11.0, -2.0))
+    // v0 (the onboarded snapshot) still time-travels
+    assert(SqlRead.select(spark,
+      "SELECT v FROM call_bs_tl VERSION AS OF 0")
+      .as[Double].collect().toSet == Set(11.0, 20.0))
   }
 }

@@ -642,6 +642,78 @@ class SqlIndexSpec extends SparkSpec {
     assert(rep.map(_._2).toSeq == Seq(bIdx))
   }
 
+  test("timeline covering index: head-only serving, commits and purge maintain") {
+    val path = fresh("sqlidxtl")
+    Timeline.upsertInto(spark, path, rows((1 to 16).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      keys = Seq("k"), precombine = "pc")
+    Catalog.registerTimelineTable(spark, "sql_idx_tl", path,
+      keys = Seq("k"), precombine = "pc")
+    SqlIndex.exec(spark,
+      "CREATE INDEX tl1 ON sql_idx_tl USING SECONDARY (etype)")
+    // served SELECT: correct rows AND the plan reads ONLY index files —
+    // without the index a point read scans the whole head snapshot
+    val q = SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'click'")
+    assert(q.as[Long].collect().toSet == (2 to 16 by 2).map(_.toLong).toSet)
+    val files = q.inputFiles.toSeq
+    assert(files.nonEmpty && files.forall(_.contains("_idx_tl1")),
+      s"covering serve must read only index files, got $files")
+    // SQL MERGE moves an indexed value (k=2 click -> view): the commit
+    // hook reconciles the index to the new head
+    SqlMerge.exec(spark,
+      """MERGE INTO sql_idx_tl t
+        |USING (SELECT CAST(2 AS BIGINT) AS k, CAST(5 AS BIGINT) AS pc,
+        |       'view' AS etype, 2.5 AS v) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'click'")
+      .as[Long].collect().toSet == (4 to 16 by 2).map(_.toLong).toSet)
+    assert(SqlRead.select(spark,
+      "SELECT v FROM sql_idx_tl WHERE etype = 'view' AND k = 2")
+      .as[Double].collect().toSeq == Seq(2.5))
+    // programmatic writes maintain it too (engine-level binding)
+    Timeline.upsertInto(spark, path, rows((99L, 1L, "click", 9.9)),
+      keys = Seq("k"), precombine = "pc")
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'click'")
+      .as[Long].collect().toSet ==
+      ((4 to 16 by 2).map(_.toLong).toSet + 99L))
+    // DELETE commits a new filtered version; the hook reconciles
+    SqlMerge.exec(spark, "DELETE FROM sql_idx_tl WHERE etype = 'view'")
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'view'").count() == 0)
+    // replacecommits (cluster) are content-preserving — still serves
+    Timeline.cluster(spark, path, Seq("k"))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'click'").count() == 8L)
+    // restore to an older version: the hook reconciles the index to
+    // the restored head — 'view' rows serve again
+    Timeline.restore(spark, path, 0L)
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'view'")
+      .as[Long].collect().toSet == (1 to 16 by 2).map(_.toLong).toSet)
+    // purge rewrites history IN PLACE (no head move): the forced
+    // reconcile tombstones the purged mapping — never served again
+    Timeline.purgeKey(spark, path, Seq("k"), Seq(3L))
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'view'")
+      .as[Long].collect().toSet ==
+      ((1 to 16 by 2).map(_.toLong).toSet - 3L))
+    // crash-torn maintenance heals on serve: wind the covered head
+    // back, the next served read reconciles instead of missing rows
+    SecondaryIndex.setCoveredHead(s"${path}_idx_tl1", 0L)
+    assert(SqlRead.select(spark,
+      "SELECT k FROM sql_idx_tl WHERE etype = 'view'")
+      .as[Long].collect().toSet ==
+      ((1 to 16 by 2).map(_.toLong).toSet - 3L))
+    // drop unbinds the engine-level maintenance hook with the artifact
+    SqlIndex.exec(spark, "DROP INDEX tl1 ON sql_idx_tl")
+    assert(Timeline.boundSecondaryIndexes(path).isEmpty)
+    assert(!Files.exists(Paths.get(s"${path}_idx_tl1")))
+  }
+
   test("index DDL on unregistered / wrong-layout tables fails loudly") {
     spark.range(2).toDF("x").createOrReplaceTempView("sql_idx_plainv")
     intercept[Exception] {
