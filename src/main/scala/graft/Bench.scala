@@ -152,6 +152,18 @@ object Bench {
       t.setDaemon(true); t.start(); t
     }
     val nSel = selected.size
+    // round-17 lesson: a 2.2× host burst shorter than the 25-query
+    // probe spacing landed entirely on one 15 s query and the
+    // bracketing probes (both calm) INFLATED its normalized time
+    // instead of correcting it. Two fixes: (1) every query that took
+    // ≥ 2 s is followed by an immediate probe, so a burst that hit an
+    // expensive entry is bracketed by a probe that SAW it; (2) when a
+    // query's two brackets disagree > 20% (a load edge crossed it),
+    // normalization uses the SLOWER bracket — the burst-side estimate
+    // — and the dump marks the query `burst-bracketed`. A real
+    // regression never slows the probes, so brackets agree and the
+    // conservative min path still applies (the PLANT test stays red).
+    val SlowProbeSec = 2.0
     val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
       if (idx > 0 && idx % ProbeEvery == 0) probe(minOf = 1)
@@ -187,6 +199,9 @@ object Bench {
         if (ok) Some(dt) else None
       }
       val diag = f"at=${atSec}%.1fs gc+${gcMillis() - gc0}ms heap=${heapMb()}MB"
+      // expensive entry: close its bracket NOW so a burst inside it is
+      // observed by a probe, not interpolated over (fix (1) above)
+      if (times.minOption.exists(_ >= SlowProbeSec)) probe(minOf = 1)
       // every rep failed → None: kept OUT of the total (a -1.0 sentinel
       // summed in would make a broken query IMPROVE the headline number)
       // and reported explicitly in the JSON line below
@@ -195,13 +210,19 @@ object Bench {
     burnOn.set(false); burners.foreach(_.interrupt())
     probe(minOf = 2) // end: min-of-2, symmetric with the start anchor
     // per-query local host factor: MIN of the two probes bracketing its
-    // start offset, over the pinned reference
-    def localFactor(atSec: Double): Double = {
+    // start offset (conservative — a regression can't hide), EXCEPT
+    // when the brackets disagree > 20%: a load edge crossed this query,
+    // and the min would attribute the burst to the code (the
+    // wrong-direction inflation of fix (2) above) — use the slower
+    // bracket and surface the choice per query.
+    def localBrackets(atSec: Double): (Double, Boolean) = {
       val before = probes.filter(_._1 <= atSec).map(_._2).lastOption
       val after = probes.find(_._1 > atSec).map(_._2)
-      val c = (before.toSeq ++ after.toSeq).min
-      c / CalibRef
+      val bs = before.toSeq ++ after.toSeq
+      val edge = bs.size == 2 && bs.max / bs.min > 1.2
+      (if (edge) bs.max else bs.min, edge)
     }
+    def localFactor(atSec: Double): Double = localBrackets(atSec)._1 / CalibRef
     val calib = probes.map(_._2).min
     val hostFactor = calib / CalibRef // >1 = host slower than reference
     // adjacent probes disagreeing >20% = a load edge the cadence caught
@@ -216,6 +237,8 @@ object Bench {
     val timed = results.collect { case (name, Some(t), _, _) => name -> t }
     val norms = results.collect { case (name, Some(t), _, at) =>
       name -> t / localFactor(at) }.toMap
+    val bursted = results.collect { case (name, Some(_), _, at)
+      if localBrackets(at)._2 => name }.toSet
     val diags = results.map { case (name, _, d, _) => name -> d }.toMap
     // The driver captures only the tail of stdout (~2 KB): a per-query map
     // over all ~130 queries overflows it and the JSON line never parses
@@ -248,7 +271,8 @@ object Bench {
         s"probes(at:sec)=$probesStr") +:
         (failed.map(k => s"FAILED $k  ${diags(k)}") ++
           timed.sortBy(-_._2).map { case (k, v) =>
-            s"${fmt(v)}  norm=${fmt(norms(k))}  $k  ${diags(k)}" })
+            val mark = if (bursted(k)) "  burst-bracketed" else ""
+            s"${fmt(v)}  norm=${fmt(norms(k))}  $k  ${diags(k)}$mark" })
       for (path <- Seq(dumpPath, "bench/last_run.txt").distinct) {
         val p = java.nio.file.Paths.get(path)
         Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
