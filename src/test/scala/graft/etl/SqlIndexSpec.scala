@@ -714,6 +714,42 @@ class SqlIndexSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"${path}_idx_tl1")))
   }
 
+  test("timeline covering index: evolved columns and OCC writes reconcile") {
+    val path = fresh("sqlidxtle")
+    Timeline.upsertInto(spark, path, rows((1 to 8).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*),
+      keys = Seq("k"), precombine = "pc")
+    Catalog.registerTimelineTable(spark, "sql_idx_tle", path,
+      keys = Seq("k"), precombine = "pc")
+    SqlIndex.exec(spark,
+      "CREATE INDEX tle1 ON sql_idx_tle USING SECONDARY (etype)")
+    // a column the snapshot GAINS after the index was built: the heal
+    // aligns the index side with NULL padding, so every row carrying a
+    // real value re-asserts — the served rows carry the new column
+    val widened = rows((1 to 8).map(i =>
+      (i.toLong, 2L, if (i % 2 == 0) "click" else "view", i.toDouble)): _*)
+      .withColumn("tag", org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("t"), col("k")))
+    Timeline.upsertInto(spark, path, widened,
+      keys = Seq("k"), precombine = "pc")
+    val got = Timeline.boundSecondaryIndexes(path).headOption.map(_._2)
+      .map(idx => BucketTable.read(spark, idx))
+      .getOrElse(fail("index unbound"))
+    assert(got.columns.contains("tag"))
+    // OCC commits reconcile too (maintenance fires AFTER the lock)
+    Timeline.upsertIntoOcc(spark, path,
+      rows((100L, 1L, "click", 1.0))
+        .withColumn("tag", org.apache.spark.sql.functions.lit("t100")),
+      keys = Seq("k"), precombine = "pc")
+    val clicks = SqlRead.select(spark,
+      "SELECT k, tag FROM sql_idx_tle WHERE etype = 'click'")
+    assert(clicks.as[(Long, String)].collect().toMap ==
+      Map(2L -> "t2", 4L -> "t4", 6L -> "t6", 8L -> "t8", 100L -> "t100"))
+    // and the serve plan still reads only index files
+    assert(clicks.inputFiles.nonEmpty &&
+      clicks.inputFiles.forall(_.contains("_idx_tle1")))
+  }
+
   test("index DDL on unregistered / wrong-layout tables fails loudly") {
     spark.range(2).toDF("x").createOrReplaceTempView("sql_idx_plainv")
     intercept[Exception] {
