@@ -883,6 +883,19 @@ object BucketTable {
       p.keys, p.precombine, p.tieBreak)
     val gen = System.nanoTime()
     val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
+    // staged gen files are IMMUTABLE from here: the CDC image the
+    // clean-commit arm publishes is derivable now, BEFORE the lock —
+    // the critical section must not read data files (the same
+    // metadata-only-lock-hold trim as [[BloomTable.attemptOccFrom]];
+    // the salvage arm keeps its own in-lock diff, it commits content
+    // the staged view cannot predict)
+    val cdcRows =
+      if (CdcLog.enabled(tablePath)) {
+        val before = existing.drop(BucketCol)
+        Some(CdcLog.diff(before,
+          readGenBuckets(spark, tablePath, gen, written, before), p.keys)
+          .localCheckpoint())
+      } else None
     val outcome = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val m1 = manifest(tablePath)
       val routingNow = props(tablePath)
@@ -903,9 +916,14 @@ object BucketTable {
         val c = writeManifestLocked(tablePath, m1 ++ written.map(_ -> gen),
           routingNow,
           CdcLog.Action.Changes { () =>
-            val before = existing.drop(BucketCol)
-            CdcLog.diff(before,
-              readGenBuckets(spark, tablePath, gen, written, before), p.keys)
+            cdcRows.getOrElse {
+              // CDC flipped on between the pre-lock check and here —
+              // the one (rare) case that still diffs in-lock
+              val before = existing.drop(BucketCol)
+              CdcLog.diff(before,
+                readGenBuckets(spark, tablePath, gen, written, before),
+                p.keys)
+            }
           })
         Committed(written, stagedLive = true, c)
       } else salvageOrRetry(spark, tablePath, tagged, routingNow, m1, m0,

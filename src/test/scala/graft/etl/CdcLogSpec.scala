@@ -110,6 +110,15 @@ class CdcLogSpec extends SparkSpec {
       Seq((4L, "u", "a", Some(10.0), Some(20.0))))
     // full-window replay = composition of the per-commit diffs
     assert(feed(BucketTable.changesCdc(spark, dir, 0L)).size == 6)
+    // commit 5: an OCC commit — its image is PRECOMPUTED from the
+    // staged generation before the lock (the metadata-only critical
+    // section), and must be byte-identical to the single-writer shape
+    val ck = BucketTable.latestCommit(dir)
+    BucketTable.upsertIntoOcc(spark, dir,
+      rows(("a", 3L, 7.0), ("d", 1L, 4.0)))
+    assert(feed(BucketTable.changesCdc(spark, dir, ck)) == Seq(
+      (ck + 1, "u", "a", Some(20.0), Some(7.0)),
+      (ck + 1, "i", "d", None, Some(4.0))))
   }
 
   test("bucket: content-preserving commits emit zero rows but keep the window exact") {
