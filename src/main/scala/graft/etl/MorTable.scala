@@ -264,6 +264,17 @@ object MorTable {
     writePointer(tablePath, 0L, 0L, 0L)
   }
 
+  /** The bootstrap source dir (if this table was onboarded
+    * metadata-only) and whether generation 0 still serves it IN PLACE —
+    * the introspection behind `CALL show_bootstrap_mapping` (Hudi's
+    * procedure of the same name). After the first compaction the base
+    * generation is owned and the source is no longer read.
+    */
+  def bootstrapMapping(tablePath: String): Option[(String, Boolean)] =
+    if (!Files.exists(bootstrapPath(tablePath))) None
+    else Some((Files.readString(bootstrapPath(tablePath)).trim,
+      fullState(tablePath).exists(_._1 == 0L)))
+
   /** Base generation as a frame: generation 0 of a bootstrapped table
     * resolves to the external source IN PLACE; every owned generation
     * (created tables, and any bootstrapped table after its first

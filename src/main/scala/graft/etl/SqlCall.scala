@@ -56,6 +56,10 @@ import org.apache.spark.sql.catalyst.plans.logical.Call
   *   - `show_fsview('t')` — one-stop table health: live/pinned/
   *     history/debris file counts and bytes, delta-log depth, CDC
   *     head/floor, savepoint and index counts (Hudi's show_fsview_all)
+  *   - `show_bootstrap_mapping('t')` — the external source files/dirs
+  *     a metadata-only-bootstrapped mor/bloom table still serves in
+  *     place (Hudi's procedure of the same name; a row here means the
+  *     source lake is still load-bearing and must not be deleted)
   */
 object SqlCall {
 
@@ -267,6 +271,33 @@ object SqlCall {
         }
         PartitionedTable.manifest(path).toSeq.sorted
           .toDF("partition", "generation")
+      case ("show_bootstrap_mapping", Seq(t: String)) =>
+        // Hudi's show_bootstrap_mapping: which EXTERNAL source files/dirs
+        // a metadata-only-bootstrapped table still serves IN PLACE —
+        // the introspection an operator needs before decommissioning
+        // the source lake (a row here = the source is still load-bearing)
+        val (kind, path) = Catalog.layoutOf(spark, t).getOrElse(
+          throw new IllegalArgumentException(
+            s"$t is not a layout-registered table"))
+        kind match {
+          case "mor" =>
+            MorTable.bootstrapMapping(path) match {
+              case Some((src, inPlace)) =>
+                Seq((src, if (inPlace) "in_place" else "migrated"))
+                  .toDF("source", "status")
+              case None => Seq.empty[(String, String)].toDF("source", "status")
+            }
+          case "bloom" =>
+            // external manifest entries are absolute paths; owned
+            // commits are c=N/... relative — the split IS the mapping
+            BloomTable.manifest(path).filter(_.startsWith("/")).sorted
+              .map((_, "in_place")).toDF("source", "status")
+          case other => throw new IllegalArgumentException(
+            s"show_bootstrap_mapping('$t'): only the metadata-only " +
+              s"bootstrap layouts (mor | bloom) hold external mappings; " +
+              s"'$other' tables are FULL_RECORD by contract — nothing " +
+              "external is ever load-bearing")
+        }
       case ("show_fsview", Seq(t: String)) =>
         fsView(spark, t)
       case ("show_files", Seq(t: String)) =>
@@ -434,7 +465,7 @@ object SqlCall {
           "run_compaction, rollback_to_version, clean, purge_key, " +
           "show_indexes, reconcile_index, show_schema_state, " +
           "show_partitions, show_files, " +
-          "show_fsview, "
+          "show_fsview, show_bootstrap_mapping, "
           + "run_clustering, run_bootstrap, incremental_read, " +
           "table_changes, enable_cdc, " +
           "create_savepoint, show_savepoints, rollback_to_savepoint, " +

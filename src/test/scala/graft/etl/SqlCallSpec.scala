@@ -571,10 +571,36 @@ class SqlCallSpec extends SparkSpec {
       s"CALL run_bootstrap('call_bs_bl', '${dir.toString}/lake', " +
         s"'${dir.toString}/t', 'k', 'pc', 'bloom')")
     assert(Catalog.readTable(spark, "call_bs_bl").count() == 2)
+    // the mapping procedure lists every still-load-bearing source file
+    val mapped0 = SqlCall.exec(spark,
+      "CALL show_bootstrap_mapping('call_bs_bl')")
+      .as[(String, String)].collect()
+    assert(mapped0.nonEmpty && mapped0.forall { case (s, st) =>
+      s.startsWith("/") && st == "in_place" })
     BloomTable.upsertInto(spark, dir.toString + "/t",
       Seq((1L, 2L, -1.0)).toDF("k", "pc", "v"))
     assert(Catalog.readTable(spark, "call_bs_bl")
       .select(col("v")).as[Double].collect().toSet == Set(-1.0, 20.0))
+    // migration shrinks the mapping: the touched source file left it
+    assert(SqlCall.exec(spark, "CALL show_bootstrap_mapping('call_bs_bl')")
+      .count() < mapped0.length)
+    // mor: dir-level mapping, in_place until compaction owns the base
+    val bsm = Files.createTempDirectory("sqlcall")
+    Seq((1L, 1L, 1.0), (2L, 1L, 2.0)).toDF("k", "pc", "v")
+      .write.parquet(bsm.toString + "/lake")
+    SqlCall.exec(spark,
+      s"CALL run_bootstrap('call_bs_m2', '${bsm.toString}/lake', " +
+        s"'${bsm.toString}/t', 'k', 'pc', 'mor')")
+    assert(SqlCall.exec(spark, "CALL show_bootstrap_mapping('call_bs_m2')")
+      .as[(String, String)].collect().toSeq ==
+      Seq((bsm.toString + "/lake", "in_place")))
+    MorTable.compact(spark, bsm.toString + "/t")
+    assert(SqlCall.exec(spark, "CALL show_bootstrap_mapping('call_bs_m2')")
+      .as[(String, String)].collect().toSeq ==
+      Seq((bsm.toString + "/lake", "migrated")))
+    // a mor table that was never bootstrapped reports an empty mapping
+    assert(SqlCall.exec(spark,
+      "CALL show_bootstrap_mapping('call_cl_mor')").count() == 0)
     // timeline clustering = sorted replacecommit: content preserved,
     // history untouched, a new version appended
     val tp2 = mkTimeline("call_cl_tl2")
@@ -613,5 +639,11 @@ class SqlCallSpec extends SparkSpec {
     assert(SqlRead.select(spark,
       "SELECT v FROM call_bs_tl VERSION AS OF 0")
       .as[Double].collect().toSet == Set(11.0, 20.0))
+    // FULL_RECORD layouts refuse the mapping procedure with the
+    // contract stated (timeline bootstrap writes owned snapshots —
+    // nothing external is ever load-bearing)
+    intercept[IllegalArgumentException] {
+      SqlCall.exec(spark, "CALL show_bootstrap_mapping('call_bs_tl')")
+    }
   }
 }
