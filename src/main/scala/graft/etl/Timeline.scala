@@ -98,9 +98,13 @@ object Timeline {
     * footers (a metadata-only count job — no data scan).
     */
   private def recordInstant(spark: SparkSession, tablePath: String,
-      version: Long, action: String, tsMs: Long): Unit = {
+      version: Long, action: String, tsMs: Long,
+      precountedRows: Option[Long] = None): Unit = {
     val dir = Files.createDirectories(timelineDir(tablePath))
-    val n = spark.read.parquet(s"$tablePath/v=$version").count()
+    // the OCC route passes the count it took from the staged files
+    // before its lock (the footer sweep must not ride the lock hold)
+    val n = precountedRows.getOrElse(
+      spark.read.parquet(s"$tablePath/v=$version").count())
     val tmp = dir.resolve(s".$version.tmp${System.nanoTime()}")
     Files.writeString(tmp, s"$version $action $n $tsMs\n",
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -504,6 +508,10 @@ object Timeline {
     Files.createDirectories(Paths.get(tablePath))
     val staged = Files.createTempDirectory(Paths.get(tablePath), "_staged-")
     merged.write.mode("overwrite").parquet(staged.toString)
+    // the staged snapshot is immutable: take the instant's row count
+    // from its footers NOW, so the critical section does no file
+    // reads at all — its cost must not scale with snapshot size
+    val stagedRows = spark.read.parquet(staged.toString).count()
     val committed = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       if (latestVersion(tablePath) != base) None
       else {
@@ -513,7 +521,7 @@ object Timeline {
         // instant before the swing — same never-a-lost-instant ordering
         // as [[commit]]
         recordInstant(spark, tablePath, next, "commit",
-          System.currentTimeMillis())
+          System.currentTimeMillis(), precountedRows = Some(stagedRows))
         swingPointer(tablePath, next)
         Some(next)
       }
