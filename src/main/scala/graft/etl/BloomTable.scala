@@ -844,9 +844,18 @@ object BloomTable {
       math.max(1, touched.size))
     val newManifest = (manifest(tablePath).toSet -- touched) ++ written
     writeSchema(tablePath, merged)
+    // an upsert can only change the BATCH's keys: the region's other
+    // rows are copied byte-equal into the new files and would diff to
+    // filtered-out no-ops — restrict both diff sides to the batch keys
+    // so the cdc join and the index reconcile aggregate O(batch) rows,
+    // not O(region) (guide §2.3)
+    def batchKeys = batch.select(p.keys.map(col): _*).distinct()
     writeManifest(tablePath, newManifest.toSeq, commit, "write",
       CdcLog.Action.Changes { () =>
-        CdcLog.diff(existing, readFiles(spark, tablePath, written), p.keys)
+        CdcLog.diff(
+          existing.join(broadcast(batchKeys), p.keys, "leftsemi"),
+          readFiles(spark, tablePath, written)
+            .join(broadcast(batchKeys), p.keys, "leftsemi"), p.keys)
       })
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
@@ -854,10 +863,10 @@ object BloomTable {
       keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p)),
       nextIndexVersion(tablePath))
-    // pre = the rewritten region's old rows, post = its new files — a
-    // superset of the batch's keys; untouched files' mappings unmoved
-    maintainBound(spark, tablePath, bound, Some(existing),
-      readFiles(spark, tablePath, written), p, commit)
+    maintainBound(spark, tablePath, bound,
+      Some(existing.join(broadcast(batchKeys), p.keys, "leftsemi")),
+      readFiles(spark, tablePath, written)
+        .join(broadcast(batchKeys), p.keys, "leftsemi"), p, commit)
     touched
   }
 
@@ -1029,14 +1038,17 @@ object BloomTable {
       if (remaining.isEmpty) Seq.empty
       else writeCommit(remaining, tablePath, commit, p, touched.size)
     writeSchema(tablePath, remaining)
+    // a delete only changes the VICTIM keys: survivors are copied
+    // byte-equal and would diff to no-ops — the before side restricts
+    // to the victims (whose after side is by construction empty), so
+    // the cdc join and the reconcile aggregate O(victims) rows, not
+    // O(region) (guide §2.3)
     writeManifest(tablePath,
       ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
       commit, "delete",
       CdcLog.Action.Changes { () =>
-        val after =
-          if (written.isEmpty) existing.limit(0)
-          else readFiles(spark, tablePath, written)
-        CdcLog.diff(existing, after, p.keys)
+        val victims = existing.join(broadcast(keyRel), p.keys, "leftsemi")
+        CdcLog.diff(victims, victims.limit(0), p.keys)
       })
     val keptIdx = filesIn(spark, idx, absFiles(tablePath, touched),
       keep = false)
@@ -1045,9 +1057,9 @@ object BloomTable {
       else keptIdx.unionByName(
         indexRows(spark.read.parquet(absFiles(tablePath, written): _*), p))
     writeIndex(tablePath, nextIdx, nextIndexVersion(tablePath))
-    maintainBound(spark, tablePath, bound, Some(existing),
-      if (written.isEmpty) existing.limit(0)
-      else readFiles(spark, tablePath, written), p, commit)
+    maintainBound(spark, tablePath, bound,
+      Some(existing.join(broadcast(keyRel), p.keys, "leftsemi")),
+      existing.limit(0), p, commit)
     touched
   }
 
@@ -1218,14 +1230,19 @@ object BloomTable {
     */
   private def maintainBound(spark: SparkSession, tablePath: String,
       bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
-      post: DataFrame, p: Props, commitNo: Long): Unit =
-    for (preDf <- pre; (secCols, idxPath) <- bound)
-      SecondaryIndex.withMaintLock(idxPath) {
-        val mapCols = (secCols ++ p.keys).map(col)
-        SecondaryIndex.reconcile(spark, idxPath,
-          preDf.select(mapCols: _*), post.select(mapCols: _*))
-        SecondaryIndex.markCoveredLocked(idxPath, commitNo)
-      }
+      post: => DataFrame, p: Props, commitNo: Long): Unit =
+    for (preDf <- pre if bound.nonEmpty) {
+      // sideDiff consumes post once per index — materialize it only
+      // when SEVERAL indexes would each re-evaluate the probe
+      val postC = if (bound.sizeIs > 1) post.localCheckpoint() else post
+      for ((secCols, idxPath) <- bound)
+        SecondaryIndex.withMaintLock(idxPath) {
+          val mapCols = (secCols ++ p.keys).map(col)
+          SecondaryIndex.reconcile(spark, idxPath,
+            preDf.select(mapCols: _*), postC.select(mapCols: _*))
+          SecondaryIndex.markCoveredLocked(idxPath, commitNo)
+        }
+    }
 
   /** Point lookup by full key: probe the index, read only candidate
     * files (usually one: ranges are non-overlapping per commit and the

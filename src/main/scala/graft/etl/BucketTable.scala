@@ -515,11 +515,12 @@ object BucketTable {
     */
   private def maintainBound(spark: SparkSession, tablePath: String,
       bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
-      post: DataFrame, p: Props, commitNo: Long): Unit =
-    for (preDf <- pre) {
-      // materialize the post probe once: each index's reconcile excepts
-      // consume it twice (dead + live sides)
-      val postC = post.localCheckpoint()
+      post: => DataFrame, p: Props, commitNo: Long): Unit =
+    for (preDf <- pre if bound.nonEmpty) {
+      // sideDiff consumes post once per index — materialize it only
+      // when SEVERAL indexes would each re-evaluate the probe
+      val postC = MaintProf.timed("bucket.postCkpt")(
+        if (bound.sizeIs > 1) post.localCheckpoint() else post)
       for ((secCols, idxPath) <- bound)
         SecondaryIndex.withMaintLock(idxPath) {
           val mapCols = (secCols ++ p.keys).map(col)
@@ -773,42 +774,64 @@ object BucketTable {
   def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame,
       validators: Seq[PreCommit.Rule] = Nil): Seq[Int] = {
     val p = props(tablePath)
-    val tagged = withBucket(
+    val tagged = MaintProf.timed("bucket.tagCkpt")(withBucket(
       HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
+      .localCheckpoint())
     // gate BEFORE any generation write: a rejected batch leaves the
     // table byte-identical (PreCommit's contract)
     PreCommit.validate(tagged, validators)
-    val touched = tagged.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val touched = MaintProf.timed("bucket.touched")(tagged.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet)
     if (touched.isEmpty) return Seq.empty
     // maxOption / limit(0): a table created from an empty frame has an
     // empty manifest — the first non-empty upsert merges against
     // nothing and commits generation 0
     val committed = manifest(tablePath)
     val bound = boundSecondaryIndexes(tablePath)
-    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
     val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.limit(0)
       else readBuckets(spark, tablePath, touched)
+    // pre/post index probes ride the frames this commit already
+    // computes: `touched` IS the bucket set a lookupMany of the
+    // batch's keys would route to, so pre = the about-to-be-merged
+    // bucket content ⋉ batch keys (checkpointed BEFORE the swing) and
+    // post = the just-written generation ⋉ batch keys — no second
+    // routing job, no re-derived key frame (guide §2.4: the probe
+    // shuffles/reads were pure duplicates of work already in the plan)
+    val wanted = bound.headOption.map(_ =>
+      tagged.select(p.keys.map(col): _*).distinct().localCheckpoint())
+    val pre = wanted.map(w => MaintProf.timed("bucket.pre")(
+      existing.drop(BucketCol).join(broadcast(w), p.keys, "leftsemi")
+        .localCheckpoint()))
     val merged = HudiLike.upsert(existing, tagged,
       p.keys, p.precombine, p.tieBreak)
       // recompute instead of carrying: upsert projects to the data
       // columns of both sides; bucket is a pure function of the keys
-    val written = writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen)
+    val written = MaintProf.timed("bucket.writeGen")(
+      writeGen(withBucket(merged.drop(BucketCol), p), tablePath, gen))
     writeSchema(tablePath, merged)
-    val c = writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
+    // an upsert can only change the BATCH's keys — restrict both cdc
+    // diff sides to them so the full-outer join aggregates O(batch)
+    // rows, not O(touched region) (guide §2.3); the region's other
+    // rows are copied byte-equal and would diff to filtered no-ops
+    val c = MaintProf.timed("bucket.manifestCdc")(
+      writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
       CdcLog.Action.Changes { () =>
+        val bk = tagged.select(p.keys.map(col): _*).distinct()
         val before = existing.drop(BucketCol)
+          .join(broadcast(bk), p.keys, "leftsemi")
         CdcLog.diff(before,
-          readGenBuckets(spark, tablePath, gen, written, before), p.keys)
-      })
-    // the post side re-probes what readers now see for the batch's
-    // keys — by construction the served merge, never a replay of the
-    // merge algebra that could drift from it
+          readGenBuckets(spark, tablePath, gen, written, before)
+            .join(broadcast(bk), p.keys, "leftsemi"), p.keys)
+      }))
+    // the post side re-reads what readers now see for the batch's
+    // keys — the written files, never a replay of the merge algebra
+    // that could drift from them
     maintainBound(spark, tablePath, bound, pre,
-      lookupMany(spark, tablePath, tagged.drop(BucketCol)), p, c)
+      MaintProf.timed("bucket.post")(
+        readGenBuckets(spark, tablePath, gen, written, tagged.drop(BucketCol))
+          .join(broadcast(wanted.get), p.keys, "leftsemi")), p, c)
     written
   }
 
@@ -891,9 +914,13 @@ object BucketTable {
     // the staged view cannot predict)
     val cdcRows =
       if (CdcLog.enabled(tablePath)) {
+        // batch-key restriction: same argument as [[upsertInto]]'s diff
+        val bk = tagged.select(p.keys.map(col): _*).distinct()
         val before = existing.drop(BucketCol)
+          .join(broadcast(bk), p.keys, "leftsemi")
         Some(CdcLog.diff(before,
-          readGenBuckets(spark, tablePath, gen, written, before), p.keys)
+          readGenBuckets(spark, tablePath, gen, written, before)
+            .join(broadcast(bk), p.keys, "leftsemi"), p.keys)
           .localCheckpoint())
       } else None
     val outcome = FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
@@ -1124,9 +1151,11 @@ object BucketTable {
   def lookupMany(spark: SparkSession, tablePath: String,
       keyRows: DataFrame): DataFrame = {
     val p = props(tablePath)
-    val wanted = keyRows.select(p.keys.map(col): _*).distinct().localCheckpoint()
-    val buckets = withBucket(wanted, p).select(BucketCol)
-      .distinct().collect().map(_.getInt(0)).toSet
+    val wanted = MaintProf.timed("bucket.lm.wantedCkpt")(
+      keyRows.select(p.keys.map(col): _*).distinct().localCheckpoint())
+    val buckets = MaintProf.timed("bucket.lm.route")(withBucket(wanted, p)
+      .select(BucketCol)
+      .distinct().collect().map(_.getInt(0)).toSet)
     if (buckets.isEmpty) read(spark, tablePath).limit(0)
     else readBuckets(spark, tablePath, buckets).drop(BucketCol)
       .join(broadcast(wanted), p.keys, "leftsemi")
@@ -1169,8 +1198,14 @@ object BucketTable {
     * update / conditional merge all cost O(touched fraction of table),
     * never O(table). Caller holds the table lock.
     */
+  /** `changeKeys`: when the caller can PROVE the transform only
+    * changes rows of these keys (a keyed DELETE — never the generic
+    * MERGE/UPDATE routes, whose transforms may touch any region row),
+    * the cdc diff and the index reconcile restrict both sides to them:
+    * O(changed keys) aggregation instead of O(region) (guide §2.3).
+    */
   private def rewriteTouchedLocked(spark: SparkSession, tablePath: String,
-      touched: Set[Int], p: Props)(
+      touched: Set[Int], p: Props, changeKeys: Option[DataFrame] = None)(
       transform: DataFrame => DataFrame): Seq[Int] = {
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
@@ -1208,10 +1243,17 @@ object BucketTable {
       // bucket the transform emptied simply has no after rows, so its
       // victims diff to `d`
       CdcLog.Action.Changes { () =>
-        CdcLog.diff(current,
-          readGenBuckets(spark, tablePath, gen, written, current), p.keys)
+        val before = changeKeys.fold(current)(ks =>
+          current.join(broadcast(ks), p.keys, "leftsemi"))
+        val after0 = readGenBuckets(spark, tablePath, gen, written, current)
+        CdcLog.diff(before, changeKeys.fold(after0)(ks =>
+          after0.join(broadcast(ks), p.keys, "leftsemi")), p.keys)
       })
-    maintainBound(spark, tablePath, bound, Some(current), next, p, c)
+    maintainBound(spark, tablePath, bound,
+      Some(changeKeys.fold(current)(ks =>
+        current.join(broadcast(ks), p.keys, "leftsemi"))),
+      changeKeys.fold(next)(ks =>
+        next.join(broadcast(ks), p.keys, "leftsemi")), p, c)
     written
   }
 
@@ -1231,7 +1273,8 @@ object BucketTable {
       else {
         val touched = withBucket(keyRel, p).select(BucketCol)
           .distinct().collect().map(_.getInt(0)).toSet
-        rewriteTouchedLocked(spark, tablePath, touched, p)(
+        rewriteTouchedLocked(spark, tablePath, touched, p,
+          changeKeys = Some(keyRel))(
           _.join(broadcast(keyRel), p.keys, "left_anti"))
       }
     }

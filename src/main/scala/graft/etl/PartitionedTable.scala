@@ -610,7 +610,13 @@ object PartitionedTable {
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
     val bound = boundIndexes(tablePath, p)
-    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
+    // pre/post index probes reuse the batch's identity frame and
+    // touched-dir routing this commit already computed — no second
+    // dedup/route job per probe (guide §2.4)
+    val wanted = bound.headOption.map(_ =>
+      tagged.select(p.identity.map(col): _*).distinct().localCheckpoint())
+    val pre = wanted.map(w => MaintProf.timed("part.preBatchState")(
+      beforeState(spark, tablePath, tagged, w, touched.toSet, p)))
     val gen = nextGen(tablePath)
     val existing =
       if (committed.isEmpty) tagged.drop(p.dirCols: _*).limit(0)
@@ -638,7 +644,7 @@ object PartitionedTable {
     // identities — by construction the served merge, never a replay
     // of the merge algebra that could drift from it
     maintainBound(spark, tablePath, bound, pre,
-      lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
+      lookupManyRouted(spark, tablePath, wanted.get, touched.toSet, p), p, c)
     written
   }
 
@@ -666,7 +672,10 @@ object PartitionedTable {
     // discarded, retry re-probes) — disjoint-slice writers can't
     // change these identities' rows, so the probe stays valid
     val bound = boundIndexes(tablePath, p)
-    val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
+    val wanted = bound.headOption.map(_ =>
+      tagged.select(p.identity.map(col): _*).distinct().localCheckpoint())
+    val pre = wanted.map(w =>
+      beforeState(spark, tablePath, tagged, w, touched, p))
     val merged = HudiLike.upsert(existing,
       tagged.drop(p.dirCols: _*),
       p.identity, p.precombine, p.tieBreak)
@@ -690,7 +699,7 @@ object PartitionedTable {
     committed match {
       case Some(c) =>
         maintainBound(spark, tablePath, bound, pre,
-          lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
+          lookupManyRouted(spark, tablePath, wanted.get, touched, p), p, c)
         Some(written)
       case None =>
         deleteRecursively(Paths.get(tablePath, s"gen=$gen"))
@@ -1129,28 +1138,24 @@ object PartitionedTable {
       math.max(changeHead(tablePath), CdcLog.floor(tablePath)))
 
   /** Compute and stage delta commit `seq`'s images: the merged CURRENT
-    * rows of the batch's identities are the before side; the read
-    * merge replayed over them plus the batch is the after side —
-    * exactly what [[read]] will serve, including precombine losers
-    * (no image) and tombstones (a `d` with the victim as before).
-    * Caller holds the table lock, delta log not yet swung. Cost: one
-    * keyed probe of the merged snapshot per cdc-enabled commit (the
-    * price MOR pays in the same place).
+    * rows of the batch's identities are the before side (the caller's
+    * shared routed probe — an identity's rows can only live in its own
+    * partition slice, so the probe reads O(touched slices), never the
+    * snapshot); the read merge replayed over them plus the batch is
+    * the after side — exactly what [[read]] will serve, including
+    * precombine losers (no image) and tombstones (a `d` with the
+    * victim as before). Caller holds the table lock, delta log not yet
+    * swung.
     */
   private def stageCdcDelta(spark: SparkSession, tablePath: String,
-      seq: Long, tagged: DataFrame, p: Props): Unit = {
+      seq: Long, tagged: DataFrame, p: Props, before: DataFrame): Unit = {
     val clean0 = tagged.drop(p.partitionCols.map(Shadow + _) :+ Group: _*)
     // upsert batches carry no tombstone flag — materialize it so the
-    // merge filter below always resolves (delete batches already have it)
+    // merge filter below always resolves (delete batches already have
+    // it); a projection of the caller-checkpointed batch, consumed once
     val clean =
-      (if (clean0.columns.contains(Deleted)) clean0
-       else clean0.withColumn(Deleted, lit(false)))
-        .localCheckpoint()
-    val keyset = clean.select(p.identity.map(col): _*).distinct()
-      .localCheckpoint()
-    val snap = read(spark, tablePath)
-    val cond = p.identity.map(k => snap(k) <=> keyset(k)).reduce(_ && _)
-    val before = snap.join(keyset, cond, "left_semi").localCheckpoint()
+      if (clean0.columns.contains(Deleted)) clean0
+      else clean0.withColumn(Deleted, lit(false))
     val after = HudiLike.precombineLatest(
       SchemaShim.unionByName(before.withColumn(DSeq, lit(0L)),
         clean.withColumn(DSeq, lit(seq))),
@@ -1159,6 +1164,20 @@ object PartitionedTable {
       .drop(DSeq, Deleted)
     CdcLog.stage(tablePath, seq, CdcLog.diff(before, after, p.identity))
   }
+
+  /** The shared keyed before-state probe of the delta routes: the
+    * batch identities' current merged rows, routed to the touched
+    * slices, checkpointed once — consumed by the cdc before-image AND
+    * every bound index's pre-state (previously two separate probes,
+    * one of them a full-snapshot scan).
+    */
+  private def beforeState(spark: SparkSession, tablePath: String,
+      tagged: DataFrame, wanted: DataFrame, touched: Set[String],
+      p: Props): DataFrame =
+    (if (manifest(tablePath).isEmpty && deltas(tablePath).isEmpty)
+       tagged.drop(p.dirCols: _*).limit(0)
+     else lookupManyRouted(spark, tablePath, wanted, touched, p))
+      .localCheckpoint()
 
   /** MERGE-ON-READ upsert: append the precombined batch as a delta
     * commit — one partitioned write of O(batch) rows, NO base read,
@@ -1175,19 +1194,31 @@ object PartitionedTable {
     val tagged = withShadow(
       HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
       .localCheckpoint()
-    if (touchedDirs(tagged, p).isEmpty) return Seq.empty
+    val touched = touchedDirs(tagged, p).toSet
+    if (touched.isEmpty) return Seq.empty
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val existing = deltas(tablePath)
       val seq = nextDeltaSeq(tablePath, existing)
       val dir = Paths.get(tablePath, s"dgen=$seq")
       if (Files.exists(dir)) deleteRecursively(dir) // crashed writer's orphan
       CdcLog.discard(tablePath, seq)
+      val bound = boundIndexes(tablePath, p)
+      val cdcOn = CdcLog.enabled(tablePath)
+      // ONE routed keyed probe serves the cdc before-image AND the
+      // index pre-state (guide §2.4 — these were two probes, the cdc
+      // one a full-snapshot scan)
+      val wanted =
+        if (cdcOn || bound.nonEmpty)
+          Some(tagged.select(p.identity.map(col): _*).distinct()
+            .localCheckpoint())
+        else None
+      val before = wanted.map(w =>
+        beforeState(spark, tablePath, tagged, w, touched, p))
       // images staged pre-swing, published post-swing (CdcLog's
       // two-phase contract — a crash loses images loudly, never
       // publishes images of a commit that didn't happen)
-      if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
-      val bound = boundIndexes(tablePath, p)
-      val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
+      if (cdcOn) stageCdcDelta(spark, tablePath, seq, tagged, p, before.get)
+      val pre = if (bound.nonEmpty) before else None
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
@@ -1198,7 +1229,7 @@ object PartitionedTable {
       val c = logCommit(tablePath, "delta",
         m0, m0, existing, existing ++ written.map(_ -> seq))
       maintainBound(spark, tablePath, bound, pre,
-        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
+        lookupManyRouted(spark, tablePath, wanted.get, touched, p), p, c)
       written
     }
   }
@@ -1219,19 +1250,30 @@ object PartitionedTable {
       HudiLike.precombineLatest(deletes, p.identity, p.precombine, p.tieBreak)
         .withColumn(Deleted, lit(true)), p)
       .localCheckpoint()
-    if (touchedDirs(tagged, p).isEmpty) return Seq.empty
+    val touched = touchedDirs(tagged, p).toSet
+    if (touched.isEmpty) return Seq.empty
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val existing = deltas(tablePath)
       val seq = nextDeltaSeq(tablePath, existing)
       val dir = Paths.get(tablePath, s"dgen=$seq")
       if (Files.exists(dir)) deleteRecursively(dir)
       CdcLog.discard(tablePath, seq)
+      val bound = boundIndexes(tablePath, p)
+      val cdcOn = CdcLog.enabled(tablePath)
+      // ONE routed keyed probe serves the cdc before-image AND the
+      // index pre-state (see upsertDelta)
+      val wanted =
+        if (cdcOn || bound.nonEmpty)
+          Some(tagged.select(p.identity.map(col): _*).distinct()
+            .localCheckpoint())
+        else None
+      val before = wanted.map(w =>
+        beforeState(spark, tablePath, tagged, w, touched, p))
       // images staged pre-swing, published post-swing (CdcLog's
       // two-phase contract — a crash loses images loudly, never
       // publishes images of a commit that didn't happen)
-      if (CdcLog.enabled(tablePath)) stageCdcDelta(spark, tablePath, seq, tagged, p)
-      val bound = boundIndexes(tablePath, p)
-      val pre = bound.headOption.map(_ => preBatchState(spark, tablePath, tagged, p))
+      if (cdcOn) stageCdcDelta(spark, tablePath, seq, tagged, p, before.get)
+      val pre = if (bound.nonEmpty) before else None
       tagged.repartition(p.dirCols.map(col): _*)
         .write.mode("errorifexists").partitionBy(p.dirCols: _*)
         .parquet(dir.toString)
@@ -1244,7 +1286,7 @@ object PartitionedTable {
       // post-probe sees the tombstones applied: vanished identities'
       // mappings flip dead in the reconcile
       maintainBound(spark, tablePath, bound, pre,
-        lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)), p, c)
+        lookupManyRouted(spark, tablePath, wanted.get, touched, p), p, c)
       written
     }
   }
@@ -1605,7 +1647,17 @@ object PartitionedTable {
     val p = props(tablePath)
     val wanted = idRows.select(p.identity.map(col): _*).distinct()
       .localCheckpoint()
-    val touched = touchedDirs(withShadow(wanted, p), p).toSet
+    lookupManyRouted(spark, tablePath, wanted,
+      touchedDirs(withShadow(wanted, p), p).toSet, p)
+  }
+
+  /** [[lookupMany]] with the routing already done — the maintenance
+    * paths call this with the key frame and touched-dir set their
+    * commit ALREADY derived (guide §2.4: the probe's dedup/route jobs
+    * were pure duplicates of the commit's own).
+    */
+  private def lookupManyRouted(spark: SparkSession, tablePath: String,
+      wanted: DataFrame, touched: Set[String], p: Props): DataFrame = {
     val m = manifest(tablePath)
     val baseKeep = m.keySet.intersect(touched)
     val dKeep = deltas(tablePath).filter(e => touched(e._1))
@@ -1621,18 +1673,6 @@ object PartitionedTable {
     slice.join(wanted, cond, "left_semi")
   }
 
-  /** Pre-commit full-row state of a batch's identities — the before
-    * side of an index reconcile (and empty-table-safe, unlike a bare
-    * [[lookupMany]] on a table whose manifest hasn't been written).
-    */
-  private def preBatchState(spark: SparkSession, tablePath: String,
-      tagged: DataFrame, p: Props): DataFrame = MaintProf.timed("part.preBatchState") {
-    (if (manifest(tablePath).isEmpty && deltas(tablePath).isEmpty)
-       tagged.drop(p.dirCols: _*).limit(0)
-     else lookupMany(spark, tablePath, tagged.drop(p.dirCols: _*)))
-      .localCheckpoint()
-  }
-
   /** Reconcile the bound index from pre/post FULL-ROW states of a
     * commit's touched rows, then record `commitNo` as covered. Runs
     * AFTER the metadata swing (the MOR covering discipline: an index
@@ -1646,11 +1686,11 @@ object PartitionedTable {
     */
   private def maintainBound(spark: SparkSession, tablePath: String,
       bound: Seq[(Seq[String], String)], pre: Option[DataFrame],
-      post: DataFrame, p: Props, commitNo: Long): Unit =
-    for (preDf <- pre) {
-      // materialize the post probe once: each index's reconcile excepts
-      // consume it twice (dead + live sides)
-      val postC = post.localCheckpoint()
+      post: => DataFrame, p: Props, commitNo: Long): Unit =
+    for (preDf <- pre if bound.nonEmpty) {
+      // sideDiff consumes post once per index — materialize it only
+      // when SEVERAL indexes would each re-evaluate the probe
+      val postC = if (bound.sizeIs > 1) post.localCheckpoint() else post
       for ((projCols, idxPath) <- bound)
         SecondaryIndex.withMaintLock(idxPath) {
           MaintProf.timed("part.reconcile")(

@@ -238,8 +238,8 @@ object SecondaryIndex {
         // full re-assert of every primary row (the index is COVERING:
         // an evolved payload column re-serves correctly) + tombstones
         // for vanished mappings
-        idxLive.select(mapCols: _*).except(prim.select(mapCols: _*))
-          .withColumn(Live, lit(false))
+        sideDiff(idxLive.select(mapCols: _*), prim.select(mapCols: _*))
+          .filter(!col(Live))
           .unionByName(prim.withColumn(Live, lit(true)),
             allowMissingColumns = true)
       case "timeline" =>
@@ -254,10 +254,10 @@ object SecondaryIndex {
         val idxLive = BucketTable.read(spark, indexPath)
           .filter(col(Live)).drop(Live, Commit)
         val idxAligned = SchemaShim.unionByName(prim.limit(0), idxLive)
-        idxLive.select(mapCols: _*).except(prim.select(mapCols: _*))
-          .withColumn(Live, lit(false))
+        sideDiff(idxLive.select(mapCols: _*), prim.select(mapCols: _*))
+          .filter(!col(Live))
           .unionByName(
-            prim.except(idxAligned).withColumn(Live, lit(true)),
+            sideDiff(idxAligned, prim).filter(col(Live)),
             allowMissingColumns = true)
       case _ =>
         val prim = (kind match {
@@ -267,9 +267,9 @@ object SecondaryIndex {
         }).select(mapCols: _*).localCheckpoint()
         val idxLive = BucketTable.read(spark, indexPath)
           .filter(col(Live)).select(mapCols: _*)
-        // O(discrepancy) index write: only missing / stale mappings move
-        idxLive.except(prim).withColumn(Live, lit(false))
-          .unionByName(prim.except(idxLive).withColumn(Live, lit(true)))
+        // O(discrepancy) index write: only missing / stale mappings
+        // move — both except sides in one aggregation
+        sideDiff(idxLive, prim)
     }
     val staged = delta.localCheckpoint()
     if (!staged.isEmpty) {
@@ -378,17 +378,37 @@ object SecondaryIndex {
     */
   def reconcile(spark: SparkSession, indexPath: String,
       pre: DataFrame, post: DataFrame): Unit = {
-    val dead = pre.except(post).withColumn(Live, lit(false))
-    val live = post.except(pre).withColumn(Live, lit(true))
     // single materialization: the index upsert's own checkpoint
-    // computes the excepts exactly once (pre/post are checkpointed by
+    // computes the diff exactly once (pre/post are checkpointed by
     // the caller, so no lineage rides in); an empty delta routes to
     // zero touched buckets and upsertInto commits nothing
     val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
     MaintProf.timed("idx.reconcile.upsert")(
       BucketTable.upsertInto(spark, indexPath,
-        dead.unionByName(live).withColumn(Commit, lit(commit))))
+        sideDiff(pre, post).withColumn(Commit, lit(commit))))
     ()
+  }
+
+  /** The two `except`s of a reconcile delta — distinct rows on exactly
+    * one side, `Live` false for pre-only (dead mappings) and true for
+    * post-only (live) — computed as ONE aggregation over one union:
+    * one Exchange where the except pair costs two distinct-aggregates
+    * plus an anti-join EACH (guide §2.3/§2.4 — same result set, fewer
+    * shuffles, and the delta frame is consumed once by the index
+    * upsert's own checkpoint). Set semantics match `except` exactly:
+    * grouping deduplicates, and nulls/NaN group the way except
+    * compares them. Both sides must share pre's column set.
+    */
+  private[etl] def sideDiff(pre: DataFrame, post: DataFrame): DataFrame = {
+    val side = "__side"
+    val cols = pre.columns.toSeq
+    pre.withColumn(side, lit(0))
+      .unionByName(post.select(cols.map(col): _*).withColumn(side, lit(1)))
+      .groupBy(cols.map(col): _*)
+      .agg(min(side).as("__mn"), max(side).as("__mx"))
+      .filter(col("__mn") === col("__mx"))
+      .withColumn(Live, col("__mx") === 1)
+      .drop("__mn", "__mx")
   }
 
 
@@ -491,13 +511,16 @@ object SecondaryIndex {
       pre: DataFrame, post: DataFrame, secCols: Seq[String],
       keys: Seq[String]): Unit = {
     val mapCols = (secCols ++ keys).map(col)
-    val deadMaps = pre.select(mapCols: _*).except(post.select(mapCols: _*))
-    val dead = deadMaps.withColumn(Live, lit(false))
+    // mapping-level dead side and full-row live side are different
+    // granularities, so each is its own one-pass sideDiff (one
+    // aggregation each, vs two distinct+anti-join excepts before)
+    val dead = sideDiff(pre.select(mapCols: _*), post.select(mapCols: _*))
+      .filter(!col(Live))
     // align pre to post's (possibly evolved) schema before the
-    // full-row except: a batch-added column pads NULL on the pre side,
+    // full-row diff: a batch-added column pads NULL on the pre side,
     // so every post row carrying a real value there counts as changed
     val preAligned = SchemaShim.unionByName(post.limit(0), pre)
-    val live = post.except(preAligned).withColumn(Live, lit(true))
+    val live = sideDiff(preAligned, post).filter(col(Live))
     // single materialization, as in [[reconcile]]
     val commit = BucketTable.manifest(indexPath).values.maxOption.getOrElse(-1L) + 1
     MaintProf.timed("idx.covering.upsert")(
