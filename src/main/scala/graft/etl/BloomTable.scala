@@ -849,7 +849,7 @@ object BloomTable {
     // filtered-out no-ops — restrict both diff sides to the batch keys
     // so the cdc join and the index reconcile aggregate O(batch) rows,
     // not O(region) (guide §2.3)
-    def batchKeys = batch.select(p.keys.map(col): _*).distinct()
+    def batchKeys = batch.select(p.keys.map(col): _*) // precombined: unique
     writeManifest(tablePath, newManifest.toSeq, commit, "write",
       CdcLog.Action.Changes { () =>
         CdcLog.diff(

@@ -799,8 +799,10 @@ object BucketTable {
     // post = the just-written generation ⋉ batch keys — no second
     // routing job, no re-derived key frame (guide §2.4: the probe
     // shuffles/reads were pure duplicates of work already in the plan)
-    val wanted = bound.headOption.map(_ =>
-      tagged.select(p.keys.map(col): _*).distinct().localCheckpoint())
+    // plain projection: `tagged` is precombined (one row per key) and
+    // checkpointed, so the probes' semi-join build sides need no
+    // dedup shuffle and no extra materialization job
+    val wanted = bound.headOption.map(_ => tagged.select(p.keys.map(col): _*))
     val pre = wanted.map(w => MaintProf.timed("bucket.pre")(
       existing.drop(BucketCol).join(broadcast(w), p.keys, "leftsemi")
         .localCheckpoint()))
@@ -818,7 +820,7 @@ object BucketTable {
     val c = MaintProf.timed("bucket.manifestCdc")(
       writeManifest(tablePath, manifest(tablePath) ++ written.map(_ -> gen), p,
       CdcLog.Action.Changes { () =>
-        val bk = tagged.select(p.keys.map(col): _*).distinct()
+        val bk = tagged.select(p.keys.map(col): _*) // precombined: unique
         val before = existing.drop(BucketCol)
           .join(broadcast(bk), p.keys, "leftsemi")
         CdcLog.diff(before,
@@ -915,7 +917,7 @@ object BucketTable {
     val cdcRows =
       if (CdcLog.enabled(tablePath)) {
         // batch-key restriction: same argument as [[upsertInto]]'s diff
-        val bk = tagged.select(p.keys.map(col): _*).distinct()
+        val bk = tagged.select(p.keys.map(col): _*) // precombined: unique
         val before = existing.drop(BucketCol)
           .join(broadcast(bk), p.keys, "leftsemi")
         Some(CdcLog.diff(before,

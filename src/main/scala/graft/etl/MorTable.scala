@@ -369,8 +369,10 @@ object MorTable {
       flagged: DataFrame): (DataFrame, DataFrame) = {
     val spark = flagged.sparkSession
     val p = props(tablePath)
-    val keyset = flagged.select(p.keys.map(col): _*).distinct()
-      .localCheckpoint()
+    // plain projection: `flagged` is precombined (one row per key) and
+    // caller-checkpointed — the probe's semi-join build side needs no
+    // dedup shuffle and no materialization job
+    val keyset = flagged.select(p.keys.map(col): _*)
     val before = mergedSnapshotFor(spark, tablePath, keyset).localCheckpoint()
     val after = HudiLike.precombineLatest(
       SchemaShim.unionByName(before,

@@ -613,8 +613,10 @@ object PartitionedTable {
     // pre/post index probes reuse the batch's identity frame and
     // touched-dir routing this commit already computed — no second
     // dedup/route job per probe (guide §2.4)
+    // plain projection: `tagged` is precombined (one row per identity)
+    // and checkpointed — no dedup shuffle, no materialization job
     val wanted = bound.headOption.map(_ =>
-      tagged.select(p.identity.map(col): _*).distinct().localCheckpoint())
+      tagged.select(p.identity.map(col): _*))
     val pre = wanted.map(w => MaintProf.timed("part.preBatchState")(
       beforeState(spark, tablePath, tagged, w, touched.toSet, p)))
     val gen = nextGen(tablePath)
@@ -672,8 +674,10 @@ object PartitionedTable {
     // discarded, retry re-probes) — disjoint-slice writers can't
     // change these identities' rows, so the probe stays valid
     val bound = boundIndexes(tablePath, p)
+    // plain projection: `tagged` is precombined (one row per identity)
+    // and checkpointed — no dedup shuffle, no materialization job
     val wanted = bound.headOption.map(_ =>
-      tagged.select(p.identity.map(col): _*).distinct().localCheckpoint())
+      tagged.select(p.identity.map(col): _*))
     val pre = wanted.map(w =>
       beforeState(spark, tablePath, tagged, w, touched, p))
     val merged = HudiLike.upsert(existing,
@@ -1207,10 +1211,9 @@ object PartitionedTable {
       // ONE routed keyed probe serves the cdc before-image AND the
       // index pre-state (guide §2.4 — these were two probes, the cdc
       // one a full-snapshot scan)
-      val wanted =
+      val wanted = // plain projection: precombined batch, unique identities
         if (cdcOn || bound.nonEmpty)
-          Some(tagged.select(p.identity.map(col): _*).distinct()
-            .localCheckpoint())
+          Some(tagged.select(p.identity.map(col): _*))
         else None
       val before = wanted.map(w =>
         beforeState(spark, tablePath, tagged, w, touched, p))
@@ -1262,10 +1265,9 @@ object PartitionedTable {
       val cdcOn = CdcLog.enabled(tablePath)
       // ONE routed keyed probe serves the cdc before-image AND the
       // index pre-state (see upsertDelta)
-      val wanted =
+      val wanted = // plain projection: precombined batch, unique identities
         if (cdcOn || bound.nonEmpty)
-          Some(tagged.select(p.identity.map(col): _*).distinct()
-            .localCheckpoint())
+          Some(tagged.select(p.identity.map(col): _*))
         else None
       val before = wanted.map(w =>
         beforeState(spark, tablePath, tagged, w, touched, p))

@@ -660,7 +660,11 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (clean, bad) = graft.ops.DataQuality.splitByRules(batch, rules)
+        // materialize the micro-batch once: its four consumers (each
+        // sink's emptiness gate + upsert) otherwise re-read the source
+        // files per evaluation (guide §5 — reused frame, 4 scans → 1)
+        val b = batch.localCheckpoint()
+        val (clean, bad) = graft.ops.DataQuality.splitByRules(b, rules)
         def sink(path: String, df: DataFrame, ks: Seq[String],
             tb: Seq[String]): Unit =
           if (!df.isEmpty) {
@@ -950,8 +954,12 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // materialize the precombined frame once: its four consumers
+          // (two emptiness gates, the upsert, the delete) otherwise
+          // re-run the window over a re-scan of the change files each
+          // (guide §5 — reused frame, 4 window passes → 1)
           val latest = HudiLike.precombineLatest(batch, keys, precombine,
-            "_seq" +: tieBreak)
+            "_seq" +: tieBreak).localCheckpoint()
           val ups = latest.filter(!col("_deleted")).drop("_seq", "_deleted")
           val dels = latest.filter(col("_deleted"))
             .select(keys.map(col): _*)
