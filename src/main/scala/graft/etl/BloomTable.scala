@@ -792,9 +792,9 @@ object BloomTable {
       validators: Seq[PreCommit.Rule] = Nil): Seq[String] =
     withTableLock(tablePath) {
       val p = props(tablePath)
-      val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
-        p.tieBreak).localCheckpoint()
-      require(!batch.isEmpty,
+      val (batch, batchN) = Fuse.checkpointCounted(
+        HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak))
+      require(batchN > 0L,
         s"INSERT OVERWRITE with an empty batch at $tablePath — an empty " +
           "manifest would brick reads; DELETE the rows instead")
       PreCommit.validate(batch, validators)
@@ -821,9 +821,11 @@ object BloomTable {
   private def upsertIntoLocked(spark: SparkSession, tablePath: String,
       incoming: DataFrame, validators: Seq[PreCommit.Rule]): Seq[String] = {
     val p = props(tablePath)
-    val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
-      p.tieBreak).localCheckpoint()
-    if (batch.isEmpty) return Seq.empty
+    // the emptiness gate rides the batch checkpoint as an observed
+    // count — no separate isEmpty job (guide §2.4)
+    val (batch, batchN) = Fuse.checkpointCounted(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak))
+    if (batchN == 0L) return Seq.empty
     // gate BEFORE any tagging or write: a rejected batch leaves the
     // table byte-identical (PreCommit's contract)
     PreCommit.validate(batch, validators)
@@ -895,9 +897,9 @@ object BloomTable {
       incoming: DataFrame, m0: Seq[String],
       validators: Seq[PreCommit.Rule] = Nil): Option[Seq[String]] = {
     val p = props(tablePath)
-    val batch = HudiLike.precombineLatest(incoming, p.keys, p.precombine,
-      p.tieBreak).localCheckpoint()
-    if (batch.isEmpty) return Some(Seq.empty)
+    val (batch, batchN) = Fuse.checkpointCounted(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak))
+    if (batchN == 0L) return Some(Seq.empty)
     PreCommit.validate(batch, validators)
     // tag against the m0 VIEW: live index rows restricted to m0's
     // files (an m0 file a concurrent commit already retired drops out
@@ -1022,9 +1024,9 @@ object BloomTable {
   private def deleteFromLocked(spark: SparkSession, tablePath: String,
       keysToDelete: DataFrame): Seq[String] = {
     val p = props(tablePath)
-    val keyRel = keysToDelete.select(p.keys.map(col): _*)
-      .distinct().localCheckpoint()
-    if (keyRel.isEmpty) return Seq.empty
+    val (keyRel, keyN) = Fuse.checkpointCounted(
+      keysToDelete.select(p.keys.map(col): _*).distinct())
+    if (keyN == 0L) return Seq.empty
     val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
     val touched = candidateFiles(tablePath, keyRel, idx, p)
     if (touched.isEmpty) return Seq.empty
@@ -1080,9 +1082,9 @@ object BloomTable {
   private def rewriteKeysLocked(spark: SparkSession, tablePath: String,
       keyRows: DataFrame, transform: DataFrame => DataFrame): Seq[String] = {
     val p = props(tablePath)
-    val keyRel = keyRows.select(p.keys.map(col): _*)
-      .distinct().localCheckpoint()
-    if (keyRel.isEmpty) Seq.empty
+    val (keyRel, keyN) = Fuse.checkpointCounted(
+      keyRows.select(p.keys.map(col): _*).distinct())
+    if (keyN == 0L) Seq.empty
     else {
       val idx = reconcileIndex(spark, tablePath, p).localCheckpoint()
       val touched = candidateFiles(tablePath, keyRel, idx, p)
@@ -1090,10 +1092,10 @@ object BloomTable {
         if (touched.isEmpty) read(spark, tablePath).limit(0)
         else readFiles(spark, tablePath, touched)
       val bound = boundSecondaryIndexes(tablePath)
-      val next = transform(existing).localCheckpoint()
+      val (next, nextN) = Fuse.checkpointCounted(transform(existing))
       val commit = nextCommit(tablePath)
       val written =
-        if (next.isEmpty) Seq.empty
+        if (nextN == 0L) Seq.empty
         else writeCommit(next, tablePath, commit, p, math.max(1, touched.size))
       writeManifest(tablePath,
         ((manifest(tablePath).toSet -- touched) ++ written).toSeq,
@@ -1146,11 +1148,11 @@ object BloomTable {
       .collect().map(r => relFile(tablePath, r.getString(0))).toSeq.sorted
     if (touched.isEmpty) return Seq.empty
     val bound = boundSecondaryIndexes(tablePath)
-    val next = transform(readFiles(spark, tablePath, touched))
-      .localCheckpoint()
+    val (next, nextN) = Fuse.checkpointCounted(
+      transform(readFiles(spark, tablePath, touched)))
     val commit = nextCommit(tablePath)
     val written =
-      if (next.isEmpty) Seq.empty
+      if (nextN == 0L) Seq.empty
       else writeCommit(next, tablePath, commit, p, touched.size)
     writeSchema(tablePath, next)
     writeManifest(tablePath,

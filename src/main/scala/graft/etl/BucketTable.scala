@@ -639,6 +639,19 @@ object BucketTable {
     df.withColumn(BucketCol,
       pmod(xxhash64(p.bucketBy.map(col): _*), lit(p.numBuckets)).cast("int"))
 
+  /** localCheckpoint a bucket-tagged frame and return its distinct
+    * bucket set, computed INSIDE the checkpoint job (an observed
+    * collect_set) instead of as its own `distinct().collect()` action
+    * — one Spark job per commit/lookup fewer (guide §2.4). The set is
+    * at most `numBuckets` ints, the same driver footprint the collect
+    * had.
+    */
+  private def checkpointRouted(df: DataFrame): (DataFrame, Set[Int]) = {
+    val (ck, vs) = Fuse.checkpointObserved(df, collect_set(col(BucketCol)))
+    (ck, vs.head.asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[Number].intValue()).toSet)
+  }
+
   private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 
   /** Roll back an uncommitted generation: a `gen=G` dir with no
@@ -774,14 +787,16 @@ object BucketTable {
   def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame,
       validators: Seq[PreCommit.Rule] = Nil): Seq[Int] = {
     val p = props(tablePath)
-    val tagged = MaintProf.timed("bucket.tagCkpt")(withBucket(
-      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
-      .localCheckpoint())
+    // the touched-bucket set rides the tag checkpoint as an observed
+    // collect_set — the routing `distinct().collect()` job it used to
+    // cost is gone (guide §2.4; at most numBuckets ints, same driver
+    // footprint as before)
+    val (tagged, touched) = MaintProf.timed("bucket.tagCkpt")(
+      checkpointRouted(withBucket(
+        HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)))
     // gate BEFORE any generation write: a rejected batch leaves the
     // table byte-identical (PreCommit's contract)
     PreCommit.validate(tagged, validators)
-    val touched = MaintProf.timed("bucket.touched")(tagged.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet)
     if (touched.isEmpty) return Seq.empty
     // maxOption / limit(0): a table created from an empty frame has an
     // empty manifest — the first non-empty upsert merges against
@@ -1054,11 +1069,8 @@ object BucketTable {
   private[graft] def attemptOccFrom(spark: SparkSession, tablePath: String,
       incoming: DataFrame, m0: Map[Int, Long]): Option[Seq[Int]] = {
     val p = props(tablePath)
-    val tagged = withBucket(
-      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
-    val touched = tagged.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val (tagged, touched) = checkpointRouted(withBucket(
+      HudiLike.precombineLatest(incoming, p.keys, p.precombine, p.tieBreak), p))
     if (touched.isEmpty) Some(Seq.empty)
     else attemptOcc(spark, tablePath, tagged, touched, p, m0)
   }
@@ -1153,11 +1165,12 @@ object BucketTable {
   def lookupMany(spark: SparkSession, tablePath: String,
       keyRows: DataFrame): DataFrame = {
     val p = props(tablePath)
-    val wanted = MaintProf.timed("bucket.lm.wantedCkpt")(
-      keyRows.select(p.keys.map(col): _*).distinct().localCheckpoint())
-    val buckets = MaintProf.timed("bucket.lm.route")(withBucket(wanted, p)
-      .select(BucketCol)
-      .distinct().collect().map(_.getInt(0)).toSet)
+    // bucket tagged BEFORE the checkpoint so the routing set rides the
+    // checkpoint job (was: a second distinct+collect action)
+    val (wantedB, buckets) = MaintProf.timed("bucket.lm.wantedCkpt")(
+      checkpointRouted(
+        withBucket(keyRows.select(p.keys.map(col): _*).distinct(), p)))
+    val wanted = wantedB.drop(BucketCol)
     if (buckets.isEmpty) read(spark, tablePath).limit(0)
     else readBuckets(spark, tablePath, buckets).drop(BucketCol)
       .join(broadcast(wanted), p.keys, "leftsemi")
@@ -1179,13 +1192,13 @@ object BucketTable {
     require(combos.nonEmpty && combos.forall(_.length == p.bucketBy.length),
       s"each combination must cover ${p.bucketBy.mkString(",")}")
     val schema = read(spark, tablePath).schema
-    val probe = combos.map { vs =>
+    val probe0 = combos.map { vs =>
       p.bucketBy.zip(vs).foldLeft(spark.range(1).toDF()) {
         case (df, (c, v)) => df.withColumn(c, lit(v).cast(schema(c).dataType))
       }.drop("id")
-    }.reduce(_.unionByName(_)).localCheckpoint()
-    val buckets = withBucket(probe, p).select(BucketCol)
-      .distinct().collect().map(_.getInt(0)).toSet
+    }.reduce(_.unionByName(_))
+    val (probeB, buckets) = checkpointRouted(withBucket(probe0, p))
+    val probe = probeB.drop(BucketCol)
     val base = readBuckets(spark, tablePath, buckets).drop(BucketCol)
     val cond = p.bucketBy.map(c => base(c) <=> probe(c)).reduce(_ && _)
     base.join(broadcast(probe), cond, "left_semi")
@@ -1269,16 +1282,15 @@ object BucketTable {
       keysToDelete: DataFrame): Seq[Int] =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val p = props(tablePath)
-      val keyRel = keysToDelete.select(p.keys.map(col): _*)
-        .distinct().localCheckpoint()
-      if (keyRel.isEmpty) Seq.empty
-      else {
-        val touched = withBucket(keyRel, p).select(BucketCol)
-          .distinct().collect().map(_.getInt(0)).toSet
-        rewriteTouchedLocked(spark, tablePath, touched, p,
-          changeKeys = Some(keyRel))(
-          _.join(broadcast(keyRel), p.keys, "left_anti"))
-      }
+      // routing and the emptiness gate both ride the key frame's
+      // checkpoint (empty set = empty frame) — was three jobs, now one
+      val (keyRelB, touched) = checkpointRouted(withBucket(
+        keysToDelete.select(p.keys.map(col): _*).distinct(), p))
+      val keyRel = keyRelB.drop(BucketCol)
+      if (touched.isEmpty) Seq.empty
+      else rewriteTouchedLocked(spark, tablePath, touched, p,
+        changeKeys = Some(keyRel))(
+        _.join(broadcast(keyRel), p.keys, "left_anti"))
     }
 
   /** Targeted rewrite of the rows a predicate selects: ONE scan of the
@@ -1314,10 +1326,8 @@ object BucketTable {
       keyRows: DataFrame)(transform: DataFrame => DataFrame): Seq[Int] =
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val p = props(tablePath)
-      val wanted = keyRows.select(p.keys.map(col): _*).distinct()
-        .localCheckpoint()
-      val touched = withBucket(wanted, p).select(BucketCol)
-        .distinct().collect().map(_.getInt(0)).toSet
+      val (_, touched) = checkpointRouted(withBucket(
+        keyRows.select(p.keys.map(col): _*).distinct(), p))
       rewriteTouchedLocked(spark, tablePath, touched, p)(transform)
     }
 

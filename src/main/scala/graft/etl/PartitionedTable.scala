@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
@@ -464,11 +464,11 @@ object PartitionedTable {
     * rejects null partition values — a silent
     * `__HIVE_DEFAULT_PARTITION__` would desync routing and pruning.
     */
-  private def touchedDirs(tagged: DataFrame, p: Props): Seq[String] = {
+  private def touchedDirs(tagged: DataFrame, p: Props): Seq[String] =
+    dirsOfRows(tagged.select(p.dirCols.map(col): _*).distinct().collect(), p)
+
+  private def dirsOfRows(rows: Seq[Row], p: Props): Seq[String] = {
     val nParts = p.partitionCols.length
-    val rows = tagged
-      .select(p.dirCols.map(col): _*)
-      .distinct().collect()
     rows.foreach { r =>
       require(!(0 until nParts).exists(r.isNullAt),
         s"null partition value in (${p.partitionCols.mkString(",")}) — " +
@@ -477,7 +477,22 @@ object PartitionedTable {
     rows.map { r =>
       val part = dirOfValues(p, (0 until nParts).map(r.getString))
       if (p.grouped) s"$part/$Group=${r.getInt(nParts)}" else part
-    }.toSeq.sorted
+    }.sorted
+  }
+
+  /** localCheckpoint a shadow-tagged batch and compute its touched
+    * partition dirs INSIDE the checkpoint job (an observed collect_set
+    * of the dir tuple) — the routing `distinct().collect()` action it
+    * used to cost is gone (guide §2.4). Same driver footprint: the
+    * distinct dir tuples, bounded by the live-partition count.
+    */
+  private def checkpointTouched(tagged0: DataFrame,
+      p: Props): (DataFrame, Seq[String]) = {
+    val (ck, vs) = Fuse.checkpointObserved(tagged0,
+      collect_set(struct(p.dirCols.map(col): _*)))
+    val rows = vs.head.asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[Row]).toSeq
+    (ck, dirsOfRows(rows, p))
   }
 
   /** Initialize the table: every record routed to its value partition,
@@ -603,10 +618,9 @@ object PartitionedTable {
   def upsertInto(spark: SparkSession, tablePath: String,
       incoming: DataFrame): Seq[String] = {
     val p = props(tablePath)
-    val tagged = withShadow(
-      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
-    val touched = touchedDirs(tagged, p)
+    val (tagged, touched) = checkpointTouched(withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak),
+      p), p)
     if (touched.isEmpty) return Seq.empty
     val committed = manifest(tablePath)
     val bound = boundIndexes(tablePath, p)
@@ -720,10 +734,10 @@ object PartitionedTable {
   def upsertIntoOcc(spark: SparkSession, tablePath: String,
       incoming: DataFrame, maxRetries: Int = 5): Seq[String] = {
     val p = props(tablePath)
-    val tagged = withShadow(
-      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
-    val touched = touchedDirs(tagged, p).toSet
+    val (tagged, touchedD) = checkpointTouched(withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak),
+      p), p)
+    val touched = touchedD.toSet
     if (touched.isEmpty) return Seq.empty
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -791,10 +805,9 @@ object PartitionedTable {
   def insertOverwrite(spark: SparkSession, tablePath: String,
       incoming: DataFrame): Seq[String] = {
     val p = props(tablePath)
-    val tagged = withShadow(
-      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
-    val touched = touchedDirs(tagged, p)
+    val (tagged, touched) = checkpointTouched(withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak),
+      p), p)
     if (touched.isEmpty) return Seq.empty
     val gen = nextGen(tablePath)
     val written = writeGen(tagged, tablePath, gen, p)
@@ -1195,10 +1208,10 @@ object PartitionedTable {
   def upsertDelta(spark: SparkSession, tablePath: String,
       incoming: DataFrame): Seq[String] = {
     val p = props(tablePath)
-    val tagged = withShadow(
-      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak), p)
-      .localCheckpoint()
-    val touched = touchedDirs(tagged, p).toSet
+    val (tagged, touchedD) = checkpointTouched(withShadow(
+      HudiLike.precombineLatest(incoming, p.identity, p.precombine, p.tieBreak),
+      p), p)
+    val touched = touchedD.toSet
     if (touched.isEmpty) return Seq.empty
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val existing = deltas(tablePath)
@@ -1249,11 +1262,10 @@ object PartitionedTable {
   def deleteDelta(spark: SparkSession, tablePath: String,
       deletes: DataFrame): Seq[String] = {
     val p = props(tablePath)
-    val tagged = withShadow(
+    val (tagged, touchedD) = checkpointTouched(withShadow(
       HudiLike.precombineLatest(deletes, p.identity, p.precombine, p.tieBreak)
-        .withColumn(Deleted, lit(true)), p)
-      .localCheckpoint()
-    val touched = touchedDirs(tagged, p).toSet
+        .withColumn(Deleted, lit(true)), p), p)
+    val touched = touchedD.toSet
     if (touched.isEmpty) return Seq.empty
     FsLock.withTableLock(tablePath, FsLock.QueueWaitMs) {
       val existing = deltas(tablePath)
@@ -1647,10 +1659,12 @@ object PartitionedTable {
   def lookupMany(spark: SparkSession, tablePath: String,
       idRows: DataFrame): DataFrame = {
     val p = props(tablePath)
-    val wanted = idRows.select(p.identity.map(col): _*).distinct()
-      .localCheckpoint()
-    lookupManyRouted(spark, tablePath, wanted,
-      touchedDirs(withShadow(wanted, p), p).toSet, p)
+    // shadow-tagged BEFORE the checkpoint so the dir routing rides the
+    // checkpoint job (was: a second distinct+collect action)
+    val (wantedS, touched) = checkpointTouched(
+      withShadow(idRows.select(p.identity.map(col): _*).distinct(), p), p)
+    lookupManyRouted(spark, tablePath, wantedS.drop(p.dirCols: _*),
+      touched.toSet, p)
   }
 
   /** [[lookupMany]] with the routing already done — the maintenance

@@ -271,8 +271,10 @@ object SecondaryIndex {
         // move — both except sides in one aggregation
         sideDiff(idxLive, prim)
     }
-    val staged = delta.localCheckpoint()
-    if (!staged.isEmpty) {
+    // the emptiness gate rides the delta's checkpoint as an observed
+    // count — no separate isEmpty job (guide §2.4)
+    val (staged, stagedN) = Fuse.checkpointCounted(delta)
+    if (stagedN > 0L) {
       val commit = BucketTable.manifest(indexPath).values.maxOption
         .getOrElse(-1L) + 1
       BucketTable.upsertInto(spark, indexPath,

@@ -662,12 +662,21 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // materialize the micro-batch once: its four consumers (each
         // sink's emptiness gate + upsert) otherwise re-read the source
-        // files per evaluation (guide §5 — reused frame, 4 scans → 1)
-        val b = batch.localCheckpoint()
+        // files per evaluation (guide §5 — reused frame, 4 scans → 1).
+        // BOTH sinks' emptiness gates ride the checkpoint as observed
+        // counts (guide §2.4) — zero per-sink isEmpty jobs; the split
+        // predicate here must match splitByRules' exactly (null = bad)
+        val anyBad = rules
+          .map(r => coalesce(r.violation.cast("boolean"), lit(true)))
+          .reduce(_ || _)
+        val (b, ns) = graft.etl.Fuse.checkpointObserved(batch,
+          count(when(!anyBad, 1)), count(when(anyBad, 1)))
+        val (nClean, nBad) = (ns(0).asInstanceOf[Number].longValue(),
+          ns(1).asInstanceOf[Number].longValue())
         val (clean, bad) = graft.ops.DataQuality.splitByRules(b, rules)
-        def sink(path: String, df: DataFrame, ks: Seq[String],
+        def sink(path: String, df: DataFrame, n: Long, ks: Seq[String],
             tb: Seq[String]): Unit =
-          if (!df.isEmpty) {
+          if (n > 0L) {
             if (!graft.etl.BucketTable.exists(path))
               graft.etl.BucketTable.create(df, path, keys = ks,
                 precombine = precombine, tieBreak = tb)
@@ -676,8 +685,8 @@ object StreamingPipeline {
               ()
             }
           }
-        sink(targetPath, clean, keys, tieBreak)
-        sink(quarantinePath, bad, quarantineKeys, Nil)
+        sink(targetPath, clean, nClean, keys, tieBreak)
+        sink(quarantinePath, bad, nBad, quarantineKeys, Nil)
       }
       .start()
     q.awaitTermination()
@@ -953,26 +962,31 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // materialize the precombined frame once: its four consumers
-          // (two emptiness gates, the upsert, the delete) otherwise
-          // re-run the window over a re-scan of the change files each
-          // (guide §5 — reused frame, 4 window passes → 1)
-          val latest = HudiLike.precombineLatest(batch, keys, precombine,
-            "_seq" +: tieBreak).localCheckpoint()
-          val ups = latest.filter(!col("_deleted")).drop("_seq", "_deleted")
-          val dels = latest.filter(col("_deleted"))
-            .select(keys.map(col): _*)
-          if (!ups.isEmpty) {
-            if (!graft.etl.BucketTable.exists(targetPath))
-              graft.etl.BucketTable.create(ups, targetPath,
-                keys = keys, precombine = precombine, tieBreak = tieBreak)
-            else
-              graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, ups)
-          }
-          if (graft.etl.BucketTable.exists(targetPath) && !dels.isEmpty)
-            graft.etl.BucketTable.deleteFrom(batch.sparkSession, targetPath, dels)
+        // materialize the precombined frame once: its four consumers
+        // (two emptiness gates, the upsert, the delete) otherwise
+        // re-run the window over a re-scan of the change files each
+        // (guide §5 — reused frame, 4 window passes → 1). BOTH gates
+        // (and the outer batch-emptiness one) ride the checkpoint as
+        // observed counts — zero isEmpty jobs per micro-batch
+        // (guide §2.4)
+        val (latest, ns) = graft.etl.Fuse.checkpointObserved(
+          HudiLike.precombineLatest(batch, keys, precombine,
+            "_seq" +: tieBreak),
+          count(when(!col("_deleted"), 1)), count(when(col("_deleted"), 1)))
+        val (nUps, nDels) = (ns(0).asInstanceOf[Number].longValue(),
+          ns(1).asInstanceOf[Number].longValue())
+        val ups = latest.filter(!col("_deleted")).drop("_seq", "_deleted")
+        val dels = latest.filter(col("_deleted"))
+          .select(keys.map(col): _*)
+        if (nUps > 0L) {
+          if (!graft.etl.BucketTable.exists(targetPath))
+            graft.etl.BucketTable.create(ups, targetPath,
+              keys = keys, precombine = precombine, tieBreak = tieBreak)
+          else
+            graft.etl.BucketTable.upsertInto(batch.sparkSession, targetPath, ups)
         }
+        if (graft.etl.BucketTable.exists(targetPath) && nDels > 0L)
+          graft.etl.BucketTable.deleteFrom(batch.sparkSession, targetPath, dels)
         ()
       }
       .start()
