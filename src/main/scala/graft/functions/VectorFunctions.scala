@@ -131,6 +131,148 @@ case class L2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Index-order dot product over two vector columns, each
+  * `array<float>` or `array<double>` — floats widen to double per
+  * element BEFORE the multiply, and the accumulation order is ascending
+  * index, so the value is bit-identical to the SQL fold
+  * `aggregate(sequence(1, n), 0.0, (acc, d) -> acc + CAST(a[d] AS
+  * DOUBLE) * CAST(b[d] AS DOUBLE))` it replaces in the PQ search paths
+  * (guide §1.2 per-task work: the interpreted per-element lambda was
+  * the hot inner loop; norms are `dot_vec(x, x)`).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_vec expects (array<float|double>, array<float|double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_vec"
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left.dataType), isFloat(right.dataType))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xi * yi
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(v: String, side: Expression) =
+        if (isFloat(side.dataType)) s"(double) $v.getFloat($i)"
+        else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, left)} * ${get(b, right)};
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sum of squared differences (L2², no sqrt) over two vector columns —
+  * the PQ assignment distance. Same float→double index-order contract
+  * as [[DotProduct]]; bit-identical to the SQL fold
+  * `aggregate(sequence(1, n), 0.0, (acc, d) -> acc + (a[d] - b[d]) *
+  * (a[d] - b[d]))` it replaces.
+  */
+case class L2SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"l2sq_dist expects (array<float|double>, array<float|double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_dist"
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloat(left.dataType), isFloat(right.dataType))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def get(v: String, side: Expression) =
+        if (isFloat(side.dataType)) s"(double) $v.getFloat($i)"
+        else s"$v.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${get(a, left)} - ${get(b, right)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Register the vector functions in the session's function registry
     * so plans can use them via `expr(...)` and plain SQL. Idempotent
@@ -140,12 +282,19 @@ object VectorFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    // guard on the NEWEST function: a session built with the
+    // GraftExtensions injection already carries cosine_sim/l2_dist,
+    // and guarding on those would skip the later additions
     if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+        org.apache.spark.sql.catalyst.FunctionIdentifier("l2sq_dist"))) {
       registry.createOrReplaceTempFunction(
         "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "built-in")
       registry.createOrReplaceTempFunction(
         "l2_dist", exprs => L2Distance(exprs.head, exprs(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "dot_vec", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      registry.createOrReplaceTempFunction(
+        "l2sq_dist", exprs => L2SquaredDistance(exprs.head, exprs(1)), "built-in")
     }
   }
 }

@@ -478,31 +478,51 @@ object Similarity {
         expr(s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim)," +
           " x -> CAST(x AS DOUBLE))").as("csub"))
 
-  /** Encode: nearest centroid per (vector, subspace) — the corpus
-    * explodes to `n × PqM` subvector rows, joins the broadcast
-    * codebook, and argmin is a row_number over (dist, j) so ties pick
-    * the lowest code in both engines. No shuffle of the corpus beyond
-    * the per-(vec_id, m) window — at 1000 executors this is a
-    * map-heavy pass over the embedding files.
+  /** Encode: nearest centroid per (vector, subspace). The codebook is
+    * `PqM × PqK` ≈ 128 tiny rows, so it collects once and inlines as a
+    * LITERAL per-subspace candidate array: assignment is then a pure
+    * map stage over the corpus — no broadcast join multiplying the
+    * exploded corpus ×PqK, and no per-(vec_id, m) window shuffle+sort
+    * (guide §2.4 — the previous shape paid one Exchange of `n × PqM`
+    * rows per call, and training calls this every Lloyd round). The
+    * distance fold keeps the exact per-dim accumulation order, and
+    * `array_min` over `struct(dist, j, csub)` is the same
+    * lexicographic (dist asc, j asc) selection the row_number argmin
+    * made — bit-identical codes, so every hash-checked PQ query is
+    * unchanged.
     */
-  private def pqAssign(e: DataFrame, cb: DataFrame): DataFrame = {
-    val sub = e
-      .select(col("vec_id"),
+  private def pqAssign(e: DataFrame, cb: DataFrame): DataFrame =
+    pqAssignRows(e, collectCodebook(cb))
+
+  /** The codebook's rows grouped per subspace for literal inlining:
+    * index m holds that subspace's (j, centroid-slice) candidates.
+    */
+  private def collectCodebook(cb: DataFrame)
+      : Seq[Seq[(Long, Seq[Double])]] = {
+    val byM = cb.select(col("m"), col("j"), col("csub")).collect()
+      .groupBy(_.getInt(0))
+    (0 until PqM).map { m =>
+      byM.getOrElse(m, Array.empty)
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
+        .sortBy(_._1).toSeq
+    }
+  }
+
+  private def pqAssignRows(e: DataFrame,
+      cands: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
+    e.select(col("vec_id"),
         explode(expr(s"sequence(0, ${PqM - 1})")).as("m"), col("embedding"))
       .select(col("vec_id"), col("m"),
         expr(s"transform(slice(embedding, m * $PqSubDim + 1, $PqSubDim)," +
           " x -> CAST(x AS DOUBLE))").as("vsub"))
-    val dist = expr(
-      s"""aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE),
-         | (acc, d) -> acc + (element_at(vsub, d) - element_at(csub, d))
-         |                 * (element_at(vsub, d) - element_at(csub, d)))""".stripMargin)
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist").asc, col("j").asc)
-    sub.join(broadcast(cb), "m")
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("j").as("code"), col("vsub"), col("csub"))
+      .withColumn("__cands", element_at(typedLit(cands), col("m") + 1))
+      .withColumn("__best", expr(
+        """array_min(transform(__cands, c ->
+          |struct(l2sq_dist(vsub, c._2) AS dist, c._1 AS j, c._2 AS csub)))"""
+          .stripMargin))
+      .select(col("vec_id"), col("m"), col("__best.j").as("code"),
+        col("vsub"), col("__best.csub").as("csub"))
   }
 
   private[ops] def pqEncode(e: DataFrame, cb: DataFrame): DataFrame =
@@ -530,33 +550,44 @@ object Similarity {
     */
   private[ops] def pqDistortion(e: DataFrame, cb: DataFrame): Double =
     pqAssign(e, cb)
-      .select(expr(
-        s"""aggregate(sequence(1, $PqSubDim), CAST(0.0 AS DOUBLE),
-           | (acc, d) -> acc + (element_at(vsub, d) - element_at(csub, d))
-           |                 * (element_at(vsub, d) - element_at(csub, d)))""".stripMargin)
-        .as("d2"))
+      .select(expr("l2sq_dist(vsub, csub)").as("d2"))
       .agg(sum(col("d2"))).head.getDouble(0)
 
   private[ops] def pqTrainedCodebook(e: DataFrame): DataFrame = {
-    var cb = pqCodebook(e)
-    var cached: DataFrame = null
+    val spark = e.sparkSession
+    // each Lloyd round is ONE job: a literal-codebook map-stage
+    // assignment feeding the member-mean aggregation, collected back
+    // to the driver (≤ PqM × PqK tiny rows). No cache/count
+    // materialization, no broadcast build, no window shuffle per
+    // round (guide §2.4), and the returned frame is a LOCAL relation
+    // of the final values — downstream commit/search re-reads values,
+    // not a three-round lineage.
+    var rows = collectCodebook(pqCodebook(e))
     for (_ <- 1 to PqIterations) {
-      val next = pqAssign(e, cb)
-        .select(col("m"), col("code").as("j"), posexplode(col("vsub")).as(Seq("d", "x")))
-        .groupBy(col("m"), col("j"), col("d"))
-        .agg(avg(col("x")).as("mean"))
+      // member means for all PqSubDim dims in ONE aggregation (per-dim
+      // sums + count per (m, j) — was posexplode ×PqSubDim into a
+      // (m, j, d) aggregation feeding a second (m, j) collect_list
+      // aggregation: two exchanges and an 8× exploded shuffle per
+      // round, guide §2.3/§2.4). The mean is the same sum/count; only
+      // the trained artifact depends on it, and trained models are
+      // rows-only by design (float summation order already differs
+      // between engines — Lloyd's distortion invariant holds under
+      // any summation order).
+      val sums = (1 to PqSubDim).map(d =>
+        sum(expr(s"element_at(vsub, $d)")).as(s"__s$d"))
+      val meanArr = expr(s"array(${(1 to PqSubDim)
+        .map(d => s"__s$d / __n").mkString(", ")})")
+      val next = pqAssignRows(e, rows)
+        .select(col("m"), col("code").as("j"), col("vsub"))
         .groupBy(col("m"), col("j"))
-        .agg(array_sort(collect_list(struct(col("d"), col("mean")))).as("dm"))
-        .select(col("m"), col("j"), expr("transform(dm, s -> s.mean)").as("csub"))
-        .cache()
-      next.count()
-      // the previous round's codebook fed this round's assignment and is
-      // now dead — release it so training never accretes blocks
-      if (cached != null) cached.unpersist()
-      cached = next
-      cb = next
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("m"), col("j"), meanArr.as("csub"))
+      rows = collectCodebook(next)
     }
-    cb
+    import spark.implicits._
+    rows.zipWithIndex
+      .flatMap { case (cs, m) => cs.map { case (j, c) => (m, j, c) } }
+      .toDF("m", "j", "csub")
   }
 
   /** The PQ code table itself — (vec_id, subspace, code), the artifact
@@ -632,7 +663,6 @@ object Similarity {
       graft.etl.HudiLike.commit(
         pqEncode(e, cb).select(col("vec_id"), col("m"), col("code")),
         s"$dir/codes")
-      cb.unpersist()
       // fingerprint captured AFTER training read the corpus —
       // fail-rebuild, never fail-stale
       Files.writeString(Paths.get(s"$dir/meta"),
@@ -714,18 +744,19 @@ object Similarity {
   }
 
   private def pqSearchWith(e: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(e.sparkSession)
     val rec = pqEncode(e, cb)
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("csub")))).as("parts"))
       .select(col("vec_id"), expr("flatten(transform(parts, p -> p.csub))").as("rec"))
     val queries = e.filter(col("vec_id") < QuerySetSize)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-    def fold(term: String) =
-      s"aggregate(sequence(1, $Dim), CAST(0.0 AS DOUBLE), (acc, d) -> acc + $term)"
+    // dot_vec folds ascending-index with per-element float→double
+    // widening — bit-identical to the interpreted SQL aggregate folds
+    // this replaces, at native-loop cost (guide §1.2 per-task work)
     val qcos =
-      s"""round(${fold("element_at(rec, d) * CAST(element_at(qv, d) AS DOUBLE)")}
-         | / (sqrt(${fold("element_at(rec, d) * element_at(rec, d)")})
-         |  * sqrt(${fold("CAST(element_at(qv, d) AS DOUBLE) * CAST(element_at(qv, d) AS DOUBLE)")})), 4)""".stripMargin
+      """round(dot_vec(rec, qv)
+        | / (sqrt(dot_vec(rec, rec)) * sqrt(dot_vec(qv, qv))), 4)""".stripMargin
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("qcos").desc, col("vec_id").asc)
     rec.crossJoin(broadcast(queries))

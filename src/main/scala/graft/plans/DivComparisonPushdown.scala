@@ -140,5 +140,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("l2_dist"),
       new ExpressionInfo(classOf[graft.functions.L2Distance].getName, "l2_dist"),
       binary("l2_dist")(graft.functions.L2Distance(_, _))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_vec"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_vec"),
+      binary("dot_vec")(graft.functions.DotProduct(_, _))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("l2sq_dist"),
+      new ExpressionInfo(classOf[graft.functions.L2SquaredDistance].getName, "l2sq_dist"),
+      binary("l2sq_dist")(graft.functions.L2SquaredDistance(_, _))))
   }
 }
