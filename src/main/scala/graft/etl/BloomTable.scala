@@ -439,6 +439,14 @@ object BloomTable {
     * min/max, row count, bloom bitmap of the full composite key.
     * One pass, map-side combined.
     */
+  /** `private[graft]` so plan tooling can dump the scan shape (the
+    * post-write stats pass reads ONLY the key column + file metadata —
+    * column pruning makes the "re-read of just-written files" a
+    * key-column scan, not a full-width one).
+    */
+  private[graft] def indexRowsForDump(df: DataFrame, tablePath: String): DataFrame =
+    indexRows(df, props(tablePath))
+
   private def indexRows(df: DataFrame, p: Props): DataFrame = {
     val bloom = udaf(new graft.functions.BloomAggregator(p.mBits))
     withKeyHashes(df, p.keys)

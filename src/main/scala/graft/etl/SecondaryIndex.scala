@@ -227,50 +227,7 @@ object SecondaryIndex {
   private def healLocked(spark: SparkSession, kind: String,
       primaryPath: String, indexPath: String): Unit = {
     val h = primaryHead(kind, primaryPath)
-    // the index's own key columns ARE the mapping — (sec ++ keys) for a
-    // secondary index, (keys ++ partitionCols) for a partitioned RLI
-    val mapCols = BucketTable.props(indexPath).keys.map(col)
-    val delta = kind match {
-      case "mor" =>
-        val prim = MorTable.readSnapshot(spark, primaryPath).localCheckpoint()
-        val idxLive = BucketTable.read(spark, indexPath)
-          .filter(col(Live)).drop(Live, Commit)
-        // full re-assert of every primary row (the index is COVERING:
-        // an evolved payload column re-serves correctly) + tombstones
-        // for vanished mappings
-        sideDiff(idxLive.select(mapCols: _*), prim.select(mapCols: _*))
-          .filter(!col(Live))
-          .unionByName(prim.withColumn(Live, lit(true)),
-            allowMissingColumns = true)
-      case "timeline" =>
-        // also COVERING, but here heal IS the per-commit maintenance
-        // (every version is a whole snapshot — there is no smaller
-        // delta feed to ride), so the index write must be
-        // O(discrepancy): tombstone vanished mappings, re-assert only
-        // rows whose FULL payload differs. Align first — a column the
-        // snapshot gained pads NULL on the index side, so every row
-        // carrying a real value there counts as changed.
-        val prim = Timeline.read(spark, primaryPath).localCheckpoint()
-        val idxLive = BucketTable.read(spark, indexPath)
-          .filter(col(Live)).drop(Live, Commit)
-        val idxAligned = SchemaShim.unionByName(prim.limit(0), idxLive)
-        sideDiff(idxLive.select(mapCols: _*), prim.select(mapCols: _*))
-          .filter(!col(Live))
-          .unionByName(
-            sideDiff(idxAligned, prim).filter(col(Live)),
-            allowMissingColumns = true)
-      case _ =>
-        val prim = (kind match {
-          case "partitioned" => PartitionedTable.read(spark, primaryPath)
-          case "bloom" => BloomTable.read(spark, primaryPath)
-          case _ => BucketTable.read(spark, primaryPath)
-        }).select(mapCols: _*).localCheckpoint()
-        val idxLive = BucketTable.read(spark, indexPath)
-          .filter(col(Live)).select(mapCols: _*)
-        // O(discrepancy) index write: only missing / stale mappings
-        // move — both except sides in one aggregation
-        sideDiff(idxLive, prim)
-    }
+    val delta = healDelta(spark, kind, primaryPath, indexPath)
     // the emptiness gate rides the delta's checkpoint as an observed
     // count — no separate isEmpty job (guide §2.4)
     val (staged, stagedN) = Fuse.checkpointCounted(delta)
@@ -281,6 +238,57 @@ object SecondaryIndex {
         staged.withColumn(Commit, lit(commit)))
     }
     setCoveredHeadLocked(indexPath, h)
+  }
+
+  /** The heal's discrepancy frame — factored out of [[healLocked]] so
+    * plan tooling can dump it; carries no commit/lock side effects.
+    */
+  private[graft] def healDeltaForDump(spark: SparkSession, kind: String,
+      primaryPath: String, indexPath: String): DataFrame =
+    healDelta(spark, kind, primaryPath, indexPath)
+
+  private def healDelta(spark: SparkSession, kind: String,
+      primaryPath: String, indexPath: String): DataFrame = {
+    // the index's own key columns ARE the mapping — (sec ++ keys) for a
+    // secondary index, (keys ++ partitionCols) for a partitioned RLI
+    val mapColNames = BucketTable.props(indexPath).keys
+    val mapCols = mapColNames.map(col)
+    kind match {
+      case "mor" | "timeline" =>
+        // COVERING heal in ONE aggregation: tombstone vanished
+        // mappings, re-assert only rows whose FULL payload differs —
+        // O(discrepancy) index write, O(snapshot) scan (inherent: the
+        // primary has no smaller delta feed here). Align first — a
+        // column the snapshot gained pads NULL on the index side, so
+        // every row carrying a real value there counts as changed.
+        // (Was: a mapping-level sideDiff plus — for mor — a full
+        // re-assert of EVERY primary row / — for timeline — a second
+        // payload-level sideDiff: two unions, two aggregations, and a
+        // checkpointed primary consumed twice. One union + one
+        // aggregation consuming the primary once, guide §2.3/§2.4;
+        // the mor index write drops from O(table) to O(discrepancy).)
+        val prim = (kind match {
+          case "mor" => MorTable.readSnapshot(spark, primaryPath)
+          case _ => Timeline.read(spark, primaryPath)
+        })
+        val idxLive = BucketTable.read(spark, indexPath)
+          .filter(col(Live)).drop(Live, Commit)
+        coveringDelta(prim, SchemaShim.unionByName(prim.limit(0), idxLive),
+          mapColNames)
+      case _ =>
+        val prim = (kind match {
+          case "partitioned" => PartitionedTable.read(spark, primaryPath)
+          case "bloom" => BloomTable.read(spark, primaryPath)
+          case _ => BucketTable.read(spark, primaryPath)
+        }).select(mapCols: _*)
+        val idxLive = BucketTable.read(spark, indexPath)
+          .filter(col(Live)).select(mapCols: _*)
+        // O(discrepancy) index write: only missing / stale mappings
+        // move — both except sides in one aggregation (each side
+        // consumed once — no checkpoint needed, the delta's own
+        // checkpoint below materializes the result)
+        sideDiff(idxLive, prim)
+    }
   }
 
   /** Bootstrap the index from the primary's current snapshot: one scan
@@ -401,6 +409,46 @@ object SecondaryIndex {
     * grouping deduplicates, and nulls/NaN group the way except
     * compares them. Both sides must share pre's column set.
     */
+  /** One-aggregation covering-index heal delta over `(primary
+    * snapshot, aligned live index)`: a tombstone (`Live` false,
+    * payload NULL) per mapping the index serves that the primary no
+    * longer carries, a full-payload re-assert (`Live` true) per
+    * primary row the index lacks or serves with a stale payload, and
+    * NOTHING for rows the index already serves correctly. Mappings
+    * are unique per side (primary record keys are unique — asserted
+    * at bootstrap — and the index serves one live row per mapping),
+    * so `max(when(side, struct(payload)))` IS that side's row, and
+    * `<=>` over the payload structs compares with exactly the
+    * null/NaN semantics the previous groupBy-dedup diff used.
+    * `idxAligned` must carry the primary's column set (pad with
+    * `SchemaShim.unionByName(prim.limit(0), idxLive)`).
+    */
+  private def coveringDelta(prim: DataFrame, idxAligned: DataFrame,
+      mapColNames: Seq[String]): DataFrame = {
+    val cols = prim.columns.toSeq
+    val types = prim.schema.fields.map(f => f.name -> f.dataType).toMap
+    val payload = struct(cols.map(col): _*)
+    val side = "__side"
+    idxAligned.select(cols.map(col): _*).withColumn(side, lit(0))
+      .unionByName(prim.withColumn(side, lit(1)))
+      .groupBy(mapColNames.map(col): _*)
+      // collect_list over ≤1 non-null row per side: hash-aggregable
+      // (ObjectHashAggregate) where max(struct)/first(struct) would
+      // force a SortAggregate with a full sort of the union by the
+      // mapping columns
+      .agg(collect_list(when(col(side) === 0, payload)).as("__l0"),
+        collect_list(when(col(side) === 1, payload)).as("__l1"))
+      .withColumn("__p0", try_element_at(col("__l0"), lit(1)))
+      .withColumn("__p1", try_element_at(col("__l1"), lit(1)))
+      .filter(col("__p0").isNull || col("__p1").isNull ||
+        !(col("__p0") <=> col("__p1")))
+      .select(cols.map { c =>
+        if (mapColNames.contains(c)) col(c)
+        else when(col("__p1").isNotNull, col("__p1").getField(c))
+          .otherwise(lit(null).cast(types(c))).as(c)
+      } :+ col("__p1").isNotNull.as(Live): _*)
+  }
+
   private[etl] def sideDiff(pre: DataFrame, post: DataFrame): DataFrame = {
     val side = "__side"
     val cols = pre.columns.toSeq

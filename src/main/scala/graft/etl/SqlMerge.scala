@@ -534,13 +534,16 @@ object SqlMerge {
           case ("timeline", true) =>
             val (keys2, precombine2, tieBreak2) =
               dmlConfig(spark, target, layout)
-            val deduped = HudiLike.precombineLatest(batch, keys2,
-              precombine2, tieBreak2).localCheckpoint()
+            // emptiness gate AND the instant row count ride the
+            // checkpoint as one observed count (guide §2.4)
+            val (deduped, dedupedN) = Fuse.checkpointCounted(
+              HudiLike.precombineLatest(batch, keys2, precombine2, tieBreak2))
             // same guard as every other layout's overwrite
-            require(!deduped.isEmpty,
+            require(dedupedN > 0L,
               s"INSERT OVERWRITE $target with an empty batch — " +
                 "DELETE the rows instead")
-            Timeline.commit(deduped, path, action = "overwrite")
+            Timeline.commit(deduped, path, action = "overwrite",
+              precountedRows = Some(dedupedN))
             ()
           case (other, _) => throw new IllegalArgumentException(
             s"unknown layout kind '$other' on $target")

@@ -70,8 +70,12 @@ object Timeline {
     * for deterministic `TIMESTAMP AS OF` tests; production callers
     * leave it None (now).
     */
+  /** `precountedRows` skips [[recordInstant]]'s footer-count job when
+    * the caller already knows the snapshot's row count (e.g. it rode
+    * the merge checkpoint as an observed metric — guide §2.4).
+    */
   def commit(df: DataFrame, tablePath: String, action: String = "commit",
-      atMs: Option[Long] = None): Long = {
+      atMs: Option[Long] = None, precountedRows: Option[Long] = None): Long = {
     val next = latestVersion(tablePath).getOrElse(-1L) + 1
     val snapDir = Paths.get(tablePath, s"v=$next")
     df.write.mode("overwrite").parquet(snapDir.toString)
@@ -80,7 +84,7 @@ object Timeline {
     // of the same version REPLACEs it), never a committed-and-readable
     // version permanently missing from history()/archive()
     recordInstant(df.sparkSession, tablePath, next, action,
-      atMs.getOrElse(System.currentTimeMillis()))
+      atMs.getOrElse(System.currentTimeMillis()), precountedRows)
     swingPointer(tablePath, next)
     // hive-sync analog: tracked latest-version views re-point to v=next
     Catalog.syncViews(df.sparkSession, tablePath)
@@ -246,14 +250,18 @@ object Timeline {
   def upsertInto(spark: SparkSession, tablePath: String, incoming: DataFrame,
       keys: Seq[String], precombine: String, tieBreak: Seq[String] = Nil,
       atMs: Option[Long] = None): Long = {
-    val merged = latestVersion(tablePath) match {
-      case Some(v) =>
-        HudiLike.upsert(readVersion(spark, tablePath, v), incoming,
-          keys, precombine, tieBreak).localCheckpoint()
-      case None =>
-        HudiLike.precombineLatest(incoming, keys, precombine, tieBreak)
-    }
-    commit(merged, tablePath, atMs = atMs)
+    // the instant's row count rides the merge checkpoint as an
+    // observed metric — recordInstant's footer-count job is skipped
+    // (guide §2.4)
+    val (merged, mergedN) = Fuse.checkpointCounted(
+      latestVersion(tablePath) match {
+        case Some(v) =>
+          HudiLike.upsert(readVersion(spark, tablePath, v), incoming,
+            keys, precombine, tieBreak)
+        case None =>
+          HudiLike.precombineLatest(incoming, keys, precombine, tieBreak)
+      })
+    commit(merged, tablePath, atMs = atMs, precountedRows = Some(mergedN))
   }
 
   /** Right-to-be-forgotten on the VERSIONED layout: erase every row

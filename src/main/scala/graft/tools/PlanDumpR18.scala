@@ -108,6 +108,83 @@ object PlanDumpR18 {
     write("pq_search_cos", "after",
       graft.ops.Similarity.queries("sim_pq_search")(spark, sf))
 
+    // ---- 3. covering-index heal delta: two sideDiffs (timeline) /
+    //         mapping sideDiff + full re-assert (mor) -> ONE
+    //         aggregation, primary consumed once. Real fixture: a
+    //         timeline table + covering index, then one more commit so
+    //         the heal has a discrepancy to find.
+    locally {
+      val scratch = java.nio.file.Files.createTempDirectory("plandump18")
+      val src = graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+      val tPath = scratch.resolve("t").toString
+      val iPath = scratch.resolve("i").toString
+      graft.etl.Timeline.upsertInto(spark, tPath, src,
+        keys = Seq("k"), precombine = "pc")
+      graft.etl.SecondaryIndex.createTimelineCovering(spark, tPath, iPath,
+        Seq("st"), keys = Seq("k"))
+      // detach maintenance so the next commit leaves a gap for the heal
+      graft.etl.Timeline.unbindSecondaryIndex(tPath)
+      graft.etl.Timeline.upsertInto(spark, tPath,
+        src.filter(col("k") % 10 === 3).withColumn("pc", lit(2L))
+          .withColumn("st", lit("X")),
+        keys = Seq("k"), precombine = "pc")
+
+      val Live = "__live"
+      val prim = graft.etl.Timeline.read(spark, tPath).localCheckpoint()
+      val idxLive = graft.etl.BucketTable.read(spark, iPath)
+        .filter(col(Live)).drop(Live, "__commit")
+      val idxAligned = graft.etl.SchemaShim.unionByName(prim.limit(0), idxLive)
+      val mapCols = graft.etl.BucketTable.props(iPath).keys.map(col)
+      def sideDiffBefore(pre: DataFrame, post: DataFrame): DataFrame = {
+        val side = "__side"
+        val cols = pre.columns.toSeq
+        pre.withColumn(side, lit(0))
+          .unionByName(post.select(cols.map(col): _*).withColumn(side, lit(1)))
+          .groupBy(cols.map(col): _*)
+          .agg(min(side).as("__mn"), max(side).as("__mx"))
+          .filter(col("__mn") === col("__mx"))
+          .withColumn(Live, col("__mx") === 1)
+          .drop("__mn", "__mx")
+      }
+      val healBefore = sideDiffBefore(idxLive.select(mapCols: _*),
+          prim.select(mapCols: _*))
+        .filter(!col(Live))
+        .unionByName(sideDiffBefore(idxAligned, prim).filter(col(Live)),
+          allowMissingColumns = true)
+      write("covering_heal_delta", "before", healBefore)
+      // AFTER: rebind and let the serve-time heal build its live delta —
+      // dumped through the public lookup path is impractical (the heal
+      // consumes it inside the maint lock), so reconstruct via the same
+      // entry the heal now uses
+      write("covering_heal_delta", "after",
+        graft.etl.SecondaryIndex.healDeltaForDump(spark, "timeline",
+          tPath, iPath))
+      graft.etl.FsUtil.deleteRecursively(scratch)
+    }
+
+    // ---- 4. evidence for a DELIBERATE non-change: BloomTable's
+    //         post-write indexRows pass over just-written files is
+    //         already column-pruned to the key column (ReadSchema) —
+    //         the "second full scan" the r17 verdict flagged is a
+    //         key-column + file-metadata scan
+    locally {
+      val scratch = java.nio.file.Files.createTempDirectory("plandump18b")
+      val src = graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey").as("k"), lit(1L).as("pc"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("v"))
+      val tPath = scratch.resolve("b").toString
+      graft.etl.BloomTable.create(src, tPath, keys = Seq("k"),
+        precombine = "pc")
+      val files = new java.io.File(s"$tPath/c=1").listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+      write("bloom_index_rows_scan", "current",
+        graft.etl.BloomTable.indexRowsForDump(
+          spark.read.parquet(files: _*), tPath))
+      graft.etl.FsUtil.deleteRecursively(scratch)
+    }
+
     spark.stop()
   }
 }
